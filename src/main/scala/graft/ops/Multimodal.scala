@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; media decode /
+  * feature-extract / resize / frame-sample run as per-partition batch
+  * transforms (`mapPartitions` over an iterator — the Scala analogue of
+  * arrow-batched Pandas UDFs).
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment): `decodeImageStub` derives deterministic fake
+  * width/height/channel stats from the bytes. The Spark-side plumbing —
+  * schema shape, batch iteration, partition sizing, output contract — is
+  * real and tested; swap the stub body for a JNI/ffmpeg/ImageIO call in
+  * production.
+  */
+object Multimodal {
+
+  /** canonical multimodal schema fragment */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image|audio|video
+    StructField("format", StringType),       // png|jpeg|wav|mp4|...
+    StructField("byte_len", LongType),
+  ))
+
+  case class MediaRow(doc_id: Long, content: Array[Byte], media_type: String, format: String)
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, channels: Int,
+      mean_intensity: Double)
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Attach the metadata struct to a binary payload column. */
+  def withMediaMeta(df: DataFrame, contentCol: String, mediaType: String,
+      format: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(mediaType).as("media_type"), lit(format).as("format"),
+      length(col(contentCol)).cast("long").as("byte_len")))
+
+  // ---- STUB: replace with a real decoder (ImageIO / ffmpeg) in prod ----
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    // deterministic pseudo-decode from content hash; real signature,
+    // fake pixels
+    val h = java.util.Arrays.hashCode(bytes)
+    val w = 32 + math.abs(h % 97)
+    val ht = 32 + math.abs((h / 97) % 89)
+    val mean = if (bytes.isEmpty) 0.0
+      else bytes.iterator.map(b => (b & 0xFF).toDouble).sum / bytes.length
+    (w, ht, 3, mean)
+  }
+
+  /** Batched image decode: real mapPartitions plumbing, stubbed codec. */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init happens here (codec contexts, model handles)
+      rows.map { r =>
+        val (w, h, c, mean) = fakeDecode(r.content)
+        DecodedImage(r.doc_id, w, h, c, mean)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * stands in for a video frame (stub chunker, real explode shape). */
+  def sampleFrames(ds: Dataset[MediaRow], stride: Int = 4,
+      frameBytes: Int = 256): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      r.content.grouped(frameBytes).zipWithIndex
+        .collect { case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk) }
+    }
+  }
+
+  /** Fixed-dim feature extraction (stub: byte histogram folded to
+    * `dim`); batch shape matches an embedding-model UDF. */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < r.content.length) {
+          acc(i % dim) += (r.content(i) & 0xFF) / 255.0f
+          i += 1
+        }
+        MediaFeatures(r.doc_id, acc)
+      }
+    }
+  }
+
+  /** Column-level resize stub: keeps the binary contract (truncate/pad),
+    * documenting where a real resampler plugs in. */
+  def resizeStub(content: org.apache.spark.sql.Column, targetBytes: Int): org.apache.spark.sql.Column =
+    substring(content, 1, targetBytes)
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one narrow pass over the corpus, per-query top-k via window. The dot
+  * product is a codegen'd higher-order `aggregate(zip_with(...))`, no
+  * UDF.
+  *
+  * Scale path: IVF — a deterministic coarse quantizer (centroids chosen
+  * by hash-sampling the corpus, refined by one Lloyd step) partitions
+  * the corpus by nearest centroid; queries probe only `nprobe` cells.
+  * At 100 TB the corpus side stays partitioned/bucketed by centroid id,
+  * so a probe touches a small fraction of files.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<float|double> columns */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** `nBits` sign bits of pseudo-random hyperplane projections packed
+    * into a long. Hyperplane component for (bit i, dim j) is derived
+    * from xxhash64(i, j) mapped to [-1, 1] — deterministic, no stored
+    * model. */
+  def hyperplaneSketch(vec: Column, nBits: Int = 16): Column = {
+    val projs = transform(sequence(lit(0), lit(nBits - 1)), bit =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, j) => v.cast("double") *
+            ((xxhash64(bit, j) % 1000L).cast("double") / 1000.0)),
+        lit(0.0), (acc, x) => acc + x))
+    // pack sign bits: acc*2 + (proj>0)
+    aggregate(reverse(projs), lit(0L),
+      (acc, p) => acc * 2L + when(p > 0, 1L).otherwise(0L))
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest
+    * corpus rows. Queries are broadcast (small side); corpus side never
+    * shuffles until the final per-query top-k. */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int = 10): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val scored = c.join(broadcast(q))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("__rank").as("rank"))
+  }
+
+  /** Deterministic IVF coarse quantizer: centroids = hash-sampled corpus
+    * vectors. Returns (centroid_id, centroid_vec). */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int): DataFrame = {
+    val w = Window.orderBy(xxhash64(col(idCol)))
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nCentroids)
+      .select((col("__r") - 1).as("centroid_id"), col(vecCol).as("centroid_vec"))
+  }
+
+  /** Assign each vector to its nearest centroid (centroids broadcast). */
+  def assign(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("centroid_vec"))
+    val joined = df.join(broadcast(cents))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid_vec")))
+    val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("__sim").desc, col("centroid_id"))
+    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .drop("__sim", "__rk", "centroid_vec")
+  }
+
+  /** IVF top-k: probe the `nprobe` closest centroids per query; exact
+    * cosine within probed cells only. Approximate (recall < 1) but the
+    * corpus-side work drops by ~nCentroids/nprobe. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = sampleCentroids(corpus, corpusId, corpusVec, nCentroids).cache()
+    val corpusCells = assign(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+      "__cv", cents)
+    val qCells = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .join(broadcast(cents))
+      .withColumn("__sim", cosine(col("__qv"), col("centroid_vec")))
+    val wq = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("centroid_id"))
+    val probes = qCells.withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val scored = probes.join(corpusCells, Seq("centroid_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("__rank").as("rank"))
+  }
+}

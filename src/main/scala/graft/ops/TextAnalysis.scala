@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines. Everything is
+  * built from `org.apache.spark.sql.functions` (whole-stage codegen'd,
+  * no UDFs) so it survives a 100 TB corpus: per-row narrow transforms,
+  * no shuffles.
+  */
+object TextAnalysis {
+
+  /** whitespace tokens; empty/blank text -> 0 tokens */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword-ish count: word pieces + punctuation as separate
+    * tokens, via one regex pass. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"""), lit(0))).cast("long")
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** k-char shingle array (distinct) — the unit for MinHash / Jaccard. */
+  def charShingles(text: Column, k: Int = 5): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    when(length(norm) < k, array(norm)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(norm) - (k - 1)),
+        i => norm.substr(i, lit(k)))))
+  }
+
+  /** word n-gram array (distinct). */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Heuristic language ID over a small built-in stopword table: the
+    * language whose stopwords hit the most tokens wins; `und` when
+    * nothing hits. N-gram/stopword heuristic, no model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es" -> Seq("el", "la", "de", "que", "los", "en", "un", "por", "con", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+  )
+
+  /** best-scoring language code or 'und' */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => words.map(w => t === lit(w)).reduceLeft(_ || _))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality heuristics: length, alpha ratio, punctuation ratio,
+    * stopword ratio, mean token length — combined into [0,1]. */
+  def qualityFeatures(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"]", "")).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val sw = size(filter(tokens(lower(text)),
+      t => stopwords("en").map(w => t === lit(w)).reduceLeft(_ || _))).cast("double")
+    struct(
+      len.as("n_chars"),
+      nTok.as("n_tokens"),
+      (alpha / greatest(len, lit(1.0))).as("alpha_ratio"),
+      (punct / greatest(len, lit(1.0))).as("punct_ratio"),
+      (sw / greatest(nTok, lit(1.0))).as("stopword_ratio"),
+      (len / greatest(nTok, lit(1.0))).as("mean_token_len"))
+  }
+
+  /** scalar quality score in [0,1]: high alpha, some stopwords, sane
+    * token length, low punctuation. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens") / lit(20.0), lit(1.0))
+    val alphaScore = f.getField("alpha_ratio")
+    val punctScore = greatest(lit(1.0) - f.getField("punct_ratio") * 5.0, lit(0.0))
+    val swScore = least(f.getField("stopword_ratio") * 4.0, lit(1.0))
+    round((lenScore * 0.25 + alphaScore * 0.35 + punctScore * 0.2 + swScore * 0.2), 6)
+  }
+
+  /** Content-defined document fingerprint: min of xxhash64 over char
+    * shingles (winnowing-style); stable under whitespace normalization. */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(charShingles(text, k), s => xxhash64(s)))
+
+  /** md5 exact-content fingerprint (SQL-portable). */
+  def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
+}

@@ -1,0 +1,448 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.core.Json._
+import graft.query.QueryCondition
+
+/** The array-table: one substrate for every reference capability.
+  *
+  * Layout of an array URI (our analogue of a TileDB array directory):
+  * {{{
+  *   uri/
+  *     __schema/schema_v00001.json ...      # evolution = new version
+  *     __fragments/f_<ts>_<seq>/data/part-... (parquet)  # one immutable fragment per write
+  *     __fragments/f_<ts>_<seq>/__manifest.json  # MBR per dim, cell count, ts, schema ver
+  *     __deletes/d_<ts>_<seq>.json          # conditional-delete log entries
+  *     __meta.json                          # array metadata KV
+  *     __trash/...                          # superseded fragments until vacuum
+  * }}}
+  *
+  * MVCC semantics reproduced from the reference (fragments + timestamps,
+  * reference: tiledb/array.py:301-339,963-985; tiledb/fragment.py:13-270):
+  *  - every write is an immutable timestamped fragment
+  *  - reads at a timestamp range see only fragments within it (time travel)
+  *  - later fragments shadow earlier cells at the same coordinates unless
+  *    `allows_duplicates` (window dedup, applied only when fragment MBRs
+  *    actually overlap)
+  *  - conditional deletes are tombstone log entries applied at read time;
+  *    consolidation with purge rewrites without matching rows
+  *    (reference: tiledb/array.py:625-659,729-792)
+  *
+  * Scale design: fragment listing + MBR/timestamp pruning are driver-side
+  * metadata ops (like partition pruning); the data path is a plain
+  * multi-path Parquet scan, so predicate/projection pushdown, vectorized
+  * reads and AQE all apply. The shadowing window (the one shuffle) is
+  * skipped whenever manifests prove no fragment overlap.
+  */
+object ArrayTable {
+
+  val TS = "__ts"; val SEQ = "__seq"
+
+  case class FragmentInfo(
+      path: String, name: String, ts: Long, seq: Long, cellCount: Long,
+      schemaVersion: Int, mbr: Map[String, (JVal, JVal)]) {
+    def nonEmptyDomain: Map[String, (JVal, JVal)] = mbr
+  }
+
+  case class DeleteEntry(path: String, ts: Long, cond: String)
+
+  private def vfs(spark: SparkSession) = VFS(spark)
+
+  // ---------------------------------------------------------------- DDL
+
+  /** Create an empty array-table from a schema (reference:
+    * tiledb/array.py:397-451 `Array.create`). */
+  def create(spark: SparkSession, uri: String, schema: ArraySchema,
+      overwrite: Boolean = false): Unit = {
+    val fs = vfs(spark)
+    if (fs.exists(uri)) {
+      if (overwrite) fs.delete(uri)
+      else if (fs.exists(s"$uri/__schema")) sys.error(s"array already exists at $uri")
+    }
+    fs.mkdirs(s"$uri/__schema")
+    fs.mkdirs(s"$uri/__fragments")
+    fs.writeString(schemaPath(uri, 1), schema.copy(version = 1).toJson)
+  }
+
+  def exists(spark: SparkSession, uri: String): Boolean =
+    vfs(spark).exists(s"$uri/__schema")
+
+  private def schemaPath(uri: String, v: Int): String =
+    f"$uri/__schema/schema_v$v%05d.json"
+
+  def schemaVersions(spark: SparkSession, uri: String): Seq[Int] =
+    vfs(spark).ls(s"$uri/__schema")
+      .map(p => p.substring(p.lastIndexOf("schema_v") + 8).stripSuffix(".json").toInt)
+      .sorted
+
+  def schemaOf(spark: SparkSession, uri: String, version: Option[Int] = None): ArraySchema = {
+    val v = version.getOrElse(schemaVersions(spark, uri).lastOption
+      .getOrElse(sys.error(s"no array at $uri")))
+    ArraySchema.fromJson(vfs(spark).readString(schemaPath(uri, v)))
+  }
+
+  /** Schema evolution: write version n+1 (reference:
+    * tiledb/schema_evolution.py:9-74). Old fragments keep their version;
+    * reads fill added attrs with their fill value. */
+  def evolve(spark: SparkSession, uri: String)(f: ArraySchema => ArraySchema): ArraySchema = {
+    val cur = schemaOf(spark, uri)
+    val next = f(cur).copy(version = cur.version + 1)
+    vfs(spark).writeString(schemaPath(uri, next.version), next.toJson)
+    next
+  }
+
+  def addAttr(spark: SparkSession, uri: String, attr: Attr): ArraySchema =
+    evolve(spark, uri)(s => s.copy(attrs = s.attrs :+ attr))
+  def dropAttr(spark: SparkSession, uri: String, name: String): ArraySchema =
+    evolve(spark, uri)(s => s.copy(attrs = s.attrs.filterNot(_.name == name)))
+  def extendEnum(spark: SparkSession, uri: String, enumName: String, more: Seq[String]): ArraySchema =
+    evolve(spark, uri)(s => s.copy(enums = s.enums.map(e =>
+      if (e.name == enumName) e.extend(more) else e)))
+
+  def deleteArray(spark: SparkSession, uri: String): Unit = vfs(spark).delete(uri)
+
+  // ------------------------------------------------------------- writes
+
+  /** Write a DataFrame as one immutable fragment. Rows are range-
+    * partitioned and sorted by the dims (the Spark analogue of tile
+    * layout + cell order, reference: tiledb/array.py:820-985) so parquet
+    * row-group min/max stats prune like tiles. */
+  def write(spark: SparkSession, df: DataFrame, uri: String,
+      tsOpt: Option[Long] = None): FragmentInfo = {
+    val schema = schemaOf(spark, uri)
+    val fs = vfs(spark)
+    val dims = schema.dimNames
+    val cols = schema.sparkSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
+    val projected = df.select(cols.toSeq: _*)
+    val laidOut = schema.cellOrder match {
+      case "unordered" => projected
+      case "col-major" =>
+        val rev = dims.reverse.map(col)
+        if (dims.size > 1) projected.repartitionByRange(rev: _*).sortWithinPartitions(rev: _*)
+        else projected.repartitionByRange(rev: _*).sortWithinPartitions(rev: _*)
+      case _ => // row-major | hilbert (hilbert falls back to row-major layout)
+        projected.repartitionByRange(dims.map(col): _*).sortWithinPartitions(dims.map(col): _*)
+    }
+    val seq = nextSeq(spark, uri)
+    val ts = tsOpt.getOrElse(System.currentTimeMillis())
+    val name = f"f_$ts%013d_$seq%05d"
+    val fragDir = s"$uri/__fragments/$name"
+    laidOut.write.mode("overwrite").parquet(s"$fragDir/data")
+    // manifest stats from the written files — with parquet aggregate
+    // pushdown enabled this is a footer-only scan
+    val written = spark.read.parquet(s"$fragDir/data")
+    val aggs = count(lit(1)).as("__n") +:
+      dims.flatMap(d => Seq(min(col(d)).as(s"${d}__min"), max(col(d)).as(s"${d}__max")))
+    val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mbr = dims.map { d =>
+      d -> (anyToJ(row.getAs[Any](s"${d}__min")), anyToJ(row.getAs[Any](s"${d}__max")))
+    }.toMap
+    val info = FragmentInfo(fragDir, name, ts, seq, row.getAs[Long]("__n"), schema.version, mbr)
+    fs.writeString(s"$fragDir/__manifest.json", manifestJson(info))
+    info
+  }
+
+  /** Create-if-missing + write: the `from_*` ingestion family collapses
+    * to this (reference: tiledb/highlevel.py:75-150 from_numpy,
+    * tiledb/dataframe_.py:534-779 from_pandas — Spark readers already
+    * cover csv/parquet/json fronting). */
+  def ingest(spark: SparkSession, df: DataFrame, uri: String, dimCols: Seq[String],
+      sparse: Boolean = true, tsOpt: Option[Long] = None,
+      overwrite: Boolean = false): FragmentInfo = {
+    if (overwrite || !exists(spark, uri))
+      create(spark, uri, ArraySchema.infer(df.schema, dimCols, sparse), overwrite = true)
+    write(spark, df, uri, tsOpt)
+  }
+
+  private def nextSeq(spark: SparkSession, uri: String): Long =
+    (fragments(spark, uri).map(_.seq) ++ deletes(spark, uri).map(_.ts)).foldLeft(0L)(_ max _) + 1
+
+  private def manifestJson(i: FragmentInfo): String = JObj(Seq(
+    "name" -> JStr(i.name), "ts" -> JLong(i.ts), "seq" -> JLong(i.seq),
+    "cell_count" -> JLong(i.cellCount), "schema_version" -> JLong(i.schemaVersion),
+    "mbr" -> JObj(i.mbr.toSeq.map { case (d, (lo, hi)) => d -> JArr(Seq(lo, hi)) }),
+  )).render
+
+  private def anyToJ(v: Any): JVal = v match {
+    case null => JNull
+    case n: java.lang.Number => n match {
+      case d: java.lang.Double => JNum(d)
+      case f: java.lang.Float => JNum(f.toDouble)
+      case x => JLong(x.longValue())
+    }
+    case t: java.sql.Timestamp => JLong(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    case d: java.sql.Date => JStr(d.toString)
+    case i: java.time.Instant => JLong(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case s: String => JStr(s)
+    case b: Boolean => JBool(b)
+    case other => JStr(other.toString)
+  }
+
+  // ---------------------------------------------------------- fragments
+
+  def fragments(spark: SparkSession, uri: String): Seq[FragmentInfo] = {
+    val fs = vfs(spark)
+    fs.ls(s"$uri/__fragments").filter(p => fs.exists(s"$p/__manifest.json")).map { p =>
+      val o = Json.parse(fs.readString(s"$p/__manifest.json")).obj
+      FragmentInfo(p, o("name").get.str, o("ts").get.long, o("seq").get.long,
+        o("cell_count").get.long, o("schema_version").get.long.toInt,
+        o("mbr").get.obj.fields.map { case (d, JArr(Seq(lo, hi))) => d -> (lo, hi)
+          case (d, _) => d -> (JNull, JNull) }.toMap)
+    }.sortBy(f => (f.ts, f.seq))
+  }
+
+  def deletes(spark: SparkSession, uri: String): Seq[DeleteEntry] = {
+    val fs = vfs(spark)
+    fs.ls(s"$uri/__deletes").map { p =>
+      val o = Json.parse(fs.readString(p)).obj
+      DeleteEntry(p, o("ts").get.long, o("cond").get.str)
+    }.sortBy(_.ts)
+  }
+
+  /** Conditional delete: a tombstone (cond, ts) applied by readers to
+    * fragments at or before ts (reference: open-mode 'd' submit,
+    * tiledb/sparse_array.py:559-585; tests test_query_condition.py:
+    * 1095-1251). Validates the condition against the schema now. */
+  def delete(spark: SparkSession, uri: String, cond: String,
+      tsOpt: Option[Long] = None): Unit = {
+    val schema = schemaOf(spark, uri)
+    QueryCondition.compile(cond, Some(schema)) // validate eagerly
+    val fs = vfs(spark)
+    fs.mkdirs(s"$uri/__deletes")
+    val ts = tsOpt.getOrElse(System.currentTimeMillis())
+    val seq = nextSeq(spark, uri)
+    fs.writeString(f"$uri/__deletes/d_$ts%013d_$seq%05d.json",
+      JObj(Seq("ts" -> JLong(ts), "cond" -> JStr(cond))).render)
+  }
+
+  /** Drop whole fragments in a timestamp range (reference:
+    * tiledb/array.py:625-659 `delete_fragments`). */
+  def deleteFragments(spark: SparkSession, uri: String, t0: Long, t1: Long): Unit = {
+    val fs = vfs(spark)
+    fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1).foreach { f =>
+      fs.mkdirs(s"$uri/__trash")
+      fs.rename(f.path, s"$uri/__trash/${f.name}")
+    }
+  }
+
+  // -------------------------------------------------------------- reads
+
+  /** Resolve the array to a DataFrame: fragment list -> timestamp filter
+    * (time travel) -> MBR prune -> multi-path parquet scan -> shadowing
+    * dedup -> delete tombstones -> enum decode.
+    *
+    * @param at      inclusive (start, end) open-timestamp range
+    * @param ranges  per-dim inclusive bounds used for fragment MBR
+    *                pruning AND as pushed row predicates
+    */
+  def read(spark: SparkSession, uri: String,
+      at: Option[(Long, Long)] = None,
+      ranges: Map[String, (Option[Any], Option[Any])] = Map.empty,
+      keepVersionCols: Boolean = false): DataFrame = {
+    val schema = schemaOf(spark, uri)
+    val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
+    val frags0 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+    val frags = frags0.filter(f => mbrIntersects(f, ranges))
+    val dels = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+
+    val base =
+      if (frags.isEmpty) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(schema.sparkSchema.fields :+ StructField(TS, LongType, false)
+            :+ StructField(SEQ, LongType, false)))
+      } else {
+        // group fragments by schema version so each group is one
+        // multi-path scan (not N unions)
+        frags.groupBy(_.schemaVersion).map { case (ver, fs) =>
+          val vSchema = schemaOf(spark, uri, Some(ver))
+          // same (ts,seq) for all paths in a group only if one frag;
+          // otherwise per-frag scan with literal version columns
+          fs.map { f =>
+            val df = spark.read.parquet(s"${f.path}/data")
+            alignColumns(df, schema, vSchema)
+              .withColumn(TS, lit(f.ts)).withColumn(SEQ, lit(f.seq))
+          }.reduce(_ unionByName _)
+        }.reduce(_ unionByName _)
+      }
+
+    val ranged = applyRanges(base, ranges)
+    val deduped =
+      if (schema.allowsDuplicates || frags.size <= 1 || !anyOverlap(frags)) ranged
+      else {
+        val w = Window.partitionBy(schema.dimNames.map(col): _*)
+          .orderBy(col(TS).desc, col(SEQ).desc)
+        ranged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      }
+    val afterDeletes = dels.foldLeft(deduped) { (df, d) =>
+      val c = QueryCondition.compile(d.cond, Some(schema))
+      df.filter(!(c && col(TS) <= lit(d.ts)))
+    }
+    val decoded = decodeEnums(afterDeletes, schema)
+    if (keepVersionCols) decoded else decoded.drop(TS, SEQ)
+  }
+
+  /** Column alignment across schema versions: missing attrs come back as
+    * their fill value (mergeSchema-style evolution). */
+  private def alignColumns(df: DataFrame, target: ArraySchema, fragVer: ArraySchema): DataFrame = {
+    val cols = target.sparkSchema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else {
+        val attr = target.attrs.find(_.name == f.name)
+        val fill = attr.flatMap(_.fill).map(v =>
+          lit(QueryCondition.castFill(v, attr.get.dtype)).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
+        fill.as(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def applyRanges(df: DataFrame,
+      ranges: Map[String, (Option[Any], Option[Any])]): DataFrame = {
+    val preds = ranges.toSeq.flatMap { case (d, (lo, hi)) =>
+      Seq(lo.map(v => col(d) >= lit(v)), hi.map(v => col(d) <= lit(v))).flatten
+    }
+    if (preds.isEmpty) df else df.filter(preds.reduceLeft(_ && _))
+  }
+
+  private def jNum(v: JVal): Option[Double] = v match {
+    case JLong(l) => Some(l.toDouble); case JNum(d) => Some(d); case _ => None
+  }
+
+  private def numOf(a: Any): Option[Double] = a match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** Fragment-level MBR pruning against requested dim ranges (numeric
+    * dims; non-numeric comparisons conservatively keep the fragment). */
+  private def mbrIntersects(f: FragmentInfo,
+      ranges: Map[String, (Option[Any], Option[Any])]): Boolean =
+    ranges.forall { case (d, (lo, hi)) =>
+      f.mbr.get(d) match {
+        case Some((mLo, mHi)) =>
+          val loOk = (lo.flatMap(numOf), jNum(mHi)) match {
+            case (Some(l), Some(mh)) => mh >= l
+            case _ => true
+          }
+          val hiOk = (hi.flatMap(numOf), jNum(mLo)) match {
+            case (Some(h), Some(ml)) => ml <= h
+            case _ => true
+          }
+          loOk && hiOk
+        case None => true
+      }
+    }
+
+  /** Do any two fragments overlap on every dim MBR? If not, shadowing is
+    * impossible and the dedup shuffle is skipped. */
+  private[storage] def anyOverlap(frags: Seq[FragmentInfo]): Boolean = {
+    def overlap(a: FragmentInfo, b: FragmentInfo): Boolean =
+      a.mbr.keys.forall { d =>
+        (a.mbr.get(d), b.mbr.get(d)) match {
+          case (Some((alo, ahi)), Some((blo, bhi))) =>
+            (jNum(alo), jNum(ahi), jNum(blo), jNum(bhi)) match {
+              case (Some(al), Some(ah), Some(bl), Some(bh)) => al <= bh && bl <= ah
+              case _ => true // non-numeric: assume overlap
+            }
+          case _ => true
+        }
+      }
+    frags.combinations(2).exists { case Seq(a, b) => overlap(a, b) }
+  }
+
+  /** Enumeration decode on read via an array-literal lookup — constant-
+    * folded and codegen'd, no join at all (reference decodes via
+    * DictionaryArray, tiledb/multirange_indexing.py:835-840). */
+  private def decodeEnums(df: DataFrame, schema: ArraySchema): DataFrame =
+    schema.attrs.filter(_.enumLabel.isDefined).foldLeft(df) { (acc, a) =>
+      val e = schema.enumeration(a.enumLabel.get)
+      acc.withColumn(a.name, element_at(
+        array(e.values.map(lit): _*), col(a.name).cast(IntegerType) + 1))
+    }
+
+  /** Encode enum-labelled attrs from values to codes before a write. */
+  def encodeEnums(df: DataFrame, schema: ArraySchema): DataFrame =
+    schema.attrs.filter(_.enumLabel.isDefined).foldLeft(df) { (acc, a) =>
+      val e = schema.enumeration(a.enumLabel.get)
+      val m = map(e.values.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i)) }: _*)
+      acc.withColumn(a.name, element_at(m, col(a.name)))
+    }
+
+  /** nonempty_domain from fragment manifests only — no data scan
+    * (reference: tiledb/array.py:687-727). */
+  def nonemptyDomain(spark: SparkSession, uri: String): Map[String, (JVal, JVal)] = {
+    val fs = fragments(spark, uri)
+    if (fs.isEmpty) Map.empty
+    else fs.map(_.mbr).reduce { (a, b) =>
+      a.map { case (d, (alo, ahi)) =>
+        val (blo, bhi) = b(d)
+        val lo = (jNum(alo), jNum(blo)) match {
+          case (Some(x), Some(y)) => if (x <= y) alo else blo
+          case _ => Seq(alo, blo).minBy(_.render)
+        }
+        val hi = (jNum(ahi), jNum(bhi)) match {
+          case (Some(x), Some(y)) => if (x >= y) ahi else bhi
+          case _ => Seq(ahi, bhi).maxBy(_.render)
+        }
+        d -> (lo, hi)
+      }
+    }
+  }
+
+  // -------------------------------------------------------- maintenance
+
+  /** Merge all visible fragments into one, applying shadowing and
+    * (optionally) delete tombstones (reference: tiledb/array.py:729-792
+    * consolidate; purge_deleted_cells). Old fragments move to __trash —
+    * `vacuum` removes them (reference: tiledb/highlevel.py:274-335). */
+  def consolidate(spark: SparkSession, uri: String, purgeDeleted: Boolean = true): FragmentInfo = {
+    val fs = vfs(spark)
+    val old = fragments(spark, uri)
+    require(old.nonEmpty, "nothing to consolidate")
+    val maxTs = old.map(_.ts).max
+    val merged = read(spark, uri).cache()
+    merged.count() // materialize before we move the inputs
+    val info = write(spark, merged, uri, Some(maxTs))
+    merged.unpersist()
+    fs.mkdirs(s"$uri/__trash")
+    old.foreach(f => fs.rename(f.path, s"$uri/__trash/${f.name}"))
+    if (purgeDeleted) deletes(spark, uri).filter(_.ts <= maxTs).foreach { d =>
+      val n = d.path.substring(d.path.lastIndexOf('/') + 1)
+      fs.rename(d.path, s"$uri/__trash/$n")
+    }
+    info
+  }
+
+  def vacuum(spark: SparkSession, uri: String): Unit =
+    vfs(spark).delete(s"$uri/__trash")
+
+  // ----------------------------------------------------------- metadata
+
+  /** Array metadata KV (reference: tiledb/metadata.py:53-263). */
+  def putMeta(spark: SparkSession, uri: String, key: String, value: JVal): Unit = {
+    val fs = vfs(spark)
+    val cur = metaAll(spark, uri)
+    val next = JObj((cur.fields.filterNot(_._1 == key) :+ (key -> value)).sortBy(_._1))
+    fs.writeString(s"$uri/__meta.json", next.render)
+  }
+
+  def getMeta(spark: SparkSession, uri: String, key: String): Option[JVal] =
+    metaAll(spark, uri)(key)
+
+  def deleteMeta(spark: SparkSession, uri: String, key: String): Unit = {
+    val cur = metaAll(spark, uri)
+    vfs(spark).writeString(s"$uri/__meta.json",
+      JObj(cur.fields.filterNot(_._1 == key)).render)
+  }
+
+  def metaAll(spark: SparkSession, uri: String): JObj = {
+    val fs = vfs(spark)
+    val p = s"$uri/__meta.json"
+    if (fs.exists(p)) Json.parse(fs.readString(p)).obj else JObj(Nil)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.storage
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+
+/** Virtual filesystem facade over the Hadoop FileSystem API — the
+  * Spark-native analogue of the reference's VFS abstraction
+  * (reference: tiledb/vfs.py:16-552). `file://`, `hdfs://`, `s3a://`,
+  * `gs://` etc. all come free from Hadoop; no custom backends needed.
+  */
+class VFS(conf: Configuration) {
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  def exists(uri: String): Boolean = { val p = new Path(uri); fs(p).exists(p) }
+  def isDir(uri: String): Boolean = { val p = new Path(uri); val f = fs(p); f.exists(p) && f.getFileStatus(p).isDirectory }
+  def mkdirs(uri: String): Unit = { val p = new Path(uri); fs(p).mkdirs(p) }
+  def delete(uri: String, recursive: Boolean = true): Boolean = { val p = new Path(uri); fs(p).delete(p, recursive) }
+  def rename(from: String, to: String): Boolean = { val p = new Path(from); fs(p).rename(p, new Path(to)) }
+
+  def ls(uri: String): Seq[String] = {
+    val p = new Path(uri)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).map(_.getPath.toString).toSeq.sorted
+  }
+
+  def writeString(uri: String, content: String): Unit = {
+    val p = new Path(uri)
+    val out = fs(p).create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def readString(uri: String): String = {
+    val p = new Path(uri)
+    val in = fs(p).open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  def writeBytes(uri: String, content: Array[Byte]): Unit = {
+    val p = new Path(uri)
+    val out = fs(p).create(p, true)
+    try out.write(content) finally out.close()
+  }
+
+  def readBytes(uri: String): Array[Byte] = {
+    val p = new Path(uri)
+    val in = fs(p).open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  def fileSize(uri: String): Long = { val p = new Path(uri); fs(p).getFileStatus(p).getLen }
+}
+
+object VFS {
+  def apply(spark: org.apache.spark.sql.SparkSession): VFS =
+    new VFS(spark.sparkContext.hadoopConfiguration)
+  lazy val local: VFS = new VFS(new Configuration())
+}

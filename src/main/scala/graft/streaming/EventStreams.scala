@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference has no streaming at all
+  * (SURVEY §2.12) — this is a scale extension: continuous ingestion of
+  * an events stream into windowed aggregates and sessionization, the
+  * patterns a training-data pipeline needs for telemetry/log tables.
+  */
+object EventStreams {
+
+  /** File-source stream over a directory of parquet event files. */
+  def readEvents(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts and sums per event type with a watermark for
+    * state cleanup / late-data bounds. */
+  def windowedAgg(events: DataFrame, watermark: String = "1 hour",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** The same aggregation as a batch query — used for oracle checks and
+    * as the backfill path (identical semantics batch/stream is the
+    * point of Structured Streaming). */
+  def windowedAggBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double,
+      closed: Boolean)
+
+  /** Per-user sessionization with processing-time timeout — custom state
+    * via mapGroupsWithState. */
+  def sessionize(events: Dataset[Event], timeoutMs: Long = 30000): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+        case (uid, evs, state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            SessionUpdate(uid, n, v, closed = true)
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+            var n = n0; var v = v0
+            evs.foreach { e => n += 1; v += e.value }
+            state.update((n, v))
+            state.setTimeoutDuration(timeoutMs)
+            SessionUpdate(uid, n, v, closed = false)
+          }
+      }
+  }
+}
