@@ -1,24 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Benchmark main: runs the declared query surface on
+  * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query wall-clock
+  * seconds. One warm-up pass (JIT + page cache + array fixtures), then
+  * the measured pass. Also times the fragment-write path (`ingest`),
+  * mirroring the reference's DenseWrite workload (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warm-up (builds array fixtures, JIT, parquet footer cache)
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench/warm] $n: ${e.getMessage}") }
+    }
+    val results = names.map { n =>
+      val sec = try time(SparkEntry.queries(n)(spark, sfDir).count())
+        catch { case _: Throwable => -1.0 }
+      n -> sec
+    }
+    // fragment-ingest benchmark: write sf lineitem as a fresh array-table
+    val ingestDir = s"/root/repo/target/graft-arrays/bench_ingest_${System.nanoTime()}"
+    val ingestSec = time {
+      graft.storage.ArrayTable.ingest(spark,
+        spark.read.parquet(s"$sfDir/lineitem.parquet"), ingestDir,
+        Seq("l_orderkey", "l_linenumber"), overwrite = true)
+    }
+    graft.storage.VFS(spark).delete(ingestDir)
+
+    val all = results :+ ("ingest_lineitem" -> ingestSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,398 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.query.{Aggregates, MultiIndex, QueryCondition}
+import graft.query.MultiIndex.{Points, RangeIncl, Ranges}
+import graft.storage.ArrayTable
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Driver contract: the declared operator surface (SURVEY.md §2/§7.4).
+  * Every key returns a DataFrame over the parquet tables in `dir`; keys
+  * present in `oracleSql` are checked hash-exact against DuckDB on the
+  * same tables.
+  *
+  * Double-typed aggregates route through exact DECIMAL sums cast back to
+  * double on BOTH engines, so results are bit-deterministic regardless
+  * of partitioning / accumulation order — a requirement for hash
+  * comparison at any scale, and the honest way to aggregate money-typed
+  * columns anyway.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events with ns-precision ts normalized to a microsecond timestamp
+    * (Spark reads TIMESTAMP(NANOS) parquet only as long via
+    * spark.sql.legacy.parquet.nanosAsLong — set in GraftSession). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case _ => raw
+    }
+  }
+
+  /** order-insensitive exact sum of a money-like double: decimal in,
+    * double out */
+  private def dsum(c: Column, name: String, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(25, scale))).cast(DoubleType).as(name)
+
+  // ------------------------------------------------------ array builders
+
+  private val arrayBase = "/root/repo/target/graft-arrays"
+  private def sfKey(dir: String) = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Build-once array-table fixtures derived deterministically from the
+    * sf tables; built atomically (tmp + rename). */
+  private def ensureArray(s: SparkSession, dir: String, name: String)
+      (build: String => Unit): String = synchronized {
+    val uri = s"$arrayBase/${sfKey(dir)}/$name"
+    if (!ArrayTable.exists(s, uri)) {
+      val fs = graft.storage.VFS(s)
+      val tmp = uri + ".tmp"
+      fs.delete(tmp)
+      build(tmp)
+      fs.delete(uri)
+      fs.mkdirs(s"$arrayBase/${sfKey(dir)}")
+      fs.rename(tmp, uri)
+    }
+    uri
+  }
+
+  private val shipCut = "1998-01-01 00:00:00"
+
+  /** two-fragment lineitem array: ts=1000 (shipdate < 1995), ts=2000 (rest) */
+  private def ttLineitem(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "tt_lineitem") { tmp =>
+      val li = t(s, dir, "lineitem")
+      // NTZ literal: l_shipdate reads as TimestampNTZ (naive ms parquet)
+      val cut = lit(java.time.LocalDateTime.parse(shipCut.replace(' ', 'T')))
+      // synthetic lineitem is not unique on (orderkey, linenumber):
+      // allows_duplicates keeps coordinate-duplicate cells (reference:
+      // tiledb/array_schema.py:210-218)
+      ArrayTable.ingest(s, li.filter(col("l_shipdate") < cut), tmp,
+        Seq("l_orderkey", "l_linenumber"), tsOpt = Some(1000L), overwrite = true,
+        allowsDuplicates = true)
+      ArrayTable.write(s, li.filter(col("l_shipdate") >= cut), tmp, Some(2000L))
+    }
+
+  /** orders array with a conditional-delete tombstone at ts=1500 */
+  private def delOrders(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "del_orders") { tmp =>
+      ArrayTable.ingest(s, t(s, dir, "orders"), tmp, Seq("o_orderkey"),
+        tsOpt = Some(1000L), overwrite = true)
+      ArrayTable.delete(s, tmp, "o_orderstatus == 'F'", Some(1500L))
+    }
+
+  /** orders array where a second fragment (ts=2000) shadows every 10th
+    * order with o_totalprice = 0.0 */
+  private def upsertOrders(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "upsert_orders") { tmp =>
+      val o = t(s, dir, "orders")
+      ArrayTable.ingest(s, o, tmp, Seq("o_orderkey"), tsOpt = Some(1000L), overwrite = true)
+      ArrayTable.write(s,
+        o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
+        tmp, Some(2000L))
+    }
+
+  // --------------------------------------------------------------- entry
+
+  /** Flagship: range slice + condition + exact aggregate on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("agg_slice_cond")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- queries
+
+  private def maybePrice(df: DataFrame): DataFrame =
+    df.withColumn("maybe_price",
+      when(col("l_discount") > 0.05, lit(null)).otherwise(col("l_extendedprice")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / slicing / point lookup (SURVEY §2.2) ---
+    "scan_full" -> ((s, d) => t(s, d, "lineitem")),
+    "slice_range" -> ((s, d) => MultiIndex(t(s, d, "lineitem"), Map(
+      "l_orderkey" -> RangeIncl(Some(1000L), Some(2000L)),
+      "l_linenumber" -> RangeIncl(Some(1), Some(3))))),
+    "multi_index_points" -> ((s, d) => MultiIndex(t(s, d, "lineitem"), Map(
+      "l_orderkey" -> Points(Seq(42L, 77L, 1001L, 1500L, 2222L, 3000L, 4999L))))),
+    "multi_index_ranges" -> ((s, d) => MultiIndex(t(s, d, "lineitem"), Map(
+      "l_orderkey" -> Ranges(Seq(
+        RangeIncl(Some(1L), Some(100L)),
+        RangeIncl(Some(5000L), Some(5100L)),
+        RangeIncl(Some(9000L), Some(9500L))))))),
+    "proj_attrs" -> ((s, d) => t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")),
+
+    // --- query-condition grammar (SURVEY §2.4) ---
+    "qc_compare" -> ((s, d) => t(s, d, "lineitem")
+      .filter(QueryCondition.compile("l_quantity < 24.0"))),
+    "qc_and_or" -> ((s, d) => t(s, d, "lineitem")
+      .filter(QueryCondition.compile(
+        "(l_quantity < 10.0 or l_quantity > 45.0) and l_discount > 0.05"))),
+    "qc_in" -> ((s, d) => t(s, d, "lineitem")
+      .filter(QueryCondition.compile("l_returnflag in ['A', 'R']"))),
+    "qc_not" -> ((s, d) => t(s, d, "lineitem")
+      .filter(QueryCondition.compile("not (l_linestatus == 'O')"))),
+    "qc_chain" -> ((s, d) => t(s, d, "lineitem")
+      .filter(QueryCondition.compile("5.0 < l_quantity <= 10.0"))),
+    "qc_null" -> ((s, d) => maybePrice(t(s, d, "lineitem"))
+      .filter(QueryCondition.compile("maybe_price == None"))
+      .select("l_orderkey", "l_linenumber", "maybe_price")),
+    "qc_dense_fill" -> ((s, d) => {
+      // dense semantics: shape kept, non-matching attrs -> fill
+      val df = t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val schema = ArraySchema(
+        dims = Seq(Dim("l_orderkey", "int64"), Dim("l_linenumber", "int32")),
+        attrs = Seq(Attr("l_quantity", "float64", fill = Some("-1"))))
+      QueryCondition.denseApply(df, "l_quantity < 24.0", schema)
+    }),
+
+    // --- aggregates (SURVEY §2.5) ---
+    "agg_sum" -> ((s, d) => Aggregates.agg(t(s, d, "lineitem"),
+      Map("l_orderkey" -> Seq("sum")))),
+    "agg_sum_price" -> ((s, d) => t(s, d, "lineitem")
+      .agg(dsum(col("l_extendedprice"), "sum_price"))),
+    "agg_min_max" -> ((s, d) => Aggregates.agg(t(s, d, "lineitem"),
+      Map("l_extendedprice" -> Seq("min", "max")))),
+    "agg_mean" -> ((s, d) => t(s, d, "lineitem").agg(
+      (sum(col("l_quantity").cast(DecimalType(25, 2))).cast(DoubleType) / count(lit(1)))
+        .as("mean_qty"))),
+    "agg_count" -> ((s, d) => Aggregates.agg(t(s, d, "lineitem"),
+      Map("l_orderkey" -> Seq("count")))),
+    "agg_null_count" -> ((s, d) => Aggregates.agg(maybePrice(t(s, d, "lineitem")),
+      Map("maybe_price" -> Seq("null_count")))),
+    "agg_slice_cond" -> ((s, d) => {
+      val sliced = MultiIndex(t(s, d, "lineitem"),
+        Map("l_orderkey" -> RangeIncl(Some(500L), Some(4500L))))
+      sliced.filter(QueryCondition.compile("l_quantity < 24.0"))
+        .agg(dsum(col("l_extendedprice"), "sum_price"), count(lit(1)).as("n"))
+    }),
+    "nonempty_domain" -> ((s, d) => MultiIndex.nonemptyDomain(
+      t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"))),
+    "unique_dim_values" -> ((s, d) => MultiIndex.uniqueDimValues(
+      t(s, d, "lineitem"), "l_orderkey")),
+
+    // --- enumeration decode = dictionary join (SURVEY §1.2) ---
+    "enum_decode" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name").as("c_nation"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select("c_custkey", "c_nation")
+    }),
+
+    // --- dense fill-value completion (SURVEY §7.3.1) ---
+    "dense_fill" -> ((s, d) => {
+      val grid = s.range(1, 2001).select(col("id").as("coord"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      grid.join(o, grid("coord") === o("o_orderkey"), "left")
+        .select(col("coord"), coalesce(col("o_totalprice"), lit(0.0)).as("val"))
+    }),
+
+    // --- MVCC: time travel / deletes / shadowing (SURVEY §1.3, §2.6) ---
+    "time_travel" -> ((s, d) =>
+      ArrayTable.read(s, ttLineitem(s, d), at = Some((0L, 1500L)))),
+    "delete_cond" -> ((s, d) => ArrayTable.read(s, delOrders(s, d))),
+    "upsert_shadow" -> ((s, d) => ArrayTable.read(s, upsertOrders(s, d))),
+    "array_roundtrip" -> ((s, d) =>
+      // full write -> read fidelity through the fragment format
+      ArrayTable.read(s, ttLineitem(s, d))),
+
+    // --- joins / group-by / top-k (scale extensions) ---
+    "group_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity"), "sum_qty"),
+        dsum(col("l_extendedprice"), "sum_price"),
+        count(lit(1)).as("n"))),
+    "join_agg" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice"), "revenue"), count(lit(1)).as("n"))
+    }),
+    "topk_orders" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 10)
+    }),
+
+    // --- dedup (scale extensions) ---
+    "dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exact(doubled, Seq("text"), "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+    "dedup_exact_hash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exactByHash(doubled, "text", "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+    "minhash_neardups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // plant near-dups: copies with a tiny suffix edit
+      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      Dedup.minhashNearDups(docs.unionByName(edited), "doc_id", "text", threshold = 0.6)
+    }),
+    "simhash_neardups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" x")))
+      Dedup.simhashNearDups(docs.unionByName(edited), "doc_id", "text", maxHamming = 3)
+    }),
+    "embedding_neardups" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val jittered = e.withColumn("vec_id", col("vec_id") + 1000000)
+      Dedup.embeddingNearDups(e.unionByName(jittered), "vec_id", "embedding",
+        minCosine = 0.999)
+    }),
+
+    // --- similarity search (scale extensions) ---
+    "knn_brute" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+    }),
+    "knn_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nCentroids = 16, nprobe = 4)
+    }),
+
+    // --- text analysis (scale extensions) ---
+    "text_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "text_quality" -> ((s, d) => {
+      val txt = col("text")
+      val len = length(txt).cast(DoubleType)
+      t(s, d, "documents").select(col("doc_id"),
+        length(txt).cast(LongType).as("len"),
+        round(length(regexp_replace(txt, "[^A-Za-z ]", "")).cast(DoubleType)
+          / greatest(len, lit(1.0)), 6).as("alpha_ratio"),
+        round(length(regexp_replace(txt, "[^.,;:!?'\"]", "")).cast(DoubleType)
+          / greatest(len, lit(1.0)), 6).as("punct_ratio"))
+    }),
+    "text_langid" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))),
+    "text_minhash_sig" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("rolling_fp"))),
+
+    // --- events: windowed aggregation (streaming-equivalent batch) ---
+    "ev_window_agg" -> ((s, d) => events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("total_value"))
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), col("n"), col("total_value"))),
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  private val maybePriceSql =
+    "CASE WHEN l_discount > 0.05 THEN NULL ELSE l_extendedprice END"
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_full" -> "SELECT * FROM lineitem",
+    "slice_range" -> ("SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
+      "AND l_linenumber BETWEEN 1 AND 3"),
+    "multi_index_points" ->
+      "SELECT * FROM lineitem WHERE l_orderkey IN (42, 77, 1001, 1500, 2222, 3000, 4999)",
+    "multi_index_ranges" -> ("SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1 AND 100 " +
+      "OR l_orderkey BETWEEN 5000 AND 5100 OR l_orderkey BETWEEN 9000 AND 9500"),
+    "proj_attrs" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem",
+
+    "qc_compare" -> "SELECT * FROM lineitem WHERE l_quantity < 24.0",
+    "qc_and_or" -> ("SELECT * FROM lineitem WHERE (l_quantity < 10.0 OR l_quantity > 45.0) " +
+      "AND l_discount > 0.05"),
+    "qc_in" -> "SELECT * FROM lineitem WHERE l_returnflag IN ('A', 'R')",
+    "qc_not" -> "SELECT * FROM lineitem WHERE NOT (l_linestatus = 'O')",
+    "qc_chain" -> "SELECT * FROM lineitem WHERE l_quantity > 5.0 AND l_quantity <= 10.0",
+    "qc_null" -> (s"SELECT l_orderkey, l_linenumber, $maybePriceSql AS maybe_price " +
+      s"FROM lineitem WHERE ($maybePriceSql) IS NULL"),
+    "qc_dense_fill" -> ("SELECT l_orderkey, l_linenumber, " +
+      "CASE WHEN l_quantity < 24.0 THEN l_quantity ELSE -1.0 END AS l_quantity FROM lineitem"),
+
+    "agg_sum" -> "SELECT CAST(sum(l_orderkey) AS BIGINT) AS l_orderkey_sum FROM lineitem",
+    "agg_sum_price" -> ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) " +
+      "AS sum_price FROM lineitem"),
+    "agg_min_max" -> ("SELECT CAST(min(l_extendedprice) AS DOUBLE) AS l_extendedprice_min, " +
+      "CAST(max(l_extendedprice) AS DOUBLE) AS l_extendedprice_max FROM lineitem"),
+    "agg_mean" -> ("SELECT CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) / count(*) " +
+      "AS mean_qty FROM lineitem"),
+    "agg_count" -> "SELECT count(*) AS l_orderkey_count FROM lineitem",
+    "agg_null_count" -> (s"SELECT CAST(sum(CASE WHEN ($maybePriceSql) IS NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS maybe_price_null_count FROM lineitem"),
+    "agg_slice_cond" -> ("SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) " +
+      "AS sum_price, count(*) AS n FROM lineitem " +
+      "WHERE l_orderkey BETWEEN 500 AND 4500 AND l_quantity < 24.0"),
+    "nonempty_domain" -> ("SELECT min(l_orderkey) AS l_orderkey_min, " +
+      "max(l_orderkey) AS l_orderkey_max, min(l_linenumber) AS l_linenumber_min, " +
+      "max(l_linenumber) AS l_linenumber_max FROM lineitem"),
+    "unique_dim_values" -> "SELECT DISTINCT l_orderkey FROM lineitem",
+
+    "enum_decode" -> ("SELECT c_custkey, n_name AS c_nation FROM customer " +
+      "JOIN nation ON c_nationkey = n_nationkey"),
+    "dense_fill" -> ("SELECT CAST(t.coord AS BIGINT) AS coord, " +
+      "coalesce(o.o_totalprice, 0.0) AS val FROM range(1, 2001) t(coord) " +
+      "LEFT JOIN orders o ON o.o_orderkey = t.coord"),
+
+    "time_travel" -> s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut'",
+    "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
+    "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders"),
+    "array_roundtrip" -> "SELECT * FROM lineitem",
+
+    "group_agg" -> ("SELECT l_returnflag, l_linestatus, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price, " +
+      "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "join_agg" -> ("SELECT o_orderpriority, " +
+      "CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS revenue, " +
+      "count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderpriority"),
+    "topk_orders" -> ("SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_orderpriority " +
+      "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) WHERE rank <= 10"),
+
+    "dedup_exact" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "dedup_exact_hash" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "text_tokens" -> ("SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
+      "FROM documents"),
+    "text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS len, " +
+      "round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) " +
+      "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +
+      "round(CAST(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g')) AS DOUBLE) " +
+      "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
+    "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+
+    "ev_window_agg" -> ("SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) " +
+      "AS TIMESTAMP) AS window_start, event_type, count(*) AS n, " +
+      "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +
+      "FROM events GROUP BY 1, 2"),
+    // rows-only checks (non-SQL-expressible or approximate):
+    //   minhash_neardups, simhash_neardups, embedding_neardups, knn_brute,
+    //   knn_ivf, text_langid, text_minhash_sig
+  )
 }

@@ -40,6 +40,8 @@ object Dtypes {
     "datetime[ms]" -> TimestampType,
     "datetime[us]" -> TimestampType,
     "datetime[ns]" -> TimestampType, // truncated to us by Spark
+    // timezone-naive wall-clock timestamps (parquet isAdjustedToUTC=false)
+    "datetime_ntz[us]" -> TimestampNTZType,
     // coarser / finer units carried as epoch counts in that unit
     "datetime[Y]"  -> LongType, "datetime[M]" -> LongType,
     "datetime[W]"  -> LongType, "datetime[D]" -> DateType,
@@ -64,6 +66,7 @@ object Dtypes {
     case StringType    => "utf8"
     case BinaryType    => "blob"
     case TimestampType => "datetime[us]"
+    case TimestampNTZType => "datetime_ntz[us]"
     case DateType      => "datetime[D]"
     case _: DayTimeIntervalType => "timedelta[us]"
     case ArrayType(e, _) => s"array[${fromSpark(e)}]"

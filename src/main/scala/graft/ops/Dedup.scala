@@ -108,9 +108,13 @@ object Dedup {
       array_repeat(lit(0), 64),
       (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
         (a, b) => a + when(getbit(h, b.cast("long")) === 1, 1).otherwise(-1)))
-    // pack sign bits MSB-first: acc*2 + bit (exact 64-bit, wraps on bit 63)
-    aggregate(reverse(bitSums), lit(0L),
-      (acc, s) => acc * 2L + when(s > 0, 1L).otherwise(0L))
+    // pack sign bits as two 32-bit halves joined bitwise — ANSI-safe
+    // (a single acc*2 fold would overflow at bit 63 under ANSI mode)
+    def pack(bits: Column): Column = // bits MSB-first, <= 32 of them
+      aggregate(bits, lit(0L), (acc, s) => acc * 2L + when(s > 0, 1L).otherwise(0L))
+    val hi = pack(reverse(slice(bitSums, 33, 32)))
+    val lo = pack(reverse(slice(bitSums, 1, 32)))
+    shiftleft(hi, 32).bitwiseOR(lo)
   }
 
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -152,9 +152,10 @@ object ArrayTable {
     * cover csv/parquet/json fronting). */
   def ingest(spark: SparkSession, df: DataFrame, uri: String, dimCols: Seq[String],
       sparse: Boolean = true, tsOpt: Option[Long] = None,
-      overwrite: Boolean = false): FragmentInfo = {
+      overwrite: Boolean = false, allowsDuplicates: Boolean = false): FragmentInfo = {
     if (overwrite || !exists(spark, uri))
-      create(spark, uri, ArraySchema.infer(df.schema, dimCols, sparse), overwrite = true)
+      create(spark, uri, ArraySchema.infer(df.schema, dimCols, sparse)
+        .copy(allowsDuplicates = allowsDuplicates && sparse), overwrite = true)
     write(spark, df, uri, tsOpt)
   }
 
@@ -177,6 +178,8 @@ object ArrayTable {
     case t: java.sql.Timestamp => JLong(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
     case d: java.sql.Date => JStr(d.toString)
     case i: java.time.Instant => JLong(i.getEpochSecond * 1000000L + i.getNano / 1000)
+    case l: java.time.LocalDateTime =>
+      JLong(l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000)
     case s: String => JStr(s)
     case b: Boolean => JBool(b)
     case other => JStr(other.toString)
