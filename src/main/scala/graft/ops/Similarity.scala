@@ -58,7 +58,7 @@ object Similarity {
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("__rank").as("rank"))
+        col("__rank").cast("long").as("rank"))
   }
 
   /** Deterministic IVF coarse quantizer: centroids = hash-sampled corpus
@@ -105,6 +105,6 @@ object Similarity {
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("__rank").as("rank"))
+        col("__rank").cast("long").as("rank"))
   }
 }

@@ -84,7 +84,9 @@ object MultiIndex {
 
   def denseSlicePred(c: Column, s: DenseSlice, domain: (Long, Long)): Column = {
     val (dLo, dHi) = domain
-    def wrap(v: Long): Long = if (v < 0) v + (dHi - dLo + 1) else v
+    // negative indices wrap against hi+1 (numpy-style; reference:
+    // tiledb/array.py:237-239): domain (1,100), start -10 -> 91
+    def wrap(v: Long): Long = if (v < 0) v + dHi + 1 else v
     val lo = s.start.map(wrap).getOrElse(dLo).max(dLo)
     val hiExcl = s.stop.map(wrap).getOrElse(dHi + 1).min(dHi + 1)
     val base = c >= lit(lo) && c < lit(hiExcl)

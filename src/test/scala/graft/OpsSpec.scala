@@ -1,0 +1,135 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- text ---
+
+  test("tokenCount: whitespace, blank, and multi-space handling") {
+    val df = Seq("one two three", "", "   ", " padded  words ").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n"))
+    assert(df.as[Long].collect().toSeq == Seq(3L, 0L, 0L, 2L))
+  }
+
+  test("charShingles and wordNgrams") {
+    val sh = Seq("abcdef").toDF("t")
+      .select(TextAnalysis.charShingles($"t", 3).as("s")).as[Seq[String]].collect()(0)
+    assert(sh.toSet == Set("abc", "bcd", "cde", "def"))
+    val ng = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.wordNgrams($"t", 2).as("g")).as[Seq[String]].collect()(0)
+    assert(ng.toSet == Set("a b", "b c", "c d"))
+    // short text falls back to single element
+    val short = Seq("ab").toDF("t")
+      .select(TextAnalysis.charShingles($"t", 5).as("s")).as[Seq[String]].collect()(0)
+    assert(short == Seq("ab"))
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat and the dog was in the house",
+      "el perro y la casa de los gatos es una maravilla por aqui",
+      "zzz qqq xxx").toDF("t")
+      .select(TextAnalysis.langId($"t").as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("quality score in [0,1], garbage scores lower than prose") {
+    val scores = Seq(
+      "The quick brown fox jumps over the lazy dog and runs far away today.",
+      "!!!###$$$ ???***").toDF("t")
+      .select(TextAnalysis.qualityScore($"t").as("q")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint is stable under whitespace normalization") {
+    val fps = Seq("hello   world foo", "hello world    foo").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("f")).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  // --- dedup ---
+
+  test("exact dedup keeps the min-id row per key") {
+    val df = Seq((3L, "x", "c"), (1L, "x", "a"), (2L, "y", "b")).toDF("id", "k", "p")
+    val got = Dedup.exact(df, Seq("k"), "id").orderBy("k")
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"), r.getAs[String]("p")))
+    assert(got.toSeq == Seq(("x", 1L, "a"), ("y", 2L, "b")))
+    val byHash = Dedup.exactByHash(df.withColumnRenamed("k", "text"), "text", "id")
+    assert(byHash.count() == 2)
+  }
+
+  test("minhash signature similarity tracks jaccard; LSH finds near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the field"
+    val near = base + " tail"
+    val far = "completely different content about spark catalyst optimizer internals"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = Dedup.minhashNearDups(df, "id", "text", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical -> distance 0; near texts -> small distance") {
+    val df = Seq(
+      ("aaa", "the quick brown fox jumps over the lazy dog"),
+      ("bbb", "the quick brown fox jumps over the lazy dog"),
+      ("ccc", "spark catalyst tungsten shuffle partitions broadcast")).toDF("id", "t")
+      .select($"id", Dedup.simhash($"t").as("h"))
+    val m = df.as[(String, Long)].collect().toMap
+    assert(m("aaa") == m("bbb"))
+    assert(java.lang.Long.bitCount(m("aaa") ^ m("ccc")) > 10)
+  }
+
+  test("ngram jaccard on explicit pairs") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q")).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val got = Dedup.ngramJaccard(df, "id", "text", pairs, n = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) > 0.5)
+    assert(got((1L, 3L)) == 0.0)
+  }
+
+  // --- similarity ---
+
+  test("cosine and dot products") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(math.abs(df(1)) < 1e-12)
+  }
+
+  test("brute-force top-k: self is rank 1; ranks are 1..k") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 3 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      df.filter($"vec_id" < 3), "vec_id", "embedding", k = 5)
+    val byQ = res.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 3)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.head.getAs[Long]("neighbor_id") == q) // self most similar
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+    }
+  }
+
+  test("IVF top-k recall≥0.6 of brute force at nprobe=4/16") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding").cache()
+    val queries = df.filter($"vec_id" < 5)
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10))
+    val ivf = pairs(Similarity.ivfTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 4))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.query.QueryCondition
+import graft.query.QueryCondition._
+import graft.core.{ArraySchema, Attr, Dim}
+
+class QueryConditionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, 10.0, "A", Some(5.0)),
+    (2L, 20.0, "B", None),
+    (3L, 30.0, "A", Some(7.0)),
+    (4L, 40.0, "C", None),
+  ).toDF("k", "v", "flag", "opt")
+
+  private def keys(cond: String): Set[Long] =
+    df.filter(QueryCondition.compile(cond)).select("k").as[Long].collect().toSet
+
+  test("comparisons, all six operators") {
+    assert(keys("v < 25.0") == Set(1L, 2L))
+    assert(keys("v <= 20.0") == Set(1L, 2L))
+    assert(keys("v > 25.0") == Set(3L, 4L))
+    assert(keys("v >= 30.0") == Set(3L, 4L))
+    assert(keys("v == 20.0") == Set(2L))
+    assert(keys("v != 20.0") == Set(1L, 3L, 4L))
+  }
+
+  test("constant-side reversal: 25.0 > v means v < 25.0") {
+    assert(keys("25.0 > v") == Set(1L, 2L))
+    assert(keys("25.0 <= v") == Set(3L, 4L))
+  }
+
+  test("and/or with python and bitwise spellings; and binds tighter") {
+    assert(keys("v < 25.0 and flag == 'A'") == Set(1L))
+    assert(keys("v < 25.0 & flag == 'A'") == Set(1L))
+    assert(keys("v < 15.0 or flag == 'C'") == Set(1L, 4L))
+    assert(keys("v < 15.0 | flag == 'C'") == Set(1L, 4L))
+    // a or b and c == a or (b and c)
+    assert(keys("flag == 'C' or v < 25.0 and flag == 'A'") == Set(1L, 4L))
+  }
+
+  test("not") {
+    assert(keys("not (flag == 'A')") == Set(2L, 4L))
+    assert(keys("not v < 25.0") == Set(3L, 4L))
+  }
+
+  test("membership in / not in, list and tuple spellings") {
+    assert(keys("flag in ['A', 'B']") == Set(1L, 2L, 3L))
+    assert(keys("flag in ('A', 'B')") == Set(1L, 2L, 3L))
+    assert(keys("flag not in ['A']") == Set(2L, 4L))
+    assert(keys("k in [1, 3]") == Set(1L, 3L))
+  }
+
+  test("chained comparison expands to AND") {
+    assert(keys("15.0 < v <= 30.0") == Set(2L, 3L))
+  }
+
+  test("attr()/dim()/val() escapes") {
+    assert(keys("attr('v') < 25.0") == Set(1L, 2L))
+    assert(keys("dim(\"k\") == 3") == Set(3L))
+    assert(keys("v < val(25.0)") == Set(1L, 2L))
+  }
+
+  test("None comparison is a null test") {
+    assert(keys("opt == None") == Set(2L, 4L))
+    assert(keys("opt != None") == Set(1L, 3L))
+  }
+
+  test("schema validation rejects unknown columns") {
+    val schema = ArraySchema(Seq(Dim("k", "int64")), Seq(Attr("v", "float64")))
+    assertThrows[IllegalArgumentException] {
+      QueryCondition.compile("nope < 3", Some(schema))
+    }
+    QueryCondition.compile("v < 3.0 and k == 1", Some(schema)) // ok
+  }
+
+  test("parse errors are reported") {
+    assertThrows[IllegalArgumentException] { QueryCondition.parse("v <") }
+    assertThrows[IllegalArgumentException] { QueryCondition.parse("") }
+  }
+
+  test("dense semantics: non-matching cells become fill values") {
+    val schema = ArraySchema(Seq(Dim("k", "int64")),
+      Seq(Attr("v", "float64", fill = Some("-1"))))
+    val out = QueryCondition.denseApply(df.select("k", "v"), "v < 25.0", schema)
+    val got = out.as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> -1.0, 4L -> -1.0))
+  }
+}

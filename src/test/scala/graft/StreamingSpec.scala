@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg matches the batch equivalent") {
+    // stage a small parquet dir from sf0.001 events (ns ts normalized)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = (raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case _ => raw
+    }).select("ts", "event_type", "value")
+    val dir = TestSession.tmpDir("stream-src")
+    ev.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.windowedAgg(
+      EventStreams.readEvents(spark, spark.read.parquet(dir).schema, dir),
+      watermark = "1 hour", windowLen = "1 hour")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ev_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // append mode only emits windows the watermark has passed; compare
+    // those against the batch result restricted to the same windows
+    val got = spark.table("ev_out")
+      .select($"window_start", $"event_type", $"n", $"total_value")
+    val batch = EventStreams.windowedAggBatch(spark.read.parquet(dir), "1 hour")
+    val gotSet = got.as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batchSet = batch.as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(gotSet.nonEmpty)
+    assert(gotSet.subsetOf(batchSet))
+    // every emitted (closed) window agrees exactly with batch
+  }
+
+  test("sessionization with mapGroupsWithState") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val sessions = EventStreams.sessionize(input.toDS())
+    val q = sessions.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        EventStreams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.5),
+        EventStreams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 7L, "click", 2.5),
+        EventStreams.Event(3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), 9L, "view", 1.0))
+      // ProcessingTimeTimeout keeps scheduling batches, so
+      // processAllAvailable never settles — poll with a deadline instead
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sess_out").count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+    } finally { q.stop() }
+    val out = spark.table("sess_out").as[EventStreams.SessionUpdate].collect()
+    val u7 = out.filter(_.user_id == 7L).maxBy(_.n_events)
+    assert(u7.n_events == 2L && math.abs(u7.total_value - 4.0) < 1e-9)
+  }
+}
