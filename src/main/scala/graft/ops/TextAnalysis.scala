@@ -22,23 +22,30 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Bind `c` to a lambda variable so downstream references evaluate it
+    * ONCE per row. Without this, an expression referenced inside a
+    * `transform` lambda is re-evaluated per array element (a regex
+    * normalization inside a 200-shingle transform runs 200x). */
+  def once(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
   /** k-char shingle array (distinct) — the unit for MinHash / Jaccard. */
-  def charShingles(text: Column, k: Int = 5): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    when(length(norm) < k, array(norm)).otherwise(
-      array_distinct(transform(
-        sequence(lit(1), length(norm) - (k - 1)),
-        i => norm.substr(i, lit(k)))))
-  }
+  def charShingles(text: Column, k: Int = 5): Column =
+    once(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
+      when(length(norm) < k, array(norm)).otherwise(
+        array_distinct(transform(
+          sequence(lit(1), length(norm) - (k - 1)),
+          i => norm.substr(i, lit(k)))))
+    }
 
   /** word n-gram array (distinct). */
-  def wordNgrams(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def wordNgrams(text: Column, n: Int = 3): Column =
+    once(tokens(text)) { toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
 
   /** Heuristic language ID over a small built-in stopword table: the
     * language whose stopwords hit the most tokens wins; `und` when
