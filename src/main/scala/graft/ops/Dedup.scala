@@ -49,13 +49,9 @@ object Dedup {
     minhashSignatureFromHashes(
       transform(shingleCol, s => xxhash64(s)), numHashes)
 
-  /** MinHash over pre-hashed shingles (array<long>). */
+  /** MinHash over pre-hashed shingles (array<long>) — native kernel. */
   def minhashSignatureFromHashes(hashCol: Column, numHashes: Int = 64): Column =
-    aggregate(
-      hashCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (a, seed) => least(a, xxhash64(h, seed))))
+    graft.functions.MinHashSig(hashCol, numHashes)
 
   /** Candidate pairs from banded LSH over minhash signatures.
     * Returns (idA, idB) with idA < idB, distinct. */
@@ -89,9 +85,9 @@ object Dedup {
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val withSig = df.select(col(idCol), col(textCol))
-      .withColumn("__hs", TextAnalysis.once(
-        TextAnalysis.charShingles(col(textCol), k))(sh =>
-          array_distinct(transform(sh, s => xxhash64(s)))))
+      // native one-pass rolling-hash shingles (no substring churn)
+      .withColumn("__hs", graft.functions.ShingleHashes(
+        lower(regexp_replace(trim(col(textCol)), "\\s+", " ")), k))
       .withColumn("__sig", minhashSignatureFromHashes(col("__hs"), numHashes))
       .drop(textCol)
       .cache()

@@ -98,10 +98,12 @@ object TextAnalysis {
     round((lenScore * 0.25 + alphaScore * 0.35 + punctScore * 0.2 + swScore * 0.2), 6)
   }
 
-  /** Content-defined document fingerprint: min of xxhash64 over char
-    * shingles (winnowing-style); stable under whitespace normalization. */
+  /** Content-defined document fingerprint: min over the one-pass
+    * rolling k-gram hashes (winnowing-style); stable under whitespace
+    * normalization. Uses the native ShingleHashes expression. */
   def fingerprint(text: Column, k: Int = 8): Column =
-    array_min(transform(charShingles(text, k), s => xxhash64(s)))
+    array_min(graft.functions.ShingleHashes(
+      lower(regexp_replace(trim(text), "\\s+", " ")), k))
 
   /** md5 exact-content fingerprint (SQL-portable). */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))

@@ -22,8 +22,10 @@ object Profile {
     time("shingles")(all.select(TextAnalysis.charShingles(col("text"), 5).as("s"))
       .agg(sum(size(col("s")))).collect()(0))
     val withSig = all.select(col("doc_id"), col("text"))
-      .withColumn("__sh", TextAnalysis.charShingles(col("text"), 5))
-      .withColumn("__sig", Dedup.minhashSignature(col("__sh"), 64))
+      .withColumn("__hs", graft.functions.ShingleHashes(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5))
+      .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__hs"), 64))
+      .drop("text")
       .cache()
     time("signatures")(withSig.count())
     val cands = Dedup.lshCandidates(withSig, "doc_id", "__sig", 16)
