@@ -66,6 +66,10 @@ case class ArraySchema(
     capacity: Long = 10000L,          // sparse cells per data tile -> rows per parquet row-group hint
     allowsDuplicates: Boolean = false,
     enums: Seq[Enumeration] = Nil,
+    /** shrinkable/expandable ND-rectangle bounding the writable region
+      * (reference: current_domain, tiledb/array_schema.py:398-416,
+      * tiledb/current_domain.py:8-52, tiledb/ndrectangle.py:9-54) */
+    currentDomain: Option[Map[String, (String, String)]] = None,
     version: Int = 1) {
   require(dims.nonEmpty, "schema needs at least one dimension")
   require(dims.map(_.name).distinct.size == dims.size, "duplicate dim names")
@@ -114,6 +118,9 @@ case class ArraySchema(
     "enums" -> JArr(enums.map(e => JObj(Seq(
       "name" -> JStr(e.name), "ordered" -> JBool(e.ordered),
       "values" -> JArr(e.values.map(JStr)))))),
+    "current_domain" -> currentDomain.map(cd => JObj(cd.toSeq.sortBy(_._1)
+      .map { case (d, (lo, hi)) => d -> JArr(Seq(JStr(lo), JStr(hi))) }))
+      .getOrElse(JNull),
   )).render
 }
 
@@ -143,6 +150,13 @@ object ArraySchema {
         val e = ev.obj
         Enumeration(e("name").get.str, e("values").get.arr.map(_.str), e("ordered").get.bool)
       }).getOrElse(Nil),
+      currentDomain = o("current_domain").flatMap {
+        case cd: JObj => Some(cd.fields.map {
+          case (d, JArr(Seq(lo, hi))) => d -> (lo.str, hi.str)
+          case (d, _) => d -> ("", "")
+        }.toMap)
+        case _ => None
+      },
       version = o("version").get.long.toInt)
   }
 

@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import scala.collection.mutable
+
+/** stats_enable/disable/reset/dump surface (reference: tiledb/stats.py:
+  * 7-148, per-query get_stats tiledb/query.py:297-312) backed by a
+  * QueryExecutionListener — Spark's native metrics stream. */
+object Stats {
+
+  case class QueryStat(name: String, durationNs: Long, error: Option[String])
+
+  private val buf = mutable.ArrayBuffer.empty[QueryStat]
+  @volatile private var listener: Option[QueryExecutionListener] = None
+
+  def enable(spark: SparkSession): Unit = synchronized {
+    if (listener.isEmpty) {
+      val l = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          synchronized { buf += QueryStat(funcName, durationNs, None) }
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+          synchronized { buf += QueryStat(funcName, 0L, Some(e.getMessage)) }
+      }
+      spark.listenerManager.register(l)
+      listener = Some(l)
+    }
+  }
+
+  def disable(spark: SparkSession): Unit = synchronized {
+    listener.foreach(spark.listenerManager.unregister)
+    listener = None
+  }
+
+  def reset(): Unit = synchronized { buf.clear() }
+
+  def collected: Seq[QueryStat] = synchronized { buf.toSeq }
+
+  /** textual dump in the spirit of the reference's stats_dump */
+  def dump(): String = synchronized {
+    val lines = buf.groupBy(_.name).map { case (name, ss) =>
+      val total = ss.map(_.durationNs).sum / 1e9
+      f"  $name%-24s n=${ss.size}%-5d total=$total%.3fs"
+    }
+    s"==== graft query stats (${buf.size} executions) ====\n" + lines.mkString("\n")
+  }
+
+  /** per-DataFrame plan stats (the closest analogue of per-query
+    * get_stats): formatted plan + size/row estimates */
+  def queryStats(df: DataFrame): String = {
+    val plan = df.queryExecution.optimizedPlan
+    s"sizeInBytes=${plan.stats.sizeInBytes} rowCount=${plan.stats.rowCount.getOrElse("n/a")}\n" +
+      df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+}

@@ -122,9 +122,10 @@ object ArrayTable {
       case "unordered" => projected
       case "col-major" =>
         val rev = dims.reverse.map(col)
-        if (dims.size > 1) projected.repartitionByRange(rev: _*).sortWithinPartitions(rev: _*)
-        else projected.repartitionByRange(rev: _*).sortWithinPartitions(rev: _*)
-      case _ => // row-major | hilbert (hilbert falls back to row-major layout)
+        projected.repartitionByRange(rev: _*).sortWithinPartitions(rev: _*)
+      case "hilbert" => hilbertLayout(schema, projected).getOrElse(
+        projected.repartitionByRange(dims.map(col): _*).sortWithinPartitions(dims.map(col): _*))
+      case _ => // row-major
         projected.repartitionByRange(dims.map(col): _*).sortWithinPartitions(dims.map(col): _*)
     }
     val seq = nextSeq(spark, uri)
@@ -142,9 +143,31 @@ object ArrayTable {
       d -> (anyToJ(row.getAs[Any](s"${d}__min")), anyToJ(row.getAs[Any](s"${d}__max")))
     }.toMap
     val info = FragmentInfo(fragDir, name, ts, seq, row.getAs[Long]("__n"), schema.version, mbr)
+    // current_domain enforcement: written MBR must sit inside the
+    // writable rectangle (checked from footer stats — no extra scan)
+    schema.currentDomain.foreach { cd =>
+      cd.foreach { case (d, (loS, hiS)) =>
+        (mbr.get(d), scala.util.Try((loS.toDouble, hiS.toDouble)).toOption) match {
+          case (Some((mLo, mHi)), Some((lo, hi))) =>
+            (jNum(mLo), jNum(mHi)) match {
+              case (Some(a), Some(b)) if a < lo || b > hi =>
+                fs.delete(fragDir)
+                sys.error(s"write outside current_domain on dim $d: [$a,$b] not in [$lo,$hi]")
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    }
     fs.writeString(s"$fragDir/__manifest.json", manifestJson(info))
     info
   }
+
+  /** Expand (never shrink below written data) the current domain —
+    * schema evolution op (reference: tiledb/schema_evolution.py:57-74). */
+  def expandCurrentDomain(spark: SparkSession, uri: String,
+      cd: Map[String, (String, String)]): ArraySchema =
+    evolve(spark, uri)(s => s.copy(currentDomain = Some(cd)))
 
   /** Create-if-missing + write: the `from_*` ingestion family collapses
     * to this (reference: tiledb/highlevel.py:75-150 from_numpy,
@@ -157,6 +180,33 @@ object ArrayTable {
       create(spark, uri, ArraySchema.infer(df.schema, dimCols, sparse)
         .copy(allowsDuplicates = allowsDuplicates && sparse), overwrite = true)
     write(spark, df, uri, tsOpt)
+  }
+
+  /** Hilbert cell order: partition + sort fragments by the Hilbert
+    * index of domain-normalized coordinates, giving multi-dimensional
+    * locality so row-group stats prune on every dim, not just the
+    * leading one. Requires integer dims with declared domains. */
+  private def hilbertLayout(schema: ArraySchema, df: DataFrame): Option[DataFrame] = {
+    val dims = schema.dims
+    val allInt = dims.forall(d => d.domain.isDefined &&
+      (d.dtype.startsWith("int") || d.dtype.startsWith("uint")))
+    if (!allInt || dims.isEmpty) None
+    else {
+      val bits = math.min(20, 63 / dims.size)
+      val coords = dims.map { dm =>
+        val (loS, hiS) = dm.domain.get
+        val lo = loS.toLong
+        val extent = math.max(1L, hiS.toLong - lo)
+        val needed = 64 - java.lang.Long.numberOfLeadingZeros(extent)
+        val shift = math.max(0, needed - bits)
+        shiftright(col(dm.name).cast(LongType) - lit(lo), shift)
+      }
+      val h = graft.functions.HilbertIndex(coords, bits)
+      Some(df.withColumn("__hilbert", h)
+        .repartitionByRange(col("__hilbert"))
+        .sortWithinPartitions(col("__hilbert"))
+        .drop("__hilbert"))
+    }
   }
 
   private def nextSeq(spark: SparkSession, uri: String): Long =

@@ -1,0 +1,77 @@
+package graft
+
+import graft.query.{ArrayQuery, MultiIndex}
+import graft.query.MultiIndex.{Points, RangeIncl}
+import graft.storage.ArrayTable
+
+class ArrayQuerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val uri: String = {
+    val u = TestSession.tmpDir("aq")
+    val df = (1L to 50L).map(i => (i, (i % 5).toInt, i * 2.0, s"s$i")).toDF("x", "y", "v", "s")
+    ArrayTable.ingest(spark, df, u, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    u
+  }
+
+  test("projection: attrs + dims + noCoords") {
+    val q = ArrayQuery(spark, uri).attrs("v")
+    assert(q.df.columns.toSeq == Seq("x", "y", "v"))
+    assert(ArrayQuery(spark, uri).noCoords.attrs("v").df.columns.toSeq == Seq("v"))
+    assert(ArrayQuery(spark, uri).dims("x").attrs("s").df.columns.toSeq == Seq("x", "s"))
+  }
+
+  test("multiIndex + cond compose into one filtered plan") {
+    val q = ArrayQuery(spark, uri)
+      .multiIndex("x" -> RangeIncl(Some(10L), Some(30L)))
+      .cond("v > 30.0")
+    val xs = q.df.select("x").as[Long].collect().sorted
+    assert(xs.toSeq == (16L to 30L))
+    // point-list selection
+    val p = ArrayQuery(spark, uri).multiIndex("x" -> Points(Seq(3L, 7L, 999L)))
+    assert(p.df.count() == 2)
+  }
+
+  test("order C/F/G/U") {
+    val c = ArrayQuery(spark, uri).withOrder("C").df.select("x").as[Long].collect()
+    assert(c.toSeq == c.sorted.toSeq)
+    val f = ArrayQuery(spark, uri).withOrder("F").df.select("y").as[Int].collect()
+    assert(f.toSeq == f.sorted.toSeq)
+    assert(ArrayQuery(spark, uri).withOrder("G").df.count() == 50)
+    assertThrows[IllegalArgumentException] { ArrayQuery(spark, uri).withOrder("Z") }
+  }
+
+  test("agg rides the same plan with slicing + condition") {
+    val r = ArrayQuery(spark, uri)
+      .multiIndex("x" -> RangeIncl(Some(1L), Some(10L)))
+      .cond("y != 0")
+      .agg(Map("v" -> Seq("sum", "count")))
+      .df.collect()(0)
+    // x in 1..10 with x%5 != 0 -> x in {1,2,3,4,6,7,8,9}, v = 2x
+    assert(r.getAs[Double]("v_sum") == 2.0 * (1 + 2 + 3 + 4 + 6 + 7 + 8 + 9))
+    assert(r.getAs[Long]("v_count") == 8L)
+  }
+
+  test("timestamp travel through the builder") {
+    val u2 = TestSession.tmpDir("aq2")
+    ArrayTable.ingest(spark, Seq((1L, 1.0)).toDF("x", "v"), u2, Seq("x"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, Seq((2L, 2.0)).toDF("x", "v"), u2, Some(200L))
+    assert(ArrayQuery(spark, u2).timestamp(0L, 150L).df.count() == 1)
+    assert(ArrayQuery(spark, u2).df.count() == 2)
+  }
+
+  test("estimated result sizes are positive and cover requested columns") {
+    val est = ArrayQuery(spark, uri).attrs("v").estimatedResultSizes()
+    assert(est.keySet == Set("x", "y", "v"))
+    assert(est.values.forall(_ > 0))
+  }
+
+  test("batch iteration (incomplete-query analogue)") {
+    val batches = ArrayQuery(spark, uri).df.let(df =>
+      ArrayQuery(spark, uri).toLocalIterator(batchRows = 16).toSeq)
+    assert(batches.map(_.size).sum == 50)
+    assert(batches.forall(_.size <= 16))
+  }
+
+  private implicit class LetOps[A](a: A) { def let[B](f: A => B): B = f(a) }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{MinHashSig, ShingleHashes}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingle_hashes: one-pass rolling hashes equal per-substring hashing") {
+    val texts = Seq("hello world foo bar", "abc", "", "aa")
+    val got = texts.toDF("t").select(ShingleHashes($"t", 3).as("h"))
+      .as[Seq[Long]].collect()
+    // reference implementation in plain scala
+    def ref(s: String, k: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8")
+      if (b.isEmpty) Nil
+      else if (b.length <= k) Seq(refHashAll(b))
+      else (0 to b.length - k).map(i => refHashAll(b.slice(i, i + k))).distinct.sorted
+    }
+    def refHashAll(b: Array[Byte]): Long = {
+      var h = 0L
+      b.foreach(x => h = h * 0x100000001b3L + (x & 0xFFL))
+      fmix(h)
+    }
+    def fmix(h0: Long): Long = {
+      var h = h0
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33; h
+    }
+    texts.zip(got).foreach { case (t, hs) =>
+      assert(hs.toSeq == ref(t, 3), s"mismatch for '$t'")
+    }
+  }
+
+  test("shingle_hashes survives codegen and null input") {
+    val df = Seq(Some("abcdef"), None).toDF("t")
+      .select(ShingleHashes($"t", 3).as("h"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0).nonEmpty)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("minhash_sig: deterministic, monotone under set inclusion") {
+    val a = Seq(1L, 2L, 3L, 4L, 5L)
+    val b = a ++ Seq(6L, 7L)
+    val df = Seq(a, b).toDF("h").select(MinHashSig($"h", 32).as("sig"))
+    val Array(sa, sb) = df.as[Seq[Long]].collect()
+    assert(sa.size == 32 && sb.size == 32)
+    // adding elements can only lower each lane minimum
+    sa.zip(sb).foreach { case (x, y) => assert(y <= x) }
+    // identical input -> identical signature
+    val again = Seq(a).toDF("h").select(MinHashSig($"h", 32).as("sig"))
+      .as[Seq[Long]].collect()(0)
+    assert(again == sa)
+  }
+
+  test("minhash similarity estimate tracks true jaccard") {
+    val rng = new scala.util.Random(42)
+    val base = Seq.fill(300)(rng.nextLong())
+    val overlap80 = base.take(240) ++ Seq.fill(60)(rng.nextLong())
+    val df = Seq(base, overlap80).toDF("h").select(MinHashSig($"h", 256).as("sig"))
+    val Array(sa, sb) = df.as[Seq[Long]].collect()
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val trueJ = base.toSet.intersect(overlap80.toSet).size.toDouble /
+      base.toSet.union(overlap80.toSet).size
+    assert(math.abs(est - trueJ) < 0.12, s"est $est vs true $trueJ")
+  }
+}
