@@ -82,6 +82,18 @@ object SparkEntry {
       ArrayTable.write(s, li.filter(col("l_shipdate") >= cut), tmp, Some(2000L))
     }
 
+  /** 1-d dense-style orders array (fill 0.0) for dense-read completion */
+  private def denseOrders(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "dense_orders") { tmp =>
+      val schema = ArraySchema(
+        dims = Seq(Dim("o_orderkey", "int64", Some(("1", "2000000")))),
+        attrs = Seq(Attr("o_totalprice", "float64", fill = Some("0"))),
+        sparse = false)
+      ArrayTable.create(s, tmp, schema)
+      ArrayTable.write(s,
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"), tmp, Some(1000L))
+    }
+
   /** orders array with a conditional-delete tombstone at ts=1500 */
   private def delOrders(s: SparkSession, dir: String): String =
     ensureArray(s, dir, "del_orders") { tmp =>
@@ -202,6 +214,29 @@ object SparkEntry {
     "array_roundtrip" -> ((s, d) =>
       // full write -> read fidelity through the fragment format
       ArrayTable.read(s, ttLineitem(s, d))),
+
+    // --- label-based slicing (two-phase resolution, SURVEY §2.2) ---
+    "label_slice" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val labels = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      MultiIndex.labelIndex(li, labels, "o_orderdate", "l_orderkey",
+        RangeIncl(
+          Some(java.time.LocalDateTime.parse("1995-06-01T00:00:00")),
+          Some(java.time.LocalDateTime.parse("1995-12-31T23:59:59"))))
+    }),
+
+    // --- dense-read completion through the array-table ---
+    "dense_read_array" -> ((s, d) =>
+      graft.storage.Dense.read(s, denseOrders(s, d),
+        box = Map("o_orderkey" -> (1L, 2000L)))),
+
+    // --- query builder through the correctness gate ---
+    "agg_builder" -> ((s, d) =>
+      graft.query.ArrayQuery(s, ttLineitem(s, d))
+        .cond("l_quantity < 24.0")
+        .agg(Map("l_extendedprice" -> Seq("min", "max", "count")))
+        .df),
 
     // --- joins / group-by / top-k (scale extensions) ---
     "group_agg" -> ((s, d) => t(s, d, "lineitem")
@@ -353,6 +388,15 @@ object SparkEntry {
       "coalesce(o.o_totalprice, 0.0) AS val FROM range(1, 2001) t(coord) " +
       "LEFT JOIN orders o ON o.o_orderkey = t.coord"),
 
+    "label_slice" -> ("SELECT * FROM lineitem WHERE l_orderkey IN " +
+      "(SELECT o_orderkey FROM orders WHERE o_orderdate BETWEEN " +
+      "TIMESTAMP '1995-06-01 00:00:00' AND TIMESTAMP '1995-12-31 23:59:59')"),
+    "dense_read_array" -> ("SELECT CAST(t.coord AS BIGINT) AS o_orderkey, " +
+      "coalesce(o.o_totalprice, 0.0) AS o_totalprice FROM range(1, 2001) t(coord) " +
+      "LEFT JOIN orders o ON o.o_orderkey = t.coord"),
+    "agg_builder" -> ("SELECT CAST(min(l_extendedprice) AS DOUBLE) AS l_extendedprice_min, " +
+      "CAST(max(l_extendedprice) AS DOUBLE) AS l_extendedprice_max, " +
+      "count(*) AS l_extendedprice_count FROM lineitem WHERE l_quantity < 24.0"),
     "time_travel" -> s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut'",
     "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
     "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +

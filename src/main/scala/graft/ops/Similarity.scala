@@ -61,25 +61,40 @@ object Similarity {
         col("__rank").cast("long").as("rank"))
   }
 
-  /** Deterministic IVF coarse quantizer: centroids = hash-sampled corpus
-    * vectors. Returns (centroid_id, centroid_vec). */
+  /** Deterministic IVF coarse quantizer: centroids = hash-ordered
+    * corpus sample. `orderBy(hash).limit(n)` plans as a distributed
+    * TakeOrderedAndProject (per-partition top-n + driver merge) — no
+    * global sort, unlike a row_number window, so it holds at corpus
+    * scale. Centroid ids are assigned driver-side (n is small by
+    * definition). Returns (centroid_id, centroid_vec). */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int): DataFrame = {
-    val w = Window.orderBy(xxhash64(col(idCol)))
-    corpus.select(col(idCol), col(vecCol))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nCentroids)
-      .select((col("__r") - 1).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    val spark = corpus.sparkSession
+    val sampled = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol))).limit(nCentroids)
+      .select(col(vecCol)).collect()
+    val rows = sampled.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i.toLong, r.get(0)) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("centroid_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        corpus.schema(vecCol).copy(name = "centroid_vec"))))
   }
 
-  /** Assign each vector to its nearest centroid (centroids broadcast). */
-  def assign(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    val cents = centroids.select(col("centroid_id"), col("centroid_vec"))
-    val joined = df.join(broadcast(cents))
+  /** Assign each (id, vec) row to its nearest centroid: broadcast join
+    * + min_by aggregation keyed on the id — one shuffle on the id, no
+    * window sort. */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val joined = df.join(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("centroid_vec")))
-    val w = Window.partitionBy(df.columns.map(col): _*).orderBy(col("__sim").desc, col("centroid_id"))
-    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-      .drop("__sim", "__rk", "centroid_vec")
+    joined.groupBy(col(idCol))
+      .agg(
+        min_by(col("centroid_id"), struct((col("__sim") * -1).as("s"), col("centroid_id")))
+          .as("centroid_id"),
+        first(col(vecCol)).as(vecCol))
   }
 
   /** IVF top-k: probe the `nprobe` closest centroids per query; exact
@@ -91,7 +106,7 @@ object Similarity {
     val cents = sampleCentroids(corpus, corpusId, corpusVec, nCentroids).cache()
     val corpusCells = assign(
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
-      "__cv", cents)
+      "neighbor_id", "__cv", cents)
     val qCells = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .join(broadcast(cents))
       .withColumn("__sim", cosine(col("__qv"), col("centroid_vec")))
