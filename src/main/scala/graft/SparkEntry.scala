@@ -94,6 +94,30 @@ object SparkEntry {
         t(s, dir, "orders").select("o_orderkey", "o_totalprice"), tmp, Some(1000L))
     }
 
+  /** orders array exercising the full MVCC lifecycle: two fragments
+    * (ts 1000/2000, every 10th order re-priced to 0), a conditional
+    * delete of 'F' orders (ts 3000), then consolidate + vacuum down to
+    * ONE fragment with tombstones purged. */
+  private def consolOrders(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "consol_orders") { tmp =>
+      val o = t(s, dir, "orders")
+      ArrayTable.ingest(s, o, tmp, Seq("o_orderkey"), tsOpt = Some(1000L), overwrite = true)
+      ArrayTable.write(s,
+        o.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(0.0)),
+        tmp, Some(2000L))
+      ArrayTable.delete(s, tmp, "o_orderstatus == 'F'", Some(3000L))
+      ArrayTable.consolidate(s, tmp)
+      ArrayTable.vacuum(s, tmp)
+    }
+
+  /** region array evolved with an added attribute (fill 42) */
+  private def evolvedRegion(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "evolved_region") { tmp =>
+      ArrayTable.ingest(s, t(s, dir, "region"), tmp, Seq("r_regionkey"),
+        tsOpt = Some(1000L), overwrite = true)
+      ArrayTable.addAttr(s, tmp, Attr("bonus", "int64", fill = Some("42")))
+    }
+
   /** orders array with a conditional-delete tombstone at ts=1500 */
   private def delOrders(s: SparkSession, dir: String): String =
     ensureArray(s, dir, "del_orders") { tmp =>
@@ -214,6 +238,8 @@ object SparkEntry {
     "array_roundtrip" -> ((s, d) =>
       // full write -> read fidelity through the fragment format
       ArrayTable.read(s, ttLineitem(s, d))),
+    "consolidated_read" -> ((s, d) => ArrayTable.read(s, consolOrders(s, d))),
+    "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
 
     // --- label-based slicing (two-phase resolution, SURVEY §2.2) ---
     "label_slice" -> ((s, d) => {
@@ -328,6 +354,41 @@ object SparkEntry {
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("rolling_fp"))),
 
+    // --- multimodal plumbing (stub codec, real batch shape) ---
+    "media_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+        col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        lit("image").as("media_type"), lit("png").as("format"))
+        .as[graft.ops.Multimodal.MediaRow]
+      graft.ops.Multimodal.decodeImages(media).toDF()
+    }),
+    "media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+        col("doc_id"), encode(col("text"), "UTF-8").as("content"),
+        lit("audio").as("media_type"), lit("wav").as("format"))
+        .as[graft.ops.Multimodal.MediaRow]
+      graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
+    }),
+
+    // --- events: gap-based sessionization (batch; streaming variant in
+    //     graft.streaming.EventStreams) ---
+    "ev_sessionize_batch" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 1800L * 1000000L // 30 min session gap, microseconds
+      events(s, d)
+        .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("__gap", when(col("__prev").isNull
+          || unix_micros(col("ts")) - col("__prev") > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("__gap")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("total_value"))
+    }),
+
     // --- events: windowed aggregation (streaming-equivalent batch) ---
     "ev_window_agg" -> ((s, d) => events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -403,6 +464,21 @@ object SparkEntry {
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
       "o_orderdate, o_orderpriority FROM orders"),
     "array_roundtrip" -> "SELECT * FROM lineitem",
+    "consolidated_read" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, o_orderpriority FROM orders WHERE NOT (o_orderstatus = 'F')"),
+    "evolved_read" -> ("SELECT r_regionkey, r_name, CAST(42 AS BIGINT) AS bonus " +
+      "FROM region"),
+    "ev_sessionize_batch" -> ("SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+      "count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +
+      "FROM (SELECT user_id, value, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS session_id FROM (" +
+      "SELECT user_id, ts, event_id, value, CASE WHEN " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP)) > 1800000000 " +
+      "THEN 1 ELSE 0 END AS gap FROM events) g) s " +
+      "GROUP BY user_id, session_id"),
 
     "group_agg" -> ("SELECT l_returnflag, l_linestatus, " +
       "CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, " +
