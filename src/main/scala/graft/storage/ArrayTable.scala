@@ -302,29 +302,37 @@ object ArrayTable {
     val frags = frags0.filter(f => mbrIntersects(f, ranges))
     val dels = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
 
+    // MVCC resolution work actually needed for THIS read:
+    val needDedup = !schema.allowsDuplicates && frags.size > 1 && anyOverlap(frags)
+    val needVersionCols = keepVersionCols || needDedup || dels.nonEmpty
+    val singleVersion = frags.map(_.schemaVersion).distinct.size <= 1 &&
+      frags.forall(_.schemaVersion == schema.version)
+
     val base =
       if (frags.isEmpty) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(schema.sparkSchema.fields :+ StructField(TS, LongType, false)
             :+ StructField(SEQ, LongType, false)))
+      } else if (!needVersionCols && singleVersion) {
+        // FAST PATH: no shadowing/deletes/version columns required —
+        // ONE multi-path parquet scan over all fragments. This is what
+        // keeps planning O(1) in fragment count (a 10k-fragment array
+        // must not become a 10k-way union).
+        spark.read.parquet(frags.map(f => s"${f.path}/data"): _*)
+          .withColumn(TS, lit(0L)).withColumn(SEQ, lit(0L))
       } else {
-        // group fragments by schema version so each group is one
-        // multi-path scan (not N unions)
-        frags.groupBy(_.schemaVersion).map { case (ver, fs) =>
-          val vSchema = schemaOf(spark, uri, Some(ver))
-          // same (ts,seq) for all paths in a group only if one frag;
-          // otherwise per-frag scan with literal version columns
-          fs.map { f =>
-            val df = spark.read.parquet(s"${f.path}/data")
-            alignColumns(df, schema, vSchema)
-              .withColumn(TS, lit(f.ts)).withColumn(SEQ, lit(f.seq))
-          }.reduce(_ unionByName _)
+        // resolution path: per-fragment scans carrying (ts, seq)
+        frags.map { f =>
+          val vSchema = schemaOf(spark, uri, Some(f.schemaVersion))
+          val df = spark.read.parquet(s"${f.path}/data")
+          alignColumns(df, schema, vSchema)
+            .withColumn(TS, lit(f.ts)).withColumn(SEQ, lit(f.seq))
         }.reduce(_ unionByName _)
       }
 
     val ranged = applyRanges(base, ranges)
     val deduped =
-      if (schema.allowsDuplicates || frags.size <= 1 || !anyOverlap(frags)) ranged
+      if (!needDedup) ranged
       else {
         val w = Window.partitionBy(schema.dimNames.map(col): _*)
           .orderBy(col(TS).desc, col(SEQ).desc)

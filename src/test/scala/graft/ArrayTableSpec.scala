@@ -175,6 +175,30 @@ class ArrayTableSpec extends SparkSpec {
     assert(!scanned.contains("f_0000000000100"))
   }
 
+  test("many non-overlapping fragments collapse to ONE multi-path scan") {
+    val uri = freshUri("manyfrags")
+    val first = Seq((0L, 0, 0.0, "z")).toDF("x", "y", "v", "s")
+    ArrayTable.ingest(spark, first, uri, dims, tsOpt = Some(1L), overwrite = true)
+    (1 until 20).foreach { i =>
+      val df = Seq((i * 100L, 1, i * 1.0, s"s$i"), (i * 100L + 1, 1, i * 2.0, s"t$i"))
+        .toDF("x", "y", "v", "s")
+      ArrayTable.write(spark, df, uri, Some(i + 1L))
+    }
+    val read = ArrayTable.read(spark, uri)
+    assert(read.count() == 39)
+    val scans = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected 1 multi-path scan, got ${scans.size}")
+    // MBR pruning still applies per fragment on the fast path
+    val pruned = ArrayTable.read(spark, uri, ranges = Map("x" -> (Some(500L), Some(501L))))
+    assert(pruned.count() == 2)
+    val prunedScan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(prunedScan.relation.location.rootPaths.size == 1)
+  }
+
   test("array metadata KV") {
     val uri = freshUri("meta")
     ArrayTable.ingest(spark, sample, uri, dims, overwrite = true)
