@@ -164,6 +164,14 @@ object SparkEntry {
         RangeIncl(Some(9000L), Some(9500L))))))),
     "proj_attrs" -> ((s, d) => t(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")),
+    // datetime-typed dimension slicing (inclusive, NTZ wall-clock)
+    "slice_time_dim" -> ((s, d) => MultiIndex(t(s, d, "lineitem"), Map(
+      "l_shipdate" -> RangeIncl(
+        Some(java.time.LocalDateTime.parse("1996-01-01T00:00:00")),
+        Some(java.time.LocalDateTime.parse("1996-06-30T23:59:59")))))),
+    // string-typed dimension slicing (binary collation both engines)
+    "slice_string_dim" -> ((s, d) => MultiIndex(t(s, d, "customer"), Map(
+      "c_name" -> RangeIncl(Some("Customer#000000100"), Some("Customer#000000299"))))),
 
     // --- query-condition grammar (SURVEY §2.4) ---
     "qc_compare" -> ((s, d) => t(s, d, "lineitem")
@@ -413,6 +421,10 @@ object SparkEntry {
       "OR l_orderkey BETWEEN 5000 AND 5100 OR l_orderkey BETWEEN 9000 AND 9500"),
     "proj_attrs" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM lineitem",
+    "slice_time_dim" -> ("SELECT * FROM lineitem WHERE l_shipdate BETWEEN " +
+      "TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-06-30 23:59:59'"),
+    "slice_string_dim" -> ("SELECT * FROM customer WHERE c_name BETWEEN " +
+      "'Customer#000000100' AND 'Customer#000000299'"),
 
     "qc_compare" -> "SELECT * FROM lineitem WHERE l_quantity < 24.0",
     "qc_and_or" -> ("SELECT * FROM lineitem WHERE (l_quantity < 10.0 OR l_quantity > 45.0) " +

@@ -16,6 +16,17 @@ object EventStreams {
   def readEvents(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Continuous ingestion FROM an array-table: each new fragment's
+    * parquet lands in the stream (file-source over the fragment glob).
+    * Writers keep full MVCC semantics; the stream sees append-only
+    * cells — the natural CDC feed of the fragment design. */
+  def readArrayStream(spark: SparkSession, uri: String): DataFrame = {
+    val schema = graft.storage.ArrayTable.schemaOf(spark, uri).sparkSchema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$uri/__fragments/*/data")
+  }
+
   /** Tumbling-window counts and sums per event type with a watermark for
     * state cleanup / late-data bounds. */
   def windowedAgg(events: DataFrame, watermark: String = "1 hour",

@@ -37,6 +37,24 @@ class StreamingSpec extends SparkSpec {
     // every emitted (closed) window agrees exactly with batch
   }
 
+  test("array-table fragments feed a continuous stream") {
+    import graft.storage.ArrayTable
+    val uri = TestSession.tmpDir("arrstream")
+    ArrayTable.ingest(spark, Seq((1L, 10.0)).toDF("x", "v"), uri,
+      Seq("x"), tsOpt = Some(100L), overwrite = true)
+    val stream = EventStreams.readArrayStream(spark, uri)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("arr_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("arr_out").count() == 1)
+      // a new fragment lands in the stream
+      ArrayTable.write(spark, Seq((2L, 20.0), (3L, 30.0)).toDF("x", "v"), uri, Some(200L))
+      q.processAllAvailable()
+      assert(spark.table("arr_out").count() == 3)
+    } finally { q.stop() }
+  }
+
   test("sessionization with mapGroupsWithState") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
