@@ -106,15 +106,52 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Drop near-duplicates: connected components approximated by "keep the
-    * smallest id in each dup pair-closure" via iterating min-propagation
-    * is overkill here; standard practice keeps a row unless it appears as
-    * the larger id of any dup pair. */
+  /** Connected components over a dup-pair edge list via iterative
+    * min-label propagation (alternating large-star/small-star style):
+    * each round joins every node to its neighbors' current minimum and
+    * keeps the smaller, until fixpoint or `maxIter`. Returns
+    * (id, cluster) where cluster = min id of the component. Edge lists
+    * from near-dup detection are sparse, so each round is one shuffle
+    * of the edge table — the standard scalable CC for dedup. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edges incl. self-loops
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id"))
+      .distinct().withColumn("cluster", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "b2"), edges("b") === col("b2"))
+        .groupBy(col("a").as("id")).agg(min(col("cluster")).as("__nm"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("__nm"), col("cluster")))
+          .as("cluster")).cache()
+      next.count()
+      val changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
+        .filter(col("cluster") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop near-duplicates: cluster the dup graph and keep only each
+    * component's smallest id. Chains (a~b, b~c, but a!~c) collapse to
+    * one survivor — unlike the naive "drop every larger pair member". */
   def dropNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
-    val dupBs = minhashNearDups(df, idCol, textCol, threshold = threshold)
-      .select(col("b").as(idCol)).distinct()
-    df.join(dupBs, Seq(idCol), "left_anti")
+    val pairs = minhashNearDups(df, idCol, textCol, threshold = threshold)
+    val clusters = dupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash from token hashes: sign of per-bit weighted sums.

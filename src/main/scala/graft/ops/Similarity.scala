@@ -50,10 +50,13 @@ object Similarity {
     * shuffles until the final per-query top-k. */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10): DataFrame = {
+    // norms computed once per row (NOT once per pair)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = c.join(broadcast(q))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)

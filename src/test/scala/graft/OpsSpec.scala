@@ -84,6 +84,22 @@ class OpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m("aaa") ^ m("ccc")) > 10)
   }
 
+  test("dup clustering: chains collapse to one component, min id wins") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L) // chain 1-2-3
+    assert(got(10L) == 10L && got(11L) == 10L)
+    // dropNearDups keeps one survivor per component
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today x"),
+      (3L, "the quick brown fox jumps over the lazy dog again today x y"),
+      (9L, "completely unrelated text about catalyst and tungsten engine")).toDF("id", "text")
+    val kept = Dedup.dropNearDups(docs, "id", "text", threshold = 0.5)
+      .select("id").as[Long].collect().sorted
+    assert(kept.contains(1L) && kept.contains(9L) && kept.length < 4)
+  }
+
   test("ngram jaccard on explicit pairs") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
