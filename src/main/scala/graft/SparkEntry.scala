@@ -247,6 +247,11 @@ object SparkEntry {
       // full write -> read fidelity through the fragment format
       ArrayTable.read(s, ttLineitem(s, d))),
     "consolidated_read" -> ((s, d) => ArrayTable.read(s, consolOrders(s, d))),
+    // custom data source: read + time travel + pushdown through format("graft")
+    "source_read" -> ((s, d) => s.read.format("graft")
+      .option("t0", "0").option("t1", "1500")
+      .load(ttLineitem(s, d))
+      .filter(col("l_quantity") < 24.0)),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
 
     // --- label-based slicing (two-phase resolution, SURVEY §2.2) ---
@@ -471,6 +476,8 @@ object SparkEntry {
       "CAST(max(l_extendedprice) AS DOUBLE) AS l_extendedprice_max, " +
       "count(*) AS l_extendedprice_count FROM lineitem WHERE l_quantity < 24.0"),
     "time_travel" -> s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut'",
+    "source_read" -> (s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut' " +
+      "AND l_quantity < 24.0"),
     "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
     "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +

@@ -1,0 +1,59 @@
+package graft
+
+import graft.storage.ArrayTable
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = (1L to 100L).map(i => (i, (i % 4).toInt, i * 1.5)).toDF("x", "y", "v")
+
+  test("write via format('graft') creates the array; append adds a fragment") {
+    val uri = TestSession.tmpDir("dsv1")
+    sample.write.format("graft").option("dims", "x,y").save(uri)
+    assert(ArrayTable.exists(spark, uri))
+    assert(ArrayTable.fragments(spark, uri).size == 1)
+    Seq((200L, 0, 9.9)).toDF("x", "y", "v").write.format("graft")
+      .mode(SaveMode.Append).save(uri)
+    assert(ArrayTable.fragments(spark, uri).size == 2)
+    assert(spark.read.format("graft").load(uri).count() == 101)
+    // ErrorIfExists
+    assertThrows[RuntimeException] {
+      sample.write.format("graft").option("dims", "x,y").save(uri)
+    }
+  }
+
+  test("read via format('graft'): pruning, pushdown, projection") {
+    val uri = TestSession.tmpDir("dsv1r")
+    sample.write.format("graft").option("dims", "x,y").save(uri)
+    val df = spark.read.format("graft").load(uri)
+    assert(df.schema.fieldNames.toSeq == Seq("x", "y", "v"))
+    val filtered = df.filter($"x" between(10, 20)).filter($"y" === 1)
+    val got = filtered.select("x").as[Long].collect().sorted
+    assert(got.toSeq == (10L to 20L).filter(_ % 4 == 1))
+    // column pruning through the relation
+    assert(df.select("v").columns.toSeq == Seq("v"))
+    assert(df.filter($"v" < 10.0).count() == 6)
+  }
+
+  test("time travel via reader options") {
+    val uri = TestSession.tmpDir("dsv1t")
+    ArrayTable.ingest(spark, sample.filter($"x" <= 50), uri, Seq("x", "y"),
+      tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.filter($"x" > 50), uri, Some(200L))
+    val early = spark.read.format("graft")
+      .option("t0", "0").option("t1", "150").load(uri)
+    assert(early.count() == 50)
+    assert(spark.read.format("graft").load(uri).count() == 100)
+  }
+
+  test("sql over the source via temp view") {
+    val uri = TestSession.tmpDir("dsv1sql")
+    sample.write.format("graft").option("dims", "x,y").save(uri)
+    spark.read.format("graft").load(uri).createOrReplaceTempView("arr")
+    val n = spark.sql("SELECT count(*) AS n FROM arr WHERE x <= 10 AND v > 5.0")
+      .as[Long].collect()(0)
+    assert(n == (1L to 10L).count(_ * 1.5 > 5.0))
+  }
+}
