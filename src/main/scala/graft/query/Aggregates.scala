@@ -40,7 +40,7 @@ object Aggregates {
         coalesce(s, if (isFloat) lit(0.0) else lit(0L))
       case "min" => if (isFloat) coalesce(min(c).cast(DoubleType), lit(Double.NaN)) else min(c)
       case "max" => if (isFloat) coalesce(max(c).cast(DoubleType), lit(Double.NaN)) else max(c)
-      case "mean" => avg(c.cast(DoubleType)) // empty -> null, surfaced as NaN
+      case "mean" => coalesce(avg(c.cast(DoubleType)), lit(Double.NaN)) // empty -> NaN
       case "count" => count(lit(1))
       case "null_count" =>
         require(nullable, s"null_count is only valid on nullable attributes ($attr is not)")

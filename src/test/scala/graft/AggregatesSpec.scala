@@ -54,5 +54,7 @@ class AggregatesSpec extends SparkSpec {
     assert(r.getAs[Double]("f_min").isNaN)
     assert(r.getAs[Double]("f_max").isNaN)
     assert(r.getAs[Double]("f_sum") == 0.0)
+    val m = Aggregates.agg(empty, Map("f" -> Seq("mean"))).collect()(0)
+    assert(m.getAs[Double]("f_mean").isNaN)
   }
 }
