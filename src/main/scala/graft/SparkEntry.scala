@@ -349,6 +349,8 @@ object SparkEntry {
     // --- text analysis (scale extensions) ---
     "text_tokens" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "text_tokens_bpe" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.regexTokenCount(col("text")).as("n_pieces"))),
     "text_quality" -> ((s, d) => {
       val txt = col("text")
       val len = length(txt).cast(DoubleType)
@@ -524,6 +526,8 @@ object SparkEntry {
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +
       "round(CAST(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
+    "text_tokens_bpe" -> ("SELECT doc_id, CAST(length(regexp_extract_all(text, " +
+      """'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_pieces FROM documents"""),
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
 
     "ev_window_agg" -> ("SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) " +
