@@ -133,16 +133,21 @@ object ArrayTable {
     val name = f"f_$ts%013d_$seq%05d"
     val fragDir = s"$uri/__fragments/$name"
     laidOut.write.mode("overwrite").parquet(s"$fragDir/data")
-    // manifest stats from the written files — with parquet aggregate
-    // pushdown enabled this is a footer-only scan
-    val written = spark.read.parquet(s"$fragDir/data")
-    val aggs = count(lit(1)).as("__n") +:
-      dims.flatMap(d => Seq(min(col(d)).as(s"${d}__min"), max(col(d)).as(s"${d}__max")))
-    val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val mbr = dims.map { d =>
-      d -> (anyToJ(row.getAs[Any](s"${d}__min")), anyToJ(row.getAs[Any](s"${d}__max")))
-    }.toMap
-    val info = FragmentInfo(fragDir, name, ts, seq, row.getAs[Long]("__n"), schema.version, mbr)
+    // manifest stats from parquet FOOTERS (pure metadata — writing a
+    // fragment never re-scans its own data); scan fallback for dim
+    // types without usable footer statistics
+    val (cellCount, mbr) = FooterStats.collect(
+        spark.sparkContext.hadoopConfiguration, s"$fragDir/data", dims)
+      .getOrElse {
+        val written = spark.read.parquet(s"$fragDir/data")
+        val aggs = count(lit(1)).as("__n") +:
+          dims.flatMap(d => Seq(min(col(d)).as(s"${d}__min"), max(col(d)).as(s"${d}__max")))
+        val row = written.agg(aggs.head, aggs.tail: _*).collect()(0)
+        (row.getAs[Long]("__n"), dims.map { d =>
+          d -> (anyToJ(row.getAs[Any](s"${d}__min")), anyToJ(row.getAs[Any](s"${d}__max")))
+        }.toMap)
+      }
+    val info = FragmentInfo(fragDir, name, ts, seq, cellCount, schema.version, mbr)
     // current_domain enforcement: written MBR must sit inside the
     // writable rectangle (checked from footer stats — no extra scan)
     schema.currentDomain.foreach { cd =>
