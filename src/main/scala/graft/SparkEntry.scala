@@ -387,6 +387,20 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
     }),
 
+    // --- as-of join: each click matched to the user's most recent
+    //     prior purchase (union+window composition, one shuffle) ---
+    "asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast(TimestampNTZType).as("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("value"))
+      graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_")
+    }),
+
     // --- events: gap-based sessionization (batch; streaming variant in
     //     graft.streaming.EventStreams) ---
     "ev_sessionize_batch" -> ((s, d) => {
@@ -530,6 +544,12 @@ object SparkEntry {
       """'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_pieces FROM documents"""),
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
 
+    "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
+      "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+      "WHERE event_type = 'click') c " +
+      "ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
+      "WHERE event_type = 'purchase') p " +
+      "ON c.user_id = p.user_id AND c.ts >= p.ts"),
     "ev_window_agg" -> ("SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) " +
       "AS TIMESTAMP) AS window_start, event_type, count(*) AS n, " +
       "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +

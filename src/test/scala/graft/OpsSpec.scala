@@ -109,6 +109,34 @@ class OpsSpec extends SparkSpec {
     assert(got((1L, 3L)) == 0.0)
   }
 
+  // --- as-of join ---
+
+  test("asof join: latest right row at-or-before each left ts per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:03:00"), 50.0)).toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:02:00"), "a"), // -> 100.0
+      (1L, ts("2024-01-01 10:05:00"), "b"), // equality -> 101.0
+      (2L, ts("2024-01-01 10:01:00"), "c"), // before any quote
+      (3L, ts("2024-01-01 10:00:00"), "d")  // no key match
+    ).toDF("k", "ts", "tag")
+    val inner = graft.ops.AsOf.join(trades, quotes, Seq("k"), "ts", "ts", "q_")
+      .select($"tag", $"q_px").as[(String, Double)].collect().toMap
+    assert(inner == Map("a" -> 100.0, "b" -> 101.0))
+    val outer = graft.ops.AsOf.join(trades, quotes, Seq("k"), "ts", "ts", "q_",
+      inner = false)
+    assert(outer.count() == 4)
+    assert(outer.filter($"tag" === "c").select("q_px").collect()(0).isNullAt(0))
+    // tolerance: 60s window excludes the 2-minute-old quote for 'a'
+    val tol = graft.ops.AsOf.join(trades, quotes, Seq("k"), "ts", "ts", "q_",
+      toleranceMs = Some(60000L))
+      .select($"tag").as[String].collect().toSet
+    assert(tol == Set("b"))
+  }
+
   // --- similarity ---
 
   test("cosine and dot products") {
