@@ -208,17 +208,31 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Embedding near-dup pairs: random-hyperplane LSH (sign bits from
-    * seeded pseudo-random projections) for candidates + exact cosine
-    * verify. Deterministic: hyperplanes derive from xxhash64 of
-    * (dim index, seed). */
+  /** Embedding near-dup pairs: banded random-hyperplane LSH + exact
+    * cosine verify. Each band is an independent `bitsPerBand`-bit sign
+    * sketch (hyperplanes derived from xxhash64 of (band, bit, dim) —
+    * deterministic, no stored model); a pair is a candidate if ANY band
+    * matches, so recall at minCosine 0.95 is
+    * 1-(1-(1-θ/π)^bits)^bands ≈ 0.98 for 4x12 instead of ~0.8 for a
+    * single 16-bit sketch. One shuffle on (band, bucket). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 16, minCosine: Double = 0.95): DataFrame = {
-    val sketch = Similarity.hyperplaneSketch(col(vecCol), nBits)
-    val sigs = df.select(col(idCol), col(vecCol), sketch.as("__b")).cache()
-    val a = sigs.select(col("__b"), col(idCol).as("a"), col(vecCol).as("__vA"))
-    val b = sigs.select(col("__b"), col(idCol).as("b"), col(vecCol).as("__vB"))
-    a.join(b, Seq("__b")).filter(col("a") < col("b"))
+      bands: Int = 4, bitsPerBand: Int = 12,
+      minCosine: Double = 0.95): DataFrame = {
+    val sketches = array((0 until bands).map(band =>
+      Similarity.hyperplaneSketch(col(vecCol), bitsPerBand, seedOffset = band * 1000)): _*)
+    // bucket join carries only (band, bucket, id) — vectors rejoin
+    // after candidate dedup so embeddings aren't duplicated x bands
+    val sigs = df.select(col(idCol), posexplode(sketches))
+      .select(col(idCol), col("pos").as("__band"), col("col").as("__b"))
+      .cache()
+    val a = sigs.select(col("__band"), col("__b"), col(idCol).as("a"))
+    val b = sigs.select(col("__band"), col("__b"), col(idCol).as("b"))
+    val cands = a.join(b, Seq("__band", "__b")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val vecs = df.select(col(idCol), col(vecCol))
+    val va = vecs.select(col(idCol).as("a"), col(vecCol).as("__vA"))
+    val vb = vecs.select(col(idCol).as("b"), col(vecCol).as("__vB"))
+    cands.join(va, "a").join(vb, "b")
       .withColumn("cosine", Similarity.cosine(col("__vA"), col("__vB")))
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))

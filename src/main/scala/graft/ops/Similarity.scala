@@ -33,8 +33,8 @@ object Similarity {
     * into a long. Hyperplane component for (bit i, dim j) is derived
     * from xxhash64(i, j) mapped to [-1, 1] — deterministic, no stored
     * model. */
-  def hyperplaneSketch(vec: Column, nBits: Int = 16): Column = {
-    val projs = transform(sequence(lit(0), lit(nBits - 1)), bit =>
+  def hyperplaneSketch(vec: Column, nBits: Int = 16, seedOffset: Int = 0): Column = {
+    val projs = transform(sequence(lit(seedOffset), lit(seedOffset + nBits - 1)), bit =>
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (v, j) => v.cast("double") *
