@@ -145,6 +145,18 @@ object SparkEntry {
 
   // ------------------------------------------------------------- queries
 
+  /** (clicks, purchases) sides shared by the asof_* queries */
+  private def asofSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast(TimestampNTZType).as("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast(TimestampNTZType).as("ts"),
+        col("value"))
+    (clicks, purchases)
+  }
+
   private def maybePrice(df: DataFrame): DataFrame =
     df.withColumn("maybe_price",
       when(col("l_discount") > 0.05, lit(null)).otherwise(col("l_extendedprice")))
@@ -377,6 +389,7 @@ object SparkEntry {
         lit("image").as("media_type"), lit("png").as("format"))
         .as[graft.ops.Multimodal.MediaRow]
       graft.ops.Multimodal.decodeImages(media).toDF()
+        .withColumn("mean_intensity", round(col("mean_intensity"), 6))
     }),
     "media_features" -> ((s, d) => {
       import s.implicits._
@@ -384,21 +397,42 @@ object SparkEntry {
         col("doc_id"), encode(col("text"), "UTF-8").as("content"),
         lit("audio").as("media_type"), lit("wav").as("format"))
         .as[graft.ops.Multimodal.MediaRow]
-      graft.ops.Multimodal.extractFeatures(media, dim = 16).toDF()
+      // exploded (doc_id, feature_idx, value) rows: driver-comparable
+      // scalar shape (an array<float> column can't be sorted/hashed by
+      // the pandas-side compare)
+      graft.ops.Multimodal.featureRows(media, dim = 16).toDF()
+        .withColumn("value", round(col("value"), 6))
     }),
 
     // --- as-of join: each click matched to the user's most recent
     //     prior purchase (union+window composition, one shuffle) ---
     "asof_join" -> ((s, d) => {
-      val ev = events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"),
-          col("ts").cast(TimestampNTZType).as("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").cast(TimestampNTZType).as("ts"),
-          col("value"))
+      val (clicks, purchases) = asofSides(s, d)
       graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
         rightPrefix = "p_")
+    }),
+    // tolerance mode: match only if the purchase is within 1h
+    "asof_tol" -> ((s, d) => {
+      val (clicks, purchases) = asofSides(s, d)
+      graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", toleranceUs = Some(3600L * 1000000L))
+    }),
+    // outer mode: unmatched clicks kept with null purchase columns
+    "asof_outer" -> ((s, d) => {
+      val (clicks, purchases) = asofSides(s, d)
+      graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", inner = false)
+    }),
+
+    // --- exact n-gram Jaccard verification primitive on planted pairs ---
+    "jaccard_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xyzzy plugh")))
+      val all = docs.unionByName(edited)
+      val pairs = docs.select(col("doc_id").as("a"),
+        (col("doc_id") + 1000000).as("b"))
+      graft.ops.Dedup.ngramJaccard(all, "doc_id", "text", pairs, n = 3)
     }),
 
     // --- events: gap-based sessionization (batch; streaming variant in
@@ -543,6 +577,75 @@ object SparkEntry {
     "text_tokens_bpe" -> ("SELECT doc_id, CAST(length(regexp_extract_all(text, " +
       """'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_pieces FROM documents"""),
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    // language ID: token-count per stopword table, winner = max (score,
+    // lang) — mirrors the array_max(struct(score, lang)) tie-break
+    // (lexicographically larger lang wins ties)
+    "text_langid" -> ("WITH s AS (SELECT doc_id, " +
+      "string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
+      "sc AS (SELECT doc_id, " +
+      "len(list_filter(toks, t -> list_contains(" +
+      "['der','die','das','und','ist','nicht','ein','mit','auf','von'], t))) AS s_de, " +
+      "len(list_filter(toks, t -> list_contains(" +
+      "['the','and','of','to','in','is','that','for','with','was'], t))) AS s_en, " +
+      "len(list_filter(toks, t -> list_contains(" +
+      "['el','la','de','que','los','en','un','por','con','una'], t))) AS s_es, " +
+      "len(list_filter(toks, t -> list_contains(" +
+      "['le','la','les','des','est','dans','que','une','pour','qui'], t))) AS s_fr " +
+      "FROM s) " +
+      "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' " +
+      "WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr' " +
+      "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
+      "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
+      "ELSE 'de' END AS lang_pred FROM sc"),
+    // stubbed decode is a byte-sum derivation — recomputable exactly
+    // from the (all-ASCII) text bytes
+    "media_decode" -> ("WITH b AS (SELECT doc_id, CAST(coalesce(list_sum(" +
+      "list_transform(range(1, length(text)+1), p -> ord(text[p]))), 0) AS BIGINT) AS s, " +
+      "length(text) AS n FROM documents) " +
+      "SELECT doc_id, CAST(32 + s % 97 AS INT) AS width, " +
+      "CAST(32 + (s // 97) % 89 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+      "round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END, 6) AS mean_intensity " +
+      "FROM b"),
+    // per-bucket integer byte sums divided once — exact in any
+    // accumulation order on both engines
+    "media_features" -> ("SELECT doc_id, CAST((p-1) % 16 AS INT) AS feature_idx, " +
+      "round(CAST(sum(ord(text[p])) AS DOUBLE) / 255.0, 6) AS value " +
+      "FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS p FROM documents) " +
+      "GROUP BY doc_id, (p-1) % 16"),
+    // exact word-3-gram Jaccard on the planted (doc, doc+1M) pairs
+    "jaccard_pairs" -> ("WITH d2 AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, text || ' xyzzy plugh' FROM documents), " +
+      "g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS gr " +
+      "FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM d2)) " +
+      "SELECT x.doc_id AS a, y.doc_id AS b, " +
+      "round(CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE) " +
+      "/ len(list_distinct(x.gr || y.gr)), 6) AS jaccard " +
+      "FROM g x JOIN g y ON y.doc_id = x.doc_id + 1000000 AND x.doc_id < 1000000"),
+    // exact brute-force top-k is SQL-expressible: same cosine formula
+    // (dot / (sqrt(dot)*sqrt(dot))) over DOUBLE[] on both engines
+    "knn_brute" -> ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings), " +
+      "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+      "WHERE vec_id < 8), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
+      "sqrt(list_dot_product(c.v, c.v))) AS cosine FROM c, q) " +
+      "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, " +
+      "CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored QUALIFY rank <= 10"),
+    // near-dup pairs >= 0.999: planted exact copies always share LSH
+    // buckets, so the LSH path is exhaustive at this threshold
+    "embedding_neardups" -> ("WITH av AS (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+      "UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings), " +
+      "p AS (SELECT x.vec_id AS a, y.vec_id AS b, " +
+      "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * " +
+      "sqrt(list_dot_product(y.v, y.v))) AS cosine " +
+      "FROM av x JOIN av y ON x.vec_id < y.vec_id) " +
+      "SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999"),
 
     "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
       "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
@@ -550,12 +653,29 @@ object SparkEntry {
       "ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
       "WHERE event_type = 'purchase') p " +
       "ON c.user_id = p.user_id AND c.ts >= p.ts"),
+    // tolerance as a post-filter on the most-recent match — identical
+    // semantics to tolerance-limited as-of (older matches are farther)
+    "asof_tol" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
+      "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+      "WHERE event_type = 'click') c " +
+      "ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
+      "WHERE event_type = 'purchase') p " +
+      "ON c.user_id = p.user_id AND c.ts >= p.ts " +
+      "WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000"),
+    "asof_outer" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
+      "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+      "WHERE event_type = 'click') c " +
+      "ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
+      "WHERE event_type = 'purchase') p " +
+      "ON c.user_id = p.user_id AND c.ts >= p.ts"),
     "ev_window_agg" -> ("SELECT CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) " +
       "AS TIMESTAMP) AS window_start, event_type, count(*) AS n, " +
       "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +
       "FROM events GROUP BY 1, 2"),
     // rows-only checks (non-SQL-expressible or approximate):
-    //   minhash_neardups, simhash_neardups, embedding_neardups, knn_brute,
-    //   knn_ivf, text_langid, text_minhash_sig
+    //   minhash_neardups, simhash_neardups (probabilistic LSH recall on
+    //   organic pairs), knn_ivf (xxhash64-seeded centroid sample),
+    //   text_minhash_sig (64-bit wraparound rolling hash), media_decode's
+    //   frame sampling
   )
 }

@@ -17,9 +17,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOf {
 
+  /** @param toleranceUs maximum left.ts - right.ts in MICROSECONDS —
+    *   compared via `unix_micros`, so sub-second tolerances are exact
+    *   (a cast-to-long comparison would truncate to whole seconds). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightPrefix: String = "right_",
-      toleranceMs: Option[Long] = None, inner: Boolean = true): DataFrame = {
+      toleranceUs: Option[Long] = None, inner: Boolean = true): DataFrame = {
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     val r = right.select(
       (keys.map(col) :+ col(rightTs).as("__ts")
@@ -33,9 +36,10 @@ object AsOf {
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val carried = u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-    val matchOk = toleranceMs match {
+    val matchOk = toleranceUs match {
       case Some(tol) => col("__m").isNotNull &&
-        col("__ts").cast("long") - col(s"__m.$rightTs").cast("long") <= tol / 1000
+        unix_micros(col("__ts").cast("timestamp")) -
+          unix_micros(col(s"__m.$rightTs").cast("timestamp")) <= tol
       case None => col("__m").isNotNull
     }
     val leftRows = carried.filter(col("__side") === 1)

@@ -31,6 +31,7 @@ object Multimodal {
       mean_intensity: Double)
   case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
   case class MediaFeatures(doc_id: Long, features: Array[Float])
+  case class MediaFeatureRow(doc_id: Long, feature_idx: Int, value: Double)
 
   /** Attach the metadata struct to a binary payload column. */
   def withMediaMeta(df: DataFrame, contentCol: String, mediaType: String,
@@ -41,13 +42,15 @@ object Multimodal {
 
   // ---- STUB: replace with a real decoder (ImageIO / ffmpeg) in prod ----
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-    // deterministic pseudo-decode from content hash; real signature,
-    // fake pixels
-    val h = java.util.Arrays.hashCode(bytes)
-    val w = 32 + math.abs(h % 97)
-    val ht = 32 + math.abs((h / 97) % 89)
-    val mean = if (bytes.isEmpty) 0.0
-      else bytes.iterator.map(b => (b & 0xFF).toDouble).sum / bytes.length
+    // deterministic pseudo-decode from the byte sum; real signature,
+    // fake pixels. Integer byte-sum base keeps it cross-engine
+    // verifiable (an external oracle can recompute it exactly).
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xFF); i += 1 }
+    val w = 32 + (s % 97).toInt
+    val ht = 32 + ((s / 97) % 89).toInt
+    val mean = if (bytes.isEmpty) 0.0 else s.toDouble / bytes.length
     (w, ht, 3, mean)
   }
 
@@ -87,6 +90,26 @@ object Multimodal {
           i += 1
         }
         MediaFeatures(r.doc_id, acc)
+      }
+    }
+  }
+
+  /** Feature extraction in driver-comparable shape: one row per
+    * (doc_id, feature_idx) with an exact integer byte-sum per bucket
+    * divided once at the end — deterministic regardless of partitioning
+    * or accumulation order, so results hash-compare across engines.
+    * Same mapPartitions batch contract as [[extractFeatures]]. */
+  def featureRows(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatureRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val acc = new Array[Long](dim)
+        var i = 0
+        while (i < r.content.length) {
+          acc(i % dim) += (r.content(i) & 0xFF)
+          i += 1
+        }
+        Iterator.tabulate(dim)(j => MediaFeatureRow(r.doc_id, j, acc(j) / 255.0))
       }
     }
   }

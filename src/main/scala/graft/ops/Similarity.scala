@@ -45,9 +45,60 @@ object Similarity {
       (acc, p) => acc * 2L + when(p > 0, 1L).otherwise(0L))
   }
 
+  /** Exact per-key top-k WITHOUT shuffling the full scored set: a
+    * bounded per-partition heap (memory = |keys seen in partition| * k)
+    * cuts each partition's contribution to <= k rows per key, then ONE
+    * small aggregation (map-side partial, <= nPartitions*k rows per key
+    * in flight) merges the partials. This replaces the
+    * `row_number().over(partitionBy(key))` formulation, which shuffles
+    * every scored row — the scale-killer when |corpus| x |queries| is
+    * large. Expects columns (keyCol, idCol, scoreCol); ids must be
+    * Comparable for deterministic tie-breaks (score desc, id asc). */
+  def topKPerKey(scored: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    val proj = scored.select(col(keyCol), col(idCol), col(scoreCol).cast("double"))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(proj.schema)
+    def cmpIds(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    // PQ dequeues its max; order so the WORST candidate (lowest score,
+    // then largest id) is the max.
+    val worstFirst: Ordering[(Double, Any)] = new Ordering[(Double, Any)] {
+      def compare(x: (Double, Any), y: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c else cmpIds(x._2, y._2)
+      }
+    }
+    val reduced = proj.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
+      rows.foreach { r =>
+        val heap = heaps.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.PriorityQueue.empty[(Double, Any)](worstFirst))
+        heap.enqueue((r.getDouble(2), r.get(1)))
+        if (heap.size > k) heap.dequeue()
+      }
+      heaps.iterator.flatMap { case (key, heap) =>
+        heap.iterator.map(e => org.apache.spark.sql.Row(key, e._2, e._1))
+      }
+    }
+    // merge partials: sort-truncate inside an aggregate (partial agg
+    // applies map-side), then explode ranks. negate(score) makes the
+    // struct's natural ascending sort = (score desc, id asc).
+    reduced
+      .groupBy(col(keyCol))
+      .agg(slice(array_sort(collect_list(
+        struct(negate(col(scoreCol).cast("double")).as("__ns"), col(idCol)))),
+        1, k).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")))
+      .select(col(keyCol), col("col.*"), (col("pos") + 1).cast("long").as("rank"))
+      .select(col(keyCol), col(idCol), negate(col("__ns")).as(scoreCol), col("rank"))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
-    * corpus rows. Queries are broadcast (small side); corpus side never
-    * shuffles until the final per-query top-k. */
+    * corpus rows. Queries are broadcast (small side); the corpus side
+    * never shuffles — per-partition bounded heaps reduce the scored set
+    * to <= nPartitions*k rows per query before the final tiny merge. */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int = 10): DataFrame = {
     // norms computed once per row (NOT once per pair)
@@ -57,11 +108,9 @@ object Similarity {
       .withColumn("__cn", norm(col("__cv")))
     val scored = c.join(broadcast(q))
       .withColumn("cosine", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("__rank").cast("long").as("rank"))
+    topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
   /** Deterministic IVF coarse quantizer: centroids = hash-ordered
@@ -119,10 +168,8 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("centroid_id"))
     val scored = probes.join(corpusCells, Seq("centroid_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("__rank").cast("long").as("rank"))
+    topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 }

@@ -132,9 +132,20 @@ class OpsSpec extends SparkSpec {
     assert(outer.filter($"tag" === "c").select("q_px").collect()(0).isNullAt(0))
     // tolerance: 60s window excludes the 2-minute-old quote for 'a'
     val tol = graft.ops.AsOf.join(trades, quotes, Seq("k"), "ts", "ts", "q_",
-      toleranceMs = Some(60000L))
+      toleranceUs = Some(60L * 1000000L))
       .select($"tag").as[String].collect().toSet
     assert(tol == Set("b"))
+    // sub-second tolerance must not truncate to whole seconds: a 500ms
+    // window rejects a quote 1.5s old but keeps one 200ms old
+    def tsm(s: String) = java.sql.Timestamp.valueOf(s)
+    val q2 = Seq((1L, tsm("2024-01-01 10:00:00.0"), 1.0),
+      (2L, tsm("2024-01-01 10:00:01.3"), 2.0)).toDF("k", "ts", "px")
+    val t2 = Seq((1L, tsm("2024-01-01 10:00:01.5"), "x"),
+      (2L, tsm("2024-01-01 10:00:01.5"), "y")).toDF("k", "ts", "tag")
+    val subsec = graft.ops.AsOf.join(t2, q2, Seq("k"), "ts", "ts", "q_",
+      toleranceUs = Some(500000L))
+      .select($"tag").as[String].collect().toSet
+    assert(subsec == Set("y"))
   }
 
   // --- similarity ---
