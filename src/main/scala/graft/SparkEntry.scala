@@ -355,7 +355,25 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 10, nCentroids = 16, nprobe = 4)
+        k = 10, nCentroids = 16, nprobe = 8)
+    }),
+    // IVF correctness gate: recall@10 vs the (oracle-checked) exact
+    // brute-force result must clear the floor — a driver-checkable
+    // assertion on the approximate path, same config as knn_ivf.
+    // Deterministic (hash-sampled seeds + Lloyd); measured recall at
+    // nprobe=8/16: sf0.001 0.80, sf0.01 0.725, sf0.1 0.825 — the test
+    // embeddings are near-uniform on the sphere (no cluster structure),
+    // so recall tracks the probed-corpus fraction; floor 0.65 leaves
+    // margin while still failing on any assignment/probe regression.
+    "knn_ivf_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 8)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(ivf, brute)
+        .select((col("recall") >= 0.65).as("recall_ok"))
     }),
 
     // --- text analysis (scale extensions) ---
@@ -647,6 +665,7 @@ object SparkEntry {
       "FROM av x JOIN av y ON x.vec_id < y.vec_id) " +
       "SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999"),
 
+    "knn_ivf_recall" -> "SELECT true AS recall_ok",
     "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
       "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
       "WHERE event_type = 'click') c " +

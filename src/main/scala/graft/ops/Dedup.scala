@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication family for training-data pipelines, designed around
   * Spark's shuffle model:
@@ -62,15 +61,58 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand), b))))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
-    // cap pathological buckets before the self-join
-    val bucketed = banded
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bucket")))
-      .filter(col("__n") <= maxBucket)
-    val a = bucketed.select(col("__band"), col("__bucket"), col("__id").as("a"))
-    val b = bucketed.select(col("__band"), col("__bucket"), col("__id").as("b"))
-    a.join(b, Seq("__band", "__bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // ONE shuffle total: hash-partition on (band, bucket), sort within
+    // partitions so buckets are contiguous, then stream each bucket in a
+    // narrow pass — cap enforcement, pair emission and memory bound
+    // (<= maxBucket ids buffered) all happen inline. This replaces the
+    // window-count + self-join formulation, whose bucket-size window
+    // added a full wide exchange before the join.
+    val laid = banded.repartition(col("__band"), col("__bucket"))
+      .sortWithinPartitions(col("__band"), col("__bucket"))
+    val idField = laid.schema("__id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "a"), idField.copy(name = "b")))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    laid.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pairs: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        @annotation.tailrec
+        private def advance(): Boolean =
+          if (pairs.hasNext) true
+          else if (!it.hasNext) false
+          else {
+            val band = it.head.get(1); val bucket = it.head.get(2)
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+            var over = false
+            while (it.hasNext && it.head.get(1) == band && it.head.get(2) == bucket) {
+              val r = it.next()
+              if (!over) {
+                ids += r.get(0)
+                if (ids.size > maxBucket) { over = true; ids.clear() }
+              }
+            }
+            if (!over && ids.size >= 2) {
+              val arr = ids.toArray
+              pairs = arr.indices.iterator.flatMap { i =>
+                (i + 1 until arr.length).iterator.map { j =>
+                  val (x, y) = (arr(i), arr(j))
+                  if (x.asInstanceOf[Comparable[Any]].compareTo(y) <= 0)
+                    org.apache.spark.sql.Row(x, y)
+                  else org.apache.spark.sql.Row(y, x)
+                }
+              }
+            }
+            advance()
+          }
+        def hasNext: Boolean = advance()
+        def next(): org.apache.spark.sql.Row = {
+          if (!advance()) throw new NoSuchElementException
+          pairs.next()
+        }
+      }
+    }.filter(col("a") =!= col("b")).distinct()
   }
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -114,62 +113,124 @@ object Similarity {
   }
 
   /** Deterministic IVF coarse quantizer: centroids = hash-ordered
-    * corpus sample. `orderBy(hash).limit(n)` plans as a distributed
+    * corpus sample, collected to the driver (n is small by definition).
+    * `orderBy(hash).limit(n)` plans as a distributed
     * TakeOrderedAndProject (per-partition top-n + driver merge) — no
     * global sort, unlike a row_number window, so it holds at corpus
-    * scale. Centroid ids are assigned driver-side (n is small by
-    * definition). Returns (centroid_id, centroid_vec). */
+    * scale. Returns (centroid_id, centroid values as doubles). */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int): DataFrame = {
-    val spark = corpus.sparkSession
+      nCentroids: Int): Seq[(Long, Seq[Double])] = {
     val sampled = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol))).limit(nCentroids)
       .select(col(vecCol)).collect()
-    val rows = sampled.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row(i.toLong, r.get(0)) }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("centroid_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        corpus.schema(vecCol).copy(name = "centroid_vec"))))
+    sampled.toSeq.zipWithIndex.map { case (r, i) =>
+      i.toLong -> r.getSeq[Any](0).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }
+    }
   }
 
-  /** Assign each (id, vec) row to its nearest centroid: broadcast join
-    * + min_by aggregation keyed on the id — one shuffle on the id, no
-    * window sort. */
-  def assign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val joined = df.join(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid_vec")))
-    joined.groupBy(col(idCol))
-      .agg(
-        min_by(col("centroid_id"), struct((col("__sim") * -1).as("s"), col("centroid_id")))
-          .as("centroid_id"),
-        first(col(vecCol)).as(vecCol))
+  /** One Lloyd (k-means) refinement step, scale-safe: each partition
+    * accumulates per-cell (count, element-wise sum) locally — narrow,
+    * bounded by nCentroids*dim doubles — and only those tiny partials
+    * reach the driver, where cells re-center to their mean. Empty cells
+    * keep their seed. The corpus never shuffles. */
+  def lloydStep(corpus: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val dim = cents.head._2.size
+    val assigned = corpus
+      .select(assignNarrow(col(vecCol), cents).as("__cid"),
+        transform(col(vecCol), v => v.cast("double")).as("__v"))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val partials = assigned.mapPartitions { rows =>
+      val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Array[Double])]
+      rows.foreach { r =>
+        val cid = r.getLong(0)
+        val v = r.getSeq[Double](1)
+        val (n, s) = acc.getOrElseUpdate(cid, (0L, new Array[Double](dim)))
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        acc(cid) = (n + 1, s)
+      }
+      acc.iterator.map { case (cid, (n, s)) => (cid, n, s.toSeq) }
+    }.collect()
+    val merged = partials.groupBy(_._1).map { case (cid, ps) =>
+      val n = ps.map(_._2).sum
+      val s = ps.map(_._3).reduce((a, b) => a.lazyZip(b).map(_ + _))
+      cid -> s.map(_ / n)
+    }
+    cents.map { case (cid, seed) => cid -> merged.getOrElse(cid, seed) }
   }
+
+  /** Per-centroid (negated-score, id) structs as one literal-backed
+    * array expression — ascending struct sort order = best centroid
+    * first (max cosine, tie -> min id). Centroids are UNIT-normalized on
+    * the driver and the row norm is dropped: argmax over dot(v, ĉ_i)
+    * equals argmax over cosine(v, c_i) because ||v|| is constant across
+    * centroids — one dot product per centroid instead of three. */
+  private def centroidSims(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val unit = cents.map { case (cid, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cid -> (if (n == 0) v else v.map(_ / n))
+    }
+    array(unit.map { case (cid, u) =>
+      struct(negate(dot(vec, array(u.map(lit): _*))).as("ns"),
+        lit(cid).as("id"))
+    }: _*)
+  }
+
+  /** Nearest-centroid id, computed NARROWLY: centroids are driver-side
+    * literals, so assignment is a per-row expression — zero shuffle,
+    * zero row blow-up (the broadcast-join + groupBy(id) formulation
+    * re-shuffled the whole corpus keyed by id). */
+  def assignNarrow(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array_min(centroidSims(vec, cents)).getField("id")
+
+  /** The `nprobe` nearest centroid ids, narrowly (sort the literal-
+    * backed sims array per row — no window). */
+  def probeNarrow(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    transform(slice(array_sort(centroidSims(vec, cents)), 1, nprobe),
+      s => s.getField("id"))
 
   /** IVF top-k: probe the `nprobe` closest centroids per query; exact
     * cosine within probed cells only. Approximate (recall < 1) but the
-    * corpus-side work drops by ~nCentroids/nprobe. */
+    * corpus-side work drops by ~nCentroids/nprobe. The corpus NEVER
+    * shuffles: cell assignment is a narrow expression and the (small)
+    * probe set broadcasts onto it (mirrors the reference asv indexing
+    * workload, tiledb/tests/perf/benchmarks/indexing.py:8-45). */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = sampleCentroids(corpus, corpusId, corpusVec, nCentroids).cache()
-    val corpusCells = assign(
-      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
-      "neighbor_id", "__cv", cents)
-    val qCells = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .join(broadcast(cents))
-      .withColumn("__sim", cosine(col("__qv"), col("centroid_vec")))
-    val wq = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("centroid_id"))
-    val probes = qCells.withColumn("__rk", row_number().over(wq))
-      .filter(col("__rk") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("centroid_id"))
-    val scored = probes.join(corpusCells, Seq("centroid_id"))
+      k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
+      lloydSteps: Int = 2): DataFrame = {
+    val seeds = sampleCentroids(corpus, corpusId, corpusVec, nCentroids)
+    val cents = (0 until lloydSteps).foldLeft(seeds)((c, _) =>
+      lloydStep(corpus, corpusVec, c))
+    val corpusCells = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("centroid_id", assignNarrow(col("__cv"), cents))
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("centroid_id",
+        explode(probeNarrow(col("__qv"), cents, nprobe)))
+    val scored = corpusCells.join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** recall@k of an approximate top-k result vs the exact one, as one
+    * scalar row — the driver-checkable correctness gate for IVF. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hit = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val all = exact.agg(count(lit(1)).as("__n"))
+    hit.crossJoin(all)
+      .select((col("__hits").cast("double") / col("__n")).as("recall"))
   }
 }

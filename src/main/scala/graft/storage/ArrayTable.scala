@@ -471,10 +471,10 @@ object ArrayTable {
     val old = fragments(spark, uri)
     require(old.nonEmpty, "nothing to consolidate")
     val maxTs = old.map(_.ts).max
-    val merged = read(spark, uri).cache()
-    merged.count() // materialize before we move the inputs
-    val info = write(spark, merged, uri, Some(maxTs))
-    merged.unpersist()
+    // no cache: the consolidated fragment is written to a NEW directory
+    // while the old fragments stay readable, so the write itself is the
+    // materialization — caching would double the working set at scale
+    val info = write(spark, read(spark, uri), uri, Some(maxTs))
     fs.mkdirs(s"$uri/__trash")
     old.foreach(f => fs.rename(f.path, s"$uri/__trash/${f.name}"))
     if (purgeDeleted) deletes(spark, uri).filter(_.ts <= maxTs).foreach { d =>

@@ -30,13 +30,14 @@ object DimLabels {
     val cols = labels.columns
     require(cols.contains(dim), s"label frame must carry dim column $dim")
     val labelCol = cols.filterNot(_ == dim).head
-    // monotonicity check: label order must follow dim order
-    val viol = labels.select(col(dim), col(labelCol))
-      .withColumn("__lag", lag(col(labelCol), 1)
-        .over(org.apache.spark.sql.expressions.Window.orderBy(col(dim))))
-      .filter(if (increasing) col(labelCol) < col("__lag") else col(labelCol) > col("__lag"))
-      .limit(1).count()
-    require(viol == 0, s"label $name is not ${if (increasing) "increasing" else "decreasing"}")
+    // monotonicity check: label order must follow dim order. Scale-safe
+    // formulation — a global Window.orderBy(dim) would pull the whole
+    // label vector into ONE partition; instead range-partition + sort by
+    // the dim, verify adjacency per partition in a single narrow pass,
+    // and stitch the partition boundaries on the driver (partition count
+    // rows, not data rows).
+    require(checkMonotonic(labels.select(col(dim), col(labelCol)), increasing),
+      s"label $name is not ${if (increasing) "increasing" else "decreasing"}")
     val lu = labelUri(uri, name)
     if (!ArrayTable.exists(spark, lu)) {
       val schemaL = ArraySchema(
@@ -46,6 +47,48 @@ object DimLabels {
     }
     ArrayTable.write(spark, labels.select(col(dim), col(labelCol)), lu)
     ArrayTable.putMeta(spark, lu, "increasing", graft.core.Json.JBool(increasing))
+  }
+
+  /** Monotonicity of column 1 (label) along column 0 (dim) without a
+    * global single-partition window. Per partition emits one summary row
+    * (violations, first label, last label); repartitionByRange guarantees
+    * partition i's dims all precede partition i+1's, and collect()
+    * preserves partition order, so cross-boundary pairs are checked
+    * driver-side over O(partitions) rows. */
+  private[storage] def checkMonotonic(df: DataFrame, increasing: Boolean): Boolean = {
+    val dimC = df.columns(0); val labC = df.columns(1)
+    val laidOut = df.repartitionByRange(col(dimC)).sortWithinPartitions(col(dimC))
+    val labField = df.schema(labC)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("viol",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      labField.copy(name = "first"), labField.copy(name = "last")))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    def bad(prev: Any, cur: Any): Boolean = {
+      val c = prev.asInstanceOf[Comparable[Any]].compareTo(cur)
+      if (increasing) c > 0 else c < 0
+    }
+    val summaries = laidOut.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        var viol = 0L
+        val firstRow = rows.next()
+        val first = firstRow.get(1)
+        var prev = first
+        rows.foreach { r =>
+          val cur = r.get(1)
+          if (bad(prev, cur)) viol += 1
+          prev = cur
+        }
+        Iterator.single(org.apache.spark.sql.Row(viol, first, prev))
+      }
+    }.collect()
+    summaries.forall(_.getLong(0) == 0L) &&
+      summaries.sliding(2).forall {
+        case Array(a, b) => !bad(a.get(2), b.get(1))
+        case _ => true
+      }
   }
 
   def labels(spark: SparkSession, uri: String): Seq[String] =
