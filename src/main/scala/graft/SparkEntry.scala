@@ -118,6 +118,35 @@ object SparkEntry {
       ArrayTable.addAttr(s, tmp, Attr("bonus", "int64", fill = Some("42")))
     }
 
+  /** customer array ingested with categorical->enum auto-inference:
+    * c_mktsegment (5 values) becomes a dictionary-encoded enumeration;
+    * c_name (all-distinct) stays a plain string. */
+  private def enumCustomer(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "enum_customer") { tmp =>
+      ArrayTable.ingest(s, t(s, dir, "customer"), tmp, Seq("c_custkey"),
+        tsOpt = Some(1000L), overwrite = true, inferEnums = true,
+        maxEnumValues = 64) // c_name has >=150 distinct at every sf
+      val schema = ArrayTable.schemaOf(s, tmp)
+      require(schema.attr("c_mktsegment").enumLabel.isDefined,
+        "enum inference missed c_mktsegment")
+      require(schema.attr("c_name").enumLabel.isEmpty,
+        "enum inference must not dictionary-encode an all-distinct column")
+    }
+
+  /** lineitem array with a complex128-typed attribute (fixed 2-cell
+    * multi-value cells): (l_extendedprice, l_discount) packed per cell. */
+  private def mvLineitem(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "mv_lineitem") { tmp =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        array(col("l_extendedprice"), col("l_discount")).as("price_pair"))
+      val schema = ArraySchema(
+        dims = Seq(Dim("l_orderkey", "int64"), Dim("l_linenumber", "int32")),
+        attrs = Seq(Attr("price_pair", "complex128")),
+        allowsDuplicates = true)
+      ArrayTable.create(s, tmp, schema)
+      ArrayTable.write(s, li, tmp, Some(1000L))
+    }
+
   /** orders array with a conditional-delete tombstone at ts=1500 */
   private def delOrders(s: SparkSession, dir: String): String =
     ensureArray(s, dir, "del_orders") { tmp =>
@@ -265,6 +294,15 @@ object SparkEntry {
       .load(ttLineitem(s, d))
       .filter(col("l_quantity") < 24.0)),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
+    // categorical->enum inference round-trip: codes on disk, decoded
+    // values on read must hash-match the plain source table
+    "enum_infer_roundtrip" -> ((s, d) => ArrayTable.read(s, enumCustomer(s, d))),
+    // fixed 2-cell (complex128) multi-value cells round-trip; unpacked
+    // to scalar re/im columns for the driver-side compare
+    "multivalue_cells" -> ((s, d) => ArrayTable.read(s, mvLineitem(s, d))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(col("price_pair"), 1).as("re"),
+        element_at(col("price_pair"), 2).as("im"))),
 
     // --- label-based slicing (two-phase resolution, SURVEY §2.2) ---
     "label_slice" -> ((s, d) => {
@@ -556,6 +594,9 @@ object SparkEntry {
       "o_orderdate, o_orderpriority FROM orders WHERE NOT (o_orderstatus = 'F')"),
     "evolved_read" -> ("SELECT r_regionkey, r_name, CAST(42 AS BIGINT) AS bonus " +
       "FROM region"),
+    "enum_infer_roundtrip" -> "SELECT * FROM customer",
+    "multivalue_cells" -> ("SELECT l_orderkey, l_linenumber, " +
+      "l_extendedprice AS re, l_discount AS im FROM lineitem"),
     "ev_sessionize_batch" -> ("SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
       "count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +
       "FROM (SELECT user_id, value, sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id " +

@@ -73,9 +73,32 @@ object Dtypes {
     case other => sys.error(s"unsupported Spark type for array-table: $other")
   }
 
-  def sparkType(name: String): DataType =
-    if (name.startsWith("array[")) ArrayType(sparkType(name.stripSuffix("]").stripPrefix("array[")), containsNull = false)
-    else toSpark.getOrElse(name, sys.error(s"unknown dtype: $name"))
+  /** fixed multi-value cells: `array[<base>,<ncells>]` (reference:
+    * homogeneous record dtypes with ncells > 1,
+    * tiledb/datatypes.py:34-45,79-81) */
+  private val FixedArray = """array\[(.+),(\d+)\]""".r
+
+  def sparkType(name: String): DataType = name match {
+    // complex64/128 store as 2-cell float arrays (reference:
+    // tiledb/datatypes.py:59,76-77,184-186). containsNull=true because
+    // parquet-sourced arrays always report nullable elements — a
+    // containsNull=false target would reject every cast from a scan.
+    case "complex64"  => ArrayType(FloatType, containsNull = true)
+    case "complex128" => ArrayType(DoubleType, containsNull = true)
+    case FixedArray(base, _) => ArrayType(sparkType(base), containsNull = true)
+    case n if n.startsWith("array[") =>
+      ArrayType(sparkType(n.stripSuffix("]").stripPrefix("array[")), containsNull = true)
+    case n => toSpark.getOrElse(n, sys.error(s"unknown dtype: $n"))
+  }
+
+  /** Fixed cell count per value, when the dtype declares one. Writes
+    * validate conformance (heterogeneous / ragged cells are rejected,
+    * mirroring reference: tiledb/datatypes.py:41-42). */
+  def ncellsOf(name: String): Option[Int] = name match {
+    case "complex64" | "complex128" => Some(2)
+    case FixedArray(_, n) => Some(n.toInt)
+    case _ => None
+  }
 
   /** dtypes valid as dimensions (reference: tiledb/dimension.py:43-44:
     * integer, unsigned, float, datetime, bytes/ascii). */

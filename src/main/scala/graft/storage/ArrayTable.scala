@@ -116,8 +116,29 @@ object ArrayTable {
     val schema = schemaOf(spark, uri)
     val fs = vfs(spark)
     val dims = schema.dimNames
+    // enum-labelled attrs arriving as values (strings) encode to codes
+    val encoded = schema.attrs.filter(_.enumLabel.isDefined).foldLeft(df) { (acc, a) =>
+      if (acc.columns.contains(a.name) && acc.schema(a.name).dataType == StringType) {
+        val e = schema.enumeration(a.enumLabel.get)
+        val m = map(e.values.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i)) }: _*)
+        acc.withColumn(a.name, when(col(a.name).isNull, lit(null))
+          .otherwise(coalesce(element_at(m, col(a.name)),
+            raise_error(concat(lit(s"value not in enumeration ${e.name}: "), col(a.name))))))
+      } else acc
+    }
+    // fixed-ncells cells (complex / record dtypes) must conform exactly
+    val sized = schema.attrs
+      .flatMap(a => Dtypes.ncellsOf(a.dtype).map(a.name -> _))
+      .foldLeft(encoded) { case (acc, (name, k)) =>
+        if (!acc.columns.contains(name)) acc
+        else acc.withColumn(name, when(col(name).isNull, col(name))
+          .otherwise(when(size(col(name)) === k, col(name))
+            .otherwise(raise_error(concat(
+              lit(s"attr $name expects $k cells per value, got "),
+              size(col(name)).cast(StringType))))))
+      }
     val cols = schema.sparkSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name))
-    val projected = df.select(cols.toSeq: _*)
+    val projected = sized.select(cols.toSeq: _*)
     val laidOut = schema.cellOrder match {
       case "unordered" => projected
       case "col-major" =>
@@ -180,11 +201,49 @@ object ArrayTable {
     * cover csv/parquet/json fronting). */
   def ingest(spark: SparkSession, df: DataFrame, uri: String, dimCols: Seq[String],
       sparse: Boolean = true, tsOpt: Option[Long] = None,
-      overwrite: Boolean = false, allowsDuplicates: Boolean = false): FragmentInfo = {
-    if (overwrite || !exists(spark, uri))
-      create(spark, uri, ArraySchema.infer(df.schema, dimCols, sparse)
-        .copy(allowsDuplicates = allowsDuplicates && sparse), overwrite = true)
+      overwrite: Boolean = false, allowsDuplicates: Boolean = false,
+      inferEnums: Boolean = false, maxEnumValues: Int = 256): FragmentInfo = {
+    if (overwrite || !exists(spark, uri)) {
+      val base = ArraySchema.infer(df.schema, dimCols, sparse)
+        .copy(allowsDuplicates = allowsDuplicates && sparse)
+      val schema = if (inferEnums) withInferredEnums(df, base, maxEnumValues) else base
+      create(spark, uri, schema, overwrite = true)
+    }
     write(spark, df, uri, tsOpt)
+  }
+
+  /** Categorical -> enumeration auto-inference at ingest (the Spark-
+    * native analogue of the reference's from_pandas categorical
+    * detection, reference: tiledb/dataframe_.py:186-210): string attrs
+    * whose cardinality clears `maxEnumValues` become dictionary-encoded
+    * enumerations. Two bounded passes: one approx_count_distinct agg
+    * (constant-size sketches, map-side partial) screens candidates, one
+    * collect_set agg gathers only the qualifying dictionaries (each
+    * <= ~maxEnumValues values). */
+  private def withInferredEnums(df: DataFrame, schema: ArraySchema,
+      maxEnumValues: Int): ArraySchema = {
+    val cands = schema.attrs.filter(a =>
+      (a.dtype == "utf8" || a.dtype == "ascii") && a.enumLabel.isEmpty)
+    if (cands.isEmpty) return schema
+    val cardRow = df.agg(
+      approx_count_distinct(col(cands.head.name)),
+      cands.tail.map(a => approx_count_distinct(col(a.name))): _*).collect()(0)
+    val chosen = cands.zipWithIndex
+      // 1.1x slack: approx_count_distinct under-estimates up to ~5%
+      .filter { case (_, i) => cardRow.getLong(i) <= (maxEnumValues * 1.1).toLong }
+      .map(_._1)
+    if (chosen.isEmpty) return schema
+    val dictRow = df.agg(
+      array_sort(collect_set(col(chosen.head.name))),
+      chosen.tail.map(a => array_sort(collect_set(col(a.name)))): _*).collect()(0)
+    val enums = chosen.zipWithIndex.map { case (a, i) =>
+      Enumeration(s"${a.name}_enum", dictRow.getSeq[String](i))
+    }
+    val chosenNames = chosen.map(_.name).toSet
+    schema.copy(
+      enums = schema.enums ++ enums,
+      attrs = schema.attrs.map(a =>
+        if (chosenNames(a.name)) a.copy(enumLabel = Some(s"${a.name}_enum")) else a))
   }
 
   /** Hilbert cell order: partition + sort fragments by the Hilbert
@@ -287,6 +346,43 @@ object ArrayTable {
     }
   }
 
+  private def fragmentNamed(spark: SparkSession, uri: String, name: String): FragmentInfo =
+    fragments(spark, uri).find(_.name == name)
+      .getOrElse(sys.error(s"no fragment $name at $uri"))
+
+  /** Copy one fragment into another (schema-compatible) array as a new
+    * fragment at the same timestamp (reference: fragment copy tools,
+    * tiledb/fragment.py:273-385). Data is re-laid-out and re-validated
+    * against the target schema. */
+  def copyFragment(spark: SparkSession, fromUri: String, fragName: String,
+      toUri: String): FragmentInfo = {
+    val f = fragmentNamed(spark, fromUri, fragName)
+    write(spark, spark.read.parquet(s"${f.path}/data"), toUri, Some(f.ts))
+  }
+
+  /** Rewrite a fragment in place from its own data — fresh layout and
+    * fresh footer stats at the same timestamp (reference: fragment
+    * recreate tool, tiledb/fragment.py:387-511). The old directory moves
+    * to __trash (vacuum removes it). */
+  def recreateFragment(spark: SparkSession, uri: String, fragName: String): FragmentInfo = {
+    val fs = vfs(spark)
+    val f = fragmentNamed(spark, uri, fragName)
+    val info = write(spark, spark.read.parquet(s"${f.path}/data"), uri, Some(f.ts))
+    fs.mkdirs(s"$uri/__trash")
+    fs.rename(f.path, s"$uri/__trash/${f.name}")
+    info
+  }
+
+  /** Per-row-group MBRs of one fragment — the reference's per-tile
+    * `mbrs` surface (reference: tiledb/fragment.py:13-270), straight
+    * from parquet footers. */
+  def fragmentMbrs(spark: SparkSession, uri: String,
+      fragName: String): Seq[Map[String, (JVal, JVal)]] = {
+    val f = fragmentNamed(spark, uri, fragName)
+    FooterStats.rowGroupMbrs(spark.sparkContext.hadoopConfiguration,
+      s"${f.path}/data", schemaOf(spark, uri).dimNames)
+  }
+
   // -------------------------------------------------------------- reads
 
   /** Resolve the array to a DataFrame: fragment list -> timestamp filter
@@ -301,11 +397,20 @@ object ArrayTable {
       at: Option[(Long, Long)] = None,
       ranges: Map[String, (Option[Any], Option[Any])] = Map.empty,
       keepVersionCols: Boolean = false): DataFrame = {
-    val schema = schemaOf(spark, uri)
     val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
     val frags0 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
     val frags = frags0.filter(f => mbrIntersects(f, ranges))
     val dels = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+    resolveFragments(spark, uri, frags, dels, ranges, keepVersionCols)
+  }
+
+  /** MVCC resolution over an explicit fragment subset (the read path,
+    * and the unit of partial consolidation). */
+  private def resolveFragments(spark: SparkSession, uri: String,
+      frags: Seq[FragmentInfo], dels: Seq[DeleteEntry],
+      ranges: Map[String, (Option[Any], Option[Any])] = Map.empty,
+      keepVersionCols: Boolean = false): DataFrame = {
+    val schema = schemaOf(spark, uri)
 
     // MVCC resolution work actually needed for THIS read:
     val needDedup = !schema.allowsDuplicates && frags.size > 1 && anyOverlap(frags)
@@ -487,6 +592,51 @@ object ArrayTable {
   def vacuum(spark: SparkSession, uri: String): Unit =
     vfs(spark).delete(s"$uri/__trash")
 
+  /** Size-balanced consolidation plan from fragment manifests only —
+    * pure driver metadata, no data scan (reference:
+    * tiledb/consolidation_plan.py:9-108). Time-ordered fragments pack
+    * greedily into nodes capped at `maxCellsPerNode`; nodes stay
+    * time-contiguous so a merged fragment's single timestamp preserves
+    * cross-node shadowing order. */
+  def consolidationPlan(spark: SparkSession, uri: String,
+      maxCellsPerNode: Long = 50000000L): Seq[Seq[FragmentInfo]] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[FragmentInfo]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[FragmentInfo]
+    var cells = 0L
+    fragments(spark, uri).foreach { f =>
+      // never split inside a run of equal timestamps: the merged node
+      // takes a fresh (max) seq at its max ts, which must not leapfrog
+      // an unmerged same-ts fragment in shadowing order
+      if (cur.nonEmpty && cells + f.cellCount > maxCellsPerNode && cur.last.ts != f.ts) {
+        groups += cur.toSeq
+        cur = scala.collection.mutable.ArrayBuffer.empty[FragmentInfo]
+        cells = 0L
+      }
+      cur += f; cells += f.cellCount
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    groups.toSeq
+  }
+
+  /** Partial consolidation: merge each multi-fragment plan node into one
+    * fragment stamped at the node's max timestamp; single-fragment nodes
+    * are left untouched. Delete tombstones are baked into the merged
+    * rows (idempotent — readers re-apply them to the new fragment) but
+    * the log is preserved, since tombstones may still affect fragments
+    * outside the plan. */
+  def consolidate(spark: SparkSession, uri: String,
+      plan: Seq[Seq[FragmentInfo]]): Seq[FragmentInfo] = {
+    val fs = vfs(spark)
+    val dels = deletes(spark, uri)
+    plan.filter(_.size >= 2).map { group =>
+      val merged = resolveFragments(spark, uri, group, dels)
+      val info = write(spark, merged, uri, Some(group.map(_.ts).max))
+      fs.mkdirs(s"$uri/__trash")
+      group.foreach(f => fs.rename(f.path, s"$uri/__trash/${f.name}"))
+      info
+    }
+  }
+
   // ----------------------------------------------------------- metadata
 
   /** Array metadata KV (reference: tiledb/metadata.py:53-263). */
@@ -511,4 +661,37 @@ object ArrayTable {
     val p = s"$uri/__meta.json"
     if (fs.exists(p)) Json.parse(fs.readString(p)).obj else JObj(Nil)
   }
+
+  private val NpFlat = "__np_flat_"; private val NpShape = "__np_shape_"
+
+  /** ndarray-valued metadata: flattened values + shape stored under
+    * companion prefixed keys, mirroring the reference's numpy flattening
+    * (reference: tiledb/metadata.py:58-59,81-87). */
+  def putMetaNd(spark: SparkSession, uri: String, key: String,
+      flat: Seq[JVal], shape: Seq[Long]): Unit = {
+    require(shape.product == flat.size,
+      s"shape ${shape.mkString("x")} does not match ${flat.size} values")
+    putMeta(spark, uri, s"$NpFlat$key", JArr(flat))
+    putMeta(spark, uri, s"$NpShape$key", JArr(shape.map(JLong)))
+  }
+
+  /** (flat values, shape) of an ndarray-valued metadata entry. */
+  def getMetaNd(spark: SparkSession, uri: String, key: String): Option[(Seq[JVal], Seq[Long])] =
+    for {
+      flat <- getMeta(spark, uri, s"$NpFlat$key")
+      shape <- getMeta(spark, uri, s"$NpShape$key")
+    } yield (flat.arr, shape.arr.map(_.long))
+
+  def deleteMetaNd(spark: SparkSession, uri: String, key: String): Unit = {
+    deleteMeta(spark, uri, s"$NpFlat$key")
+    deleteMeta(spark, uri, s"$NpShape$key")
+  }
+
+  /** Logical key listing: ndarray companion keys collapse to their bare
+    * name (the reference hides the flattening prefixes the same way). */
+  def metaKeys(spark: SparkSession, uri: String): Seq[String] =
+    metaAll(spark, uri).fields.map(_._1)
+      .filterNot(_.startsWith(NpShape))
+      .map(k => if (k.startsWith(NpFlat)) k.stripPrefix(NpFlat) else k)
+      .distinct.sorted
 }

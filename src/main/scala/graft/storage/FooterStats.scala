@@ -70,6 +70,45 @@ object FooterStats {
     else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Per-row-group MBRs — the analogue of the reference's per-tile MBR
+    * list (reference: tiledb/fragment.py `mbrs`). One footer read per
+    * file; row groups without usable stats yield empty maps. */
+  def rowGroupMbrs(conf: Configuration, dataDir: String, dims: Seq[String])
+      : Seq[Map[String, (JVal, JVal)]] = {
+    val dir = new Path(dataDir)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    files.toSeq.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        footer.getBlocks.asScala.map { block =>
+          block.getColumns.asScala.flatMap { cc =>
+            val name = cc.getPath.toDotString
+            if (!dims.contains(name)) None
+            else {
+              val stats = cc.getStatistics
+              if (stats == null || !stats.hasNonNullValue) None
+              else {
+                val fieldIdx = schema.getFieldIndex(name)
+                val ptype = schema.getType(fieldIdx).asPrimitiveType()
+                for {
+                  lo <- decode(stats.genericGetMin.asInstanceOf[AnyRef],
+                    ptype.getPrimitiveTypeName, ptype.getLogicalTypeAnnotation)
+                  hi <- decode(stats.genericGetMax.asInstanceOf[AnyRef],
+                    ptype.getPrimitiveTypeName, ptype.getLogicalTypeAnnotation)
+                } yield name -> (lo, hi)
+              }
+            }
+          }.toMap
+        }.toSeq
+      } finally reader.close()
+    }
+  }
+
   private def decode(v: AnyRef, t: PrimitiveTypeName,
       logical: LogicalTypeAnnotation): Option[JVal] = (v, t) match {
     case (x: java.lang.Long, _) => Some(JLong(x))

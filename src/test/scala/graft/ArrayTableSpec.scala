@@ -119,6 +119,57 @@ class ArrayTableSpec extends SparkSpec {
     ArrayTable.vacuum(spark, uri)
   }
 
+  test("consolidation plan: size-balanced nodes; partial execution keeps others intact") {
+    val uri = freshUri("consolplan")
+    // four fragments of 1-2 cells each
+    ArrayTable.ingest(spark, sample.filter($"x" === 1), uri, dims, tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.filter($"x" === 2), uri, Some(200L))
+    ArrayTable.write(spark, sample.filter($"x" === 5), uri, Some(300L))
+    ArrayTable.write(spark, Seq((9L, 1, 90.0, "z")).toDF("x", "y", "v", "s"), uri, Some(400L))
+    val before = ArrayTable.read(spark, uri).collect().toSet
+    // cap 3 cells/node: [f1(2 cells), f2(1)] then [f3(1), f4(1)]
+    val plan = ArrayTable.consolidationPlan(spark, uri, maxCellsPerNode = 3L)
+    assert(plan.size == 2, s"plan: ${plan.map(_.map(_.name))}")
+    assert(plan.head.map(_.ts) == Seq(100L, 200L))
+    assert(plan(1).map(_.ts) == Seq(300L, 400L))
+    // execute only the FIRST node: 4 fragments -> 3, answers unchanged
+    val merged = ArrayTable.consolidate(spark, uri, Seq(plan.head))
+    assert(merged.size == 1 && merged.head.ts == 200L)
+    val after = ArrayTable.fragments(spark, uri)
+    assert(after.size == 3)
+    assert(after.map(_.ts).sorted == Seq(200L, 300L, 400L))
+    assert(ArrayTable.read(spark, uri).collect().toSet == before)
+    // equal-ts runs never split across nodes
+    val uri2 = freshUri("consolplan2")
+    ArrayTable.ingest(spark, sample.filter($"x" === 1), uri2, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.filter($"x" === 2), uri2, Some(100L))
+    ArrayTable.write(spark, sample.filter($"x" === 5), uri2, Some(100L))
+    assert(ArrayTable.consolidationPlan(spark, uri2, maxCellsPerNode = 1L).size == 1)
+  }
+
+  test("fragment tools: copy across arrays, recreate in place, per-row-group mbrs") {
+    val src = freshUri("fragsrc")
+    val dst = freshUri("fragdst")
+    ArrayTable.ingest(spark, sample, src, dims, tsOpt = Some(100L), overwrite = true)
+    val fragName = ArrayTable.fragments(spark, src).head.name
+    // copy: same rows land in the destination at the source timestamp
+    ArrayTable.create(spark, dst, ArrayTable.schemaOf(spark, src))
+    val copied = ArrayTable.copyFragment(spark, src, fragName, dst)
+    assert(copied.ts == 100L && copied.cellCount == 4L)
+    assert(ArrayTable.read(spark, dst).collect().toSet ==
+      ArrayTable.read(spark, src).collect().toSet)
+    // recreate: fragment count unchanged, data identical, old dir trashed
+    val before = ArrayTable.read(spark, src).collect().toSet
+    val recreated = ArrayTable.recreateFragment(spark, src, fragName)
+    assert(recreated.ts == 100L && recreated.name != fragName)
+    assert(ArrayTable.fragments(spark, src).map(_.name) == Seq(recreated.name))
+    assert(ArrayTable.read(spark, src).collect().toSet == before)
+    // per-row-group MBRs cover the written dims
+    val mbrs = ArrayTable.fragmentMbrs(spark, src, recreated.name)
+    assert(mbrs.nonEmpty)
+    assert(mbrs.forall(m => m.contains("x") && m.contains("y")))
+  }
+
   test("schema evolution: added attr fills old fragments; dropped attr disappears") {
     val uri = freshUri("evolve")
     ArrayTable.ingest(spark, sample, uri, dims, tsOpt = Some(100L), overwrite = true)
@@ -152,6 +203,58 @@ class ArrayTableSpec extends SparkSpec {
     assert(s2.enumeration("colors").values == Seq("red", "green", "blue", "black"))
     assertThrows[IllegalArgumentException] {
       Enumeration("colors", Seq("red")).extend(Seq("red"))
+    }
+  }
+
+  test("enum inference at ingest: low-cardinality strings become enums") {
+    val uri = freshUri("enuminfer")
+    val data = Seq(
+      (1L, "red", "alpha"), (2L, "blue", "beta"), (3L, "red", "gamma"),
+      (4L, "green", "delta"), (5L, "blue", "epsilon")).toDF("x", "color", "name")
+    ArrayTable.ingest(spark, data, uri, Seq("x"), tsOpt = Some(100L),
+      overwrite = true, inferEnums = true, maxEnumValues = 3)
+    val schema = ArrayTable.schemaOf(spark, uri)
+    assert(schema.attr("color").enumLabel.contains("color_enum"))
+    assert(schema.enumeration("color_enum").values == Seq("blue", "green", "red"))
+    assert(schema.attr("name").enumLabel.isEmpty) // 5 distinct > maxEnumValues
+    // decoded read round-trips the original values
+    val back = ArrayTable.read(spark, uri).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(back == data.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    // codes, not strings, are on disk
+    val frag = ArrayTable.fragments(spark, uri).head
+    val raw = spark.read.parquet(s"${frag.path}/data")
+    assert(raw.schema("color").dataType == org.apache.spark.sql.types.IntegerType)
+    // later writes with string values auto-encode through the dictionary
+    ArrayTable.write(spark, Seq((6L, "green", "zeta")).toDF("x", "color", "name"), uri, Some(200L))
+    assert(ArrayTable.read(spark, uri).filter($"x" === 6L).collect()(0).getString(1) == "green")
+    // out-of-dictionary values fail loudly instead of writing null codes
+    assertThrows[Exception] {
+      ArrayTable.write(spark, Seq((7L, "mauve", "eta")).toDF("x", "color", "name"), uri, Some(300L))
+    }
+  }
+
+  test("multi-value cells: fixed ncells validated, complex round-trips") {
+    val uri = freshUri("mvcells")
+    val schema = ArraySchema(
+      dims = Seq(Dim("x", "int64")),
+      attrs = Seq(Attr("z", "complex64"), Attr("triple", "array[int64,3]")))
+    ArrayTable.create(spark, uri, schema)
+    assert(Dtypes.ncellsOf("complex128").contains(2))
+    assert(Dtypes.ncellsOf("array[int64,3]").contains(3))
+    assert(Dtypes.ncellsOf("array[int64]").isEmpty)
+    val good = Seq(
+      (1L, Array(1.0f, 2.0f), Array(1L, 2L, 3L)),
+      (2L, Array(-0.5f, 0.25f), Array(4L, 5L, 6L))).toDF("x", "z", "triple")
+    ArrayTable.write(spark, good, uri, Some(100L))
+    val back = ArrayTable.read(spark, uri).orderBy("x").collect()
+    assert(back(0).getSeq[Float](1) == Seq(1.0f, 2.0f))
+    assert(back(1).getSeq[Long](2) == Seq(4L, 5L, 6L))
+    // ragged cells rejected at write (reference rejects heterogeneous
+    // record dtypes, tiledb/datatypes.py:41-42)
+    assertThrows[Exception] {
+      ArrayTable.write(spark,
+        Seq((3L, Array(1.0f), Array(1L, 2L, 3L))).toDF("x", "z", "triple"), uri, Some(200L))
     }
   }
 
@@ -210,6 +313,19 @@ class ArrayTableSpec extends SparkSpec {
     ArrayTable.deleteMeta(spark, uri, "owner")
     assert(ArrayTable.getMeta(spark, uri, "owner").isEmpty)
     assert(ArrayTable.getMeta(spark, uri, "version").contains(JLong(3L)))
+    // ndarray-valued entries: flat values + shape round-trip under
+    // companion keys; listing collapses them to the bare name
+    ArrayTable.putMetaNd(spark, uri, "calib",
+      Seq(1.5, 2.5, 3.5, 4.5, 5.5, 6.5).map(JNum), Seq(2L, 3L))
+    val (flat, shape) = ArrayTable.getMetaNd(spark, uri, "calib").get
+    assert(shape == Seq(2L, 3L))
+    assert(flat == Seq(1.5, 2.5, 3.5, 4.5, 5.5, 6.5).map(JNum))
+    assert(ArrayTable.metaKeys(spark, uri) == Seq("calib", "version"))
+    assertThrows[IllegalArgumentException] {
+      ArrayTable.putMetaNd(spark, uri, "bad", Seq(JNum(1.0)), Seq(2L, 2L))
+    }
+    ArrayTable.deleteMetaNd(spark, uri, "calib")
+    assert(ArrayTable.getMetaNd(spark, uri, "calib").isEmpty)
   }
 
   test("groups: create/add/ls/walk/remove/object_type") {
