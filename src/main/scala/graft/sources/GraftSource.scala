@@ -2,9 +2,13 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.storage.ArrayTable
 
 /** The array-table as a first-class Spark data source:
@@ -15,15 +19,20 @@ import graft.storage.ArrayTable
   *   df.write.format("graft").option("dims","x,y").mode("append").save(uri)
   * }}}
   *
-  * Read side implements `PrunedFilteredScan`, so Catalyst hands us the
-  * required columns and the pushable predicates: dim-range filters
-  * become fragment MBR pruning (partition-pruning analogue) AND are
-  * re-applied by the underlying parquet scan (row-group pruning);
-  * column pruning propagates to the parquet reader. Write side appends
-  * one immutable fragment per save (MVCC preserved for every writer).
+  * Reads go through DataSource V2: `getTable` inspects the array's
+  * driver-side metadata and, when a bare multi-path parquet scan is
+  * semantically sufficient (no shadowing/tombstones/version drift/enum
+  * decode — `ArrayTable.fastPathFragments`), serves a columnar
+  * `BatchScan` that delegates to Spark's vectorized parquet scan with
+  * pushed filters + pruned columns, plus fragment MBR pruning at plan
+  * time. When MVCC resolution is required the table advertises no
+  * read capability, so Spark falls back to the V1
+  * `PrunedFilteredScan` below, which composes the full resolution
+  * DataFrame. Writes always take the V1 path (append one immutable
+  * fragment per save — MVCC preserved for every writer).
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with TableProvider {
 
   override def shortName(): String = "graft"
 
@@ -34,6 +43,25 @@ class GraftSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): BaseRelation =
     GraftRelation(sqlContext, path(parameters),
       parameters.get("t0").map(_.toLong), parameters.get("t1").map(_.toLong))
+
+  // ------------------------------------------------------ DataSource V2
+
+  /** Empty schema when the array doesn't exist yet: a write to a fresh
+    * uri must reach the V1 create path instead of erroring here. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val uri = Option(options.get("path")).getOrElse(sys.error("graft source needs a path"))
+    if (ArrayTable.exists(spark, uri)) ArrayTable.schemaOf(spark, uri).sparkSchema
+    else new StructType()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val uri = Option(properties.get("path")).getOrElse(sys.error("graft source needs a path"))
+    GraftTable(SparkSession.active, uri,
+      Option(properties.get("t0")).map(_.toLong),
+      Option(properties.get("t1")).map(_.toLong))
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -139,5 +167,82 @@ object GraftRelation {
     filters.flatMap(walk).groupBy(_._1).map { case (d, bs) =>
       d -> (bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
     }
+  }
+}
+
+/** V2 table: advertises BATCH_READ only when the metadata proves a bare
+  * parquet scan is sufficient; otherwise Spark's loader sees no read
+  * capability and falls back to the V1 relation on the same class. */
+case class GraftTable(spark: SparkSession, uri: String,
+    t0: Option[Long], t1: Option[Long]) extends Table with SupportsRead {
+
+  private def at: Option[(Long, Long)] = (t0, t1) match {
+    case (None, None) => None
+    case (a, b) => Some((a.getOrElse(0L), b.getOrElse(Long.MaxValue)))
+  }
+
+  private lazy val arraySchema =
+    if (ArrayTable.exists(spark, uri)) Some(ArrayTable.schemaOf(spark, uri)) else None
+
+  private lazy val fastFrags: Option[Seq[ArrayTable.FragmentInfo]] =
+    if (arraySchema.isEmpty) None
+    else ArrayTable.fastPathFragments(spark, uri, at)
+
+  override def name(): String = s"graft:$uri"
+
+  override def schema(): StructType =
+    arraySchema.map(_.sparkSchema).getOrElse(new StructType())
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (fastFrags.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.Collections.emptySet()
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, uri, arraySchema.get, fastFrags.get, options)
+}
+
+/** Delegating scan builder: fragment MBR pruning from the pushed
+  * filters happens here (partition-pruning analogue, driver-side), then
+  * Spark's own vectorized ParquetScan serves the data — columnar
+  * batches, row-group stat pruning and column pruning included. */
+class GraftScanBuilder(spark: SparkSession, uri: String,
+    arraySchema: graft.core.ArraySchema,
+    frags: Seq[ArrayTable.FragmentInfo],
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  // parquet arrays/timestamps read back nullable; relaxed nullability
+  // keeps the delegate's read schema consistent with the files
+  private val dataSchema: StructType =
+    StructType(arraySchema.sparkSchema.fields.map(_.copy(nullable = true)))
+  private var requiredSchema: StructType = dataSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftRelation.translatable)
+    filters // parquet pushdown is best-effort: everything re-evaluates above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = StructType(dataSchema.fields.filter(f =>
+      required.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val dimSet = arraySchema.dimNames.toSet
+    val bounds = GraftRelation.boundsOf(
+      pushed.filter(f => GraftRelation.refs(f).forall(dimSet)), dimSet)
+    val pruned = frags.filter(f => ArrayTable.mbrIntersects(f, bounds))
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark,
+      pruned.map(f => new org.apache.hadoop.fs.Path(s"${f.path}/data")),
+      Map.empty[String, String], Some(dataSchema))
+    val delegate = org.apache.spark.sql.execution.datasources.v2.parquet
+      .ParquetScanBuilder(spark, index, dataSchema, dataSchema, options)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan(
+      spark, delegate.hadoopConf, index,
+      dataSchema, requiredSchema, new StructType(),
+      pushed, options)
   }
 }

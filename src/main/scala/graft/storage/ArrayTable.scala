@@ -385,6 +385,28 @@ object ArrayTable {
 
   // -------------------------------------------------------------- reads
 
+  /** Fragments readable through a BARE multi-path parquet scan — no
+    * shadowing dedup, no tombstones, no version alignment, no enum
+    * decode — for the given time-travel window, after MBR pruning
+    * against `ranges`. None when the MVCC resolution path is required;
+    * callers (the DSv2 source) use this to decide whether a columnar
+    * file scan is semantically sufficient. */
+  def fastPathFragments(spark: SparkSession, uri: String,
+      at: Option[(Long, Long)] = None,
+      ranges: Map[String, (Option[Any], Option[Any])] = Map.empty): Option[Seq[FragmentInfo]] = {
+    val schema = schemaOf(spark, uri)
+    val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
+    val frags0 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+    val frags = frags0.filter(f => mbrIntersects(f, ranges))
+    val dels = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+    val needDedup = !schema.allowsDuplicates && frags.size > 1 && anyOverlap(frags)
+    val singleVersion = frags.forall(_.schemaVersion == schema.version)
+    val noEnums = schema.attrs.forall(_.enumLabel.isEmpty)
+    if (frags.nonEmpty && !needDedup && dels.isEmpty && singleVersion && noEnums)
+      Some(frags)
+    else None
+  }
+
   /** Resolve the array to a DataFrame: fragment list -> timestamp filter
     * (time travel) -> MBR prune -> multi-path parquet scan -> shadowing
     * dedup -> delete tombstones -> enum decode.
@@ -491,7 +513,7 @@ object ArrayTable {
 
   /** Fragment-level MBR pruning against requested dim ranges (numeric
     * dims; non-numeric comparisons conservatively keep the fragment). */
-  private def mbrIntersects(f: FragmentInfo,
+  private[graft] def mbrIntersects(f: FragmentInfo,
       ranges: Map[String, (Option[Any], Option[Any])]): Boolean =
     ranges.forall { case (d, (lo, hi)) =>
       f.mbr.get(d) match {

@@ -48,6 +48,64 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(uri).count() == 100)
   }
 
+  test("v2 path: fast-path reads plan as a columnar BatchScan with pushed filters") {
+    val uri = TestSession.tmpDir("dsv2plan")
+    sample.write.format("graft").option("dims", "x,y").save(uri)
+    val df = spark.read.format("graft").load(uri)
+      .filter($"x" between (10, 20)).select("x", "v")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1, s"expected BatchScanExec, plan:\n${df.queryExecution.executedPlan}")
+    val scan = scans.head.scan
+    assert(scan.isInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan])
+    val ps = scan.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    assert(ps.pushedFilters.nonEmpty, "dim range filters must reach the parquet scan")
+    assert(ps.readDataSchema.fieldNames.toSeq == Seq("x", "v"), "columns must prune")
+    assert(df.select("x").as[Long].collect().sorted.toSeq == (10L to 20L))
+  }
+
+  test("v2 path: fragment MBR pruning reaches the file index") {
+    val uri = TestSession.tmpDir("dsv2mbr")
+    // two disjoint fragments: x in [1,50] and x in [51,100]
+    ArrayTable.ingest(spark, sample.filter($"x" <= 50), uri, Seq("x", "y"),
+      tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.filter($"x" > 50), uri, Some(200L))
+    val df = spark.read.format("graft").load(uri).filter($"x" <= 10)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1)
+    val ps = scans.head.scan.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    assert(ps.fileIndex.rootPaths.size == 1, "second fragment must MBR-prune away")
+    assert(df.count() == 10)
+  }
+
+  test("v1 fallback: arrays needing MVCC resolution still read correctly") {
+    val uri = TestSession.tmpDir("dsv2fall")
+    ArrayTable.ingest(spark, sample, uri, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.delete(spark, uri, "y == 1", Some(150L))
+    val df = spark.read.format("graft").load(uri)
+    // tombstone forces the resolution path -> no v2 BatchScan
+    val v2scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(v2scans.isEmpty, "resolution reads must fall back to V1")
+    assert(df.count() == sample.filter($"y" =!= 1).count())
+    // shadowing (overlapping fragments) also falls back
+    val uri2 = TestSession.tmpDir("dsv2fall2")
+    ArrayTable.ingest(spark, sample, uri2, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.limit(5).withColumn("v", lit(0.0)), uri2, Some(200L))
+    val df2 = spark.read.format("graft").load(uri2)
+    assert(df2.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.isEmpty)
+    assert(df2.filter($"v" === 0.0).count() == 5)
+  }
+
   test("sql over the source via temp view") {
     val uri = TestSession.tmpDir("dsv1sql")
     sample.write.format("graft").option("dims", "x,y").save(uri)
