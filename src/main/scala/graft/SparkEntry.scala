@@ -118,6 +118,22 @@ object SparkEntry {
       ArrayTable.addAttr(s, tmp, Attr("bonus", "int64", fill = Some("42")))
     }
 
+  /** evolved region migrated in place: `upgrade_version` rewrites the
+    * stale pre-evolve fragment under the current schema version with the
+    * fill value baked in, so every fragment shares one version and reads
+    * skip per-fragment alignment (reference: tiledb/array.py:794-803). */
+  private def upgradedRegion(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "upgraded_region") { tmp =>
+      ArrayTable.ingest(s, t(s, dir, "region"), tmp, Seq("r_regionkey"),
+        tsOpt = Some(1000L), overwrite = true)
+      ArrayTable.addAttr(s, tmp, Attr("bonus", "int64", fill = Some("42")))
+      val migrated = ArrayTable.upgradeVersion(s, tmp)
+      require(migrated.nonEmpty, "upgrade_version found no stale fragment")
+      val latest = ArrayTable.schemaOf(s, tmp).version
+      require(ArrayTable.fragments(s, tmp).forall(_.schemaVersion == latest),
+        "upgrade_version left a stale fragment behind")
+    }
+
   /** customer array ingested with categorical->enum auto-inference:
     * c_mktsegment (5 values) becomes a dictionary-encoded enumeration;
     * c_name (all-distinct) stays a plain string. */
@@ -294,6 +310,9 @@ object SparkEntry {
       .load(ttLineitem(s, d))
       .filter(col("l_quantity") < 24.0)),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
+    // upgrade_version migration: post-migration read must equal the
+    // evolved read (fill baked into the rewritten fragment)
+    "upgraded_read" -> ((s, d) => ArrayTable.read(s, upgradedRegion(s, d))),
     // categorical->enum inference round-trip: codes on disk, decoded
     // values on read must hash-match the plain source table
     "enum_infer_roundtrip" -> ((s, d) => ArrayTable.read(s, enumCustomer(s, d))),
@@ -593,6 +612,8 @@ object SparkEntry {
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
       "o_orderdate, o_orderpriority FROM orders WHERE NOT (o_orderstatus = 'F')"),
     "evolved_read" -> ("SELECT r_regionkey, r_name, CAST(42 AS BIGINT) AS bonus " +
+      "FROM region"),
+    "upgraded_read" -> ("SELECT r_regionkey, r_name, CAST(42 AS BIGINT) AS bonus " +
       "FROM region"),
     "enum_infer_roundtrip" -> "SELECT * FROM customer",
     "multivalue_cells" -> ("SELECT l_orderkey, l_linenumber, " +

@@ -193,7 +193,73 @@ object ArrayTable {
     * schema evolution op (reference: tiledb/schema_evolution.py:57-74). */
   def expandCurrentDomain(spark: SparkSession, uri: String,
       cd: Map[String, (String, String)]): ArraySchema =
+    setCurrentDomain(spark, uri, cd)
+
+  /** Set the current domain to an arbitrary ND-rectangle — shrink
+    * included. A shrink is validated against fragment manifests alone
+    * (no data scan): every written MBR must stay inside the new
+    * rectangle, so no committed cell ever falls outside the declared
+    * writable region (reference: tiledb/current_domain.py:8-52,
+    * tiledb/ndrectangle.py:9-54; libtiledb only permits expansion at
+    * evolve time — the shrink here carries the manifest proof instead). */
+  def setCurrentDomain(spark: SparkSession, uri: String,
+      cd: Map[String, (String, String)]): ArraySchema = {
+    val schema = schemaOf(spark, uri)
+    cd.keys.foreach(d =>
+      require(schema.dims.exists(_.name == d), s"no such dimension: $d"))
+    fragments(spark, uri).foreach { f =>
+      cd.foreach { case (d, (loS, hiS)) =>
+        f.mbr.get(d).foreach { case (mLo, mHi) =>
+          val numeric = for {
+            a <- jNum(mLo); b <- jNum(mHi)
+            lo <- scala.util.Try(loS.toDouble).toOption
+            hi <- scala.util.Try(hiS.toDouble).toOption
+          } yield a >= lo && b <= hi
+          val inside = numeric.getOrElse((mLo, mHi) match {
+            case (JStr(a), JStr(b)) => a >= loS && b <= hiS
+            case _ => true // no comparable stats -> conservatively allow
+          })
+          require(inside, s"cannot set current_domain on dim $d to [$loS,$hiS]: " +
+            s"fragment ${f.name} holds written cells in [${mLo.render},${mHi.render}]")
+        }
+      }
+    }
     evolve(spark, uri)(s => s.copy(currentDomain = Some(cd)))
+  }
+
+  /** Migrate every fragment written under an older schema version up to
+    * the latest one (reference: tiledb/array.py:794-803
+    * `upgrade_version`): per old fragment, decode enums with ITS schema
+    * version, re-align columns to the current schema (dropped attrs
+    * removed, added attrs baked in at their fill value), and rewrite at
+    * the original timestamp — MVCC order preserved, old directory moves
+    * to `__trash` for vacuum. Afterwards all fragments share the current
+    * version, so reads skip per-fragment alignment and the DSv2 columnar
+    * fast path re-opens for non-enum arrays. One distributed
+    * read+write per stale fragment; fragments already current are
+    * untouched. */
+  def upgradeVersion(spark: SparkSession, uri: String): Seq[FragmentInfo] = {
+    val fs = vfs(spark)
+    val target = schemaOf(spark, uri)
+    fragments(spark, uri).filter(_.schemaVersion != target.version).map { f =>
+      val fragSchema = schemaOf(spark, uri, Some(f.schemaVersion))
+      val decoded = decodeEnums(spark.read.parquet(s"${f.path}/data"), fragSchema)
+      // align to the current schema at LOGICAL dtypes (enum attrs stay
+      // label strings here; write() re-encodes them to current codes)
+      val cols = target.dims.map(d =>
+          col(d.name).cast(d.sparkField.dataType).as(d.name)) ++
+        target.attrs.map { a =>
+          val logical = Dtypes.sparkType(a.dtype)
+          if (decoded.columns.contains(a.name)) col(a.name).cast(logical).as(a.name)
+          else a.fill.map(v => lit(QueryCondition.castFill(v, a.dtype)).cast(logical))
+            .getOrElse(lit(null).cast(logical)).as(a.name)
+        }
+      val info = write(spark, decoded.select(cols: _*), uri, Some(f.ts))
+      fs.mkdirs(s"$uri/__trash")
+      fs.rename(f.path, s"$uri/__trash/${f.name}")
+      info
+    }
+  }
 
   /** Create-if-missing + write: the `from_*` ingestion family collapses
     * to this (reference: tiledb/highlevel.py:75-150 from_numpy,

@@ -187,6 +187,64 @@ class ArrayTableSpec extends SparkSpec {
     assert(!ArrayTable.read(spark, uri).columns.contains("s"))
   }
 
+  test("upgrade_version rewrites stale fragments to the current schema") {
+    val uri = freshUri("upgrade")
+    ArrayTable.ingest(spark, sample, uri, dims, tsOpt = Some(100L), overwrite = true)
+    ArrayTable.addAttr(spark, uri, Attr("w", "int64", fill = Some("7")))
+    ArrayTable.write(spark,
+      Seq((8L, 8, 80.0, "h", 42L)).toDF("x", "y", "v", "s", "w"), uri, Some(200L))
+    val before = ArrayTable.read(spark, uri).orderBy("x", "y").collect().toSeq
+    val latest = ArrayTable.schemaOf(spark, uri).version
+    assert(ArrayTable.fragments(spark, uri).exists(_.schemaVersion != latest))
+
+    val rewritten = ArrayTable.upgradeVersion(spark, uri)
+    assert(rewritten.size == 1) // only the stale fragment is touched
+    assert(ArrayTable.fragments(spark, uri).forall(_.schemaVersion == latest))
+    // reads are unchanged; the fill value is now baked into the data
+    assert(ArrayTable.read(spark, uri).orderBy("x", "y").collect().toSeq == before)
+    val oldFrag = spark.read.parquet(s"${rewritten.head.path}/data")
+    assert(oldFrag.columns.contains("w"))
+    // idempotent: nothing left to migrate
+    assert(ArrayTable.upgradeVersion(spark, uri).isEmpty)
+  }
+
+  test("upgrade_version re-encodes enums through the current dictionary") {
+    val uri = freshUri("upgradeenum")
+    val data = Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("x", "color")
+    ArrayTable.ingest(spark, data, uri, Seq("x"), tsOpt = Some(100L),
+      overwrite = true, inferEnums = true)
+    ArrayTable.extendEnum(spark, uri, "color_enum", Seq("mauve"))
+    ArrayTable.write(spark, Seq((4L, "mauve")).toDF("x", "color"), uri, Some(200L))
+    val before = ArrayTable.read(spark, uri).orderBy("x").collect().toSeq
+    ArrayTable.upgradeVersion(spark, uri)
+    val latest = ArrayTable.schemaOf(spark, uri).version
+    assert(ArrayTable.fragments(spark, uri).forall(_.schemaVersion == latest))
+    assert(ArrayTable.read(spark, uri).orderBy("x").collect().toSeq == before)
+  }
+
+  test("current_domain shrink: manifest-validated, rejects exposing written cells") {
+    val uri = freshUri("shrinkcd")
+    ArrayTable.ingest(spark, sample, uri, dims, tsOpt = Some(100L), overwrite = true)
+    // sample x in [1,5], y in [1,2]: shrinking to x<=3 would orphan x=5
+    val err = intercept[IllegalArgumentException] {
+      ArrayTable.setCurrentDomain(spark, uri, Map("x" -> ("1", "3")))
+    }
+    assert(err.getMessage.contains("current_domain"))
+    // a rectangle covering all written data is accepted...
+    ArrayTable.setCurrentDomain(spark, uri, Map("x" -> ("1", "6"), "y" -> ("1", "2")))
+    assert(ArrayTable.schemaOf(spark, uri).currentDomain.contains(
+      Map("x" -> ("1", "6"), "y" -> ("1", "2"))))
+    // ...and writes outside the shrunk rectangle now fail
+    assertThrows[Exception] {
+      ArrayTable.write(spark,
+        Seq((9L, 1, 90.0, "z")).toDF("x", "y", "v", "s"), uri, Some(200L))
+    }
+    // unknown dims are rejected
+    assertThrows[IllegalArgumentException] {
+      ArrayTable.setCurrentDomain(spark, uri, Map("nope" -> ("0", "1")))
+    }
+  }
+
   test("enumerations: encode on write, decode on read, extend") {
     val uri = freshUri("enum")
     val schema = ArraySchema(
