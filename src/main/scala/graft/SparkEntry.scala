@@ -395,6 +395,51 @@ object SparkEntry {
         .withColumn("text", concat(col("text"), lit(" x")))
       Dedup.simhashNearDups(docs.unionByName(edited), "doc_id", "text", maxHamming = 3)
     }),
+    // LSH recall gate for minhash_neardups: every planted pair whose
+    // EXACT hashed-shingle jaccard clears the threshold (the ground
+    // truth the banded LSH is approximating) must be recovered at >=0.9.
+    // Measured 1.00 at sf0.001/0.01/0.1 — the corpus texts are long, so
+    // planted-edit jaccard lands >=0.85 where the 64-hash/16-band
+    // S-curve is ~1.0; the floor still fails on any banding/verify
+    // regression. Driver-checkable companion to the rows-only query.
+    "minhash_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      val all = docs.unionByName(edited)
+      val hs = all.select(col("doc_id"), graft.functions.ShingleHashes(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5).as("__hs"))
+      val truth = hs.select(col("doc_id").as("a"), col("__hs").as("__ha"))
+        .join(hs.select((col("doc_id") - 1000000).as("a"), col("__hs").as("__hb")), "a")
+        .filter(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
+          size(array_union(col("__ha"), col("__hb"))).cast("double") >= 0.6)
+        .select("a")
+      val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.6)
+        .filter(col("b") === col("a") + 1000000).select("a")
+      truth.join(found.withColumn("__hit", lit(1)), Seq("a"), "left")
+        .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select((col("recall") >= 0.9).as("recall_ok"))
+    }),
+    // Pigeonhole exactness gate for simhash_neardups: 4x16-bit bands
+    // GUARANTEE any pair within hamming distance 3 shares a band, so
+    // the LSH must find every planted pair whose simhash distance is
+    // <=3 — missed is exactly 0, deterministically, not a floor.
+    "simhash_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" x")))
+      val all = docs.unionByName(edited)
+      val sh = all.select(col("doc_id"), Dedup.simhash(col("text")).as("__sh"))
+      val truth = sh.select(col("doc_id").as("a"), col("__sh").as("__sa"))
+        .join(sh.select((col("doc_id") - 1000000).as("a"), col("__sh").as("__sb")), "a")
+        .filter(Dedup.hammingDist64(col("__sa"), col("__sb")) <= 3)
+        .select("a")
+      val found = Dedup.simhashNearDups(all, "doc_id", "text", maxHamming = 3)
+        .filter(col("b") === col("a") + 1000000).select("a")
+      truth.join(found.withColumn("__hit", lit(1)), Seq("a"), "left")
+        .agg(sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("missed"))
+    }),
     "embedding_neardups" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val jittered = e.withColumn("vec_id", col("vec_id") + 1000000)
@@ -455,6 +500,20 @@ object SparkEntry {
     "text_minhash_sig" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("rolling_fp"))),
+    // Semantic gate for the content-defined fingerprint (whose 64-bit
+    // wraparound arithmetic DuckDB can't reproduce). Winnowing-style
+    // min-hash fingerprints collide on similar texts BY DESIGN, so the
+    // checkable contract is its documented invariance: the fingerprint
+    // must be identical under whitespace mangling and case changes,
+    // deterministically, for every document -> violations = 0.
+    "text_fp_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = TextAnalysis.fingerprint(col("text"))
+      val mangled = TextAnalysis.fingerprint(
+        concat(lit("  "), regexp_replace(upper(col("text")), " ", "\t  "), lit(" ")))
+      docs.select(when(base === mangled, 0L).otherwise(1L).as("__v"))
+        .agg(sum(col("__v")).as("violations"))
+    }),
 
     // --- multimodal plumbing (stub codec, real batch shape) ---
     "media_decode" -> ((s, d) => {
@@ -728,6 +787,9 @@ object SparkEntry {
       "SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999"),
 
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
+    "minhash_recall" -> "SELECT true AS recall_ok",
+    "simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed",
+    "text_fp_gate" -> "SELECT CAST(0 AS BIGINT) AS violations",
     "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
       "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
       "WHERE event_type = 'click') c " +
@@ -753,10 +815,10 @@ object SparkEntry {
       "AS TIMESTAMP) AS window_start, event_type, count(*) AS n, " +
       "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +
       "FROM events GROUP BY 1, 2"),
-    // rows-only checks (non-SQL-expressible or approximate):
-    //   minhash_neardups, simhash_neardups (probabilistic LSH recall on
-    //   organic pairs), knn_ivf (xxhash64-seeded centroid sample),
-    //   text_minhash_sig (64-bit wraparound rolling hash), media_decode's
-    //   frame sampling
+    // rows-only checks (non-SQL-expressible or approximate), each now
+    // paired with a driver-checkable gate query:
+    //   minhash_neardups -> minhash_recall, simhash_neardups ->
+    //   simhash_recall, knn_ivf -> knn_ivf_recall, text_minhash_sig ->
+    //   text_fp_gate
   )
 }
