@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst kernels for the vector-similarity hot paths.
+  *
+  * The higher-order-function formulations (`aggregate(zip_with(...))`)
+  * are declarative but NOT whole-stage-codegen'd: Spark evaluates the
+  * lambda per array element through an interpreted expression tree, so
+  * a dot product costs an expression-eval per component. These kernels
+  * do the same arithmetic — bit-identically, including Spark's exact
+  * xxhash64 seed chain — in one tight primitive loop per row, emitted
+  * as a single static call inside whole-stage codegen (same pattern as
+  * [[ShingleHashes]] / [[MinHashSig]]).
+  *
+  * Bit-exactness matters: `embedding_neardups` is hash-checked against
+  * the DuckDB oracle and the simhash/hyperplane band queries feed
+  * deterministic recall gates, so each kernel reproduces the HOF
+  * result exactly (same accumulation order, same `% 1000` remainder
+  * semantics, same strict `> 0` sign test).
+  */
+object VectorKernels {
+  private[functions] def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  private[functions] def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** dot(a, b) as one fused loop. Mirrors
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, acc + v)` exactly: left-to-right accumulation, null result on
+  * length mismatch or a null element (a null product poisons the HOF
+  * sum the same way). */
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+  import VectorKernels._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotF.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left.dataType), isFloat(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotR")
+      s"""java.lang.Double $r = graft.functions.DotF.compute($a, $b,
+         |  ${isFloat(left.dataType)}, ${isFloat(right.dataType)});
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_f"
+}
+
+object DotF {
+  def compute(a: ArrayData, b: ArrayData,
+      aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Shim.toColumn(DotF(Shim.toExpression(a), Shim.toExpression(b)))
+}
+
+/** `nBits` sign bits of pseudo-random hyperplane projections packed
+  * into a long — the fused form of [[graft.ops.Similarity.hyperplaneSketch]]'s
+  * HOF pipeline. Hyperplane component (bit, j) is
+  * `(xxhash64(bit, j) % 1000) / 1000.0` with Spark's exact int-input
+  * xxhash64 chain (`XXH64.hashInt(j, XXH64.hashInt(bit, 42))`), so
+  * sketches are bit-identical to the declarative version. A null vector
+  * element nullifies every projection, which packs to 0L — same as the
+  * HOF's null-poisoned aggregate. */
+case class VecSignBits(child: Expression, nBits: Int, seedOffset: Int)
+    extends UnaryExpression {
+  import VectorKernels._
+
+  require(nBits >= 1 && nBits <= 64, s"nBits out of range: $nBits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sign_bits expects array<float|double>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    VecSignBits.compute(input.asInstanceOf[ArrayData],
+      isFloat(child.dataType), nBits, seedOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecSignBits.compute($c, ${isFloat(child.dataType)}, $nBits, $seedOffset)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecSignBits =
+    copy(child = newChild)
+  override def prettyName: String = "vec_sign_bits"
+}
+
+object VecSignBits {
+  def compute(v: ArrayData, isFloat: Boolean, nBits: Int, seedOffset: Int): Long = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) { // null element -> every projection null -> 0L
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < nBits) {
+      val hseed = XXH64.hashInt(seedOffset + bit, 42L)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val w = (XXH64.hashInt(j, hseed) % 1000L).toDouble / 1000.0
+        val x = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+        acc += x * w
+        j += 1
+      }
+      if (acc > 0) sig |= 1L << bit
+      bit += 1
+    }
+    sig
+  }
+
+  def apply(c: Column, nBits: Int, seedOffset: Int): Column =
+    Shim.toColumn(VecSignBits(Shim.toExpression(c), nBits, seedOffset))
+}
+
+/** 64-bit SimHash over a token array in one pass — the fused form of
+  * [[graft.ops.Dedup.simhash]]'s per-bit HOF aggregate. Token hash is
+  * Spark's exact `xxhash64(token)` (`XXH64.hashUTF8String(t, 42)`; a
+  * null token leaves the seed, also matching `xxhash64`), bit b of the
+  * result is `popcount-weighted sum > 0`, strict, like the HOF pack. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got $dt")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h =
+        if (tokens.isNullAt(i)) 42L // xxhash64(null) = seed
+        else XXH64.hashUTF8String(tokens.get(i, StringType).asInstanceOf[UTF8String], 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def apply(c: Column): Column = Shim.toColumn(SimHash64(Shim.toExpression(c)))
+}

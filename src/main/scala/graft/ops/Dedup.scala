@@ -197,23 +197,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash from token hashes: sign of per-bit weighted sums.
-    * One pass of higher-order functions; no shuffle. */
-  def simhash(textCol: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(textCol), t => xxhash64(t))
-    // per-bit signed sums, bit 0 first
-    val bitSums = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, b) => a + when(getbit(h, b.cast("long")) === 1, 1).otherwise(-1)))
-    // pack sign bits as two 32-bit halves joined bitwise — ANSI-safe
-    // (a single acc*2 fold would overflow at bit 63 under ANSI mode)
-    def pack(bits: Column): Column = // bits MSB-first, <= 32 of them
-      aggregate(bits, lit(0L), (acc, s) => acc * 2L + when(s > 0, 1L).otherwise(0L))
-    val hi = pack(reverse(slice(bitSums, 33, 32)))
-    val lo = pack(reverse(slice(bitSums, 1, 32)))
-    shiftleft(hi, 32).bitwiseOR(lo)
-  }
+    * Native one-pass codegen'd kernel, bit-identical to the former
+    * per-bit HOF aggregate (see [[graft.functions.SimHash64]] and
+    * VectorKernelsSpec); no shuffle. */
+  def simhash(textCol: Column): Column =
+    graft.functions.SimHash64(TextAnalysis.tokens(textCol))
 
   def hammingDist64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

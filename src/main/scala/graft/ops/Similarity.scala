@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array<float|double> columns */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) over array<float|double> columns — native codegen'd
+    * kernel, bit-identical to the former `aggregate(zip_with(...))`
+    * formulation (which evaluates an interpreted lambda per component;
+    * see [[graft.functions.DotF]] and VectorKernelsSpec). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -32,17 +33,8 @@ object Similarity {
     * into a long. Hyperplane component for (bit i, dim j) is derived
     * from xxhash64(i, j) mapped to [-1, 1] — deterministic, no stored
     * model. */
-  def hyperplaneSketch(vec: Column, nBits: Int = 16, seedOffset: Int = 0): Column = {
-    val projs = transform(sequence(lit(seedOffset), lit(seedOffset + nBits - 1)), bit =>
-      aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, j) => v.cast("double") *
-            ((xxhash64(bit, j) % 1000L).cast("double") / 1000.0)),
-        lit(0.0), (acc, x) => acc + x))
-    // pack sign bits: acc*2 + (proj>0)
-    aggregate(reverse(projs), lit(0L),
-      (acc, p) => acc * 2L + when(p > 0, 1L).otherwise(0L))
-  }
+  def hyperplaneSketch(vec: Column, nBits: Int = 16, seedOffset: Int = 0): Column =
+    graft.functions.VecSignBits(vec, nBits, seedOffset)
 
   /** Exact per-key top-k WITHOUT shuffling the full scored set: a
     * bounded per-partition heap (memory = |keys seen in partition| * k)

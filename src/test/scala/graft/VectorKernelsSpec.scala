@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.functions.{DotF, SimHash64, VecSignBits}
+
+/** The native vector kernels must be BIT-identical to the declarative
+  * higher-order-function formulations they replaced (embedding_neardups
+  * is oracle-hash-checked; the simhash/hyperplane bands feed
+  * deterministic gates). The HOF reference formulations live here,
+  * verbatim from the pre-kernel implementations. */
+class VectorKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def hofSketch(vec: Column, nBits: Int, seedOffset: Int): Column = {
+    val projs = transform(sequence(lit(seedOffset), lit(seedOffset + nBits - 1)), bit =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, j) => v.cast("double") *
+            ((xxhash64(bit, j) % 1000L).cast("double") / 1000.0)),
+        lit(0.0), (acc, x) => acc + x))
+    aggregate(reverse(projs), lit(0L),
+      (acc, p) => acc * 2L + when(p > 0, 1L).otherwise(0L))
+  }
+
+  private def hofSimhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bitSums = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a + when(getbit(h, b.cast("long")) === 1, 1).otherwise(-1)))
+    def pack(bits: Column): Column =
+      aggregate(bits, lit(0L), (acc, s) => acc * 2L + when(s > 0, 1L).otherwise(0L))
+    val hi = pack(reverse(slice(bitSums, 33, 32)))
+    val lo = pack(reverse(slice(bitSums, 1, 32)))
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  private def vecs = (0 until 200).map(i =>
+    (i.toLong, Array.tabulate(24)(j => (math.sin(i * 7.3 + j * 1.9) * 3).toFloat)))
+    .toDF("id", "v")
+
+  test("DotF == HOF dot, bit-exact, incl. self-dot (norm path)") {
+    val paired = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(500)
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val diff = paired.select(
+      DotF(col("va"), col("vb")).as("k"), hofDot(col("va"), col("vb")).as("h"),
+      DotF(col("va"), col("va")).as("ks"), hofDot(col("va"), col("va")).as("hs"))
+      .filter(col("k") =!= col("h") || col("ks") =!= col("hs")).count()
+    assert(diff == 0)
+    // double arrays (the centroid-literal side) too
+    val d = Seq((Array(1.5, -2.25, 3.0), Array(0.5, 4.0, -1.0))).toDF("a", "b")
+      .select(DotF(col("a"), col("b")).as("k"), hofDot(col("a"), col("b")).as("h"))
+      .collect()(0)
+    assert(d.getDouble(0) == d.getDouble(1))
+    // length mismatch and null element -> null, like the poisoned HOF sum
+    val edge = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      .select(DotF(col("a"), col("b")).as("k")).collect()(0)
+    assert(edge.isNullAt(0))
+  }
+
+  test("VecSignBits == HOF hyperplane sketch for every band's seed offset") {
+    val checks = (0 until 4).map(band =>
+      (VecSignBits(col("v"), 16, band * 1000) ===
+        hofSketch(col("v"), 16, band * 1000)).as(s"b$band"))
+    val bad = vecs.select(checks: _*)
+      .filter(not(checks.indices.map(i => col(s"b$i")).reduce(_ && _))).count()
+    assert(bad == 0)
+  }
+
+  test("SimHash64 == HOF simhash, incl. empty and single-token arrays") {
+    val texts = (0 until 200).map(i =>
+      (i.toLong, s"tok${i % 7} alpha beta${i % 13} gamma delta${i % 3} " * (1 + i % 5)))
+      .toDF("id", "t")
+      .select(col("id"), split(trim(col("t")), "\\s+").as("toks"))
+    val bad = texts.select(SimHash64(col("toks")).as("k"), hofSimhash(col("toks")).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(bad == 0)
+    val edge = Seq(Tuple1(Array.empty[String]), Tuple1(Array("x")))
+      .toDF("toks")
+      .select(SimHash64(col("toks")).as("k"), hofSimhash(col("toks")).as("h"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
