@@ -411,8 +411,7 @@ object SparkEntry {
         lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5).as("__hs"))
       val truth = hs.select(col("doc_id").as("a"), col("__hs").as("__ha"))
         .join(hs.select((col("doc_id") - 1000000).as("a"), col("__hs").as("__hb")), "a")
-        .filter(size(array_intersect(col("__ha"), col("__hb"))).cast("double") /
-          size(array_union(col("__ha"), col("__hb"))).cast("double") >= 0.6)
+        .filter(Dedup.hashedJaccard(col("__ha"), col("__hb")) >= 0.6)
         .select("a")
       val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.6)
         .filter(col("b") === col("a") + 1000000).select("a")

@@ -180,6 +180,99 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** Number of positionally-equal lanes of two minhash signatures — the
+  * fused form of `size(filter(zip_with(a, b, x === y), m => m))`. Null
+  * lanes and (never-occurring) length-mismatch tails compare unequal,
+  * exactly like the HOF (null `===` drops out of `filter`). */
+case class LaneMatches(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"lane_matches expects array<bigint> inputs, got $l / $r")
+    }
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LaneMatches.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.LaneMatches.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LaneMatches =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "lane_matches"
+}
+
+object LaneMatches {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Shim.toColumn(LaneMatches(Shim.toExpression(a), Shim.toExpression(b)))
+}
+
+/** Exact Jaccard of two SORTED-DISTINCT long arrays (the [[ShingleHashes]]
+  * output contract) via a single merge scan — the fused form of
+  * `size(array_intersect(a, b)) / size(array_union(a, b))`, which builds
+  * a hash set per pair. Both empty -> 0/0 = NaN, matching the double
+  * division (NaN fails `>= threshold` filters the same way). */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_long_jaccard expects array<bigint> inputs, got $l / $r")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SortedLongJaccard.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_long_jaccard"
+}
+
+object SortedLongJaccard {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    val m = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter).toDouble
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Shim.toColumn(SortedLongJaccard(Shim.toExpression(a), Shim.toExpression(b)))
+}
+
 object SimHash64 {
   def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()

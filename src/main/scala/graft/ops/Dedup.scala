@@ -136,17 +136,22 @@ object Dedup {
     val cands = lshCandidates(withSig, idCol, "__sig", bands)
     val left = withSig.select(col(idCol).as("a"), col("__hs").as("__hsA"), col("__sig").as("__sigA"))
     val right = withSig.select(col(idCol).as("b"), col("__hs").as("__hsB"), col("__sig").as("__sigB"))
-    val estMatch = size(filter(zip_with(col("__sigA"), col("__sigB"),
-      (x, y) => x === y), m => m)).cast("double") / numHashes.toDouble
+    val estMatch = graft.functions.LaneMatches(col("__sigA"), col("__sigB"))
+      .cast("double") / numHashes.toDouble
     cands.join(left, "a").join(right, "b")
       .withColumn("__est", estMatch)
       .filter(col("__est") >= threshold - 0.15)
-      .withColumn("jaccard",
-        size(array_intersect(col("__hsA"), col("__hsB"))).cast("double") /
-          size(array_union(col("__hsA"), col("__hsB"))).cast("double"))
+      .withColumn("jaccard", hashedJaccard(col("__hsA"), col("__hsB")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Exact Jaccard of two hashed shingle sets (sorted-distinct
+    * `array<long>`, the [[graft.functions.ShingleHashes]] contract) —
+    * native merge-scan kernel, value-identical to
+    * `size(array_intersect)/size(array_union)` on such arrays. */
+  def hashedJaccard(a: Column, b: Column): Column =
+    graft.functions.SortedLongJaccard(a, b)
 
   /** Connected components over a dup-pair edge list via iterative
     * min-label propagation (alternating large-star/small-star style):

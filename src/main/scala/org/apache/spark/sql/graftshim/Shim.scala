@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The physical plan with exchanges planned (EnsureRequirements
+    * applied), unwrapped from the AQE adapter — AdaptiveSparkPlanExec
+    * has no children, so a plain `collect` over `executedPlan` sees
+    * nothing once AQE wraps the query. Used by plan-shape assertions
+    * (scale guards) and the Plans tool. */
+  def plannedPhysical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
 }

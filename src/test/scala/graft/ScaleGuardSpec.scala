@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import graft.ops.{AsOf, Dedup, Similarity}
+
+/** Plan-shape guards for the operators that must survive a 100x
+  * scale-up: these assert the ABSENCE of the anti-patterns that are
+  * invisible at test scale but fatal at 100 TB — a window without
+  * partitioning (all rows to one task), a shuffle to a single
+  * partition on a corpus-sized input, a missing broadcast that turns a
+  * small-side join into a full shuffle. Regressions here pass every
+  * correctness test and then fall over on a real cluster, which is why
+  * they get their own spec. */
+class ScaleGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): SparkPlan = Shim.plannedPhysical(df)
+  private def windows(df: DataFrame) = plan(df).collect { case w: WindowExec => w }
+  private def singlePartExchanges(df: DataFrame) = plan(df).collect {
+    case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+  }
+  private def broadcasts(df: DataFrame) = plan(df).collect {
+    case b: BroadcastExchangeExec => b
+  }
+
+  private lazy val docs = (0 until 200).map(i =>
+    (i.toLong, s"document number $i with shared template text about topic ${i % 9} " +
+      s"and some filler words repeated ${"again " * (i % 4)}"))
+    .toDF("doc_id", "text")
+
+  private lazy val vecs = (0 until 200).map(i =>
+    (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+    .toDF("vec_id", "embedding")
+
+  test("near-dup pipelines: no windows, no single-partition shuffles") {
+    val pipelines = Seq(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3),
+      Dedup.embeddingNearDups(vecs, "vec_id", "embedding", minCosine = 0.9))
+    pipelines.foreach { df =>
+      assert(windows(df).isEmpty, s"window in near-dup plan:\n${plan(df)}")
+      assert(singlePartExchanges(df).isEmpty,
+        s"single-partition shuffle in near-dup plan:\n${plan(df)}")
+    }
+  }
+
+  test("kNN: query side broadcasts, corpus side never funnels to one partition") {
+    val q = vecs.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5)
+    assert(broadcasts(brute).nonEmpty, s"no broadcast in brute kNN plan:\n${plan(brute)}")
+    assert(singlePartExchanges(brute).isEmpty,
+      s"single-partition shuffle in brute kNN plan:\n${plan(brute)}")
+    assert(windows(brute).isEmpty, "brute kNN must use bounded heaps, not a rank window")
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, nCentroids = 8, nprobe = 2)
+    assert(broadcasts(ivf).nonEmpty, s"no broadcast in IVF plan:\n${plan(ivf)}")
+    assert(singlePartExchanges(ivf).isEmpty,
+      s"single-partition shuffle in IVF plan:\n${plan(ivf)}")
+    assert(windows(ivf).isEmpty, "IVF must use bounded heaps, not a rank window")
+  }
+
+  test("as-of join: single shuffle pass, windows always partitioned") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"))
+      .toDF("uid", "ts", "tag")
+    val quotes = Seq((1L, 5L, 1.0), (1L, 18L, 2.0), (2L, 12L, 3.0))
+      .toDF("uid", "ts", "px")
+    val joined = AsOf.join(trades, quotes, Seq("uid"), "ts", "ts")
+    val ws = windows(joined)
+    assert(ws.nonEmpty, "as-of is window-based by design")
+    ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in as-of plan:\n${plan(joined)}"))
+    assert(singlePartExchanges(joined).isEmpty,
+      s"single-partition shuffle in as-of plan:\n${plan(joined)}")
+  }
+
+  test("exact dedup: one hash-agg shuffle, no window ranking") {
+    val deduped = Dedup.exact(docs.unionByName(docs), Seq("text"), "doc_id")
+    assert(windows(deduped).isEmpty,
+      s"window in exact-dedup plan (min_by regressed to rank?):\n${plan(deduped)}")
+    assert(singlePartExchanges(deduped).isEmpty,
+      s"single-partition shuffle in exact-dedup plan:\n${plan(deduped)}")
+  }
+}

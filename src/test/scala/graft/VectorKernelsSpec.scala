@@ -74,6 +74,38 @@ class VectorKernelsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("LaneMatches == HOF zip_with lane compare; SortedLongJaccard == set ops") {
+    val sigs = (0 until 300).map { i =>
+      val a = Array.tabulate(64)(j => ((i * 31 + j * 7) % 13).toLong)
+      val b = Array.tabulate(64)(j => ((i * 17 + j * 7) % 13).toLong)
+      (a, b)
+    }.toDF("sa", "sb")
+    val laneBad = sigs.select(
+      graft.functions.LaneMatches(col("sa"), col("sb")).as("k"),
+      size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), m => m)).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(laneBad == 0)
+    // sorted-distinct sets, incl. disjoint, identical, and empty sides
+    val sets = ((0 until 300).map { i =>
+      val a = (0 until 40).map(j => (i * 3 + j * 5).toLong).distinct.sorted.toArray
+      val b = (0 until 40).map(j => (i * 2 + j * 7 + 1).toLong).distinct.sorted.toArray
+      (a, b)
+    } ++ Seq(
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 2L), Array(5L, 9L)),
+      (Array.empty[Long], Array(1L)))).toDF("sa", "sb")
+    val jBad = sets.select(
+      graft.functions.SortedLongJaccard(col("sa"), col("sb")).as("k"),
+      (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double")).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(jBad == 0)
+    // both-empty -> NaN, like 0.0/0.0
+    val nan = Seq((Array.empty[Long], Array.empty[Long])).toDF("sa", "sb")
+      .select(graft.functions.SortedLongJaccard(col("sa"), col("sb"))).collect()(0)
+    assert(nan.getDouble(0).isNaN)
+  }
+
   test("SimHash64 == HOF simhash, incl. empty and single-token arrays") {
     val texts = (0 until 200).map(i =>
       (i.toLong, s"tok${i % 7} alpha beta${i % 13} gamma delta${i % 3} " * (1 + i % 5)))
