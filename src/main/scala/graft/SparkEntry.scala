@@ -118,6 +118,31 @@ object SparkEntry {
       ArrayTable.addAttr(s, tmp, Attr("bonus", "int64", fill = Some("42")))
     }
 
+  /** events streamed through the array sink — file-source micro-batches
+    * through `EventStreams.writeArrayStream` (foreachBatch -> one MVCC
+    * fragment per batch, idempotent under replay), then a plain batch
+    * read over the committed fragments. Exercises the streaming ingest
+    * path end-to-end against a SQL oracle. */
+  private def streamedEvents(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "streamed_events") { tmp =>
+      val src = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      ArrayTable.create(s, tmp,
+        graft.core.ArraySchema.infer(src.schema, Seq("event_id")))
+      val fs = graft.storage.VFS(s)
+      val staged = tmp + ".src"
+      val ckpt = tmp + ".ckpt"
+      src.repartition(4).write.mode("overwrite").parquet(staged)
+      val q = graft.streaming.EventStreams.writeArrayStream(
+        s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged),
+        tmp, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      require(ArrayTable.fragments(s, tmp).size > 1,
+        "streaming ingest should commit one fragment per micro-batch")
+      fs.delete(staged); fs.delete(ckpt)
+    }
+
   /** evolved region migrated in place: `upgrade_version` rewrites the
     * stale pre-evolve fragment under the current schema version with the
     * fill value baked in, so every fragment shares one version and reads
@@ -313,6 +338,8 @@ object SparkEntry {
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
     "upgraded_read" -> ((s, d) => ArrayTable.read(s, upgradedRegion(s, d))),
+    // streaming ingest end-to-end: micro-batches -> MVCC fragments -> read
+    "stream_ingest_read" -> ((s, d) => ArrayTable.read(s, streamedEvents(s, d))),
     // categorical->enum inference round-trip: codes on disk, decoded
     // values on read must hash-match the plain source table
     "enum_infer_roundtrip" -> ((s, d) => ArrayTable.read(s, enumCustomer(s, d))),
@@ -673,6 +700,8 @@ object SparkEntry {
       "FROM region"),
     "upgraded_read" -> ("SELECT r_regionkey, r_name, CAST(42 AS BIGINT) AS bonus " +
       "FROM region"),
+    "stream_ingest_read" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
     "enum_infer_roundtrip" -> "SELECT * FROM customer",
     "multivalue_cells" -> ("SELECT l_orderkey, l_linenumber, " +
       "l_extendedprice AS re, l_discount AS im FROM lineitem"),

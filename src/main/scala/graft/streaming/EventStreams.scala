@@ -27,6 +27,38 @@ object EventStreams {
       .parquet(s"$uri/__fragments/*/data")
   }
 
+  /** Commit one micro-batch as one MVCC fragment at timestamp `ts`,
+    * idempotently: if a fragment at `ts` is already committed (replayed
+    * batch after a failure), the write is skipped — the manifest check
+    * is driver-side metadata only. Returns true iff a fragment was
+    * written. */
+  def commitStreamBatch(batch: DataFrame, uri: String, ts: Long): Boolean = {
+    val spark = batch.sparkSession
+    val exists = graft.storage.ArrayTable.fragments(spark, uri).exists(_.ts == ts)
+    if (!exists) graft.storage.ArrayTable.write(spark, batch, uri, Some(ts))
+    !exists
+  }
+
+  /** Continuous ingestion INTO an array-table: each micro-batch commits
+    * as one MVCC fragment, so streaming writes get exactly the batch
+    * write's fragment semantics — manifests with footer-stat MBRs,
+    * MBR pruning, time travel, consolidation, CDC via
+    * [[readArrayStream]] — with no separate streaming storage path.
+    * The fragment timestamp is `tsForBatch(batchId)` (default: the
+    * batch id), which makes the sink exactly-once under replay: a
+    * re-run batch maps to the same timestamp and
+    * [[commitStreamBatch]] skips it. The target array must already
+    * exist (create it with `ArrayTable.create` / `ingest`). */
+  def writeArrayStream(df: DataFrame, uri: String, checkpoint: String,
+      tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitStreamBatch(batch, uri, tsForBatch(batchId)); ()
+      }
+      .start()
+
   /** Tumbling-window counts and sums per event type with a watermark for
     * state cleanup / late-data bounds. */
   def windowedAgg(events: DataFrame, watermark: String = "1 hour",

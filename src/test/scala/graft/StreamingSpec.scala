@@ -37,6 +37,35 @@ class StreamingSpec extends SparkSpec {
     // every emitted (closed) window agrees exactly with batch
   }
 
+  test("streaming array sink: batches land as MVCC fragments, replay is idempotent") {
+    import graft.storage.ArrayTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val uri = TestSession.tmpDir("arrsink")
+    ArrayTable.create(spark, uri,
+      graft.core.ArraySchema.infer(
+        Seq((0L, 0.0)).toDF("x", "v").schema, Seq("x")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = EventStreams.writeArrayStream(
+      in.toDF().toDF("x", "v"), uri, TestSession.tmpDir("arrsink-ckpt"))
+    try {
+      in.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      in.addData((3L, 30.0))
+      q.processAllAvailable()
+      assert(ArrayTable.read(spark, uri).orderBy("x").as[(Long, Double)].collect().toSeq ==
+        Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+      // one fragment per micro-batch, at the batch-id timestamp
+      assert(ArrayTable.fragments(spark, uri).map(_.ts).sorted == Seq(0L, 1L))
+      // a replayed batch is skipped, not duplicated
+      assert(!EventStreams.commitStreamBatch(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("x", "v"), uri, 0L))
+      assert(ArrayTable.fragments(spark, uri).size == 2)
+      // MVCC time travel sees only the first batch at t<=0
+      assert(ArrayTable.read(spark, uri, at = Some((0L, 0L))).count() == 2)
+    } finally { q.stop() }
+  }
+
   test("array-table fragments feed a continuous stream") {
     import graft.storage.ArrayTable
     val uri = TestSession.tmpDir("arrstream")
