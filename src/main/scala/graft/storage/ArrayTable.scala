@@ -151,7 +151,17 @@ object ArrayTable {
     }
     val seq = nextSeq(spark, uri)
     val ts = tsOpt.getOrElse(System.currentTimeMillis())
-    val name = f"f_$ts%013d_$seq%05d"
+    // The uuid suffix makes fragment directories collision-proof under
+    // CONCURRENT writers (independent drivers on shared storage can
+    // compute the same (ts, seq) from the same manifest snapshot —
+    // without the suffix the second write would clobber the first's
+    // directory). MVCC order between equal (ts, seq) fragments is
+    // unspecified, matching the reference's concurrent same-timestamp
+    // semantics; commit is still the manifest write, so readers never
+    // see a half-written fragment (reference: libtiledb fragment
+    // naming, tiledb/fragment.py:13-40 uuid-named fragment URIs).
+    val name = f"f_$ts%013d_$seq%05d_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val fragDir = s"$uri/__fragments/$name"
     laidOut.write.mode("overwrite").parquet(s"$fragDir/data")
     // manifest stats from parquet FOOTERS (pure metadata — writing a
@@ -375,7 +385,7 @@ object ArrayTable {
         o("cell_count").get.long, o("schema_version").get.long.toInt,
         o("mbr").get.obj.fields.map { case (d, JArr(Seq(lo, hi))) => d -> (lo, hi)
           case (d, _) => d -> (JNull, JNull) }.toMap)
-    }.sortBy(f => (f.ts, f.seq))
+    }.sortBy(f => (f.ts, f.seq, f.name))
   }
 
   def deletes(spark: SparkSession, uri: String): Seq[DeleteEntry] = {
