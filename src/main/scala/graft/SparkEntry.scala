@@ -127,8 +127,14 @@ object SparkEntry {
     ensureArray(s, dir, "streamed_events") { tmp =>
       val src = t(s, dir, "events")
         .select("event_id", "user_id", "event_type", "value")
+      // append-only stream: allows_duplicates=true declares that no
+      // cross-fragment shadowing is ever needed, so reads take the
+      // single multi-path fast scan instead of a window dedup — the
+      // difference between O(rows) and O(shuffle) per read, since
+      // randomly-split micro-batches always have overlapping MBRs
       ArrayTable.create(s, tmp,
-        graft.core.ArraySchema.infer(src.schema, Seq("event_id")))
+        graft.core.ArraySchema.infer(src.schema, Seq("event_id"))
+          .copy(allowsDuplicates = true))
       val fs = graft.storage.VFS(s)
       val staged = tmp + ".src"
       val ckpt = tmp + ".ckpt"

@@ -48,7 +48,13 @@ object EventStreams {
     * batch id), which makes the sink exactly-once under replay: a
     * re-run batch maps to the same timestamp and
     * [[commitStreamBatch]] skips it. The target array must already
-    * exist (create it with `ArrayTable.create` / `ingest`). */
+    * exist (create it with `ArrayTable.create` / `ingest`).
+    *
+    * Scale note: micro-batches split the dim space arbitrarily, so
+    * their MBRs overlap and a no-duplicates schema forces MVCC shadow
+    * dedup (a corpus-wide window shuffle) on every read. Append-only
+    * streams should create the array with `allowsDuplicates = true`,
+    * which keeps reads on the single multi-path fast scan. */
   def writeArrayStream(df: DataFrame, uri: String, checkpoint: String,
       tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
