@@ -196,10 +196,22 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
-      lloydSteps: Int = 2): DataFrame = {
-    val seeds = sampleCentroids(corpus, corpusId, corpusVec, nCentroids)
+      lloydSteps: Int = 2, trainPerCentroid: Int = 256): DataFrame = {
+    // Quantizer training runs on a deterministic hash-ordered SAMPLE
+    // (trainPerCentroid vectors per centroid), not the full corpus —
+    // TakeOrderedAndProject keeps the sampling pass scale-safe and the
+    // Lloyd refinements then touch only the tiny cached sample. Total
+    // corpus passes: 1 (sample) + 1 (assign + score), independent of
+    // lloydSteps — at 100 TB, full-corpus k-means iterations are the
+    // cost that makes coarse quantizers unaffordable; sample training
+    // is the standard fix (cf. IVF trainers in public ANN systems).
+    val train = corpus.select(col(corpusId).as("__tid"), col(corpusVec).as("__tv"))
+      .orderBy(xxhash64(col("__tid"))).limit(nCentroids * trainPerCentroid)
+      .cache()
+    val seeds = sampleCentroids(train, "__tid", "__tv", nCentroids)
     val cents = (0 until lloydSteps).foldLeft(seeds)((c, _) =>
-      lloydStep(corpus, corpusVec, c))
+      lloydStep(train, "__tv", c))
+    train.unpersist()
     val corpusCells = corpus
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
       .withColumn("centroid_id", assignNarrow(col("__cv"), cents))
