@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** Registers the native kernels as SQL functions via
+  * `SparkSessionExtensions`, so pure-SQL users (spark-sql shell,
+  * thrift server, `spark.sql(...)`) can call them without touching the
+  * Scala API:
+  *
+  * {{{
+  *   spark.sql("SELECT doc_id, simhash64(split(text, '\\\\s+')) FROM docs")
+  *   spark.sql("SELECT dot_f(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT minhash_sig(shingle_hashes(text, 5), 64) FROM docs")
+  * }}}
+  *
+  * Activate with `spark.sql.extensions=graft.core.GraftExtensions`
+  * (set by [[GraftSession.builder]]) — the standard config-based
+  * extension hook, so external sessions opt in with one conf. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(args: Seq[Expression], i: Int, name: String, fn: String): Int =
+    args(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} ($name) must be an integer literal, got $other")
+    }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.size == n, s"$fn expects $n arguments, got ${args.size}")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage), builder))
+
+    register("shingle_hashes",
+      "shingle_hashes(str, k) - distinct 64-bit rolling hashes of all k-byte shingles") { args =>
+      arity("shingle_hashes", args, 2)
+      ShingleHashes(args.head, intArg(args, 1, "k", "shingle_hashes"))
+    }
+    register("minhash_sig",
+      "minhash_sig(hashes, n) - n MinHash lane minima over a hashed shingle set") { args =>
+      arity("minhash_sig", args, 2)
+      MinHashSig(args.head, intArg(args, 1, "n", "minhash_sig"))
+    }
+    register("simhash64",
+      "simhash64(tokens) - 64-bit SimHash over a token array") { args =>
+      arity("simhash64", args, 1)
+      SimHash64(args.head)
+    }
+    register("dot_f",
+      "dot_f(a, b) - dot product of two float/double arrays") { args =>
+      arity("dot_f", args, 2)
+      DotF(args.head, args(1))
+    }
+    register("vec_sign_bits",
+      "vec_sign_bits(vec, nBits, seedOffset) - packed hyperplane-projection sign bits") { args =>
+      arity("vec_sign_bits", args, 3)
+      VecSignBits(args.head, intArg(args, 1, "nBits", "vec_sign_bits"),
+        intArg(args, 2, "seedOffset", "vec_sign_bits"))
+    }
+    register("lane_matches",
+      "lane_matches(a, b) - count of positionally-equal lanes of two signatures") { args =>
+      arity("lane_matches", args, 2)
+      LaneMatches(args.head, args(1))
+    }
+    register("sorted_long_jaccard",
+      "sorted_long_jaccard(a, b) - exact Jaccard of two sorted-distinct bigint arrays") { args =>
+      arity("sorted_long_jaccard", args, 2)
+      SortedLongJaccard(args.head, args(1))
+    }
+    register("hilbert_index",
+      "hilbert_index(bits, d1, d2, ...) - Hilbert curve index of normalized coordinates") { args =>
+      require(args.size >= 2, s"hilbert_index expects bits + at least one dim, got ${args.size}")
+      HilbertIndex(args.tail, intArg(args, 0, "bits", "hilbert_index"))
+    }
+  }
+}

@@ -25,6 +25,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // native kernels as SQL functions (see GraftExtensions)
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

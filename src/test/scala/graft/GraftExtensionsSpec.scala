@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{DotF, SimHash64}
+import graft.ops.Dedup
+
+/** The SQL function registration (GraftExtensions via
+  * spark.sql.extensions) must expose the native kernels to pure-SQL
+  * callers with results identical to the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernels callable from SQL, identical to the Column API") {
+    Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "spark catalyst tungsten shuffle partitions"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  simhash64(split(trim(text), '\\s+')) AS sh,
+        |  minhash_sig(shingle_hashes(lower(text), 5), 64) AS sig,
+        |  size(shingle_hashes(text, 8)) AS nsh
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    val viaApi = spark.table("ext_docs")
+      .select($"id", Dedup.simhash($"text").as("sh"),
+        Dedup.minhashSignatureFromHashes(
+          graft.functions.ShingleHashes(lower($"text"), 5), 64).as("sig"),
+        size(graft.functions.ShingleHashes($"text", 8)).as("nsh"))
+      .orderBy("id").collect()
+    viaSql.zip(viaApi).foreach { case (s, a) =>
+      assert(s.getLong(1) == a.getLong(1))
+      assert(s.getSeq[Long](2) == a.getSeq[Long](2))
+      assert(s.getInt(3) == a.getInt(3))
+    }
+
+    val dots = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    dots.createOrReplaceTempView("ext_vecs")
+    val sqlDot = spark.sql(
+      "SELECT dot_f(a, b) AS d, lane_matches(array(1L,2L), array(1L,9L)) AS lm, " +
+      "sorted_long_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS j, " +
+      "vec_sign_bits(a, 16, 0) AS vs FROM ext_vecs").collect()(0)
+    val apiDot = dots.select(DotF($"a", $"b").as("d")).collect()(0)
+    assert(sqlDot.getDouble(0) == apiDot.getDouble(0))
+    assert(sqlDot.getInt(1) == 1)
+    assert(sqlDot.getDouble(2) == 0.5)
+    assert(sqlDot.getLong(3) ==
+      dots.select(graft.ops.Similarity.hyperplaneSketch($"a", 16, 0)).collect()(0).getLong(0))
+
+    // non-literal where a literal is required -> clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, id + 1) FROM ext_docs").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("shingle_hashes"))
+  }
+
+  test("simhash64 via SQL matches Dedup.simhash on the docs table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("ext_corpus")
+    val bad = spark.sql(
+      """SELECT doc_id, simhash64(split(trim(text), '\\s+')) AS s FROM ext_corpus""")
+      .join(docs.select($"doc_id", Dedup.simhash($"text").as("s2")), "doc_id")
+      .filter($"s" =!= $"s2").count()
+    assert(bad == 0)
+  }
+}
