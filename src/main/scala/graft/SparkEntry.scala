@@ -65,6 +65,19 @@ object SparkEntry {
     uri
   }
 
+  /** Build-once persisted IVF index over the embeddings table (not an
+    * array-table — presence of centroids.json marks it complete). */
+  private def ivfIndex(s: SparkSession, dir: String): String = synchronized {
+    val uri = s"$arrayBase/${sfKey(dir)}/ivf_index"
+    val fs = graft.storage.VFS(s)
+    if (!fs.exists(s"$uri/centroids.json")) {
+      fs.delete(uri)
+      Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+        uri, nCentroids = 16, lloydSteps = 2)
+    }
+    uri
+  }
+
   private val shipCut = "1998-01-01 00:00:00"
 
   /** two-fragment lineitem array: ts=1000 (shipdate < 1995), ts=2000 (rest) */
@@ -499,6 +512,22 @@ object SparkEntry {
     // embeddings are near-uniform on the sphere (no cluster structure),
     // so recall tracks the probed-corpus fraction; floor 0.65 leaves
     // margin while still failing on any assignment/probe regression.
+    // persisted-index equality gate: querying the cell-partitioned
+    // index (static partition pruning to the probed cells) must return
+    // EXACTLY the inline IVF result — same deterministic trainer, so
+    // any divergence means the index write/prune/read path is wrong.
+    "knn_ivf_indexed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val indexed = Similarity.ivfIndexTopK(s, ivfIndex(s, d), q,
+        "vec_id", "embedding", k = 10, nprobe = 8)
+      val inline = Similarity.ivfTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 8)
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
+      indexed.select(cols: _*).exceptAll(inline.select(cols: _*))
+        .unionAll(inline.select(cols: _*).exceptAll(indexed.select(cols: _*)))
+        .agg(count(lit(1)).as("mismatches"))
+    }),
     "knn_ivf_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -821,6 +850,7 @@ object SparkEntry {
       "SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999"),
 
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
+    "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "minhash_recall" -> "SELECT true AS recall_ok",
     "simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed",
     "text_fp_gate" -> "SELECT CAST(0 AS BIGINT) AS violations",

@@ -187,6 +187,27 @@ object Similarity {
     transform(slice(array_sort(centroidSims(vec, cents)), 1, nprobe),
       s => s.getField("id"))
 
+  /** Train the IVF coarse quantizer on a deterministic hash-ordered
+    * SAMPLE (trainPerCentroid vectors per centroid), not the full
+    * corpus — TakeOrderedAndProject keeps the sampling pass scale-safe
+    * and the Lloyd refinements then touch only the tiny cached sample.
+    * One corpus pass total, independent of lloydSteps — at 100 TB,
+    * full-corpus k-means iterations are the cost that makes coarse
+    * quantizers unaffordable; sample training is the standard fix
+    * (cf. IVF trainers in public ANN systems). */
+  def trainCentroids(corpus: DataFrame, corpusId: String, corpusVec: String,
+      nCentroids: Int, lloydSteps: Int = 2,
+      trainPerCentroid: Int = 256): Seq[(Long, Seq[Double])] = {
+    val train = corpus.select(col(corpusId).as("__tid"), col(corpusVec).as("__tv"))
+      .orderBy(xxhash64(col("__tid"))).limit(nCentroids * trainPerCentroid)
+      .cache()
+    val seeds = sampleCentroids(train, "__tid", "__tv", nCentroids)
+    val cents = (0 until lloydSteps).foldLeft(seeds)((c, _) =>
+      lloydStep(train, "__tv", c))
+    train.unpersist()
+    cents
+  }
+
   /** IVF top-k: probe the `nprobe` closest centroids per query; exact
     * cosine within probed cells only. Approximate (recall < 1) but the
     * corpus-side work drops by ~nCentroids/nprobe. The corpus NEVER
@@ -197,21 +218,8 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
       lloydSteps: Int = 2, trainPerCentroid: Int = 256): DataFrame = {
-    // Quantizer training runs on a deterministic hash-ordered SAMPLE
-    // (trainPerCentroid vectors per centroid), not the full corpus —
-    // TakeOrderedAndProject keeps the sampling pass scale-safe and the
-    // Lloyd refinements then touch only the tiny cached sample. Total
-    // corpus passes: 1 (sample) + 1 (assign + score), independent of
-    // lloydSteps — at 100 TB, full-corpus k-means iterations are the
-    // cost that makes coarse quantizers unaffordable; sample training
-    // is the standard fix (cf. IVF trainers in public ANN systems).
-    val train = corpus.select(col(corpusId).as("__tid"), col(corpusVec).as("__tv"))
-      .orderBy(xxhash64(col("__tid"))).limit(nCentroids * trainPerCentroid)
-      .cache()
-    val seeds = sampleCentroids(train, "__tid", "__tv", nCentroids)
-    val cents = (0 until lloydSteps).foldLeft(seeds)((c, _) =>
-      lloydStep(train, "__tv", c))
-    train.unpersist()
+    val cents = trainCentroids(corpus, corpusId, corpusVec,
+      nCentroids, lloydSteps, trainPerCentroid)
     val corpusCells = corpus
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
       .withColumn("centroid_id", assignNarrow(col("__cv"), cents))
@@ -221,6 +229,66 @@ object Similarity {
         explode(probeNarrow(col("__qv"), cents, nprobe)))
     val scored = corpusCells.join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Build a PERSISTENT IVF index: train the quantizer, assign every
+    * vector to its cell narrowly, and write the corpus partitioned BY
+    * CELL (`partitionBy(centroid_id)` — one directory per cell) with
+    * the unit centroids in a JSON sidecar. Repeated queries then pay
+    * neither training nor assignment, and — the actual point at
+    * 100 TB — [[ivfIndexTopK]] reads ONLY the probed cell directories
+    * via static partition pruning, so each query scans a
+    * ~nprobe/nCentroids fraction of the corpus instead of all of it. */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      uri: String, nCentroids: Int = 16, lloydSteps: Int = 2,
+      trainPerCentroid: Int = 256): Unit = {
+    val cents = trainCentroids(corpus, corpusId, corpusVec,
+      nCentroids, lloydSteps, trainPerCentroid)
+    corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("vec"))
+      .withColumn("centroid_id", assignNarrow(col("vec"), cents))
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(s"$uri/cells")
+    import graft.core.Json._
+    val json = JObj(Seq("centroids" -> JArr(cents.map { case (cid, v) =>
+      JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
+    }))).render
+    graft.storage.VFS(corpus.sparkSession).writeString(s"$uri/centroids.json", json)
+  }
+
+  /** Centroids of a persisted IVF index. */
+  def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Seq[(Long, Seq[Double])] = {
+    import graft.core.Json._
+    graft.core.Json.parse(graft.storage.VFS(spark).readString(s"$uri/centroids.json"))
+      .obj("centroids").get.arr.map { c =>
+        val o = c.obj
+        o("id").get.long -> o("v").get.arr.map(_.dbl)
+      }
+  }
+
+  /** Top-k against a persisted IVF index. The probed cell ids (at most
+    * |queries| * nprobe, and queries are small by contract) collapse to
+    * a literal IN filter on the partition column, so the parquet scan
+    * statically prunes to the probed directories — visible as
+    * PartitionFilters in the plan, and as a ~nprobe/nCentroids input
+    * fraction at any corpus size. */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val cents = indexCentroids(spark, uri)
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("centroid_id",
+        explode(probeNarrow(col("__qv"), cents, nprobe)))
+    val cellIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$uri/cells")
+      .filter(col("centroid_id").isin(cellIds: _*))
+    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("vec")))
     topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))

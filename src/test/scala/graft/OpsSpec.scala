@@ -173,6 +173,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: same results as inline IVF, scan pruned to probed cells") {
+    val vecs = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 5)
+    val uri = TestSession.tmpDir("ivfidx")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", uri,
+      nCentroids = 16, lloydSteps = 2)
+    // same deterministic trainer -> identical centroids -> identical results
+    val indexed = Similarity.ivfIndexTopK(spark, uri, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    val inline = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(indexed) == rows(inline))
+    // the probed scan reads strictly fewer cell directories than exist
+    val probed = Similarity.indexCentroids(spark, uri)
+    assert(probed.size == 16)
+    val cells = spark.read.parquet(s"$uri/cells")
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val pruned = filesRead(cells.filter($"centroid_id".isin(0L, 1L)))
+    val total = filesRead(cells)
+    assert(pruned > 0 && pruned < total,
+      s"partition pruning inert: read $pruned of $total files")
+  }
+
   test("IVF top-k recall≥0.6 of brute force at nprobe=4/16") {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
