@@ -134,13 +134,26 @@ object Dedup {
       .drop(textCol)
       .cache()
     val cands = lshCandidates(withSig, idCol, "__sig", bands)
-    val left = withSig.select(col(idCol).as("a"), col("__hs").as("__hsA"), col("__sig").as("__sigA"))
-    val right = withSig.select(col(idCol).as("b"), col("__hs").as("__hsB"), col("__sig").as("__sigB"))
+    // Two-stage verification, sized to what each stage actually needs:
+    // the estimate join ships only the 64-lane signatures for every
+    // candidate (the est filter kills ~98% of bucket collisions), and
+    // the heavy shingle-hash sets are joined ONLY for the est
+    // survivors — a pair set small enough that AQE broadcasts it, so
+    // the corpus-side hs frame never shuffles. Joining hs for all
+    // candidates (the old shape) shipped ~25x more bytes per pair.
     val estMatch = graft.functions.LaneMatches(col("__sigA"), col("__sigB"))
       .cast("double") / numHashes.toDouble
-    cands.join(left, "a").join(right, "b")
+    val sigs = withSig.select(col(idCol), col("__sig"))
+    val estPairs = cands
+      .join(sigs.select(col(idCol).as("a"), col("__sig").as("__sigA")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("__sig").as("__sigB")), "b")
       .withColumn("__est", estMatch)
       .filter(col("__est") >= threshold - 0.15)
+      .select("a", "b")
+    val hs = withSig.select(col(idCol), col("__hs"))
+    estPairs
+      .join(hs.select(col(idCol).as("a"), col("__hs").as("__hsA")), "a")
+      .join(hs.select(col(idCol).as("b"), col("__hs").as("__hsB")), "b")
       .withColumn("jaccard", hashedJaccard(col("__hsA"), col("__hsB")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
