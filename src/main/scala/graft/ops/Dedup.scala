@@ -126,14 +126,18 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(col(idCol), col(textCol))
-      // native one-pass rolling-hash shingles (no substring churn)
-      .withColumn("__hs", graft.functions.ShingleHashes(
-        lower(regexp_replace(trim(col(textCol)), "\\s+", " ")), k))
-      .withColumn("__sig", minhashSignatureFromHashes(col("__hs"), numHashes))
-      .drop(textCol)
+    // native one-pass rolling-hash shingles (no substring churn)
+    def normHashes(c: Column) = graft.functions.ShingleHashes(
+      lower(regexp_replace(trim(c), "\\s+", " ")), k)
+    // Only the NARROW signatures are cached (numHashes longs per doc,
+    // ~0.5 KB) — they are reused by the banding pass and both estimate
+    // joins. The full shingle-hash sets (comparable in size to the
+    // text itself) are recomputed in the one narrow verify pass below
+    // instead of pinning a corpus-sized cache.
+    val sigs = df.select(col(idCol),
+        minhashSignatureFromHashes(normHashes(col(textCol)), numHashes).as("__sig"))
       .cache()
-    val cands = lshCandidates(withSig, idCol, "__sig", bands)
+    val cands = lshCandidates(sigs, idCol, "__sig", bands)
     // Two-stage verification, sized to what each stage actually needs:
     // the estimate join ships only the 64-lane signatures for every
     // candidate (the est filter kills ~98% of bucket collisions), and
@@ -143,14 +147,13 @@ object Dedup {
     // candidates (the old shape) shipped ~25x more bytes per pair.
     val estMatch = graft.functions.LaneMatches(col("__sigA"), col("__sigB"))
       .cast("double") / numHashes.toDouble
-    val sigs = withSig.select(col(idCol), col("__sig"))
     val estPairs = cands
       .join(sigs.select(col(idCol).as("a"), col("__sig").as("__sigA")), "a")
       .join(sigs.select(col(idCol).as("b"), col("__sig").as("__sigB")), "b")
       .withColumn("__est", estMatch)
       .filter(col("__est") >= threshold - 0.15)
       .select("a", "b")
-    val hs = withSig.select(col(idCol), col("__hs"))
+    val hs = df.select(col(idCol), normHashes(col(textCol)).as("__hs"))
     estPairs
       .join(hs.select(col(idCol).as("a"), col("__hs").as("__hsA")), "a")
       .join(hs.select(col(idCol).as("b"), col("__hs").as("__hsB")), "b")
