@@ -61,12 +61,23 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand), b))))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
-    // ONE shuffle total: hash-partition on (band, bucket), sort within
-    // partitions so buckets are contiguous, then stream each bucket in a
-    // narrow pass — cap enforcement, pair emission and memory bound
-    // (<= maxBucket ids buffered) all happen inline. This replaces the
-    // window-count + self-join formulation, whose bucket-size window
-    // added a full wide exchange before the join.
+    bucketedPairs(banded, maxBucket)
+  }
+
+  /** Distinct (a, b) pairs (a < b) of ids sharing a (band, bucket), for
+    * any banding scheme producing (__id, __band, __bucket) rows.
+    *
+    * ONE shuffle total: hash-partition on (band, bucket), sort within
+    * partitions so buckets are contiguous, then stream each bucket in a
+    * narrow pass — cap enforcement, pair emission and memory bound
+    * (<= maxBucket ids buffered) all happen inline. This replaces the
+    * window-count + self-join formulation, whose bucket-size window
+    * added a full wide exchange before the join. Buckets larger than
+    * `maxBucket` are DROPPED, not paired: past that density a bucket is
+    * a quadratic cross-product of (near-)identical content that exact
+    * dedup should have removed first — the cap is what bounds worst-case
+    * work at corpus scale. */
+  def bucketedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val laid = banded.repartition(col("__band"), col("__bucket"))
       .sortWithinPartitions(col("__band"), col("__bucket"))
     val idField = laid.schema("__id")
@@ -230,17 +241,21 @@ object Dedup {
     * pair within hamming distance 3 shares at least one exact band),
     * verified by true hamming distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
     val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sim")).cache()
-    val banded = sigs.select(col(idCol).as("__id"), col("__sim"),
+    val banded = sigs.select(col(idCol).as("__id"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("__sim"), i * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("__id"), col("__sim"), col("pos").as("__band"), col("col").as("__bucket"))
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("a"), col("__sim").as("__simA"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("b"), col("__sim").as("__simB"))
-    a.join(b, Seq("__band", "__bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), hammingDist64(col("__simA"), col("__simB")).as("hamming"))
-      .distinct()
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
+    // streamed capped buckets instead of a raw self-join: a hot bucket
+    // (e.g. thousands of empty/boilerplate docs sharing simhash 0)
+    // would otherwise go quadratic; within the cap the pigeonhole
+    // guarantee (hamming<=3 -> some band matches) is preserved exactly.
+    bucketedPairs(banded, maxBucket)
+      .join(sigs.select(col(idCol).as("a"), col("__sim").as("__simA")), "a")
+      .join(sigs.select(col(idCol).as("b"), col("__sim").as("__simB")), "b")
+      .select(col("a"), col("b"),
+        hammingDist64(col("__simA"), col("__simB")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
