@@ -65,7 +65,11 @@ object Dedup {
   }
 
   /** Distinct (a, b) pairs (a < b) of ids sharing a (band, bucket), for
-    * any banding scheme producing (__id, __band, __bucket) rows.
+    * any banding scheme producing (__id, __band, __bucket) rows. If the
+    * input also carries a `__p` payload column (e.g. the full simhash a
+    * band was sliced from), each pair is emitted with both payloads as
+    * (`__pA`, `__pB`) — small payloads ride the one bucket shuffle
+    * instead of paying two join-backs.
     *
     * ONE shuffle total: hash-partition on (band, bucket), sort within
     * partitions so buckets are contiguous, then stream each bucket in a
@@ -78,13 +82,21 @@ object Dedup {
     * dedup should have removed first — the cap is what bounds worst-case
     * work at corpus scale. */
   def bucketedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val hasPayload = banded.columns.contains("__p")
     val laid = banded.repartition(col("__band"), col("__bucket"))
       .sortWithinPartitions(col("__band"), col("__bucket"))
     val idField = laid.schema("__id")
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      idField.copy(name = "a"), idField.copy(name = "b")))
+    val outFields = Seq(idField.copy(name = "a"), idField.copy(name = "b")) ++
+      (if (hasPayload) {
+        val p = laid.schema("__p")
+        Seq(p.copy(name = "__pA"), p.copy(name = "__pB"))
+      } else Nil)
+    val outSchema = org.apache.spark.sql.types.StructType(outFields)
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
+    val pIdx = if (hasPayload) laid.columns.indexOf("__p") else -1
+    val bandIdx = laid.columns.indexOf("__band")
+    val bucketIdx = laid.columns.indexOf("__bucket")
     laid.mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[org.apache.spark.sql.Row] {
@@ -94,24 +106,29 @@ object Dedup {
           if (pairs.hasNext) true
           else if (!it.hasNext) false
           else {
-            val band = it.head.get(1); val bucket = it.head.get(2)
+            val band = it.head.get(bandIdx); val bucket = it.head.get(bucketIdx)
             val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+            val ps = scala.collection.mutable.ArrayBuffer.empty[Any]
             var over = false
-            while (it.hasNext && it.head.get(1) == band && it.head.get(2) == bucket) {
+            while (it.hasNext && it.head.get(bandIdx) == band &&
+                it.head.get(bucketIdx) == bucket) {
               val r = it.next()
               if (!over) {
                 ids += r.get(0)
-                if (ids.size > maxBucket) { over = true; ids.clear() }
+                if (pIdx >= 0) ps += r.get(pIdx)
+                if (ids.size > maxBucket) { over = true; ids.clear(); ps.clear() }
               }
             }
             if (!over && ids.size >= 2) {
               val arr = ids.toArray
+              val parr = ps.toArray
               pairs = arr.indices.iterator.flatMap { i =>
                 (i + 1 until arr.length).iterator.map { j =>
-                  val (x, y) = (arr(i), arr(j))
-                  if (x.asInstanceOf[Comparable[Any]].compareTo(y) <= 0)
-                    org.apache.spark.sql.Row(x, y)
-                  else org.apache.spark.sql.Row(y, x)
+                  val asc = arr(i).asInstanceOf[Comparable[Any]].compareTo(arr(j)) <= 0
+                  val (x, y) = if (asc) (i, j) else (j, i)
+                  if (pIdx >= 0)
+                    org.apache.spark.sql.Row(arr(x), arr(y), parr(x), parr(y))
+                  else org.apache.spark.sql.Row(arr(x), arr(y))
                 }
               }
             }
@@ -242,20 +259,20 @@ object Dedup {
     * verified by true hamming distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
-    val sigs = df.select(col(idCol), simhash(col(textCol)).as("__sim")).cache()
-    val banded = sigs.select(col(idCol).as("__id"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("__sim"), i * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
     // streamed capped buckets instead of a raw self-join: a hot bucket
     // (e.g. thousands of empty/boilerplate docs sharing simhash 0)
     // would otherwise go quadratic; within the cap the pigeonhole
     // guarantee (hamming<=3 -> some band matches) is preserved exactly.
+    // The 8-byte simhash rides the bucket shuffle as the payload, so
+    // verification needs no join-backs (and no cache).
+    val banded = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__p"))
+      .select(col("__id"), col("__p"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("__p"), i * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"), col("__p"))
     bucketedPairs(banded, maxBucket)
-      .join(sigs.select(col(idCol).as("a"), col("__sim").as("__simA")), "a")
-      .join(sigs.select(col(idCol).as("b"), col("__sim").as("__simB")), "b")
       .select(col("a"), col("b"),
-        hammingDist64(col("__simA"), col("__simB")).as("hamming"))
+        hammingDist64(col("__pA"), col("__pB")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -283,18 +300,16 @@ object Dedup {
     * single 16-bit sketch. One shuffle on (band, bucket). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, bitsPerBand: Int = 12,
-      minCosine: Double = 0.95): DataFrame = {
+      minCosine: Double = 0.95, maxBucket: Int = 4096): DataFrame = {
     val sketches = array((0 until bands).map(band =>
       Similarity.hyperplaneSketch(col(vecCol), bitsPerBand, seedOffset = band * 1000)): _*)
-    // bucket join carries only (band, bucket, id) — vectors rejoin
-    // after candidate dedup so embeddings aren't duplicated x bands
-    val sigs = df.select(col(idCol), posexplode(sketches))
-      .select(col(idCol), col("pos").as("__band"), col("col").as("__b"))
-      .cache()
-    val a = sigs.select(col("__band"), col("__b"), col(idCol).as("a"))
-    val b = sigs.select(col("__band"), col("__b"), col(idCol).as("b"))
-    val cands = a.join(b, Seq("__band", "__b")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // streamed capped buckets carry only (band, bucket, id) — vectors
+    // rejoin after candidate dedup so embeddings aren't duplicated x
+    // bands, and a degenerate bucket (e.g. a sea of zero vectors
+    // sharing one sketch) can't go quadratic
+    val banded = df.select(col(idCol).as("__id"), posexplode(sketches))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
+    val cands = bucketedPairs(banded, maxBucket)
     val vecs = df.select(col(idCol), col(vecCol))
     val va = vecs.select(col(idCol).as("a"), col(vecCol).as("__vA"))
     val vb = vecs.select(col(idCol).as("b"), col(vecCol).as("__vB"))
