@@ -245,6 +245,27 @@ class ArrayTableSpec extends SparkSpec {
     }
   }
 
+  test("concurrent writers at the same timestamp both commit (uuid fragment dirs)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val uri = freshUri("concwrite")
+    ArrayTable.ingest(spark, Seq((1L, 1, 1.0, "a")).toDF("x", "y", "v", "s"),
+      uri, dims, tsOpt = Some(100L), overwrite = true)
+    // both writers race from the same manifest snapshot: same ts, and
+    // (likely) the same seq — the uuid suffix must keep their fragment
+    // directories disjoint so neither clobbers the other
+    val writes = Seq(2L, 3L).map(x => Future {
+      ArrayTable.write(spark,
+        Seq((x, 1, x * 10.0, s"w$x")).toDF("x", "y", "v", "s"), uri, Some(200L))
+    })
+    val infos = Await.result(Future.sequence(writes), 120.seconds)
+    assert(infos.map(_.path).distinct.size == 2)
+    assert(ArrayTable.fragments(spark, uri).size == 3)
+    assert(ArrayTable.read(spark, uri).orderBy("x")
+      .select("x").as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("enumerations: encode on write, decode on read, extend") {
     val uri = freshUri("enum")
     val schema = ArraySchema(
