@@ -40,6 +40,40 @@ object Multimodal {
       lit(mediaType).as("media_type"), lit(format).as("format"),
       length(col(contentCol)).cast("long").as("byte_len")))
 
+  /** REAL decoder for binary PPM (P6) — a pure-JVM parse, no external
+    * libraries: ASCII header `P6 <w> <h> <maxval>` (with comments and
+    * arbitrary whitespace), one whitespace byte, then w*h*3 raw pixel
+    * bytes. Mean intensity is computed over the actual pixels. Returns
+    * None for anything that is not a well-formed P6 payload. */
+  private[ops] def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte) return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#'.toByte) { while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1 }
+        else if (c == ' '.toByte || c == '\n'.toByte || c == '\r'.toByte || c == '\t'.toByte) i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      val st = i
+      while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
+      if (i == st) -1 else new String(bytes, st, i - st, "US-ASCII").toInt
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 65536) return None
+    i += 1 // the single whitespace byte after maxval
+    val n = w.toLong * h * 3
+    if (n > Int.MaxValue || bytes.length - i < n) return None
+    var s = 0L
+    var j = i
+    while (j < i + n.toInt) { s += (bytes(j) & 0xFF); j += 1 }
+    Some((w, h, 3, s.toDouble / n))
+  }
+
   // ---- STUB: replace with a real decoder (ImageIO / ffmpeg) in prod ----
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     // deterministic pseudo-decode from the byte sum; real signature,
@@ -54,13 +88,17 @@ object Multimodal {
     (w, ht, 3, mean)
   }
 
-  /** Batched image decode: real mapPartitions plumbing, stubbed codec. */
+  /** Batched image decode: real mapPartitions plumbing; PPM (P6)
+    * payloads decode for REAL (header + true pixel mean), other
+    * formats fall back to the documented stub until native codecs are
+    * available. */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       // per-partition init happens here (codec contexts, model handles)
       rows.map { r =>
-        val (w, h, c, mean) = fakeDecode(r.content)
+        val (w, h, c, mean) =
+          decodeP6(r.content).getOrElse(fakeDecode(r.content))
         DecodedImage(r.doc_id, w, h, c, mean)
       }
     }

@@ -28,6 +28,20 @@ class MultimodalSpec extends SparkSpec {
     assert(a.find(_.doc_id == 3).get.mean_intensity == 0.0)
   }
 
+  test("PPM (P6) payloads decode for real: header dims + true pixel mean") {
+    // 2x2 RGB, pixels 0..11 -> mean (0+...+11)/12 = 5.5; comment in header
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array.tabulate[Byte](12)(_.toByte)
+    val ppm = header ++ pixels
+    val out = decodeImages(Seq(MediaRow(1L, ppm, "image", "ppm")).toDS()).collect()(0)
+    assert(out == DecodedImage(1L, 2, 2, 3, 5.5))
+    // truncated pixel data or non-P6 bytes fall back to the stub, not a crash
+    val bad = decodeImages(Seq(
+      MediaRow(2L, header ++ pixels.take(5), "image", "ppm"),
+      MediaRow(3L, "not an image at all".getBytes, "image", "png")).toDS()).collect()
+    assert(bad.length == 2 && bad.forall(d => d.width >= 32 && d.channels == 3))
+  }
+
   test("frame sampling: every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media.filter(_.doc_id == 2L),
       stride = 2, frameBytes = 256).collect()
