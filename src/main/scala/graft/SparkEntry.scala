@@ -7,7 +7,7 @@ import graft.core._
 import graft.query.{Aggregates, MultiIndex, QueryCondition}
 import graft.query.MultiIndex.{Points, RangeIncl, Ranges}
 import graft.storage.ArrayTable
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract: the declared operator surface (SURVEY.md §2/§7.4).
@@ -576,6 +576,22 @@ object SparkEntry {
         .agg(sum(col("__v")).as("violations"))
     }),
 
+    // REAL codec path under the oracle: deterministic 8x4 P6 images
+    // (pixel j of doc i = (i*7+j) % 256) decode through the actual PPM
+    // parser; DuckDB recomputes the exact dims and pixel mean.
+    "media_decode_ppm" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8, 4)
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
+        Multimodal.MediaRow(id, header ++ px, "image", "ppm")
+      }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
+
     // --- multimodal plumbing (stub codec, real batch shape) ---
     "media_decode" -> ((s, d) => {
       import s.implicits._
@@ -808,6 +824,10 @@ object SparkEntry {
       "CAST(32 + (s // 97) % 89 AS INT) AS height, CAST(3 AS INT) AS channels, " +
       "round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END, 6) AS mean_intensity " +
       "FROM b"),
+    "media_decode_ppm" -> ("SELECT d.doc_id, CAST(8 AS INT) AS width, " +
+      "CAST(4 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+      "round(avg(CAST((d.doc_id * 7 + r.j) % 256 AS DOUBLE)), 6) AS mean_intensity " +
+      "FROM documents d CROSS JOIN range(0, 96) r(j) GROUP BY d.doc_id"),
     // per-bucket integer byte sums divided once — exact in any
     // accumulation order on both engines
     "media_features" -> ("SELECT doc_id, CAST((p-1) % 16 AS INT) AS feature_idx, " +
