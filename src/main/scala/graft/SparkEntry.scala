@@ -162,6 +162,24 @@ object SparkEntry {
       fs.delete(staged); fs.delete(ckpt)
     }
 
+  /** customer array with an ORDERED balance-class enumeration whose
+    * index order (LOW < MID < HIGH) differs from lexicographic order —
+    * the fixture for index-ordered QueryCondition comparisons
+    * (reference: tiledb/query_condition.py:283-295). */
+  private def levelCustomer(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "level_customer") { tmp =>
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "LOW")
+          .when(col("c_acctbal") < 5000, "MID")
+          .otherwise("HIGH").as("level"))
+      ArrayTable.create(s, tmp, graft.core.ArraySchema(
+        dims = Seq(graft.core.Dim("c_custkey", "int64")),
+        attrs = Seq(graft.core.Attr("level", "utf8", enumLabel = Some("levels"))),
+        enums = Seq(graft.core.Enumeration("levels",
+          Seq("LOW", "MID", "HIGH"), ordered = true))))
+      ArrayTable.write(s, c, tmp, Some(1000L))
+    }
+
   /** evolved region migrated in place: `upgrade_version` rewrites the
     * stale pre-evolve fragment under the current schema version with the
     * fill value baked in, so every fragment shares one version and reads
@@ -362,6 +380,15 @@ object SparkEntry {
     // categorical->enum inference round-trip: codes on disk, decoded
     // values on read must hash-match the plain source table
     "enum_infer_roundtrip" -> ((s, d) => ArrayTable.read(s, enumCustomer(s, d))),
+    // ordered-enum inequality: index order (LOW<MID<HIGH), NOT
+    // lexicographic — a lex compare would wrongly keep the HIGH rows
+    // ('HIGH' <= 'MID' lexicographically) and hash-mismatch the oracle
+    "qc_enum_order" -> ((s, d) => {
+      val uri = levelCustomer(s, d)
+      val schema = ArrayTable.schemaOf(s, uri)
+      ArrayTable.read(s, uri)
+        .filter(QueryCondition.compile("level <= 'MID'", Some(schema)))
+    }),
     // fixed 2-cell (complex128) multi-value cells round-trip; unpacked
     // to scalar re/im columns for the driver-side compare
     "multivalue_cells" -> ((s, d) => ArrayTable.read(s, mvLineitem(s, d))
@@ -754,6 +781,9 @@ object SparkEntry {
     "stream_ingest_read" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "enum_infer_roundtrip" -> "SELECT * FROM customer",
+    "qc_enum_order" -> ("WITH lv AS (SELECT c_custkey, CASE WHEN c_acctbal < 0 " +
+      "THEN 'LOW' WHEN c_acctbal < 5000 THEN 'MID' ELSE 'HIGH' END AS level " +
+      "FROM customer) SELECT * FROM lv WHERE level IN ('LOW', 'MID')"),
     "multivalue_cells" -> ("SELECT l_orderkey, l_linenumber, " +
       "l_extendedprice AS re, l_discount AS im FROM lineitem"),
     "ev_sessionize_batch" -> ("SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +

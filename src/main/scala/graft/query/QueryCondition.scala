@@ -102,7 +102,7 @@ object QueryCondition {
   def compile(expression: String, schema: Option[ArraySchema] = None): Column = {
     val node = parse(expression)
     schema.foreach(s => validateCols(node, s))
-    toColumn(node)
+    toColumn(node, schema)
   }
 
   private def validateCols(n: Node, s: ArraySchema): Unit = n match {
@@ -117,10 +117,12 @@ object QueryCondition {
     case _ =>
   }
 
-  def toColumn(n: Node): Column = n match {
-    case AndN(l, r) => toColumn(l) && toColumn(r)
-    case OrN(l, r) => toColumn(l) || toColumn(r)
-    case NotN(e) => !toColumn(e)
+  def toColumn(n: Node): Column = toColumn(n, None)
+
+  private def toColumn(n: Node, schema: Option[ArraySchema]): Column = n match {
+    case AndN(l, r) => toColumn(l, schema) && toColumn(r, schema)
+    case OrN(l, r) => toColumn(l, schema) || toColumn(r, schema)
+    case NotN(e) => !toColumn(e, schema)
     case InList(ColRef(c), vs, neg) =>
       val in = col(c).isin(vs.map(_.value): _*)
       if (neg) !in else in
@@ -131,14 +133,38 @@ object QueryCondition {
       case "!=" => col(c).isNotNull
       case other => sys.error(s"operator $other not valid against None")
     }
-    case Cmp(op, Lit(null), r: ColRef) => toColumn(Cmp(op, r, Lit(null)))
-    case Cmp(op, ColRef(c), Lit(v)) => applyOp(op, col(c), lit(v))
+    case Cmp(op, Lit(null), r: ColRef) => toColumn(Cmp(op, r, Lit(null)), schema)
+    case Cmp(op, ColRef(c), Lit(v)) => emitCmp(op, c, v, schema)
     // constant-side reversal: 5 > a -> a < 5 (reference:
     // tiledb/query_condition.py:313-336)
-    case Cmp(op, Lit(v), ColRef(c)) => applyOp(reverse(op), col(c), lit(v))
+    case Cmp(op, Lit(v), ColRef(c)) => emitCmp(reverse(op), c, v, schema)
     case Cmp(op, ColRef(a), ColRef(b)) => applyOp(op, col(a), col(b))
     case Cmp(op, Lit(a), Lit(b)) => applyOp(op, lit(a), lit(b))
     case other => sys.error(s"cannot compile: $other")
+  }
+
+  /** Inequalities on an ENUMERATED attr compare by the enumeration's
+    * value order, not lexicographically — the reference resolves the
+    * condition value through the enum's dtype and libtiledb compares
+    * indices, requiring the enumeration be `ordered` (reference:
+    * tiledb/query_condition.py:283-295; enumeration.py ordered flag).
+    * Equality/membership stay label comparisons on the decoded values. */
+  private def emitCmp(op: String, c: String, v: Any,
+      schema: Option[ArraySchema]): Column = {
+    val enumOpt = schema.flatMap(s =>
+      s.attrs.find(_.name == c).flatMap(_.enumLabel).map(s.enumeration))
+    (enumOpt, op) match {
+      case (Some(e), "<" | "<=" | ">" | ">=") =>
+        require(e.ordered,
+          s"inequality on attr '$c' requires an ordered enumeration ('${e.name}' is unordered)")
+        val label = v.toString
+        val idx = e.values.indexOf(label)
+        require(idx >= 0, s"value '$label' not in enumeration '${e.name}'")
+        val pos = map(e.values.zipWithIndex.flatMap { case (l, i) =>
+          Seq(lit(l), lit(i)) }: _*)
+        applyOp(op, element_at(pos, col(c)), lit(idx))
+      case _ => applyOp(op, col(c), lit(v))
+    }
   }
 
   private def applyOp(op: String, l: Column, r: Column): Column = op match {

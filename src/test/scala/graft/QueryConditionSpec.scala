@@ -80,6 +80,31 @@ class QueryConditionSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] { QueryCondition.parse("") }
   }
 
+  test("ordered-enum inequality compares by enumeration order, not lexicographically") {
+    import graft.core.Enumeration
+    // index order LOW < MID < HIGH; LEXICOGRAPHIC order would be
+    // HIGH < LOW < MID, so a lex compare would wrongly keep HIGH rows
+    val schema = ArraySchema(
+      dims = Seq(Dim("k", "int64")),
+      attrs = Seq(Attr("level", "utf8", enumLabel = Some("levels")),
+        Attr("tag", "utf8", enumLabel = Some("tags"))),
+      enums = Seq(Enumeration("levels", Seq("LOW", "MID", "HIGH"), ordered = true),
+        Enumeration("tags", Seq("x", "y"))))
+    val data = Seq((1L, "LOW", "x"), (2L, "MID", "y"), (3L, "HIGH", "x"))
+      .toDF("k", "level", "tag")
+    def sel(cond: String): Set[Long] =
+      data.filter(QueryCondition.compile(cond, Some(schema)))
+        .select("k").as[Long].collect().toSet
+    assert(sel("level <= 'MID'") == Set(1L, 2L))     // lex would give Set(2,3)... and 1
+    assert(sel("level > 'LOW'") == Set(2L, 3L))
+    assert(sel("'HIGH' > level") == Set(1L, 2L))     // constant-side reversal
+    assert(sel("level == 'HIGH'") == Set(3L))        // equality stays label-based
+    // inequality on an UNORDERED enumeration is rejected
+    assertThrows[IllegalArgumentException] { sel("tag < 'y'") }
+    // unknown label in an ordered comparison is rejected
+    assertThrows[IllegalArgumentException] { sel("level < 'EXTREME'") }
+  }
+
   test("dense semantics: non-matching cells become fill values") {
     val schema = ArraySchema(Seq(Dim("k", "int64")),
       Seq(Attr("v", "float64", fill = Some("-1"))))
