@@ -551,11 +551,8 @@ object SparkEntry {
       val inline = Similarity.ivfTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 8)
       val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      // each side is tiny (|queries| * k rows) but expensive to produce;
-      // cache so the symmetric difference doesn't recompute them twice
-      val ix = indexed.select(cols: _*).cache()
-      val il = inline.select(cols: _*).cache()
-      ix.exceptAll(il).unionAll(il.exceptAll(ix))
+      indexed.select(cols: _*).exceptAll(inline.select(cols: _*))
+        .unionAll(inline.select(cols: _*).exceptAll(indexed.select(cols: _*)))
         .agg(count(lit(1)).as("mismatches"))
     }),
     "knn_ivf_recall" -> ((s, d) => {
