@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     require(args.size == n, s"$fn expects $n arguments, got ${args.size}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // enum label predicates collapse to pushable code predicates
+    ext.injectOptimizerRule(_ => graft.plans.EnumPredicatePushdown)
+
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))

@@ -55,6 +55,38 @@ class GraftExtensionsSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("shingle_hashes"))
   }
 
+  test("enum label filters collapse to pushable code predicates") {
+    import graft.core.{ArraySchema, Attr, Dim, Enumeration}
+    import graft.storage.ArrayTable
+    val uri = TestSession.tmpDir("enumpush")
+    val schema = ArraySchema(
+      dims = Seq(Dim("x", "int64")),
+      attrs = Seq(Attr("color", "utf8", enumLabel = Some("colors"))),
+      enums = Seq(Enumeration("colors", Seq("red", "green", "blue"))))
+    ArrayTable.create(spark, uri, schema)
+    ArrayTable.write(spark,
+      Seq((1L, "red"), (2L, "blue"), (3L, "green"), (4L, "red")).toDF("x", "color"),
+      uri, Some(100L))
+    val df = ArrayTable.read(spark, uri).filter($"color" === "red")
+    // the label predicate must reach the parquet scan as a CODE filter
+    val scans = org.apache.spark.sql.graftshim.Shim.plannedPhysical(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString(";")
+    assert(pushed.contains("EqualTo(color,0)"), s"no code pushdown in: $pushed")
+    assert(df.select("x").as[Long].collect().toSet == Set(1L, 4L))
+    // membership too
+    val in = ArrayTable.read(spark, uri).filter($"color".isin("red", "blue"))
+    val pushedIn = org.apache.spark.sql.graftshim.Shim.plannedPhysical(in).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.metadata("PushedFilters")).mkString(";")
+    assert(pushedIn.contains("In(color"), s"no IN pushdown in: $pushedIn")
+    assert(in.select("x").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // unknown label -> empty result, not an error
+    assert(ArrayTable.read(spark, uri).filter($"color" === "mauve").count() == 0)
+  }
+
   test("simhash64 via SQL matches Dedup.simhash on the docs table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     docs.createOrReplaceTempView("ext_corpus")
