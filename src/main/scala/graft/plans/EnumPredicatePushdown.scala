@@ -49,7 +49,28 @@ object EnumPredicatePushdown extends Rule[LogicalPlan] {
     if (idx < 0) Literal.FalseLiteral else EqualTo(code, Literal(idx))
   }
 
+  /** map(<labels> -> <their indices>) literal, as QueryCondition's
+    * ordered-enum emit builds it */
+  private def isPositionMap(m: org.apache.spark.sql.catalyst.util.MapData,
+      labels: IndexedSeq[String]): Boolean = {
+    if (m.numElements() != labels.size) return false
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    (0 until m.numElements()).forall { i =>
+      val k = keys.getUTF8String(i).toString
+      val v = vals.getInt(i)
+      v >= 0 && v < labels.size && labels(v) == k
+    }
+  }
+
   private def rewrite(cond: Expression): Expression = cond.transformUp {
+    // ordered-enum inequality: element_at(posMap, decoded) is just the
+    // code itself (posMap inverts the label array), so the surrounding
+    // comparison becomes a pushable integer range filter
+    case ElementAt(Literal(m: org.apache.spark.sql.catalyst.util.MapData,
+        MapType(StringType, IntegerType, _)), DecodedEnum(code, labels), _, _)
+        if isPositionMap(m, labels) =>
+      code
     case EqualTo(DecodedEnum(code, labels), Literal(s: UTF8String, StringType)) =>
       codeEq(code, labels, s)
     case EqualTo(Literal(s: UTF8String, StringType), DecodedEnum(code, labels)) =>

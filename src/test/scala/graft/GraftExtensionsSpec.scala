@@ -85,6 +85,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(in.select("x").as[Long].collect().toSet == Set(1L, 2L, 4L))
     // unknown label -> empty result, not an error
     assert(ArrayTable.read(spark, uri).filter($"color" === "mauve").count() == 0)
+
+    // ordered-enum inequality (QueryCondition emit) becomes a pushable
+    // integer range filter on the codes
+    val ouri = TestSession.tmpDir("enumpushord")
+    val oschema = ArraySchema(
+      dims = Seq(Dim("x", "int64")),
+      attrs = Seq(Attr("level", "utf8", enumLabel = Some("levels"))),
+      enums = Seq(Enumeration("levels", Seq("LOW", "MID", "HIGH"), ordered = true)))
+    ArrayTable.create(spark, ouri, oschema)
+    ArrayTable.write(spark,
+      Seq((1L, "LOW"), (2L, "MID"), (3L, "HIGH")).toDF("x", "level"), ouri, Some(100L))
+    val ord = ArrayTable.read(spark, ouri).filter(
+      graft.query.QueryCondition.compile("level <= 'MID'", Some(oschema)))
+    val pushedOrd = org.apache.spark.sql.graftshim.Shim.plannedPhysical(ord).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.map(_.metadata("PushedFilters")).mkString(";")
+    assert(pushedOrd.contains("LessThanOrEqual(level,1)"), s"no range pushdown in: $pushedOrd")
+    assert(ord.select("x").as[Long].collect().toSet == Set(1L, 2L))
   }
 
   test("simhash64 via SQL matches Dedup.simhash on the docs table") {
