@@ -230,6 +230,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // mid-propagation labels are WRONG clusters, not approximate ones —
+    // refuse to return them (min-label propagation needs O(component
+    // diameter) rounds; raise maxIter for pathologically long chains)
+    require(converged,
+      s"dup clustering did not converge in $maxIter rounds — a component's " +
+        "diameter exceeds maxIter; raise maxIter")
     labels
   }
 
