@@ -468,6 +468,18 @@ object SparkEntry {
         .withColumn("text", concat(col("text"), lit(" x")))
       Dedup.simhashNearDups(docs.unionByName(edited), "doc_id", "text", maxHamming = 3)
     }),
+    // end-to-end drop pipeline gate (near-dup pairs -> connected
+    // components -> min-id survivor per component): every planted copy
+    // shares a component with its original (measured LSH recall 1.0),
+    // and the original has the smaller id, so NO copy may survive.
+    "dedup_drop_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      Dedup.dropNearDups(docs.unionByName(edited), "doc_id", "text", threshold = 0.6)
+        .agg(sum(when(col("doc_id") >= 1000000, 1L).otherwise(0L))
+          .as("planted_survivors"))
+    }),
     // LSH recall gate for minhash_neardups: every planted pair whose
     // EXACT hashed-shingle jaccard clears the threshold (the ground
     // truth the banded LSH is approximating) must be recovered at >=0.9.
@@ -902,6 +914,7 @@ object SparkEntry {
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "minhash_recall" -> "SELECT true AS recall_ok",
+    "dedup_drop_gate" -> "SELECT CAST(0 AS BIGINT) AS planted_survivors",
     "simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed",
     "text_fp_gate" -> "SELECT CAST(0 AS BIGINT) AS violations",
     "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
