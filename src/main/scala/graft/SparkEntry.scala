@@ -473,7 +473,10 @@ object SparkEntry {
     // shares a component with its original (measured LSH recall 1.0),
     // and the original has the smaller id, so NO copy may survive.
     "dedup_drop_gate" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // deterministic 600-doc subset: the iterative-CC gate's cost is
+      // dominated by per-round job overhead, not data size, so a fixed
+      // slice keeps the gate meaningful at constant bench cost
+      val docs = t(s, d, "documents").filter(col("doc_id") < 600)
       val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
         .withColumn("text", concat(col("text"), lit(" xyzzy")))
       Dedup.dropNearDups(docs.unionByName(edited), "doc_id", "text", threshold = 0.6)

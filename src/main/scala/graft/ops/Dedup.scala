@@ -218,14 +218,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "b2"), edges("b") === col("b2"))
         .groupBy(col("a").as("id")).agg(min(col("cluster")).as("__nm"))
+      // ONE action per round: the new label carries a changed flag, so
+      // materializing the cache and testing convergence are the same
+      // aggregate — per-round job overhead is what dominates CC on
+      // sparse dedup edge lists
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("__nm"), col("cluster")))
-          .as("cluster")).cache()
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("cluster", "__old"), "id")
-        .filter(col("cluster") =!= col("__old")).limit(1).count()
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nm"), col("cluster"))).as("__new"),
+          (least(col("cluster"), coalesce(col("__nm"), col("cluster"))) =!=
+            col("cluster")).as("__chg"))
+        .select(col("id"), col("__new").as("cluster"), col("__chg"))
+        .cache()
+      val changed = next.agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0).getLong(0)
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "cluster")
       converged = changed == 0
       iter += 1
     }
