@@ -197,52 +197,117 @@ object Dedup {
   def hashedJaccard(a: Column, b: Column): Column =
     graft.functions.SortedLongJaccard(a, b)
 
-  /** Connected components over a dup-pair edge list via iterative
-    * min-label propagation (alternating large-star/small-star style):
-    * each round joins every node to its neighbors' current minimum and
-    * keeps the smaller, until fixpoint or `maxIter`. Returns
-    * (id, cluster) where cluster = min id of the component. Edge lists
-    * from near-dup detection are sparse, so each round is one shuffle
-    * of the edge table — the standard scalable CC for dedup. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    // symmetric edges incl. self-loops
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
-    var labels = edges.select(col("a").as("id"))
-      .distinct().withColumn("cluster", col("id")).cache()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "b2"), edges("b") === col("b2"))
-        .groupBy(col("a").as("id")).agg(min(col("cluster")).as("__nm"))
-      // ONE action per round: the new label carries a changed flag, so
-      // materializing the cache and testing convergence are the same
-      // aggregate — per-round job overhead is what dominates CC on
-      // sparse dedup edge lists
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("__nm"), col("cluster"))).as("__new"),
-          (least(col("cluster"), coalesce(col("__nm"), col("cluster"))) =!=
-            col("cluster")).as("__chg"))
-        .select(col("id"), col("__new").as("cluster"), col("__chg"))
-        .cache()
-      val changed = next.agg(sum(when(col("__chg"), 1L).otherwise(0L))).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next.select("id", "cluster")
-      converged = changed == 0
-      iter += 1
+  /** Connected components over a dup-pair edge list. Returns
+    * (id, cluster) where cluster = the component's minimum id.
+    *
+    * Two execution paths, picked by the materialized edge count:
+    *
+    *  - `<= driverLimit` edges (the common case: LSH candidate pairs
+    *    are bucket-capped, so the edge list is orders of magnitude
+    *    smaller than the corpus): ONE cluster action collects the
+    *    distinct edges and a driver-side union-find with path
+    *    compression labels them in O(E α(E)) — no per-round Spark jobs
+    *    at all, which is what dominated the old iterative formulation.
+    *  - larger: alternating large-star / small-star rounds (Kiveris et
+    *    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    *    public algorithm). Converges in O(log n) rounds regardless of
+    *    component DIAMETER, unlike min-label propagation whose round
+    *    count is the longest chain — a 10k-link chain of near-dups no
+    *    longer aborts. Each round is two groupBy/join shuffles of the
+    *    (sparse) edge list only; min() aggregates partially map-side,
+    *    so a mega-component's hub key doesn't single-thread the round.
+    *
+    * Mid-convergence labels are WRONG clusters, not approximate ones —
+    * the star path still refuses to return them, but its 64-round bound
+    * is a safety net (log2 of any real edge count), not a cliff. */
+  def dupClusters(pairs: DataFrame, driverLimit: Long = 1L << 20): DataFrame = {
+    val edges0 = pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().cache()
+    val n = edges0.count()
+    val out =
+      if (n <= driverLimit) driverUnionFind(pairs.sparkSession, edges0)
+      else starClusters(edges0)
+    edges0.unpersist()
+    out
+  }
+
+  /** Driver-side union-find over a collected edge list: path-compressed
+    * find, union-by-min (the smaller id always becomes the root, so the
+    * final root IS the component minimum). Ids only need the same
+    * `Comparable` ordering the distributed path's least/greatest use. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // second pass: compress the walked path onto the root
+      while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
     }
-    edges.unpersist()
-    // mid-propagation labels are WRONG clusters, not approximate ones —
-    // refuse to return them (min-label propagation needs O(component
-    // diameter) rounds; raise maxIter for pathologically long chains)
+    edges.toLocalIterator().forEachRemaining { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val idType = edges.schema("a").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster", idType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach(id => rows.add(org.apache.spark.sql.Row(id, find(id))))
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Alternating large-star/small-star CC (Kiveris et al., SoCC'14).
+    * Fixpoint is a star per component centered at its minimum id. */
+  private def starClusters(edges0: DataFrame): DataFrame = {
+    var cur = edges0
+    var curCnt = -1L // unknown orientation vs the first round's output
+    var converged = false
+    var round = 0
+    val maxRounds = 64
+    while (!converged && round < maxRounds) {
+      // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      val sym = cur.union(cur.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("__mn"))
+      val large = sym.join(mins, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("__mn"), col("a")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      // small-star(u) on big→small orientation: m = min(N(u)); emit
+      // (v, m) for v ∈ N(u) \ {m} plus (u, m)
+      val or = large.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val smins = or.groupBy("u").agg(min(col("v")).as("__m"))
+      // eager localCheckpoint, not cache: each round's plan embeds the
+      // previous round's ~16x (sym/mins/large/or/smins each re-reference
+      // it), so without lineage truncation the logical plan grows
+      // exponentially and the DRIVER dies on plan analysis long before
+      // any executor breaks a sweat
+      val next = or.join(smins, "u").where(col("v") =!= col("__m"))
+        .select(col("v").as("a"), col("__m").as("b"))
+        .union(smins.select(col("u").as("a"), col("__m").as("b")))
+        .distinct().localCheckpoint(true)
+      val nextCnt = next.count()
+      // set equality: equal cardinality + empty one-sided difference
+      val changed = nextCnt != curCnt ||
+        next.join(cur, Seq("a", "b"), "left_anti").limit(1).count() > 0
+      cur = next; curCnt = nextCnt
+      converged = !changed
+      round += 1
+    }
     require(converged,
-      s"dup clustering did not converge in $maxIter rounds — a component's " +
-        "diameter exceeds maxIter; raise maxIter")
-    labels
+      s"dup clustering did not converge in $maxRounds star rounds — " +
+        "this exceeds the proven O(log n) bound and indicates a bug")
+    cur.select(col("a").as("id"), col("b").as("cluster"))
+      .union(cur.select(col("b").as("id"), col("b").as("cluster")))
+      .distinct()
   }
 
   /** Drop near-duplicates: cluster the dup graph and keep only each

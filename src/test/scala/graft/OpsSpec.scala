@@ -100,6 +100,33 @@ class OpsSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(9L) && kept.length < 4)
   }
 
+  test("dup clustering: long chains (diameter >> 10) converge on both paths") {
+    // a 30-link chain plus a shuffled 2nd component; the old min-label
+    // propagation aborted past diameter 10 — both the driver union-find
+    // and the large-star/small-star path must label these exactly
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val other = Seq((100L, 103L), (103L, 101L), (101L, 102L))
+    val pairs = (chain ++ other).toDF("a", "b")
+    val viaDriver = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val viaStars = Dedup.dupClusters(pairs, driverLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    for (got <- Seq(viaDriver, viaStars)) {
+      assert(got.size == 35)
+      (0L to 30L).foreach(i => assert(got(i) == 0L))
+      (100L to 103L).foreach(i => assert(got(i) == 100L))
+    }
+  }
+
+  test("dup clustering: string ids and edge orientation don't matter") {
+    val pairs = Seq(("zz", "bb"), ("bb", "aa"), ("q", "q2")).toDF("a", "b")
+    for (limit <- Seq(1L << 20, 0L)) {
+      val got = Dedup.dupClusters(pairs, driverLimit = limit)
+        .as[(String, String)].collect().toMap
+      assert(got == Map("zz" -> "aa", "bb" -> "aa", "aa" -> "aa",
+        "q" -> "q", "q2" -> "q"))
+    }
+  }
+
   test("ngram jaccard on explicit pairs") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q")).toDF("id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
