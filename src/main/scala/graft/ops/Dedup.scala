@@ -247,7 +247,9 @@ object Dedup {
       while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
       r
     }
-    edges.toLocalIterator().forEachRemaining { row =>
+    // one job, not toLocalIterator's per-partition sequence; the edge
+    // list is <= driverLimit rows by construction, so this is bounded
+    edges.collect().foreach { row =>
       val a = row.get(0); val b = row.get(1)
       if (!parent.containsKey(a)) parent.put(a, a)
       if (!parent.containsKey(b)) parent.put(b, b)
