@@ -412,6 +412,15 @@ object SparkEntry {
       graft.storage.Dense.read(s, denseOrders(s, d),
         box = Map("o_orderkey" -> (1L, 2000L)))),
 
+    // Manifest-only aggregate pushdown under the oracle: a pure count
+    // over the full selection is answered from fragment manifests (zero
+    // data read — the 100 TB "how many cells" query); DuckDB recounts
+    // the real rows, so any manifest drift fails the hash check.
+    "agg_count_meta" -> ((s, d) =>
+      graft.query.ArrayQuery(s, ttLineitem(s, d))
+        .agg(Map("l_quantity" -> Seq("count")))
+        .df),
+
     // --- query builder through the correctness gate ---
     "agg_builder" -> ((s, d) =>
       graft.query.ArrayQuery(s, ttLineitem(s, d))
@@ -775,6 +784,7 @@ object SparkEntry {
     "dense_read_array" -> ("SELECT CAST(t.coord AS BIGINT) AS o_orderkey, " +
       "coalesce(o.o_totalprice, 0.0) AS o_totalprice FROM range(1, 2001) t(coord) " +
       "LEFT JOIN orders o ON o.o_orderkey = t.coord"),
+    "agg_count_meta" -> "SELECT count(*) AS l_quantity_count FROM lineitem",
     "agg_builder" -> ("SELECT CAST(min(l_extendedprice) AS DOUBLE) AS l_extendedprice_min, " +
       "CAST(max(l_extendedprice) AS DOUBLE) AS l_extendedprice_max, " +
       "count(*) AS l_extendedprice_count FROM lineitem WHERE l_quantity < 24.0"),

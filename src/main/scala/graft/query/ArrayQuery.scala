@@ -64,7 +64,9 @@ case class ArrayQuery(
       selected.filter(QueryCondition.compile(c, Some(schema)))).getOrElse(selected)
 
     aggSpecs match {
-      case Some(specs) => Aggregates.agg(filtered.drop(ArrayTable.TS, ArrayTable.SEQ), specs)
+      case Some(specs) =>
+        metadataCount(specs).getOrElse(
+          Aggregates.agg(filtered.drop(ArrayTable.TS, ArrayTable.SEQ), specs))
       case None =>
         val dimCols = dimSel.getOrElse(schema.dimNames)
         val attrCols = attrSel.getOrElse(schema.attrNames)
@@ -76,6 +78,36 @@ case class ArrayQuery(
           case _ => filtered
         }
         ordered.select((dimCols ++ attrCols).map(col): _*)
+    }
+  }
+
+  /** Aggregate pushdown to fragment manifests (the Spark-side analogue
+    * of the reference's channel-aggregate scan computation, core.cc:
+    * 400-430, and of DSv2 `SupportsPushDownAggregates`): a pure-`count`
+    * aggregate over the FULL selection is the sum of manifest cell
+    * counts — zero data read at any scale — whenever the manifests
+    * prove the scan would count exactly the union of fragments:
+    * no condition/ranges, no tombstones in the timestamp window, and
+    * no possible shadowing (duplicates allowed, <=1 fragment, or all
+    * MBRs pairwise disjoint). Anything else falls through to the scan. */
+  private def metadataCount(specs: Map[String, Seq[String]]): Option[DataFrame] = {
+    val pairs = specs.toSeq.flatMap { case (a, ops) => ops.map(a -> _) }
+    val countsOnly = pairs.nonEmpty && pairs.forall { case (attr, op) =>
+      op == "count" && (schema.dimNames.contains(attr) || schema.attrNames.contains(attr))
+    }
+    if (!countsOnly || condExpr.nonEmpty || ranges.nonEmpty) None
+    else {
+      val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
+      val frags = ArrayTable.fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+      val dels = ArrayTable.deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+      val shadowingPossible = !schema.allowsDuplicates && frags.size > 1 &&
+        ArrayTable.anyOverlap(frags)
+      if (dels.nonEmpty || shadowingPossible) None
+      else {
+        val total = frags.map(_.cellCount).sum
+        val cols = pairs.map { case (attr, _) => lit(total).as(s"${attr}_count") }
+        Some(spark.range(1).select(cols: _*))
+      }
     }
   }
 

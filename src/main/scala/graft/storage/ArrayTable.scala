@@ -609,7 +609,7 @@ object ArrayTable {
 
   /** Do any two fragments overlap on every dim MBR? If not, shadowing is
     * impossible and the dedup shuffle is skipped. */
-  private[storage] def anyOverlap(frags: Seq[FragmentInfo]): Boolean = {
+  private[graft] def anyOverlap(frags: Seq[FragmentInfo]): Boolean = {
     def overlap(a: FragmentInfo, b: FragmentInfo): Boolean =
       a.mbr.keys.forall { d =>
         (a.mbr.get(d), b.mbr.get(d)) match {

@@ -60,6 +60,45 @@ class ArrayQuerySpec extends SparkSpec {
     assert(ArrayQuery(spark, u2).df.count() == 2)
   }
 
+  test("pure count over the full selection is served from manifests (no scan)") {
+    val q = ArrayQuery(spark, uri).agg(Map("v" -> Seq("count")))
+    assert(q.df.collect()(0).getAs[Long]("v_count") == 50L)
+    // the plan must not touch parquet — metadata only
+    val plan = q.df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Relation") && !plan.contains("parquet"), plan)
+
+    // mixed ops, conditions, or ranges fall through to the scan path
+    val mixed = ArrayQuery(spark, uri).agg(Map("v" -> Seq("count", "sum")))
+    assert(mixed.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    val conded = ArrayQuery(spark, uri).cond("y != 0").agg(Map("v" -> Seq("count")))
+    assert(conded.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    assert(conded.df.collect()(0).getAs[Long]("v_count") == 40L)
+  }
+
+  test("metadata count falls through when shadowing or deletes make it unsafe") {
+    val u2 = TestSession.tmpDir("aqc")
+    import spark.implicits._
+    val mk = (lo: Long, hi: Long) => (lo to hi).map(i => (i, i * 1.0)).toDF("x", "v")
+    ArrayTable.ingest(spark, mk(1L, 10L), u2, Seq("x"), tsOpt = Some(100L), overwrite = true)
+    // overlapping rewrite of x in 5..10 -> shadowing: scan must dedup, so
+    // the fast path must NOT report 10 + 6
+    ArrayTable.write(spark, mk(5L, 10L), u2, Some(200L))
+    val shadowed = ArrayQuery(spark, u2).agg(Map("v" -> Seq("count")))
+    assert(shadowed.df.collect()(0).getAs[Long]("v_count") == 10L)
+    assert(shadowed.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    // disjoint append (x in 11..20): fast path applies again
+    ArrayTable.write(spark, mk(11L, 20L), u2, Some(300L))
+    val disjointAt = ArrayQuery(spark, u2).timestamp(201L, 400L)
+      .agg(Map("v" -> Seq("count")))
+    assert(disjointAt.df.collect()(0).getAs[Long]("v_count") == 10L)
+    assert(!disjointAt.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    // a tombstone inside the window disables the fast path
+    ArrayTable.delete(spark, u2, "x == 15", tsOpt = Some(400L))
+    val afterDel = ArrayQuery(spark, u2).agg(Map("v" -> Seq("count")))
+    assert(afterDel.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    assert(afterDel.df.collect()(0).getAs[Long]("v_count") == 19L)
+  }
+
   test("estimated result sizes are positive and cover requested columns") {
     val est = ArrayQuery(spark, uri).attrs("v").estimatedResultSizes()
     assert(est.keySet == Set("x", "y", "v"))
