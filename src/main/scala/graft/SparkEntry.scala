@@ -7,7 +7,7 @@ import graft.core._
 import graft.query.{Aggregates, MultiIndex, QueryCondition}
 import graft.query.MultiIndex.{Points, RangeIncl, Ranges}
 import graft.storage.ArrayTable
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract: the declared operator surface (SURVEY.md §2/§7.4).
@@ -627,6 +627,43 @@ object SparkEntry {
         .agg(sum(col("__v")).as("violations"))
     }),
 
+    // --- corpus curation (scale extensions) ---
+    // PII redaction over synthetically planted addresses/numbers (the
+    // corpus itself is clean, so redacting it raw would be a no-op
+    // non-test): plant an email, an IPv4, and a phone derived from
+    // doc_id, then redact; DuckDB replants and re-redacts with its own
+    // regex engine, so the patterns must agree engine-to-engine.
+    "pii_redact" -> ((s, d) => {
+      val planted = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact doc"), col("doc_id"), lit("@example.com or 555-123-4567 at 10.0.0."),
+        col("doc_id") % 256)
+      t(s, d, "documents").select(col("doc_id"),
+        Curation.redactPii(planted).as("clean_text"))
+    }),
+    // keep at most 10 docs per source, lowest doc_id first
+    "source_cap" -> ((s, d) =>
+      Curation.capPerKey(t(s, d, "documents"), col("source"), col("doc_id"), 10)
+        .select(col("doc_id"), col("source"))),
+    "text_repetition" -> ((s, d) => {
+      val f = Curation.repetitionFeatures(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        f.getField("n_tokens").as("n_tokens"),
+        f.getField("n_distinct").as("n_distinct"),
+        f.getField("dup_ratio").as("dup_ratio"))
+    }),
+    // benchmark contamination: the "eval set" is a 20-token snippet
+    // (tokens 11..30) of every 20th doc; any corpus doc sharing an
+    // 8-gram with a snippet is contaminated. Snippet sources must
+    // surface themselves; the word-salad corpus makes cross hits rare.
+    "contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 11, 20)).as("snippet"))
+      Curation.contamination(docs, "doc_id", "text", bench, "snippet", n = 8)
+    }),
+
     // REAL codec path under the oracle: deterministic 8x4 P6 images
     // (pixel j of doc i = (i*7+j) % 256) decode through the actual PPM
     // parser; DuckDB recomputes the exact dims and pixel mean.
@@ -850,6 +887,36 @@ object SparkEntry {
     "text_tokens_bpe" -> ("SELECT doc_id, CAST(length(regexp_extract_all(text, " +
       """'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_pieces FROM documents"""),
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    // curation pack: replant the same synthetic PII, re-redact in RE2
+    "pii_redact" -> ("SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(" +
+      "substr(text, 1, 40) || ' contact doc' || doc_id || '@example.com or 555-123-4567 at 10.0.0.' || (doc_id % 256), " +
+      """'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), """ +
+      """'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), """ +
+      """'\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS clean_text FROM documents"""),
+    "source_cap" -> ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+      "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 10"),
+    "text_repetition" -> ("WITH s AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, " +
+      "round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) " +
+      "/ greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS dup_ratio FROM s"),
+    // contamination: 8-grams of every doc vs 20-token snippets
+    // (tokens 11..30) of every 20th doc; count distinct shared grams.
+    // DuckDB slices are 1-based inclusive: t[i:i+7] = 8 tokens.
+    "contamination" -> ("WITH toks AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      "bgrams AS (SELECT DISTINCT unnest([array_to_string(bt[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(bt)-7, 0))]) AS g " +
+      "FROM (SELECT t[11:30] AS bt FROM toks WHERE doc_id % 20 = 0)), " +
+      "cgrams AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) < 8 " +
+      "THEN [array_to_string(t, ' ')] " +
+      "ELSE [array_to_string(t[i:i+7], ' ') for i in generate_series(1, len(t)-7)] END) AS g " +
+      "FROM toks) " +
+      "SELECT doc_id, count(*) AS shared_grams FROM cgrams " +
+      "JOIN bgrams USING (g) GROUP BY doc_id"),
     // language ID: token-count per stopword table, winner = max (score,
     // lang) — mirrors the array_max(struct(score, lang)) tie-break
     // (lexicographically larger lang wins ties)

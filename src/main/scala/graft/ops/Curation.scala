@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: PII
+  * redaction, per-source caps, repetition scoring, and benchmark
+  * contamination. These are the standard filters between "raw crawl"
+  * and "training set" (C4/Gopher-style heuristics), built as narrow
+  * codegen'd column expressions plus at most one shuffle each, so they
+  * hold at 100 TB:
+  *
+  *   - `redactPii` / `repetitionFeatures`: per-row, zero shuffle.
+  *   - `capPerKey`: one shuffle on the cap key.
+  *   - `contamination`: distinct n-gram hashes joined on an 8-byte
+  *     key; the benchmark side is broadcast (eval sets are small).
+  */
+object Curation {
+
+  /** Redact emails, then IPv4 addresses, then phone numbers — in that
+    * order so the phone pattern can never bite fragments of an address
+    * already rewritten. Patterns stay inside the RE2-compatible subset
+    * (character classes + bounded repeats + ASCII word boundaries) so
+    * the same strings work in any engine.
+    */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Keep at most `n` rows per key, deterministically (lowest `ord`
+    * first). One shuffle on `key`; ties on `ord` broken by `ord`'s
+    * uniqueness being the caller's contract. Hot keys are bounded by
+    * the cap itself on output; the sort under the window is per-key
+    * and spills, so a skewed key degrades to disk, not OOM.
+    */
+  def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(key).orderBy(ord)))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+
+  /** Word-level repetition signals (Gopher-style): token count,
+    * distinct-token count, and the duplicate fraction
+    * 1 - distinct/total. Per-row narrow expression — the token array
+    * never leaves the row.
+    */
+  def repetitionFeatures(text: Column): Column =
+    TextAnalysis.once(TextAnalysis.tokens(text)) { toks =>
+      val n = size(toks).cast("double")
+      val d = size(array_distinct(toks)).cast("double")
+      struct(
+        n.cast("long").as("n_tokens"),
+        d.cast("long").as("n_distinct"),
+        round(lit(1.0) - d / greatest(n, lit(1.0)), 6).as("dup_ratio"))
+    }
+
+  /** Distinct word `n`-grams of `text`, hashed to 64 bits. The hash —
+    * not the string — is what travels through joins: an 8-byte shuffle
+    * key instead of a ~50-byte gram. */
+  private def gramHashes(text: Column, n: Int): Column =
+    transform(TextAnalysis.wordNgrams(text, n), g => xxhash64(g))
+
+  /** Benchmark-contamination check: for every corpus document, how many
+    * of its distinct word `n`-grams appear anywhere in `benchmark`.
+    * Returns (idCol, shared_grams) for contaminated docs only.
+    *
+    * Scale shape: both sides reduce to DISTINCT n-gram hashes before
+    * the join; the benchmark side (an eval set — thousands of docs, not
+    * billions) is broadcast, so the corpus never shuffles: explode +
+    * broadcast-hash-join + partial-agg count, all map-side until the
+    * final per-doc count combine.
+    */
+  def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchmarkText: String, n: Int = 8): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(benchmarkText), n)).as("g"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(corpusId), explode(gramHashes(col(corpusText), n)).as("g"))
+    corpusGrams
+      .join(broadcast(benchGrams), "g")
+      .groupBy(col(corpusId))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+}

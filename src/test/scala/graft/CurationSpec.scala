@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii scrubs emails, IPv4s, and phone numbers, leaves prose") {
+    val df = Seq(
+      "mail a.b+c@sub.example.org now",
+      "host 192.168.0.17 port 80",
+      "call 555-123-4567 or 555.987.6543",
+      "version 1.2 is not an IP, 12-34-5678 is not a phone",
+      "clean text stays clean").toDF("t")
+      .select(Curation.redactPii($"t").as("r"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "mail <EMAIL> now",
+      "host <IP> port 80",
+      "call <PHONE> or <PHONE>",
+      "version 1.2 is not an IP, 12-34-5678 is not a phone",
+      "clean text stays clean"))
+  }
+
+  test("capPerKey keeps the n lowest-ordered rows per key") {
+    val df = (1 to 30).map(i => (s"k${i % 3}", i)).toDF("k", "v")
+    val capped = Curation.capPerKey(df, $"k", $"v", 4)
+    assert(capped.count() == 12)
+    val k0 = capped.filter($"k" === "k0").select($"v").as[Int].collect().sorted
+    assert(k0.toSeq == Seq(3, 6, 9, 12)) // the 4 smallest v for k0
+    // cap larger than group size keeps everything
+    assert(Curation.capPerKey(df, $"k", $"v", 100).count() == 30)
+  }
+
+  test("repetitionFeatures measures the duplicate-token fraction") {
+    val f = Seq("a b c d", "a a a a", "x y x y").toDF("t")
+      .select(Curation.repetitionFeatures($"t").as("f"))
+      .select($"f.n_tokens", $"f.n_distinct", $"f.dup_ratio")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(f == Seq((4L, 4L, 0.0), (4L, 1L, 0.75), (4L, 2L, 0.5)))
+  }
+
+  test("contamination finds docs sharing an 8-gram with the benchmark") {
+    val words = (1 to 40).map(i => s"w$i")
+    val doc = (id: Long, toks: Seq[String]) => (id, toks.mkString(" "))
+    val corpus = Seq(
+      doc(1L, words.take(20)),              // contains benchmark span
+      doc(2L, words.slice(20, 40)),         // disjoint
+      doc(3L, words.slice(5, 25)),          // overlaps span 5..12 partially
+      doc(4L, Seq("tiny", "doc"))           // shorter than one gram
+    ).toDF("doc_id", "text")
+    // benchmark = tokens w3..w12 (two 8-grams of doc 1's prefix)
+    val bench = Seq(words.slice(2, 12).mkString(" ")).toDF("snippet")
+    val hits = Curation.contamination(corpus, "doc_id", "text", bench, "snippet")
+      .as[(Long, Long)].collect().toMap
+    // doc1 holds all 3 benchmark 8-grams (w3..w10, w4..w11, w5..w12);
+    // doc3 starts at w6 so it holds none of them fully... except w5..w12
+    // needs w5 — doc3 has w6..w25, so no full benchmark gram: absent.
+    assert(hits == Map(1L -> 3L))
+    // planting the span inside doc2 makes it contaminated too
+    val corpus2 = corpus.union(Seq(doc(5L,
+      Seq("pad") ++ words.slice(2, 12) ++ Seq("tail"))).toDF("doc_id", "text"))
+    val hits2 = Curation.contamination(corpus2, "doc_id", "text", bench, "snippet")
+      .as[(Long, Long)].collect().toMap
+    assert(hits2 == Map(1L -> 3L, 5L -> 3L))
+  }
+}
