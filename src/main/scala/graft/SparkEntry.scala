@@ -421,6 +421,14 @@ object SparkEntry {
         .agg(Map("l_quantity" -> Seq("count")))
         .df),
 
+    // Manifest-only dim extremes: min/max of a dim column come from the
+    // fragment MBRs (plus the manifest count), zero data read; DuckDB
+    // recomputes them from the real rows.
+    "agg_minmax_meta" -> ((s, d) =>
+      graft.query.ArrayQuery(s, ttLineitem(s, d))
+        .agg(Map("l_orderkey" -> Seq("min", "max", "count")))
+        .df),
+
     // --- query builder through the correctness gate ---
     "agg_builder" -> ((s, d) =>
       graft.query.ArrayQuery(s, ttLineitem(s, d))
@@ -822,6 +830,9 @@ object SparkEntry {
       "coalesce(o.o_totalprice, 0.0) AS o_totalprice FROM range(1, 2001) t(coord) " +
       "LEFT JOIN orders o ON o.o_orderkey = t.coord"),
     "agg_count_meta" -> "SELECT count(*) AS l_quantity_count FROM lineitem",
+    "agg_minmax_meta" -> ("SELECT CAST(min(l_orderkey) AS BIGINT) AS l_orderkey_min, " +
+      "CAST(max(l_orderkey) AS BIGINT) AS l_orderkey_max, " +
+      "count(*) AS l_orderkey_count FROM lineitem"),
     "agg_builder" -> ("SELECT CAST(min(l_extendedprice) AS DOUBLE) AS l_extendedprice_min, " +
       "CAST(max(l_extendedprice) AS DOUBLE) AS l_extendedprice_max, " +
       "count(*) AS l_extendedprice_count FROM lineitem WHERE l_quantity < 24.0"),

@@ -2,6 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.core.ArraySchema
 import graft.storage.ArrayTable
 import graft.query.MultiIndex.DimSel
@@ -65,7 +66,7 @@ case class ArrayQuery(
 
     aggSpecs match {
       case Some(specs) =>
-        metadataCount(specs).getOrElse(
+        metadataAgg(specs).getOrElse(
           Aggregates.agg(filtered.drop(ArrayTable.TS, ArrayTable.SEQ), specs))
       case None =>
         val dimCols = dimSel.getOrElse(schema.dimNames)
@@ -83,30 +84,85 @@ case class ArrayQuery(
 
   /** Aggregate pushdown to fragment manifests (the Spark-side analogue
     * of the reference's channel-aggregate scan computation, core.cc:
-    * 400-430, and of DSv2 `SupportsPushDownAggregates`): a pure-`count`
-    * aggregate over the FULL selection is the sum of manifest cell
-    * counts — zero data read at any scale — whenever the manifests
-    * prove the scan would count exactly the union of fragments:
-    * no condition/ranges, no tombstones in the timestamp window, and
-    * no possible shadowing (duplicates allowed, <=1 fragment, or all
-    * MBRs pairwise disjoint). Anything else falls through to the scan. */
-  private def metadataCount(specs: Map[String, Seq[String]]): Option[DataFrame] = {
+    * 400-430, and of DSv2 `SupportsPushDownAggregates`): zero data read
+    * at any scale when every requested (attr, op) pair is provably
+    * answerable from manifests over the FULL selection (no condition,
+    * no ranges, no tombstones in the timestamp window):
+    *
+    *   - `count` = sum of fragment cell counts — additionally needs no
+    *     possible shadowing (duplicates allowed, <=1 fragment, or all
+    *     MBRs pairwise disjoint), since a shadowing rewrite changes the
+    *     visible cell count.
+    *   - `min`/`max` on a DIM = extreme of the fragment MBRs —
+    *     shadowing is irrelevant here (a rewrite of existing coords
+    *     never changes the coordinate set), only tombstones disable it.
+    *
+    * Anything else falls through to the scan. */
+  private def metadataAgg(specs: Map[String, Seq[String]]): Option[DataFrame] = {
+    import graft.core.Json._
     val pairs = specs.toSeq.flatMap { case (a, ops) => ops.map(a -> _) }
-    val countsOnly = pairs.nonEmpty && pairs.forall { case (attr, op) =>
-      op == "count" && (schema.dimNames.contains(attr) || schema.attrNames.contains(attr))
+    val dimTypes = schema.dims.map(d => d.name -> d.sparkField.dataType).toMap
+    val servable = pairs.nonEmpty && pairs.forall {
+      case (attr, "count") =>
+        schema.dimNames.contains(attr) || schema.attrNames.contains(attr)
+      case (attr, "min" | "max") => dimTypes.get(attr).exists {
+        case LongType | IntegerType | ShortType | ByteType |
+             DoubleType | FloatType | StringType => true
+        case _ => false
+      }
+      case _ => false
     }
-    if (!countsOnly || condExpr.nonEmpty || ranges.nonEmpty) None
+    if (!servable || condExpr.nonEmpty || ranges.nonEmpty) None
     else {
       val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
       val frags = ArrayTable.fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
       val dels = ArrayTable.deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+      val needCount = pairs.exists(_._2 == "count")
       val shadowingPossible = !schema.allowsDuplicates && frags.size > 1 &&
         ArrayTable.anyOverlap(frags)
-      if (dels.nonEmpty || shadowingPossible) None
+      if (dels.nonEmpty || frags.isEmpty || (needCount && shadowingPossible)) None
       else {
         val total = frags.map(_.cellCount).sum
-        val cols = pairs.map { case (attr, _) => lit(total).as(s"${attr}_count") }
-        Some(spark.range(1).select(cols: _*))
+        // one MBR endpoint per fragment; numeric compare when all sides
+        // are numeric (JLong exact via BigDecimal), else string compare
+        def extreme(dim: String, takeMin: Boolean): Option[JVal] = {
+          val ends = frags.map(f => if (takeMin) f.mbr.get(dim).map(_._1)
+            else f.mbr.get(dim).map(_._2))
+          if (ends.exists(_.isEmpty)) None
+          else {
+            val vals = ends.flatten
+            val nums = vals.map {
+              case JLong(l) => Some(BigDecimal(l))
+              case JNum(n) => Some(BigDecimal(n))
+              case _ => None
+            }
+            if (nums.forall(_.isDefined)) {
+              val z = vals.zip(nums.map(_.get))
+              Some((if (takeMin) z.minBy(_._2) else z.maxBy(_._2))._1)
+            } else if (vals.forall(_.isInstanceOf[JStr])) {
+              val ss = vals.collect { case s: JStr => s }
+              Some(if (takeMin) ss.minBy(_.v) else ss.maxBy(_.v))
+            } else None
+          }
+        }
+        // float dims surface as Double (Aggregates.aggColumn parity)
+        def outType(dt: org.apache.spark.sql.types.DataType) = dt match {
+          case FloatType => DoubleType
+          case other => other
+        }
+        val cols = pairs.map {
+          case (attr, "count") => Some(lit(total).as(s"${attr}_count"))
+          case (attr, op) =>
+            extreme(attr, takeMin = op == "min").map { v =>
+              val l = v match {
+                case JLong(x) => lit(x); case JNum(x) => lit(x)
+                case JStr(x) => lit(x); case _ => lit(null)
+              }
+              l.cast(outType(dimTypes(attr))).as(s"${attr}_$op")
+            }
+        }
+        if (cols.exists(_.isEmpty)) None
+        else Some(spark.range(1).select(cols.flatten: _*))
       }
     }
   }

@@ -67,9 +67,18 @@ class ArrayQuerySpec extends SparkSpec {
     val plan = q.df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("Relation") && !plan.contains("parquet"), plan)
 
-    // mixed ops, conditions, or ranges fall through to the scan path
+    // dim min/max are served from fragment MBRs on the same path
+    val mm = ArrayQuery(spark, uri).agg(Map("x" -> Seq("min", "max")))
+    val mmRow = mm.df.collect()(0)
+    assert(mmRow.getAs[Long]("x_min") == 1L && mmRow.getAs[Long]("x_max") == 50L)
+    assert(!mm.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+
+    // attr min/max (not provable from manifests), sum, conditions, or
+    // ranges fall through to the scan path
     val mixed = ArrayQuery(spark, uri).agg(Map("v" -> Seq("count", "sum")))
     assert(mixed.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    val attrMin = ArrayQuery(spark, uri).agg(Map("v" -> Seq("min")))
+    assert(attrMin.df.queryExecution.optimizedPlan.toString.contains("parquet"))
     val conded = ArrayQuery(spark, uri).cond("y != 0").agg(Map("v" -> Seq("count")))
     assert(conded.df.queryExecution.optimizedPlan.toString.contains("parquet"))
     assert(conded.df.collect()(0).getAs[Long]("v_count") == 40L)
@@ -86,6 +95,16 @@ class ArrayQuerySpec extends SparkSpec {
     val shadowed = ArrayQuery(spark, u2).agg(Map("v" -> Seq("count")))
     assert(shadowed.df.collect()(0).getAs[Long]("v_count") == 10L)
     assert(shadowed.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    // dim min/max stay manifest-served even under shadowing: a rewrite
+    // of existing coords never changes the coordinate set
+    val mmShadow = ArrayQuery(spark, u2).agg(Map("x" -> Seq("min", "max")))
+    val mmSRow = mmShadow.df.collect()(0)
+    assert(mmSRow.getAs[Long]("x_min") == 1L && mmSRow.getAs[Long]("x_max") == 10L)
+    assert(!mmShadow.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    // but mixing in a count under shadowing forces the scan for all
+    val mmCount = ArrayQuery(spark, u2).agg(Map("x" -> Seq("min", "count")))
+    assert(mmCount.df.queryExecution.optimizedPlan.toString.contains("parquet"))
+    assert(mmCount.df.collect()(0).getAs[Long]("x_count") == 10L)
     // disjoint append (x in 11..20): fast path applies again
     ArrayTable.write(spark, mk(11L, 20L), u2, Some(300L))
     val disjointAt = ArrayQuery(spark, u2).timestamp(201L, 400L)
