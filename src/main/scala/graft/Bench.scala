@@ -38,10 +38,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench/warm] $n: ${e.getMessage}") }
     }
     val results = names.map { n =>
-      n -> median((1 to Sweeps).map { _ =>
+      val med = median((1 to Sweeps).map { _ =>
         try time(SparkEntry.queries(n)(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }
       })
+      // storage hygiene between queries: drop anything a query cached
+      // and nudge the ContextCleaner to release dropped localCheckpoint
+      // blocks — accumulated pinned storage otherwise makes LATER
+      // shuffle-heavy queries spill (measured r5: dedup_exact 3.74 s
+      // in-sweep vs 0.60 s isolated on identical plans)
+      spark.catalog.clearCache()
+      System.gc()
+      n -> med
     }
     // fragment-ingest benchmark: write sf lineitem as a fresh array-table
     val ingestSec = median((1 to Sweeps).map { _ =>

@@ -490,10 +490,10 @@ object SparkEntry {
     // shares a component with its original (measured LSH recall 1.0),
     // and the original has the smaller id, so NO copy may survive.
     "dedup_drop_gate" -> ((s, d) => {
-      // deterministic 600-doc subset: the iterative-CC gate's cost is
-      // dominated by per-round job overhead, not data size, so a fixed
-      // slice keeps the gate meaningful at constant bench cost
-      val docs = t(s, d, "documents").filter(col("doc_id") < 600)
+      // FULL doubled corpus: the driver union-find collapsed the old
+      // per-round iterative-CC overhead, so the end-to-end drop pipeline
+      // is gated at real bench corpus size
+      val docs = t(s, d, "documents")
       val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
         .withColumn("text", concat(col("text"), lit(" xyzzy")))
       Dedup.dropNearDups(docs.unionByName(edited), "doc_id", "text", threshold = 0.6)
@@ -917,14 +917,16 @@ object SparkEntry {
     // contamination: 8-grams of every doc vs 20-token snippets
     // (tokens 11..30) of every 20th doc; count distinct shared grams.
     // DuckDB slices are 1-based inclusive: t[i:i+7] = 8 tokens.
+    // STRICT on both sides (greatest(len-7, 0) makes generate_series
+    // empty for <8-token texts) — matching wordNgramsStrict; a
+    // whole-text fallback gram would match unrelated short texts.
     "contamination" -> ("WITH toks AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
       "bgrams AS (SELECT DISTINCT unnest([array_to_string(bt[i:i+7], ' ') " +
       "for i in generate_series(1, greatest(len(bt)-7, 0))]) AS g " +
       "FROM (SELECT t[11:30] AS bt FROM toks WHERE doc_id % 20 = 0)), " +
-      "cgrams AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(t) < 8 " +
-      "THEN [array_to_string(t, ' ')] " +
-      "ELSE [array_to_string(t[i:i+7], ' ') for i in generate_series(1, len(t)-7)] END) AS g " +
+      "cgrams AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(t)-7, 0))]) AS g " +
       "FROM toks) " +
       "SELECT doc_id, count(*) AS shared_grams FROM cgrams " +
       "JOIN bgrams USING (g) GROUP BY doc_id"),

@@ -41,10 +41,15 @@ object Curation {
     * the cap itself on output; the sort under the window is per-key
     * and spills, so a skewed key degrades to disk, not OOM.
     */
-  def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int): DataFrame =
-    df.withColumn("__rn", row_number().over(Window.partitionBy(key).orderBy(ord)))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+  def capPerKey(df: DataFrame, key: Column, ord: Column, n: Int): DataFrame = {
+    // collision-proof temp name: withColumn REPLACES an existing column,
+    // so a caller-owned "__rn" would be silently corrupted
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(c => !df.columns.contains(c)).get
+    df.withColumn(rn, row_number().over(Window.partitionBy(key).orderBy(ord)))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
 
   /** Word-level repetition signals (Gopher-style): token count,
     * distinct-token count, and the duplicate fraction
@@ -63,9 +68,12 @@ object Curation {
 
   /** Distinct word `n`-grams of `text`, hashed to 64 bits. The hash —
     * not the string — is what travels through joins: an 8-byte shuffle
-    * key instead of a ~50-byte gram. */
+    * key instead of a ~50-byte gram. STRICT grams: a text with fewer
+    * than `n` tokens has no n-grams, so it can neither contaminate nor
+    * be contaminated — the whole-text fallback would match unrelated
+    * short texts against each other. */
   private def gramHashes(text: Column, n: Int): Column =
-    transform(TextAnalysis.wordNgrams(text, n), g => xxhash64(g))
+    transform(TextAnalysis.wordNgramsStrict(text, n), g => xxhash64(g))
 
   /** Benchmark-contamination check: for every corpus document, how many
     * of its distinct word `n`-grams appear anywhere in `benchmark`.

@@ -157,14 +157,19 @@ object Dedup {
     // native one-pass rolling-hash shingles (no substring churn)
     def normHashes(c: Column) = graft.functions.ShingleHashes(
       lower(regexp_replace(trim(c), "\\s+", " ")), k)
-    // Only the NARROW signatures are cached (numHashes longs per doc,
-    // ~0.5 KB) — they are reused by the banding pass and both estimate
-    // joins. The full shingle-hash sets (comparable in size to the
-    // text itself) are recomputed in the one narrow verify pass below
-    // instead of pinning a corpus-sized cache.
+    // Only the NARROW signatures are materialized (numHashes longs per
+    // doc, ~0.5 KB) — they are reused by the banding pass and both
+    // estimate joins. localCheckpoint, NOT cache(): CacheManager pins
+    // cache entries for the JVM's lifetime (each call re-registering the
+    // same plan leaked storage across a 78-query bench sweep until later
+    // shuffles spilled), whereas checkpoint blocks are released by the
+    // ContextCleaner as soon as the returned frame is dropped. The full
+    // shingle-hash sets (comparable in size to the text itself) are
+    // recomputed in the one narrow verify pass below instead of pinning
+    // a corpus-sized copy.
     val sigs = df.select(col(idCol),
         minhashSignatureFromHashes(normHashes(col(textCol)), numHashes).as("__sig"))
-      .cache()
+      .localCheckpoint(true)
     val cands = lshCandidates(sigs, idCol, "__sig", bands)
     // Two-stage verification, sized to what each stage actually needs:
     // the estimate join ships only the 64-lane signatures for every
@@ -220,12 +225,29 @@ object Dedup {
     * Mid-convergence labels are WRONG clusters, not approximate ones —
     * the star path still refuses to return them, but its 64-round bound
     * is a safety net (log2 of any real edge count), not a cliff. */
-  def dupClusters(pairs: DataFrame, driverLimit: Long = 1L << 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, driverLimit: Long = 1L << 20,
+      driverByteLimit: Long = 256L << 20): DataFrame = {
     val edges0 = pairs.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).distinct().cache()
-    val n = edges0.count()
+    // One stats job decides the path. Row count alone under-estimates
+    // driver pressure for wide string ids (URLs, content hashes): 1M
+    // edges of 200-char URLs is ~1 GB of Row objects, so the byte
+    // estimate gates the collect too.
+    val isString = edges0.schema("a").dataType ==
+      org.apache.spark.sql.types.StringType
+    val (n, bytes) =
+      if (isString) {
+        val r = edges0.agg(count(lit(1)),
+          coalesce(sum(length(col("a")) + length(col("b"))), lit(0L))).head()
+        // ~2x chars for UTF-16 String + ~48B/edge of Row/object headers
+        (r.getLong(0), r.getLong(1) * 2 + r.getLong(0) * 48)
+      } else {
+        val c = edges0.count()
+        (c, c * 64) // two boxed fixed-width ids + Row overhead
+      }
     val out =
-      if (n <= driverLimit) driverUnionFind(pairs.sparkSession, edges0)
+      if (n <= driverLimit && bytes <= driverByteLimit)
+        driverUnionFind(pairs.sparkSession, edges0)
       else starClusters(edges0)
     edges0.unpersist()
     out
@@ -233,12 +255,23 @@ object Dedup {
 
   /** Driver-side union-find over a collected edge list: path-compressed
     * find, union-by-min (the smaller id always becomes the root, so the
-    * final root IS the component minimum). Ids only need the same
-    * `Comparable` ordering the distributed path's least/greatest use. */
+    * final root IS the component minimum). String ids compare in UTF-8
+    * BYTE order — `String.compareTo` is UTF-16 code-unit order, which
+    * disagrees with Spark's `least`/`min` (UTF8String bytes) for
+    * supplementary-plane characters, and the two paths must pick the
+    * same representative for the same input. */
   private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame): DataFrame = {
-    def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val m = math.min(ab.length, bb.length)
+        while (i < m && ab(i) == bb(i)) i += 1
+        if (i < m) (ab(i) & 0xff) < (bb(i) & 0xff) else ab.length < bb.length
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val parent = new java.util.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x
@@ -270,7 +303,14 @@ object Dedup {
   /** Alternating large-star/small-star CC (Kiveris et al., SoCC'14).
     * Fixpoint is a star per component centered at its minimum id. */
   private def starClusters(edges0: DataFrame): DataFrame = {
+    val spark = edges0.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      edges0.schema.map(_.copy(nullable = true)))
     var cur = edges0
+    // unpersist handle for the round's materialized edge list; null in
+    // round 0, where `cur` is the caller-cached edges0 (freed by the
+    // caller, not here)
+    var curRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var curCnt = -1L // unknown orientation vs the first round's output
     var converged = false
     var round = 0
@@ -287,23 +327,32 @@ object Dedup {
       val or = large.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       val smins = or.groupBy("u").agg(min(col("v")).as("__m"))
-      // eager localCheckpoint, not cache: each round's plan embeds the
+      // materialize via an explicit localCheckpoint'd RDD, for two
+      // reasons: (1) lineage truncation — each round's plan embeds the
       // previous round's ~16x (sym/mins/large/or/smins each re-reference
-      // it), so without lineage truncation the logical plan grows
-      // exponentially and the DRIVER dies on plan analysis long before
-      // any executor breaks a sweat
-      val next = or.join(smins, "u").where(col("v") =!= col("__m"))
+      // it), so without truncation the logical plan grows exponentially
+      // and the DRIVER dies on plan analysis; (2) the raw RDD handle is
+      // the only way to FREE the previous round's blocks — otherwise up
+      // to 64 edge-list copies stay pinned in storage memory, on exactly
+      // the path chosen because the edge list is big.
+      val nextRdd = or.join(smins, "u").where(col("v") =!= col("__m"))
         .select(col("v").as("a"), col("__m").as("b"))
         .union(smins.select(col("u").as("a"), col("__m").as("b")))
-        .distinct().localCheckpoint(true)
-      val nextCnt = next.count()
+        .distinct().rdd
+      nextRdd.localCheckpoint()
+      val nextCnt = nextRdd.count()
+      val next = spark.createDataFrame(nextRdd, schema)
       // set equality: equal cardinality + empty one-sided difference
       val changed = nextCnt != curCnt ||
         next.join(cur, Seq("a", "b"), "left_anti").limit(1).count() > 0
-      cur = next; curCnt = nextCnt
+      if (curRdd != null) curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd; curCnt = nextCnt
       converged = !changed
       round += 1
     }
+    // the final round's RDD stays persisted: the returned frame reads
+    // from it (lineage is truncated, a recompute is impossible); the
+    // ContextCleaner reclaims the blocks once the caller drops the frame
     require(converged,
       s"dup clustering did not converge in $maxRounds star rounds — " +
         "this exceeds the proven O(log n) bound and indicates a bug")

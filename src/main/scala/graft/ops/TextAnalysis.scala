@@ -38,10 +38,25 @@ object TextAnalysis {
           i => norm.substr(i, lit(k)))))
     }
 
-  /** word n-gram array (distinct). */
+  /** word n-gram array (distinct). Texts shorter than `n` tokens fall
+    * back to one whole-text gram (useful for similarity, where a short
+    * doc should still be comparable to itself). */
   def wordNgrams(text: Column, n: Int = 3): Column =
     once(tokens(text)) { toks =>
       when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+
+  /** word n-gram array (distinct), STRICT: a text with fewer than `n`
+    * tokens yields NO grams. This is the membership-test semantic (a
+    * 5-token doc does not contain any 8-gram) — the whole-text fallback
+    * of [[wordNgrams]] would let two unrelated short texts "share" a
+    * gram, which turns contamination checks into false positives. */
+  def wordNgramsStrict(text: Column, n: Int): Column =
+    once(tokens(text)) { toks =>
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
         array_distinct(transform(
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))

@@ -21,7 +21,8 @@ object BenchOne {
       println(f"[benchone] $name run$i $s%.3f s")
       s
     }
-    val warm = times.drop(1).sorted
+    // with runs=1 there is no warm run to drop — report the single time
+    val warm = if (times.size > 1) times.drop(1).sorted else times.sorted
     println(f"[benchone] $name median-warm ${warm(warm.size / 2)}%.3f s")
     spark.stop()
   }
