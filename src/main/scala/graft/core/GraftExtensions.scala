@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // enum label predicates collapse to pushable code predicates
     ext.injectOptimizerRule(_ => graft.plans.EnumPredicatePushdown)
+    // MVCC-resolution reads of the graft source inline their resolution
+    // plan (columnar parquet leaves) instead of the V1 RDD[Row] scan
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.ResolutionReadInline(session))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

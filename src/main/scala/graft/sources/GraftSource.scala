@@ -104,6 +104,16 @@ case class GraftRelation(sqlContext: SQLContext, uri: String,
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot(GraftRelation.translatable)
 
+  /** The scan already produces `InternalRow`s (the resolution plan's
+    * own output via `toRdd`), so Spark must not re-convert. */
+  override def needConversion: Boolean = false
+
+  /** Correctness fallback only: sessions running with
+    * [[graft.core.GraftExtensions]] never reach this — the
+    * [[graft.plans.ResolutionReadInline]] rule replaces the relation
+    * with the resolution plan itself during analysis, keeping the read
+    * columnar end-to-end. Here the resolved DataFrame's `toRdd` output
+    * is handed over as-is (no InternalRow -> Row detour). */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val at = (t0, t1) match {
@@ -117,10 +127,8 @@ case class GraftRelation(sqlContext: SQLContext, uri: String,
     val base = ArrayTable.read(spark, uri, at = at, ranges = bounds)
     val withFilters = filters.flatMap(GraftRelation.toColumn)
       .foldLeft(base)(_ filter _)
-    val projected =
-      if (requiredColumns.isEmpty) withFilters
-      else withFilters.select(requiredColumns.map(col).toSeq: _*)
-    projected.rdd
+    val projected = withFilters.select(requiredColumns.map(col).toSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
 

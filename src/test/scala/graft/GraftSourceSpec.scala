@@ -84,26 +84,43 @@ class GraftSourceSpec extends SparkSpec {
     assert(df.count() == 10)
   }
 
-  test("v1 fallback: arrays needing MVCC resolution still read correctly") {
-    val uri = TestSession.tmpDir("dsv2fall")
+  test("resolution reads inline as columnar plans (no RDD row scan)") {
+    // overlapping fragments AND a tombstone: the full MVCC resolution
+    // path (shadowing window + delete anti-filter)
+    val uri = TestSession.tmpDir("dsv2res")
     ArrayTable.ingest(spark, sample, uri, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
-    ArrayTable.delete(spark, uri, "y == 1", Some(150L))
+    ArrayTable.write(spark, sample.limit(5).withColumn("v", lit(0.0)), uri, Some(200L))
+    ArrayTable.delete(spark, uri, "y == 1", Some(300L))
     val df = spark.read.format("graft").load(uri)
-    // tombstone forces the resolution path -> no v2 BatchScan
-    val v2scans = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
     }
-    assert(v2scans.isEmpty, "resolution reads must fall back to V1")
-    assert(df.count() == sample.filter($"y" =!= 1).count())
-    // shadowing (overlapping fragments) also falls back
-    val uri2 = TestSession.tmpDir("dsv2fall2")
-    ArrayTable.ingest(spark, sample, uri2, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
-    ArrayTable.write(spark, sample.limit(5).withColumn("v", lit(0.0)), uri2, Some(200L))
-    val df2 = spark.read.format("graft").load(uri2)
-    assert(df2.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }.isEmpty)
-    assert(df2.filter($"v" === 0.0).count() == 5)
+    // the resolution plan is inlined: every leaf is a columnar parquet
+    // file scan; nothing crosses an opaque RDD[Row] boundary
+    val leaves = plan.collectLeaves()
+    assert(leaves.nonEmpty)
+    leaves.foreach { l =>
+      assert(l.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] ||
+        l.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec],
+        s"expected a columnar file scan leaf, got ${l.getClass.getName}\n$plan")
+    }
+    val opaque = plan.collect {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+      case d: org.apache.spark.sql.execution.DeserializeToObjectExec => d
+    }
+    assert(opaque.isEmpty, s"resolution read must not pass through RDD rows:\n$plan")
+    // and the results are still MVCC-correct: 5 shadowed rows, y==1 deleted
+    val expect = sample.withColumn("v", when($"x" <= 5, 0.0).otherwise($"v"))
+      .filter($"y" =!= 1)
+    assert(df.count() == expect.count())
+    assert(df.filter($"v" === 0.0).count() ==
+      expect.filter($"v" === 0.0).count())
+    // attr filters + projection still work through the inlined plan
+    assert(df.filter($"v" > 100.0).select("x").as[Long].collect().sorted.toSeq ==
+      expect.filter($"v" > 100.0).select("x").as[Long].collect().sorted.toSeq)
   }
 
   test("sql over the source via temp view") {
