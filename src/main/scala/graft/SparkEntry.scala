@@ -688,7 +688,41 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
-    // --- multimodal plumbing (stub codec, real batch shape) ---
+    // REAL ImageIO path under the oracle: deterministic per-doc PNGs
+    // (x-gradient per channel, dims derived from doc_id) are encoded
+    // with javax.imageio on the executors, then decoded back through
+    // Multimodal.decodeImages; DuckDB recomputes dims and the exact
+    // integer pixel sum in closed form. PNG is lossless, so the decoded
+    // mean matches the formula bit-exactly.
+    "media_decode_png" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
+        // channel bases ≤159 and x ≤22 keep every sample <256 (no wrap)
+        val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
+        val b0 = ((7 * id) % 160).toInt
+        javax.imageio.ImageIO.setUseCache(false)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((r0 + x) << 16) | ((g0 + x) << 8) | (b0 + x))
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Multimodal.MediaRow(id, out.toByteArray, "image", "png")
+      }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
+
+    // --- multimodal plumbing (stub codec for audio, real batch shape) ---
     "media_decode" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(
@@ -963,6 +997,17 @@ object SparkEntry {
       "CAST(4 AS INT) AS height, CAST(3 AS INT) AS channels, " +
       "round(avg(CAST((d.doc_id * 7 + r.j) % 256 AS DOUBLE)), 6) AS mean_intensity " +
       "FROM documents d CROSS JOIN range(0, 96) r(j) GROUP BY d.doc_id"),
+    // closed-form pixel sum of the planted gradient PNGs: per row the
+    // samples are (c0 + x) for each channel c0 in (r0,g0,b0), x<w, so
+    // sum = h*(w*(r0+g0+b0) + 3*w*(w-1)/2); one integer->double
+    // division on both engines keeps the mean bit-exact
+    "media_decode_png" -> ("WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, " +
+      "4 + doc_id % 8 AS h, doc_id % 160 AS r0, (3 * doc_id) % 160 AS g0, " +
+      "(7 * doc_id) % 160 AS b0 FROM documents) " +
+      "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, " +
+      "round(CAST(h * (w * (r0 + g0 + b0) + 3 * (w * (w - 1) // 2)) AS DOUBLE) " +
+      "/ (w * h * 3), 6) AS mean_intensity FROM p"),
     // per-bucket integer byte sums divided once — exact in any
     // accumulation order on both engines
     "media_features" -> ("SELECT doc_id, CAST((p-1) % 16 AS INT) AS feature_idx, " +

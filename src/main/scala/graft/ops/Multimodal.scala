@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * transforms (`mapPartitions` over an iterator — the Scala analogue of
   * arrow-batched Pandas UDFs).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `decodeImageStub` derives deterministic fake
-  * width/height/channel stats from the bytes. The Spark-side plumbing —
-  * schema shape, batch iteration, partition sizing, output contract — is
-  * real and tested; swap the stub body for a JNI/ffmpeg/ImageIO call in
-  * production.
+  * Image decode is REAL for the formats the JVM ships codecs for:
+  * binary PPM (P6) via the pure-Scala parser below, and
+  * PNG/JPEG/BMP/GIF/WBMP via `javax.imageio` (no external
+  * dependencies). Payloads no installed codec recognizes (exotic
+  * containers, audio, video) fall back to `fakeDecode`, a documented
+  * deterministic stub with the same output contract — swap in
+  * ffmpeg/JNI bindings there in production.
   */
 object Multimodal {
 
@@ -74,7 +75,54 @@ object Multimodal {
     Some((w, h, 3, s.toDouble / n))
   }
 
-  // ---- STUB: replace with a real decoder (ImageIO / ffmpeg) in prod ----
+  /** REAL decoder for every format the JVM's `javax.imageio` registry
+    * handles (PNG/JPEG/BMP/GIF/WBMP out of the box). Returns
+    * (width, height, bands, mean) where mean is the average of ALL
+    * raster samples across bands — the same definition as the P6 path.
+    * None when no installed reader recognizes the payload. */
+  private[ops] def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes.length < 4) return None
+    // in-memory streams only: the default ImageIO path spills to a
+    // disk-backed cache file per call, which executors must not do
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(stream, true, true)
+        val decoded = reader.read(0)
+        // palette formats (GIF, indexed PNG) raster-sample as palette
+        // INDICES; expand to true RGB before measuring
+        val img = decoded.getColorModel match {
+          case _: java.awt.image.IndexColorModel =>
+            val rgb = new java.awt.image.BufferedImage(decoded.getWidth,
+              decoded.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            val g = rgb.createGraphics()
+            g.drawImage(decoded, 0, 0, null)
+            g.dispose()
+            rgb
+          case _ => decoded
+        }
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        var sum = 0L
+        val row = new Array[Int](w * bands)
+        var y = 0
+        while (y < h) {
+          raster.getPixels(0, y, w, 1, row)
+          var i = 0
+          while (i < row.length) { sum += row(i); i += 1 }
+          y += 1
+        }
+        Some((w, h, bands, sum.toDouble / (w.toLong * h * bands)))
+      } finally reader.dispose()
+    } catch { case _: Exception => None }
+    finally stream.close()
+  }
+
+  // ---- STUB: audio/video/exotic containers only (see scaladoc) ----
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     // deterministic pseudo-decode from the byte sum; real signature,
     // fake pixels. Integer byte-sum base keeps it cross-engine
@@ -88,17 +136,19 @@ object Multimodal {
     (w, ht, 3, mean)
   }
 
-  /** Batched image decode: real mapPartitions plumbing; PPM (P6)
-    * payloads decode for REAL (header + true pixel mean), other
-    * formats fall back to the documented stub until native codecs are
-    * available. */
+  /** Batched image decode: real mapPartitions plumbing; PPM (P6) and
+    * every `javax.imageio` format (PNG/JPEG/BMP/GIF/WBMP) decode for
+    * REAL (true dims + pixel mean); only payloads no installed codec
+    * recognizes fall back to the documented stub. */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition init happens here (codec contexts, model handles)
+      // per-partition init (codec contexts, model handles)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val (w, h, c, mean) =
-          decodeP6(r.content).getOrElse(fakeDecode(r.content))
+        val (w, h, c, mean) = decodeP6(r.content)
+          .orElse(decodeImageIO(r.content))
+          .getOrElse(fakeDecode(r.content))
         DecodedImage(r.doc_id, w, h, c, mean)
       }
     }

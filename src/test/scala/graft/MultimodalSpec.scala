@@ -42,6 +42,59 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.length == 2 && bad.forall(d => d.width >= 32 && d.channels == 3))
   }
 
+  // deterministic w x h image: sample (x,y,band) = base*(band+1) + x
+  private def makeImage(w: Int, h: Int, base: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((base + x) << 16) | ((base * 2 + x) << 8) | (base * 3 + x))
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  test("PNG/BMP/GIF decode for real via ImageIO: true dims + pixel mean") {
+    // 4x3, base 10: per-row samples r=10..13, g=20..23, b=30..33
+    // sum per row = (10+11+12+13)+(20+...)+(30+...) = 46+86+126 = 258... let
+    // the test compute it exactly
+    val (w, h, base) = (4, 3, 10)
+    val perRow = (0 until w).map(x => (base + x) + (base * 2 + x) + (base * 3 + x)).sum
+    val mean = (perRow.toLong * h).toDouble / (w.toLong * h * 3)
+    // the JDK GIF writer quantizes truecolor input to a web-safe
+    // palette; hand it an indexed image with the exact colors instead
+    val palette = (0 until w)
+      .map(x => ((base + x) << 16) | ((base * 2 + x) << 8) | (base * 3 + x)).toArray
+    val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
+      false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val indexed = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) indexed.setRGB(x, y, palette(x))
+    val rows = Seq(
+      MediaRow(1L, encode(makeImage(w, h, base), "png"), "image", "png"),
+      MediaRow(2L, encode(makeImage(w, h, base), "bmp"), "image", "bmp"),
+      MediaRow(3L, encode(indexed, "gif"), "image", "gif"),
+    ).toDS()
+    val out = decodeImages(rows).collect().sortBy(_.doc_id)
+    out.foreach { d =>
+      assert(d.width == w && d.height == h && d.channels == 3, d)
+      assert(d.mean_intensity == mean, s"$d vs expected mean $mean")
+    }
+  }
+
+  test("JPEG decodes real dims (lossy: mean only approximate)") {
+    val bytes = encode(makeImage(16, 9, 40), "jpg")
+    val d = decodeImages(Seq(MediaRow(1L, bytes, "image", "jpeg")).toDS()).collect()(0)
+    assert(d.width == 16 && d.height == 9)
+    // true mean = 40*2 + mean(x) = 80 + 7.5 = 87.5; JPEG must land nearby,
+    // which the fake byte-sum decode never would
+    assert(math.abs(d.mean_intensity - 87.5) < 5.0, d.mean_intensity)
+  }
+
   test("frame sampling: every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media.filter(_.doc_id == 2L),
       stride = 2, frameBytes = 256).collect()
