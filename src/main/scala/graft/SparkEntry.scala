@@ -722,6 +722,40 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL pure-Scala GIF path under the oracle: the same per-doc
+    // gradient as media_decode_png, but written as an INDEXED GIF
+    // (palette entry x = the column-x color, so the lossy web-safe
+    // quantization the JDK writer applies to truecolor input never
+    // fires) and decoded through Multimodal.decodeGif (LZW + palette
+    // expansion). Same closed-form DuckDB oracle — GIF is lossless for
+    // palette images, so the mean matches bit-exactly.
+    "media_decode_gif" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
+        val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
+        val b0 = ((7 * id) % 160).toInt
+        javax.imageio.ImageIO.setUseCache(false)
+        val palette = Array.tabulate(w)(x => ((r0 + x) << 16) | ((g0 + x) << 8) | (b0 + x))
+        val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
+          false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, palette(x)); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "gif", out)
+        Multimodal.MediaRow(id, out.toByteArray, "image", "gif")
+      }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
+
     // --- multimodal plumbing (stub codec for audio, real batch shape) ---
     "media_decode" -> ((s, d) => {
       import s.implicits._
@@ -1002,6 +1036,15 @@ object SparkEntry {
     // sum = h*(w*(r0+g0+b0) + 3*w*(w-1)/2); one integer->double
     // division on both engines keeps the mean bit-exact
     "media_decode_png" -> ("WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, " +
+      "4 + doc_id % 8 AS h, doc_id % 160 AS r0, (3 * doc_id) % 160 AS g0, " +
+      "(7 * doc_id) % 160 AS b0 FROM documents) " +
+      "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, " +
+      "round(CAST(h * (w * (r0 + g0 + b0) + 3 * (w * (w - 1) // 2)) AS DOUBLE) " +
+      "/ (w * h * 3), 6) AS mean_intensity FROM p"),
+    // identical closed form: the GIF planting uses the same gradient,
+    // palette-indexed so the encode is lossless
+    "media_decode_gif" -> ("WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, " +
       "4 + doc_id % 8 AS h, doc_id % 160 AS r0, (3 * doc_id) % 160 AS g0, " +
       "(7 * doc_id) % 160 AS b0 FROM documents) " +
       "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +

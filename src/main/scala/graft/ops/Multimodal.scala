@@ -11,12 +11,13 @@ import org.apache.spark.sql.types._
   * arrow-batched Pandas UDFs).
   *
   * Image decode is REAL for the formats the JVM ships codecs for:
-  * binary PPM (P6) via the pure-Scala parser below, and
-  * PNG/JPEG/BMP/GIF/WBMP via `javax.imageio` (no external
-  * dependencies). Payloads no installed codec recognizes (exotic
-  * containers, audio, video) fall back to `fakeDecode`, a documented
-  * deterministic stub with the same output contract — swap in
-  * ffmpeg/JNI bindings there in production.
+  * binary PPM (P6) and GIF via the pure-Scala parsers below (GIF gets
+  * its own LZW decoder because the JDK reader mis-decodes interlaced
+  * bit-packed palettes — see [[decodeGif]]), and PNG/JPEG/BMP/WBMP via
+  * `javax.imageio` (no external dependencies). Payloads no installed
+  * codec recognizes (exotic containers, audio, video) fall back to
+  * `fakeDecode`, a documented deterministic stub with the same output
+  * contract — swap in ffmpeg/JNI bindings there in production.
   */
 object Multimodal {
 
@@ -75,11 +76,125 @@ object Multimodal {
     Some((w, h, 3, s.toDouble / n))
   }
 
+  /** REAL pure-Scala GIF decoder (GIF87a/GIF89a, first frame): header +
+    * color table parse, variable-width LSB-first LZW, interlace
+    * reorder. Exists because the JDK's `GIFImageReader` has a
+    * deinterlacing bug when the destination raster is bit-packed
+    * (palette < 256 → 2/4 bpp): interlaced rows land misplaced and the
+    * skipped rows read back as palette entry 0 (verified against an
+    * independent LZW decode of the same bytes — the *writer*'s output
+    * is valid). Mean is over the palette-expanded RGB samples
+    * (channels = 3); a transparent index, if declared, still
+    * contributes its palette RGB — deterministic and documented.
+    * Returns None on anything but a well-formed single-frame-readable
+    * GIF, falling through to ImageIO and then the stub. */
+  private[graft] def decodeGif(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes.length < 14) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+          (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')) return None
+    try {
+      def u8(i: Int) = bytes(i) & 0xFF
+      def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val screenFlags = u8(10)
+      var pos = 13
+      var gct: Array[Int] = null // packed 0xRRGGBB
+      def readColorTable(n: Int): Array[Int] = {
+        val t = Array.tabulate(n)(k => (u8(pos + 3 * k) << 16) | (u8(pos + 3 * k + 1) << 8) | u8(pos + 3 * k + 2))
+        pos += 3 * n
+        t
+      }
+      if ((screenFlags & 0x80) != 0) gct = readColorTable(2 << (screenFlags & 7))
+      // skip extensions up to the first image descriptor
+      while (u8(pos) == 0x21) {
+        pos += 2 // introducer + label
+        while (u8(pos) != 0) pos += 1 + u8(pos)
+        pos += 1
+      }
+      if (u8(pos) != 0x2C) return None
+      val iw = u16(pos + 5); val ih = u16(pos + 7); val iflags = u8(pos + 9)
+      pos += 10
+      val interlaced = (iflags & 0x40) != 0
+      val palette = if ((iflags & 0x80) != 0) readColorTable(2 << (iflags & 7)) else gct
+      if (palette == null || iw <= 0 || ih <= 0 || iw.toLong * ih > Int.MaxValue / 4) return None
+      val minCodeSize = u8(pos); pos += 1
+      // concatenate the LZW sub-blocks
+      val sub = new java.io.ByteArrayOutputStream()
+      while (u8(pos) != 0) { sub.write(bytes, pos + 1, u8(pos)); pos += 1 + u8(pos) }
+      val stream = sub.toByteArray
+      // variable-width LSB-first LZW decode to palette indices
+      val nPix = iw * ih
+      val indices = new Array[Int](nPix)
+      var nOut = 0
+      val clear = 1 << minCodeSize; val eoi = clear + 1
+      var codeSize = minCodeSize + 1
+      var bitPos = 0
+      val maxDict = 1 << 12
+      val prefix = new Array[Int](maxDict); val suffix = new Array[Int](maxDict)
+      var nextCode = eoi + 1
+      var prev = -1
+      val pixBuf = new Array[Int](maxDict)
+      def emit(code: Int): Int = { // writes the code's expansion; returns its first index
+        var c = code; var n = 0
+        while (c >= clear) { pixBuf(n) = suffix(c); c = prefix(c); n += 1 }
+        pixBuf(n) = c; n += 1
+        var k = n - 1
+        while (k >= 0 && nOut < nPix) { indices(nOut) = pixBuf(k); nOut = nOut + 1; k -= 1 }
+        c
+      }
+      var done = false
+      while (!done && nOut < nPix) {
+        if (bitPos + codeSize > stream.length * 8) done = true
+        else {
+          var code = 0; var i = 0
+          while (i < codeSize) {
+            code |= (((stream((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1) << i)
+            i += 1
+          }
+          bitPos += codeSize
+          if (code == clear) { nextCode = eoi + 1; codeSize = minCodeSize + 1; prev = -1 }
+          else if (code == eoi) done = true
+          else {
+            val first =
+              if (code < nextCode) emit(code)
+              else if (code == nextCode && prev >= 0) { // KwKwK case
+                var c = prev; while (c >= clear) c = prefix(c)
+                if (nOut < nPix) { emit(prev); if (nOut < nPix) { indices(nOut) = c; nOut += 1 } }
+                c
+              } else return None
+            if (prev >= 0 && nextCode < maxDict) {
+              prefix(nextCode) = prev; suffix(nextCode) = first
+              nextCode += 1
+              if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            }
+            prev = code
+          }
+        }
+      }
+      if (nOut < nPix) return None
+      // interlacing (iflags & 0x40) permutes row PLACEMENT only — the
+      // pixel multiset is identical, so the mean needs no deinterlace
+      val _ = interlaced
+      var sum = 0L
+      var p = 0
+      while (p < nPix) {
+        val e = palette(indices(p) & (palette.length - 1))
+        sum += ((e >> 16) & 0xFF) + ((e >> 8) & 0xFF) + (e & 0xFF)
+        p += 1
+      }
+      Some((iw, ih, 3, sum.toDouble / (iw.toLong * ih * 3)))
+    } catch { case _: Exception => None }
+  }
+
   /** REAL decoder for every format the JVM's `javax.imageio` registry
-    * handles (PNG/JPEG/BMP/GIF/WBMP out of the box). Returns
-    * (width, height, bands, mean) where mean is the average of ALL
-    * raster samples across bands — the same definition as the P6 path.
-    * None when no installed reader recognizes the payload. */
+    * handles (PNG/JPEG/BMP/WBMP out of the box; GIF is handled by the
+    * pure-Scala [[decodeGif]] first because the JDK reader mis-decodes
+    * interlaced bit-packed GIFs). Returns (width, height, bands, mean).
+    * Output contract: palette images and images with an alpha band are
+    * expanded/composited to 3-band RGB (alpha composites onto black, so
+    * fully-opaque pixels are unchanged); samples wider than 8 bits are
+    * rescaled so the mean is always on the 0..255 scale. `bands` is the
+    * post-normalization band count (3 for palette/alpha inputs, 1 for
+    * grayscale). None when no installed reader recognizes the payload. */
   private[ops] def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
     if (bytes.length < 4) return None
     // in-memory streams only: the default ImageIO path spills to a
@@ -93,18 +208,20 @@ object Multimodal {
       try {
         reader.setInput(stream, true, true)
         val decoded = reader.read(0)
-        // palette formats (GIF, indexed PNG) raster-sample as palette
-        // INDICES; expand to true RGB before measuring
-        val img = decoded.getColorModel match {
-          case _: java.awt.image.IndexColorModel =>
+        // normalize: palette formats (indexed PNG/GIF) raster-sample as
+        // palette INDICES, and alpha formats (RGBA PNG) would average
+        // the alpha band into the mean — expand/composite both to
+        // 3-band RGB (onto black: opaque pixels unchanged)
+        val cm = decoded.getColorModel
+        val img =
+          if (cm.isInstanceOf[java.awt.image.IndexColorModel] || cm.hasAlpha) {
             val rgb = new java.awt.image.BufferedImage(decoded.getWidth,
               decoded.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
             val g = rgb.createGraphics()
             g.drawImage(decoded, 0, 0, null)
             g.dispose()
             rgb
-          case _ => decoded
-        }
+          } else decoded
         val raster = img.getRaster
         val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
         var sum = 0L
@@ -116,7 +233,11 @@ object Multimodal {
           while (i < row.length) { sum += row(i); i += 1 }
           y += 1
         }
-        Some((w, h, bands, sum.toDouble / (w.toLong * h * bands)))
+        // >8-bit samples (16-bit PNG) report on the native scale; bring
+        // the mean back to 0..255 so equivalent images agree
+        val maxSample = (1L << img.getSampleModel.getSampleSize(0)) - 1
+        val mean = sum.toDouble / (w.toLong * h * bands)
+        Some((w, h, bands, if (maxSample > 255) mean * 255.0 / maxSample else mean))
       } finally reader.dispose()
     } catch { case _: Exception => None }
     finally stream.close()
@@ -137,9 +258,10 @@ object Multimodal {
   }
 
   /** Batched image decode: real mapPartitions plumbing; PPM (P6) and
-    * every `javax.imageio` format (PNG/JPEG/BMP/GIF/WBMP) decode for
-    * REAL (true dims + pixel mean); only payloads no installed codec
-    * recognizes fall back to the documented stub. */
+    * GIF decode through the pure-Scala parsers above, PNG/JPEG/BMP/WBMP
+    * through `javax.imageio` — all REAL (true dims + pixel mean); only
+    * payloads no installed codec recognizes fall back to the documented
+    * stub. */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
@@ -147,6 +269,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val (w, h, c, mean) = decodeP6(r.content)
+          .orElse(decodeGif(r.content))
           .orElse(decodeImageIO(r.content))
           .getOrElse(fakeDecode(r.content))
         DecodedImage(r.doc_id, w, h, c, mean)

@@ -58,7 +58,7 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
-  test("PNG/BMP/GIF decode for real via ImageIO: true dims + pixel mean") {
+  test("PNG/BMP/GIF decode for real: true dims + pixel mean") {
     // 4x3, base 10: per-row samples r=10..13, g=20..23, b=30..33
     // sum per row = (10+11+12+13)+(20+...)+(30+...) = 46+86+126 = 258... let
     // the test compute it exactly
@@ -66,7 +66,12 @@ class MultimodalSpec extends SparkSpec {
     val perRow = (0 until w).map(x => (base + x) + (base * 2 + x) + (base * 3 + x)).sum
     val mean = (perRow.toLong * h).toDouble / (w.toLong * h * 3)
     // the JDK GIF writer quantizes truecolor input to a web-safe
-    // palette; hand it an indexed image with the exact colors instead
+    // palette; hand it an indexed image with the exact colors instead.
+    // NB the JDK writer also emits this INTERLACED with a 4-entry
+    // (2-bit-packed) palette — exactly the shape the JDK *reader*
+    // mis-decodes (it zeroes skipped interlace rows in packed rasters),
+    // which is why decodeImages routes GIF through the pure-Scala
+    // decodeGif. This assertion is bit-exact through our decoder.
     val palette = (0 until w)
       .map(x => ((base + x) << 16) | ((base * 2 + x) << 8) | (base * 3 + x)).toArray
     val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
@@ -84,6 +89,54 @@ class MultimodalSpec extends SparkSpec {
       assert(d.width == w && d.height == h && d.channels == 3, d)
       assert(d.mean_intensity == mean, s"$d vs expected mean $mean")
     }
+    // the GIF fixture really is interlaced (sanity-check the premise)
+    val gifBytes = encode(indexed, "gif")
+    val descIdx = gifBytes.indexOf(0x2C.toByte)
+    assert(descIdx > 0 && (gifBytes(descIdx + 9) & 0x40) != 0, "fixture not interlaced")
+  }
+
+  test("RGBA PNG normalizes to 3 channels; opaque alpha leaves the mean exact") {
+    val (w, h, base) = (4, 3, 10)
+    val rgba = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      rgba.setRGB(x, y, (255 << 24) | ((base + x) << 16) | ((base * 2 + x) << 8) | (base * 3 + x))
+    val perRow = (0 until w).map(x => (base + x) + (base * 2 + x) + (base * 3 + x)).sum
+    val mean = (perRow.toLong * h).toDouble / (w.toLong * h * 3)
+    val d = decodeImages(Seq(MediaRow(1L, encode(rgba, "png"), "image", "png")).toDS())
+      .collect()(0)
+    // without alpha normalization this would report channels=4 and a
+    // mean dragged toward 255 by the opaque alpha band
+    assert(d.channels == 3 && d.mean_intensity == mean, d)
+  }
+
+  test("16-bit PNG rescales the mean to the 0..255 scale") {
+    val gray16 = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    val raster = gray16.getRaster
+    for (y <- 0 until 2; x <- 0 until 4) raster.setSample(x, y, 0, 0x8000)
+    val d = decodeImages(Seq(MediaRow(1L, encode(gray16, "png"), "image", "png")).toDS())
+      .collect()(0)
+    assert(d.channels == 1, d)
+    // 0x8000/0xFFFF * 255 = 127.50097...
+    assert(math.abs(d.mean_intensity - 0x8000.toDouble * 255 / 0xFFFF) < 1e-9, d)
+  }
+
+  test("pure-Scala GIF decoder handles non-interlaced and KwKwK streams") {
+    // single-color run exercises the LZW KwKwK case (repeat-of-previous
+    // code referencing the not-yet-defined entry); indexed input keeps
+    // the writer from quantizing the color
+    val pal = Array((40 << 16) | (80 << 8) | 120, 0xFFFFFF)
+    val icm2 = new java.awt.image.IndexColorModel(8, 2, pal, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val solid = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm2)
+    for (y <- 0 until 16; x <- 0 until 16) solid.setRGB(x, y, pal(0))
+    val d = Multimodal.decodeGif(encode(solid, "gif"))
+    assert(d.contains((16, 16, 3, (40 + 80 + 120) / 3.0)), d)
+    // garbage in → None, not a crash
+    assert(Multimodal.decodeGif("GIF89a but not really".getBytes).isEmpty)
+    assert(Multimodal.decodeGif(Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("JPEG decodes real dims (lossy: mean only approximate)") {
