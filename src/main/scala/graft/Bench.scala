@@ -1,21 +1,30 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
 
 /** Benchmark main: runs the declared query surface on
   * SPARK_GRAFT_SF_DIR, prints one JSON line with per-query wall-clock
-  * seconds. One warm-up pass (JIT + page cache + array fixtures), then
-  * each query runs three times BACK-TO-BACK and reports its MEDIAN
-  * (BASELINE.md protocol). Consecutive runs, not interleaved sweeps:
-  * single-shot numbers at these sub-second scales are dominated by
-  * GC/JIT spill-over from whatever query ran before (measured: knn_ivf
-  * 3.1 s mid-sweep vs 1.19 s isolated median on identical plans).
+  * seconds.
+  *
+  * Measurement protocol (BASELINE.md): one fixture pass over every
+  * query first (builds array fixtures + global JIT), then PER QUERY:
+  * (1) drop all cached/persisted storage and nudge the ContextCleaner
+  * — every query starts from the same storage state instead of
+  * inheriting whatever the previous query pinned (measured r5:
+  * dedup_exact 3.74 s mid-sweep vs 0.60 s isolated on identical
+  * plans; r7: dedup_drop_gate 10.1 s in-suite vs 2.3 s isolated);
+  * (2) one untimed self-warm run (page cache, per-plan codegen);
+  * (3) 3 timed back-to-back runs — 5 when the warm run exceeds 1 s,
+  * where run-to-run variance is dominated by GC pauses — reporting
+  * the MEDIAN. Cross-check any surprising number with
+  * `graft.tools.BenchOne <query>` before believing it: the suite
+  * context is still one shared JVM.
   * Also times the fragment-write path (`ingest`), mirroring the
   * reference's DenseWrite workload (BASELINE.md).
   */
 object Bench {
-  private val Sweeps = 3
+  private val BaseSweeps = 3
+  private val SlowSweeps = 5 // for queries whose warm run is >1 s
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,29 +39,33 @@ object Bench {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
     }
+    // uniform storage state before anything is timed for a query
+    def resetStorage(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up (builds array fixtures, JIT, parquet footer cache)
+    // fixture pass (builds array fixtures, loads classes; NOT the warm
+    // run — that happens per query after the storage reset)
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench/warm] $n: ${e.getMessage}") }
+      catch { case e: Throwable => System.err.println(s"[bench/fixtures] $n: ${e.getMessage}") }
     }
     val results = names.map { n =>
-      val med = median((1 to Sweeps).map { _ =>
+      resetStorage()
+      val warm = try time(SparkEntry.queries(n)(spark, sfDir).count())
+                 catch { case _: Throwable => -1.0 }
+      val sweeps = if (warm > 1.0) SlowSweeps else BaseSweeps
+      val med = median((1 to sweeps).map { _ =>
         try time(SparkEntry.queries(n)(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }
       })
-      // storage hygiene between queries: drop anything a query cached
-      // and nudge the ContextCleaner to release dropped localCheckpoint
-      // blocks — accumulated pinned storage otherwise makes LATER
-      // shuffle-heavy queries spill (measured r5: dedup_exact 3.74 s
-      // in-sweep vs 0.60 s isolated on identical plans)
-      spark.catalog.clearCache()
-      System.gc()
       n -> med
     }
     // fragment-ingest benchmark: write sf lineitem as a fresh array-table
-    val ingestSec = median((1 to Sweeps).map { _ =>
+    resetStorage()
+    val ingestSec = median((1 to BaseSweeps).map { _ =>
       val ingestDir = s"/root/repo/target/graft-arrays/bench_ingest_${System.nanoTime()}"
       val sec = time {
         graft.storage.ArrayTable.ingest(spark,

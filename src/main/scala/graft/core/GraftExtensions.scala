@@ -36,8 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // enum label predicates collapse to pushable code predicates
     ext.injectOptimizerRule(_ => graft.plans.EnumPredicatePushdown)
     // MVCC-resolution reads of the graft source inline their resolution
-    // plan (columnar parquet leaves) instead of the V1 RDD[Row] scan
-    ext.injectPostHocResolutionRule(session =>
+    // plan (columnar parquet leaves) instead of the V1 RDD[Row] scan.
+    // Optimizer-time (not analysis): pushdown parks dim filters on the
+    // relation first, so the rule can MBR-prune fragments' files, and
+    // cached graft reads keep matching in the CacheManager.
+    ext.injectOptimizerRule(session =>
       graft.plans.ResolutionReadInline(session))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =

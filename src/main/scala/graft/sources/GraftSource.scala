@@ -30,6 +30,15 @@ import graft.storage.ArrayTable
   * `PrunedFilteredScan` below, which composes the full resolution
   * DataFrame. Writes always take the V1 path (append one immutable
   * fragment per save — MVCC preserved for every writer).
+  *
+  * Staleness contract: a Dataset handle created BEFORE a write pins the
+  * fragment listing it planned with — the standard Spark file-source
+  * snapshot semantics (`spark.read.parquet` behaves the same). A new
+  * `load(uri)` always sees the latest fragments. CACHED resolution
+  * reads are refreshed by the write command's recache-by-relation;
+  * cached fast-path (DSv2) reads keep their snapshot until unpersist —
+  * an acceptable trade for an MVCC store, where a pinned snapshot is a
+  * feature (time travel makes any snapshot reproducible explicitly).
   */
 class GraftSource extends RelationProvider with CreatableRelationProvider
     with DataSourceRegister with TableProvider {

@@ -123,6 +123,89 @@ class GraftSourceSpec extends SparkSpec {
       expect.filter($"v" > 100.0).select("x").as[Long].collect().sorted.toSeq)
   }
 
+  test("resolution reads MBR-prune fragment files from dim-range filters") {
+    // three disjoint fragments + a tombstone, so the read NEEDS the
+    // resolution path (delete anti-filter) — the DSv2 fast path is off
+    val uri = TestSession.tmpDir("dsv2resmbr")
+    ArrayTable.ingest(spark, sample.filter($"x" <= 30), uri, Seq("x", "y"),
+      tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.filter($"x" > 30 && $"x" <= 60), uri, Some(200L))
+    ArrayTable.write(spark, sample.filter($"x" > 60), uri, Some(300L))
+    ArrayTable.delete(spark, uri, "y == 3", Some(400L))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+              p.fileIndex.inputFiles.toSeq
+            case _ => Nil
+          }
+      }.flatten
+    }
+    val all = spark.read.format("graft").load(uri)
+    val narrow = all.filter($"x" <= 10)
+    assert(scannedFiles(all).size >= 3, "unfiltered read plans every fragment")
+    // only the first fragment's files survive file-level pruning
+    assert(scannedFiles(narrow).size < scannedFiles(all).size,
+      s"dim-range filter must prune fragment files:\n${narrow.queryExecution.executedPlan}")
+    // and results stay MVCC-correct under the pruned plan
+    assert(narrow.select("x").as[Long].collect().sorted.toSeq ==
+      (1L to 10L).filter(_ % 4 != 3))
+    // time travel composes with pruning: read before the delete
+    val early = spark.read.format("graft").option("t1", "350").load(uri)
+      .filter($"x" <= 10)
+    assert(early.select("x").as[Long].collect().sorted.toSeq == (1L to 10L))
+  }
+
+  test("v1 buildScan fallback keeps the internal-row contract") {
+    // the designated correctness fallback for sessions WITHOUT
+    // GraftExtensions never runs under GraftSession — exercise its
+    // InternalRow handoff (needConversion=false) directly: row layout
+    // must follow requiredColumns order/types exactly
+    val uri = TestSession.tmpDir("v1direct")
+    ArrayTable.ingest(spark, sample, uri, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.limit(5).withColumn("v", lit(0.0)), uri, Some(200L))
+    ArrayTable.delete(spark, uri, "y == 1", Some(300L))
+    val rel = graft.sources.GraftRelation(spark.sqlContext, uri, None, None)
+    val rdd = rel.buildScan(Array("v", "x"),
+      Array(org.apache.spark.sql.sources.LessThanOrEqual("x", 10L)))
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+    val got = rdd.map(ir => (ir.getDouble(0), ir.getLong(1))) // requiredColumns order
+      .collect().sortBy(_._2)
+    val expect = (1L to 10L).filter(_ % 4 != 1)
+      .map(x => (if (x <= 5) 0.0 else x * 1.5, x))
+    assert(got.toSeq == expect)
+  }
+
+  test("write-triggered cache refresh still reaches cached resolution reads") {
+    // CacheManager matches on the ANALYZED plan — inlining at optimizer
+    // time (not analysis) keeps cached graft reads in LogicalRelation
+    // form, so the V1 write command's recache-by-relation still finds
+    // them and re-executes (fresh fragment listing). Fast-path (DSv2)
+    // reads keep standard Spark file-source snapshot semantics instead:
+    // a Dataset handle created before the write pins its fragment
+    // listing (see GraftSource scaladoc).
+    val uri = TestSession.tmpDir("dsv1cache")
+    ArrayTable.ingest(spark, sample, uri, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    // tombstone forces the resolution path (V1 LogicalRelation)
+    ArrayTable.delete(spark, uri, "y == 1", Some(200L))
+    val df = spark.read.format("graft").load(uri)
+    df.cache()
+    try {
+      val n0 = df.count()
+      assert(n0 == sample.filter($"y" =!= 1).count())
+      Seq((500L, 0, 1.0)).toDF("x", "y", "v").write.format("graft")
+        .mode(SaveMode.Append).save(uri)
+      assert(df.count() == n0 + 1, "cached resolution read must see the append")
+    } finally df.unpersist()
+  }
+
   test("sql over the source via temp view") {
     val uri = TestSession.tmpDir("dsv1sql")
     sample.write.format("graft").option("dims", "x,y").save(uri)
