@@ -412,6 +412,14 @@ object SparkEntry {
       graft.storage.Dense.read(s, denseOrders(s, d),
         box = Map("o_orderkey" -> (1L, 2000L)))),
 
+    // Negative-step dense slice (reference positional v[::step]
+    // semantics): subarray [300, 1499] from the slice bounds, step -7
+    // anchored at coord 1499 walking down -> 1499, 1492, ..., 302.
+    // Fill completion still applies at every stepped grid coordinate.
+    "dense_read_revstep" -> ((s, d) =>
+      graft.storage.Dense.slice(s, denseOrders(s, d),
+        Map("o_orderkey" -> MultiIndex.DenseSlice(Some(300L), Some(1500L), -7L)))),
+
     // Manifest-only aggregate pushdown under the oracle: a pure count
     // over the full selection is answered from fragment manifests (zero
     // data read — the 100 TB "how many cells" query); DuckDB recounts
@@ -897,6 +905,10 @@ object SparkEntry {
     "dense_read_array" -> ("SELECT CAST(t.coord AS BIGINT) AS o_orderkey, " +
       "coalesce(o.o_totalprice, 0.0) AS o_totalprice FROM range(1, 2001) t(coord) " +
       "LEFT JOIN orders o ON o.o_orderkey = t.coord"),
+    // stepped coords: anchor 1499 descending by 7 -> (1499 - c) % 7 == 0
+    "dense_read_revstep" -> ("SELECT CAST(t.coord AS BIGINT) AS o_orderkey, " +
+      "coalesce(o.o_totalprice, 0.0) AS o_totalprice FROM range(300, 1500) t(coord) " +
+      "LEFT JOIN orders o ON o.o_orderkey = t.coord WHERE (1499 - t.coord) % 7 = 0"),
     "agg_count_meta" -> "SELECT count(*) AS l_quantity_count FROM lineitem",
     "agg_minmax_meta" -> ("SELECT CAST(min(l_orderkey) AS BIGINT) AS l_orderkey_min, " +
       "CAST(max(l_orderkey) AS BIGINT) AS l_orderkey_max, " +

@@ -75,22 +75,40 @@ object MultiIndex {
 
   /** Normalize a numpy-style dense slice against an inclusive int domain
     * (reference: tiledb/array.py:75-94,117-297): negative wrap-around,
-    * half-open upper bound, clamping; returns the inclusive range plus
-    * the step predicate when step > 1 (steps applied post-read in the
-    * reference, tiledb/dense_array.py:284-287). */
+    * half-open upper bound, clamping, positive OR negative steps.
+    *
+    * Step semantics follow the reference exactly: the subarray bounds
+    * are computed from (start, stop) IGNORING the step's sign
+    * (tiledb/array.py:117-297 normalizes `[start, stop-1]`), and the
+    * step then applies POSITIONALLY to the materialized buffer
+    * (tiledb/dense_array.py:283-287, `v[::step]`) — so a negative step
+    * anchors at the TOP of the subarray and walks down. That differs
+    * from raw numpy slicing (where `a[10:50:-2]` is empty) and is
+    * deliberate: we reproduce the reference, not numpy. Row order is a
+    * separate concern (§2.9 result_order) — a DataFrame carries its
+    * coordinates, so the reversed buffer order of a negative step
+    * carries no information here. */
   case class DenseSlice(start: Option[Long], stop: Option[Long], step: Long = 1L) {
-    require(step > 0, "negative steps unsupported (matches reference reads)")
+    require(step != 0, "slice step cannot be zero")
+
+    /** Inclusive (lo, hi) of the subarray against the domain: negative
+      * indices wrap against hi+1 (numpy-style; reference:
+      * tiledb/array.py:237-239): domain (1,100), start -10 -> 91. */
+    def resolve(domain: (Long, Long)): (Long, Long) = {
+      val (dLo, dHi) = domain
+      def wrap(v: Long): Long = if (v < 0) v + dHi + 1 else v
+      val lo = start.map(wrap).getOrElse(dLo).max(dLo)
+      val hi = (stop.map(wrap).getOrElse(dHi + 1) - 1).min(dHi)
+      (lo, hi)
+    }
   }
 
   def denseSlicePred(c: Column, s: DenseSlice, domain: (Long, Long)): Column = {
-    val (dLo, dHi) = domain
-    // negative indices wrap against hi+1 (numpy-style; reference:
-    // tiledb/array.py:237-239): domain (1,100), start -10 -> 91
-    def wrap(v: Long): Long = if (v < 0) v + dHi + 1 else v
-    val lo = s.start.map(wrap).getOrElse(dLo).max(dLo)
-    val hiExcl = s.stop.map(wrap).getOrElse(dHi + 1).min(dHi + 1)
-    val base = c >= lit(lo) && c < lit(hiExcl)
-    if (s.step == 1) base else base && ((c - lit(lo)) % lit(s.step) === lit(0))
+    val (lo, hi) = s.resolve(domain)
+    val base = c >= lit(lo) && c <= lit(hi)
+    if (s.step == 1) base
+    else if (s.step > 0) base && ((c - lit(lo)) % lit(s.step) === lit(0))
+    else base && ((lit(hi) - c) % lit(-s.step) === lit(0))
   }
 
   /** nonempty domain: min/max bounding box of written cells per dim

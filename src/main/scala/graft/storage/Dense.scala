@@ -27,13 +27,44 @@ object Dense {
     val bounds = schema.dims.map { d =>
       val b = box.get(d.name).orElse(d.domain.map(t => (t._1.toLong, t._2.toLong)))
         .getOrElse(sys.error(s"dense read needs a box or domain for dim ${d.name}"))
-      d.name -> b
+      (d.name, b._1, b._2, 1L)
     }
-    val grid = bounds.map { case (name, (lo, hi)) =>
-      spark.range(lo, hi + 1).select(col("id").as(name))
+    completed(spark, uri, schema, bounds, cond)
+  }
+
+  /** Stepped dense slice (`__getitem__` with steps, positive or
+    * negative): each dim's numpy-style slice resolves against the
+    * declared domain, and the grid enumerates only the stepped
+    * coordinates — a negative step anchors at the subarray's top, the
+    * reference's positional `v[::step]` semantics
+    * (tiledb/dense_array.py:283-287; see
+    * [[graft.query.MultiIndex.DenseSlice]]). */
+  def slice(spark: SparkSession, uri: String,
+      slices: Map[String, graft.query.MultiIndex.DenseSlice],
+      cond: Option[String] = None): DataFrame = {
+    val schema = ArrayTable.schemaOf(spark, uri)
+    val bounds = schema.dims.map { d =>
+      val dom = d.domain.map(t => (t._1.toLong, t._2.toLong))
+        .getOrElse(sys.error(s"dense slice needs a domain for dim ${d.name}"))
+      val s = slices.getOrElse(d.name, graft.query.MultiIndex.DenseSlice(None, None))
+      val (lo, hi) = s.resolve(dom)
+      (d.name, lo, hi, s.step)
+    }
+    completed(spark, uri, schema, bounds, cond)
+  }
+
+  /** Fill-value completion over the (possibly stepped) coordinate grid:
+    * `spark.range` grids stay lazy/distributed; unwritten grid cells
+    * come back as the attr's fill value. */
+  private def completed(spark: SparkSession, uri: String, schema: ArraySchema,
+      bounds: Seq[(String, Long, Long, Long)], cond: Option[String]): DataFrame = {
+    val grid = bounds.map { case (name, lo, hi, step) =>
+      val ids = if (step > 0) spark.range(lo, hi + 1, step)
+                else spark.range(hi, lo - 1, step) // anchor hi, walk down
+      ids.select(col("id").as(name))
     }.reduceLeft(_ crossJoin _)
     val data = ArrayTable.read(spark, uri,
-      ranges = bounds.map { case (n, (lo, hi)) =>
+      ranges = bounds.map { case (n, lo, hi, _) =>
         n -> (Some(lo): Option[Any], Some(hi): Option[Any]) }.toMap)
     val condData = cond.map(c =>
       // dense + condition: matching cells keep values, others fill

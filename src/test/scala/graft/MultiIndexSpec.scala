@@ -41,7 +41,19 @@ class MultiIndexSpec extends SparkSpec {
     val stepped = df.filter(denseSlicePred($"x", DenseSlice(Some(1L), Some(10L), 3L), domain))
       .select("x").as[Long].collect().sorted
     assert(stepped.toSeq == Seq(1L, 4L, 7L))
-    assertThrows[IllegalArgumentException] { DenseSlice(None, None, -1L) }
+    // negative step anchors at the subarray TOP (reference positional
+    // v[::step], dense_array.py:283-287): [1,10) step -3 -> 9,6,3
+    val revStepped = df.filter(denseSlicePred($"x", DenseSlice(Some(1L), Some(10L), -3L), domain))
+      .select("x").as[Long].collect().sorted
+    assert(revStepped.toSeq == Seq(3L, 6L, 9L))
+    // step -1 over the full domain selects everything (order is the
+    // caller's concern; the cell set is the whole subarray)
+    assert(df.filter(denseSlicePred($"x", DenseSlice(None, None, -1L), domain)).count() == 100)
+    // [-10, None] step -4: subarray 91..100, anchor 100 -> 100,96,92
+    val wrapRev = df.filter(denseSlicePred($"x", DenseSlice(Some(-10L), None, -4L), domain))
+      .select("x").as[Long].collect().sorted
+    assert(wrapRev.toSeq == Seq(92L, 96L, 100L))
+    assertThrows[IllegalArgumentException] { DenseSlice(None, None, 0L) }
   }
 
   test("nonempty_domain and unique_dim_values") {

@@ -45,16 +45,44 @@ class SliceProperties extends SparkSpec {
   test("dense slice with steps matches numpy-style half-open semantics") {
     val startGen = Gen.option(Gen.choose(-n, n - 1))
     val stopGen = Gen.option(Gen.choose(-n, n))
-    val stepGen = Gen.choose(1L, 7L)
+    val stepGen = Gen.oneOf(Gen.choose(1L, 7L), Gen.choose(-7L, -1L))
     checkProp(Prop.forAll(startGen, stopGen, stepGen) { (start, stop, step) =>
       val domain = (0L, n - 1)
       val got = df.filter(MultiIndex.denseSlicePred($"x",
         DenseSlice(start, stop, step), domain)).count()
+      // independent model of the reference semantics: subarray bounds
+      // ignore the step's sign; the step applies positionally, so a
+      // negative step anchors at the subarray's LAST index
       def wrap(v: Long) = if (v < 0) v + n else v
       val lo = start.map(wrap).getOrElse(0L).max(0L)
       val hiEx = stop.map(wrap).getOrElse(n).min(n)
-      val expect = (lo until hiEx).count(i => (i - lo) % step == 0)
+      val expect =
+        if (step > 0) (lo until hiEx).count(i => (i - lo) % step == 0)
+        else (lo until hiEx).count(i => (hiEx - 1 - i) % (-step) == 0)
       got == expect
+    })
+  }
+
+  test("stepped cell set equals materialize-then-v[::step] (reference model)") {
+    // the strongest form of the contract: enumerate the subarray like
+    // the reference's dense read buffer, apply python-style v[::step]
+    // positionally, compare the SET of selected coordinates
+    val startGen = Gen.option(Gen.choose(-n, n - 1))
+    val stopGen = Gen.option(Gen.choose(-n, n))
+    val stepGen = Gen.oneOf(Gen.choose(1L, 5L), Gen.choose(-5L, -1L))
+    checkProp(Prop.forAll(startGen, stopGen, stepGen) { (start, stop, step) =>
+      val domain = (0L, n - 1)
+      val got = df.filter(MultiIndex.denseSlicePred($"x",
+        DenseSlice(start, stop, step), domain))
+        .select("x").as[Long].collect().toSet
+      def wrap(v: Long) = if (v < 0) v + n else v
+      val lo = start.map(wrap).getOrElse(0L).max(0L)
+      val hiEx = stop.map(wrap).getOrElse(n).min(n)
+      val buffer = (lo until hiEx).toVector // the materialized subarray
+      val sliced = // python buffer[::step]
+        if (step > 0) buffer.indices.by(step.toInt).map(buffer)
+        else buffer.indices.reverse.by(step.toInt).map(buffer)
+      got == sliced.toSet
     })
   }
 }
