@@ -625,9 +625,12 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
     "text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))),
+    // min-gram signature in the SQL-portable (md5-prefix) form, so the
+    // DuckDB oracle recomputes every doc's signature bit-exactly; the
+    // native rolling-hash fingerprint stays under text_fp_gate
     "text_minhash_sig" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("rolling_fp"))),
+        TextAnalysis.minGramSig(col("text")).as("sig"))),
     // Semantic gate for the content-defined fingerprint (whose 64-bit
     // wraparound arithmetic DuckDB can't reproduce). Winnowing-style
     // min-hash fingerprints collide on similar texts BY DESIGN, so the
@@ -1135,10 +1138,18 @@ object SparkEntry {
       "AS TIMESTAMP) AS window_start, event_type, count(*) AS n, " +
       "CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value " +
       "FROM events GROUP BY 1, 2"),
-    // rows-only checks (non-SQL-expressible or approximate), each now
+    // min-gram signature: DuckDB recomputes the md5-prefix hash of
+    // every k-gram (k=8) on the same normalized text; texts shorter
+    // than k hash as one whole-text gram (greatest(len-7, 1))
+    "text_minhash_sig" -> ("WITH n AS (SELECT doc_id, " +
+      "lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t FROM documents) " +
+      "SELECT doc_id, list_min(list_transform(range(1, greatest(length(t) - 7, 1) + 1), " +
+      "p -> CAST(concat('0x', substring(md5(substring(t, CAST(p AS INT), 8)), 1, 15)) " +
+      "AS BIGINT))) AS sig FROM n"),
+    // rows-only checks (non-SQL-expressible or approximate), each
     // paired with a driver-checkable gate query:
     //   minhash_neardups -> minhash_recall, simhash_neardups ->
-    //   simhash_recall, knn_ivf -> knn_ivf_recall, text_minhash_sig ->
-    //   text_fp_gate
+    //   simhash_recall, knn_ivf -> knn_ivf_recall (the native
+    //   rolling-hash fingerprint is gated by text_fp_gate)
   )
 }

@@ -120,6 +120,23 @@ object TextAnalysis {
     array_min(graft.functions.ShingleHashes(
       lower(regexp_replace(trim(text), "\\s+", " ")), k))
 
+  /** The same winnowing-style min-gram signature with a SQL-portable
+    * hash: min over every k-gram's md5-prefix (60-bit, always
+    * positive), on whitespace-normalized lowercase text. External
+    * engines can recompute it bit-exactly (DuckDB:
+    * `('0x' || substring(md5(g),1,15))::BIGINT`), so it runs under the
+    * value oracle where [[fingerprint]]'s native 64-bit rolling
+    * arithmetic cannot. Texts shorter than k hash as one whole-text
+    * gram. The per-gram md5 costs more than the one-pass rolling hash
+    * — prefer [[fingerprint]] in-engine; this is the interchange form. */
+  def minGramSig(text: Column, k: Int = 8): Column = {
+    val t = lower(regexp_replace(trim(text), "\\s+", " "))
+    val n = greatest(length(t) - (k - 1), lit(1))
+    array_min(transform(sequence(lit(1), n),
+      p => conv(substring(md5(t.substr(p, lit(k)).cast("binary")), 1, 15), 16, 10)
+        .cast("long")))
+  }
+
   /** md5 exact-content fingerprint (SQL-portable). */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 }
