@@ -609,8 +609,16 @@ object SparkEntry {
     // --- text analysis (scale extensions) ---
     "text_tokens" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
-    "text_tokens_bpe" -> ((s, d) => t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.regexTokenCount(col("text")).as("n_pieces"))),
+    // REAL byte-pair encoding (greedy rank-ordered merges over the
+    // embedded table), not regex-piece counting; the DuckDB oracle
+    // replays the identical merge loop via a recursive CTE generated
+    // from the SAME merge table (bpeOracleSql)
+    "text_tokens_bpe" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bpeTokenCounts(
+        t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)])
+        .toDF("doc_id", "n_bpe")
+    }),
     "text_quality" -> ((s, d) => {
       val txt = col("text")
       val len = length(txt).cast(DoubleType)
@@ -852,6 +860,40 @@ object SparkEntry {
   private val maybePriceSql =
     "CASE WHEN l_discount > 0.05 THEN NULL ELSE l_extendedprice END"
 
+  /** DuckDB replay of the exact BPE merge loop, generated from the SAME
+    * embedded merge table the Spark side uses (no drift possible): a
+    * recursive CTE iterates each distinct pre-token's sep-joined symbol
+    * string, each step applying the lowest-ranked pair present.
+    * `replace` is non-overlapping so a step may apply only a prefix of
+    * the pair's occurrences — the well-formed table (operands always
+    * created by strictly earlier merges) makes repeated application
+    * converge to the same fixpoint as merging all occurrences at once
+    * (see [[graft.ops.TextAnalysis.bpeMerges]]). */
+  private def bpeOracleSql: String = {
+    val values = graft.ops.TextAnalysis.bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
+    val pretoken = "'[a-z]+|[0-9]+|[^a-z0-9[:space:]]+'"
+    "WITH RECURSIVE merges(rank, a, b) AS (VALUES " + values + "), " +
+    "words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), " + pretoken +
+    ")) AS w FROM documents), " +
+    "seg(w, s) AS (" +
+    "SELECT w, array_to_string(list_transform(range(1, length(w)+1), " +
+    "i -> substring(w, CAST(i AS INT), 1)), chr(31)) FROM words " +
+    "UNION ALL " +
+    "SELECT t.w, trim(replace(chr(31)||t.s||chr(31), " +
+    "chr(31)||m.a||chr(31)||m.b||chr(31), chr(31)||m.a||m.b||chr(31)), chr(31)) " +
+    "FROM (SELECT w, s, (SELECT min(mm.rank) FROM merges mm " +
+    "WHERE instr(chr(31)||s||chr(31), chr(31)||mm.a||chr(31)||mm.b||chr(31)) > 0) AS br " +
+    "FROM seg) t JOIN merges m ON m.rank = t.br), " +
+    "final AS (SELECT w, min(length(s) - length(replace(s, chr(31), '')) + 1) AS n " +
+    "FROM seg GROUP BY w), " +
+    "docwords AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " + pretoken +
+    ")) AS w FROM documents) " +
+    "SELECT d.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_bpe " +
+    "FROM documents d LEFT JOIN docwords dw ON d.doc_id = dw.doc_id " +
+    "LEFT JOIN final f ON dw.w = f.w GROUP BY d.doc_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "scan_full" -> "SELECT * FROM lineitem",
     "slice_range" -> ("SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
@@ -978,8 +1020,7 @@ object SparkEntry {
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +
       "round(CAST(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
-    "text_tokens_bpe" -> ("SELECT doc_id, CAST(length(regexp_extract_all(text, " +
-      """'[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_pieces FROM documents"""),
+    "text_tokens_bpe" -> bpeOracleSql,
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
     // curation pack: replant the same synthetic PII, re-redact in RE2
     "pii_redact" -> ("SELECT doc_id, " +

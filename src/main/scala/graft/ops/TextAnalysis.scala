@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for large-scale training-data pipelines. Everything is
@@ -139,4 +139,108 @@ object TextAnalysis {
 
   /** md5 exact-content fingerprint (SQL-portable). */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  // ------------------------------------------------------------- real BPE
+
+  /** Embedded byte-pair-encoding merge table (GPT-2-style algorithm,
+    * compact public-knowledge table): rank order IS the merge priority.
+    * The table is WELL-FORMED — each operand is a single character or
+    * the output of a strictly earlier merge (pinned by `TokenSpec`) —
+    * which guarantees greedy rank-ordered merging is confluent: new
+    * pairs created by a merge always rank later than the merge that
+    * created them, so applying occurrences in any order converges to
+    * the same segmentation. In production this table is swapped for a
+    * learned vocabulary (e.g. the 50k GPT-2 merges); the ALGORITHM —
+    * lowest-rank adjacent pair merges first, all occurrences, repeat —
+    * is the real thing, not a regex approximation. */
+  val bpeMerges: Vector[(String, String)] = Vector(
+    // common digraphs first (they fire before any word-build below, so
+    // every build path must route THROUGH them — greedy order is real)
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("e", "s"),
+    ("o", "r"), ("a", "r"), ("a", "l"), ("o", "u"), ("s", "t"),
+    ("l", "e"), ("i", "s"), ("i", "t"), ("t", "o"), ("o", "f"),
+    ("an", "d"), ("in", "g"), ("a", "s"), ("h", "e"), ("w", "h"),
+    ("o", "w"), ("r", "ow"), ("c", "h"), ("s", "h"), ("a", "b"),
+    // word builds (each step's operands exist via earlier merges AND
+    // survive the greedy order on that word's letters)
+    ("ab", "le"), ("t", "able"), ("k", "e"), ("ke", "y"),
+    ("v", "al"), ("val", "u"), ("valu", "e"),
+    ("s", "c"), ("sc", "an"), ("p", "ar"), ("par", "t"),
+    ("h", "as"), ("has", "h"), ("s", "or"), ("sor", "t"),
+    ("m", "er"), ("mer", "g"), ("merg", "e"),
+    ("a", "st"), ("f", "ast"), ("s", "l"), ("sl", "ow"),
+    ("b", "at"), ("bat", "ch"), ("w", "in"), ("win", "d"),
+    ("wind", "ow"), ("l", "in"), ("lin", "e"),
+    ("s", "par"), ("spar", "k"), ("a", "g"), ("ag", "g"),
+    ("q", "u"), ("qu", "er"), ("quer", "y"), ("j", "o"),
+    ("jo", "in"), ("r", "ou"), ("g", "rou"), ("grou", "p"),
+    ("i", "le"), ("f", "ile"),
+    ("t", "er"), ("b", "u"), ("bu", "f"), ("buf", "f"),
+    ("buff", "er"), ("c", "o"), ("co", "l"), ("u", "m"),
+    ("col", "um"), ("colum", "n"), ("w", "r"), ("wr", "it"),
+    ("writ", "e"), ("a", "d"), ("re", "ad"), ("s", "um"),
+    ("c", "ou"), ("cou", "n"), ("coun", "t"),
+  )
+
+  /** pre-tokenizer: letter runs, digit runs, symbol runs; whitespace
+    * separates (same RE2/Java-compatible class on both engines) */
+  private[graft] val bpePretokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  private lazy val bpeRanks: Map[(String, String), Int] =
+    bpeMerges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+  /** Greedy BPE segment count of one pre-token: repeatedly merge ALL
+    * occurrences (left-to-right, non-overlapping) of the lowest-rank
+    * adjacent pair until none matches the table. */
+  private[graft] def bpeSegmentCount(word: String): Int = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = bpeRanks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = bpeMerges(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) { out += a + b; j += 2 }
+          else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.length
+  }
+
+  /** Per-doc BPE token counts over (id, text) rows: mapPartitions with
+    * a per-partition word->count memo — corpus vocabulary is Zipfian,
+    * so the merge loop runs once per DISTINCT word per partition, and
+    * each row is a narrow independent transform (no shuffle, scales
+    * linearly with executors). */
+  def bpeTokenCounts(ds: Dataset[(Long, String)]): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val re = java.util.regex.Pattern.compile(bpePretokenPattern)
+      val memo = new java.util.HashMap[String, Integer]()
+      rows.map { case (id, text) =>
+        val m = re.matcher(if (text == null) "" else text.toLowerCase)
+        var total = 0L
+        while (m.find()) {
+          val w = m.group
+          var n = memo.get(w)
+          if (n == null) { n = bpeSegmentCount(w); memo.put(w, n) }
+          total += n.toLong
+        }
+        (id, total)
+      }
+    }
+  }
 }

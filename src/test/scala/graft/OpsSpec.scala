@@ -14,6 +14,48 @@ class OpsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(3L, 0L, 0L, 2L))
   }
 
+  test("BPE merge table is well-formed: operands from strictly earlier merges") {
+    // confluence of the greedy loop (and its SQL-replay oracle) depends
+    // on this: a merge's operands must be single chars or outputs of
+    // LOWER-ranked merges, so newly created pairs always rank later
+    // than the merge that created them
+    val producible = scala.collection.mutable.Set[String]()
+    TextAnalysis.bpeMerges.zipWithIndex.foreach { case ((a, b), i) =>
+      for (op <- Seq(a, b))
+        assert(op.length == 1 || producible.contains(op),
+          s"merge $i ($a,$b): operand '$op' not producible by earlier merges")
+      producible += (a + b)
+    }
+    // no duplicate pairs (a later duplicate would be dead)
+    val pairs = TextAnalysis.bpeMerges
+    assert(pairs.distinct.size == pairs.size)
+  }
+
+  test("BPE segmentation: greedy lowest-rank merges, all occurrences") {
+    // the|table: (t,h) then (th,e); (t,able) via (a,b),(ab,le)
+    assert(TextAnalysis.bpeSegmentCount("thetable") == 2)
+    // ter|ter|ing: (e,r) then (i,n) then (in,g) then (t,er) by rank
+    assert(TextAnalysis.bpeSegmentCount("tertering") == 3)
+    // all-occurrence semantics: 'aaa' has no (a,a) merge -> 3 singles
+    assert(TextAnalysis.bpeSegmentCount("aaa") == 3)
+    assert(TextAnalysis.bpeSegmentCount("") == 0)
+    assert(TextAnalysis.bpeSegmentCount("x") == 1)
+    // whole common words collapse to one token
+    for (w <- Seq("the", "table", "key", "value", "scan", "hash", "sort",
+        "merge", "fast", "slow", "batch", "window", "line", "spark",
+        "query", "join", "group", "file", "buffer", "column", "write",
+        "read", "sum", "count"))
+      assert(TextAnalysis.bpeSegmentCount(w) == 1, s"'$w' should be 1 token")
+  }
+
+  test("BPE token counts: pre-tokenization + per-doc totals") {
+    val ds = Seq((1L, "the table"), (2L, "a-b c3d"), (3L, ""), (4L, "   "))
+      .toDS()
+    val got = TextAnalysis.bpeTokenCounts(ds).collect().toMap
+    // "the table" -> [the][table]; "a-b c3d" -> [a][-][b] [c][3][d]
+    assert(got == Map(1L -> 2L, 2L -> 6L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("charShingles and wordNgrams") {
     val sh = Seq("abcdef").toDF("t")
       .select(TextAnalysis.charShingles($"t", 3).as("s")).as[Seq[String]].collect()(0)
