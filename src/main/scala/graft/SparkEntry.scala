@@ -23,6 +23,12 @@ import graft.streaming.EventStreams
   */
 object SparkEntry {
 
+  /** Planted-duplicate id offset for the dedup/recall gates. 2^40 keeps
+    * planted ids disjoint from real ids at ANY realistic scale factor
+    * (a corpus would need a trillion docs to collide); the old 1e6
+    * collided as soon as doc_id reached seven digits. */
+  private val DupOff = 1L << 40
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -470,26 +476,26 @@ object SparkEntry {
     // --- dedup (scale extensions) ---
     "dedup_exact" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + DupOff))
       Dedup.exact(doubled, Seq("text"), "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
     "dedup_exact_hash" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + DupOff))
       Dedup.exactByHash(doubled, "text", "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
     "minhash_neardups" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // plant near-dups: copies with a tiny suffix edit
-      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" xyzzy")))
       Dedup.minhashNearDups(docs.unionByName(edited), "doc_id", "text", threshold = 0.6)
     }),
     "simhash_neardups" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" x")))
       Dedup.simhashNearDups(docs.unionByName(edited), "doc_id", "text", maxHamming = 3)
     }),
@@ -502,12 +508,34 @@ object SparkEntry {
       // per-round iterative-CC overhead, so the end-to-end drop pipeline
       // is gated at real bench corpus size
       val docs = t(s, d, "documents")
-      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" xyzzy")))
       Dedup.dropNearDups(docs.unionByName(edited), "doc_id", "text", threshold = 0.6)
-        .agg(sum(when(col("doc_id") >= 1000000, 1L).otherwise(0L))
+        .agg(sum(when(col("doc_id") >= DupOff, 1L).otherwise(0L))
           .as("planted_survivors"))
     }),
+    // Bench-scale exercise of the distributed alternating-star CC path:
+    // the SAME doubled dup graph as dedup_drop_gate, clustered BOTH
+    // ways — driverLimit=0 forces the star rounds, the default runs the
+    // driver union-find — and the gate counts label disagreements
+    // (exactly 0; both paths must pick identical component minima).
+    // Until now the star path only ran on unit-test graphs; this runs
+    // it on the full sf dup graph every round, under the bench clock.
+    "dedup_star_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      // share one LSH pass across both clustering paths
+      val pairs = Dedup.minhashNearDups(docs.unionByName(edited),
+        "doc_id", "text", threshold = 0.6).localCheckpoint(true)
+      val star = Dedup.dupClusters(pairs, driverLimit = 0L)
+        .withColumnRenamed("cluster", "c_star")
+      val uf = Dedup.dupClusters(pairs).withColumnRenamed("cluster", "c_uf")
+      star.join(uf, "id")
+        .agg(coalesce(sum(when(col("c_star") =!= col("c_uf"), 1L).otherwise(0L)),
+          lit(-1L)).as("mismatches"), (count(lit(1)) > 0).as("nonempty"))
+    }),
+
     // LSH recall gate for minhash_neardups: every planted pair whose
     // EXACT hashed-shingle jaccard clears the threshold (the ground
     // truth the banded LSH is approximating) must be recovered at >=0.9.
@@ -517,17 +545,17 @@ object SparkEntry {
     // regression. Driver-checkable companion to the rows-only query.
     "minhash_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" xyzzy")))
       val all = docs.unionByName(edited)
       val hs = all.select(col("doc_id"), graft.functions.ShingleHashes(
         lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5).as("__hs"))
       val truth = hs.select(col("doc_id").as("a"), col("__hs").as("__ha"))
-        .join(hs.select((col("doc_id") - 1000000).as("a"), col("__hs").as("__hb")), "a")
+        .join(hs.select((col("doc_id") - DupOff).as("a"), col("__hs").as("__hb")), "a")
         .filter(Dedup.hashedJaccard(col("__ha"), col("__hb")) >= 0.6)
         .select("a")
       val found = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.6)
-        .filter(col("b") === col("a") + 1000000).select("a")
+        .filter(col("b") === col("a") + DupOff).select("a")
       truth.join(found.withColumn("__hit", lit(1)), Seq("a"), "left")
         .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1))).as("recall"))
@@ -539,22 +567,22 @@ object SparkEntry {
     // <=3 — missed is exactly 0, deterministically, not a floor.
     "simhash_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" x")))
       val all = docs.unionByName(edited)
       val sh = all.select(col("doc_id"), Dedup.simhash(col("text")).as("__sh"))
       val truth = sh.select(col("doc_id").as("a"), col("__sh").as("__sa"))
-        .join(sh.select((col("doc_id") - 1000000).as("a"), col("__sh").as("__sb")), "a")
+        .join(sh.select((col("doc_id") - DupOff).as("a"), col("__sh").as("__sb")), "a")
         .filter(Dedup.hammingDist64(col("__sa"), col("__sb")) <= 3)
         .select("a")
       val found = Dedup.simhashNearDups(all, "doc_id", "text", maxHamming = 3)
-        .filter(col("b") === col("a") + 1000000).select("a")
+        .filter(col("b") === col("a") + DupOff).select("a")
       truth.join(found.withColumn("__hit", lit(1)), Seq("a"), "left")
         .agg(sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("missed"))
     }),
     "embedding_neardups" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val jittered = e.withColumn("vec_id", col("vec_id") + 1000000)
+      val jittered = e.withColumn("vec_id", col("vec_id") + DupOff)
       Dedup.embeddingNearDups(e.unionByName(jittered), "vec_id", "embedding",
         minCosine = 0.999)
     }),
@@ -821,11 +849,11 @@ object SparkEntry {
     // --- exact n-gram Jaccard verification primitive on planted pairs ---
     "jaccard_pairs" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val edited = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" xyzzy plugh")))
       val all = docs.unionByName(edited)
       val pairs = docs.select(col("doc_id").as("a"),
-        (col("doc_id") + 1000000).as("b"))
+        (col("doc_id") + DupOff).as("b"))
       graft.ops.Dedup.ngramJaccard(all, "doc_id", "text", pairs, n = 3)
     }),
 
@@ -1113,9 +1141,9 @@ object SparkEntry {
       "round(CAST(sum(ord(text[p])) AS DOUBLE) / 255.0, 6) AS value " +
       "FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS p FROM documents) " +
       "GROUP BY doc_id, (p-1) % 16"),
-    // exact word-3-gram Jaccard on the planted (doc, doc+1M) pairs
+    // exact word-3-gram Jaccard on the planted (doc, doc+DupOff) pairs
     "jaccard_pairs" -> ("WITH d2 AS (SELECT doc_id, text FROM documents " +
-      "UNION ALL SELECT doc_id + 1000000, text || ' xyzzy plugh' FROM documents), " +
+      s"UNION ALL SELECT doc_id + $DupOff, text || ' xyzzy plugh' FROM documents), " +
       "g AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] " +
       "ELSE list_distinct(list_transform(range(1, len(toks) - 1), " +
       "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS gr " +
@@ -1123,7 +1151,7 @@ object SparkEntry {
       "SELECT x.doc_id AS a, y.doc_id AS b, " +
       "round(CAST(len(list_intersect(x.gr, y.gr)) AS DOUBLE) " +
       "/ len(list_distinct(x.gr || y.gr)), 6) AS jaccard " +
-      "FROM g x JOIN g y ON y.doc_id = x.doc_id + 1000000 AND x.doc_id < 1000000"),
+      s"FROM g x JOIN g y ON y.doc_id = x.doc_id + $DupOff AND x.doc_id < $DupOff"),
     // exact brute-force top-k is SQL-expressible: same cosine formula
     // (dot / (sqrt(dot)*sqrt(dot))) over DOUBLE[] on both engines
     "knn_brute" -> ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
@@ -1141,7 +1169,7 @@ object SparkEntry {
     // buckets, so the LSH path is exhaustive at this threshold
     "embedding_neardups" -> ("WITH av AS (SELECT vec_id, " +
       "CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
-      "UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings), " +
+      s"UNION ALL SELECT vec_id + $DupOff, CAST(embedding AS DOUBLE[]) FROM embeddings), " +
       "p AS (SELECT x.vec_id AS a, y.vec_id AS b, " +
       "list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * " +
       "sqrt(list_dot_product(y.v, y.v))) AS cosine " +
@@ -1152,6 +1180,10 @@ object SparkEntry {
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "minhash_recall" -> "SELECT true AS recall_ok",
     "dedup_drop_gate" -> "SELECT CAST(0 AS BIGINT) AS planted_survivors",
+    // star rounds and driver union-find must label identically on the
+    // full dup graph (an empty graph would read -1 and fail the gate)
+    "dedup_star_gate" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS nonempty",
     "simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed",
     "text_fp_gate" -> "SELECT CAST(0 AS BIGINT) AS violations",
     "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +

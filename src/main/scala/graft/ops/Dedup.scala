@@ -153,7 +153,7 @@ object Dedup {
     * false-positive bucket collisions before the exact set ops. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, materializeSigs: Boolean = true): DataFrame = {
     // native one-pass rolling-hash shingles (no substring churn)
     def normHashes(c: Column) = graft.functions.ShingleHashes(
       lower(regexp_replace(trim(c), "\\s+", " ")), k)
@@ -167,9 +167,16 @@ object Dedup {
     // shingle-hash sets (comparable in size to the text itself) are
     // recomputed in the one narrow verify pass below instead of pinning
     // a corpus-sized copy.
-    val sigs = df.select(col(idCol),
+    //
+    // materializeSigs=false trades 3 recomputes of the signature pass
+    // (pure CPU, shuffle-free) for full lineage: localCheckpoint blocks
+    // are NOT recoverable after an executor loss, which fails the job
+    // on a long-lived cluster; the lazy plan recomputes anywhere. Keep
+    // true for single-node/bench runs, false for 1000-executor jobs
+    // where losing one executor mid-dedup must not kill the pipeline.
+    val sigsPlan = df.select(col(idCol),
         minhashSignatureFromHashes(normHashes(col(textCol)), numHashes).as("__sig"))
-      .localCheckpoint(true)
+    val sigs = if (materializeSigs) sigsPlan.localCheckpoint(true) else sigsPlan
     val cands = lshCandidates(sigs, idCol, "__sig", bands)
     // Two-stage verification, sized to what each stage actually needs:
     // the estimate join ships only the 64-lane signatures for every
@@ -239,11 +246,14 @@ object Dedup {
       if (isString) {
         val r = edges0.agg(count(lit(1)),
           coalesce(sum(length(col("a")) + length(col("b"))), lit(0L))).head()
-        // ~2x chars for UTF-16 String + ~48B/edge of Row/object headers
-        (r.getLong(0), r.getLong(1) * 2 + r.getLong(0) * 48)
+        // per edge: 2x chars for UTF-16 Strings, plus the collected Row
+        // (header + 2 refs) AND the union-find HashMap entries the ids
+        // land in (~2 nodes + boxing) — ~144B of structure per edge
+        (r.getLong(0), r.getLong(1) * 2 + r.getLong(0) * 144)
       } else {
         val c = edges0.count()
-        (c, c * 64) // two boxed fixed-width ids + Row overhead
+        // two boxed longs in a Row + two HashMap nodes: ~128B/edge
+        (c, c * 128)
       }
     val out =
       if (n <= driverLimit && bytes <= driverByteLimit)
@@ -303,14 +313,7 @@ object Dedup {
   /** Alternating large-star/small-star CC (Kiveris et al., SoCC'14).
     * Fixpoint is a star per component centered at its minimum id. */
   private def starClusters(edges0: DataFrame): DataFrame = {
-    val spark = edges0.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      edges0.schema.map(_.copy(nullable = true)))
     var cur = edges0
-    // unpersist handle for the round's materialized edge list; null in
-    // round 0, where `cur` is the caller-cached edges0 (freed by the
-    // caller, not here)
-    var curRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var curCnt = -1L // unknown orientation vs the first round's output
     var converged = false
     var round = 0
@@ -327,32 +330,30 @@ object Dedup {
       val or = large.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       val smins = or.groupBy("u").agg(min(col("v")).as("__m"))
-      // materialize via an explicit localCheckpoint'd RDD, for two
-      // reasons: (1) lineage truncation — each round's plan embeds the
-      // previous round's ~16x (sym/mins/large/or/smins each re-reference
-      // it), so without truncation the logical plan grows exponentially
-      // and the DRIVER dies on plan analysis; (2) the raw RDD handle is
-      // the only way to FREE the previous round's blocks — otherwise up
-      // to 64 edge-list copies stay pinned in storage memory, on exactly
-      // the path chosen because the edge list is big.
-      val nextRdd = or.join(smins, "u").where(col("v") =!= col("__m"))
+      // localCheckpoint each round: lineage truncation — each round's
+      // plan embeds the previous round's ~16x (sym/mins/large/or/smins
+      // each re-reference it), so without truncation the logical plan
+      // grows exponentially and the DRIVER dies on plan analysis.
+      // Dataset-level checkpoint keeps rows as InternalRows end-to-end
+      // (the old explicit-RDD form paid an InternalRow->Row->InternalRow
+      // round-trip per round). The dropped round's blocks are reclaimed
+      // by the ContextCleaner when GC collects the unreferenced RDD;
+      // until then they are MEMORY_AND_DISK — they spill, not OOM.
+      val next = or.join(smins, "u").where(col("v") =!= col("__m"))
         .select(col("v").as("a"), col("__m").as("b"))
         .union(smins.select(col("u").as("a"), col("__m").as("b")))
-        .distinct().rdd
-      nextRdd.localCheckpoint()
-      val nextCnt = nextRdd.count()
-      val next = spark.createDataFrame(nextRdd, schema)
+        .distinct().localCheckpoint(true)
+      val nextCnt = next.count()
       // set equality: equal cardinality + empty one-sided difference
       val changed = nextCnt != curCnt ||
         next.join(cur, Seq("a", "b"), "left_anti").limit(1).count() > 0
-      if (curRdd != null) curRdd.unpersist(blocking = false)
-      cur = next; curRdd = nextRdd; curCnt = nextCnt
+      cur = next; curCnt = nextCnt
       converged = !changed
       round += 1
     }
-    // the final round's RDD stays persisted: the returned frame reads
-    // from it (lineage is truncated, a recompute is impossible); the
-    // ContextCleaner reclaims the blocks once the caller drops the frame
+    // the final round's blocks stay persisted: the returned frame reads
+    // from them (lineage is truncated, a recompute is impossible); the
+    // ContextCleaner reclaims them once the caller drops the frame
     require(converged,
       s"dup clustering did not converge in $maxRounds star rounds — " +
         "this exceeds the proven O(log n) bound and indicates a bug")
