@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, TextAnalysis}
+
+/** 10x scale rehearsal (BASELINE.md): synthesizes a corpus `mult` times
+  * the sf0.1 tables under target/ and times the heaviest operators,
+  * plus the LSH bucket-cap hit rate — the nonlinearity probes a bench
+  * at fixed sf cannot see.
+  *
+  * Corpus synthesis is NOT naive replication: 10 identical copies would
+  * plant 10-way near-dup cliques (a quadratic pair blowup with no
+  * real-corpus analogue). Each copy c>0 instead appends a per-copy
+  * `translate`-scrambled copy of the doc's own text — cross-copy
+  * jaccard lands ~1/3 (below the 0.6 dedup threshold), while docs that
+  * were near-dups WITHIN a copy stay near-dups (same transform on both
+  * sides). The result approximates a genuinely larger corpus with the
+  * same internal dup rate.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.ScaleRehearsal [mult]"
+  */
+object ScaleRehearsal {
+
+  // Per-copy letter substitutions for the scrambled suffix (targets the
+  // letters the synthetic corpus actually uses). Two independent cycles
+  // give distinct transforms for c < 676 — a shared transform between
+  // two copies would plant cross-copy EXACT dup cliques (observed at
+  // mult=30 with a 10-entry table: copies c/c+10/c+20 collided and 2/3
+  // of the corpus became droppable duplicates).
+  private val Target1 = "aeiosth"
+  private val Target2 = "nrdlcmp"
+  private def perm(target: String, k: Int): String =
+    target.indices.map(i => ('a' + (i * 3 + k * 5 + 7) % 26).toChar).mkString
+
+  private def scramble(c: org.apache.spark.sql.Column, copy: Int) =
+    translate(translate(c, Target1, perm(Target1, copy % 26)),
+      Target2, perm(Target2, copy / 26))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val outDir = s"/root/repo/target/scale${mult}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- synthesize the mult-x corpus -------------------------------
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docsX = (0 until mult).map { c =>
+      val shifted = docs0.withColumn("doc_id", col("doc_id") + lit(c.toLong << 24))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        concat(col("text"), lit(" "), scramble(col("text"), c)))
+    }.reduce(_ unionByName _)
+    docsX.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    (0 until mult).map(c => li0.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong << 32)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val lineitem = spark.read.parquet(s"$outDir/lineitem.parquet")
+    println(s"[rehearsal] docs=${docs.count()} lineitem=${lineitem.count()} (mult=$mult)")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- LSH bucket-cap hit rate ------------------------------------
+    // re-derive the banded buckets exactly as minhashNearDups does and
+    // measure what the 64-id cap drops at this scale
+    val sigs = docs.select(col("doc_id").as("__id"),
+      Dedup.minhashSignatureFromHashes(graft.functions.ShingleHashes(
+        lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5), 64).as("__sig"))
+    val banded = sigs.select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => xxhash64(slice(col("__sig"), b * 4 + 1, lit(4)), b))))
+      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
+    val stats = banded.groupBy("__band", "__bucket").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("buckets"),
+        sum(when(col("n") > 64, 1L).otherwise(0L)).as("over_cap"),
+        sum(when(col("n") > 64, col("n")).otherwise(0L)).as("ids_in_dropped"),
+        sum(col("n")).as("ids_total"),
+        max(col("n")).as("max_bucket")).head()
+    println(s"[rehearsal] buckets=${stats.getLong(0)} overCap=${stats.getLong(1)} " +
+      s"idsDropped=${stats.getLong(2)}/${stats.getLong(3)} maxBucket=${stats.getLong(4)}")
+
+    // ---- heavy operators at mult-x ----------------------------------
+    val (_, tMinhash) = time(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6).count())
+    results += "minhash_neardups" -> tMinhash
+
+    val (survivors, tDrop) = time(
+      Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6).count())
+    results += "dedup_drop" -> tDrop
+    println(s"[rehearsal] dropNearDups kept $survivors of ${docs.count()}")
+
+    val (_, tStar) = time {
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+        .localCheckpoint(true)
+      Dedup.dupClusters(pairs, driverLimit = 0L).count()
+    }
+    results += "dedup_star_cc" -> tStar
+
+    val (_, tSim) = time(
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3).count())
+    results += "simhash_neardups" -> tSim
+
+    val bench = docs0.limit(200).select(col("doc_id").as("bench_id"),
+      col("text").as("snippet"))
+    val (_, tContam) = time(
+      Curation.contamination(docs, "doc_id", "text", bench, "snippet", n = 8).count())
+    results += "contamination" -> tContam
+
+    val (_, tBpe) = time(
+      TextAnalysis.bpeTokenCounts(docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]).agg(sum("_2")).head())
+    results += "text_tokens_bpe" -> tBpe
+
+    val (_, tIngest) = time {
+      val uri = s"$outDir/ingest_li"
+      graft.storage.ArrayTable.ingest(spark, lineitem, uri,
+        Seq("l_orderkey", "l_linenumber"), overwrite = true)
+      graft.storage.VFS(spark).delete(uri)
+    }
+    results += "ingest_lineitem" -> tIngest
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_rehearsal","mult":$mult,"queries":$qs,""" +
+      s""""buckets_over_cap":${stats.getLong(1)},"max_bucket":${stats.getLong(4)}}""")
+    spark.stop()
+  }
+}
