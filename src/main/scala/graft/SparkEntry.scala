@@ -803,6 +803,61 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL WAV path under the oracle: deterministic per-doc 8-bit PCM
+    // (sample j of doc i = (i*13 + j*7) % 256) is RIFF-encoded on the
+    // executors and decoded back through Multimodal.decodeAudio; DuckDB
+    // recomputes channels/rate/sample-count/duration/mean in closed form.
+    "media_decode_wav" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val frames = 32 + (id % 32).toInt
+        val rate = 8000 + (id % 4).toInt * 4000
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+          out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+        def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(rate)
+        w32(rate * channels); w16(channels); w16(8)
+        out.write("data".getBytes); w32(n)
+        var j = 0
+        while (j < n) { out.write(((id * 13 + j * 7) % 256).toInt); j += 1 }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "wav")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
+    // REAL AVI-header path under the oracle: deterministic avih fields
+    // per doc, parsed back by the pure-Scala RIFF scan; DuckDB
+    // recomputes every field from the same formulas.
+    "media_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val usPerFrame = 20000 + (id % 10).toInt * 1000
+        val frames = 100 + (id % 100).toInt
+        val w = 320 + (id % 8).toInt * 16
+        val h = 240 + (id % 4).toInt * 16
+        val out = new java.io.ByteArrayOutputStream()
+        def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+          out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+        out.write("RIFF".getBytes); w32(4 + 8 + 4 + 8 + 56); out.write("AVI ".getBytes)
+        out.write("LIST".getBytes); w32(4 + 8 + 56); out.write("hdrl".getBytes)
+        out.write("avih".getBytes); w32(56)
+        w32(usPerFrame); w32(0); w32(0); w32(0); w32(frames)
+        w32(0); w32(0); w32(0); w32(w); w32(h)
+        (0 until 4).foreach(_ => w32(0))
+        Multimodal.MediaRow(id, out.toByteArray, "video", "avi")
+      }
+      Multimodal.videoMeta(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("total_frames"),
+          round(col("fps"), 6).as("fps"))
+    }),
+
     // --- multimodal plumbing (stub codec for audio, real batch shape) ---
     "media_decode" -> ((s, d) => {
       import s.implicits._
@@ -1126,6 +1181,23 @@ object SparkEntry {
       "CAST(3 AS INT) AS channels, " +
       "round(CAST(h * (w * (r0 + g0 + b0) + 3 * (w * (w - 1) // 2)) AS DOUBLE) " +
       "/ (w * h * 3), 6) AS mean_intensity FROM p"),
+    // closed-form PCM: mean over j of ((id*13 + j*7) % 256) / 255;
+    // frames = n / channels, duration = frames * 1000 / rate
+    "media_decode_wav" -> ("WITH p AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS channels, (32 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
+      "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +
+      "m AS (SELECT p.doc_id, avg(CAST((p.doc_id * 13 + j.j * 7) % 256 AS DOUBLE)) AS mv " +
+      "FROM p JOIN range(0, 128) j(j) ON j.j < p.n GROUP BY p.doc_id) " +
+      "SELECT p.doc_id, CAST(channels AS INT) AS channels, " +
+      "CAST(rate AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples, " +
+      "round(CAST(32 + p.doc_id % 32 AS DOUBLE) * 1000 / rate, 6) AS duration_ms, " +
+      "round(m.mv / 255, 6) AS mean_level FROM p JOIN m ON p.doc_id = m.doc_id"),
+    // avih fields recomputed from the planting formulas
+    "media_video_meta" -> ("SELECT doc_id, " +
+      "CAST(320 + (doc_id % 8) * 16 AS INT) AS width, " +
+      "CAST(240 + (doc_id % 4) * 16 AS INT) AS height, " +
+      "CAST(100 + doc_id % 100 AS BIGINT) AS total_frames, " +
+      "round(1e6 / (20000 + (doc_id % 10) * 1000), 6) AS fps FROM documents"),
     // identical closed form: the GIF planting uses the same gradient,
     // palette-indexed so the encode is lossless
     "media_decode_gif" -> ("WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, " +

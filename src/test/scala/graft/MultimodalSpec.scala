@@ -148,6 +148,95 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(d.mean_intensity - 87.5) < 5.0, d.mean_intensity)
   }
 
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      samples: Array[Int]): Array[Byte] = {
+    // hand-rolled canonical RIFF/WAVE: fmt + data
+    val bytesPerSample = bits / 8
+    val dataLen = samples.length * bytesPerSample
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("RIFF".getBytes); w32(36 + dataLen); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(rate)
+    w32(rate * channels * bytesPerSample); w16(channels * bytesPerSample); w16(bits)
+    out.write("data".getBytes); w32(dataLen)
+    samples.foreach { s =>
+      if (bits == 8) out.write(s & 0xFF)
+      else w16(s) // 16-bit signed LE
+    }
+    out.toByteArray
+  }
+
+  test("WAV PCM decodes for real: fmt fields + exact sample mean") {
+    // 8-bit unsigned: samples 0..99 -> mean_level = (sum/100)/255
+    val s8 = Array.tabulate(100)(identity)
+    val mean8 = s8.sum.toDouble / 100 / 255.0
+    val a8 = Multimodal.decodeWav(wavBytes(1, 8000, 8, s8)).get
+    assert(a8.channels == 1 && a8.rate == 8000 && a8.nSamples == 100)
+    assert(math.abs(a8.durationMs - 100.0 * 1000 / 8000) < 1e-9)
+    assert(math.abs(a8.meanLevel - mean8) < 1e-12, a8)
+    // 16-bit signed stereo: value v maps to (v+32768)/65535
+    val s16 = Array(-32768, 0, 32767, 1000)
+    val mean16 = s16.map(v => (v + 32768).toDouble / 65535).sum / 4
+    val a16 = Multimodal.decodeWav(wavBytes(2, 44100, 16, s16)).get
+    assert(a16.channels == 2 && a16.rate == 44100 && a16.nSamples == 4)
+    assert(a16.durationMs == 2.0 * 1000 / 44100)
+    assert(math.abs(a16.meanLevel - mean16) < 1e-12, a16)
+    // cross-validate the parser against the JDK's own WAV writer
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = Array.tabulate(64)(i => (i * 512 - 16384).toShort)
+    val raw = new Array[Byte](pcm.length * 2)
+    pcm.zipWithIndex.foreach { case (v, i) =>
+      raw(2 * i) = (v & 0xFF).toByte; raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val aj = Multimodal.decodeWav(bos.toByteArray).get
+    assert(aj.channels == 1 && aj.rate == 16000 && aj.nSamples == 64)
+    val expect = pcm.map(v => (v + 32768).toDouble / 65535).sum / 64
+    assert(math.abs(aj.meanLevel - expect) < 1e-12, aj)
+    // garbage and truncated payloads -> None, not a crash
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE but short".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
+  test("audio decode dataset: WAV real, non-WAV falls to the stub") {
+    val wav = wavBytes(1, 8000, 8, Array.fill(10)(128))
+    val rows = Seq(
+      MediaRow(1L, wav, "audio", "wav"),
+      MediaRow(2L, Array.tabulate[Byte](100)(_.toByte), "audio", "mp3"),
+    ).toDS()
+    val out = Multimodal.decodeAudio(rows).collect().sortBy(_.doc_id)
+    assert(out(0).sample_rate == 8000 && out(0).n_samples == 10)
+    assert(math.abs(out(0).mean_level - 128.0 / 255) < 1e-12)
+    assert(out(1).n_samples == 100) // stub contract: byte length
+  }
+
+  test("AVI metadata extracts for real from the avih header") {
+    // minimal RIFF/AVI with a LIST hdrl containing avih
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    out.write("RIFF".getBytes); w32(4 + 8 + 4 + 8 + 56); out.write("AVI ".getBytes)
+    out.write("LIST".getBytes); w32(4 + 8 + 56); out.write("hdrl".getBytes)
+    out.write("avih".getBytes); w32(56)
+    w32(33367) // usPerFrame ~= 29.97 fps
+    w32(0); w32(0); w32(0)
+    w32(901)   // totalFrames
+    w32(0); w32(0); w32(0)
+    w32(640); w32(480) // width, height
+    (0 until 4).foreach(_ => w32(0))
+    val m = Multimodal.aviMeta(out.toByteArray).get
+    assert(m == ((640, 480, 901L, 1e6 / 33367)), m)
+    assert(Multimodal.aviMeta("RIFF1234WAVEnot avi".getBytes).isEmpty)
+    val vids = Multimodal.videoMeta(Seq(
+      MediaRow(1L, out.toByteArray, "video", "avi")).toDS()).collect()(0)
+    assert(vids.width == 640 && vids.total_frames == 901L)
+  }
+
   test("frame sampling: every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media.filter(_.doc_id == 2L),
       stride = 2, frameBytes = 256).collect()
