@@ -168,6 +168,32 @@ object SparkEntry {
       fs.delete(staged); fs.delete(ckpt)
     }
 
+  /** Streaming-dedup fixture: the events table DOUBLED across separate
+    * staged files (so duplicates cross micro-batch boundaries), run
+    * through [[graft.streaming.EventStreams.dedupStream]] state into
+    * the array sink. The resulting array must equal DISTINCT(source). */
+  private def dedupedEvents(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "deduped_events") { tmp =>
+      val src = events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ArrayTable.create(s, tmp,
+        graft.core.ArraySchema.infer(src.drop("ts").schema, Seq("event_id"))
+          .copy(allowsDuplicates = true))
+      val fs = graft.storage.VFS(s)
+      val staged = tmp + ".src"
+      val ckpt = tmp + ".ckpt"
+      src.repartition(2).write.mode("overwrite").parquet(staged)
+      src.repartition(3).write.mode("append").parquet(staged)
+      val deduped = graft.streaming.EventStreams.dedupStream(
+        s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "2").parquet(staged),
+        keyCols = Seq("event_id"), watermark = "1 hour")
+        .drop("ts") // array carries the dedup payload, not event time
+      val q = graft.streaming.EventStreams.writeArrayStream(deduped, tmp, ckpt)
+      try q.processAllAvailable() finally q.stop()
+      fs.delete(staged); fs.delete(ckpt)
+    }
+
   /** customer array with an ORDERED balance-class enumeration whose
     * index order (LOW < MID < HIGH) differs from lexicographic order —
     * the fixture for index-ordered QueryCondition comparisons
@@ -383,6 +409,11 @@ object SparkEntry {
     "upgraded_read" -> ((s, d) => ArrayTable.read(s, upgradedRegion(s, d))),
     // streaming ingest end-to-end: micro-batches -> MVCC fragments -> read
     "stream_ingest_read" -> ((s, d) => ArrayTable.read(s, streamedEvents(s, d))),
+    // streaming dedup end-to-end: a DOUBLED event stream (every event
+    // in two different micro-batches) passes through
+    // dropDuplicatesWithinWatermark state into the array sink; the
+    // read-back must hash-match plain DISTINCT over the source
+    "stream_dedup_read" -> ((s, d) => ArrayTable.read(s, dedupedEvents(s, d))),
     // categorical->enum inference round-trip: codes on disk, decoded
     // values on read must hash-match the plain source table
     "enum_infer_roundtrip" -> ((s, d) => ArrayTable.read(s, enumCustomer(s, d))),
@@ -1061,6 +1092,8 @@ object SparkEntry {
       "FROM region"),
     "stream_ingest_read" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "stream_dedup_read" ->
+      "SELECT DISTINCT event_id, user_id, event_type, value FROM events",
     "enum_infer_roundtrip" -> "SELECT * FROM customer",
     "qc_enum_order" -> ("WITH lv AS (SELECT c_custkey, CASE WHEN c_acctbal < 0 " +
       "THEN 'LOW' WHEN c_acctbal < 5000 THEN 'MID' ELSE 'HIGH' END AS level " +

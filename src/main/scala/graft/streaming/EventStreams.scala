@@ -86,6 +86,24 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup with BOUNDED state: drop rows whose dedup
+    * key was already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — a plain streaming
+    * `dropDuplicates` keeps every key ever seen, which is unbounded
+    * state on an infinite stream. Keys are xxhash64 of the dedup
+    * columns, so state rows cost 8 bytes regardless of payload width
+    * (a 10 KB document and a 10-char id hash to the same state size);
+    * collisions are the usual ~n²/2⁶⁴. The watermark horizon IS the
+    * dedup contract at scale: duplicates farther apart in event time
+    * than the horizon both survive — batch backfill dedup (exact
+    * hash-groupBy) is the completion pass for those. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .withColumn("__key", xxhash64(keyCols.map(col): _*))
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double,

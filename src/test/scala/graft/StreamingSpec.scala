@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSpec {
     // every emitted (closed) window agrees exactly with batch
   }
 
+  test("streaming dedup: planted duplicates collapse across micro-batches") {
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = (raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case _ => raw
+    }).select("event_id", "ts", "user_id", "event_type", "value")
+    // double the stream: every event appears twice, in DIFFERENT files
+    // so duplicates cross micro-batch boundaries (state must carry)
+    val dir = TestSession.tmpDir("stream-dedup-src")
+    ev.repartition(2).write.mode("overwrite").parquet(dir)
+    ev.repartition(3).write.mode("append").parquet(dir)
+
+    val deduped = EventStreams.dedupStream(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir), // one file per batch
+      keyCols = Seq("event_id"), watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = spark.table("dedup_out")
+    assert(got.count() == ev.count(), "each planted duplicate must collapse to one")
+    assert(got.select("event_id").distinct().count() == ev.count())
+  }
+
   test("streaming array sink: batches land as MVCC fragments, replay is idempotent") {
     import graft.storage.ArrayTable
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
