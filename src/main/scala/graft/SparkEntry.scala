@@ -912,6 +912,22 @@ object SparkEntry {
         .withColumn("value", round(col("value"), 6))
     }),
 
+    // --- reproducible sampling + mixture weighting + profiling ---
+    // deterministic hash sampling: membership is a pure function of
+    // (salt, id) — partitioning/retry/cluster-size independent, and
+    // recomputable row-by-row by the DuckDB oracle
+    "det_sample" -> ((s, d) =>
+      Curation.deterministicSample(t(s, d, "documents"), "doc_id", 0.3)),
+    // per-source mixture re-weighting in one narrow pass
+    "mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
+        Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5), defaultFraction = 0.75)),
+    // one-pass long-form dataset profile (exact stats, oracle-checked)
+    "data_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(
+          t(s, d, "documents").select("doc_id", "text", "n_chars"))
+        .withColumn("value", round(col("value"), 6))),
+
     // --- as-of join: each click matched to the user's most recent
     //     prior purchase (union+window composition, one shuffle) ---
     "asof_join" -> ((s, d) => {
@@ -1214,6 +1230,56 @@ object SparkEntry {
       "CAST(3 AS INT) AS channels, " +
       "round(CAST(h * (w * (r0 + g0 + b0) + 3 * (w * (w - 1) // 2)) AS DOUBLE) " +
       "/ (w * h * 3), 6) AS mean_intensity FROM p"),
+    // identical md5-prefix membership arithmetic; floor() because
+    // DuckDB CAST(double AS BIGINT) rounds where Spark/Scala truncate
+    "det_sample" -> ("SELECT * FROM documents WHERE " +
+      "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
+      "AS BIGINT) < CAST(floor(0.3 * 16777216) AS BIGINT)"),
+    "mixture_sample" -> ("SELECT * FROM documents WHERE " +
+      "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
+      "AS BIGINT) < CAST(floor(16777216 * CASE source " +
+      "WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.25 WHEN 'src2' THEN 0.5 " +
+      "ELSE 0.75 END) AS BIGINT)"),
+    // long-form profile: DuckDB recomputes every stat exactly
+    // (quantile_cont matches Spark's interpolated exact percentile)
+    "data_profile" -> ("WITH s AS (SELECT " +
+      "CAST(count(doc_id) AS DOUBLE) AS doc_id__count, " +
+      "CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS doc_id__nulls, " +
+      "CAST(count(DISTINCT doc_id) AS DOUBLE) AS doc_id__distinct, " +
+      "CAST(min(doc_id) AS DOUBLE) AS doc_id__min, " +
+      "CAST(max(doc_id) AS DOUBLE) AS doc_id__max, " +
+      "avg(CAST(doc_id AS DOUBLE)) AS doc_id__mean, " +
+      "quantile_cont(CAST(doc_id AS DOUBLE), 0.25) AS doc_id__p25, " +
+      "quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS doc_id__p50, " +
+      "quantile_cont(CAST(doc_id AS DOUBLE), 0.75) AS doc_id__p75, " +
+      "CAST(count(text) AS DOUBLE) AS text__count, " +
+      "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS text__nulls, " +
+      "CAST(count(DISTINCT text) AS DOUBLE) AS text__distinct, " +
+      "CAST(min(length(text)) AS DOUBLE) AS text__min_len, " +
+      "CAST(max(length(text)) AS DOUBLE) AS text__max_len, " +
+      "avg(CAST(length(text) AS DOUBLE)) AS text__mean_len, " +
+      "CAST(count(n_chars) AS DOUBLE) AS n_chars__count, " +
+      "CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n_chars__nulls, " +
+      "CAST(count(DISTINCT n_chars) AS DOUBLE) AS n_chars__distinct, " +
+      "CAST(min(n_chars) AS DOUBLE) AS n_chars__min, " +
+      "CAST(max(n_chars) AS DOUBLE) AS n_chars__max, " +
+      "avg(CAST(n_chars AS DOUBLE)) AS n_chars__mean, " +
+      "quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS n_chars__p25, " +
+      "quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS n_chars__p50, " +
+      "quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS n_chars__p75 " +
+      "FROM documents) " +
+      "SELECT u.column AS \"column\", u.stat, round(u.value, 6) AS value FROM s, LATERAL (" +
+      "SELECT unnest(['doc_id','doc_id','doc_id','doc_id','doc_id','doc_id','doc_id','doc_id','doc_id'," +
+      "'text','text','text','text','text','text'," +
+      "'n_chars','n_chars','n_chars','n_chars','n_chars','n_chars','n_chars','n_chars','n_chars']) AS \"column\", " +
+      "unnest(['count','nulls','distinct','min','max','mean','p25','p50','p75'," +
+      "'count','nulls','distinct','min_len','max_len','mean_len'," +
+      "'count','nulls','distinct','min','max','mean','p25','p50','p75']) AS stat, " +
+      "unnest([doc_id__count, doc_id__nulls, doc_id__distinct, doc_id__min, doc_id__max, " +
+      "doc_id__mean, doc_id__p25, doc_id__p50, doc_id__p75, " +
+      "text__count, text__nulls, text__distinct, text__min_len, text__max_len, text__mean_len, " +
+      "n_chars__count, n_chars__nulls, n_chars__distinct, n_chars__min, n_chars__max, " +
+      "n_chars__mean, n_chars__p25, n_chars__p50, n_chars__p75]) AS value) u"),
     // closed-form PCM: mean over j of ((id*13 + j*7) % 256) / 255;
     // frames = n / channels, duration = frames * 1000 / rate
     "media_decode_wav" -> ("WITH p AS (SELECT doc_id, " +

@@ -97,4 +97,44 @@ object Curation {
       .groupBy(col(corpusId))
       .agg(count(lit(1)).as("shared_grams"))
   }
+
+  /** Deterministic REPRODUCIBLE sampling: keep a row iff the md5 of
+    * (salt || id) lands below `fraction` of the 24-bit prefix space.
+    * Unlike `df.sample`, the decision is a pure function of the id and
+    * salt — independent of partitioning, task retries, cluster size, or
+    * Spark version — which is what makes a 100 TB training-mixture
+    * reproducible (and auditable by ANY engine that has md5: the DuckDB
+    * oracle recomputes membership row by row). Per-row narrow
+    * predicate, zero shuffle, fully pushdown-friendly. */
+  def sampleHash(idCol: Column, fraction: Double, salt: String): Column = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction outside [0,1]")
+    // 24-bit space: exact integer threshold, no float rounding
+    // ambiguity; floor semantics match mixtureSample's CAST-to-long
+    val threshold = (fraction * (1 << 24)).toLong
+    conv(substring(md5(concat(lit(salt), idCol.cast("string")).cast("binary")), 1, 6),
+      16, 10).cast("long") < lit(threshold)
+  }
+
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = "graft"): DataFrame =
+    df.filter(sampleHash(col(idCol), fraction, salt))
+
+  /** Mixture sampling: per-source fractions in one pass — the
+    * "re-weight my training mixture" op (e.g. downsample web crawl to
+    * 30%, keep code at 100%). Sources absent from `fractions` keep
+    * `defaultFraction`. Same deterministic hash membership as
+    * [[deterministicSample]]; the per-source threshold is a broadcast
+    * CASE over a small literal map, so the corpus stays a narrow
+    * zero-shuffle scan. */
+  def mixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: String = "graft"): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (src, f)) =>
+      when(col(sourceCol) === src, lit(f)).otherwise(acc)
+    }
+    val threshold = (frac * lit((1 << 24).toDouble)).cast("long")
+    df.filter(conv(substring(
+        md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 6),
+      16, 10).cast("long") < threshold)
+  }
 }

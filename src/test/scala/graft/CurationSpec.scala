@@ -64,4 +64,41 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(hits2 == Map(1L -> 3L, 5L -> 3L))
   }
+
+  test("deterministicSample: reproducible, partitioning-independent, ~fraction") {
+    val df = (1L to 10000L).toDF("id")
+    val a = Curation.deterministicSample(df, "id", 0.3).select("id")
+      .as[Long].collect().toSet
+    // same ids regardless of partitioning or repeated evaluation
+    val b = Curation.deterministicSample(df.repartition(13), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 10000.0 - 0.3) < 0.02, s"got ${a.size}")
+    // monotone in fraction: a smaller sample is a subset of a larger one
+    val small = Curation.deterministicSample(df, "id", 0.1).select("id")
+      .as[Long].collect().toSet
+    assert(small.subsetOf(a))
+    // different salt -> a different (roughly independent) sample
+    val other = Curation.deterministicSample(df, "id", 0.3, salt = "other")
+      .select("id").as[Long].collect().toSet
+    assert(other != a)
+    // fraction bounds
+    assert(Curation.deterministicSample(df, "id", 0.0).count() == 0)
+    assert(Curation.deterministicSample(df, "id", 1.0).count() == 10000)
+  }
+
+  test("mixtureSample: per-source fractions, default for the rest") {
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val out = Curation.mixtureSample(df, "source", "id",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultFraction = 0.5)
+    val bySrc = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src0"))
+    assert(bySrc("src1") == 1000L)
+    assert(math.abs(bySrc("src2") / 1000.0 - 0.5) < 0.06, bySrc)
+    // per-id membership at fraction f agrees with deterministicSample(f)
+    val det = Curation.deterministicSample(df.filter($"source" === "src2"), "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    val mix = out.filter($"source" === "src2").select("id").as[Long].collect().toSet
+    assert(mix == det)
+  }
 }
