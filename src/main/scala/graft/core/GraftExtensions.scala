@@ -42,6 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // cached graft reads keep matching in the CacheManager.
     ext.injectOptimizerRule(session =>
       graft.plans.ResolutionReadInline(session))
+    // catalog-loaded graft tables have no V1 fallback, and the V2 scan
+    // pushdown batch would consult the scan builder before any
+    // optimizer rule — resolution-needing catalog reads inline during
+    // analysis instead
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.CatalogResolutionInline(session))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

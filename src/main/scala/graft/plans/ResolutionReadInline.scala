@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import graft.sources.GraftRelation
+import graft.sources.{GraftRelation, GraftTable}
 import graft.storage.ArrayTable
 
 /** Inlines MVCC-resolution reads of the `graft` source into the query
@@ -60,37 +60,89 @@ case class ResolutionReadInline(spark: SparkSession) extends Rule[LogicalPlan]
 
   /** The resolution read as an optimized logical plan, with the
     * relation's attribute ids on top; None -> keep the V1 relation. */
-  private def inlined(l: LogicalRelation, conjuncts: Seq[Expression]): Option[LogicalPlan] =
+  private def inlined(l: LogicalRelation, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    val r = l.relation.asInstanceOf[GraftRelation]
+    val at = (r.t0, r.t1) match {
+      case (None, None) => None
+      case (a, b) => Some((a.getOrElse(0L), b.getOrElse(Long.MaxValue)))
+    }
+    ResolutionReadInline.inlinePlan(spark, r.uri, at, l.output, conjuncts,
+      conf.sessionLocalTimeZone)
+  }
+}
+
+/** Analysis-time resolution inlining for CATALOG-loaded graft tables
+  * ([[graft.sources.GraftCatalog]]). Catalog tables have no V1
+  * relation to fall back to, and `V2ScanRelationPushDown` (an EARLY
+  * optimizer batch) consults the scan builder before any injected
+  * optimizer rule could fire — so resolution-needing catalog reads
+  * must be rewritten during analysis. SQL statements analyze as one
+  * tree, so the `WHERE` clause's dim bounds sit right above the
+  * relation (under its `SubqueryAlias`) and still drive fragment MBR
+  * file pruning; DataFrame-incremental use (`spark.table(...)` then
+  * `.filter`) inlines bare, keeping row-level pushdown but not
+  * file-level pruning — the documented trade of analysis-time hooks.
+  * Write targets are untouched: `V2WriteCommand.table` is not among a
+  * command's children, so the transform never reaches it. */
+case class CatalogResolutionInline(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def graftRes(r: DataSourceV2Relation): Option[GraftTable] =
+    r.table match {
+      case t: GraftTable if t.needsResolution => Some(t)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, a @ SubqueryAlias(_, r: DataSourceV2Relation))
+        if graftRes(r).isDefined =>
+      inlined(graftRes(r).get, a.output, splitConjunctivePredicates(cond))
+        .map(Filter(cond, _)).getOrElse(f)
+    case f @ Filter(cond, r: DataSourceV2Relation) if graftRes(r).isDefined =>
+      inlined(graftRes(r).get, r.output, splitConjunctivePredicates(cond))
+        .map(Filter(cond, _)).getOrElse(f)
+    case a @ SubqueryAlias(_, r: DataSourceV2Relation) if graftRes(r).isDefined =>
+      inlined(graftRes(r).get, a.output, Nil).getOrElse(a)
+    case r: DataSourceV2Relation if graftRes(r).isDefined =>
+      inlined(graftRes(r).get, r.output, Nil).getOrElse(r)
+  }
+
+  private def inlined(t: GraftTable, output: Seq[Attribute],
+      conjuncts: Seq[Expression]): Option[LogicalPlan] =
+    ResolutionReadInline.inlinePlan(spark, t.uri, t.at, output, conjuncts,
+      conf.sessionLocalTimeZone)
+}
+
+object ResolutionReadInline {
+
+  /** The shared inline: resolution read -> independently optimized
+    * logical plan (subquery aliases eliminated, its own range
+    * predicates pushed into the parquet leaves), aliased back to the
+    * caller's attribute ids so every reference above still resolves.
+    * None -> leave the original relation in place. */
+  private[plans] def inlinePlan(spark: SparkSession, uri: String,
+      at: Option[(Long, Long)], output: Seq[Attribute],
+      conjuncts: Seq[Expression], tz: String): Option[LogicalPlan] =
     try {
-      val r = l.relation.asInstanceOf[GraftRelation]
-      val at = (r.t0, r.t1) match {
-        case (None, None) => None
-        case (a, b) => Some((a.getOrElse(0L), b.getOrElse(Long.MaxValue)))
-      }
-      val dims = ArrayTable.schemaOf(spark, r.uri).dimNames.toSet
-      val bounds = ResolutionReadInline.boundsOf(conjuncts, dims)
-      // independently optimized: subquery aliases eliminated, its own
-      // range predicates pushed into the parquet leaves
-      val resolved = ArrayTable.read(spark, r.uri, at = at, ranges = bounds)
+      val dims = ArrayTable.schemaOf(spark, uri).dimNames.toSet
+      val bounds = boundsOf(conjuncts, dims)
+      val resolved = ArrayTable.read(spark, uri, at = at, ranges = bounds)
         .queryExecution.optimizedPlan
       val byName = resolved.output.map(a => a.name -> a).toMap
-      if (!l.output.forall(a => byName.contains(a.name))) None
+      if (!output.forall(a => byName.contains(a.name))) None
       else {
-        // keep the original attribute ids (and declared types) so every
-        // reference above the relation still resolves
-        val aliases = l.output.map { a =>
+        val aliases = output.map { a =>
           val child = byName(a.name)
           val typed =
             if (child.dataType == a.dataType) child
-            else Cast(child, a.dataType, Some(conf.sessionLocalTimeZone))
+            else Cast(child, a.dataType, Some(tz))
           Alias(typed, a.name)(exprId = a.exprId)
         }
         Some(Project(aliases, resolved))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
-}
-
-object ResolutionReadInline {
 
   /** Per-dim inclusive bounds from the pushed-down conjuncts, for
     * fragment MBR (file-level) pruning. Conservative: only

@@ -1,0 +1,176 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.storage.{ArrayTable, VFS}
+
+/** A DSv2 `TableCatalog` over a directory tree of array-tables, so
+  * SQL-first users address arrays without a single line of Scala:
+  *
+  * {{{
+  *   SET spark.sql.catalog.graft=graft.sources.GraftCatalog
+  *   SET spark.sql.catalog.graft.root=/data/arrays
+  *
+  *   CREATE TABLE graft.ml.docs (doc_id BIGINT, text STRING)
+  *     TBLPROPERTIES ('dims'='doc_id')
+  *   INSERT INTO graft.ml.docs SELECT ...       -- one MVCC fragment
+  *   SELECT * FROM graft.ml.docs WHERE doc_id < 100
+  *   SELECT * FROM graft.ml.docs VERSION AS OF '1500'   -- time travel
+  *   DROP TABLE graft.ml.docs
+  * }}}
+  *
+  * Namespaces are directories under `root`; a table is a directory
+  * holding an array schema. Reads resolve through the same two paths
+  * as `format("graft")`: metadata-clean arrays plan as a columnar
+  * parquet `BatchScan`; arrays needing MVCC resolution are inlined by
+  * [[graft.plans.CatalogResolutionInline]] (requires
+  * [[graft.core.GraftExtensions]] — set by `GraftSession`; without it,
+  * resolution-needing tables fail loudly rather than serve rows that
+  * skip shadowing/tombstones). Writes ride the `V1Write` bridge into
+  * the fragment write path — `INSERT INTO` appends one immutable
+  * fragment, `INSERT OVERWRITE` trashes existing fragments first, and
+  * both keep full MVCC semantics (time travel sees pre-insert states).
+  *
+  * `VERSION AS OF '<ts>'` maps to the array's open-timestamp upper
+  * bound (the native currency of fragment timestamps);
+  * `TIMESTAMP AS OF` arrives as epoch-microseconds and maps onto the
+  * same bound for arrays whose writers used epoch-micro timestamps.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: VFS = VFS(spark)
+  private def pathOf(ns: Seq[String], name: String): String =
+    (root +: ns :+ name).mkString("/")
+  /** Spark hands `ALTER TABLE .. RENAME TO` targets with the catalog
+    * name still in the namespace — strip it before mapping to a path. */
+  private def pathOf(ident: Identifier): String = {
+    val ns = ident.namespace.toSeq match {
+      case head +: rest if head == catName => rest
+      case other => other
+    }
+    pathOf(ns, ident.name)
+  }
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs option spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catName
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (root +: namespace.toSeq).mkString("/")
+    if (!fs.isDir(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.ls(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(n => ArrayTable.exists(spark, (dir + "/" + n)))
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ArrayTable.exists(spark, pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (!ArrayTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    GraftTable(spark, p, None, None, viaCatalog = true)
+  }
+
+  /** SQL `VERSION AS OF '<ts>'`: the version string is the
+    * open-timestamp upper bound. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    if (!ArrayTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    GraftTable(spark, p, None, Some(version.toLong), viaCatalog = true)
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>`: Spark hands epoch-microseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    if (!ArrayTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    GraftTable(spark, p, None, Some(timestamp), viaCatalog = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val p = pathOf(ident)
+    if (ArrayTable.exists(spark, p)) throw new TableAlreadyExistsException(ident)
+    val dims = Option(properties.get("dims")).map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft table needs TBLPROPERTIES('dims'='d1,d2,...')"))
+    val dups = Option(properties.get("allowsDuplicates")).exists(_.toBoolean)
+    ArrayTable.create(spark, p,
+      graft.core.ArraySchema.infer(schema, dims).copy(allowsDuplicates = dups))
+    GraftTable(spark, p, None, None, viaCatalog = true)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft schema evolution runs through the ArrayTable API (addAttr/dropAttr/...)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = pathOf(ident)
+    val existed = ArrayTable.exists(spark, p)
+    if (existed) ArrayTable.deleteArray(spark, p)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = pathOf(oldIdent)
+    if (!ArrayTable.exists(spark, from)) throw new NoSuchTableException(oldIdent)
+    val to = pathOf(newIdent)
+    if (ArrayTable.exists(spark, to)) throw new TableAlreadyExistsException(newIdent)
+    fs.rename(from, to)
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.isDir(root)) Array.empty
+    else fs.ls(root).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(n => !ArrayTable.exists(spark, root + "/" + n))
+      .map(n => Array(n)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.isDir((root +: namespace.toSeq).mkString("/"))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs((root +: namespace.toSeq).mkString("/"))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = (root +: namespace.toSeq).mkString("/")
+    if (!fs.isDir(dir)) false
+    else if (!cascade && fs.ls(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    else fs.delete(dir)
+  }
+}

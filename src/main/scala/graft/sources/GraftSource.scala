@@ -187,13 +187,24 @@ object GraftRelation {
   }
 }
 
-/** V2 table: advertises BATCH_READ only when the metadata proves a bare
-  * parquet scan is sufficient; otherwise Spark's loader sees no read
-  * capability and falls back to the V1 relation on the same class. */
+/** V2 table. Path-based loads (`format("graft")`) advertise BATCH_READ
+  * only when the metadata proves a bare parquet scan is sufficient;
+  * otherwise Spark's loader sees no read capability and falls back to
+  * the V1 relation on the same class.
+  *
+  * Catalog-loaded tables (`viaCatalog`, from [[GraftCatalog]]) have no
+  * V1 fallback to fall to, so they always advertise BATCH_READ plus
+  * the V1 write bridge: resolution-needing reads are rewritten by
+  * [[graft.plans.CatalogResolutionInline]] during analysis (before the
+  * scan builder is ever consulted); if that rule is absent — a session
+  * without GraftExtensions — the scan builder fails LOUDLY below
+  * rather than serving rows that skip shadowing/tombstones. */
 case class GraftTable(spark: SparkSession, uri: String,
-    t0: Option[Long], t1: Option[Long]) extends Table with SupportsRead {
+    t0: Option[Long], t1: Option[Long], viaCatalog: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
-  private def at: Option[(Long, Long)] = (t0, t1) match {
+  private[graft] def at: Option[(Long, Long)] = (t0, t1) match {
     case (None, None) => None
     case (a, b) => Some((a.getOrElse(0L), b.getOrElse(Long.MaxValue)))
   }
@@ -205,17 +216,60 @@ case class GraftTable(spark: SparkSession, uri: String,
     if (arraySchema.isEmpty) None
     else ArrayTable.fastPathFragments(spark, uri, at)
 
+  /** True when a bare parquet scan would be WRONG (shadowing,
+    * tombstones, version drift, enum decode). */
+  private[graft] def needsResolution: Boolean =
+    arraySchema.isDefined && fastFrags.isEmpty
+
   override def name(): String = s"graft:$uri"
 
   override def schema(): StructType =
     arraySchema.map(_.sparkSchema).getOrElse(new StructType())
 
   override def capabilities(): java.util.Set[TableCapability] =
-    if (fastFrags.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (viaCatalog)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else if (fastFrags.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.Collections.emptySet()
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (needsResolution)
+      sys.error(s"graft array at $uri needs MVCC resolution (shadowing/" +
+        "tombstones/schema drift/enums); catalog reads of such arrays require " +
+        "spark.sql.extensions=graft.core.GraftExtensions (set by GraftSession), " +
+        "which inlines the resolution plan during analysis")
     new GraftScanBuilder(spark, uri, arraySchema.get, fastFrags.get, options)
+  }
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` through the V1 bridge into the
+    * fragment write path: append = one immutable MVCC fragment;
+    * overwrite = trash existing fragments first (the schema object —
+    * enums, fills, duplicates flag — survives, unlike drop+recreate).
+    * The InsertableRelation's own overwrite flag duplicates what the
+    * builder already told us; the builder is authoritative. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            (data: DataFrame, _: Boolean) => {
+              if (overwrite) {
+                val frags = ArrayTable.fragments(spark, uri)
+                if (frags.nonEmpty)
+                  ArrayTable.deleteFragments(spark, uri,
+                    frags.map(_.ts).min, frags.map(_.ts).max)
+              }
+              ArrayTable.write(spark, data, uri)
+            }
+        }
+    }
 }
 
 /** Delegating scan builder: fragment MBR pruning from the pushed

@@ -1,0 +1,90 @@
+package graft
+
+import graft.storage.ArrayTable
+import org.apache.spark.sql.functions._
+
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val root = {
+    val dir = TestSession.tmpDir("catalog-root")
+    spark.conf.set("spark.sql.catalog.g", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g.root", dir)
+    new java.io.File(dir).mkdirs()
+    dir
+  }
+
+  test("SQL DDL + INSERT + SELECT round-trip through the catalog") {
+    root
+    spark.sql("CREATE NAMESPACE g.ml")
+    spark.sql("CREATE TABLE g.ml.points (x BIGINT, y BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('dims'='x,y')")
+    assert(spark.sql("SHOW TABLES IN g.ml").collect().map(_.getString(1)).toSeq == Seq("points"))
+    spark.sql("INSERT INTO g.ml.points VALUES (1, 1, 1.5), (2, 1, 2.5), (3, 2, 3.5)")
+    assert(spark.sql("SELECT sum(v) FROM g.ml.points").as[Double].collect()(0) == 7.5)
+    // each INSERT is one MVCC fragment
+    spark.sql("INSERT INTO g.ml.points VALUES (4, 2, 4.5)")
+    assert(ArrayTable.fragments(spark, s"$root/ml/points").size == 2)
+    assert(spark.sql("SELECT count(*) FROM g.ml.points WHERE x <= 2").as[Long].collect()(0) == 2)
+    // INSERT OVERWRITE replaces the data but keeps the table
+    spark.sql("INSERT OVERWRITE g.ml.points VALUES (9, 9, 9.0)")
+    assert(spark.sql("SELECT v FROM g.ml.points").as[Double].collect().toSeq == Seq(9.0))
+  }
+
+  test("resolution-needing arrays read correctly through the catalog") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.res")
+    val uri = s"$root/res/arr"
+    val sample = (1L to 100L).map(i => (i, (i % 4).toInt, i * 1.5)).toDF("x", "y", "v")
+    ArrayTable.ingest(spark, sample, uri, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.limit(5).withColumn("v", lit(0.0)), uri, Some(200L))
+    ArrayTable.delete(spark, uri, "y == 1", Some(300L))
+    // shadowing + tombstone: the analysis-time inline must serve this
+    val got = spark.sql("SELECT x, v FROM g.res.arr WHERE x <= 10 ORDER BY x")
+      .as[(Long, Double)].collect()
+    val expect = (1L to 10L).filter(_ % 4 != 1)
+      .map(x => (x, if (x <= 5) 0.0 else x * 1.5))
+    assert(got.toSeq == expect)
+    // the plan is columnar — no V1 row scan exists on the catalog path
+    val plan = spark.sql("SELECT x, v FROM g.res.arr WHERE x <= 10")
+      .queryExecution.executedPlan
+    val opaque = plan.collect {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(opaque.isEmpty, s"catalog resolution read must stay columnar:\n$plan")
+  }
+
+  test("SQL time travel via VERSION AS OF") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.tt")
+    val uri = s"$root/tt/arr"
+    val df = (1L to 50L).map(i => (i, i * 1.0)).toDF("x", "v")
+    ArrayTable.ingest(spark, df, uri, Seq("x"), tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, (51L to 80L).map(i => (i, i * 1.0)).toDF("x", "v"), uri, Some(200L))
+    assert(spark.sql("SELECT count(*) FROM g.tt.arr").as[Long].collect()(0) == 80)
+    assert(spark.sql("SELECT count(*) FROM g.tt.arr VERSION AS OF '150'")
+      .as[Long].collect()(0) == 50)
+  }
+
+  test("rename, drop, and namespace listing") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.adm")
+    spark.sql("CREATE TABLE g.adm.a (k BIGINT, v DOUBLE) TBLPROPERTIES ('dims'='k')")
+    spark.sql("INSERT INTO g.adm.a VALUES (1, 1.0)")
+    spark.sql("ALTER TABLE g.adm.a RENAME TO g.adm.b")
+    assert(spark.sql("SELECT count(*) FROM g.adm.b").as[Long].collect()(0) == 1)
+    spark.sql("DROP TABLE g.adm.b")
+    assert(spark.sql("SHOW TABLES IN g.adm").count() == 0)
+    assert(spark.sql("SHOW NAMESPACES IN g").collect()
+      .map(_.getString(0)).toSet.contains("adm"))
+  }
+
+  test("catalog errors: missing table, missing dims property") {
+    root
+    assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
+    assertThrows[Exception] {
+      spark.sql("CREATE TABLE g.ml.nodims (x BIGINT) ").collect()
+    }
+  }
+}
