@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.storage.VFS
+
+/** Persisted MinHash-LSH dedup index for INCREMENTAL near-duplicate
+  * detection: build the banded index over the corpus ONCE, then probe
+  * each arriving batch against it without touching the corpus again.
+  *
+  * At 100 TB, re-running LSH over corpus ∪ batch per ingest batch is
+  * the difference between a pipeline and a science project: the corpus
+  * pass alone dominates every batch. This index makes the steady-state
+  * cost proportional to the BATCH, not the corpus:
+  *
+  *  - layout: parquet rows (band, bucket, id, sig), range-partitioned
+  *    and sorted by (band, bucket) so every file covers a narrow bucket
+  *    range and parquet footer min/max stats prune files and row groups
+  *    by bucket value;
+  *  - probe: the batch's bucket hashes are collected (bounded: bands ×
+  *    batch rows, capped by `maxProbeKeys`) and pushed into the index
+  *    scan as an `isin` filter — the scan reads only row groups whose
+  *    [min,max] intersect a probed bucket. The subsequent exact match
+  *    is a broadcast-hash join with the BATCH side broadcast: the index
+  *    never shuffles, never sorts, is never collected;
+  *  - decision: signature-estimated Jaccard (`LaneMatches/numHashes`)
+  *    against the stored 64-lane signatures — no corpus text access.
+  *    Pass `verifyWith` (id → text over the corpus) to add the exact
+  *    hashed-shingle verification for est-borderline pairs, same
+  *    two-stage shape as [[Dedup.minhashNearDups]];
+  *  - maintenance: `append` adds new docs' banded rows as additional
+  *    sorted files (cheap, batch-sized); bucket-range overlap between
+  *    appended files and the base degrades pruning slowly — `build`
+  *    again to re-cluster (the analogue of consolidation).
+  *
+  * Banding math is identical to the batch path
+  * ([[Dedup.lshCandidates]]), so index probes find exactly the pairs
+  * the one-shot run would. Reference semantics anchor: near-dup LSH
+  * banding as in the batch dedup surface; the persisted form is our
+  * scale extension (no reference counterpart).
+  */
+object DedupIndex {
+
+  /** Index parameters, persisted as `_params.json` and re-checked on
+    * probe so an index built with one (k, numHashes, bands) is never
+    * silently probed with another. `maxBucket` mirrors
+    * [[Dedup.bucketedPairs]]: buckets larger than it are dropped AT
+    * BUILD TIME, so a degenerate bucket (a million boilerplate
+    * near-copies that exact dedup should have removed first) can never
+    * make a probe quadratic — and probe results match what the
+    * one-shot batch path would emit under the same cap. */
+  case class Params(k: Int, numHashes: Int, bands: Int, maxBucket: Int)
+
+  private def paramsPath(uri: String) = s"$uri/_params.json"
+  private def dataPath(uri: String) = s"$uri/data"
+
+  private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
+    import graft.core.Json._
+    VFS(spark).writeString(paramsPath(uri), render(JObj(Seq(
+      "k" -> JLong(p.k), "numHashes" -> JLong(p.numHashes),
+      "bands" -> JLong(p.bands), "maxBucket" -> JLong(p.maxBucket)))))
+  }
+
+  def readParams(spark: SparkSession, uri: String): Params = {
+    import graft.core.Json._
+    val o = parse(VFS(spark).readString(paramsPath(uri))).obj
+    def i(k: String) = o(k).getOrElse(sys.error(s"index params missing $k")).long.toInt
+    Params(i("k"), i("numHashes"), i("bands"), i("maxBucket"))
+  }
+
+  private def normHashes(c: Column, k: Int) = graft.functions.ShingleHashes(
+    lower(regexp_replace(trim(c), "\\s+", " ")), k)
+
+  /** (id, sig, band, bucket) rows for `df` under `p` — the banding is
+    * bit-identical to [[Dedup.lshCandidates]] (band-seeded xxhash64 of
+    * the signature slice). */
+  private def bandedRows(df: DataFrame, idCol: String, textCol: String,
+      p: Params): DataFrame = {
+    val rowsPerBand = p.numHashes / p.bands
+    df.select(col(idCol).as("id"),
+        Dedup.minhashSignatureFromHashes(
+          normHashes(col(textCol), p.k), p.numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
+  /** Build (or rebuild) the index at `uri` from the corpus. One corpus
+    * pass; the written files are range-partitioned and sorted on
+    * (band, bucket) so probe-time bucket predicates prune by footer
+    * stats. `filesPerBand` sizes the range partitioning: total output
+    * files ≈ bands × filesPerBand, each covering ~1/filesPerBand of one
+    * band's bucket space. */
+  def build(df: DataFrame, idCol: String, textCol: String, uri: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = 64, filesPerBand: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val p = Params(k, numHashes, bands, maxBucket)
+    val fs = VFS(spark)
+    fs.delete(uri)
+    writeCapped(bandedRows(df, idCol, textCol, p), uri, p, filesPerBand, "overwrite")
+    writeParams(spark, uri, p)
+  }
+
+  /** Drop over-cap (band, bucket) groups, then write range-partitioned
+    * and bucket-sorted. The group-size pass aggregates 12-byte keys
+    * (partial map-side combine), so the extra shuffle ships far less
+    * than the banded rows themselves. */
+  private def writeCapped(banded: DataFrame, uri: String, p: Params,
+      filesPerBand: Int, mode: String): Unit = {
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > p.maxBucket)
+      .select("band", "bucket")
+    banded.join(sizes, Seq("band", "bucket"), "left_anti")
+      .repartitionByRange(math.max(1, p.bands * filesPerBand),
+        col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode(mode).parquet(dataPath(uri))
+  }
+
+  /** Incrementally add `df`'s docs to the index: batch-sized work, no
+    * corpus re-read. New files cover the batch's own bucket ranges;
+    * probes keep pruning per-file, so steady-state probe cost grows
+    * with index FILE COUNT over the probed ranges, not corpus size.
+    * Rebuild (`build`) to re-cluster after many appends. */
+  def append(df: DataFrame, idCol: String, textCol: String, uri: String,
+      filesPerBand: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val p = readParams(spark, uri)
+    // the cap is enforced within the appended batch only; groups that
+    // exceed maxBucket across base+appends are re-capped on rebuild
+    writeCapped(bandedRows(df, idCol, textCol, p), uri, p, filesPerBand, "append")
+  }
+
+  /** Probe: near-duplicate matches of `batch` docs against the indexed
+    * corpus. Returns (id, match_id, est [, jaccard]) — one row per
+    * (batch doc, matched corpus doc) with estimate ≥ `threshold`
+    * (exact-verified ≥ threshold when `verifyWith` is given).
+    *
+    * The batch's distinct bucket values are collected to the driver
+    * (≤ bands × batch rows longs) and pushed into the index scan as an
+    * `isin` predicate — file/row-group pruning by footer stats. Above
+    * `maxProbeKeys` buckets the pushdown is skipped (the predicate
+    * itself would be bigger than the saved IO) and the probe degrades
+    * to a full index scan + shuffle-free broadcast join, still one
+    * corpus-index pass, never a corpus-text pass. */
+  def probe(batch: DataFrame, idCol: String, textCol: String, uri: String,
+      threshold: Double = 0.7, maxProbeKeys: Int = 1 << 20,
+      verifyWith: Option[DataFrame] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, uri)
+    val banded = bandedRows(batch, idCol, textCol, p).localCheckpoint(true)
+    val probeKeys = banded.select("bucket").distinct()
+      .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+    val index = spark.read.parquet(dataPath(uri))
+    val pruned =
+      if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
+      else index
+    // batch side broadcast: no exchange anywhere below the join — the
+    // index is scanned once, map-side. A pair can surface once per
+    // shared band, so a distinct is still needed, but the estimate
+    // filter runs FIRST (narrow per-row expression) and the signatures
+    // are dropped before it: the one shuffle carries only the
+    // estimate-surviving (id, match_id, est) rows, not sig payloads.
+    val est = graft.functions.LaneMatches(col("__qsig"), col("sig"))
+      .cast("double") / p.numHashes.toDouble
+    val estimates = pruned.join(
+        broadcast(banded.select(col("id").as("__qid"), col("sig").as("__qsig"),
+          col("band").as("band"), col("bucket").as("bucket"))),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("__qid"))
+      .withColumn("est", est)
+      .select(col("__qid"), col("id").as("__mid"), round(col("est"), 6).as("est"))
+    verifyWith match {
+      case None =>
+        estimates.filter(col("est") >= threshold).distinct()
+          .select(col("__qid").as("id"), col("__mid").as("match_id"), col("est"))
+      case Some(corpus) =>
+        // exact verify on hashed shingle sets: batch side recomputed
+        // (narrow), corpus side joined ONLY for estimate survivors —
+        // the survivor set is pair-scale, so AQE broadcasts it and the
+        // corpus text frame is filtered, not shuffled.
+        val survivors = estimates.filter(col("est") >= threshold - 0.15).distinct()
+        val qh = batch.select(col(idCol).as("__qid"),
+          normHashes(col(textCol), p.k).as("__qh"))
+        val mh = corpus.select(col(idCol).as("__mid"),
+          normHashes(col(textCol), p.k).as("__mh"))
+        survivors.join(qh, "__qid").join(mh, "__mid")
+          .withColumn("jaccard", Dedup.hashedJaccard(col("__qh"), col("__mh")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("__qid").as("id"), col("__mid").as("match_id"),
+            col("est"), round(col("jaccard"), 6).as("jaccard"))
+    }
+  }
+
+  /** The batch minus docs near-duplicating the indexed corpus — the
+    * steady-state ingest filter. Anti-join on the probe matches; batch
+    * side work only. */
+  def dropAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      uri: String, threshold: Double = 0.7): DataFrame = {
+    val dups = probe(batch, idCol, textCol, uri, threshold)
+      .select(col("id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import graft.ops.{Dedup, DedupIndex}
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text")
+
+  private lazy val indexUri = {
+    val uri = TestSession.tmpDir("minhash-index")
+    DedupIndex.build(corpus, "doc_id", "text", uri)
+    uri
+  }
+
+  // batch: 30 planted near-dups of corpus docs + 5 fresh docs with
+  // content no corpus doc resembles
+  private lazy val batch = {
+    val planted = corpus.orderBy("doc_id").limit(30)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" xyzzy")))
+    val fresh = (0 until 5).map(i => (2000000L + i,
+      s"completely unrelated fresh content block $i qwertyuiop asdfghjkl " +
+        s"zxcvbnm unique token salad ${i * 37}")).toDF("doc_id", "text")
+    planted.unionByName(fresh)
+  }
+
+  test("probe finds planted near-dups, leaves fresh docs unmatched") {
+    val matches = DedupIndex.probe(batch, "doc_id", "text", indexUri,
+      threshold = 0.6).collect()
+    val matchedIds = matches.map(_.getLong(0)).toSet
+    // every planted doc matches at least its own source doc
+    val planted = batch.filter(col("doc_id") < 2000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(planted.subsetOf(matchedIds),
+      s"missed planted dups: ${planted -- matchedIds}")
+    // planted docs match their exact source among the matches
+    val selfPairs = matches.filter(r => r.getLong(1) == r.getLong(0) - 1000000L)
+    assert(selfPairs.length == planted.size)
+    // fresh docs match nothing
+    assert(matches.forall(_.getLong(0) < 2000000L), "fresh doc matched corpus")
+  }
+
+  test("probe agrees with the one-shot batch path on the same corpus") {
+    // one-shot: union corpus+batch, near-dup pairs crossing the boundary
+    val all = corpus.unionByName(batch)
+    val oneShot = Dedup.minhashNearDups(all, "doc_id", "text", threshold = 0.6)
+      .filter((col("a") >= 1000000L) =!= (col("b") >= 1000000L))
+      .select(greatest(col("a"), col("b")).as("id"),
+        least(col("a"), col("b")).as("match_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaIndex = DedupIndex.probe(batch, "doc_id", "text", indexUri,
+        threshold = 0.6, verifyWith = Some(corpus))
+      .select("id", "match_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == oneShot,
+      s"index-probe vs one-shot mismatch: only-index=${viaIndex -- oneShot} " +
+        s"only-oneshot=${oneShot -- viaIndex}")
+  }
+
+  test("exact verification tightens estimate-only matches") {
+    val estOnly = DedupIndex.probe(batch, "doc_id", "text", indexUri, threshold = 0.6)
+    val verified = DedupIndex.probe(batch, "doc_id", "text", indexUri,
+      threshold = 0.6, verifyWith = Some(corpus))
+    assert(verified.columns.contains("jaccard"))
+    // verified matches are a subset of est-threshold candidates' keyspace
+    val v = verified.select("id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = estOnly.select("id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v.nonEmpty && e.nonEmpty)
+    // exact jaccard of planted " xyzzy" suffix edits stays >= 0.6, so
+    // the self pairs survive verification
+    assert(v.count { case (a, b) => b == a - 1000000L } == 30)
+  }
+
+  test("dropAgainstIndex removes dups, keeps fresh docs") {
+    val kept = DedupIndex.dropAgainstIndex(batch, "doc_id", "text", indexUri,
+      threshold = 0.6).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2000000L, 2000001L, 2000002L, 2000003L, 2000004L))
+  }
+
+  test("append extends the index incrementally") {
+    val uri = TestSession.tmpDir("minhash-index-app")
+    // index over the first half, append the second half
+    val half1 = corpus.filter(col("doc_id") % 2 === 0)
+    val half2 = corpus.filter(col("doc_id") % 2 === 1)
+    DedupIndex.build(half1, "doc_id", "text", uri)
+    DedupIndex.append(half2, "doc_id", "text", uri)
+    val m = DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
+      .filter(col("match_id") === col("id") - 1000000L)
+    assert(m.count() == 30, "appended-index probe must still find all planted dups")
+  }
+
+  test("probe plan: bucket isin pushed to the index scan, index never shuffles") {
+    val df = DedupIndex.probe(batch, "doc_id", "text", indexUri, threshold = 0.6)
+    val plan = Shim.plannedPhysical(df)
+    // the index parquet scan carries an In/InSet pushdown on bucket
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("minhash-index")) => s
+    }
+    assert(scans.nonEmpty, s"no index file scan found:\n$plan")
+    scans.foreach { s =>
+      val pushed = s.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("In(bucket") || pushed.contains("In(`bucket`"),
+        s"bucket probe not pushed: $pushed")
+    }
+    // the join broadcasts the batch side, and the index-scan side of
+    // the join reaches the scan with NO exchange in between (the index
+    // is consumed map-side, never shuffled or sorted)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no broadcast join in probe plan:\n$plan")
+    joins.foreach { j =>
+      val streamed = if (j.buildSide.toString.contains("Right")) j.left else j.right
+      val exch = streamed.collect { case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+      assert(exch.isEmpty, s"exchange between index scan and join:\n$plan")
+    }
+    // the one pair-distinct shuffle above the join ships narrow rows:
+    // no signature arrays ride it
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      val wide = e.output.filter(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType])
+      assert(wide.isEmpty, s"signature array rides the pair shuffle: ${e.output}")
+    }
+  }
+
+  test("degenerate buckets are dropped at build, probes stay bounded") {
+    val uri = TestSession.tmpDir("minhash-index-cap")
+    // 200 identical boilerplate docs (one dense bucket per band) + 10
+    // distinct docs
+    val boiler = (0 until 200).map(i => (i.toLong,
+      "exactly the same boilerplate text repeated in every copy of this notice"))
+    val real = (0 until 10).map(i => (1000L + i,
+      s"genuinely distinct document body number $i with its own words ${i * 31}"))
+    val corpus = (boiler ++ real).toDF("doc_id", "text")
+    DedupIndex.build(corpus, "doc_id", "text", uri, maxBucket = 64)
+    // probing with a copy of the boilerplate finds NOTHING (the dense
+    // bucket was dropped — same as Dedup.bucketedPairs semantics);
+    // probing with a near-copy of a distinct doc still matches it
+    val probeBatch = Seq(
+      (9001L, "exactly the same boilerplate text repeated in every copy of this notice"),
+      (9002L, "genuinely distinct document body number 3 with its own words 93 zz"))
+      .toDF("doc_id", "text")
+    val m = DedupIndex.probe(probeBatch, "doc_id", "text", uri, threshold = 0.5)
+      .collect()
+    assert(!m.exists(_.getLong(0) == 9001L), s"dense bucket leaked pairs: ${m.toSeq}")
+    assert(m.exists(r => r.getLong(0) == 9002L && r.getLong(1) == 1003L),
+      s"distinct doc not matched: ${m.toSeq}")
+  }
+
+  test("params mismatch is loud") {
+    assertThrows[Exception] {
+      DedupIndex.readParams(spark, TestSession.tmpDir("no-such-index"))
+    }
+  }
+}
