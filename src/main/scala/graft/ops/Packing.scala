@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing: bin documents into fixed token-budget training
+  * sequences (the "pack to 4096/8192 tokens" step every LLM pretraining
+  * pipeline runs between curation and tokenized-shard writing).
+  *
+  * Optimal bin packing is NP-hard and inherently sequential; at corpus
+  * scale nobody runs it globally. The scalable shape — and what this
+  * implements — is PARTITION-LOCAL best-fit-decreasing:
+  *
+  *  1. one narrow pass computes per-doc token counts;
+  *  2. docs hash-repartition by id (the only shuffle — uniform load,
+  *     no skew: placement needs no key locality);
+  *  3. each partition runs best-fit-decreasing over its docs into
+  *     bins of `budget` tokens — O(n log n) sort + O(log bins) TreeMap
+  *     fits, memory bounded by the partition's (id, count) pairs;
+  *  4. pack ids are made globally unique as
+  *     `partitionId << 40 | localBin` — no coordination, no second
+  *     shuffle, ids stable for a fixed partition count.
+  *
+  * BFD within each partition wastes at most one open bin per partition
+  * beyond the 11/9·OPT+6/9 bound, so total packs exceed the
+  * global lower bound `ceil(total_tokens/budget)` by a factor the
+  * `packing_gate` correctness entry pins. Oversized docs (count >
+  * budget) become singleton packs flagged `oversize` — callers chunk or
+  * drop them downstream; silently truncating text is not this
+  * operator's call.
+  *
+  * Output: one row per doc — (id, tokens, pack_id, pack_pos, oversize);
+  * `pack_pos` is the doc's position within its pack (BFD placement
+  * order), so `groupBy(pack_id).agg(collect_list(...) sorted by
+  * pack_pos)` reconstructs each training sequence deterministically.
+  */
+object Packing {
+
+  /** whitespace token counts by default — swap in any counter column
+    * (e.g. [[TextAnalysis.bpeTokenCount]]) via the `tokenCountOf`
+    * overload. */
+  def packDocs(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitions: Int = 0): DataFrame =
+    packByCount(df.withColumn("__tok", TextAnalysis.tokenCount(col(textCol))),
+      idCol, budget, partitions)
+
+  def packDocs(df: DataFrame, idCol: String, tokenCountOf: Column,
+      budget: Long, partitions: Int): DataFrame =
+    packByCount(df.withColumn("__tok", tokenCountOf), idCol, budget, partitions)
+
+  /** Core: BFD over (id, __tok) rows, partition-local. */
+  private def packByCount(withTok: DataFrame, idCol: String,
+      budget: Long, partitions: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = withTok.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val narrow = withTok.select(col(idCol), col("__tok"))
+      .filter(col("__tok") > 0)
+      .repartition(nPart, col(idCol))
+    val idField = narrow.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("tokens", LongType, nullable = false),
+      StructField("pack_id", LongType, nullable = false),
+      StructField("pack_pos", IntegerType, nullable = false),
+      StructField("oversize", BooleanType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    narrow.mapPartitions { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      // decreasing-size sort: BFD's approximation bound needs it. The
+      // partition's (id, tok) pairs are materialized — 16 bytes/doc,
+      // bounded by docs-per-partition, not text size.
+      val docs = rows.map(r => (r.get(0), r.getLong(1))).toArray
+        .sortBy { case (_, tok) => -tok }
+      // best fit via TreeMap headroom -> open bin ids: O(log bins) per
+      // doc (a linear first-fit scan is O(bins) per doc — quadratic
+      // corner at cluster-scale partitions)
+      val open = new java.util.TreeMap[Long, java.util.ArrayDeque[Integer]]()
+      val fill = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var nBins = 0
+      docs.iterator.map { case (id, tok) =>
+        if (tok > budget) {
+          // oversize: its own (closed) pack, flagged
+          val b = nBins; nBins += 1; fill += 1
+          org.apache.spark.sql.Row(id, tok, (pid << 40) | b.toLong, 0, true)
+        } else {
+          val e = open.ceilingEntry(tok)
+          val (b, prevRoom) =
+            if (e == null) { val nb = nBins; nBins += 1; fill += 0; (nb, budget) }
+            else {
+              val q = e.getValue
+              val nb = q.pollFirst().intValue()
+              if (q.isEmpty) open.remove(e.getKey)
+              (nb, e.getKey.longValue())
+            }
+          val room = prevRoom - tok
+          if (room > 0)
+            open.computeIfAbsent(room, _ => new java.util.ArrayDeque[Integer]())
+              .addLast(b)
+          val pos = fill(b); fill(b) = pos + 1
+          org.apache.spark.sql.Row(id, tok, (pid << 40) | b.toLong, pos, false)
+        }
+      }
+    }
+  }
+
+  /** Pack-level summary: (pack_id, docs, tokens, fill_ratio, oversize). */
+  def packStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy("pack_id").agg(
+      count(lit(1)).as("docs"),
+      sum(col("tokens")).as("tokens"),
+      max(col("oversize")).as("oversize"))
+      .withColumn("fill_ratio", round(col("tokens").cast("double") / budget, 6))
+}
