@@ -84,6 +84,23 @@ object SparkEntry {
     uri
   }
 
+  /** Build-once persisted MinHash-LSH dedup index over the documents
+    * table (marker: _params.json). */
+  private def minhashIndex(s: SparkSession, dir: String): String = synchronized {
+    val uri = s"$arrayBase/${sfKey(dir)}/minhash_index"
+    val fs = graft.storage.VFS(s)
+    // rebuild when absent OR when a stale fixture predates the current
+    // params format (readParams is strict by design)
+    val usable = fs.exists(s"$uri/_params.json") &&
+      scala.util.Try(graft.ops.DedupIndex.readParams(s, uri)).isSuccess
+    if (!usable) {
+      fs.delete(uri)
+      graft.ops.DedupIndex.build(t(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", uri)
+    }
+    uri
+  }
+
   private val shipCut = "1998-01-01 00:00:00"
 
   /** two-fragment lineitem array: ts=1000 (shipdate < 1995), ts=2000 (rest) */
@@ -128,6 +145,32 @@ object SparkEntry {
       ArrayTable.consolidate(s, tmp)
       ArrayTable.vacuum(s, tmp)
     }
+
+  /** SQL-catalog orders table: registers a [[graft.sources.GraftCatalog]]
+    * for this sf dir and builds `<cat>.sf.orders` once via pure SQL DDL +
+    * two INSERTs (two MVCC fragments; SQL time travel over them is
+    * covered by `GraftCatalogSpec`). Returns the catalog name. */
+  private def sqlCatalog(s: SparkSession, dir: String): String = synchronized {
+    val cat = "gsql_" + sfKey(dir).replace('.', '_')
+    val root = s"$arrayBase/${sfKey(dir)}/catalog_root"
+    // conf must be set before the catalog is first loaded; idempotent after
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    if (!ArrayTable.exists(s, s"$root/sf/orders")) {
+      graft.storage.VFS(s).mkdirs(root)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.sf")
+      s.sql(s"DROP TABLE IF EXISTS $cat.sf.orders")
+      s.sql(s"CREATE TABLE $cat.sf.orders (o_orderkey BIGINT, o_custkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+        "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
+      t(s, dir, "orders").createOrReplaceTempView("catalog_src_orders")
+      s.sql(s"INSERT INTO $cat.sf.orders SELECT * FROM catalog_src_orders " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.sf.orders SELECT * FROM catalog_src_orders " +
+        "WHERE o_orderkey % 2 = 1")
+    }
+    cat
+  }
 
   /** region array evolved with an added attribute (fill 42) */
   private def evolvedRegion(s: SparkSession, dir: String): String =
@@ -403,6 +446,14 @@ object SparkEntry {
       .option("t0", "0").option("t1", "1500")
       .load(ttLineitem(s, d))
       .filter(col("l_quantity") < 24.0)),
+    // SQL catalog end-to-end: CREATE TABLE + INSERT INTO (two MVCC
+    // fragments) + SELECT, all through SQL over the DSv2 TableCatalog;
+    // the WHERE hits the dim so fragment MBR pruning drives the scan
+    "catalog_sql" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.sf.orders " +
+        "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0")
+    }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
@@ -529,6 +580,41 @@ object SparkEntry {
       val edited = docs.withColumn("doc_id", col("doc_id") + DupOff)
         .withColumn("text", concat(col("text"), lit(" x")))
       Dedup.simhashNearDups(docs.unionByName(edited), "doc_id", "text", maxHamming = 3)
+    }),
+    // Incremental dedup against the PERSISTED MinHash-LSH index (the
+    // steady-state ingest path at corpus scale: probe cost ~ batch, the
+    // corpus is never re-LSH'd). Gate: (a) an exact-verified probe of
+    // planted near-dup edits + fresh docs finds every planted doc's
+    // source and matches no fresh doc; (b) the probe's cross-boundary
+    // pair set equals what the one-shot batch path (minhashNearDups on
+    // corpus ∪ batch) finds — index and batch paths agree exactly.
+    "minhash_index_gate" -> ((s, d) => {
+      val uri = minhashIndex(s, d)
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + DupOff)
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      val fresh = s.range(5).select((col("id") + 2L * DupOff).as("doc_id"),
+        concat(lit("totally fresh unseen content block qwertyuiop "),
+          col("id")).as("text"))
+      val batch = planted.unionByName(fresh)
+      val probed = graft.ops.DedupIndex.probe(batch, "doc_id", "text", uri,
+        threshold = 0.6, verifyWith = Some(docs)).localCheckpoint(true)
+      val nPlanted = planted.count()
+      val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
+      val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
+      val oneShot = Dedup.minhashNearDups(docs.unionByName(batch), "doc_id", "text",
+          threshold = 0.6)
+        .filter((col("a") >= DupOff) =!= (col("b") >= DupOff))
+        .select(greatest(col("a"), col("b")).as("id"),
+          least(col("a"), col("b")).as("match_id"))
+      val agree = probed.select("id", "match_id")
+        .unionByName(oneShot).distinct().count() == probed.count() &&
+        probed.count() == oneShot.count()
+      s.range(1).select(
+        lit(selfHits == nPlanted && nPlanted > 0).as("planted_found"),
+        lit(freshHits == 0L).as("fresh_clean"),
+        lit(agree).as("paths_agree"))
     }),
     // end-to-end drop pipeline gate (near-dup pairs -> connected
     // components -> min-id survivor per component): every planted copy
@@ -668,6 +754,36 @@ object SparkEntry {
     // --- text analysis (scale extensions) ---
     "text_tokens" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    // Sequence packing (partition-local best-fit-decreasing into
+    // 512-token training sequences). n_docs/total_tokens are recomputed
+    // independently by the DuckDB oracle — conservation through the
+    // packing shuffle is value-checked, not just asserted; the
+    // assignment-shape invariants (budget respected, oversize flagged
+    // and solitary, fill efficiency vs the global lower bound) are
+    // booleans the oracle pins true.
+    "packing_gate" -> ((s, d) => {
+      val budget = 512L
+      val packed = graft.ops.Packing.packDocs(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", budget)
+        .localCheckpoint(true)
+      val stats = graft.ops.Packing.packStats(packed, budget).localCheckpoint(true)
+      val nDocs = packed.count()
+      val dupDocs = nDocs - packed.select("doc_id").distinct().count()
+      val total = packed.agg(sum("tokens")).collect()(0).getLong(0)
+      val overBudget = stats.filter(col("tokens") > budget && !col("oversize")).count()
+      val badOversize = stats.filter(col("oversize") && col("docs") =!= 1).count()
+      val regular = stats.filter(!col("oversize"))
+      val nPacks = regular.count()
+      val regTokens = regular.agg(coalesce(sum("tokens"), lit(0L))).collect()(0).getLong(0)
+      val lower = (regTokens + budget - 1) / budget
+      val nPart = s.sessionState.conf.numShufflePartitions
+      val efficient = nPacks <= (lower * 5) / 4 + nPart
+      s.range(1).select(
+        lit(nDocs).as("n_docs"),
+        lit(total).as("total_tokens"),
+        lit(dupDocs == 0 && overBudget == 0 && badOversize == 0).as("well_formed"),
+        lit(efficient).as("efficient"))
+    }),
     // REAL byte-pair encoding (greedy rank-ordered merges over the
     // embedded table), not regex-piece counting; the DuckDB oracle
     // replays the identical merge loop via a recursive CTE generated
@@ -1094,6 +1210,8 @@ object SparkEntry {
     "time_travel" -> s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut'",
     "source_read" -> (s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut' " +
       "AND l_quantity < 24.0"),
+    "catalog_sql" -> ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+      "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0"),
     "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
     "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
@@ -1147,6 +1265,11 @@ object SparkEntry {
     "text_tokens" -> ("SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
       "FROM documents"),
+    "packing_gate" -> ("WITH tok AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 " +
+      "THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
+      "AS n FROM documents) " +
+      "SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, " +
+      "true AS well_formed, true AS efficient FROM tok WHERE n > 0"),
     "text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS len, " +
       "round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +
@@ -1350,6 +1473,8 @@ object SparkEntry {
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "minhash_recall" -> "SELECT true AS recall_ok",
+    "minhash_index_gate" -> ("SELECT true AS planted_found, true AS fresh_clean, " +
+      "true AS paths_agree"),
     "dedup_drop_gate" -> "SELECT CAST(0 AS BIGINT) AS planted_survivors",
     // star rounds and driver union-find must label identically on the
     // full dup graph (an empty graph would read -1 and fail the gate)
