@@ -172,6 +172,46 @@ object SparkEntry {
     cat
   }
 
+  /** Continuous near-dedup end-to-end fixture: an empty index + empty
+    * sink array, then two micro-batches through
+    * [[EventStreams.nearDedupStream]] — (0) the documents table (which
+    * carries planted INTERNAL near-dups), (1) " xyzzy" edits of every
+    * batch-0 survivor (id + DupOff) plus 5 genuinely fresh docs
+    * (id >= 3*DupOff). The sink's per-batch MVCC fragments (ts =
+    * batchId) let the gate reconstruct what survived each batch. */
+  private def nearDedupedDocs(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "neardedup_docs") { tmp =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val indexUri = s"$arrayBase/${sfKey(dir)}/neardedup_index"
+      graft.storage.VFS(s).delete(indexUri)
+      graft.ops.DedupIndex.build(docs.limit(0), "doc_id", "text", indexUri)
+      ArrayTable.create(s, tmp,
+        ArraySchema.infer(docs.schema, Seq("doc_id")).copy(allowsDuplicates = true))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = EventStreams.nearDedupStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", indexUri, tmp,
+        s"$arrayBase/${sfKey(dir)}/neardedup_ckpt_${System.nanoTime()}",
+        threshold = 0.6)
+      try {
+        in.addData(docs.as[(Long, String)].collect().toSeq)
+        q.processAllAvailable()
+        val kept0 = ArrayTable.read(s, tmp, at = Some((0L, 0L)))
+          .as[(Long, String)].collect().toSeq
+        val edits = kept0.map { case (id, text) => (id + DupOff, text + " xyzzy") }
+        // fresh docs must be distinct from EVERYTHING, including each
+        // other: deterministic pseudo-word bodies (pairwise Jaccard ~0)
+        val fresh = (0 until 5).map(i => (3L * DupOff + i,
+          (0 until 24).map { j =>
+            java.lang.Long.toString(((i + 7L) * 2654435761L + j * 40503L) & 0xffffffL, 26)
+          }.mkString(" ")))
+        in.addData(edits ++ fresh)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
   /** region array evolved with an added attribute (fill 42) */
   private def evolvedRegion(s: SparkSession, dir: String): String =
     ensureArray(s, dir, "evolved_region") { tmp =>
@@ -465,6 +505,21 @@ object SparkEntry {
     // dropDuplicatesWithinWatermark state into the array sink; the
     // read-back must hash-match plain DISTINCT over the source
     "stream_dedup_read" -> ((s, d) => ArrayTable.read(s, dedupedEvents(s, d))),
+    // Continuous NEAR-dedup (probe persisted LSH index per micro-batch,
+    // append survivors): the final corpus must be near-dup-free at the
+    // stream's threshold, every batch-1 edit of a batch-0 survivor must
+    // have been dropped via the index, and the 5 fresh docs kept.
+    "stream_neardedup_gate" -> ((s, d) => {
+      val kept = ArrayTable.read(s, nearDedupedDocs(s, d)).localCheckpoint(true)
+      val pairs = Dedup.minhashNearDups(kept, "doc_id", "text", threshold = 0.6).count()
+      val editsKept = kept.filter(col("doc_id") >= DupOff &&
+        col("doc_id") < 3L * DupOff).count()
+      val freshKept = kept.filter(col("doc_id") >= 3L * DupOff).count()
+      s.range(1).select(
+        lit(pairs == 0L).as("dedup_complete"),
+        lit(editsKept == 0L).as("edits_dropped"),
+        lit(freshKept == 5L).as("fresh_kept"))
+    }),
     // categorical->enum inference round-trip: codes on disk, decoded
     // values on read must hash-match the plain source table
     "enum_infer_roundtrip" -> ((s, d) => ArrayTable.read(s, enumCustomer(s, d))),
@@ -1228,6 +1283,8 @@ object SparkEntry {
       "SELECT event_id, user_id, event_type, value FROM events",
     "stream_dedup_read" ->
       "SELECT DISTINCT event_id, user_id, event_type, value FROM events",
+    "stream_neardedup_gate" -> ("SELECT true AS dedup_complete, " +
+      "true AS edits_dropped, true AS fresh_kept"),
     "enum_infer_roundtrip" -> "SELECT * FROM customer",
     "qc_enum_order" -> ("WITH lv AS (SELECT c_custkey, CASE WHEN c_acctbal < 0 " +
       "THEN 'LOW' WHEN c_acctbal < 5000 THEN 'MID' ELSE 'HIGH' END AS level " +

@@ -130,4 +130,49 @@ object EventStreams {
           }
       }
   }
+
+  /** Continuous NEAR-dup dedup: each micro-batch of documents probes
+    * the persisted MinHash-LSH index ([[graft.ops.DedupIndex]]),
+    * drops docs near-duplicating anything already indexed, removes the
+    * batch's internal near-dups (one-shot LSH at batch size), commits
+    * the survivors to the array sink as one MVCC fragment, and appends
+    * them to the index — so later batches dedup against everything
+    * that survived earlier ones.
+    *
+    * This is the steady-state shape of corpus curation at 100 TB:
+    * per-batch cost is probe (pruned index scan + broadcast of the
+    * batch) + batch² -bounded internal LSH + batch-sized index append;
+    * the corpus is NEVER re-read or re-LSH'd. State lives in the index
+    * files, not executor memory — unbounded corpus, bounded state, and
+    * restart-safe because replayed batches re-commit idempotently
+    * (fragment ts = batchId) and index re-appends only make the filter
+    * stricter (a dup of an indexed doc is dropped either way;
+    * duplicate index rows for one doc pair to the same match).
+    *
+    * The target array must exist; the index must have been built
+    * (possibly over an empty frame) with the desired params. */
+  def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      indexUri: String, sinkUri: String, checkpoint: String,
+      threshold: Double = 0.7,
+      tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val vsIndex = graft.ops.DedupIndex.dropAgainstIndex(
+          batch, idCol, textCol, indexUri, threshold)
+        // batch-internal near-dups: keep each cluster's smallest id
+        val survivors = graft.ops.Dedup.dropNearDups(
+          vsIndex, idCol, textCol, threshold = threshold)
+          .localCheckpoint(true)
+        commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
+        // append even when the commit was a replay skip: a crash
+        // between commit and append would otherwise lose these index
+        // rows forever (silently weakening future dedup), while a
+        // double-append only adds duplicate rows a pair-distinct
+        // already absorbs — and rebuild re-clusters them away
+        graft.ops.DedupIndex.append(survivors, idCol, textCol, indexUri)
+        ()
+      }
+      .start()
 }

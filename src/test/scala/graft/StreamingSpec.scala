@@ -132,4 +132,48 @@ class StreamingSpec extends SparkSpec {
     val u7 = out.filter(_.user_id == 7L).maxBy(_.n_events)
     assert(u7.n_events == 2L && math.abs(u7.total_value - 4.0) < 1e-9)
   }
+
+  test("streaming near-dedup: cross-batch near-dups dropped via the index") {
+    import graft.storage.ArrayTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val indexUri = TestSession.tmpDir("stream-nd-index")
+    val sinkUri = TestSession.tmpDir("stream-nd-sink")
+    // start from an EMPTY corpus: index over zero docs, empty sink array
+    val docSchema = Seq((0L, "")).toDF("doc_id", "text").schema
+    graft.ops.DedupIndex.build(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        docSchema), "doc_id", "text", indexUri)
+    ArrayTable.create(spark, sinkUri,
+      graft.core.ArraySchema.infer(docSchema, Seq("doc_id"))
+        .copy(allowsDuplicates = true))
+    // genuinely distinct bodies (pairwise Jaccard ~0): deterministic
+    // pseudo-words seeded by the doc number
+    def doc(i: Long) = (0 until 24).map { j =>
+      val h = (i * 2654435761L + j * 40503L) & 0xffffffL
+      java.lang.Long.toString(h, 26)
+    }.mkString(" ")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDedupStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", indexUri, sinkUri, TestSession.tmpDir("stream-nd-ckpt"),
+      threshold = 0.6)
+    try {
+      // batch 0: three distinct docs, plus an INTERNAL near-dup of doc 1
+      in.addData((1L, doc(1)), (2L, doc(2)), (3L, doc(3)), (4L, doc(1) + " x"))
+      q.processAllAvailable()
+      // batch 1: near-dup of doc 2 (cross-batch, must be dropped via the
+      // index), plus a genuinely new doc
+      in.addData((5L, doc(2) + " y"), (6L, doc(600)))
+      q.processAllAvailable()
+      val kept = ArrayTable.read(spark, sinkUri).select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L, 6L), s"got $kept")
+      // index covers every survivor: re-probing any survivor text as a
+      // new doc id matches it
+      val reprobe = graft.ops.DedupIndex.probe(
+        Seq((99L, doc(600) + " z")).toDF("doc_id", "text"),
+        "doc_id", "text", indexUri, threshold = 0.6)
+      assert(reprobe.collect().exists(_.getLong(1) == 6L))
+    } finally { q.stop() }
+  }
 }
