@@ -114,4 +114,25 @@ object Packing {
       sum(col("tokens")).as("tokens"),
       max(col("oversize")).as("oversize"))
       .withColumn("fill_ratio", round(col("tokens").cast("double") / budget, 6))
+
+  /** Materialize the packed TRAINING SEQUENCES: one row per pack —
+    * (pack_id, n_docs, tokens, text) with member texts joined by `sep`
+    * in `pack_pos` order.
+    *
+    * Packing decisions run on narrow (id, count) rows ([[packDocs]]);
+    * only this materialization step moves text: one join back to the
+    * source (by id) and one shuffle co-locating each pack's members —
+    * you can't concatenate a sequence without gathering it. The
+    * in-pack ordering uses `sort_array` over (pack_pos, text) structs
+    * inside the aggregation, not a window. */
+  def packedSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitions: Int = 0, sep: String = "\n\n"): DataFrame = {
+    val packed = packDocs(df, idCol, textCol, budget, partitions)
+    packed.join(df.select(col(idCol), col(textCol)), idCol)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pack_pos"), col(textCol).as("t")))),
+          s => s.getField("t")), sep).as("text"))
+  }
 }

@@ -77,6 +77,21 @@ class PackingSpec extends SparkSpec {
     assert(custom.count() == 2)
   }
 
+  test("packedSequences reconstructs every doc in pack_pos order") {
+    val seqs = Packing.packedSequences(docs, "doc_id", "text", Budget,
+      partitions = 8, sep = " | ")
+    // token conservation through materialization
+    val totalIn = docs.select(sum(graft.ops.TextAnalysis.tokenCount(col("text"))))
+      .as[Long].collect()(0)
+    assert(seqs.agg(sum("tokens")).as[Long].collect()(0) == totalIn)
+    // each sequence's own whitespace token count matches the sum of its
+    // members (the "w"-word fixture makes this exact)
+    val bad = seqs.filter(
+      graft.ops.TextAnalysis.tokenCount(regexp_replace(col("text"), "\\|", "w"))
+        =!= col("tokens") + col("n_docs") - 1)
+    assert(bad.count() == 0)
+  }
+
   test("deterministic for a fixed partition count") {
     val a = Packing.packDocs(docs, "doc_id", "text", Budget, partitions = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
