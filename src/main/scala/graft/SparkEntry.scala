@@ -920,6 +920,11 @@ object SparkEntry {
           slice(TextAnalysis.tokens(col("text")), 11, 20)).as("snippet"))
       Curation.contamination(docs, "doc_id", "text", bench, "snippet", n = 8)
     }),
+    // cross-document duplicate spans: fraction of each doc's word
+    // 8-gram windows shared with at least one other doc (DuckDB
+    // recomputes with string grams; Spark ships 8-byte hashes)
+    "dup_spans" -> ((s, d) => Curation.dupSpans(
+      t(s, d, "documents"), "doc_id", "text", n = 8)),
 
     // REAL codec path under the oracle: deterministic 8x4 P6 images
     // (pixel j of doc i = (i*7+j) % 256) decode through the actual PPM
@@ -1366,6 +1371,16 @@ object SparkEntry {
       "FROM toks) " +
       "SELECT doc_id, count(*) AS shared_grams FROM cgrams " +
       "JOIN bgrams USING (g) GROUP BY doc_id"),
+    "dup_spans" -> ("WITH toks AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      "gr AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(t)-7, 0))]) AS g FROM toks), " +
+      "c AS (SELECT g, count(*) AS docs FROM gr GROUP BY g) " +
+      "SELECT doc_id, count(*) AS n_grams, " +
+      "CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams, " +
+      "round(CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*), 6) AS dup_fraction " +
+      "FROM gr JOIN c USING (g) GROUP BY doc_id"),
     // language ID: token-count per stopword table, winner = max (score,
     // lang) — mirrors the array_max(struct(score, lang)) tie-break
     // (lexicographically larger lang wins ties)

@@ -98,6 +98,33 @@ object Curation {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** Cross-document duplicate-span detection (the boilerplate signal
+    * behind "dedup the substrings, not just the documents"): for every
+    * doc, the fraction of its distinct word `n`-gram windows that also
+    * appear in at least one OTHER doc. High `dup_fraction` with no
+    * whole-doc near-dup = shared boilerplate (headers, licenses,
+    * navigation) worth stripping before training.
+    *
+    * Scale shape: docs reduce to distinct 8-byte gram hashes (the
+    * string never shuffles); one hash-partitioned count per gram, one
+    * join of the same gram set against the counts (identical Exchange
+    * subplans — ReuseExchange ships the gram set once), one narrow
+    * per-doc combine. No windows, no broadcast of anything
+    * corpus-sized. Docs shorter than `n` tokens have no windows and do
+    * not appear (strict-gram semantics, as in [[contamination]]). */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = df.select(col(idCol), explode(gramHashes(col(textCol), n)).as("g"))
+    // grams are DISTINCT per doc, so the per-gram row count IS the
+    // number of docs containing the gram
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("__docs"))
+    grams.join(counts, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+      .withColumn("dup_fraction",
+        round(col("shared_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Deterministic REPRODUCIBLE sampling: keep a row iff the md5 of
     * (salt || id) lands below `fraction` of the 24-bit prefix space.
     * Unlike `df.sample`, the decision is a pure function of the id and

@@ -101,4 +101,28 @@ class CurationSpec extends SparkSpec {
     val mix = out.filter($"source" === "src2").select("id").as[Long].collect().toSet
     assert(mix == det)
   }
+
+  test("dupSpans: planted shared boilerplate is flagged, unique text is not") {
+    val boiler = "this license header is replicated verbatim across many files " +
+      "and should be detected as duplicated span content by the detector"
+    def uniq(i: Int) = (0 until 16).map { j =>
+      java.lang.Long.toString(((i + 3L) * 2654435761L + j * 40503L) & 0xffffffL, 26)
+    }.mkString(" ")
+    val docs = ((0 until 10).map(i => (i.toLong, boiler + " " + uniq(i))) :+
+      (100L, uniq(50)) :+ (101L, "too short")).toDF("doc_id", "text")
+    val out = Curation.dupSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the short doc (<8 tokens) has no windows at all
+    assert(!out.contains(101L))
+    // the boilerplate docs share exactly the boilerplate's windows (the
+    // 20-token boilerplate has 13 8-gram windows; the 7 bridge windows
+    // straddling into each doc's unique tail are NOT shared)
+    (0 until 10).foreach { i =>
+      val (n, shared) = out(i.toLong)
+      assert(shared == 13, s"doc $i shared=$shared")
+      assert(n == (20 + 16) - 8 + 1, s"doc $i n=$n")
+    }
+    // the fully unique doc shares nothing
+    assert(out(100L)._2 == 0)
+  }
 }
