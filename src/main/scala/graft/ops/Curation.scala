@@ -106,12 +106,17 @@ object Curation {
     * navigation) worth stripping before training.
     *
     * Scale shape: docs reduce to distinct 8-byte gram hashes (the
-    * string never shuffles); one hash-partitioned count per gram, one
-    * join of the same gram set against the counts (identical Exchange
-    * subplans — ReuseExchange ships the gram set once), one narrow
-    * per-doc combine. No windows, no broadcast of anything
-    * corpus-sized. Docs shorter than `n` tokens have no windows and do
-    * not appear (strict-gram semantics, as in [[contamination]]). */
+    * string never shuffles). Two gram-keyed exchanges total: the
+    * per-gram doc count ships PARTIALLY COMBINED (g, count) rows
+    * (map-side combine collapses each partition's repeats first), and
+    * the join back ships the (doc_id, g) pairs once. (Forcing both
+    * consumers onto one shared repartition was measured strictly
+    * worse: it ships RAW grams on both branches and forfeits the
+    * combine.) Final per-doc combine is narrow. No windows, no
+    * broadcast of anything corpus-sized — AQE may still choose to
+    * broadcast the counts side when it is small. Docs shorter than
+    * `n` tokens have no windows and do not appear (strict-gram
+    * semantics, as in [[contamination]]). */
   def dupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val grams = df.select(col(idCol), explode(gramHashes(col(textCol), n)).as("g"))
     // grams are DISTINCT per doc, so the per-gram row count IS the
