@@ -795,6 +795,32 @@ object SparkEntry {
         .unionAll(inline.select(cols: _*).exceptAll(indexed.select(cols: _*)))
         .agg(count(lit(1)).as("mismatches"))
     }),
+    // Incremental IVF maintenance: an index built over HALF the
+    // vectors, with the other half appended (assigned to existing
+    // centroids, cell dirs appended — no retrain, no corpus re-read),
+    // must (a) hold every vector and (b) find each probed appended
+    // vector as its own rank-1 neighbor.
+    "knn_ivf_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val uri = s"$arrayBase/${sfKey(d)}/ivf_append_index"
+      val fs = graft.storage.VFS(s)
+      if (!fs.exists(s"$uri/centroids.json")) synchronized {
+        fs.delete(uri)
+        Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", uri, nCentroids = 16, lloydSteps = 2)
+        Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", uri)
+      }
+      val total = s.read.parquet(s"$uri/cells").count()
+      val q = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+      val res = Similarity.ivfIndexTopK(s, uri, q, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      val selfTop = res.filter(col("rank") === 1 &&
+        col("neighbor_id") === col("query_id")).count()
+      val nQ = q.count()
+      s.range(1).select(lit(total).as("n_indexed"),
+        lit(selfTop == nQ && nQ > 0).as("appended_found"))
+    }),
     "knn_ivf_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -1544,6 +1570,8 @@ object SparkEntry {
 
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+    "knn_ivf_append" -> ("SELECT count(*) AS n_indexed, true AS appended_found " +
+      "FROM embeddings"),
     "minhash_recall" -> "SELECT true AS recall_ok",
     "minhash_index_gate" -> ("SELECT true AS planted_found, true AS fresh_clean, " +
       "true AS paths_agree"),

@@ -258,6 +258,25 @@ object Similarity {
     graft.storage.VFS(corpus.sparkSession).writeString(s"$uri/centroids.json", json)
   }
 
+  /** Incrementally add vectors to a persisted IVF index: assign each
+    * new vector to its nearest EXISTING centroid (narrow literal
+    * argmin, zero shuffle of anything but the new batch) and append to
+    * the cell directories. Batch-sized work — the indexed corpus is
+    * never re-read, the quantizer never retrains, and probe-time
+    * static partition pruning is unchanged (appends only add files
+    * inside `centroid_id=` dirs). The trade is quantization drift: if
+    * the vector distribution shifts far from the training sample, cell
+    * occupancy skews and recall decays — rebuild (`buildIvfIndex`)
+    * re-trains, exactly like the dedup index's rebuild-to-re-cluster. */
+  def appendToIvfIndex(batch: DataFrame, batchId: String, batchVec: String,
+      uri: String): Unit = {
+    val cents = indexCentroids(batch.sparkSession, uri)
+    batch.select(col(batchId).as("neighbor_id"), col(batchVec).as("vec"))
+      .withColumn("centroid_id", assignNarrow(col("vec"), cents))
+      .write.partitionBy("centroid_id").mode("append")
+      .parquet(s"$uri/cells")
+  }
+
   /** Centroids of a persisted IVF index. */
   def indexCentroids(spark: org.apache.spark.sql.SparkSession,
       uri: String): Seq[(Long, Seq[Double])] = {

@@ -271,6 +271,29 @@ class OpsSpec extends SparkSpec {
       s"partition pruning inert: read $pruned of $total files")
   }
 
+  test("IVF index append: incremental vectors land in cells and are found") {
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val uri = TestSession.tmpDir("ivfidx-app")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", uri,
+      nCentroids = 8, lloydSteps = 2)
+    // append 100 new vectors from the same distribution
+    val extra = (300 until 400).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(extra, "vec_id", "embedding", uri)
+    // an appended vector queried against the index finds ITSELF rank 1
+    // (its cell is probed first: the assignment argmin and the probe
+    // ranking use the same centroid distances)
+    val q = extra.filter($"vec_id" === 350L)
+    val res = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect().sortBy(_.getAs[Long]("rank"))
+    assert(res.head.getAs[Long]("neighbor_id") == 350L, res.toSeq)
+    // the full index now holds all 400 vectors
+    assert(spark.read.parquet(s"$uri/cells").count() == 400)
+  }
+
   test("IVF top-k recall≥0.6 of brute force at nprobe=4/16") {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
