@@ -494,6 +494,23 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.sf.orders " +
         "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0")
     }),
+    // SQL DELETE FROM: predicates translate to the same QueryCondition
+    // tombstone an API delete writes (metadata-only, no rewrite); the
+    // read-back must match DuckDB's surviving-row set
+    "catalog_delete" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_del"
+      if (!ArrayTable.exists(s, uri)) synchronized {
+        s.sql(s"CREATE TABLE $cat.sf.orders_del (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
+        t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_del")
+        s.sql(s"INSERT INTO $cat.sf.orders_del SELECT * FROM catalog_src_orders_del")
+        s.sql(s"DELETE FROM $cat.sf.orders_del " +
+          "WHERE o_orderstatus = 'F' OR o_totalprice < 1000.0")
+      }
+      s.sql(s"SELECT * FROM $cat.sf.orders_del")
+    }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
@@ -1298,6 +1315,8 @@ object SparkEntry {
       "AND l_quantity < 24.0"),
     "catalog_sql" -> ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
       "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0"),
+    "catalog_delete" -> ("SELECT * FROM orders " +
+      "WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 1000.0)"),
     "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
     "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +

@@ -95,18 +95,38 @@ case class CatalogResolutionInline(spark: SparkSession) extends Rule[LogicalPlan
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, a @ SubqueryAlias(_, r: DataSourceV2Relation))
-        if graftRes(r).isDefined =>
-      inlined(graftRes(r).get, a.output, splitConjunctivePredicates(cond))
-        .map(Filter(cond, _)).getOrElse(f)
-    case f @ Filter(cond, r: DataSourceV2Relation) if graftRes(r).isDefined =>
-      inlined(graftRes(r).get, r.output, splitConjunctivePredicates(cond))
-        .map(Filter(cond, _)).getOrElse(f)
-    case a @ SubqueryAlias(_, r: DataSourceV2Relation) if graftRes(r).isDefined =>
-      inlined(graftRes(r).get, a.output, Nil).getOrElse(a)
-    case r: DataSourceV2Relation if graftRes(r).isDefined =>
-      inlined(graftRes(r).get, r.output, Nil).getOrElse(r)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Row-level commands (DELETE/UPDATE/MERGE) hold their TARGET
+    // relation as a plain child — unlike the write commands — and that
+    // target must stay a DataSourceV2Relation for the V2 strategy to
+    // plan the operation (DELETE goes through SupportsDelete, not
+    // through a read). Collect those relations and leave them alone;
+    // their row data is never read through this path.
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, MergeIntoTable, UpdateTable}
+    val targets: Seq[LogicalPlan] = plan.collect {
+      case d: DeleteFromTable => d.table
+      case u: UpdateTable => u.table
+      case m: MergeIntoTable => m.targetTable
+    }
+    val protectedRels = targets.flatMap(_.collect {
+      case r: DataSourceV2Relation => r
+    })
+    def shielded(r: DataSourceV2Relation): Boolean = protectedRels.exists(_ eq r)
+    plan.transformDown {
+      case f @ Filter(cond, a @ SubqueryAlias(_, r: DataSourceV2Relation))
+          if graftRes(r).isDefined && !shielded(r) =>
+        inlined(graftRes(r).get, a.output, splitConjunctivePredicates(cond))
+          .map(Filter(cond, _)).getOrElse(f)
+      case f @ Filter(cond, r: DataSourceV2Relation)
+          if graftRes(r).isDefined && !shielded(r) =>
+        inlined(graftRes(r).get, r.output, splitConjunctivePredicates(cond))
+          .map(Filter(cond, _)).getOrElse(f)
+      case a @ SubqueryAlias(_, r: DataSourceV2Relation)
+          if graftRes(r).isDefined && !shielded(r) =>
+        inlined(graftRes(r).get, a.output, Nil).getOrElse(a)
+      case r: DataSourceV2Relation if graftRes(r).isDefined && !shielded(r) =>
+        inlined(graftRes(r).get, r.output, Nil).getOrElse(r)
+    }
   }
 
   private def inlined(t: GraftTable, output: Seq[Attribute],

@@ -117,6 +117,66 @@ object QueryCondition {
     case _ =>
   }
 
+  /** Render one Spark DSv2 pushed filter as a QueryCondition string
+    * (the currency of [[graft.storage.ArrayTable.delete]] tombstones) —
+    * None when the filter or any literal has no grammar form (LIKE,
+    * timestamps, strings containing quotes, exotic column names). Used
+    * by SQL `DELETE FROM` on catalog tables: the translated condition
+    * goes through the SAME parse/validate/compile path as an
+    * API-issued delete, so SQL deletes and API deletes are one
+    * mechanism with one semantics. */
+  def fromFilter(f: org.apache.spark.sql.sources.Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    def name(c: String): Option[String] =
+      Option(c).filter(_.matches("[A-Za-z_][A-Za-z0-9_.]*"))
+        .filterNot(Set("not", "in", "and", "or", "val", "attr", "dim"))
+    def litS(v: Any): Option[String] = v match {
+      case null => Some("None")
+      case s: String =>
+        if (s.contains("'") || s.contains("\\") || s.contains("\n")) None
+        else Some(s"'$s'")
+      case b: java.lang.Boolean => Some(if (b) "True" else "False")
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => Some(v.toString)
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) None
+        else Some(d.toString) // always contains '.' or exponent
+      case fl: java.lang.Float =>
+        if (fl.isNaN || fl.isInfinite) None else Some(fl.toDouble.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString match {
+        case s if s.contains(".") => s; case s => s + ".0"
+      })
+      case _ => None // timestamps/dates/binary: no grammar literal
+    }
+    def bin(c: String, op: String, v: Any): Option[String] =
+      for (n <- name(c); l <- litS(v)) yield s"$n $op $l"
+    f match {
+      case EqualTo(c, v) => bin(c, "==", v)
+      case EqualNullSafe(c, null) => name(c).map(n => s"$n == None")
+      case EqualNullSafe(c, v) => bin(c, "==", v)
+      case GreaterThan(c, v) => bin(c, ">", v)
+      case GreaterThanOrEqual(c, v) => bin(c, ">=", v)
+      case LessThan(c, v) => bin(c, "<", v)
+      case LessThanOrEqual(c, v) => bin(c, "<=", v)
+      case In(c, vs) =>
+        for {
+          n <- name(c)
+          ls <- vs.foldLeft(Option(Seq.empty[String])) { (acc, v) =>
+            for (a <- acc; l <- litS(v); if l != "None") yield a :+ l
+          }
+          if ls.nonEmpty
+        } yield s"$n in [${ls.mkString(", ")}]"
+      case IsNull(c) => name(c).map(n => s"$n == None")
+      case IsNotNull(c) => name(c).map(n => s"$n != None")
+      case And(l, r) =>
+        for (a <- fromFilter(l); b <- fromFilter(r)) yield s"($a and $b)"
+      case Or(l, r) =>
+        for (a <- fromFilter(l); b <- fromFilter(r)) yield s"($a or $b)"
+      case Not(c) => fromFilter(c).map(s => s"not ($s)")
+      case _ => None
+    }
+  }
+
   def toColumn(n: Node): Column = toColumn(n, None)
 
   private def toColumn(n: Node, schema: Option[ArraySchema]): Column = n match {

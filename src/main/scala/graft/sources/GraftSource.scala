@@ -202,7 +202,8 @@ object GraftRelation {
 case class GraftTable(spark: SparkSession, uri: String,
     t0: Option[Long], t1: Option[Long], viaCatalog: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[graft] def at: Option[(Long, Long)] = (t0, t1) match {
     case (None, None) => None
@@ -233,13 +234,64 @@ case class GraftTable(spark: SparkSession, uri: String,
     else if (fastFrags.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.Collections.emptySet()
 
+  /** A resolution-needing table hands out a scan builder that fails at
+    * EXECUTION, not construction: Spark's V2 pushdown batch constructs
+    * a builder for every V2 relation in a plan — including the target
+    * of a `DELETE FROM`, whose scan is never executed (the delete goes
+    * through [[deleteWhere]]). Failing eagerly would break SQL deletes
+    * on any array that already has a tombstone; failing in `toBatch`
+    * still guarantees no extension-less session can ever read rows
+    * that skip shadowing/tombstones. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (needsResolution)
-      sys.error(s"graft array at $uri needs MVCC resolution (shadowing/" +
+    if (needsResolution) {
+      val msg = s"graft array at $uri needs MVCC resolution (shadowing/" +
         "tombstones/schema drift/enums); catalog reads of such arrays require " +
         "spark.sql.extensions=graft.core.GraftExtensions (set by GraftSession), " +
-        "which inlines the resolution plan during analysis")
-    new GraftScanBuilder(spark, uri, arraySchema.get, fastFrags.get, options)
+        "which inlines the resolution plan during analysis"
+      val tableSchema = schema()
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType = tableSchema
+            override def description(): String = s"graft unresolved-read guard: $uri"
+            override def toBatch: org.apache.spark.sql.connector.read.Batch =
+              sys.error(msg)
+          }
+      }
+    } else new GraftScanBuilder(spark, uri, arraySchema.get, fastFrags.get, options)
+  }
+
+  /** SQL `DELETE FROM ... WHERE ...`: the pushed filters translate to
+    * the SAME QueryCondition string an API delete takes, so the SQL
+    * path writes the same metadata-only tombstone — O(filters), no
+    * data rewrite, MVCC-visible (time travel before the delete's ts
+    * still sees the rows), applied by readers exactly like an API
+    * delete. A bare `DELETE FROM t` (no WHERE) trashes all fragments.
+    * Untranslatable predicates are refused in `canDeleteWhere`, which
+    * Spark surfaces as an analysis error rather than a wrong delete. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    t0.isEmpty && t1.isEmpty && filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _: org.apache.spark.sql.sources.AlwaysFalse => true
+      case f => graft.query.QueryCondition.fromFilter(f).isDefined
+    }
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // the filter array is a conjunction; a bare DELETE arrives as
+    // [AlwaysTrue]
+    if (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse])) return
+    val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (real.isEmpty) {
+      val frags = ArrayTable.fragments(spark, uri)
+      if (frags.nonEmpty)
+        ArrayTable.deleteFragments(spark, uri, frags.map(_.ts).min, frags.map(_.ts).max)
+    } else {
+      val cond = real.flatMap(f => graft.query.QueryCondition.fromFilter(f))
+      require(cond.length == real.length,
+        s"untranslatable DELETE predicate among: ${real.mkString(", ")}")
+      ArrayTable.delete(spark, uri,
+        if (cond.length == 1) cond.head else cond.mkString("(", ") and (", ")"))
+    }
   }
 
   /** `INSERT INTO` / `INSERT OVERWRITE` through the V1 bridge into the

@@ -80,6 +80,32 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSet.contains("adm"))
   }
 
+  test("SQL DELETE FROM writes a tombstone, MVCC-visible") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.del")
+    val uri = s"$root/del/arr"
+    val df = (1L to 40L).map(i => (i, (i % 4).toInt, i * 1.0)).toDF("x", "y", "v")
+    ArrayTable.ingest(spark, df, uri, Seq("x", "y"), tsOpt = Some(100L), overwrite = true)
+    spark.sql("DELETE FROM g.del.arr WHERE y = 1 OR x > 30")
+    val kept = spark.sql("SELECT x FROM g.del.arr").as[Long].collect().toSet
+    assert(kept == (1L to 30L).filter(_ % 4 != 1).toSet)
+    // metadata-only: a tombstone, not a rewrite — fragment intact and
+    // time travel before the delete still sees all 40 rows
+    assert(ArrayTable.fragments(spark, uri).size == 1)
+    assert(ArrayTable.deletes(spark, uri).size == 1)
+    assert(spark.sql("SELECT count(*) FROM g.del.arr VERSION AS OF '100'")
+      .as[Long].collect()(0) == 40)
+    // IN-list + null-test translations
+    spark.sql("DELETE FROM g.del.arr WHERE x IN (2, 4) AND v IS NOT NULL")
+    assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) ==
+      kept.size - 2)
+    // bare DELETE empties the table but keeps the schema object
+    spark.sql("DELETE FROM g.del.arr")
+    assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) == 0)
+    spark.sql("INSERT INTO g.del.arr VALUES (99, 0, 1.5)")
+    assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) == 1)
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
