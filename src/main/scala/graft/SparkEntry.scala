@@ -511,6 +511,22 @@ object SparkEntry {
       }
       s.sql(s"SELECT * FROM $cat.sf.orders_del")
     }),
+    // SQL UPDATE as merge-on-read: one shadow fragment, read-back must
+    // match DuckDB applying the same assignment
+    "catalog_update" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_upd"
+      if (!ArrayTable.exists(s, uri)) synchronized {
+        s.sql(s"CREATE TABLE $cat.sf.orders_upd (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
+        t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_upd")
+        s.sql(s"INSERT INTO $cat.sf.orders_upd SELECT * FROM catalog_src_orders_upd")
+        s.sql(s"UPDATE $cat.sf.orders_upd SET o_totalprice = 0.0, " +
+          "o_orderpriority = 'RE-PRICED' WHERE o_orderkey % 10 = 0")
+      }
+      s.sql(s"SELECT * FROM $cat.sf.orders_upd")
+    }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
@@ -1317,6 +1333,11 @@ object SparkEntry {
       "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0"),
     "catalog_delete" -> ("SELECT * FROM orders " +
       "WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 1000.0)"),
+    "catalog_update" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
+      "o_orderdate, " +
+      "CASE WHEN o_orderkey % 10 = 0 THEN 'RE-PRICED' ELSE o_orderpriority END " +
+      "AS o_orderpriority FROM orders"),
     "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
     "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +

@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis instead
     ext.injectPostHocResolutionRule(session =>
       graft.plans.CatalogResolutionInline(session))
+    // SQL UPDATE -> merge-on-read shadow-fragment write
+    // (CatalogResolutionInline shields row-level command targets, so
+    // the relation is still intact when this rule sees it)
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.UpdateRewrite(session))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

@@ -106,6 +106,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) == 1)
   }
 
+  test("SQL UPDATE commits a shadow fragment (merge-on-read)") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.upd")
+    val uri = s"$root/upd/arr"
+    val df = (1L to 30L).map(i => (i, (i % 3).toInt, i * 1.0)).toDF("x", "y", "v")
+    ArrayTable.ingest(spark, df, uri, Seq("x"), tsOpt = Some(100L), overwrite = true)
+    spark.sql("UPDATE g.upd.arr SET v = v * 10 WHERE y = 0")
+    val got = spark.sql("SELECT x, v FROM g.upd.arr ORDER BY x")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == (1L to 30L).map(i => (i, if (i % 3 == 0) i * 10.0 else i * 1.0)))
+    // merge-on-read: ONE new shadow fragment, no rewrite of the base;
+    // time travel before the update sees old values
+    assert(ArrayTable.fragments(spark, uri).size == 2)
+    assert(spark.sql("SELECT sum(v) FROM g.upd.arr VERSION AS OF '100'")
+      .as[Double].collect()(0) == (1L to 30L).map(_.toDouble).sum)
+    // UPDATE with no WHERE touches every row
+    spark.sql("UPDATE g.upd.arr SET y = 9")
+    assert(spark.sql("SELECT count(*) FROM g.upd.arr WHERE y = 9")
+      .as[Long].collect()(0) == 30)
+    // assigning a dimension is rejected
+    val e = intercept[Exception] { spark.sql("UPDATE g.upd.arr SET x = x + 1") }
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
