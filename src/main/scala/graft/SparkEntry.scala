@@ -527,6 +527,31 @@ object SparkEntry {
       }
       s.sql(s"SELECT * FROM $cat.sf.orders_upd")
     }),
+    // SQL MERGE INTO (the CDC upsert): matched updates + unmatched
+    // inserts land as one shadow fragment; read-back must match DuckDB
+    // applying the same upsert relationally
+    "catalog_merge" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_mrg"
+      if (!ArrayTable.exists(s, uri)) synchronized {
+        s.sql(s"CREATE TABLE $cat.sf.orders_mrg (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
+        t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_mrg")
+        s.sql(s"INSERT INTO $cat.sf.orders_mrg SELECT * FROM catalog_src_orders_mrg")
+        s.sql(("MERGE INTO %s.sf.orders_mrg tgt USING (" +
+          "SELECT o_orderkey AS k, o_totalprice + 1000.0 AS p " +
+          "FROM catalog_src_orders_mrg WHERE o_orderkey %% 5 = 0 " +
+          "UNION ALL SELECT o_orderkey + 100000000, 42.0 " +
+          "FROM catalog_src_orders_mrg WHERE o_orderkey %% 1000 = 0) src " +
+          "ON tgt.o_orderkey = src.k " +
+          "WHEN MATCHED THEN UPDATE SET o_totalprice = src.p " +
+          "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, " +
+          "o_totalprice, o_orderdate, o_orderpriority) VALUES (src.k, 0, 'N', " +
+          "src.p, CAST(NULL AS TIMESTAMP_NTZ), 'NEW')").format(cat))
+      }
+      s.sql(s"SELECT * FROM $cat.sf.orders_mrg")
+    }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
@@ -1338,6 +1363,11 @@ object SparkEntry {
       "o_orderdate, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 'RE-PRICED' ELSE o_orderpriority END " +
       "AS o_orderpriority FROM orders"),
+    "catalog_merge" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END " +
+      "AS o_totalprice, o_orderdate, o_orderpriority FROM orders " +
+      "UNION ALL SELECT o_orderkey + 100000000, CAST(0 AS BIGINT), 'N', 42.0, " +
+      "CAST(NULL AS TIMESTAMP), 'NEW' FROM orders WHERE o_orderkey % 1000 = 0"),
     "delete_cond" -> "SELECT * FROM orders WHERE NOT (o_orderstatus = 'F')",
     "upsert_shadow" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +

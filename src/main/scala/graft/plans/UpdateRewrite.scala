@@ -1,13 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, ExprId, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import graft.sources.GraftTable
 import graft.storage.ArrayTable
@@ -31,22 +31,49 @@ import graft.storage.ArrayTable
   * time-travel view (`VERSION AS OF`) are rejected. */
 case class UpdateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
+  private def graftOf(table: LogicalPlan): Option[GraftTable] = table.collectFirst {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+      r.table.asInstanceOf[GraftTable]
+  }
+
+  private def namedSets(assignments: Seq[Assignment],
+      what: String): Seq[(String, Expression)] = assignments.map {
+    case Assignment(key: AttributeReference, value) => key.name -> value
+    case Assignment(other, _) =>
+      sys.error(s"unsupported $what target (not a plain column): $other")
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u @ UpdateTable(table, assignments, condition) if u.childrenResolved =>
-      table.collectFirst {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-          r.table.asInstanceOf[GraftTable]
-      } match {
+      graftOf(table) match {
         case Some(t) =>
           if (t.t0.nonEmpty || t.t1.nonEmpty)
             sys.error(s"cannot UPDATE a time-travel view of ${t.uri}")
-          val sets = assignments.map {
-            case Assignment(key: AttributeReference, value) => key.name -> value
-            case Assignment(other, _) =>
-              sys.error(s"unsupported UPDATE target (not a plain column): $other")
-          }
-          GraftUpdateCommand(t.uri, sets, condition)
+          GraftUpdateCommand(t.uri, namedSets(assignments, "UPDATE"), condition)
         case None => u
+      }
+    case m: MergeIntoTable if m.childrenResolved =>
+      graftOf(m.targetTable) match {
+        case Some(t) =>
+          if (t.t0.nonEmpty || t.t1.nonEmpty)
+            sys.error(s"cannot MERGE into a time-travel view of ${t.uri}")
+          if (m.notMatchedBySourceActions.nonEmpty)
+            sys.error("MERGE ... WHEN NOT MATCHED BY SOURCE is unsupported: it " +
+              "rewrites unmatched target rows, which shadowing has no cheap form for")
+          val matched = m.matchedActions.map {
+            case u: UpdateAction => (u.condition, namedSets(u.assignments, "MERGE UPDATE"))
+            case _: DeleteAction =>
+              sys.error("MERGE ... WHEN MATCHED THEN DELETE is unsupported: " +
+                "shadowing has no per-row tombstone — use DELETE FROM with a predicate")
+            case other => sys.error(s"unsupported matched action: $other")
+          }
+          val inserts = m.notMatchedActions.map {
+            case in: InsertAction => (in.condition, namedSets(in.assignments, "MERGE INSERT"))
+            case other => sys.error(s"unsupported not-matched action: $other")
+          }
+          GraftMergeCommand(t.uri, m.sourceTable, m.targetTable.output,
+            m.sourceTable.output, m.mergeCondition, matched, inserts)
+        case None => m
       }
     case _ => plan
   }
@@ -85,6 +112,93 @@ case class GraftUpdateCommand(uri: String, sets: Seq[(String, Expression)],
       }
     }.toSeq: _*)
     ArrayTable.write(spark, updated, uri)
+    Seq.empty
+  }
+}
+
+/** SQL `MERGE INTO` under shadowing: matched-UPDATE rows and
+  * not-matched-INSERT rows compose into ONE shadow fragment — the CDC
+  * upsert, with per-batch cost proportional to the SOURCE (target rows
+  * move only through the join), and MVCC time travel seeing every
+  * pre-merge state. Action conditions keep SQL's first-match-wins
+  * semantics; a target row matching multiple source rows is a
+  * cardinality violation and fails loudly (its shadow result would be
+  * nondeterministic).
+  *
+  * Target and source frequently share column names, so expressions are
+  * remapped BY EXPR ID onto positionally prefixed join-side names
+  * (`t__i`/`s__i`) — never by bare name. */
+case class GraftMergeCommand(uri: String, source: LogicalPlan,
+    targetOutput: Seq[Attribute], sourceOutput: Seq[Attribute],
+    cond: Expression,
+    matched: Seq[(Option[Expression], Seq[(String, Expression)])],
+    inserts: Seq[(Option[Expression], Seq[(String, Expression)])])
+    extends LeafRunnableCommand {
+
+  private lazy val byId: Map[ExprId, String] =
+    (targetOutput.zipWithIndex.map { case (a, i) => a.exprId -> s"t__$i" } ++
+      sourceOutput.zipWithIndex.map { case (a, i) => a.exprId -> s"s__$i" }).toMap
+
+  private def remap(e: Expression): Column = Shim.toColumn(e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(byId.getOrElse(a.exprId,
+      sys.error(s"MERGE expression references unknown attribute ${a.name}#${a.exprId.id}")))
+  })
+
+  /** First-match-wins action application: `__act` = 1-based index of
+    * the first action whose condition holds (0 = none), then every
+    * output column is a CASE over `__act`. */
+  private def applyActions(rows: DataFrame,
+      actions: Seq[(Option[Expression], Seq[(String, Expression)])],
+      defaultFor: Int => Column): DataFrame = {
+    val act = actions.zipWithIndex.foldRight(lit(0)) { case (((c, _), i), els) =>
+      when(c.map(remap).getOrElse(lit(true)), lit(i + 1)).otherwise(els)
+    }
+    val hit = rows.withColumn("__act", act).filter(col("__act") > 0)
+    hit.select(targetOutput.zipWithIndex.map { case (a, i) =>
+      val cases = actions.zipWithIndex.foldRight(defaultFor(i)) {
+        case (((_, sets), ai), els) =>
+          sets.find(_._1.equalsIgnoreCase(a.name)) match {
+            case Some((_, e)) => when(col("__act") === ai + 1, remap(e)).otherwise(els)
+            case None => els
+          }
+      }
+      cases.cast(a.dataType).as(a.name)
+    }.toSeq: _*)
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = ArrayTable.schemaOf(spark, uri)
+    val dimIdx = schema.dimNames.map(d =>
+      targetOutput.indexWhere(_.name.equalsIgnoreCase(d)))
+    matched.foreach { case (_, sets) => sets.foreach { case (n, _) =>
+      if (schema.dimNames.exists(_.equalsIgnoreCase(n)))
+        sys.error(s"cannot MERGE-update dimension '$n' of $uri: cell coordinates " +
+          "are immutable")
+    } }
+    val tgt0 = ArrayTable.read(spark, uri)
+    val tgt = tgt0.select(tgt0.columns.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"t__$i") }.toSeq: _*)
+    val src0 = Shim.ofRows(spark, source)
+    val src = src0.toDF(sourceOutput.indices.map(i => s"s__$i"): _*)
+    val joinCond = remap(cond)
+
+    val hitPairs = tgt.join(src, joinCond, "inner")
+    // cardinality check on the matched set (write-sized, not corpus):
+    // a target cell fed by two source rows would shadow
+    // nondeterministically
+    val dupes = hitPairs.groupBy(dimIdx.map(i => col(s"t__$i")): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    if (dupes > 0)
+      sys.error(s"MERGE cardinality violation on $uri: a target row matches " +
+        "more than one source row")
+    val updatedRows = applyActions(hitPairs, matched, i => col(s"t__$i"))
+
+    val insertSrc = src.join(tgt, joinCond, "left_anti")
+    val insertedRows = applyActions(insertSrc, inserts,
+      i => lit(null).cast(targetOutput(i).dataType))
+
+    val out = updatedRows.unionByName(insertedRows)
+    ArrayTable.write(spark, out, uri)
     Seq.empty
   }
 }

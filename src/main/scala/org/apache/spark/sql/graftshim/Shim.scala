@@ -12,6 +12,14 @@ object Shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-resolved logical plan (private[sql] in
+    * classic). Used by the MERGE rewrite to re-execute the statement's
+    * source query as a plain frame. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The physical plan with exchanges planned (EnsureRequirements
     * applied), unwrapped from the AQE adapter — AdaptiveSparkPlanExec
     * has no children, so a plain `collect` over `executedPlan` sees

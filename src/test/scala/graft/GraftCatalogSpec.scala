@@ -130,6 +130,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("immutable"), e.getMessage)
   }
 
+  test("SQL MERGE INTO: matched updates + unmatched inserts, one fragment") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.mrg")
+    val uri = s"$root/mrg/arr"
+    val base = (1L to 10L).map(i => (i, i * 1.0, "old")).toDF("k", "v", "tag")
+    ArrayTable.ingest(spark, base, uri, Seq("k"), tsOpt = Some(100L), overwrite = true)
+    // source: updates for 3,4 (one conditioned away), inserts for 11,12
+    Seq((3L, 30.0), (4L, 40.0), (11L, 110.0), (12L, 120.0))
+      .toDF("sk", "sv").createOrReplaceTempView("mrg_src")
+    spark.sql("""MERGE INTO g.mrg.arr t USING mrg_src s ON t.k = s.sk
+      WHEN MATCHED AND s.sv < 35.0 THEN UPDATE SET v = s.sv, tag = 'upd'
+      WHEN MATCHED THEN UPDATE SET v = s.sv * 2, tag = 'upd2'
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.sk, s.sv, 'new')""")
+    val got = spark.sql("SELECT k, v, tag FROM g.mrg.arr ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq
+    val want = (1L to 10L).map {
+      case 3L => (3L, 30.0, "upd")      // first action (sv < 35)
+      case 4L => (4L, 80.0, "upd2")     // second action (sv*2)
+      case i => (i, i * 1.0, "old")
+    } ++ Seq((11L, 110.0, "new"), (12L, 120.0, "new"))
+    assert(got == want)
+    // one shadow fragment; pre-merge state time-travels
+    assert(ArrayTable.fragments(spark, uri).size == 2)
+    assert(spark.sql("SELECT count(*) FROM g.mrg.arr VERSION AS OF '100'")
+      .as[Long].collect()(0) == 10)
+    // cardinality violation is loud
+    Seq((5L, 1.0), (5L, 2.0)).toDF("sk", "sv").createOrReplaceTempView("mrg_dup")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO g.mrg.arr t USING mrg_dup s ON t.k = s.sk
+        WHEN MATCHED THEN UPDATE SET v = s.sv""")
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // matched DELETE is rejected with guidance
+    val e2 = intercept[Exception] {
+      spark.sql("""MERGE INTO g.mrg.arr t USING mrg_src s ON t.k = s.sk
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e2.getMessage.contains("DELETE FROM"), e2.getMessage)
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
