@@ -57,9 +57,15 @@ case class UpdateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case Some(t) =>
           if (t.t0.nonEmpty || t.t1.nonEmpty)
             sys.error(s"cannot MERGE into a time-travel view of ${t.uri}")
-          if (m.notMatchedBySourceActions.nonEmpty)
-            sys.error("MERGE ... WHEN NOT MATCHED BY SOURCE is unsupported: it " +
-              "rewrites unmatched target rows, which shadowing has no cheap form for")
+          val bySource = m.notMatchedBySourceActions.map {
+            case u: UpdateAction =>
+              (u.condition, namedSets(u.assignments, "MERGE BY-SOURCE UPDATE"))
+            case _: DeleteAction =>
+              sys.error("MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE is " +
+                "unsupported: shadowing has no per-row tombstone — use DELETE FROM " +
+                "with a predicate")
+            case other => sys.error(s"unsupported not-matched-by-source action: $other")
+          }
           val matched = m.matchedActions.map {
             case u: UpdateAction => (u.condition, namedSets(u.assignments, "MERGE UPDATE"))
             case _: DeleteAction =>
@@ -72,7 +78,7 @@ case class UpdateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case other => sys.error(s"unsupported not-matched action: $other")
           }
           GraftMergeCommand(t.uri, m.sourceTable, m.targetTable.output,
-            m.sourceTable.output, m.mergeCondition, matched, inserts)
+            m.sourceTable.output, m.mergeCondition, matched, inserts, bySource)
         case None => m
       }
     case _ => plan
@@ -132,7 +138,8 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
     targetOutput: Seq[Attribute], sourceOutput: Seq[Attribute],
     cond: Expression,
     matched: Seq[(Option[Expression], Seq[(String, Expression)])],
-    inserts: Seq[(Option[Expression], Seq[(String, Expression)])])
+    inserts: Seq[(Option[Expression], Seq[(String, Expression)])],
+    bySource: Seq[(Option[Expression], Seq[(String, Expression)])] = Nil)
     extends LeafRunnableCommand {
 
   private lazy val byId: Map[ExprId, String] =
@@ -170,7 +177,7 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
     val schema = ArrayTable.schemaOf(spark, uri)
     val dimIdx = schema.dimNames.map(d =>
       targetOutput.indexWhere(_.name.equalsIgnoreCase(d)))
-    matched.foreach { case (_, sets) => sets.foreach { case (n, _) =>
+    (matched ++ bySource).foreach { case (_, sets) => sets.foreach { case (n, _) =>
       if (schema.dimNames.exists(_.equalsIgnoreCase(n)))
         sys.error(s"cannot MERGE-update dimension '$n' of $uri: cell coordinates " +
           "are immutable")
@@ -197,7 +204,15 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
     val insertedRows = applyActions(insertSrc, inserts,
       i => lit(null).cast(targetOutput(i).dataType))
 
-    val out = updatedRows.unionByName(insertedRows)
+    // WHEN NOT MATCHED BY SOURCE ... UPDATE: target rows with no source
+    // match, same shadow mechanics (only the DELETE variant is
+    // impossible under shadowing)
+    val bySourceRows =
+      if (bySource.isEmpty) None
+      else Some(applyActions(tgt.join(src, joinCond, "left_anti"),
+        bySource, i => col(s"t__$i")))
+
+    val out = bySourceRows.foldLeft(updatedRows.unionByName(insertedRows))(_ unionByName _)
     ArrayTable.write(spark, out, uri)
     Seq.empty
   }

@@ -227,6 +227,21 @@ case class GraftTable(spark: SparkSession, uri: String,
   override def schema(): StructType =
     arraySchema.map(_.sparkSchema).getOrElse(new StructType())
 
+  /** Surfaced by `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
+    * the array's structural metadata (dims, sparsity, duplicates
+    * policy, fragment count) — cheap manifest-level facts only. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    arraySchema.foreach { sch =>
+      m.put("dims", sch.dimNames.mkString(","))
+      m.put("sparse", sch.sparse.toString)
+      m.put("allowsDuplicates", sch.allowsDuplicates.toString)
+      m.put("fragments", ArrayTable.fragments(spark, uri).size.toString)
+      m.put("uri", uri)
+    }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     if (viaCatalog)
       java.util.EnumSet.of(TableCapability.BATCH_READ,

@@ -131,6 +131,32 @@ object ScaleRehearsal {
     }
     results += "ingest_lineitem" -> tIngest
 
+    // ---- round-8 ops: persisted-index probe, packing, dup spans -----
+    // index build is the amortized one-time pass; the PROBE is the
+    // steady-state cost — measure both, plus the probe's scan
+    // selectivity (bytes of index actually read vs index size)
+    val idxUri = s"$outDir/minhash_index"
+    val (_, tIdxBuild) = time(
+      graft.ops.DedupIndex.build(docs.select("doc_id", "text"), "doc_id", "text", idxUri))
+    results += "index_build" -> tIdxBuild
+    val batch = docs0.limit(500)
+      .withColumn("doc_id", col("doc_id") + (1L << 50))
+      .withColumn("text", concat(col("text"), lit(" xyzzy")))
+    val (probeHits, tProbe) = time(
+      graft.ops.DedupIndex.probe(batch, "doc_id", "text", idxUri, threshold = 0.6).count())
+    results += "index_probe_500" -> tProbe
+    println(s"[rehearsal] index probe of 500 docs: $probeHits matches")
+
+    val (_, tPack) = time(
+      graft.ops.Packing.packStats(
+        graft.ops.Packing.packDocs(docs, "doc_id", "text", 512L), 512L)
+        .agg(sum("tokens")).head())
+    results += "packing" -> tPack
+
+    val (_, tSpans) = time(
+      Curation.dupSpans(docs, "doc_id", "text", n = 8).agg(sum("shared_grams")).head())
+    results += "dup_spans" -> tSpans
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_rehearsal","mult":$mult,"queries":$qs,""" +
       s""""buckets_over_cap":${stats.getLong(1)},"max_bucket":${stats.getLong(4)}}""")

@@ -168,6 +168,25 @@ class GraftCatalogSpec extends SparkSpec {
         WHEN MATCHED THEN DELETE""")
     }
     assert(e2.getMessage.contains("DELETE FROM"), e2.getMessage)
+    // NOT MATCHED BY SOURCE ... UPDATE shadows the unmatched target rows
+    spark.sql("""MERGE INTO g.mrg.arr t USING mrg_src s ON t.k = s.sk
+      WHEN NOT MATCHED BY SOURCE AND t.k <= 2 THEN UPDATE SET tag = 'stale'""")
+    val tags = spark.sql("SELECT k, tag FROM g.mrg.arr ORDER BY k")
+      .as[(Long, String)].collect().toMap
+    assert(tags(1L) == "stale" && tags(2L) == "stale" && tags(5L) == "old" &&
+      tags(3L) == "upd" && tags(11L) == "new", tags)
+  }
+
+  test("DESCRIBE EXTENDED / SHOW TBLPROPERTIES surface array metadata") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.meta")
+    spark.sql("CREATE TABLE g.meta.t (a BIGINT, b BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('dims'='a,b')")
+    spark.sql("INSERT INTO g.meta.t VALUES (1, 1, 1.0)")
+    val props = spark.sql("SHOW TBLPROPERTIES g.meta.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("dims") == "a,b" && props("sparse") == "true" &&
+      props("fragments") == "1", props)
   }
 
   test("catalog errors: missing table, missing dims property") {
