@@ -552,6 +552,24 @@ object SparkEntry {
       }
       s.sql(s"SELECT * FROM $cat.sf.orders_mrg")
     }),
+    // Manifest-served SQL aggregates: on a metadata-clean catalog table
+    // (allowsDuplicates, one fragment) an ungrouped COUNT/MIN/MAX
+    // collapses to one driver-local row from fragment manifests — the
+    // values must match DuckDB aggregating the actual rows
+    "catalog_agg_meta" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_meta"
+      if (!ArrayTable.exists(s, uri)) synchronized {
+        s.sql(s"CREATE TABLE $cat.sf.orders_meta (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey', " +
+          "'allowsDuplicates'='true')")
+        t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_meta")
+        s.sql(s"INSERT INTO $cat.sf.orders_meta SELECT * FROM catalog_src_orders_meta")
+      }
+      s.sql(s"SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
+        s"max(o_orderkey) AS max_key FROM $cat.sf.orders_meta")
+    }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
@@ -1363,6 +1381,8 @@ object SparkEntry {
       "o_orderdate, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 'RE-PRICED' ELSE o_orderpriority END " +
       "AS o_orderpriority FROM orders"),
+    "catalog_agg_meta" -> ("SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
+      "max(o_orderkey) AS max_key FROM orders"),
     "catalog_merge" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END " +
       "AS o_totalprice, o_orderdate, o_orderpriority FROM orders " +

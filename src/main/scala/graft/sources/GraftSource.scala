@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.storage.ArrayTable
 
@@ -347,7 +347,8 @@ class GraftScanBuilder(spark: SparkSession, uri: String,
     arraySchema: graft.core.ArraySchema,
     frags: Seq[ArrayTable.FragmentInfo],
     options: CaseInsensitiveStringMap) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   // parquet arrays/timestamps read back nullable; relaxed nullability
   // keeps the delegate's read schema consistent with the files
@@ -367,7 +368,118 @@ class GraftScanBuilder(spark: SparkSession, uri: String,
     requiredSchema = StructType(dataSchema.fields.filter(f =>
       required.fieldNames.contains(f.name)))
 
-  override def build(): Scan = {
+  /** Manifest-served aggregates: ungrouped COUNT(*) / COUNT(dim) /
+    * MIN(dim) / MAX(dim) collapse to ONE driver-local row computed
+    * from fragment manifests — zero files read, O(fragments) work at
+    * any array size. This builder only exists on the metadata-clean
+    * fast path (no shadowing, tombstones, or drift in the window), so
+    * the manifest numbers ARE the data's. Declined whenever filters
+    * were pushed (counts would need evaluation) or an MBR endpoint is
+    * missing. COUNT(attr) is declined too: SQL counts non-nulls and
+    * manifests don't track attr validity. */
+  private var aggResult: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    serveAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = serveAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def serveAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import graft.core.Json.{JLong, JNum, JStr, JVal}
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val dimTypes = arraySchema.dims.map(d => d.name -> d.sparkField.dataType).toMap
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+        case _ => None
+      }
+    val total = frags.map(_.cellCount).sum
+    def servableDim(n: String) = dimTypes.get(n).exists {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | StringType => true
+      case _ => false
+    }
+    def extreme(dim: String, takeMin: Boolean): Option[Any] = {
+      val ends = frags.map(f => f.mbr.get(dim).map(p => if (takeMin) p._1 else p._2))
+      if (frags.isEmpty || ends.exists(_.isEmpty)) None
+      else {
+        val vals = ends.flatten
+        val nums = vals.map {
+          case JLong(l) => Some(BigDecimal(l)); case JNum(n) => Some(BigDecimal(n))
+          case _ => None
+        }
+        val winner: Option[JVal] =
+          if (nums.forall(_.isDefined)) {
+            val z = vals.zip(nums.map(_.get))
+            Some((if (takeMin) z.minBy(_._2) else z.maxBy(_._2))._1)
+          } else if (vals.forall(_.isInstanceOf[JStr])) {
+            val ss = vals.collect { case s: JStr => s }
+            Some(if (takeMin) ss.minBy(_.v) else ss.maxBy(_.v))
+          } else None
+        winner.map { v =>
+          (v, dimTypes(dim)) match {
+            case (JLong(l), LongType) => l
+            case (JLong(l), IntegerType) => l.toInt
+            case (JLong(l), ShortType) => l.toShort
+            case (JLong(l), ByteType) => l.toByte
+            case (JLong(l), DoubleType) => l.toDouble
+            case (JLong(l), FloatType) => l.toFloat
+            case (JNum(n), DoubleType) => n
+            case (JNum(n), FloatType) => n.toFloat
+            case (JStr(s), StringType) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case _ => return None
+          }
+        }
+      }
+    }
+    val served = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", org.apache.spark.sql.types.LongType,
+          nullable = false), total: Any))
+      case c: Count if !c.isDistinct =>
+        // dims are non-null by construction, so COUNT(dim) = row count
+        refName(c.column).filter(dimTypes.contains).map(n =>
+          (StructField(s"count($n)", org.apache.spark.sql.types.LongType,
+            nullable = false), total: Any))
+      case m: Min =>
+        refName(m.column).filter(servableDim).flatMap(n =>
+          extreme(n, takeMin = true).map(v =>
+            (StructField(s"min($n)", dimTypes(n)), v)))
+      case m: Max =>
+        refName(m.column).filter(servableDim).flatMap(n =>
+          extreme(n, takeMin = false).map(v =>
+            (StructField(s"max($n)", dimTypes(n)), v)))
+      case _ => None
+    }
+    if (served.exists(_.isEmpty)) None
+    else {
+      val fields = served.flatten
+      Some((StructType(fields.map(_._1)),
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(fields.map(_._2))))
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        override def readSchema(): StructType = aggSchema
+        override def description(): String = s"graft manifest-aggregate: $uri"
+      }
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val dimSet = arraySchema.dimNames.toSet
     val bounds = GraftRelation.boundsOf(
       pushed.filter(f => GraftRelation.refs(f).forall(dimSet)), dimSet)

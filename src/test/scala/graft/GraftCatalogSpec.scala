@@ -189,6 +189,33 @@ class GraftCatalogSpec extends SparkSpec {
       props("fragments") == "1", props)
   }
 
+  test("ungrouped COUNT/MIN/MAX answer from manifests, zero files read") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.agg")
+    spark.sql("CREATE TABLE g.agg.t (x BIGINT, y STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('dims'='x,y', 'allowsDuplicates'='true')")
+    spark.sql("INSERT INTO g.agg.t VALUES (5, 'b', 1.0), (1, 'a', 2.0), (9, 'c', 3.0)")
+    spark.sql("INSERT INTO g.agg.t VALUES (12, 'zz', 4.0), (3, 'aa', 5.0)")
+    val df = spark.sql(
+      "SELECT count(*) AS n, min(x) AS lo, max(x) AS hi, max(y) AS hs FROM g.agg.t")
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((5L, 1L, 12L, "zz")))
+    // the plan is a local one-row scan (Spark renders a LocalScan as
+    // LocalTableScan) — no parquet scan, no aggregate exec at all
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan [count(*)"), plan)
+    assert(!plan.contains("Scan parquet") && !plan.contains("HashAggregate"), plan)
+    // a filtered aggregate is NOT served from manifests (falls to files)
+    val filtered = spark.sql("SELECT count(*) FROM g.agg.t WHERE x > 4")
+    assert(filtered.collect()(0).getLong(0) == 3L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // COUNT(attr) is declined (nullability unknown to manifests)
+    val attrCount = spark.sql("SELECT count(v) FROM g.agg.t")
+    assert(attrCount.collect()(0).getLong(0) == 5L)
+    assert(attrCount.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
