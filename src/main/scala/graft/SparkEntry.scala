@@ -1196,6 +1196,34 @@ object SparkEntry {
     // recomputable row-by-row by the DuckDB oracle
     "det_sample" -> ((s, d) =>
       Curation.deterministicSample(t(s, d, "documents"), "doc_id", 0.3)),
+    // deterministic train/val/test assignment — per-row value-checked
+    // (DuckDB recomputes the same md5 bucket per doc)
+    "det_split" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), Curation.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))),
+    // leakage-free split gate: near-dup clusters (planted edits) never
+    // span splits, everyone is assigned, fractions are sane
+    "leakage_split_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val edited = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + DupOff)
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      val all = docs.unionByName(edited)
+      val out = Curation.leakageFreeSplit(all, "doc_id", "text",
+        Seq("train" -> 0.7, "test" -> 0.3), threshold = 0.6).localCheckpoint(true)
+      val n = all.count()
+      val assigned = out.filter(col("split").isin("train", "test")).count()
+      // every planted (orig, edit) pair lands in ONE split
+      val leaks = out.select(col("doc_id"), col("split"))
+        .join(out.select((col("doc_id") - DupOff).as("doc_id"),
+          col("split").as("split2")), "doc_id")
+        .filter(col("split") =!= col("split2")).count()
+      val frac = out.filter(col("split") === "train").count().toDouble / n
+      s.range(1).select(
+        lit(assigned == n).as("all_assigned"),
+        lit(leaks == 0L).as("no_leaks"),
+        lit(frac > 0.55 && frac < 0.85).as("fractions_sane"))
+    }),
     // per-source mixture re-weighting in one narrow pass
     "mixture_sample" -> ((s, d) =>
       Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
@@ -1546,6 +1574,14 @@ object SparkEntry {
     "det_sample" -> ("SELECT * FROM documents WHERE " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
       "AS BIGINT) < CAST(floor(0.3 * 16777216) AS BIGINT)"),
+    "det_split" -> ("SELECT doc_id, CASE " +
+      "WHEN h < CAST(floor(0.8 * 16777216) AS BIGINT) THEN 'train' " +
+      "WHEN h < CAST(floor(0.9 * 16777216) AS BIGINT) THEN 'val' " +
+      "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+      "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
+      "AS BIGINT) AS h FROM documents)"),
+    "leakage_split_gate" -> ("SELECT true AS all_assigned, true AS no_leaks, " +
+      "true AS fractions_sane"),
     "mixture_sample" -> ("SELECT * FROM documents WHERE " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
       "AS BIGINT) < CAST(floor(16777216 * CASE source " +

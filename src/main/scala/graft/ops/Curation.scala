@@ -151,6 +151,45 @@ object Curation {
       salt: String = "graft"): DataFrame =
     df.filter(sampleHash(col(idCol), fraction, salt))
 
+  /** Deterministic train/val/test assignment: the md5-24-bit hash of
+    * (salt || key) lands in one of the cumulative `weights` buckets.
+    * Same reproducibility contract as [[sampleHash]] — a pure function
+    * of key and salt, independent of partitioning/retries/cluster
+    * size, recomputable by any engine with md5 (the DuckDB oracle
+    * does). Zero shuffle: one narrow expression. */
+  def splitColumn(keyCol: Column, weights: Seq[(String, Double)],
+      salt: String = "graft"): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must be non-negative and sum to 1: $weights")
+    val h = conv(substring(md5(concat(lit(salt), keyCol.cast("string"))
+      .cast("binary")), 1, 6), 16, 10).cast("long")
+    val cuts = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => (c * (1 << 24)).toLong)
+    weights.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(weights.last._1)) { case ((name, cut), els) =>
+        when(h < cut, name).otherwise(els)
+      }
+  }
+
+  /** Leakage-free split: near-duplicate CLUSTERS are assigned to splits
+    * atomically, so an eval doc can never have a near-copy in train —
+    * the contamination mode a plain per-doc split invites. One LSH
+    * pass + clustering over the corpus ([[Dedup.dupClusters]]); every
+    * doc hashes on its CLUSTER id (singleton docs on their own id,
+    * which equals their cluster root). Adds a `split` column. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)], threshold: Double = 0.7,
+      salt: String = "graft"): DataFrame = {
+    val pairs = Dedup.minhashNearDups(df, idCol, textCol, threshold = threshold)
+    val clusters = Dedup.dupClusters(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("cluster", "__cl")
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn("__key", coalesce(col("__cl"), col(idCol)))
+      .withColumn("split", splitColumn(col("__key"), weights, salt))
+      .drop("__cl", "__key")
+  }
+
   /** Mixture sampling: per-source fractions in one pass — the
     * "re-weight my training mixture" op (e.g. downsample web crawl to
     * 30%, keep code at 100%). Sources absent from `fractions` keep

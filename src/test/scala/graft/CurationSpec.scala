@@ -102,6 +102,40 @@ class CurationSpec extends SparkSpec {
     assert(mix == det)
   }
 
+  test("splitColumn: deterministic, complete, ~weights") {
+    val df = (0L until 4000L).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = df.withColumn("split", Curation.splitColumn($"id", w))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03, counts)
+    // pure function of (id, salt): repartitioning doesn't move anyone
+    val again = df.repartition(13).withColumn("split", Curation.splitColumn($"id", w))
+    assert(out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      again.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+  }
+
+  test("leakageFreeSplit: a near-dup cluster never spans two splits") {
+    def uniq(i: Int) = (0 until 20).map { j =>
+      java.lang.Long.toString(((i + 11L) * 2654435761L + j * 40503L) & 0xffffffL, 26)
+    }.mkString(" ")
+    // 50 clusters of 3 near-dup docs each + 50 singletons
+    val docs = ((0 until 50).flatMap { c =>
+      Seq((c * 10L, uniq(c)), (c * 10L + 1, uniq(c) + " x"), (c * 10L + 2, uniq(c) + " y"))
+    } ++ (0 until 50).map(i => (10000L + i, uniq(1000 + i)))).toDF("doc_id", "text")
+    val out = Curation.leakageFreeSplit(docs, "doc_id", "text",
+      Seq("train" -> 0.5, "test" -> 0.5), threshold = 0.6)
+    assert(out.count() == 200)
+    // every planted triple shares one split
+    val spans = out.filter($"doc_id" < 10000L)
+      .withColumn("c", ($"doc_id" / 10).cast("long"))
+      .groupBy("c").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1)
+    assert(spans.count() == 0, spans.collect().mkString(","))
+    // both splits are populated
+    assert(out.select("split").distinct().count() == 2)
+  }
+
   test("dupSpans: planted shared boilerplate is flagged, unique text is not") {
     val boiler = "this license header is replicated verbatim across many files " +
       "and should be detected as duplicated span content by the detector"
