@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the relation is still intact when this rule sees it)
     ext.injectPostHocResolutionRule(session =>
       graft.plans.UpdateRewrite(session))
+    // readStream.table(<catalog graft table>) -> fragment file stream
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.StreamTableRewrite(session))
 
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

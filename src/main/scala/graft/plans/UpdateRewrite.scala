@@ -85,6 +85,37 @@ case class UpdateRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** `spark.readStream.table("cat.ns.arr")`: swap the V2 streaming
+  * relation for the fragment-glob file stream
+  * ([[graft.streaming.EventStreams.readArrayStream]]) — each committed
+  * fragment's files surface as new stream input, so a catalog table is
+  * streamable by NAME with no custom MicroBatchStream: offsets,
+  * backpressure (`maxFilesPerTrigger`), and recovery are the mature
+  * file-source machinery's. Aliased back onto the streaming relation's
+  * attribute ids so references above still resolve. CDC semantics:
+  * appends surface; tombstones/shadowing do NOT retro-apply to rows
+  * already emitted (a stream cannot retract) — the same contract as
+  * reading the fragment log directly. */
+case class StreamTableRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case s: StreamingRelationV2 if s.table.isInstanceOf[GraftTable] =>
+      val t = s.table.asInstanceOf[GraftTable]
+      if (t.t0.nonEmpty || t.t1.nonEmpty)
+        sys.error(s"cannot stream a time-travel view of ${t.uri}")
+      val stream = graft.streaming.EventStreams.readArrayStream(spark, t.uri)
+      val resolved = stream.queryExecution.analyzed
+      val byName = resolved.output.map(a => a.name -> a).toMap
+      val aliases = s.output.map { a =>
+        val child = byName.getOrElse(a.name,
+          sys.error(s"stream of ${t.uri}: column ${a.name} missing from fragments"))
+        org.apache.spark.sql.catalyst.expressions.Alias(child, a.name)(exprId = a.exprId)
+      }
+      org.apache.spark.sql.catalyst.plans.logical.Project(aliases, resolved)
+  }
+}
+
 /** The runnable: read-filter-assign-write. Executes lazily at command
   * run time so the read sees the array state AT EXECUTION, like every
   * other MVCC write. */

@@ -216,6 +216,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(attrCount.queryExecution.executedPlan.toString.contains("HashAggregate"))
   }
 
+  test("readStream.table streams committed fragments by name") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.str")
+    spark.sql("CREATE TABLE g.str.t (x BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('dims'='x', 'allowsDuplicates'='true')")
+    spark.sql("INSERT INTO g.str.t VALUES (1, 1.0), (2, 2.0)")
+    val q = spark.readStream.table("g.str.t")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cat_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_stream_out").count() == 2)
+      // a new INSERT (one fragment) lands in the stream
+      spark.sql("INSERT INTO g.str.t VALUES (3, 3.0)")
+      q.processAllAvailable()
+      assert(spark.table("cat_stream_out").select("x").as[Long].collect().toSet ==
+        Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
