@@ -1196,6 +1196,37 @@ object SparkEntry {
     // recomputable row-by-row by the DuckDB oracle
     "det_sample" -> ((s, d) =>
       Curation.deterministicSample(t(s, d, "documents"), "doc_id", 0.3)),
+    // End-to-end curation pipeline: the ops COMPOSE — near-dedup ->
+    // quality filter -> PII redaction -> leakage-safe split -> pack the
+    // train split to 512-token sequences. The gate checks the chain's
+    // conservation laws (monotone counts, everything split, packs
+    // well-formed) plus the oracle-valued corpus size.
+    "pipeline_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val nIn = docs.count()
+      val deduped = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6)
+        .localCheckpoint(true)
+      val quality = deduped.filter(TextAnalysis.qualityScore(col("text")) > 0.2)
+      val clean = quality.withColumn("text", Curation.redactPii(col("text")))
+      val split = clean.withColumn("split",
+        Curation.splitColumn(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.1)))
+        .localCheckpoint(true)
+      val train = split.filter(col("split") === "train")
+      val packed = graft.ops.Packing.packDocs(train, "doc_id", "text", 512L)
+      val stats = graft.ops.Packing.packStats(packed, 512L)
+      val nDedup = deduped.count(); val nQuality = quality.count()
+      val nSplit = split.count(); val nTrain = train.count()
+      val nPacked = packed.count()
+      val overBudget = stats.filter(col("tokens") > 512L && !col("oversize")).count()
+      s.range(1).select(
+        lit(nIn).as("n_docs"),
+        lit(nDedup <= nIn && nQuality <= nDedup && nSplit == nQuality)
+          .as("counts_monotone"),
+        lit(nPacked == nTrain || nPacked == train
+          .filter(TextAnalysis.tokenCount(col("text")) > 0).count())
+          .as("train_all_packed"),
+        lit(overBudget == 0L).as("packs_well_formed"))
+    }),
     // deterministic train/val/test assignment — per-row value-checked
     // (DuckDB recomputes the same md5 bucket per doc)
     "det_split" -> ((s, d) => t(s, d, "documents")
@@ -1582,6 +1613,8 @@ object SparkEntry {
       "AS BIGINT) AS h FROM documents)"),
     "leakage_split_gate" -> ("SELECT true AS all_assigned, true AS no_leaks, " +
       "true AS fractions_sane"),
+    "pipeline_e2e" -> ("SELECT count(*) AS n_docs, true AS counts_monotone, " +
+      "true AS train_all_packed, true AS packs_well_formed FROM documents"),
     "mixture_sample" -> ("SELECT * FROM documents WHERE " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
       "AS BIGINT) < CAST(floor(16777216 * CASE source " +

@@ -216,8 +216,13 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
     val tgt0 = ArrayTable.read(spark, uri)
     val tgt = tgt0.select(tgt0.columns.zipWithIndex.map { case (c, i) =>
       col(c).as(s"t__$i") }.toSeq: _*)
+    // the source is consumed by three joins (matched, not-matched,
+    // by-source); materialize it once so a non-deterministic source
+    // query (uuid(), rand(), a shrinking view) cannot produce three
+    // different row sets — and the batch-sized recompute is saved
     val src0 = Shim.ofRows(spark, source)
     val src = src0.toDF(sourceOutput.indices.map(i => s"s__$i"): _*)
+      .localCheckpoint(true)
     val joinCond = remap(cond)
 
     val hitPairs = tgt.join(src, joinCond, "inner")
