@@ -570,6 +570,27 @@ object SparkEntry {
       s.sql(s"SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
         s"max(o_orderkey) AS max_key FROM $cat.sf.orders_meta")
     }),
+    // SQL maintenance procedures: CALL consolidate + vacuum collapse
+    // two fragments to one; the read-back must still be the full table
+    "catalog_consolidate" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_cons"
+      if (!ArrayTable.exists(s, uri)) synchronized {
+        s.sql(s"CREATE TABLE $cat.sf.orders_cons (o_orderkey BIGINT, o_custkey BIGINT, " +
+          "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
+          "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
+        t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_cons")
+        s.sql(s"INSERT INTO $cat.sf.orders_cons SELECT * FROM catalog_src_orders_cons " +
+          "WHERE o_orderkey % 2 = 0")
+        s.sql(s"INSERT INTO $cat.sf.orders_cons SELECT * FROM catalog_src_orders_cons " +
+          "WHERE o_orderkey % 2 = 1")
+        s.sql(s"CALL $cat.system.consolidate('sf.orders_cons')")
+        s.sql(s"CALL $cat.system.vacuum('sf.orders_cons')")
+        require(ArrayTable.fragments(s, uri).size == 1,
+          "consolidate must leave one fragment")
+      }
+      s.sql(s"SELECT * FROM $cat.sf.orders_cons")
+    }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
     // upgrade_version migration: post-migration read must equal the
     // evolved read (fill baked into the rewritten fragment)
@@ -1442,6 +1463,7 @@ object SparkEntry {
       "AS o_orderpriority FROM orders"),
     "catalog_agg_meta" -> ("SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
       "max(o_orderkey) AS max_key FROM orders"),
+    "catalog_consolidate" -> "SELECT * FROM orders",
     "catalog_merge" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END " +
       "AS o_totalprice, o_orderdate, o_orderpriority FROM orders " +

@@ -40,7 +40,8 @@ import graft.storage.{ArrayTable, VFS}
   * `TIMESTAMP AS OF` arrives as epoch-microseconds and maps onto the
   * same bound for arrays whose writers used epoch-micro timestamps.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -172,5 +173,92 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else if (!cascade && fs.ls(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     else fs.delete(dir)
+  }
+
+  // -------------------------------------------------------- procedures
+  //
+  // Array MAINTENANCE via SQL: `CALL cat.system.consolidate('ns.tbl')`
+  // etc. — the operational verbs (compaction, vacuum, format
+  // migration, fragment retention) that every long-lived array needs,
+  // without leaving SQL. Each returns one status row of fragment
+  // counts so operators can script on the result.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  private def tableUri(arg: String): String = {
+    val parts = arg.split("\\.").toSeq
+    val p = pathOf(parts.init, parts.last)
+    if (!ArrayTable.exists(spark, p))
+      throw new NoSuchTableException(Identifier.of(parts.init.toArray, parts.last))
+    p
+  }
+
+  /** One-status-row procedure: `body` runs the maintenance op and the
+    * result row is (fragments_before, fragments_after). */
+  private def proc(pname: String, desc: String,
+      params: Seq[ProcedureParameter])(body: InternalRow => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = pname
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[
+            org.apache.spark.sql.connector.read.Scan] = {
+          val before = ArrayTable.fragments(spark, tableUri(input.getString(0))).size
+          val uri = body(input)
+          val after = ArrayTable.fragments(spark, uri).size
+          val schema = new StructType()
+            .add("fragments_before", LongType).add("fragments_after", LongType)
+          java.util.Collections.singletonList(
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(before.toLong, after.toLong))
+              override def readSchema(): StructType = schema
+              override def description(): String = s"graft $pname status"
+            }: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+    }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType)
+      .comment("table name relative to this catalog, e.g. 'ns.tbl'").build()
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array("consolidate", "vacuum", "upgrade_version", "delete_fragments")
+      .map(n => Identifier.of(Array("system"), n))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name match {
+    case "consolidate" => proc("consolidate",
+      "rewrite all live fragments (and purge tombstoned rows) into one",
+      Seq(tableParam)) { in =>
+        val uri = tableUri(in.getString(0)); ArrayTable.consolidate(spark, uri); uri
+      }
+    case "vacuum" => proc("vacuum",
+      "physically remove consolidated-away and trashed fragments",
+      Seq(tableParam)) { in =>
+        val uri = tableUri(in.getString(0)); ArrayTable.vacuum(spark, uri); uri
+      }
+    case "upgrade_version" => proc("upgrade_version",
+      "rewrite fragments at the latest schema version (bakes in evolution)",
+      Seq(tableParam)) { in =>
+        val uri = tableUri(in.getString(0)); ArrayTable.upgradeVersion(spark, uri); uri
+      }
+    case "delete_fragments" => proc("delete_fragments",
+      "trash whole fragments committed in [t0, t1]",
+      Seq(tableParam,
+        ProcedureParameter.in("t0", LongType).build(),
+        ProcedureParameter.in("t1", LongType).build())) { in =>
+        val uri = tableUri(in.getString(0))
+        ArrayTable.deleteFragments(spark, uri, in.getLong(1), in.getLong(2)); uri
+      }
+    case other => throw new RuntimeException(
+      s"unknown graft procedure '$other' (have: consolidate, vacuum, " +
+        "upgrade_version, delete_fragments)")
   }
 }

@@ -236,6 +236,29 @@ class GraftCatalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CALL procedures: consolidate + vacuum + delete_fragments via SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.proc")
+    spark.sql("CREATE TABLE g.proc.t (x BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('dims'='x', 'allowsDuplicates'='true')")
+    spark.sql("INSERT INTO g.proc.t VALUES (1, 1.0)")
+    spark.sql("INSERT INTO g.proc.t VALUES (2, 2.0)")
+    spark.sql("INSERT INTO g.proc.t VALUES (3, 3.0)")
+    val st = spark.sql("CALL g.system.consolidate('proc.t')").collect()(0)
+    assert((st.getLong(0), st.getLong(1)) == ((3L, 1L)), st)
+    spark.sql("CALL g.system.vacuum('proc.t')")
+    val uri = s"$root/proc/t"
+    assert(ArrayTable.fragments(spark, uri).size == 1)
+    assert(spark.sql("SELECT sum(v) FROM g.proc.t").as[Double].collect()(0) == 6.0)
+    // delete_fragments with an explicit window
+    val ts = ArrayTable.fragments(spark, uri).head.ts
+    spark.sql(s"CALL g.system.delete_fragments('proc.t', ${ts}L, ${ts}L)")
+    assert(spark.sql("SELECT count(*) FROM g.proc.t").as[Long].collect()(0) == 0)
+    // procedures are discoverable
+    val procs = spark.sql("SHOW PROCEDURES IN g.system").collect().map(_.toString)
+    assert(procs.exists(_.contains("consolidate")), procs.toSeq)
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }
