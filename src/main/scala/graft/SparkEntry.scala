@@ -932,6 +932,10 @@ object SparkEntry {
     // --- text analysis (scale extensions) ---
     "text_tokens" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    // context-window chunking (64-token windows, 16 overlap) — DuckDB
+    // replays the exact slicing, values hash-exact
+    "text_chunks" -> ((s, d) => TextAnalysis.chunkDocs(
+      t(s, d, "documents"), "doc_id", "text", maxTokens = 64, overlap = 16)),
     // Sequence packing (partition-local best-fit-decreasing into
     // 512-token training sequences). n_docs/total_tokens are recomputed
     // independently by the DuckDB oracle — conservation through the
@@ -1524,6 +1528,16 @@ object SparkEntry {
     "text_tokens" -> ("SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +
       "FROM documents"),
+    "text_chunks" -> ("WITH toks AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS t FROM documents " +
+      "WHERE length(trim(text)) > 0), " +
+      "n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks), " +
+      "c AS (SELECT doc_id, t, n, unnest(generate_series(0, " +
+      "CASE WHEN n <= 64 THEN 0 ELSE CAST(ceil(CAST(n - 16 AS DOUBLE) / 48) " +
+      "AS BIGINT) - 1 END)) AS chunk_id FROM n) " +
+      "SELECT doc_id, chunk_id, least(64, n - chunk_id * 48) AS n_tokens, " +
+      "array_to_string(t[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ') " +
+      "AS chunk FROM c"),
     "packing_gate" -> ("WITH tok AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 " +
       "THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
       "AS n FROM documents) " +

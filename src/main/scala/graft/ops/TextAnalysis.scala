@@ -243,4 +243,30 @@ object TextAnalysis {
       }
     }
   }
+
+  /** Split long documents into fixed-token-window chunks with overlap
+    * (the context-window prep step for training and retrieval). Chunk
+    * `i` covers whitespace tokens `[i*stride, i*stride + maxTokens)`
+    * with `stride = maxTokens - overlap`; the final chunk always
+    * reaches the document's end; docs at or under `maxTokens` yield
+    * one chunk; empty docs none. One narrow explode per row — no
+    * shuffle, no state; deterministic, so DuckDB replays it
+    * value-exactly. Returns (idCol, chunk_id, n_tokens, chunk). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        when(col("__n") <= maxTokens, lit(0L)).otherwise(
+          ceil((col("__n") - lit(overlap)).cast("double") / stride).cast("long") - 1))))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(maxTokens.toLong), col("__n") - col("chunk_id") * stride)
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("__t"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(maxTokens))).as("chunk"))
+  }
 }

@@ -116,9 +116,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable(spark, p, None, None, viaCatalog = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schema evolution runs through the ArrayTable API (addAttr/dropAttr/...)")
+  /** SQL schema evolution onto the array-native evolution mechanics:
+    * `ALTER TABLE ... ADD COLUMN` becomes `addAttr` (new attr with an
+    * optional fill — old fragments read it back as fill/null, no
+    * rewrite), `DROP COLUMN` becomes `dropAttr` (projection-level, no
+    * rewrite; dims can't be dropped). Anything else keeps the loud
+    * unsupported error. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    if (!ArrayTable.exists(spark, p)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft attrs are top-level; cannot add nested ${add.fieldNames.mkString(".")}")
+        val fill = Option(add.defaultValue).map(_.getSql)
+        ArrayTable.addAttr(spark, p, graft.core.Attr(add.fieldNames()(0),
+          graft.core.Dtypes.fromSpark(add.dataType), nullable = add.isNullable,
+          fill = fill))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"cannot drop nested ${del.fieldNames.mkString(".")}")
+        ArrayTable.dropAttr(spark, p, del.fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on a graft table: $other (supported: ADD COLUMN, " +
+          "DROP COLUMN; other evolution runs through the ArrayTable API)")
+    }
+    GraftTable(spark, p, None, None, viaCatalog = true)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = pathOf(ident)

@@ -259,6 +259,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(procs.exists(_.contains("consolidate")), procs.toSeq)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN evolve the array schema in place") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo")
+    spark.sql("CREATE TABLE g.evo.t (x BIGINT, v DOUBLE) TBLPROPERTIES ('dims'='x')")
+    spark.sql("INSERT INTO g.evo.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("ALTER TABLE g.evo.t ADD COLUMN bonus BIGINT DEFAULT 42")
+    // pre-evolution fragments read the fill; no rewrite happened
+    val got = spark.sql("SELECT x, v, bonus FROM g.evo.t ORDER BY x")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 1.0, 42L), (2L, 2.0, 42L)))
+    assert(ArrayTable.fragments(spark, s"$root/evo/t").size == 1)
+    spark.sql("INSERT INTO g.evo.t VALUES (3, 3.0, 7)")
+    assert(spark.sql("SELECT bonus FROM g.evo.t WHERE x = 3")
+      .as[Long].collect()(0) == 7L)
+    spark.sql("ALTER TABLE g.evo.t DROP COLUMN bonus")
+    assert(spark.table("g.evo.t").columns.toSeq == Seq("x", "v"))
+  }
+
   test("catalog errors: missing table, missing dims property") {
     root
     assertThrows[Exception] { spark.sql("SELECT * FROM g.ml.nope").collect() }

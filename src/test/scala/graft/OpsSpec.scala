@@ -14,6 +14,23 @@ class OpsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(3L, 0L, 0L, 2L))
   }
 
+  test("chunkDocs: windows, overlap, tail coverage, empty exclusion") {
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "short doc"), (2L, long), (3L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text", maxTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // short doc: one chunk, whole text; empty doc: none
+    assert(out.count(_._1 == 1L) == 1 && out.find(_._1 == 1L).get._4 == "short doc")
+    assert(!out.exists(_._1 == 3L))
+    // 100 tokens at stride 48: chunks [0,64) and [48,100)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2)
+    assert(c2.map(c => (c._2, c._3)).toSeq == Seq((0L, 64L), (1L, 52L)))
+    assert(c2(0)._4.startsWith("w1 ") && c2(0)._4.endsWith(" w64"))
+    assert(c2(1)._4.startsWith("w49 ") && c2(1)._4.endsWith(" w100"))
+    // the overlap region is present in both chunks
+    assert(c2(0)._4.contains("w50") && c2(1)._4.contains("w50"))
+  }
+
   test("BPE merge table is well-formed: operands from strictly earlier merges") {
     // confluence of the greedy loop (and its SQL-replay oracle) depends
     // on this: a merge's operands must be single chars or outputs of
