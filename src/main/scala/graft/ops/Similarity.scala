@@ -324,4 +324,30 @@ object Similarity {
     hit.crossJoin(all)
       .select((col("__hits").cast("double") / col("__n")).as("recall"))
   }
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * codes = round(x / scale) — 4x smaller embedding storage (the
+    * difference between a 100 TB and a 25 TB vector store) with
+    * cosine typically preserved to ~1e-3 on unit-norm vectors.
+    * Narrow per-row expressions, zero shuffle, no state: each vector
+    * carries its own scale, so quantization needs no corpus pass and
+    * re-quantizing a batch is batch-sized work. Returns
+    * (…, codes tinyint array, scale float). All-zero vectors get
+    * scale 0 and all-zero codes. */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = greatest(aggregate(transform(vec, x => abs(x)),
+      lit(0.0f), (a, x) => greatest(a, x)), lit(0.0f)) / 127.0f
+    struct(
+      when(scale === 0.0f, transform(vec, _ => lit(0.toByte)))
+        .otherwise(transform(vec, x => round(x / scale).cast("tinyint")))
+        .as("codes"),
+      scale.cast("float").as("scale"))
+  }
+
+  /** Inverse: codes * scale back to float. Lossy by round(); the
+    * round-trip error bound is scale/2 per component. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"), c => c.cast("float") * q.getField("scale"))
 }

@@ -14,6 +14,29 @@ class OpsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(3L, 0L, 0L, 2L))
   }
 
+  test("int8 quantization: 4x smaller, cosine preserved to 1e-2, zero-safe") {
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(32)(j => (math.sin(i * 7 + j * 13) * (1 + i % 5)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.withColumn("q", Similarity.quantizeInt8($"embedding"))
+      .withColumn("back", Similarity.dequantizeInt8($"q"))
+    val err = q.select(Similarity.cosine($"embedding", $"back").as("c"))
+      .agg(min("c")).as[Double].collect()(0)
+    assert(err > 0.99, s"worst cosine after round-trip: $err")
+    // codes are genuinely tinyint (1 byte vs 4)
+    val codeType = q.schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("codes").dataType
+    assert(codeType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      codeType.simpleString.startsWith("array<tinyint>"), codeType)
+    // all-zero vector round-trips to all zeros, no NaN
+    val z = Seq((0L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .withColumn("q", Similarity.quantizeInt8($"embedding"))
+      .withColumn("back", Similarity.dequantizeInt8($"q"))
+      .select("back").as[Array[Float]].collect()(0)
+    assert(z.forall(_ == 0.0f))
+  }
+
   test("chunkDocs: windows, overlap, tail coverage, empty exclusion") {
     val long = (1 to 100).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, "short doc"), (2L, long), (3L, "  ")).toDF("doc_id", "text")
