@@ -500,7 +500,7 @@ object SparkEntry {
     "catalog_delete" -> ((s, d) => {
       val cat = sqlCatalog(s, d)
       val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_del"
-      if (!ArrayTable.exists(s, uri)) synchronized {
+      synchronized { if (!ArrayTable.exists(s, uri)) {
         s.sql(s"CREATE TABLE $cat.sf.orders_del (o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
           "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
@@ -508,7 +508,7 @@ object SparkEntry {
         s.sql(s"INSERT INTO $cat.sf.orders_del SELECT * FROM catalog_src_orders_del")
         s.sql(s"DELETE FROM $cat.sf.orders_del " +
           "WHERE o_orderstatus = 'F' OR o_totalprice < 1000.0")
-      }
+      } }
       s.sql(s"SELECT * FROM $cat.sf.orders_del")
     }),
     // SQL UPDATE as merge-on-read: one shadow fragment, read-back must
@@ -516,7 +516,7 @@ object SparkEntry {
     "catalog_update" -> ((s, d) => {
       val cat = sqlCatalog(s, d)
       val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_upd"
-      if (!ArrayTable.exists(s, uri)) synchronized {
+      synchronized { if (!ArrayTable.exists(s, uri)) {
         s.sql(s"CREATE TABLE $cat.sf.orders_upd (o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
           "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
@@ -524,7 +524,7 @@ object SparkEntry {
         s.sql(s"INSERT INTO $cat.sf.orders_upd SELECT * FROM catalog_src_orders_upd")
         s.sql(s"UPDATE $cat.sf.orders_upd SET o_totalprice = 0.0, " +
           "o_orderpriority = 'RE-PRICED' WHERE o_orderkey % 10 = 0")
-      }
+      } }
       s.sql(s"SELECT * FROM $cat.sf.orders_upd")
     }),
     // SQL MERGE INTO (the CDC upsert): matched updates + unmatched
@@ -533,7 +533,7 @@ object SparkEntry {
     "catalog_merge" -> ((s, d) => {
       val cat = sqlCatalog(s, d)
       val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_mrg"
-      if (!ArrayTable.exists(s, uri)) synchronized {
+      synchronized { if (!ArrayTable.exists(s, uri)) {
         s.sql(s"CREATE TABLE $cat.sf.orders_mrg (o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
           "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
@@ -549,7 +549,7 @@ object SparkEntry {
           "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, o_orderstatus, " +
           "o_totalprice, o_orderdate, o_orderpriority) VALUES (src.k, 0, 'N', " +
           "src.p, CAST(NULL AS TIMESTAMP_NTZ), 'NEW')").format(cat))
-      }
+      } }
       s.sql(s"SELECT * FROM $cat.sf.orders_mrg")
     }),
     // Manifest-served SQL aggregates: on a metadata-clean catalog table
@@ -559,14 +559,14 @@ object SparkEntry {
     "catalog_agg_meta" -> ((s, d) => {
       val cat = sqlCatalog(s, d)
       val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_meta"
-      if (!ArrayTable.exists(s, uri)) synchronized {
+      synchronized { if (!ArrayTable.exists(s, uri)) {
         s.sql(s"CREATE TABLE $cat.sf.orders_meta (o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
           "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey', " +
           "'allowsDuplicates'='true')")
         t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_meta")
         s.sql(s"INSERT INTO $cat.sf.orders_meta SELECT * FROM catalog_src_orders_meta")
-      }
+      } }
       s.sql(s"SELECT count(*) AS n_rows, min(o_orderkey) AS min_key, " +
         s"max(o_orderkey) AS max_key FROM $cat.sf.orders_meta")
     }),
@@ -575,7 +575,7 @@ object SparkEntry {
     "catalog_consolidate" -> ((s, d) => {
       val cat = sqlCatalog(s, d)
       val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_cons"
-      if (!ArrayTable.exists(s, uri)) synchronized {
+      synchronized { if (!ArrayTable.exists(s, uri)) {
         s.sql(s"CREATE TABLE $cat.sf.orders_cons (o_orderkey BIGINT, o_custkey BIGINT, " +
           "o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, " +
           "o_orderpriority STRING) TBLPROPERTIES ('dims'='o_orderkey')")
@@ -588,7 +588,7 @@ object SparkEntry {
         s.sql(s"CALL $cat.system.vacuum('sf.orders_cons')")
         require(ArrayTable.fragments(s, uri).size == 1,
           "consolidate must leave one fragment")
-      }
+      } }
       s.sql(s"SELECT * FROM $cat.sf.orders_cons")
     }),
     "evolved_read" -> ((s, d) => ArrayTable.read(s, evolvedRegion(s, d))),
@@ -915,13 +915,13 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val uri = s"$arrayBase/${sfKey(d)}/ivf_append_index"
       val fs = graft.storage.VFS(s)
-      if (!fs.exists(s"$uri/centroids.json")) synchronized {
+      synchronized { if (!fs.exists(s"$uri/centroids.json")) {
         fs.delete(uri)
         Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", uri, nCentroids = 16, lloydSteps = 2)
         Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", uri)
-      }
+      } }
       val total = s.read.parquet(s"$uri/cells").count()
       val q = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
       val res = Similarity.ivfIndexTopK(s, uri, q, "vec_id", "embedding",

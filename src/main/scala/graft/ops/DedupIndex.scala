@@ -158,6 +158,17 @@ object DedupIndex {
     val pruned =
       if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
       else index
+    // The probe-time cap replicates the one-shot path's bucket cap
+    // over corpus ∪ batch EXACTLY: a (band, bucket) group whose index
+    // rows + batch rows exceed maxBucket emits no pairs (bucketedPairs
+    // drops it whole), even though build's corpus-only cap kept it.
+    // Both count frames are probe-scale (pruned buckets only), so the
+    // per-group sizes land in one tiny broadcast join.
+    val idxCounts = pruned.groupBy("band", "bucket").agg(count(lit(1)).as("__ni"))
+    val batchCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
+    val overCap = broadcast(idxCounts.join(batchCounts, Seq("band", "bucket"))
+      .filter(col("__ni") + col("__nb") > p.maxBucket)
+      .select("band", "bucket"))
     // batch side broadcast: no exchange anywhere below the join — the
     // index is scanned once, map-side. A pair can surface once per
     // shared band, so a distinct is still needed, but the estimate
@@ -170,6 +181,7 @@ object DedupIndex {
         broadcast(banded.select(col("id").as("__qid"), col("sig").as("__qsig"),
           col("band").as("band"), col("bucket").as("bucket"))),
         Seq("band", "bucket"))
+      .join(overCap, Seq("band", "bucket"), "left_anti")
       .filter(col("id") =!= col("__qid"))
       .withColumn("est", est)
       .select(col("__qid"), col("id").as("__mid"), round(col("est"), 6).as("est"))

@@ -155,8 +155,9 @@ case class GraftUpdateCommand(uri: String, sets: Seq[(String, Expression)],
 
 /** SQL `MERGE INTO` under shadowing: matched-UPDATE rows and
   * not-matched-INSERT rows compose into ONE shadow fragment — the CDC
-  * upsert, with per-batch cost proportional to the SOURCE (target rows
-  * move only through the join), and MVCC time travel seeing every
+  * upsert, with ONE corpus-scale target scan for the whole
+  * matched+insert side (a second only when BY SOURCE actions exist,
+  * which are inherently full-table), and MVCC time travel seeing every
   * pre-merge state. Action conditions keep SQL's first-match-wins
   * semantics; a target row matching multiple source rows is a
   * cardinality violation and fails loudly (its shadow result would be
@@ -225,7 +226,13 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
       .localCheckpoint(true)
     val joinCond = remap(cond)
 
-    val hitPairs = tgt.join(src, joinCond, "inner")
+    // ONE corpus-scale target scan feeds the whole matched side: the
+    // joined pairs are match-scale (bounded by source x matches), so
+    // they checkpoint cheaply, and the cardinality check, the updated
+    // rows, AND the not-matched source (source minus matched source
+    // rows, null-safe anti-join on the s__ columns) all derive from it
+    // without touching the target again.
+    val hitPairs = tgt.join(src, joinCond, "inner").localCheckpoint(true)
     // cardinality check on the matched set (write-sized, not corpus):
     // a target cell fed by two source rows would shadow
     // nondeterministically
@@ -236,7 +243,11 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
         "more than one source row")
     val updatedRows = applyActions(hitPairs, matched, i => col(s"t__$i"))
 
-    val insertSrc = src.join(tgt, joinCond, "left_anti")
+    val matchedSrc = hitPairs
+      .select(sourceOutput.indices.map(i => col(s"s__$i")).toSeq: _*).distinct()
+    val insertSrc = src.join(matchedSrc,
+      sourceOutput.indices.map(i => src(s"s__$i") <=> matchedSrc(s"s__$i"))
+        .reduce(_ && _), "left_anti")
     val insertedRows = applyActions(insertSrc, inserts,
       i => lit(null).cast(targetOutput(i).dataType))
 

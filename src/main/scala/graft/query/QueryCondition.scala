@@ -159,10 +159,13 @@ object QueryCondition {
       case LessThan(c, v) => bin(c, "<", v)
       case LessThanOrEqual(c, v) => bin(c, "<=", v)
       case In(c, vs) =>
+        // a NULL element makes the whole In untranslatable: dropping it
+        // would flip `NOT IN (.., NULL)` from SQL's never-true into a
+        // mass delete of everything outside the list
         for {
           n <- name(c)
           ls <- vs.foldLeft(Option(Seq.empty[String])) { (acc, v) =>
-            for (a <- acc; l <- litS(v); if l != "None") yield a :+ l
+            for (a <- acc; if v != null; l <- litS(v)) yield a :+ l
           }
           if ls.nonEmpty
         } yield s"$n in [${ls.mkString(", ")}]"

@@ -129,14 +129,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"graft attrs are top-level; cannot add nested ${add.fieldNames.mkString(".")}")
-        val fill = Option(add.defaultValue).map(_.getSql)
+        // getSql returns the literal AS SQL — a string default comes
+        // quoted ('web'); the fill convention stores the raw value
+        val fill = Option(add.defaultValue).map(_.getSql).map { sql =>
+          if (sql.length >= 2 && sql.head == '\'' && sql.last == '\'')
+            sql.substring(1, sql.length - 1).replace("''", "'")
+          else sql
+        }
         ArrayTable.addAttr(spark, p, graft.core.Attr(add.fieldNames()(0),
           graft.core.Dtypes.fromSpark(add.dataType), nullable = add.isNullable,
           fill = fill))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"cannot drop nested ${del.fieldNames.mkString(".")}")
-        ArrayTable.dropAttr(spark, p, del.fieldNames()(0))
+        val dropped = del.fieldNames()(0)
+        // dropAttr filters attrs only — a dim name would silently no-op
+        require(!ArrayTable.schemaOf(spark, p).dimNames
+            .exists(_.equalsIgnoreCase(dropped)),
+          s"cannot drop dimension '$dropped': cell coordinates are immutable")
+        ArrayTable.dropAttr(spark, p, dropped)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a graft table: $other (supported: ADD COLUMN, " +
           "DROP COLUMN; other evolution runs through the ArrayTable API)")

@@ -548,7 +548,11 @@ object ArrayTable {
       }
     val afterDeletes = dels.foldLeft(deduped) { (df, d) =>
       val c = QueryCondition.compile(d.cond, Some(schema))
-      df.filter(!(c && col(TS) <= lit(d.ts)))
+      // a NULL-evaluating condition does NOT match the cell (reference
+      // null-comparison semantics, and SQL DELETE's keep-on-NULL rule)
+      // — without the coalesce, !(NULL && ...) is NULL and the filter
+      // silently DROPS rows the delete predicate never matched
+      df.filter(!(coalesce(c, lit(false)) && col(TS) <= lit(d.ts)))
     }
     val decoded = decodeEnums(afterDeletes, schema)
     if (keepVersionCols) decoded else decoded.drop(TS, SEQ)

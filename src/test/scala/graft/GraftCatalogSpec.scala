@@ -259,6 +259,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(procs.exists(_.contains("consolidate")), procs.toSeq)
   }
 
+  test("DELETE keeps NULL-predicate rows; NOT IN with NULL never mass-deletes") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.nul")
+    val uri = s"$root/nul/arr"
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(2000.0)))
+      .toDF("x", "v")
+    ArrayTable.ingest(spark, df, uri, Seq("x"), tsOpt = Some(100L), overwrite = true)
+    // SQL deletes rows where the predicate is TRUE; x=2 has v = NULL,
+    // the predicate evaluates NULL there, and the row must SURVIVE
+    spark.sql("DELETE FROM g.nul.arr WHERE v < 1000.0")
+    assert(spark.sql("SELECT x FROM g.nul.arr ORDER BY x").as[Long].collect().toSeq ==
+      Seq(2L, 3L))
+    // NOT IN with a NULL element is never true in SQL: the translation
+    // must refuse it (analysis error) — silently dropping the NULL
+    // would delete every x != 3 instead of nothing
+    val before = spark.sql("SELECT count(*) FROM g.nul.arr").as[Long].collect()(0)
+    try {
+      spark.sql("DELETE FROM g.nul.arr WHERE x NOT IN (3, NULL)")
+      assert(spark.sql("SELECT count(*) FROM g.nul.arr").as[Long].collect()(0) ==
+        before, "NOT IN (.., NULL) deleted rows — SQL semantics delete none")
+    } catch { case _: Exception => () } // refusing loudly is also correct
+  }
+
   test("ALTER TABLE ADD/DROP COLUMN evolve the array schema in place") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo")
@@ -275,6 +298,15 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].collect()(0) == 7L)
     spark.sql("ALTER TABLE g.evo.t DROP COLUMN bonus")
     assert(spark.table("g.evo.t").columns.toSeq == Seq("x", "v"))
+    // a STRING default arrives SQL-quoted from Spark; the fill must be
+    // the raw value, not 'quoted'
+    spark.sql("ALTER TABLE g.evo.t ADD COLUMN tag STRING DEFAULT 'web'")
+    assert(spark.sql("SELECT tag FROM g.evo.t WHERE x = 1")
+      .as[String].collect()(0) == "web")
+    // dropping a dimension is loudly refused, not silently ignored
+    val e = intercept[Exception] { spark.sql("ALTER TABLE g.evo.t DROP COLUMN x") }
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+    assert(spark.table("g.evo.t").columns.contains("x"))
   }
 
   test("catalog errors: missing table, missing dims property") {

@@ -59,13 +59,21 @@ class PackingSpec extends SparkSpec {
   }
 
   test("pack ids are globally unique across partitions") {
-    // pack_id embeds the partition id; two partitions never share one
+    // rows stay in their packing partition (no shuffle after
+    // mapPartitions), so spark_partition_id() observes it: no pack may
+    // span two physical partitions, and the test is only meaningful if
+    // several partitions actually packed
     val parts = packed.select(col("pack_id"),
-        org.apache.spark.sql.functions.spark_partition_id().as("p"))
-    // a pack's rows all carry the same embedded partition
-    val mixed = packed.groupBy("pack_id")
-      .agg(countDistinct(col("pack_id").bitwiseAND(lit((1L << 40) - 1))).as("x"))
-    assert(mixed.filter(col("x") > 1).count() == 0)
+      org.apache.spark.sql.functions.spark_partition_id().as("p"))
+    assert(parts.select("p").distinct().count() > 1,
+      "fixture degenerated to one partition — test would be vacuous")
+    val mixed = parts.groupBy("pack_id").agg(countDistinct(col("p")).as("nparts"))
+      .filter(col("nparts") > 1)
+    assert(mixed.count() == 0, mixed.collect().mkString(","))
+    // and the embedded partition field matches the physical partition
+    val mismatch = parts.filter(org.apache.spark.sql.functions.shiftright(
+      col("pack_id"), 40) =!= col("p"))
+    assert(mismatch.count() == 0)
   }
 
   test("empty docs are excluded, custom token counter works") {
