@@ -214,6 +214,14 @@ case class GraftMergeCommand(uri: String, source: LogicalPlan,
         sys.error(s"cannot MERGE-update dimension '$n' of $uri: cell coordinates " +
           "are immutable")
     } }
+    // an INSERT action must place every dimension — an unassigned dim
+    // would write a NULL coordinate
+    inserts.foreach { case (_, sets) =>
+      schema.dimNames.foreach { d =>
+        if (!sets.exists(_._1.equalsIgnoreCase(d)))
+          sys.error(s"MERGE INSERT must assign dimension '$d' of $uri")
+      }
+    }
     val tgt0 = ArrayTable.read(spark, uri)
     val tgt = tgt0.select(tgt0.columns.zipWithIndex.map { case (c, i) =>
       col(c).as(s"t__$i") }.toSeq: _*)
