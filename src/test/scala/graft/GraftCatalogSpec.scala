@@ -280,6 +280,13 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM g.nul.arr").as[Long].collect()(0) ==
         before, "NOT IN (.., NULL) deleted rows — SQL semantics delete none")
     } catch { case _: Exception => () } // refusing loudly is also correct
+    // predicates with no grammar form (LIKE) are refused at analysis,
+    // never guessed at
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM g.nul.arr WHERE CAST(x AS STRING) LIKE '1%'")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM g.nul.arr").as[Long].collect()(0) == before)
   }
 
   test("ALTER TABLE ADD/DROP COLUMN evolve the array schema in place") {
