@@ -30,7 +30,13 @@ import org.apache.spark.sql.types._
   * drop them downstream; silently truncating text is not this
   * operator's call.
   *
-  * Output: one row per doc — (id, tokens, pack_id, pack_pos, oversize);
+  * Output: one row per doc WITH A POSITIVE TOKEN COUNT —
+  * (id, tokens, pack_id, pack_pos, oversize). Zero-token docs (empty /
+  * whitespace-only text, or 0 from a custom counter) are EXCLUDED by
+  * contract: they contribute nothing to a training sequence, and a
+  * tokens=0 row would make `n_docs * 0-cost` packs ambiguous. Callers
+  * reconciling doc counts across pipeline stages must count
+  * `tokens > 0` docs on the input side (the `pipeline_e2e` gate does);
   * `pack_pos` is the doc's position within its pack (BFD placement
   * order), so `groupBy(pack_id).agg(collect_list(...) sorted by
   * pack_pos)` reconstructs each training sequence deterministically.

@@ -51,7 +51,11 @@ object Profile {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot the single wide row to (column, stat, value)
     val pairs = wide.columns.map { full =>
-      val Array(colName, stat) = full.split("__", 2)
+      // split at the LAST "__": stat names never contain it, but a
+      // source column name may (e.g. "a__b__count" → ("a__b", "count"))
+      val cut     = full.lastIndexOf("__")
+      val colName = full.substring(0, cut)
+      val stat    = full.substring(cut + 2)
       struct(lit(colName).as("column"), lit(stat).as("stat"),
         col(s"`$full`").as("value"))
     }

@@ -197,8 +197,23 @@ object ResolutionReadInline {
         Seq((a.name, Some(ext(v)): Option[Any], None: Option[Any]))
       case _ => Nil
     }
+    // tightest bound per dim: max of lows / min of highs, so
+    // `dim > 5 AND dim > 10` prunes with 10, not whichever came first.
+    // Comparable-ordering only applies within one dim's literals, which
+    // share the dim's type.
+    def tightest(vs: Seq[Any], takeMax: Boolean): Option[Any] =
+      if (vs.isEmpty) None
+      else Some(vs.reduce { (a, b) =>
+        val cmp = (a, b) match {
+          case (x: java.lang.Comparable[_], y) if x.getClass == y.getClass =>
+            x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+          case _ => 0 // incomparable: keep the first (conservative)
+        }
+        if ((cmp >= 0) == takeMax) a else b
+      })
     perDim.groupBy(_._1).map { case (d, bs) =>
-      d -> (bs.flatMap(_._2).headOption, bs.flatMap(_._3).headOption)
+      d -> (tightest(bs.flatMap(_._2), takeMax = true),
+            tightest(bs.flatMap(_._3), takeMax = false))
     }
   }
 }

@@ -115,8 +115,11 @@ case class ArrayQuery(
     if (!servable || condExpr.nonEmpty || ranges.nonEmpty) None
     else {
       val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
-      val frags = ArrayTable.fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
-      val dels = ArrayTable.deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+      val frags1 = ArrayTable.fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+      val dels1 = ArrayTable.deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+      // whole-table truncation prunes fragments at metadata level, so
+      // manifest-served aggregates stay available after INSERT OVERWRITE
+      val (frags, dels) = ArrayTable.applyTruncation(frags1, dels1)
       val needCount = pairs.exists(_._2 == "count")
       val shadowingPossible = !schema.allowsDuplicates && frags.size > 1 &&
         ArrayTable.anyOverlap(frags)

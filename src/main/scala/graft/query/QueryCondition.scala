@@ -131,7 +131,11 @@ object QueryCondition {
       Option(c).filter(_.matches("[A-Za-z_][A-Za-z0-9_.]*"))
         .filterNot(Set("not", "in", "and", "or", "val", "attr", "dim"))
     def litS(v: Any): Option[String] = v match {
-      case null => Some("None")
+      // SQL `c = NULL` / `c > NULL` is never-true, but the grammar's
+      // `c == None` means IS NULL — translating would turn a no-op
+      // delete into "delete all NULL rows". Refuse; only the explicit
+      // null-safe forms (EqualNullSafe, IsNull) map to the None test.
+      case null => None
       case s: String =>
         if (s.contains("'") || s.contains("\\") || s.contains("\n")) None
         else Some(s"'$s'")

@@ -32,8 +32,10 @@ import graft.storage.{ArrayTable, VFS}
   * resolution-needing tables fail loudly rather than serve rows that
   * skip shadowing/tombstones). Writes ride the `V1Write` bridge into
   * the fragment write path — `INSERT INTO` appends one immutable
-  * fragment, `INSERT OVERWRITE` trashes existing fragments first, and
-  * both keep full MVCC semantics (time travel sees pre-insert states).
+  * fragment, `INSERT OVERWRITE` writes a whole-table truncation log
+  * entry then the new fragment, and both keep full MVCC semantics
+  * (time travel sees pre-insert states; `CALL system.consolidate` +
+  * `vacuum` reclaim overwritten data).
   *
   * `VERSION AS OF '<ts>'` maps to the array's open-timestamp upper
   * bound (the native currency of fragment timestamps);
@@ -107,6 +109,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val p = pathOf(ident)
     if (ArrayTable.exists(spark, p)) throw new TableAlreadyExistsException(ident)
+    // loud failure like alterTable: silently dropping PARTITIONED BY
+    // would hand back an unpartitioned layout with no signal
+    require(partitions.isEmpty,
+      "graft tables derive their physical layout from the array dims " +
+        "(TBLPROPERTIES('dims'=...)); PARTITIONED BY is not supported")
     val dims = Option(properties.get("dims")).map(_.split(",").map(_.trim).toSeq)
       .getOrElse(throw new IllegalArgumentException(
         "graft table needs TBLPROPERTIES('dims'='d1,d2,...')"))

@@ -281,7 +281,8 @@ case class GraftTable(spark: SparkSession, uri: String,
     * path writes the same metadata-only tombstone — O(filters), no
     * data rewrite, MVCC-visible (time travel before the delete's ts
     * still sees the rows), applied by readers exactly like an API
-    * delete. A bare `DELETE FROM t` (no WHERE) trashes all fragments.
+    * delete. A bare `DELETE FROM t` (no WHERE) writes one whole-table
+    * truncation log entry — also metadata-only and history-preserving.
     * Untranslatable predicates are refused in `canDeleteWhere`, which
     * Spark surfaces as an analysis error rather than a wrong delete. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -297,9 +298,11 @@ case class GraftTable(spark: SparkSession, uri: String,
     if (filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse])) return
     val real = filters.filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
     if (real.isEmpty) {
-      val frags = ArrayTable.fragments(spark, uri)
-      if (frags.nonEmpty)
-        ArrayTable.deleteFragments(spark, uri, frags.map(_.ts).min, frags.map(_.ts).max)
+      // bare DELETE: one truncation log entry — history-preserving like
+      // a predicate delete (time travel below it still resolves), and
+      // O(1) metadata instead of renaming every fragment
+      if (ArrayTable.fragments(spark, uri).nonEmpty)
+        ArrayTable.truncate(spark, uri)
     } else {
       val cond = real.flatMap(f => graft.query.QueryCondition.fromFilter(f))
       require(cond.length == real.length,
@@ -311,8 +314,9 @@ case class GraftTable(spark: SparkSession, uri: String,
 
   /** `INSERT INTO` / `INSERT OVERWRITE` through the V1 bridge into the
     * fragment write path: append = one immutable MVCC fragment;
-    * overwrite = trash existing fragments first (the schema object —
-    * enums, fills, duplicates flag — survives, unlike drop+recreate).
+    * overwrite = a truncation log entry then the new fragment (the
+    * schema object — enums, fills, duplicates flag — survives, unlike
+    * drop+recreate, and pre-overwrite states stay time-travelable).
     * The InsertableRelation's own overwrite flag duplicates what the
     * builder already told us; the builder is authoritative. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -327,12 +331,10 @@ case class GraftTable(spark: SparkSession, uri: String,
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation: InsertableRelation =
             (data: DataFrame, _: Boolean) => {
-              if (overwrite) {
-                val frags = ArrayTable.fragments(spark, uri)
-                if (frags.nonEmpty)
-                  ArrayTable.deleteFragments(spark, uri,
-                    frags.map(_.ts).min, frags.map(_.ts).max)
-              }
+              // overwrite = truncation event + fresh fragment: pre-insert
+              // states stay time-travelable; consolidate+vacuum reclaim
+              if (overwrite && ArrayTable.fragments(spark, uri).nonEmpty)
+                ArrayTable.truncate(spark, uri)
               ArrayTable.write(spark, data, uri)
             }
         }

@@ -48,7 +48,14 @@ object ArrayTable {
     def nonEmptyDomain: Map[String, (JVal, JVal)] = mbr
   }
 
-  case class DeleteEntry(path: String, ts: Long, cond: String)
+  /** One delete-log entry. `truncate = true` marks a whole-table
+    * truncation event: fragments at or before (ts, seq) are hidden from
+    * reads whose window includes the entry, with no data moved — bare
+    * SQL `DELETE FROM t` and `INSERT OVERWRITE` use this so time travel
+    * below the truncation still resolves full history. `cond` is empty
+    * for truncations. */
+  case class DeleteEntry(path: String, ts: Long, cond: String,
+      seq: Long = 0L, truncate: Boolean = false)
 
   private def vfs(spark: SparkSession) = VFS(spark)
 
@@ -350,7 +357,8 @@ object ArrayTable {
   }
 
   private def nextSeq(spark: SparkSession, uri: String): Long =
-    (fragments(spark, uri).map(_.seq) ++ deletes(spark, uri).map(_.ts)).foldLeft(0L)(_ max _) + 1
+    (fragments(spark, uri).map(_.seq) ++
+      deletes(spark, uri).flatMap(d => Seq(d.ts, d.seq))).foldLeft(0L)(_ max _) + 1
 
   private def manifestJson(i: FragmentInfo): String = JObj(Seq(
     "name" -> JStr(i.name), "ts" -> JLong(i.ts), "seq" -> JLong(i.seq),
@@ -392,8 +400,26 @@ object ArrayTable {
     val fs = vfs(spark)
     fs.ls(s"$uri/__deletes").map { p =>
       val o = Json.parse(fs.readString(p)).obj
-      DeleteEntry(p, o("ts").get.long, o("cond").get.str)
-    }.sortBy(_.ts)
+      DeleteEntry(p, o("ts").get.long, o("cond").map(_.str).getOrElse(""),
+        seq = o("seq").map(_.long).getOrElse(0L),
+        truncate = o("truncate").exists(_.bool))
+    }.sortBy(d => (d.ts, d.seq))
+  }
+
+  /** Fragments/tombstones still in effect after whole-table truncation
+    * entries in `dels`: fragments strictly after the newest truncation's
+    * (ts, seq) survive; conditional tombstones wholly before it are
+    * no-ops (every row they could match is hidden) and are dropped so
+    * they don't force the resolution path. */
+  def applyTruncation(frags: Seq[FragmentInfo], dels: Seq[DeleteEntry])
+      : (Seq[FragmentInfo], Seq[DeleteEntry]) = {
+    val truncs = dels.filter(_.truncate)
+    if (truncs.isEmpty) (frags, dels.filterNot(_.truncate))
+    else {
+      val (cutTs, cutSeq) = truncs.map(d => (d.ts, d.seq)).max
+      (frags.filter(f => f.ts > cutTs || (f.ts == cutTs && f.seq > cutSeq)),
+        dels.filter(d => !d.truncate && d.ts >= cutTs))
+    }
   }
 
   /** Conditional delete: a tombstone (cond, ts) applied by readers to
@@ -409,7 +435,25 @@ object ArrayTable {
     val ts = tsOpt.getOrElse(System.currentTimeMillis())
     val seq = nextSeq(spark, uri)
     fs.writeString(f"$uri/__deletes/d_$ts%013d_$seq%05d.json",
-      JObj(Seq("ts" -> JLong(ts), "cond" -> JStr(cond))).render)
+      JObj(Seq("ts" -> JLong(ts), "seq" -> JLong(seq), "cond" -> JStr(cond))).render)
+  }
+
+  /** Whole-table truncation as an MVCC event: one metadata write that
+    * hides every fragment at or before it from subsequent reads, while
+    * time travel with an upper bound below the truncation still sees
+    * full history. Nothing is moved or rewritten — `consolidate` then
+    * `vacuum` reclaim the space. The (ts, seq) tiebreak means a write
+    * issued after the truncation is visible even within the same
+    * millisecond. Backs SQL `DELETE FROM t` (no WHERE) and the
+    * pre-insert step of `INSERT OVERWRITE`. */
+  def truncate(spark: SparkSession, uri: String, tsOpt: Option[Long] = None): Unit = {
+    val fs = vfs(spark)
+    fs.mkdirs(s"$uri/__deletes")
+    val ts = tsOpt.getOrElse(System.currentTimeMillis())
+    val seq = nextSeq(spark, uri)
+    fs.writeString(f"$uri/__deletes/d_$ts%013d_$seq%05d.json",
+      JObj(Seq("ts" -> JLong(ts), "seq" -> JLong(seq),
+        "truncate" -> JBool(true))).render)
   }
 
   /** Drop whole fragments in a timestamp range (reference:
@@ -472,9 +516,13 @@ object ArrayTable {
       ranges: Map[String, (Option[Any], Option[Any])] = Map.empty): Option[Seq[FragmentInfo]] = {
     val schema = schemaOf(spark, uri)
     val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
-    val frags0 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+    val frags1 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+    val dels0 = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+    // truncation is a fragment-level prune, not a row filter — it keeps
+    // the fast path available (post-truncate arrays are common after
+    // INSERT OVERWRITE)
+    val (frags0, dels) = applyTruncation(frags1, dels0)
     val frags = frags0.filter(f => mbrIntersects(f, ranges))
-    val dels = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
     val needDedup = !schema.allowsDuplicates && frags.size > 1 && anyOverlap(frags)
     val singleVersion = frags.forall(_.schemaVersion == schema.version)
     val noEnums = schema.attrs.forall(_.enumLabel.isEmpty)
@@ -496,9 +544,10 @@ object ArrayTable {
       ranges: Map[String, (Option[Any], Option[Any])] = Map.empty,
       keepVersionCols: Boolean = false): DataFrame = {
     val (t0, t1) = at.getOrElse((0L, Long.MaxValue))
-    val frags0 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+    val frags1 = fragments(spark, uri).filter(f => f.ts >= t0 && f.ts <= t1)
+    val dels0 = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
+    val (frags0, dels) = applyTruncation(frags1, dels0)
     val frags = frags0.filter(f => mbrIntersects(f, ranges))
-    val dels = deletes(spark, uri).filter(d => d.ts >= t0 && d.ts <= t1)
     resolveFragments(spark, uri, frags, dels, ranges, keepVersionCols)
   }
 
@@ -729,9 +778,10 @@ object ArrayTable {
   def consolidate(spark: SparkSession, uri: String,
       plan: Seq[Seq[FragmentInfo]]): Seq[FragmentInfo] = {
     val fs = vfs(spark)
-    val dels = deletes(spark, uri)
+    val allDels = deletes(spark, uri)
     plan.filter(_.size >= 2).map { group =>
-      val merged = resolveFragments(spark, uri, group, dels)
+      val (live, dels) = applyTruncation(group, allDels)
+      val merged = resolveFragments(spark, uri, live, dels)
       val info = write(spark, merged, uri, Some(group.map(_.ts).max))
       fs.mkdirs(s"$uri/__trash")
       group.foreach(f => fs.rename(f.path, s"$uri/__trash/${f.name}"))

@@ -96,6 +96,33 @@ class ArrayTableSpec extends SparkSpec {
     }
   }
 
+  test("truncate hides prior fragments, preserves history, same-ts writes stay visible") {
+    val uri = freshUri("trunc")
+    ArrayTable.ingest(spark, sample, uri, dims, tsOpt = Some(100L), overwrite = true)
+    ArrayTable.write(spark, sample.limit(1), uri, Some(200L))
+    ArrayTable.truncate(spark, uri, Some(300L))
+    // visible state: empty; fragments untouched on disk
+    assert(ArrayTable.read(spark, uri).count() == 0)
+    assert(ArrayTable.fragments(spark, uri).size == 2)
+    // time travel below the truncation resolves full history (the
+    // ts=200 rewrite of (1,1) shadows, so still 4 rows)
+    assert(ArrayTable.read(spark, uri, at = Some((0L, 250L))).count() == 4)
+    assert(ArrayTable.read(spark, uri, at = Some((0L, 150L))).count() == 4)
+    // a write at the truncation's own timestamp is AFTER it (seq tiebreak)
+    ArrayTable.write(spark, sample.limit(2), uri, Some(300L))
+    assert(ArrayTable.read(spark, uri).count() == 2)
+    // conditional tombstones wholly before the truncation are no-ops and
+    // don't force the resolution path
+    ArrayTable.delete(spark, uri, "x >= 1", Some(250L))
+    assert(ArrayTable.read(spark, uri).count() == 2)
+    val (live, dels) = ArrayTable.applyTruncation(
+      ArrayTable.fragments(spark, uri), ArrayTable.deletes(spark, uri))
+    assert(live.size == 1 && dels.isEmpty)
+    // a tombstone after the truncation still applies to surviving rows
+    ArrayTable.delete(spark, uri, "y == 1", Some(400L))
+    assert(ArrayTable.read(spark, uri).count() == 1)
+  }
+
   test("delete_fragments drops a timestamp range; vacuum clears trash") {
     val uri = freshUri("delfrag")
     ArrayTable.ingest(spark, sample.filter($"x" === 1), uri, dims, tsOpt = Some(100L), overwrite = true)

@@ -99,11 +99,48 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM g.del.arr WHERE x IN (2, 4) AND v IS NOT NULL")
     assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) ==
       kept.size - 2)
-    // bare DELETE empties the table but keeps the schema object
+    // bare DELETE empties the table but keeps the schema object — via a
+    // truncation log entry, NOT by trashing fragments: history survives
     spark.sql("DELETE FROM g.del.arr")
     assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) == 0)
+    assert(ArrayTable.fragments(spark, uri).size == 1) // fragment intact
+    assert(ArrayTable.deletes(spark, uri).exists(_.truncate))
+    assert(spark.sql("SELECT count(*) FROM g.del.arr VERSION AS OF '100'")
+      .as[Long].collect()(0) == 40) // pre-delete state still resolves
     spark.sql("INSERT INTO g.del.arr VALUES (99, 0, 1.5)")
     assert(spark.sql("SELECT count(*) FROM g.del.arr").as[Long].collect()(0) == 1)
+  }
+
+  test("INSERT OVERWRITE preserves pre-insert history (truncation, not trash)") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ovw")
+    spark.sql("CREATE TABLE g.ovw.t (x BIGINT, v DOUBLE) TBLPROPERTIES ('dims'='x')")
+    val uri = s"$root/ovw/t"
+    ArrayTable.write(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("x", "v"), uri, Some(100L))
+    spark.sql("INSERT OVERWRITE g.ovw.t VALUES (9, 9.0)")
+    assert(spark.sql("SELECT x FROM g.ovw.t").as[Long].collect().toSeq == Seq(9L))
+    // the overwritten fragment is hidden, not gone
+    assert(ArrayTable.fragments(spark, uri).size == 2)
+    assert(spark.sql("SELECT sum(v) FROM g.ovw.t VERSION AS OF '100'")
+      .as[Double].collect()(0) == 3.0)
+    // manifest-served aggregates stay available post-truncation
+    assert(spark.sql("SELECT count(*) FROM g.ovw.t").as[Long].collect()(0) == 1)
+    // consolidate + vacuum reclaim: only the live row survives
+    spark.sql("CALL g.system.consolidate('ovw.t')")
+    spark.sql("CALL g.system.vacuum('ovw.t')")
+    assert(ArrayTable.fragments(spark, uri).size == 1)
+    assert(spark.sql("SELECT x, v FROM g.ovw.t").as[(Long, Double)].collect().toSeq
+      == Seq((9L, 9.0)))
+  }
+
+  test("CREATE TABLE PARTITIONED BY fails loudly") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.pt")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE g.pt.bad (x BIGINT, v DOUBLE) PARTITIONED BY (v) " +
+        "TBLPROPERTIES ('dims'='x')")
+    }
+    assert(e.getMessage.contains("PARTITIONED BY"), e.getMessage)
   }
 
   test("SQL UPDATE commits a shadow fragment (merge-on-read)") {

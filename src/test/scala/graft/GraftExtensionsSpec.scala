@@ -105,6 +105,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ord.select("x").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("boundsOf keeps the TIGHTEST bound per dim") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.LongType
+    val x = AttributeReference("x", LongType)()
+    val b = graft.plans.ResolutionReadInline.boundsOf(Seq(
+      GreaterThan(x, Literal(5L)), GreaterThan(x, Literal(10L)),
+      LessThan(x, Literal(100L)), LessThanOrEqual(x, Literal(50L))), Set("x"))
+    // max of lows, min of highs — `x > 5 AND x > 10` prunes with 10
+    assert(b("x") == (Some(10L), Some(50L)), b.toString)
+  }
+
   test("simhash64 via SQL matches Dedup.simhash on the docs table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     docs.createOrReplaceTempView("ext_corpus")

@@ -36,4 +36,14 @@ class ProfileSpec extends SparkSpec {
     }
     assert(scans.size == 1, s"profile must stay a single-pass aggregate:\n$plan")
   }
+
+  test("profile: column names containing '__' label correctly") {
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a__b", "a")
+    val p = Profile.profile(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(p(("a__b", "count")) == 2.0 && p(("a__b", "max")) == 3.0)
+    assert(p(("a", "count")) == 2.0 && p(("a", "max")) == 4.0)
+    // no mislabeled ("a", "b__count")-style keys
+    assert(!p.keySet.exists(_._2.contains("__")))
+  }
 }

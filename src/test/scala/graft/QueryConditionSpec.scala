@@ -112,4 +112,17 @@ class QueryConditionSpec extends SparkSpec {
     val got = out.as[(Long, Double)].collect().toMap
     assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> -1.0, 4L -> -1.0))
   }
+
+  test("fromFilter: null literal comparisons refuse; only null-safe forms translate") {
+    import org.apache.spark.sql.sources._
+    // SQL `c = NULL` is never-true — translating to `c == None` (IS
+    // NULL) would delete every NULL row; must refuse instead
+    assert(QueryCondition.fromFilter(EqualTo("v", null)).isEmpty)
+    assert(QueryCondition.fromFilter(GreaterThan("v", null)).isEmpty)
+    assert(QueryCondition.fromFilter(LessThanOrEqual("v", null)).isEmpty)
+    // explicit null-safe forms DO mean the null test
+    assert(QueryCondition.fromFilter(EqualNullSafe("v", null)).contains("v == None"))
+    assert(QueryCondition.fromFilter(IsNull("v")).contains("v == None"))
+    assert(QueryCondition.fromFilter(IsNotNull("v")).contains("v != None"))
+  }
 }
