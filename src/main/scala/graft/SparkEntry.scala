@@ -1206,6 +1206,82 @@ object SparkEntry {
           round(col("fps"), 6).as("fps"))
     }),
 
+    // REAL MP3 frame-header walk under the oracle: CBR Layer III
+    // streams synthesized per doc (ID3v2 prefix on every 5th doc to
+    // exercise the syncsafe skip); DuckDB recomputes bitrate/rate/
+    // channel/duration from the same planting formulas
+    "media_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val brIdx = 1 + (id % 14).toInt
+        val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx - 1)
+        val srIdx = (id % 3).toInt
+        val rate = Array(44100, 48000, 32000)(srIdx)
+        val mono = id % 2 == 0
+        val frames = 5 + (id % 20).toInt
+        val frameLen = 144 * kbps * 1000 / rate
+        val out = new java.io.ByteArrayOutputStream()
+        if (id % 5 == 0) { // ID3v2 header + 10 tag bytes (syncsafe size)
+          out.write("ID3".getBytes); out.write(3); out.write(0); out.write(0)
+          out.write(0); out.write(0); out.write(0); out.write(10)
+          (0 until 10).foreach(_ => out.write(0))
+        }
+        var f = 0
+        while (f < frames) {
+          out.write(0xFF); out.write(0xFB) // sync + MPEG1 Layer III, no CRC
+          out.write((brIdx << 4) | (srIdx << 2))
+          out.write(if (mono) 0xC0 else 0x00)
+          var j = 4; while (j < frameLen) { out.write(0); j += 1 }
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.audioMeta(media).toDF()
+        .select(col("doc_id"), col("codec"), col("channels"), col("sample_rate"),
+          col("bitrate_kbps"), col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"))
+    }),
+
+    // REAL ISO-BMFF box walk under the oracle: minimal ftyp+moov
+    // (mvhd + video tkhd + optional dimension-less audio trak) per doc;
+    // duration/timescale/dims recomputed by DuckDB from the formulas
+    "media_mp4_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val timescale = 1000 + (id % 10).toInt * 100
+        val duration = 5000 + (id % 50).toInt * 10
+        val w = 640 + (id % 8).toInt * 16
+        val h = 360 + (id % 4).toInt * 16
+        val audioTrak = id % 2 == 1
+        val out = new java.io.ByteArrayOutputStream()
+        def be32(v: Int): Unit = { out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
+          out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+        def box(name: String, payloadLen: Int): Unit = {
+          be32(8 + payloadLen); out.write(name.getBytes("ISO-8859-1"))
+        }
+        def tkhd(tw: Int, th: Int): Unit = { // v0 tkhd: 84-byte payload
+          box("trak", 92)
+          box("tkhd", 84)
+          (0 until 19).foreach(_ => be32(0)) // vf..matrix (76 bytes)
+          be32(tw << 16); be32(th << 16)     // 16.16 fixed width/height
+        }
+        box("ftyp", 8); out.write("isom".getBytes); be32(0)
+        val moovPayload = 108 + 100 + (if (audioTrak) 100 else 0)
+        box("moov", moovPayload)
+        box("mvhd", 100) // v0 mvhd: 100-byte payload
+        be32(0); be32(0); be32(0)            // vf, ctime, mtime
+        be32(timescale); be32(duration)
+        (0 until 20).foreach(_ => be32(0))   // rate..next_track_id
+        tkhd(w, h)
+        if (audioTrak) tkhd(0, 0)
+        Multimodal.MediaRow(id, out.toByteArray, "video", "mp4")
+      }
+      Multimodal.mp4MetaRows(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          col("timescale"), col("n_tracks"))
+    }),
+
     // --- multimodal plumbing (stub codec for audio, real batch shape) ---
     "media_decode" -> ((s, d) => {
       import s.implicits._
@@ -1721,6 +1797,27 @@ object SparkEntry {
       "CAST(rate AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_samples, " +
       "round(CAST(32 + p.doc_id % 32 AS DOUBLE) * 1000 / rate, 6) AS duration_ms, " +
       "round(m.mv / 255, 6) AS mean_level FROM p JOIN m ON p.doc_id = m.doc_id"),
+    // MP3 header fields recomputed from the planting formulas (the
+    // frame walk's accumulated duration equals frames x per-frame ms
+    // well inside round-6)
+    "media_audio_meta" -> ("WITH p AS (SELECT doc_id, " +
+      "([32,40,48,56,64,80,96,112,128,160,192,224,256,320])" +
+      "[CAST(doc_id % 14 AS INT) + 1] AS kbps, " +
+      "([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS rate, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels, " +
+      "5 + doc_id % 20 AS frames FROM documents) " +
+      "SELECT doc_id, 'mp3' AS codec, CAST(channels AS INT) AS channels, " +
+      "CAST(rate AS INT) AS sample_rate, CAST(kbps AS INT) AS bitrate_kbps, " +
+      "CAST(frames AS BIGINT) AS n_frames, " +
+      "round(frames * 1152 * 1000.0 / rate, 6) AS duration_ms FROM p"),
+    // mvhd/tkhd fields recomputed from the planting formulas
+    "media_mp4_meta" -> ("SELECT doc_id, " +
+      "CAST(640 + (doc_id % 8) * 16 AS INT) AS width, " +
+      "CAST(360 + (doc_id % 4) * 16 AS INT) AS height, " +
+      "round((5000 + (doc_id % 50) * 10) * 1000.0 / " +
+      "(1000 + (doc_id % 10) * 100), 6) AS duration_ms, " +
+      "CAST(1000 + (doc_id % 10) * 100 AS BIGINT) AS timescale, " +
+      "CAST(1 + doc_id % 2 AS INT) AS n_tracks FROM documents"),
     // avih fields recomputed from the planting formulas
     "media_video_meta" -> ("SELECT doc_id, " +
       "CAST(320 + (doc_id % 8) * 16 AS INT) AS width, " +

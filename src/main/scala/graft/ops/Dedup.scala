@@ -387,11 +387,16 @@ object Dedup {
     * pair within hamming distance 3 shares at least one exact band),
     * verified by true hamming distance. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     // streamed capped buckets instead of a raw self-join: a hot bucket
     // (e.g. thousands of empty/boilerplate docs sharing simhash 0)
     // would otherwise go quadratic; within the cap the pigeonhole
     // guarantee (hamming<=3 -> some band matches) is preserved exactly.
+    // Cap 1024 bounds a degenerate at-cap bucket at ~0.5M streamed
+    // pairs (4096 admitted ~8.4M); on hash-distributed 16-bit buckets
+    // real bucket sizes are ~corpus/65536 per band, so the recall gate
+    // (pigeonhole missed = 0) is unaffected until a bucket genuinely
+    // holds >1024 near-identical docs — exact-dedup's job first.
     // The 8-byte simhash rides the bucket shuffle as the payload, so
     // verification needs no join-backs (and no cache).
     val banded = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__p"))

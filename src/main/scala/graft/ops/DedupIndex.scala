@@ -142,12 +142,15 @@ object DedupIndex {
     * The batch's distinct bucket values are collected to the driver
     * (≤ bands × batch rows longs) and pushed into the index scan as an
     * `isin` predicate — file/row-group pruning by footer stats. Above
-    * `maxProbeKeys` buckets the pushdown is skipped (the predicate
-    * itself would be bigger than the saved IO) and the probe degrades
-    * to a full index scan + shuffle-free broadcast join, still one
-    * corpus-index pass, never a corpus-text pass. */
+    * `maxProbeKeys` buckets a literal In-predicate becomes a plan bomb
+    * (serialization + codegen cost dwarfs the saved IO long before
+    * 10⁶ literals), so the probe switches to a broadcast SEMI-JOIN on
+    * bucket: no driver collect, no giant literal, and the index rows
+    * outside probed buckets are still dropped map-side before the
+    * bucket-size aggregation — only footer-stat file pruning is lost.
+    * Either way: one corpus-index pass, never a corpus-text pass. */
   def probe(batch: DataFrame, idCol: String, textCol: String, uri: String,
-      threshold: Double = 0.7, maxProbeKeys: Int = 1 << 20,
+      threshold: Double = 0.7, maxProbeKeys: Int = 1 << 15,
       verifyWith: Option[DataFrame] = None): DataFrame = {
     val spark = batch.sparkSession
     val p = readParams(spark, uri)
@@ -157,7 +160,8 @@ object DedupIndex {
     val index = spark.read.parquet(dataPath(uri))
     val pruned =
       if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
-      else index
+      else index.join(broadcast(banded.select("bucket").distinct()),
+        Seq("bucket"), "left_semi")
     // The probe-time cap replicates the one-shot path's bucket cap
     // over corpus ∪ batch EXACTLY: a (band, bucket) group whose index
     // rows + batch rows exceed maxBucket emits no pairs (bucketedPairs

@@ -366,17 +366,183 @@ object Multimodal {
     None
   }
 
-  /** Batched video metadata: AVI headers parse for REAL; other
-    * containers fall back to the deterministic stub. */
+  /** REAL pure-Scala MP3 container metadata — frame-header walk, no
+    * audio decoding (public spec: ISO/IEC 11172-3 / 13818-3 frame
+    * headers). Skips an ID3v2 prefix (syncsafe length), locates the
+    * first valid Layer III frame sync, then walks frame to frame:
+    * per-frame length = samplesPerFrame/8 × bitrate ÷ sampleRate +
+    * padding, so VBR streams sum durations correctly. Reports the
+    * FIRST frame's bitrate (CBR assumption for the single reported
+    * number; duration is per-frame exact either way). None when no
+    * valid frame is found — decoding actual audio samples stays behind
+    * the documented codec stub. */
+  private[graft] def mp3Meta(bytes: Array[Byte]): Option[Mp3Meta] = {
+    if (bytes.length < 4) return None
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+      if (off < 0 || off >= bytes.length) return None
+    }
+    // (versionBits, bitrateKbps, sampleRate, padding, channels) of a
+    // valid Layer III header at i, else null
+    def hdrAt(i: Int): Array[Int] = {
+      if (i + 4 > bytes.length) return null
+      if ((bytes(i) & 0xFF) != 0xFF || (bytes(i + 1) & 0xE0) != 0xE0) return null
+      val ver = (bytes(i + 1) >> 3) & 0x3   // 0=MPEG2.5 2=MPEG2 3=MPEG1
+      val lay = (bytes(i + 1) >> 1) & 0x3   // 1=Layer III
+      val brI = (bytes(i + 2) >> 4) & 0xF
+      val srI = (bytes(i + 2) >> 2) & 0x3
+      val pad = (bytes(i + 2) >> 1) & 0x1
+      val ch = if (((bytes(i + 3) >> 6) & 0x3) == 3) 1 else 2
+      if (ver == 1 || lay != 1 || brI == 0 || brI == 15 || srI == 3) return null
+      val kbps = (if (ver == 3) Mp3BitratesV1 else Mp3BitratesV2)(brI)
+      val rate = (ver match {
+        case 3 => Array(44100, 48000, 32000)
+        case 2 => Array(22050, 24000, 16000)
+        case _ => Array(11025, 12000, 8000)
+      })(srI)
+      Array(ver, kbps, rate, pad, ch)
+    }
+    var i = off
+    var h = hdrAt(i)
+    while (h == null && i + 4 <= bytes.length) { i += 1; h = hdrAt(i) }
+    if (h == null) return None
+    val first = h
+    var frames = 0L
+    var durMs = 0.0
+    while (h != null) {
+      val spf = if (h(0) == 3) 1152 else 576
+      frames += 1
+      durMs += spf * 1000.0 / h(2)
+      val len = (spf / 8) * h(1) * 1000 / h(2) + h(3)
+      if (len <= 4) h = null
+      else { i += len; h = hdrAt(i) }
+    }
+    Some(Mp3Meta(if (first(0) == 3) "MPEG1" else if (first(0) == 2) "MPEG2" else "MPEG2.5",
+      first(1), first(2), first(4), frames, durMs))
+  }
+  private val Mp3BitratesV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitratesV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  case class Mp3Meta(version: String, bitrate_kbps: Int, sample_rate: Int,
+      channels: Int, n_frames: Long, duration_ms: Double)
+
+  /** REAL pure-Scala MP4 / ISO-BMFF container metadata (public spec:
+    * ISO/IEC 14496-12 box structure): top-level box walk to `moov`,
+    * then `mvhd` (timescale + duration → milliseconds) and each
+    * `trak`'s `tkhd` (16.16 fixed-point width/height; the video track
+    * is the one with nonzero dims). Handles version 0 and 1 boxes.
+    * None for payloads that don't start with a well-formed box chain —
+    * frame decoding (H.264 etc.) stays behind the documented stub. */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(i: Int): Long =
+      if (i + 4 > bytes.length) -1L
+      else ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def typ(i: Int): String =
+      if (i + 8 > bytes.length) "" else new String(bytes, i + 4, 4, "ISO-8859-1")
+    // returns (payloadStart, boxEnd) of the first `name` box in [from, to)
+    def findBox(name: String, from: Int, to: Int): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz = u32(i)
+        if (sz < 8 || i + sz > to) return None // size64/corrupt: stop
+        if (typ(i) == name) return Some((i + 8, i + sz.toInt))
+        i += sz.toInt
+      }
+      None
+    }
+    if (bytes.length < 16 || typ(0) != "ftyp") return None
+    try {
+      val (moovStart, moovEnd) = findBox("moov", 0, bytes.length).getOrElse(return None)
+      val (mvhd, _) = findBox("mvhd", moovStart, moovEnd).getOrElse(return None)
+      val ver = bytes(mvhd) & 0xFF
+      val (timescale, duration) =
+        if (ver == 1) (u32(mvhd + 20), u64(mvhd + 24)) else (u32(mvhd + 12), u32(mvhd + 16))
+      if (timescale <= 0) return None
+      var w = 0; var hgt = 0; var nTracks = 0
+      var i = moovStart
+      while (i + 8 <= moovEnd) {
+        val sz = u32(i)
+        if (sz < 8 || i + sz > moovEnd) return None
+        if (typ(i) == "trak") {
+          nTracks += 1
+          findBox("tkhd", i + 8, i + sz.toInt).foreach { case (t, _) =>
+            val tv = bytes(t) & 0xFF
+            val base = if (tv == 1) t + 88 else t + 76
+            val tw = (u32(base) >> 16).toInt; val th = (u32(base + 4) >> 16).toInt
+            if (tw > 0 && th > 0) { w = tw; hgt = th }
+          }
+        }
+        i += sz.toInt
+      }
+      Some(Mp4Meta(w, hgt, duration * 1000.0 / timescale, timescale, nTracks))
+    } catch { case _: Exception => None }
+  }
+  case class Mp4Meta(width: Int, height: Int, duration_ms: Double,
+      timescale: Long, n_tracks: Int)
+
+  case class AudioMeta(doc_id: Long, codec: String, channels: Int,
+      sample_rate: Int, bitrate_kbps: Int, n_frames: Long, duration_ms: Double)
+
+  /** Batched audio CONTAINER metadata: WAV (RIFF) and MP3 (frame walk)
+    * parse for real; anything else reports codec "unknown" with the
+    * deterministic stub's numbers. No sample decoding on this path —
+    * it's the "what is in this bucket of audio files" query. */
+  def audioMeta(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        decodeWav(r.content) match {
+          case Some(a) => AudioMeta(r.doc_id, "pcm", a.channels, a.rate,
+            a.rate * a.channels * 8 / 1000, a.nSamples / math.max(1, a.channels),
+            a.durationMs)
+          case None => mp3Meta(r.content) match {
+            case Some(m) => AudioMeta(r.doc_id, "mp3", m.channels, m.sample_rate,
+              m.bitrate_kbps, m.n_frames, m.duration_ms)
+            case None =>
+              val (_, _, _, mean) = fakeDecode(r.content)
+              AudioMeta(r.doc_id, "unknown", 1, 8000, 0,
+                r.content.length.toLong, mean) // stub numbers, flagged by codec
+          }
+        }
+      }
+    }
+  }
+
+  case class Mp4Info(doc_id: Long, width: Int, height: Int,
+      duration_ms: Double, timescale: Long, n_tracks: Int)
+
+  /** Batched MP4 metadata rows; None-parses are dropped (callers union
+    * with [[videoMeta]] for the mixed-container path). */
+  def mp4MetaRows(ds: Dataset[MediaRow]): Dataset[Mp4Info] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      mp4Meta(r.content).map(m =>
+        Mp4Info(r.doc_id, m.width, m.height, m.duration_ms, m.timescale, m.n_tracks))
+    })
+  }
+
+  /** Batched video metadata: AVI and MP4 container headers parse for
+    * REAL; other containers fall back to the deterministic stub. MP4
+    * carries no frame count in `mvhd`, so those rows report frames 0
+    * and fps 0.0 — real dims, honestly-absent timing. */
   def videoMeta(ds: Dataset[MediaRow]): Dataset[VideoMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
         aviMeta(r.content) match {
           case Some((w, h, frames, fps)) => VideoMeta(r.doc_id, w, h, frames, fps)
-          case None =>
-            val (w, h, _, _) = fakeDecode(r.content)
-            VideoMeta(r.doc_id, w, h, r.content.length / 256L, 30.0)
+          case None => mp4Meta(r.content) match {
+            case Some(m) => VideoMeta(r.doc_id, m.width, m.height, 0L, 0.0)
+            case None =>
+              val (w, h, _, _) = fakeDecode(r.content)
+              VideoMeta(r.doc_id, w, h, r.content.length / 256L, 30.0)
+          }
         }
       }
     }

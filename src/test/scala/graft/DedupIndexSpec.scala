@@ -140,6 +140,32 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("above maxProbeKeys: semi-join path, no giant In literal, same matches") {
+    // force the fallback with a tiny key budget — the plan must carry a
+    // broadcast LEFT SEMI join on bucket instead of a literal In, and
+    // the matches must be identical to the pushdown path's
+    val viaSemi = DedupIndex.probe(batch, "doc_id", "text", indexUri,
+      threshold = 0.6, maxProbeKeys = 3)
+    val plan = Shim.plannedPhysical(viaSemi)
+    val inLiterals = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("minhash-index")) =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(inLiterals.nonEmpty, s"no index scan:\n$plan")
+    inLiterals.foreach(p => assert(!p.contains("In(bucket") && !p.contains("In(`bucket`"),
+      s"In literal survived above maxProbeKeys: ${p.take(200)}"))
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.nonEmpty, s"no broadcast semi-join on bucket:\n$plan")
+    val viaIsin = DedupIndex.probe(batch, "doc_id", "text", indexUri, threshold = 0.6)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "match_id").as[(Long, Long)].collect().toSet
+    assert(pairs(viaSemi) == pairs(viaIsin))
+  }
+
   test("degenerate buckets are dropped at build, probes stay bounded") {
     val uri = TestSession.tmpDir("minhash-index-cap")
     // 200 identical boilerplate docs (one dense bucket per band) + 10

@@ -237,6 +237,60 @@ class MultimodalSpec extends SparkSpec {
     assert(vids.width == 640 && vids.total_frames == 901L)
   }
 
+  test("MP3 frame headers parse for real: tables, ID3 skip, frame walk") {
+    // 7 frames of CBR MPEG1 Layer III, 128 kbps, 44100 Hz, stereo,
+    // behind an ID3v2 tag: frameLen = 144*128000/44100 = 417
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("ID3".getBytes); out.write(3); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0); out.write(5)
+    (0 until 5).foreach(_ => out.write(0))
+    (0 until 7).foreach { _ =>
+      out.write(0xFF); out.write(0xFB)
+      out.write((9 << 4) | (0 << 2)) // brIdx 9 = 128 kbps, srIdx 0 = 44100
+      out.write(0x00)                // stereo
+      (4 until 144 * 128000 / 44100).foreach(_ => out.write(0))
+    }
+    val m = Multimodal.mp3Meta(out.toByteArray).get
+    assert(m.version == "MPEG1" && m.bitrate_kbps == 128 && m.sample_rate == 44100)
+    assert(m.channels == 2 && m.n_frames == 7L)
+    assert(math.abs(m.duration_ms - 7 * 1152 * 1000.0 / 44100) < 1e-9)
+    // MPEG2 table: 0xF3 = MPEG2 Layer III; brIdx 9 = 80 kbps, srIdx 1 = 24000
+    val m2 = Multimodal.mp3Meta(Array(0xFF, 0xF3, (9 << 4) | (1 << 2), 0xC0)
+      .map(_.toByte)).get
+    assert(m2.version == "MPEG2" && m2.bitrate_kbps == 80 &&
+      m2.sample_rate == 24000 && m2.channels == 1)
+    // junk and free-format (brIdx 0) refuse
+    assert(Multimodal.mp3Meta("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.mp3Meta(Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("MP4 moov/mvhd/tkhd metadata parses for real") {
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = { out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
+      out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def box(name: String, payloadLen: Int): Unit = {
+      be32(8 + payloadLen); out.write(name.getBytes("ISO-8859-1")) }
+    box("ftyp", 8); out.write("isom".getBytes); be32(0)
+    box("moov", 108 + 100 + 100)
+    box("mvhd", 100)
+    be32(0); be32(0); be32(0); be32(600); be32(3000) // timescale 600, dur 3000
+    (0 until 20).foreach(_ => be32(0))
+    def tkhd(w: Int, h: Int): Unit = {
+      box("trak", 92); box("tkhd", 84)
+      (0 until 19).foreach(_ => be32(0)); be32(w << 16); be32(h << 16)
+    }
+    tkhd(1280, 720); tkhd(0, 0) // video + audio track
+    val m = Multimodal.mp4Meta(out.toByteArray).get
+    assert(m.width == 1280 && m.height == 720)
+    assert(m.timescale == 600L && math.abs(m.duration_ms - 5000.0) < 1e-9)
+    assert(m.n_tracks == 2)
+    assert(Multimodal.mp4Meta("RIFF not a movie".getBytes).isEmpty)
+    // videoMeta dataset path picks the MP4 branch
+    val v = Multimodal.videoMeta(Seq(
+      MediaRow(9L, out.toByteArray, "video", "mp4")).toDS()).collect()(0)
+    assert(v.width == 1280 && v.height == 720 && v.total_frames == 0L)
+  }
+
   test("frame sampling: every stride-th chunk") {
     val frames = Multimodal.sampleFrames(media.filter(_.doc_id == 2L),
       stride = 2, frameBytes = 256).collect()
