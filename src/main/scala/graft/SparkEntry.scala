@@ -1000,8 +1000,18 @@ object SparkEntry {
         round(length(regexp_replace(txt, "[^.,;:!?'\"]", "")).cast(DoubleType)
           / greatest(len, lit(1.0)), 6).as("punct_ratio"))
     }),
-    "text_langid" -> ((s, d) => t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+    // multi-language planted fixture: each doc gets one phrase from the
+    // 29-entry table (8 script-decided + 20 stopword languages + one
+    // gibberish 'und' case); DuckDB replays the identical script-ratio
+    // chain + stopword argmax from the same tables (langIdOracleSql is
+    // GENERATED from TextAnalysis.stopwords/scriptLangs, so the two
+    // engines can never drift apart silently)
+    "text_langid" -> ((s, d) => {
+      val planted = element_at(array(langPhrases.map(lit): _*),
+        (col("doc_id") % langPhrases.length).cast("int") + 1)
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(planted).as("lang_pred"))
+    }),
     "text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))),
     // min-gram signature in the SQL-portable (md5-prefix) form, so the
@@ -1476,6 +1486,68 @@ object SparkEntry {
     "LEFT JOIN final f ON dw.w = f.w GROUP BY d.doc_id"
   }
 
+  /** Planted language-ID fixture: one phrase per language in
+    * [[graft.ops.TextAnalysis.scriptLangs]] check order, then the 20
+    * stopword languages, then a gibberish 'und' case. Indexed by
+    * doc_id % 29 on BOTH engines. */
+  private[graft] val langPhrases: Seq[String] = Seq(
+    "これは日本語のテキストです",                       // ja (kana ratio)
+    "这是一个简单的中文测试文本",                       // zh (Han)
+    "이것은 한국어 테스트 텍스트입니다",                // ko (Hangul)
+    "هذا نص تجريبي باللغة العربية",                    // ar
+    "זהו טקסט בדיקה בעברית",                           // he
+    "यह हिंदी में एक परीक्षण पाठ है",                       // hi
+    "นี่คือข้อความทดสอบภาษาไทย",                        // th
+    "αυτό είναι ένα ελληνικό κείμενο δοκιμής",         // el
+    "the cat and the dog is in that house for good",   // en
+    "el perro de la casa que los niños en un día",     // es
+    "le chat est dans les jardins pour une vie qui",   // fr
+    "der hund und die katze ist nicht ein tier mit",   // de
+    "il cane di casa che la strada per una con del",   // it
+    "não vou para uma casa com os amigos do que da",   // pt
+    "de hond het huis een van en dat niet met voor",   // nl
+    "och att det som på är av för med den",            // sv
+    "og det er en den at til som på med",              // da
+    "det er ikke han som og av på med til",            // no
+    "ja on ei että hän oli se mutta kun niin",         // fi
+    "nie się jest na do że z po jak ale",              // pl
+    "je se na že to v s ale jako už",                  // cs
+    "și de la cu un o este pentru care nu",            // ro
+    "és az hogy nem is egy van de meg a",              // hu
+    "bir ve bu için ne gibi çok daha da de",           // tr
+    "yang dan di itu dengan untuk tidak ini dari akan",// id
+    "và của là có không được trong một người những",   // vi
+    "и в не на что с он как это по",                   // ru
+    "і в не на що з він як це за",                     // uk
+    "zzz qqq xyzzy blorp")                             // und
+
+  /** DuckDB replay of [[graft.ops.TextAnalysis.langId]], GENERATED from
+    * the same stopword/script tables: script-ratio chain first (same
+    * 0.3 threshold, same order), then stopword argmax with the same
+    * lex-largest tie-break. */
+  private def langIdOracleSql: String = {
+    import graft.ops.TextAnalysis.{scriptLangs, stopwords}
+    val phrases = langPhrases.map(p => "'" + p.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val scriptCols = scriptLangs.map { case (lang, _, re2) =>
+      s"length(regexp_replace(txt, '[^$re2]', '', 'g')) AS c_$lang" }.mkString(", ")
+    val swCols = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang" }.mkString(", ")
+    val m = stopwords.keys.toSeq.sorted.map(l => s"s_$l")
+      .mkString("greatest(", ", ", ")")
+    val scriptCase = scriptLangs.map { case (lang, _, _) =>
+      s"WHEN c_$lang > 0.3 * ns THEN '$lang'" }.mkString(" ")
+    val swCase = stopwords.keys.toSeq.sorted.reverse
+      .map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"WITH p AS (SELECT doc_id, ($phrases)[CAST(doc_id % ${langPhrases.length} AS INT) + 1] AS txt FROM documents), " +
+    s"s AS (SELECT doc_id, string_split_regex(trim(lower(txt)), '\\s+') AS toks, " +
+    s"length(regexp_replace(txt, '\\s', '', 'g')) AS ns, $scriptCols FROM p), " +
+    s"sc AS (SELECT *, $swCols FROM s), " +
+    s"f AS (SELECT *, $m AS m FROM sc) " +
+    s"SELECT doc_id, CASE $scriptCase WHEN m <= 0 THEN 'und' $swCase END AS lang_pred FROM f"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "scan_full" -> "SELECT * FROM lineitem",
     "slice_range" -> ("SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
@@ -1685,23 +1757,7 @@ object SparkEntry {
     // language ID: token-count per stopword table, winner = max (score,
     // lang) — mirrors the array_max(struct(score, lang)) tie-break
     // (lexicographically larger lang wins ties)
-    "text_langid" -> ("WITH s AS (SELECT doc_id, " +
-      "string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents), " +
-      "sc AS (SELECT doc_id, " +
-      "len(list_filter(toks, t -> list_contains(" +
-      "['der','die','das','und','ist','nicht','ein','mit','auf','von'], t))) AS s_de, " +
-      "len(list_filter(toks, t -> list_contains(" +
-      "['the','and','of','to','in','is','that','for','with','was'], t))) AS s_en, " +
-      "len(list_filter(toks, t -> list_contains(" +
-      "['el','la','de','que','los','en','un','por','con','una'], t))) AS s_es, " +
-      "len(list_filter(toks, t -> list_contains(" +
-      "['le','la','les','des','est','dans','que','une','pour','qui'], t))) AS s_fr " +
-      "FROM s) " +
-      "SELECT doc_id, CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und' " +
-      "WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr' " +
-      "WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es' " +
-      "WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en' " +
-      "ELSE 'de' END AS lang_pred FROM sc"),
+    "text_langid" -> langIdOracleSql,
     // stubbed decode is a byte-sum derivation — recomputable exactly
     // from the (all-ASCII) text bytes
     "media_decode" -> ("WITH b AS (SELECT doc_id, CAST(coalesce(list_sum(" +

@@ -62,23 +62,71 @@ object TextAnalysis {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
     }
 
-  /** Heuristic language ID over a small built-in stopword table: the
-    * language whose stopwords hit the most tokens wins; `und` when
-    * nothing hits. N-gram/stopword heuristic, no model. */
+  /** Heuristic language ID, two stages, no model:
+    *
+    *  1. Unicode-SCRIPT ratio for languages whose script is (near-)
+    *     unique to them — if >30% of non-whitespace chars are in the
+    *     script, the language is decided (kana before Han: Japanese
+    *     text mixes kanji with kana, pure Han is Chinese);
+    *  2. otherwise a STOPWORD table over Latin- and Cyrillic-script
+    *     languages — the language whose stopwords hit the most tokens
+    *     wins (ties break to the lexicographically largest code,
+    *     deterministically); `und` when nothing hits.
+    *
+    * ~28 languages total. Both stages are narrow codegen'd expressions
+    * (regexp counts + one array scan), zero shuffles. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
     "es" -> Seq("el", "la", "de", "que", "los", "en", "un", "por", "con", "una"),
     "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una", "sono", "non"),
+    "pt" -> Seq("não", "que", "uma", "para", "com", "os", "do", "da", "em", "vou"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för", "med", "den"),
+    "da" -> Seq("og", "det", "at", "en", "den", "til", "er", "som", "på", "med"),
+    "no" -> Seq("og", "det", "som", "er", "til", "på", "med", "han", "av", "ikke"),
+    "fi" -> Seq("ja", "on", "ei", "että", "hän", "oli", "se", "mutta", "kun", "niin"),
+    "pl" -> Seq("nie", "się", "jest", "na", "do", "że", "z", "po", "jak", "ale"),
+    "cs" -> Seq("je", "se", "na", "že", "to", "v", "s", "ale", "jako", "už"),
+    "ro" -> Seq("și", "de", "la", "cu", "un", "o", "este", "pentru", "care", "nu"),
+    "hu" -> Seq("és", "a", "az", "hogy", "nem", "is", "egy", "van", "de", "meg"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "de", "da", "ne", "gibi", "çok", "daha"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "một", "người", "những"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "он", "как", "это", "по"),
+    "uk" -> Seq("і", "в", "не", "на", "що", "з", "він", "як", "це", "за"),
   )
+
+  /** Script-decided languages in CHECK ORDER: (code, Java regex char
+    * class, RE2 char class for the DuckDB oracle). Kana must precede
+    * Han (see [[langId]]). */
+  val scriptLangs: Seq[(String, String, String)] = Seq(
+    ("ja", "\\p{IsHiragana}\\p{IsKatakana}", "\\p{Hiragana}\\p{Katakana}"),
+    ("zh", "\\p{IsHan}", "\\p{Han}"),
+    ("ko", "\\p{IsHangul}", "\\p{Hangul}"),
+    ("ar", "\\p{IsArabic}", "\\p{Arabic}"),
+    ("he", "\\p{IsHebrew}", "\\p{Hebrew}"),
+    ("hi", "\\p{IsDevanagari}", "\\p{Devanagari}"),
+    ("th", "\\p{IsThai}", "\\p{Thai}"),
+    ("el", "\\p{IsGreek}", "\\p{Greek}"))
 
   /** best-scoring language code or 'und' */
   def langId(text: Column): Column = {
+    val nonspace = length(regexp_replace(text, "\\s", "")).cast("double")
+    scriptLangs.foldRight(stopwordLangId(text)) { case ((lang, jcls, _), rest) =>
+      when(length(regexp_replace(text, s"[^$jcls]", "")).cast("double")
+        > nonspace * 0.3, lit(lang)).otherwise(rest)
+    }
+  }
+
+  private def stopwordLangId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => words.map(w => t === lit(w)).reduceLeft(_ || _))).as("score"),
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
         lit(lang).as("lang"))
     }
+    // struct max = (score, then lang) — ties pick the lex-largest code
     val best = array_max(array(scored: _*))
     when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
   }

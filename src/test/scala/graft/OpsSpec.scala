@@ -118,6 +118,18 @@ class OpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
   }
 
+  test("langId: every planted phrase labels its own language (28 langs + und)") {
+    val expected = Seq("ja", "zh", "ko", "ar", "he", "hi", "th", "el",
+      "en", "es", "fr", "de", "it", "pt", "nl", "sv", "da", "no", "fi",
+      "pl", "cs", "ro", "hu", "tr", "id", "vi", "ru", "uk", "und")
+    val phrases = graft.SparkEntry.langPhrases
+    assert(phrases.length == expected.length)
+    val got = phrases.toDF("t")
+      .select(TextAnalysis.langId($"t").as("l")).as[String].collect().toSeq
+    assert(got == expected, phrases.zip(got).zip(expected)
+      .filter { case ((_, g), e) => g != e }.mkString("; "))
+  }
+
   test("quality score in [0,1], garbage scores lower than prose") {
     val scores = Seq(
       "The quick brown fox jumps over the lazy dog and runs far away today.",
