@@ -1462,8 +1462,9 @@ object SparkEntry {
     * converge to the same fixpoint as merging all occurrences at once
     * (see [[graft.ops.TextAnalysis.bpeMerges]]). */
   private def bpeOracleSql: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
     val values = graft.ops.TextAnalysis.bpeMerges.zipWithIndex
-      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")
+      .map { case ((a, b), i) => s"(${i + 1},${q(a)},${q(b)})" }.mkString(",")
     val pretoken = "'[a-z]+|[0-9]+|[^a-z0-9[:space:]]+'"
     "WITH RECURSIVE merges(rank, a, b) AS (VALUES " + values + "), " +
     "words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), " + pretoken +

@@ -201,35 +201,102 @@ object TextAnalysis {
     * learned vocabulary (e.g. the 50k GPT-2 merges); the ALGORITHM —
     * lowest-rank adjacent pair merges first, all occurrences, repeat —
     * is the real thing, not a regex approximation. */
-  val bpeMerges: Vector[(String, String)] = Vector(
-    // common digraphs first (they fire before any word-build below, so
-    // every build path must route THROUGH them — greedy order is real)
-    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
-    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("e", "s"),
-    ("o", "r"), ("a", "r"), ("a", "l"), ("o", "u"), ("s", "t"),
-    ("l", "e"), ("i", "s"), ("i", "t"), ("t", "o"), ("o", "f"),
-    ("an", "d"), ("in", "g"), ("a", "s"), ("h", "e"), ("w", "h"),
-    ("o", "w"), ("r", "ow"), ("c", "h"), ("s", "h"), ("a", "b"),
-    // word builds (each step's operands exist via earlier merges AND
-    // survive the greedy order on that word's letters)
-    ("ab", "le"), ("t", "able"), ("k", "e"), ("ke", "y"),
-    ("v", "al"), ("val", "u"), ("valu", "e"),
-    ("s", "c"), ("sc", "an"), ("p", "ar"), ("par", "t"),
-    ("h", "as"), ("has", "h"), ("s", "or"), ("sor", "t"),
-    ("m", "er"), ("mer", "g"), ("merg", "e"),
-    ("a", "st"), ("f", "ast"), ("s", "l"), ("sl", "ow"),
-    ("b", "at"), ("bat", "ch"), ("w", "in"), ("win", "d"),
-    ("wind", "ow"), ("l", "in"), ("lin", "e"),
-    ("s", "par"), ("spar", "k"), ("a", "g"), ("ag", "g"),
-    ("q", "u"), ("qu", "er"), ("quer", "y"), ("j", "o"),
-    ("jo", "in"), ("r", "ou"), ("g", "rou"), ("grou", "p"),
-    ("i", "le"), ("f", "ile"),
-    ("t", "er"), ("b", "u"), ("bu", "f"), ("buf", "f"),
-    ("buff", "er"), ("c", "o"), ("co", "l"), ("u", "m"),
-    ("col", "um"), ("colum", "n"), ("w", "r"), ("wr", "it"),
-    ("writ", "e"), ("a", "d"), ("re", "ad"), ("s", "um"),
-    ("c", "ou"), ("cou", "n"), ("coun", "t"),
-  )
+  /** The LEARNED BPE merge table: trained by [[graft.tools.TrainBpe]]
+    * (the real greedy highest-pair-count algorithm, see [[trainBpe]])
+    * over the documents corpus and embedded as a resource, the same
+    * way production tokenizers ship a merges.txt trained offline.
+    * Deterministic load order = learned rank order. (lazy: the trainer
+    * tool itself must run before the resource exists) */
+  lazy val bpeMerges: Vector[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "missing embedded BPE merge table graft/bpe_merges.txt " +
+      "(regenerate with: runMain graft.tools.TrainBpe <docs.parquet> " +
+      "src/main/resources/graft/bpe_merges.txt <numMerges>)")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty)
+      .map { l => val i = l.indexOf(' '); (l.substring(0, i), l.substring(i + 1)) }
+      .toVector
+    finally in.close()
+  }
+
+  /** Train a BPE merge table on a corpus — the REAL algorithm, shaped
+    * for scale the way production trainers (GPT-2's, SentencePiece,
+    * HF tokenizers) are:
+    *
+    *  1. ONE distributed pass collects the pre-tokenized word
+    *     frequency table, cut to the top `maxWords` by (count, word) —
+    *     vocabulary-bounded, not corpus-bounded, so this is the only
+    *     step that touches data scale;
+    *  2. the classic greedy loop runs driver-side over (word, count):
+    *     merge the adjacent symbol pair with the highest total count,
+    *     update pair counts incrementally (only words containing the
+    *     merged pair are touched), repeat `numMerges` times or until
+    *     the best pair's count drops below `minFrequency`.
+    *
+    * Fully deterministic: pair-count ties break to the
+    * lexicographically largest pair, and the top-N word cut breaks
+    * count ties by word. */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int = 2000,
+      maxWords: Int = 100000, minFrequency: Long = 2L): Vector[(String, String)] = {
+    val words = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(bpePretokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainBpeOnCounts(words, numMerges, minFrequency)
+  }
+
+  private[graft] def trainBpeOnCounts(words: Array[(String, Long)],
+      numMerges: Int, minFrequency: Long = 2L): Vector[(String, String)] = {
+    val syms = words.map { case (w, _) => w.map(_.toString).toArray }
+    val wcount = words.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def bump(s: Array[String], n: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + n
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        i += 1
+      }
+    }
+    var w = 0
+    while (w < syms.length) { bump(syms(w), wcount(w)); w += 1 }
+    val out = Vector.newBuilder[(String, String)]
+    var k = 0
+    var exhausted = counts.isEmpty
+    while (k < numMerges && !exhausted) {
+      val ((a, b), n) = counts.maxBy { case ((x, y), c) => (c, x, y) }
+      if (n < minFrequency) exhausted = true
+      else {
+        out += ((a, b))
+        var i = 0
+        while (i < syms.length) {
+          val s = syms(i)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) { has = s(j) == a && s(j + 1) == b; j += 1 }
+          if (has) {
+            bump(s, -wcount(i))
+            val m = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            var t = 0
+            while (t < s.length) {
+              if (t < s.length - 1 && s(t) == a && s(t + 1) == b) { m += a + b; t += 2 }
+              else { m += s(t); t += 1 }
+            }
+            syms(i) = m.toArray
+            bump(syms(i), wcount(i))
+          }
+          i += 1
+        }
+        exhausted = counts.isEmpty
+        k += 1
+      }
+    }
+    out.result()
+  }
 
   /** pre-tokenizer: letter runs, digit runs, symbol runs; whitespace
     * separates (same RE2/Java-compatible class on both engines) */
@@ -241,20 +308,26 @@ object TextAnalysis {
   /** Greedy BPE segment count of one pre-token: repeatedly merge ALL
     * occurrences (left-to-right, non-overlapping) of the lowest-rank
     * adjacent pair until none matches the table. */
-  private[graft] def bpeSegmentCount(word: String): Int = {
+  private[graft] def bpeSegmentCount(word: String): Int =
+    bpeSegmentCount(word, bpeMerges, bpeRanks)
+
+  /** table-explicit variant (tests pass algorithm fixtures; production
+    * uses the learned table above) */
+  private[graft] def bpeSegmentCount(word: String,
+      merges: Vector[(String, String)], ranks: Map[(String, String), Int]): Int = {
     var syms: Array[String] = word.map(_.toString).toArray
     var done = syms.length < 2
     while (!done) {
       var best = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
-        val r = bpeRanks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
         if (r < best) best = r
         i += 1
       }
       if (best == Int.MaxValue) done = true
       else {
-        val (a, b) = bpeMerges(best)
+        val (a, b) = merges(best)
         val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
         var j = 0
         while (j < syms.length) {

@@ -54,11 +54,20 @@ class OpsSpec extends SparkSpec {
     assert(c2(0)._4.contains("w50") && c2(1)._4.contains("w50"))
   }
 
+  // hand-built fixture table for ALGORITHM tests (production uses the
+  // learned table in the embedded resource; see the trainer tests)
+  private val fixtureMerges: Vector[(String, String)] = Vector(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("in", "g"),
+    ("l", "e"), ("a", "b"), ("ab", "le"), ("t", "able"), ("t", "er"))
+  private val fixtureRanks = fixtureMerges.zipWithIndex.toMap
+
   test("BPE merge table is well-formed: operands from strictly earlier merges") {
     // confluence of the greedy loop (and its SQL-replay oracle) depends
     // on this: a merge's operands must be single chars or outputs of
     // LOWER-ranked merges, so newly created pairs always rank later
-    // than the merge that created them
+    // than the merge that created them. The LEARNED table must satisfy
+    // it by construction (every symbol is a base char or an earlier
+    // merge's output).
     val producible = scala.collection.mutable.Set[String]()
     TextAnalysis.bpeMerges.zipWithIndex.foreach { case ((a, b), i) =>
       for (op <- Seq(a, b))
@@ -67,33 +76,65 @@ class OpsSpec extends SparkSpec {
       producible += (a + b)
     }
     // no duplicate pairs (a later duplicate would be dead)
-    val pairs = TextAnalysis.bpeMerges
-    assert(pairs.distinct.size == pairs.size)
+    assert(TextAnalysis.bpeMerges.distinct.size == TextAnalysis.bpeMerges.size)
+    // the learned table CONVERGED on its training corpus: every word of
+    // the documents vocabulary segments to ONE token (the corpus has a
+    // small closed vocabulary, so full convergence — not table size —
+    // is the meaningful training success criterion)
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(lower($"text")), "\\s+")).as("w"))
+      .groupBy("w").count().orderBy($"count".desc).limit(20)
+      .select("w").as[String].collect()
+    assert(words.nonEmpty)
+    for (w <- words if w.matches("[a-z]+"))
+      assert(TextAnalysis.bpeSegmentCount(w) == 1, s"corpus word '$w' not fully merged")
   }
 
   test("BPE segmentation: greedy lowest-rank merges, all occurrences") {
+    def seg(w: String) = TextAnalysis.bpeSegmentCount(w, fixtureMerges, fixtureRanks)
     // the|table: (t,h) then (th,e); (t,able) via (a,b),(ab,le)
-    assert(TextAnalysis.bpeSegmentCount("thetable") == 2)
+    assert(seg("thetable") == 2)
     // ter|ter|ing: (e,r) then (i,n) then (in,g) then (t,er) by rank
-    assert(TextAnalysis.bpeSegmentCount("tertering") == 3)
+    assert(seg("tertering") == 3)
     // all-occurrence semantics: 'aaa' has no (a,a) merge -> 3 singles
-    assert(TextAnalysis.bpeSegmentCount("aaa") == 3)
-    assert(TextAnalysis.bpeSegmentCount("") == 0)
-    assert(TextAnalysis.bpeSegmentCount("x") == 1)
-    // whole common words collapse to one token
-    for (w <- Seq("the", "table", "key", "value", "scan", "hash", "sort",
-        "merge", "fast", "slow", "batch", "window", "line", "spark",
-        "query", "join", "group", "file", "buffer", "column", "write",
-        "read", "sum", "count"))
-      assert(TextAnalysis.bpeSegmentCount(w) == 1, s"'$w' should be 1 token")
+    assert(seg("aaa") == 3)
+    assert(seg("") == 0)
+    assert(seg("x") == 1)
+  }
+
+  test("BPE trainer: learns the corpus' frequent words down to 1 token, deterministically") {
+    val corpus = Seq.fill(50)("the quick table scan") ++ Seq.fill(30)("query the table") ++
+      Seq.fill(10)("zebra quartz")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = TextAnalysis.trainBpe(df, "text", numMerges = 60, maxWords = 100)
+    // well-formed by construction
+    val producible = scala.collection.mutable.Set[String]()
+    merges.foreach { case (a, b) =>
+      for (op <- Seq(a, b)) assert(op.length == 1 || producible.contains(op))
+      producible += (a + b)
+    }
+    // frequent words fully merge to a single token
+    val ranks = merges.zipWithIndex.toMap
+    for (w <- Seq("the", "table", "query", "scan"))
+      assert(TextAnalysis.bpeSegmentCount(w, merges, ranks) == 1, s"'$w' not fully merged")
+    // rare words stay multi-token at this merge budget
+    assert(TextAnalysis.bpeSegmentCount("zebraquartzzz", merges, ranks) > 1)
+    // deterministic across runs
+    assert(TextAnalysis.trainBpe(df, "text", numMerges = 60, maxWords = 100) == merges)
+    // minFrequency floor: pairs seen once don't merge
+    val tiny = Seq((1L, "xy")).toDF("id", "text")
+    assert(TextAnalysis.trainBpe(tiny, "text", numMerges = 10).isEmpty)
   }
 
   test("BPE token counts: pre-tokenization + per-doc totals") {
     val ds = Seq((1L, "the table"), (2L, "a-b c3d"), (3L, ""), (4L, "   "))
       .toDS()
     val got = TextAnalysis.bpeTokenCounts(ds).collect().toMap
-    // "the table" -> [the][table]; "a-b c3d" -> [a][-][b] [c][3][d]
-    assert(got == Map(1L -> 2L, 2L -> 6L, 3L -> 0L, 4L -> 0L))
+    // totals = sum of per-pretoken segment counts under the LEARNED
+    // table ("a-b c3d" pre-tokenizes to [a][-][b][c][3][d] words)
+    val exp1 = Seq("the", "table").map(TextAnalysis.bpeSegmentCount).sum.toLong
+    val exp2 = Seq("a", "-", "b", "c", "3", "d").map(TextAnalysis.bpeSegmentCount).sum.toLong
+    assert(got == Map(1L -> exp1, 2L -> exp2, 3L -> 0L, 4L -> 0L))
   }
 
   test("charShingles and wordNgrams") {
