@@ -35,22 +35,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // enum label predicates collapse to pushable code predicates
     ext.injectOptimizerRule(_ => graft.plans.EnumPredicatePushdown)
-    // MVCC-resolution reads of the graft source inline their resolution
-    // plan (columnar parquet leaves) instead of the V1 RDD[Row] scan.
+    // MVCC-resolution reads of the graft source — V1 path loads AND
+    // catalog-loaded DSv2 tables — inline their resolution plan
+    // (columnar parquet leaves) instead of an opaque row scan.
     // Optimizer-time (not analysis): pushdown parks dim filters on the
-    // relation first, so the rule can MBR-prune fragments' files, and
-    // cached graft reads keep matching in the CacheManager.
+    // relation first, so the rule can MBR-prune fragments' FILES even
+    // for DataFrame-incremental reads (spark.table(...).filter(...)),
+    // and cached graft reads keep matching in the CacheManager. The
+    // rule matches both pre- and post-V2ScanRelationPushDown node
+    // shapes, so it does not depend on optimizer batch order.
     ext.injectOptimizerRule(session =>
       graft.plans.ResolutionReadInline(session))
-    // catalog-loaded graft tables have no V1 fallback, and the V2 scan
-    // pushdown batch would consult the scan builder before any
-    // optimizer rule — resolution-needing catalog reads inline during
-    // analysis instead
-    ext.injectPostHocResolutionRule(session =>
-      graft.plans.CatalogResolutionInline(session))
-    // SQL UPDATE -> merge-on-read shadow-fragment write
-    // (CatalogResolutionInline shields row-level command targets, so
-    // the relation is still intact when this rule sees it)
+    // SQL UPDATE -> merge-on-read shadow-fragment write (row-level
+    // command targets are intact at analysis; the optimizer-time
+    // inline above also shields them)
     ext.injectPostHocResolutionRule(session =>
       graft.plans.UpdateRewrite(session))
     // readStream.table(<catalog graft table>) -> fragment file stream

@@ -10,7 +10,8 @@ import graft.sources.{GraftRelation, GraftTable}
 import graft.storage.ArrayTable
 
 /** Inlines MVCC-resolution reads of the `graft` source into the query
-  * plan.
+  * plan — both V1 path-based loads and CATALOG-loaded DSv2 tables
+  * ([[graft.sources.GraftCatalog]]).
   *
   * The DSv2 path already serves arrays that need no resolution as a
   * bare columnar parquet scan. Arrays that DO need resolution
@@ -18,7 +19,9 @@ import graft.storage.ArrayTable
   * decode — the common case on a long-lived array) fall back to the V1
   * `PrunedFilteredScan`, whose contract forces the resolved rows
   * through an `RDD[Row]` boundary: an opaque row-based scan that
-  * Catalyst can neither vectorize nor see through.
+  * Catalyst can neither vectorize nor see through. Catalog tables have
+  * no V1 fallback at all — their guard scan fails loudly at execution
+  * — so this rule IS their read path in an extensions-enabled session.
   *
   * This OPTIMIZER rule (injected into the fixed-point operator-
   * optimization batch, after `PushDownPredicates` in each iteration)
@@ -50,44 +53,7 @@ import graft.storage.ArrayTable
   */
 case class ResolutionReadInline(spark: SparkSession) extends Rule[LogicalPlan]
     with PredicateHelper {
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, l: LogicalRelation) if l.relation.isInstanceOf[GraftRelation] =>
-      inlined(l, splitConjunctivePredicates(cond)).map(Filter(cond, _)).getOrElse(f)
-    case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
-      inlined(l, Nil).getOrElse(l)
-  }
-
-  /** The resolution read as an optimized logical plan, with the
-    * relation's attribute ids on top; None -> keep the V1 relation. */
-  private def inlined(l: LogicalRelation, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
-    val r = l.relation.asInstanceOf[GraftRelation]
-    val at = (r.t0, r.t1) match {
-      case (None, None) => None
-      case (a, b) => Some((a.getOrElse(0L), b.getOrElse(Long.MaxValue)))
-    }
-    ResolutionReadInline.inlinePlan(spark, r.uri, at, l.output, conjuncts,
-      conf.sessionLocalTimeZone)
-  }
-}
-
-/** Analysis-time resolution inlining for CATALOG-loaded graft tables
-  * ([[graft.sources.GraftCatalog]]). Catalog tables have no V1
-  * relation to fall back to, and `V2ScanRelationPushDown` (an EARLY
-  * optimizer batch) consults the scan builder before any injected
-  * optimizer rule could fire — so resolution-needing catalog reads
-  * must be rewritten during analysis. SQL statements analyze as one
-  * tree, so the `WHERE` clause's dim bounds sit right above the
-  * relation (under its `SubqueryAlias`) and still drive fragment MBR
-  * file pruning; DataFrame-incremental use (`spark.table(...)` then
-  * `.filter`) inlines bare, keeping row-level pushdown but not
-  * file-level pruning — the documented trade of analysis-time hooks.
-  * Write targets are untouched: `V2WriteCommand.table` is not among a
-  * command's children, so the transform never reaches it. */
-case class CatalogResolutionInline(spark: SparkSession) extends Rule[LogicalPlan]
-    with PredicateHelper {
-  import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
-  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 
   private def graftRes(r: DataSourceV2Relation): Option[GraftTable] =
     r.table match {
@@ -113,26 +79,52 @@ case class CatalogResolutionInline(spark: SparkSession) extends Rule[LogicalPlan
     })
     def shielded(r: DataSourceV2Relation): Boolean = protectedRels.exists(_ eq r)
     plan.transformDown {
-      case f @ Filter(cond, a @ SubqueryAlias(_, r: DataSourceV2Relation))
-          if graftRes(r).isDefined && !shielded(r) =>
-        inlined(graftRes(r).get, a.output, splitConjunctivePredicates(cond))
-          .map(Filter(cond, _)).getOrElse(f)
+      // V1 path-based loads (format("graft") fallback relation)
+      case f @ Filter(cond, l: LogicalRelation) if l.relation.isInstanceOf[GraftRelation] =>
+        inlined(l, splitConjunctivePredicates(cond)).map(Filter(cond, _)).getOrElse(f)
+      case l: LogicalRelation if l.relation.isInstanceOf[GraftRelation] =>
+        inlined(l, Nil).getOrElse(l)
+      // Catalog-loaded (DSv2) resolution-needing tables. Two node
+      // shapes so the inline is independent of optimizer batch order:
+      // before V2ScanRelationPushDown the plan holds the bare
+      // DataSourceV2Relation (with pushdown-parked Filters adjacent);
+      // after it, a DataSourceV2ScanRelation over the loud-fail guard
+      // scan, with every filter kept residual above. Either way the
+      // parked dim bounds drive fragment MBR file pruning — including
+      // for DataFrame-incremental reads (spark.table(...).filter(...)),
+      // which analysis-time inlining could never see.
       case f @ Filter(cond, r: DataSourceV2Relation)
           if graftRes(r).isDefined && !shielded(r) =>
-        inlined(graftRes(r).get, r.output, splitConjunctivePredicates(cond))
+        inlinedV2(graftRes(r).get, r.output, splitConjunctivePredicates(cond))
           .map(Filter(cond, _)).getOrElse(f)
-      case a @ SubqueryAlias(_, r: DataSourceV2Relation)
-          if graftRes(r).isDefined && !shielded(r) =>
-        inlined(graftRes(r).get, a.output, Nil).getOrElse(a)
       case r: DataSourceV2Relation if graftRes(r).isDefined && !shielded(r) =>
-        inlined(graftRes(r).get, r.output, Nil).getOrElse(r)
+        inlinedV2(graftRes(r).get, r.output, Nil).getOrElse(r)
+      case f @ Filter(cond, s: DataSourceV2ScanRelation)
+          if graftRes(s.relation).isDefined && !shielded(s.relation) =>
+        inlinedV2(graftRes(s.relation).get, s.output, splitConjunctivePredicates(cond))
+          .map(Filter(cond, _)).getOrElse(f)
+      case s: DataSourceV2ScanRelation
+          if graftRes(s.relation).isDefined && !shielded(s.relation) =>
+        inlinedV2(graftRes(s.relation).get, s.output, Nil).getOrElse(s)
     }
   }
 
-  private def inlined(t: GraftTable, output: Seq[Attribute],
+  private def inlinedV2(t: GraftTable, output: Seq[Attribute],
       conjuncts: Seq[Expression]): Option[LogicalPlan] =
     ResolutionReadInline.inlinePlan(spark, t.uri, t.at, output, conjuncts,
       conf.sessionLocalTimeZone)
+
+  /** The resolution read as an optimized logical plan, with the
+    * relation's attribute ids on top; None -> keep the V1 relation. */
+  private def inlined(l: LogicalRelation, conjuncts: Seq[Expression]): Option[LogicalPlan] = {
+    val r = l.relation.asInstanceOf[GraftRelation]
+    val at = (r.t0, r.t1) match {
+      case (None, None) => None
+      case (a, b) => Some((a.getOrElse(0L), b.getOrElse(Long.MaxValue)))
+    }
+    ResolutionReadInline.inlinePlan(spark, r.uri, at, l.output, conjuncts,
+      conf.sessionLocalTimeZone)
+  }
 }
 
 object ResolutionReadInline {

@@ -27,7 +27,7 @@ import graft.storage.{ArrayTable, VFS}
   * holding an array schema. Reads resolve through the same two paths
   * as `format("graft")`: metadata-clean arrays plan as a columnar
   * parquet `BatchScan`; arrays needing MVCC resolution are inlined by
-  * [[graft.plans.CatalogResolutionInline]] (requires
+  * [[graft.plans.ResolutionReadInline]] (requires
   * [[graft.core.GraftExtensions]] — set by `GraftSession`; without it,
   * resolution-needing tables fail loudly rather than serve rows that
   * skip shadowing/tombstones). Writes ride the `V1Write` bridge into

@@ -195,10 +195,12 @@ object GraftRelation {
   * Catalog-loaded tables (`viaCatalog`, from [[GraftCatalog]]) have no
   * V1 fallback to fall to, so they always advertise BATCH_READ plus
   * the V1 write bridge: resolution-needing reads are rewritten by
-  * [[graft.plans.CatalogResolutionInline]] during analysis (before the
-  * scan builder is ever consulted); if that rule is absent — a session
-  * without GraftExtensions — the scan builder fails LOUDLY below
-  * rather than serving rows that skip shadowing/tombstones. */
+  * [[graft.plans.ResolutionReadInline]] at OPTIMIZATION time (pushed
+  * dim filters drive fragment MBR file pruning, incl. for
+  * spark.table(...).filter(...) incremental reads); if that rule is
+  * absent — a session without GraftExtensions — the scan builder fails
+  * LOUDLY below rather than serving rows that skip
+  * shadowing/tombstones. */
 case class GraftTable(spark: SparkSession, uri: String,
     t0: Option[Long], t1: Option[Long], viaCatalog: Boolean = false)
     extends Table with SupportsRead
@@ -262,7 +264,7 @@ case class GraftTable(spark: SparkSession, uri: String,
       val msg = s"graft array at $uri needs MVCC resolution (shadowing/" +
         "tombstones/schema drift/enums); catalog reads of such arrays require " +
         "spark.sql.extensions=graft.core.GraftExtensions (set by GraftSession), " +
-        "which inlines the resolution plan during analysis"
+        "which inlines the resolution plan at optimization time"
       val tableSchema = schema()
       new ScanBuilder {
         override def build(): org.apache.spark.sql.connector.read.Scan =

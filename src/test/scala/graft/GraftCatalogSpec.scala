@@ -133,6 +133,52 @@ class GraftCatalogSpec extends SparkSpec {
       == Seq((9L, 9.0)))
   }
 
+  test("spark.table(...).filter(...) MBR-prunes fragment FILES (optimizer-time inline)") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.mbr")
+    spark.sql("CREATE TABLE g.mbr.t (x BIGINT, v DOUBLE) TBLPROPERTIES ('dims'='x')")
+    val uri = s"$root/mbr/t"
+    // six disjoint fragments + a tombstone: the full resolution path
+    for (i <- 0 until 6)
+      ArrayTable.write(spark,
+        ((i * 10 + 1).toLong to (i * 10 + 10).toLong).map(x => (x, x * 1.0)).toDF("x", "v"),
+        uri, Some(100L + i))
+    ArrayTable.delete(spark, uri, "x == 3", Some(500L))
+    // DataFrame-INCREMENTAL read: the filter arrives after analysis, so
+    // only an optimizer-time inline can see the dim bounds
+    val df = spark.table("g.mbr.t").filter($"x" <= 10)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val rootPaths = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.size
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case ps: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan =>
+            ps.fileIndex.rootPaths.size
+          case _ => 0
+        }
+    }.sum
+    assert(rootPaths == 1, s"5 of 6 fragments must MBR-prune away, saw $rootPaths:\n$plan")
+    assert(df.count() == 9) // x=3 tombstoned
+    // full-table read still resolves everything
+    assert(spark.table("g.mbr.t").count() == 59)
+    // and a SQL one-statement read prunes identically (>= 51: a `> 50`
+    // bound conservatively keeps the [41,50] boundary fragment)
+    val sqlPlan = spark.sql("SELECT * FROM g.mbr.t WHERE x >= 51")
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val sqlPaths = sqlPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.size
+    }.sum
+    assert(sqlPaths == 1, s"SQL dim-range read must prune to one fragment:\n$sqlPlan")
+  }
+
   test("CREATE TABLE PARTITIONED BY fails loudly") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.pt")
