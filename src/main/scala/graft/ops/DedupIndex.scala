@@ -13,18 +13,28 @@ import graft.storage.VFS
   * pass alone dominates every batch. This index makes the steady-state
   * cost proportional to the BATCH, not the corpus:
   *
-  *  - layout: parquet rows (band, bucket, id, sig), range-partitioned
-  *    and sorted by (band, bucket) so every file covers a narrow bucket
-  *    range and parquet footer min/max stats prune files and row groups
-  *    by bucket value;
+  *  - layout (v2, round 9): NARROW bucket rows `data/(band, bucket,
+  *    id)` (~24 B/row) range-partitioned and sorted by (band, bucket)
+  *    for footer-stat pruning, plus a separate signature table
+  *    `sigs/(id, sig)` written once per doc. Signatures do NOT ride
+  *    the bucket rows: a 64-lane sig is ~20× the row's key width, and
+  *    once a large batch's probe buckets saturate the row-group
+  *    [min,max] ranges (uniform hashes do, at a few thousand probe
+  *    keys) the probe degrades to one map-side pass of the bucket
+  *    table — which must therefore be as narrow as possible. Measured
+  *    at the 100× rehearsal (500k docs): the v1 fat layout read ~4 GB
+  *    of mostly-discarded sigs per saturated probe; v2 reads ~200 MB
+  *    of keys plus candidate-scale sig lookups;
   *  - probe: the batch's bucket hashes are collected (bounded: bands ×
-  *    batch rows, capped by `maxProbeKeys`) and pushed into the index
-  *    scan as an `isin` filter — the scan reads only row groups whose
-  *    [min,max] intersect a probed bucket. The subsequent exact match
-  *    is a broadcast-hash join with the BATCH side broadcast: the index
+  *    batch rows, capped by `maxProbeKeys`) and pushed into the bucket
+  *    scan as an `isin` filter — row groups prune when the probe set
+  *    is small, and the fallback full pass is narrow. Candidate PAIRS
+  *    are formed and deduped first (bucket-cap bounded); only then are
+  *    the candidates' corpus sigs fetched by one broadcast-semi-join
+  *    pass of `sigs/`. Batch side broadcast everywhere: the index
   *    never shuffles, never sorts, is never collected;
   *  - decision: signature-estimated Jaccard (`LaneMatches/numHashes`)
-  *    against the stored 64-lane signatures — no corpus text access.
+  *    against the fetched 64-lane signatures — no corpus text access.
   *    Pass `verifyWith` (id → text over the corpus) to add the exact
   *    hashed-shingle verification for est-borderline pairs, same
   *    two-stage shape as [[Dedup.minhashNearDups]];
@@ -53,45 +63,56 @@ object DedupIndex {
 
   private def paramsPath(uri: String) = s"$uri/_params.json"
   private def dataPath(uri: String) = s"$uri/data"
+  private def sigsPath(uri: String) = s"$uri/sigs"
 
   private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
     import graft.core.Json._
     VFS(spark).writeString(paramsPath(uri), render(JObj(Seq(
       "k" -> JLong(p.k), "numHashes" -> JLong(p.numHashes),
-      "bands" -> JLong(p.bands), "maxBucket" -> JLong(p.maxBucket)))))
+      "bands" -> JLong(p.bands), "maxBucket" -> JLong(p.maxBucket),
+      "layout" -> JLong(2)))))
   }
 
   def readParams(spark: SparkSession, uri: String): Params = {
     import graft.core.Json._
     val o = parse(VFS(spark).readString(paramsPath(uri))).obj
     def i(k: String) = o(k).getOrElse(sys.error(s"index params missing $k")).long.toInt
+    require(o("layout").exists(_.long == 2L),
+      s"dedup index at $uri predates the v2 split-signature layout — " +
+        "rebuild it with DedupIndex.build")
     Params(i("k"), i("numHashes"), i("bands"), i("maxBucket"))
   }
 
   private def normHashes(c: Column, k: Int) = graft.functions.ShingleHashes(
     lower(regexp_replace(trim(c), "\\s+", " ")), k)
 
-  /** (id, sig, band, bucket) rows for `df` under `p` — the banding is
+  /** (id, sig) rows — one per doc. */
+  private def sigRows(df: DataFrame, idCol: String, textCol: String,
+      p: Params): DataFrame =
+    df.select(col(idCol).as("id"),
+      Dedup.minhashSignatureFromHashes(
+        normHashes(col(textCol), p.k), p.numHashes).as("sig"))
+
+  /** (id, sig, band, bucket) rows from (id, sig) rows — the banding is
     * bit-identical to [[Dedup.lshCandidates]] (band-seeded xxhash64 of
     * the signature slice). */
-  private def bandedRows(df: DataFrame, idCol: String, textCol: String,
-      p: Params): DataFrame = {
+  private def bandedFromSigs(sigs: DataFrame, p: Params): DataFrame = {
     val rowsPerBand = p.numHashes / p.bands
-    df.select(col(idCol).as("id"),
-        Dedup.minhashSignatureFromHashes(
-          normHashes(col(textCol), p.k), p.numHashes).as("sig"))
-      .select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(p.bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
 
+  private def bandedRows(df: DataFrame, idCol: String, textCol: String,
+      p: Params): DataFrame = bandedFromSigs(sigRows(df, idCol, textCol, p), p)
+
   /** Build (or rebuild) the index at `uri` from the corpus. One corpus
-    * pass; the written files are range-partitioned and sorted on
-    * (band, bucket) so probe-time bucket predicates prune by footer
-    * stats. `filesPerBand` sizes the range partitioning: total output
-    * files ≈ bands × filesPerBand, each covering ~1/filesPerBand of one
-    * band's bucket space. */
+    * TEXT pass writes `sigs/`; banding then derives from the written
+    * sigs (a narrow second pass — the text is never re-read).
+    * `filesPerBand` sizes the bucket-table range partitioning: total
+    * files ≈ bands × filesPerBand, each covering ~1/filesPerBand of
+    * one band's bucket space. */
   def build(df: DataFrame, idCol: String, textCol: String, uri: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       maxBucket: Int = 64, filesPerBand: Int = 4): Unit = {
@@ -99,14 +120,17 @@ object DedupIndex {
     val p = Params(k, numHashes, bands, maxBucket)
     val fs = VFS(spark)
     fs.delete(uri)
-    writeCapped(bandedRows(df, idCol, textCol, p), uri, p, filesPerBand, "overwrite")
+    sigRows(df, idCol, textCol, p).write.mode("overwrite").parquet(sigsPath(uri))
+    writeCapped(bandedFromSigs(spark.read.parquet(sigsPath(uri)), p),
+      uri, p, filesPerBand, "overwrite")
     writeParams(spark, uri, p)
   }
 
-  /** Drop over-cap (band, bucket) groups, then write range-partitioned
-    * and bucket-sorted. The group-size pass aggregates 12-byte keys
-    * (partial map-side combine), so the extra shuffle ships far less
-    * than the banded rows themselves. */
+  /** Drop over-cap (band, bucket) groups, then write the NARROW bucket
+    * rows (band, bucket, id) range-partitioned and bucket-sorted. The
+    * group-size pass aggregates 12-byte keys (partial map-side
+    * combine), so the extra shuffle ships no more than the bucket rows
+    * themselves. */
   private def writeCapped(banded: DataFrame, uri: String, p: Params,
       filesPerBand: Int, mode: String): Unit = {
     val sizes = banded.groupBy("band", "bucket")
@@ -114,6 +138,7 @@ object DedupIndex {
       .filter(col("__n") > p.maxBucket)
       .select("band", "bucket")
     banded.join(sizes, Seq("band", "bucket"), "left_anti")
+      .select("band", "bucket", "id")
       .repartitionByRange(math.max(1, p.bands * filesPerBand),
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
@@ -121,17 +146,20 @@ object DedupIndex {
   }
 
   /** Incrementally add `df`'s docs to the index: batch-sized work, no
-    * corpus re-read. New files cover the batch's own bucket ranges;
-    * probes keep pruning per-file, so steady-state probe cost grows
-    * with index FILE COUNT over the probed ranges, not corpus size.
+    * corpus re-read. New sig and bucket files are batch-sized; probes
+    * keep pruning per-file, so steady-state probe cost grows with
+    * index FILE COUNT over the probed ranges, not corpus size.
     * Rebuild (`build`) to re-cluster after many appends. */
   def append(df: DataFrame, idCol: String, textCol: String, uri: String,
       filesPerBand: Int = 1): Unit = {
     val spark = df.sparkSession
     val p = readParams(spark, uri)
+    // batch-scale: checkpoint the sigs once, write them, band from them
+    val sigs = sigRows(df, idCol, textCol, p).localCheckpoint(true)
+    sigs.write.mode("append").parquet(sigsPath(uri))
     // the cap is enforced within the appended batch only; groups that
     // exceed maxBucket across base+appends are re-capped on rebuild
-    writeCapped(bandedRows(df, idCol, textCol, p), uri, p, filesPerBand, "append")
+    writeCapped(bandedFromSigs(sigs, p), uri, p, filesPerBand, "append")
   }
 
   /** Probe: near-duplicate matches of `batch` docs against the indexed
@@ -155,6 +183,60 @@ object DedupIndex {
     val spark = batch.sparkSession
     val p = readParams(spark, uri)
     val banded = bandedRows(batch, idCol, textCol, p).localCheckpoint(true)
+    // candidate pairs materialize EAGERLY (pair-scale): they feed both
+    // the sig fetch and the estimate join, and without the checkpoint
+    // the broadcast subtree would re-run the bucket-table scan
+    val candidates = candidatePairs(banded, uri, p, maxProbeKeys)
+      .localCheckpoint(true)
+    // ONE narrow map-side pass of sigs/ fetches only the candidates'
+    // corpus signatures (broadcast semi-join on id); the result is
+    // candidate-scale, so forcing it broadcast is safe and keeps the
+    // estimate join shuffle-free.
+    val mids = candidates.select(col("__mid").as("id")).distinct()
+    val corpusSigs = spark.read.parquet(sigsPath(uri))
+      .join(broadcast(mids), Seq("id"), "left_semi")
+      .select(col("id").as("__mid"), col("sig").as("__msig"))
+    // recomputed narrow (one row per doc by construction) rather than
+    // deduped out of `banded` — a dropDuplicates would ship the sig
+    // arrays through a shuffle for nothing
+    val batchSigs = sigRows(batch, idCol, textCol, p)
+      .select(col("id").as("__qid"), col("sig").as("__qsig"))
+    val est = graft.functions.LaneMatches(col("__qsig"), col("__msig"))
+      .cast("double") / p.numHashes.toDouble
+    val estimates = candidates
+      .join(broadcast(batchSigs), Seq("__qid"))
+      .join(broadcast(corpusSigs), Seq("__mid"))
+      .withColumn("est", round(est, 6))
+      .select(col("__qid"), col("__mid"), col("est"))
+    verifyWith match {
+      case None =>
+        estimates.filter(col("est") >= threshold)
+          .select(col("__qid").as("id"), col("__mid").as("match_id"), col("est"))
+      case Some(corpus) =>
+        // exact verify on hashed shingle sets: batch side recomputed
+        // (narrow), corpus side joined ONLY for estimate survivors —
+        // the survivor set is pair-scale, so AQE broadcasts it and the
+        // corpus text frame is filtered, not shuffled.
+        val survivors = estimates.filter(col("est") >= threshold - 0.15)
+        val qh = batch.select(col(idCol).as("__qid"),
+          normHashes(col(textCol), p.k).as("__qh"))
+        val mh = corpus.select(col(idCol).as("__mid"),
+          normHashes(col(textCol), p.k).as("__mh"))
+        survivors.join(qh, "__qid").join(mh, "__mid")
+          .withColumn("jaccard", Dedup.hashedJaccard(col("__qh"), col("__mh")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("__qid").as("id"), col("__mid").as("match_id"),
+            col("est"), round(col("jaccard"), 6).as("jaccard"))
+    }
+  }
+
+  /** The candidate-pair stage of [[probe]], un-checkpointed — the
+    * bucket-table scan with its pushdown is visible in THIS plan
+    * (probe checkpoints it eagerly, which truncates lineage). Also the
+    * plan-assertion seam for specs. */
+  private[graft] def candidatePairs(banded: DataFrame, uri: String, p: Params,
+      maxProbeKeys: Int): DataFrame = {
+    val spark = banded.sparkSession
     val probeKeys = banded.select("bucket").distinct()
       .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
     val index = spark.read.parquet(dataPath(uri))
@@ -173,42 +255,26 @@ object DedupIndex {
     val overCap = broadcast(idxCounts.join(batchCounts, Seq("band", "bucket"))
       .filter(col("__ni") + col("__nb") > p.maxBucket)
       .select("band", "bucket"))
-    // batch side broadcast: no exchange anywhere below the join — the
-    // index is scanned once, map-side. A pair can surface once per
-    // shared band, so a distinct is still needed, but the estimate
-    // filter runs FIRST (narrow per-row expression) and the signatures
-    // are dropped before it: the one shuffle carries only the
-    // estimate-surviving (id, match_id, est) rows, not sig payloads.
-    val est = graft.functions.LaneMatches(col("__qsig"), col("sig"))
-      .cast("double") / p.numHashes.toDouble
-    val estimates = pruned.join(
-        broadcast(banded.select(col("id").as("__qid"), col("sig").as("__qsig"),
+    // Candidate PAIRS on the narrow bucket rows — batch side broadcast,
+    // no exchange below the join, the bucket table consumed map-side.
+    // Pair-level dedup happens HERE (a pair surfaces once per shared
+    // band), bounded by the bucket cap, so the sig fetch is
+    // candidate-scale.
+    pruned.join(
+        broadcast(banded.select(col("id").as("__qid"),
           col("band").as("band"), col("bucket").as("bucket"))),
         Seq("band", "bucket"))
       .join(overCap, Seq("band", "bucket"), "left_anti")
       .filter(col("id") =!= col("__qid"))
-      .withColumn("est", est)
-      .select(col("__qid"), col("id").as("__mid"), round(col("est"), 6).as("est"))
-    verifyWith match {
-      case None =>
-        estimates.filter(col("est") >= threshold).distinct()
-          .select(col("__qid").as("id"), col("__mid").as("match_id"), col("est"))
-      case Some(corpus) =>
-        // exact verify on hashed shingle sets: batch side recomputed
-        // (narrow), corpus side joined ONLY for estimate survivors —
-        // the survivor set is pair-scale, so AQE broadcasts it and the
-        // corpus text frame is filtered, not shuffled.
-        val survivors = estimates.filter(col("est") >= threshold - 0.15).distinct()
-        val qh = batch.select(col(idCol).as("__qid"),
-          normHashes(col(textCol), p.k).as("__qh"))
-        val mh = corpus.select(col(idCol).as("__mid"),
-          normHashes(col(textCol), p.k).as("__mh"))
-        survivors.join(qh, "__qid").join(mh, "__mid")
-          .withColumn("jaccard", Dedup.hashedJaccard(col("__qh"), col("__mh")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("__qid").as("id"), col("__mid").as("match_id"),
-            col("est"), round(col("jaccard"), 6).as("jaccard"))
-    }
+      .select(col("__qid"), col("id").as("__mid"))
+      .distinct()
+  }
+
+  /** spec seam: the candidate-pair plan for a batch, un-checkpointed */
+  private[graft] def candidatePairsFor(batch: DataFrame, idCol: String,
+      textCol: String, uri: String, maxProbeKeys: Int = 1 << 15): DataFrame = {
+    val p = readParams(batch.sparkSession, uri)
+    candidatePairs(bandedRows(batch, idCol, textCol, p), uri, p, maxProbeKeys)
   }
 
   /** The batch minus docs near-duplicating the indexed corpus — the

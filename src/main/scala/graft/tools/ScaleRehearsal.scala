@@ -19,7 +19,12 @@ import graft.ops.{Curation, Dedup, TextAnalysis}
   * same internal dup rate.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *     sbt "runMain graft.tools.ScaleRehearsal [mult]"
+  *     sbt "runMain graft.tools.ScaleRehearsal [mult] [ops]"
+  *
+  * Optional `ops` is a comma list restricting which operators run
+  * (e.g. "index_build,index_probe_500,packing,dup_spans" for the
+  * 100x steady-state run — the full sweep at 100x would mostly
+  * re-measure the one-shot paths the 10x/30x curves already pin).
   */
 object ScaleRehearsal {
 
@@ -41,6 +46,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    def runOp(name: String): Boolean = only.isEmpty || only(name)
     val outDir = s"/root/repo/target/scale${mult}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
@@ -61,105 +69,134 @@ object ScaleRehearsal {
     }.reduce(_ unionByName _)
     docsX.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
-    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    (0 until mult).map(c => li0.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong << 32)))
-      .reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    if (runOp("ingest_lineitem")) {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      (0 until mult).map(c => li0.withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong << 32)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
 
     val docs = spark.read.parquet(s"$outDir/documents.parquet")
-    val lineitem = spark.read.parquet(s"$outDir/lineitem.parquet")
-    println(s"[rehearsal] docs=${docs.count()} lineitem=${lineitem.count()} (mult=$mult)")
+    println(s"[rehearsal] docs=${docs.count()} (mult=$mult)")
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // ---- LSH bucket-cap hit rate ------------------------------------
     // re-derive the banded buckets exactly as minhashNearDups does and
     // measure what the 64-id cap drops at this scale
-    val sigs = docs.select(col("doc_id").as("__id"),
-      Dedup.minhashSignatureFromHashes(graft.functions.ShingleHashes(
-        lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5), 64).as("__sig"))
-    val banded = sigs.select(col("__id"),
-        posexplode(transform(sequence(lit(0), lit(15)),
-          b => xxhash64(slice(col("__sig"), b * 4 + 1, lit(4)), b))))
-      .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
-    val stats = banded.groupBy("__band", "__bucket").agg(count(lit(1)).as("n"))
-      .agg(count(lit(1)).as("buckets"),
-        sum(when(col("n") > 64, 1L).otherwise(0L)).as("over_cap"),
-        sum(when(col("n") > 64, col("n")).otherwise(0L)).as("ids_in_dropped"),
-        sum(col("n")).as("ids_total"),
-        max(col("n")).as("max_bucket")).head()
-    println(s"[rehearsal] buckets=${stats.getLong(0)} overCap=${stats.getLong(1)} " +
-      s"idsDropped=${stats.getLong(2)}/${stats.getLong(3)} maxBucket=${stats.getLong(4)}")
+    val stats: Option[org.apache.spark.sql.Row] = if (!runOp("lsh_cap_stats")) None else {
+      val sigs = docs.select(col("doc_id").as("__id"),
+        Dedup.minhashSignatureFromHashes(graft.functions.ShingleHashes(
+          lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5), 64).as("__sig"))
+      val banded = sigs.select(col("__id"),
+          posexplode(transform(sequence(lit(0), lit(15)),
+            b => xxhash64(slice(col("__sig"), b * 4 + 1, lit(4)), b))))
+        .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
+      val s = banded.groupBy("__band", "__bucket").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("buckets"),
+          sum(when(col("n") > 64, 1L).otherwise(0L)).as("over_cap"),
+          sum(when(col("n") > 64, col("n")).otherwise(0L)).as("ids_in_dropped"),
+          sum(col("n")).as("ids_total"),
+          max(col("n")).as("max_bucket")).head()
+      println(s"[rehearsal] buckets=${s.getLong(0)} overCap=${s.getLong(1)} " +
+        s"idsDropped=${s.getLong(2)}/${s.getLong(3)} maxBucket=${s.getLong(4)}")
+      Some(s)
+    }
 
     // ---- heavy operators at mult-x ----------------------------------
-    val (_, tMinhash) = time(
-      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6).count())
-    results += "minhash_neardups" -> tMinhash
-
-    val (survivors, tDrop) = time(
-      Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6).count())
-    results += "dedup_drop" -> tDrop
-    println(s"[rehearsal] dropNearDups kept $survivors of ${docs.count()}")
-
-    val (_, tStar) = time {
-      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
-        .localCheckpoint(true)
-      Dedup.dupClusters(pairs, driverLimit = 0L).count()
+    if (runOp("minhash_neardups")) {
+      val (_, tMinhash) = time(
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6).count())
+      results += "minhash_neardups" -> tMinhash
     }
-    results += "dedup_star_cc" -> tStar
 
-    val (_, tSim) = time(
-      Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3).count())
-    results += "simhash_neardups" -> tSim
-
-    val bench = docs0.limit(200).select(col("doc_id").as("bench_id"),
-      col("text").as("snippet"))
-    val (_, tContam) = time(
-      Curation.contamination(docs, "doc_id", "text", bench, "snippet", n = 8).count())
-    results += "contamination" -> tContam
-
-    val (_, tBpe) = time(
-      TextAnalysis.bpeTokenCounts(docs.select(col("doc_id"), col("text"))
-        .as[(Long, String)]).agg(sum("_2")).head())
-    results += "text_tokens_bpe" -> tBpe
-
-    val (_, tIngest) = time {
-      val uri = s"$outDir/ingest_li"
-      graft.storage.ArrayTable.ingest(spark, lineitem, uri,
-        Seq("l_orderkey", "l_linenumber"), overwrite = true)
-      graft.storage.VFS(spark).delete(uri)
+    if (runOp("dedup_drop")) {
+      val (survivors, tDrop) = time(
+        Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.6).count())
+      results += "dedup_drop" -> tDrop
+      println(s"[rehearsal] dropNearDups kept $survivors of ${docs.count()}")
     }
-    results += "ingest_lineitem" -> tIngest
+
+    if (runOp("dedup_star_cc")) {
+      val (_, tStar) = time {
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)
+          .localCheckpoint(true)
+        Dedup.dupClusters(pairs, driverLimit = 0L).count()
+      }
+      results += "dedup_star_cc" -> tStar
+    }
+
+    if (runOp("simhash_neardups")) {
+      val (_, tSim) = time(
+        Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3).count())
+      results += "simhash_neardups" -> tSim
+    }
+
+    if (runOp("contamination")) {
+      val bench = docs0.limit(200).select(col("doc_id").as("bench_id"),
+        col("text").as("snippet"))
+      val (_, tContam) = time(
+        Curation.contamination(docs, "doc_id", "text", bench, "snippet", n = 8).count())
+      results += "contamination" -> tContam
+    }
+
+    if (runOp("text_tokens_bpe")) {
+      val (_, tBpe) = time(
+        TextAnalysis.bpeTokenCounts(docs.select(col("doc_id"), col("text"))
+          .as[(Long, String)]).agg(sum("_2")).head())
+      results += "text_tokens_bpe" -> tBpe
+    }
+
+    if (runOp("ingest_lineitem")) {
+      val lineitem = spark.read.parquet(s"$outDir/lineitem.parquet")
+      println(s"[rehearsal] lineitem=${lineitem.count()}")
+      val (_, tIngest) = time {
+        val uri = s"$outDir/ingest_li"
+        graft.storage.ArrayTable.ingest(spark, lineitem, uri,
+          Seq("l_orderkey", "l_linenumber"), overwrite = true)
+        graft.storage.VFS(spark).delete(uri)
+      }
+      results += "ingest_lineitem" -> tIngest
+    }
 
     // ---- round-8 ops: persisted-index probe, packing, dup spans -----
     // index build is the amortized one-time pass; the PROBE is the
     // steady-state cost — measure both, plus the probe's scan
     // selectivity (bytes of index actually read vs index size)
     val idxUri = s"$outDir/minhash_index"
-    val (_, tIdxBuild) = time(
-      graft.ops.DedupIndex.build(docs.select("doc_id", "text"), "doc_id", "text", idxUri))
-    results += "index_build" -> tIdxBuild
-    val batch = docs0.limit(500)
-      .withColumn("doc_id", col("doc_id") + (1L << 50))
-      .withColumn("text", concat(col("text"), lit(" xyzzy")))
-    val (probeHits, tProbe) = time(
-      graft.ops.DedupIndex.probe(batch, "doc_id", "text", idxUri, threshold = 0.6).count())
-    results += "index_probe_500" -> tProbe
-    println(s"[rehearsal] index probe of 500 docs: $probeHits matches")
+    if (runOp("index_build")) {
+      val (_, tIdxBuild) = time(
+        graft.ops.DedupIndex.build(docs.select("doc_id", "text"), "doc_id", "text", idxUri))
+      results += "index_build" -> tIdxBuild
+    }
+    if (runOp("index_probe_500")) {
+      val batch = docs0.limit(500)
+        .withColumn("doc_id", col("doc_id") + (1L << 50))
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      val (probeHits, tProbe) = time(
+        graft.ops.DedupIndex.probe(batch, "doc_id", "text", idxUri, threshold = 0.6).count())
+      results += "index_probe_500" -> tProbe
+      println(s"[rehearsal] index probe of 500 docs: $probeHits matches")
+    }
 
-    val (_, tPack) = time(
-      graft.ops.Packing.packStats(
-        graft.ops.Packing.packDocs(docs, "doc_id", "text", 512L), 512L)
-        .agg(sum("tokens")).head())
-    results += "packing" -> tPack
+    if (runOp("packing")) {
+      val (_, tPack) = time(
+        graft.ops.Packing.packStats(
+          graft.ops.Packing.packDocs(docs, "doc_id", "text", 512L), 512L)
+          .agg(sum("tokens")).head())
+      results += "packing" -> tPack
+    }
 
-    val (_, tSpans) = time(
-      Curation.dupSpans(docs, "doc_id", "text", n = 8).agg(sum("shared_grams")).head())
-    results += "dup_spans" -> tSpans
+    if (runOp("dup_spans")) {
+      val (_, tSpans) = time(
+        Curation.dupSpans(docs, "doc_id", "text", n = 8).agg(sum("shared_grams")).head())
+      results += "dup_spans" -> tSpans
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_rehearsal","mult":$mult,"queries":$qs,""" +
-      s""""buckets_over_cap":${stats.getLong(1)},"max_bucket":${stats.getLong(4)}}""")
+    val capJson = stats.map(s =>
+      s""","buckets_over_cap":${s.getLong(1)},"max_bucket":${s.getLong(4)}""").getOrElse("")
+    println(s"""{"metric":"scale_rehearsal","mult":$mult,"queries":$qs$capJson}""")
     spark.stop()
   }
 }

@@ -97,14 +97,18 @@ class DedupIndexSpec extends SparkSpec {
   }
 
   test("probe plan: bucket isin pushed to the index scan, index never shuffles") {
-    val df = DedupIndex.probe(batch, "doc_id", "text", indexUri, threshold = 0.6)
+    // the candidate stage holds the bucket-table scan (probe
+    // checkpoints it eagerly, truncating lineage in the final frame)
+    val df = DedupIndex.candidatePairsFor(batch, "doc_id", "text", indexUri)
     val plan = Shim.plannedPhysical(df)
-    // the index parquet scan carries an In/InSet pushdown on bucket
+    // the BUCKET-table parquet scan carries an In/InSet pushdown on
+    // bucket (the sigs/ scan is id-filtered via semi-join, not bucket)
     val scans = plan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.metadata.get("Location").exists(_.contains("minhash-index")) => s
+          if s.metadata.get("Location").exists(l =>
+            l.contains("minhash-index") && l.contains("/data")) => s
     }
-    assert(scans.nonEmpty, s"no index file scan found:\n$plan")
+    assert(scans.nonEmpty, s"no index bucket-table scan found:\n$plan")
     scans.foreach { s =>
       val pushed = s.metadata.getOrElse("PushedFilters", "")
       assert(pushed.contains("In(bucket") || pushed.contains("In(`bucket`"),
@@ -144,9 +148,10 @@ class DedupIndexSpec extends SparkSpec {
     // force the fallback with a tiny key budget — the plan must carry a
     // broadcast LEFT SEMI join on bucket instead of a literal In, and
     // the matches must be identical to the pushdown path's
+    val plan = Shim.plannedPhysical(
+      DedupIndex.candidatePairsFor(batch, "doc_id", "text", indexUri, maxProbeKeys = 3))
     val viaSemi = DedupIndex.probe(batch, "doc_id", "text", indexUri,
       threshold = 0.6, maxProbeKeys = 3)
-    val plan = Shim.plannedPhysical(viaSemi)
     val inLiterals = plan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.metadata.get("Location").exists(_.contains("minhash-index")) =>
