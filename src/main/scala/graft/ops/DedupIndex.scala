@@ -230,6 +230,32 @@ object DedupIndex {
     }
   }
 
+  /** Re-cluster the bucket table after many appends WITHOUT re-reading
+    * any corpus text: the narrow (band, bucket, id) rows are re-range-
+    * partitioned and re-sorted into `filesPerBand` files per band, and
+    * the corpus∪appends bucket cap is re-enforced (append only caps
+    * within its own batch). Sigs are untouched. This is the cheap
+    * maintenance verb between appends and a full [[build]] — cost is
+    * one pass of the ~24 B/row key table, independent of text size. */
+  def compact(spark: SparkSession, uri: String, filesPerBand: Int = 4): Unit = {
+    val p = readParams(spark, uri)
+    val fs = VFS(spark)
+    val tmp = s"$uri/data_compacting"
+    fs.delete(tmp)
+    val rows = spark.read.parquet(dataPath(uri))
+    val sizes = rows.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > p.maxBucket)
+      .select("band", "bucket")
+    rows.join(sizes, Seq("band", "bucket"), "left_anti")
+      .repartitionByRange(math.max(1, p.bands * filesPerBand),
+        col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(dataPath(uri))
+    fs.rename(tmp, dataPath(uri))
+  }
+
   /** The candidate-pair stage of [[probe]], un-checkpointed — the
     * bucket-table scan with its pushdown is visible in THIS plan
     * (probe checkpoints it eagerly, which truncates lineage). Also the

@@ -96,6 +96,29 @@ class DedupIndexSpec extends SparkSpec {
     assert(m.count() == 30, "appended-index probe must still find all planted dups")
   }
 
+  test("compact re-clusters appended bucket files; probe results unchanged") {
+    val uri = TestSession.tmpDir("minhash-index-cmp")
+    DedupIndex.build(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", uri)
+    DedupIndex.append(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", uri)
+    def pairs() = DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
+      .select("id", "match_id").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    val filesBefore = new java.io.File(s"$uri/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    DedupIndex.compact(spark, uri, filesPerBand = 2)
+    val filesAfter = new java.io.File(s"$uri/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore,
+      s"compact must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(pairs() == before, "compact must not change probe results")
+    // compacted layout matches a from-scratch rebuild pair-for-pair
+    val rebuilt = TestSession.tmpDir("minhash-index-rb")
+    DedupIndex.build(corpus, "doc_id", "text", rebuilt)
+    val fresh = DedupIndex.probe(batch, "doc_id", "text", rebuilt, threshold = 0.6)
+      .select("id", "match_id").as[(Long, Long)].collect().toSet
+    assert(pairs() == fresh)
+  }
+
   test("probe plan: bucket isin pushed to the index scan, index never shuffles") {
     // the candidate stage holds the bucket-table scan (probe
     // checkpoints it eagerly, truncating lineage in the final frame)
