@@ -494,6 +494,28 @@ object SparkEntry {
       s.sql(s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $cat.sf.orders " +
         "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0")
     }),
+    // INSERT OVERWRITE preserves pre-insert MVCC history: the
+    // overwrite is a whole-table truncation log entry + one new
+    // fragment, so the current read sees only the new rows while
+    // VERSION AS OF the first insert's timestamp still resolves the
+    // original data — both value-checked against DuckDB closed forms
+    "catalog_overwrite" -> ((s, d) => {
+      val cat = sqlCatalog(s, d)
+      val uri = s"$arrayBase/${sfKey(d)}/catalog_root/sf/orders_ovw"
+      synchronized { if (!ArrayTable.exists(s, uri)) {
+        s.sql(s"CREATE TABLE $cat.sf.orders_ovw (o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES ('dims'='o_orderkey')")
+        t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_ovw")
+        s.sql(s"INSERT INTO $cat.sf.orders_ovw SELECT o_orderkey, o_totalprice " +
+          "FROM catalog_src_orders_ovw WHERE o_orderkey <= 20000")
+        s.sql(s"INSERT OVERWRITE $cat.sf.orders_ovw SELECT o_orderkey, " +
+          "o_totalprice + 1.0 FROM catalog_src_orders_ovw WHERE o_orderkey > 20000")
+      } }
+      val ts0 = ArrayTable.fragments(s, uri).map(_.ts).min
+      s.sql(s"SELECT o_orderkey, o_totalprice, 'post' AS phase FROM $cat.sf.orders_ovw")
+        .unionByName(s.sql(s"SELECT o_orderkey, o_totalprice, 'pre' AS phase " +
+          s"FROM $cat.sf.orders_ovw VERSION AS OF '$ts0'"))
+    }),
     // SQL DELETE FROM: predicates translate to the same QueryCondition
     // tombstone an API delete writes (metadata-only, no rewrite); the
     // read-back must match DuckDB's surviving-row set
@@ -1621,6 +1643,10 @@ object SparkEntry {
       "AND l_quantity < 24.0"),
     "catalog_sql" -> ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
       "WHERE o_orderkey <= 20000 AND o_totalprice > 100000.0"),
+    "catalog_overwrite" -> ("SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice, " +
+      "'post' AS phase FROM orders WHERE o_orderkey > 20000 " +
+      "UNION ALL SELECT o_orderkey, o_totalprice, 'pre' AS phase " +
+      "FROM orders WHERE o_orderkey <= 20000"),
     "catalog_delete" -> ("SELECT * FROM orders " +
       "WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 1000.0)"),
     "catalog_update" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
