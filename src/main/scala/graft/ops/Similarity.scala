@@ -277,6 +277,27 @@ object Similarity {
       .parquet(s"$uri/cells")
   }
 
+  /** Re-write each cell directory of a persisted IVF index into ONE
+    * file: appends accumulate one batch-sized file per append per
+    * cell, and the per-file open cost eventually dominates probe
+    * reads. One pass of the stored vectors — hash-repartitioned on
+    * the cell id (each cell lands whole in one task, parallelism =
+    * cell count) — no centroid retraining, no assignment recompute
+    * (the partition column IS the assignment). The cheap maintenance
+    * verb between appends and a full [[buildIvfIndex]] retrain,
+    * mirroring the dedup index's append → compact → build ladder. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
+    val fs = graft.storage.VFS(spark)
+    val nCells = indexCentroids(spark, uri).size
+    val tmp = s"$uri/cells_compacting"
+    fs.delete(tmp)
+    spark.read.parquet(s"$uri/cells")
+      .repartition(math.max(1, nCells), col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(tmp)
+    fs.delete(s"$uri/cells")
+    fs.rename(tmp, s"$uri/cells")
+  }
+
   /** Centroids of a persisted IVF index. */
   def indexCentroids(spark: org.apache.spark.sql.SparkSession,
       uri: String): Seq[(Long, Seq[Double])] = {

@@ -385,6 +385,18 @@ class OpsSpec extends SparkSpec {
     assert(res.head.getAs[Long]("neighbor_id") == 350L, res.toSeq)
     // the full index now holds all 400 vectors
     assert(spark.read.parquet(s"$uri/cells").count() == 400)
+    // compact: per-cell files merge to one; vectors and results intact
+    def cellFiles() = new java.io.File(s"$uri/cells").listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val filesBefore = cellFiles()
+    Similarity.compactIvfIndex(spark, uri)
+    assert(cellFiles() < filesBefore,
+      s"compact must shrink per-cell file count ($filesBefore -> ${cellFiles()})")
+    assert(spark.read.parquet(s"$uri/cells").count() == 400)
+    val res2 = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect().sortBy(_.getAs[Long]("rank"))
+    assert(res2.head.getAs[Long]("neighbor_id") == 350L)
   }
 
   test("IVF top-k recall≥0.6 of brute force at nprobe=4/16") {
