@@ -100,5 +100,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.size >= 2, s"hilbert_index expects bits + at least one dim, got ${args.size}")
       HilbertIndex(args.tail, intArg(args, 0, "bits", "hilbert_index"))
     }
+
+    // text-pipeline scalars: composite Column expressions registered
+    // through the Column<->Expression shim, so spark-sql users run the
+    // same curation predicates the Scala API builds
+    import org.apache.spark.sql.graftshim.Shim
+    def registerCol(name: String, usage: String, n: Int)(
+        f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      register(name, usage) { args =>
+        arity(name, args, n)
+        Shim.toExpressionEager(f(args.map(Shim.toColumn)))
+      }
+    registerCol("lang_id",
+      "lang_id(text) - heuristic language code (~28 languages) or 'und'", 1)(
+      cs => graft.ops.TextAnalysis.langId(cs.head))
+    registerCol("quality_score",
+      "quality_score(text) - [0,1] text-quality heuristic", 1)(
+      cs => graft.ops.TextAnalysis.qualityScore(cs.head))
+    registerCol("token_count",
+      "token_count(text) - whitespace token count; blank -> 0", 1)(
+      cs => graft.ops.TextAnalysis.tokenCount(cs.head))
   }
 }

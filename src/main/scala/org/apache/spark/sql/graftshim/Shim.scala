@@ -12,6 +12,14 @@ object Shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER ColumnNode -> Expression conversion. `toExpression` defers
+    * behind a `ColumnNodeExpression` wrapper that only the session's
+    * analyzer unwraps — inside an injected SQL FunctionBuilder the
+    * wrapper survives to codegen and throws Unevaluable. This runs the
+    * classic converter immediately, yielding a plain Catalyst tree. */
+  def toExpressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** DataFrame over an already-resolved logical plan (private[sql] in
     * classic). Used by the MERGE rewrite to re-execute the statement's
     * source query as a plain frame. */

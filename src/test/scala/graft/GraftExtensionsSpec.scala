@@ -105,6 +105,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ord.select("x").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("text-pipeline scalars via SQL match the Column API") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    docs.createOrReplaceTempView("ext_txt")
+    val viaSql = spark.sql(
+      "SELECT doc_id, lang_id(text) AS l, quality_score(text) AS q, " +
+        "token_count(text) AS n FROM ext_txt")
+    val viaCol = docs.select($"doc_id",
+      graft.ops.TextAnalysis.langId($"text").as("l"),
+      graft.ops.TextAnalysis.qualityScore($"text").as("q"),
+      graft.ops.TextAnalysis.tokenCount($"text").as("n"))
+    assert(viaSql.exceptAll(viaCol).count() == 0 &&
+      viaCol.exceptAll(viaSql).count() == 0)
+  }
+
   test("boundsOf keeps the TIGHTEST bound per dim") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.types.LongType
