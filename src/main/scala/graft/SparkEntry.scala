@@ -980,9 +980,16 @@ object SparkEntry {
     // and solitary, fill efficiency vs the global lower bound) are
     // booleans the oracle pins true.
     "packing_gate" -> ((s, d) => {
+      import s.implicits._
       val budget = 512L
+      // budgets in REAL (learned-BPE) tokens, not whitespace pieces —
+      // the currency a training pipeline actually packs by. The oracle
+      // recomputes total_tokens by replaying the same merge table.
+      val counts = TextAnalysis.bpeTokenCounts(
+        t(s, d, "documents").select("doc_id", "text").as[(Long, String)])
+        .toDF("doc_id", "__bpe")
       val packed = graft.ops.Packing.packDocs(
-        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", budget)
+        counts, "doc_id", col("__bpe"), budget, 0)
         .localCheckpoint(true)
       val stats = graft.ops.Packing.packStats(packed, budget).localCheckpoint(true)
       val nDocs = packed.count()
@@ -1483,7 +1490,12 @@ object SparkEntry {
     * created by strictly earlier merges) makes repeated application
     * converge to the same fixpoint as merging all occurrences at once
     * (see [[graft.ops.TextAnalysis.bpeMerges]]). */
-  private def bpeOracleSql: String = {
+  /** Shared DuckDB replay of the learned-BPE segmentation: CTEs ending
+    * in `docbpe(doc_id, n_bpe)` — per-doc token totals under the SAME
+    * embedded merge table the Spark side uses. Cost scales with the
+    * corpus' DISTINCT words (the recursive seg runs per word), not
+    * with the 24k-merge table size. */
+  private def bpeDocCountsCte: String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val values = graft.ops.TextAnalysis.bpeMerges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1},${q(a)},${q(b)})" }.mkString(",")
@@ -1503,11 +1515,14 @@ object SparkEntry {
     "final AS (SELECT w, min(length(s) - length(replace(s, chr(31), '')) + 1) AS n " +
     "FROM seg GROUP BY w), " +
     "docwords AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " + pretoken +
-    ")) AS w FROM documents) " +
-    "SELECT d.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_bpe " +
+    ")) AS w FROM documents), " +
+    "docbpe AS (SELECT d.doc_id, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_bpe " +
     "FROM documents d LEFT JOIN docwords dw ON d.doc_id = dw.doc_id " +
-    "LEFT JOIN final f ON dw.w = f.w GROUP BY d.doc_id"
+    "LEFT JOIN final f ON dw.w = f.w GROUP BY d.doc_id)"
   }
+
+  private def bpeOracleSql: String =
+    bpeDocCountsCte + " SELECT doc_id, n_bpe FROM docbpe"
 
   /** Planted language-ID fixture: one phrase per language in
     * [[graft.ops.TextAnalysis.scriptLangs]] check order, then the 20
@@ -1727,11 +1742,9 @@ object SparkEntry {
       "SELECT doc_id, chunk_id, least(64, n - chunk_id * 48) AS n_tokens, " +
       "array_to_string(t[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ') " +
       "AS chunk FROM c"),
-    "packing_gate" -> ("WITH tok AS (SELECT CAST(CASE WHEN length(trim(text)) = 0 " +
-      "THEN 0 ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) " +
-      "AS n FROM documents) " +
-      "SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens, " +
-      "true AS well_formed, true AS efficient FROM tok WHERE n > 0"),
+    "packing_gate" -> (bpeDocCountsCte +
+      " SELECT count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS total_tokens, " +
+      "true AS well_formed, true AS efficient FROM docbpe WHERE n_bpe > 0"),
     "text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS len, " +
       "round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +

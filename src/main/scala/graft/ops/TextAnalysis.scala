@@ -235,63 +235,117 @@ object TextAnalysis {
     *
     * Fully deterministic: pair-count ties break to the
     * lexicographically largest pair, and the top-N word cut breaks
-    * count ties by word. */
+    * count ties by word.
+    *
+    * The `maxWords` cut is NOT silent: when the corpus vocabulary
+    * exceeds it, the dropped word count and dropped token-mass
+    * fraction are logged (tail words change pair counts; at real
+    * corpus scale you want to know how much mass the cut removed). */
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int = 2000,
       maxWords: Int = 100000, minFrequency: Long = 2L): Vector[(String, String)] = {
-    val words = df
+    val wordCounts = df
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit(bpePretokenPattern), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w"))
-      .limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainBpeOnCounts(words, numMerges, minFrequency)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val words = wordCounts
+        .orderBy(col("n").desc, col("w"))
+        .limit(maxWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (words.length == maxWords) {
+        // vocabulary may exceed the cut — measure what it dropped
+        val tot = wordCounts.agg(count(lit(1)).as("dw"), sum(col("n")).as("mass")).head()
+        val (distinct, mass) = (tot.getLong(0), tot.getLong(1))
+        if (distinct > maxWords) {
+          val keptMass = words.map(_._2).sum
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            f"trainBpe: maxWords=$maxWords cut dropped ${distinct - maxWords} of $distinct " +
+              f"distinct words (${(mass - keptMass).toDouble / mass * 100}%.2f%% of token mass)")
+        }
+      }
+      trainBpeOnCounts(words, numMerges, minFrequency)
+    } finally { wordCounts.unpersist() }
   }
 
+  /** Driver-side greedy merge loop. Two structures keep a 16-32k-merge
+    * run over a 100k-word vocabulary at interactive speed (the naive
+    * loop re-scans every word per merge — quadratic and ~hours at that
+    * size):
+    *   - `occurs`: pair -> word indices that contained the pair when it
+    *     was counted (a SUPERSET — entries go stale when another merge
+    *     rewrites the word; re-checked cheaply at merge time), so each
+    *     merge touches only candidate words, not the whole vocabulary;
+    *   - a lazy-deletion max-heap over (count, a, b): every count
+    *     change pushes a fresh entry; pops discard entries whose stored
+    *     count no longer matches the live count. The surviving top is
+    *     exactly `maxBy (count, a, b)` of the live table, so results
+    *     are bit-identical to the reference loop. */
   private[graft] def trainBpeOnCounts(words: Array[(String, Long)],
       numMerges: Int, minFrequency: Long = 2L): Vector[(String, String)] = {
     val syms = words.map { case (w, _) => w.map(_.toString).toArray }
     val wcount = words.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    def bump(s: Array[String], n: Long): Unit = {
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.String)
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    def bump(s: Array[String], n: Long, w: Int): Unit = {
       var i = 0
       while (i < s.length - 1) {
         val p = (s(i), s(i + 1))
         val c = counts.getOrElse(p, 0L) + n
         if (c == 0L) counts.remove(p) else counts(p) = c
+        if (c > 0L) heap.enqueue((c, p._1, p._2))
+        if (n > 0L)
+          occurs.getOrElseUpdate(p, new scala.collection.mutable.ArrayBuffer[Int]) += w
         i += 1
       }
     }
     var w = 0
-    while (w < syms.length) { bump(syms(w), wcount(w)); w += 1 }
+    while (w < syms.length) { bump(syms(w), wcount(w), w); w += 1 }
     val out = Vector.newBuilder[(String, String)]
     var k = 0
-    var exhausted = counts.isEmpty
+    var exhausted = false
     while (k < numMerges && !exhausted) {
-      val ((a, b), n) = counts.maxBy { case ((x, y), c) => (c, x, y) }
-      if (n < minFrequency) exhausted = true
+      // discard stale heap entries; the surviving top is the live max
+      var best: ((String, String), Long) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.head
+        if (counts.getOrElse((a, b), 0L) == c) best = ((a, b), c)
+        else heap.dequeue()
+      }
+      if (best == null || best._2 < minFrequency) exhausted = true
       else {
+        val (a, b) = best._1
         out += ((a, b))
-        var i = 0
-        while (i < syms.length) {
-          val s = syms(i)
-          var has = false
-          var j = 0
-          while (!has && j < s.length - 1) { has = s(j) == a && s(j + 1) == b; j += 1 }
-          if (has) {
-            bump(s, -wcount(i))
-            val m = new scala.collection.mutable.ArrayBuffer[String](s.length)
-            var t = 0
-            while (t < s.length) {
-              if (t < s.length - 1 && s(t) == a && s(t + 1) == b) { m += a + b; t += 2 }
-              else { m += s(t); t += 1 }
+        val cand = occurs.remove((a, b))
+          .getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        val seen = new scala.collection.mutable.BitSet(syms.length)
+        var ci = 0
+        while (ci < cand.length) {
+          val i = cand(ci)
+          if (!seen(i)) {
+            seen += i
+            val s = syms(i)
+            var has = false
+            var j = 0
+            while (!has && j < s.length - 1) { has = s(j) == a && s(j + 1) == b; j += 1 }
+            if (has) {
+              bump(s, -wcount(i), i)
+              val m = new scala.collection.mutable.ArrayBuffer[String](s.length)
+              var t = 0
+              while (t < s.length) {
+                if (t < s.length - 1 && s(t) == a && s(t + 1) == b) { m += a + b; t += 2 }
+                else { m += s(t); t += 1 }
+              }
+              syms(i) = m.toArray
+              bump(syms(i), wcount(i), i)
             }
-            syms(i) = m.toArray
-            bump(syms(i), wcount(i))
           }
-          i += 1
+          ci += 1
         }
-        exhausted = counts.isEmpty
         k += 1
       }
     }
