@@ -76,7 +76,12 @@ object SparkEntry {
   private def ivfIndex(s: SparkSession, dir: String): String = synchronized {
     val uri = s"$arrayBase/${sfKey(dir)}/ivf_index"
     val fs = graft.storage.VFS(s)
-    if (!fs.exists(s"$uri/centroids.json")) {
+    // self-heal stale fixtures that predate the quantized cell layout
+    // (cells must carry int8 codes for the re-rank path)
+    val usable = fs.exists(s"$uri/centroids.json") &&
+      scala.util.Try(s.read.parquet(s"$uri/cells")
+        .schema.fieldNames.contains("codes")).getOrElse(false)
+    if (!usable) {
       fs.delete(uri)
       Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
         uri, nCentroids = 16, lloydSteps = 2)
@@ -904,14 +909,8 @@ object SparkEntry {
         e.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, nCentroids = 16, nprobe = 8)
     }),
-    // IVF correctness gate: recall@10 vs the (oracle-checked) exact
-    // brute-force result must clear the floor — a driver-checkable
-    // assertion on the approximate path, same config as knn_ivf.
-    // Deterministic (hash-sampled seeds + Lloyd); measured recall at
-    // nprobe=8/16: sf0.001 0.80, sf0.01 0.725, sf0.1 0.825 — the test
-    // embeddings are near-uniform on the sphere (no cluster structure),
-    // so recall tracks the probed-corpus fraction; floor 0.65 leaves
-    // margin while still failing on any assignment/probe regression.
+    // (the recall gate for the approximate path is knn_ivf_recall
+    // below: floor 0.9 at nprobe=14, curve in BASELINE.md.)
     // persisted-index equality gate: querying the cell-partitioned
     // index (static partition pruning to the probed cells) must return
     // EXACTLY the inline IVF result — same deterministic trainer, so
@@ -928,6 +927,26 @@ object SparkEntry {
         .unionAll(inline.select(cols: _*).exceptAll(indexed.select(cols: _*)))
         .agg(count(lit(1)).as("mismatches"))
     }),
+    // Quantized-scan + exact re-rank gate: the two-phase plan (int8
+    // candidate scoring over the narrow codes column, true-vector
+    // re-rank of the top-4k candidates) must return EXACTLY the
+    // exact-scored index result — i.e. quantization noise stays inside
+    // the candidate margin. Deterministic fixture, so equality is
+    // stable, and any regression in the quantize/dequantize kernels or
+    // the candidate-fetch join shows up as a mismatch.
+    "knn_ivf_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val uri = ivfIndex(s, d)
+      val reranked = Similarity.ivfIndexTopK(s, uri, q,
+        "vec_id", "embedding", k = 10, nprobe = 8, rerank = 40)
+      val exact = Similarity.ivfIndexTopK(s, uri, q,
+        "vec_id", "embedding", k = 10, nprobe = 8)
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
+      reranked.select(cols: _*).exceptAll(exact.select(cols: _*))
+        .unionAll(exact.select(cols: _*).exceptAll(reranked.select(cols: _*)))
+        .agg(count(lit(1)).as("mismatches"))
+    }),
     // Incremental IVF maintenance: an index built over HALF the
     // vectors, with the other half appended (assigned to existing
     // centroids, cell dirs appended — no retrain, no corpus re-read),
@@ -937,7 +956,9 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val uri = s"$arrayBase/${sfKey(d)}/ivf_append_index"
       val fs = graft.storage.VFS(s)
-      synchronized { if (!fs.exists(s"$uri/centroids.json")) {
+      val stale = !scala.util.Try(s.read.parquet(s"$uri/cells")
+        .schema.fieldNames.contains("codes")).getOrElse(false)
+      synchronized { if (stale || !fs.exists(s"$uri/centroids.json")) {
         fs.delete(uri)
         Similarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", uri, nCentroids = 16, lloydSteps = 2)
@@ -957,12 +978,19 @@ object SparkEntry {
     "knn_ivf_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
+      // floor 0.9 at nprobe=14/16, from the measured recall@10 curve
+      // (tools/IvfCurve, BASELINE.md "IVF recall-vs-nprobe"): the test
+      // embeddings are near-uniform on the sphere (no cluster
+      // structure), so recall tracks the probed-corpus fraction —
+      // nprobe=12 hits exactly 0.90 at sf0.01 (zero margin) while 14
+      // measures 0.9875/0.9625 (sf0.01/sf0.1). Real clustered
+      // embeddings sit far left of this curve at equal recall.
       val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
-        q, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 8)
+        q, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 14)
       val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10)
       Similarity.recallAtK(ivf, brute)
-        .select((col("recall") >= 0.65).as("recall_ok"))
+        .select((col("recall") >= 0.9).as("recall_ok"))
     }),
 
     // --- text analysis (scale extensions) ---
@@ -1972,6 +2000,7 @@ object SparkEntry {
 
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+    "knn_ivf_rerank" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_append" -> ("SELECT count(*) AS n_indexed, true AS appended_found " +
       "FROM embeddings"),
     "embedding_quantize_gate" -> ("SELECT count(*) AS n_vecs, " +

@@ -249,6 +249,9 @@ object Similarity {
       nCentroids, lloydSteps, trainPerCentroid)
     corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("vec"))
       .withColumn("centroid_id", assignNarrow(col("vec"), cents))
+      .withColumn("__q", quantizeInt8(col("vec")))
+      .select(col("neighbor_id"), col("vec"), col("__q.codes").as("codes"),
+        col("__q.scale").as("scale"), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite")
       .parquet(s"$uri/cells")
     import graft.core.Json._
@@ -273,6 +276,9 @@ object Similarity {
     val cents = indexCentroids(batch.sparkSession, uri)
     batch.select(col(batchId).as("neighbor_id"), col(batchVec).as("vec"))
       .withColumn("centroid_id", assignNarrow(col("vec"), cents))
+      .withColumn("__q", quantizeInt8(col("vec")))
+      .select(col("neighbor_id"), col("vec"), col("__q.codes").as("codes"),
+        col("__q.scale").as("scale"), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("append")
       .parquet(s"$uri/cells")
   }
@@ -314,10 +320,21 @@ object Similarity {
     * a literal IN filter on the partition column, so the parquet scan
     * statically prunes to the probed directories — visible as
     * PartitionFilters in the plan, and as a ~nprobe/nCentroids input
-    * fraction at any corpus size. */
+    * fraction at any corpus size.
+    *
+    * `rerank > 0` switches to the two-phase quantized plan: phase 1
+    * scores the probed cells on their int8 codes — parquet column
+    * pruning means the scan reads the 1-byte `codes` column, NOT the
+    * 4-byte `vec` column, a ~4x IO cut on the dominant read — and
+    * keeps the top-`rerank` candidates per query; phase 2 fetches TRUE
+    * vectors for those candidates only (broadcast semi-join inside the
+    * probed cells) and re-scores exactly, emitting the top-k. With
+    * `rerank` a small multiple of k the result matches the exact scan
+    * (int8 cosine error ~1e-3 only needs the true top-k inside the
+    * top-`rerank` approximate candidates). */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, nprobe: Int = 4): DataFrame = {
+      k: Int = 10, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
     val cents = indexCentroids(spark, uri)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
@@ -327,11 +344,34 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     val cells = spark.read.parquet(s"$uri/cells")
       .filter(col("centroid_id").isin(cellIds: _*))
-    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("vec")))
-    topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rank"))
+    if (rerank <= 0) {
+      val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+        .withColumn("cosine", cosine(col("__qv"), col("vec")))
+      topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    } else {
+      // phase 1: narrow approximate scan (codes + scale only)
+      val approx = cells
+        .select(col("centroid_id"), col("neighbor_id"), col("codes"), col("scale"))
+        .join(broadcast(probes), Seq("centroid_id"))
+        .withColumn("__as", cosine(col("__qv"),
+          dequantizeInt8(struct(col("codes").as("codes"), col("scale").as("scale")))))
+      val cands = topKPerKey(approx, "query_id", "neighbor_id", "__as", rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      // phase 2: exact re-rank of the candidate ids only
+      val candVecs = cells.select(col("neighbor_id"), col("vec"))
+        .join(broadcast(cands.select("neighbor_id").distinct()),
+          Seq("neighbor_id"), "left_semi")
+      val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      val scored = candVecs
+        .join(broadcast(cands), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cosine", cosine(col("__qv"), col("vec")))
+      topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
   }
 
   /** recall@k of an approximate top-k result vs the exact one, as one

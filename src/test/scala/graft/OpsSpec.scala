@@ -364,6 +364,35 @@ class OpsSpec extends SparkSpec {
       s"partition pruning inert: read $pruned of $total files")
   }
 
+  test("IVF re-rank: narrow int8 candidate scan + exact re-rank matches the exact scan") {
+    val vecs = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val queries = vecs.filter($"vec_id" < 5)
+    val uri = TestSession.tmpDir("ivfidx-rr")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", uri,
+      nCentroids = 16, lloydSteps = 2)
+    val exact = Similarity.ivfIndexTopK(spark, uri, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    val reranked = Similarity.ivfIndexTopK(spark, uri, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4, rerank = 30)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(reranked) == rows(exact))
+    // the candidate-phase scan must be NARROW: reads codes+scale, never
+    // the 4x-wider vec column (that's the whole IO point of the layout).
+    // (scan nodes sit inside AQE query stages — read them off the
+    // executed plan text's ReadSchema entries.)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(reranked.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toList
+    assert(schemas.exists(f => f.contains("codes") && !f.contains("vec:")),
+      s"no narrow codes-only scan found in: $schemas")
+    assert(schemas.exists(f => f.contains("vec:") && !f.contains("codes")),
+      s"no vec-only re-rank fetch scan found in: $schemas")
+  }
+
   test("IVF index append: incremental vectors land in cells and are found") {
     val vecs = (0 until 300).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
