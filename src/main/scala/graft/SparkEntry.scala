@@ -79,7 +79,7 @@ object SparkEntry {
     // self-heal stale fixtures that predate the quantized cell layout
     // (cells must carry int8 codes for the re-rank path)
     val usable = fs.exists(s"$uri/centroids.json") &&
-      scala.util.Try(s.read.parquet(s"$uri/cells")
+      scala.util.Try(s.read.parquet(Similarity.cellsPath(s, uri))
         .schema.fieldNames.contains("codes")).getOrElse(false)
     if (!usable) {
       fs.delete(uri)
@@ -956,7 +956,7 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val uri = s"$arrayBase/${sfKey(d)}/ivf_append_index"
       val fs = graft.storage.VFS(s)
-      val stale = !scala.util.Try(s.read.parquet(s"$uri/cells")
+      val stale = !scala.util.Try(s.read.parquet(Similarity.cellsPath(s, uri))
         .schema.fieldNames.contains("codes")).getOrElse(false)
       synchronized { if (stale || !fs.exists(s"$uri/centroids.json")) {
         fs.delete(uri)
@@ -965,7 +965,7 @@ object SparkEntry {
         Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", uri)
       } }
-      val total = s.read.parquet(s"$uri/cells").count()
+      val total = s.read.parquet(Similarity.cellsPath(s, uri)).count()
       val q = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
       val res = Similarity.ivfIndexTopK(s, uri, q, "vec_id", "embedding",
         k = 3, nprobe = 4)

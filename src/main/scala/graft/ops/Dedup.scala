@@ -434,7 +434,15 @@ object Dedup {
     * single 16-bit sketch. One shuffle on (band, bucket). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 4, bitsPerBand: Int = 12,
-      minCosine: Double = 0.95, maxBucket: Int = 4096): DataFrame = {
+      minCosine: Double = 0.95, maxBucket: Int = 1024): DataFrame = {
+    // maxBucket default tightened 4096 -> 1024 (round 10, mirroring
+    // simhashNearDups round 9): a degenerate bucket at the old cap
+    // admits ~8.4M candidate pairs; at 1024 it is ~0.5M. Recall cost is
+    // confined to >1024-member near-identical cliques — boilerplate
+    // that exact dedup should remove first, and any member pair inside
+    // a kept bucket still surfaces via its other (band, bucket) hits.
+    // BEHAVIOR CHANGE for callers relying on the old default: pass
+    // maxBucket = 4096 explicitly to keep the previous recall surface.
     val sketches = array((0 until bands).map(band =>
       Similarity.hyperplaneSketch(col(vecCol), bitsPerBand, seedOffset = band * 1000)): _*)
     // streamed capped buckets carry only (band, bucket, id) — vectors

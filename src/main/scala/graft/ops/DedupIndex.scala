@@ -64,6 +64,11 @@ object DedupIndex {
   private def paramsPath(uri: String) = s"$uri/_params.json"
   private def dataPath(uri: String) = s"$uri/data"
   private def sigsPath(uri: String) = s"$uri/sigs"
+  /** live bucket-table dir — [[compact]] flips generations via
+    * [[graft.storage.VersionedDir]], so probes concurrent with (or
+    * crashed) compacts always resolve a complete directory. */
+  private[graft] def liveDataPath(spark: SparkSession, uri: String): String =
+    graft.storage.VersionedDir.resolve(VFS(spark), uri, "data")
 
   private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
     import graft.core.Json._
@@ -142,7 +147,9 @@ object DedupIndex {
       .repartitionByRange(math.max(1, p.bands * filesPerBand),
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
-      .write.mode(mode).parquet(dataPath(uri))
+      .write.mode(mode)
+      .parquet(if (mode == "append") liveDataPath(banded.sparkSession, uri)
+               else dataPath(uri))
   }
 
   /** Incrementally add `df`'s docs to the index: batch-sized work, no
@@ -208,10 +215,16 @@ object DedupIndex {
       .join(broadcast(corpusSigs), Seq("__mid"))
       .withColumn("est", round(est, 6))
       .select(col("__qid"), col("__mid"), col("est"))
+    // final distinct is pair-scale and guards against duplicate
+    // (id, sig) rows in sigs/ (an id re-appended with the same text
+    // would otherwise emit its match pairs once per duplicate row;
+    // ids re-appended with CHANGED text violate the unique-id
+    // contract and surface as distinct est values)
     verifyWith match {
       case None =>
         estimates.filter(col("est") >= threshold)
           .select(col("__qid").as("id"), col("__mid").as("match_id"), col("est"))
+          .distinct()
       case Some(corpus) =>
         // exact verify on hashed shingle sets: batch side recomputed
         // (narrow), corpus side joined ONLY for estimate survivors —
@@ -227,6 +240,7 @@ object DedupIndex {
           .filter(col("jaccard") >= threshold)
           .select(col("__qid").as("id"), col("__mid").as("match_id"),
             col("est"), round(col("jaccard"), 6).as("jaccard"))
+          .distinct()
     }
   }
 
@@ -240,9 +254,9 @@ object DedupIndex {
   def compact(spark: SparkSession, uri: String, filesPerBand: Int = 4): Unit = {
     val p = readParams(spark, uri)
     val fs = VFS(spark)
-    val tmp = s"$uri/data_compacting"
-    fs.delete(tmp)
-    val rows = spark.read.parquet(dataPath(uri))
+    val cur = liveDataPath(spark, uri)
+    val next = graft.storage.VersionedDir.next(fs, uri, "data")
+    val rows = spark.read.parquet(cur)
     val sizes = rows.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > p.maxBucket)
@@ -251,9 +265,10 @@ object DedupIndex {
       .repartitionByRange(math.max(1, p.bands * filesPerBand),
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
-      .write.mode("overwrite").parquet(tmp)
-    fs.delete(dataPath(uri))
-    fs.rename(tmp, dataPath(uri))
+      .write.mode("overwrite").parquet(next)
+    // flip: concurrent probes keep reading `cur` until the marker
+    // lands; a crash here leaves `cur` live (no missing-dir window)
+    graft.storage.VersionedDir.commit(fs, uri, "data", next)
   }
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the
@@ -265,7 +280,7 @@ object DedupIndex {
     val spark = banded.sparkSession
     val probeKeys = banded.select("bucket").distinct()
       .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
-    val index = spark.read.parquet(dataPath(uri))
+    val index = spark.read.parquet(liveDataPath(spark, uri))
     val pruned =
       if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
       else index.join(broadcast(banded.select("bucket").distinct()),

@@ -247,6 +247,9 @@ object Similarity {
       trainPerCentroid: Int = 256): Unit = {
     val cents = trainCentroids(corpus, corpusId, corpusVec,
       nCentroids, lloydSteps, trainPerCentroid)
+    // a rebuild starts the generation ladder over — clear any prior
+    // versioned cells dirs so the fresh gen-0 write is the live one
+    graft.storage.VFS(corpus.sparkSession).delete(uri)
     corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("vec"))
       .withColumn("centroid_id", assignNarrow(col("vec"), cents))
       .withColumn("__q", quantizeInt8(col("vec")))
@@ -280,8 +283,15 @@ object Similarity {
       .select(col("neighbor_id"), col("vec"), col("__q.codes").as("codes"),
         col("__q.scale").as("scale"), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("append")
-      .parquet(s"$uri/cells")
+      .parquet(cellsPath(batch.sparkSession, uri))
   }
+
+  /** Live cells directory of a persisted IVF index. Maintenance flips
+    * generations ([[graft.storage.VersionedDir]]): readers always
+    * resolve a complete directory, even concurrently with (or after a
+    * crash of) [[compactIvfIndex]]. */
+  def cellsPath(spark: org.apache.spark.sql.SparkSession, uri: String): String =
+    graft.storage.VersionedDir.resolve(graft.storage.VFS(spark), uri, "cells")
 
   /** Re-write each cell directory of a persisted IVF index into ONE
     * file: appends accumulate one batch-sized file per append per
@@ -291,17 +301,20 @@ object Similarity {
     * cell count) — no centroid retraining, no assignment recompute
     * (the partition column IS the assignment). The cheap maintenance
     * verb between appends and a full [[buildIvfIndex]] retrain,
-    * mirroring the dedup index's append → compact → build ladder. */
+    * mirroring the dedup index's append → compact → build ladder.
+    * The rewritten cells land in a NEW generation dir committed via
+    * [[graft.storage.VersionedDir]] — concurrent probes keep reading
+    * the old generation until the marker flips, and a crash leaves
+    * the old generation live (no delete-then-rename window). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
     val fs = graft.storage.VFS(spark)
     val nCells = indexCentroids(spark, uri).size
-    val tmp = s"$uri/cells_compacting"
-    fs.delete(tmp)
-    spark.read.parquet(s"$uri/cells")
+    val cur = graft.storage.VersionedDir.resolve(fs, uri, "cells")
+    val next = graft.storage.VersionedDir.next(fs, uri, "cells")
+    spark.read.parquet(cur)
       .repartition(math.max(1, nCells), col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(tmp)
-    fs.delete(s"$uri/cells")
-    fs.rename(tmp, s"$uri/cells")
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(next)
+    graft.storage.VersionedDir.commit(fs, uri, "cells", next)
   }
 
   /** Centroids of a persisted IVF index. */
@@ -342,7 +355,7 @@ object Similarity {
         explode(probeNarrow(col("__qv"), cents, nprobe)))
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(s"$uri/cells")
+    val cells = spark.read.parquet(cellsPath(spark, uri))
       .filter(col("centroid_id").isin(cellIds: _*))
     if (rerank <= 0) {
       val scored = cells.join(broadcast(probes), Seq("centroid_id"))

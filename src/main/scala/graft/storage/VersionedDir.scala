@@ -1,0 +1,78 @@
+package graft.storage
+
+/** Reader-safe, crash-safe generation flip for maintained directories
+  * (index compaction targets). Generations live side-by-side as
+  * `<base>_v<N>`; each is committed by atomically creating a
+  * `_COMMITTED` marker AFTER its Spark write completes, and readers
+  * resolve the highest committed generation (falling back to the
+  * legacy unversioned `<base>` dir, generation 0). The previous
+  * generation is kept as a grace copy for readers that resolved just
+  * before a flip; older generations and crashed uncommitted attempts
+  * are retired by the next commit.
+  *
+  * This replaces delete-then-rename maintenance swaps, which leave a
+  * window (and a crash state) with NO live directory: here a crash at
+  * any point leaves either the old generation live (marker never
+  * written) or the new one live — a concurrent reader always resolves
+  * a complete directory. Same manifest-pointer idea as the array
+  * fragment commit (`__manifest.json` presence marks a fragment
+  * live); maintenance remains single-writer by contract.
+  */
+object VersionedDir {
+
+  private def marker(path: String) = s"$path/_COMMITTED"
+  private val VerName = """.*_v(\d+)$""".r
+
+  /** All generation dirs of `base` under `uri` (committed or not),
+    * including the legacy unversioned dir as generation 0. */
+  private def generations(fs: VFS, uri: String, base: String): Seq[(String, Int)] = {
+    val versioned = fs.ls(uri).flatMap { p =>
+      val name = p.substring(p.lastIndexOf('/') + 1)
+      name match {
+        case VerName(n) if name.startsWith(base + "_v") => Some(p -> n.toInt)
+        case _ => None
+      }
+    }
+    val legacy = s"$uri/$base"
+    if (fs.exists(legacy)) versioned :+ (legacy -> 0) else versioned
+  }
+
+  private def isCommitted(fs: VFS, path: String, gen: Int): Boolean =
+    gen == 0 || fs.exists(marker(path))
+
+  /** The live (highest committed) generation: (path, generation). */
+  def current(fs: VFS, uri: String, base: String): (String, Int) = {
+    val committed = generations(fs, uri, base)
+      .filter { case (p, n) => isCommitted(fs, p, n) }
+    if (committed.isEmpty) (s"$uri/$base", 0) else committed.maxBy(_._2)
+  }
+
+  /** Path of the live generation (what readers should open). */
+  def resolve(fs: VFS, uri: String, base: String): String =
+    current(fs, uri, base)._1
+
+  /** Path the next generation must be written to — strictly above
+    * every existing generation dir, committed or not (a crashed
+    * leftover at the returned path is removed first). */
+  def next(fs: VFS, uri: String, base: String): String = {
+    val n = generations(fs, uri, base).map(_._2).maxOption.getOrElse(0) + 1
+    val p = s"$uri/${base}_v$n"
+    fs.delete(p)
+    p
+  }
+
+  /** Commit `path` (previously returned by [[next]], now fully
+    * written) as the live generation, then retire: keep the new live
+    * generation plus ONE grace generation (the PREVIOUS live — not
+    * merely the next number down, which could be a crashed uncommitted
+    * attempt), delete every other generation including crashed
+    * attempts and the legacy dir. */
+  def commit(fs: VFS, uri: String, base: String, path: String): Unit = {
+    val (prevPath, _) = current(fs, uri, base)
+    fs.writeString(marker(path), "")
+    val n = path match { case VerName(v) => v.toInt }
+    generations(fs, uri, base).foreach { case (p, k) =>
+      if (k != n && p != prevPath) fs.delete(p)
+    }
+  }
+}

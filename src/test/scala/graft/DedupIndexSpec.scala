@@ -102,12 +102,14 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.append(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", uri)
     def pairs() = DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
       .select("id", "match_id").as[(Long, Long)].collect().toSet
+    // compact flips the data GENERATION — resolve via liveDataPath
+    def dataFiles() = new java.io.File(
+        DedupIndex.liveDataPath(spark, uri).stripPrefix("file:")).listFiles()
+      .count(_.getName.endsWith(".parquet"))
     val before = pairs()
-    val filesBefore = new java.io.File(s"$uri/data").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val filesBefore = dataFiles()
     DedupIndex.compact(spark, uri, filesPerBand = 2)
-    val filesAfter = new java.io.File(s"$uri/data").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val filesAfter = dataFiles()
     assert(filesAfter < filesBefore,
       s"compact must shrink the file count ($filesBefore -> $filesAfter)")
     assert(pairs() == before, "compact must not change probe results")
@@ -117,6 +119,45 @@ class DedupIndexSpec extends SparkSpec {
     val fresh = DedupIndex.probe(batch, "doc_id", "text", rebuilt, threshold = 0.6)
       .select("id", "match_id").as[(Long, Long)].collect().toSet
     assert(pairs() == fresh)
+  }
+
+  test("compact is reader-safe: probes concurrent with and interleaved around the flip") {
+    val uri = TestSession.tmpDir("minhash-index-rs")
+    DedupIndex.build(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", uri)
+    DedupIndex.append(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", uri)
+    def pairs() = DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
+      .select("id", "match_id").as[(Long, Long)].collect().toSet
+    val expected = pairs()
+    assert(expected.nonEmpty)
+    // probes loop in another thread WHILE compact flips the generation
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val reader = Future {
+      var n = 0
+      while (!stop) { assert(pairs() == expected, "concurrent probe diverged"); n += 1 }
+      n
+    }
+    DedupIndex.compact(spark, uri, filesPerBand = 2)
+    stop = true
+    val loops = Await.result(reader, scala.concurrent.duration.Duration("120s"))
+    assert(loops > 0, "reader thread never completed a probe")
+    // a reader that RESOLVED before a flip keeps a complete directory:
+    // the previous generation survives as the grace copy
+    val preResolved = spark.read.parquet(
+      DedupIndex.liveDataPath(spark, uri))
+    val nRows = preResolved.count()
+    DedupIndex.compact(spark, uri, filesPerBand = 1)
+    assert(preResolved.count() == nRows, "pre-flip reader lost its directory")
+    assert(pairs() == expected, "post-flip probe diverged")
+    // a crashed, uncommitted generation attempt is invisible to readers
+    // and retired by the next compact
+    val fake = s"$uri/data_v9"
+    graft.storage.VFS(spark).mkdirs(fake)
+    assert(pairs() == expected, "uncommitted leftover changed probe results")
+    DedupIndex.compact(spark, uri, filesPerBand = 1)
+    assert(!graft.storage.VFS(spark).exists(fake), "crashed attempt not retired")
+    assert(pairs() == expected)
   }
 
   test("probe plan: bucket isin pushed to the index scan, index never shuffles") {

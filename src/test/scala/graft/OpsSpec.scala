@@ -415,17 +415,55 @@ class OpsSpec extends SparkSpec {
     // the full index now holds all 400 vectors
     assert(spark.read.parquet(s"$uri/cells").count() == 400)
     // compact: per-cell files merge to one; vectors and results intact
-    def cellFiles() = new java.io.File(s"$uri/cells").listFiles()
+    // (compact flips the cells GENERATION — always resolve via cellsPath)
+    def cellFiles() = new java.io.File(
+        Similarity.cellsPath(spark, uri).stripPrefix("file:")).listFiles()
       .filter(_.getName.startsWith("centroid_id="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
     val filesBefore = cellFiles()
     Similarity.compactIvfIndex(spark, uri)
     assert(cellFiles() < filesBefore,
       s"compact must shrink per-cell file count ($filesBefore -> ${cellFiles()})")
-    assert(spark.read.parquet(s"$uri/cells").count() == 400)
+    assert(spark.read.parquet(Similarity.cellsPath(spark, uri)).count() == 400)
     val res2 = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
       k = 3, nprobe = 2).collect().sortBy(_.getAs[Long]("rank"))
     assert(res2.head.getAs[Long]("neighbor_id") == 350L)
+  }
+
+  test("compactIvfIndex is reader-safe: topK concurrent with and around the flip") {
+    val vecs = (0 until 300).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val uri = TestSession.tmpDir("ivfidx-rs")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", uri,
+      nCentroids = 8, lloydSteps = 2)
+    Similarity.appendToIvfIndex(
+      (300 until 350).map(i =>
+        (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", uri)
+    val q = vecs.filter($"vec_id" < 3)
+    def topk() = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+      k = 5, nprobe = 3).select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = topk()
+    assert(expected.nonEmpty)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val reader = Future {
+      var n = 0
+      while (!stop) { assert(topk() == expected, "concurrent topK diverged"); n += 1 }
+      n
+    }
+    Similarity.compactIvfIndex(spark, uri)
+    stop = true
+    assert(Await.result(reader, scala.concurrent.duration.Duration("120s")) > 0)
+    // pre-flip reader keeps its (grace) directory across the next flip
+    val preResolved = spark.read.parquet(Similarity.cellsPath(spark, uri))
+    val nRows = preResolved.count()
+    Similarity.compactIvfIndex(spark, uri)
+    assert(preResolved.count() == nRows, "pre-flip reader lost its directory")
+    assert(topk() == expected)
   }
 
   test("IVF top-k recall≥0.6 of brute force at nprobe=4/16") {
