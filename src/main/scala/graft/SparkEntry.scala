@@ -513,6 +513,12 @@ object SparkEntry {
         t(s, d, "orders").createOrReplaceTempView("catalog_src_orders_ovw")
         s.sql(s"INSERT INTO $cat.sf.orders_ovw SELECT o_orderkey, o_totalprice " +
           "FROM catalog_src_orders_ovw WHERE o_orderkey <= 20000")
+        // the 'pre' phase time-travels to the first insert's fragment
+        // ts — make sure the OVERWRITE's truncation entry lands at a
+        // strictly LATER millisecond, or VERSION AS OF that ts would
+        // include the truncation via the seq tiebreak and return empty
+        val t1 = ArrayTable.fragments(s, uri).map(_.ts).max
+        while (System.currentTimeMillis() <= t1) Thread.sleep(1)
         s.sql(s"INSERT OVERWRITE $cat.sf.orders_ovw SELECT o_orderkey, " +
           "o_totalprice + 1.0 FROM catalog_src_orders_ovw WHERE o_orderkey > 20000")
       } }
@@ -1309,6 +1315,58 @@ object SparkEntry {
           round(col("duration_ms"), 6).as("duration_ms"))
     }),
 
+    // REAL MPEG-1 Layer I audio decode under the oracle: per doc, a
+    // CBR Layer I stream is synthesized with allocations, scalefactor
+    // indices and offset-binary sample codes all planted by formulas
+    // of (doc_id, frame, granule, subband, channel); the pure-Scala
+    // decoder (Multimodal.decodeMp3Layer1) reads them back from the
+    // BITS and requantizes per ISO 11172-3, and DuckDB recomputes the
+    // identical requantization sum from the planting formulas —
+    // mean_level is value-exact, not a smoke check.
+    "media_mp3_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val mono = id % 2 == 0
+        val channels = if (mono) 1 else 2
+        val frames = 2 + (id % 4).toInt
+        val kbps = 448; val rate = 32000
+        val frameLen = (12 * kbps * 1000 / rate) * 4 // pad=0
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val buf = new Array[Byte](frameLen)
+          buf(0) = 0xFF.toByte
+          buf(1) = 0xFF.toByte // MPEG1, Layer I, no CRC
+          buf(2) = ((14 << 4) | (2 << 2)).toByte // brIdx=14 (448), srIdx=2 (32000)
+          buf(3) = (if (mono) 0xC0 else 0x00).toByte
+          var bit = 32
+          def w(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) {
+              if (((v >> r) & 1) == 1) buf(bit >> 3) =
+                (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+              bit += 1; r -= 1
+            }
+          }
+          def alloc(c: Int, sb: Int) = 1 + ((id + sb * 5 + c * 3) % 6).toInt
+          for (sb <- 0 until 32; c <- 0 until channels) w(alloc(c, sb), 4)
+          for (sb <- 0 until 32; c <- 0 until channels)
+            w(((id * 7 + sb * 5 + c * 11) % 63).toInt, 6)
+          for (g <- 0 until 12; sb <- 0 until 32; c <- 0 until channels) {
+            val nb = alloc(c, sb) + 1
+            w(((id * 31 + f * 29 + g * 17 + sb * 13 + c * 19) % (1L << nb)).toInt, nb)
+          }
+          out.write(buf)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL ISO-BMFF box walk under the oracle: minimal ftyp+moov
     // (mvhd + video tkhd + optional dimension-less audio trak) per doc;
     // duration/timescale/dims recomputed by DuckDB from the formulas
@@ -1934,6 +1992,28 @@ object SparkEntry {
       "CAST(rate AS INT) AS sample_rate, CAST(kbps AS INT) AS bitrate_kbps, " +
       "CAST(frames AS BIGINT) AS n_frames, " +
       "round(frames * 1152 * 1000.0 / rate, 6) AS duration_ms FROM p"),
+    // Layer I requantization replayed value-for-value from the
+    // planting formulas: s' = (2c+1-2^nb)/2^nb * 2^nb/(2^nb-1) * sf,
+    // sf = 2*2^(-idx/3); mean_level = sum|s'| / (384*ch*frames) / 2
+    "media_mp3_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch, " +
+      "2 + doc_id % 4 AS frames FROM documents), " +
+      "u AS (SELECT d.doc_id, d.ch, d.frames, f.range AS f, g.range AS g, " +
+      "sb.range AS sb, c.range AS c " +
+      "FROM d, range(0,6) f, range(0,12) g, range(0,32) sb, range(0,2) c " +
+      "WHERE f.range < d.frames AND c.range < d.ch), " +
+      "v AS (SELECT doc_id, ch, frames, " +
+      "2 + ((doc_id + sb*5 + c*3) % 6) AS nb, " +
+      "2.0 * pow(2.0, -CAST((doc_id*7 + sb*5 + c*11) % 63 AS DOUBLE)/3.0) AS sf, " +
+      "(doc_id*31 + f*29 + g*17 + sb*13 + c*19) AS rawcode FROM u), " +
+      "w AS (SELECT doc_id, ch, frames, sf, CAST(pow(2.0, nb) AS DOUBLE) AS p2, " +
+      "rawcode % CAST(pow(2.0, nb) AS BIGINT) AS code FROM v) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, 32000 AS sample_rate, " +
+      "CAST(384*ch*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 12.0, 6) AS duration_ms, " +
+      "round(sum(abs((2*code + 1 - p2)/p2 * (p2/(p2-1.0)) * sf)) " +
+      "/ (384*ch*frames) / 2.0, 6) AS mean_level " +
+      "FROM w GROUP BY doc_id, ch, frames"),
     // mvhd/tkhd fields recomputed from the planting formulas
     "media_mp4_meta" -> ("SELECT doc_id, " +
       "CAST(640 + (doc_id % 8) * 16 AS INT) AS width, " +

@@ -16,13 +16,15 @@ import org.apache.spark.sql.types._
   *    interlaced bit-packed palettes — see [[decodeGif]]), and
   *    PNG/JPEG/BMP/WBMP via `javax.imageio`;
   *  - audio: WAV/PCM (8/16/24/32-bit) via the pure-Scala RIFF parser
-  *    ([[decodeWav]] — fmt fields + exact sample mean);
+  *    ([[decodeWav]] — fmt fields + exact sample mean), and COMPRESSED
+  *    MPEG-1 Layer I via the pure-Scala bitstream decoder
+  *    ([[decodeMp3Layer1]] — spec-exact subband requantization);
   *  - video: AVI container metadata via the `avih` header scan
   *    ([[aviMeta]] — dims/frame-count/fps without decoding frames).
-  * Only payloads none of these recognize (compressed codecs: MP3, AAC,
-  * H.264, ...) fall back to `fakeDecode`, a documented deterministic
-  * stub with the same output contract — swap in ffmpeg/JNI bindings
-  * there in production.
+  * Only payloads none of these recognize (the remaining compressed
+  * codecs: MP3 Layer II/III, AAC, H.264, ...) fall back to
+  * `fakeDecode`, a documented deterministic stub with the same output
+  * contract — swap in ffmpeg/JNI bindings there in production.
   */
 object Multimodal {
 
@@ -310,11 +312,13 @@ object Multimodal {
       }
       Some(DecodedAudioRaw(channels, rate, nSamples,
         nFrames.toDouble * 1000.0 / rate,
-        if (nSamples == 0) 0.0 else sum / nSamples))
+        if (nSamples == 0) 0.0 else sum / nSamples, bits))
     } catch { case _: Exception => None }
   }
+  /** `bits` = PCM sample width (8/16/24/32) for WAV; 0 for compressed
+    * sources where a PCM width is not meaningful. */
   private[graft] case class DecodedAudioRaw(channels: Int, rate: Int,
-      nSamples: Long, durationMs: Double, meanLevel: Double)
+      nSamples: Long, durationMs: Double, meanLevel: Double, bits: Int = 0)
 
   /** Batched audio decode: WAV/PCM decodes for REAL through the parser
     * above; payloads no parser recognizes fall back to a deterministic
@@ -324,7 +328,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        decodeWav(r.content) match {
+        decodeWav(r.content).orElse(decodeMp3Layer1(r.content)) match {
           case Some(a) => DecodedAudio(r.doc_id, a.channels, a.rate,
             a.nSamples, a.durationMs, a.meanLevel)
           case None =>
@@ -427,6 +431,126 @@ object Multimodal {
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
   private val Mp3BitratesV2 =
     Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val L1BitratesV1 =
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0)
+
+  /** REAL pure-Scala MPEG-1 Audio Layer I decoder (public spec ISO/IEC
+    * 11172-3 §2.4): ID3v2 skip, frame-header walk, bit-exact payload
+    * decode — 4-bit allocations, 6-bit scalefactor indices, then 12
+    * granules of (alloc+1)-bit offset-binary subband codes, requantized
+    * per the spec formula
+    *   s' = ((2c + 1 - 2^nb) / 2^nb) * (2^nb / (2^nb - 1)) * sf,
+    * with the scalefactor table generated from its defining geometric
+    * law sf(idx) = 2 * 2^(-idx/3) (Table B.1). The output is the
+    * decoded signal in the 32-band analysis domain: the final
+    * polyphase synthesis that interleaves subband samples to PCM needs
+    * the 512 tabulated Annex-B window constants, so level/energy
+    * features are computed in the subband domain, where the filterbank
+    * is ~orthonormal (unallocated subbands contribute zeros).
+    * `mean_level` = mean |s'| / 2, normalized to [0, 1] by the max
+    * scalefactor. Mono, stereo and dual-channel; intensity (joint)
+    * stereo and Layer II/III payloads return None (Layer III remains
+    * the documented stub, like the reference's codec filters,
+    * tiledb/filter.py:690). */
+  private[graft] def decodeMp3Layer1(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    if (bytes.length < 4) return None
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+      if (off < 0 || off >= bytes.length) return None
+    }
+    try {
+      var i = off
+      var frames = 0L
+      var rate0 = 0; var ch0 = 0
+      var sumAbs = 0.0
+      while (i + 4 <= bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF || (bytes(i + 1) & 0xE0) != 0xE0) {
+          if (frames == 0) return None else i = bytes.length // trailing junk ends walk
+        } else {
+          val ver = (bytes(i + 1) >> 3) & 0x3
+          val lay = (bytes(i + 1) >> 1) & 0x3 // 3 = Layer I
+          val prot = bytes(i + 1) & 0x1       // 0 = CRC present
+          val brI = (bytes(i + 2) >> 4) & 0xF
+          val srI = (bytes(i + 2) >> 2) & 0x3
+          val pad = (bytes(i + 2) >> 1) & 0x1
+          val mode = (bytes(i + 3) >> 6) & 0x3 // 0 stereo 1 joint 2 dual 3 mono
+          if (ver != 3 || lay != 3 || brI == 0 || brI == 15 || srI == 3 || mode == 1)
+            return None
+          val kbps = L1BitratesV1(brI)
+          val rate = Array(44100, 48000, 32000)(srI)
+          val channels = if (mode == 3) 1 else 2
+          if (frames == 0) { rate0 = rate; ch0 = channels }
+          val frameLen = (12 * kbps * 1000 / rate + pad) * 4
+          if (i + frameLen > bytes.length) return None
+          // MSB-first bit reader over the frame payload
+          var bitPos = (i + 4 + (if (prot == 0) 2 else 0)) * 8
+          val bitEnd = (i + frameLen) * 8
+          def read(n: Int): Int = {
+            if (bitPos + n > bitEnd) throw new IllegalArgumentException("payload underrun")
+            var v = 0; var r = n
+            while (r > 0) {
+              val byteI = bitPos >> 3; val bitI = 7 - (bitPos & 7)
+              v = (v << 1) | ((bytes(byteI) >> bitI) & 1)
+              bitPos += 1; r -= 1
+            }
+            v
+          }
+          val alloc = Array.ofDim[Int](channels, 32)
+          var sb = 0
+          while (sb < 32) {
+            var c = 0
+            while (c < channels) {
+              alloc(c)(sb) = read(4)
+              if (alloc(c)(sb) == 15) return None // forbidden
+              c += 1
+            }
+            sb += 1
+          }
+          val sf = Array.ofDim[Double](channels, 32)
+          sb = 0
+          while (sb < 32) {
+            var c = 0
+            while (c < channels) {
+              if (alloc(c)(sb) != 0)
+                sf(c)(sb) = 2.0 * math.pow(2.0, -read(6) / 3.0)
+              c += 1
+            }
+            sb += 1
+          }
+          var g = 0
+          while (g < 12) {
+            sb = 0
+            while (sb < 32) {
+              var c = 0
+              while (c < channels) {
+                if (alloc(c)(sb) != 0) {
+                  val nb = alloc(c)(sb) + 1
+                  val code = read(nb)
+                  val pow2 = (1L << nb).toDouble
+                  val s = (2.0 * code + 1.0 - pow2) / pow2 * (pow2 / (pow2 - 1.0)) * sf(c)(sb)
+                  sumAbs += math.abs(s)
+                }
+                c += 1
+              }
+              sb += 1
+            }
+            g += 1
+          }
+          frames += 1
+          i += frameLen
+        }
+      }
+      if (frames == 0) None
+      else {
+        val nSamples = 384L * ch0 * frames
+        Some(DecodedAudioRaw(ch0, rate0, nSamples,
+          frames * 384000.0 / rate0, sumAbs / nSamples / 2.0))
+      }
+    } catch { case _: Exception => None }
+  }
   case class Mp3Meta(version: String, bitrate_kbps: Int, sample_rate: Int,
       channels: Int, n_frames: Long, duration_ms: Double)
 
@@ -499,8 +623,8 @@ object Multimodal {
       rows.map { r =>
         decodeWav(r.content) match {
           case Some(a) => AudioMeta(r.doc_id, "pcm", a.channels, a.rate,
-            a.rate * a.channels * 8 / 1000, a.nSamples / math.max(1, a.channels),
-            a.durationMs)
+            a.rate * a.channels * a.bits / 1000,
+            a.nSamples / math.max(1, a.channels), a.durationMs)
           case None => mp3Meta(r.content) match {
             case Some(m) => AudioMeta(r.doc_id, "mp3", m.channels, m.sample_rate,
               m.bitrate_kbps, m.n_frames, m.duration_ms)

@@ -395,6 +395,8 @@ object Similarity {
         Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
     val all = exact.agg(count(lit(1)).as("__n"))
+    // benign 1x1 crossJoin: both sides are single-row global aggregates
+    // (sanctioned in ScaleGuardSpec's crossJoin allowlist)
     hit.crossJoin(all)
       .select((col("__hits").cast("double") / col("__n")).as("recall"))
   }

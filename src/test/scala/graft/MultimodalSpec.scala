@@ -264,6 +264,53 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp3Meta(Array(0xFF, 0xFB, 0x00, 0x00).map(_.toByte)).isEmpty)
   }
 
+  test("MPEG-1 Layer I decodes for real: bit-exact subband requantization") {
+    // one mono frame, 448 kbps / 32000 Hz -> frameLen = 672; every
+    // subband allocated nb=3 bits, scalefactor idx=0 (sf=2.0), and all
+    // sample codes = 5 -> s' = (2*5+1-8)/8 * 8/7 * 2 = 3/8*8/7*2 = 6/7
+    val frameLen = (12 * 448 * 1000 / 32000) * 4
+    val buf = new Array[Byte](frameLen)
+    buf(0) = 0xFF.toByte; buf(1) = 0xFF.toByte
+    buf(2) = ((14 << 4) | (2 << 2)).toByte; buf(3) = 0xC0.toByte
+    var bit = 32
+    def w(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { r =>
+      if (((v >> r) & 1) == 1) buf(bit >> 3) =
+        (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+      bit += 1
+    }
+    (0 until 32).foreach(_ => w(2, 4))  // alloc=2 -> nb=3
+    (0 until 32).foreach(_ => w(0, 6))  // sf idx 0 -> 2.0
+    (0 until 12 * 32).foreach(_ => w(5, 3))
+    val a = Multimodal.decodeMp3Layer1(buf).get
+    assert(a.channels == 1 && a.rate == 32000 && a.nSamples == 384L)
+    assert(math.abs(a.durationMs - 12.0) < 1e-9)
+    // mean |s'| / 2 = (6/7) / 2
+    assert(math.abs(a.meanLevel - 6.0 / 7.0 / 2.0) < 1e-12, a.meanLevel)
+    // Layer III payloads refuse (stay with the documented stub)
+    val l3 = Array(0xFF, 0xFB, (9 << 4), 0x00).map(_.toByte)
+    assert(Multimodal.decodeMp3Layer1(l3).isEmpty)
+    // truncated payload refuses rather than mis-decoding
+    assert(Multimodal.decodeMp3Layer1(buf.take(100)).isEmpty)
+  }
+
+  test("WAV bitrate reflects the real sample width") {
+    // 16-bit stereo 8000 Hz -> 8000*2*16/1000 = 256 kbps (was 2-4x
+    // under-reported when 8 bits was assumed for every width)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes); w32(36 + 8); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16)
+    w16(1); w16(2); w32(8000); w32(8000 * 2 * 2); w16(4); w16(16)
+    out.write("data".getBytes); w32(8)
+    (0 until 4).foreach(_ => w16(0))
+    import spark.implicits._
+    val meta = Multimodal.audioMeta(
+      Seq(Multimodal.MediaRow(1L, out.toByteArray, "audio", "wav")).toDS())
+      .collect().head
+    assert(meta.codec == "pcm" && meta.bitrate_kbps == 256, meta)
+  }
+
   test("MP4 moov/mvhd/tkhd metadata parses for real") {
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Int): Unit = { out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)

@@ -38,6 +38,31 @@ class ScaleGuardSpec extends SparkSpec {
     (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
     .toDF("vec_id", "embedding")
 
+  test("crossJoin allowlist: only the two sanctioned sites exist in main sources") {
+    // a crossJoin on data-scale frames is the canonical 100 TB
+    // anti-pattern; exactly two sites are sanctioned and both are
+    // size-bounded by construction:
+    //   - Similarity.recallAtK: 1x1 join of two single-row global
+    //     aggregates (scalar recall);
+    //   - Dense.scala: the lazy dense coordinate grid — the cartesian
+    //     product IS the dense domain semantics, quarantined to the
+    //     ndarray presentation API (Dense.readDirect), never on a
+    //     corpus-data path.
+    // anything else must justify itself here.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (src.contains(".crossJoin(") || src.contains("crossJoin _"))
+          Some(p.toString) else None
+      }.toSet
+    assert(hits == Set("src/main/scala/graft/ops/Similarity.scala",
+      "src/main/scala/graft/storage/Dense.scala"),
+      s"unsanctioned crossJoin site(s): $hits")
+  }
+
   test("near-dup pipelines: no windows, no single-partition shuffles") {
     val pipelines = Seq(
       Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
