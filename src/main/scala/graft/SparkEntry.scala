@@ -1064,10 +1064,12 @@ object SparkEntry {
           / greatest(len, lit(1.0)), 6).as("punct_ratio"))
     }),
     // multi-language planted fixture: each doc gets one phrase from the
-    // 29-entry table (8 script-decided + 20 stopword languages + one
-    // gibberish 'und' case); DuckDB replays the identical script-ratio
-    // chain + stopword argmax from the same tables (langIdOracleSql is
-    // GENERATED from TextAnalysis.stopwords/scriptLangs, so the two
+    // 33-entry table (8 script-decided + 20 stopword languages + one
+    // gibberish 'und' case + 4 confusable-pair phrases that only the
+    // char-n-gram stage separates); DuckDB replays the identical
+    // script-ratio chain + stopword*16+ngram argmax from the same
+    // tables (langIdOracleSql is GENERATED from TextAnalysis tables,
+    // so the two
     // engines can never drift apart silently)
     "text_langid" -> ((s, d) => {
       val planted = element_at(array(langPhrases.map(lit): _*),
@@ -1613,7 +1615,8 @@ object SparkEntry {
   /** Planted language-ID fixture: one phrase per language in
     * [[graft.ops.TextAnalysis.scriptLangs]] check order, then the 20
     * stopword languages, then a gibberish 'und' case. Indexed by
-    * doc_id % 29 on BOTH engines. */
+    * doc_id % langPhrases.length on BOTH engines. The last four are
+    * confusable-pair phrases decided by the char-n-gram stage. */
   private[graft] val langPhrases: Seq[String] = Seq(
     "これは日本語のテキストです",                       // ja (kana ratio)
     "这是一个简单的中文测试文本",                       // zh (Han)
@@ -1643,14 +1646,21 @@ object SparkEntry {
     "và của là có không được trong một người những",   // vi
     "и в не на что с он как это по",                   // ru
     "і в не на що з він як це за",                     // uk
-    "zzz qqq xyzzy blorp")                             // und
+    "zzz qqq xyzzy blorp",                             // und
+    // CONFUSABLE pairs: stopword hits tie across the pair and only the
+    // char-n-gram stage separates them (da/no tie at 6 shared
+    // stopwords; es/pt tie at the shared "que")
+    "og det er som på med og hvad hedder du af",       // da (ngram-decided)
+    "og det er som på med og hva heter du av",         // no (ngram-decided)
+    "que señor mañana canción y algo",                 // es (ngram-decided)
+    "que coração ação é e sim")                        // pt (ngram-decided)
 
   /** DuckDB replay of [[graft.ops.TextAnalysis.langId]], GENERATED from
     * the same stopword/script tables: script-ratio chain first (same
     * 0.3 threshold, same order), then stopword argmax with the same
     * lex-largest tie-break. */
   private def langIdOracleSql: String = {
-    import graft.ops.TextAnalysis.{scriptLangs, stopwords}
+    import graft.ops.TextAnalysis.{charNgrams, scriptLangs, stopwords}
     val phrases = langPhrases.map(p => "'" + p.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
     val scriptCols = scriptLangs.map { case (lang, _, re2) =>
@@ -1658,17 +1668,31 @@ object SparkEntry {
     val swCols = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
       val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
       s"len(list_filter(toks, t -> list_contains($lst, t))) AS s_$lang" }.mkString(", ")
-    val m = stopwords.keys.toSeq.sorted.map(l => s"s_$l")
+    // combined score = stopwords*16 + min(char-n-gram occurrences, 9),
+    // replaying TextAnalysis.stopwordLangId's weighting exactly
+    val wCols = stopwords.keys.toSeq.sorted.map { lang =>
+      val g = charNgrams.get(lang) match {
+        case None => "0"
+        case Some(grams) => grams.map { gr =>
+          val q = gr.replace("'", "''")
+          s"CAST((length(pad) - length(replace(pad, '$q', ''))) // ${gr.length} AS INT)"
+        }.mkString("least(", " + ", ", 9)")
+      }
+      s"s_$lang * 16 + $g AS w_$lang"
+    }.mkString(", ")
+    val m = stopwords.keys.toSeq.sorted.map(l => s"w_$l")
       .mkString("greatest(", ", ", ")")
     val scriptCase = scriptLangs.map { case (lang, _, _) =>
       s"WHEN c_$lang > 0.3 * ns THEN '$lang'" }.mkString(" ")
     val swCase = stopwords.keys.toSeq.sorted.reverse
-      .map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      .map(l => s"WHEN w_$l = m THEN '$l'").mkString(" ")
     s"WITH p AS (SELECT doc_id, ($phrases)[CAST(doc_id % ${langPhrases.length} AS INT) + 1] AS txt FROM documents), " +
     s"s AS (SELECT doc_id, string_split_regex(trim(lower(txt)), '\\s+') AS toks, " +
+    s"' ' || lower(txt) || ' ' AS pad, " +
     s"length(regexp_replace(txt, '\\s', '', 'g')) AS ns, $scriptCols FROM p), " +
     s"sc AS (SELECT *, $swCols FROM s), " +
-    s"f AS (SELECT *, $m AS m FROM sc) " +
+    s"w AS (SELECT *, $wCols FROM sc), " +
+    s"f AS (SELECT *, $m AS m FROM w) " +
     s"SELECT doc_id, CASE $scriptCase WHEN m <= 0 THEN 'und' $swCase END AS lang_pred FROM f"
   }
 

@@ -98,6 +98,22 @@ object TextAnalysis {
     "uk" -> Seq("і", "в", "не", "на", "що", "з", "він", "як", "це", "за"),
   )
 
+  /** Distinctive character n-grams for the Latin-script languages
+    * whose 10-word stopword lists can tie — da/no share most function
+    * words, es/pt share "que" — plus sv (da/no/sv overlap). Occurrence
+    * counts are capped at 9 and weighted BELOW one stopword hit
+    * (combined score = stopwords*16 + min(gram hits, 9)), so n-gram
+    * evidence breaks stopword ties and near-ties but never overrides a
+    * clear stopword verdict. Grams are orthography, not vocabulary:
+    * da "af"/"hvad"/"hedder" vs no "av"/"hva"/"heter"; es "ción"/"ñ"
+    * vs pt "ção"/"ã". All public-knowledge contrasts. */
+  val charNgrams: Map[String, Seq[String]] = Map(
+    "da" -> Seq(" af ", " hvad ", " hedder ", " undskyld "),
+    "no" -> Seq(" av ", " hva ", " heter ", " unnskyld "),
+    "sv" -> Seq(" och ", " är ", " vad ", " jag "),
+    "es" -> Seq("ción", "ñ", " y ", " es "),
+    "pt" -> Seq("ção", "ã", " é ", " e "))
+
   /** Script-decided languages in CHECK ORDER: (code, Java regex char
     * class, RE2 char class for the DuckDB oracle). Kana must precede
     * Han (see [[langId]]). */
@@ -122,11 +138,22 @@ object TextAnalysis {
 
   private def stopwordLangId(text: Column): Column = {
     val toks = tokens(lower(text))
+    // padded so word-boundary grams (" af ") match at string edges too
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    def ngramScore(lang: String): Column = charNgrams.get(lang) match {
+      case None => lit(0)
+      case Some(grams) => least(grams.map(g =>
+          ((length(padded) - length(replace(padded, lit(g), lit(""))))
+            / lit(g.length)).cast("int")).reduce(_ + _), lit(9))
+    }
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+      struct((size(filter(toks, t => t.isin(words: _*))) * 16
+          + ngramScore(lang)).as("score"),
         lit(lang).as("lang"))
     }
-    // struct max = (score, then lang) — ties pick the lex-largest code
+    // struct max = (stopwords*16 + grams, then lang) — stopword count
+    // decides first (grams capped at 9 < 16), grams break its ties,
+    // remaining ties pick the lex-largest code
     val best = array_max(array(scored: _*))
     when(best.getField("score") <= 0, lit("und")).otherwise(best.getField("lang"))
   }

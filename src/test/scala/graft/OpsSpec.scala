@@ -159,10 +159,15 @@ class OpsSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
   }
 
-  test("langId: every planted phrase labels its own language (28 langs + und)") {
+  test("langId: every planted phrase labels its own language (28 langs + und + confusables)") {
+    // the last four phrases TIE at the stopword stage across their
+    // confusable pair (da/no, es/pt) — only the char-n-gram stage
+    // separates them; da and es would lose the lex-largest tie-break
+    // without it
     val expected = Seq("ja", "zh", "ko", "ar", "he", "hi", "th", "el",
       "en", "es", "fr", "de", "it", "pt", "nl", "sv", "da", "no", "fi",
-      "pl", "cs", "ro", "hu", "tr", "id", "vi", "ru", "uk", "und")
+      "pl", "cs", "ro", "hu", "tr", "id", "vi", "ru", "uk", "und",
+      "da", "no", "es", "pt")
     val phrases = graft.SparkEntry.langPhrases
     assert(phrases.length == expected.length)
     val got = phrases.toDF("t")
