@@ -178,6 +178,26 @@ object Dedup {
         minhashSignatureFromHashes(normHashes(col(textCol)), numHashes).as("__sig"))
     val sigs = if (materializeSigs) sigsPlan.localCheckpoint(true) else sigsPlan
     val cands = lshCandidates(sigs, idCol, "__sig", bands)
+    // Corpus-side join strategy: at bench scale the fastest plan
+    // BROADCASTS the sig/shingle frames under the candidate pairs, and
+    // Catalyst picks that on its own — but only because its size
+    // estimate of an array-producing projection is bogus (ArrayType's
+    // defaultSize counts an unbounded array<long> as ONE element, so a
+    // shingle-hash frame that is really ~8 bytes/char estimates at
+    // ~9 MB regardless of corpus size). The misestimate survives into
+    // runtime — it lives in leaf/LogicalRDD stats, not in any
+    // materialized shuffle AQE could re-measure — so past the broadcast
+    // threshold the static plan collects GIGABYTES to the driver
+    // (found by the 100x scale rehearsal: a 109 MB corpus became a
+    // 1 GB+ broadcast that blew spark.driver.maxResultSize). Decide
+    // from the honest number we do have: the INPUT relation's size
+    // (file bytes for a parquet scan) times a conservative expansion
+    // factor for compressed text -> 8-byte shingle hashes, and pin
+    // merge joins (shuffle both sides on the id key — the always-safe
+    // 100 TB shape) once the corpus can't credibly fit a broadcast.
+    // `graft.dedup.corpusBroadcastMaxBytes` overrides the threshold
+    // (tests force the merge branch at small scale through it).
+    val corpusSide = corpusJoinSide(df)
     // Two-stage verification, sized to what each stage actually needs:
     // the estimate join ships only the 64-lane signatures for every
     // candidate (the est filter kills ~98% of bucket collisions), and
@@ -188,19 +208,55 @@ object Dedup {
     val estMatch = graft.functions.LaneMatches(col("__sigA"), col("__sigB"))
       .cast("double") / numHashes.toDouble
     val estPairs = cands
-      .join(sigs.select(col(idCol).as("a"), col("__sig").as("__sigA")), "a")
-      .join(sigs.select(col(idCol).as("b"), col("__sig").as("__sigB")), "b")
+      .join(corpusSide(sigs.select(col(idCol).as("a"), col("__sig").as("__sigA"))), "a")
+      .join(corpusSide(sigs.select(col(idCol).as("b"), col("__sig").as("__sigB"))), "b")
       .withColumn("__est", estMatch)
       .filter(col("__est") >= threshold - 0.15)
       .select("a", "b")
     val hs = df.select(col(idCol), normHashes(col(textCol)).as("__hs"))
     estPairs
-      .join(hs.select(col(idCol).as("a"), col("__hs").as("__hsA")), "a")
-      .join(hs.select(col(idCol).as("b"), col("__hs").as("__hsB")), "b")
+      .join(corpusSide(hs.select(col(idCol).as("a"), col("__hs").as("__hsA"))), "a")
+      .join(corpusSide(hs.select(col(idCol).as("b"), col("__hs").as("__hsB"))), "b")
       .withColumn("jaccard", hashedJaccard(col("__hsA"), col("__hsB")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** True iff `df`'s HONEST input size — its optimized-plan estimate,
+    * which for a file scan is file bytes, taken BEFORE any
+    * array-producing projection wrecks it — times `expansion`
+    * (compressed text -> 8-byte hash arrays) fits the broadcast-safety
+    * budget. Gate every join that puts an array projection of a corpus
+    * under candidate pairs on this, never on Catalyst's own estimate of
+    * the projected frame (see the minhashNearDups comment for the
+    * failure mode).
+    *
+    * The budget's job is to refuse broadcasts that could kill the
+    * driver (the rehearsal's 1 GB+ collect vs the 1 GB default
+    * `spark.driver.maxResultSize`), NOT to re-apply Spark's
+    * deliberately conservative 10 MB `autoBroadcastJoinThreshold` —
+    * that heuristic exists because Catalyst can't tell a hot inner
+    * frame from a cold one, whereas here the frame is known corpus
+    * data joined exactly twice. Default 256 MB of ESTIMATED expanded
+    * size (~25 MB of input file bytes): comfortably driver/executor
+    * safe, and still 5+ orders of magnitude below any 100 TB corpus,
+    * which pins merge joins long before it matters.
+    * `graft.dedup.corpusBroadcastMaxBytes` overrides the budget. */
+  private[ops] def corpusFitsBroadcast(df: DataFrame,
+      expansion: Long = 10L): Boolean = {
+    val spark = df.sparkSession
+    val maxBc = spark.conf.getOption("graft.dedup.corpusBroadcastMaxBytes")
+      .map(_.toLong)
+      .getOrElse(256L << 20)
+    maxBc > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes * expansion <= maxBc
+  }
+
+  /** Identity below the broadcast gate; pins a shuffle-on-key merge
+    * join (the always-safe 100 TB shape) above it. */
+  private[ops] def corpusJoinSide(df: DataFrame): DataFrame => DataFrame =
+    if (corpusFitsBroadcast(df)) identity
+    else d => d.hint("merge")
 
   /** Exact Jaccard of two hashed shingle sets (sorted-distinct
     * `array<long>`, the [[graft.functions.ShingleHashes]] contract) —
@@ -392,6 +448,9 @@ object Dedup {
     // (e.g. thousands of empty/boilerplate docs sharing simhash 0)
     // would otherwise go quadratic; within the cap the pigeonhole
     // guarantee (hamming<=3 -> some band matches) is preserved exactly.
+    // BEHAVIOR CHANGE: default tightened 4096 -> 1024; callers that
+    // relied on pairs from 1025-4096-member buckets must pass
+    // maxBucket = 4096 explicitly to keep the previous recall surface.
     // Cap 1024 bounds a degenerate at-cap bucket at ~0.5M streamed
     // pairs (4096 admitted ~8.4M); on hash-distributed 16-bit buckets
     // real bucket sizes are ~corpus/65536 per band, so the recall gate
@@ -416,8 +475,11 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, n: Int = 3): DataFrame = {
     val grams = df.select(col(idCol), TextAnalysis.wordNgrams(col(textCol), n).as("__g"))
-    val left = grams.select(col(idCol).as("a"), col("__g").as("__gA"))
-    val right = grams.select(col(idCol).as("b"), col("__g").as("__gB"))
+    // gram arrays are corpus-sized however small Catalyst thinks the
+    // projection is — same broadcast gate as minhashNearDups
+    val corpusSide = corpusJoinSide(df)
+    val left = corpusSide(grams.select(col(idCol).as("a"), col("__g").as("__gA")))
+    val right = corpusSide(grams.select(col(idCol).as("b"), col("__g").as("__gB")))
     pairs.join(left, "a").join(right, "b")
       .withColumn("jaccard",
         size(array_intersect(col("__gA"), col("__gB"))).cast("double") /
@@ -452,9 +514,15 @@ object Dedup {
     val banded = df.select(col(idCol).as("__id"), posexplode(sketches))
       .select(col("__id"), col("pos").as("__band"), col("col").as("__bucket"))
     val cands = bucketedPairs(banded, maxBucket)
+    // the vector frame is an array projection of the whole corpus —
+    // exactly the shape Catalyst size-misestimates as broadcast-small
+    // (see the minhashNearDups comment), so ride the same honest-size
+    // gate: embeddings at 4-8 bytes/dim expand less than text->shingle
+    // hashes, but a 100 TB corpus side still must never broadcast
+    val corpusSide = corpusJoinSide(df)
     val vecs = df.select(col(idCol), col(vecCol))
-    val va = vecs.select(col(idCol).as("a"), col(vecCol).as("__vA"))
-    val vb = vecs.select(col(idCol).as("b"), col(vecCol).as("__vB"))
+    val va = corpusSide(vecs.select(col(idCol).as("a"), col(vecCol).as("__vA")))
+    val vb = corpusSide(vecs.select(col(idCol).as("b"), col(vecCol).as("__vB")))
     cands.join(va, "a").join(vb, "b")
       .withColumn("cosine", Similarity.cosine(col("__vA"), col("__vB")))
       .filter(col("cosine") >= minCosine)

@@ -227,14 +227,22 @@ object DedupIndex {
           .distinct()
       case Some(corpus) =>
         // exact verify on hashed shingle sets: batch side recomputed
-        // (narrow), corpus side joined ONLY for estimate survivors —
-        // the survivor set is pair-scale, so AQE broadcasts it and the
-        // corpus text frame is filtered, not shuffled.
+        // (narrow), corpus side joined against the pair-scale survivor
+        // set. The corpus hash frame must never be BROADCAST whole —
+        // its shingle projection is exactly the bogus-small-estimated
+        // array frame the 100x rehearsal caught Catalyst broadcasting
+        // in minhashNearDups — so ride the same honest-input-size gate:
+        // below the threshold (bench scale) the r9 plan stands
+        // unchanged (AQE broadcasts the pair-scale survivors, the
+        // corpus frame is streamed, not shuffled); above it the corpus
+        // side pins a shuffle-on-key merge join, the always-safe
+        // 100 TB shape. No checkpoint, no double compute.
         val survivors = estimates.filter(col("est") >= threshold - 0.15)
         val qh = batch.select(col(idCol).as("__qid"),
           normHashes(col(textCol), p.k).as("__qh"))
-        val mh = corpus.select(col(idCol).as("__mid"),
-          normHashes(col(textCol), p.k).as("__mh"))
+        val corpusSide = Dedup.corpusJoinSide(corpus)
+        val mh = corpusSide(corpus.select(col(idCol).as("__mid"),
+          normHashes(col(textCol), p.k).as("__mh")))
         survivors.join(qh, "__qid").join(mh, "__mid")
           .withColumn("jaccard", Dedup.hashedJaccard(col("__qh"), col("__mh")))
           .filter(col("jaccard") >= threshold)

@@ -193,6 +193,45 @@ object ScaleRehearsal {
       results += "dup_spans" -> tSpans
     }
 
+    // ---- round-10: catalog DML / MVCC read paths at scale ----------
+    // many-fragment array + conditional-delete tombstones + truncation:
+    // the costs here are (a) manifest-driven fragment planning, (b) the
+    // per-fragment anti-filter the tombstones compile to, (c) the
+    // truncation-tiebreak pruning — all metadata-scale except the data
+    // pass itself, which is what the timing checks.
+    if (runOp("catalog_dml")) {
+      import graft.storage.ArrayTable
+      val uri = s"$outDir/catalog_dml_arr"
+      graft.storage.VFS(spark).delete(uri)
+      val base = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      val (_, tFrag) = time {
+        (0 until 16).foreach { b =>
+          ArrayTable.ingest(spark, base.filter(pmod(col("doc_id"), lit(16)) === b),
+            uri, Seq("doc_id"), overwrite = false)
+        }
+      }
+      results += "catalog_frag_writes_16" -> tFrag
+      (0 until 6).foreach { k =>
+        ArrayTable.delete(spark, uri,
+          s"len >= ${240 + k * 40} and len < ${260 + k * 40}")
+      }
+      val (nTomb, tRead) = time(ArrayTable.read(spark, uri).count())
+      results += "catalog_read_6_tombstones" -> tRead
+      println(s"[rehearsal] catalog read with tombstones: $nTomb rows over 16 fragments")
+      val tsPre = ArrayTable.fragments(spark, uri).map(_.ts).max
+      while (System.currentTimeMillis() <= tsPre) Thread.sleep(1)
+      ArrayTable.truncate(spark, uri)
+      ArrayTable.ingest(spark, base.filter(pmod(col("doc_id"), lit(16)) === 0),
+        uri, Seq("doc_id"))
+      val (nCur, tTrunc) = time(ArrayTable.read(spark, uri).count())
+      results += "catalog_read_post_truncate" -> tTrunc
+      val (nTT, tTT) = time(
+        ArrayTable.read(spark, uri, at = Some((0L, tsPre))).count())
+      results += "catalog_timetravel_pre_truncate" -> tTT
+      println(s"[rehearsal] post-truncate=$nCur, time-travel(pre)=$nTT")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val capJson = stats.map(s =>
       s""","buckets_over_cap":${s.getLong(1)},"max_bucket":${s.getLong(4)}""").getOrElse("")

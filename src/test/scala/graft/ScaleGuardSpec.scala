@@ -63,6 +63,36 @@ class ScaleGuardSpec extends SparkSpec {
       s"unsanctioned crossJoin site(s): $hits")
   }
 
+  test("minhashNearDups: merge joins pinned once the corpus can't fit a broadcast") {
+    // The corpus-side sig/shingle frames are array projections that
+    // Catalyst ALWAYS estimates as broadcast-small (ArrayType's
+    // defaultSize counts an unbounded array as one element), and the
+    // misestimate survives to runtime — at the 100x rehearsal the
+    // static plan broadcast a 1 GB+ shingle frame and blew
+    // spark.driver.maxResultSize. minhashNearDups therefore gates the
+    // broadcast shape on the INPUT relation's honest size; force the
+    // over-threshold branch and assert the static plan is pure
+    // shuffle-on-key merge joins with zero broadcasts.
+    spark.conf.set("graft.dedup.corpusBroadcastMaxBytes", "1")
+    val big = try {
+      val p = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      assert(broadcasts(p).isEmpty,
+        "corpus-side frame planned as broadcast past the size gate")
+      assert(plan(p).toString.contains("SortMergeJoin"))
+      // ngramJaccard's corpus gram frames ride the same gate
+      val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+      val nj = Dedup.ngramJaccard(docs, "doc_id", "text", pairs, n = 2)
+      assert(broadcasts(nj).isEmpty,
+        "ngramJaccard gram frame planned as broadcast past the size gate")
+      p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally spark.conf.unset("graft.dedup.corpusBroadcastMaxBytes")
+    // default branch keeps the bench-scale broadcast fast path, and
+    // both shapes produce identical pairs
+    val fast = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+    assert(broadcasts(fast).nonEmpty)
+    assert(fast.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == big)
+  }
+
   test("near-dup pipelines: no windows, no single-partition shuffles") {
     val pipelines = Seq(
       Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5),
