@@ -1369,6 +1369,76 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL MPEG-1 Layer II decode under the oracle: CBR Layer II
+    // frames (Table B.2a selected by 384 kbps / 48 kHz) with
+    // allocation indices, scfsi modes, scalefactor indices and sample
+    // codes all planted by formulas of (doc_id, frame, granule,
+    // subband, channel); the decoder (Multimodal.decodeMp3Layer2)
+    // reads the allocation-ladder fields, scfsi-shared scalefactors
+    // and GROUPED 3/5-step triplet codes back from the BITS, and
+    // DuckDB recomputes the identical requantization sum from the
+    // planting formulas — mean_level is value-exact.
+    "media_mp3_decode_l2" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val mono = id % 2 == 0
+        val channels = if (mono) 1 else 2
+        val frames = 2 + (id % 3).toInt
+        val frameLen = 144 * 384 * 1000 / 48000 // pad=0
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val buf = new Array[Byte](frameLen)
+          buf(0) = 0xFF.toByte
+          buf(1) = 0xFD.toByte // MPEG1, Layer II, no CRC
+          buf(2) = ((14 << 4) | (1 << 2)).toByte // brIdx=14 (384), srIdx=1 (48000)
+          buf(3) = (if (mono) 0xC0 else 0x00).toByte
+          var bit = 32
+          def w(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) {
+              if (((v >> r) & 1) == 1) buf(bit >> 3) =
+                (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+              bit += 1; r -= 1
+            }
+          }
+          def ai(c: Int, sb: Int) =
+            1 + ((id + sb * 5 + c * 3) % (if (sb >= 23) 2 else 3)).toInt
+          def steps(c: Int, sb: Int) =
+            if (sb < 3) Array(3, 7, 15)(ai(c, sb) - 1)
+            else if (sb < 23) Array(3, 5, 7)(ai(c, sb) - 1)
+            else Array(3, 5)(ai(c, sb) - 1)
+          def scfsi(c: Int, sb: Int) = ((id + sb + c) % 4).toInt
+          def sfIdx(c: Int, sb: Int, tr: Int) =
+            ((id * 7 + sb * 5 + c * 11 + tr * 3) % 63).toInt
+          for (sb <- 0 until 27; c <- 0 until channels)
+            w(ai(c, sb), if (sb < 11) 4 else if (sb < 23) 3 else 2)
+          for (sb <- 0 until 27; c <- 0 until channels) w(scfsi(c, sb), 2)
+          for (sb <- 0 until 27; c <- 0 until channels) {
+            val n = Array(3, 2, 1, 2)(scfsi(c, sb))
+            for (tr <- 0 until n) w(sfIdx(c, sb, tr), 6)
+          }
+          for (g <- 0 until 12; sb <- 0 until 27; c <- 0 until channels) {
+            val st = steps(c, sb)
+            val raw = id * 31 + f * 29 + g * 17 + sb * 13 + c * 19
+            if (st == 3 || st == 5)
+              w((raw % (st * st * st)).toInt, if (st == 3) 5 else 7)
+            else {
+              val nb = 32 - Integer.numberOfLeadingZeros(st)
+              for (k <- 0 until 3) w(((raw + k * 23) % st).toInt, nb)
+            }
+          }
+          out.write(buf)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL ISO-BMFF box walk under the oracle: minimal ftyp+moov
     // (mvhd + video tkhd + optional dimension-less audio trak) per doc;
     // duration/timescale/dims recomputed by DuckDB from the formulas
@@ -2038,6 +2108,40 @@ object SparkEntry {
       "round(sum(abs((2*code + 1 - p2)/p2 * (p2/(p2-1.0)) * sf)) " +
       "/ (384*ch*frames) / 2.0, 6) AS mean_level " +
       "FROM w GROUP BY doc_id, ch, frames"),
+    // Layer II requantization replayed value-for-value from the
+    // planting formulas: per (frame, granule, subband, channel,
+    // sample k) the allocation ladder gives steps, scfsi picks which
+    // transmitted scalefactor each 4-granule part uses, grouped
+    // 3/5-step codes decode as base-steps digits, and
+    // s = (2c+1-steps)/steps * sf with sf = 2*2^(-idx/3)
+    "media_mp3_decode_l2" -> ("WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch, " +
+      "2 + doc_id % 3 AS frames FROM documents), " +
+      "u AS (SELECT d.doc_id, d.ch, d.frames, f.range AS f, g.range AS g, " +
+      "sb.range AS sb, c.range AS c, k.range AS k " +
+      "FROM d, range(0,4) f, range(0,12) g, range(0,27) sb, range(0,2) c, " +
+      "range(0,3) k WHERE f.range < d.frames AND c.range < d.ch), " +
+      "v AS (SELECT doc_id, ch, frames, f, g, sb, c, k, " +
+      "1 + ((doc_id + sb*5 + c*3) % (CASE WHEN sb >= 23 THEN 2 ELSE 3 END)) AS ai, " +
+      "(doc_id + sb + c) % 4 AS scfsi, g // 4 AS p, " +
+      "doc_id*31 + f*29 + g*17 + sb*13 + c*19 AS raw FROM u), " +
+      "w AS (SELECT *, CASE WHEN sb < 3 THEN ([3,7,15])[CAST(ai AS INT)] " +
+      "WHEN sb < 23 THEN ([3,5,7])[CAST(ai AS INT)] " +
+      "ELSE ([3,5])[CAST(ai AS INT)] END AS steps, " +
+      "CASE WHEN scfsi = 0 THEN p WHEN scfsi = 1 THEN (CASE WHEN p = 2 THEN 1 ELSE 0 END) " +
+      "WHEN scfsi = 2 THEN 0 ELSE (CASE WHEN p = 0 THEN 0 ELSE 1 END) END AS tr FROM v), " +
+      "x AS (SELECT doc_id, ch, frames, steps, " +
+      "2.0 * pow(2.0, -CAST((doc_id*7 + sb*5 + c*11 + tr*3) % 63 AS DOUBLE)/3.0) AS sf, " +
+      "CASE WHEN steps IN (3, 5) THEN " +
+      "((raw % (steps*steps*steps)) // (CASE WHEN k = 0 THEN 1 " +
+      "WHEN k = 1 THEN steps ELSE steps*steps END)) % steps " +
+      "ELSE (raw + k*23) % steps END AS code FROM w) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, 48000 AS sample_rate, " +
+      "CAST(1152*ch*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 24.0, 6) AS duration_ms, " +
+      "round(sum(abs((2*code + 1 - steps)/CAST(steps AS DOUBLE) * sf)) " +
+      "/ (1152*ch*frames) / 2.0, 6) AS mean_level " +
+      "FROM x GROUP BY doc_id, ch, frames"),
     // mvhd/tkhd fields recomputed from the planting formulas
     "media_mp4_meta" -> ("SELECT doc_id, " +
       "CAST(640 + (doc_id % 8) * 16 AS INT) AS width, " +

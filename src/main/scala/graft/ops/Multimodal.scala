@@ -17,12 +17,14 @@ import org.apache.spark.sql.types._
   *    PNG/JPEG/BMP/WBMP via `javax.imageio`;
   *  - audio: WAV/PCM (8/16/24/32-bit) via the pure-Scala RIFF parser
   *    ([[decodeWav]] — fmt fields + exact sample mean), and COMPRESSED
-  *    MPEG-1 Layer I via the pure-Scala bitstream decoder
-  *    ([[decodeMp3Layer1]] — spec-exact subband requantization);
+  *    MPEG-1 Layer I and Layer II via the pure-Scala bitstream
+  *    decoders ([[decodeMp3Layer1]], [[decodeMp3Layer2]] — spec-exact
+  *    subband requantization incl. Layer II allocation tables,
+  *    scfsi and grouped codes);
   *  - video: AVI container metadata via the `avih` header scan
   *    ([[aviMeta]] — dims/frame-count/fps without decoding frames).
   * Only payloads none of these recognize (the remaining compressed
-  * codecs: MP3 Layer II/III, AAC, H.264, ...) fall back to
+  * codecs: MP3 Layer III, AAC, H.264, ...) fall back to
   * `fakeDecode`, a documented deterministic stub with the same output
   * contract — swap in ffmpeg/JNI bindings there in production.
   */
@@ -328,7 +330,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        decodeWav(r.content).orElse(decodeMp3Layer1(r.content)) match {
+        decodeWav(r.content).orElse(decodeMp3Layer1(r.content))
+          .orElse(decodeMp3Layer2(r.content)) match {
           case Some(a) => DecodedAudio(r.doc_id, a.channels, a.rate,
             a.nSamples, a.durationMs, a.meanLevel)
           case None =>
@@ -551,6 +554,196 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
   }
+
+  private val L2BitratesV1 =
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0)
+  // ISO 11172-3 Table B.2 quantization-step ladders, shared by the four
+  // allocation tables. An entry's position+1 is the allocation index;
+  // nbal (allocation field width) falls out of the ladder length
+  // (15 -> 4 bits, 7 -> 3, 3 -> 2).
+  private val L2StepsTop = Array(3, 7, 15, 31, 63, 127, 255, 511, 1023,
+    2047, 4095, 8191, 16383, 32767, 65535)                      // B.2a/b sb 0-2
+  private val L2StepsMid = Array(3, 5, 7, 9, 15, 31, 63, 127, 255, 511,
+    1023, 2047, 4095, 8191, 65535)                              // B.2a/b sb 3-10
+  private val L2StepsHigh = Array(3, 5, 7, 9, 15, 31, 65535)    // B.2a/b sb 11-22
+  private val L2StepsTail = Array(3, 5, 65535)                  // B.2a/b sb 23+
+  private val L2StepsLoTop = Array(3, 5, 9, 15, 31, 63, 127, 255, 511,
+    1023, 2047, 4095, 8191, 16383, 32767)                       // B.2c/d sb 0-1
+  private val L2StepsLo = Array(3, 5, 9, 15, 31, 63, 127)       // B.2c/d sb 2+
+
+  /** Allocation-table selection per ISO 11172-3 §2.4.2.6: (sblimit,
+    * subband -> step ladder), keyed on sampling rate and bitrate PER
+    * CHANNEL. */
+  private def l2AllocTable(rate: Int, kbpsPerCh: Int): (Int, Int => Array[Int]) = {
+    def ab(sb: Int) = if (sb < 3) L2StepsTop else if (sb < 11) L2StepsMid
+      else if (sb < 23) L2StepsHigh else L2StepsTail
+    def cd(sb: Int) = if (sb < 2) L2StepsLoTop else L2StepsLo
+    if ((rate == 48000 && kbpsPerCh >= 56) || (kbpsPerCh >= 56 && kbpsPerCh <= 80))
+      (27, ab)                                    // Table B.2a
+    else if (rate != 48000 && kbpsPerCh >= 96) (30, ab) // Table B.2b
+    else if (rate != 32000 && kbpsPerCh <= 48) (8, cd)  // Table B.2c
+    else (12, cd)                                 // Table B.2d
+  }
+
+  /** REAL pure-Scala MPEG-1 Audio Layer II decoder (public spec
+    * ISO/IEC 11172-3 §2.4.1.6/2.4.2.6): frame-header walk, then a
+    * bit-exact payload decode — per-subband allocation fields whose
+    * width and step count come from the selected Table B.2 ladder,
+    * 2-bit scfsi selecting 1-3 transmitted scalefactors per subband
+    * (parts of 4 granules each), and 12 granules of 3 samples where
+    * the 3/5/9-step classes arrive GROUPED (one 5/7/10-bit base-steps
+    * codeword for the triplet) and every other class arrives as three
+    * log2(steps+1)-bit codes. Requantization is the uniform midtread
+    * law s' = ((2c + 1 - steps) / steps) * sf — algebraically equal to
+    * the spec's C*(s'''+D) classed form for every Layer II step count
+    * — with sf = 2 * 2^(-idx/3) from Table B.1. Output is in the
+    * 32-band analysis domain like [[decodeMp3Layer1]] (the polyphase
+    * synthesis window is tabulated, not derivable). Mono, stereo and
+    * dual channel; intensity (joint) stereo and MPEG-2 LSF return
+    * None; Layer III remains the documented stub (reference analogue:
+    * tiledb/filter.py:690). */
+  private[graft] def decodeMp3Layer2(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    if (bytes.length < 4) return None
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+      if (off < 0 || off >= bytes.length) return None
+    }
+    try {
+      var i = off
+      var frames = 0L
+      var rate0 = 0; var ch0 = 0
+      var sumAbs = 0.0
+      while (i + 4 <= bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF || (bytes(i + 1) & 0xE0) != 0xE0) {
+          if (frames == 0) return None else i = bytes.length // trailing junk
+        } else {
+          val ver = (bytes(i + 1) >> 3) & 0x3
+          val lay = (bytes(i + 1) >> 1) & 0x3 // 2 = Layer II
+          val prot = bytes(i + 1) & 0x1
+          val brI = (bytes(i + 2) >> 4) & 0xF
+          val srI = (bytes(i + 2) >> 2) & 0x3
+          val pad = (bytes(i + 2) >> 1) & 0x1
+          val mode = (bytes(i + 3) >> 6) & 0x3
+          if (ver != 3 || lay != 2 || brI == 0 || brI == 15 || srI == 3 || mode == 1)
+            return None
+          val kbps = L2BitratesV1(brI)
+          val rate = Array(44100, 48000, 32000)(srI)
+          val channels = if (mode == 3) 1 else 2
+          if (frames == 0) { rate0 = rate; ch0 = channels }
+          val frameLen = 144 * kbps * 1000 / rate + pad
+          if (i + frameLen > bytes.length) return None
+          val (sblimit, ladder) = l2AllocTable(rate, kbps / channels)
+          var bitPos = (i + 4 + (if (prot == 0) 2 else 0)) * 8
+          val bitEnd = (i + frameLen) * 8
+          def read(n: Int): Int = {
+            if (bitPos + n > bitEnd) throw new IllegalArgumentException("payload underrun")
+            var v = 0; var r = n
+            while (r > 0) {
+              val byteI = bitPos >> 3; val bitI = 7 - (bitPos & 7)
+              v = (v << 1) | ((bytes(byteI) >> bitI) & 1)
+              bitPos += 1; r -= 1
+            }
+            v
+          }
+          def nbal(sb: Int) = ladder(sb).length match {
+            case 15 => 4; case 7 => 3; case _ => 2
+          }
+          val steps = Array.ofDim[Int](channels, sblimit) // 0 = unallocated
+          var sb = 0
+          while (sb < sblimit) {
+            var c = 0
+            while (c < channels) {
+              val a = read(nbal(sb))
+              steps(c)(sb) = if (a == 0) 0 else ladder(sb)(a - 1)
+              c += 1
+            }
+            sb += 1
+          }
+          val scfsi = Array.ofDim[Int](channels, sblimit)
+          sb = 0
+          while (sb < sblimit) {
+            var c = 0
+            while (c < channels) {
+              if (steps(c)(sb) != 0) scfsi(c)(sb) = read(2)
+              c += 1
+            }
+            sb += 1
+          }
+          // sf(part) for the three 4-granule parts, per Table B.1 law
+          val sf = Array.ofDim[Double](channels, sblimit, 3)
+          def sfVal() = 2.0 * math.pow(2.0, -read(6) / 3.0)
+          sb = 0
+          while (sb < sblimit) {
+            var c = 0
+            while (c < channels) {
+              if (steps(c)(sb) != 0) scfsi(c)(sb) match {
+                case 0 =>
+                  sf(c)(sb)(0) = sfVal(); sf(c)(sb)(1) = sfVal(); sf(c)(sb)(2) = sfVal()
+                case 1 =>
+                  val a = sfVal(); val b = sfVal()
+                  sf(c)(sb)(0) = a; sf(c)(sb)(1) = a; sf(c)(sb)(2) = b
+                case 2 =>
+                  val a = sfVal()
+                  sf(c)(sb)(0) = a; sf(c)(sb)(1) = a; sf(c)(sb)(2) = a
+                case _ =>
+                  val a = sfVal(); val b = sfVal()
+                  sf(c)(sb)(0) = a; sf(c)(sb)(1) = b; sf(c)(sb)(2) = b
+              }
+              c += 1
+            }
+            sb += 1
+          }
+          def requant(code: Int, st: Int, scale: Double): Double =
+            (2.0 * code + 1.0 - st) / st * scale
+          var g = 0
+          while (g < 12) {
+            val part = g >> 2
+            sb = 0
+            while (sb < sblimit) {
+              var c = 0
+              while (c < channels) {
+                val st = steps(c)(sb)
+                if (st != 0) {
+                  val scale = sf(c)(sb)(part)
+                  if (st == 3 || st == 5 || st == 9) { // grouped triplet
+                    val gbits = if (st == 3) 5 else if (st == 5) 7 else 10
+                    var v = read(gbits)
+                    var k = 0
+                    while (k < 3) {
+                      sumAbs += math.abs(requant(v % st, st, scale))
+                      v /= st; k += 1
+                    }
+                  } else {
+                    val nb = 32 - Integer.numberOfLeadingZeros(st) // steps = 2^nb - 1
+                    var k = 0
+                    while (k < 3) {
+                      sumAbs += math.abs(requant(read(nb), st, scale))
+                      k += 1
+                    }
+                  }
+                }
+                c += 1
+              }
+              sb += 1
+            }
+            g += 1
+          }
+          frames += 1
+          i += frameLen
+        }
+      }
+      if (frames == 0) None
+      else {
+        val nSamples = 1152L * ch0 * frames
+        Some(DecodedAudioRaw(ch0, rate0, nSamples,
+          frames * 1152000.0 / rate0, sumAbs / nSamples / 2.0))
+      }
+    } catch { case _: Exception => None }
+  }
+
   case class Mp3Meta(version: String, bitrate_kbps: Int, sample_rate: Int,
       channels: Int, n_frames: Long, duration_ms: Double)
 

@@ -293,6 +293,67 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp3Layer1(buf.take(100)).isEmpty)
   }
 
+  test("MPEG-1 Layer II decodes for real: alloc tables, scfsi, grouped codes") {
+    def mkWriter(buf: Array[Byte]) = {
+      var bit = 32
+      (v: Int, n: Int) => (n - 1 to 0 by -1).foreach { r =>
+        if (((v >> r) & 1) == 1) buf(bit >> 3) =
+          (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+        bit += 1
+      }
+    }
+    // --- Table B.2a path: mono, 192 kbps / 48000 Hz -> sblimit 27.
+    // sb 0-2 alloc idx 2 (steps 7, ungrouped 3-bit codes), sb 3-26
+    // alloc idx 1 (steps 3, GROUPED 5-bit triplets); scfsi=3 on every
+    // subband (2 transmitted scalefactors, parts [a, b, b]) with
+    // idx 0 -> sf 2.0 and idx 6 -> sf 0.5; ungrouped codes 5 ->
+    // |s| = 4/7*sf, grouped v=5 -> digits (2,1,0) -> |s| sum 4/3*sf.
+    // sumAbs = (3*3*4/7 + 24*4/3) * (4 granules*2.0 + 8*0.5)
+    //        = 260/7 * 12
+    val bufA = new Array[Byte](144 * 192 * 1000 / 48000)
+    bufA(0) = 0xFF.toByte; bufA(1) = 0xFD.toByte // MPEG1 LayerII no CRC
+    bufA(2) = ((10 << 4) | (1 << 2)).toByte      // 192 kbps, 48000 Hz
+    bufA(3) = 0xC0.toByte                        // mono
+    val wA = mkWriter(bufA)
+    (0 until 3).foreach(_ => wA(2, 4))           // steps 7
+    (3 until 11).foreach(_ => wA(1, 4))          // steps 3
+    (11 until 23).foreach(_ => wA(1, 3))
+    (23 until 27).foreach(_ => wA(1, 2))
+    (0 until 27).foreach(_ => wA(3, 2))          // scfsi = 3
+    (0 until 27).foreach { _ => wA(0, 6); wA(6, 6) } // sf 2.0 then 0.5
+    (0 until 12).foreach { _ =>
+      (0 until 3).foreach(_ => (0 until 3).foreach(_ => wA(5, 3)))
+      (3 until 27).foreach(_ => wA(5, 5))
+    }
+    val a = Multimodal.decodeMp3Layer2(bufA).get
+    assert(a.channels == 1 && a.rate == 48000 && a.nSamples == 1152L)
+    assert(math.abs(a.durationMs - 24.0) < 1e-9)
+    assert(math.abs(a.meanLevel - 260.0 / 7 * 12 / 1152 / 2) < 1e-12, a.meanLevel)
+    // --- Table B.2c path: mono, 32 kbps / 44100 Hz -> sblimit 8.
+    // alloc idx 2 everywhere = steps 5 (grouped 7-bit), scfsi=2 (one
+    // scalefactor for all parts, idx 3 -> sf 1.0), v=7 -> digits
+    // (2,1,0) -> |s| per triplet (0 + 2/5 + 4/5) = 1.2
+    val bufC = new Array[Byte](144 * 32 * 1000 / 44100)
+    bufC(0) = 0xFF.toByte; bufC(1) = 0xFD.toByte
+    bufC(2) = ((1 << 4) | (0 << 2)).toByte       // 32 kbps, 44100 Hz
+    bufC(3) = 0xC0.toByte
+    val wC = mkWriter(bufC)
+    (0 until 2).foreach(_ => wC(2, 4))
+    (2 until 8).foreach(_ => wC(2, 3))
+    (0 until 8).foreach(_ => wC(2, 2))           // scfsi = 2
+    (0 until 8).foreach(_ => wC(3, 6))           // sf idx 3 -> 1.0
+    (0 until 12).foreach(_ => (0 until 8).foreach(_ => wC(7, 7)))
+    val c = Multimodal.decodeMp3Layer2(bufC).get
+    assert(c.channels == 1 && c.rate == 44100 && c.nSamples == 1152L)
+    assert(math.abs(c.meanLevel - 12 * 8 * 1.2 / 1152 / 2) < 1e-12, c.meanLevel)
+    // Layer III and joint stereo refuse; truncation refuses
+    assert(Multimodal.decodeMp3Layer2(
+      Array(0xFF, 0xFB, (9 << 4), 0x00).map(_.toByte)).isEmpty)
+    val joint = bufA.clone(); joint(3) = 0x40.toByte
+    assert(Multimodal.decodeMp3Layer2(joint).isEmpty)
+    assert(Multimodal.decodeMp3Layer2(bufA.take(50)).isEmpty)
+  }
+
   test("WAV bitrate reflects the real sample width") {
     // 16-bit stereo 8000 Hz -> 8000*2*16/1000 = 256 kbps (was 2-4x
     // under-reported when 8 bits was assumed for every width)
