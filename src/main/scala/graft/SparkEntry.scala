@@ -7,7 +7,7 @@ import graft.core._
 import graft.query.{Aggregates, MultiIndex, QueryCondition}
 import graft.query.MultiIndex.{Points, RangeIncl, Ranges}
 import graft.storage.ArrayTable
-import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, NgramLm, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract: the declared operator surface (SURVEY.md §2/§7.4).
@@ -1079,6 +1079,17 @@ object SparkEntry {
     }),
     "text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))),
+    // CCNet-style LM quality scoring: train a Stupid-Backoff bigram LM
+    // on the corpus itself (one count pass per order, frequency-floored
+    // model), then score every doc's mean log10 P and perplexity. The
+    // DuckDB oracle replays BOTH training and scoring from the raw
+    // text — counts, floors, backoff and normalizer are exact count
+    // arithmetic, so the result is value-exact end to end.
+    "text_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = NgramLm.trainBigramLm(docs, "text", minUnigram = 2L, minBigram = 3L)
+      NgramLm.perplexity(docs, "doc_id", "text", lm)
+    }),
     // min-gram signature in the SQL-portable (md5-prefix) form, so the
     // DuckDB oracle recomputes every doc's signature bit-exactly; the
     // native rolling-hash fingerprint stays under text_fp_gate
@@ -1932,6 +1943,29 @@ object SparkEntry {
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
     "text_tokens_bpe" -> bpeOracleSql,
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    // Stupid-Backoff bigram LM replayed from scratch: tokenize, count
+    // both orders, apply the same frequency floors, then score
+    // P(w|pw) = cb/cw(pw) with backoff 0.4 * (cw(w) else 0.1)/N
+    "text_perplexity" -> ("WITH tk AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), " +
+      "x -> x <> '') AS t FROM documents), " +
+      "pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i, " +
+      "t FROM tk), " +
+      "pairs AS (SELECT doc_id, t[i-1] AS pw, w FROM pos WHERE i > 1), " +
+      "uniall AS (SELECT w, count(*) AS cw FROM pos GROUP BY w), " +
+      "n AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uniall), " +
+      "uni AS (SELECT w, cw FROM uniall WHERE cw >= 2), " +
+      "big AS (SELECT pw, w, count(*) AS cb FROM pairs GROUP BY pw, w " +
+      "HAVING count(*) >= 3), " +
+      "sc AS (SELECT p.doc_id, CASE WHEN b.cb IS NOT NULL THEN " +
+      "log10(CAST(b.cb AS DOUBLE) / CAST(up.cw AS DOUBLE)) " +
+      "ELSE log10(0.4 * coalesce(CAST(uw.cw AS DOUBLE), 0.1) / (SELECT n FROM n)) " +
+      "END AS lp FROM pairs p " +
+      "LEFT JOIN big b ON p.pw = b.pw AND p.w = b.w " +
+      "LEFT JOIN uni up ON p.pw = up.w " +
+      "LEFT JOIN uni uw ON p.w = uw.w) " +
+      "SELECT doc_id, count(*) AS n_scored, round(avg(lp), 6) AS avg_logp, " +
+      "round(pow(10, -avg(lp)), 6) AS ppl FROM sc GROUP BY doc_id"),
     // curation pack: replant the same synthetic PII, re-redact in RE2
     "pii_redact" -> ("SELECT doc_id, " +
       "regexp_replace(regexp_replace(regexp_replace(" +

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** N-gram language-model perplexity scoring — the classic
+  * quality-filter stage of large-scale training-data pipelines (CCNet
+  * and its descendants score every document against a reference LM and
+  * keep the low-perplexity head; the reference corpus-engine has no
+  * analogue, this is pipeline surface beyond it).
+  *
+  * The model is a word-bigram LM with Stupid Backoff smoothing
+  * (Brants et al. 2007, "Large Language Models in Machine
+  * Translation"): no discounting, a fixed backoff factor, counts used
+  * raw — the published choice for web-scale counts precisely because
+  * training stays one distributed count pass.
+  *
+  * Scale shape:
+  *  - training touches the corpus twice (unigram pass, bigram pass),
+  *    each a narrow explode + map-side-combined `groupBy` count — the
+  *    same shape as [[TextAnalysis.trainBpe]]'s word-count pass;
+  *  - the MODEL is vocabulary-bounded, not corpus-bounded: the
+  *    `minUnigram` / `minBigram` frequency floors cut the long tail
+  *    (at 100 TB the raw bigram table is what explodes; the floor is
+  *    the published mitigation). The cut is NOT silent: kept/dropped
+  *    row counts are logged;
+  *  - scoring is one explode + two broadcast joins against the model
+  *    + one map-side-combined re-aggregation by doc — the corpus
+  *    never shuffles by anything except doc_id partial sums. For
+  *    models too large to broadcast, drop the hint and AQE picks a
+  *    shuffle join; the semantics don't change.
+  *
+  * Determinism: probabilities are exact count ratios; every formula
+  * below is replayed verbatim by the DuckDB oracle
+  * (`text_perplexity`), so scores are value-exact, not approximate.
+  */
+object NgramLm {
+
+  /** Unicode word tokens of lowercased text; identical to DuckDB's
+    * `list_filter(string_split_regex(lower(t), '[^\p{L}\p{N}]+'), ...)`
+    * (Java and RE2 agree on the \p{L}/\p{N} classes). */
+  def lmTokens(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+
+  /** Adjacent-pair structs (pw, w) of the token array — derived with
+    * narrow array ops (slice + zip_with), no per-doc window shuffle.
+    * `once` binds the token array so the regex tokenization runs one
+    * time per row, not once per slice/size reference. */
+  private def pairCol(tk: Column): Column =
+    TextAnalysis.once(tk) { t =>
+      val m = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), m), slice(t, lit(2), m),
+        (a, b) => struct(a.as("pw"), b.as("w")))
+    }
+
+  /** A trained bigram LM: `unigrams` (w, cw) with `cw >= minUnigram`,
+    * `bigrams` (pw, w, cb) with `cb >= minBigram`, and the UNCUT total
+    * token count `totalTokens` (the unigram normalizer — cut mass
+    * still normalizes, as in the published formulation). */
+  case class BigramLm(unigrams: DataFrame, bigrams: DataFrame, totalTokens: Long)
+
+  /** One distributed count pass per order; model tables persisted
+    * (they are re-joined twice in scoring). `minBigram >= minUnigram`
+    * is required: it guarantees every bigram's left word survives the
+    * unigram cut (count(pw) >= count(pw,w)), so the conditional
+    * probability's denominator always resolves. */
+  def trainBigramLm(df: DataFrame, textCol: String, minUnigram: Long = 2L,
+      minBigram: Long = 3L): BigramLm = {
+    require(minBigram >= minUnigram,
+      s"minBigram ($minBigram) must be >= minUnigram ($minUnigram)")
+    val tk = lmTokens(col(textCol))
+    val uniAll = df.select(explode(tk).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = uniAll.agg(sum(col("cw")), count(lit(1))).head()
+    val (total, vocabAll) = (stats.getLong(0), stats.getLong(1))
+    val uni = uniAll.filter(col("cw") >= minUnigram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = df.select(explode(pairCol(tk)).as("p"))
+      .select(col("p.pw").as("pw"), col("p.w").as("w"))
+      .groupBy("pw", "w").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minBigram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (nUni, nBig) = (uni.count(), big.count())
+    uniAll.unpersist()
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"trainBigramLm: $total tokens, $vocabAll distinct words -> kept " +
+        s"$nUni unigrams (>=$minUnigram), $nBig bigrams (>=$minBigram)")
+    BigramLm(uni, big, total)
+  }
+
+  /** Stupid Backoff score per document over positions 2..n:
+    *   P(w | pw) = cb(pw, w) / cw(pw)        when the bigram is in the model
+    *             = alpha * P1(w)             otherwise
+    *   P1(w)     = (cw(w) if kept else 0.1) / totalTokens
+    * Output: (idCol, n_scored, avg_logp, ppl) with
+    * avg_logp = mean log10 P and ppl = 10^(-avg_logp), both rounded
+    * to 6 decimals; documents with fewer than two tokens have no
+    * scored positions and are omitted. */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+      lm: BigramLm, alpha: Double = 0.4): DataFrame = {
+    val d = DoubleType
+    val pairs = df
+      .select(col(idCol), explode(pairCol(lmTokens(col(textCol)))).as("p"))
+      .select(col(idCol), col("p.pw").as("pw"), col("p.w").as("w"))
+    val scored = pairs
+      .join(broadcast(lm.bigrams), Seq("pw", "w"), "left")
+      .join(broadcast(lm.unigrams.select(col("w").as("pw"), col("cw").as("cp"))),
+        Seq("pw"), "left")
+      .join(broadcast(lm.unigrams.select(col("w"), col("cw").as("cu"))),
+        Seq("w"), "left")
+      .withColumn("lp",
+        when(col("cb").isNotNull, log10(col("cb").cast(d) / col("cp").cast(d)))
+          .otherwise(log10(lit(alpha) * coalesce(col("cu").cast(d), lit(0.1))
+            / lit(lm.totalTokens.toDouble))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"), avg(col("lp")).as("a"))
+      .select(col(idCol), col("n_scored"),
+        round(col("a"), 6).as("avg_logp"),
+        round(pow(lit(10.0), -col("a")), 6).as("ppl"))
+  }
+}
