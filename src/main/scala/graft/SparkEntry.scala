@@ -1129,6 +1129,26 @@ object SparkEntry {
     "source_cap" -> ((s, d) =>
       Curation.capPerKey(t(s, d, "documents"), col("source"), col("doc_id"), 10)
         .select(col("doc_id"), col("source"))),
+    // URL curation chain over a planted fixture that covers the whole
+    // rule surface (uppercase scheme/host, default + non-default
+    // ports, fragments, tracking params in first/middle/trailing/only
+    // position, multi-label public suffixes, IPv4 hosts, schemeless
+    // strings, bare root slash). DuckDB replays plant + every rule.
+    "url_curation" -> ((s, d) => {
+      val norm = Curation.normalizeUrl(plantedUrl)
+      t(s, d, "documents").select(col("doc_id"), norm.as("url_norm"),
+        Curation.urlHost(norm).as("host"),
+        Curation.registeredDomain(Curation.urlHost(norm)).as("domain"))
+    }),
+    // registered-domain caps — the per-DOMAIN variant of source_cap
+    // that crawl pipelines actually run (a single hot domain must not
+    // dominate the corpus)
+    "url_domain_cap" -> ((s, d) => {
+      val df = t(s, d, "documents").select(col("doc_id"),
+        Curation.registeredDomain(
+          Curation.urlHost(Curation.normalizeUrl(plantedUrl))).as("domain"))
+      Curation.capPerKey(df, col("domain"), col("doc_id"), 25)
+    }),
     "text_repetition" -> ((s, d) => {
       val f = Curation.repetitionFeatures(col("text"))
       t(s, d, "documents").select(col("doc_id"),
@@ -1777,6 +1797,67 @@ object SparkEntry {
     s"SELECT doc_id, CASE $scriptCase WHEN m <= 0 THEN 'und' $swCase END AS lang_pred FROM f"
   }
 
+  /** (prefix, suffix) pairs; the planted URL is prefix + doc_id +
+    * suffix, selected by doc_id % length — same formula both engines. */
+  private[graft] val urlTemplates: Seq[(String, String)] = Seq(
+    ("HTTP://WWW.Example.COM:80/alpha/", "?utm_source=feed&utm_medium=rss"),
+    ("https://News.Site.co.uk:443/story/", "?fbclid=XYZ123&page=2"),
+    ("http://sub.shop.com.au/item?id=", "&gclid=99&color=red"),
+    ("https://Blog.Example.org/post-", "#section-2"),
+    ("http://10.0.42.7/files/f", "?x=1&utm_campaign=loop"),
+    ("www.naked.example.com/path/", ""),
+    ("HTTPS://API.Service.CO.JP:8443/v", "?key=abc&utm_term=x"),
+    ("http://Example.com:80/?utm_content=c", ""))
+
+  private def plantedUrl: Column =
+    concat(
+      element_at(array(urlTemplates.map(t => lit(t._1)): _*),
+        (col("doc_id") % urlTemplates.length).cast("int") + 1),
+      col("doc_id").cast("string"),
+      element_at(array(urlTemplates.map(t => lit(t._2)): _*),
+        (col("doc_id") % urlTemplates.length).cast("int") + 1))
+
+  /** WITH-clause body replaying plant + normalize + host + domain in
+    * DuckDB, generated from the SAME tables the Spark chain uses
+    * (Curation.TrackingParams / MultiLabelSuffixes / urlTemplates). */
+  private def urlOracleCtes: String = {
+    val alt = Curation.trackingAlternation
+    val k = urlTemplates.length
+    val pres = urlTemplates.map(t => "'" + t._1.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val posts = urlTemplates.map(t => "'" + t._2.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val sufs = Curation.MultiLabelSuffixes.map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    val sre = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+    s"u0 AS (SELECT doc_id, ($pres)[CAST(doc_id % $k AS INT) + 1] || " +
+    s"CAST(doc_id AS VARCHAR) || ($posts)[CAST(doc_id % $k AS INT) + 1] AS raw " +
+    "FROM documents), " +
+    "u1 AS (SELECT doc_id, regexp_replace(trim(raw), '#.*$', '') AS u FROM u0), " +
+    s"p0 AS (SELECT doc_id, u, lower(regexp_extract(u, '$sre', 1)) AS sch, " +
+    s"lower(regexp_extract(u, '$sre', 2)) AS hp0, " +
+    s"regexp_extract(u, '$sre', 3) AS rest FROM u1), " +
+    "p1 AS (SELECT doc_id, u, sch, CASE " +
+    "WHEN sch = 'http' THEN regexp_replace(hp0, ':80$', '') " +
+    "WHEN sch = 'https' THEN regexp_replace(hp0, ':443$', '') " +
+    "ELSE hp0 END AS hp, rest FROM p0), " +
+    "p2 AS (SELECT doc_id, u, sch, sch || '://' || hp || rest AS s FROM p1), " +
+    s"p3 AS (SELECT doc_id, u, sch, regexp_replace(s, '&$alt=[^&#]*', '', 'g') AS s FROM p2), " +
+    s"p4 AS (SELECT doc_id, u, sch, regexp_replace(s, '\\?$alt=[^&#]*&', '?') AS s FROM p3), " +
+    s"p5 AS (SELECT doc_id, u, sch, regexp_replace(s, '\\?$alt=[^&#]*$$', '') AS s FROM p4), " +
+    "p6 AS (SELECT doc_id, u, sch, " +
+    "regexp_replace(s, '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1') AS s FROM p5), " +
+    "nrm AS (SELECT doc_id, CASE WHEN sch = '' THEN u ELSE s END AS url_norm FROM p6), " +
+    "hst AS (SELECT doc_id, url_norm, lower(regexp_extract(url_norm, " +
+    "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*).*$', 1)) AS host FROM nrm), " +
+    "dom AS (SELECT doc_id, url_norm, host, string_split(host, '.') AS sp FROM hst), " +
+    "fin AS (SELECT doc_id, url_norm, host, CASE " +
+    "WHEN regexp_matches(host, '^[0-9.]+$') OR len(sp) <= 2 THEN host " +
+    s"WHEN list_contains($sufs, sp[-2] || '.' || sp[-1]) " +
+    "THEN sp[-3] || '.' || sp[-2] || '.' || sp[-1] " +
+    "ELSE sp[-2] || '.' || sp[-1] END AS domain FROM dom)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "scan_full" -> "SELECT * FROM lineitem",
     "slice_range" -> ("SELECT * FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 " +
@@ -1976,6 +2057,12 @@ object SparkEntry {
     "source_cap" -> ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
       "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn " +
       "FROM documents) WHERE rn <= 10"),
+    "url_curation" ->
+      s"WITH $urlOracleCtes SELECT doc_id, url_norm, host, domain FROM fin",
+    "url_domain_cap" ->
+      (s"WITH $urlOracleCtes SELECT doc_id, domain FROM " +
+        "(SELECT doc_id, domain, row_number() OVER " +
+        "(PARTITION BY domain ORDER BY doc_id) AS rn FROM fin) WHERE rn <= 25"),
     "text_repetition" -> ("WITH s AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

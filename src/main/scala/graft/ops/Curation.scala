@@ -35,6 +35,94 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  // --- URL curation -------------------------------------------------
+  // Web-crawl pipelines key their caps, dedup groups and source stats
+  // on the REGISTERED DOMAIN of a normalized URL (C4, RefinedWeb,
+  // Dolma all do); these three scalars are that chain. All are narrow
+  // RE2-compatible regex expressions, zero shuffle, and every rule is
+  // replayed verbatim by the DuckDB oracle (url_curation).
+
+  /** Query parameters that identify a click, not a resource — the
+    * standard strip set (utm_* plus the big ad/social click ids). */
+  val TrackingParams: Seq[String] =
+    Seq("utm_[a-z]+", "fbclid", "gclid", "msclkid", "igshid", "mc_eid")
+  /** The params as one regex alternation — public so the DuckDB oracle
+    * is GENERATED from the same table (engines can't drift). */
+  def trackingAlternation: String = TrackingParams.mkString("(", "|", ")")
+  private def trackAlt = trackingAlternation
+
+  /** Multi-label public suffixes (curated subset of the Mozilla Public
+    * Suffix List — the full PSL is ~9k rules and revisioned; pipelines
+    * embed the subset that covers their crawl's mass and log the
+    * rest). `registeredDomain` keeps one extra label above these. */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "idv.tw", "com.hk", "org.hk", "edu.hk",
+    "com.sg", "org.sg", "edu.sg", "com.my", "org.my",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.mx", "org.mx", "gob.mx", "com.ar", "com.tr", "com.ua",
+    "com.pl", "net.pl", "org.pl", "co.za", "org.za", "web.za",
+    "co.il", "org.il", "ac.il", "co.th", "or.th", "ac.th",
+    "com.vn", "com.ph", "com.pk", "com.eg", "com.sa", "com.ng",
+    "com.bd", "com.co", "com.pe", "com.cl", "com.ve")
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+  /** Canonicalize a URL: trim, drop the fragment, lowercase scheme and
+    * host, strip the scheme's default port (:80 / :443), remove
+    * tracking query parameters wherever they sit, and strip a bare
+    * root-path trailing slash. Strings without a `scheme://` prefix
+    * pass through (trimmed, fragmentless) — upstream crawls carry
+    * those and guessing a scheme would forge data. Userinfo and
+    * path-internal '&' are left alone (documented non-goals: the
+    * former is dropped by [[urlHost]], the latter never collides with
+    * the `?`/`&`-anchored tracking rules). */
+  def normalizeUrl(url: Column): Column =
+    TextAnalysis.once(regexp_replace(trim(url), "#.*$", "")) { u =>
+      val scheme = lower(regexp_extract(u, SchemeRe, 1))
+      val hp0 = lower(regexp_extract(u, SchemeRe, 2))
+      val rest = regexp_extract(u, SchemeRe, 3)
+      val hp = when(scheme === "http", regexp_replace(hp0, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hp0, ":443$", ""))
+        .otherwise(hp0)
+      // tracking params: '&'-prefixed anywhere, then a leading
+      // '?param&' (promote the next param), then a lone '?param$'
+      val s0 = concat(scheme, lit("://"), hp, rest)
+      val s1 = regexp_replace(s0, s"&$trackAlt=[^&#]*", "")
+      val s2 = regexp_replace(s1, s"\\?$trackAlt=[^&#]*&", "?")
+      val s3 = regexp_replace(s2, s"\\?$trackAlt=[^&#]*$$", "")
+      val s4 = regexp_replace(s3, "^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+      when(scheme === "", u).otherwise(s4)
+    }
+
+  /** Lowercased host of a `scheme://` URL — userinfo and port
+    * stripped; empty string when there is no scheme (no guessing). */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*).*$", 1))
+
+  /** The registrable domain of a host: last two labels, or last three
+    * when the last two are a known multi-label public suffix
+    * ([[MultiLabelSuffixes]]). IPv4-looking hosts and hosts with fewer
+    * than three labels return unchanged. */
+  def registeredDomain(host: Column): Column =
+    TextAnalysis.once(host) { h =>
+      val labels = split(h, "\\.")
+      val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+      val last3 = concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+      when(h.rlike("^[0-9.]+$") || size(labels) <= 2, h)
+        .when(array_contains(
+          lit(MultiLabelSuffixes.toArray), last2) && size(labels) >= 3, last3)
+        .otherwise(last2)
+    }
+
   /** Keep at most `n` rows per key, deterministically (lowest `ord`
     * first). One shuffle on `key`; ties on `ord` broken by `ord`'s
     * uniqueness being the caller's contract. Hot keys are bounded by

@@ -159,4 +159,53 @@ class CurationSpec extends SparkSpec {
     // the fully unique doc shares nothing
     assert(out(100L)._2 == 0)
   }
+
+  test("normalizeUrl: case, ports, fragments, tracking params, root slash") {
+    val cases = Seq(
+      // scheme+host lowercase, default port stripped, path case kept
+      ("HTTP://WWW.Example.COM:80/Path/Page", "http://www.example.com/Path/Page"),
+      ("https://a.com:443/x", "https://a.com/x"),
+      // non-default port and userinfo survive normalize
+      ("https://API.b.com:8443/v1", "https://api.b.com:8443/v1"),
+      ("http://user@Host.com/x", "http://user@host.com/x"),
+      // fragment always dropped
+      ("http://a.com/p#frag?utm_source=x", "http://a.com/p"),
+      // tracking first (promote next), middle, trailing, only, many
+      ("http://a.com/p?utm_source=f&id=2", "http://a.com/p?id=2"),
+      ("http://a.com/p?id=2&fbclid=x&c=3", "http://a.com/p?id=2&c=3"),
+      ("http://a.com/p?id=2&gclid=x", "http://a.com/p?id=2"),
+      ("http://a.com/p?msclkid=only", "http://a.com/p"),
+      ("http://a.com/p?utm_a=1&utm_b=2&q=3", "http://a.com/p?q=3"),
+      // bare root slash stripped; deeper trailing slash kept
+      ("http://Example.com:80/", "http://example.com"),
+      ("http://a.com/dir/", "http://a.com/dir/"),
+      // path-internal '&' is NOT query syntax — untouched
+      ("http://a.com/a&b/c", "http://a.com/a&b/c"),
+      // schemeless passes through trimmed + fragmentless
+      ("  www.x.com/path#f ", "www.x.com/path"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.normalizeUrl($"u").as("n")).as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"normalizeUrl($in) = $g, want $want")
+    }
+  }
+
+  test("urlHost and registeredDomain: suffix list, IPs, short hosts") {
+    val cases = Seq(
+      ("https://www.example.com/x", "www.example.com", "example.com"),
+      ("http://News.Site.co.uk/s", "news.site.co.uk", "site.co.uk"),
+      ("http://a.b.c.shop.com.au/", "a.b.c.shop.com.au", "shop.com.au"),
+      ("http://user:pw@Secure.org:8080/x", "secure.org", "secure.org"),
+      ("http://10.0.42.7/f", "10.0.42.7", "10.0.42.7"),
+      ("http://localhost/x", "localhost", "localhost"),
+      ("no-scheme.com/path", "", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.urlHost($"u").as("h"),
+        Curation.registeredDomain(Curation.urlHost($"u")).as("d"))
+      .as[(String, String)].collect().toSeq
+    cases.zip(got).foreach { case ((in, wh, wd), (h, d)) =>
+      assert(h == wh, s"urlHost($in) = $h, want $wh")
+      assert(d == wd, s"registeredDomain($in) = $d, want $wd")
+    }
+  }
 }
