@@ -1149,6 +1149,14 @@ object SparkEntry {
           Curation.urlHost(Curation.normalizeUrl(plantedUrl))).as("domain"))
       Curation.capPerKey(df, col("domain"), col("doc_id"), 25)
     }),
+    // C4-style boilerplate-line removal over a planted multi-line
+    // fixture (template headers/footers shared across ~25-50% of docs,
+    // unique bodies, blank lines, a below-threshold rare line).
+    "boilerplate_gate" -> ((s, d) =>
+      Curation.removeBoilerplate(
+        t(s, d, "documents").select(col("doc_id"),
+          plantedBoilerDoc.as("text")),
+        "doc_id", "text", minDocs = 5)),
     "text_repetition" -> ((s, d) => {
       val f = Curation.repetitionFeatures(col("text"))
       t(s, d, "documents").select(col("doc_id"),
@@ -1817,6 +1825,60 @@ object SparkEntry {
       element_at(array(urlTemplates.map(t => lit(t._2)): _*),
         (col("doc_id") % urlTemplates.length).cast("int") + 1))
 
+  /** Boilerplate-line header templates: each lands on ~1/4 of docs,
+    * far above the minDocs=5 gate threshold. Shared between the Spark
+    * plant and the DuckDB oracle so the fixtures cannot drift. */
+  private val boilerHeaders = Seq(
+    "Home | About | Contact", "Subscribe to our newsletter",
+    "Accept cookies to continue", "Menu Search Login")
+
+  /** Planted multi-line doc exercising the whole removeBoilerplate
+    * rule surface: a template header (whitespace-padded on every 3rd
+    * doc — trim must unify the variants), a blank line (never counted,
+    * always kept), a unique body line (kept), a footer that is
+    * boilerplate for even ids and unique for odd ids, and a rare promo
+    * line on every 200th doc (~3 docs at sf0.01 — below minDocs,
+    * kept). */
+  private def plantedBoilerDoc: Column = {
+    val hdr = element_at(array(boilerHeaders.map(lit): _*),
+      (col("doc_id") % boilerHeaders.length).cast("int") + 1)
+    concat_ws("\n",
+      when(col("doc_id") % 3 === 0, concat(lit("  "), hdr, lit("  ")))
+        .otherwise(hdr),
+      lit(""),
+      concat(lit("body "),
+        ((col("doc_id") * 2654435761L) % 1000000007L).cast("string")),
+      when(col("doc_id") % 2 === 0, lit("(c) graft corp 2026"))
+        .otherwise(concat(lit("contact: page "), col("doc_id").cast("string"))),
+      when(col("doc_id") % 200 === 0, lit("rare promo line")))
+  }
+
+  /** WITH-clause body replaying plant + line split + doc-frequency
+    * count + reconstruction in DuckDB, generated from the SAME header
+    * table as [[plantedBoilerDoc]]. */
+  private def boilerOracleCtes: String = {
+    val k = boilerHeaders.length
+    val hdrs = boilerHeaders.map(h => "'" + h.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"b0 AS (SELECT doc_id, ($hdrs)[CAST(doc_id % $k AS INT) + 1] AS hdr " +
+    "FROM documents), " +
+    "b1 AS (SELECT doc_id, concat_ws(chr(10), " +
+    "CASE WHEN doc_id % 3 = 0 THEN '  ' || hdr || '  ' ELSE hdr END, " +
+    "'', " +
+    "'body ' || CAST((doc_id * 2654435761) % 1000000007 AS VARCHAR), " +
+    "CASE WHEN doc_id % 2 = 0 THEN '(c) graft corp 2026' " +
+    "ELSE 'contact: page ' || CAST(doc_id AS VARCHAR) END, " +
+    "CASE WHEN doc_id % 200 = 0 THEN 'rare promo line' ELSE NULL END" +
+    ") AS txt FROM b0), " +
+    "ls AS (SELECT doc_id, unnest(string_split(txt, chr(10))) AS line, " +
+    "unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS pos FROM b1), " +
+    "cnt AS (SELECT trim(line) AS key FROM ls WHERE trim(line) <> '' " +
+    "GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5), " +
+    "mk AS (SELECT l.doc_id, l.line, l.pos, " +
+    "(c.key IS NULL OR trim(l.line) = '') AS keep " +
+    "FROM ls l LEFT JOIN cnt c ON trim(l.line) = c.key)"
+  }
+
   /** WITH-clause body replaying plant + normalize + host + domain in
     * DuckDB, generated from the SAME tables the Spark chain uses
     * (Curation.TrackingParams / MultiLabelSuffixes / urlTemplates). */
@@ -2063,6 +2125,12 @@ object SparkEntry {
       (s"WITH $urlOracleCtes SELECT doc_id, domain FROM " +
         "(SELECT doc_id, domain, row_number() OVER " +
         "(PARTITION BY domain ORDER BY doc_id) AS rn FROM fin) WHERE rn <= 25"),
+    "boilerplate_gate" ->
+      (s"WITH $boilerOracleCtes SELECT doc_id, " +
+        "coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') " +
+        "AS clean_text, count(*) AS n_lines, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed " +
+        "FROM mk GROUP BY doc_id"),
     "text_repetition" -> ("WITH s AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

@@ -218,6 +218,54 @@ object Curation {
         round(col("shared_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** C4-style boilerplate-line removal: a line whose TRIMMED form
+    * appears in at least `minDocs` distinct documents is boilerplate
+    * (nav bars, cookie banners, footers) and is stripped from every
+    * document; everything else — including blank lines, which are
+    * never counted and never removed — survives in original order.
+    * Returns (idCol, clean_text, n_lines, n_removed) for every input
+    * doc; a doc whose every line is boilerplate comes back with
+    * clean_text = "".
+    *
+    * Scale shape: the counting side ships only 8-byte xxhash64 keys
+    * (hash BEFORE the per-doc distinct, so line strings never leave
+    * the map side); the count table is filtered to `__docs >=
+    * minDocs` — the boilerplate set, small by nature — so AQE
+    * broadcasts the mark join and the exploded text reaches exactly
+    * ONE exchange, the per-doc reconstruction on idCol. The broadcast
+    * is gated on the HONEST input size ([[Dedup.corpusJoinSide]] —
+    * Catalyst's estimate for a derived aggregate is fiction): above
+    * the budget the mark join pins a shuffle-on-key merge join, the
+    * always-safe shape, because at web scale the distinct
+    * repeated-line table is legitimately unbounded. Matching on the
+    * 64-bit hash rather than the string is deliberate (same trade
+    * as [[contamination]]): a collision mislabels one line in ~2^64,
+    * and the alternative ships full line text through a corpus-wide
+    * shuffle. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
+    val corpusSide = Dedup.corpusJoinSide(df)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val keyed = lines.filter(trim(col("line")) =!= "")
+      .select(col(idCol), xxhash64(trim(col("line"))).as("k")).distinct()
+    val boiler = keyed.groupBy("k").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs).select("k")
+    lines.withColumn("k", xxhash64(trim(col("line"))))
+      .join(corpusSide(boiler.withColumn("__boiler", lit(true))),
+        Seq("k"), "left_outer")
+      .withColumn("__keep", col("__boiler").isNull || trim(col("line")) === "")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Deterministic REPRODUCIBLE sampling: keep a row iff the md5 of
     * (salt || id) lands below `fraction` of the 24-bit prefix space.
     * Unlike `df.sample`, the decision is a pure function of the id and

@@ -208,4 +208,51 @@ class CurationSpec extends SparkSpec {
       assert(d == wd, s"registeredDomain($in) = $d, want $wd")
     }
   }
+
+  test("removeBoilerplate strips high-doc-frequency lines, keeps order") {
+    // "NAV" appears (modulo whitespace) in 5 docs = minDocs -> removed;
+    // "rare" in 2 docs < minDocs -> kept; blank lines always kept.
+    val docs = Seq(
+      (1L, "NAV\n\nbody one\nrare"),
+      (2L, "  NAV  \nbody two\nrare"),
+      (3L, "NAV\nbody three"),
+      (4L, "NAV\nbody four"),
+      (5L, "NAV"), // all lines boilerplate -> empty clean_text
+      (6L, "solo doc")).toDF("id", "text")
+    val out = Curation.removeBoilerplate(docs, "id", "text", minDocs = 5)
+      .orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "\nbody one\nrare", 4L, 1L),
+      (2L, "body two\nrare", 3L, 1L),
+      (3L, "body three", 2L, 1L),
+      (4L, "body four", 2L, 1L),
+      (5L, "", 1L, 1L),
+      (6L, "solo doc", 1L, 0L)))
+  }
+
+  test("removeBoilerplate above the broadcast gate: same rows, merge join") {
+    val docs = ((1L to 6L).map(i => (i, s"NAV\nbody $i"))).toDF("id", "text")
+    val want = Curation.removeBoilerplate(docs, "id", "text", minDocs = 5)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    spark.conf.set("graft.dedup.corpusBroadcastMaxBytes", "1")
+    try {
+      val gated = Curation.removeBoilerplate(docs, "id", "text", minDocs = 5)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected pinned merge join above the gate, got:\n$plan")
+      assert(gated.orderBy("id")
+        .as[(Long, String, Long, Long)].collect().toSeq == want)
+    } finally spark.conf.unset("graft.dedup.corpusBroadcastMaxBytes")
+  }
+
+  test("removeBoilerplate counts docs, not occurrences") {
+    // one doc repeating a line 10 times must not make it boilerplate
+    val docs = (Seq((1L, Seq.fill(10)("spam").mkString("\n"))) ++
+      (2L to 4L).map(i => (i, s"text $i"))).toDF("id", "text")
+    val out = Curation.removeBoilerplate(docs, "id", "text", minDocs = 3)
+      .filter($"id" === 1L)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out._3 == 10L && out._4 == 0L, s"spam doc kept intact: $out")
+  }
 }
