@@ -1157,6 +1157,15 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"),
           plantedBoilerDoc.as("text")),
         "doc_id", "text", minDocs = 5)),
+    // Keep-first exact paragraph dedup over a planted fixture: 3
+    // shared templates (each on ~1/3 of docs, one survivor each), a
+    // blank paragraph (kept), a unique body (kept), and for even ids a
+    // whitespace-padded same-doc repeat of the body (removed).
+    "paragraph_dedup" -> ((s, d) =>
+      Curation.dedupParagraphs(
+        t(s, d, "documents").select(col("doc_id"),
+          plantedParaDoc.as("text")),
+        "doc_id", "text")),
     "text_repetition" -> ((s, d) => {
       val f = Curation.repetitionFeatures(col("text"))
       t(s, d, "documents").select(col("doc_id"),
@@ -1879,6 +1888,62 @@ object SparkEntry {
     "FROM ls l LEFT JOIN cnt c ON trim(l.line) = c.key)"
   }
 
+  /** Shared paragraph templates for the keep-first dedup gate: each
+    * lands on ~1/3 of docs, so each has exactly one global survivor.
+    * Shared between the Spark plant and the DuckDB oracle. */
+  private val sharedParas = Seq(
+    "All rights reserved by the original author.",
+    "This article was originally published elsewhere.",
+    "Thank you for reading and sharing this post.")
+
+  /** Planted multi-paragraph doc for [[graft.ops.Curation.dedupParagraphs]]:
+    * a shared template (whitespace-padded on every 5th doc — trim must
+    * unify padded and bare variants within one template class), an
+    * empty paragraph (never matched, always kept), a unique body
+    * paragraph, and for even ids a padded same-doc REPEAT of that body
+    * (removed: its first occurrence is earlier in the same doc). */
+  private def plantedParaDoc: Column = {
+    val sp = element_at(array(sharedParas.map(lit): _*),
+      (col("doc_id") % sharedParas.length).cast("int") + 1)
+    val body = concat(lit("para "),
+      ((col("doc_id") * 2654435761L) % 1000000007L).cast("string"))
+    concat_ws("\n\n",
+      when(col("doc_id") % 5 === 0, concat(lit("  "), sp, lit("  ")))
+        .otherwise(sp),
+      lit(""),
+      body,
+      when(col("doc_id") % 2 === 0, concat(lit(" "), body, lit(" ")))
+        .otherwise(concat(lit("solo "), col("doc_id").cast("string"))))
+  }
+
+  /** WITH-clause body replaying plant + paragraph split + global
+    * keep-first marking in DuckDB, generated from the SAME template
+    * table as [[plantedParaDoc]]. The keep rule is the window form of
+    * the Spark side's min-(doc,pos) aggregate: row_number over the
+    * trimmed paragraph ordered by (doc_id, pos). */
+  private def paraOracleCtes: String = {
+    val k = sharedParas.length
+    val sps = sharedParas.map(p => "'" + p.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"pp0 AS (SELECT doc_id, ($sps)[CAST(doc_id % $k AS INT) + 1] AS sp " +
+    "FROM documents), " +
+    "pp1 AS (SELECT doc_id, concat_ws(chr(10)||chr(10), " +
+    "CASE WHEN doc_id % 5 = 0 THEN '  ' || sp || '  ' ELSE sp END, " +
+    "'', " +
+    "'para ' || CAST((doc_id * 2654435761) % 1000000007 AS VARCHAR), " +
+    "CASE WHEN doc_id % 2 = 0 THEN ' para ' || " +
+    "CAST((doc_id * 2654435761) % 1000000007 AS VARCHAR) || ' ' " +
+    "ELSE 'solo ' || CAST(doc_id AS VARCHAR) END" +
+    ") AS txt FROM pp0), " +
+    "pps AS (SELECT doc_id, " +
+    "unnest(string_split(txt, chr(10)||chr(10))) AS para, " +
+    "unnest(range(1, len(string_split(txt, chr(10)||chr(10))) + 1)) AS pos " +
+    "FROM pp1), " +
+    "pmk AS (SELECT doc_id, para, pos, (trim(para) = '' OR " +
+    "row_number() OVER (PARTITION BY trim(para) ORDER BY doc_id, pos) = 1" +
+    ") AS keep FROM pps)"
+  }
+
   /** WITH-clause body replaying plant + normalize + host + domain in
     * DuckDB, generated from the SAME tables the Spark chain uses
     * (Curation.TrackingParams / MultiLabelSuffixes / urlTemplates). */
@@ -2131,6 +2196,13 @@ object SparkEntry {
         "AS clean_text, count(*) AS n_lines, " +
         "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed " +
         "FROM mk GROUP BY doc_id"),
+    "paragraph_dedup" ->
+      (s"WITH $paraOracleCtes SELECT doc_id, " +
+        "coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) " +
+        "FILTER (WHERE keep), '') AS clean_text, " +
+        "count(*) AS n_paragraphs, " +
+        "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed " +
+        "FROM pmk GROUP BY doc_id"),
     "text_repetition" -> ("WITH s AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS toks FROM documents) " +
       "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +

@@ -266,6 +266,54 @@ object Curation {
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Corpus-wide exact paragraph dedup with KEEP-FIRST semantics
+    * (Dolma-style): a paragraph (split on a blank line, matched on its
+    * TRIMMED form) survives only at its globally first occurrence —
+    * smallest (doc, position) — and is stripped everywhere else,
+    * including later repeats inside the same document. Empty
+    * paragraphs (consecutive separators) are never matched and never
+    * removed, so surviving structure reassembles faithfully. Returns
+    * (idCol, clean_text, n_paragraphs, n_removed) for every input doc.
+    *
+    * This is the complement of [[removeBoilerplate]]: boilerplate
+    * removal strips a high-frequency line from EVERY doc; paragraph
+    * dedup keeps exactly ONE copy of every repeated span, the standard
+    * pre-training pass between exact doc-level dedup (misses partial
+    * overlap) and shingle LSH (pays signature cost).
+    *
+    * Scale shape: the first-occurrence table groups 8-byte xxhash64
+    * keys to a min (doc, pos) struct — map-side-combined, strings never
+    * shuffle — and the mark join lands on the SAME key the aggregate
+    * just partitioned by, so Catalyst reuses the exchange (one
+    * effective shuffle on k, one on idCol for reconstruction). The
+    * first-occurrence side is every distinct paragraph in the corpus —
+    * unbounded at web scale — so it rides [[Dedup.corpusJoinSide]]:
+    * never broadcast above the honest-size budget, merge join pinned.
+    * Hash-matching trade as [[removeBoilerplate]]: ~2^-64 collision
+    * odds against shipping full paragraph text through the shuffle. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val corpusSide = Dedup.corpusJoinSide(df)
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n\n")).as(Seq("pos", "para")))
+    val first = paras.filter(trim(col("para")) =!= "")
+      .select(xxhash64(trim(col("para"))).as("k"),
+        struct(col(idCol).as("id"), col("pos").as("pos")).as("o"))
+      .groupBy("k").agg(min(col("o")).as("__first"))
+    paras.withColumn("k", xxhash64(trim(col("para"))))
+      .join(corpusSide(first), Seq("k"), "left_outer")
+      .withColumn("__keep", trim(col("para")) === "" ||
+        (col("__first").getField("id") === col(idCol) &&
+          col("__first").getField("pos") === col("pos")))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("pos"), col("para"))))),
+          x => x.getField("para")), "\n\n").as("clean_text"),
+        count(lit(1)).as("n_paragraphs"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Deterministic REPRODUCIBLE sampling: keep a row iff the md5 of
     * (salt || id) lands below `fraction` of the 24-bit prefix space.
     * Unlike `df.sample`, the decision is a pure function of the id and

@@ -246,6 +246,37 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.corpusBroadcastMaxBytes")
   }
 
+  test("dedupParagraphs keeps the globally first occurrence only") {
+    // "dup" first occurs in doc 1 pos 0 -> kept there, stripped from
+    // docs 2 and 3; doc 2 repeats its own body -> second copy removed;
+    // empty paragraph (doc 3) kept; whitespace variants unify.
+    val docs = Seq(
+      (1L, "dup\n\nbody one"),
+      (2L, "  dup  \n\nbody two\n\nbody two"),
+      (3L, "dup\n\n\n\nbody three"),
+      (4L, "only unique")).toDF("id", "text")
+    val out = Curation.dedupParagraphs(docs, "id", "text")
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "dup\n\nbody one", 2L, 0L),
+      (2L, "body two", 3L, 2L),
+      (3L, "\n\nbody three", 3L, 1L),
+      (4L, "only unique", 1L, 0L)))
+  }
+
+  test("dedupParagraphs ties break to the smallest (doc, pos)") {
+    // same paragraph at different positions across docs: survivor is
+    // doc 1 (smaller id) even though doc 2 has it at pos 0
+    val docs = Seq(
+      (1L, "lead\n\nshared"),
+      (2L, "shared\n\ntail")).toDF("id", "text")
+    val out = Curation.dedupParagraphs(docs, "id", "text")
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "lead\n\nshared", 2L, 0L),
+      (2L, "tail", 2L, 1L)))
+  }
+
   test("removeBoilerplate counts docs, not occurrences") {
     // one doc repeating a line 10 times must not make it boilerplate
     val docs = (Seq((1L, Seq.fill(10)("spam").mkString("\n"))) ++
