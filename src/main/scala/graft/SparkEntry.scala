@@ -1157,6 +1157,15 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"),
           plantedBoilerDoc.as("text")),
         "doc_id", "text", minDocs = 5)),
+    // Canonical text cleanup over planted dirty text: decomposed
+    // e+U+0301 (NFC must compose), BEL on even ids (stripped), CRLF on
+    // every 3rd (-> LF), ZWSP on every 5th (stripped). DuckDB replays
+    // the plant via chr() and the SAME regex constants, then its own
+    // nfc_normalize.
+    "text_clean" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Curation.cleanText(plantedDirtyDoc).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")))),
     // Keep-first exact paragraph dedup over a planted fixture: 3
     // shared templates (each on ~1/3 of docs, one survivor each), a
     // blank paragraph (kept), a unique body (kept), and for even ids a
@@ -1888,6 +1897,37 @@ object SparkEntry {
     "FROM ls l LEFT JOIN cnt c ON trim(l.line) = c.key)"
   }
 
+  /** Planted dirty text for the [[graft.ops.Curation.cleanText]] gate:
+    * decomposed accent (e + combining acute U+0301), a BEL control on
+    * even ids, CRLF vs LF line endings by id % 3, and a zero-width
+    * space on every 5th id. Each rule of cleanText has ids where it
+    * fires and ids where it must not. */
+  private def plantedDirtyDoc: Column =
+    concat(
+      lit("caf"), lit("e\u0301"), lit(" menu"),
+      when(col("doc_id") % 2 === 0, lit("\u0007")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("\r\n")).otherwise(lit("\n")),
+      lit("line two"),
+      when(col("doc_id") % 5 === 0, concat(lit("\u200B"), lit("tail")))
+        .otherwise(lit(" tail")))
+
+  /** WITH-clause body replaying the dirty plant in DuckDB via chr()
+    * codes, then the cleanup with the SAME regex constants
+    * ([[graft.ops.Curation.ControlRe]] / ZeroWidthRe are RE2-safe
+    * ASCII escapes; the CRLF rule is chr-built to avoid raw control
+    * bytes in SQL) and DuckDB's own nfc_normalize. */
+  private def cleanOracleCtes: String =
+    "tc0 AS (SELECT doc_id, 'cafe' || chr(769) || ' menu' || " +
+    "CASE WHEN doc_id % 2 = 0 THEN chr(7) ELSE '' END || " +
+    "CASE WHEN doc_id % 3 = 0 THEN chr(13)||chr(10) ELSE chr(10) END || " +
+    "'line two' || " +
+    "CASE WHEN doc_id % 5 = 0 THEN chr(8203)||'tail' ELSE ' tail' END " +
+    "AS txt FROM documents), " +
+    "tc1 AS (SELECT doc_id, nfc_normalize(regexp_replace(regexp_replace(" +
+    "regexp_replace(txt, chr(13)||chr(10)||'?', chr(10), 'g'), " +
+    s"'${Curation.ControlRe}', '', 'g'), " +
+    s"'${Curation.ZeroWidthRe}', '', 'g')) AS clean_text FROM tc0)"
+
   /** Shared paragraph templates for the keep-first dedup gate: each
     * lands on ~1/3 of docs, so each has exactly one global survivor.
     * Shared between the Spark plant and the DuckDB oracle. */
@@ -2196,6 +2236,9 @@ object SparkEntry {
         "AS clean_text, count(*) AS n_lines, " +
         "CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed " +
         "FROM mk GROUP BY doc_id"),
+    "text_clean" ->
+      (s"WITH $cleanOracleCtes SELECT doc_id, clean_text, " +
+        "CAST(length(clean_text) AS INT) AS n_chars FROM tc1"),
     "paragraph_dedup" ->
       (s"WITH $paraOracleCtes SELECT doc_id, " +
         "coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) " +

@@ -120,5 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerCol("token_count",
       "token_count(text) - whitespace token count; blank -> 0", 1)(
       cs => graft.ops.TextAnalysis.tokenCount(cs.head))
+    register("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition") { args =>
+      arity("nfc_normalize", args, 1)
+      NfcNormalize(args.head)
+    }
+    registerCol("clean_text",
+      "clean_text(text) - CRLF->LF, strip C0 controls and zero-width chars, NFC", 1)(
+      cs => graft.ops.Curation.cleanText(cs.head))
   }
 }

@@ -35,6 +35,31 @@ object Curation {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Line-ending + junk-character normalization patterns, shared with
+    * the DuckDB oracle (RE2-compatible subset: \x escapes, classes,
+    * no lookaround). `ControlRe` strips C0 controls EXCEPT tab (09)
+    * and newline (0A) plus DEL (7F); CR never reaches it because
+    * `CrlfRe` runs first. `ZeroWidthRe` drops the invisible web junk
+    * (ZWSP/ZWNJ/ZWJ/BOM) that breaks tokenizers and dedup hashes. */
+  val CrlfRe = "\r\n?"
+  val ControlRe = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+  val ZeroWidthRe = """[\x{200B}-\x{200D}\x{FEFF}]"""
+
+  /** Canonical text cleanup, the stage every crawl pipeline runs
+    * before ANY hashing: CRLF/CR -> LF, strip C0 controls and
+    * zero-width characters, then Unicode NFC composition — NFC LAST,
+    * so a combining mark separated from its base by removed junk still
+    * composes. Per-row, zero shuffle, fully whole-stage-codegen'd (the
+    * NFC step is the native [[graft.functions.NfcNormalize]] kernel
+    * with an allocation-free ASCII fast path, not a UDF). */
+  def cleanText(text: Column): Column =
+    graft.functions.NfcNormalize(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, CrlfRe, "\n"),
+          ControlRe, ""),
+        ZeroWidthRe, ""))
+
   // --- URL curation -------------------------------------------------
   // Web-crawl pipelines key their caps, dedup groups and source stats
   // on the REGISTERED DOMAIN of a normalized URL (C4, RefinedWeb,

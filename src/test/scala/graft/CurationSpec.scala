@@ -246,6 +246,33 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.corpusBroadcastMaxBytes")
   }
 
+  test("cleanText: CRLF, controls, zero-width junk, NFC composition") {
+    val rows = Seq(
+      (1L, "a\r\nb"),                     // CRLF -> LF
+      (2L, "a\rb"),                        // bare CR -> LF
+      (3L, "a\u0007b\u0001c"),            // C0 controls stripped
+      (4L, "a\u200Bb\uFEFFc"),            // zero-width + BOM stripped
+      (5L, "cafe\u0301"),                  // decomposed -> composed NFC
+      (6L, "e\u200B\u0301x"),             // junk removed BEFORE NFC: composes
+      (7L, "keep\tthis\nplain"))          // tab + LF survive
+      .toDF("id", "text")
+    val out = rows.select($"id", Curation.cleanText($"text").as("c"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a\nb"), (2L, "a\nb"), (3L, "abc"), (4L, "abc"),
+      (5L, "caf\u00E9"), (6L, "\u00E9x"), (7L, "keep\tthis\nplain")))
+  }
+
+  test("NfcNormalize ASCII fast path returns the input buffer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii only")
+    assert(graft.functions.NfcNormalize.compute(ascii) eq ascii)
+    val composed = UTF8String.fromString("caf\u00E9") // already NFC
+    assert(graft.functions.NfcNormalize.compute(composed) eq composed)
+    assert(graft.functions.NfcNormalize.compute(
+      UTF8String.fromString("cafe\u0301")).toString == "caf\u00E9")
+  }
+
   test("dedupParagraphs keeps the globally first occurrence only") {
     // "dup" first occurs in doc 1 pos 0 -> kept there, stripped from
     // docs 2 and 3; doc 2 repeats its own body -> second copy removed;

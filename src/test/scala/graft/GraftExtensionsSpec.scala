@@ -117,6 +117,12 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.ops.TextAnalysis.tokenCount($"text").as("n"))
     assert(viaSql.exceptAll(viaCol).count() == 0 &&
       viaCol.exceptAll(viaSql).count() == 0)
+    // normalization scalars: SQL surface matches the Column API and
+    // the raw kernel composes a decomposed accent
+    val norm = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS a, " +
+        "clean_text('xy\r\nz') AS b").as[(String, String)].head()
+    assert(norm == ("caf\u00E9", "xy\nz"), norm.toString)
   }
 
   test("boundsOf keeps the TIGHTEST bound per dim") {
