@@ -32,14 +32,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with ns-precision ts normalized to a microsecond timestamp
-    * (Spark reads TIMESTAMP(NANOS) parquet only as long via
-    * spark.sql.legacy.parquet.nanosAsLong — set in GraftSession). */
+  /** events with ts normalized to a session-tz microsecond TIMESTAMP
+    * regardless of how the parquet stores it: TIMESTAMP(NANOS) surfaces
+    * as long (spark.sql.legacy.parquet.nanosAsLong — set in
+    * GraftSession), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
+    * TIMESTAMP_NTZ. The session tz is UTC, so the NTZ cast is
+    * value-preserving and matches DuckDB's CAST(ts AS TIMESTAMP). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts",
         timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case TimestampNTZType => raw.withColumn("ts",
+        col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -12,15 +12,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that throws must still surface in the driver's compare:
+        // write a sentinel parquet whose schema can never match any oracle,
+        // so the round's CORRECTNESS records a hard failure for this key
+        // instead of silently omitting it (the r10 regression-hiding bug).
+        failed ::= name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        import spark.implicits._
+        Seq((name, s"${e.getClass.getName}: ${e.getMessage}"))
+          .toDF("__verify_failed_query", "__verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.sorted.mkString(", "))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
