@@ -33,21 +33,11 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events with ts normalized to a session-tz microsecond TIMESTAMP
-    * regardless of how the parquet stores it: TIMESTAMP(NANOS) surfaces
-    * as long (spark.sql.legacy.parquet.nanosAsLong — set in
-    * GraftSession), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
-    * TIMESTAMP_NTZ. The session tz is UTC, so the NTZ cast is
-    * value-preserving and matches DuckDB's CAST(ts AS TIMESTAMP). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts",
-        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
-      case TimestampNTZType => raw.withColumn("ts",
-        col("ts").cast(TimestampType))
-      case _ => raw
-    }
-  }
+    * regardless of how the parquet stores it (ns-as-long or NTZ — see
+    * [[graft.streaming.EventStreams.normalizeEventTs]]; the session tz
+    * is UTC, so the result matches DuckDB's CAST(ts AS TIMESTAMP)). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.normalizeEventTs(t(s, dir, "events"))
 
   /** order-insensitive exact sum of a money-like double: decimal in,
     * double out */
@@ -908,6 +898,63 @@ object SparkEntry {
         lit(worst >= 0.99).as("cosine_preserved"))
     }),
 
+    // SemDeDup-style semantic dedup gate (k-means cells + within-cell
+    // exact cosine): every planted duplicate pair surfaces (identical
+    // vectors share a deterministic cell), every emitted pair is
+    // exact-verified above threshold, and the drop keeps exactly one
+    // min-id survivor per duplicate component
+    "semantic_dedup_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val planted = e.withColumn("vec_id", col("vec_id") + DupOff)
+      val corpus = e.unionByName(planted)
+      val pairs = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+        nClusters = 8, minCosine = 0.999)
+      val plantedPairs = e.select(col("vec_id").as("a"),
+        (col("vec_id") + DupOff).as("b"))
+      val missed = plantedPairs
+        .join(pairs.select("a", "b"), Seq("a", "b"), "left_anti").count()
+      val below = pairs.filter(col("cosine") < 0.999).count()
+      val survivors = Dedup.dropSemanticDups(corpus, "vec_id", "embedding",
+        nClusters = 8, minCosine = 0.999)
+      val nVecs = e.count()
+      s.range(1).select(
+        lit(nVecs).as("n_vecs"),
+        lit(missed).as("planted_missed"),
+        lit(below).as("below_threshold"),
+        lit(survivors.count() == nVecs).as("one_survivor_per_pair"),
+        lit(survivors.filter(col("vec_id") >= DupOff).count())
+          .as("planted_survivors"))
+    }),
+
+    // linear-probe classifier gate: sample-bounded distributed softmax
+    // trainer + narrow literal-weights inference. Pseudo-labels are the
+    // IVF centroid assignment — nearest-centroid regions are linearly
+    // separable by construction, whereas the embeddings' `label` column
+    // is noise w.r.t. the vectors (measured: held-out accuracy at
+    // chance for any linear model), so distillation is the honest
+    // learnability target on this fixture.
+    "embedding_classify_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding", 8)
+      val labeled = e.withColumn("cls",
+        Similarity.assignNarrow(col("embedding"), cents).cast("int"))
+      val train = labeled.filter(col("vec_id") % 5 =!= 0)
+      val held = labeled.filter(col("vec_id") % 5 === 0)
+      val w = graft.ops.Classify.trainSoftmax(train, "vec_id", "embedding",
+        "cls", numClasses = 8, epochs = 1000, lr = 2.0)
+      def acc(df: DataFrame): (Long, Long) = {
+        val sc = df.withColumn("pred",
+          graft.ops.Classify.predictSoftmax(col("embedding"), w))
+        (sc.filter(col("pred") === col("cls")).count(), sc.count())
+      }
+      val (trHit, trN) = acc(train)
+      val (teHit, teN) = acc(held)
+      s.range(1).select(
+        lit(trN).as("n_train"), lit(teN).as("n_test"),
+        lit(trHit.toDouble / trN >= 0.9).as("train_acc_ok"),
+        lit(teHit.toDouble / teN >= 0.65).as("test_acc_ok"))
+    }),
+
     // --- similarity search (scale extensions) ---
     "knn_brute" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1633,11 +1680,48 @@ object SparkEntry {
     "mixture_sample" -> ((s, d) =>
       Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
         Map("src0" -> 0.0, "src1" -> 0.25, "src2" -> 0.5), defaultFraction = 0.75)),
+    // balanced per-class sample via bounded per-partition heaps (no
+    // full-corpus window shuffle); deterministic md5 rank
+    "stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(t(s, d, "documents"), "lang", "doc_id", n = 25)),
+    // per-source greedy token-budget prefix; under-budget sources skip
+    // the window entirely
+    "token_budget_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .select("doc_id", "source", "n_tokens")
+      Curation.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+        budget = 1300L)
+    }),
     // one-pass long-form dataset profile (exact stats, oracle-checked)
     "data_profile" -> ((s, d) =>
       graft.ops.Profile.profile(
           t(s, d, "documents").select("doc_id", "text", "n_chars"))
         .withColumn("value", round(col("value"), 6))),
+    // incremental fragment-sketch profiling gate: per-fragment
+    // HLL + exact-decimal sketches persisted beside the array merge to
+    // exact whole-table stats (counts/min/max/sum DuckDB-recomputed)
+    // without re-reading data; the second write pass is a no-op and
+    // the HLL union's ndv lands within 5% of exact
+    "sketch_profile_gate" -> ((s, d) => {
+      val uri = ttLineitem(s, d)
+      val cols = Seq("l_quantity", "l_suppkey")
+      graft.ops.Profile.writeFragmentSketches(s, uri, cols)
+      val second = graft.ops.Profile.writeFragmentSketches(s, uri, cols)
+      val prof = graft.ops.Profile.mergedSketchProfile(s, uri)
+        .collect().map(r => r.getString(r.fieldIndex("column")) -> r).toMap
+      val q = prof("l_quantity")
+      val exactNdv = t(s, d, "lineitem")
+        .agg(countDistinct(col("l_suppkey"))).head().getLong(0)
+      val ndv = prof("l_suppkey").getAs[Long]("ndv_estimate").toDouble
+      s.range(1).select(
+        lit(q.getAs[Long]("n")).as("n_rows"),
+        lit(q.getAs[Double]("min")).as("min_qty"),
+        lit(q.getAs[Double]("max")).as("max_qty"),
+        lit(q.getAs[java.math.BigDecimal]("sum").doubleValue()).as("sum_qty"),
+        lit(second == 0).as("incremental_ok"),
+        lit(math.abs(ndv - exactNdv) / exactNdv < 0.05).as("ndv_ok"))
+    }),
 
     // --- as-of join: each click matched to the user's most recent
     //     prior purchase (union+window composition, one shuffle) ---
@@ -2316,6 +2400,18 @@ object SparkEntry {
     "det_sample" -> ("SELECT * FROM documents WHERE " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
       "AS BIGINT) < CAST(floor(0.3 * 16777216) AS BIGINT)"),
+    "stratified_sample" -> ("SELECT doc_id, text, lang, source, n_chars FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY lang ORDER BY " +
+      "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
+      "AS BIGINT), doc_id) AS rn FROM documents) WHERE rn <= 25"),
+    "token_budget_sample" -> ("WITH tk AS (SELECT doc_id, source, " +
+      "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+      "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
+      "AS BIGINT) AS h FROM documents), " +
+      "c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tk) " +
+      "SELECT doc_id, source, n_tokens FROM c WHERE cum <= 1300"),
     "det_split" -> ("SELECT doc_id, CASE " +
       "WHEN h < CAST(floor(0.8 * 16777216) AS BIGINT) THEN 'train' " +
       "WHEN h < CAST(floor(0.9 * 16777216) AS BIGINT) THEN 'val' " +
@@ -2522,6 +2618,19 @@ object SparkEntry {
       "FROM embeddings"),
     "embedding_quantize_gate" -> ("SELECT count(*) AS n_vecs, " +
       "true AS cosine_preserved FROM embeddings"),
+    "semantic_dedup_gate" -> ("SELECT count(*) AS n_vecs, " +
+      "CAST(0 AS BIGINT) AS planted_missed, " +
+      "CAST(0 AS BIGINT) AS below_threshold, " +
+      "true AS one_survivor_per_pair, " +
+      "CAST(0 AS BIGINT) AS planted_survivors FROM embeddings"),
+    "embedding_classify_gate" -> ("SELECT " +
+      "count(*) FILTER (WHERE vec_id % 5 <> 0) AS n_train, " +
+      "count(*) FILTER (WHERE vec_id % 5 = 0) AS n_test, " +
+      "true AS train_acc_ok, true AS test_acc_ok FROM embeddings"),
+    "sketch_profile_gate" -> ("SELECT count(l_quantity) AS n_rows, " +
+      "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+      "CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_qty, " +
+      "true AS incremental_ok, true AS ndv_ok FROM lineitem"),
     "minhash_recall" -> "SELECT true AS recall_ok",
     "minhash_index_gate" -> ("SELECT true AS planted_found, true AS fresh_clean, " +
       "true AS paths_agree"),

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear (softmax) classification over embedding columns — the
+  * "quality / domain / topic classifier" stage of a training-data
+  * pipeline (fastText-style linear probes over document embeddings are
+  * the standard corpus-curation classifier shape).
+  *
+  * Scale split, mirroring [[TextAnalysis.trainBpe]] and
+  * [[Similarity.trainCentroids]]:
+  *
+  *  - TRAINING state is sample-bounded, not corpus-bounded: one
+  *    distributed pass takes a deterministic hash-ordered sample
+  *    (`TakeOrderedAndProject` — per-partition top-n, no global sort),
+  *    and the gradient-descent epochs run driver-side over that sample
+  *    (labeled training sets for curation classifiers are small by
+  *    nature; the cut is logged when the corpus exceeds it — the "no
+  *    silent caps" rule).
+  *  - INFERENCE is corpus-scale and NARROW: the trained weights embed
+  *    as literals in a per-row codegen'd expression (dot products +
+  *    argmax over a literal struct array) — zero shuffle, zero UDF, so
+  *    scoring 100 TB is one pass that pipelines into whatever filter
+  *    consumes the label.
+  */
+object Classify {
+
+  /** Train multinomial logistic regression (softmax + L2) by
+    * full-batch gradient descent. Returns one weight row per class:
+    * `dim` coefficients then the bias, i.e. `weights(c) = w_c :+ b_c`.
+    *
+    * Deterministic end-to-end: the sample is hash-of-id ordered (ties
+    * by id are impossible — ids are unique by contract), zero-init
+    * weights, fixed epoch count, driver-side summation in sample
+    * order. */
+  def trainSoftmax(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, numClasses: Int, sampleSize: Int = 100000,
+      epochs: Int = 200, lr: Double = 0.5, l2: Double = 1e-4): Seq[Seq[Double]] = {
+    val taken = df
+      .select(col(labelCol).cast("int").as("__y"),
+        transform(col(vecCol), v => v.cast("double")).as("__x"),
+        col(idCol).as("__id"))
+      .orderBy(xxhash64(col("__id"))).limit(sampleSize)
+      .select(col("__y"), col("__x")).collect()
+    if (taken.length == sampleSize) {
+      val total = df.count()
+      if (total > sampleSize)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"trainSoftmax: sampleSize=$sampleSize cut dropped ${total - sampleSize} " +
+            f"of $total labeled rows (${(total - sampleSize).toDouble / total * 100}%.2f%%)")
+    }
+    val xs = taken.map(r => r.getSeq[Double](1).toArray)
+    val ys = taken.map(_.getInt(0))
+    val n = xs.length
+    require(n > 0, "trainSoftmax: empty training sample")
+    val dim = xs(0).length
+    val w = Array.fill(numClasses, dim + 1)(0.0)
+    val scores = new Array[Double](numClasses)
+    val grad = Array.fill(numClasses, dim + 1)(0.0)
+    var epoch = 0
+    while (epoch < epochs) {
+      var c = 0
+      while (c < numClasses) { java.util.Arrays.fill(grad(c), 0.0); c += 1 }
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        var mx = Double.NegativeInfinity
+        c = 0
+        while (c < numClasses) {
+          var s = w(c)(dim)
+          var j = 0
+          while (j < dim) { s += w(c)(j) * x(j); j += 1 }
+          scores(c) = s; if (s > mx) mx = s
+          c += 1
+        }
+        var z = 0.0
+        c = 0
+        while (c < numClasses) { scores(c) = math.exp(scores(c) - mx); z += scores(c); c += 1 }
+        c = 0
+        while (c < numClasses) {
+          val err = scores(c) / z - (if (ys(i) == c) 1.0 else 0.0)
+          val g = grad(c)
+          var j = 0
+          while (j < dim) { g(j) += err * x(j); j += 1 }
+          g(dim) += err
+          c += 1
+        }
+        i += 1
+      }
+      c = 0
+      while (c < numClasses) {
+        var j = 0
+        while (j <= dim) {
+          val reg = if (j < dim) l2 * w(c)(j) else 0.0 // bias unregularized
+          w(c)(j) -= lr * (grad(c)(j) / n + reg)
+          j += 1
+        }
+        c += 1
+      }
+      epoch += 1
+    }
+    w.map(_.toSeq).toSeq
+  }
+
+  /** Per-class raw scores `dot(vec, w_c) + b_c` as a literal-backed
+    * struct array whose ascending sort order is best-class-first
+    * (max score, tie -> min class id) — same negated-struct idiom as
+    * the IVF centroid argmin. */
+  private def classScores(vec: Column, weights: Seq[Seq[Double]]): Column =
+    array(weights.zipWithIndex.map { case (wRow, c) =>
+      val (coef, bias) = (wRow.init, wRow.last)
+      struct(
+        negate(Similarity.dot(vec, array(coef.map(lit): _*)) + lit(bias)).as("ns"),
+        lit(c).as("cls"))
+    }: _*)
+
+  /** Predicted class id — narrow codegen'd expression, corpus-scale. */
+  def predictSoftmax(vec: Column, weights: Seq[Seq[Double]]): Column =
+    array_min(classScores(vec, weights)).getField("cls")
+
+  /** Softmax probability of the predicted (best) class — a calibrated
+    * keep/drop knob for curation filters ("keep docs the classifier is
+    * >0.9 sure about"). Same literal scores, still narrow. */
+  def predictConfidence(vec: Column, weights: Seq[Seq[Double]]): Column = {
+    val s = classScores(vec, weights)
+    val best = negate(array_min(s).getField("ns"))
+    val z = aggregate(s, lit(0.0d),
+      (acc, e) => acc + exp(negate(e.getField("ns")) - best))
+    round(lit(1.0) / z, 6)
+  }
+}

@@ -417,4 +417,67 @@ object Curation {
         md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")), 1, 6),
       16, 10).cast("long") < threshold)
   }
+
+  /** The md5-24-bit sampling hash shared by the deterministic sampling
+    * family — exposed so rank-based samplers use the SAME recomputable
+    * ordering contract as the membership-based ones. */
+  def samplingHash(idCol: Column, salt: String = "graft"): Column =
+    conv(substring(md5(concat(lit(salt), idCol.cast("string")).cast("binary")), 1, 6),
+      16, 10).cast("long")
+
+  /** Balanced per-class sample: the `n` rows with the LOWEST sampling
+    * hash in each class — the "give me 10k docs per language/domain for
+    * a balanced eval/fine-tune set" op, deterministic under the usual
+    * contract (pure function of id and salt, any-engine recomputable).
+    *
+    * Unlike [[capPerKey]] (a per-key window: every row crosses the
+    * key shuffle and sorts), the selection runs on bounded
+    * per-partition heaps ([[Similarity.topKPerKey]]): each partition
+    * contributes at most `n` (id, hash) rows per class, so the only
+    * corpus-scale shuffle is the final broadcast semi-join of the
+    * picked ids. Class count is small by contract (languages, sources
+    * — the broadcast is |classes| * n ids); a high-cardinality class
+    * column belongs in [[capPerKey]] instead. */
+  def stratifiedSample(df: DataFrame, classCol: String, idCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    // topKPerKey keeps the HIGHEST score first: negate the hash so
+    // "lowest hash" wins; ties (24-bit collisions) break on id asc,
+    // matching ORDER BY hash, id in any replaying engine
+    val picked = graft.ops.Similarity.topKPerKey(
+      df.select(col(classCol).as("__cls"), col(idCol).as("__id"),
+        negate(samplingHash(col(idCol), salt)).cast("double").as("__s")),
+      "__cls", "__id", "__s", n)
+      .select(col("__id").as(idCol))
+    df.join(broadcast(picked), Seq(idCol), "left_semi")
+  }
+
+  /** Token-budget corpus selection: per source, keep the greedy
+    * hash-ordered prefix of rows whose cumulative `tokensCol` stays
+    * within `budget` — "give me ~N tokens per source" for mixture
+    * construction, deterministic and any-engine replayable (a window
+    * cumsum over ORDER BY hash, id).
+    *
+    * Scale shape: sources whose TOTAL already fits the budget bypass
+    * the window entirely (one tiny per-source aggregate decides — no
+    * sort, no shuffle beyond the aggregate), so the per-source
+    * sort-window is paid only by the sources actually being cut. With
+    * few giant sources that remaining sort is the honest cost of an
+    * exact greedy prefix; an approximate variant would estimate a
+    * hash threshold from a token histogram instead. */
+  def tokenBudgetSample(df: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: String, budget: Long, salt: String = "graft"): DataFrame = {
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("__tot"))
+      .filter(col("__tot") > budget)
+      .select(col(sourceCol))
+    val under = df.join(broadcast(totals), Seq(sourceCol), "left_anti")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(samplingHash(col(idCol), salt), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val capped = df.join(broadcast(totals), Seq(sourceCol), "left_semi")
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+    under.unionByName(capped).select(df.columns.map(col): _*)
+  }
 }

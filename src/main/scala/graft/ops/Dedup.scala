@@ -528,4 +528,51 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus with
+    * the IVF coarse quantizer (sample-trained k-means — one corpus
+    * pass), then compare only WITHIN each cluster cell, verified by
+    * exact cosine. Published as "SemDeDup" (Abbas et al., 2023,
+    * arXiv:2303.09540): semantic duplicates concentrate inside k-means
+    * cells, so within-cell comparison finds them at ~1/nClusters of
+    * all-pairs cost.
+    *
+    * vs [[embeddingNearDups]] (hyperplane LSH): LSH targets HIGH
+    * cosine (near-identical vectors, bit-equal sketches); the
+    * clustered path stays effective at moderate thresholds (~0.9)
+    * where sign-sketch collision probability collapses. Both ride the
+    * same streamed capped-bucket machinery — cells are buckets of the
+    * one (band=0, cell) shuffle, `maxCell` bounds the quadratic
+    * within-cell work, and identical vectors always share a cell
+    * (deterministic argmin), so exact-duplicate recall is structural.
+    * Cells larger than `maxCell` are dropped with the same rationale
+    * as every other cap here: a >maxCell near-identical clique is
+    * exact-dedup's job first. */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, minCosine: Double = 0.9,
+      maxCell: Int = 4096): DataFrame = {
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nClusters)
+    val banded = df.select(col(idCol).as("__id"), lit(0).as("__band"),
+      Similarity.assignNarrow(col(vecCol), cents).as("__bucket"))
+    val cands = bucketedPairs(banded, maxCell)
+    val corpusSide = corpusJoinSide(df)
+    val vecs = df.select(col(idCol), col(vecCol))
+    val va = corpusSide(vecs.select(col(idCol).as("a"), col(vecCol).as("__vA")))
+    val vb = corpusSide(vecs.select(col(idCol).as("b"), col(vecCol).as("__vB")))
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("cosine", Similarity.cosine(col("__vA"), col("__vB")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Drop semantic near-dups: cluster the pair graph, keep each
+    * component's smallest id (consistent with [[dropNearDups]]). */
+  def dropSemanticDups(df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, minCosine: Double = 0.9,
+      maxCell: Int = 4096): DataFrame = {
+    val pairs = semanticNearDups(df, idCol, vecCol, nClusters, minCosine, maxCell)
+    val losers = dupClusters(pairs).filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -62,4 +62,81 @@ object Profile {
     wide.select(explode(array(pairs.toSeq: _*)).as("p"))
       .select(col("p.column"), col("p.stat"), col("p.value"))
   }
+
+  // ---------------------------------------- incremental fragment sketches
+
+  /** Incremental, MERGEABLE profiling of an array-table: each fragment
+    * gets a persisted sketch row-set (counts, null counts, exact
+    * decimal sums, min/max, and an HLL distinct-count sketch —
+    * DataSketches binary via `hll_sketch_agg`), written once beside
+    * the array under `__profile/`. A merged profile then reads ONLY
+    * the tiny sketch files: exact stats merge exactly (sums add,
+    * min/min, max/max) and distinct counts merge through
+    * `hll_union_agg` — the sketch property that makes profiling a
+    * 100 TB table incremental: new data costs one pass over the NEW
+    * fragment, and re-profiling costs zero data reads. (The exact
+    * one-pass [[profile]] stays the small-table / oracle-checkable
+    * form; `countDistinct` and `percentile` do not merge.) */
+  def writeFragmentSketches(spark: org.apache.spark.sql.SparkSession,
+      uri: String, cols: Seq[String], lgConfigK: Int = 12): Int = {
+    import graft.storage.ArrayTable
+    val fs = graft.storage.VFS(spark)
+    val done = if (fs.exists(s"$uri/__profile"))
+      fs.ls(s"$uri/__profile").map(p => p.substring(p.lastIndexOf('/') + 1))
+        .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
+    else Set.empty[String]
+    val todo = ArrayTable.fragments(spark, uri).filterNot(f => done(f.name))
+    todo.foreach { f =>
+      val df = spark.read.parquet(s"${f.path}/data")
+      val aggs = cols.flatMap { name =>
+        val c = col(name)
+        val numeric = df.schema(name).dataType.isInstanceOf[NumericType]
+        Seq(
+          count(c).as(s"${name}__n"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+          hll_sketch_agg(when(c.isNull, null)
+            .otherwise(c.cast("string")), lit(lgConfigK)).as(s"${name}__hll"),
+          (if (numeric) min(c).cast("double") else lit(null).cast("double"))
+            .as(s"${name}__min"),
+          (if (numeric) max(c).cast("double") else lit(null).cast("double"))
+            .as(s"${name}__max"),
+          // decimal sum: exact and ORDER-INDEPENDENT, so merged sums
+          // are reproducible however fragments and partitions split
+          (if (numeric) sum(c.cast(org.apache.spark.sql.types.DecimalType(32, 6)))
+           else lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .as(s"${name}__sum"))
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val long = cols.map { name =>
+        struct(lit(name).as("column"), col(s"`${name}__n`").as("n"),
+          col(s"`${name}__nulls`").as("nulls"), col(s"`${name}__hll`").as("hll"),
+          col(s"`${name}__min`").as("min"), col(s"`${name}__max`").as("max"),
+          col(s"`${name}__sum`").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("sum"))
+      }
+      wide.select(explode(array(long: _*)).as("s"))
+        .select(lit(f.name).as("fragment"), col("s.*"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$uri/__profile/${f.name}.parquet")
+    }
+    todo.size
+  }
+
+  /** Merge the per-fragment sketches of the LIVE fragment set into one
+    * profile row per column: exact n/nulls/min/max/sum plus the HLL
+    * union's distinct estimate. Reads sketch files only — no data. */
+  def mergedSketchProfile(spark: org.apache.spark.sql.SparkSession,
+      uri: String): DataFrame = {
+    import graft.storage.ArrayTable
+    val live = ArrayTable.fragments(spark, uri).map(_.name)
+    val sketches = spark.read.parquet(
+      live.map(n => s"$uri/__profile/$n.parquet"): _*)
+    sketches.groupBy("column").agg(
+      sum("n").as("n"),
+      sum("nulls").as("nulls"),
+      min("min").as("min"),
+      max("max").as("max"),
+      sum("sum").as("sum"),
+      round(hll_sketch_estimate(hll_union_agg(col("hll"), lit(true))), 0)
+        .cast("long").as("ndv_estimate"))
+  }
 }

@@ -16,6 +16,22 @@ object EventStreams {
   def readEvents(spark: SparkSession, schema: StructType, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Normalize however the parquet stores event time to a session-tz
+    * microsecond TIMESTAMP `ts`: TIMESTAMP(NANOS) surfaces as long
+    * (spark.sql.legacy.parquet.nanosAsLong — set in GraftSession),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) as TIMESTAMP_NTZ — the
+    * latter is rejected by `withWatermark`, so every streaming (and
+    * batch-equivalent) consumer normalizes here. The session tz is
+    * UTC, so the NTZ cast is value-preserving. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw.withColumn("ts",
+        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+
   /** Continuous ingestion FROM an array-table: each new fragment's
     * parquet lands in the stream (file-source over the fragment glob).
     * Writers keep full MVCC semantics; the stream sees append-only

@@ -313,4 +313,38 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().head
     assert(out._3 == 10L && out._4 == 0L, s"spam doc kept intact: $out")
   }
+
+  test("stratifiedSample: n per class, lowest-hash-first, matches capPerKey") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Curation.stratifiedSample(docs, "lang", "doc_id", n = 10)
+    // exactly 10 per class (every lang has >= 10 docs in the fixture)
+    val perClass = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perClass.values.forall(_ == 10L), s"per-class counts $perClass")
+    // the heap path must pick the SAME rows as the window formulation
+    val windowed = Curation.capPerKey(docs, col("lang"),
+      Curation.samplingHash(col("doc_id")), 10)
+    assert(got.select("doc_id").exceptAll(windowed.select("doc_id")).count() == 0)
+    assert(windowed.select("doc_id").exceptAll(got.select("doc_id")).count() == 0)
+  }
+
+  test("tokenBudgetSample: greedy prefix per source, under-budget sources intact") {
+    val rows = Seq(
+      // source A: totals 90 <= budget 100 -> all kept
+      (1L, "A", 30L), (2L, "A", 30L), (3L, "A", 30L),
+      // source B: 4 docs of 40 -> greedy prefix keeps 2 (80 <= 100)
+      (10L, "B", 40L), (11L, "B", 40L), (12L, "B", 40L), (13L, "B", 40L))
+    val df = rows.toDF("doc_id", "source", "n_tokens")
+    val got = Curation.tokenBudgetSample(df, "source", "doc_id", "n_tokens", 100L)
+    assert(got.filter($"source" === "A").count() == 3)
+    val b = got.filter($"source" === "B")
+    assert(b.count() == 2)
+    // kept B rows are the two lowest by (hash, id) — replay the order
+    val expect = df.filter($"source" === "B")
+      .withColumn("h", Curation.samplingHash($"doc_id"))
+      .orderBy($"h", $"doc_id").limit(2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(b.select("doc_id").as[Long].collect().toSet == expect)
+    // budget is a cumulative cap, not a per-row filter
+    assert(got.agg(sum($"n_tokens")).head().getLong(0) == 90L + 80L)
+  }
 }

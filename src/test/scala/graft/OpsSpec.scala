@@ -485,4 +485,37 @@ class OpsSpec extends SparkSpec {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("semantic near-dups: planted duplicates found within cells, exact-cosine verified") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planted = e.withColumn("vec_id", $"vec_id" + 100000L)
+    val corpus = e.unionByName(planted)
+    val pairs = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+      nClusters = 8, minCosine = 0.999)
+    val found = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    val nVecs = e.count()
+    // identical vectors share a deterministic cell -> every planted pair surfaces
+    val missed = (0L until nVecs).count(i => !found.contains((i, i + 100000L)))
+    assert(missed == 0, s"$missed planted pairs missed")
+    // every emitted pair really is above threshold (exact verify built in)
+    assert(pairs.filter($"cosine" < 0.999).count() == 0)
+    // drop keeps one survivor per duplicate component
+    val survivors = Dedup.dropSemanticDups(corpus, "vec_id", "embedding",
+      nClusters = 8, minCosine = 0.999)
+    assert(survivors.count() == nVecs)
+    assert(survivors.filter($"vec_id" >= 100000L).count() == 0, "min-id survivor rule")
+  }
+
+  test("semantic near-dups: cell cap drops oversized cells, not the rest") {
+    // 40 identical vectors (one degenerate cell) + 2 distinct near-pairs
+    val deg = (0 until 40).map(i => (i.toLong, Array.fill(8)(1.0f)))
+    val pair = Seq((100L, Array.tabulate(8)(j => (j + 1).toFloat)),
+      (101L, Array.tabulate(8)(j => (j + 1).toFloat)))
+    val df = (deg ++ pair).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDups(df, "vec_id", "embedding",
+      nClusters = 4, minCosine = 0.999, maxCell = 10)
+    val found = pairs.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(found.contains((100L, 101L)), "small-cell pair survives the cap")
+    assert(!found.exists(p => p._1 < 40 && p._2 < 40), "capped cell emits no pairs")
+  }
 }

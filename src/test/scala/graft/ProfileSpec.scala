@@ -5,6 +5,50 @@ import org.apache.spark.sql.functions._
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
+  import graft.storage.ArrayTable
+
+  test("fragment sketches: incremental writes, exact merges, HLL ndv in bounds") {
+    val uri = TestSession.tmpDir("profile-sketch")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_suppkey")
+    val lo = li.filter($"l_orderkey" % 2 === 0)
+    val hi = li.filter($"l_orderkey" % 2 =!= 0)
+    ArrayTable.ingest(spark, lo, uri, Seq("l_orderkey", "l_linenumber"),
+      tsOpt = Some(1000L), overwrite = true, allowsDuplicates = true)
+    ArrayTable.ingest(spark, hi, uri, Seq("l_orderkey", "l_linenumber"),
+      tsOpt = Some(2000L), allowsDuplicates = true)
+    val cols = Seq("l_quantity", "l_suppkey")
+    // first pass sketches both fragments; second is a no-op (incremental)
+    assert(graft.ops.Profile.writeFragmentSketches(spark, uri, cols) == 2)
+    assert(graft.ops.Profile.writeFragmentSketches(spark, uri, cols) == 0)
+    val prof = graft.ops.Profile.mergedSketchProfile(spark, uri)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = li.agg(
+      count($"l_quantity"), min($"l_quantity"), max($"l_quantity"),
+      sum($"l_quantity".cast("decimal(32,6)")),
+      countDistinct($"l_suppkey")).collect()(0)
+    val q = prof("l_quantity")
+    assert(q.getAs[Long]("n") == exact.getLong(0))
+    assert(q.getAs[Double]("min") == exact.getDouble(1))
+    assert(q.getAs[Double]("max") == exact.getDouble(2))
+    assert(q.getAs[java.math.BigDecimal]("sum").compareTo(
+      exact.getAs[java.math.BigDecimal](3)) == 0, "merged decimal sum is exact")
+    // HLL estimate within 5% of exact distinct (lgConfigK=12 rsd ~1.6%)
+    val ndv = prof("l_suppkey").getAs[Long]("ndv_estimate").toDouble
+    val ed = exact.getLong(4).toDouble
+    assert(math.abs(ndv - ed) / ed < 0.05, s"ndv $ndv vs exact $ed")
+    // a third fragment sketches incrementally and shifts the merge
+    val extra = Seq((9999999L, 1, 99.0, 42L))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_suppkey")
+      .select(li.columns.map(col): _*)
+    ArrayTable.ingest(spark, extra, uri, Seq("l_orderkey", "l_linenumber"),
+      tsOpt = Some(3000L), allowsDuplicates = true)
+    assert(graft.ops.Profile.writeFragmentSketches(spark, uri, cols) == 1)
+    val q2 = graft.ops.Profile.mergedSketchProfile(spark, uri)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(q2("l_quantity").getAs[Long]("n") == exact.getLong(0) + 1)
+    assert(q2("l_quantity").getAs[Double]("max") == 99.0)
+  }
 
   test("profile: one-pass long-form stats, numeric and string columns") {
     val df = Seq(

@@ -8,13 +8,10 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("streaming windowed agg matches the batch equivalent") {
-    // stage a small parquet dir from sf0.001 events (ns ts normalized)
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val ev = (raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts",
-        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
-      case _ => raw
-    }).select("ts", "event_type", "value")
+    // stage a small parquet dir from sf0.001 events (ts normalized)
+    val ev = EventStreams.normalizeEventTs(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .select("ts", "event_type", "value")
     val dir = TestSession.tmpDir("stream-src")
     ev.write.mode("overwrite").parquet(dir)
 
@@ -38,12 +35,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming dedup: planted duplicates collapse across micro-batches") {
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val ev = (raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts",
-        timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
-      case _ => raw
-    }).select("event_id", "ts", "user_id", "event_type", "value")
+    val ev = EventStreams.normalizeEventTs(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
     // double the stream: every event appears twice, in DIFFERENT files
     // so duplicates cross micro-batch boundaries (state must carry)
     val dir = TestSession.tmpDir("stream-dedup-src")
