@@ -907,23 +907,28 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val planted = e.withColumn("vec_id", col("vec_id") + DupOff)
       val corpus = e.unionByName(planted)
+      // ONE pairs pass feeds all checks (dropSemanticDups would
+      // recompute the quantizer and the within-cell pairs; its
+      // anti-join semantics are replicated on the loser set — the op
+      // itself is spec-tested directly)
       val pairs = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
-        nClusters = 8, minCosine = 0.999)
+        nClusters = 8, minCosine = 0.999).localCheckpoint(true)
       val plantedPairs = e.select(col("vec_id").as("a"),
         (col("vec_id") + DupOff).as("b"))
       val missed = plantedPairs
         .join(pairs.select("a", "b"), Seq("a", "b"), "left_anti").count()
       val below = pairs.filter(col("cosine") < 0.999).count()
-      val survivors = Dedup.dropSemanticDups(corpus, "vec_id", "embedding",
-        nClusters = 8, minCosine = 0.999)
+      val losers = Dedup.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster"))
       val nVecs = e.count()
+      val nSurv = 2 * nVecs - losers.count()
+      val plantedLost = losers.filter(col("id") >= DupOff).count()
       s.range(1).select(
         lit(nVecs).as("n_vecs"),
         lit(missed).as("planted_missed"),
         lit(below).as("below_threshold"),
-        lit(survivors.count() == nVecs).as("one_survivor_per_pair"),
-        lit(survivors.filter(col("vec_id") >= DupOff).count())
-          .as("planted_survivors"))
+        lit(nSurv == nVecs).as("one_survivor_per_pair"),
+        lit(nVecs - plantedLost).as("planted_survivors"))
     }),
 
     // linear-probe classifier gate: sample-bounded distributed softmax

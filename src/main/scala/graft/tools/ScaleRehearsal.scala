@@ -232,6 +232,92 @@ object ScaleRehearsal {
       println(s"[rehearsal] post-truncate=$nCur, time-travel(pre)=$nTT")
     }
 
+    // ---- round-11 ops: semantic dedup, classifier, sketch profile,
+    //      budgeted sampling ------------------------------------------
+    // embeddings synthesis mirrors the docs trick: copy c>0 gets a
+    // per-copy index rotation + sign flips, so cross-copy cosine ~0
+    // (no planted m-way cliques); 1% planted exact duplicates per copy
+    // exercise pair emission at every scale.
+    lazy val embX: DataFrame = {
+      val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val dim = 64
+      val copies = (0 until mult).map { c =>
+        val shifted = e0.withColumn("vec_id", col("vec_id") + lit(c.toLong << 24))
+        if (c == 0) shifted
+        else shifted.withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            element_at(col("embedding"), pmod(j + lit(c), lit(dim)) + 1) *
+              (lit(1) - lit(2) * pmod(j * lit(c), lit(2))).cast("float")))
+      }.reduce(_ unionByName _)
+      val planted = copies.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .withColumn("vec_id", col("vec_id") + (1L << 50))
+      copies.unionByName(planted)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      spark.read.parquet(s"$outDir/embeddings.parquet")
+    }
+
+    if (runOp("semantic_dedup")) {
+      val n = embX.count()
+      // cells scale with corpus so per-cell work stays bounded
+      val cells = math.max(16, (n / 4000L).toInt)
+      val (pairs, tSem) = time(
+        Dedup.semanticNearDups(embX, "vec_id", "embedding",
+          nClusters = cells, minCosine = 0.999).count())
+      results += "semantic_dedup" -> tSem
+      println(s"[rehearsal] semantic_dedup: $pairs pairs over $n vecs, $cells cells")
+    }
+
+    if (runOp("classify")) {
+      val cents = graft.ops.Similarity.trainCentroids(embX, "vec_id", "embedding", 8)
+      val labeled = embX.withColumn("cls",
+        graft.ops.Similarity.assignNarrow(col("embedding"), cents).cast("int"))
+      // training is sample-bounded (100k cap) — the curve should be FLAT
+      val (w, tTrain) = time(graft.ops.Classify.trainSoftmax(
+        labeled, "vec_id", "embedding", "cls", numClasses = 8,
+        epochs = 1000, lr = 2.0))
+      results += "classify_train" -> tTrain
+      // scoring is the corpus-scale narrow pass — should be ~linear
+      val (_, tScore) = time(labeled.select(
+        graft.ops.Classify.predictSoftmax(col("embedding"), w).as("p"))
+        .agg(sum("p")).head())
+      results += "classify_score" -> tScore
+    }
+
+    if (runOp("sketch_profile")) {
+      import graft.storage.ArrayTable
+      val uri = s"$outDir/sketch_profile_arr"
+      graft.storage.VFS(spark).delete(uri)
+      val base = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      (0 until 8).foreach { b =>
+        ArrayTable.ingest(spark, base.filter(pmod(col("doc_id"), lit(8)) === b),
+          uri, Seq("doc_id"), overwrite = false)
+      }
+      val (nSk, tSketch) = time(
+        graft.ops.Profile.writeFragmentSketches(spark, uri, Seq("len")))
+      results += "sketch_profile_write" -> tSketch
+      val (_, tMerge) = time(
+        graft.ops.Profile.mergedSketchProfile(spark, uri).count())
+      results += "sketch_profile_merge" -> tMerge
+      println(s"[rehearsal] sketch_profile: $nSk fragments sketched")
+    }
+
+    if (runOp("stratified_sample")) {
+      val (_, tStrat) = time(
+        Curation.stratifiedSample(docs, "lang", "doc_id", n = 1000).count())
+      results += "stratified_sample" -> tStrat
+    }
+
+    if (runOp("token_budget")) {
+      val withToks = docs.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .select("doc_id", "source", "n_tokens")
+      // budget cuts every source at any mult (sources grow with the
+      // corpus) — the windowed path is what's being measured
+      val (kept, tBudget) = time(Curation.tokenBudgetSample(
+        withToks, "source", "doc_id", "n_tokens", budget = 100000L).count())
+      results += "token_budget" -> tBudget
+      println(s"[rehearsal] token_budget kept $kept rows")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val capJson = stats.map(s =>
       s""","buckets_over_cap":${s.getLong(1)},"max_bucket":${s.getLong(4)}""").getOrElse("")
