@@ -128,24 +128,53 @@ object Similarity {
     * accumulates per-cell (count, element-wise sum) locally — narrow,
     * bounded by nCentroids*dim doubles — and only those tiny partials
     * reach the driver, where cells re-center to their mean. Empty cells
-    * keep their seed. The corpus never shuffles. */
+    * keep their seed. The corpus never shuffles.
+    *
+    * Assignment runs as a PRIMITIVE kernel inside the same
+    * mapPartitions (unit-normalized centroid matrix captured in the
+    * closure, tight double loops) rather than the `assignNarrow`
+    * expression: at k=404 centroids the per-row expression argmin
+    * evaluated interpreted and one step took 14.8 s over a 103k-row
+    * sample in the 100x rehearsal vs ~1 s for this kernel. Semantics
+    * are bit-identical: same (float->double) left-to-right dot
+    * accumulation as [[graft.functions.DotF]], same max-dot/min-id
+    * tie rule as [[assignNarrow]], same partition-ordered partial
+    * merge arithmetic as before. */
   def lloydStep(corpus: DataFrame, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
     val dim = cents.head._2.size
-    val assigned = corpus
-      .select(assignNarrow(col(vecCol), cents).as("__cid"),
-        transform(col(vecCol), v => v.cast("double")).as("__v"))
+    val centIds: Array[Long] = cents.map(_._1).toArray
+    val unit: Array[Array[Double]] = cents.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (if (n == 0) v else v.map(_ / n)).toArray
+    }.toArray
     val session = corpus.sparkSession
     import session.implicits._
-    val partials = assigned.mapPartitions { rows =>
+    val vecs = corpus
+      .select(transform(col(vecCol), v => v.cast("double")).as("_1"))
+      .as[Array[Double]]
+    val partials = vecs.mapPartitions { rows =>
       val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Array[Double])]
-      rows.foreach { r =>
-        val cid = r.getLong(0)
-        val v = r.getSeq[Double](1)
-        val (n, s) = acc.getOrElseUpdate(cid, (0L, new Array[Double](dim)))
+      rows.foreach { v =>
+        // argmax dot over unit centroids; tie -> smallest centroid id
+        // (mirrors assignNarrow's (negated score, id) struct min)
+        var bestId = Long.MaxValue
+        var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < unit.length) {
+          val u = unit(c)
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += v(j) * u(j); j += 1 }
+          if (s > bestS || (s == bestS && centIds(c) < bestId)) {
+            bestS = s; bestId = centIds(c)
+          }
+          c += 1
+        }
+        val (n, sum) = acc.getOrElseUpdate(bestId, (0L, new Array[Double](dim)))
         var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
-        acc(cid) = (n + 1, s)
+        while (i < dim) { sum(i) += v(i); i += 1 }
+        acc(bestId) = (n + 1, sum)
       }
       acc.iterator.map { case (cid, (n, s)) => (cid, n, s.toSeq) }
     }.collect()
@@ -162,16 +191,27 @@ object Similarity {
     * first (max cosine, tie -> min id). Centroids are UNIT-normalized on
     * the driver and the row norm is dropped: argmax over dot(v, ĉ_i)
     * equals argmax over cosine(v, c_i) because ||v|| is constant across
-    * centroids — one dot product per centroid instead of three. */
+    * centroids — one dot product per centroid instead of three.
+    *
+    * The centroid table embeds as TWO compact literals (`typedlit` —
+    * one ArrayData node each) and the per-centroid loop is a
+    * `transform` over them, NOT per-centroid `array(lit, lit, ...)`
+    * trees: at k centroids x d dims the literal-tree form is k*d
+    * expression nodes (~26k at k=404, d=64 — measured falling off
+    * whole-stage codegen and going ~15x slower in the 100x SemDeDup
+    * rehearsal); this form is O(1) nodes at any k. Same [[DotF]]
+    * kernel, same operand order, so scores are bit-identical to the
+    * old formulation. */
   private def centroidSims(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     val unit = cents.map { case (cid, v) =>
       val n = math.sqrt(v.map(x => x * x).sum)
       cid -> (if (n == 0) v else v.map(_ / n))
     }
-    array(unit.map { case (cid, u) =>
-      struct(negate(dot(vec, array(u.map(lit): _*))).as("ns"),
-        lit(cid).as("id"))
-    }: _*)
+    val table = typedLit(unit.map(_._2))
+    val ids = typedLit(unit.map(_._1))
+    transform(sequence(lit(0), lit(unit.size - 1)), i =>
+      struct(negate(dot(vec, element_at(table, i + 1))).as("ns"),
+        element_at(ids, i + 1).as("id")))
   }
 
   /** Nearest-centroid id, computed NARROWLY: centroids are driver-side

@@ -235,19 +235,28 @@ object ScaleRehearsal {
     // ---- round-11 ops: semantic dedup, classifier, sketch profile,
     //      budgeted sampling ------------------------------------------
     // embeddings synthesis mirrors the docs trick: copy c>0 gets a
-    // per-copy index rotation + sign flips, so cross-copy cosine ~0
-    // (no planted m-way cliques); 1% planted exact duplicates per copy
-    // exercise pair emission at every scale.
+    // per-copy index rotation + a per-copy HASH-DERIVED sign mask, so
+    // cross-copy cosine ~0 (no planted m-way cliques); 1% planted
+    // exact duplicates per copy exercise pair emission at every scale.
+    // The mask must differ for copies sharing a rotation (c = c' mod
+    // dim): a parity-only sign rule made copies 64..99 EXACT
+    // duplicates of 0..35 at mult=100 (~72k spurious cross-copy
+    // pairs — caught by this rehearsal's pair count).
     lazy val embX: DataFrame = {
       val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val dim = 64
       val copies = (0 until mult).map { c =>
         val shifted = e0.withColumn("vec_id", col("vec_id") + lit(c.toLong << 24))
         if (c == 0) shifted
-        else shifted.withColumn("embedding",
-          transform(sequence(lit(0), lit(dim - 1)), j =>
-            element_at(col("embedding"), pmod(j + lit(c), lit(dim)) + 1) *
-              (lit(1) - lit(2) * pmod(j * lit(c), lit(2))).cast("float")))
+        else {
+          val mask = scala.util.hashing.byteswap64(c.toLong)
+          val signs = typedLit((0 until dim).map(j =>
+            if (((mask >> (j % 64)) & 1L) == 1L) -1.0f else 1.0f))
+          shifted.withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              element_at(col("embedding"), pmod(j + lit(c), lit(dim)) + 1) *
+                element_at(signs, j + 1)))
+        }
       }.reduce(_ unionByName _)
       val planted = copies.filter(pmod(col("vec_id"), lit(100)) === 0)
         .withColumn("vec_id", col("vec_id") + (1L << 50))
@@ -258,8 +267,10 @@ object ScaleRehearsal {
 
     if (runOp("semantic_dedup")) {
       val n = embX.count()
-      // cells scale with corpus so per-cell work stays bounded
-      val cells = math.max(16, (n / 4000L).toInt)
+      // constant TARGET CELL SIZE (~500), the published SemDeDup shape:
+      // within-cell candidate pairs then grow LINEARLY in corpus size
+      // (n * cellSize / 2), not quadratically — cells ~ n/500
+      val cells = math.max(16, (n / 500L).toInt)
       val (pairs, tSem) = time(
         Dedup.semanticNearDups(embX, "vec_id", "embedding",
           nClusters = cells, minCosine = 0.999).count())
@@ -271,10 +282,12 @@ object ScaleRehearsal {
       val cents = graft.ops.Similarity.trainCentroids(embX, "vec_id", "embedding", 8)
       val labeled = embX.withColumn("cls",
         graft.ops.Similarity.assignNarrow(col("embedding"), cents).cast("int"))
-      // training is sample-bounded (100k cap) — the curve should be FLAT
+      // training is sample-bounded: a FIXED 20k sample whatever the
+      // corpus size, so the curve should be FLAT (only the one
+      // hash-ordered sampling pass sees the corpus)
       val (w, tTrain) = time(graft.ops.Classify.trainSoftmax(
         labeled, "vec_id", "embedding", "cls", numClasses = 8,
-        epochs = 1000, lr = 2.0))
+        sampleSize = 20000, epochs = 300, lr = 2.0))
       results += "classify_train" -> tTrain
       // scoring is the corpus-scale narrow pass — should be ~linear
       val (_, tScore) = time(labeled.select(
