@@ -106,14 +106,21 @@ object Classify {
   /** Per-class raw scores `dot(vec, w_c) + b_c` as a literal-backed
     * struct array whose ascending sort order is best-class-first
     * (max score, tie -> min class id) — same negated-struct idiom as
-    * the IVF centroid argmin. */
-  private def classScores(vec: Column, weights: Seq[Seq[Double]]): Column =
-    array(weights.zipWithIndex.map { case (wRow, c) =>
-      val (coef, bias) = (wRow.init, wRow.last)
+    * the IVF centroid argmin. The weight table embeds as two compact
+    * `typedlit` literals with a `transform` loop, not per-class
+    * `array(lit...)` trees — O(1) expression nodes at any class count
+    * (the k*dim literal-tree form fell off codegen at a few hundred
+    * rows in the centroid argmin; a domain classifier can have
+    * thousands of classes). */
+  private def classScores(vec: Column, weights: Seq[Seq[Double]]): Column = {
+    val coefs = typedLit(weights.map(_.init))
+    val biases = typedLit(weights.map(_.last))
+    transform(sequence(lit(0), lit(weights.size - 1)), c =>
       struct(
-        negate(Similarity.dot(vec, array(coef.map(lit): _*)) + lit(bias)).as("ns"),
-        lit(c).as("cls"))
-    }: _*)
+        negate(Similarity.dot(vec, element_at(coefs, c + 1)) +
+          element_at(biases, c + 1)).as("ns"),
+        c.cast("int").as("cls")))
+  }
 
   /** Predicted class id — narrow codegen'd expression, corpus-scale. */
   def predictSoftmax(vec: Column, weights: Seq[Seq[Double]]): Column =

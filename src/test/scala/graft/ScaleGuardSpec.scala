@@ -142,4 +142,28 @@ class ScaleGuardSpec extends SparkSpec {
     assert(singlePartExchanges(deduped).isEmpty,
       s"single-partition shuffle in exact-dedup plan:\n${plan(deduped)}")
   }
+
+  test("semantic dedup: ONE cell shuffle, no join-backs, no broadcasts") {
+    // the kernel design: vectors ride the single repartition-on-cell;
+    // a second exchange or any join would mean the join-back verify
+    // formulation (2 corpus-scale joins of the candidate set) crept
+    // back in — the 100x rehearsal measured that at 15x the cost
+    val pairs = Dedup.semanticNearDups(vecs, "vec_id", "embedding",
+      nClusters = 4, minCosine = 0.9)
+    val exchanges = plan(pairs).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size == 1,
+      s"semantic dedup must shuffle exactly once (cells):\n${plan(pairs)}")
+    assert(broadcasts(pairs).isEmpty && windows(pairs).isEmpty,
+      s"unexpected broadcast/window in semantic-dedup plan:\n${plan(pairs)}")
+  }
+
+  test("stratified sample: picked ids broadcast, corpus never re-shuffles") {
+    val sampled = graft.ops.Curation.stratifiedSample(docs, "text", "doc_id", 3)
+    assert(broadcasts(sampled).nonEmpty,
+      s"picked-id semi-join should broadcast (|classes|*n rows):\n${plan(sampled)}")
+    assert(windows(sampled).isEmpty,
+      s"stratified sample must use bounded heaps, not a window:\n${plan(sampled)}")
+    assert(singlePartExchanges(sampled).isEmpty,
+      s"single-partition shuffle in stratified-sample plan:\n${plan(sampled)}")
+  }
 }
