@@ -136,4 +136,22 @@ object Classify {
       (acc, e) => acc + exp(negate(e.getField("ns")) - best))
     round(lit(1.0) / z, 6)
   }
+
+  /** Persist trained weights as a JSON sidecar (the train-once /
+    * score-many production shape — scoring jobs load the model and
+    * never see the training data). Doubles round-trip exactly through
+    * the JSON layer (same codec as the IVF centroid sidecar). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, uri: String,
+      weights: Seq[Seq[Double]]): Unit = {
+    import graft.core.Json._
+    val json = JObj(Seq("weights" -> JArr(weights.map(r => JArr(r.map(JNum(_))))))).render
+    graft.storage.VFS(spark).writeString(s"$uri/model.json", json)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Seq[Seq[Double]] = {
+    import graft.core.Json._
+    graft.core.Json.parse(graft.storage.VFS(spark).readString(s"$uri/model.json"))
+      .obj("weights").get.arr.map(_.arr.map(_.dbl))
+  }
 }

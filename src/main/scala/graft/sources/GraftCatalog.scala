@@ -272,8 +272,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .comment("table name relative to this catalog, e.g. 'ns.tbl'").build()
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("consolidate", "vacuum", "upgrade_version", "delete_fragments")
-      .map(n => Identifier.of(Array("system"), n))
+    Array("consolidate", "vacuum", "upgrade_version", "delete_fragments",
+      "profile").map(n => Identifier.of(Array("system"), n))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name match {
     case "consolidate" => proc("consolidate",
@@ -299,8 +299,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val uri = tableUri(in.getString(0))
         ArrayTable.deleteFragments(spark, uri, in.getLong(1), in.getLong(2)); uri
       }
+    case "profile" => new UnboundProcedure {
+      override def name(): String = "profile"
+      override def description(): String =
+        "incrementally sketch-profile fragments not yet profiled " +
+          "(per-fragment HLL + exact-decimal sketches under __profile/)"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "profile"
+        override def description(): String = "incremental sketch profiling"
+        override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+          ProcedureParameter.in("columns", StringType)
+            .comment("comma-separated column names").build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[
+            org.apache.spark.sql.connector.read.Scan] = {
+          val uri = tableUri(input.getString(0))
+          val cols = input.getString(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val sketched = graft.ops.Profile.writeFragmentSketches(spark, uri, cols)
+          val total = ArrayTable.fragments(spark, uri).size
+          val schema = new StructType()
+            .add("fragments", LongType).add("sketched_new", LongType)
+          java.util.Collections.singletonList(
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(total.toLong, sketched.toLong))
+              override def readSchema(): StructType = schema
+              override def description(): String = "graft profile status"
+            }: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+    }
     case other => throw new RuntimeException(
       s"unknown graft procedure '$other' (have: consolidate, vacuum, " +
-        "upgrade_version, delete_fragments)")
+        "upgrade_version, delete_fragments, profile)")
   }
 }

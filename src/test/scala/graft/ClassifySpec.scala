@@ -58,6 +58,16 @@ class ClassifySpec extends SparkSpec {
     assert(testAcc >= 0.65, s"held-out accuracy $testAcc")
   }
 
+  test("model save/load round-trips weights exactly") {
+    val e = embeddings
+    val w = Classify.trainSoftmax(e, "vec_id", "embedding", "label",
+      numClasses = 10, epochs = 20)
+    val uri = TestSession.tmpDir("classify-model")
+    Classify.saveModel(spark, uri, w)
+    val back = Classify.loadModel(spark, uri)
+    assert(back == w, "weights must round-trip bit-exactly through JSON")
+  }
+
   test("confidence is a probability and matches the argmax class") {
     val e = embeddings.limit(50)
     val w = Classify.trainSoftmax(embeddings, "vec_id", "embedding", "label",

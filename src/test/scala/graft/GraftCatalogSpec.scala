@@ -342,6 +342,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(procs.exists(_.contains("consolidate")), procs.toSeq)
   }
 
+  test("CALL system.profile: incremental fragment sketches via SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.prof")
+    spark.sql("CREATE TABLE g.prof.t (x BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('dims'='x', 'allowsDuplicates'='true')")
+    spark.sql("INSERT INTO g.prof.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO g.prof.t VALUES (3, 3.0)")
+    def call() = {
+      val r = spark.sql("CALL g.system.profile('prof.t', 'v')").collect()(0)
+      (r.getLong(0), r.getLong(1)) // (fragments, sketched_new)
+    }
+    assert(call() == ((2L, 2L)))
+    // second call is a no-op; a new fragment sketches incrementally
+    assert(call() == ((2L, 0L)))
+    spark.sql("INSERT INTO g.prof.t VALUES (4, 4.0)")
+    assert(call() == ((3L, 1L)))
+    val prof = graft.ops.Profile.mergedSketchProfile(spark, s"$root/prof/t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof("v").getAs[Long]("n") == 4L)
+    assert(prof("v").getAs[java.math.BigDecimal]("sum").doubleValue() == 10.0)
+  }
+
   test("DELETE keeps NULL-predicate rows; NOT IN with NULL never mass-deletes") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.nul")
