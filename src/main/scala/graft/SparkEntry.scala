@@ -7,7 +7,7 @@ import graft.core._
 import graft.query.{Aggregates, MultiIndex, QueryCondition}
 import graft.query.MultiIndex.{Points, RangeIncl, Ranges}
 import graft.storage.ArrayTable
-import graft.ops.{Curation, Dedup, Multimodal, NgramLm, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, NgramLm, Search, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract: the declared operator surface (SURVEY.md §2/§7.4).
@@ -931,6 +931,66 @@ object SparkEntry {
         lit(nVecs - plantedLost).as("planted_survivors"))
     }),
 
+    // two-level (coarse-probed) centroid assignment gate — the
+    // documented k-scaling fix for the flat literal-table argmin.
+    // Exact invariant: whenever the flat winner's coarse group is
+    // probed, hierarchical == flat (same kernel, same tie rule) —
+    // violations must be 0. Statistical invariant: overall agreement
+    // >= 0.85 at m=8 / nprobe=3 over k=64 cells.
+    "hier_assign_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        nCentroids = 64, lloydSteps = 2, trainPerCentroid = 8)
+      val (coarse, members) = Similarity.trainCoarse(cents, 8, s)
+      val nprobe = 3
+      val flat = Similarity.assignNarrow(col("embedding"), cents)
+      val hier = Similarity.assignHierarchical(col("embedding"), cents,
+        coarse, members, nprobe)
+      val memberLit = typedLit(members.map(_.map(_.toLong)))
+      val cand = flatten(transform(
+        Similarity.probeNarrow(col("embedding"), coarse, nprobe),
+        g => element_at(memberLit, g.cast("int") + 1)))
+      val agg = e.select(flat.as("f"), hier.as("h"),
+          array_contains(cand, flat).as("c"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c") && col("f") =!= col("h"), 1L).otherwise(0L))
+            .as("contained_violations"),
+          avg(when(col("f") === col("h"), 1.0).otherwise(0.0)).as("agree"))
+      agg.select(col("n").as("n_vecs"), col("contained_violations"),
+        (col("agree") >= 0.85).as("agree_ok"))
+    }),
+
+    // cross-corpus decontamination gate: the ref set is every 25th
+    // doc's text mangled only in ways shingle normalization undoes
+    // (case, extra whitespace), so each planted (corpus, ref) pair
+    // must surface with jaccard EXACTLY 1.0; crossNearDups emits
+    // cross-side pairs only, so corpus-internal duplicates can't
+    // inflate the result
+    "decontam_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000L).as("ref_id"),
+          concat(lit("  "),
+            regexp_replace(upper(col("text")), " ", "   ")).as("text"))
+      val pairs = Dedup.crossNearDups(docs, "doc_id", "text",
+        ref, "ref_id", "text", threshold = 0.7).localCheckpoint(true)
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("corpus_id"),
+          (col("doc_id") + 1000000L).as("ref_id"))
+      val nRef = planted.count()
+      val missed = planted
+        .join(pairs.select("corpus_id", "ref_id"),
+          Seq("corpus_id", "ref_id"), "left_anti").count()
+      val exact = planted
+        .join(pairs.filter(col("jaccard") === 1.0),
+          Seq("corpus_id", "ref_id"), "left_semi").count()
+      val flagged = pairs.select("corpus_id").distinct().count()
+      s.range(1).select(lit(nRef).as("n_ref"),
+        lit(missed).as("planted_missed"),
+        lit(exact == nRef).as("planted_exact"),
+        lit(flagged >= nRef).as("contaminated_found"))
+    }),
+
     // linear-probe classifier gate: sample-bounded distributed softmax
     // trainer + narrow literal-weights inference. Pseudo-labels are the
     // IVF centroid assignment — nearest-centroid regions are linearly
@@ -1255,6 +1315,30 @@ object SparkEntry {
     // recomputes with string grams; Spark ships 8-byte hashes)
     "dup_spans" -> ((s, d) => Curation.dupSpans(
       t(s, d, "documents"), "doc_id", "text", n = 8)),
+
+    // BM25 retrieval: queries are the distinct terms 5..9 of every
+    // 40th doc; score every doc sharing a term. k1=1.25 / b=0.75 are
+    // chosen so every constant is an exact double (1.25+1=2.25,
+    // 1-0.75=0.25) — the only inexact steps are ln() and the
+    // divisions, identical formulas on both engines, absorbed by
+    // round(..., 6) like text_perplexity.
+    "bm25_scores" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      Search.bm25Scores(docs, "doc_id", "text", q, "query_id", "qtext")
+        .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+    }),
+    // top-10 per query, ranked on the ROUNDED score (stable across
+    // engines) with doc_id ascending tie-break
+    "bm25_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
+    }),
 
     // REAL codec path under the oracle: deterministic 8x4 P6 images
     // (pixel j of doc i = (i*7+j) % 256) decode through the actual PPM
@@ -2081,6 +2165,30 @@ object SparkEntry {
   /** WITH-clause body replaying plant + normalize + host + domain in
     * DuckDB, generated from the SAME tables the Spark chain uses
     * (Curation.TrackingParams / MultiLabelSuffixes / urlTemplates). */
+  /** Shared CTEs for the BM25 oracles: replays postings (tf + dl in
+    * one grouping), df, exact-int avgdl, the query-term derivation
+    * (distinct terms 5..9 of every 40th doc), and the scoring sum with
+    * the same association order as [[graft.ops.Search.bm25Scores]]. */
+  private def bm25OracleCtes: String =
+    "toks AS (SELECT doc_id, " +
+    "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), " +
+    "x -> x <> '') AS t FROM documents), " +
+    "dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks), " +
+    "st AS (SELECT CAST(count(*) AS DOUBLE) AS nd, " +
+    "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+    "ps AS (SELECT doc_id, unnest(t) AS w FROM toks), " +
+    "tfc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf " +
+    "FROM ps GROUP BY doc_id, w), " +
+    "dfc AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY w), " +
+    "qt AS (SELECT DISTINCT doc_id AS query_id, unnest(t[5:9]) AS w " +
+    "FROM toks WHERE doc_id % 40 = 0), " +
+    "sc AS (SELECT qt.query_id, tfc.doc_id, " +
+    "sum(ln(1 + (st.nd - dfc.df + 0.5) / (dfc.df + 0.5)) * tfc.tf * 2.25 / " +
+    "(tfc.tf + 1.25 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score " +
+    "FROM qt JOIN tfc USING (w) JOIN dfc USING (w) " +
+    "JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN st " +
+    "GROUP BY qt.query_id, tfc.doc_id)"
+
   private def urlOracleCtes: String = {
     val alt = Curation.trackingAlternation
     val k = urlTemplates.length
@@ -2372,6 +2480,15 @@ object SparkEntry {
       "round(CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) " +
       "/ count(*), 6) AS dup_fraction " +
       "FROM gr JOIN c USING (g) GROUP BY doc_id"),
+    // BM25: same tokenizer as text_perplexity; every constant an
+    // exact double (k1=1.25, b=0.75); avgdl = one exact-int division;
+    // identical association order to the Spark formula
+    "bm25_scores" -> (s"WITH $bm25OracleCtes " +
+      "SELECT query_id, doc_id, round(score, 6) AS score FROM sc"),
+    "bm25_topk" -> (s"WITH $bm25OracleCtes " +
+      "SELECT query_id, doc_id, score, rank FROM (SELECT query_id, doc_id, " +
+      "round(score, 6) AS score, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc) WHERE rank <= 10"),
     // language ID: token-count per stopword table, winner = max (score,
     // lang) — mirrors the array_max(struct(score, lang)) tie-break
     // (lexicographically larger lang wins ties)
@@ -2628,6 +2745,13 @@ object SparkEntry {
       "CAST(0 AS BIGINT) AS below_threshold, " +
       "true AS one_survivor_per_pair, " +
       "CAST(0 AS BIGINT) AS planted_survivors FROM embeddings"),
+    "hier_assign_gate" -> ("SELECT count(*) AS n_vecs, " +
+      "CAST(0 AS BIGINT) AS contained_violations, " +
+      "true AS agree_ok FROM embeddings"),
+    "decontam_gate" -> ("SELECT count(*) AS n_ref, " +
+      "CAST(0 AS BIGINT) AS planted_missed, " +
+      "true AS planted_exact, true AS contaminated_found " +
+      "FROM documents WHERE doc_id % 25 = 0"),
     "embedding_classify_gate" -> ("SELECT " +
       "count(*) FILTER (WHERE vec_id % 5 <> 0) AS n_train, " +
       "count(*) FILTER (WHERE vec_id % 5 = 0) AS n_test, " +

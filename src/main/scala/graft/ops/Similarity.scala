@@ -227,6 +227,74 @@ object Similarity {
     transform(slice(array_sort(centroidSims(vec, cents)), 1, nprobe),
       s => s.getField("id"))
 
+  /** Two-level coarse quantizer OVER a fine-centroid table: clusters
+    * the k fine centroids into ~nCoarse groups (reusing the sampled
+    * trainer + Lloyd steps — the centroid table is itself just a tiny
+    * corpus), then records which fine centroids live in each group.
+    * Empty groups are dropped, group ids re-densified to 0..m-1.
+    *
+    * This is the documented k-scaling fix for [[assignNarrow]]: the
+    * flat literal-table argmin is O(k) dots per row, fine to k ~ low
+    * thousands of cells; a SemDeDup-style deployment wants ~100k
+    * cells, where two-level probing does O(m + k*nprobe/m) dots per
+    * row (~1.6k at k=100k, m=316, nprobe=4) with everything still a
+    * narrow expression — zero shuffles, zero corpus joins.
+    *
+    * Returns (coarse centroids with ids 0..m-1, member fine-centroid
+    * POSITIONS per group — fine ids from [[trainCentroids]] are
+    * already dense 0..k-1, so position == id). */
+  def trainCoarse(cents: Seq[(Long, Seq[Double])], nCoarse: Int,
+      spark: org.apache.spark.sql.SparkSession,
+      lloydSteps: Int = 2): (Seq[(Long, Seq[Double])], Seq[Seq[Int]]) = {
+    require(cents.nonEmpty && nCoarse >= 1)
+    import spark.implicits._
+    val df = cents.map { case (cid, v) => (cid, v) }.toDF("__cid", "__cv")
+    // train on ALL fine centroids (the "corpus" here is k rows)
+    val per = math.max(1, math.ceil(cents.size.toDouble / nCoarse).toInt)
+    val coarse0 = trainCentroids(df, "__cid", "__cv", nCoarse, lloydSteps, per)
+    val assigned = df
+      .select(col("__cid"), assignNarrow(col("__cv"), coarse0).as("__g"))
+      .collect() // k rows — bounded driver metadata, like the centroid tables
+      .map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val byG = assigned.groupBy(_._2)
+      .map { case (g, ms) => g -> ms.map(_._1).sorted.toSeq }
+    val nonEmpty = coarse0.filter(c => byG.contains(c._1))
+    (nonEmpty.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) },
+      nonEmpty.map { case (old, _) => byG(old) })
+  }
+
+  /** Hierarchical nearest-centroid assignment: probe the `nprobe`
+    * closest COARSE groups, then exact argmin over only their member
+    * fine centroids. Same [[graft.functions.DotF]] kernel and the same
+    * (max score, min id) tie rule as [[assignNarrow]], so whenever the
+    * true nearest fine centroid's group is probed the result is
+    * IDENTICAL to the flat assignment (pinned by `hier_assign_gate`);
+    * with nprobe = m it degenerates to exactly [[assignNarrow]].
+    * All tables embed as compact `typedlit`s (O(1) expression nodes
+    * at any k) and the whole thing is one narrow per-row expression. */
+  def assignHierarchical(vec: Column, cents: Seq[(Long, Seq[Double])],
+      coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]],
+      nprobe: Int): Column = {
+    require(coarse.size == members.size && members.forall(_.nonEmpty),
+      "coarse groups must be non-empty (trainCoarse drops empty ones)")
+    val unit = cents.map { case (cid, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cid -> (if (n == 0) v else v.map(_ / n))
+    }
+    val table = typedLit(unit.map(_._2))
+    val ids = typedLit(unit.map(_._1))
+    // member positions pre-shifted to element_at's 1-base
+    val memberTab = typedLit(members.map(_.map(_ + 1)))
+    val probed = transform(
+      slice(array_sort(centroidSims(vec, coarse)), 1, nprobe),
+      s => s.getField("id"))
+    val cand = flatten(transform(probed,
+      g => element_at(memberTab, g.cast("int") + 1)))
+    array_min(transform(cand, i =>
+      struct(negate(dot(vec, element_at(table, i))).as("ns"),
+        element_at(ids, i).as("id")))).getField("id")
+  }
+
   /** Train the IVF coarse quantizer on a deterministic hash-ordered
     * SAMPLE (trainPerCentroid vectors per centroid), not the full
     * corpus — TakeOrderedAndProject keeps the sampling pass scale-safe

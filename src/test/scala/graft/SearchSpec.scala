@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.Search
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "cats and dogs and cats"),
+    (3L, "an entirely unrelated sentence about spark"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("termsOf: lowercases, splits on non-word runs, drops empties") {
+    val t = Seq("The CAT, sat!  on %% the mat.").toDF("x")
+      .select(Search.termsOf($"x")).as[Seq[String]].head()
+    assert(t == Seq("the", "cat", "sat", "on", "the", "mat"))
+    val empty = Seq("", "  ,,, ").toDF("x")
+      .select(Search.termsOf($"x")).as[Seq[String]].collect()
+    assert(empty.forall(_.isEmpty))
+  }
+
+  test("postings: tf and dl from one grouping; empty docs emit nothing") {
+    val p = Search.postings(docs, "doc_id", "text")
+    val row = p.filter($"doc_id" === 0L && $"term" === "the").head()
+    assert(row.getAs[Long]("tf") == 2L && row.getAs[Long]("dl") == 6L)
+    assert(p.filter($"doc_id" === 4L).count() == 0L)
+    // one row per (doc, term)
+    assert(p.groupBy("doc_id", "term").count().filter($"count" > 1).count() == 0L)
+  }
+
+  test("bm25: exact hand-computed score for a single-term query") {
+    // corpus: N=5 docs, sum dl = 6+6+5+6+0 = 23, avgdl = 23/5
+    // term "cat": df=1 (doc 0), tf=1, dl=6
+    val q = Seq((100L, "cat")).toDF("qid", "qtext")
+    val got = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
+      .select($"query_id", $"doc_id", $"score").as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == 100L && got(0)._2 == 0L)
+    val n = 5.0; val df = 1.0; val tf = 1.0; val dl = 6.0; val avgdl = 23.0 / 5
+    val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    val expect = idf * tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(got(0)._3 - expect) < 1e-12, s"got ${got(0)._3} want $expect")
+  }
+
+  test("bm25: rarer terms outscore common ones; tf saturates sublinearly") {
+    val q = Seq((1L, "spark"), (2L, "sat")).toDF("qid", "qtext")
+    val s = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
+      .select($"query_id", $"score").as[(Long, Double)].collect().toMap
+    assert(s(1L) > s(2L), s"idf of df=1 'spark' ${s(1L)} must beat df=2 'sat' ${s(2L)}")
+    // doc 2 has tf=2 for "cats": score grows with tf but less than 2x
+    val q2 = Seq((9L, "cats")).toDF("qid", "qtext")
+    val tf2 = Search.bm25Scores(docs, "doc_id", "text", q2, "qid", "qtext")
+      .select($"score").as[Double].head()
+    val oneTf = Search.bm25Scores(
+      docs.withColumn("text", regexp_replace($"text", "and cats$", "")),
+      "doc_id", "text", q2, "qid", "qtext").select($"score").as[Double].head()
+    assert(tf2 > oneTf && tf2 < 2 * oneTf)
+  }
+
+  test("bm25TopK: multi-term queries rank, k bounds, deterministic ties") {
+    val q = Seq((0L, "cat dog sat")).toDF("qid", "qtext")
+    val top = Search.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 2)
+      .orderBy($"rank").select($"doc_id", $"rank").as[(Long, Long)].collect()
+    assert(top.length == 2 && top.map(_._2).toSeq == Seq(1L, 2L))
+    // docs 0 and 1 are symmetric for this query (cat vs dog, same tf/dl):
+    // equal rounded scores must tie-break to the smaller doc_id first
+    assert(top(0)._1 == 0L || top(0)._1 == 1L)
+    val both = Search.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 4)
+      .orderBy($"rank").select($"doc_id", $"score").as[(Long, Double)].collect()
+    assert(both(0)._2 == both(1)._2, "symmetric docs score identically")
+    assert(both(0)._1 == 0L && both(1)._1 == 1L, "equal scores order by doc_id")
+  }
+
+  test("bm25 plan: postings build map-side-combines; queries broadcast") {
+    val q = Seq((0L, "cat dog")).toDF("qid", "qtext")
+    val plan = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian products:\n$plan")
+  }
+}
