@@ -230,6 +230,123 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Distinct CROSS pairs (a from side 0, b from side 1) of ids
+    * sharing a (band, bucket). Input rows: (__id, __side byte,
+    * __band, __bucket). Same one-shuffle streaming shape as
+    * [[bucketedPairs]], but each bucket buffers the two sides
+    * separately and emits only side0 x side1 — within-side
+    * near-duplicates are NOT this operator's job, and at corpus scale
+    * skipping them cuts the emitted pair count by the corpus-side
+    * bucket density squared. Either side exceeding `maxBucket` drops
+    * the bucket (same density rationale as bucketedPairs). */
+  def crossBucketedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val laid = banded.repartition(col("__band"), col("__bucket"))
+      .sortWithinPartitions(col("__band"), col("__bucket"))
+    val idField = laid.schema("__id")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      Seq(idField.copy(name = "a"), idField.copy(name = "b")))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = laid.columns.indexOf("__id")
+    val sideIdx = laid.columns.indexOf("__side")
+    val bandIdx = laid.columns.indexOf("__band")
+    val bucketIdx = laid.columns.indexOf("__bucket")
+    laid.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        private var pairs: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+        @annotation.tailrec
+        private def advance(): Boolean =
+          if (pairs.hasNext) true
+          else if (!it.hasNext) false
+          else {
+            val band = it.head.get(bandIdx); val bucket = it.head.get(bucketIdx)
+            val as = scala.collection.mutable.ArrayBuffer.empty[Any]
+            val bs = scala.collection.mutable.ArrayBuffer.empty[Any]
+            var over = false
+            while (it.hasNext && it.head.get(bandIdx) == band &&
+                it.head.get(bucketIdx) == bucket) {
+              val r = it.next()
+              if (!over) {
+                (if (r.getByte(sideIdx) == 0) as else bs) += r.get(idIdx)
+                if (as.size > maxBucket || bs.size > maxBucket) {
+                  over = true; as.clear(); bs.clear()
+                }
+              }
+            }
+            if (!over && as.nonEmpty && bs.nonEmpty)
+              pairs = as.iterator.flatMap(x =>
+                bs.map(y => org.apache.spark.sql.Row(x, y)))
+            advance()
+          }
+        def hasNext: Boolean = advance()
+        def next(): org.apache.spark.sql.Row = {
+          if (!advance()) throw new NoSuchElementException
+          pairs.next()
+        }
+      }
+    }.distinct()
+  }
+
+  /** Decontamination: corpus docs near-duplicating any document of a
+    * REFERENCE set (eval benchmarks, a held-out split, a previous
+    * snapshot) — the cross-corpus variant of [[minhashNearDups]].
+    * Returns (corpus_id, ref_id, jaccard >= threshold), exact-verified.
+    *
+    * Same scale spine as the within-corpus op: one banding shuffle
+    * (both sides banded with the SAME hash family, so a corpus doc and
+    * a ref doc with equal shingle sets land in equal buckets in every
+    * band), cross-only pair emission ([[crossBucketedPairs]] — the
+    * corpus's internal duplicate structure never inflates the pair
+    * set), signature-estimate prefilter, then exact Jaccard on hashed
+    * shingle sets. Broadcast-vs-merge join strategy is decided per
+    * side from honest input sizes ([[corpusFitsBroadcast]]): a small
+    * eval set rides broadcasts, two big corpora pin merge joins. */
+  def crossNearDups(corpus: DataFrame, corpusId: String, corpusText: String,
+      ref: DataFrame, refId: String, refText: String,
+      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucket: Int = 64,
+      materializeSigs: Boolean = true): DataFrame = {
+    def normHashes(c: Column) = graft.functions.ShingleHashes(
+      lower(regexp_replace(trim(c), "\\s+", " ")), k)
+    def sigsOf(df: DataFrame, id: String, text: String) = {
+      val plan = df.select(col(id).as("__id"),
+        minhashSignatureFromHashes(normHashes(col(text)), numHashes).as("__sig"))
+      if (materializeSigs) plan.localCheckpoint(true) else plan
+    }
+    val csigs = sigsOf(corpus, corpusId, corpusText)
+    val rsigs = sigsOf(ref, refId, refText)
+    val rowsPerBand = expr(s"size(__sig) / $bands")
+    def banded(sigs: DataFrame, side: Int) = sigs
+      .select(col("__id"), lit(side).cast("byte").as("__side"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), b))))
+      .select(col("__id"), col("__side"),
+        col("pos").as("__band"), col("col").as("__bucket"))
+    val cands = crossBucketedPairs(
+      banded(csigs, 0).unionByName(banded(rsigs, 1)), maxBucket)
+    val cSide = corpusJoinSide(corpus)
+    val rSide = corpusJoinSide(ref)
+    val estMatch = graft.functions.LaneMatches(col("__sigA"), col("__sigB"))
+      .cast("double") / numHashes.toDouble
+    val estPairs = cands
+      .join(cSide(csigs.select(col("__id").as("a"), col("__sig").as("__sigA"))), "a")
+      .join(rSide(rsigs.select(col("__id").as("b"), col("__sig").as("__sigB"))), "b")
+      .filter(estMatch >= threshold - 0.15)
+      .select("a", "b")
+    val chs = corpus.select(col(corpusId).as("a"),
+      normHashes(col(corpusText)).as("__hsA"))
+    val rhs = ref.select(col(refId).as("b"),
+      normHashes(col(refText)).as("__hsB"))
+    estPairs
+      .join(cSide(chs), "a")
+      .join(rSide(rhs), "b")
+      .withColumn("jaccard", hashedJaccard(col("__hsA"), col("__hsB")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("corpus_id"), col("b").as("ref_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** True iff `df`'s HONEST input size — its optimized-plan estimate,
     * which for a file scan is file bytes, taken BEFORE any
     * array-producing projection wrecks it — times `expansion`

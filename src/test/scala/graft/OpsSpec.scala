@@ -518,4 +518,54 @@ class OpsSpec extends SparkSpec {
     assert(found.contains((100L, 101L)), "small-cell pair survives the cap")
     assert(!found.exists(p => p._1 < 40 && p._2 < 40), "capped cell emits no pairs")
   }
+
+  test("crossNearDups: finds planted cross pairs, never within-side pairs") {
+    val salad = (seed: Int) => (0 until 30).map(i =>
+      s"w${(seed * 31 + i * 17) % 97}x${(seed * 13 + i * 7) % 89}").mkString(" ")
+    val corpus = (Seq((1L, salad(1)), (2L, salad(2)), (3L, salad(3))) ++
+      Seq((10L, salad(42)), (11L, salad(42)))) // within-corpus exact dup pair
+      .toDF("doc_id", "text")
+    val ref = Seq(
+      (100L, "  " + salad(1).toUpperCase.replace(" ", "   ")), // mangled copy of doc 1
+      (101L, salad(77))) // unrelated
+      .toDF("ref_id", "text")
+    val got = Dedup.crossNearDups(corpus, "doc_id", "text",
+      ref, "ref_id", "text", threshold = 0.7)
+      .select($"corpus_id", $"ref_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 100L, 1.0)),
+      s"expected exactly the planted cross pair, got $got")
+  }
+
+  test("crossBucketedPairs: per-side caps drop the bucket; cross-only output") {
+    val rows = ((0 until 5).map(i => (i.toLong, 0.toByte)) ++
+      Seq((100L, 1.toByte))).toDF("__id", "__side")
+      .withColumn("__band", lit(0)).withColumn("__bucket", lit(7L))
+    val ok = Dedup.crossBucketedPairs(rows, maxBucket = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(ok == (0 until 5).map(i => (i.toLong, 100L)).toSet)
+    assert(ok.forall(_._2 == 100L), "side-0 ids only ever pair with side-1 ids")
+    val capped = Dedup.crossBucketedPairs(rows, maxBucket = 4).count()
+    assert(capped == 0L, "corpus side over cap drops the whole bucket")
+  }
+
+  test("hierarchical assignment: probe-all degenerates to EXACTLY flat") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 13 + j * 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      nCentroids = 24, lloydSteps = 1, trainPerCentroid = 4)
+    val (coarse, members) = Similarity.trainCoarse(cents, 6, spark)
+    assert(members.flatten.sorted == (0 until cents.size).toList,
+      "every fine centroid lives in exactly one group")
+    val got = vecs.select(
+      Similarity.assignNarrow($"embedding", cents).as("flat"),
+      Similarity.assignHierarchical($"embedding", cents, coarse, members,
+        nprobe = coarse.size).as("hier"))
+    assert(got.filter($"flat" =!= $"hier").count() == 0L,
+      "probing every coarse group must reproduce the flat argmin bit-exactly")
+    // narrow plan: no exchange anywhere in the assignment
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must stay narrow:\n$plan")
+  }
 }
