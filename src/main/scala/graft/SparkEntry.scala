@@ -68,6 +68,14 @@ object SparkEntry {
 
   /** Build-once persisted IVF index over the embeddings table (not an
     * array-table — presence of centroids.json marks it complete). */
+  private def bm25Index(s: SparkSession, dir: String): String = synchronized {
+    val uri = s"$arrayBase/${sfKey(dir)}/bm25_index"
+    val fs = graft.storage.VFS(s)
+    if (!fs.exists(s"$uri/_stats.json"))
+      Search.buildIndex(t(s, dir, "documents"), "doc_id", "text", uri)
+    uri
+  }
+
   private def ivfIndex(s: SparkSession, dir: String): String = synchronized {
     val uri = s"$arrayBase/${sfKey(dir)}/ivf_index"
     val fs = graft.storage.VFS(s)
@@ -1339,6 +1347,18 @@ object SparkEntry {
           concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
       Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
     }),
+    // same ranking served from the PERSISTED inverted index (bucket
+    // partitions prune statically, terms push into the sorted parquet
+    // row groups) — DuckDB recomputes the identical result from the
+    // raw text, so the whole index round-trip is hash-exact under the
+    // oracle
+    "bm25_index_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      Search.bm25IndexTopK(s, bm25Index(s, d), q, "query_id", "qtext", k = 10)
+    }),
 
     // REAL codec path under the oracle: deterministic 8x4 P6 images
     // (pixel j of doc i = (i*7+j) % 256) decode through the actual PPM
@@ -2486,6 +2506,10 @@ object SparkEntry {
     "bm25_scores" -> (s"WITH $bm25OracleCtes " +
       "SELECT query_id, doc_id, round(score, 6) AS score FROM sc"),
     "bm25_topk" -> (s"WITH $bm25OracleCtes " +
+      "SELECT query_id, doc_id, score, rank FROM (SELECT query_id, doc_id, " +
+      "round(score, 6) AS score, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc) WHERE rank <= 10"),
+    "bm25_index_topk" -> (s"WITH $bm25OracleCtes " +
       "SELECT query_id, doc_id, score, rank FROM (SELECT query_id, doc_id, " +
       "round(score, 6) AS score, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc) WHERE rank <= 10"),

@@ -73,29 +73,63 @@ object Search {
     * ordering is reproducible across engines. */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
-    val (nDocs, sumDl) = corpusStats(docs, idCol, textCol)
-    val n = nDocs.toDouble
-    val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
-    val post = postings(docs, idCol, textCol)
-    val df = post.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("__df"))
-    val qterms = queries.select(col(qidCol).as("query_id"),
-      explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
-    // vocabulary-sized df table streams; tiny query-term table
+      k1: Double = 1.25, b: Double = 0.75,
+      materializePostings: Boolean = true,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    // The postings frame feeds THREE consumers (df aggregation, the
+    // scoring join, sumDl) — without materialization each one re-runs
+    // the tokenize + groupBy subtree (measured 23 s -> 8 s at the 10x
+    // rehearsal, 50k docs). localCheckpoint, not cache, for the same
+    // CacheManager-pinning reason as minhashNearDups; pass false on
+    // long-lived clusters where executor loss must not fail the job
+    // (or use buildIndex + bm25IndexTopK, the real at-scale path).
+    val postPlan = postings(docs, idCol, textCol)
+    val post = if (materializePostings) postPlan.localCheckpoint(true) else postPlan
+    // exact-integer corpus stats WITHOUT extra text passes:
+    // sum(dl over docs) = sum(tf over postings); empty docs hold no
+    // postings but contribute 0 either way. nDocs counts all docs.
+    val nDocs = docs.count()
+    val sumDl = Option(post.agg(sum(col("tf"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // vocabulary-sized df table streams; the tiny query-term table
     // broadcasts into it, then the (query, term, idf) result (still
     // tiny) broadcasts into the postings stream.
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
+    scoreFromPostings(post, qterms, nDocs, sumDl, k1, b, maxDfFraction)
+  }
+
+  /** Shared scoring core: joins a postings frame (doc_id, term, tf,
+    * dl) against a broadcastable (query_id, term) table and produces
+    * (query_id, doc_id, score raw). `df` (document frequency per term)
+    * is computed FROM the given postings — exact whether those are the
+    * whole corpus (inline path) or the pruned-but-complete postings of
+    * the query terms (index path: a term's postings all live in its
+    * bucket, so df over the pruned read is identical). */
+  private def scoreFromPostings(post: DataFrame, qterms: DataFrame,
+      nDocs: Long, sumDl: Long, k1: Double, b: Double,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val n = nDocs.toDouble
+    val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
+    val df = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+      // optional stopword elision — the production knob for the
+      // worst-case term: a term in >maxDfFraction of all docs has
+      // near-zero idf but corpus-fraction-sized postings, so scoring
+      // it costs a full corpus pass for ~no ranking signal. Off by
+      // default (1.0): elision changes results, callers opt in.
+      .filter(col("__df") <= lit(maxDfFraction) * lit(n))
     val qidf = df.join(broadcast(qterms), "term")
       .select(col("query_id"), col("term"),
         log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
           .as("__idf"))
     val tfD = col("tf").cast("double")
-    val contrib = post.join(broadcast(qidf), "term")
+    post.join(broadcast(qidf), "term")
       .select(col("query_id"), col("doc_id"),
         (col("__idf") * tfD * lit(k1 + 1.0) /
           (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
           .as("__s"))
-    contrib.groupBy(col("query_id"), col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__s")).as("score"))
   }
 
@@ -106,9 +140,142 @@ object Search {
     * Output: (query_id, doc_id, score, rank). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int = 10, k1: Double = 1.25, b: Double = 0.75): DataFrame = {
-    val scored = bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b)
+      k: Int = 10, k1: Double = 1.25, b: Double = 0.75,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol,
+        k1, b, materializePostings = true, maxDfFraction)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
     Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted inverted index
+  // -------------------------------------------------------------------
+
+  /** Index layout: `postings/tb=NN/` term-hash-bucketed postings
+    * (term, doc_id, tf, dl), each bucket's files SORTED by term so
+    * parquet footer stats prune to the probed terms; `_stats.json`
+    * holds the exact-integer corpus stats (nDocs, sumDl) that BM25
+    * needs globally. There is NO separate document-frequency table:
+    * a term's postings all live in its bucket, so a probe recomputes
+    * exact df from the rows it reads anyway — which also makes
+    * [[appendToIndex]] trivially correct (postings files + a stats
+    * bump; no global table to rebuild).
+    *
+    * The 100 TB story mirrors [[DedupIndex]]: build once (one corpus
+    * pass, one shuffle), then every query batch reads only the
+    * buckets (static partition pruning on `tb`) and row groups
+    * (term-range footer stats) its terms live in — steady-state cost
+    * proportional to the query terms' postings, never the corpus. */
+  case class IndexParams(buckets: Int)
+
+  private def statsPath(uri: String) = s"$uri/_stats.json"
+  private def paramsPath(uri: String) = s"$uri/_params.json"
+  private def postingsPath(uri: String) = s"$uri/postings"
+
+  private def termBucket(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+      uri: String, nDocs: Long, sumDl: Long, buckets: Int): Unit = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    fs.writeString(statsPath(uri), render(JObj(Seq(
+      "nDocs" -> JLong(nDocs), "sumDl" -> JLong(sumDl)))))
+    fs.writeString(paramsPath(uri), render(JObj(Seq(
+      "buckets" -> JLong(buckets), "layout" -> JLong(1)))))
+  }
+
+  def readIndexStats(spark: org.apache.spark.sql.SparkSession,
+      uri: String): (Long, Long, Int) = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val s = parse(fs.readString(statsPath(uri))).obj
+    val p = parse(fs.readString(paramsPath(uri))).obj
+    def l(o: JObj, k: String): Long =
+      o(k).getOrElse(sys.error(s"bm25 index missing $k")).long
+    (l(s, "nDocs"), l(s, "sumDl"), l(p, "buckets").toInt)
+  }
+
+  /** Build (or rebuild) the BM25 index at `uri`. One corpus text pass
+    * (the postings aggregation), one range write. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      uri: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    graft.storage.VFS(spark).delete(uri)
+    postings(docs, idCol, textCol)
+      .withColumn("tb", termBucket(col("term"), buckets))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.partitionBy("tb").parquet(postingsPath(uri))
+    // stats from the JUST-WRITTEN postings (sum(dl) = sum(tf)) + a
+    // metadata-only row count — no second corpus text pass
+    val sumDl = Option(spark.read.parquet(postingsPath(uri))
+      .agg(sum(col("tf"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    writeStats(spark, uri, docs.count(), sumDl, buckets)
+  }
+
+  /** Incrementally add docs: batch-sized postings files per touched
+    * bucket + an exact stats bump. df needs no maintenance (recomputed
+    * at probe time from the complete per-term postings); idf and the
+    * length normalizer shift for ALL queries as the corpus grows —
+    * exactly BM25's definition, and the index path stays equal to an
+    * inline run over corpus ∪ batch. */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      uri: String): Unit = {
+    val spark = docs.sparkSession
+    val (n0, s0, buckets) = readIndexStats(spark, uri)
+    val batch = postings(docs, idCol, textCol).localCheckpoint(true)
+    batch.withColumn("tb", termBucket(col("term"), buckets))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").partitionBy("tb").parquet(postingsPath(uri))
+    val s1 = Option(batch.agg(sum(col("tf"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    writeStats(spark, uri, n0 + docs.count(), s0 + s1, buckets)
+  }
+
+  /** Top-k BM25 against a persisted index. The query batch's distinct
+    * terms are collected (bounded: a query batch is small by
+    * definition; `maxProbeTerms` guards the contract) and pushed into
+    * the postings scan as partition (`tb isin`) + predicate
+    * (`term isin`) filters — bucket dirs prune statically, row groups
+    * prune on the sorted term column. Scoring then reuses the inline
+    * core, so results match [[bm25TopK]] pair-for-pair (pinned by the
+    * `bm25_index_gate` oracle). */
+  def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int = 10, k1: Double = 1.25, b: Double = 0.75,
+      maxProbeTerms: Int = 1 << 15, maxDfFraction: Double = 1.0): DataFrame = {
+    val (nDocs, sumDl, buckets) = readIndexStats(spark, uri)
+    val qterms = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
+      .localCheckpoint(true)
+    val terms = qterms.select("term").distinct()
+      .limit(maxProbeTerms + 1).as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    require(terms.length <= maxProbeTerms,
+      s"query batch exceeds $maxProbeTerms distinct terms — " +
+        "split the batch (the term list is pushed into the scan)")
+    // Math.floorMod == Spark's pmod for signed longs (remainderUnsigned
+    // would diverge for non-power-of-two bucket counts)
+    val tbs = terms.map(t =>
+      java.lang.Math.floorMod(xxhash64Of(t), buckets.toLong).toInt).distinct
+    val post = spark.read.parquet(postingsPath(uri))
+      .filter(col("tb").isin(tbs.map(Integer.valueOf).toSeq: _*))
+      .filter(col("term").isin(terms.toSeq: _*))
+    val scored = scoreFromPostings(post, qterms, nDocs, sumDl, k1, b, maxDfFraction)
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+    Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
+  }
+
+  /** Driver-side xxhash64 of a UTF-8 string with Spark's seed (42) —
+    * must equal the `xxhash64(term)` the writer bucketed with. */
+  private def xxhash64Of(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
   }
 }

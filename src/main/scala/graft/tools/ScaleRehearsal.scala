@@ -331,6 +331,82 @@ object ScaleRehearsal {
       println(s"[rehearsal] token_budget kept $kept rows")
     }
 
+    // ---- round-11b ops: BM25 retrieval, cross-corpus decontamination,
+    //      hierarchical assignment at large k -------------------------
+    if (runOp("bm25")) {
+      // steady-state cost: score a 200-query batch against the corpus
+      val queries = docs0.limit(200).select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.ops.Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      val (hits, tBm25) = time(
+        graft.ops.Search.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10).count())
+      results += "bm25_topk_200" -> tBm25
+      println(s"[rehearsal] bm25_topk_200: $hits result rows")
+      // persisted-index split: one-time build vs steady-state probe
+      val bmUri = s"$outDir/bm25_index"
+      val (_, tBuild) = time(
+        graft.ops.Search.buildIndex(docs, "doc_id", "text", bmUri))
+      results += "bm25_index_build" -> tBuild
+      val (ihits, tProbe) = time(
+        graft.ops.Search.bm25IndexTopK(spark, bmUri,
+          queries, "query_id", "qtext", k = 10).count())
+      results += "bm25_index_topk_200" -> tProbe
+      println(s"[rehearsal] bm25_index_topk_200: $ihits result rows")
+      // CONTEXT for the numbers above: the synthetic corpus has a
+      // ~300-term vocabulary, so every query term matches ~all docs —
+      // the 200-query batch is 200 successive worst-case full-corpus
+      // rankings (~10M scored pairs at 10x). A selective batch (terms
+      // from ONE copy's scrambled suffix, df ~ corpus/mult) shows the
+      // per-term-postings cost the index actually pays on Zipfian text:
+      if (mult > 1) {
+        val rare = docs.filter(shiftright(col("doc_id"), 24) === 5)
+          .limit(200).select((col("doc_id") + (2L << 40)).as("query_id"),
+            concat_ws(" ", slice(graft.ops.Search.termsOf(col("text")), -5, 5))
+              .as("qtext"))
+        val (rhits, tRare) = time(
+          graft.ops.Search.bm25IndexTopK(spark, bmUri,
+            rare, "query_id", "qtext", k = 10).count())
+        results += "bm25_index_rare_200" -> tRare
+        println(s"[rehearsal] bm25_index_rare_200: $rhits result rows")
+      }
+    }
+
+    if (runOp("decontam")) {
+      // eval-set shape: 500 ref docs vs the full corpus
+      val ref = docs0.limit(500)
+        .select((col("doc_id") + (1L << 40)).as("ref_id"),
+          concat(lit(" "), upper(col("text"))).as("text"))
+      val (flagged, tDecon) = time(
+        Dedup.crossNearDups(docs, "doc_id", "text",
+          ref, "ref_id", "text", threshold = 0.6).count())
+      results += "decontam_500" -> tDecon
+      println(s"[rehearsal] decontam_500: $flagged cross pairs")
+    }
+
+    if (runOp("hier_assign")) {
+      // large-k assignment throughput: flat O(k) vs two-level
+      // O(m + k*nprobe/m) dots per row at k=2048 over the full corpus
+      val k = 2048
+      val cents = graft.ops.Similarity.trainCentroids(embX, "vec_id", "embedding",
+        k, lloydSteps = 1, trainPerCentroid = 16)
+      val (_, tFlat) = time(embX.select(
+        graft.ops.Similarity.assignNarrow(col("embedding"), cents).as("c"))
+        .agg(sum("c")).head())
+      results += "assign_flat_k2048" -> tFlat
+      val (coarse, members) = graft.ops.Similarity.trainCoarse(cents, 45, spark)
+      val (_, tHier) = time(embX.select(
+        graft.ops.Similarity.assignHierarchical(col("embedding"), cents,
+          coarse, members, nprobe = 6).as("c"))
+        .agg(sum("c")).head())
+      results += "assign_hier_k2048" -> tHier
+      val agree = embX.select(
+        (graft.ops.Similarity.assignNarrow(col("embedding"), cents) ===
+          graft.ops.Similarity.assignHierarchical(col("embedding"), cents,
+            coarse, members, nprobe = 6)).cast("double").as("eq"))
+        .agg(avg("eq")).head().getDouble(0)
+      println(f"[rehearsal] hier_assign k=$k agreement=$agree%.4f")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val capJson = stats.map(s =>
       s""","buckets_over_cap":${s.getLong(1)},"max_bucket":${s.getLong(4)}""").getOrElse("")

@@ -73,6 +73,63 @@ class SearchSpec extends SparkSpec {
     assert(both(0)._1 == 0L && both(1)._1 == 1L, "equal scores order by doc_id")
   }
 
+  test("maxDfFraction: high-df terms elide; rare terms keep exact scores") {
+    // "sat" has df 2/5 = 0.4; "cat" df 1/5 = 0.2
+    val q = Seq((1L, "sat cat")).toDF("qid", "qtext")
+    val full = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val elided = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext",
+        maxDfFraction = 0.3)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val catOnly = Search.bm25Scores(docs, "doc_id", "text",
+        Seq((1L, "cat")).toDF("qid", "qtext"), "qid", "qtext")
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    assert(elided == catOnly, "eliding 'sat' must leave exactly the 'cat' scores")
+    assert(full.keySet == Set(0L, 1L) && elided.keySet == Set(0L))
+  }
+
+  test("bm25 index: probe equals inline pair-for-pair; append equals rebuild") {
+    val uri = s"target/test-bm25-idx-${System.nanoTime()}"
+    val q = Seq((0L, "cat dog sat"), (1L, "spark sentence")).toDF("qid", "qtext")
+    try {
+      Search.buildIndex(docs, "doc_id", "text", uri, buckets = 8)
+      val inline = Search.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 5)
+      val idx = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+      val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+      assert(idx.select(cols: _*).exceptAll(inline.select(cols: _*)).count() == 0L &&
+        inline.select(cols: _*).exceptAll(idx.select(cols: _*)).count() == 0L)
+      // append shifts df/avgdl for EVERYONE, exactly like a rebuild
+      val batch = Seq((50L, "a freshly appended cat sentence")).toDF("doc_id", "text")
+      Search.appendToIndex(batch, "doc_id", "text", uri)
+      val inlineAll = Search.bm25TopK(docs.unionByName(batch), "doc_id", "text",
+        q, "qid", "qtext", k = 5)
+      val idxAll = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+      assert(idxAll.select(cols: _*).exceptAll(inlineAll.select(cols: _*)).count() == 0L &&
+        inlineAll.select(cols: _*).exceptAll(idxAll.select(cols: _*)).count() == 0L)
+      // the appended doc is actually retrievable
+      assert(idxAll.filter($"doc_id" === 50L).count() > 0)
+    } finally graft.storage.VFS(spark).delete(uri)
+  }
+
+  test("bm25 index probe plan: bucket partitions prune, terms push down") {
+    val uri = s"target/test-bm25-plan-${System.nanoTime()}"
+    try {
+      Search.buildIndex(docs, "doc_id", "text", uri, buckets = 8)
+      // driver-side bucket hash must equal the writer's pmod(xxhash64)
+      val sqlTb = docs.select(explode(Search.termsOf($"text")).as("t")).distinct()
+        .select($"t", pmod(xxhash64($"t"), lit(8L)).cast("int").as("tb"))
+        .as[(String, Int)].collect()
+      val m = sqlTb.toMap
+      assert(m.nonEmpty)
+      val got = Search.bm25IndexTopK(spark, uri,
+        Seq((0L, "cat")).toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      assert(got.count() >= 1)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") && plan.contains("term"),
+        s"term filter must reach the parquet scan:\n$plan")
+    } finally graft.storage.VFS(spark).delete(uri)
+  }
+
   test("bm25 plan: postings build map-side-combines; queries broadcast") {
     val q = Seq((0L, "cat dog")).toDF("qid", "qtext")
     val plan = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
