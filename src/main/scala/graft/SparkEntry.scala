@@ -968,6 +968,18 @@ object SparkEntry {
         (col("agree") >= 0.85).as("agree_ok"))
     }),
 
+    // embedding-space decontamination: every corpus vector within
+    // cosine 0.99 of a reference vector (refs = every 50th embedding
+    // re-idd) — hash-exact, DuckDB replays the dot/norm arithmetic on
+    // DOUBLE[] with the same operation order as the DotF kernel
+    "embedding_decontam" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val ref = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("ref_id"), col("embedding"))
+      Similarity.crossCosineMatches(e, "vec_id", "embedding",
+        ref, "ref_id", "embedding", minCosine = 0.99)
+    }),
+
     // cross-corpus decontamination gate: the ref set is every 25th
     // doc's text mangled only in ways shingle normalization undoes
     // (case, extra whitespace), so each planted (corpus, ref) pair
@@ -1830,6 +1842,28 @@ object SparkEntry {
         lit(q.getAs[java.math.BigDecimal]("sum").doubleValue()).as("sum_qty"),
         lit(second == 0).as("incremental_ok"),
         lit(math.abs(ndv - exactNdv) / exactNdv < 0.05).as("ndv_ok"))
+    }),
+
+    // mergeable histogram quantiles: per-fragment equi-width counts
+    // over pinned bounds merge exactly; the p50 estimate must land
+    // within one bucket width of DuckDB's exact median (deterministic
+    // bound — estimate and true value share the rank's bucket), and a
+    // second write pass must be a no-op (incremental)
+    "hist_quantile_gate" -> ((s, d) => {
+      val uri = ttLineitem(s, d)
+      val (lo, hi, nb) = (0.0, 51.0, 51)
+      graft.ops.Profile.writeFragmentHistograms(s, uri, "l_quantity", lo, hi, nb)
+      val second = graft.ops.Profile.writeFragmentHistograms(s, uri, "l_quantity", lo, hi, nb)
+      val hist = graft.ops.Profile.mergedHistogram(s, uri, "l_quantity")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val est = graft.ops.Profile.histogramQuantile(hist, lo, hi, nb, 0.5)
+      val exact = t(s, d, "lineitem")
+        .agg(percentile(col("l_quantity").cast("double"), lit(0.5))).head().getDouble(0)
+      val width = (hi - lo) / nb
+      s.range(1).select(
+        lit(hist.map(_._2).sum).as("n_rows"),
+        lit(second == 0).as("incremental_ok"),
+        lit(math.abs(est - exact) <= width).as("p50_in_bound"))
     }),
 
     // --- as-of join: each click matched to the user's most recent
@@ -2776,6 +2810,15 @@ object SparkEntry {
       "CAST(0 AS BIGINT) AS planted_missed, " +
       "true AS planted_exact, true AS contaminated_found " +
       "FROM documents WHERE doc_id % 25 = 0"),
+    "embedding_decontam" -> ("WITH c AS (SELECT vec_id, " +
+      "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "r AS (SELECT vec_id + 1000000 AS ref_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "p AS (SELECT c.vec_id AS corpus_id, r.ref_id, " +
+      "list_dot_product(c.v, r.v) / (sqrt(list_dot_product(c.v, c.v)) * " +
+      "sqrt(list_dot_product(r.v, r.v))) AS cosine FROM c JOIN r ON true) " +
+      "SELECT corpus_id, ref_id, round(cosine, 6) AS cosine " +
+      "FROM p WHERE cosine >= 0.99"),
     "embedding_classify_gate" -> ("SELECT " +
       "count(*) FILTER (WHERE vec_id % 5 <> 0) AS n_train, " +
       "count(*) FILTER (WHERE vec_id % 5 = 0) AS n_test, " +
@@ -2784,6 +2827,8 @@ object SparkEntry {
       "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
       "CAST(sum(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_qty, " +
       "true AS incremental_ok, true AS ndv_ok FROM lineitem"),
+    "hist_quantile_gate" -> ("SELECT count(l_quantity) AS n_rows, " +
+      "true AS incremental_ok, true AS p50_in_bound FROM lineitem"),
     "minhash_recall" -> "SELECT true AS recall_ok",
     "minhash_index_gate" -> ("SELECT true AS planted_found, true AS fresh_clean, " +
       "true AS paths_agree"),

@@ -121,6 +121,89 @@ object Profile {
     todo.size
   }
 
+  // ------------------------------------- incremental quantile histograms
+
+  /** Per-fragment equi-width HISTOGRAMS for a numeric column over
+    * fixed global bounds — the mergeable quantile complement to the
+    * HLL sketches ([[profile]]'s exact `percentile` does not merge).
+    * Bucket counts add exactly across fragments/appends, so the merge
+    * reads only the tiny histogram files, and the quantile estimate
+    * carries a DETERMINISTIC error bound: the estimate and the true
+    * quantile value share a bucket, so |est - exact| <= bucket width
+    * (pinned by the `hist_quantile_gate` oracle).
+    *
+    * Bounds are pinned in a `_bounds.json` sidecar on first write and
+    * re-checked on every incremental call — a fragment histogrammed
+    * against different bounds would merge into garbage. Out-of-bounds
+    * values clamp into the end buckets (the bound still holds for
+    * quantiles that land strictly inside the range). */
+  def writeFragmentHistograms(spark: org.apache.spark.sql.SparkSession,
+      uri: String, colName: String, lo: Double, hi: Double,
+      buckets: Int = 64): Int = {
+    require(hi > lo && buckets >= 2, s"bad histogram spec [$lo, $hi] x $buckets")
+    import graft.storage.ArrayTable
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val dir = s"$uri/__profile_hist/$colName"
+    val boundsPath = s"$dir/_bounds.json"
+    if (fs.exists(boundsPath)) {
+      val o = parse(fs.readString(boundsPath)).obj
+      def d(k: String) = o(k).getOrElse(sys.error(s"bounds missing $k")).dbl
+      require(d("lo") == lo && d("hi") == hi && d("buckets").toInt == buckets,
+        s"histogram bounds mismatch at $dir: stored " +
+          s"[${d("lo")}, ${d("hi")}] x ${d("buckets").toInt}, asked [$lo, $hi] x $buckets")
+    } else fs.writeString(boundsPath, render(JObj(Seq(
+      "lo" -> JNum(lo), "hi" -> JNum(hi), "buckets" -> JLong(buckets)))))
+    val done = fs.ls(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
+    val todo = ArrayTable.fragments(spark, uri).filterNot(f => done(f.name))
+    val width = (hi - lo) / buckets
+    todo.foreach { f =>
+      val df = spark.read.parquet(s"${f.path}/data")
+      df.select(col(colName).cast("double").as("__v")).filter(col("__v").isNotNull)
+        .select(least(greatest(floor((col("__v") - lit(lo)) / lit(width)), lit(0.0)),
+          lit((buckets - 1).toDouble)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/${f.name}.parquet")
+    }
+    todo.size
+  }
+
+  /** Merged (bucket, cnt) counts over the LIVE fragments — sketch
+    * files only, no data reads. */
+  def mergedHistogram(spark: org.apache.spark.sql.SparkSession,
+      uri: String, colName: String): DataFrame = {
+    import graft.storage.ArrayTable
+    val live = ArrayTable.fragments(spark, uri).map(_.name)
+    spark.read.parquet(
+        live.map(n => s"$uri/__profile_hist/$colName/$n.parquet"): _*)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile estimate from a merged histogram: find the bucket
+    * holding rank ceil(q*n), interpolate linearly inside it. The true
+    * q-quantile value lies in the same bucket (both are determined by
+    * that rank), so |estimate - exact| <= (hi-lo)/buckets for
+    * quantiles strictly inside the bounds. */
+  def histogramQuantile(hist: Seq[(Int, Long)], lo: Double, hi: Double,
+      buckets: Int, q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0)
+    val width = (hi - lo) / buckets
+    val sorted = hist.sortBy(_._1)
+    val n = sorted.map(_._2).sum
+    if (n == 0) return Double.NaN
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    var cum = 0L
+    for ((b, cnt) <- sorted) {
+      if (cum + cnt >= target) {
+        val frac = (target - cum).toDouble / cnt
+        return lo + width * (b + frac)
+      }
+      cum += cnt
+    }
+    hi
+  }
+
   /** Merge the per-fragment sketches of the LIVE fragment set into one
     * profile row per column: exact n/nulls/min/max/sum plus the HLL
     * union's distinct estimate. Reads sketch files only — no data. */

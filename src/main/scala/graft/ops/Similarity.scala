@@ -86,6 +86,27 @@ object Similarity {
       .select(col(keyCol), col(idCol), negate(col("__ns")).as(scoreCol), col("rank"))
   }
 
+  /** Cross-corpus SEMANTIC decontamination: every corpus row whose
+    * embedding is >= `minCosine` close to ANY reference embedding
+    * (eval set, held-out split) — the embedding-space sibling of
+    * [[Dedup.crossNearDups]]. The reference side is eval-set-sized by
+    * definition, so it broadcasts and the corpus side is ONE narrow
+    * pass (per-row dots against the broadcast rows — no shuffle, no
+    * top-k state); norms compute once per row on each side. Returns
+    * (corpus_id, ref_id, cosine >= minCosine). */
+  def crossCosineMatches(corpus: DataFrame, corpusId: String, corpusVec: String,
+      ref: DataFrame, refId: String, refVec: String,
+      minCosine: Double = 0.99): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val r = ref.select(col(refId).as("ref_id"), col(refVec).as("__rv"))
+      .withColumn("__rn", norm(col("__rv")))
+    c.join(broadcast(r))
+      .withColumn("cosine", dot(col("__cv"), col("__rv")) / (col("__cn") * col("__rn")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("corpus_id"), col("ref_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k nearest
     * corpus rows. Queries are broadcast (small side); the corpus side
     * never shuffles — per-partition bounded heaps reduce the scored set

@@ -549,6 +549,21 @@ class OpsSpec extends SparkSpec {
     assert(capped == 0L, "corpus side over cap drops the whole bucket")
   }
 
+  test("semanticNearDups with coarseProbe: exact duplicates still structural") {
+    val base = (0 until 120).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 11 + j * 5).toFloat)))
+    val planted = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 1000L, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticNearDups(df, "vec_id", "embedding",
+      nClusters = 12, minCosine = 0.999, coarseProbe = Some((4, 1)))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // identical vectors share any deterministic assignment, so every
+    // planted pair surfaces even at the stingiest probe depth
+    for (id <- base.map(_._1).filter(_ % 10 == 0))
+      assert(pairs.contains((id, id + 1000L)), s"planted pair $id missing")
+  }
+
   test("hierarchical assignment: probe-all degenerates to EXACTLY flat") {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 13 + j * 7).toFloat)))

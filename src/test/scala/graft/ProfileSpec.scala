@@ -90,4 +90,41 @@ class ProfileSpec extends SparkSpec {
     // no mislabeled ("a", "b__count")-style keys
     assert(!p.keySet.exists(_._2.contains("__")))
   }
+
+  test("histogram quantiles: exact merges, bounded error at every q, pinned bounds") {
+    val uri = TestSession.tmpDir("profile-hist")
+    // values 0..999 split across two fragments by parity
+    val all = (0 until 1000).map(i => (i.toLong, i.toDouble))
+    val df = all.toDF("id", "v")
+    ArrayTable.ingest(spark, df.filter($"id" % 2 === 0), uri, Seq("id"),
+      tsOpt = Some(1000L), overwrite = true)
+    ArrayTable.ingest(spark, df.filter($"id" % 2 =!= 0), uri, Seq("id"),
+      tsOpt = Some(2000L))
+    val (lo, hi, nb) = (0.0, 1000.0, 40)
+    assert(Profile.writeFragmentHistograms(spark, uri, "v", lo, hi, nb) == 2)
+    assert(Profile.writeFragmentHistograms(spark, uri, "v", lo, hi, nb) == 0,
+      "second pass must be a no-op")
+    // different bounds must refuse (merging mixed bounds = garbage)
+    intercept[IllegalArgumentException](
+      Profile.writeFragmentHistograms(spark, uri, "v", lo, 999.0, nb))
+    val hist = Profile.mergedHistogram(spark, uri, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(hist.map(_._2).sum == 1000L)
+    // merged counts equal a direct whole-data histogram
+    assert(hist.sortBy(_._1) == (0 until nb).map(b => (b, 25L)))
+    val width = (hi - lo) / nb
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = Profile.histogramQuantile(hist, lo, hi, nb, q)
+      val exact = df.agg(percentile($"v", lit(q))).head().getDouble(0)
+      assert(math.abs(est - exact) <= width,
+        s"q=$q est=$est exact=$exact width=$width")
+    }
+    // incremental: a third fragment shifts the merge by exactly its counts
+    ArrayTable.ingest(spark, Seq((5000L, 999.5)).toDF("id", "v"), uri,
+      Seq("id"), tsOpt = Some(3000L))
+    assert(Profile.writeFragmentHistograms(spark, uri, "v", lo, hi, nb) == 1)
+    val hist2 = Profile.mergedHistogram(spark, uri, "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(hist2(nb - 1) == 26L && hist2.values.sum == 1001L)
+  }
 }

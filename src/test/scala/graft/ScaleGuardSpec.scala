@@ -157,6 +157,28 @@ class ScaleGuardSpec extends SparkSpec {
       s"unexpected broadcast/window in semantic-dedup plan:\n${plan(pairs)}")
   }
 
+  test("bm25: query terms broadcast, top-k via heaps, no corpus windows") {
+    val q = Seq((0L, "document topic"), (1L, "filler template")).toDF("qid", "qtext")
+    val top = graft.ops.Search.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 5)
+    assert(broadcasts(top).nonEmpty,
+      s"query-term table must broadcast into the postings stream:\n${plan(top)}")
+    assert(windows(top).isEmpty,
+      s"bm25 top-k must use bounded heaps, not a rank window:\n${plan(top)}")
+    assert(singlePartExchanges(top).isEmpty,
+      s"single-partition shuffle in bm25 plan:\n${plan(top)}")
+  }
+
+  test("crossNearDups: one bucket shuffle spine, no windows, cross-only") {
+    val ref = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000L).as("ref_id"), upper($"text").as("text"))
+    val pairs = Dedup.crossNearDups(docs, "doc_id", "text",
+      ref, "ref_id", "text", threshold = 0.5)
+    assert(windows(pairs).isEmpty,
+      s"window in cross-dedup plan:\n${plan(pairs)}")
+    assert(singlePartExchanges(pairs).isEmpty,
+      s"single-partition shuffle in cross-dedup plan:\n${plan(pairs)}")
+  }
+
   test("stratified sample: picked ids broadcast, corpus never re-shuffles") {
     val sampled = graft.ops.Curation.stratifiedSample(docs, "text", "doc_id", 3)
     assert(broadcasts(sampled).nonEmpty,
