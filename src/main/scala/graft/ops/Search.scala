@@ -176,6 +176,20 @@ object Search {
   private def termBucket(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
 
+  /** Read a postings dir, tolerating the empty-corpus case: Spark
+    * writes an EMPTY partitioned parquet dir with no schema footprint
+    * (just _SUCCESS), which `read.parquet` then refuses to infer —
+    * an index built over zero docs (the streaming bootstrap shape)
+    * must still probe cleanly. doc_id falls back to long. */
+  private def readPostingsOrEmpty(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "term string, doc_id bigint, tf bigint, dl bigint, tb int"))
+    }
+
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
       uri: String, nDocs: Long, sumDl: Long, buckets: Int): Unit = {
     import graft.core.Json._
@@ -210,7 +224,7 @@ object Search {
       .write.partitionBy("tb").parquet(postingsPath(uri))
     // stats from the JUST-WRITTEN postings (sum(dl) = sum(tf)) + a
     // metadata-only row count — no second corpus text pass
-    val sumDl = Option(spark.read.parquet(postingsPath(uri))
+    val sumDl = Option(readPostingsOrEmpty(spark, postingsPath(uri))
       .agg(sum(col("tf"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     writeStats(spark, uri, docs.count(), sumDl, buckets)
@@ -221,7 +235,12 @@ object Search {
     * at probe time from the complete per-term postings); idf and the
     * length normalizer shift for ALL queries as the corpus grows —
     * exactly BM25's definition, and the index path stays equal to an
-    * inline run over corpus ∪ batch. */
+    * inline run over corpus ∪ batch.
+    *
+    * NOT idempotent (a replay double-appends) and writes the legacy
+    * root stats that a compacted generation supersedes — for streaming
+    * / retry-prone ingest use [[appendBatchToIndex]] + [[compactIndex]]
+    * instead, and don't mix the two append styles on one index. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
       uri: String): Unit = {
     val spark = docs.sparkSession
@@ -236,6 +255,102 @@ object Search {
     writeStats(spark, uri, n0 + docs.count(), s0 + s1, buckets)
   }
 
+  // --- incremental batch appends (idempotent, streaming-safe) ---
+
+  private def incPath(uri: String) = s"$uri/postings_inc"
+
+  /** The live index state: base postings generation (VersionedDir —
+    * compaction flips reader-safely), the pending per-batch inc dirs
+    * NOT yet folded into that generation, and the summed exact stats.
+    * A batch dir only counts once its `_stats.json` exists (written
+    * AFTER its postings — the sidecar doubles as the commit marker),
+    * and a generation records which batch tags it already folded, so
+    * a crash between commit and inc-cleanup never double-counts. */
+  private def liveState(spark: org.apache.spark.sql.SparkSession,
+      uri: String): (String, Seq[String], Long, Long, Int) = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val base = graft.storage.VersionedDir.resolve(fs, uri, "postings")
+    val genStatsPath = s"$base/_genstats.json"
+    val (n0, s0, folded) =
+      if (fs.exists(genStatsPath)) {
+        val o = parse(fs.readString(genStatsPath)).obj
+        (o("nDocs").get.long, o("sumDl").get.long,
+          o("tags").map(_.arr.map(_.str).toSet).getOrElse(Set.empty[String]))
+      } else { // legacy layout: stats beside the index root
+        val (n, s, _) = readIndexStats(spark, uri)
+        (n, s, Set.empty[String])
+      }
+    val incs =
+      if (!fs.exists(incPath(uri))) Seq.empty
+      else fs.ls(incPath(uri))
+        .filter(d => !folded(d.substring(d.lastIndexOf('/') + 1)))
+        .filter(d => fs.exists(s"$d/_stats.json")).sorted
+    val (n1, s1) = incs.foldLeft((n0, s0)) { case ((n, s), d) =>
+      val o = parse(fs.readString(s"$d/_stats.json")).obj
+      (n + o("nDocs").get.long, s + o("sumDl").get.long)
+    }
+    val buckets = readIndexStats(spark, uri)._3
+    (base, incs, n1, s1, buckets)
+  }
+
+  /** IDEMPOTENT per-batch append — the streaming-safe form of
+    * [[appendToIndex]]: the batch's postings land in their own
+    * `postings_inc/<tag>/` directory with a per-batch stats sidecar
+    * written last. Replaying the same tag (micro-batch retry, crash
+    * replay) OVERWRITES the same directory — effectively-once, where
+    * the plain parquet-append + global-stats-bump of [[appendToIndex]]
+    * would double postings AND stats. Probes union the base
+    * generation with pending batch dirs; [[compactIndex]] folds them
+    * into a new base generation reader-safely. */
+  def appendBatchToIndex(docs: DataFrame, idCol: String, textCol: String,
+      uri: String, tag: String): Unit = {
+    require(tag.nonEmpty && !tag.contains('/'), s"bad batch tag '$tag'")
+    import graft.core.Json._
+    val spark = docs.sparkSession
+    val fs = graft.storage.VFS(spark)
+    val buckets = readIndexStats(spark, uri)._3
+    val dir = s"${incPath(uri)}/$tag"
+    fs.delete(dir)
+    val batch = postings(docs, idCol, textCol).localCheckpoint(true)
+    batch.withColumn("tb", termBucket(col("term"), buckets))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.partitionBy("tb").parquet(s"$dir/postings")
+    val s1 = Option(batch.agg(sum(col("tf"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    fs.writeString(s"$dir/_stats.json", render(JObj(Seq(
+      "nDocs" -> JLong(docs.count()), "sumDl" -> JLong(s1)))))
+  }
+
+  /** Fold pending batch dirs into a NEW base postings generation
+    * (re-bucketed, re-sorted — restores footer-stat pruning that
+    * per-batch files dilute), flipping generations through
+    * [[graft.storage.VersionedDir]]: a concurrent probe always
+    * resolves a complete generation, and a crash at any point leaves
+    * a consistent index (the generation's folded-tags list excludes
+    * not-yet-deleted inc dirs from double-counting). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val (base, incs, n, sumDl, _) = liveState(spark, uri)
+    if (incs.isEmpty) return
+    val target = graft.storage.VersionedDir.next(fs, uri, "postings")
+    val all = (readPostingsOrEmpty(spark, base) +: incs.map(d =>
+        readPostingsOrEmpty(spark, s"$d/postings")))
+      .map(_.select("term", "doc_id", "tf", "dl", "tb"))
+      .reduce(_ unionByName _)
+    all.repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.partitionBy("tb").parquet(target)
+    val tags = incs.map(d => d.substring(d.lastIndexOf('/') + 1))
+    fs.writeString(s"$target/_genstats.json", render(JObj(Seq(
+      "nDocs" -> JLong(n), "sumDl" -> JLong(sumDl),
+      "tags" -> JArr(tags.map(JStr))))))
+    graft.storage.VersionedDir.commit(fs, uri, "postings", target)
+    incs.foreach(d => fs.delete(d))
+  }
+
   /** Top-k BM25 against a persisted index. The query batch's distinct
     * terms are collected (bounded: a query batch is small by
     * definition; `maxProbeTerms` guards the contract) and pushed into
@@ -243,12 +358,12 @@ object Search {
     * (`term isin`) filters — bucket dirs prune statically, row groups
     * prune on the sorted term column. Scoring then reuses the inline
     * core, so results match [[bm25TopK]] pair-for-pair (pinned by the
-    * `bm25_index_gate` oracle). */
+    * `bm25_index_topk` oracle and `SearchSpec`). */
   def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.25, b: Double = 0.75,
       maxProbeTerms: Int = 1 << 15, maxDfFraction: Double = 1.0): DataFrame = {
-    val (nDocs, sumDl, buckets) = readIndexStats(spark, uri)
+    val (base, incs, nDocs, sumDl, buckets) = liveState(spark, uri)
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
       .localCheckpoint(true)
@@ -262,9 +377,12 @@ object Search {
     // would diverge for non-power-of-two bucket counts)
     val tbs = terms.map(t =>
       java.lang.Math.floorMod(xxhash64Of(t), buckets.toLong).toInt).distinct
-    val post = spark.read.parquet(postingsPath(uri))
+    def pruned(path: String) = readPostingsOrEmpty(spark, path)
       .filter(col("tb").isin(tbs.map(Integer.valueOf).toSeq: _*))
       .filter(col("term").isin(terms.toSeq: _*))
+      .select("term", "doc_id", "tf", "dl")
+    val post = (pruned(base) +: incs.map(d => pruned(s"$d/postings")))
+      .reduce(_ unionByName _)
     val scored = scoreFromPostings(post, qterms, nDocs, sumDl, k1, b, maxDfFraction)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
     Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)

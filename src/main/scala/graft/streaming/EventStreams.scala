@@ -167,6 +167,31 @@ object EventStreams {
     *
     * The target array must exist; the index must have been built
     * (possibly over an empty frame) with the desired params. */
+  /** Continuous ingest that keeps a BM25 search index fresh: each
+    * micro-batch commits to the MVCC sink array AND lands in the
+    * index as its own idempotent batch directory
+    * ([[graft.ops.Search.appendBatchToIndex]] keyed by batch id —
+    * a replayed batch overwrites its own directory, so postings and
+    * corpus stats never double-count, matching the sink's
+    * fragment-timestamp exactly-once). Run
+    * [[graft.ops.Search.compactIndex]] periodically (maintenance,
+    * reader-safe generation flip) to restore footer-stat pruning that
+    * many small batch dirs dilute. */
+  def searchIndexStream(docs: DataFrame, idCol: String, textCol: String,
+      indexUri: String, sinkUri: String, checkpoint: String,
+      tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        commitStreamBatch(b, sinkUri, tsForBatch(batchId))
+        graft.ops.Search.appendBatchToIndex(b, idCol, textCol, indexUri,
+          s"batch-$batchId")
+        ()
+      }
+      .start()
+
   def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
       threshold: Double = 0.7,

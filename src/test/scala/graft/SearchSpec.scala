@@ -111,6 +111,40 @@ class SearchSpec extends SparkSpec {
     } finally graft.storage.VFS(spark).delete(uri)
   }
 
+  test("bm25 batch appends: idempotent replay, compact folds, probes stay exact") {
+    val uri = s"target/test-bm25-inc-${System.nanoTime()}"
+    val q = Seq((0L, "cat dog sat"), (1L, "appended spark")).toDF("qid", "qtext")
+    val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+    def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.select(cols: _*).exceptAll(y.select(cols: _*)).count() == 0L &&
+        y.select(cols: _*).exceptAll(x.select(cols: _*)).count() == 0L
+    try {
+      Search.buildIndex(docs, "doc_id", "text", uri, buckets = 8)
+      val b1 = Seq((50L, "an appended cat doc")).toDF("doc_id", "text")
+      val b2 = Seq((51L, "another appended spark doc")).toDF("doc_id", "text")
+      Search.appendBatchToIndex(b1, "doc_id", "text", uri, "batch-1")
+      // REPLAY of the same tag must be a no-op in effect
+      Search.appendBatchToIndex(b1, "doc_id", "text", uri, "batch-1")
+      Search.appendBatchToIndex(b2, "doc_id", "text", uri, "batch-2")
+      val full = docs.unionByName(b1).unionByName(b2)
+      val inline = Search.bm25TopK(full, "doc_id", "text", q, "qid", "qtext", k = 5)
+      val probed = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+      assert(same(probed, inline), "probe over base+batches must equal inline")
+      Search.compactIndex(spark, uri)
+      val compacted = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+      assert(same(compacted, inline), "probe after compact must equal inline")
+      // the folded generation carries its own stats; a crashed
+      // not-yet-deleted inc dir with a folded tag must not double-count
+      graft.storage.VFS(spark).writeString(
+        s"$uri/postings_inc/batch-1/_stats.json", "{\"nDocs\":1,\"sumDl\":4}")
+      val ghost = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+      assert(same(ghost, inline), "re-materialized folded tag must be ignored")
+      // compact with nothing pending is a no-op
+      Search.compactIndex(spark, uri)
+      assert(same(Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5), inline))
+    } finally graft.storage.VFS(spark).delete(uri)
+  }
+
   test("bm25 index probe plan: bucket partitions prune, terms push down") {
     val uri = s"target/test-bm25-plan-${System.nanoTime()}"
     try {

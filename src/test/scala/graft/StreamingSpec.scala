@@ -170,4 +170,45 @@ class StreamingSpec extends SparkSpec {
       assert(reprobe.collect().exists(_.getLong(1) == 6L))
     } finally { q.stop() }
   }
+
+  test("streaming search-index ingest: probes equal inline at every step") {
+    import graft.storage.ArrayTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val indexUri = TestSession.tmpDir("stream-bm25-index")
+    val sinkUri = TestSession.tmpDir("stream-bm25-sink")
+    val docSchema = Seq((0L, "")).toDF("doc_id", "text").schema
+    graft.ops.Search.buildIndex(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        docSchema), "doc_id", "text", indexUri, buckets = 8)
+    ArrayTable.create(spark, sinkUri,
+      graft.core.ArraySchema.infer(docSchema, Seq("doc_id"))
+        .copy(allowsDuplicates = true))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.searchIndexStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", indexUri, sinkUri, TestSession.tmpDir("stream-bm25-ckpt"))
+    val queries = Seq((0L, "cats sleep warm")).toDF("qid", "qtext")
+    val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+    def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.select(cols: _*).exceptAll(y.select(cols: _*)).count() == 0L &&
+        y.select(cols: _*).exceptAll(x.select(cols: _*)).count() == 0L
+    try {
+      in.addData((1L, "cats sleep on warm windowsills"), (2L, "dogs chase the mail"))
+      q.processAllAvailable()
+      in.addData((3L, "warm cats sleep all day"), (4L, "spark jobs shuffle data"))
+      q.processAllAvailable()
+      val corpus = ArrayTable.read(spark, sinkUri).select("doc_id", "text")
+      val inline = graft.ops.Search.bm25TopK(corpus, "doc_id", "text",
+        queries, "qid", "qtext", k = 4)
+      val probed = graft.ops.Search.bm25IndexTopK(spark, indexUri,
+        queries, "qid", "qtext", k = 4)
+      assert(probed.count() > 0)
+      assert(same(probed, inline),
+        "streaming-maintained index must score exactly like inline over the sink")
+      // maintenance compact keeps equality
+      graft.ops.Search.compactIndex(spark, indexUri)
+      assert(same(graft.ops.Search.bm25IndexTopK(spark, indexUri,
+        queries, "qid", "qtext", k = 4), inline))
+    } finally { q.stop() }
+  }
 }
