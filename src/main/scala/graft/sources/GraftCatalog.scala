@@ -273,7 +273,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("consolidate", "vacuum", "upgrade_version", "delete_fragments",
-      "profile").map(n => Identifier.of(Array("system"), n))
+      "profile", "histogram").map(n => Identifier.of(Array("system"), n))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name match {
     case "consolidate" => proc("consolidate",
@@ -330,8 +330,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     }
+    case "histogram" => new UnboundProcedure {
+      override def name(): String = "histogram"
+      override def description(): String =
+        "incrementally histogram fragments not yet histogrammed " +
+          "(mergeable equi-width quantile sketches under __profile_hist/)"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "histogram"
+        override def description(): String = "incremental quantile histograms"
+        override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+          ProcedureParameter.in("column", StringType).build(),
+          ProcedureParameter.in("lo", org.apache.spark.sql.types.DoubleType).build(),
+          ProcedureParameter.in("hi", org.apache.spark.sql.types.DoubleType).build(),
+          ProcedureParameter.in("buckets", LongType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[
+            org.apache.spark.sql.connector.read.Scan] = {
+          val uri = tableUri(input.getString(0))
+          val written = graft.ops.Profile.writeFragmentHistograms(spark, uri,
+            input.getString(1).toString, input.getDouble(2), input.getDouble(3),
+            input.getLong(4).toInt)
+          val total = ArrayTable.fragments(spark, uri).size
+          val schema = new StructType()
+            .add("fragments", LongType).add("histogrammed_new", LongType)
+          java.util.Collections.singletonList(
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(total.toLong, written.toLong))
+              override def readSchema(): StructType = schema
+              override def description(): String = "graft histogram status"
+            }: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+    }
     case other => throw new RuntimeException(
       s"unknown graft procedure '$other' (have: consolidate, vacuum, " +
-        "upgrade_version, delete_fragments, profile)")
+        "upgrade_version, delete_fragments, profile, histogram)")
   }
 }

@@ -364,6 +364,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(prof("v").getAs[java.math.BigDecimal]("sum").doubleValue() == 10.0)
   }
 
+  test("CALL system.histogram: incremental mergeable quantile sketches via SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.hist")
+    spark.sql("CREATE TABLE g.hist.t (x BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('dims'='x', 'allowsDuplicates'='true')")
+    spark.sql("INSERT INTO g.hist.t VALUES (1, 5.0), (2, 15.0)")
+    spark.sql("INSERT INTO g.hist.t VALUES (3, 25.0), (4, 35.0)")
+    def call() = {
+      val r = spark.sql(
+        "CALL g.system.histogram('hist.t', 'v', 0.0D, 40.0D, 4L)").collect()(0)
+      (r.getLong(0), r.getLong(1)) // (fragments, histogrammed_new)
+    }
+    assert(call() == ((2L, 2L)))
+    assert(call() == ((2L, 0L)), "second call is a no-op")
+    val hist = graft.ops.Profile.mergedHistogram(spark, s"$root/hist/t", "v")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    assert(hist == Seq((0, 1L), (1, 1L), (2, 1L), (3, 1L)))
+    val est = graft.ops.Profile.histogramQuantile(hist, 0.0, 40.0, 4, 0.5)
+    assert(math.abs(est - 15.0) <= 10.0)
+  }
+
   test("DELETE keeps NULL-predicate rows; NOT IN with NULL never mass-deletes") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.nul")
