@@ -399,12 +399,15 @@ object ScaleRehearsal {
           coarse, members, nprobe = 6).as("c"))
         .agg(sum("c")).head())
       results += "assign_hier_k2048" -> tHier
-      val agree = embX.select(
-        (graft.ops.Similarity.assignNarrow(col("embedding"), cents) ===
-          graft.ops.Similarity.assignHierarchical(col("embedding"), cents,
-            coarse, members, nprobe = 6)).cast("double").as("eq"))
-        .agg(avg("eq")).head().getDouble(0)
-      println(f"[rehearsal] hier_assign k=$k agreement=$agree%.4f")
+      // agreement-vs-probe-depth curve (cost O(m + k*nprobe/m) per row)
+      for (np <- Seq(3, 6, 12, 24)) {
+        val agree = embX.select(
+          (graft.ops.Similarity.assignNarrow(col("embedding"), cents) ===
+            graft.ops.Similarity.assignHierarchical(col("embedding"), cents,
+              coarse, members, nprobe = np)).cast("double").as("eq"))
+          .agg(avg("eq")).head().getDouble(0)
+        println(f"[rehearsal] hier_assign k=$k nprobe=$np agreement=$agree%.4f")
+      }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
