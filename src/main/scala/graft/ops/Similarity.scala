@@ -47,7 +47,28 @@ object Similarity {
     * Comparable for deterministic tie-breaks (score desc, id asc). */
   def topKPerKey(scored: DataFrame, keyCol: String, idCol: String,
       scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val proj = scored.select(col(keyCol), col(idCol), col(scoreCol).cast("double"))
+    val primitive = proj.schema(0).dataType == LongType &&
+      proj.schema(1).dataType == LongType
+    val reduced = if (primitive) topKReducePrimitive(proj, k)
+                  else topKReduceGeneric(proj, k)
+    // merge partials: sort-truncate inside an aggregate (partial agg
+    // applies map-side), then explode ranks. negate(score) makes the
+    // struct's natural ascending sort = (score desc, id asc).
+    reduced
+      .groupBy(col(keyCol))
+      .agg(slice(array_sort(collect_list(
+        struct(negate(col(scoreCol).cast("double")).as("__ns"), col(idCol)))),
+        1, k).as("__top"))
+      .select(col(keyCol), posexplode(col("__top")))
+      .select(col(keyCol), col("col.*"), (col("pos") + 1).cast("long").as("rank"))
+      .select(col(keyCol), col(idCol), negate(col("__ns")).as(scoreCol), col("rank"))
+  }
+
+  /** Row-based per-partition heap pass — works for any Comparable id
+    * type. Kept set per key = top-k by (score desc, id asc). */
+  private def topKReduceGeneric(proj: DataFrame, k: Int): DataFrame = {
     implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
       org.apache.spark.sql.Encoders.row(proj.schema)
     def cmpIds(a: Any, b: Any): Int =
@@ -60,7 +81,7 @@ object Similarity {
         if (c != 0) c else cmpIds(x._2, y._2)
       }
     }
-    val reduced = proj.mapPartitions { rows =>
+    proj.mapPartitions { rows =>
       val heaps = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.PriorityQueue[(Double, Any)]]
       rows.foreach { r =>
@@ -73,17 +94,25 @@ object Similarity {
         heap.iterator.map(e => org.apache.spark.sql.Row(key, e._2, e._1))
       }
     }
-    // merge partials: sort-truncate inside an aggregate (partial agg
-    // applies map-side), then explode ranks. negate(score) makes the
-    // struct's natural ascending sort = (score desc, id asc).
-    reduced
-      .groupBy(col(keyCol))
-      .agg(slice(array_sort(collect_list(
-        struct(negate(col(scoreCol).cast("double")).as("__ns"), col(idCol)))),
-        1, k).as("__top"))
-      .select(col(keyCol), posexplode(col("__top")))
-      .select(col(keyCol), col("col.*"), (col("pos") + 1).cast("long").as("rank"))
-      .select(col(keyCol), col(idCol), negate(col("__ns")).as(scoreCol), col("rank"))
+  }
+
+  /** Primitive fast path for (long key, long id): array-backed bounded
+    * heaps, no Row allocation / boxed-Comparable dispatch per input
+    * row. Same kept set and tie rule as [[topKReduceGeneric]] —
+    * top-k by (score desc, id asc), pinned by `OpsSpec` equality. */
+  private def topKReducePrimitive(proj: DataFrame, k: Int): DataFrame = {
+    val names = proj.columns.toSeq
+    val session = proj.sparkSession
+    import session.implicits._
+    proj.as[(Long, Long, Double)].mapPartitions { rows =>
+      val heaps = scala.collection.mutable.LongMap.empty[LongTopKHeap]
+      rows.foreach { case (key, id, s) =>
+        heaps.getOrElseUpdate(key, new LongTopKHeap(k)).offer(s, id)
+      }
+      heaps.iterator.flatMap { case (key, h) =>
+        h.drain().map { case (s, id) => (key, id, s) }
+      }
+    }.toDF(names: _*)
   }
 
   /** Cross-corpus SEMANTIC decontamination: every corpus row whose
@@ -555,4 +584,44 @@ object Similarity {
     * round-trip error bound is scale/2 per component. */
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("float") * q.getField("scale"))
+}
+
+/** Bounded binary heap over (score, id) keeping the top-k by
+  * (score desc, id asc). Root is the WORST kept entry ("worse" =
+  * lower score, tie -> larger id), so an incoming candidate either
+  * beats the root and replaces it or is discarded in O(1).
+  * Parallel primitive arrays — constructed per key inside a
+  * mapPartitions task, never serialized. */
+private final class LongTopKHeap(k: Int) {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+  // is (s1, i1) worse than (s2, i2)?
+  private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 < s2 || (s1 == s2 && i1 > i2)
+  def offer(s: Double, id: Long): Unit =
+    if (n < k) {
+      var i = n; scores(i) = s; ids(i) = id; n += 1
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(scores(i), ids(i), scores(p), ids(p))) { swap(i, p); i = p }
+        else return
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1; var w = i
+        if (l < n && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+        if (r < n && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+        if (w == i) return
+        swap(i, w); i = w
+      }
+    }
+  private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val t = ids(a); ids(a) = ids(b); ids(b) = t
+  }
+  def drain(): Iterator[(Double, Long)] =
+    (0 until n).iterator.map(i => (scores(i), ids(i)))
 }

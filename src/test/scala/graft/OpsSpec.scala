@@ -549,6 +549,26 @@ class OpsSpec extends SparkSpec {
     assert(capped == 0L, "corpus side over cap drops the whole bucket")
   }
 
+  test("topKPerKey primitive fast path: identical to the generic path incl. ties") {
+    val rnd = new scala.util.Random(7)
+    // coarse score grid -> heavy ties, so the (score desc, id asc)
+    // tie rule is actually exercised
+    val rows = (0 until 5000).map { i =>
+      (rnd.nextInt(20).toLong, i.toLong, math.floor(rnd.nextDouble() * 20) / 20.0)
+    }
+    val df = rows.toDF("k", "id", "s")
+    val prim = Similarity.topKPerKey(df, "k", "id", "s", 7)
+      .select($"k", $"id", $"s", $"rank").as[(Long, Long, Double, Long)]
+      .collect().toSet
+    // an int key disqualifies the primitive path -> generic Row path
+    val gen = Similarity.topKPerKey(
+        df.withColumn("k", $"k".cast("int")), "k", "id", "s", 7)
+      .select($"k".cast("long"), $"id", $"s", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(prim == gen, "fast path must keep the exact same ranked set")
+    assert(prim.size == 20 * 7)
+  }
+
   test("semanticNearDups with coarseProbe: exact duplicates still structural") {
     val base = (0 until 120).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 11 + j * 5).toFloat)))
