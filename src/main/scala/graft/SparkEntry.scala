@@ -1190,6 +1190,20 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)])
         .toDF("doc_id", "n_bpe")
     }),
+    // training-ready token IDS (not just counts): per-doc id sequences
+    // under the stable vocab scheme (code point for single chars,
+    // 0x110000 + rank-ordered distinct merge output otherwise) — the
+    // oracle replays segmentation AND the id mapping from the same
+    // embedded table, so the full tokenizer output is hash-exact
+    "text_token_ids" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.bpeTokenIds(
+        t(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)])
+        .toDF("doc_id", "__ids")
+        .select(col("doc_id"), size(col("__ids")).cast(LongType).as("n_tokens"),
+          concat_ws(",", transform(col("__ids"), x => x.cast("string")))
+            .as("token_ids"))
+    }),
     "text_quality" -> ((s, d) => {
       val txt = col("text")
       val len = length(txt).cast(DoubleType)
@@ -1971,6 +1985,50 @@ object SparkEntry {
   private def bpeOracleSql: String =
     bpeDocCountsCte + " SELECT doc_id, n_bpe FROM docbpe"
 
+  /** DuckDB replay of the FULL tokenizer output — segmentation (same
+    * recursive CTE as [[bpeDocCountsCte]], but keeping the fixpoint
+    * symbol string per word) plus the stable id mapping, both
+    * generated from the same embedded tables as the Spark side. */
+  private def bpeTokenIdsOracleSql: String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val values = graft.ops.TextAnalysis.bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},${q(a)},${q(b)})" }.mkString(",")
+    val vocabValues = graft.ops.TextAnalysis.bpeVocabIds.toSeq.sortBy(_._2)
+      .map { case (w, vid) => s"(${q(w)},$vid)" }.mkString(",")
+    val pretoken = "'[a-z]+|[0-9]+|[^a-z0-9[:space:]]+'"
+    "WITH RECURSIVE merges(rank, a, b) AS (VALUES " + values + "), " +
+    "vocab(w, vid) AS (VALUES " + vocabValues + "), " +
+    "words AS (SELECT DISTINCT unnest(regexp_extract_all(lower(text), " + pretoken +
+    ")) AS w FROM documents), " +
+    "seg(w, s) AS (" +
+    "SELECT w, array_to_string(list_transform(range(1, length(w)+1), " +
+    "i -> substring(w, CAST(i AS INT), 1)), chr(31)) FROM words " +
+    "UNION ALL " +
+    "SELECT t.w, trim(replace(chr(31)||t.s||chr(31), " +
+    "chr(31)||m.a||chr(31)||m.b||chr(31), chr(31)||m.a||m.b||chr(31)), chr(31)) " +
+    "FROM (SELECT w, s, (SELECT min(mm.rank) FROM merges mm " +
+    "WHERE instr(chr(31)||s||chr(31), chr(31)||mm.a||chr(31)||mm.b||chr(31)) > 0) AS br " +
+    "FROM seg) t JOIN merges m ON m.rank = t.br), " +
+    // the fixpoint row per word: the unique s no merge applies to
+    "fixp AS (SELECT w, s FROM seg t WHERE NOT EXISTS (SELECT 1 FROM merges m " +
+    "WHERE instr(chr(31)||t.s||chr(31), chr(31)||m.a||chr(31)||m.b||chr(31)) > 0)), " +
+    "wtoks AS (SELECT w, unnest(string_split(s, chr(31))) AS t, " +
+    "generate_subscripts(string_split(s, chr(31)), 1) AS i FROM fixp), " +
+    "wids0 AS (SELECT wtoks.w, i, CASE WHEN length(t) > 1 THEN v.vid " +
+    "ELSE unicode(t) END AS tid FROM wtoks LEFT JOIN vocab v ON v.w = wtoks.t), " +
+    "wid AS (SELECT w, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS ids, " +
+    "CAST(count(*) AS BIGINT) AS n FROM wids0 GROUP BY w), " +
+    "doctoks AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS o " +
+    "FROM (SELECT doc_id, regexp_extract_all(lower(text), " + pretoken +
+    ") AS ws FROM documents)), " +
+    "docids AS (SELECT d.doc_id, " +
+    "coalesce(string_agg(wi.ids, ',' ORDER BY dt.o), '') AS token_ids, " +
+    "CAST(coalesce(sum(wi.n), 0) AS BIGINT) AS n_tokens " +
+    "FROM documents d LEFT JOIN doctoks dt ON d.doc_id = dt.doc_id " +
+    "LEFT JOIN wid wi ON dt.w = wi.w GROUP BY d.doc_id) " +
+    "SELECT doc_id, n_tokens, token_ids FROM docids"
+  }
+
   /** Planted language-ID fixture: one phrase per language in
     * [[graft.ops.TextAnalysis.scriptLangs]] check order, then the 20
     * stopword languages, then a gibberish 'und' case. Indexed by
@@ -2446,6 +2504,7 @@ object SparkEntry {
       "round(CAST(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
     "text_tokens_bpe" -> bpeOracleSql,
+    "text_token_ids" -> bpeTokenIdsOracleSql,
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
     // Stupid-Backoff bigram LM replayed from scratch: tokenize, count
     // both orders, apply the same frequency floors, then score

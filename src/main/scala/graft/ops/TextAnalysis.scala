@@ -395,7 +395,15 @@ object TextAnalysis {
   /** table-explicit variant (tests pass algorithm fixtures; production
     * uses the learned table above) */
   private[graft] def bpeSegmentCount(word: String,
-      merges: Vector[(String, String)], ranks: Map[(String, String), Int]): Int = {
+      merges: Vector[(String, String)], ranks: Map[(String, String), Int]): Int =
+    bpeSegment(word, merges, ranks).length
+
+  /** Greedy lowest-rank segmentation, returning the final SYMBOLS
+    * (each a single char or a merge output). [[bpeSegmentCount]] is
+    * its length — one loop, two views. */
+  private[graft] def bpeSegment(word: String,
+      merges: Vector[(String, String)],
+      ranks: Map[(String, String), Int]): Array[String] = {
     var syms: Array[String] = word.map(_.toString).toArray
     var done = syms.length < 2
     while (!done) {
@@ -419,7 +427,57 @@ object TextAnalysis {
         if (syms.length < 2) done = true
       }
     }
-    syms.length
+    syms
+  }
+
+  /** Stable token-id scheme over the learned vocabulary, replayable by
+    * the DuckDB oracle with zero drift:
+    *  - a single-char symbol's id is its Unicode code point (BMP —
+    *    the pre-tokenizer and the merge loop both operate on UTF-16
+    *    units, matching the oracle's per-codepoint split for BMP text);
+    *  - a merge-output symbol's id is 0x110000 (one past the Unicode
+    *    range, so the spaces can never collide) + its index in the
+    *    DISTINCT merge-output list in rank order (two merges can
+    *    produce the same string — ("a","bc") and ("ab","c") — so ids
+    *    key on the string, first rank wins). */
+  private[graft] lazy val bpeVocabIds: Map[String, Int] = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    bpeMerges.foreach { case (a, b) =>
+      val w = a + b
+      if (!seen.contains(w)) seen(w) = 0x110000 + seen.size
+    }
+    seen.toMap
+  }
+
+  private[graft] def bpeTokenIdsOf(word: String): Array[Int] =
+    bpeSegment(word, bpeMerges, bpeRanks).map { s =>
+      if (s.length == 1) s.charAt(0).toInt
+      else bpeVocabIds.getOrElse(s, -1) // -1 unreachable: multi-char symbols ARE merge outputs
+    }
+
+  /** Training-ready token ids per doc: pre-tokenize, segment each word
+    * under the learned table, map symbols to stable ids
+    * ([[bpeVocabIds]]), concatenate in document order. Same
+    * per-partition word memo as [[bpeTokenCounts]] — the merge loop
+    * runs once per distinct word per partition; each row stays a
+    * narrow independent transform. */
+  def bpeTokenIds(ds: Dataset[(Long, String)]): Dataset[(Long, Array[Int])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val re = java.util.regex.Pattern.compile(bpePretokenPattern)
+      val memo = new java.util.HashMap[String, Array[Int]]()
+      rows.map { case (id, text) =>
+        val m = re.matcher(if (text == null) "" else text.toLowerCase)
+        val out = new scala.collection.mutable.ArrayBuffer[Int]()
+        while (m.find()) {
+          val w = m.group()
+          var ids = memo.get(w)
+          if (ids == null) { ids = bpeTokenIdsOf(w); memo.put(w, ids) }
+          out ++= ids
+        }
+        (id, out.toArray)
+      }
+    }
   }
 
   /** Per-doc BPE token counts over (id, text) rows: mapPartitions with

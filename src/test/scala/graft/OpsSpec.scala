@@ -137,6 +137,27 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> exp1, 2L -> exp2, 3L -> 0L, 4L -> 0L))
   }
 
+  test("BPE token ids: counts agree, chars map to code points, outputs above Unicode") {
+    val ds = Seq((1L, "the table"), (2L, "a-b c3d"), (3L, "")).toDS()
+    val ids = TextAnalysis.bpeTokenIds(ds).collect().toMap
+    val counts = TextAnalysis.bpeTokenCounts(ds).collect().toMap
+    for ((k, v) <- ids) assert(v.length.toLong == counts(k),
+      s"doc $k: ${v.length} ids vs count ${counts(k)}")
+    assert(ids(3L).isEmpty)
+    // '-' never merges (punctuation pre-tokenizes alone) -> its code point
+    assert(ids(2L).contains('-'.toInt))
+    // merged symbols sit above the Unicode range, disjoint from chars
+    val (merged, chars) = ids.values.flatten.partition(_ >= 0x110000)
+    assert(chars.forall(c => c >= 0 && c < 0x110000))
+    // vocabulary mapping is injective (distinct outputs, distinct ids)
+    val vocab = TextAnalysis.bpeVocabIds
+    assert(vocab.values.toSeq.distinct.size == vocab.size)
+    assert(merged.forall(id => vocab.values.exists(_ == id)))
+    // a word that fully merges yields ONE id, the vocab id of the word
+    if (TextAnalysis.bpeSegmentCount("the") == 1)
+      assert(ids(1L).take(1).head == vocab("the"))
+  }
+
   test("charShingles and wordNgrams") {
     val sh = Seq("abcdef").toDF("t")
       .select(TextAnalysis.charShingles($"t", 3).as("s")).as[Seq[String]].collect()(0)
