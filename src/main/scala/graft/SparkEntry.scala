@@ -1204,6 +1204,25 @@ object SparkEntry {
           concat_ws(",", transform(col("__ids"), x => x.cast("string")))
             .as("token_ids"))
     }),
+    // tokenize-and-pack end to end: per-pack flattened id sequences.
+    // The DuckDB oracle pins the conservation law with an EXACT total
+    // (sum of the replayed per-doc BPE counts); per-pack consistency
+    // and budget respect are deterministic invariants
+    "packed_ids_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val budget = 512L
+      val packs = graft.ops.Packing
+        .packedTokenIds(docs, "doc_id", "text", budget).localCheckpoint(true)
+      val inconsistent = packs
+        .filter(size(col("input_ids")).cast(LongType) =!= col("tokens")).count()
+      val overBudget = packs
+        .filter(col("tokens") > budget && col("n_docs") > 1).count()
+      val total = packs.agg(sum(size(col("input_ids")).cast(LongType)))
+        .head().getLong(0)
+      s.range(1).select(lit(total).as("total_tokens"),
+        lit(inconsistent == 0).as("sizes_consistent"),
+        lit(overBudget == 0).as("budget_respected"))
+    }),
     "text_quality" -> ((s, d) => {
       val txt = col("text")
       val len = length(txt).cast(DoubleType)
@@ -2505,6 +2524,9 @@ object SparkEntry {
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
     "text_tokens_bpe" -> bpeOracleSql,
     "text_token_ids" -> bpeTokenIdsOracleSql,
+    "packed_ids_gate" -> (bpeDocCountsCte +
+      " SELECT CAST(sum(n_bpe) AS BIGINT) AS total_tokens, " +
+      "true AS sizes_consistent, true AS budget_respected FROM docbpe"),
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
     // Stupid-Backoff bigram LM replayed from scratch: tokenize, count
     // both orders, apply the same frequency floors, then score

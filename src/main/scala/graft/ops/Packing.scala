@@ -141,4 +141,30 @@ object Packing {
           sort_array(collect_list(struct(col("pack_pos"), col(textCol).as("t")))),
           s => s.getField("t")), sep).as("text"))
   }
+
+  /** The end of the tokenize-and-pack pipeline: one row per pack with
+    * the FLATTENED token-id sequence (members concatenated in
+    * `pack_pos` order) — what actually feeds a trainer. Packing
+    * decisions run on the REAL learned-BPE counts (so `budget` means
+    * model context tokens, not whitespace words); the id arrays move
+    * once, in the final pack-co-locating shuffle. Output:
+    * (pack_id, n_docs, tokens, input_ids array<int>) with
+    * size(input_ids) == tokens on every row by construction. */
+  def packedTokenIds(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val ids = TextAnalysis.bpeTokenIds(
+      df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)])
+      .toDF(idCol, "__ids").localCheckpoint(true)
+    val packed = packDocs(ids, idCol, size(col("__ids")).cast("long"),
+      budget, partitions)
+    packed.join(ids, idCol)
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("pack_pos"), col("__ids").as("i")))),
+          s => s.getField("i"))).as("input_ids"))
+  }
 }

@@ -107,4 +107,23 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).toSet
     assert(a == b)
   }
+
+  test("packedTokenIds: flattened ids conserve counts and respect the budget") {
+    import spark.implicits._
+    val packs = Packing.packedTokenIds(docs, "doc_id", "text", Budget)
+    val rows = packs.select($"pack_id", $"n_docs", $"tokens", $"input_ids")
+      .as[(Long, Long, Long, Array[Int])].collect()
+    assert(rows.nonEmpty)
+    // per-pack: flattened length == claimed tokens; budget respected
+    // except oversize singletons
+    for ((_, nDocs, toks, ids) <- rows) {
+      assert(ids.length.toLong == toks)
+      if (nDocs > 1) assert(toks <= Budget)
+    }
+    // conservation: total ids == sum of per-doc BPE counts
+    val expect = graft.ops.TextAnalysis.bpeTokenIds(
+        docs.select($"doc_id", $"text").as[(Long, String)])
+      .collect().map(_._2.length.toLong).sum
+    assert(rows.map(_._3).sum == expect)
+  }
 }
