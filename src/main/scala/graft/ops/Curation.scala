@@ -218,27 +218,31 @@ object Curation {
     * whole-doc near-dup = shared boilerplate (headers, licenses,
     * navigation) worth stripping before training.
     *
-    * Scale shape: docs reduce to distinct 8-byte gram hashes (the
-    * string never shuffles). Two gram-keyed exchanges total: the
-    * per-gram doc count ships PARTIALLY COMBINED (g, count) rows
-    * (map-side combine collapses each partition's repeats first), and
-    * the join back ships the (doc_id, g) pairs once. (Forcing both
-    * consumers onto one shared repartition was measured strictly
-    * worse: it ships RAW grams on both branches and forfeits the
-    * combine.) Final per-doc combine is narrow. No windows, no
-    * broadcast of anything corpus-sized — AQE may still choose to
-    * broadcast the counts side when it is small. Docs shorter than
+    * Scale shape (revised round 11 — the old full-count join was the
+    * worst curve in the 100x rehearsal, 4.9x time for 3.3x data):
+    * docs reduce to distinct 8-byte gram hashes (the string never
+    * shuffles); `n_grams` is a NARROW per-row count (no join at all);
+    * `shared_grams` is a LEFT SEMI join against only the grams with
+    * doc-count >= 2 — the shared set, typically a small fraction of
+    * the vocabulary, materialized by an AQE-remeasured aggregation so
+    * the runtime can broadcast it when it is small and fall back to a
+    * payload-free merge join when it is not. The old shape joined
+    * every gram row against the FULL per-gram count table (corpus
+    * joined to whole-vocabulary, count payload riding every row) —
+    * never broadcastable, superlinear in practice. Docs shorter than
     * `n` tokens have no windows and do not appear (strict-gram
     * semantics, as in [[contamination]]). */
   def dupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 8): DataFrame = {
     val grams = df.select(col(idCol), explode(gramHashes(col(textCol), n)).as("g"))
     // grams are DISTINCT per doc, so the per-gram row count IS the
-    // number of docs containing the gram
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("__docs"))
-    grams.join(counts, "g")
+    // number of docs containing the gram; only the >= 2 SET survives
+    // into the join build side
+    val shared = grams.groupBy("g").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2).select(col("g"), lit(1L).as("__s"))
+    grams.join(shared, Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("shared_grams"))
+        sum(coalesce(col("__s"), lit(0L))).as("shared_grams"))
       .withColumn("dup_fraction",
         round(col("shared_grams").cast("double") / col("n_grams"), 6))
   }
