@@ -1208,6 +1208,16 @@ object SparkEntry {
     // The DuckDB oracle pins the conservation law with an EXACT total
     // (sum of the replayed per-doc BPE counts); per-pack consistency
     // and budget respect are deterministic invariants
+    // token-proportional mixture: water-filled per-source rates from
+    // EXACT token totals, md5 keep decision — every kept row and the
+    // rate arithmetic replay exactly in DuckDB
+    "token_mixture_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      Curation.tokenMixtureSample(docs, "source", "doc_id", "n_tokens",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
     "packed_ids_gate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val budget = 512L
@@ -2527,6 +2537,24 @@ object SparkEntry {
     "packed_ids_gate" -> (bpeDocCountsCte +
       " SELECT CAST(sum(n_bpe) AS BIGINT) AS total_tokens, " +
       "true AS sizes_consistent, true AS budget_respected FROM docbpe"),
+    // replay: exact per-source token totals -> water-filled capacity
+    // (min tokens/share) -> rates (share * capacity / tokens), same
+    // association order as the Scala; md5-24-bit keep with trunc (the
+    // Spark double->long cast truncates)
+    "token_mixture_sample" -> ("WITH tk AS (SELECT doc_id, source, " +
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+      "len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents), " +
+      "sh(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)), " +
+      "tot AS (SELECT tk.source, CAST(sum(n) AS BIGINT) AS t, any_value(share) AS share " +
+      "FROM tk JOIN sh ON tk.source = sh.source GROUP BY tk.source), " +
+      "cap AS (SELECT min(CAST(t AS DOUBLE) / share) AS c FROM tot), " +
+      "rt AS (SELECT source, share * (SELECT c FROM cap) / CAST(t AS DOUBLE) AS r " +
+      "FROM tot) " +
+      "SELECT tk.doc_id, tk.source, CAST(tk.n AS BIGINT) AS n_tokens " +
+      "FROM tk JOIN rt ON tk.source = rt.source " +
+      "WHERE CAST(concat('0x', substring(md5(concat('graft', " +
+      "CAST(tk.doc_id AS VARCHAR))), 1, 6)) AS BIGINT) < " +
+      "CAST(trunc(rt.r * 16777216.0) AS BIGINT)"),
     "text_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
     // Stupid-Backoff bigram LM replayed from scratch: tokenize, count
     // both orders, apply the same frequency floors, then score

@@ -422,6 +422,40 @@ object Curation {
       16, 10).cast("long") < threshold)
   }
 
+  /** Token-proportional mixture ("30% web, 50% code, 20% books — BY
+    * TOKENS"): down-sample each source so the kept token mass follows
+    * `targetShares`, water-filled — the binding source (smallest
+    * tokens/share ratio) keeps everything and the others scale down to
+    * match, so no rate ever exceeds 1 and the shares hold exactly in
+    * expectation. Rates derive from the EXACT per-source token totals
+    * (one tiny aggregate — the only corpus pass besides the filter
+    * itself); the keep decision is the usual md5 pure function of
+    * (salt, id) — partitioning/retry/cluster independent and
+    * any-engine recomputable, so the whole op sits under a hash-exact
+    * oracle. Sources absent from `targetShares` are dropped. */
+  def tokenMixtureSample(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: String, targetShares: Map[String, Double],
+      salt: String = "graft"): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0) &&
+      math.abs(targetShares.values.sum - 1.0) < 1e-9,
+      s"target shares must be positive and sum to 1: $targetShares")
+    val totals = df.filter(col(sourceCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(sourceCol).agg(sum(col(tokenCol)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(targetShares.keys.forall(s => totals.getOrElse(s, 0L) > 0L),
+      s"every target source needs tokens; totals: $totals")
+    // water-fill: the max total T with every rate <= 1
+    val capacity = targetShares.map { case (s, sh) => totals(s).toDouble / sh }.min
+    val rates = targetShares.map { case (s, sh) =>
+      s -> sh * capacity / totals(s).toDouble
+    }
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(samplingHash(col(idCol), salt) <
+      (rate * lit((1 << 24).toDouble)).cast("long"))
+  }
+
   /** The md5-24-bit sampling hash shared by the deterministic sampling
     * family — exposed so rank-based samplers use the SAME recomputable
     * ordering contract as the membership-based ones. */

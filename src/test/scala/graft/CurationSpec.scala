@@ -347,4 +347,29 @@ class CurationSpec extends SparkSpec {
     // budget is a cumulative cap, not a per-row filter
     assert(got.agg(sum($"n_tokens")).head().getLong(0) == 90L + 80L)
   }
+
+  test("tokenMixtureSample: water-filled rates, binding source keeps all") {
+    // A has 1000 tokens, B has 9000; target 50/50 -> A binds
+    // (capacity = 1000/0.5 = 2000), A keeps everything, B rate = 1/9
+    val docs = ((0 until 100).map(i => (i.toLong, "A", 10L)) ++
+      (100 until 1000).map(i => (i.toLong, "B", 10L)) ++
+      Seq((5000L, "C", 10L))) // not in target -> dropped
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Curation.tokenMixtureSample(docs, "source", "doc_id",
+      "n_tokens", Map("A" -> 0.5, "B" -> 0.5))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("A") == 100L, "binding source keeps every row")
+    assert(!bySrc.contains("C"), "untargeted sources are dropped")
+    // B's keep rate is 1/9 in expectation: 900 docs -> ~100
+    assert(bySrc("B") > 50L && bySrc("B") < 160L, s"B kept ${bySrc("B")}")
+    // deterministic: same inputs, same rows
+    val again = Curation.tokenMixtureSample(docs, "source", "doc_id",
+      "n_tokens", Map("A" -> 0.5, "B" -> 0.5))
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException](
+      Curation.tokenMixtureSample(docs, "source", "doc_id", "n_tokens",
+        Map("A" -> 0.5, "B" -> 0.4)))
+  }
 }
