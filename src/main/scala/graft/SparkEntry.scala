@@ -220,6 +220,41 @@ object SparkEntry {
       } finally q.stop()
     }
 
+  /** embeddings corpus streamed through [[EventStreams.semanticDedupStream]]:
+    * base corpus seeds the IVF index and the sink; a batch of planted
+    * exact duplicates (vec_id + DupOff) must drop via the index, a
+    * batch of 5 fresh deterministic vectors must survive. */
+  private def semDedupedVecs(s: SparkSession, dir: String): String =
+    ensureArray(s, dir, "semdedup_vecs") { tmp =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val ivfUri = s"$arrayBase/${sfKey(dir)}/semdedup_ivf"
+      graft.storage.VFS(s).delete(ivfUri)
+      graft.ops.Similarity.buildIvfIndex(e, "vec_id", "embedding", ivfUri,
+        nCentroids = 8, lloydSteps = 1)
+      ArrayTable.create(s, tmp,
+        ArraySchema.infer(e.schema, Seq("vec_id")).copy(allowsDuplicates = true))
+      ArrayTable.ingest(s, e, tmp, Seq("vec_id"), tsOpt = Some(999999999L))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = EventStreams.semanticDedupStream(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        ivfUri, tmp,
+        s"$arrayBase/${sfKey(dir)}/semdedup_ckpt_${System.nanoTime()}",
+        minCosine = 0.999, nprobe = 8)
+      try {
+        in.addData(e.as[(Long, Array[Float])].collect()
+          .map { case (id, v) => (id + DupOff, v) }.toSeq)
+        q.processAllAvailable()
+        val dim = e.head().getAs[scala.collection.Seq[Float]]("embedding").size
+        val fresh = (0 until 5).map(i => (2L * DupOff + i,
+          Array.tabulate(dim)(j => math.sin((1e6 + i * 37) + j * 7.0).toFloat)))
+        in.addData(fresh)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+
   /** region array evolved with an added attribute (fill 42) */
   private def evolvedRegion(s: SparkSession, dir: String): String =
     ensureArray(s, dir, "evolved_region") { tmp =>
@@ -651,6 +686,19 @@ object SparkEntry {
       s.range(1).select(
         lit(pairs == 0L).as("dedup_complete"),
         lit(editsKept == 0L).as("edits_dropped"),
+        lit(freshKept == 5L).as("fresh_kept"))
+    }),
+    // streaming semantic dedup gate: every planted exact duplicate
+    // dropped via the IVF index, every fresh vector kept, corpus size
+    // conserved (base + 5 fresh) — DuckDB recomputes the exact count
+    "stream_semantic_gate" -> ((s, d) => {
+      val kept = ArrayTable.read(s, semDedupedVecs(s, d)).localCheckpoint(true)
+      val dupsKept = kept.filter(col("vec_id") >= DupOff &&
+        col("vec_id") < 2L * DupOff).count()
+      val freshKept = kept.filter(col("vec_id") >= 2L * DupOff).count()
+      s.range(1).select(
+        lit(kept.count()).as("n_rows"),
+        lit(dupsKept == 0L).as("dups_dropped"),
         lit(freshKept == 5L).as("fresh_kept"))
     }),
     // categorical->enum inference round-trip: codes on disk, decoded
@@ -2477,6 +2525,8 @@ object SparkEntry {
       "SELECT DISTINCT event_id, user_id, event_type, value FROM events",
     "stream_neardedup_gate" -> ("SELECT true AS dedup_complete, " +
       "true AS edits_dropped, true AS fresh_kept"),
+    "stream_semantic_gate" -> ("SELECT CAST(count(*) + 5 AS BIGINT) AS n_rows, " +
+      "true AS dups_dropped, true AS fresh_kept FROM embeddings"),
     "enum_infer_roundtrip" -> "SELECT * FROM customer",
     "qc_enum_order" -> ("WITH lv AS (SELECT c_custkey, CASE WHEN c_acctbal < 0 " +
       "THEN 'LOW' WHEN c_acctbal < 5000 THEN 'MID' ELSE 'HIGH' END AS level " +

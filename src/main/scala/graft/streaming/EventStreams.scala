@@ -167,6 +167,45 @@ object EventStreams {
     *
     * The target array must exist; the index must have been built
     * (possibly over an empty frame) with the desired params. */
+  /** Streaming SEMANTIC dedup for embedding ingest: each micro-batch
+    * probes the persisted IVF index for near-duplicates of already-
+    * ingested vectors (cosine >= minCosine, id-inequality guarded, so
+    * a replayed append can never self-match a doc out of the corpus),
+    * drops them, removes batch-internal semantic dups
+    * ([[graft.ops.Dedup.dropSemanticDups]] — exact within the batch),
+    * commits survivors as one MVCC fragment and appends them to the
+    * index. State lives in index files — unbounded corpus, bounded
+    * executor memory; a crash-replayed batch re-appends rows that the
+    * id-inequality guard and the min-id drop rule absorb, mirroring
+    * [[nearDedupStream]]'s contract on the text side. */
+  def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+      ivfUri: String, sinkUri: String, checkpoint: String,
+      minCosine: Double = 0.99, nprobe: Int = 4,
+      tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint(true)
+        val spark = b.sparkSession
+        val hits = graft.ops.Similarity.ivfIndexTopK(spark, ivfUri,
+            b, idCol, vecCol, k = 4, nprobe = nprobe)
+          .filter(col("cosine") >= minCosine &&
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id").as(idCol)).distinct()
+        val fresh = b.join(hits, Seq(idCol), "left_anti").localCheckpoint(true)
+        // the batch-internal pass trains a tiny quantizer — skip it
+        // for an all-duplicate (empty-fresh) batch
+        val survivors = (if (fresh.isEmpty) fresh
+          else graft.ops.Dedup.dropSemanticDups(fresh, idCol, vecCol,
+            nClusters = 4, minCosine = minCosine)).localCheckpoint(true)
+        commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
+        if (!survivors.isEmpty)
+          graft.ops.Similarity.appendToIvfIndex(survivors, idCol, vecCol, ivfUri)
+        ()
+      }
+      .start()
+
   /** Continuous ingest that keeps a BM25 search index fresh: each
     * micro-batch commits to the MVCC sink array AND lands in the
     * index as its own idempotent batch directory

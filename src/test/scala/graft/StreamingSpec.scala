@@ -171,6 +171,44 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming semantic dedup: cross-batch embedding dups dropped via the IVF index") {
+    import graft.storage.ArrayTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ivfUri = TestSession.tmpDir("stream-sem-ivf")
+    val sinkUri = TestSession.tmpDir("stream-sem-sink")
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(16)(j => math.sin(i * 13 + j * 7).toFloat)
+    // seed corpus: vectors 0..9 indexed and committed
+    val seed = (0L until 10L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(seed, "vec_id", "embedding", ivfUri,
+      nCentroids = 4, lloydSteps = 1)
+    ArrayTable.create(spark, sinkUri,
+      graft.core.ArraySchema.infer(seed.schema, Seq("vec_id"))
+        .copy(allowsDuplicates = true))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.semanticDedupStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      ivfUri, sinkUri, TestSession.tmpDir("stream-sem-ckpt"), minCosine = 0.999)
+    try {
+      // batch 0: dup of seed vec 3 (dropped), fresh 100, internal dup
+      // pair (101, 102) -> min id 101 survives
+      in.addData((90L, vec(3)), (100L, vec(100)), (101L, vec(101)), (102L, vec(101)))
+      q.processAllAvailable()
+      // batch 1: dup of batch-0 survivor 100 (cross-batch, via index),
+      // plus fresh 200
+      in.addData((150L, vec(100)), (200L, vec(200)))
+      q.processAllAvailable()
+      val kept = ArrayTable.read(spark, sinkUri).select("vec_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(100L, 101L, 200L), s"got $kept")
+      // all-duplicate batch commits empty and doesn't crash the tiny trainer
+      in.addData((300L, vec(200)))
+      q.processAllAvailable()
+      assert(ArrayTable.read(spark, sinkUri).count() == 3L)
+    } finally { q.stop() }
+  }
+
   test("streaming search-index ingest: probes equal inline at every step") {
     import graft.storage.ArrayTable
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
