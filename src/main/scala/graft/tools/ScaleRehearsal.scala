@@ -187,6 +187,24 @@ object ScaleRehearsal {
       results += "packing" -> tPack
     }
 
+    if (runOp("packed_ids")) {
+      // tokenize-and-pack end to end: the BPE segmentation pass (memoized
+      // per distinct word) + packing + the flatten shuffle of the ids
+      val (nPacks, tPackedIds) = time(
+        graft.ops.Packing.packedTokenIds(docs, "doc_id", "text", 2048L).count())
+      results += "packed_ids" -> tPackedIds
+      println(s"[rehearsal] packed_ids: $nPacks packs")
+    }
+
+    if (runOp("token_mixture")) {
+      val withTok = docs.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      val shares = (0 until 10).map(i => s"src$i" -> 0.1).toMap
+      val (kept, tMix) = time(graft.ops.Curation.tokenMixtureSample(
+        withTok, "source", "doc_id", "n_tokens", shares).count())
+      results += "token_mixture" -> tMix
+      println(s"[rehearsal] token_mixture kept $kept rows")
+    }
+
     if (runOp("dup_spans")) {
       val (_, tSpans) = time(
         Curation.dupSpans(docs, "doc_id", "text", n = 8).agg(sum("shared_grams")).head())

@@ -179,6 +179,27 @@ class ScaleGuardSpec extends SparkSpec {
       s"single-partition shuffle in cross-dedup plan:\n${plan(pairs)}")
   }
 
+  test("token mixture sample: one narrow filter pass, no windows or joins") {
+    val withTok = docs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 3).cast("string")))
+      .withColumn("n_tokens", graft.ops.TextAnalysis.tokenCount(col("text")))
+    val kept = graft.ops.Curation.tokenMixtureSample(withTok, "source",
+      "doc_id", "n_tokens", Map("s0" -> 0.5, "s1" -> 0.5))
+    val p = plan(kept)
+    assert(windows(kept).isEmpty && singlePartExchanges(kept).isEmpty,
+      s"mixture keep must be a narrow filter:\n$p")
+    assert(!p.toString.contains("Join"),
+      s"rates are literals — no join may appear:\n$p")
+  }
+
+  test("packedTokenIds: ids move only in the pack-co-locating shuffle") {
+    val packs = graft.ops.Packing.packedTokenIds(docs, "doc_id", "text", 64L)
+    assert(windows(packs).isEmpty,
+      s"packing must not rank with windows:\n${plan(packs)}")
+    assert(singlePartExchanges(packs).isEmpty,
+      s"single-partition shuffle in packed-ids plan:\n${plan(packs)}")
+  }
+
   test("stratified sample: picked ids broadcast, corpus never re-shuffles") {
     val sampled = graft.ops.Curation.stratifiedSample(docs, "text", "doc_id", 3)
     assert(broadcasts(sampled).nonEmpty,
