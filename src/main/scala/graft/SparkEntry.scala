@@ -1479,6 +1479,46 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // perceptual image hash (dHash) through the REAL P6 pixel path:
+    // 9x8 nearest-neighbor grayscale grid, horizontal-neighbor bits;
+    // DuckDB recomputes every bit from the planted pixel formula
+    "media_dhash" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8, 4)
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
+        Multimodal.MediaRow(id, header ++ px, "image", "ppm")
+      }
+      Multimodal.imageDHash(media).toDF()
+        .select(col("doc_id"), col("dhash_bits"))
+    }),
+    // image near-dup gate: every planted identical copy pairs with its
+    // source at hamming 0 through the banded 64-bit pipeline
+    "media_dhash_gate" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val (w, h) = (8, 4)
+          val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+          val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
+          val row = Multimodal.MediaRow(id, header ++ px, "image", "ppm")
+          Seq(row, row.copy(doc_id = id + DupOff))
+        }
+      val hashes = Multimodal.imageDHash(media).toDF().localCheckpoint(true)
+      val undecoded = hashes.filter(length(col("dhash_bits")) === 0).count()
+      val pairs = Dedup.hash64NearDups(hashes, "doc_id", "dhash", maxHamming = 2)
+      val planted = t(s, d, "documents")
+        .select(col("doc_id").as("a"), (col("doc_id") + DupOff).as("b"))
+      val missed = planted
+        .join(pairs.filter(col("hamming") === 0).select("a", "b"),
+          Seq("a", "b"), "left_anti").count()
+      s.range(1).select(
+        lit(hashes.count()).as("n_imgs"),
+        lit(missed).as("planted_missed"),
+        lit(undecoded == 0L).as("all_decoded"))
+    }),
+
     // REAL ImageIO path under the oracle: deterministic per-doc PNGs
     // (x-gradient per channel, dims derived from doc_id) are encoded
     // with javax.imageio on the executors, then decoded back through
@@ -2719,6 +2759,21 @@ object SparkEntry {
       "CAST(32 + (s // 97) % 89 AS INT) AS height, CAST(3 AS INT) AS channels, " +
       "round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END, 6) AS mean_intensity " +
       "FROM b"),
+    // dHash replay: base byte index of sampled pixel (x,y) in the
+    // planted P6 (w=8, h=4): doc*7 + (sy*8 + sx)*3 with sy = y*4//8,
+    // sx = x*8//9; gray = three consecutive planted bytes summed
+    "media_dhash" -> ("WITH gp AS (SELECT d.doc_id, x.x, y.y, " +
+      "(d.doc_id*7 + (((y.y*4)//8)*8 + (x.x*8)//9)*3) AS b FROM documents d " +
+      "CROSS JOIN range(0,9) x(x) CROSS JOIN range(0,8) y(y)), " +
+      "g AS (SELECT doc_id, x, y, (b % 256) + ((b+1) % 256) + ((b+2) % 256) " +
+      "AS gray FROM gp), " +
+      "bits AS (SELECT a.doc_id, a.y, a.x, CASE WHEN b2.gray > a.gray " +
+      "THEN '1' ELSE '0' END AS bit FROM g a JOIN g b2 ON a.doc_id = b2.doc_id " +
+      "AND a.y = b2.y AND b2.x = a.x + 1 WHERE a.x < 8) " +
+      "SELECT doc_id, string_agg(bit, '' ORDER BY y, x) AS dhash_bits " +
+      "FROM bits GROUP BY doc_id"),
+    "media_dhash_gate" -> ("SELECT CAST(2 * count(*) AS BIGINT) AS n_imgs, " +
+      "CAST(0 AS BIGINT) AS planted_missed, true AS all_decoded FROM documents"),
     "media_decode_ppm" -> ("SELECT d.doc_id, CAST(8 AS INT) AS width, " +
       "CAST(4 AS INT) AS height, CAST(3 AS INT) AS channels, " +
       "round(avg(CAST((d.doc_id * 7 + r.j) % 256 AS DOUBLE)), 6) AS mean_intensity " +

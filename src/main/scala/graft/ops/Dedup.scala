@@ -583,7 +583,21 @@ object Dedup {
     // holds >1024 near-identical docs — exact-dedup's job first.
     // The 8-byte simhash rides the bucket shuffle as the payload, so
     // verification needs no join-backs (and no cache).
-    val banded = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__p"))
+    hash64NearDups(
+      df.select(col(idCol), simhash(col(textCol)).as("__sig64")),
+      idCol, "__sig64", maxHamming, maxBucket)
+  }
+
+  /** Near-duplicate pairs among arbitrary 64-BIT SIGNATURES — the
+    * pigeonhole pair stage shared by [[simhashNearDups]] (text) and
+    * image dHash ([[Multimodal.imageDHash]]): 4x16-bit exact-match
+    * bands (hamming <= 3 forces at least one band equal), streamed
+    * capped buckets with the signature riding the one shuffle as
+    * payload, exact hamming verify inline. Returns (a, b, hamming). */
+  def hash64NearDups(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__p"))
       .select(col("__id"), col("__p"),
         posexplode(array((0 until 4).map(i =>
           shiftright(col("__p"), i * 16).bitwiseAND(0xFFFFL)): _*)))

@@ -899,6 +899,109 @@ object Multimodal {
     }
   }
 
+  /** Integer grayscale plane (gray = r+g+b, no float luma — exact and
+    * engine-replayable) for perceptual hashing: P6 via the pure parser
+    * (pixel bytes in hand), anything else ImageIO decodes via
+    * BufferedImage. Returns (w, h, gray row-major). */
+  private def grayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def p6: Option[(Int, Int, Array[Int])] = {
+      if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte)
+        return None
+      // re-walk the header exactly as decodeP6 does
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#'.toByte) { while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1 }
+          else if (c == ' '.toByte || c == '\n'.toByte || c == '\r'.toByte || c == '\t'.toByte) i += 1
+          else go = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        val st = i
+        while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
+        if (i == st) -1 else new String(bytes, st, i - st, "US-ASCII").toInt
+      }
+      val w = readInt(); val h = readInt(); val maxv = readInt()
+      if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256) return None
+      i += 1
+      val n = w.toLong * h * 3
+      if (n > Int.MaxValue || bytes.length - i < n) return None
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        val o = i + p * 3
+        gray(p) = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
+        p += 1
+      }
+      Some((w, h, gray))
+    }
+    def viaImageIO: Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val gray = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              gray(y * w + x) = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, gray))
+        }
+      } catch { case _: Exception => None }
+    p6.orElse(viaImageIO)
+  }
+
+  case class DHashRow(doc_id: Long, dhash: Long, dhash_bits: String)
+
+  /** Perceptual difference-hash (dHash) per image — the standard
+    * near-duplicate signature for images: nearest-neighbor downsample
+    * to a 9x8 grayscale grid (sx = x*w/9, sy = y*h/8, integer
+    * division — exact, closed-form, DuckDB-replayable on planted
+    * images), one bit per horizontal neighbor pair
+    * (gray(x+1,y) > gray(x,y)), 64 bits in row-major order. Pair it
+    * with [[Dedup.hash64NearDups]] for banded hamming near-dup at
+    * corpus scale. Undecodable payloads emit bits = "" (excluded by
+    * callers; never a fake hash). */
+  def imageDHash(ds: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        grayPlane(r.content) match {
+          case None => DHashRow(r.doc_id, 0L, "")
+          case Some((w, h, gray)) =>
+            val g = Array.tabulate(8, 9) { (y, x) =>
+              gray((y * h / 8) * w + (x * w / 9))
+            }
+            var hash = 0L
+            val sb = new java.lang.StringBuilder(64)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val b = g(y)(x + 1) > g(y)(x)
+                hash = (hash << 1) | (if (b) 1L else 0L)
+                sb.append(if (b) '1' else '0')
+                x += 1
+              }
+              y += 1
+            }
+            DHashRow(r.doc_id, hash, sb.toString)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every `stride`-th fixed-size chunk of the payload
     * stands in for a video frame (stub chunker, real explode shape). */
   def sampleFrames(ds: Dataset[MediaRow], stride: Int = 4,

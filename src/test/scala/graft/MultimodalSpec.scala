@@ -412,4 +412,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(_.features.length == 16))
     assert(feats.find(_.doc_id == 3).get.features.forall(_ == 0.0f))
   }
+
+  test("dHash: hand-checked bits, codec-invariant, undecodable empty") {
+    // 9x8 gradient: gray strictly increases left-to-right -> all bits 1
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      header ++ Array.tabulate[Byte](w * h * 3) { j =>
+        val p = j / 3; px(p % w, p / w).toByte
+      }
+    }
+    val grad = ppm(9, 8, (x, _) => x * 20)
+    val flat = ppm(9, 8, (_, _) => 7)
+    val rows = Seq(
+      MediaRow(1L, grad, "image", "ppm"),
+      MediaRow(2L, flat, "image", "ppm"),
+      MediaRow(3L, Array[Byte](1, 2, 3), "image", "junk")).toDS()
+    val got = Multimodal.imageDHash(rows).collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L).dhash_bits == "1" * 64 && got(1L).dhash == -1L,
+      s"monotone gradient must set every bit: ${got(1L)}")
+    assert(got(2L).dhash_bits == "0" * 64 && got(2L).dhash == 0L)
+    assert(got(3L).dhash_bits == "" && got(3L).dhash == 0L)
+    // codec invariance: the same pixels through PNG (ImageIO path)
+    // hash identically to the P6 path
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9)
+      img.setRGB(x, y, (x * 20 << 16) | (x * 20 << 8) | (x * 20))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = Seq(MediaRow(9L, baos.toByteArray, "image", "png")).toDS()
+    assert(Multimodal.imageDHash(png).head().dhash == got(1L).dhash,
+      "PNG and PPM of identical pixels must hash identically")
+  }
 }
