@@ -1591,6 +1591,31 @@ object SparkEntry {
     // (sample j of doc i = (i*13 + j*7) % 256) is RIFF-encoded on the
     // executors and decoded back through Multimodal.decodeAudio; DuckDB
     // recomputes channels/rate/sample-count/duration/mean in closed form.
+    // audio difference-fingerprint through the REAL PCM path: 65
+    // sample windows, exact integer cross-multiplied loudness bits —
+    // DuckDB recomputes all 64 bits from the planted sample formula
+    "media_audio_fp" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val frames = 32 + (id % 32).toInt
+        val rate = 8000 + (id % 4).toInt * 4000
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+          out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+        def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(rate)
+        w32(rate * channels); w16(channels); w16(8)
+        out.write("data".getBytes); w32(n)
+        var j = 0
+        while (j < n) { out.write(((id * 13 + j * 7) % 256).toInt); j += 1 }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "wav")
+      }
+      Multimodal.audioFingerprint(media).toDF()
+        .select(col("doc_id"), col("afp_bits"))
+    }),
     "media_decode_wav" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
@@ -2863,6 +2888,19 @@ object SparkEntry {
       "n_chars__mean, n_chars__p25, n_chars__p50, n_chars__p75]) AS value) u"),
     // closed-form PCM: mean over j of ((id*13 + j*7) % 256) / 255;
     // frames = n / channels, duration = frames * 1000 / rate
+    "media_audio_fp" -> ("WITH p AS (SELECT doc_id, " +
+      "(32 + doc_id % 32) * (1 + doc_id % 2) AS n FROM documents), " +
+      "w AS (SELECT p.doc_id, i.i, (i.i * p.n)//65 AS b0, " +
+      "((i.i + 1) * p.n)//65 AS b1 FROM p CROSS JOIN range(0, 65) i(i)), " +
+      "s AS (SELECT w.doc_id, w.i, w.b1 - w.b0 AS len, " +
+      "CAST(coalesce(sum((w.doc_id * 13 + j.j * 7) % 256), 0) AS BIGINT) AS sm " +
+      "FROM w LEFT JOIN range(0, 126) j(j) ON j.j >= w.b0 AND j.j < w.b1 " +
+      "GROUP BY w.doc_id, w.i, w.b0, w.b1), " +
+      "bits AS (SELECT a.doc_id, a.i, CASE WHEN b.sm * a.len > a.sm * b.len " +
+      "THEN '1' ELSE '0' END AS bit FROM s a JOIN s b " +
+      "ON a.doc_id = b.doc_id AND b.i = a.i + 1 WHERE a.i < 64) " +
+      "SELECT doc_id, string_agg(bit, '' ORDER BY i) AS afp_bits " +
+      "FROM bits GROUP BY doc_id"),
     "media_decode_wav" -> ("WITH p AS (SELECT doc_id, " +
       "1 + doc_id % 2 AS channels, (32 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
       "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +

@@ -263,7 +263,9 @@ object Multimodal {
     * 16/24/32-bit are signed little-endian and shift to unsigned for
     * the same scale). Returns None for anything that is not PCM WAV
     * (compressed codecs stay behind the documented stub). */
-  private[graft] def decodeWav(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+  /** PCM WAV layout: (channels, rate, bits, dataOff, dataLen). Shared
+    * by the mean-level decode and the fingerprint walker. */
+  private def wavPcmLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     if (bytes.length < 44) return None
     def tag(i: Int, s: String) = bytes.length >= i + 4 &&
       bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
@@ -290,37 +292,101 @@ object Multimodal {
         }
         pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
       }
-      if (!fmtOk || dataOff < 0) return None
+      if (!fmtOk || dataOff < 0) None
+      else Some((channels, rate, bits, dataOff, dataLen))
+    } catch { case _: Exception => None }
+  }
+
+  /** The `idx`-th sample as the UNSIGNED long the mean-level decode
+    * uses (8-bit native-unsigned; 16/24/32 signed -> shifted). */
+  private def wavSampleU(bytes: Array[Byte], dataOff: Int, bits: Int,
+      idx: Long): Long = {
+    def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (bytes(i) & 0xFF).toLong | ((bytes(i + 1) & 0xFF).toLong << 8) |
+      ((bytes(i + 2) & 0xFF).toLong << 16) | ((bytes(i + 3) & 0xFF).toLong << 24)
+    val i = dataOff + (idx * (bits / 8)).toInt
+    bits match {
+      case 8 => (bytes(i) & 0xFF).toLong
+      case 16 => u16(i).toShort.toLong + 32768L
+      case 24 =>
+        val raw = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
+          ((bytes(i + 2) & 0xFF) << 16)
+        ((raw << 8) >> 8).toLong + (1L << 23)
+      case _ => u32(i).toInt.toLong + (1L << 31)
+    }
+  }
+
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[DecodedAudioRaw] =
+    wavPcmLayout(bytes).map { case (channels, rate, bits, dataOff, dataLen) =>
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
       val nFrames = dataLen / frameBytes
       val nSamples = nFrames * channels
       var sum = 0.0
-      var i = dataOff
-      val end = dataOff + (nSamples * bytesPerSample).toInt
       val full = (1L << bits) - 1
-      while (i < end) {
-        val v = bits match {
-          case 8 => (bytes(i) & 0xFF).toLong // unsigned
-          case 16 => (u16(i).toShort.toLong + 32768L) // signed -> unsigned
-          case 24 =>
-            val raw = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
-              ((bytes(i + 2) & 0xFF) << 16)
-            ((raw << 8) >> 8).toLong + (1L << 23) // sign-extend, shift
-          case _ => u32(i).toInt.toLong + (1L << 31)
-        }
-        sum += v.toDouble / full
-        i += bytesPerSample
+      var idx = 0L
+      while (idx < nSamples) {
+        sum += wavSampleU(bytes, dataOff, bits, idx).toDouble / full
+        idx += 1
       }
-      Some(DecodedAudioRaw(channels, rate, nSamples,
+      DecodedAudioRaw(channels, rate, nSamples,
         nFrames.toDouble * 1000.0 / rate,
-        if (nSamples == 0) 0.0 else sum / nSamples, bits))
-    } catch { case _: Exception => None }
-  }
+        if (nSamples == 0) 0.0 else sum / nSamples, bits)
+    }
   /** `bits` = PCM sample width (8/16/24/32) for WAV; 0 for compressed
     * sources where a PCM width is not meaningful. */
   private[graft] case class DecodedAudioRaw(channels: Int, rate: Int,
       nSamples: Long, durationMs: Double, meanLevel: Double, bits: Int = 0)
+
+  case class AudioFp(doc_id: Long, afp: Long, afp_bits: String)
+
+  /** 64-bit audio difference-fingerprint over PCM WAV — the audio
+    * sibling of [[imageDHash]]: 65 equal-split sample windows
+    * (window i = samples [i*n/65, (i+1)*n/65), integer boundaries),
+    * bit k = "window k+1 louder than window k", decided by EXACT
+    * integer cross-multiplication `sum(k+1)*len(k) > sum(k)*len(k+1)`
+    * over the unsigned sample values — no float anywhere, so the
+    * oracle replays every bit from planted sample formulas. Windows
+    * empty at short n compare 0 > 0 = false, deterministically.
+    * Non-PCM payloads emit bits = "" (never a fake fingerprint).
+    * Near-dup pairs via [[Dedup.hash64NearDups]]. */
+  def audioFingerprint(ds: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        wavPcmLayout(r.content) match {
+          case None => AudioFp(r.doc_id, 0L, "")
+          case Some((channels, _, bits, dataOff, dataLen)) =>
+            val frameBytes = (bits / 8) * channels
+            val nSamples = dataLen / frameBytes * channels
+            val sums = new Array[Long](65)
+            val lens = new Array[Long](65)
+            var i = 0
+            while (i < 65) {
+              val b0 = i * nSamples / 65
+              val b1 = (i + 1) * nSamples / 65
+              lens(i) = b1 - b0
+              var idx = b0
+              while (idx < b1) {
+                sums(i) += wavSampleU(r.content, dataOff, bits, idx)
+                idx += 1
+              }
+              i += 1
+            }
+            var hash = 0L
+            val sb = new java.lang.StringBuilder(64)
+            var k = 0
+            while (k < 64) {
+              val b = sums(k + 1) * lens(k) > sums(k) * lens(k + 1)
+              hash = (hash << 1) | (if (b) 1L else 0L)
+              sb.append(if (b) '1' else '0')
+              k += 1
+            }
+            AudioFp(r.doc_id, hash, sb.toString)
+        }
+      }
+    }
+  }
 
   /** Batched audio decode: WAV/PCM decodes for REAL through the parser
     * above; payloads no parser recognizes fall back to a deterministic

@@ -413,6 +413,40 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.find(_.doc_id == 3).get.features.forall(_ == 0.0f))
   }
 
+  test("audioFingerprint: hand-checked loudness bits, non-PCM empty") {
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+        out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+      def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      out.write("RIFF".getBytes); w32(36 + samples.length); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(8000)
+      w32(8000); w16(1); w16(8)
+      out.write("data".getBytes); w32(samples.length)
+      samples.foreach(s => out.write(s & 0xFF))
+      out.toByteArray
+    }
+    // 130 samples strictly ascending -> every window louder than the
+    // last -> all 64 bits set
+    val asc = wav(Array.tabulate(130)(identity))
+    val flat = wav(Array.fill(130)(42))
+    val rows = Seq(
+      MediaRow(1L, asc, "audio", "wav"),
+      MediaRow(2L, flat, "audio", "wav"),
+      MediaRow(3L, Array[Byte](9, 9, 9), "audio", "junk")).toDS()
+    val got = Multimodal.audioFingerprint(rows).collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L).afp_bits == "1" * 64 && got(1L).afp == -1L, got(1L).toString)
+    assert(got(2L).afp_bits == "0" * 64 && got(2L).afp == 0L)
+    assert(got(3L).afp_bits == "")
+    // identical audio -> identical fingerprint, pairs at hamming 0
+    val dup = Seq(MediaRow(1L, asc, "audio", "wav"),
+      MediaRow(100L, asc, "audio", "wav")).toDS()
+    val hashes = Multimodal.audioFingerprint(dup).toDF()
+    val pairs = graft.ops.Dedup.hash64NearDups(hashes, "doc_id", "afp", maxHamming = 0)
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 100L)
+  }
+
   test("dHash: hand-checked bits, codec-invariant, undecodable empty") {
     // 9x8 gradient: gray strictly increases left-to-right -> all bits 1
     def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
