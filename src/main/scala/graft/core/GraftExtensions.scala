@@ -32,6 +32,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     require(args.size == n, s"$fn expects $n arguments, got ${args.size}")
 
+  /** Coerce other NUMERIC array types (SQL's default `array(1.0, 2.0)`
+    * is array<decimal>!) to array<double> so the float kernels accept
+    * idiomatic SQL literals; float/double arrays pass through
+    * unchanged (float -> double widening inside the kernel is exact,
+    * so this adds surface without changing any existing result). */
+  private def asFloatingArray(e: Expression): Expression = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, NumericType}
+    if (!e.resolved) e
+    else e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(FloatType | DoubleType, _) => e
+      case ArrayType(_: NumericType, n) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e, ArrayType(DoubleType, n))
+      case _ => e
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // enum label predicates collapse to pushable code predicates
     ext.injectOptimizerRule(_ => graft.plans.EnumPredicatePushdown)
@@ -75,14 +91,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash64(args.head)
     }
     register("dot_f",
-      "dot_f(a, b) - dot product of two float/double arrays") { args =>
+      "dot_f(a, b) - dot product of two numeric arrays") { args =>
       arity("dot_f", args, 2)
-      DotF(args.head, args(1))
+      DotF(asFloatingArray(args.head), asFloatingArray(args(1)))
     }
     register("vec_sign_bits",
       "vec_sign_bits(vec, nBits, seedOffset) - packed hyperplane-projection sign bits") { args =>
       arity("vec_sign_bits", args, 3)
-      VecSignBits(args.head, intArg(args, 1, "nBits", "vec_sign_bits"),
+      VecSignBits(asFloatingArray(args.head),
+        intArg(args, 1, "nBits", "vec_sign_bits"),
         intArg(args, 2, "seedOffset", "vec_sign_bits"))
     }
     register("lane_matches",

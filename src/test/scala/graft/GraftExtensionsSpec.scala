@@ -125,6 +125,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(norm == ("caf\u00E9", "xy\nz"), norm.toString)
   }
 
+  test("SQL numeric-array coercion: decimal/int literals feed the float kernels") {
+    // SQL's array(1.0, 2.0) is array<decimal> — the registration must
+    // coerce it so idiomatic SQL works (found by the external-surface
+    // probe: stock spark-shell users hit a type error here)
+    val dot = spark.sql("SELECT dot_f(array(1.0, 2.0), array(3.0, 4.0))")
+      .as[Double].head()
+    assert(dot == 11.0, s"got $dot")
+    val dotInt = spark.sql("SELECT dot_f(array(1, 2), array(3, 4))")
+      .as[Double].head()
+    assert(dotInt == 11.0)
+    // float/double arrays still pass through the unchanged kernel path
+    val viaCol = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(graft.functions.DotF($"a", $"b")).as[Double].head()
+    assert(viaCol == 11.0)
+    val bits = spark.sql("SELECT vec_sign_bits(array(1.0, -2.0, 3.0), 8, 0)")
+    assert(bits.head().get(0) != null)
+  }
+
   test("boundsOf keeps the TIGHTEST bound per dim") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThan, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.types.LongType
