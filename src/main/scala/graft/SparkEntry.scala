@@ -2000,6 +2000,11 @@ object SparkEntry {
         lit(math.abs(ndv - exactNdv) / exactNdv < 0.05).as("ndv_ok"))
     }),
 
+    // exact top-k frequent values (categorical profiling): count
+    // aggregation + bounded-heap ranking, (count desc, value asc)
+    "profile_topk" -> ((s, d) =>
+      graft.ops.Profile.frequentValues(t(s, d, "documents"), "lang", k = 5)),
+
     // mergeable histogram quantiles: per-fragment equi-width counts
     // over pinned bounds merge exactly; the p50 estimate must land
     // within one bucket width of DuckDB's exact median (deterministic
@@ -3081,6 +3086,10 @@ object SparkEntry {
       "true AS incremental_ok, true AS ndv_ok FROM lineitem"),
     "hist_quantile_gate" -> ("SELECT count(l_quantity) AS n_rows, " +
       "true AS incremental_ok, true AS p50_in_bound FROM lineitem"),
+    "profile_topk" -> ("SELECT value, cnt, rank FROM (SELECT lang AS value, " +
+      "CAST(count(*) AS BIGINT) AS cnt, row_number() OVER " +
+      "(ORDER BY count(*) DESC, lang) AS rank FROM documents " +
+      "WHERE lang IS NOT NULL GROUP BY lang) WHERE rank <= 5"),
     "minhash_recall" -> "SELECT true AS recall_ok",
     "minhash_index_gate" -> ("SELECT true AS planted_found, true AS fresh_clean, " +
       "true AS paths_agree"),

@@ -121,6 +121,21 @@ object Profile {
     todo.size
   }
 
+  /** Exact top-k most frequent values of a column — the categorical
+    * complement to the numeric quartiles: one map-side-combined count
+    * aggregation (vocabulary-sized result), then the shared
+    * bounded-heap top-k with the deterministic (count desc, value asc)
+    * tie rule — never a corpus-wide rank window. NULLs excluded.
+    * Returns (value string, cnt, rank). */
+  def frequentValues(df: DataFrame, colName: String, k: Int = 20): DataFrame = {
+    val counts = df.filter(col(colName).isNotNull)
+      .groupBy(col(colName).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__k", lit(0))
+    graft.ops.Similarity.topKPerKey(counts, "__k", "value", "cnt", k)
+      .select(col("value"), col("cnt").cast("long").as("cnt"), col("rank"))
+  }
+
   // ------------------------------------- incremental quantile histograms
 
   /** Per-fragment equi-width HISTOGRAMS for a numeric column over
