@@ -1450,6 +1450,17 @@ object SparkEntry {
           concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
       Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
     }),
+    // conjunctive (AND) retrieval: only docs matching every
+    // corpus-present query term rank; DuckDB replays the
+    // matched-term-count filter
+    "bm25_topk_and" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10,
+        requireAllTerms = true)
+    }),
     // same ranking served from the PERSISTED inverted index (bucket
     // partitions prune statically, terms push into the sorted parquet
     // row groups) — DuckDB recomputes the identical result from the
@@ -2776,6 +2787,23 @@ object SparkEntry {
       "SELECT query_id, doc_id, score, rank FROM (SELECT query_id, doc_id, " +
       "round(score, 6) AS score, row_number() OVER (PARTITION BY query_id " +
       "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc) WHERE rank <= 10"),
+    // AND mode: need = count of DISTINCT query terms present in the
+    // corpus vocabulary; a pair survives iff its matched-term count
+    // (one contribution per (doc, term)) equals it
+    "bm25_topk_and" -> (s"WITH $bm25OracleCtes, " +
+      "need AS (SELECT qt.query_id, count(DISTINCT qt.w) AS nd FROM qt " +
+      "JOIN dfc ON qt.w = dfc.w GROUP BY qt.query_id), " +
+      "scn AS (SELECT qt.query_id, tfc.doc_id, count(*) AS nm, " +
+      "sum(ln(1 + (st.nd - dfc.df + 0.5) / (dfc.df + 0.5)) * tfc.tf * 2.25 / " +
+      "(tfc.tf + 1.25 * (0.25 + 0.75 * dl.dl / st.avgdl))) AS score " +
+      "FROM qt JOIN tfc USING (w) JOIN dfc USING (w) " +
+      "JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN st " +
+      "GROUP BY qt.query_id, tfc.doc_id) " +
+      "SELECT query_id, doc_id, score, rank FROM (SELECT scn.query_id, doc_id, " +
+      "round(score, 6) AS score, row_number() OVER (PARTITION BY scn.query_id " +
+      "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scn " +
+      "JOIN need ON scn.query_id = need.query_id AND scn.nm = need.nd) " +
+      "WHERE rank <= 10"),
     // language ID: token-count per stopword table, winner = max (score,
     // lang) — mirrors the array_max(struct(score, lang)) tie-break
     // (lexicographically larger lang wins ties)

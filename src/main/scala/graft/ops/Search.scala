@@ -75,7 +75,8 @@ object Search {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k1: Double = 1.25, b: Double = 0.75,
       materializePostings: Boolean = true,
-      maxDfFraction: Double = 1.0): DataFrame = {
+      maxDfFraction: Double = 1.0,
+      requireAllTerms: Boolean = false): DataFrame = {
     // The postings frame feeds THREE consumers (df aggregation, the
     // scoring join, sumDl) — without materialization each one re-runs
     // the tokenize + groupBy subtree (measured 23 s -> 8 s at the 10x
@@ -96,7 +97,8 @@ object Search {
     // tiny) broadcasts into the postings stream.
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
-    scoreFromPostings(post, qterms, nDocs, sumDl, k1, b, maxDfFraction)
+    scoreFromPostings(post, qterms, nDocs, sumDl, k1, b, maxDfFraction,
+      requireAllTerms)
   }
 
   /** Shared scoring core: joins a postings frame (doc_id, term, tf,
@@ -108,7 +110,8 @@ object Search {
     * bucket, so df over the pruned read is identical). */
   private def scoreFromPostings(post: DataFrame, qterms: DataFrame,
       nDocs: Long, sumDl: Long, k1: Double, b: Double,
-      maxDfFraction: Double = 1.0): DataFrame = {
+      maxDfFraction: Double = 1.0,
+      requireAllTerms: Boolean = false): DataFrame = {
     val n = nDocs.toDouble
     val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
     val df = post.groupBy(col("term"))
@@ -124,13 +127,26 @@ object Search {
         log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
           .as("__idf"))
     val tfD = col("tf").cast("double")
-    post.join(broadcast(qidf), "term")
+    val scored = post.join(broadcast(qidf), "term")
       .select(col("query_id"), col("doc_id"),
         (col("__idf") * tfD * lit(k1 + 1.0) /
           (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))))
           .as("__s"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("__s")).as("score"))
+      .agg(sum(col("__s")).as("score"), count(lit(1)).as("__nt"))
+    if (!requireAllTerms) scored.drop("__nt")
+    else {
+      // conjunctive (AND) mode: keep docs matching EVERY non-elided
+      // query term — the per-pair contribution count equals the
+      // query's surviving-term count (postings rows are unique per
+      // (doc, term), so count == distinct matched terms). The
+      // per-query term counts are query-batch-sized and broadcast.
+      val need = qidf.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__need"))
+      scored.join(broadcast(need), "query_id")
+        .filter(col("__nt") === col("__need"))
+        .select(col("query_id"), col("doc_id"), col("score"))
+    }
   }
 
   /** Top-k docs per query by BM25, ranked on the 6-decimal-rounded
@@ -141,9 +157,15 @@ object Search {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.25, b: Double = 0.75,
-      maxDfFraction: Double = 1.0): DataFrame = {
+      maxDfFraction: Double = 1.0,
+      requireAllTerms: Boolean = false): DataFrame = {
+    // requireAllTerms = conjunctive (AND) retrieval: only docs
+    // matching EVERY query term that exists in the corpus (and
+    // survives elision) are ranked — absent terms can't be required
+    // of any doc, matching standard AND-semantics over the indexable
+    // vocabulary
     val scored = bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol,
-        k1, b, materializePostings = true, maxDfFraction)
+        k1, b, materializePostings = true, maxDfFraction, requireAllTerms)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
     Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
   }
@@ -362,7 +384,8 @@ object Search {
   def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.25, b: Double = 0.75,
-      maxProbeTerms: Int = 1 << 15, maxDfFraction: Double = 1.0): DataFrame = {
+      maxProbeTerms: Int = 1 << 15, maxDfFraction: Double = 1.0,
+      requireAllTerms: Boolean = false): DataFrame = {
     val (base, incs, nDocs, sumDl, buckets) = liveState(spark, uri)
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
@@ -383,7 +406,8 @@ object Search {
       .select("term", "doc_id", "tf", "dl")
     val post = (pruned(base) +: incs.map(d => pruned(s"$d/postings")))
       .reduce(_ unionByName _)
-    val scored = scoreFromPostings(post, qterms, nDocs, sumDl, k1, b, maxDfFraction)
+    val scored = scoreFromPostings(post, qterms, nDocs, sumDl, k1, b,
+        maxDfFraction, requireAllTerms)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
     Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
   }

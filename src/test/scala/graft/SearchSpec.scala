@@ -73,6 +73,25 @@ class SearchSpec extends SparkSpec {
     assert(both(0)._1 == 0L && both(1)._1 == 1L, "equal scores order by doc_id")
   }
 
+  test("requireAllTerms: AND semantics over corpus-present terms") {
+    def top(qtext: String) = Search.bm25TopK(docs, "doc_id", "text",
+        Seq((1L, qtext)).toDF("qid", "qtext"), "qid", "qtext", k = 10,
+        requireAllTerms = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(top("cat mat") == Set(0L), "only doc 0 has both terms")
+    assert(top("cat dog") == Set.empty[Long], "no doc has both")
+    // a term absent from the corpus can't be required of any doc
+    assert(top("cat zzzqqq") == Set(0L))
+    // scores are unchanged from OR mode for surviving docs
+    val andScore = Search.bm25TopK(docs, "doc_id", "text",
+      Seq((1L, "cat mat")).toDF("qid", "qtext"), "qid", "qtext", k = 10,
+      requireAllTerms = true).select($"score").as[Double].head()
+    val orScore = Search.bm25TopK(docs, "doc_id", "text",
+      Seq((1L, "cat mat")).toDF("qid", "qtext"), "qid", "qtext", k = 10)
+      .filter($"doc_id" === 0L).select($"score").as[Double].head()
+    assert(andScore == orScore)
+  }
+
   test("maxDfFraction: high-df terms elide; rare terms keep exact scores") {
     // "sat" has df 2/5 = 0.4; "cat" df 1/5 = 0.2
     val q = Seq((1L, "sat cat")).toDF("qid", "qtext")
