@@ -1394,6 +1394,17 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         Curation.cleanText(plantedDirtyDoc).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")))),
+    // HTML-to-text extraction over planted markup: script/style
+    // subtrees (script on even ids, carrying <, & and a fake </p >
+    // that must NOT become a newline), comments on ids%3, &amp;-last
+    // entity ordering (&amp;lt; surfaces as literal "&lt;"), numeric +
+    // named entities, attributed tags, <br/> vs <br > forms. DuckDB
+    // replays the plant AND the strip chain generated from the same
+    // Curation regex constants.
+    "markup_strip" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Curation.stripMarkup(plantedHtmlDoc).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")))),
     // Keep-first exact paragraph dedup over a planted fixture: 3
     // shared templates (each on ~1/3 of docs, one survivor each), a
     // blank paragraph (kept), a unique body (kept), and for even ids a
@@ -1903,6 +1914,14 @@ object SparkEntry {
     // deterministic hash sampling: membership is a pure function of
     // (salt, id) — partitioning/retry/cluster-size independent, and
     // recomputable row-by-row by the DuckDB oracle
+    // Deterministic shard export: global md5 shuffle order cut into 16
+    // shards, 0-based in-shard positions. DuckDB recomputes every
+    // assignment row-by-row (pure function of salt and id — the same
+    // auditability contract as det_sample/det_split).
+    "shard_assign" -> ((s, d) =>
+      graft.ops.Shards.assignShards(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", 16)
+        .select(col("doc_id"), col("shard"), col("pos"))),
     "det_sample" -> ((s, d) =>
       Curation.deterministicSample(t(s, d, "documents"), "doc_id", 0.3)),
     // End-to-end curation pipeline: the ops COMPOSE — near-dedup ->
@@ -2376,6 +2395,76 @@ object SparkEntry {
     s"'${Curation.ControlRe}', '', 'g'), " +
     s"'${Curation.ZeroWidthRe}', '', 'g')) AS clean_text FROM tc0)"
 
+  /** Planted HTML for the [[graft.ops.Curation.stripMarkup]] gate.
+    * Every rule has ids where it fires and ids where it must not: the
+    * style subtree is on ALL docs, the script subtree only on even ids
+    * (its body contains `<`, `&` and a decoy `</p >` that must vanish
+    * with the subtree, not become a newline), comments on ids%3==0,
+    * `&amp;lt;` must surface as the literal text `&lt;` (amp-last
+    * ordering), numeric (&#39;) and named entities, attributed tags,
+    * and both `<br/>` and `<br >` forms. */
+  private def plantedHtmlDoc: Column =
+    concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">body {color: red}</style>"),
+      when(col("doc_id") % 2 === 0,
+        lit("<script>if (1 < 2) { x = \"a & b\"; } // </p ></script>"))
+        .otherwise(lit("")),
+      lit("</head><body>"),
+      when(col("doc_id") % 3 === 0, lit("<!-- hidden <p>note</p> -->"))
+        .otherwise(lit("")),
+      lit("<h1 class=\"big\">Title</h1>"),
+      lit("<p>Hello &amp; welcome to &lt;Graft&gt;.</p>"),
+      lit("<p>It&#39;s &quot;quoted&quot;&nbsp;and &amp;lt;kept&amp;gt;</p>"),
+      lit("<div><ul><li>item A</li><li>item "),
+      (col("doc_id") % 7).cast("string"), lit("</li></ul></div>"),
+      when(col("doc_id") % 5 === 0, lit("<br/>")).otherwise(lit("<br >")),
+      lit("tail text</body></html>"))
+
+  /** SQL-escape a constant for a single-quoted DuckDB literal. */
+  private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The [[graft.ops.Curation.stripMarkup]] chain as DuckDB SQL,
+    * GENERATED from the same regex constants the Spark op uses —
+    * all patterns are RE2-safe by construction, so the two engines
+    * run the identical strings. Newline replacements go through
+    * chr(10) (RE2 rewrite strings only know backslash-digit). */
+  private def markupStripSql(inner: String): String = {
+    import graft.ops.Curation._
+    val noBlocks = s"regexp_replace(regexp_replace($inner, " +
+      s"${sqlQ(ScriptStyleRe)}, '', 'g'), ${sqlQ(CommentRe)}, '', 'g')"
+    val noTags = s"regexp_replace(regexp_replace($noBlocks, " +
+      s"${sqlQ(BreakTagRe)}, chr(10), 'g'), ${sqlQ(TagRe)}, '', 'g')"
+    val decoded = EntityTable.foldLeft(noTags) { case (c, (e, r)) =>
+      s"regexp_replace($c, ${sqlQ(e)}, ${sqlQ(r)}, 'g')"
+    }
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"$decoded, ${sqlQ(HSpaceRe)}, ' ', 'g'), " +
+      s"${sqlQ(NlHugRe)}, chr(10), 'g'), " +
+      s"${sqlQ(NlRunRe)}, chr(10)||chr(10), 'g'), " +
+      s"${sqlQ(EdgeWsRe)}, '', 'g')"
+  }
+
+  /** WITH-clause body replaying the HTML plant in DuckDB (plain string
+    * concat — the plant has no control bytes) and the generated strip
+    * chain. */
+  private def markupOracleCtes: String =
+    "mh0 AS (SELECT doc_id, '<html><head><title>Doc ' || doc_id || " +
+    "'</title><style type=\"text/css\">body {color: red}</style>' || " +
+    "CASE WHEN doc_id % 2 = 0 THEN " +
+    "'<script>if (1 < 2) { x = \"a & b\"; } // </p ></script>' " +
+    "ELSE '' END || '</head><body>' || " +
+    "CASE WHEN doc_id % 3 = 0 THEN '<!-- hidden <p>note</p> -->' " +
+    "ELSE '' END || " +
+    "'<h1 class=\"big\">Title</h1>" +
+    "<p>Hello &amp; welcome to &lt;Graft&gt;.</p>" +
+    "<p>It&#39;s &quot;quoted&quot;&nbsp;and &amp;lt;kept&amp;gt;</p>" +
+    "<div><ul><li>item A</li><li>item ' || (doc_id % 7) || " +
+    "'</li></ul></div>' || " +
+    "CASE WHEN doc_id % 5 = 0 THEN '<br/>' ELSE '<br >' END || " +
+    "'tail text</body></html>' AS html FROM documents), " +
+    s"mh1 AS (SELECT doc_id, ${markupStripSql("html")} AS clean_text FROM mh0)"
+
   /** Shared paragraph templates for the keep-first dedup gate: each
     * lands on ~1/3 of docs, so each has exactly one global survivor.
     * Shared between the Spark plant and the DuckDB oracle. */
@@ -2735,6 +2824,9 @@ object SparkEntry {
     "text_clean" ->
       (s"WITH $cleanOracleCtes SELECT doc_id, clean_text, " +
         "CAST(length(clean_text) AS INT) AS n_chars FROM tc1"),
+    "markup_strip" ->
+      (s"WITH $markupOracleCtes SELECT doc_id, clean_text, " +
+        "CAST(length(clean_text) AS INT) AS n_chars FROM mh1"),
     "paragraph_dedup" ->
       (s"WITH $paraOracleCtes SELECT doc_id, " +
         "coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos) " +
@@ -2849,6 +2941,12 @@ object SparkEntry {
       "/ (w * h * 3), 6) AS mean_intensity FROM p"),
     // identical md5-prefix membership arithmetic; floor() because
     // DuckDB CAST(double AS BIGINT) rounds where Spark/Scala truncate
+    "shard_assign" -> ("WITH h AS (SELECT doc_id, " +
+      "md5(concat('graft', CAST(doc_id AS VARCHAR))) AS hx FROM documents), " +
+      "s AS (SELECT doc_id, hx, CAST(CAST(concat('0x', substring(hx, 1, 6)) " +
+      "AS BIGINT) % 16 AS INT) AS shard FROM h) " +
+      "SELECT doc_id, shard, CAST(row_number() OVER " +
+      "(PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos FROM s"),
     "det_sample" -> ("SELECT * FROM documents WHERE " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
       "AS BIGINT) < CAST(floor(0.3 * 16777216) AS BIGINT)"),

@@ -60,6 +60,67 @@ object Curation {
           ControlRe, ""),
         ZeroWidthRe, ""))
 
+  // --- HTML / markup stripping ---------------------------------------
+  // The extraction stage UPSTREAM of every text op in a crawl pipeline
+  // (C4/RefinedWeb/Dolma all start from an HTML-to-text pass): drop
+  // non-content subtrees, turn block structure into line structure,
+  // drop the remaining tags, decode entities. All patterns stay in the
+  // RE2-compatible subset (lazy quantifiers + inline flags, NO
+  // backreferences/lookaround) so the DuckDB oracle replays the
+  // IDENTICAL strings — generated from these constants, not retyped.
+
+  /** `<script>`/`<style>` elements WITH their contents (lazy, across
+    * newlines). RE2 has no backreferences, so the two tag names are
+    * spelled out as an alternation instead of `<(script|style)>...\1`. */
+  val ScriptStyleRe: String =
+    "(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>"
+  /** HTML comments, lazy across newlines. */
+  val CommentRe: String = "(?s)<!--.*?-->"
+  /** Tags whose close (or self-close, for `<br>`) ends a rendered line. */
+  val BreakTagRe: String =
+    "(?i)<br\\s*/?>|</p\\s*>|</div\\s*>|</li\\s*>|</tr\\s*>|</h[1-6]\\s*>|</title\\s*>"
+  /** Any remaining tag (after the block/comment passes). */
+  val TagRe: String = "(?s)<[^>]*>"
+  /** Ordered named/numeric entity decode table — `&amp;` LAST so an
+    * ampersand it produces is never re-decoded (`&amp;lt;` must yield
+    * the literal text `&lt;`, not `<`). Public so the DuckDB oracle is
+    * GENERATED from the same rows (engines can't drift). */
+  val EntityTable: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#34;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+  /** Whitespace normalization, in application order: horizontal runs
+    * to one space, spaces hugging a newline dropped, 3+ newlines to a
+    * blank line, leading/trailing whitespace trimmed. */
+  val HSpaceRe: String = "[ \\t]+"
+  val NlHugRe: String = " ?\\n ?"
+  val NlRunRe: String = "\\n{3,}"
+  val EdgeWsRe: String = "^\\s+|\\s+$"
+
+  /** Strip HTML/XML markup down to rendered-ish text: remove
+    * script/style subtrees and comments, turn block-closing tags into
+    * newlines, drop remaining tags, decode common entities (ordered,
+    * `&amp;` last), then normalize whitespace (horizontal runs to one
+    * space, spaces hugging newlines dropped, 3+ newlines to a blank
+    * line, trimmed). Entity decode runs AFTER tag removal, so textual
+    * `&lt;tag&gt;` survives as literal `<tag>` — the standard order.
+    * Narrow regexp chain, zero shuffle, whole-stage codegen. */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, ScriptStyleRe, ""), CommentRe, "")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, BreakTagRe, "\n"), TagRe, "")
+    val decoded = EntityTable.foldLeft(noTags) {
+      case (c, (ent, rep)) => regexp_replace(c, ent, rep)
+    }
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(decoded, HSpaceRe, " "),
+          NlHugRe, "\n"),
+        NlRunRe, "\n\n"),
+      EdgeWsRe, "")
+  }
+
   // --- URL curation -------------------------------------------------
   // Web-crawl pipelines key their caps, dedup groups and source stats
   // on the REGISTERED DOMAIN of a normalized URL (C4, RefinedWeb,

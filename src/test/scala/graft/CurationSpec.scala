@@ -263,6 +263,32 @@ class CurationSpec extends SparkSpec {
       (5L, "caf\u00E9"), (6L, "\u00E9x"), (7L, "keep\tthis\nplain")))
   }
 
+  test("stripMarkup: subtrees, comments, breaks, entities, whitespace") {
+    val rows = Seq(
+      // script subtree vanishes WHOLLY — its </p > is not a break
+      (1L, "<p>a</p><script>x = 1 < 2; // </p ></script><p>b</p>"),
+      (2L, "<style>p {c: d}</style>text"),
+      (3L, "before<!-- <p>hidden</p> -->after"),
+      // block closes and <br> forms become newlines; attrs dropped
+      (4L, "<h2 id=\"x\">T</h2><ul><li>a</li><li>b</li></ul>c<br/>d<br >e"),
+      // entity decode AFTER tag strip; &amp; LAST (no double decode)
+      (5L, "<p>1 &lt; 2 &amp;&amp; &quot;q&quot; &#39;s&#39; &amp;lt;raw&amp;gt;</p>"),
+      // whitespace: runs collapse, spaces hugging \n drop, 3+ \n -> 2
+      (6L, "a  \t b \n\n\n\n c"),
+      (7L, "  <p> padded </p>  "))
+      .toDF("id", "text")
+    val out = rows.select($"id", Curation.stripMarkup($"text").as("c"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a\nb"),
+      (2L, "text"),
+      (3L, "beforeafter"),
+      (4L, "T\na\nb\nc\nd\ne"),
+      (5L, "1 < 2 && \"q\" 's' &lt;raw&gt;"),
+      (6L, "a b\n\nc"),
+      (7L, "padded")))
+  }
+
   test("NfcNormalize ASCII fast path returns the input buffer") {
     import org.apache.spark.unsafe.types.UTF8String
     val ascii = UTF8String.fromString("plain ascii only")
