@@ -1125,6 +1125,55 @@ object SparkEntry {
     // the candidate margin. Deterministic fixture, so equality is
     // stable, and any regression in the quantize/dequantize kernels or
     // the candidate-fetch join shows up as a mismatch.
+    // PQ (product quantization) gates, config m=8/ksub=256 = 8 bytes
+    // per 64-dim vector (32x vs float32; int8 is only 4x). The
+    // embeddings are near-orthogonal — PQ's WORST case — so the floors
+    // hold a fortiori on clustered real embeddings (PqCurve,
+    // BASELINE.md). Round-trip: every vector's reconstruction cosine.
+    "pq_roundtrip_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val cb = Similarity.trainPq(e, "vec_id", "embedding", m = 8, ksub = 256)
+      val rt = e.withColumn("codes",
+          Similarity.pqEncode(Similarity.unitNorm(col("embedding")), cb))
+        .withColumn("back", Similarity.pqDecode(col("codes"), cb))
+      val n = rt.count()
+      val worst = rt.select(Similarity.cosine(col("embedding"), col("back")).as("c"))
+        .agg(min("c")).collect()(0).getDouble(0)
+      s.range(1).select(lit(n).as("n_vecs"),
+        lit(worst >= 0.8).as("reconstruction_ok"))
+    }),
+    // ADC top-k with exact re-rank of the top-100 candidates must hit
+    // >= 0.9 recall@10 vs brute force (measured 1.0 at sf0.01).
+    "pq_recall" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val pq = Similarity.pqTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, m = 8, ksub = 256, rerank = 100)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      Similarity.recallAtK(pq, brute)
+        .select((col("recall") >= 0.9).as("recall_ok"))
+    }),
+    // persisted codes-only index must agree with the inline ADC path
+    // exactly (same codebook -> same codes -> same scores and ranks)
+    "pq_index_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val uri = s"$arrayBase/${sfKey(d)}/pq_index"
+      synchronized {
+        if (!graft.storage.VFS(s).exists(s"$uri/codebook.json"))
+          Similarity.buildPqIndex(e, "vec_id", "embedding", uri,
+            m = 8, ksub = 256)
+      }
+      val cb = Similarity.pqCodebook(s, uri)
+      val inline = Similarity.pqTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, codebookOpt = Some(cb))
+      val idx = Similarity.pqIndexTopK(s, uri, q, "vec_id", "embedding", k = 10)
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
+      idx.select(cols: _*).exceptAll(inline.select(cols: _*))
+        .unionAll(inline.select(cols: _*).exceptAll(idx.select(cols: _*)))
+        .agg(count(lit(1)).as("mismatches"))
+    }),
     "knn_ivf_rerank" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -1291,6 +1340,11 @@ object SparkEntry {
         round(length(regexp_replace(txt, "[^.,;:!?'\"]", "")).cast(DoubleType)
           / greatest(len, lit(1.0)), 6).as("punct_ratio"))
     }),
+    // within-doc word-distribution entropy (bits): narrow sorted-array
+    // run-length fold in Spark, unnest + group-by recompute in DuckDB.
+    "text_entropy" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.wordEntropy(col("text")).as("word_entropy"))),
     // multi-language planted fixture: each doc gets one phrase from the
     // 33-entry table (8 script-decided + 20 stopword languages + one
     // gibberish 'und' case + 4 confusable-pair phrases that only the
@@ -2752,6 +2806,13 @@ object SparkEntry {
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +
       "round(CAST(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio FROM documents"),
+    "text_entropy" -> ("WITH w AS (SELECT doc_id, " +
+      "unnest(string_split_regex(trim(text), '\\s+')) AS word FROM documents), " +
+      "c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2), " +
+      "n AS (SELECT doc_id, sum(cnt) AS n FROM c GROUP BY 1) " +
+      "SELECT c.doc_id, round(CASE WHEN any_value(n.n) <= 1 THEN 0.0 ELSE " +
+      "sum((cnt / CAST(n.n AS DOUBLE)) * log2(CAST(n.n AS DOUBLE) / cnt)) END, 6) " +
+      "AS word_entropy FROM c JOIN n ON c.doc_id = n.doc_id GROUP BY c.doc_id"),
     "text_tokens_bpe" -> bpeOracleSql,
     "text_token_ids" -> bpeTokenIdsOracleSql,
     "packed_ids_gate" -> (bpeDocCountsCte +
@@ -3175,6 +3236,10 @@ object SparkEntry {
       "SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999"),
 
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
+    "pq_roundtrip_gate" -> ("SELECT count(*) AS n_vecs, " +
+      "true AS reconstruction_ok FROM embeddings"),
+    "pq_recall" -> "SELECT true AS recall_ok",
+    "pq_index_gate" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_rerank" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_append" -> ("SELECT count(*) AS n_indexed, true AS appended_found " +

@@ -584,6 +584,254 @@ object Similarity {
     * round-trip error bound is scale/2 per component. */
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => c.cast("float") * q.getField("scale"))
+
+  // ------------------------------------------------- product quantization
+  // PQ (Jegou et al., "Product Quantization for Nearest Neighbor
+  // Search", TPAMI 2011 — public method): split the vector into m
+  // subspaces, k-means each subspace to ksub centroids, store one code
+  // per subspace. At m=8, ksub=16 a 64-dim float vector becomes 8
+  // codes = 8 bytes — a 32x memory cut vs float32 (int8 is only 4x),
+  // which is the difference between a vector store that fits in
+  // cluster RAM at 100 TB corpus scale and one that doesn't. Queries
+  // score against codes via ADC (one LUT of <q_s, C_s,j> per query,
+  // score = sum of m table lookups per candidate — no full dot).
+
+  /** Train a PQ codebook: per-subspace k-means (L2, deterministic
+    * seeding and ties) over a bounded hash-ordered corpus sample —
+    * the standard PQ practice (codebooks train on a sample regardless
+    * of corpus size; FAISS does the same), so driver state is
+    * trainN*dim doubles by construction, never corpus-sized. Vectors
+    * are unit-normalized BEFORE training and encoding, so ADC dot
+    * approximates cosine directly. Returns
+    * codebook(s)(j) = centroid j of subspace s (ksub per subspace). */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, lloydSteps: Int = 4,
+      trainN: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ksub >= 1 && lloydSteps >= 0)
+    val rows = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id")).limit(trainN)
+      .select(transform(col("__v"), x => x.cast("double")).as("__v"))
+      .collect()
+    require(rows.nonEmpty, "trainPq: empty corpus")
+    val sample: Array[Array[Double]] = rows.map { r =>
+      val v = r.getSeq[Double](0).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansL2(sub, ksub, lloydSteps)
+    }
+  }
+
+  /** Driver-side L2 k-means over a bounded sample: seeds = first k
+    * DISTINCT points in sample order (zero-padded if the sample has
+    * fewer distinct points), assignment by min squared distance with
+    * smallest-index ties, empty cells keep their previous centroid.
+    * Deterministic end to end. */
+  private def kmeansL2(points: Array[Array[Double]], k: Int,
+      steps: Int): Seq[Seq[Double]] = {
+    val dsub = points.head.length
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val used = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (seeds.size < k && i < points.length) {
+      if (used.add(points(i).toSeq)) seeds += points(i).clone()
+      i += 1
+    }
+    while (seeds.size < k) seeds += new Array[Double](dsub)
+    var cents: Array[Array[Double]] = seeds.toArray
+    var step = 0
+    while (step < steps) {
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var d = 0.0
+          var t = 0
+          while (t < dsub) { val x = p(t) - cents(j)(t); d += x * x; t += 1 }
+          if (d < bestD) { bestD = d; best = j } // strict: ties keep min j
+          j += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+      step += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Unit-normalize a vector column to doubles (zero vectors pass
+    * through as zeros). Narrow. The norm binds through
+    * [[graft.ops.TextAnalysis.once]] — inlined per-element it would
+    * re-run the dim-wide aggregate for EVERY component. */
+  def unitNorm(vec: Column): Column =
+    graft.ops.TextAnalysis.once(sqrt(aggregate(vec, lit(0.0), (a, x) =>
+      a + x.cast("double") * x.cast("double")))) { n =>
+      when(n === 0.0, transform(vec, _ => lit(0.0)))
+        .otherwise(transform(vec, x => x.cast("double") / n))
+    }
+
+  /** PQ-encode a vector, narrowly: per subspace, argmin-L2 code over
+    * the codebook computed as argmin_j (||C_j||^2 - 2<v_s, C_j>) (the
+    * ||v_s||^2 term is constant across j), struct-min ties to the
+    * smallest code. The codebook embeds as compact `typedlit` tables
+    * (O(1) expression nodes per subspace — the same k-scaling shape as
+    * [[assignNarrow]]'s centroid table). Input must already be
+    * unit-normalized ([[unitNorm]]). Returns array<int> of m codes. */
+  def pqEncode(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    // bind the (possibly normalized) vector ONCE per row: inlined, its
+    // expression tree would re-evaluate per subspace per code
+    graft.ops.TextAnalysis.once(vec) { v =>
+      val dsub = codebook.head.head.size
+      val codes = codebook.zipWithIndex.map { case (cents, s) =>
+        val table = typedLit(cents)
+        val c2 = typedLit(cents.map(c => c.map(x => x * x).sum))
+        graft.ops.TextAnalysis.once(slice(v, s * dsub + 1, dsub)) { sub =>
+          array_min(transform(sequence(lit(0), lit(cents.size - 1)), j =>
+            struct(
+              (element_at(c2, j + 1)
+                - lit(2.0) * dot(sub, element_at(table, j + 1))).as("d"),
+              j.as("j"))))
+            .getField("j")
+        }
+      }
+      array(codes: _*)
+    }
+
+  /** Reconstruct the (normalized) vector from its PQ codes — the
+    * concatenation of the coded centroids. Narrow; used by the
+    * round-trip gate and for re-ranking without the original vectors. */
+  def pqDecode(codes: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    flatten(array(codebook.zipWithIndex.map { case (cents, s) =>
+      element_at(typedLit(cents), element_at(codes, s + 1) + 1)
+    }: _*))
+
+  /** Per-query ADC lookup table: lut(s)(j) = <q_s, C_s,j> over the
+    * unit-normalized query. Computed ONCE per query row (queries are
+    * the broadcast side), m*ksub doubles each. */
+  def pqLut(qvec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    graft.ops.TextAnalysis.once(qvec) { v =>
+      val dsub = codebook.head.head.size
+      array(codebook.zipWithIndex.map { case (cents, s) =>
+        val table = typedLit(cents)
+        graft.ops.TextAnalysis.once(slice(v, s * dsub + 1, dsub)) { sub =>
+          transform(sequence(lit(0), lit(cents.size - 1)), j =>
+            dot(sub, element_at(table, j + 1)))
+        }
+      }: _*)
+    }
+
+  /** ADC score = sum of m LUT lookups — approximate cosine of the
+    * (unit-normalized) pair. No dot product over the full dimension
+    * touches the corpus row. */
+  def adcScore(lut: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(lut, s + 1),
+        element_at(codes, s + 1).cast("int") + 1))
+
+  /** Flat PQ top-k: train (or take) a codebook, encode the corpus once
+    * (narrow), broadcast the queries with their per-query LUTs, rank
+    * candidates by ADC score, and optionally re-rank the top `rerank`
+    * ADC candidates by exact cosine (fetched from the corpus row that
+    * is ALREADY in hand — no second corpus pass). The corpus never
+    * shuffles; per-candidate work is m table lookups instead of a
+    * dim-wide dot. Returns (query_id, neighbor_id, cosine, rank) where
+    * cosine is exact when rerank > 0, else the ADC approximation. */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, m: Int = 8, ksub: Int = 16, rerank: Int = 0,
+      codebookOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val codebook = codebookOpt.getOrElse(
+      trainPq(corpus, corpusId, corpusVec, m, ksub))
+    val coded = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .withColumn("codes", pqEncode(unitNorm(col("__cv")), codebook))
+    val q = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__lut", pqLut(unitNorm(col("__qv")), codebook))
+    val scored = coded.join(broadcast(q))
+      .withColumn("__adc", adcScore(col("__lut"), col("codes"), codebook.size))
+    if (rerank <= 0)
+      topKPerKey(scored, "query_id", "neighbor_id", "__adc", k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("__adc"), 6).as("cosine"), col("rank"))
+    else {
+      // phase 2 mirrors ivfIndexTopK's re-rank: the candidate id set is
+      // q*rerank rows (tiny), broadcast back onto the corpus to fetch
+      // true vectors — no corpus shuffle, one extra narrow scan.
+      val cands = topKPerKey(scored, "query_id", "neighbor_id", "__adc",
+        math.max(rerank, k)).select(col("query_id"), col("neighbor_id"))
+      val candVecs = corpus
+        .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+        .join(broadcast(cands.select("neighbor_id").distinct()),
+          Seq("neighbor_id"), "left_semi")
+      val exact = candVecs
+        .join(broadcast(cands), Seq("neighbor_id"))
+        .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+        .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      topKPerKey(exact, "query_id", "neighbor_id", "cosine", k)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
+  }
+
+  /** Persist a PQ index: the corpus as (id, codes) — the 32x-smaller
+    * representation is the whole point; originals stay wherever they
+    * live — plus the codebook as a JSON sidecar. One narrow encode
+    * pass, no shuffle. */
+  def buildPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      uri: String, m: Int = 8, ksub: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val codebook = trainPq(corpus, corpusId, corpusVec, m, ksub)
+    graft.storage.VFS(spark).delete(uri)
+    corpus.select(col(corpusId).as("neighbor_id"),
+        pqEncode(unitNorm(col(corpusVec)), codebook).as("codes"))
+      .write.mode("overwrite").parquet(s"$uri/codes")
+    import graft.core.Json._
+    val json = JObj(Seq("m" -> JLong(m.toLong), "ksub" -> JLong(ksub.toLong),
+      "codebook" -> JArr(codebook.map(sub =>
+        JArr(sub.map(c => JArr(c.map(JNum(_))))))))).render
+    graft.storage.VFS(spark).writeString(s"$uri/codebook.json", json)
+  }
+
+  /** Load a persisted PQ codebook. */
+  def pqCodebook(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Seq[Seq[Seq[Double]]] = {
+    import graft.core.Json._
+    val root = parse(graft.storage.VFS(spark).readString(s"$uri/codebook.json"))
+    root.obj("codebook").get.arr.map(sub =>
+      sub.arr.map(c => c.arr.map(_.dbl)))
+  }
+
+  /** Query a persisted PQ index: ADC over the codes table only — the
+    * scan reads (id, codes) rows, never a float vector. Scores are the
+    * ADC cosine approximation (re-ranking needs the original vectors,
+    * which the index deliberately does not store). */
+  def pqIndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10): DataFrame = {
+    val codebook = pqCodebook(spark, uri)
+    val coded = spark.read.parquet(s"$uri/codes")
+    val q = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__lut", pqLut(unitNorm(col("__qv")), codebook))
+    val scored = coded.join(broadcast(q))
+      .withColumn("__adc", adcScore(col("__lut"), col("codes"), codebook.size))
+    topKPerKey(scored, "query_id", "neighbor_id", "__adc", k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc"), 6).as("cosine"), col("rank"))
+  }
 }
 
 /** Bounded binary heap over (score, id) keeping the top-k by

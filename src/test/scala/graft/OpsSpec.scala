@@ -8,6 +8,18 @@ class OpsSpec extends SparkSpec {
 
   // --- text ---
 
+  test("wordEntropy: uniform, skewed, constant, and degenerate docs") {
+    val df = Seq("a b c d", "a a b b", "a a a a", "a a a b", "", "x")
+      .toDF("t").select(TextAnalysis.wordEntropy($"t").as("h"))
+    val h = df.as[Double].collect().toSeq
+    assert(h(0) == 2.0) // 4 distinct of 4
+    assert(h(1) == 1.0) // two 50/50 words
+    assert(h(2) == 0.0) // one word only
+    // 3/4 * log2(4/3) + 1/4 * log2(4) = 0.811278
+    assert(math.abs(h(3) - 0.811278) < 1e-6)
+    assert(h(4) == 0.0 && h(5) == 0.0) // <2 tokens
+  }
+
   test("tokenCount: whitespace, blank, and multi-space handling") {
     val df = Seq("one two three", "", "   ", " padded  words ").toDF("t")
       .select(TextAnalysis.tokenCount($"t").as("n"))
@@ -505,6 +517,88 @@ class OpsSpec extends SparkSpec {
       queries, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 4))
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall $recall")
+  }
+
+  // --- product quantization ---
+
+  /** Clustered 64-dim vectors (10 centers + deterministic noise) —
+    * the regime PQ is built for; m=8 subspaces of 8 dims. */
+  private def pqVecs(n: Int) = (0 until n).map { i =>
+    val c = i % 10
+    (i.toLong, Array.tabulate(64)(j =>
+      (math.sin(c * 17 + j) + 0.05 * math.sin(i * 31 + j * 7)).toFloat))
+  }
+
+  test("PQ round-trip: m codes in [0,ksub), clustered data reconstructs") {
+    val df = pqVecs(200).toDF("vec_id", "embedding").cache()
+    val cb = Similarity.trainPq(df, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb.size == 8 && cb.forall(_.size == 16) &&
+      cb.forall(_.forall(_.size == 8)))
+    val rt = df
+      .withColumn("codes",
+        Similarity.pqEncode(Similarity.unitNorm($"embedding"), cb))
+      .withColumn("back", Similarity.pqDecode($"codes", cb))
+    val codes = rt.select($"codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    // 10 true clusters vs 16 codes/subspace: reconstruction stays tight
+    val worst = rt.select(Similarity.cosine($"embedding", $"back").as("c"))
+      .agg(min($"c")).as[Double].head()
+    assert(worst > 0.98, s"worst reconstruction cosine $worst")
+  }
+
+  test("PQ top-k: planted duplicate surfaces; full rerank == brute force") {
+    val base = pqVecs(200).toDF("vec_id", "embedding").cache()
+    val queries = base.filter($"vec_id" < 5)
+    val planted = queries.select(($"vec_id" + 100000L).as("vec_id"),
+      $"embedding")
+    val corpus = base.unionByName(planted).cache()
+    // pure ADC: within a tight cluster all members share codes, so the
+    // exact duplicate is indistinguishable from its ~20 cluster
+    // siblings — PQ's documented resolution limit (hence rerank). The
+    // correct claim AT PQ resolution: every ADC hit comes from the
+    // query's true cluster (i % 10), never from another cluster.
+    val adc = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    adc.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .foreach { case (q, n) =>
+        assert(n % 100000L % 10L == q % 10L,
+          s"ADC hit $n for query $q is from the wrong cluster")
+      }
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    // rerank over every candidate = exact brute force, bit-for-bit —
+    // which also means the planted duplicate lands at rank <= 2
+    val rr = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, rerank = 1000)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(rr) == rows(brute))
+    val byQ = rr.collect().groupBy(_.getAs[Long]("query_id"))
+    (0L until 5L).foreach { q =>
+      val dup = byQ(q).find(_.getAs[Long]("neighbor_id") == q + 100000L)
+      assert(dup.exists(_.getAs[Long]("rank") <= 2L),
+        s"planted dup of $q not in reranked top-2")
+    }
+  }
+
+  test("persisted PQ index: codes-only scan, equals inline ADC") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val corpus = pqVecs(300).toDF("vec_id", "embedding").cache()
+    val queries = corpus.filter($"vec_id" < 4)
+    Similarity.buildPqIndex(corpus, "vec_id", "embedding", dir)
+    // the index stores ids + codes ONLY (the 32x memory cut)
+    val stored = spark.read.parquet(s"$dir/codes")
+    assert(stored.columns.toSet == Set("neighbor_id", "codes"))
+    val cb = Similarity.pqCodebook(spark, dir)
+    val inline = Similarity.pqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 8, codebookOpt = Some(cb))
+    val idx = Similarity.pqIndexTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 8)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(idx) == rows(inline))
   }
 
   test("semantic near-dups: planted duplicates found within cells, exact-cosine verified") {

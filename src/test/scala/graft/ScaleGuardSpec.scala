@@ -121,6 +121,22 @@ class ScaleGuardSpec extends SparkSpec {
     assert(windows(ivf).isEmpty, "IVF must use bounded heaps, not a rank window")
   }
 
+  test("PQ: queries+LUTs broadcast, corpus stays narrow, heaps not windows") {
+    val q = vecs.filter($"vec_id" < 5)
+    val cb = Similarity.trainPq(vecs, "vec_id", "embedding", m = 4, ksub = 8)
+    val adc = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, codebookOpt = Some(cb))
+    assert(broadcasts(adc).nonEmpty, s"no broadcast in PQ ADC plan:\n${plan(adc)}")
+    assert(singlePartExchanges(adc).isEmpty,
+      s"single-partition shuffle in PQ ADC plan:\n${plan(adc)}")
+    assert(windows(adc).isEmpty, "PQ must use bounded heaps, not a rank window")
+    val rr = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, rerank = 20, codebookOpt = Some(cb))
+    assert(broadcasts(rr).nonEmpty && windows(rr).isEmpty &&
+      singlePartExchanges(rr).isEmpty,
+      s"re-rank phase broke the PQ plan shape:\n${plan(rr)}")
+  }
+
   test("as-of join: single shuffle pass, windows always partitioned") {
     val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"))
       .toDF("uid", "ts", "tag")
