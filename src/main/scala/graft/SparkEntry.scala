@@ -1174,6 +1174,30 @@ object SparkEntry {
         .unionAll(inline.select(cols: _*).exceptAll(idx.select(cols: _*)))
         .agg(count(lit(1)).as("mismatches"))
     }),
+    // IVF+PQ (the production ANN shape: cell-pruned probes over 8-byte
+    // codes): with every cell probed and every candidate re-ranked the
+    // result must EQUAL exact brute force — pins assignment, encode,
+    // ADC, and the re-rank join end to end. The cheap-probe recall is
+    // covered by the same machinery as pq_recall (shared codebook path).
+    "ivfpq_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val uri = s"$arrayBase/${sfKey(d)}/ivfpq_index"
+      synchronized {
+        if (!graft.storage.VFS(s).exists(s"$uri/codebook.json"))
+          Similarity.buildIvfPqIndex(e, "vec_id", "embedding", uri,
+            nCentroids = 16, m = 8, ksub = 256)
+      }
+      val all = Similarity.ivfPqTopK(s, uri, q, "vec_id", "embedding",
+        k = 10, nprobe = 16, rerankFrom = Some((e, "vec_id", "embedding")),
+        rerank = 1 << 20)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
+      all.select(cols: _*).exceptAll(brute.select(cols: _*))
+        .unionAll(brute.select(cols: _*).exceptAll(all.select(cols: _*)))
+        .agg(count(lit(1)).as("mismatches"))
+    }),
     "knn_ivf_rerank" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -3240,6 +3264,7 @@ object SparkEntry {
       "true AS reconstruction_ok FROM embeddings"),
     "pq_recall" -> "SELECT true AS recall_ok",
     "pq_index_gate" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
+    "ivfpq_gate" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_indexed" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_rerank" -> "SELECT CAST(0 AS BIGINT) AS mismatches",
     "knn_ivf_append" -> ("SELECT count(*) AS n_indexed, true AS appended_found " +

@@ -684,30 +684,14 @@ object Similarity {
 
   /** PQ-encode a vector, narrowly: per subspace, argmin-L2 code over
     * the codebook computed as argmin_j (||C_j||^2 - 2<v_s, C_j>) (the
-    * ||v_s||^2 term is constant across j), struct-min ties to the
-    * smallest code. The codebook embeds as compact `typedlit` tables
-    * (O(1) expression nodes per subspace — the same k-scaling shape as
-    * [[assignNarrow]]'s centroid table). Input must already be
-    * unit-normalized ([[unitNorm]]). Returns array<int> of m codes. */
+    * ||v_s||^2 term is constant across j), strict-less ties to the
+    * smallest code. Runs as the native [[graft.functions.PqEncodeK]]
+    * kernel — the corpus-wide pass of a PQ build must be primitive
+    * loops, not m*ksub interpreted lambda evals per row. Input must
+    * already be unit-normalized ([[unitNorm]]). Returns array<int> of
+    * m codes. */
   def pqEncode(vec: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
-    // bind the (possibly normalized) vector ONCE per row: inlined, its
-    // expression tree would re-evaluate per subspace per code
-    graft.ops.TextAnalysis.once(vec) { v =>
-      val dsub = codebook.head.head.size
-      val codes = codebook.zipWithIndex.map { case (cents, s) =>
-        val table = typedLit(cents)
-        val c2 = typedLit(cents.map(c => c.map(x => x * x).sum))
-        graft.ops.TextAnalysis.once(slice(v, s * dsub + 1, dsub)) { sub =>
-          array_min(transform(sequence(lit(0), lit(cents.size - 1)), j =>
-            struct(
-              (element_at(c2, j + 1)
-                - lit(2.0) * dot(sub, element_at(table, j + 1))).as("d"),
-              j.as("j"))))
-            .getField("j")
-        }
-      }
-      array(codes: _*)
-    }
+    graft.functions.PqEncodeK(vec, codebook)
 
   /** Reconstruct the (normalized) vector from its PQ codes — the
     * concatenation of the coded centroids. Narrow; used by the
@@ -734,11 +718,11 @@ object Similarity {
 
   /** ADC score = sum of m LUT lookups — approximate cosine of the
     * (unit-normalized) pair. No dot product over the full dimension
-    * touches the corpus row. */
+    * touches the corpus row. Native [[graft.functions.AdcScore]]
+    * kernel: this runs once per (query x candidate) pair — the one
+    * place PQ lives or dies on per-row cost. */
   def adcScore(lut: Column, codes: Column, m: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(lut, s + 1),
-        element_at(codes, s + 1).cast("int") + 1))
+    graft.functions.AdcScore(lut, codes)
 
   /** Flat PQ top-k: train (or take) a codebook, encode the corpus once
     * (narrow), broadcast the queries with their per-query LUTs, rank
@@ -805,6 +789,42 @@ object Similarity {
     graft.storage.VFS(spark).writeString(s"$uri/codebook.json", json)
   }
 
+  /** Live codes directory of a persisted PQ index. Maintenance flips
+    * generations ([[graft.storage.VersionedDir]], the plain
+    * `uri/codes` dir being generation 0): concurrent probes always
+    * resolve a complete directory, as with the IVF cells dir. */
+  def pqCodesPath(spark: org.apache.spark.sql.SparkSession,
+      uri: String): String =
+    graft.storage.VersionedDir.resolve(graft.storage.VFS(spark), uri, "codes")
+
+  /** Incrementally add vectors to a persisted PQ index: encode with
+    * the EXISTING codebook (batch-sized narrow pass, no retrain, the
+    * indexed corpus is never re-read) and append. Same quantization-
+    * drift trade as [[appendToIvfIndex]]: if the distribution shifts
+    * far from the training sample, rebuild re-trains. */
+  def appendToPqIndex(batch: DataFrame, batchId: String, batchVec: String,
+      uri: String): Unit = {
+    val cb = pqCodebook(batch.sparkSession, uri)
+    batch.select(col(batchId).as("neighbor_id"),
+        pqEncode(unitNorm(col(batchVec)), cb).as("codes"))
+      .write.mode("append").parquet(pqCodesPath(batch.sparkSession, uri))
+  }
+
+  /** Merge a PQ index's accumulated append files into a fresh
+    * generation (one pass over the 8-byte codes — cheap by
+    * construction), committed via the reader-safe generation flip. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Unit = {
+    val fs = graft.storage.VFS(spark)
+    val cur = graft.storage.VersionedDir.resolve(fs, uri, "codes")
+    val next = graft.storage.VersionedDir.next(fs, uri, "codes")
+    val codes = spark.read.parquet(cur)
+    // ~4M (id, 8-byte codes) rows per output file ≈ 100 MB
+    val nFiles = math.max(1, (codes.count() / 4000000L).toInt)
+    codes.repartition(nFiles).write.parquet(next)
+    graft.storage.VersionedDir.commit(fs, uri, "codes", next)
+  }
+
   /** Load a persisted PQ codebook. */
   def pqCodebook(spark: org.apache.spark.sql.SparkSession,
       uri: String): Seq[Seq[Seq[Double]]] = {
@@ -822,7 +842,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10): DataFrame = {
     val codebook = pqCodebook(spark, uri)
-    val coded = spark.read.parquet(s"$uri/codes")
+    val coded = spark.read.parquet(pqCodesPath(spark, uri))
     val q = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .withColumn("__lut", pqLut(unitNorm(col("__qv")), codebook))
@@ -831,6 +851,91 @@ object Similarity {
     topKPerKey(scored, "query_id", "neighbor_id", "__adc", k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("__adc"), 6).as("cosine"), col("rank"))
+  }
+
+  // ----------------------------------------------- IVF + PQ composition
+
+  /** Persist an IVF+PQ index — the production ANN shape (FAISS's
+    * workhorse): vectors assigned to coarse cells (static partition
+    * pruning at probe time, like [[buildIvfIndex]]) and stored as PQ
+    * codes ONLY (8 bytes each at m=8/ksub=256). A probe then reads
+    * ~nprobe/nCentroids of an already-32x-smaller table — the two
+    * reductions multiply. Codes are over the unit vectors themselves,
+    * NOT per-cell residuals: residual coding buys ADC accuracy at the
+    * cost of a per-(query, cell) LUT; with exact re-ranking downstream
+    * ([[ivfPqTopK]]'s `rerankFrom`) the simpler single-LUT scheme wins. */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+      uri: String, nCentroids: Int = 16, m: Int = 8, ksub: Int = 256): Unit = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, corpusId, corpusVec, nCentroids)
+    val codebook = trainPq(corpus, corpusId, corpusVec, m, ksub)
+    graft.storage.VFS(spark).delete(uri)
+    corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__v"))
+      .withColumn("centroid_id", assignNarrow(col("__v"), cents))
+      .select(col("neighbor_id"),
+        pqEncode(unitNorm(col("__v")), codebook).as("codes"),
+        col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(s"$uri/cells")
+    import graft.core.Json._
+    graft.storage.VFS(spark).writeString(s"$uri/centroids.json",
+      JObj(Seq("centroids" -> JArr(cents.map { case (cid, v) =>
+        JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
+      }))).render)
+    graft.storage.VFS(spark).writeString(s"$uri/codebook.json",
+      JObj(Seq("m" -> JLong(m.toLong), "ksub" -> JLong(ksub.toLong),
+        "codebook" -> JArr(codebook.map(sub =>
+          JArr(sub.map(c => JArr(c.map(JNum(_))))))))).render)
+  }
+
+  /** Query an IVF+PQ index: probe the nprobe nearest cells (static
+    * partition pruning on `centroid_id=` dirs), ADC-score their 8-byte
+    * codes against the per-query LUT, and optionally re-rank the ADC
+    * top-`rerank` by exact cosine against a caller-provided vector
+    * frame (the index stores no vectors — `rerankFrom` is typically
+    * the source corpus, touched only by a broadcast semi-join of the
+    * tiny candidate id set). With nprobe = nCentroids and
+    * rerank >= corpus the result equals exact brute force — the
+    * probe-all gate pins that identity. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nprobe: Int = 4,
+      rerankFrom: Option[(DataFrame, String, String)] = None,
+      rerank: Int = 100): DataFrame = {
+    val cents = indexCentroids(spark, uri)
+    val codebook = pqCodebook(spark, uri)
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__lut", pqLut(unitNorm(col("__qv")), codebook))
+      .withColumn("centroid_id",
+        explode(probeNarrow(col("__qv"), cents, nprobe)))
+    val cellIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$uri/cells")
+      .filter(col("centroid_id").isin(cellIds: _*))
+    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("__adc", adcScore(col("__lut"), col("codes"), codebook.size))
+    rerankFrom match {
+      case None =>
+        topKPerKey(scored, "query_id", "neighbor_id", "__adc", k)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("__adc"), 6).as("cosine"), col("rank"))
+      case Some((corpus, cid, cvec)) =>
+        val cands = topKPerKey(scored, "query_id", "neighbor_id", "__adc",
+          math.max(rerank, k)).select(col("query_id"), col("neighbor_id"))
+        val candVecs = corpus
+          .select(col(cid).as("neighbor_id"), col(cvec).as("__cv"))
+          .join(broadcast(cands.select("neighbor_id").distinct()),
+            Seq("neighbor_id"), "left_semi")
+        val qv = queries.select(col(queryId).as("query_id"),
+          col(queryVec).as("__qv"))
+        val exact = candVecs
+          .join(broadcast(cands), Seq("neighbor_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+        topKPerKey(exact, "query_id", "neighbor_id", "cosine", k)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+    }
   }
 }
 

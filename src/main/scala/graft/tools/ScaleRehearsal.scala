@@ -428,6 +428,50 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- round-11c ops: PQ index, shard export, narrow text ops ------
+    if (runOp("pq")) {
+      val uri = s"$outDir/pq_index"
+      val (_, tBuild) = time(graft.ops.Similarity.buildPqIndex(
+        embX, "vec_id", "embedding", uri, m = 8, ksub = 256))
+      results += "pq_build" -> tBuild // sample-bounded train + 1 encode pass
+      val queries = embX.filter(col("vec_id") < 64)
+      val (hits, tProbe) = time(graft.ops.Similarity.pqIndexTopK(
+        spark, uri, queries, "vec_id", "embedding", k = 10).count())
+      results += "pq_probe_64" -> tProbe // ADC over the 8-byte codes table
+      val cb = graft.ops.Similarity.pqCodebook(spark, uri)
+      val (_, tRerank) = time(graft.ops.Similarity.pqTopK(
+        embX, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, rerank = 100, codebookOpt = Some(cb)).count())
+      results += "pq_rerank_64" -> tRerank // + exact rescore of top-100
+      println(s"[rehearsal] pq: $hits probe hits over ${embX.count()} vecs")
+    }
+
+    if (runOp("shards")) {
+      val withToks = docs
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .select("doc_id", "text", "n_tokens")
+      // shard count grows with the corpus (fixed ~rows per shard file),
+      // exactly how a production export picks it — parallelism scales
+      val nSh = math.max(16, (docs.count() / 25000L).toInt)
+      val (mani, tShard) = time(graft.ops.Shards.writeShards(
+        withToks, s"$outDir/shards", "doc_id", nSh,
+        tokenCol = Some("n_tokens")))
+      results += "shard_export" -> tShard
+      println(s"[rehearsal] shards: ${mani.size} shards, rows=${mani.map(_._2).sum}")
+    }
+
+    if (runOp("text_narrow")) {
+      // per-row regex/fold kernels — these must scale LINEARLY
+      val (_, tStrip) = time(docs.select(Curation.stripMarkup(
+        concat(lit("<p>"), col("text"), lit("</p><script>var x=1;</script>"))).as("c"))
+        .agg(sum(length(col("c")))).head())
+      results += "markup_strip" -> tStrip
+      val (_, tEnt) = time(docs
+        .select(TextAnalysis.wordEntropy(col("text")).as("h"))
+        .agg(sum("h")).head())
+      results += "word_entropy" -> tEnt
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val capJson = stats.map(s =>
       s""","buckets_over_cap":${s.getLong(1)},"max_bucket":${s.getLong(4)}""").getOrElse("")

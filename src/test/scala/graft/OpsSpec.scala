@@ -601,6 +601,79 @@ class OpsSpec extends SparkSpec {
     assert(rows(idx) == rows(inline))
   }
 
+  test("PQ index append + compact: fixed-codebook parity, reader-safe flip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    val first = pqVecs(200).toDF("vec_id", "embedding").cache()
+    val rest = pqVecs(300).toDF("vec_id", "embedding")
+      .filter($"vec_id" >= 200).cache()
+    Similarity.buildPqIndex(first, "vec_id", "embedding", dir,
+      m = 8, ksub = 16)
+    Similarity.appendToPqIndex(rest, "vec_id", "embedding", dir)
+    val q = first.filter($"vec_id" < 3)
+    // appended index == inline ADC over the UNION with the SAME codebook
+    val cb = Similarity.pqCodebook(spark, dir)
+    val union = first.unionByName(rest)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val expected = rows(Similarity.pqTopK(union, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 8, codebookOpt = Some(cb)))
+    def probe() = rows(Similarity.pqIndexTopK(spark, dir, q,
+      "vec_id", "embedding", k = 8))
+    assert(probe() == expected)
+    // compact flips a generation; concurrent + around-the-flip probes
+    // never diverge, and a pre-flip reader keeps its grace directory
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var stop = false
+    val reader = Future {
+      var n = 0
+      while (!stop) { assert(probe() == expected, "concurrent probe diverged"); n += 1 }
+      n
+    }
+    Similarity.compactPqIndex(spark, dir)
+    stop = true
+    assert(Await.result(reader, scala.concurrent.duration.Duration("120s")) > 0)
+    val preResolved = spark.read.parquet(Similarity.pqCodesPath(spark, dir))
+    val nRows = preResolved.count()
+    Similarity.compactPqIndex(spark, dir)
+    assert(preResolved.count() == nRows, "pre-flip reader lost its directory")
+    assert(probe() == expected)
+  }
+
+  test("IVF+PQ index: probe-all+rerank == brute force; probes prune cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val corpus = pqVecs(400).toDF("vec_id", "embedding").cache()
+    val queries = corpus.filter($"vec_id" < 4)
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", dir,
+      nCentroids = 8, m = 8, ksub = 16)
+    // index stores codes only, partitioned by cell
+    val stored = spark.read.parquet(s"$dir/cells")
+    assert(stored.columns.toSet == Set("neighbor_id", "codes", "centroid_id"))
+    // probe-all + rerank-everything = exact brute force
+    val all = Similarity.ivfPqTopK(spark, dir, queries, "vec_id", "embedding",
+      k = 6, nprobe = 8, rerankFrom = Some((corpus, "vec_id", "embedding")),
+      rerank = 1000)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(all) == rows(brute))
+    // the cell filter statically prunes the codes scan to probed dirs
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val pruned = filesRead(stored.filter($"centroid_id".isin(0L, 1L)))
+    val total = filesRead(stored)
+    assert(pruned > 0 && pruned < total,
+      s"partition pruning inert: read $pruned of $total files")
+    // and the narrow-probe path still returns k ranked rows per query
+    val narrow = Similarity.ivfPqTopK(spark, dir, queries,
+      "vec_id", "embedding", k = 6, nprobe = 2)
+    assert(narrow.groupBy("query_id").count()
+      .as[(Long, Long)].collect().forall(_._2 == 6))
+  }
+
   test("semantic near-dups: planted duplicates found within cells, exact-cosine verified") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val planted = e.withColumn("vec_id", $"vec_id" + 100000L)

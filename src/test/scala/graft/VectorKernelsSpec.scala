@@ -120,4 +120,78 @@ class VectorKernelsSpec extends SparkSpec {
       .collect()
     edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  // --- PQ kernels: reference formulations verbatim from the pre-kernel
+  //     Similarity.pqEncode / adcScore ---------------------------------
+
+  private def hofPqEncode(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    graft.ops.TextAnalysis.once(vec) { v =>
+      val dsub = cb.head.head.size
+      val codes = cb.zipWithIndex.map { case (cents, s) =>
+        val table = typedLit(cents)
+        val c2 = typedLit(cents.map(c => c.map(x => x * x).sum))
+        graft.ops.TextAnalysis.once(slice(v, s * dsub + 1, dsub)) { sub =>
+          array_min(transform(sequence(lit(0), lit(cents.size - 1)), j =>
+            struct((element_at(c2, j + 1) - lit(2.0) *
+              DotF(sub, element_at(table, j + 1))).as("d"), j.as("j"))))
+            .getField("j")
+        }
+      }
+      array(codes: _*)
+    }
+
+  private def hofAdc(lut: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(lut, s + 1),
+        element_at(codes, s + 1).cast("int") + 1))
+
+  test("PqEncodeK == HOF struct-min encode; AdcScore == HOF lookup sum") {
+    import graft.ops.Similarity
+    val df = vecs.toDF("id", "v")
+      .withColumn("u", Similarity.unitNorm(col("v"))).cache()
+    val cb = Similarity.trainPq(df, "id", "v", m = 4, ksub = 8)
+    val enc = df.select(
+      graft.functions.PqEncodeK(col("u"), cb).as("k"),
+      hofPqEncode(col("u"), cb).as("h")).collect()
+    enc.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+    val withLut = df
+      .withColumn("codes", graft.functions.PqEncodeK(col("u"), cb))
+      .withColumn("lut", Similarity.pqLut(col("u"), cb))
+    val adc = withLut.select(
+      graft.functions.AdcScore(col("lut"), col("codes")).as("k"),
+      hofAdc(col("lut"), col("codes"), cb.size).as("h")).collect()
+    adc.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  private def hofWordEntropy(text: Column): Column = {
+    val toks = sort_array(graft.ops.TextAnalysis.tokens(text))
+    val n = size(toks).cast("double")
+    def contrib(run: Column): Column =
+      (run.cast("double") / n) * log(2.0, n / run.cast("double"))
+    val walked = aggregate(
+      sequence(lit(2), size(toks)),
+      struct(lit(1L).as("run"), lit(0.0).as("h")),
+      (st, i) =>
+        when(element_at(toks, i) === element_at(toks, i - 1),
+          struct((st.getField("run") + 1L).as("run"), st.getField("h").as("h")))
+          .otherwise(struct(lit(1L).as("run"),
+            (st.getField("h") + contrib(st.getField("run"))).as("h"))),
+      st => st.getField("h") + contrib(st.getField("run")))
+    when(size(toks) <= 1, lit(0.0)).otherwise(walked)
+  }
+
+  test("WordEntropyK == HOF sorted run-length fold (1-ulp log slack)") {
+    // Spark's Logarithm evaluates log through a different JDK path
+    // than math.log (observed 1-ulp drift on log2(3)), so the pin is
+    // <1e-12 per doc, not bitwise — the text_entropy oracle contract
+    // is round-6, 6 orders looser.
+    val docs = (0 until 100).map(i =>
+      ((0 to i % 17).map(j => s"w${(i * j) % 7}").mkString(" ")) +
+        (if (i % 3 == 0) "  extra   pad " else "")).toDF("t")
+    val rows = docs.select(
+      graft.functions.WordEntropyK(graft.ops.TextAnalysis.tokens(col("t"))).as("k"),
+      hofWordEntropy(col("t")).as("h")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+      s"kernel ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+  }
 }
