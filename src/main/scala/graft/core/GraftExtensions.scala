@@ -145,5 +145,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerCol("clean_text",
       "clean_text(text) - CRLF->LF, strip C0 controls and zero-width chars, NFC", 1)(
       cs => graft.ops.Curation.cleanText(cs.head))
+    registerCol("strip_markup",
+      "strip_markup(html) - HTML to text: drop script/style/comments/tags, decode entities", 1)(
+      cs => graft.ops.Curation.stripMarkup(cs.head))
+    registerCol("word_entropy",
+      "word_entropy(text) - Shannon entropy (bits) of the word distribution, round-6", 1)(
+      cs => graft.ops.TextAnalysis.wordEntropy(cs.head))
   }
 }

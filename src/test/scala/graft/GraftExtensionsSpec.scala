@@ -123,6 +123,11 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT nfc_normalize('cafe\u0301') AS a, " +
         "clean_text('xy\r\nz') AS b").as[(String, String)].head()
     assert(norm == ("caf\u00E9", "xy\nz"), norm.toString)
+    // markup strip + entropy via SQL match the Column API / closed form
+    val extra = spark.sql(
+      "SELECT strip_markup('<p>a &amp; b</p><script>x</script>') AS s, " +
+        "word_entropy('a b a b') AS h").as[(String, Double)].head()
+    assert(extra == (("a & b", 1.0)), extra.toString)
   }
 
   test("SQL numeric-array coercion: decimal/int literals feed the float kernels") {
