@@ -1188,9 +1188,12 @@ object SparkEntry {
           Similarity.buildIvfPqIndex(e, "vec_id", "embedding", uri,
             nCentroids = 16, m = 8, ksub = 256)
       }
+      // rerank = corpus size → "re-rank everything"; NOT a huge
+      // constant, which would size the per-key top-k heaps at the
+      // constant (measured: rerank = 1<<20 cost 28 s in heap churn)
       val all = Similarity.ivfPqTopK(s, uri, q, "vec_id", "embedding",
         k = 10, nprobe = 16, rerankFrom = Some((e, "vec_id", "embedding")),
-        rerank = 1 << 20)
+        rerank = e.count().toInt)
       val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10)
       val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
