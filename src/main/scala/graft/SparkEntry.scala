@@ -902,7 +902,7 @@ object SparkEntry {
         .withColumn("text", concat(col("text"), lit(" xyzzy")))
       val all = docs.unionByName(edited)
       val hs = all.select(col("doc_id"), graft.functions.ShingleHashes(
-        lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5).as("__hs"))
+        lower(regexp_replace(trim(col("text")), TextAnalysis.WsClass + "+", " ")), 5).as("__hs"))
       val truth = hs.select(col("doc_id").as("a"), col("__hs").as("__ha"))
         .join(hs.select((col("doc_id") - DupOff).as("a"), col("__hs").as("__hb")), "a")
         .filter(Dedup.hashedJaccard(col("__ha"), col("__hb")) >= 0.6)
@@ -2500,7 +2500,12 @@ object SparkEntry {
       lit("<div><ul><li>item A</li><li>item "),
       (col("doc_id") % 7).cast("string"), lit("</li></ul></div>"),
       when(col("doc_id") % 5 === 0, lit("<br/>")).otherwise(lit("<br >")),
-      lit("tail text</body></html>"))
+      lit("tail text</body></html>"),
+      // truncated-crawl plant: an UNCLOSED <script> whose body (and
+      // the trailing junk after it) must vanish via the fallback pass
+      when(col("doc_id") % 11 === 0,
+        lit("<script type=\"x\">var leaked = 1; // truncated"))
+        .otherwise(lit("")))
 
   /** SQL-escape a constant for a single-quoted DuckDB literal. */
   private def sqlQ(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -2512,8 +2517,10 @@ object SparkEntry {
     * chr(10) (RE2 rewrite strings only know backslash-digit). */
   private def markupStripSql(inner: String): String = {
     import graft.ops.Curation._
-    val noBlocks = s"regexp_replace(regexp_replace($inner, " +
-      s"${sqlQ(ScriptStyleRe)}, '', 'g'), ${sqlQ(CommentRe)}, '', 'g')"
+    val noBlocks = s"regexp_replace(regexp_replace(regexp_replace($inner, " +
+      s"${sqlQ(ScriptStyleRe)}, '', 'g'), " +
+      s"${sqlQ(UnclosedScriptStyleRe)}, '', 'g'), " +
+      s"${sqlQ(CommentRe)}, '', 'g')"
     val noTags = s"regexp_replace(regexp_replace($noBlocks, " +
       s"${sqlQ(BreakTagRe)}, chr(10), 'g'), ${sqlQ(TagRe)}, '', 'g')"
     val decoded = EntityTable.foldLeft(noTags) { case (c, (e, r)) =>
@@ -2543,7 +2550,10 @@ object SparkEntry {
     "<div><ul><li>item A</li><li>item ' || (doc_id % 7) || " +
     "'</li></ul></div>' || " +
     "CASE WHEN doc_id % 5 = 0 THEN '<br/>' ELSE '<br >' END || " +
-    "'tail text</body></html>' AS html FROM documents), " +
+    "'tail text</body></html>' || " +
+    "CASE WHEN doc_id % 11 = 0 THEN " +
+    "'<script type=\"x\">var leaked = 1; // truncated' " +
+    "ELSE '' END AS html FROM documents), " +
     s"mh1 AS (SELECT doc_id, ${markupStripSql("html")} AS clean_text FROM mh0)"
 
   /** Shared paragraph templates for the keep-first dedup gate: each

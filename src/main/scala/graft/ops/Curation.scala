@@ -74,6 +74,14 @@ object Curation {
     * spelled out as an alternation instead of `<(script|style)>...\1`. */
   val ScriptStyleRe: String =
     "(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>"
+  /** Fallback for TRUNCATED crawl docs: an UNCLOSED `<script>`/`<style>`
+    * (no matching close tag, so the paired [[ScriptStyleRe]] pass left
+    * it alone) swallows everything to end-of-document — matching how a
+    * browser treats an unterminated raw-text element, and keeping raw
+    * script bodies out of clean_text. Runs AFTER the paired pass, so
+    * properly closed elements are already gone. */
+  val UnclosedScriptStyleRe: String =
+    "(?is)<script\\b[^>]*>.*$|<style\\b[^>]*>.*$"
   /** HTML comments, lazy across newlines. */
   val CommentRe: String = "(?s)<!--.*?-->"
   /** Tags whose close (or self-close, for `<br>`) ends a rendered line. */
@@ -106,7 +114,10 @@ object Curation {
     * Narrow regexp chain, zero shuffle, whole-stage codegen. */
   def stripMarkup(html: Column): Column = {
     val noBlocks = regexp_replace(
-      regexp_replace(html, ScriptStyleRe, ""), CommentRe, "")
+      regexp_replace(
+        regexp_replace(html, ScriptStyleRe, ""),
+        UnclosedScriptStyleRe, ""),
+      CommentRe, "")
     val noTags = regexp_replace(
       regexp_replace(noBlocks, BreakTagRe, "\n"), TagRe, "")
     val decoded = EntityTable.foldLeft(noTags) {

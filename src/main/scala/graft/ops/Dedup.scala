@@ -164,7 +164,7 @@ object Dedup {
       threshold: Double = 0.7, materializeSigs: Boolean = true): DataFrame = {
     // native one-pass rolling-hash shingles (no substring churn)
     def normHashes(c: Column) = graft.functions.ShingleHashes(
-      lower(regexp_replace(trim(c), "\\s+", " ")), k)
+      lower(regexp_replace(trim(c), TextAnalysis.WsClass + "+", " ")), k)
     // Only the NARROW signatures are materialized (numHashes longs per
     // doc, ~0.5 KB) — they are reused by the banding pass and both
     // estimate joins. localCheckpoint, NOT cache(): CacheManager pins
@@ -308,7 +308,7 @@ object Dedup {
       threshold: Double = 0.7, maxBucket: Int = 64,
       materializeSigs: Boolean = true): DataFrame = {
     def normHashes(c: Column) = graft.functions.ShingleHashes(
-      lower(regexp_replace(trim(c), "\\s+", " ")), k)
+      lower(regexp_replace(trim(c), TextAnalysis.WsClass + "+", " ")), k)
     def sigsOf(df: DataFrame, id: String, text: String) = {
       val plan = df.select(col(id).as("__id"),
         minhashSignatureFromHashes(normHashes(col(text)), numHashes).as("__sig"))

@@ -89,7 +89,7 @@ object DedupIndex {
   }
 
   private def normHashes(c: Column, k: Int) = graft.functions.ShingleHashes(
-    lower(regexp_replace(trim(c), "\\s+", " ")), k)
+    lower(regexp_replace(trim(c), TextAnalysis.WsClass + "+", " ")), k)
 
   /** (id, sig) rows — one per doc. */
   private def sigRows(df: DataFrame, idCol: String, textCol: String,

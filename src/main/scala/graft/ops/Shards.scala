@@ -40,6 +40,11 @@ object Shards {
   def assignShards(df: DataFrame, idCol: String, numShards: Int,
       salt: String = "graft"): DataFrame = {
     require(numShards > 0, s"numShards $numShards must be positive")
+    val clash = df.columns.toSet
+      .intersect(Set("shard", "pos", "__shuffle_key"))
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} that " +
+        "assignShards would overwrite; rename them first")
     val keyed = df
       .withColumn("__shuffle_key", shuffleKey(col(idCol), salt))
       .withColumn("shard",
@@ -68,9 +73,15 @@ object Shards {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.partitionBy("shard").parquet(s"$uri/data")
-    // numShards rows of driver metadata — bounded by construction
+    // Manifest aggregated from a READ-BACK of the written files, not a
+    // re-run of assignShards over the (possibly changed, possibly
+    // non-deterministic) source: the manifest then describes exactly
+    // what is on disk, and the second pass costs one parquet scan of
+    // the shards rather than a second full source job.
+    // numShards rows of driver metadata — bounded by construction.
+    val written = spark.read.parquet(s"$uri/data")
     val toks = tokenCol.map(c => sum(col(c))).getOrElse(sum(lit(0L)))
-    val manifest = assigned.groupBy("shard")
+    val manifest = written.groupBy("shard")
       .agg(count(lit(1)).as("rows"), toks.cast("long").as("tokens"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))

@@ -277,6 +277,24 @@ object Similarity {
     transform(slice(array_sort(centroidSims(vec, cents)), 1, nprobe),
       s => s.getField("id"))
 
+  /** Driver-side twin of [[probeNarrow]] for an already-collected
+    * vector: same score (negated dot against the UNIT centroid, the
+    * query NOT normalized — argmin is norm-invariant) and the same
+    * (score asc, id asc) tie order, so the two forms pick identical
+    * cells. Used to decide partition pruning without running a Spark
+    * job that re-evaluates the probe expressions. */
+  private[graft] def probeDriver(v: Seq[Double], cents: Seq[(Long, Seq[Double])],
+      nprobe: Int): Seq[Long] =
+    cents.map { case (cid, c) =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      val u = if (n == 0) c else c.map(_ / n)
+      var d = 0.0
+      var i = 0
+      val len = math.min(v.length, u.length)
+      while (i < len) { d += v(i) * u(i); i += 1 }
+      (-d, cid)
+    }.sorted.take(nprobe).map(_._2)
+
   /** Two-level coarse quantizer OVER a fine-centroid table: clusters
     * the k fine centroids into ~nCoarse groups (reusing the sampled
     * trainer + Lloyd steps — the centroid table is itself just a tiny
@@ -908,8 +926,16 @@ object Similarity {
       .withColumn("__lut", pqLut(unitNorm(col("__qv")), codebook))
       .withColumn("centroid_id",
         explode(probeNarrow(col("__qv"), cents, nprobe)))
-    val cellIds = probes.select("centroid_id").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // Probed cell ids computed DRIVER-SIDE from the raw query vectors
+    // (queries are broadcast-small by contract): collecting
+    // probes.distinct() instead would evaluate the per-query LUT and
+    // probe expansion once here and AGAIN in the join below — an
+    // extra Spark job per batch doing the expensive half twice.
+    val cellIds = queries
+      .select(col(queryVec).cast("array<double>"))
+      .collect()
+      .flatMap(r => probeDriver(r.getSeq[Double](0), cents, nprobe))
+      .distinct.toSeq
     val cells = spark.read.parquet(s"$uri/cells")
       .filter(col("centroid_id").isin(cellIds: _*))
     val scored = cells.join(broadcast(probes), Seq("centroid_id"))
@@ -944,16 +970,29 @@ object Similarity {
   * lower score, tie -> larger id), so an incoming candidate either
   * beats the root and replaces it or is discarded in O(1).
   * Parallel primitive arrays — constructed per key inside a
-  * mapPartitions task, never serialized. */
+  * mapPartitions task, never serialized.
+  *
+  * Storage grows GEOMETRICALLY up to k instead of allocating k slots
+  * up front: a caller passing a huge k ("re-rank everything",
+  * k = corpus count) pays for the candidates actually offered, not
+  * for k — the eager version measured 28 s of pure allocation churn
+  * at k = 1<<20 with ~400 real candidates per key. */
 private final class LongTopKHeap(k: Int) {
-  private val scores = new Array[Double](k)
-  private val ids = new Array[Long](k)
+  private var scores = new Array[Double](math.min(k, 16))
+  private var ids = new Array[Long](math.min(k, 16))
   private var n = 0
+  private def ensure(): Unit =
+    if (n == scores.length && n < k) {
+      val cap = math.min(k, math.max(scores.length * 2, 16))
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
   // is (s1, i1) worse than (s2, i2)?
   private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 < s2 || (s1 == s2 && i1 > i2)
   def offer(s: Double, id: Long): Unit =
     if (n < k) {
+      ensure()
       var i = n; scores(i) = s; ids(i) = id; n += 1
       while (i > 0) {
         val p = (i - 1) >> 1

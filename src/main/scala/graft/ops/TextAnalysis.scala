@@ -10,17 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace for the tokenization contract, spelled as an EXPLICIT
+    * character class: Java regex `\s` includes vertical tab (\x0B),
+    * DuckDB/RE2 `\s` does not, so a doc containing \x0B would tokenize
+    * (and hence count/entropy/ngram) differently in the two engines.
+    * Pinning the five RE2 characters keeps Spark and any RE2-based
+    * replaying engine byte-for-byte in agreement. Oracle SQL may keep
+    * writing `\s` — in RE2 that IS this class. */
+  private[graft] val WsClass = "[ \\t\\n\\f\\r]"
+
   /** whitespace tokens; empty/blank text -> 0 tokens */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+      .otherwise(size(split(trim(text), WsClass + "+")).cast("long"))
 
   /** BPE-ish subword-ish count: word pieces + punctuation as separate
     * tokens, via one regex pass. */
   def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("""[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"""), lit(0))).cast("long")
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\f\\r]"), lit(0))).cast("long")
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), WsClass + "+")
 
   /** Bind `c` to a lambda variable so downstream references evaluate it
     * ONCE per row. Without this, an expression referenced inside a
@@ -31,7 +41,7 @@ object TextAnalysis {
 
   /** k-char shingle array (distinct) — the unit for MinHash / Jaccard. */
   def charShingles(text: Column, k: Int = 5): Column =
-    once(lower(regexp_replace(trim(text), "\\s+", " "))) { norm =>
+    once(lower(regexp_replace(trim(text), WsClass + "+", " "))) { norm =>
       when(length(norm) < k, array(norm)).otherwise(
         array_distinct(transform(
           sequence(lit(1), length(norm) - (k - 1)),
@@ -129,7 +139,7 @@ object TextAnalysis {
 
   /** best-scoring language code or 'und' */
   def langId(text: Column): Column = {
-    val nonspace = length(regexp_replace(text, "\\s", "")).cast("double")
+    val nonspace = length(regexp_replace(text, WsClass, "")).cast("double")
     scriptLangs.foldRight(stopwordLangId(text)) { case ((lang, jcls, _), rest) =>
       when(length(regexp_replace(text, s"[^$jcls]", "")).cast("double")
         > nonspace * 0.3, lit(lang)).otherwise(rest)
@@ -207,7 +217,7 @@ object TextAnalysis {
     * normalization. Uses the native ShingleHashes expression. */
   def fingerprint(text: Column, k: Int = 8): Column =
     array_min(graft.functions.ShingleHashes(
-      lower(regexp_replace(trim(text), "\\s+", " ")), k))
+      lower(regexp_replace(trim(text), WsClass + "+", " ")), k))
 
   /** The same winnowing-style min-gram signature with a SQL-portable
     * hash: min over every k-gram's md5-prefix (60-bit, always
@@ -219,7 +229,7 @@ object TextAnalysis {
     * gram. The per-gram md5 costs more than the one-pass rolling hash
     * — prefer [[fingerprint]] in-engine; this is the interchange form. */
   def minGramSig(text: Column, k: Int = 8): Column = {
-    val t = lower(regexp_replace(trim(text), "\\s+", " "))
+    val t = lower(regexp_replace(trim(text), WsClass + "+", " "))
     val n = greatest(length(t) - (k - 1), lit(1))
     array_min(transform(sequence(lit(1), n),
       p => conv(substring(md5(t.substr(p, lit(k)).cast("binary")), 1, 15), 16, 10)

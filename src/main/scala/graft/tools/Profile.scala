@@ -23,7 +23,7 @@ object Profile {
       .agg(sum(size(col("s")))).collect()(0))
     val withSig = all.select(col("doc_id"), col("text"))
       .withColumn("__hs", graft.functions.ShingleHashes(
-        lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5))
+        lower(regexp_replace(trim(col("text")), TextAnalysis.WsClass + "+", " ")), 5))
       .withColumn("__sig", Dedup.minhashSignatureFromHashes(col("__hs"), 64))
       .drop("text")
       .cache()

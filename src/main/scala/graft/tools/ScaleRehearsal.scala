@@ -87,7 +87,7 @@ object ScaleRehearsal {
     val stats: Option[org.apache.spark.sql.Row] = if (!runOp("lsh_cap_stats")) None else {
       val sigs = docs.select(col("doc_id").as("__id"),
         Dedup.minhashSignatureFromHashes(graft.functions.ShingleHashes(
-          lower(regexp_replace(trim(col("text")), "\\s+", " ")), 5), 64).as("__sig"))
+          lower(regexp_replace(trim(col("text")), TextAnalysis.WsClass + "+", " ")), 5), 64).as("__sig"))
       val banded = sigs.select(col("__id"),
           posexplode(transform(sequence(lit(0), lit(15)),
             b => xxhash64(slice(col("__sig"), b * 4 + 1, lit(4)), b))))

@@ -289,6 +289,24 @@ class CurationSpec extends SparkSpec {
       (7L, "padded")))
   }
 
+  test("stripMarkup: unterminated <script>/<style> swallows the tail") {
+    val rows = Seq(
+      // truncated crawl doc: unclosed <script> — body and everything
+      // after it must vanish, not leak into clean_text
+      (1L, "<p>kept</p><script type=\"x\">var leaked = 1; if (a<b) {"),
+      (2L, "<p>kept</p><style>p {color: red"),
+      // a CLOSED script earlier must not interfere with the fallback
+      (3L, "<script>x=1</script><p>kept</p><script>var leaked = 2;"),
+      // "<script" as literal decoded entity text is NOT a tag
+      (4L, "<p>a &lt;script&gt; word</p>"))
+      .toDF("id", "text")
+    val out = rows.select($"id", Curation.stripMarkup($"text").as("c"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "kept"), (2L, "kept"), (3L, "kept"),
+      (4L, "a <script> word")))
+  }
+
   test("NfcNormalize ASCII fast path returns the input buffer") {
     import org.apache.spark.unsafe.types.UTF8String
     val ascii = UTF8String.fromString("plain ascii only")

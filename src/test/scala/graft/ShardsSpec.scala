@@ -29,6 +29,18 @@ class ShardsSpec extends SparkSpec {
       s"shard sizes unbalanced: $sizes")
   }
 
+  test("assignShards refuses inputs with clashing output columns") {
+    val withShard = docs(10).withColumn("shard", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      Shards.assignShards(withShard, "doc_id", 4)
+    }
+    assert(e.getMessage.contains("shard"))
+    val withScratch = docs(10).withColumn("__shuffle_key", lit("x"))
+    intercept[IllegalArgumentException] {
+      Shards.assignShards(withScratch, "doc_id", 4)
+    }
+  }
+
   test("writeShards: one ordered file per shard, manifest matches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards")
       .toString
