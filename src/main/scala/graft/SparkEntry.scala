@@ -987,6 +987,39 @@ object SparkEntry {
         lit(nVecs - plantedLost).as("planted_survivors"))
     }),
 
+    // semantic dedup under TWO-LEVEL (coarse-probed) assignment — the
+    // production-k SemDeDup path exercised END TO END, not just the
+    // assignment expression ([[hier_assign_gate]]): planted exact
+    // duplicates must ALL surface (identical vectors share a cell
+    // under any deterministic assignment — structural recall), every
+    // emitted pair is exact-cosine-verified, and the near-dup pair
+    // set agrees with the flat-assignment path above a measured floor
+    // (cell-boundary straddles are the only allowed source of loss;
+    // measured agreement at sf0.01/sf0.1 is 1.0 — floor set at 0.9)
+    "semantic_hier_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val planted = e.withColumn("vec_id", col("vec_id") + DupOff)
+      val corpus = e.unionByName(planted)
+      val flat = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+        nClusters = 64, minCosine = 0.999).localCheckpoint(true)
+      val hier = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+        nClusters = 64, minCosine = 0.999,
+        coarseProbe = Some((8, 3))).localCheckpoint(true)
+      val plantedPairs = e.select(col("vec_id").as("a"),
+        (col("vec_id") + DupOff).as("b"))
+      val missed = plantedPairs
+        .join(hier.select("a", "b"), Seq("a", "b"), "left_anti").count()
+      val below = hier.filter(col("cosine") < 0.999).count()
+      val nFlat = flat.count()
+      val common = hier.select("a", "b")
+        .join(flat.select("a", "b"), Seq("a", "b"), "left_semi").count()
+      s.range(1).select(
+        lit(e.count()).as("n_vecs"),
+        lit(missed).as("planted_missed"),
+        lit(below).as("below_threshold"),
+        lit(nFlat > 0L && common.toDouble / nFlat >= 0.9).as("agree_ok"))
+    }),
+
     // two-level (coarse-probed) centroid assignment gate — the
     // documented k-scaling fix for the flat literal-table argmin.
     // Exact invariant: whenever the flat winner's coarse group is
@@ -3291,6 +3324,10 @@ object SparkEntry {
       "CAST(0 AS BIGINT) AS planted_survivors FROM embeddings"),
     "hier_assign_gate" -> ("SELECT count(*) AS n_vecs, " +
       "CAST(0 AS BIGINT) AS contained_violations, " +
+      "true AS agree_ok FROM embeddings"),
+    "semantic_hier_gate" -> ("SELECT count(*) AS n_vecs, " +
+      "CAST(0 AS BIGINT) AS planted_missed, " +
+      "CAST(0 AS BIGINT) AS below_threshold, " +
       "true AS agree_ok FROM embeddings"),
     "decontam_gate" -> ("SELECT count(*) AS n_ref, " +
       "CAST(0 AS BIGINT) AS planted_missed, " +

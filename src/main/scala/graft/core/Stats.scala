@@ -33,9 +33,46 @@ object Stats {
     listener = None
   }
 
-  def reset(): Unit = synchronized { buf.clear() }
+  def reset(): Unit = synchronized {
+    buf.clear()
+    counters.values.foreach(_.reset())
+  }
 
   def collected: Seq[QueryStat] = synchronized { buf.toSeq }
+
+  // --- operator counters (cap/elision observability) -----------------
+  // What the caps discarded, surfaced in ONE place instead of scattered
+  // log lines: LSH buckets dropped past maxBucket, BPE vocabulary cut
+  // mass, BM25 hot terms elided, ... Backed by named LongAccumulators,
+  // so executor-side kernels (mapPartitions pair generators) increment
+  // them and the driver reads a merged value here — works identically
+  // on a real cluster. Observability ONLY: task retries can
+  // double-count accumulator updates, and no operator's output ever
+  // depends on these values.
+
+  private val counters = mutable.LinkedHashMap.empty[String, org.apache.spark.util.LongAccumulator]
+  private var countersApp: String = ""
+
+  /** Named distributed counter, created lazily. The registry is keyed
+    * to the live SparkContext — a restarted session (tests) drops the
+    * stale accumulators automatically. */
+  def counter(spark: SparkSession, name: String): org.apache.spark.util.LongAccumulator =
+    synchronized {
+      val app = spark.sparkContext.applicationId
+      if (app != countersApp) { counters.clear(); countersApp = app }
+      counters.getOrElseUpdate(name,
+        spark.sparkContext.longAccumulator(s"graft.$name"))
+    }
+
+  /** Current merged value (0 for a counter never touched). */
+  def counterValue(name: String): Long = synchronized {
+    counters.get(name).map(_.value.longValue).getOrElse(0L)
+  }
+
+  /** All counters, merged — the "what did the caps drop" dashboard. */
+  def countersSnapshot: Map[String, Long] = synchronized {
+    counters.map { case (k, v) => k -> v.value.longValue }.toMap
+  }
 
   /** textual dump in the spirit of the reference's stats_dump */
   def dump(): String = synchronized {
@@ -43,7 +80,13 @@ object Stats {
       val total = ss.map(_.durationNs).sum / 1e9
       f"  $name%-24s n=${ss.size}%-5d total=$total%.3fs"
     }
-    s"==== graft query stats (${buf.size} executions) ====\n" + lines.mkString("\n")
+    val ctr = counters.map { case (k, v) =>
+      f"  $k%-40s ${v.value.longValue}%d"
+    }
+    s"==== graft query stats (${buf.size} executions) ====\n" +
+      lines.mkString("\n") +
+      (if (ctr.isEmpty) ""
+       else "\n==== graft operator counters ====\n" + ctr.mkString("\n"))
   }
 
   /** per-DataFrame plan stats (the closest analogue of per-query

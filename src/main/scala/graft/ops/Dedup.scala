@@ -104,6 +104,12 @@ object Dedup {
     val pIdx = if (hasPayload) laid.columns.indexOf("__p") else -1
     val bandIdx = laid.columns.indexOf("__band")
     val bucketIdx = laid.columns.indexOf("__bucket")
+    // cap observability: how many buckets the density cap dropped, and
+    // how many member rows they held (graft.core.Stats counters)
+    val droppedBuckets = graft.core.Stats.counter(
+      banded.sparkSession, "dedup.lsh_buckets_dropped")
+    val droppedRows = graft.core.Stats.counter(
+      banded.sparkSession, "dedup.lsh_rows_in_dropped_buckets")
     laid.mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[org.apache.spark.sql.Row] {
@@ -117,15 +123,21 @@ object Dedup {
             val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
             val ps = scala.collection.mutable.ArrayBuffer.empty[Any]
             var over = false
+            var seen = 0L
             while (it.hasNext && it.head.get(bandIdx) == band &&
                 it.head.get(bucketIdx) == bucket) {
               val r = it.next()
+              seen += 1
               if (!over) {
                 ids += r.get(0)
                 if (pIdx >= 0) ps += r.get(pIdx)
-                if (ids.size > maxBucket) { over = true; ids.clear(); ps.clear() }
+                if (ids.size > maxBucket) {
+                  over = true; ids.clear(); ps.clear()
+                  droppedBuckets.add(1L)
+                }
               }
             }
+            if (over) droppedRows.add(seen)
             if (!over && ids.size >= 2) {
               val arr = ids.toArray
               val parr = ps.toArray
@@ -251,6 +263,10 @@ object Dedup {
     val sideIdx = laid.columns.indexOf("__side")
     val bandIdx = laid.columns.indexOf("__band")
     val bucketIdx = laid.columns.indexOf("__bucket")
+    val droppedBuckets = graft.core.Stats.counter(
+      banded.sparkSession, "dedup.lsh_buckets_dropped")
+    val droppedRows = graft.core.Stats.counter(
+      banded.sparkSession, "dedup.lsh_rows_in_dropped_buckets")
     laid.mapPartitions { rows =>
       val it = rows.buffered
       new Iterator[org.apache.spark.sql.Row] {
@@ -264,16 +280,20 @@ object Dedup {
             val as = scala.collection.mutable.ArrayBuffer.empty[Any]
             val bs = scala.collection.mutable.ArrayBuffer.empty[Any]
             var over = false
+            var seen = 0L
             while (it.hasNext && it.head.get(bandIdx) == band &&
                 it.head.get(bucketIdx) == bucket) {
               val r = it.next()
+              seen += 1
               if (!over) {
                 (if (r.getByte(sideIdx) == 0) as else bs) += r.get(idIdx)
                 if (as.size > maxBucket || bs.size > maxBucket) {
                   over = true; as.clear(); bs.clear()
+                  droppedBuckets.add(1L)
                 }
               }
             }
+            if (over) droppedRows.add(seen)
             if (!over && as.nonEmpty && bs.nonEmpty)
               pairs = as.iterator.flatMap(x =>
                 bs.map(y => org.apache.spark.sql.Row(x, y)))

@@ -108,21 +108,60 @@ object Search {
     * whole corpus (inline path) or the pruned-but-complete postings of
     * the query terms (index path: a term's postings all live in its
     * bucket, so df over the pruned read is identical). */
+  /** A probed term in more than this fraction of all docs triggers a
+    * hot-term warning (and the `bm25.hot_terms_probed` counter) even
+    * with elision off: its postings are a corpus-fraction scan for
+    * near-zero idf, and at 100 TB the operator should KNOW they are
+    * paying it. Warn-only — results never change without opt-in. */
+  val HotTermDfFraction: Double = 0.2
+
   private def scoreFromPostings(post: DataFrame, qterms: DataFrame,
       nDocs: Long, sumDl: Long, k1: Double, b: Double,
       maxDfFraction: Double = 1.0,
       requireAllTerms: Boolean = false): DataFrame = {
+    val spark = post.sparkSession
     val n = nDocs.toDouble
     val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
-    val df = post.groupBy(col("term"))
+    val dfAll = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
-      // optional stopword elision — the production knob for the
-      // worst-case term: a term in >maxDfFraction of all docs has
-      // near-zero idf but corpus-fraction-sized postings, so scoring
-      // it costs a full corpus pass for ~no ranking signal. Off by
-      // default (1.0): elision changes results, callers opt in.
-      .filter(col("__df") <= lit(maxDfFraction) * lit(n))
-    val qidf = df.join(broadcast(qterms), "term")
+    // Per-(query, term) df — QUERY-BATCH-sized, so materializing it is
+    // ~free and buys two things: the df aggregation runs exactly once
+    // (not lazily re-run per downstream branch), and elision / hot-term
+    // decisions become driver-readable facts instead of silent plan
+    // internals.
+    val qdf = dfAll.join(broadcast(qterms), "term").localCheckpoint(true)
+    // optional stopword elision — the production knob for the
+    // worst-case term: a term in >maxDfFraction of all docs has
+    // near-zero idf but corpus-fraction-sized postings, so scoring
+    // it costs a full corpus pass for ~no ranking signal. Off by
+    // default (1.0): elision changes results, callers opt in — but
+    // every elision and every hot term probed is logged + counted
+    // (Stats counters `bm25.query_terms_elided`,
+    // `bm25.hot_terms_probed`) either way: no silent caps, and no
+    // silent full-corpus rankings.
+    val kept = qdf.filter(col("__df") <= lit(maxDfFraction) * lit(n))
+    if (n > 0) {
+      val log5 = org.slf4j.LoggerFactory.getLogger(getClass)
+      val hot = qdf.filter(col("__df") > lit(HotTermDfFraction) * lit(n))
+        .select("term").distinct().count()
+      if (hot > 0) {
+        graft.core.Stats.counter(spark, "bm25.hot_terms_probed").add(hot)
+        log5.warn(s"bm25: $hot probed term(s) appear in >" +
+          s"${(HotTermDfFraction * 100).toInt}% of the $nDocs docs — " +
+          "each costs a corpus-fraction ranking pass for near-zero " +
+          "idf; consider maxDfFraction elision")
+      }
+      if (maxDfFraction < 1.0) {
+        val elided = qdf.select("term").distinct().count() -
+          kept.select("term").distinct().count()
+        if (elided > 0) {
+          graft.core.Stats.counter(spark, "bm25.query_terms_elided").add(elided)
+          log5.info(s"bm25: elided $elided query term(s) with df > " +
+            s"$maxDfFraction * $nDocs docs")
+        }
+      }
+    }
+    val qidf = kept
       .select(col("query_id"), col("term"),
         log(lit(1.0) + (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
           .as("__idf"))

@@ -91,11 +91,19 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
     "it" -> Seq("il", "di", "che", "la", "per", "con", "del", "una", "sono", "non"),
-    "pt" -> Seq("não", "que", "uma", "para", "com", "os", "do", "da", "em", "vou"),
+    // pt/da/no lists revised round 12 against the labeled confusable
+    // fixture (LangIdConfusablesSpec): pt gained its true
+    // highest-frequency function words (de/em/na/o/um — the old list
+    // missed them, so natural pt sentences scored 0 and fell to
+    // tr/ro/pl on shared clitics); da/no dropped the words BOTH
+    // languages share unequally (han/ikke sat only in no's list and
+    // pulled Danish sentences to no) and gained their true
+    // discriminators (da "af"/"at", no "av"/"å")
+    "pt" -> Seq("não", "que", "uma", "para", "com", "de", "em", "na", "o", "um"),
     "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "met", "voor", "zijn"),
     "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för", "med", "den"),
-    "da" -> Seq("og", "det", "at", "en", "den", "til", "er", "som", "på", "med"),
-    "no" -> Seq("og", "det", "som", "er", "til", "på", "med", "han", "av", "ikke"),
+    "da" -> Seq("og", "det", "at", "en", "den", "til", "er", "på", "med", "af"),
+    "no" -> Seq("og", "det", "som", "er", "til", "på", "med", "av", "en", "å"),
     "fi" -> Seq("ja", "on", "ei", "että", "hän", "oli", "se", "mutta", "kun", "niin"),
     "pl" -> Seq("nie", "się", "jest", "na", "do", "że", "z", "po", "jak", "ale"),
     "cs" -> Seq("je", "se", "na", "že", "to", "v", "s", "ale", "jako", "už"),
@@ -118,11 +126,19 @@ object TextAnalysis {
     * da "af"/"hvad"/"hedder" vs no "av"/"hva"/"heter"; es "ción"/"ñ"
     * vs pt "ção"/"ã". All public-knowledge contrasts. */
   val charNgrams: Map[String, Seq[String]] = Map(
-    "da" -> Seq(" af ", " hvad ", " hedder ", " undskyld "),
-    "no" -> Seq(" av ", " hva ", " heter ", " unnskyld "),
+    // da/no widened round 12 with the soft-vs-hard consonant contrast
+    // (da løbe/købe/smager/kage vs no løpe/kjøpe/smaker/kake), the
+    // gade/gate uge/uke mad/mat word pairs, -igt adverbs, and the
+    // language's own name — measured on LangIdConfusablesSpec
+    "da" -> Seq(" af ", " hvad ", "hedder", "undskyld", "øb", " mad ",
+      " uge", " gade", "ager", "igt", "dansk"),
+    "no" -> Seq(" av ", " hva ", "heter", "unnskyld", "øpe", " mat ",
+      " uke", " gate", "aker", " blir ", "norsk"),
     "sv" -> Seq(" och ", " är ", " vad ", " jag "),
-    "es" -> Seq("ción", "ñ", " y ", " es "),
-    "pt" -> Seq("ção", "ã", " é ", " e "))
+    // es/pt widened with más/ón (es-only accents) and lh/nh/há (pt-only
+    // digraphs)
+    "es" -> Seq("ción", "ñ", " y ", " es ", " más ", "ón"),
+    "pt" -> Seq("ção", "ã", " é ", " e ", "lh", "nh", " há "))
 
   /** Script-decided languages in CHECK ORDER: (code, Java regex char
     * class, RE2 char class for the DuckDB oracle). Kana must precede
@@ -313,6 +329,11 @@ object TextAnalysis {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             f"trainBpe: maxWords=$maxWords cut dropped ${distinct - maxWords} of $distinct " +
               f"distinct words (${(mass - keptMass).toDouble / mass * 100}%.2f%% of token mass)")
+          // same facts on the unified counter surface (Stats.dump)
+          graft.core.Stats.counter(df.sparkSession, "bpe.words_cut")
+            .add(distinct - maxWords)
+          graft.core.Stats.counter(df.sparkSession, "bpe.mass_cut_ppm")
+            .add((mass - keptMass) * 1000000L / math.max(mass, 1L))
         }
       }
       trainBpeOnCounts(words, numMerges, minFrequency)

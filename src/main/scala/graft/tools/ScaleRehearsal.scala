@@ -296,6 +296,24 @@ object ScaleRehearsal {
       println(s"[rehearsal] semantic_dedup: $pairs pairs over $n vecs, $cells cells")
     }
 
+    if (runOp("semantic_hier")) {
+      // production-k SemDeDup: k=4096 cells end to end under two-level
+      // (coarse-probed) assignment vs the flat argmin at the same k —
+      // the path semantic_hier_gate pins for correctness, measured
+      // here for cost and pair-set agreement at scale
+      val n = embX.count()
+      val k = 4096
+      val (pairsH, tH) = time(Dedup.semanticNearDups(embX, "vec_id",
+        "embedding", nClusters = k, minCosine = 0.999,
+        coarseProbe = Some((64, 6))).count())
+      results += "semantic_hier_k4096" -> tH
+      val (pairsF, tF) = time(Dedup.semanticNearDups(embX, "vec_id",
+        "embedding", nClusters = k, minCosine = 0.999).count())
+      results += "semantic_flat_k4096" -> tF
+      println(s"[rehearsal] semantic k=$k over $n vecs: " +
+        s"hier $pairsH pairs / ${tH}s, flat $pairsF pairs / ${tF}s")
+    }
+
     if (runOp("classify")) {
       val cents = graft.ops.Similarity.trainCentroids(embX, "vec_id", "embedding", 8)
       val labeled = embX.withColumn("cls",
@@ -387,6 +405,51 @@ object ScaleRehearsal {
         results += "bm25_index_rare_200" -> tRare
         println(s"[rehearsal] bm25_index_rare_200: $rhits result rows")
       }
+    }
+
+    if (runOp("bm25_zipf")) {
+      // Realistic term-frequency shape: the ~300-term synthetic corpus
+      // above makes EVERY query a worst case; this op measures what a
+      // production corpus costs. Vocabulary 50k, ~120 tokens/doc, term
+      // rank log-uniform in [1, V) == Zipf s=1 (P(rank) ~ 1/rank),
+      // all deterministic from xxhash64(doc_id, position).
+      val V = 50000.0
+      val nZipf = docs.count()
+      spark.range(nZipf).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(119)), p =>
+          concat(lit("t"), floor(exp(
+            (pmod(xxhash64(col("id"), p), lit(1000000L)).cast("double") / 1e6)
+              * lit(math.log(V)))).cast("long").cast("string")))).as("text"))
+        .write.mode("overwrite").parquet(s"$outDir/zipf_docs.parquet")
+      val zdocs = spark.read.parquet(s"$outDir/zipf_docs.parquet")
+      val zUri = s"$outDir/bm25_zipf_index"
+      val (_, tZBuild) = time(
+        graft.ops.Search.buildIndex(zdocs, "doc_id", "text", zUri))
+      results += "bm25_zipf_build" -> tZBuild
+      // tail batch: 200 queries x 5 mid/tail-rank terms (df ~ n*120/V/rank)
+      val tail = spark.range(200).select(col("id").as("query_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(4)), j =>
+          concat(lit("t"), (lit(1000) + pmod(col("id") * 37 + j * 1013L,
+            lit(40000L))).cast("string")))).as("qtext"))
+      val (thits, tTail) = time(graft.ops.Search.bm25IndexTopK(spark, zUri,
+        tail, "query_id", "qtext", k = 10).count())
+      results += "bm25_zipf_tail_200" -> tTail
+      println(s"[rehearsal] bm25_zipf_tail_200: $thits rows")
+      // hot batch: 20 queries over ranks 1..8 (each term in a large
+      // corpus fraction) — the honest worst case, and what elision buys
+      val hot = spark.range(20).select(col("id").as("query_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(4)), j =>
+          concat(lit("t"), (lit(1) + pmod(col("id") + j, lit(8L)))
+            .cast("string")))).as("qtext"))
+      val (hhits, tHot) = time(graft.ops.Search.bm25IndexTopK(spark, zUri,
+        hot, "query_id", "qtext", k = 10).count())
+      results += "bm25_zipf_hot_20" -> tHot
+      val (ehits, tHotE) = time(graft.ops.Search.bm25IndexTopK(spark, zUri,
+        hot, "query_id", "qtext", k = 10, maxDfFraction = 0.2).count())
+      results += "bm25_zipf_hot_20_elided" -> tHotE
+      println(s"[rehearsal] bm25_zipf hot: $hhits rows in ${tHot}s, " +
+        s"elided(0.2): $ehits rows in ${tHotE}s; counters: " +
+        graft.core.Stats.countersSnapshot.filter(_._1.startsWith("bm25")))
     }
 
     if (runOp("decontam")) {

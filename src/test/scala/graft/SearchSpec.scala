@@ -107,6 +107,26 @@ class SearchSpec extends SparkSpec {
     assert(full.keySet == Set(0L, 1L) && elided.keySet == Set(0L))
   }
 
+  test("elision and hot-term probes are counted, never silent") {
+    graft.core.Stats.reset()
+    // "the" df 2/5 = 0.4 > HotTermDfFraction: a hot-term probe even
+    // with elision off
+    val q = Seq((1L, "the cat")).toDF("qid", "qtext")
+    Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext").count()
+    assert(graft.core.Stats.counterValue("bm25.hot_terms_probed") == 1L)
+    assert(graft.core.Stats.counterValue("bm25.query_terms_elided") == 0L)
+    // with elision on, the same term is counted as elided
+    graft.core.Stats.reset()
+    Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext",
+      maxDfFraction = 0.3).count()
+    assert(graft.core.Stats.counterValue("bm25.query_terms_elided") == 1L)
+    // a cool query touches no counter
+    graft.core.Stats.reset()
+    Search.bm25Scores(docs, "doc_id", "text",
+      Seq((1L, "cat")).toDF("qid", "qtext"), "qid", "qtext").count()
+    assert(graft.core.Stats.counterValue("bm25.hot_terms_probed") == 0L)
+  }
+
   test("bm25 index: probe equals inline pair-for-pair; append equals rebuild") {
     val uri = s"target/test-bm25-idx-${System.nanoTime()}"
     val q = Seq((0L, "cat dog sat"), (1L, "spark sentence")).toDF("qid", "qtext")

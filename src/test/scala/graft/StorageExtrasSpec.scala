@@ -113,4 +113,23 @@ class StorageExtrasSpec extends SparkSpec {
     val q = spark.read.parquet(s"$sf/region.parquet").filter($"r_regionkey" > 1)
     assert(Stats.queryStats(q).contains("sizeInBytes"))
   }
+
+  test("operator counters surface executor-side cap drops in the dump") {
+    Stats.reset()
+    // one bucket of 40 ids with cap 8 -> every pair dropped, counted
+    val banded = (0 until 40).map(i => (i.toLong, 0, 7L))
+      .toDF("__id", "__band", "__bucket")
+    val pairs = graft.ops.Dedup.bucketedPairs(banded, maxBucket = 8)
+    assert(pairs.count() == 0)
+    assert(Stats.counterValue("dedup.lsh_buckets_dropped") == 1L)
+    assert(Stats.counterValue("dedup.lsh_rows_in_dropped_buckets") == 40L)
+    assert(Stats.dump().contains("dedup.lsh_buckets_dropped"))
+    // an under-cap bucket increments nothing further
+    Stats.reset()
+    val small = (0 until 4).map(i => (i.toLong, 0, 7L))
+      .toDF("__id", "__band", "__bucket")
+    assert(graft.ops.Dedup.bucketedPairs(small, maxBucket = 8).count() == 6)
+    assert(Stats.counterValue("dedup.lsh_buckets_dropped") == 0L)
+    assert(Stats.countersSnapshot.values.forall(_ == 0L))
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import graft.storage.{VFS, VersionedDir}
+import org.apache.spark.sql.functions._
+
+/** The concurrent-maintenance contract of [[VersionedDir]]: a reader
+  * resolving at ANY point relative to a compaction flip sees a
+  * complete committed generation, and an already-resolved reader
+  * survives one flip (grace generation). Single-JVM interleaving —
+  * resolve, then flip, then read — is exactly the race a distributed
+  * probe hits when a compactor commits between its plan and its scan. */
+class VersionedDirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs = VFS(spark)
+
+  // VFS.ls returns scheme-qualified paths (file:/...), so resolved
+  // paths are compared by suffix
+  private def resolvesTo(uri: String, suffix: String): Boolean =
+    VersionedDir.resolve(fs, uri, "data").endsWith(suffix)
+
+  test("resolve mid-compact: before marker old, after marker new, " +
+    "crashed uncommitted dirs never resolve") {
+    val uri = TestSession.tmpDir("vdir")
+    val fsv = fs
+    // generation 0 = legacy unversioned dir
+    fsv.writeString(s"$uri/data/part-0.txt", "gen0")
+    assert(resolvesTo(uri, "/data"))
+    // a compactor starts: next() allocates v1, write is IN FLIGHT
+    val v1 = VersionedDir.next(fsv, uri, "data")
+    assert(v1.endsWith("/data_v1"))
+    fsv.writeString(s"$v1/part-0.txt", "gen1")
+    // no marker yet -> readers still resolve the OLD generation
+    assert(resolvesTo(uri, "/data"))
+    // marker lands -> readers flip atomically to the new generation
+    VersionedDir.commit(fsv, uri, "data", v1)
+    assert(resolvesTo(uri, "/data_v1"))
+    // legacy gen 0 survives as the grace generation after this flip
+    assert(fsv.exists(s"$uri/data"), "grace generation must survive")
+    // a CRASHED uncommitted attempt (v2 written, marker never written)
+    // must not resolve
+    val v2 = VersionedDir.next(fsv, uri, "data")
+    fsv.writeString(s"$v2/part-0.txt", "gen2-crashed")
+    assert(resolvesTo(uri, "/data_v1"))
+    // the next successful commit retires BOTH the crashed attempt and
+    // the old grace dir, keeping v1 as the new grace generation
+    val v3 = VersionedDir.next(fsv, uri, "data")
+    fsv.writeString(s"$v3/part-0.txt", "gen3")
+    VersionedDir.commit(fsv, uri, "data", v3)
+    assert(resolvesTo(uri, "/data_v3"))
+    assert(!fsv.exists(v2), "crashed attempt must be retired")
+    assert(!fsv.exists(s"$uri/data"), "older grace dirs must be retired")
+    assert(fsv.exists(v1), "previous live generation is the grace copy")
+  }
+
+  test("next() reuses a crashed attempt's number range safely") {
+    val uri = TestSession.tmpDir("vdir-next")
+    val fsv = fs
+    fsv.writeString(s"$uri/data/f.txt", "gen0")
+    val a = VersionedDir.next(fsv, uri, "data")
+    fsv.writeString(s"$a/partial.txt", "crashed half-write")
+    // a second maintenance run allocates ABOVE the crashed dir and
+    // clears any leftover at its own target path
+    val b = VersionedDir.next(fsv, uri, "data")
+    assert(a.endsWith("/data_v1") && b.endsWith("/data_v2"))
+    val b2 = VersionedDir.next(fsv, uri, "data")
+    assert(b2.endsWith("/data_v2"), "same target until something commits")
+  }
+
+  test("dedup index probe interleaved with compact: no errors, no lost rows") {
+    val uri = TestSession.tmpDir("vdir-probe")
+    // texts pairwise-DISSIMILAR (distinct token sets) so no LSH bucket
+    // approaches its cap: a near-identical corpus would drop its
+    // buckets by design and starve the probe of self-hits
+    def txt(i: Long) = (0 until 12).map(j => s"tok${i}q$j").mkString(" ")
+    val docs = (0L until 60L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    graft.ops.DedupIndex.build(docs, "doc_id", "text", uri)
+    // appended batches make compact non-trivial
+    val extra = (100L until 130L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    graft.ops.DedupIndex.append(extra, "doc_id", "text", uri)
+    // re-idd copies of indexed docs (the probe excludes equal-id
+    // self-pairs): each batch doc must hit exactly its source doc
+    val batch = docs.limit(20)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    def probeRows() = graft.ops.DedupIndex
+      .probe(batch, "doc_id", "text", uri, threshold = 0.99)
+    // reader A plans (and resolves the live generation) BEFORE the flip
+    val planned = probeRows()
+    val before = planned.count()
+    assert(before >= 20L, s"self-hits expected, got $before")
+    // compactor flips generations underneath reader A
+    graft.ops.DedupIndex.compact(spark, uri)
+    // reader A's already-planned frame re-executes against the path it
+    // resolved pre-flip — the grace generation keeps it alive
+    assert(planned.count() == before, "pre-flip reader lost rows")
+    // reader B resolves post-flip and sees identical results
+    assert(probeRows().count() == before, "post-flip probe diverged")
+    // a second compact with nothing new appended is a no-op that still
+    // leaves a resolvable committed generation
+    graft.ops.DedupIndex.compact(spark, uri)
+    assert(probeRows().count() == before)
+  }
+}
