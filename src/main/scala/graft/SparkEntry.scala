@@ -1961,6 +1961,118 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL MPEG-1 Layer III decode under the oracle: CBR frames
+    // (320 kbps / 48 kHz, long blocks) whose side info (big_values,
+    // global_gain, scalefac_compress=9, scalefac_scale, region/table
+    // selects), scalefactors, Huffman-table-1 big-value pairs with
+    // sign bits, and count1 table-B quadruples are ALL planted by
+    // formulas of (doc_id, frame, granule, channel, position); the
+    // decoder (Multimodal.decodeMp3Layer3) walks side info, reads the
+    // scalefactors and Huffman codes back from the bits, and applies
+    // the spec requantization |is|^(4/3) * 2^((gg-210)/4 - mult*sf);
+    // DuckDB recomputes the identical spectral sum from the planting
+    // formulas — mean_level is value-exact. part2_3_length is the
+    // plant's own bit count, so the decoder's per-granule bound and
+    // count1 termination are exercised for real.
+    "media_mp3_decode_l3" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val mono = id % 2 == 0
+        val channels = if (mono) 1 else 2
+        val frames = 2 + (id % 3).toInt
+        val frameLen = 144 * 320 * 1000 / 48000 // 960, pad=0
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val buf = new Array[Byte](frameLen)
+          buf(0) = 0xFF.toByte
+          buf(1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+          buf(2) = ((14 << 4) | (1 << 2)).toByte // 320 kbps, 48000 Hz
+          buf(3) = (if (mono) 0xC0 else 0x00).toByte
+          var bit = 32
+          def w(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) {
+              if (((v >> r) & 1) == 1) buf(bit >> 3) =
+                (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+              bit += 1; r -= 1
+            }
+          }
+          def gg(gr: Int, c: Int) = 140 + ((id * 7 + f * 3 + gr * 13 + c * 29) % 64).toInt
+          def sfScale(gr: Int, c: Int) = ((id + gr + c) % 2).toInt
+          def nQuads(gr: Int, c: Int) = ((id + f + gr + c) % 3).toInt
+          def rawPair(gr: Int, c: Int, p: Int) =
+            id * 31 + f * 29 + gr * 17 + p * 13 + c * 19
+          def rawQuad(gr: Int, c: Int, q: Int) =
+            id * 37 + f * 41 + gr * 43 + q * 53 + c * 47
+          // Huffman bits for (granule, channel): 18 table-1 pairs +
+          // nQuads table-B quadruples; sf bits = 21 * 2 (slen 2/2)
+          def huffBits(gr: Int, c: Int): Int = {
+            var n = 0
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, c, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              n += (if (x == 0 && y == 0) 1
+                    else if (x == 1 && y == 0) 3
+                    else if (x == 0 && y == 1) 4 else 5)
+            }
+            for (q <- 0 until nQuads(gr, c)) {
+              val raw = rawQuad(gr, c, q)
+              n += 4 + Integer.bitCount((raw % 16).toInt)
+            }
+            n
+          }
+          // side info: main_data_begin=0, private, scfsi=0, then per
+          // (granule, channel) the fixed field chain
+          w(0, 9); w(0, if (mono) 5 else 3)
+          for (_ <- 0 until channels * 4) w(0, 1)
+          for (gr <- 0 until 2; c <- 0 until channels) {
+            w(42 + huffBits(gr, c), 12) // part2_3_length
+            w(18, 9)                    // big_values (pairs)
+            w(gg(gr, c), 8)
+            w(9, 4)                     // scalefac_compress -> slen (2,2)
+            w(0, 1)                     // long blocks
+            w(1, 5); w(1, 5); w(1, 5)   // table_select: Huffman table 1
+            w(3, 4); w(3, 3)            // region0/region1 counts
+            w(0, 1)                     // preflag
+            w(sfScale(gr, c), 1)
+            w(1, 1)                     // count1 table B
+          }
+          // main data: per (granule, channel): scalefactors then codes
+          for (gr <- 0 until 2; c <- 0 until channels) {
+            for (s <- 0 until 21)
+              w(((id * 3 + gr * 5 + c * 7 + s * 11) % 4).toInt, 2)
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, c, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              if (x == 0 && y == 0) w(1, 1)
+              else if (x == 1 && y == 0) { w(1, 2); w(((raw >> 2) % 2).toInt, 1) }
+              else if (x == 0 && y == 1) { w(1, 3); w(((raw >> 3) % 2).toInt, 1) }
+              else { w(0, 3); w(((raw >> 2) % 2).toInt, 1); w(((raw >> 3) % 2).toInt, 1) }
+            }
+            for (q <- 0 until nQuads(gr, c)) {
+              val raw = rawQuad(gr, c, q)
+              val quad = (raw % 16).toInt // bits: v=LSB? spec order v,w,x,y MSB-first
+              // value bits in transmission order (v,w,x,y) = bits 3..0
+              w(quad ^ 0xF, 4) // table B codeword = one's complement
+              var k = 3
+              while (k >= 0) {
+                if (((quad >> k) & 1) == 1) w(((raw >> (4 + k)) % 2).toInt, 1)
+                k -= 1
+              }
+            }
+          }
+          out.write(buf)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL ISO-BMFF box walk under the oracle: minimal ftyp+moov
     // (mvhd + video tkhd + optional dimension-less audio trak) per doc;
     // duration/timescale/dims recomputed by DuckDB from the formulas
@@ -3241,6 +3353,46 @@ object SparkEntry {
       "round(sum(abs((2*code + 1 - steps)/CAST(steps AS DOUBLE) * sf)) " +
       "/ (1152*ch*frames) / 2.0, 6) AS mean_level " +
       "FROM x GROUP BY doc_id, ch, frames"),
+    // Layer III requantization replayed value-for-value from the
+    // planting formulas: 18 Huffman-table-1 big-value pairs (lines
+    // 2p, 2p+1 with bit-planted magnitudes 0/1), (id+f+gr+ch)%3
+    // count1 table-B quadruples (lines 36+4q+j, value bit (3-j) of
+    // the quad word), scalefactor band from the 48 kHz long-block
+    // boundary table, and |xr| = m * 2^((gg-210)/4 - mult*sf)
+    "media_mp3_decode_l3" -> ("WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch, " +
+      "2 + doc_id % 3 AS frames FROM documents), " +
+      "bv AS (SELECT d.doc_id, d.ch, d.frames, f.range AS f, g.range AS g, " +
+      "c.range AS c, p.range AS p, k.range AS k " +
+      "FROM d, range(0,4) f, range(0,2) g, range(0,2) c, range(0,18) p, " +
+      "range(0,2) k WHERE f.range < d.frames AND c.range < d.ch), " +
+      "bvv AS (SELECT doc_id, ch, frames, f, g, c, 2*p + k AS line, " +
+      "CASE WHEN k = 0 THEN (doc_id*31 + f*29 + g*17 + p*13 + c*19) % 2 " +
+      "ELSE ((doc_id*31 + f*29 + g*17 + p*13 + c*19) // 2) % 2 END AS m " +
+      "FROM bv), " +
+      "cq AS (SELECT d.doc_id, d.ch, d.frames, f.range AS f, g.range AS g, " +
+      "c.range AS c, qq.range AS q, j.range AS j " +
+      "FROM d, range(0,4) f, range(0,2) g, range(0,2) c, range(0,2) qq, " +
+      "range(0,4) j WHERE f.range < d.frames AND c.range < d.ch " +
+      "AND qq.range < (d.doc_id + f.range + g.range + c.range) % 3), " +
+      "cqv AS (SELECT doc_id, ch, frames, f, g, c, 36 + 4*q + j AS line, " +
+      "((doc_id*37 + f*41 + g*43 + q*53 + c*47) // " +
+      "(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 AS m " +
+      "FROM cq), " +
+      "allv AS (SELECT * FROM bvv UNION ALL SELECT * FROM cqv), " +
+      "lvl AS (SELECT doc_id, ch, frames, m * pow(2.0, " +
+      "(140 + ((doc_id*7 + f*3 + g*13 + c*29) % 64) - 210) / 4.0 " +
+      "- (((doc_id + g + c) % 2) + 1) * 0.5 * " +
+      "((doc_id*3 + g*5 + c*7 + (CASE WHEN line < 4 THEN 0 " +
+      "WHEN line < 8 THEN 1 WHEN line < 12 THEN 2 WHEN line < 16 THEN 3 " +
+      "WHEN line < 20 THEN 4 WHEN line < 24 THEN 5 WHEN line < 30 THEN 6 " +
+      "WHEN line < 36 THEN 7 WHEN line < 42 THEN 8 ELSE 9 END) * 11) % 4)" +
+      ") AS v FROM allv) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, 48000 AS sample_rate, " +
+      "CAST(1152*ch*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 24.0, 6) AS duration_ms, " +
+      "round(sum(v) / (1152*ch*frames) / 2.0, 6) AS mean_level " +
+      "FROM lvl GROUP BY doc_id, ch, frames"),
     // mvhd/tkhd fields recomputed from the planting formulas
     "media_mp4_meta" -> ("SELECT doc_id, " +
       "CAST(640 + (doc_id % 8) * 16 AS INT) AS width, " +

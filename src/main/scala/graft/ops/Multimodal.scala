@@ -17,16 +17,18 @@ import org.apache.spark.sql.types._
   *    PNG/JPEG/BMP/WBMP via `javax.imageio`;
   *  - audio: WAV/PCM (8/16/24/32-bit) via the pure-Scala RIFF parser
   *    ([[decodeWav]] — fmt fields + exact sample mean), and COMPRESSED
-  *    MPEG-1 Layer I and Layer II via the pure-Scala bitstream
-  *    decoders ([[decodeMp3Layer1]], [[decodeMp3Layer2]] — spec-exact
-  *    subband requantization incl. Layer II allocation tables,
-  *    scfsi and grouped codes);
+  *    MPEG-1 Layers I, II and III via the pure-Scala bitstream
+  *    decoders ([[decodeMp3Layer1]], [[decodeMp3Layer2]],
+  *    [[decodeMp3Layer3]] — spec-exact requantization incl. Layer II
+  *    allocation tables, scfsi and grouped codes, and Layer III side
+  *    info / bit reservoir / Huffman / scalefactor decode);
   *  - video: AVI container metadata via the `avih` header scan
   *    ([[aviMeta]] — dims/frame-count/fps without decoding frames).
   * Only payloads none of these recognize (the remaining compressed
-  * codecs: MP3 Layer III, AAC, H.264, ...) fall back to
-  * `fakeDecode`, a documented deterministic stub with the same output
-  * contract — swap in ffmpeg/JNI bindings there in production.
+  * codecs: AAC, H.264, plus the Layer III shapes the documented
+  * table subset declines) fall back to `fakeDecode`, a documented
+  * deterministic stub with the same output contract — swap in
+  * ffmpeg/JNI bindings there in production.
   */
 object Multimodal {
 
@@ -397,7 +399,8 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.map { r =>
         decodeWav(r.content).orElse(decodeMp3Layer1(r.content))
-          .orElse(decodeMp3Layer2(r.content)) match {
+          .orElse(decodeMp3Layer2(r.content))
+          .orElse(decodeMp3Layer3(r.content)) match {
           case Some(a) => DecodedAudio(r.doc_id, a.channels, a.rate,
             a.nSamples, a.durationMs, a.meanLevel)
           case None =>
@@ -518,9 +521,9 @@ object Multimodal {
     * is ~orthonormal (unallocated subbands contribute zeros).
     * `mean_level` = mean |s'| / 2, normalized to [0, 1] by the max
     * scalefactor. Mono, stereo and dual-channel; intensity (joint)
-    * stereo and Layer II/III payloads return None (Layer III remains
-    * the documented stub, like the reference's codec filters,
-    * tiledb/filter.py:690). */
+    * stereo and Layer II/III payloads return None (those decode via
+    * [[decodeMp3Layer2]] / [[decodeMp3Layer3]] in the
+    * [[decodeAudio]] chain). */
   private[graft] def decodeMp3Layer1(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
     if (bytes.length < 4) return None
     var off = 0
@@ -666,8 +669,8 @@ object Multimodal {
     * 32-band analysis domain like [[decodeMp3Layer1]] (the polyphase
     * synthesis window is tabulated, not derivable). Mono, stereo and
     * dual channel; intensity (joint) stereo and MPEG-2 LSF return
-    * None; Layer III remains the documented stub (reference analogue:
-    * tiledb/filter.py:690). */
+    * None; Layer III decodes via [[decodeMp3Layer3]] in the
+    * [[decodeAudio]] chain. */
   private[graft] def decodeMp3Layer2(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
     if (bytes.length < 4) return None
     var off = 0
@@ -797,6 +800,246 @@ object Multimodal {
             }
             g += 1
           }
+          frames += 1
+          i += frameLen
+        }
+      }
+      if (frames == 0) None
+      else {
+        val nSamples = 1152L * ch0 * frames
+        Some(DecodedAudioRaw(ch0, rate0, nSamples,
+          frames * 1152000.0 / rate0, sumAbs / nSamples / 2.0))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  // ---- MPEG-1 Audio Layer III (public spec ISO/IEC 11172-3 §2.4.1.7,
+  //      §2.4.2.7, §2.4.3.4, Annex B) ---------------------------------
+
+  /** Long-block scalefactor-band boundaries (spectral line index per
+    * band start, 22 bands + end) per MPEG-1 sampling rate — Table B.8. */
+  private val L3SfbLong: Map[Int, Array[Int]] = Map(
+    44100 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
+      110, 134, 162, 196, 238, 288, 342, 418, 576),
+    48000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88,
+      106, 128, 156, 190, 230, 276, 330, 384, 576),
+    32000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
+      126, 156, 194, 240, 296, 364, 448, 550, 576))
+
+  /** scalefac_compress -> (slen1 for sfb 0-10, slen2 for sfb 11-20). */
+  private val L3Slen: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3))
+
+  /** preflag scalefactor offsets per long sfb (Table B.6). */
+  private val L3Pretab: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
+
+  /** REAL pure-Scala MPEG-1 Audio Layer III payload decoder: ID3v2
+    * skip, frame-header walk, side-info parse (main_data_begin,
+    * scfsi, per-granule part2_3_length / big_values / global_gain /
+    * scalefac_compress / table_select / region counts / preflag /
+    * scalefac_scale), a REAL bit reservoir (each frame's main data
+    * accumulates in a rolling buffer; main_data_begin indexes
+    * backwards into it), long-block scalefactor read with scfsi
+    * sharing, Huffman decode of the big_values spectrum, count1
+    * quadruple decode, and the spec requantization power law
+    *   |xr| = |is|^(4/3) * 2^((global_gain-210)/4)
+    *               * 2^(-(scalefac_scale+1)/2 * (scalefac + preflag*pretab))
+    * (§2.4.3.4). Output is in the SPECTRAL (MDCT) domain: like the
+    * L1/L2 decoders stop at the 32-band analysis domain, the level
+    * feature sums |xr| before IMDCT/synthesis — the filterbank is
+    * energy-preserving, and the synthesis window is a tabulated
+    * Annex-B constant block this codebase deliberately doesn't
+    * retype. mean_level = mean |xr| / 2.
+    *
+    * Spec-table subset, documented: Huffman pair tables 0 (all-zero)
+    * and 1, and count1 table B (4-bit one's-complement codes) are
+    * implemented; frames selecting the larger tabulated pair tables
+    * (2-31), count1 table A, short/mixed blocks
+    * (window_switching_flag=1), intensity/MS joint stereo, or
+    * MPEG-2/2.5 LSF return None and fall through to the container
+    * metadata path — same partial-by-documentation contract as the
+    * WebP-class codec filters in the reference
+    * (tiledb/filter.py:690). */
+  private[graft] def decodeMp3Layer3(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    if (bytes.length < 4) return None
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+        ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+      off = 10 + sz
+      if (off < 0 || off >= bytes.length) return None
+    }
+    try {
+      var i = off
+      var frames = 0L
+      var rate0 = 0; var ch0 = 0
+      var sumAbs = 0.0
+      // bit reservoir: main-data bytes of frames seen so far (trimmed —
+      // main_data_begin is 9 bits, so at most 511 bytes reach back)
+      var reservoir = new Array[Byte](0)
+      while (i + 4 <= bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF || (bytes(i + 1) & 0xE0) != 0xE0) {
+          if (frames == 0) return None else i = bytes.length // trailing junk
+        } else {
+          val ver = (bytes(i + 1) >> 3) & 0x3
+          val lay = (bytes(i + 1) >> 1) & 0x3 // 1 = Layer III
+          val prot = bytes(i + 1) & 0x1
+          val brI = (bytes(i + 2) >> 4) & 0xF
+          val srI = (bytes(i + 2) >> 2) & 0x3
+          val pad = (bytes(i + 2) >> 1) & 0x1
+          val mode = (bytes(i + 3) >> 6) & 0x3
+          if (ver != 3 || lay != 1 || brI == 0 || brI == 15 || srI == 3 || mode == 1)
+            return None
+          val kbps = Mp3BitratesV1(brI)
+          val rate = Array(44100, 48000, 32000)(srI)
+          val channels = if (mode == 3) 1 else 2
+          if (frames == 0) { rate0 = rate; ch0 = channels }
+          val frameLen = 144 * kbps * 1000 / rate + pad
+          if (i + frameLen > bytes.length) return None
+          val sfb = L3SfbLong(rate)
+          // ---- side info ----
+          val sideStart = i + 4 + (if (prot == 0) 2 else 0)
+          val sideLen = if (channels == 1) 17 else 32
+          var sPos = sideStart * 8
+          def sbits(n: Int): Int = {
+            var v = 0; var r = n
+            while (r > 0) {
+              v = (v << 1) | ((bytes(sPos >> 3) >> (7 - (sPos & 7))) & 1)
+              sPos += 1; r -= 1
+            }
+            v
+          }
+          val mainDataBegin = sbits(9)
+          sbits(if (channels == 1) 5 else 3) // private_bits
+          val scfsi = Array.ofDim[Int](channels, 4)
+          for (c <- 0 until channels; b <- 0 until 4) scfsi(c)(b) = sbits(1)
+          case class Gr(part23: Int, bigValues: Int, globalGain: Int,
+              sfCompress: Int, tables: Array[Int], region0: Int, region1: Int,
+              preflag: Int, sfScale: Int, count1Table: Int)
+          val grs = Array.ofDim[Gr](2, channels)
+          for (g <- 0 until 2; c <- 0 until channels) {
+            val part23 = sbits(12)
+            val bigValues = sbits(9)
+            val globalGain = sbits(8)
+            val sfCompress = sbits(4)
+            val winSwitch = sbits(1)
+            if (winSwitch != 0) return None // short/mixed blocks: not implemented
+            val tables = Array(sbits(5), sbits(5), sbits(5))
+            val region0 = sbits(4)
+            val region1 = sbits(3)
+            val preflag = sbits(1)
+            val sfScale = sbits(1)
+            val count1Table = sbits(1)
+            grs(g)(c) = Gr(part23, bigValues, globalGain, sfCompress,
+              tables, region0, region1, preflag, sfScale, count1Table)
+          }
+          // ---- main data via the reservoir ----
+          val mainStart = sideStart + sideLen
+          val mainLen = i + frameLen - mainStart
+          if (mainLen < 0) return None
+          val resLen = reservoir.length
+          if (mainDataBegin > resLen) return None // mid-stream start
+          val combined = new Array[Byte](resLen + mainLen)
+          System.arraycopy(reservoir, 0, combined, 0, resLen)
+          System.arraycopy(bytes, mainStart, combined, resLen, mainLen)
+          var mPos = (resLen - mainDataBegin) * 8
+          def mbits(n: Int): Int = {
+            if (mPos + n > combined.length * 8)
+              throw new IllegalArgumentException("main data underrun")
+            var v = 0; var r = n
+            while (r > 0) {
+              v = (v << 1) | ((combined(mPos >> 3) >> (7 - (mPos & 7))) & 1)
+              mPos += 1; r -= 1
+            }
+            v
+          }
+          // previous granule's scalefactors (for scfsi sharing)
+          val sfPrev = Array.ofDim[Int](channels, 21)
+          for (g <- 0 until 2; c <- 0 until channels) {
+            val gr = grs(g)(c)
+            val grEnd = mPos + gr.part23
+            // scalefactors: sfb 0-10 slen1 bits, 11-20 slen2; scfsi
+            // band b shared => granule 1 reuses granule 0's values
+            val (slen1, slen2) = L3Slen(gr.sfCompress)
+            val sf = new Array[Int](21)
+            val bandOf = (s: Int) =>
+              if (s < 6) 0 else if (s < 11) 1 else if (s < 16) 2 else 3
+            var s = 0
+            while (s < 21) {
+              val slen = if (s < 11) slen1 else slen2
+              if (g == 1 && scfsi(c)(bandOf(s)) == 1) sf(s) = sfPrev(c)(s)
+              else sf(s) = if (slen == 0) 0 else mbits(slen)
+              s += 1
+            }
+            System.arraycopy(sf, 0, sfPrev(c), 0, 21)
+            // requantization constants (§2.4.3.4, long blocks)
+            val mult = (gr.sfScale + 1) * 0.5
+            val gain = (gr.globalGain - 210) / 4.0
+            def level(m: Int, line: Int): Double =
+              if (m == 0) 0.0
+              else {
+                var b = 0
+                while (sfb(b + 1) <= line) b += 1 // line < 576 always ends
+                val sfv = if (b < 21) sf(b) + gr.preflag * L3Pretab(b) else 0
+                math.pow(m, 4.0 / 3.0) * math.pow(2.0, gain - mult * sfv)
+              }
+            // Huffman big_values: region split only selects the table;
+            // pair tables 0 (zero table, zero bits) and 1 implemented
+            val r0End = sfb(math.min(gr.region0 + 1, 22))
+            val r1End = sfb(math.min(gr.region0 + 1 + gr.region1 + 1, 22))
+            var line = 0
+            val nBig = gr.bigValues * 2
+            if (nBig > 576) return None
+            while (line < nBig) {
+              val tbl =
+                if (line < r0End) gr.tables(0)
+                else if (line < r1End) gr.tables(1)
+                else gr.tables(2)
+              var x = 0; var y = 0
+              tbl match {
+                case 0 => // Table 0: no codewords, pair is (0,0)
+                case 1 =>
+                  // Table B.7/1: 1->(0,0), 01->(1,0), 001->(0,1), 000->(1,1)
+                  if (mbits(1) == 1) { x = 0; y = 0 }
+                  else if (mbits(1) == 1) { x = 1; y = 0 }
+                  else if (mbits(1) == 1) { x = 0; y = 1 }
+                  else { x = 1; y = 1 }
+                case _ => return None // larger tabulated tables: not implemented
+              }
+              if (x != 0) mbits(1) // sign (level uses |xr|)
+              if (y != 0) mbits(1)
+              sumAbs += level(x, line) + level(y, line + 1)
+              line += 2
+            }
+            // count1: quadruples until part2_3_length exhausts or the
+            // spectrum fills; table B = 4-bit one's-complement codes
+            while (mPos < grEnd && line + 4 <= 576) {
+              if (gr.count1Table != 1) return None // table A: not implemented
+              val qStart = mPos
+              val code = mbits(4) ^ 0xF
+              var k = 3
+              var ok = true
+              var contrib = 0.0
+              var l2 = line
+              while (k >= 0) {
+                val m = (code >> k) & 1
+                if (m != 0) {
+                  if (mPos + 1 > grEnd) ok = false else mbits(1) // sign
+                }
+                if (ok) contrib += level(m, l2)
+                l2 += 1; k -= 1
+              }
+              if (!ok || mPos > grEnd) { mPos = qStart; line = 576 } // overrun: drop quad
+              else { sumAbs += contrib; line += 4 }
+            }
+            mPos = grEnd // skip any stuffing inside part2_3_length
+          }
+          // trim + roll the reservoir (keep > 511 bytes of history)
+          val keep = math.min(combined.length, 1024)
+          reservoir = java.util.Arrays.copyOfRange(combined,
+            combined.length - keep, combined.length)
           frames += 1
           i += frameLen
         }

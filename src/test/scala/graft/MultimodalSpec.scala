@@ -354,6 +354,80 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMp3Layer2(bufA.take(50)).isEmpty)
   }
 
+  test("MPEG-1 Layer III decodes for real: side info, Huffman, requant, reservoir") {
+    // mono 320 kbps / 48000 Hz -> frameLen = 960, side info 17 bytes,
+    // main data at byte 21. Granule 0: big_values=2 via Huffman table 1
+    // (pair (1,1) then (0,1)), one count1 table-B quadruple (1,0,1,0),
+    // part2_3_length = 15 bits; scalefac_compress=0 (slen 0/0 -> no
+    // scalefactor bits), global_gain 210 -> 2^0, so every nonzero line
+    // requantizes to exactly 1.0. Granule 1 silent (part2_3_length 0).
+    def mkFrame(gg: Int, withGr0Data: Boolean): Array[Byte] = {
+      val buf = new Array[Byte](960)
+      buf(0) = 0xFF.toByte; buf(1) = 0xFB.toByte // MPEG1 LayerIII no CRC
+      buf(2) = ((14 << 4) | (1 << 2)).toByte     // 320 kbps, 48000 Hz
+      buf(3) = 0xC0.toByte                       // mono
+      var bit = 32
+      def w(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { r =>
+        if (((v >> r) & 1) == 1) buf(bit >> 3) =
+          (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+        bit += 1
+      }
+      w(if (withGr0Data) 0 else 4, 9) // main_data_begin
+      w(0, 5)                         // private
+      (0 until 4).foreach(_ => w(0, 1)) // scfsi
+      // granule 0
+      w(15, 12); w(2, 9); w(gg, 8); w(0, 4); w(0, 1)
+      w(1, 5); w(1, 5); w(1, 5); w(3, 4); w(3, 3); w(0, 1); w(0, 1); w(1, 1)
+      // granule 1: silent
+      w(0, 12); w(0, 9); w(gg, 8); w(0, 4); w(0, 1)
+      w(1, 5); w(1, 5); w(1, 5); w(0, 4); w(0, 3); w(0, 1); w(0, 1); w(1, 1)
+      if (withGr0Data) writeGr0(buf, 21 * 8)
+      buf
+    }
+    // the 15 granule-0 bits: (1,1)="000"+2 signs, (0,1)="001"+1 sign,
+    // count1 quad (1,0,1,0) -> code ~1010=0101 + 2 signs
+    def writeGr0(buf: Array[Byte], at: Int): Unit = {
+      var bit = at
+      def w(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach { r =>
+        if (((v >> r) & 1) == 1) buf(bit >> 3) =
+          (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+        bit += 1
+      }
+      w(0, 3); w(0, 1); w(0, 1) // (1,1) + signs
+      w(1, 3); w(0, 1)          // (0,1) + sign
+      w(5, 4); w(0, 1); w(0, 1) // quad 1,0,1,0 + signs for v,x
+    }
+    // nonzero lines: 0,1 (pair 1), 3 (pair 2), 4,6 (quad) -> sum 5.0
+    val one = mkFrame(210, withGr0Data = true)
+    val a = Multimodal.decodeMp3Layer3(one).get
+    assert(a.channels == 1 && a.rate == 48000 && a.nSamples == 1152L)
+    assert(math.abs(a.durationMs - 24.0) < 1e-9)
+    assert(math.abs(a.meanLevel - 5.0 / 1152 / 2) < 1e-12, a.meanLevel)
+    // --- bit reservoir: frame B's granule bits live in the LAST 4
+    // bytes of frame A's main data (main_data_begin=4); global_gain
+    // 214 -> every line scales by 2^1, so frame B contributes 10.0
+    val fa = mkFrame(210, withGr0Data = true)
+    writeGr0(fa, 956 * 8) // frame A bytes 956..959 = reservoir tail
+    val fb = mkFrame(214, withGr0Data = false)
+    val stream = fa ++ fb
+    val r = Multimodal.decodeMp3Layer3(stream).get
+    assert(r.nSamples == 2304L && r.channels == 1)
+    assert(math.abs(r.meanLevel - 15.0 / 2304 / 2) < 1e-12, r.meanLevel)
+    // refusals: short blocks, unimplemented tables, joint stereo,
+    // truncation, Layer II payloads
+    val shortBlk = mkFrame(210, withGr0Data = true)
+    // flip window_switching_flag of granule 0 (bit 18+12+9+8+4 = 51
+    // past side start -> absolute bit 32+51 = 83)
+    shortBlk(83 >> 3) = (shortBlk(83 >> 3) | (1 << (7 - (83 & 7)))).toByte
+    assert(Multimodal.decodeMp3Layer3(shortBlk).isEmpty)
+    val joint3 = one.clone(); joint3(3) = 0x40.toByte
+    assert(Multimodal.decodeMp3Layer3(joint3).isEmpty)
+    assert(Multimodal.decodeMp3Layer3(one.take(100)).isEmpty)
+    // Layer II header refuses
+    assert(Multimodal.decodeMp3Layer3(
+      Array(0xFF, 0xFD, (14 << 4) | (1 << 2), 0xC0).map(_.toByte)).isEmpty)
+  }
+
   test("WAV bitrate reflects the real sample width") {
     // 16-bit stereo 8000 Hz -> 8000*2*16/1000 = 256 kbps (was 2-4x
     // under-reported when 8 bits was assumed for every width)
