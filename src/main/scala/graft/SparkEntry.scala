@@ -1432,6 +1432,15 @@ object SparkEntry {
       val lm = NgramLm.trainBigramLm(docs, "text", minUnigram = 2L, minBigram = 3L)
       NgramLm.perplexity(docs, "doc_id", "text", lm)
     }),
+    // per-doc top-5 TF-IDF keywords; DuckDB replays tf, df, the
+    // ln(N/df) weighting and the rounded-score/term-asc ranking
+    "tfidf_keywords" -> ((s, d) =>
+      graft.ops.Search.tfidfKeywords(t(s, d, "documents"), "doc_id", "text", k = 5)),
+    // global top-50 PMI collocations over the same floored count
+    // tables as text_perplexity; counts, normalizers and the log10
+    // ratio are exact count arithmetic in both engines
+    "pmi_collocations" -> ((s, d) =>
+      NgramLm.pmiCollocations(t(s, d, "documents"), "text", n = 50)),
     // min-gram signature in the SQL-portable (md5-prefix) form, so the
     // DuckDB oracle recomputes every doc's signature bit-exactly; the
     // native rolling-hash fingerprint stays under text_fp_gate
@@ -3042,6 +3051,39 @@ object SparkEntry {
       "LEFT JOIN uni uw ON p.w = uw.w) " +
       "SELECT doc_id, count(*) AS n_scored, round(avg(lp), 6) AS avg_logp, " +
       "round(pow(10, -avg(lp)), 6) AS ppl FROM sc GROUP BY doc_id"),
+    "tfidf_keywords" -> ("WITH tk AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), " +
+      "x -> x <> '') AS t FROM documents), " +
+      "n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), " +
+      "tfc AS (SELECT doc_id, unnest(t) AS term FROM tk), " +
+      "tfg AS (SELECT doc_id, term, count(*) AS tf FROM tfc GROUP BY doc_id, term), " +
+      "dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfg GROUP BY term), " +
+      "sc AS (SELECT doc_id, term, " +
+      "round(tf * ln((SELECT nd FROM n) / df), 6) AS score " +
+      "FROM tfg JOIN dfc USING (term)), " +
+      "rk AS (SELECT doc_id, term, score, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank " +
+      "FROM sc) " +
+      "SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank " +
+      "FROM rk WHERE rank <= 5"),
+    "pmi_collocations" -> ("WITH tk AS (SELECT doc_id, " +
+      "list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), " +
+      "x -> x <> '') AS t FROM documents), " +
+      "pos AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i, " +
+      "t FROM tk), " +
+      "pairs AS (SELECT t[i-1] AS pw, w FROM pos WHERE i > 1), " +
+      "uniall AS (SELECT w, count(*) AS cw FROM pos GROUP BY w), " +
+      "nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uniall), " +
+      "nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM pairs), " +
+      "uni AS (SELECT w, cw FROM uniall WHERE cw >= 2), " +
+      "big AS (SELECT pw, w, count(*) AS cb FROM pairs GROUP BY pw, w " +
+      "HAVING count(*) >= 3), " +
+      "j AS (SELECT b.pw, b.w, b.cb, " +
+      "round(log10((CAST(b.cb AS DOUBLE) / (SELECT nb FROM nb)) / " +
+      "((CAST(ua.cw AS DOUBLE) / (SELECT nu FROM nu)) * " +
+      "(CAST(uw.cw AS DOUBLE) / (SELECT nu FROM nu)))), 6) AS pmi " +
+      "FROM big b JOIN uni ua ON b.pw = ua.w JOIN uni uw ON b.w = uw.w) " +
+      "SELECT pw, w, cb, pmi FROM j ORDER BY pmi DESC, pw, w LIMIT 50"),
     // curation pack: replant the same synthetic PII, re-redact in RE2
     "pii_redact" -> ("SELECT doc_id, " +
       "regexp_replace(regexp_replace(regexp_replace(" +

@@ -120,4 +120,37 @@ object NgramLm {
         round(col("a"), 6).as("avg_logp"),
         round(pow(lit(10.0), -col("a")), 6).as("ppl"))
   }
+
+  /** Top-n corpus collocations by pointwise mutual information — the
+    * standard phrase/tokenizer-vocabulary mining op:
+    *   pmi(a, b) = log10( (cb/Nb) / ((ca/Nu) * (cb_w/Nu)) )
+    * over the SAME floored count tables a [[trainBigramLm]] pass
+    * produces (the floors are what keep the bigram table
+    * vocabulary-bounded at corpus scale — and low-count bigrams have
+    * garbage PMI anyway, the published reason every collocation
+    * pipeline floors first). Nb = total scoring positions
+    * (sum of per-doc max(tokens-1, 0)), Nu = total tokens.
+    *
+    * Output: (pw, w, cb, pmi) — the global top-n by (6-decimal pmi
+    * desc, pw asc, w asc), via orderBy+limit (TakeOrderedAndProject:
+    * per-partition bounded heaps, driver merge of n rows — no global
+    * sort materializes). */
+  def pmiCollocations(df: DataFrame, textCol: String, n: Int = 50,
+      minUnigram: Long = 2L, minBigram: Long = 3L): DataFrame = {
+    val lm = trainBigramLm(df, textCol, minUnigram, minBigram)
+    val nB = Option(df.select(
+        greatest(size(lmTokens(col(textCol))) - 1, lit(0)).cast("long").as("m"))
+      .agg(sum(col("m"))).head().get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nU = lm.totalTokens
+    val ca = lm.unigrams.select(col("w").as("pw"), col("cw").as("__ca"))
+    val cw = lm.unigrams.select(col("w"), col("cw").as("__cw"))
+    lm.bigrams
+      .join(ca, "pw").join(cw, "w")
+      .select(col("pw"), col("w"), col("cb"),
+        round(log10((col("cb").cast("double") / lit(nB.toDouble)) /
+          ((col("__ca").cast("double") / lit(nU.toDouble)) *
+            (col("__cw").cast("double") / lit(nU.toDouble)))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("pw"), col("w"))
+      .limit(n)
+  }
 }

@@ -209,6 +209,35 @@ object Search {
     Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
   }
 
+  /** Top-k TF-IDF keywords per document — the classic corpus-triage /
+    * topic-labeling op (what "characterizes" each doc against the
+    * corpus). score = tf * ln(N/df) with plain idf (df <= N keeps it
+    * non-negative), ranked per doc by (6-decimal-rounded score desc,
+    * term asc) — the same rounded-rank contract as [[bm25TopK]], so
+    * ordering is engine-stable.
+    *
+    * Scale shape: ONE postings aggregation (tf per (doc, term) — the
+    * [[postings]] pass), df aggregated FROM those postings
+    * (vocabulary-sized, map-side combined), then one term-keyed join
+    * postings-vs-df — df is NOT broadcast (a 100 TB corpus has a
+    * billion-term vocabulary; the term join is the honest shuffle) —
+    * and per-doc top-k on bounded heaps ([[Similarity.topKPerKey]]),
+    * never a corpus-wide rank window. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val post = postings(docs, idCol, textCol).localCheckpoint(true)
+    val df = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = post.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") *
+          log(lit(nDocs.toDouble) / col("__df")), 6).as("__s"))
+    Similarity.topKPerKey(scored, "doc_id", "term", "__s", k)
+      .select(col("doc_id"), col("term"), col("__s").as("score"), col("rank"))
+  }
+
   // -------------------------------------------------------------------
   // Persisted inverted index
   // -------------------------------------------------------------------

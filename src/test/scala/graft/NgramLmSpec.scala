@@ -60,4 +60,28 @@ class NgramLmSpec extends SparkSpec {
     assert(fluentMax < junkMin,
       s"fluent ppl up to $fluentMax should undercut junk ppl from $junkMin")
   }
+
+  test("pmiCollocations: rare fixed phrases outrank common chains") {
+    // pmi ~ cb/(ca*cw): a RARE always-together pair ("quantum
+    // entanglement", 5 docs) scores 1/5, while pairs built from the
+    // ubiquitous "the"/"common" (85 occurrences each) score ~1/85 —
+    // frequency alone never wins, association strength does
+    val common = (0 until 40).map { i =>
+      (i.toLong, s"the common market holds the common goods ${i % 4}")
+    }
+    // "entanglement" is followed by the COMMON "holds" so only the
+    // (quantum, entanglement) pair itself is a rare perfect pairing
+    val rare = (40 until 45).map { i =>
+      (i.toLong, "quantum entanglement holds the common market")
+    }
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val top = NgramLm.pmiCollocations(docs, "text", n = 10)
+      .select($"pw", $"w", $"pmi").as[(String, String, Double)].collect()
+    assert(top.nonEmpty && top.head._1 == "quantum" && top.head._2 == "entanglement",
+      s"expected (quantum, entanglement) first, got ${top.take(3).toSeq}")
+    val pmis = top.map(_._3)
+    assert(pmis.sorted.reverse.toSeq == pmis.toSeq, "must be pmi-descending")
+    top.find(p => p._1 == "the" && p._2 == "common")
+      .foreach(p => assert(p._3 < top.head._3, "common chain must rank below"))
+  }
 }

@@ -107,6 +107,24 @@ class SearchSpec extends SparkSpec {
     assert(full.keySet == Set(0L, 1L) && elided.keySet == Set(0L))
   }
 
+  test("tfidfKeywords: distinctive terms outrank ubiquitous ones") {
+    // "the" is in every doc (idf = ln(1) = 0 -> score 0, never a top
+    // keyword over positive scores); each doc's unique word wins
+    val corpus = Seq(
+      (0L, "the zebra zebra runs the field"),
+      (1L, "the quasar shines in the field"),
+      (2L, "the fossil sits in the field")).toDF("doc_id", "text")
+    val kw = Search.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .select($"doc_id", $"term", $"rank").as[(Long, String, Long)]
+      .collect().toSeq
+    val first = kw.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    assert(first == Map(0L -> "zebra", 1L -> "quasar", 2L -> "fossil"), first)
+    // exactly k rows per doc, ranked 1..k
+    assert(kw.groupBy(_._1).forall(_._2.map(_._3).sorted == Seq(1L, 2L)))
+    // "the" never outranks a positive-idf term
+    assert(!kw.exists(r => r._2 == "the" && r._3 == 1L))
+  }
+
   test("elision and hot-term probes are counted, never silent") {
     graft.core.Stats.reset()
     // "the" df 2/5 = 0.4 > HotTermDfFraction: a hot-term probe even
