@@ -1555,6 +1555,19 @@ object SparkEntry {
           slice(TextAnalysis.tokens(col("text")), 11, 20)).as("snippet"))
       Curation.contamination(docs, "doc_id", "text", bench, "snippet", n = 8)
     }),
+    // same semantics behind the broadcast-Bloom prefilter: the oracle
+    // is the SAME exact-join SQL — blooms admit no false negatives and
+    // the verification join kills the false positives, so the bloom
+    // path must agree row for row. fpp is deliberately loose (0.05)
+    // so the FP-kill layer is actually exercised at sf scale.
+    "bloom_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+        .select(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 11, 20)).as("snippet"))
+      Curation.bloomContamination(docs, "doc_id", "text", bench, "snippet",
+        n = 8, fpp = 0.05)
+    }),
     // cross-document duplicate spans: fraction of each doc's word
     // 8-gram windows shared with at least one other doc (DuckDB
     // recomputes with string grams; Spark ships 8-byte hashes)
@@ -2080,6 +2093,90 @@ object SparkEntry {
         .select(col("doc_id"), col("channels"), col("sample_rate"),
           col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
           round(col("mean_level"), 6).as("mean_level"))
+    }),
+
+    // REAL H.264 I_PCM decode under the oracle: per doc a spec-valid
+    // Annex-B stream (SPS + PPS + one IDR slice per frame, every
+    // macroblock I_PCM with formula-planted luma) written through a
+    // real Exp-Golomb bit writer WITH emulation-prevention insertion;
+    // DuckDB recomputes dims from the SPS fields and the luma mean
+    // from the planting formula
+    "media_h264_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val wMbs = 1 + (id % 3).toInt
+        val hMbs = 1 + (id % 2).toInt
+        val frames = 1 + (id % 2).toInt
+        val out = new java.io.ByteArrayOutputStream()
+        final class BitW {
+          val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          def u(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) { bits += ((v >> r) & 1); r -= 1 }
+          }
+          def ue(v: Int): Unit = {
+            val z = 31 - Integer.numberOfLeadingZeros(v + 1)
+            u(0, z); u(v + 1, z + 1) // z leading zeros then (v+1) in z+1 bits
+          }
+          def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+          def align(): Unit = while (bits.length % 8 != 0) bits += 0
+        }
+        def nal(refIdc: Int, typ: Int)(body: BitW => Unit): Unit = {
+          out.write(0); out.write(0); out.write(0); out.write(1)
+          out.write((refIdc << 5) | typ)
+          val bw = new BitW
+          body(bw)
+          bw.u(1, 1) // rbsp_stop_one_bit
+          bw.align()
+          var zeros = 0
+          var i = 0
+          while (i < bw.bits.length) {
+            var b = 0; var k = 0
+            while (k < 8) { b = (b << 1) | bw.bits(i + k); k += 1 }
+            if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 } // emu prevention
+            out.write(b); zeros = if (b == 0) zeros + 1 else 0
+            i += 8
+          }
+        }
+        // SPS: baseline 66, level 30, poc_type 2, no crop/VUI
+        nal(3, 7) { w =>
+          w.u(66, 8); w.u(0, 8); w.u(30, 8); w.ue(0)
+          w.ue(0) // log2_max_frame_num_minus4 -> 4 bits
+          w.ue(2) // pic_order_cnt_type
+          w.ue(0); w.u(0, 1) // max_num_ref_frames, gaps
+          w.ue(wMbs - 1); w.ue(hMbs - 1)
+          w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1) // frame_mbs_only, direct8x8, crop, vui
+        }
+        // PPS: CAVLC, one slice group, no deblock-control/redundant
+        nal(3, 8) { w =>
+          w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
+          w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
+          w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        }
+        for (f <- 0 until frames) {
+          nal(3, 5) { w =>
+            w.ue(0)      // first_mb_in_slice
+            w.ue(7)      // slice_type: I (all slices in pic)
+            w.ue(0)      // pps_id
+            w.u(0, 4)    // frame_num (IDR -> 0)
+            w.ue(f)      // idr_pic_id
+            w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
+            w.se(0)      // slice_qp_delta
+            for (m <- 0 until wMbs * hMbs) {
+              w.ue(25)   // mb_type I_PCM
+              w.align()  // pcm_alignment_zero_bit
+              for (k <- 0 until 256)
+                w.u(16 + ((id * 7 + f * 11 + m * 13 + k * 17) % 220).toInt, 8)
+              for (_ <- 0 until 128) w.u(128, 8) // Cb + Cr planes
+            }
+          }
+        }
+        graft.ops.Multimodal.MediaRow(id, out.toByteArray, "video", "h264")
+      }
+      graft.ops.Multimodal.h264Decode(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("n_mbs"), round(col("mean_luma"), 6).as("mean_luma"),
+          col("profile_idc"), col("level_idc"))
     }),
 
     // REAL ISO-BMFF box walk under the oracle: minimal ftyp+moov
@@ -3141,6 +3238,18 @@ object SparkEntry {
       "FROM toks) " +
       "SELECT doc_id, count(*) AS shared_grams FROM cgrams " +
       "JOIN bgrams USING (g) GROUP BY doc_id"),
+    // bloom path = exact semantics (no false negatives + FP-killing
+    // verification join), so the oracle is the SAME exact-join SQL
+    "bloom_contamination" -> ("WITH toks AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      "bgrams AS (SELECT DISTINCT unnest([array_to_string(bt[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(bt)-7, 0))]) AS g " +
+      "FROM (SELECT t[11:30] AS bt FROM toks WHERE doc_id % 20 = 0)), " +
+      "cgrams AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(t)-7, 0))]) AS g " +
+      "FROM toks) " +
+      "SELECT doc_id, count(*) AS shared_grams FROM cgrams " +
+      "JOIN bgrams USING (g) GROUP BY doc_id"),
     "dup_spans" -> ("WITH toks AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
       "gr AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') " +
@@ -3435,6 +3544,21 @@ object SparkEntry {
       "round(frames * 24.0, 6) AS duration_ms, " +
       "round(sum(v) / (1152*ch*frames) / 2.0, 6) AS mean_level " +
       "FROM lvl GROUP BY doc_id, ch, frames"),
+    // H.264 SPS dims and the I_PCM luma mean recomputed from the
+    // planting formulas (256 raw luma samples per macroblock)
+    "media_h264_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 3 AS wmbs, 1 + doc_id % 2 AS hmbs, " +
+      "1 + doc_id % 2 AS frames FROM documents), " +
+      "s AS (SELECT d.doc_id, d.wmbs, d.hmbs, d.frames, " +
+      "f.range AS f, m.range AS m, k.range AS k " +
+      "FROM d, range(0,2) f, range(0,6) m, range(0,256) k " +
+      "WHERE f.range < d.frames AND m.range < d.wmbs * d.hmbs) " +
+      "SELECT doc_id, CAST(wmbs*16 AS INT) AS width, " +
+      "CAST(hmbs*16 AS INT) AS height, CAST(frames AS BIGINT) AS n_frames, " +
+      "CAST(frames*wmbs*hmbs AS BIGINT) AS n_mbs, " +
+      "round(avg(16 + (doc_id*7 + f*11 + m*13 + k*17) % 220), 6) AS mean_luma, " +
+      "CAST(66 AS INT) AS profile_idc, CAST(30 AS INT) AS level_idc " +
+      "FROM s GROUP BY doc_id, wmbs, hmbs, frames"),
     // mvhd/tkhd fields recomputed from the planting formulas
     "media_mp4_meta" -> ("SELECT doc_id, " +
       "CAST(640 + (doc_id % 8) * 16 AS INT) AS width, " +

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -279,6 +279,63 @@ object Curation {
       .select(col(corpusId), explode(gramHashes(col(corpusText), n)).as("g"))
     corpusGrams
       .join(broadcast(benchGrams), "g")
+      .groupBy(col(corpusId))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** Bloom-gated decontamination — EXACTLY the [[contamination]]
+    * semantics behind a Bloom prefilter (the GPT-3/Llama-style n-gram
+    * membership screen). The benchmark's distinct gram hashes
+    * aggregate into one Bloom filter (`DataFrame.stat.bloomFilter` —
+    * a distributed build, merged on the driver) that is BROADCAST and
+    * probed locally: the 100 TB corpus is screened in a single
+    * narrow pass with NO join and NO shuffle, and only flagged docs —
+    * true hits plus the fpp-bounded false positives — reach the exact
+    * verification join. Blooms admit no false negatives, so the
+    * output provably equals [[contamination]] row for row; the
+    * verification stage exists to kill the false positives.
+    *
+    * Scale shape: at 1B benchmark grams and fpp=0.01 the bloom is
+    * ~1.2 GB — an order of magnitude under the exact hash set the
+    * broadcast join in [[contamination]] would ship — and the corpus
+    * side does zero data movement. Flagged docs carry their gram
+    * arrays FORWARD into verification (no second corpus scan); the
+    * verification join is left to AQE, which broadcasts whichever
+    * side is measured smaller at runtime. Probe/flag volumes surface
+    * as Stats counters `decontam.bloom_docs_probed` / `_flagged`.
+    *
+    * `expectedGrams` sizes the bloom; when < 0 it is counted with one
+    * pass over the (small) benchmark side. */
+  def bloomContamination(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchmarkText: String, n: Int = 8,
+      fpp: Double = 0.01, expectedGrams: Long = -1L): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(benchmarkText), n)).as("g"))
+      .distinct()
+    val expected = if (expectedGrams > 0) expectedGrams else benchGrams.count()
+    val bloom = benchGrams.stat.bloomFilter("g", math.max(expected, 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probed = graft.core.Stats.counter(spark, "decontam.bloom_docs_probed")
+    val flagged = graft.core.Stats.counter(spark, "decontam.bloom_docs_flagged")
+    val withGrams = corpus.select(col(corpusId), gramHashes(col(corpusText), n).as("__gs"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      withGrams.schema.head,
+      withGrams.schema("__gs")))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val cands = withGrams.mapPartitions { rows =>
+      val b = bc.value
+      rows.flatMap { r =>
+        probed.add(1L)
+        val gs = r.getSeq[Long](1)
+        if (gs != null && gs.exists(b.mightContainLong)) {
+          flagged.add(1L); Some(Row(r.get(0), gs))
+        } else None
+      }
+    }
+    cands.select(col(corpusId), explode(col("__gs")).as("g"))
+      .join(benchGrams, "g") // AQE picks the build side at runtime
       .groupBy(col(corpusId))
       .agg(count(lit(1)).as("shared_grams"))
   }

@@ -23,12 +23,16 @@ import org.apache.spark.sql.types._
   *    allocation tables, scfsi and grouped codes, and Layer III side
   *    info / bit reservoir / Huffman / scalefactor decode);
   *  - video: AVI container metadata via the `avih` header scan
-  *    ([[aviMeta]] — dims/frame-count/fps without decoding frames).
+  *    ([[aviMeta]] — dims/frame-count/fps without decoding frames),
+  *    and H.264/AVC Annex-B elementary streams via the pure-Scala NAL
+  *    parser ([[decodeH264IPcm]] — SPS/PPS/slice-header Exp-Golomb
+  *    parse plus exact sample decode of I_PCM macroblocks).
   * Only payloads none of these recognize (the remaining compressed
-  * codecs: AAC, H.264, plus the Layer III shapes the documented
-  * table subset declines) fall back to `fakeDecode`, a documented
-  * deterministic stub with the same output contract — swap in
-  * ffmpeg/JNI bindings there in production.
+  * codec shapes: AAC, predicted/transform-coded H.264 macroblocks,
+  * plus the Layer III shapes the documented table subset declines)
+  * fall back to `fakeDecode`, a documented deterministic stub with
+  * the same output contract — swap in ffmpeg/JNI bindings there in
+  * production.
   */
 object Multimodal {
 
@@ -1153,6 +1157,190 @@ object Multimodal {
     })
   }
 
+  private[graft] case class H264Raw(width: Int, height: Int, nFrames: Long,
+      nMbs: Long, meanLuma: Double, profileIdc: Int, levelIdc: Int)
+  case class H264Info(doc_id: Long, width: Int, height: Int, n_frames: Long,
+      n_mbs: Long, mean_luma: Double, profile_idc: Int, level_idc: Int)
+
+  /** RBSP extraction (ITU-T H.264 §7.3.1): strips the
+    * emulation_prevention_three_byte — inside a NAL, 0x000003 followed
+    * by a byte <= 3 encodes a raw 0x0000 pair. */
+  private def h264Rbsp(b: Array[Byte], s: Int, e: Int): Array[Byte] = {
+    val out = new Array[Byte](e - s)
+    var n = 0; var i = s; var zeros = 0
+    while (i < e) {
+      val v = b(i) & 0xFF
+      if (zeros >= 2 && v == 3 && (i + 1 == e || (b(i + 1) & 0xFF) <= 3)) zeros = 0
+      else { out(n) = b(i); n += 1; zeros = if (v == 0) zeros + 1 else 0 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, n)
+  }
+
+  /** REAL pure-Scala H.264/AVC (ITU-T H.264, public spec) decoder for
+    * the I_PCM subset: Annex-B start-code NAL walk,
+    * emulation-prevention unescape, Exp-Golomb SPS parse (dims from
+    * pic_width_in_mbs / pic_height_in_map_units, frame cropping,
+    * profile/level), PPS parse (CAVLC mode, deblocking/redundant-count
+    * flags feed the slice header), IDR slice-header parse
+    * (frame_num / idr_pic_id / POC by poc_type / dec_ref_pic_marking /
+    * slice_qp_delta), and slice_data decode of I_PCM macroblocks —
+    * mb_type 25 in I slices carries RAW 4:2:0 samples
+    * (pcm_alignment, 256 luma + 128 chroma bytes, §7.3.5), so the
+    * sample decode is exact, no transform/prediction needed.
+    * Multi-slice frames are handled via the rbsp_stop_bit position
+    * (more_rbsp_data); frames are counted at first_mb_in_slice == 0.
+    *
+    * Documented subset: baseline/main/extended profiles (66/77/88 —
+    * no chroma_format/scaling-list SPS extension), progressive
+    * (frame_mbs_only), no VUI, CAVLC entropy, single slice group,
+    * IDR-only streams, and I_PCM macroblocks only. Predicted /
+    * transform-coded macroblocks (CAVLC residual + intra prediction)
+    * and CABAC return None and fall through to the documented stub —
+    * the same partial-by-documentation contract as the WebP-class
+    * codec filters in the reference (tiledb/filter.py:690). */
+  private[graft] def decodeH264IPcm(bytes: Array[Byte]): Option[H264Raw] = {
+    if (bytes.length < 5) return None
+    // ---- Annex-B NAL segmentation ----
+    val nals = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0; var prev = -1
+    while (i + 3 <= bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 && bytes(i + 2) == 1) {
+        if (prev >= 0) nals += ((prev, i))
+        prev = i + 3; i += 3
+      } else i += 1
+    }
+    if (prev < 0) return None
+    nals += ((prev, bytes.length))
+    if (bytes(0) != 0 || bytes(1) != 0) return None // must start at a start code
+
+    final class Br(val b: Array[Byte]) {
+      var pos = 0
+      def u(n: Int): Int = {
+        var v = 0; var r = n
+        while (r > 0) {
+          v = (v << 1) | ((b(pos >> 3) >> (7 - (pos & 7))) & 1); pos += 1; r -= 1
+        }
+        v
+      }
+      def ue(): Int = {
+        var z = 0
+        while (u(1) == 0) { z += 1; if (z > 31) throw new IllegalArgumentException("ue") }
+        if (z == 0) 0 else (1 << z) - 1 + u(z)
+      }
+      def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+      def align(): Unit = while ((pos & 7) != 0) u(1) // pcm_alignment_zero_bit
+      // bit index of the rbsp_stop_bit (data bits live strictly before it)
+      def dataEndBit: Int = {
+        var last = b.length - 1
+        while (last >= 0 && b(last) == 0) last -= 1
+        if (last < 0) 0
+        else last * 8 + (7 - Integer.numberOfTrailingZeros(b(last) & 0xFF))
+      }
+    }
+
+    // SPS/PPS state (single active set — the subset's streams carry one)
+    var wMbs = 0; var hMbs = 0; var cropX = 0; var cropY = 0
+    var profile = 0; var level = 0
+    var log2FrameNum = 0; var pocType = 0; var log2PocLsb = 0
+    var deltaPocZero = false
+    var haveSps = false; var havePps = false
+    var bottomPocPresent = false; var dfcPresent = false; var redundantPresent = false
+    var frames = 0L; var mbs = 0L; var lumaSum = 0L
+
+    try {
+      for ((s0, e0) <- nals) {
+        var e = e0
+        while (e > s0 && bytes(e - 1) == 0) e -= 1 // zero_byte of a 4-byte start code
+        if (e > s0) {
+          val hdr = bytes(s0) & 0xFF
+          if ((hdr & 0x80) != 0) return None // forbidden_zero_bit
+          val typ = hdr & 0x1F
+          val br = new Br(h264Rbsp(bytes, s0 + 1, e))
+          typ match {
+            case 7 => // SPS
+              profile = br.u(8); br.u(8); level = br.u(8); br.ue() // sps_id
+              if (profile != 66 && profile != 77 && profile != 88) return None
+              log2FrameNum = br.ue() + 4
+              pocType = br.ue()
+              if (pocType == 0) log2PocLsb = br.ue() + 4
+              else if (pocType == 1) {
+                deltaPocZero = br.u(1) == 1; br.se(); br.se()
+                val n = br.ue(); var j = 0; while (j < n) { br.se(); j += 1 }
+              }
+              br.ue(); br.u(1) // max_num_ref_frames, gaps_allowed
+              wMbs = br.ue() + 1; hMbs = br.ue() + 1
+              if (br.u(1) != 1) return None // frame_mbs_only
+              br.u(1) // direct_8x8_inference
+              if (br.u(1) == 1) { // frame_cropping: 4:2:0 CropUnit = 2
+                val cl = br.ue(); val cr = br.ue(); val ct = br.ue(); val cb = br.ue()
+                cropX = 2 * (cl + cr); cropY = 2 * (ct + cb)
+              }
+              if (br.u(1) == 1) return None // VUI: out of subset
+              haveSps = true
+            case 8 => // PPS
+              br.ue(); br.ue()
+              if (br.u(1) != 0) return None // CABAC: out of subset
+              bottomPocPresent = br.u(1) == 1
+              if (br.ue() != 0) return None // slice groups: out of subset
+              br.ue(); br.ue(); br.u(1); br.u(2); br.se(); br.se(); br.se()
+              dfcPresent = br.u(1) == 1
+              br.u(1) // constrained_intra_pred
+              redundantPresent = br.u(1) == 1
+              havePps = true
+            case 5 => // IDR slice
+              if (!haveSps || !havePps) return None
+              val firstMb = br.ue()
+              val sliceType = br.ue()
+              if (sliceType % 5 != 2) return None // I slices only
+              br.ue() // pps_id
+              br.u(log2FrameNum) // frame_num
+              br.ue() // idr_pic_id
+              if (pocType == 0) {
+                br.u(log2PocLsb)
+                if (bottomPocPresent) br.se()
+              } else if (pocType == 1 && !deltaPocZero) {
+                br.se(); if (bottomPocPresent) br.se()
+              }
+              if (redundantPresent) br.ue()
+              br.u(1); br.u(1) // dec_ref_pic_marking (IDR)
+              br.se() // slice_qp_delta
+              if (dfcPresent) { val idc = br.ue(); if (idc != 1) { br.se(); br.se() } }
+              if (firstMb == 0) frames += 1
+              var mb = firstMb
+              val total = wMbs * hMbs
+              val end = br.dataEndBit
+              while (br.pos < end && mb < total) { // more_rbsp_data
+                if (br.ue() != 25) return None // I_PCM only
+                br.align()
+                var k = 0
+                while (k < 256) { lumaSum += br.u(8); k += 1 }
+                k = 0
+                while (k < 128) { br.u(8); k += 1 } // Cb + Cr, 4:2:0
+                mbs += 1; mb += 1
+              }
+            case 1 => return None // non-IDR coded slice: out of subset
+            case _ => () // SEI / AUD / filler: skip
+          }
+        }
+      }
+      if (frames == 0 || mbs == 0) None
+      else Some(H264Raw(wMbs * 16 - cropX, hMbs * 16 - cropY, frames, mbs,
+        lumaSum.toDouble / (256.0 * mbs), profile, level))
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched H.264 I_PCM sample decode rows; None-parses are dropped
+    * (callers union with [[videoMeta]] for the mixed-codec path). */
+  def h264Decode(ds: Dataset[MediaRow]): Dataset[H264Info] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { r =>
+      decodeH264IPcm(r.content).map(h =>
+        H264Info(r.doc_id, h.width, h.height, h.nFrames, h.nMbs, h.meanLuma,
+          h.profileIdc, h.levelIdc))
+    })
+  }
+
   /** Batched video metadata: AVI and MP4 container headers parse for
     * REAL; other containers fall back to the deterministic stub. MP4
     * carries no frame count in `mvhd`, so those rows report frames 0
@@ -1165,9 +1353,13 @@ object Multimodal {
           case Some((w, h, frames, fps)) => VideoMeta(r.doc_id, w, h, frames, fps)
           case None => mp4Meta(r.content) match {
             case Some(m) => VideoMeta(r.doc_id, m.width, m.height, 0L, 0.0)
-            case None =>
-              val (w, h, _, _) = fakeDecode(r.content)
-              VideoMeta(r.doc_id, w, h, r.content.length / 256L, 30.0)
+            case None => decodeH264IPcm(r.content) match {
+              case Some(h) => // raw Annex-B elementary stream: no container fps
+                VideoMeta(r.doc_id, h.width, h.height, h.nFrames, 0.0)
+              case None =>
+                val (w, h, _, _) = fakeDecode(r.content)
+                VideoMeta(r.doc_id, w, h, r.content.length / 256L, 30.0)
+            }
           }
         }
       }

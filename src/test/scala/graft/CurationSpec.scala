@@ -65,6 +65,30 @@ class CurationSpec extends SparkSpec {
     assert(hits2 == Map(1L -> 3L, 5L -> 3L))
   }
 
+  test("bloomContamination equals the exact join, even at a loose fpp") {
+    // a corpus big enough that a 50% fpp bloom WILL flag clean docs:
+    // the verification join must kill every false positive
+    val mk = (id: Long) =>
+      (id, (0 until 12).map(t => s"tok_${id}_$t").mkString(" "))
+    val clean = (1L to 400L).map(mk)
+    val bench = Seq(mk(9001L)._2, mk(9002L)._2).toDF("snippet")
+    val dirty = Seq((500L, "pad " + mk(9001L)._2 + " tail"), mk(9002L).copy(_1 = 501L))
+    val corpus = (clean ++ dirty).toDF("doc_id", "text")
+    val exact = Curation.contamination(corpus, "doc_id", "text", bench, "snippet")
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet == Set(500L, 501L)) // sanity: plants hit, clean don't
+    for (fpp <- Seq(0.5, 0.01)) {
+      graft.core.Stats.counter(spark, "decontam.bloom_docs_flagged").reset()
+      val bloom = Curation.bloomContamination(
+        corpus, "doc_id", "text", bench, "snippet", fpp = fpp)
+        .as[(Long, Long)].collect().toMap
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    // the loose-fpp sweep above only proves anything if the prefilter
+    // actually over-flagged: with fpp=0.01 last, flagged counter ~= 2
+    assert(graft.core.Stats.counterValue("decontam.bloom_docs_flagged") >= 2L)
+  }
+
   test("deterministicSample: reproducible, partitioning-independent, ~fraction") {
     val df = (1L to 10000L).toDF("id")
     val a = Curation.deterministicSample(df, "id", 0.3).select("id")

@@ -428,6 +428,101 @@ class MultimodalSpec extends SparkSpec {
       Array(0xFF, 0xFD, (14 << 4) | (1 << 2), 0xC0).map(_.toByte)).isEmpty)
   }
 
+  // ---- H.264 I_PCM Annex-B builder (mirrors the spec's bit syntax) ----
+  private final class H264Bits {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = {
+      var r = n - 1
+      while (r >= 0) { bits += ((v >> r) & 1); r -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val z = 31 - Integer.numberOfLeadingZeros(v + 1)
+      u(0, z); u(v + 1, z + 1)
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def align(): Unit = while (bits.length % 8 != 0) bits += 0
+  }
+  private def h264Nal(out: java.io.ByteArrayOutputStream, refIdc: Int, typ: Int)(
+      body: H264Bits => Unit): Unit = {
+    out.write(0); out.write(0); out.write(0); out.write(1)
+    out.write((refIdc << 5) | typ)
+    val w = new H264Bits
+    body(w)
+    w.u(1, 1); w.align()
+    var zeros = 0; var i = 0
+    while (i < w.bits.length) {
+      var b = 0; var k = 0
+      while (k < 8) { b = (b << 1) | w.bits(i + k); k += 1 }
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
+      out.write(b); zeros = if (b == 0) zeros + 1 else 0
+      i += 8
+    }
+  }
+  private def h264Sps(w: H264Bits, wMbs: Int, hMbs: Int): Unit = {
+    w.u(66, 8); w.u(0, 8); w.u(30, 8); w.ue(0)
+    w.ue(0); w.ue(2); w.ue(0); w.u(0, 1)
+    w.ue(wMbs - 1); w.ue(hMbs - 1)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+  }
+  private def h264Pps(w: H264Bits, cabac: Boolean = false): Unit = {
+    w.ue(0); w.ue(0); w.u(if (cabac) 1 else 0, 1); w.u(0, 1); w.ue(0)
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+  }
+  private def h264IdrSlice(w: H264Bits, firstMb: Int, mbLuma: Seq[Array[Int]]): Unit = {
+    w.ue(firstMb); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    w.u(0, 1); w.u(0, 1); w.se(0)
+    for (luma <- mbLuma) {
+      w.ue(25); w.align()
+      luma.foreach(v => w.u(v, 8))
+      (0 until 128).foreach(_ => w.u(128, 8))
+    }
+  }
+
+  test("H.264 I_PCM elementary streams decode for real: SPS dims + exact luma") {
+    val out = new java.io.ByteArrayOutputStream()
+    h264Nal(out, 3, 7)(h264Sps(_, 2, 1)) // 32x16
+    h264Nal(out, 3, 8)(h264Pps(_))
+    // SEI with a planted 00 00 03 00 emulation sequence must be skipped
+    h264Nal(out, 0, 6)(w => Seq(0, 0, 0, 0x40).foreach(w.u(_, 8)))
+    val luma = Array.tabulate(2)(m => Array.tabulate(256)(k => 16 + (m * 31 + k) % 200))
+    h264Nal(out, 3, 5)(h264IdrSlice(_, 0, luma))
+    val r = Multimodal.decodeH264IPcm(out.toByteArray).get
+    assert(r.width == 32 && r.height == 16, r)
+    assert(r.nFrames == 1 && r.nMbs == 2, r)
+    val want = luma.flatten.map(_.toLong).sum.toDouble / 512.0
+    assert(math.abs(r.meanLuma - want) < 1e-12, (r.meanLuma, want))
+    assert(r.profileIdc == 66 && r.levelIdc == 30)
+
+    // multi-slice frame: two IDR slices, first_mb 0 and 2, still ONE frame
+    val out2 = new java.io.ByteArrayOutputStream()
+    h264Nal(out2, 3, 7)(h264Sps(_, 2, 2)) // 4 MBs
+    h264Nal(out2, 3, 8)(h264Pps(_))
+    val l2 = Array.tabulate(4)(m => Array.fill(256)(40 + m))
+    h264Nal(out2, 3, 5)(h264IdrSlice(_, 0, l2.take(2)))
+    h264Nal(out2, 3, 5)(h264IdrSlice(_, 2, l2.drop(2)))
+    val r2 = Multimodal.decodeH264IPcm(out2.toByteArray).get
+    assert(r2.nFrames == 1 && r2.nMbs == 4, r2)
+    assert(math.abs(r2.meanLuma - 41.5) < 1e-12, r2.meanLuma)
+
+    // out-of-subset shapes refuse (fall to the documented stub):
+    // CABAC PPS, truncated PCM payload, and garbage
+    val cab = new java.io.ByteArrayOutputStream()
+    h264Nal(cab, 3, 7)(h264Sps(_, 1, 1))
+    h264Nal(cab, 3, 8)(h264Pps(_, cabac = true))
+    h264Nal(cab, 3, 5)(h264IdrSlice(_, 0, Seq(Array.fill(256)(50))))
+    assert(Multimodal.decodeH264IPcm(cab.toByteArray).isEmpty)
+    val full = out.toByteArray
+    assert(Multimodal.decodeH264IPcm(full.take(full.length - 40)).isEmpty)
+    assert(Multimodal.decodeH264IPcm("not a video".getBytes).isEmpty)
+
+    // videoMeta picks up the real dims + frame count for h264 payloads
+    import spark.implicits._
+    val vm = Multimodal.videoMeta(
+      Seq(Multimodal.MediaRow(9L, full, "video", "h264")).toDS()).collect().head
+    assert(vm.width == 32 && vm.height == 16 && vm.total_frames == 1L, vm)
+  }
+
   test("WAV bitrate reflects the real sample width") {
     // 16-bit stereo 8000 Hz -> 8000*2*16/1000 = 256 kbps (was 2-4x
     // under-reported when 8 bits was assumed for every width)
