@@ -2095,6 +2095,113 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL Layer III SHORT-BLOCK + MS-STEREO decode under the oracle:
+    // every granule is window-switched (block_type 2) with per-window
+    // scalefactors and subblock gains, and the frame is MS joint
+    // stereo, so the decoder must reconstruct l/r = (m+-s)/sqrt2 from
+    // both channels' SIGNED spectra; DuckDB replays the planting
+    // formulas per spectral line (win = (line%12)/4, sfb = line/12 in
+    // the 48 kHz short-band layout)
+    "media_mp3_decode_l3s" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 2
+        val frames = 2 + (id % 2).toInt
+        val frameLen = 144 * 320 * 1000 / 48000 // 960, pad=0
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val buf = new Array[Byte](frameLen)
+          buf(0) = 0xFF.toByte
+          buf(1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+          buf(2) = ((14 << 4) | (1 << 2)).toByte // 320 kbps, 48000 Hz
+          buf(3) = ((1 << 6) | (2 << 4)).toByte  // joint stereo, MS only
+          var bit = 32
+          def w(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) {
+              if (((v >> r) & 1) == 1) buf(bit >> 3) =
+                (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+              bit += 1; r -= 1
+            }
+          }
+          def gg(gr: Int, c: Int) = 140 + ((id * 7 + f * 3 + gr * 13 + c * 29) % 64).toInt
+          def sfScale(gr: Int, c: Int) = ((id + gr + c) % 2).toInt
+          def sbg(gr: Int, c: Int, win: Int) = ((id + gr * 2 + c * 3 + win * 5) % 3).toInt
+          def nQuads(gr: Int, c: Int) = ((id + f + gr + c) % 3).toInt
+          def rawPair(gr: Int, c: Int, p: Int) =
+            id * 31 + f * 29 + gr * 17 + p * 13 + c * 19
+          def rawQuad(gr: Int, c: Int, q: Int) =
+            id * 37 + f * 41 + gr * 43 + q * 53 + c * 47
+          def huffBits(gr: Int, c: Int): Int = {
+            var n = 0
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, c, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              n += (if (x == 0 && y == 0) 1
+                    else if (x == 1 && y == 0) 3
+                    else if (x == 0 && y == 1) 4 else 5)
+            }
+            for (q <- 0 until nQuads(gr, c)) {
+              val raw = rawQuad(gr, c, q)
+              n += 4 + Integer.bitCount((raw % 16).toInt)
+            }
+            n
+          }
+          // side info: main_data_begin=0, private, scfsi=0, then per
+          // (granule, channel) the window-switching field chain
+          w(0, 9); w(0, 3)
+          for (_ <- 0 until channels * 4) w(0, 1)
+          for (gr <- 0 until 2; c <- 0 until channels) {
+            // short scalefactors: 12 sfb x 3 windows x 2 bits
+            w(72 + huffBits(gr, c), 12) // part2_3_length
+            w(18, 9)                    // big_values (pairs)
+            w(gg(gr, c), 8)
+            w(9, 4)                     // scalefac_compress -> slen (2,2)
+            w(1, 1)                     // window_switching_flag
+            w(2, 2)                     // block_type: short
+            w(0, 1)                     // mixed_block_flag
+            w(1, 5); w(1, 5)            // table_select x2: Huffman table 1
+            for (win <- 0 until 3) w(sbg(gr, c, win), 3)
+            w(0, 1)                     // preflag
+            w(sfScale(gr, c), 1)
+            w(1, 1)                     // count1 table B
+          }
+          // main data: per (granule, channel): short scalefactors
+          // (sfb-major, window-minor — the decoder's read order) then codes
+          for (gr <- 0 until 2; c <- 0 until channels) {
+            for (sb <- 0 until 12; win <- 0 until 3)
+              w(((id * 3 + gr * 5 + c * 7 + win * 11 + sb * 13) % 4).toInt, 2)
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, c, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              if (x == 0 && y == 0) w(1, 1)
+              else if (x == 1 && y == 0) { w(1, 2); w(((raw >> 2) % 2).toInt, 1) }
+              else if (x == 0 && y == 1) { w(1, 3); w(((raw >> 3) % 2).toInt, 1) }
+              else { w(0, 3); w(((raw >> 2) % 2).toInt, 1); w(((raw >> 3) % 2).toInt, 1) }
+            }
+            for (q <- 0 until nQuads(gr, c)) {
+              val raw = rawQuad(gr, c, q)
+              val quad = (raw % 16).toInt
+              w(quad ^ 0xF, 4) // table B codeword = one's complement
+              var k = 3
+              while (k >= 0) {
+                if (((quad >> k) & 1) == 1) w(((raw >> (4 + k)) % 2).toInt, 1)
+                k -= 1
+              }
+            }
+          }
+          out.write(buf)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL H.264 I_PCM decode under the oracle: per doc a spec-valid
     // Annex-B stream (SPS + PPS + one IDR slice per frame, every
     // macroblock I_PCM with formula-planted luma) written through a
@@ -3544,6 +3651,68 @@ object SparkEntry {
       "round(frames * 24.0, 6) AS duration_ms, " +
       "round(sum(v) / (1152*ch*frames) / 2.0, 6) AS mean_level " +
       "FROM lvl GROUP BY doc_id, ch, frames"),
+    // Layer III short-block + MS-stereo replay: per spectral line the
+    // SIGNED per-channel values are rebuilt from the planting
+    // formulas (win = (line%12)//4, sfb = line//12 in the 48 kHz
+    // short layout, subblock gain 2^(-2*sbg), no pretab) and the MS
+    // reconstruction sums (|m+s| + |m-s|)/sqrt2
+    "media_mp3_decode_l3s" -> ("WITH d AS (SELECT doc_id, " +
+      "2 + doc_id % 2 AS frames FROM documents), " +
+      "bv AS (SELECT d.doc_id, d.frames, f.range AS f, g.range AS g, " +
+      "p.range AS p, k.range AS k " +
+      "FROM d, range(0,3) f, range(0,2) g, range(0,18) p, range(0,2) k " +
+      "WHERE f.range < d.frames), " +
+      "bvv AS (SELECT doc_id, frames, f, g, 2*p + k AS line, " +
+      "CASE WHEN k = 0 THEN (doc_id*31 + f*29 + g*17 + p*13) % 2 " +
+      "ELSE ((doc_id*31 + f*29 + g*17 + p*13) // 2) % 2 END AS m0, " +
+      "CASE WHEN k = 0 THEN (doc_id*31 + f*29 + g*17 + p*13 + 19) % 2 " +
+      "ELSE ((doc_id*31 + f*29 + g*17 + p*13 + 19) // 2) % 2 END AS m1, " +
+      "CASE WHEN k = 0 THEN ((doc_id*31 + f*29 + g*17 + p*13) // 4) % 2 " +
+      "ELSE ((doc_id*31 + f*29 + g*17 + p*13) // 8) % 2 END AS sg0, " +
+      "CASE WHEN k = 0 THEN ((doc_id*31 + f*29 + g*17 + p*13 + 19) // 4) % 2 " +
+      "ELSE ((doc_id*31 + f*29 + g*17 + p*13 + 19) // 8) % 2 END AS sg1 " +
+      "FROM bv), " +
+      "cq AS (SELECT d.doc_id, d.frames, f.range AS f, g.range AS g, " +
+      "qq.range AS q, j.range AS j " +
+      "FROM d, range(0,3) f, range(0,2) g, range(0,2) qq, range(0,4) j " +
+      "WHERE f.range < d.frames AND qq.range < greatest(" +
+      "(d.doc_id + f.range + g.range) % 3, " +
+      "(d.doc_id + f.range + g.range + 1) % 3)), " +
+      "cqv AS (SELECT doc_id, frames, f, g, 36 + 4*q + j AS line, " +
+      "CASE WHEN q < (doc_id + f + g) % 3 THEN ((doc_id*37 + f*41 + g*43 + q*53) // " +
+      "(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 " +
+      "ELSE 0 END AS m0, " +
+      "CASE WHEN q < (doc_id + f + g + 1) % 3 THEN " +
+      "((doc_id*37 + f*41 + g*43 + q*53 + 47) // " +
+      "(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 " +
+      "ELSE 0 END AS m1, " +
+      "CASE WHEN q < (doc_id + f + g) % 3 THEN ((doc_id*37 + f*41 + g*43 + q*53) // " +
+      "(CASE j WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32 ELSE 16 END)) % 2 " +
+      "ELSE 0 END AS sg0, " +
+      "CASE WHEN q < (doc_id + f + g + 1) % 3 THEN " +
+      "((doc_id*37 + f*41 + g*43 + q*53 + 47) // " +
+      "(CASE j WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32 ELSE 16 END)) % 2 " +
+      "ELSE 0 END AS sg1 " +
+      "FROM cq), " +
+      "allv AS (SELECT * FROM bvv UNION ALL SELECT * FROM cqv), " +
+      "lvl AS (SELECT doc_id, frames, " +
+      "(1 - 2*sg0) * m0 * pow(2.0, " +
+      "(140 + ((doc_id*7 + f*3 + g*13) % 64) - 210) / 4.0 " +
+      "- 2.0 * ((doc_id + g*2 + ((line % 12) // 4) * 5) % 3) " +
+      "- (((doc_id + g) % 2) + 1) * 0.5 * " +
+      "((doc_id*3 + g*5 + ((line % 12) // 4) * 11 + (line // 12) * 13) % 4)) AS v0, " +
+      "(1 - 2*sg1) * m1 * pow(2.0, " +
+      "(140 + ((doc_id*7 + f*3 + g*13 + 29) % 64) - 210) / 4.0 " +
+      "- 2.0 * ((doc_id + g*2 + 3 + ((line % 12) // 4) * 5) % 3) " +
+      "- (((doc_id + g + 1) % 2) + 1) * 0.5 * " +
+      "((doc_id*3 + g*5 + 7 + ((line % 12) // 4) * 11 + (line // 12) * 13) % 4)) AS v1 " +
+      "FROM allv) " +
+      "SELECT doc_id, CAST(2 AS INT) AS channels, 48000 AS sample_rate, " +
+      "CAST(1152*2*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 24.0, 6) AS duration_ms, " +
+      "round(sum((abs(v0 + v1) + abs(v0 - v1)) / sqrt(2.0)) " +
+      "/ (1152*2*frames) / 2.0, 6) AS mean_level " +
+      "FROM lvl GROUP BY doc_id, frames"),
     // H.264 SPS dims and the I_PCM luma mean recomputed from the
     // planting formulas (256 raw luma samples per macroblock)
     "media_h264_decode" -> ("WITH d AS (SELECT doc_id, " +

@@ -295,8 +295,8 @@ object Curation {
     * output provably equals [[contamination]] row for row; the
     * verification stage exists to kill the false positives.
     *
-    * Scale shape: at 1B benchmark grams and fpp=0.01 the bloom is
-    * ~1.2 GB — an order of magnitude under the exact hash set the
+    * Scale shape: at 100M benchmark grams and the 1e-6 default fpp
+    * the bloom is ~420 MB — well under the exact hash set the
     * broadcast join in [[contamination]] would ship — and the corpus
     * side does zero data movement. Flagged docs carry their gram
     * arrays FORWARD into verification (no second corpus scan); the
@@ -304,11 +304,17 @@ object Curation {
     * side is measured smaller at runtime. Probe/flag volumes surface
     * as Stats counters `decontam.bloom_docs_probed` / `_flagged`.
     *
+    * fpp is PER GRAM; a clean doc with G grams is flagged with
+    * probability ~G*fpp, so the default is 1e-6, not the textbook
+    * 0.01 — measured on the 10x rehearsal corpus (~200 grams/doc),
+    * fpp=0.01 flagged 58% of the corpus into verification while 1e-6
+    * flags the true hits plus noise, at only ~3.5x the bloom bits.
+    *
     * `expectedGrams` sizes the bloom; when < 0 it is counted with one
     * pass over the (small) benchmark side. */
   def bloomContamination(corpus: DataFrame, corpusId: String, corpusText: String,
       benchmark: DataFrame, benchmarkText: String, n: Int = 8,
-      fpp: Double = 0.01, expectedGrams: Long = -1L): DataFrame = {
+      fpp: Double = 1e-6, expectedGrams: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
     val benchGrams = benchmark
       .select(explode(gramHashes(col(benchmarkText), n)).as("g"))

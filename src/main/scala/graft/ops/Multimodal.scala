@@ -830,6 +830,13 @@ object Multimodal {
     32000 -> Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
       126, 156, 194, 240, 296, 364, 448, 550, 576))
 
+  /** Short-block scalefactor band boundaries (12 bands + end, per
+    * window) per MPEG-1 sampling rate — Table B.8. */
+  private val L3SfbShort: Map[Int, Array[Int]] = Map(
+    44100 -> Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000 -> Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000 -> Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
+
   /** scalefac_compress -> (slen1 for sfb 0-10, slen2 for sfb 11-20). */
   private val L3Slen: Array[(Int, Int)] = Array(
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
@@ -857,15 +864,23 @@ object Multimodal {
     * Annex-B constant block this codebase deliberately doesn't
     * retype. mean_level = mean |xr| / 2.
     *
+    * Window switching decodes for real: short blocks (block_type 2,
+    * non-mixed — per-window scalefactors, subblock gains, the
+    * window-interleaved band order of Table B.8) and the long
+    * start/stop types (1, 3 — spectrally identical to normal long
+    * blocks), with the implicit region bounds of §2.4.2.7. MS joint
+    * stereo decodes for real too (mode_extension bit 1: l/r
+    * reconstructed as (m±s)/sqrt2 from both channels' signed
+    * spectra).
+    *
     * Spec-table subset, documented: Huffman pair tables 0 (all-zero)
     * and 1, and count1 table B (4-bit one's-complement codes) are
     * implemented; frames selecting the larger tabulated pair tables
-    * (2-31), count1 table A, short/mixed blocks
-    * (window_switching_flag=1), intensity/MS joint stereo, or
-    * MPEG-2/2.5 LSF return None and fall through to the container
-    * metadata path — same partial-by-documentation contract as the
-    * WebP-class codec filters in the reference
-    * (tiledb/filter.py:690). */
+    * (2-31), count1 table A, mixed blocks, intensity stereo
+    * (mode_extension bit 0), or MPEG-2/2.5 LSF return None and fall
+    * through to the container metadata path — same
+    * partial-by-documentation contract as the WebP-class codec
+    * filters in the reference (tiledb/filter.py:690). */
   private[graft] def decodeMp3Layer3(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
     if (bytes.length < 4) return None
     var off = 0
@@ -894,8 +909,13 @@ object Multimodal {
           val srI = (bytes(i + 2) >> 2) & 0x3
           val pad = (bytes(i + 2) >> 1) & 0x1
           val mode = (bytes(i + 3) >> 6) & 0x3
-          if (ver != 3 || lay != 1 || brI == 0 || brI == 15 || srI == 3 || mode == 1)
+          val modeExt = (bytes(i + 3) >> 4) & 0x3
+          // joint stereo: MS (mode_extension bit 1 alone) decodes for
+          // real; intensity positioning stays out of the subset
+          if (ver != 3 || lay != 1 || brI == 0 || brI == 15 || srI == 3 ||
+              (mode == 1 && modeExt != 2))
             return None
+          val msStereo = mode == 1 && modeExt == 2
           val kbps = Mp3BitratesV1(brI)
           val rate = Array(44100, 48000, 32000)(srI)
           val channels = if (mode == 3) 1 else 2
@@ -921,7 +941,8 @@ object Multimodal {
           for (c <- 0 until channels; b <- 0 until 4) scfsi(c)(b) = sbits(1)
           case class Gr(part23: Int, bigValues: Int, globalGain: Int,
               sfCompress: Int, tables: Array[Int], region0: Int, region1: Int,
-              preflag: Int, sfScale: Int, count1Table: Int)
+              preflag: Int, sfScale: Int, count1Table: Int,
+              blockType: Int, sbg: Array[Int])
           val grs = Array.ofDim[Gr](2, channels)
           for (g <- 0 until 2; c <- 0 until channels) {
             val part23 = sbits(12)
@@ -929,15 +950,35 @@ object Multimodal {
             val globalGain = sbits(8)
             val sfCompress = sbits(4)
             val winSwitch = sbits(1)
-            if (winSwitch != 0) return None // short/mixed blocks: not implemented
-            val tables = Array(sbits(5), sbits(5), sbits(5))
-            val region0 = sbits(4)
-            val region1 = sbits(3)
-            val preflag = sbits(1)
-            val sfScale = sbits(1)
-            val count1Table = sbits(1)
-            grs(g)(c) = Gr(part23, bigValues, globalGain, sfCompress,
-              tables, region0, region1, preflag, sfScale, count1Table)
+            if (winSwitch != 0) {
+              // window switching (§2.4.1.7): block_type + mixed flag,
+              // TWO table selects, 3 subblock gains; region counts are
+              // implicit (region0 = 8 short / 7 start-stop, region2
+              // empty). Short NON-mixed blocks and the long start/stop
+              // types (1, 3 — same spectral decode as normal long,
+              // only the IMDCT window differs) are in the subset;
+              // mixed blocks stay out.
+              val blockType = sbits(2)
+              val mixed = sbits(1)
+              val tables = Array(sbits(5), sbits(5), 0)
+              val sbg = Array(sbits(3), sbits(3), sbits(3))
+              if (blockType == 0 || mixed == 1) return None
+              val preflag = sbits(1)
+              val sfScale = sbits(1)
+              val count1Table = sbits(1)
+              grs(g)(c) = Gr(part23, bigValues, globalGain, sfCompress,
+                tables, if (blockType == 2) 8 else 7, 20,
+                preflag, sfScale, count1Table, blockType, sbg)
+            } else {
+              val tables = Array(sbits(5), sbits(5), sbits(5))
+              val region0 = sbits(4)
+              val region1 = sbits(3)
+              val preflag = sbits(1)
+              val sfScale = sbits(1)
+              val count1Table = sbits(1)
+              grs(g)(c) = Gr(part23, bigValues, globalGain, sfCompress,
+                tables, region0, region1, preflag, sfScale, count1Table, 0, null)
+            }
           }
           // ---- main data via the reservoir ----
           val mainStart = sideStart + sideLen
@@ -961,84 +1002,150 @@ object Multimodal {
           }
           // previous granule's scalefactors (for scfsi sharing)
           val sfPrev = Array.ofDim[Int](channels, 21)
-          for (g <- 0 until 2; c <- 0 until channels) {
-            val gr = grs(g)(c)
-            val grEnd = mPos + gr.part23
-            // scalefactors: sfb 0-10 slen1 bits, 11-20 slen2; scfsi
-            // band b shared => granule 1 reuses granule 0's values
-            val (slen1, slen2) = L3Slen(gr.sfCompress)
-            val sf = new Array[Int](21)
-            val bandOf = (s: Int) =>
-              if (s < 6) 0 else if (s < 11) 1 else if (s < 16) 2 else 3
-            var s = 0
-            while (s < 21) {
-              val slen = if (s < 11) slen1 else slen2
-              if (g == 1 && scfsi(c)(bandOf(s)) == 1) sf(s) = sfPrev(c)(s)
-              else sf(s) = if (slen == 0) 0 else mbits(slen)
-              s += 1
-            }
-            System.arraycopy(sf, 0, sfPrev(c), 0, 21)
-            // requantization constants (§2.4.3.4, long blocks)
-            val mult = (gr.sfScale + 1) * 0.5
-            val gain = (gr.globalGain - 210) / 4.0
-            def level(m: Int, line: Int): Double =
-              if (m == 0) 0.0
-              else {
-                var b = 0
-                while (sfb(b + 1) <= line) b += 1 // line < 576 always ends
-                val sfv = if (b < 21) sf(b) + gr.preflag * L3Pretab(b) else 0
-                math.pow(m, 4.0 / 3.0) * math.pow(2.0, gain - mult * sfv)
-              }
-            // Huffman big_values: region split only selects the table;
-            // pair tables 0 (zero table, zero bits) and 1 implemented
-            val r0End = sfb(math.min(gr.region0 + 1, 22))
-            val r1End = sfb(math.min(gr.region0 + 1 + gr.region1 + 1, 22))
-            var line = 0
-            val nBig = gr.bigValues * 2
-            if (nBig > 576) return None
-            while (line < nBig) {
-              val tbl =
-                if (line < r0End) gr.tables(0)
-                else if (line < r1End) gr.tables(1)
-                else gr.tables(2)
-              var x = 0; var y = 0
-              tbl match {
-                case 0 => // Table 0: no codewords, pair is (0,0)
-                case 1 =>
-                  // Table B.7/1: 1->(0,0), 01->(1,0), 001->(0,1), 000->(1,1)
-                  if (mbits(1) == 1) { x = 0; y = 0 }
-                  else if (mbits(1) == 1) { x = 1; y = 0 }
-                  else if (mbits(1) == 1) { x = 0; y = 1 }
-                  else { x = 1; y = 1 }
-                case _ => return None // larger tabulated tables: not implemented
-              }
-              if (x != 0) mbits(1) // sign (level uses |xr|)
-              if (y != 0) mbits(1)
-              sumAbs += level(x, line) + level(y, line + 1)
-              line += 2
-            }
-            // count1: quadruples until part2_3_length exhausts or the
-            // spectrum fills; table B = 4-bit one's-complement codes
-            while (mPos < grEnd && line + 4 <= 576) {
-              if (gr.count1Table != 1) return None // table A: not implemented
-              val qStart = mPos
-              val code = mbits(4) ^ 0xF
-              var k = 3
-              var ok = true
-              var contrib = 0.0
-              var l2 = line
-              while (k >= 0) {
-                val m = (code >> k) & 1
-                if (m != 0) {
-                  if (mPos + 1 > grEnd) ok = false else mbits(1) // sign
+          val sfbS = L3SfbShort(rate)
+          for (g <- 0 until 2) {
+            // MS recombination needs both channels' SIGNED spectra, so
+            // the granule decodes into per-channel line buffers and
+            // accumulates after the channel loop (line order — the
+            // same summation order as the pre-MS accumulation)
+            val xrs = Array.ofDim[Double](channels, 576)
+            for (c <- 0 until channels) {
+              val gr = grs(g)(c)
+              val xr = xrs(c)
+              val grEnd = mPos + gr.part23
+              val isShort = gr.blockType == 2
+              val (slen1, slen2) = L3Slen(gr.sfCompress)
+              val sf = new Array[Int](21)
+              val sfS = Array.ofDim[Int](3, 12)
+              if (isShort) {
+                // short: sfb 0-5 slen1 / 6-11 slen2, each x 3 windows;
+                // scalefactors always transmitted (no scfsi for short)
+                for (s <- 0 until 12; w <- 0 until 3) {
+                  val slen = if (s < 6) slen1 else slen2
+                  sfS(w)(s) = if (slen == 0) 0 else mbits(slen)
                 }
-                if (ok) contrib += level(m, l2)
-                l2 += 1; k -= 1
+              } else {
+                // long (incl. start/stop types 1 and 3): sfb 0-10
+                // slen1 bits, 11-20 slen2; scfsi band b shared =>
+                // granule 1 reuses granule 0's values
+                val bandOf = (s: Int) =>
+                  if (s < 6) 0 else if (s < 11) 1 else if (s < 16) 2 else 3
+                var s = 0
+                while (s < 21) {
+                  val slen = if (s < 11) slen1 else slen2
+                  if (g == 1 && scfsi(c)(bandOf(s)) == 1) sf(s) = sfPrev(c)(s)
+                  else sf(s) = if (slen == 0) 0 else mbits(slen)
+                  s += 1
+                }
+                System.arraycopy(sf, 0, sfPrev(c), 0, 21)
               }
-              if (!ok || mPos > grEnd) { mPos = qStart; line = 576 } // overrun: drop quad
-              else { sumAbs += contrib; line += 4 }
+              // requantization constants (§2.4.3.4); short windows add
+              // the subblock-gain shift 2^(-2*subblock_gain[w]) and
+              // take no pretab
+              val mult = (gr.sfScale + 1) * 0.5
+              val gain = (gr.globalGain - 210) / 4.0
+              def level(m: Int, line: Int): Double =
+                if (m == 0) 0.0
+                else if (isShort) {
+                  // bitstream order: per sfb the 3 windows' widths lie
+                  // consecutively, so window = offset / width
+                  var s = 0
+                  while (3 * sfbS(s + 1) <= line) s += 1
+                  val width = sfbS(s + 1) - sfbS(s)
+                  val w = (line - 3 * sfbS(s)) / width
+                  val sfv = if (s < 12) sfS(w)(s) else 0
+                  math.pow(m, 4.0 / 3.0) *
+                    math.pow(2.0, gain - 2.0 * gr.sbg(w) - mult * sfv)
+                } else {
+                  var b = 0
+                  while (sfb(b + 1) <= line) b += 1 // line < 576 always ends
+                  val sfv = if (b < 21) sf(b) + gr.preflag * L3Pretab(b) else 0
+                  math.pow(m, 4.0 / 3.0) * math.pow(2.0, gain - mult * sfv)
+                }
+              // Huffman big_values: region split only selects the
+              // table; pair tables 0 (zero table, zero bits) and 1
+              // implemented. Window-switched granules use the implicit
+              // region bounds (short: first 36 lines; start/stop:
+              // sfb 0-7; region2 empty in both)
+              val r0End =
+                if (isShort) 36
+                else if (gr.blockType != 0) sfb(8)
+                else sfb(math.min(gr.region0 + 1, 22))
+              val r1End =
+                if (gr.blockType != 0) 576
+                else sfb(math.min(gr.region0 + 1 + gr.region1 + 1, 22))
+              var line = 0
+              val nBig = gr.bigValues * 2
+              if (nBig > 576) return None
+              while (line < nBig) {
+                val tbl =
+                  if (line < r0End) gr.tables(0)
+                  else if (line < r1End) gr.tables(1)
+                  else gr.tables(2)
+                var x = 0; var y = 0
+                tbl match {
+                  case 0 => // Table 0: no codewords, pair is (0,0)
+                  case 1 =>
+                    // Table B.7/1: 1->(0,0), 01->(1,0), 001->(0,1), 000->(1,1)
+                    if (mbits(1) == 1) { x = 0; y = 0 }
+                    else if (mbits(1) == 1) { x = 1; y = 0 }
+                    else if (mbits(1) == 1) { x = 0; y = 1 }
+                    else { x = 1; y = 1 }
+                  case _ => return None // larger tabulated tables: not implemented
+                }
+                val sx = if (x != 0 && mbits(1) == 1) -1 else 1
+                val sy = if (y != 0 && mbits(1) == 1) -1 else 1
+                xr(line) = sx * level(x, line)
+                xr(line + 1) = sy * level(y, line + 1)
+                line += 2
+              }
+              // count1: quadruples until part2_3_length exhausts or the
+              // spectrum fills; table B = 4-bit one's-complement codes
+              while (mPos < grEnd && line + 4 <= 576) {
+                if (gr.count1Table != 1) return None // table A: not implemented
+                val qStart = mPos
+                val code = mbits(4) ^ 0xF
+                var k = 3
+                var ok = true
+                val quad = new Array[Double](4)
+                var l2 = line
+                while (k >= 0) {
+                  val m = (code >> k) & 1
+                  var sgn = 1
+                  if (m != 0) {
+                    if (mPos + 1 > grEnd) ok = false
+                    else if (mbits(1) == 1) sgn = -1
+                  }
+                  if (ok) quad(l2 - line) = sgn * level(m, l2)
+                  l2 += 1; k -= 1
+                }
+                if (!ok || mPos > grEnd) { mPos = qStart; line = 576 } // overrun: drop quad
+                else {
+                  var j = 0
+                  while (j < 4) { xr(line + j) = quad(j); j += 1 }
+                  line += 4
+                }
+              }
+              mPos = grEnd // skip any stuffing inside part2_3_length
             }
-            mPos = grEnd // skip any stuffing inside part2_3_length
+            // accumulate the granule: MS rebuilds L/R from mid/side
+            // (§2.4.3.4.9.1: l = (m+s)/sqrt2, r = (m-s)/sqrt2)
+            if (msStereo) {
+              var l = 0
+              while (l < 576) {
+                sumAbs += (math.abs(xrs(0)(l) + xrs(1)(l)) +
+                  math.abs(xrs(0)(l) - xrs(1)(l))) / math.sqrt(2.0)
+                l += 1
+              }
+            } else {
+              var c2 = 0
+              while (c2 < channels) {
+                val xrC = xrs(c2)
+                var l = 0
+                while (l < 576) { sumAbs += math.abs(xrC(l)); l += 1 }
+                c2 += 1
+              }
+            }
           }
           // trim + roll the reservoir (keep > 511 bytes of history)
           val keep = math.min(combined.length, 1024)

@@ -140,6 +140,18 @@ object ScaleRehearsal {
       results += "contamination" -> tContam
     }
 
+    if (runOp("bloom_contamination")) {
+      val bench = docs0.limit(200).select(col("doc_id").as("bench_id"),
+        col("text").as("snippet"))
+      val (nHits, tBloom) = time(
+        Curation.bloomContamination(docs, "doc_id", "text", bench, "snippet",
+          n = 8).count())
+      results += "bloom_contamination" -> tBloom
+      println(s"[rehearsal] bloom_contamination: $nHits contaminated docs, " +
+        s"flagged=${graft.core.Stats.counterValue("decontam.bloom_docs_flagged")} " +
+        s"of probed=${graft.core.Stats.counterValue("decontam.bloom_docs_probed")}")
+    }
+
     if (runOp("text_tokens_bpe")) {
       val (_, tBpe) = time(
         TextAnalysis.bpeTokenCounts(docs.select(col("doc_id"), col("text"))
