@@ -1517,6 +1517,47 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         Curation.cleanText(plantedDirtyDoc).as("clean_text"))
         .withColumn("n_chars", length(col("clean_text")))),
+    // mojibake repair under the oracle: per doc a suffix is planted in
+    // one of four corruption states — none (ASCII identity), Latin-1
+    // mojibake of "café" (Ã©-style junk), a DECOMPOSED form that only
+    // NFC fixes, and cp1252 mojibake of an em-dash (â€”-style junk,
+    // exercising the 0x80-0x9F window) — and the repair + NFC chain
+    // must reconstruct the clean composed text DuckDB builds with
+    // chr() literals
+    "mojibake_repair" -> ((s, d) => {
+      import s.implicits._
+      val planted = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].map { case (id, text) =>
+          def asLatin1(clean: String): String = {
+            // UTF-8 bytes of the clean string read as cp1252/latin1
+            val b = clean.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val sb = new StringBuilder
+            b.foreach { byte =>
+              val v = byte & 0xFF
+              // cp1252 view of the byte (the 0x80-0x9F specials)
+              val c = v match {
+                case 0x80 => 0x20AC
+                case 0x93 => 0x201C
+                case 0x94 => 0x201D
+                case 0x99 => 0x2122
+                case o => o
+              }
+              sb.append(c.toChar)
+            }
+            sb.toString
+          }
+          val suffix = (id % 4) match {
+            case 0 => ""
+            case 1 => " " + asLatin1("caf\u00e9")
+            case 2 => " e\u0301cole" // decomposed: only NFC composes it
+            case 3 => " a" + asLatin1("\u2014") + "b"
+          }
+          (id, text + suffix)
+        }.toDF("doc_id", "text")
+      planted.select(col("doc_id"),
+        Curation.cleanText(Curation.fixMojibake(col("text"))).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")))
+    }),
     // HTML-to-text extraction over planted markup: script/style
     // subtrees (script on even ids, carrying <, & and a fake </p >
     // that must NOT become a newline), comments on ids%3, &amp;-last
@@ -3313,6 +3354,16 @@ object SparkEntry {
     "text_clean" ->
       (s"WITH $cleanOracleCtes SELECT doc_id, clean_text, " +
         "CAST(length(clean_text) AS INT) AS n_chars FROM tc1"),
+    // the repair + NFC chain must land on the clean COMPOSED text:
+    // chr(233) = e-acute (composed), chr(8212) = em-dash; case 0 is
+    // the ASCII identity and case 2 is fixed by NFC alone
+    "mojibake_repair" -> ("WITH x AS (SELECT doc_id, text || " +
+      "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '' " +
+      "WHEN 1 THEN ' caf' || chr(233) " +
+      "WHEN 2 THEN ' ' || chr(233) || 'cole' " +
+      "ELSE ' a' || chr(8212) || 'b' END AS clean_text FROM documents) " +
+      "SELECT doc_id, clean_text, " +
+      "CAST(length(clean_text) AS INT) AS n_chars FROM x"),
     "markup_strip" ->
       (s"WITH $markupOracleCtes SELECT doc_id, clean_text, " +
         "CAST(length(clean_text) AS INT) AS n_chars FROM mh1"),

@@ -145,6 +145,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerCol("clean_text",
       "clean_text(text) - CRLF->LF, strip C0 controls and zero-width chars, NFC", 1)(
       cs => graft.ops.Curation.cleanText(cs.head))
+    registerCol("fix_mojibake",
+      "fix_mojibake(text) - repair UTF-8-as-Latin1/cp1252 double encoding (strict, conservative)", 1)(
+      cs => graft.ops.Curation.fixMojibake(cs.head))
     registerCol("strip_markup",
       "strip_markup(html) - HTML to text: drop script/style/comments/tags, decode entities", 1)(
       cs => graft.ops.Curation.stripMarkup(cs.head))

@@ -60,6 +60,13 @@ object Curation {
           ControlRe, ""),
         ZeroWidthRe, ""))
 
+  /** Mojibake repair (UTF-8 read as Latin-1/cp1252, the ftfy fix) —
+    * the stage BEFORE [[cleanText]]/NFC in a crawl pipeline: repair
+    * first, normalize after (NFC of mojibake garbage is still
+    * garbage). Conservative by construction — see
+    * [[graft.functions.FixMojibakeK]] for the three safety gates. */
+  def fixMojibake(text: Column): Column = graft.functions.FixMojibakeK(text)
+
   // --- HTML / markup stripping ---------------------------------------
   // The extraction stage UPSTREAM of every text op in a crawl pipeline
   // (C4/RefinedWeb/Dolma all start from an HTML-to-text pass): drop

@@ -65,6 +65,35 @@ class CurationSpec extends SparkSpec {
     assert(hits2 == Map(1L -> 3L, 5L -> 3L))
   }
 
+  test("fixMojibake repairs double-encoded text, leaves honest text alone") {
+    def mojibake(clean: String): String = {
+      // UTF-8 bytes viewed through cp1252 (the classic corruption)
+      val cp = Map(0x80 -> 0x20AC, 0x93 -> 0x201C, 0x94 -> 0x201D,
+        0x99 -> 0x2122, 0x91 -> 0x2018, 0x92 -> 0x2019)
+      clean.getBytes("UTF-8").map { b =>
+        cp.getOrElse(b & 0xFF, b & 0xFF).toChar
+      }.mkString
+    }
+    val clean = Seq(
+      "café résumé",          // latin-1 range
+      "a—b “quoted” ™",  // cp1252 window specials
+      "mixed ascii and ümläut")
+    val rows = clean.map(c => mojibake(c)) ++ Seq(
+      "plain ascii stays",
+      "déjà vu",          // REAL latin-1 prose: no lead bytes
+      "é",                     // lone e-acute: invalid UTF-8, kept
+      "Ελλάδα") // Greek: unmappable, kept
+    val out = rows.toDF("t")
+      .select(Curation.fixMojibake($"t").as("r")).as[String].collect().toSeq
+    assert(out.take(3) == clean, out.take(3))
+    assert(out.drop(3) == rows.drop(3), out.drop(3)) // untouched
+    // repair-then-clean composes with NFC (decomposed stays for NFC)
+    val chained = Seq(mojibake("\u00e9cole")).toDF("t")
+      .select(Curation.cleanText(Curation.fixMojibake($"t")).as("r"))
+      .as[String].collect().head
+    assert(chained == "\u00e9cole", chained) // composed by NFC
+  }
+
   test("bloomContamination equals the exact join, even at a loose fpp") {
     // a corpus big enough that a 50% fpp bloom WILL flag clean docs:
     // the verification join must kill every false positive

@@ -128,6 +128,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT strip_markup('<p>a &amp; b</p><script>x</script>') AS s, " +
         "word_entropy('a b a b') AS h").as[(String, Double)].head()
     assert(extra == (("a & b", 1.0)), extra.toString)
+    // mojibake repair via SQL: "caf" + A-tilde + copyright = the
+    // latin-1 view of UTF-8 e-acute; honest prose passes through
+    val moji = spark.sql(
+      "SELECT fix_mojibake('cafÃ©') AS a, " +
+        "fix_mojibake('plain') AS b").as[(String, String)].head()
+    assert(moji == (("café", "plain")), moji.toString)
   }
 
   test("SQL numeric-array coercion: decimal/int literals feed the float kernels") {
