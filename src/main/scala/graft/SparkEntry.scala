@@ -2537,6 +2537,38 @@ object SparkEntry {
         lit(math.abs(est - exact) <= width).as("p50_in_bound"))
     }),
 
+    // mergeable count-min sketch: fragment sketches must merge into
+    // EXACTLY the one-shot sketch of the whole table (cell for cell —
+    // counts add element-wise, the hash family is shared), each depth
+    // row's total mass is exactly the non-null row count, a second
+    // write pass is a no-op, and every probe estimate dominates its
+    // exact count (the deterministic CMS guarantee; the probabilistic
+    // upper bound is measured, not asserted)
+    "cms_gate" -> ((s, d) => {
+      val uri = ttLineitem(s, d)
+      graft.ops.Profile.writeFragmentCms(s, uri, "l_suppkey")
+      val second = graft.ops.Profile.writeFragmentCms(s, uri, "l_suppkey")
+      val merged = graft.ops.Profile.mergedCms(s, uri, "l_suppkey")
+      val oneShot = graft.ops.Profile.cmsCells(
+        t(s, d, "lineitem"), "l_suppkey", depth = 4, width = 4096)
+      val mergeExact = merged.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(merged).isEmpty
+      val massPerRow = merged.groupBy("d").agg(sum("cnt").as("m"))
+        .select(countDistinct(col("m")).as("k"), min(col("m")).as("m")).head()
+      val exact = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val est = graft.ops.Profile.cmsEstimates(s, uri, "l_suppkey",
+        exact.select(col("l_suppkey")), "l_suppkey")
+      val allGe = est.join(exact, est("value") === exact("l_suppkey"))
+        .filter(col("estimate") < col("true_cnt")).isEmpty
+      s.range(1).select(
+        lit(massPerRow.getLong(1)).as("n_rows"),
+        lit(massPerRow.getLong(0) == 1L).as("mass_uniform"),
+        lit(second == 0).as("incremental_ok"),
+        lit(mergeExact).as("merge_exact"),
+        lit(allGe).as("all_ge"))
+    }),
+
     // --- as-of join: each click matched to the user's most recent
     //     prior purchase (union+window composition, one shuffle) ---
     "asof_join" -> ((s, d) => {
@@ -3890,6 +3922,9 @@ object SparkEntry {
       "true AS incremental_ok, true AS ndv_ok FROM lineitem"),
     "hist_quantile_gate" -> ("SELECT count(l_quantity) AS n_rows, " +
       "true AS incremental_ok, true AS p50_in_bound FROM lineitem"),
+    "cms_gate" -> ("SELECT count(l_suppkey) AS n_rows, " +
+      "true AS mass_uniform, true AS incremental_ok, " +
+      "true AS merge_exact, true AS all_ge FROM lineitem"),
     "profile_topk" -> ("SELECT value, cnt, rank FROM (SELECT lang AS value, " +
       "CAST(count(*) AS BIGINT) AS cnt, row_number() OVER " +
       "(ORDER BY count(*) DESC, lang) AS rank FROM documents " +

@@ -219,6 +219,100 @@ object Profile {
     hi
   }
 
+  // ------------------------------------- incremental count-min sketches
+
+  /** Per-fragment COUNT-MIN sketches for a column — the mergeable
+    * point-frequency complement to [[frequentValues]] (exact top-k
+    * needs the raw data on every query; the CMS answers "how often
+    * does value v occur" from sketch files alone, for ANY v, after
+    * the fact). Each fragment contributes sparse rows
+    * (d, bucket, cnt) where bucket = xxhash64(value, d) mod width for
+    * d in [0, depth): a groupBy over at most depth x width cells, so
+    * the per-fragment pass is one map-side-combined aggregation and
+    * the sketch file is tiny regardless of fragment size. Counts add
+    * element-wise, so fragment sketches merge EXACTLY — the merged
+    * sketch equals a one-shot sketch of the whole table row for row
+    * (pinned by the `cms_gate` oracle), and merging reads only sketch
+    * files. Estimates are the classic CMS guarantee: est >= true
+    * always (deterministic), est <= true + e*N/width with probability
+    * 1 - e^-depth per probe.
+    *
+    * depth/width are pinned in a `_cms.json` sidecar on first write
+    * and re-checked on every incremental call — sketches built with
+    * different hash families would merge into garbage. Returns the
+    * number of fragments newly sketched (0 = everything current). */
+  def writeFragmentCms(spark: org.apache.spark.sql.SparkSession,
+      uri: String, colName: String, depth: Int = 4, width: Int = 4096): Int = {
+    require(depth >= 1 && depth <= 16 && width >= 16,
+      s"bad cms spec depth=$depth width=$width")
+    import graft.storage.ArrayTable
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val dir = s"$uri/__profile_cms/$colName"
+    val paramsPath = s"$dir/_cms.json"
+    if (fs.exists(paramsPath)) {
+      val o = parse(fs.readString(paramsPath)).obj
+      def i(k: String) = o(k).getOrElse(sys.error(s"cms params missing $k")).dbl.toInt
+      require(i("depth") == depth && i("width") == width,
+        s"cms params mismatch at $dir: stored ${i("depth")}x${i("width")}, " +
+          s"asked ${depth}x$width")
+    } else fs.writeString(paramsPath, render(JObj(Seq(
+      "depth" -> JLong(depth), "width" -> JLong(width)))))
+    val done = fs.ls(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
+    val todo = ArrayTable.fragments(spark, uri).filterNot(f => done(f.name))
+    todo.foreach { f =>
+      val df = spark.read.parquet(s"${f.path}/data")
+      cmsCells(df, colName, depth, width)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/${f.name}.parquet")
+    }
+    todo.size
+  }
+
+  /** The (d, bucket, cnt) cell rows of a one-shot CMS over `df` —
+    * also the per-fragment kernel of [[writeFragmentCms]], so a
+    * direct sketch of the full table compares row-for-row against the
+    * fragment merge. */
+  def cmsCells(df: DataFrame, colName: String, depth: Int, width: Int): DataFrame =
+    df.select(col(colName).as("__v")).filter(col("__v").isNotNull)
+      .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        d => pmod(xxhash64(col("__v"), d), lit(width.toLong)))))
+      .groupBy(col("pos").as("d"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merged (d, bucket, cnt) cells over the LIVE fragments — sketch
+    * files only, no data reads. */
+  def mergedCms(spark: org.apache.spark.sql.SparkSession,
+      uri: String, colName: String): DataFrame = {
+    import graft.storage.ArrayTable
+    val live = ArrayTable.fragments(spark, uri).map(_.name)
+    spark.read.parquet(
+        live.map(n => s"$uri/__profile_cms/$colName/$n.parquet"): _*)
+      .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point-frequency estimates for `probes` against a merged sketch:
+    * est(v) = min over d of cnt(d, bucket_d(v)). The probes re-derive
+    * their buckets with the SAME hash family (probe column type must
+    * match the sketched column — xxhash64 of a long and of its string
+    * form differ). Probe side is broadcast (a handful of values by
+    * construction); absent cells count 0 (value never seen). */
+  def cmsEstimates(spark: org.apache.spark.sql.SparkSession, uri: String,
+      colName: String, probes: DataFrame, probeCol: String): DataFrame = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val o = parse(fs.readString(s"$uri/__profile_cms/$colName/_cms.json")).obj
+    def i(k: String) = o(k).getOrElse(sys.error(s"cms params missing $k")).dbl.toInt
+    val (depth, width) = (i("depth"), i("width"))
+    val pb = probes.select(col(probeCol).as("value"))
+      .select(col("value"), posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        d => pmod(xxhash64(col("value"), d), lit(width.toLong)))))
+      .select(col("value"), col("pos").as("d"), col("col").as("bucket"))
+    broadcast(pb).join(mergedCms(spark, uri, colName), Seq("d", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("value").agg(min("cnt").as("estimate"))
+  }
+
   /** Merge the per-fragment sketches of the LIVE fragment set into one
     * profile row per column: exact n/nulls/min/max/sum plus the HLL
     * union's distinct estimate. Reads sketch files only — no data. */

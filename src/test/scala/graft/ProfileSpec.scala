@@ -127,4 +127,39 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(hist2(nb - 1) == 26L && hist2.values.sum == 1001L)
   }
+
+  test("count-min sketch: exact merges, domination, pinned params, point probes") {
+    val uri = TestSession.tmpDir("profile-cms")
+    // skewed counts: value i appears i+1 times, split across fragments
+    val all = (0 until 50).flatMap(i => Seq.fill(i + 1)(i.toLong))
+      .zipWithIndex.map { case (v, j) => (j.toLong, v) }
+    val df = all.toDF("id", "v")
+    ArrayTable.ingest(spark, df.filter($"id" % 2 === 0), uri, Seq("id"),
+      tsOpt = Some(1000L), overwrite = true)
+    ArrayTable.ingest(spark, df.filter($"id" % 2 =!= 0), uri, Seq("id"),
+      tsOpt = Some(2000L))
+    assert(Profile.writeFragmentCms(spark, uri, "v", depth = 4, width = 1024) == 2)
+    assert(Profile.writeFragmentCms(spark, uri, "v", depth = 4, width = 1024) == 0,
+      "second pass must be a no-op")
+    intercept[IllegalArgumentException](
+      Profile.writeFragmentCms(spark, uri, "v", depth = 4, width = 512))
+    // fragment merge == one-shot sketch of the whole data, cell for cell
+    val merged = Profile.mergedCms(spark, uri, "v")
+    val oneShot = Profile.cmsCells(df, "v", depth = 4, width = 1024)
+    assert(merged.exceptAll(oneShot).isEmpty && oneShot.exceptAll(merged).isEmpty)
+    // every depth row carries the full mass
+    val mass = merged.groupBy("d").agg(sum("cnt").as("m"))
+      .select($"m").as[Long].collect().toSeq
+    assert(mass == Seq.fill(4)(all.size.toLong), mass)
+    // probes: est >= true for every present value; 50 values in 1024
+    // buckets x 4 rows make an overestimate vanishingly unlikely, and
+    // a value never seen estimates 0 unless all 4 buckets collide
+    val probes = (0 until 50).map(_.toLong).toDF("v")
+    val est = Profile.cmsEstimates(spark, uri, "v", probes, "v")
+      .as[(Long, Long)].collect().toMap
+    (0 until 50).foreach(i => assert(est(i.toLong) >= i + 1L, s"v=$i"))
+    val ghost = Profile.cmsEstimates(spark, uri, "v",
+      Seq(777L).toDF("v"), "v").as[(Long, Long)].collect().head
+    assert(ghost._2 <= all.size, "ghost estimate is still bounded by mass")
+  }
 }
