@@ -2435,6 +2435,11 @@ object SparkEntry {
           .as("train_all_packed"),
         lit(overBudget == 0L).as("packs_well_formed"))
     }),
+    // weighted sampling without replacement (Efraimidis-Spirakis):
+    // the 400 docs with the largest u^(1/n_chars); DuckDB replays the
+    // md5-uniform + pow key and ranks the same way
+    "weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(t(s, d, "documents"), "doc_id", "n_chars", k = 400)),
     // deterministic train/val/test assignment — per-row value-checked
     // (DuckDB recomputes the same md5 bucket per doc)
     "det_split" -> ((s, d) => t(s, d, "documents")
@@ -3534,6 +3539,14 @@ object SparkEntry {
     "det_sample" -> ("SELECT * FROM documents WHERE " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +
       "AS BIGINT) < CAST(floor(0.3 * 16777216) AS BIGINT)"),
+    // A-ES key replayed row by row: u = (md5-24bit + 0.5)/2^24,
+    // key = pow(u, 1/weight), top 400 by (key desc, doc_id)
+    "weighted_sample" -> ("SELECT doc_id, text, lang, source, n_chars FROM (" +
+      "SELECT *, row_number() OVER (ORDER BY pow(" +
+      "(CAST(concat('0x', substring(md5(concat('graft', " +
+      "CAST(doc_id AS VARCHAR))), 1, 6)) AS BIGINT) + 0.5) / 16777216.0, " +
+      "1.0 / n_chars) DESC, doc_id) AS rn FROM documents WHERE n_chars > 0) " +
+      "WHERE rn <= 400"),
     "stratified_sample" -> ("SELECT doc_id, text, lang, source, n_chars FROM (" +
       "SELECT *, row_number() OVER (PARTITION BY lang ORDER BY " +
       "CAST(concat('0x', substring(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 6)) " +

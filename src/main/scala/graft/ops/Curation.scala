@@ -506,6 +506,36 @@ object Curation {
       salt: String = "graft"): DataFrame =
     df.filter(sampleHash(col(idCol), fraction, salt))
 
+  /** Deterministic WEIGHTED sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): keep the k rows with the
+    * largest u^(1/w), where u is the same md5-24-bit uniform as
+    * [[sampleHash]] — P(row i in sample) is proportional-to-weight
+    * without replacement, and the decision is a pure function of
+    * (id, weight, salt): reproducible across partitioning, retries
+    * and engines (the DuckDB oracle replays the key formula row by
+    * row). The training-mixture use: sample documents proportional to
+    * token count / quality score without a shuffle-heavy stratify.
+    *
+    * Scale shape: key is one narrow expression; the rank is
+    * sort+limit, which Spark executes as TakeOrderedAndProject —
+    * per-partition bounded heaps of k rows merged on the driver, NO
+    * global sort, NO shuffle of the corpus. Rows with weight <= 0 or
+    * null are excluded (they carry no sampling mass). Ties (same key,
+    * possible only for duplicated ids) break by id. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))
+      .cast("binary")), 1, 6), 16, 10).cast("long")
+    // u in (0,1): +0.5 keeps 0 out so pow(u, 1/w) never collapses
+    val u = (h.cast("double") + lit(0.5)) / lit((1 << 24).toDouble)
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__wkey", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Deterministic train/val/test assignment: the md5-24-bit hash of
     * (salt || key) lands in one of the cumulative `weights` buckets.
     * Same reproducibility contract as [[sampleHash]] — a pure function

@@ -140,6 +140,40 @@ class CurationSpec extends SparkSpec {
     assert(Curation.deterministicSample(df, "id", 1.0).count() == 10000)
   }
 
+  test("weightedSample: A-ES keys, deterministic, weight-proportional, no global sort") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) 100.0 else 1.0))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", 200).select("id")
+      .as[Long].collect().toSet
+    // reproducible and partitioning-independent
+    val got2 = Curation.weightedSample(df.repartition(17), "id", "w", 200)
+      .select("id").as[Long].collect().toSet
+    assert(got == got2 && got.size == 200)
+    // heavy weights dominate: P(heavy beats light) >> 1/2 per pair
+    val heavy = got.count(_ % 2 == 0)
+    assert(heavy > 170, s"heavy=$heavy of 200")
+    // exact agreement with a driver-side replay of the key formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Double): Double = {
+      val hex = md.digest(s"graft$id".getBytes("UTF-8"))
+        .take(3).map(b => f"${b & 0xFF}%02x").mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.pow((h + 0.5) / (1 << 24).toDouble, 1.0 / w)
+    }
+    val want = (1L to 4000L).map(i => (i, key(i, if (i % 2 == 0) 100.0 else 1.0)))
+      .sortBy { case (id, k) => (-k, id) }.take(200).map(_._1).toSet
+    assert(got == want)
+    // zero/null weights carry no mass
+    val wz = df.withColumn("w", when($"id" <= 3999L, lit(0.0)).otherwise($"w"))
+    val onlyPos = Curation.weightedSample(wz, "id", "w", 10)
+      .select("id").as[Long].collect().toSeq
+    assert(onlyPos == Seq(4000L))
+    // rank executes as TakeOrderedAndProject (bounded heaps, no sort)
+    val plan = Curation.weightedSample(df, "id", "w", 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("mixtureSample: per-source fractions, default for the rest") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
     val out = Curation.mixtureSample(df, "source", "id",
