@@ -1638,6 +1638,23 @@ object SparkEntry {
           concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
       Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
     }),
+    // hybrid retrieval: RRF-fuse the BM25 lexical top-20 with the
+    // embedding-cosine top-20 (vec_id aligns with doc_id in the
+    // fixtures, so this is the real "text rank + vector rank" hybrid);
+    // DuckDB recomputes both rankings and the 1/(60+rank) fusion
+    "hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      val lex = Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
+        k = 20).select(col("query_id"), col("doc_id"), col("rank"))
+      val e = t(s, d, "embeddings")
+      val sem = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 40 === 0), "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(lex, sem), k = 10)
+    }),
     // conjunctive (AND) retrieval: only docs matching every
     // corpus-present query term rank; DuckDB replays the
     // matched-term-count filter
@@ -3471,6 +3488,28 @@ object SparkEntry {
     // AND mode: need = count of DISTINCT query terms present in the
     // corpus vocabulary; a pair survives iff its matched-term count
     // (one contribution per (doc, term)) equals it
+    // hybrid RRF: both rankings rebuilt (BM25 on rounded score, cosine
+    // on raw score — matching each source's own rank contract), fused
+    // by 1/(60+rank); sum of two exact divisions is order-exact
+    "hybrid_rrf" -> (s"WITH $bm25OracleCtes, " +
+      "lex AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM sc) WHERE rank <= 20), " +
+      "cvec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "qvec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+      "WHERE vec_id % 40 = 0), " +
+      "sem0 AS (SELECT qvec.vec_id AS query_id, cvec.vec_id AS doc_id, " +
+      "list_dot_product(qvec.v, cvec.v) / (sqrt(list_dot_product(qvec.v, qvec.v)) * " +
+      "sqrt(list_dot_product(cvec.v, cvec.v))) AS cosine FROM cvec, qvec), " +
+      "sem AS (SELECT query_id, doc_id, rank FROM (SELECT query_id, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, doc_id) AS rank FROM sem0) WHERE rank <= 20), " +
+      "u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem), " +
+      "f AS (SELECT query_id, doc_id, round(sum(1.0/(60 + rank)), 6) AS score " +
+      "FROM u GROUP BY query_id, doc_id) " +
+      "SELECT query_id, doc_id, score, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank " +
+      "FROM f QUALIFY rank <= 10"),
     "bm25_topk_and" -> (s"WITH $bm25OracleCtes, " +
       "need AS (SELECT qt.query_id, count(DISTINCT qt.w) AS nd FROM qt " +
       "JOIN dfc ON qt.w = dfc.w GROUP BY qt.query_id), " +

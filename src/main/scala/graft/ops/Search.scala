@@ -209,6 +209,32 @@ object Search {
     Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
   }
 
+  /** Reciprocal-rank fusion (the RRF hybrid-retrieval combiner):
+    * fused_score(q, d) = sum over input rankings of 1/(rrfK + rank),
+    * top-k per query by (rounded score desc, doc_id asc). The
+    * standard way to merge a lexical ([[bm25TopK]]) and a semantic
+    * (ANN cosine) ranking without score calibration — ranks, not raw
+    * scores, carry the signal, so the wildly different score scales
+    * never meet. rrfK = 60 is the published default.
+    *
+    * Scale shape: every input is already top-k-bounded PER QUERY, so
+    * the union + groupBy moves only queries x (sum of input k's) rows
+    * — a candidate-set shuffle, never a corpus shuffle — and the
+    * final rank rides the shared bounded-heap top-k. Inputs must
+    * carry (query_id, doc_id, rank); rename upstream columns to fuse
+    * heterogeneous id spaces deliberately, not accidentally. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val tagged = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("score"))
+    graft.ops.Similarity.topKPerKey(fused, "query_id", "doc_id", "score", k)
+  }
+
   /** Top-k TF-IDF keywords per document — the classic corpus-triage /
     * topic-labeling op (what "characterizes" each doc against the
     * corpus). score = tf * ln(N/df) with plain idf (df <= N keeps it

@@ -229,4 +229,23 @@ class SearchSpec extends SparkSpec {
       s"query side must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian products:\n$plan")
   }
+
+  test("rrfFuse: reciprocal-rank fusion semantics and tie-breaks") {
+    // ranking A: doc 1 first, doc 2 second; ranking B: doc 2 first,
+    // doc 3 second. Fused: doc2 = 1/62 + 1/61 tops doc1 = 1/61.
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1L), (0L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(fused.map(_._2) == Seq(2L, 1L, 3L), fused)
+    val s2 = BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(fused.head._3) == s2, fused.head)
+    // a doc present in only one ranking still scores; equal fused
+    // scores break by doc_id (docs 1 and 3 at rank 1 in one list each)
+    val c = Seq((0L, 3L, 1L)).toDF("query_id", "doc_id", "rank")
+    val tied = Search.rrfFuse(Seq(a.filter($"doc_id" === 1L), c), k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(tied.map(_._2) == Seq(1L, 3L), tied)
+    assert(tied.map(_._3).distinct.size == 1) // same score, id tie-break
+  }
 }
