@@ -519,6 +519,15 @@ object SparkEntry {
     "time_travel" -> ((s, d) =>
       ArrayTable.read(s, ttLineitem(s, d), at = Some((0L, 1500L)))),
     "delete_cond" -> ((s, d) => ArrayTable.read(s, delOrders(s, d))),
+    // CDC snapshot diff, append-only window: the manifest fast path
+    // (allowsDuplicates array — no shadowing possible) serves the diff
+    // from the delta fragment alone; DuckDB = the appended slice
+    "snapshot_diff" -> ((s, d) =>
+      ArrayTable.diff(s, ttLineitem(s, d), (0L, 1500L), (0L, 2500L))),
+    // CDC snapshot diff across an upsert: shadowed cells surface as
+    // their delete/insert pair (general two-snapshot anti-diff path)
+    "snapshot_diff_upsert" -> ((s, d) =>
+      ArrayTable.diff(s, upsertOrders(s, d), (0L, 1500L), (0L, 2500L))),
     "upsert_shadow" -> ((s, d) => ArrayTable.read(s, upsertOrders(s, d))),
     "array_roundtrip" -> ((s, d) =>
       // full write -> read fidelity through the fragment format
@@ -3198,6 +3207,20 @@ object SparkEntry {
       "CAST(max(l_extendedprice) AS DOUBLE) AS l_extendedprice_max, " +
       "count(*) AS l_extendedprice_count FROM lineitem WHERE l_quantity < 24.0"),
     "time_travel" -> s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut'",
+    "snapshot_diff" -> (s"SELECT *, 'insert' AS change_type FROM lineitem " +
+      s"WHERE l_shipdate >= TIMESTAMP '$shipCut'"),
+    // the %10 upsert rewrote o_totalprice to 0.0: each shadowed cell
+    // is a delete of the old row + an insert of the new one (rows
+    // whose price was already 0.0 would cancel; TPC-H has none, the
+    // <> guard keeps the oracle honest anyway)
+    "snapshot_diff_upsert" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "0.0 AS o_totalprice, o_orderdate, o_orderpriority, " +
+      "'insert' AS change_type FROM orders " +
+      "WHERE o_orderkey % 10 = 0 AND o_totalprice <> 0.0 " +
+      "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, " +
+      "o_totalprice, o_orderdate, o_orderpriority, " +
+      "'delete' AS change_type FROM orders " +
+      "WHERE o_orderkey % 10 = 0 AND o_totalprice <> 0.0"),
     "source_read" -> (s"SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '$shipCut' " +
       "AND l_quantity < 24.0"),
     "catalog_sql" -> ("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +

@@ -363,8 +363,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     }
+    case "cms" => new UnboundProcedure {
+      override def name(): String = "cms"
+      override def description(): String =
+        "incrementally count-min-sketch fragments not yet sketched " +
+          "(mergeable point-frequency cells under __profile_cms/)"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "cms"
+        override def description(): String = "incremental count-min sketches"
+        override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+          ProcedureParameter.in("column", StringType).build(),
+          ProcedureParameter.in("depth", LongType).build(),
+          ProcedureParameter.in("width", LongType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[
+            org.apache.spark.sql.connector.read.Scan] = {
+          val uri = tableUri(input.getString(0))
+          val written = graft.ops.Profile.writeFragmentCms(spark, uri,
+            input.getString(1).toString, input.getLong(2).toInt,
+            input.getLong(3).toInt)
+          val total = ArrayTable.fragments(spark, uri).size
+          val schema = new StructType()
+            .add("fragments", LongType).add("sketched_new", LongType)
+          java.util.Collections.singletonList(
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] =
+                Array(InternalRow(total.toLong, written.toLong))
+              override def readSchema(): StructType = schema
+              override def description(): String = "graft cms status"
+            }: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+    }
     case other => throw new RuntimeException(
       s"unknown graft procedure '$other' (have: consolidate, vacuum, " +
-        "upgrade_version, delete_fragments, profile, histogram)")
+        "upgrade_version, delete_fragments, profile, histogram, cms)")
   }
 }

@@ -551,6 +551,48 @@ object ArrayTable {
     resolveFragments(spark, uri, frags, dels, ranges, keepVersionCols)
   }
 
+  /** Row-level snapshot diff between two MVCC windows — the CDC-style
+    * "what changed between version t and t'" query: rows present at
+    * `newAt` but not at `oldAt` surface with change_type='insert', the
+    * reverse with 'delete'; an updated cell is its delete/insert pair.
+    * Both snapshots carry the ordinary [[read]] semantics (tombstones,
+    * truncation, shadowing, enum decode, schema alignment).
+    *
+    * Scale shape — the manifest fast path: when both windows share a
+    * start, the delta window (oldT1, newT1] introduces NO delete
+    * entries, no truncation exists, and no two fragments of the new
+    * window overlap on MBRs (shadowing provably impossible — the same
+    * manifest test the upsert read uses), the diff IS the delta
+    * fragments: ONE scan of exactly the appended data, the old
+    * snapshot never read. Time-window tombstones at or before oldT1
+    * cannot touch delta fragments (deletes mask only rows with
+    * ts <= delete ts), so they are equal in both snapshots and out of
+    * the diff by construction. Anything else (new tombstones,
+    * truncation, possible shadowing) falls back to the general
+    * two-snapshot multiset anti-diff (`exceptAll` both ways). */
+  def diff(spark: SparkSession, uri: String, oldAt: (Long, Long),
+      newAt: (Long, Long)): DataFrame = {
+    val (o0, o1) = oldAt
+    val (n0, n1) = newAt
+    require(o1 >= o0 && n1 >= n0, s"bad windows $oldAt / $newAt")
+    val delsAll = deletes(spark, uri)
+    val newFrags = fragments(spark, uri).filter(f => f.ts >= n0 && f.ts <= n1)
+    val deltaFrags = newFrags.filter(_.ts > o1)
+    val deltaDels = delsAll.exists(d => d.ts > o1 && d.ts >= n0 && d.ts <= n1)
+    val anyTrunc = delsAll.exists(_.truncate)
+    // allowsDuplicates arrays never shadow, so MBR overlap is irrelevant
+    val noShadow = schemaOf(spark, uri).allowsDuplicates || !anyOverlap(newFrags)
+    if (o0 == n0 && n1 >= o1 && !deltaDels && !anyTrunc && noShadow)
+      resolveFragments(spark, uri, deltaFrags, Nil)
+        .withColumn("change_type", lit("insert"))
+    else {
+      val o = read(spark, uri, at = Some(oldAt))
+      val n = read(spark, uri, at = Some(newAt))
+      n.exceptAll(o).withColumn("change_type", lit("insert"))
+        .unionByName(o.exceptAll(n).withColumn("change_type", lit("delete")))
+    }
+  }
+
   /** MVCC resolution over an explicit fragment subset (the read path,
     * and the unit of partial consolidation). */
   private def resolveFragments(spark: SparkSession, uri: String,

@@ -54,6 +54,39 @@ class ArrayTableSpec extends SparkSpec {
     assert(ArrayTable.read(spark, uri, at = Some((0L, 50L))).count() == 0)
   }
 
+  test("snapshot diff: fast append path, upsert pairs, tombstone deletes") {
+    val uri = freshUri("diff")
+    val mk = (lo: Long, hi: Long, v: Double) =>
+      (lo to hi).map(x => (x, 0, v, s"s$x")).toDF("x", "y", "v", "s")
+    // append-only, disjoint MBRs -> fast path: diff == delta fragment
+    ArrayTable.ingest(spark, mk(1, 10, 1.0), uri, dims, tsOpt = Some(100L),
+      overwrite = true)
+    ArrayTable.write(spark, mk(11, 20, 2.0), uri, Some(200L))
+    val d1 = ArrayTable.diff(spark, uri, (0L, 150L), (0L, 250L))
+    assert(d1.filter($"change_type" === "insert").count() == 10)
+    assert(d1.filter($"change_type" === "delete").count() == 0)
+    assert(d1.select(min($"x")).head().getLong(0) == 11L)
+    // the fast path never opens the old fragment's files
+    val scanned = d1.queryExecution.executedPlan.collectLeaves().mkString
+    val frag100 = ArrayTable.fragments(spark, uri).filter(_.ts == 100L)
+    assert(frag100.nonEmpty && !frag100.exists(f => scanned.contains(f.name)),
+      "old fragment must not be scanned on the append-only path")
+    // upsert (overlapping MBR): shadowed cells are delete/insert pairs
+    ArrayTable.write(spark, mk(1, 3, 9.0), uri, Some(300L))
+    val d2 = ArrayTable.diff(spark, uri, (0L, 250L), (0L, 350L))
+      .select($"x", $"v", $"change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(d2 == (1L to 3L).flatMap(x =>
+      Seq((x, 1.0, "delete"), (x, 9.0, "insert"))).toSet, d2)
+    // tombstone in the delta window: pure deletes
+    ArrayTable.delete(spark, uri, "x >= 18", tsOpt = Some(400L))
+    val d3 = ArrayTable.diff(spark, uri, (0L, 350L), (0L, 450L))
+      .select($"x", $"change_type").as[(Long, String)].collect().toSet
+    assert(d3 == (18L to 20L).map(x => (x, "delete")).toSet, d3)
+    // identical windows diff to nothing
+    assert(ArrayTable.diff(spark, uri, (0L, 450L), (0L, 450L)).count() == 0)
+  }
+
   test("shadowing: later fragment wins at same coordinates") {
     val uri = freshUri("shadow")
     ArrayTable.ingest(spark, sample, uri, dims, tsOpt = Some(100L), overwrite = true)

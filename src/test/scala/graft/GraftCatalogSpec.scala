@@ -385,6 +385,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(math.abs(est - 15.0) <= 10.0)
   }
 
+  test("CALL system.cms: incremental mergeable count-min sketches via SQL") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.cms")
+    spark.sql("CREATE TABLE g.cms.t (x BIGINT, v BIGINT) TBLPROPERTIES " +
+      "('dims'='x', 'allowsDuplicates'='true')")
+    spark.sql("INSERT INTO g.cms.t VALUES (1, 7), (2, 7)")
+    spark.sql("INSERT INTO g.cms.t VALUES (3, 7), (4, 9)")
+    def call() = {
+      val r = spark.sql("CALL g.system.cms('cms.t', 'v', 4L, 256L)").collect()(0)
+      (r.getLong(0), r.getLong(1)) // (fragments, sketched_new)
+    }
+    assert(call() == ((2L, 2L)))
+    assert(call() == ((2L, 0L)), "second call is a no-op")
+    val est = graft.ops.Profile.cmsEstimates(spark, s"$root/cms/t", "v",
+      Seq(7L, 9L, 11L).toDF("v"), "v")
+      .as[(Long, Long)].collect().toMap
+    assert(est(7L) >= 3L && est(9L) >= 1L, est)
+    assert(est(7L) + est(9L) + est(11L) <= 8L, est) // mass-bounded
+  }
+
   test("DELETE keeps NULL-predicate rows; NOT IN with NULL never mass-deletes") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.nul")
