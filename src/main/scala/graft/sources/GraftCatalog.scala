@@ -363,6 +363,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     }
+    case "history" => new UnboundProcedure {
+      override def name(): String = "history"
+      override def description(): String =
+        "MVCC event log: one row per fragment write / delete / " +
+          "truncation, in (ts, seq) order — metadata only, no data read"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = "history"
+        override def description(): String = "array MVCC history"
+        override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[
+            org.apache.spark.sql.connector.read.Scan] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val uri = tableUri(input.getString(0))
+          val writes = ArrayTable.fragments(spark, uri).map(f =>
+            (f.ts, f.seq, InternalRow(UTF8String.fromString("write"), f.ts,
+              f.seq, f.cellCount, UTF8String.fromString(f.name))))
+          val dels = ArrayTable.deletes(spark, uri).map(d =>
+            (d.ts, d.seq, InternalRow(
+              UTF8String.fromString(if (d.truncate) "truncate" else "delete"),
+              d.ts, d.seq, 0L, UTF8String.fromString(d.cond))))
+          val events = (writes ++ dels).sortBy(e => (e._1, e._2)).map(_._3)
+          val schema = new StructType()
+            .add("kind", StringType).add("ts", LongType).add("seq", LongType)
+            .add("rows", LongType).add("detail", StringType)
+          java.util.Collections.singletonList(
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def rows(): Array[InternalRow] = events.toArray
+              override def readSchema(): StructType = schema
+              override def description(): String = "graft history"
+            }: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+    }
     case "cms" => new UnboundProcedure {
       override def name(): String = "cms"
       override def description(): String =
@@ -397,6 +431,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     case other => throw new RuntimeException(
       s"unknown graft procedure '$other' (have: consolidate, vacuum, " +
-        "upgrade_version, delete_fragments, profile, histogram, cms)")
+        "upgrade_version, delete_fragments, profile, histogram, cms, history)")
   }
 }

@@ -170,7 +170,9 @@ object ArrayTable {
     val name = f"f_$ts%013d_$seq%05d_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val fragDir = s"$uri/__fragments/$name"
-    laidOut.write.mode("overwrite").parquet(s"$fragDir/data")
+    laidOut.write.mode("overwrite")
+      .options(Filters.writeOptions(schema.attrs.map(a => a.name -> a.filters)))
+      .parquet(s"$fragDir/data")
     // manifest stats from parquet FOOTERS (pure metadata — writing a
     // fragment never re-scans its own data); scan fallback for dim
     // types without usable footer statistics

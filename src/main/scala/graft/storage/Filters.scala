@@ -38,10 +38,27 @@ object Filters {
   def floatScaleDecode(c: Column, factor: Double, offset: Double): Column =
     c.cast("double") * lit(factor) + lit(offset)
 
+  /** Parquet WRITE options derived from the attribute filter
+    * pipelines: file-level compression from the first codec filter,
+    * and per-column parquet BLOOM FILTERS for attrs carrying the
+    * "bloom" filter (beyond the reference — the 100 TB point-lookup
+    * accelerator: an equality predicate pushed into parquet skips
+    * every row group whose bloom excludes the value, so a needle
+    * query on a petabyte array touches only the row groups that can
+    * match). Takes (columnName, pipeline) pairs so enum attrs pass
+    * their storage (code-column) name. */
+  def writeOptions(cols: Seq[(String, Seq[String])]): Map[String, String] = {
+    val codec = compressionCodec(cols.flatMap(_._2)).map("compression" -> _)
+    val blooms = cols.collect { case (n, fs) if fs.contains("bloom") =>
+      s"parquet.bloom.filter.enabled#$n" -> "true"
+    }
+    (codec.toSeq ++ blooms).toMap
+  }
+
   /** names we accept into schema filter pipelines (everything else is
     * rejected at schema build, mirroring the reference's enum) */
   val known: Set[String] = Set("gzip", "zstd", "lz4", "bzip2", "rle",
     "dictionary", "delta", "double-delta", "bit-shuffle", "byte-shuffle",
     "bit-width-reduction", "positive-delta", "xor", "checksum-md5",
-    "checksum-sha256", "float-scale", "noop")
+    "checksum-sha256", "float-scale", "noop", "bloom")
 }

@@ -405,6 +405,24 @@ class GraftCatalogSpec extends SparkSpec {
     assert(est(7L) + est(9L) + est(11L) <= 8L, est) // mass-bounded
   }
 
+  test("CALL system.history: MVCC event log in (ts, seq) order, metadata only") {
+    root
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.hst")
+    spark.sql("CREATE TABLE g.hst.t (x BIGINT, v DOUBLE) TBLPROPERTIES ('dims'='x')")
+    spark.sql("INSERT INTO g.hst.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO g.hst.t VALUES (3, 3.0)")
+    spark.sql("DELETE FROM g.hst.t WHERE v >= 3.0")
+    val h = spark.sql("CALL g.system.history('hst.t')")
+      .select($"kind", $"rows").as[(String, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq("write", "write", "delete"), h)
+    assert(h.map(_._2) == Seq(2L, 1L, 0L), h)
+    // a truncation (bare DELETE) shows up as its own event kind
+    spark.sql("DELETE FROM g.hst.t")
+    val kinds = spark.sql("CALL g.system.history('hst.t')")
+      .select($"kind").as[String].collect().toSeq
+    assert(kinds.count(_ == "truncate") == 1, kinds)
+  }
+
   test("DELETE keeps NULL-predicate rows; NOT IN with NULL never mass-deletes") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.nul")

@@ -99,6 +99,39 @@ class StorageExtrasSpec extends SparkSpec {
       .count() == 4 * 32)
   }
 
+  test("bloom filter pipeline lands in the parquet footer; codec applies") {
+    val uri = TestSession.tmpDir("bloomfrag")
+    val schema = ArraySchema(
+      dims = Seq(Dim("x", "int64")),
+      attrs = Seq(
+        Attr("v", "int64", filters = Seq("zstd", "bloom")),
+        Attr("s", "utf8", isVar = true)))
+    ArrayTable.create(spark, uri, schema)
+    val df = (1L to 2000L).map(i => (i, i * 7L, s"s$i")).toDF("x", "v", "s")
+    ArrayTable.write(spark, df, uri, Some(100L))
+    // open the written fragment file with parquet-mr and inspect
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(
+      ArrayTable.fragments(spark, uri).head.path + "/data")
+    val file = dataDir.getFileSystem(conf).listStatus(dataDir)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val cols = rg.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+      assert(cols("v").getCodec.toString.toLowerCase.contains("zstd"), cols("v").getCodec)
+      val bloomReader = reader.getBloomFilterDataReader(rg)
+      assert(bloomReader.readBloomFilter(cols("v")) != null,
+        "bloom filter missing for attr with 'bloom' in its pipeline")
+      assert(bloomReader.readBloomFilter(cols("s")) == null,
+        "no bloom expected for attrs without the filter")
+    } finally reader.close()
+    // round-trip unaffected
+    assert(ArrayTable.read(spark, uri).count() == 2000L)
+  }
+
   test("stats listener collects and dumps") {
     Stats.enable(spark)
     Stats.reset()
