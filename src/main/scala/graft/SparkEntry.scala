@@ -2619,6 +2619,18 @@ object SparkEntry {
       graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
         rightPrefix = "p_", inner = false)
     }),
+    // forward direction: earliest purchase AT or AFTER the click
+    "asof_forward" -> ((s, d) => {
+      val (clicks, purchases) = asofSides(s, d)
+      graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", direction = "forward")
+    }),
+    // nearest direction: closer of the two, backward on ties
+    "asof_nearest" -> ((s, d) => {
+      val (clicks, purchases) = asofSides(s, d)
+      graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
+        rightPrefix = "p_", direction = "nearest")
+    }),
 
     // --- exact n-gram Jaccard verification primitive on planted pairs ---
     "jaccard_pairs" -> ((s, d) => {
@@ -4020,6 +4032,27 @@ object SparkEntry {
       "ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
       "WHERE event_type = 'purchase') p " +
       "ON c.user_id = p.user_id AND c.ts >= p.ts"),
+    // forward: DuckDB's ASOF with the flipped inequality
+    "asof_forward" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, " +
+      "p.value AS p_value " +
+      "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+      "WHERE event_type = 'click') c " +
+      "ASOF JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
+      "WHERE event_type = 'purchase') p " +
+      "ON c.user_id = p.user_id AND c.ts <= p.ts"),
+    // nearest: exact argmin per click over the per-user purchases —
+    // distance first, backward preferred on ties (the pandas rule)
+    "asof_nearest" -> ("WITH c AS (SELECT event_id, user_id, " +
+      "CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events " +
+      "WHERE event_type = 'purchase'), " +
+      "j AS (SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, " +
+      "p.value AS p_value, abs(epoch_us(c.ts) - epoch_us(p.ts)) AS d, " +
+      "CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END AS pref " +
+      "FROM c JOIN p USING (user_id)), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY event_id " +
+      "ORDER BY d, pref, p_ts) AS rn FROM j) " +
+      "SELECT event_id, user_id, ts, p_ts, p_value FROM r WHERE rn = 1"),
     // tolerance as a post-filter on the most-recent match — identical
     // semantics to tolerance-limited as-of (older matches are farther)
     "asof_tol" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +

@@ -348,6 +348,35 @@ class OpsSpec extends SparkSpec {
     assert(subsec == Set("y"))
   }
 
+  test("asof join directions: forward first-at-or-after, nearest with backward ties") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:10:00"), 110.0)).toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:02:00"), "early"),   // nearest: 100 (2m vs 8m)
+      (1L, ts("2024-01-01 10:05:00"), "mid"),     // tie 5m/5m -> backward 100
+      (1L, ts("2024-01-01 10:09:00"), "late"),    // nearest: 110 (1m vs 9m)
+      (1L, ts("2024-01-01 10:10:00"), "equal"),   // equality in every direction
+      (1L, ts("2024-01-01 10:20:00"), "after")    // nothing follows
+    ).toDF("k", "ts", "tag")
+    def run(dir: String, tolUs: Option[Long] = None) =
+      graft.ops.AsOf.join(trades, quotes, Seq("k"), "ts", "ts", "q_",
+        toleranceUs = tolUs, direction = dir)
+        .select($"tag", $"q_px").as[(String, Double)].collect().toMap
+    assert(run("forward") == Map("early" -> 110.0, "mid" -> 110.0,
+      "late" -> 110.0, "equal" -> 110.0))
+    assert(run("nearest") == Map("early" -> 100.0, "mid" -> 100.0,
+      "late" -> 110.0, "equal" -> 110.0, "after" -> 110.0))
+    // forward tolerance measures distance into the future
+    assert(run("forward", Some(5L * 60 * 1000000L)).keySet ==
+      Set("mid", "late", "equal"))
+    // nearest tolerance bounds BOTH arms
+    assert(run("nearest", Some(2L * 60 * 1000000L)) ==
+      Map("early" -> 100.0, "late" -> 110.0, "equal" -> 110.0))
+    intercept[IllegalArgumentException](run("sideways"))
+  }
+
   // --- similarity ---
 
   test("cosine and dot products") {
