@@ -92,6 +92,22 @@ object SparkEntry {
     uri
   }
 
+  /** Build-once labeled IVF index (label payload rides in the cell
+    * files) for the filtered-search gate. */
+  private def ivfIndexLabeled(s: SparkSession, dir: String): String = synchronized {
+    val uri = s"$arrayBase/${sfKey(dir)}/ivf_index_labeled"
+    val fs = graft.storage.VFS(s)
+    val usable = fs.exists(s"$uri/centroids.json") &&
+      scala.util.Try(s.read.parquet(Similarity.cellsPath(s, uri))
+        .schema.fieldNames.contains("label")).getOrElse(false)
+    if (!usable) {
+      fs.delete(uri)
+      Similarity.buildIvfIndex(t(s, dir, "embeddings"), "vec_id", "embedding",
+        uri, nCentroids = 16, lloydSteps = 2, payload = Seq("label"))
+    }
+    uri
+  }
+
   /** Build-once persisted MinHash-LSH dedup index over the documents
     * table (marker: _params.json). */
   private def minhashIndex(s: SparkSession, dir: String): String = synchronized {
@@ -1135,6 +1151,36 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+    }),
+    // metadata-filtered vector search: exact top-k among label=1 rows
+    // only (DuckDB replays the WHERE); k eligible rows, never fewer
+    "knn_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("label") === 1), "vec_id", "embedding",
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+    }),
+    // gate: the filtered INDEX path (payload predicate inside the
+    // pruned cell scan) at full probe equals filtered brute force
+    // exactly, and never leaks an ineligible row at narrow probe
+    "knn_filtered_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val idx = ivfIndexLabeled(s, d)
+      val pred = col("label") === 1
+      val full = Similarity.ivfIndexTopK(s, idx, q, "vec_id", "embedding",
+        k = 10, nprobe = 16, filter = Some(pred))
+      val brute = Similarity.bruteForceTopK(e.filter(pred),
+        "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
+      val mism = full.select(cols: _*).exceptAll(brute.select(cols: _*))
+        .unionAll(brute.select(cols: _*).exceptAll(full.select(cols: _*))).count()
+      val narrow = Similarity.ivfIndexTopK(s, idx, q, "vec_id", "embedding",
+        k = 10, nprobe = 4, filter = Some(pred))
+      val leaked = narrow.join(
+        e.filter(col("label") =!= 1).select(col("vec_id").as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi").count()
+      s.range(1).select(lit(mism).as("mismatches"),
+        lit(leaked).as("ineligible_rows"))
     }),
     "knn_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -3940,6 +3986,19 @@ object SparkEntry {
       s"FROM g x JOIN g y ON y.doc_id = x.doc_id + $DupOff AND x.doc_id < $DupOff"),
     // exact brute-force top-k is SQL-expressible: same cosine formula
     // (dot / (sqrt(dot)*sqrt(dot))) over DOUBLE[] on both engines
+    "knn_filtered" -> ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
+      "FROM embeddings WHERE label = 1), " +
+      "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+      "WHERE vec_id < 8), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * " +
+      "sqrt(list_dot_product(c.v, c.v))) AS cosine FROM c, q) " +
+      "SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, " +
+      "CAST(row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored QUALIFY rank <= 10"),
+    "knn_filtered_gate" -> ("SELECT CAST(0 AS BIGINT) AS mismatches, " +
+      "CAST(0 AS BIGINT) AS ineligible_rows"),
     "knn_brute" -> ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
       "FROM embeddings), " +
       "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +

@@ -390,13 +390,20 @@ object Similarity {
     * shuffles: cell assignment is a narrow expression and the (small)
     * probe set broadcasts onto it (mirrors the reference asv indexing
     * workload, tiledb/tests/perf/benchmarks/indexing.py:8-45). */
+  /** `filter` restricts the SEARCHED rows (metadata-filtered vector
+    * search — "nearest neighbors among label=1 docs"): applied before
+    * scoring so the top-k heap fills with eligible rows only, while
+    * the quantizer still trains on the FULL corpus — the filter
+    * changes the result set, not the cell geometry, so one set of
+    * centroids serves every predicate. */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCentroids: Int = 16, nprobe: Int = 4,
-      lloydSteps: Int = 2, trainPerCentroid: Int = 256): DataFrame = {
+      lloydSteps: Int = 2, trainPerCentroid: Int = 256,
+      filter: Option[Column] = None): DataFrame = {
     val cents = trainCentroids(corpus, corpusId, corpusVec,
       nCentroids, lloydSteps, trainPerCentroid)
-    val corpusCells = corpus
+    val corpusCells = filter.map(corpus.filter).getOrElse(corpus)
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
       .withColumn("centroid_id", assignNarrow(col("__cv"), cents))
     val probes = queries
@@ -418,19 +425,26 @@ object Similarity {
     * 100 TB — [[ivfIndexTopK]] reads ONLY the probed cell directories
     * via static partition pruning, so each query scans a
     * ~nprobe/nCentroids fraction of the corpus instead of all of it. */
+  /** `payload` columns ride INTO the cell files (metadata the search
+    * can filter on — labels, sources, timestamps), enabling
+    * [[ivfIndexTopK]]'s `filter` without any join back to the corpus:
+    * the predicate pushes into the pruned cell scan itself. */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       uri: String, nCentroids: Int = 16, lloydSteps: Int = 2,
-      trainPerCentroid: Int = 256): Unit = {
+      trainPerCentroid: Int = 256, payload: Seq[String] = Nil): Unit = {
+    require(!payload.exists(IvfCellCols), s"payload clashes with cell columns: $payload")
     val cents = trainCentroids(corpus, corpusId, corpusVec,
       nCentroids, lloydSteps, trainPerCentroid)
     // a rebuild starts the generation ladder over — clear any prior
     // versioned cells dirs so the fresh gen-0 write is the live one
     graft.storage.VFS(corpus.sparkSession).delete(uri)
-    corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("vec"))
+    corpus.select(col(corpusId).as("neighbor_id") +: col(corpusVec).as("vec")
+        +: payload.map(col): _*)
       .withColumn("centroid_id", assignNarrow(col("vec"), cents))
       .withColumn("__q", quantizeInt8(col("vec")))
-      .select(col("neighbor_id"), col("vec"), col("__q.codes").as("codes"),
-        col("__q.scale").as("scale"), col("centroid_id"))
+      .select(col("neighbor_id") +: col("vec") +: col("__q.codes").as("codes")
+        +: col("__q.scale").as("scale") +: col("centroid_id")
+        +: payload.map(col): _*)
       .write.partitionBy("centroid_id").mode("overwrite")
       .parquet(s"$uri/cells")
     import graft.core.Json._
@@ -452,15 +466,29 @@ object Similarity {
     * re-trains, exactly like the dedup index's rebuild-to-re-cluster. */
   def appendToIvfIndex(batch: DataFrame, batchId: String, batchVec: String,
       uri: String): Unit = {
-    val cents = indexCentroids(batch.sparkSession, uri)
-    batch.select(col(batchId).as("neighbor_id"), col(batchVec).as("vec"))
+    val spark = batch.sparkSession
+    val cents = indexCentroids(spark, uri)
+    // payload columns are INFERRED from the live index schema so an
+    // append can never silently drop the filterable metadata (the
+    // batch must carry every payload column the index stores)
+    val payload = spark.read.parquet(cellsPath(spark, uri))
+      .schema.fieldNames.filterNot(IvfCellCols).toSeq
+    val missing = payload.filterNot(batch.columns.contains)
+    require(missing.isEmpty, s"append batch lacks index payload columns: $missing")
+    batch.select(col(batchId).as("neighbor_id") +: col(batchVec).as("vec")
+        +: payload.map(col): _*)
       .withColumn("centroid_id", assignNarrow(col("vec"), cents))
       .withColumn("__q", quantizeInt8(col("vec")))
-      .select(col("neighbor_id"), col("vec"), col("__q.codes").as("codes"),
-        col("__q.scale").as("scale"), col("centroid_id"))
+      .select(col("neighbor_id") +: col("vec") +: col("__q.codes").as("codes")
+        +: col("__q.scale").as("scale") +: col("centroid_id")
+        +: payload.map(col): _*)
       .write.partitionBy("centroid_id").mode("append")
-      .parquet(cellsPath(batch.sparkSession, uri))
+      .parquet(cellsPath(spark, uri))
   }
+
+  /** reserved cell-file columns (everything else is search payload) */
+  private val IvfCellCols: Set[String] =
+    Set("neighbor_id", "vec", "codes", "scale", "centroid_id")
 
   /** Live cells directory of a persisted IVF index. Maintenance flips
     * generations ([[graft.storage.VersionedDir]]): readers always
@@ -521,9 +549,15 @@ object Similarity {
     * `rerank` a small multiple of k the result matches the exact scan
     * (int8 cosine error ~1e-3 only needs the true top-k inside the
     * top-`rerank` approximate candidates). */
+  /** `filter` is a predicate over the index's PAYLOAD columns (stored
+    * at build via `buildIvfIndex(payload = ...)`): it applies inside
+    * the statically-pruned cell scan — pushed to parquet alongside
+    * the partition pruning, no join back to the corpus — and before
+    * any heap fills, so filtered search returns k ELIGIBLE rows. */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+      k: Int = 10, nprobe: Int = 4, rerank: Int = 0,
+      filter: Option[Column] = None): DataFrame = {
     val cents = indexCentroids(spark, uri)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
@@ -531,8 +565,9 @@ object Similarity {
         explode(probeNarrow(col("__qv"), cents, nprobe)))
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(cellsPath(spark, uri))
+    val cells0 = spark.read.parquet(cellsPath(spark, uri))
       .filter(col("centroid_id").isin(cellIds: _*))
+    val cells = filter.map(cells0.filter).getOrElse(cells0)
     if (rerank <= 0) {
       val scored = cells.join(broadcast(probes), Seq("centroid_id"))
         .withColumn("cosine", cosine(col("__qv"), col("vec")))

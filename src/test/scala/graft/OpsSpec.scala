@@ -402,6 +402,52 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered vector search: payload predicate in the cell scan, no leaks") {
+    val vecs = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat),
+        (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label").cache()
+    val q = vecs.filter($"vec_id" < 5)
+    val uri = TestSession.tmpDir("ivffilt")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", uri,
+      nCentroids = 8, payload = Seq("label"))
+    val pred = col("label") === 1
+    // full probe == filtered brute force, exactly
+    val idx = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+      k = 8, nprobe = 8, filter = Some(pred))
+    val brute = Similarity.bruteForceTopK(vecs.filter(pred), "vec_id",
+      "embedding", q, "vec_id", "embedding", k = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(idx) == rows(brute))
+    assert(idx.count() == 5 * 8) // k ELIGIBLE rows per query, not fewer
+    // inline filtered path agrees at full probe too
+    val inline = Similarity.ivfTopK(vecs, "vec_id", "embedding", q,
+      "vec_id", "embedding", k = 8, nCentroids = 8, nprobe = 8,
+      filter = Some(pred))
+    assert(rows(inline) == rows(brute))
+    // the payload predicate reaches the parquet scan (pushed filter)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      plan.take(600))
+    // appends must carry the payload; a batch without it refuses
+    val batch = Seq((9001L, Array.fill(16)(0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.appendToIvfIndex(batch, "vec_id", "embedding", uri)
+    val after = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+      k = 8, nprobe = 8, filter = Some(col("label") === 1))
+    assert(after.count() == 40)
+    intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndex(batch.drop("label"), "vec_id", "embedding", uri))
+    // rerank path honors the filter as well
+    val rr = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+      k = 8, nprobe = 8, rerank = 64, filter = Some(pred))
+    assert(rr.join(vecs.filter($"label" =!= 1)
+      .select($"vec_id".as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+      .count() == 0)
+  }
+
   test("persisted IVF index: same results as inline IVF, scan pruned to probed cells") {
     val vecs = (0 until 400).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
