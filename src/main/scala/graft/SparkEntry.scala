@@ -1693,6 +1693,16 @@ object SparkEntry {
           concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
       Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext", k = 10)
     }),
+    // metadata-filtered retrieval: global BM25 stats, results
+    // restricted to lang='en' docs BEFORE ranks are assigned
+    "bm25_topk_filtered" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val q = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(Search.termsOf(col("text")), 5, 5)).as("qtext"))
+      Search.bm25TopK(docs, "doc_id", "text", q, "query_id", "qtext",
+        k = 10, docFilter = Some(col("lang") === "en"))
+    }),
     // hybrid retrieval: RRF-fuse the BM25 lexical top-20 with the
     // embedding-cosine top-20 (vec_id aligns with doc_id in the
     // fixtures, so this is the real "text rank + vector rank" hybrid);
@@ -3569,6 +3579,14 @@ object SparkEntry {
     // AND mode: need = count of DISTINCT query terms present in the
     // corpus vocabulary; a pair survives iff its matched-term count
     // (one contribution per (doc, term)) equals it
+    // filtered retrieval: GLOBAL df/avgdl (sc is unchanged), rank
+    // assigned after the lang restriction
+    "bm25_topk_filtered" -> (s"WITH $bm25OracleCtes " +
+      "SELECT query_id, doc_id, score, rank FROM (SELECT query_id, sc.doc_id, " +
+      "round(score, 6) AS score, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY round(score, 6) DESC, sc.doc_id) AS rank FROM sc " +
+      "JOIN documents d ON sc.doc_id = d.doc_id AND d.lang = 'en') " +
+      "WHERE rank <= 10"),
     // hybrid RRF: both rankings rebuilt (BM25 on rounded score, cosine
     // on raw score — matching each source's own rank contract), fused
     // by 1/(60+rank); sum of two exact divisions is order-exact

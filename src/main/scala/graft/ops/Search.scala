@@ -197,7 +197,8 @@ object Search {
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int = 10, k1: Double = 1.25, b: Double = 0.75,
       maxDfFraction: Double = 1.0,
-      requireAllTerms: Boolean = false): DataFrame = {
+      requireAllTerms: Boolean = false,
+      docFilter: Option[Column] = None): DataFrame = {
     // requireAllTerms = conjunctive (AND) retrieval: only docs
     // matching EVERY query term that exists in the corpus (and
     // survives elision) are ranked — absent terms can't be required
@@ -206,7 +207,18 @@ object Search {
     val scored = bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol,
         k1, b, materializePostings = true, maxDfFraction, requireAllTerms)
       .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
-    Similarity.topKPerKey(scored, "query_id", "doc_id", "score", k)
+    // docFilter = metadata-restricted retrieval (Lucene-style filtered
+    // search): df/avgdl stay GLOBAL — a filter narrows the result
+    // set, not the collection statistics — and ranks are assigned
+    // after the restriction, so the top-k holds k ELIGIBLE docs. The
+    // semi join moves only the candidate set (docs sharing a query
+    // term), never the corpus.
+    val restricted = docFilter match {
+      case Some(f) => scored.join(
+        docs.filter(f).select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      case None => scored
+    }
+    Similarity.topKPerKey(restricted, "query_id", "doc_id", "score", k)
   }
 
   /** Reciprocal-rank fusion (the RRF hybrid-retrieval combiner):

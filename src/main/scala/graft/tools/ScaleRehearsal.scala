@@ -229,6 +229,28 @@ object ScaleRehearsal {
     // per-fragment anti-filter the tombstones compile to, (c) the
     // truncation-tiebreak pruning — all metadata-scale except the data
     // pass itself, which is what the timing checks.
+    if (runOp("snapshot_diff")) {
+      import graft.storage.ArrayTable
+      val uri = s"$outDir/diff_arr"
+      graft.storage.VFS(spark).delete(uri)
+      val base = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      ArrayTable.ingest(spark, base, uri, Seq("doc_id"), tsOpt = Some(1000L),
+        overwrite = true, allowsDuplicates = true)
+      // append 1% of the corpus with shifted ids (disjoint MBR range)
+      ArrayTable.write(spark, base.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1L << 40)), uri, Some(2000L))
+      val (nFast, tFast) = time(
+        ArrayTable.diff(spark, uri, (0L, 1500L), (0L, 2500L)).count())
+      results += "snapshot_diff_fast" -> tFast
+      // a tombstone in the window forces the two-snapshot anti-diff
+      ArrayTable.delete(spark, uri, "len >= 300 and len < 320", Some(3000L))
+      val (nSlow, tSlow) = time(
+        ArrayTable.diff(spark, uri, (0L, 2500L), (0L, 3500L)).count())
+      results += "snapshot_diff_general" -> tSlow
+      println(s"[rehearsal] snapshot_diff: fast=$nFast rows, general=$nSlow deletes")
+    }
+
     if (runOp("catalog_dml")) {
       import graft.storage.ArrayTable
       val uri = s"$outDir/catalog_dml_arr"
