@@ -1760,6 +1760,25 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL resize under the oracle: planted P6 gradients are
+    // box-filter downscaled by 2 (floor mean per 2x2 block, exact
+    // integer math) and RE-ENCODED as P6; the decode of the resized
+    // payload must match DuckDB's replay of the block means — proving
+    // decode, filter and re-encode in one pass
+    "media_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + 2 * (id % 4).toInt
+        val h = 4 + 2 * (id % 2).toInt
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
+        Multimodal.MediaRow(id, header ++ px, "image", "ppm")
+      }
+      Multimodal.decodeImages(Multimodal.resizeImages(media, factor = 2)).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
+
     // perceptual image hash (dHash) through the REAL P6 pixel path:
     // 9x8 nearest-neighbor grayscale grid, horizontal-neighbor bits;
     // DuckDB recomputes every bit from the planted pixel formula
@@ -3651,6 +3670,20 @@ object SparkEntry {
       "FROM bits GROUP BY doc_id"),
     "media_dhash_gate" -> ("SELECT CAST(2 * count(*) AS BIGINT) AS n_imgs, " +
       "CAST(0 AS BIGINT) AS planted_missed, true AS all_decoded FROM documents"),
+    // every 2x2 block mean replayed in exact integer math from the
+    // planted gradient
+    "media_resize" -> ("WITH d AS (SELECT doc_id, " +
+      "8 + 2*(doc_id % 4) AS w, 4 + 2*(doc_id % 2) AS h FROM documents), " +
+      "s AS (SELECT d.doc_id, d.w, d.h, y.range AS y, x.range AS x, " +
+      "c.range AS c FROM d, range(0,3) y, range(0,7) x, range(0,3) c " +
+      "WHERE y.range < d.h // 2 AND x.range < d.w // 2) " +
+      "SELECT doc_id, CAST(w // 2 AS INT) AS width, " +
+      "CAST(h // 2 AS INT) AS height, CAST(3 AS INT) AS channels, " +
+      "round(avg(((doc_id*7 + ((2*y)*w + 2*x)*3 + c) % 256 " +
+      "+ (doc_id*7 + ((2*y)*w + 2*x + 1)*3 + c) % 256 " +
+      "+ (doc_id*7 + ((2*y + 1)*w + 2*x)*3 + c) % 256 " +
+      "+ (doc_id*7 + ((2*y + 1)*w + 2*x + 1)*3 + c) % 256) // 4), 6) " +
+      "AS mean_intensity FROM s GROUP BY doc_id, w, h"),
     "media_decode_ppm" -> ("SELECT d.doc_id, CAST(8 AS INT) AS width, " +
       "CAST(4 AS INT) AS height, CAST(3 AS INT) AS channels, " +
       "round(avg(CAST((d.doc_id * 7 + r.j) % 256 AS DOUBLE)), 6) AS mean_intensity " +

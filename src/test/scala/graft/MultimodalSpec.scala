@@ -523,6 +523,40 @@ class MultimodalSpec extends SparkSpec {
     assert(vm.width == 32 && vm.height == 16 && vm.total_frames == 1L, vm)
   }
 
+  test("resizeImages: real box-filter downscale, P6 re-encode, stub fallback") {
+    import spark.implicits._
+    // 4x2 P6: pixel (y,x,c) = (y*4+x)*3 + c; factor 2 -> 2x1
+    val header = "P6\n4 2\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate[Byte](24)(_.toByte)
+    val rows = Seq(
+      MediaRow(1L, header ++ px, "image", "ppm"),
+      MediaRow(2L, "not an image".getBytes, "image", "png"))
+    val out = Multimodal.resizeImages(rows.toDS(), factor = 2)
+      .collect().sortBy(_.doc_id)
+    // block (0,0): pixels 0,1 / 4,5 -> per-channel floor means
+    val dec = Multimodal.decodeImages(
+      Seq(out(0)).toDS()).collect().head
+    assert(dec.width == 2 && dec.height == 1 && dec.channels == 3)
+    // channel value of out pixel (0, x', c) = mean of 4 interleaved
+    // samples: ((0x'c)+(0,x'+1,c)+(1,x',c)+(1,x'+1,c))/4
+    def p(y: Int, x: Int, c: Int) = (y * 4 + x) * 3 + c
+    val want = (for (x <- 0 until 2; c <- 0 until 3) yield
+      (p(0, 2 * x, c) + p(0, 2 * x + 1, c) + p(1, 2 * x, c) + p(1, 2 * x + 1, c)) / 4)
+    assert(dec.mean_intensity == want.sum.toDouble / want.size)
+    // a real PNG through ImageIO decodes and downsizes too
+    val img = makeImage(6, 4, 10)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = Multimodal.resizeImages(
+      Seq(MediaRow(3L, baos.toByteArray, "image", "png")).toDS(), 2)
+      .collect().head
+    val pngDec = Multimodal.decodeImages(Seq(png).toDS()).collect().head
+    assert(pngDec.width == 3 && pngDec.height == 2 && png.format == "ppm")
+    // undecodable payloads keep the stub truncate contract
+    assert(out(1).format == "bin" &&
+      out(1).content.length == "not an image".length / 4)
+  }
+
   test("WAV bitrate reflects the real sample width") {
     // 16-bit stereo 8000 Hz -> 8000*2*16/1000 = 256 kbps (was 2-4x
     // under-reported when 8 bits was assumed for every width)
