@@ -1760,6 +1760,51 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL animated-GIF frame sampling under the oracle: multi-frame
+    // GIFs (per-frame palettes by formula) are frame-walked and every
+    // 2nd frame re-encodes as P6; decoding those frames must match
+    // DuckDB's closed-form per-frame means
+    "media_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 6 + (id % 4).toInt; val h = 3 + (id % 2).toInt
+        val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
+        val b0 = ((7 * id) % 160).toInt
+        val nf = 2 + (id % 3).toInt
+        javax.imageio.ImageIO.setUseCache(false)
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        for (f <- 0 until nf) {
+          val palette = Array.tabulate(w)(x =>
+            ((r0 + f * 11 + x) << 16) | ((g0 + f * 13 + x) << 8) | (b0 + f * 17 + x))
+          val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
+            false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, palette(x)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence(); writer.dispose(); ios.close()
+        Multimodal.MediaRow(id, bos.toByteArray, "image", "gif")
+      }
+      val frames = Multimodal.sampleFrames(media, stride = 2)
+      val asMedia = frames.map(f =>
+        Multimodal.MediaRow(f.doc_id * 100 + f.frame_idx, f.frame, "image", "ppm"))
+      Multimodal.decodeImages(asMedia).toDF()
+        .select(expr("doc_id div 100").cast("long").as("doc_id"),
+          pmod(col("doc_id"), lit(100)).cast("int").as("frame_idx"),
+          col("width"), col("height"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
+
     // REAL resize under the oracle: planted P6 gradients are
     // box-filter downscaled by 2 (floor mean per 2x2 block, exact
     // integer math) and RE-ENCODED as P6; the decode of the resized
@@ -3670,6 +3715,17 @@ object SparkEntry {
       "FROM bits GROUP BY doc_id"),
     "media_dhash_gate" -> ("SELECT CAST(2 * count(*) AS BIGINT) AS n_imgs, " +
       "CAST(0 AS BIGINT) AS planted_missed, true AS all_decoded FROM documents"),
+    // per-frame gradient means in closed form; stride 2 samples the
+    // even frame indices
+    "media_frames" -> ("WITH p AS (SELECT doc_id, 6 + doc_id % 4 AS w, " +
+      "3 + doc_id % 2 AS h, doc_id % 160 AS r0, (3*doc_id) % 160 AS g0, " +
+      "(7*doc_id) % 160 AS b0, 2 + doc_id % 3 AS nf FROM documents), " +
+      "fr AS (SELECT p.*, f.range AS f FROM p, range(0,5) f " +
+      "WHERE f.range < nf AND f.range % 2 = 0) " +
+      "SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width, " +
+      "CAST(h AS INT) AS height, " +
+      "round(CAST(h * (w * (r0 + g0 + b0 + 41*f) + 3 * (w*(w-1)//2)) AS DOUBLE) " +
+      "/ (w*h*3), 6) AS mean_intensity FROM fr"),
     // every 2x2 block mean replayed in exact integer math from the
     // planted gradient
     "media_resize" -> ("WITH d AS (SELECT doc_id, " +

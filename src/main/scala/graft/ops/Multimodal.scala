@@ -126,77 +126,143 @@ object Multimodal {
         pos += 1
       }
       if (u8(pos) != 0x2C) return None
-      val iw = u16(pos + 5); val ih = u16(pos + 7); val iflags = u8(pos + 9)
-      pos += 10
-      val interlaced = (iflags & 0x40) != 0
-      val palette = if ((iflags & 0x80) != 0) readColorTable(2 << (iflags & 7)) else gct
-      if (palette == null || iw <= 0 || ih <= 0 || iw.toLong * ih > Int.MaxValue / 4) return None
-      val minCodeSize = u8(pos); pos += 1
-      // concatenate the LZW sub-blocks
-      val sub = new java.io.ByteArrayOutputStream()
-      while (u8(pos) != 0) { sub.write(bytes, pos + 1, u8(pos)); pos += 1 + u8(pos) }
-      val stream = sub.toByteArray
-      // variable-width LSB-first LZW decode to palette indices
-      val nPix = iw * ih
-      val indices = new Array[Int](nPix)
-      var nOut = 0
-      val clear = 1 << minCodeSize; val eoi = clear + 1
-      var codeSize = minCodeSize + 1
-      var bitPos = 0
-      val maxDict = 1 << 12
-      val prefix = new Array[Int](maxDict); val suffix = new Array[Int](maxDict)
-      var nextCode = eoi + 1
-      var prev = -1
-      val pixBuf = new Array[Int](maxDict)
-      def emit(code: Int): Int = { // writes the code's expansion; returns its first index
-        var c = code; var n = 0
-        while (c >= clear) { pixBuf(n) = suffix(c); c = prefix(c); n += 1 }
-        pixBuf(n) = c; n += 1
-        var k = n - 1
-        while (k >= 0 && nOut < nPix) { indices(nOut) = pixBuf(k); nOut = nOut + 1; k -= 1 }
-        c
+      gifImageBlock(bytes, pos, gct).map { case (iw, ih, rgb, _) =>
+        var sum = 0L
+        var p = 0
+        while (p < rgb.length) {
+          val e = rgb(p)
+          sum += ((e >> 16) & 0xFF) + ((e >> 8) & 0xFF) + (e & 0xFF)
+          p += 1
+        }
+        (iw, ih, 3, sum.toDouble / (iw.toLong * ih * 3))
       }
-      var done = false
-      while (!done && nOut < nPix) {
-        if (bitPos + codeSize > stream.length * 8) done = true
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode ONE GIF image block (descriptor at `pos0` must be 0x2C):
+    * descriptor parse, local/global palette pick, variable-width
+    * LSB-first LZW to palette indices, palette expansion to packed
+    * 0xRRGGBB pixels. Returns (iw, ih, rgb pixels, posAfterBlock).
+    * Interlacing permutes row PLACEMENT only — the pixel multiset is
+    * identical, so means/frame stats need no deinterlace. */
+  private def gifImageBlock(bytes: Array[Byte], pos0: Int,
+      gct: Array[Int]): Option[(Int, Int, Array[Int], Int)] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    var pos = pos0
+    val iw = u16(pos + 5); val ih = u16(pos + 7); val iflags = u8(pos + 9)
+    pos += 10
+    val palette =
+      if ((iflags & 0x80) != 0) {
+        val n = 2 << (iflags & 7)
+        val t = Array.tabulate(n)(k =>
+          (u8(pos + 3 * k) << 16) | (u8(pos + 3 * k + 1) << 8) | u8(pos + 3 * k + 2))
+        pos += 3 * n
+        t
+      } else gct
+    if (palette == null || iw <= 0 || ih <= 0 || iw.toLong * ih > Int.MaxValue / 4)
+      return None
+    val minCodeSize = u8(pos); pos += 1
+    // concatenate the LZW sub-blocks
+    val sub = new java.io.ByteArrayOutputStream()
+    while (u8(pos) != 0) { sub.write(bytes, pos + 1, u8(pos)); pos += 1 + u8(pos) }
+    pos += 1 // block terminator
+    val stream = sub.toByteArray
+    // variable-width LSB-first LZW decode to palette indices
+    val nPix = iw * ih
+    val indices = new Array[Int](nPix)
+    var nOut = 0
+    val clear = 1 << minCodeSize; val eoi = clear + 1
+    var codeSize = minCodeSize + 1
+    var bitPos = 0
+    val maxDict = 1 << 12
+    val prefix = new Array[Int](maxDict); val suffix = new Array[Int](maxDict)
+    var nextCode = eoi + 1
+    var prev = -1
+    val pixBuf = new Array[Int](maxDict)
+    def emit(code: Int): Int = { // writes the code's expansion; returns its first index
+      var c = code; var n = 0
+      while (c >= clear) { pixBuf(n) = suffix(c); c = prefix(c); n += 1 }
+      pixBuf(n) = c; n += 1
+      var k = n - 1
+      while (k >= 0 && nOut < nPix) { indices(nOut) = pixBuf(k); nOut = nOut + 1; k -= 1 }
+      c
+    }
+    var done = false
+    while (!done && nOut < nPix) {
+      if (bitPos + codeSize > stream.length * 8) done = true
+      else {
+        var code = 0; var i = 0
+        while (i < codeSize) {
+          code |= (((stream((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1) << i)
+          i += 1
+        }
+        bitPos += codeSize
+        if (code == clear) { nextCode = eoi + 1; codeSize = minCodeSize + 1; prev = -1 }
+        else if (code == eoi) done = true
         else {
-          var code = 0; var i = 0
-          while (i < codeSize) {
-            code |= (((stream((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1) << i)
-            i += 1
+          val first =
+            if (code < nextCode) emit(code)
+            else if (code == nextCode && prev >= 0) { // KwKwK case
+              var c = prev; while (c >= clear) c = prefix(c)
+              if (nOut < nPix) { emit(prev); if (nOut < nPix) { indices(nOut) = c; nOut += 1 } }
+              c
+            } else return None
+          if (prev >= 0 && nextCode < maxDict) {
+            prefix(nextCode) = prev; suffix(nextCode) = first
+            nextCode += 1
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
           }
-          bitPos += codeSize
-          if (code == clear) { nextCode = eoi + 1; codeSize = minCodeSize + 1; prev = -1 }
-          else if (code == eoi) done = true
-          else {
-            val first =
-              if (code < nextCode) emit(code)
-              else if (code == nextCode && prev >= 0) { // KwKwK case
-                var c = prev; while (c >= clear) c = prefix(c)
-                if (nOut < nPix) { emit(prev); if (nOut < nPix) { indices(nOut) = c; nOut += 1 } }
-                c
-              } else return None
-            if (prev >= 0 && nextCode < maxDict) {
-              prefix(nextCode) = prev; suffix(nextCode) = first
-              nextCode += 1
-              if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
-            }
-            prev = code
-          }
+          prev = code
         }
       }
-      if (nOut < nPix) return None
-      // interlacing (iflags & 0x40) permutes row PLACEMENT only — the
-      // pixel multiset is identical, so the mean needs no deinterlace
-      val _ = interlaced
-      var sum = 0L
-      var p = 0
-      while (p < nPix) {
-        val e = palette(indices(p) & (palette.length - 1))
-        sum += ((e >> 16) & 0xFF) + ((e >> 8) & 0xFF) + (e & 0xFF)
-        p += 1
+    }
+    if (nOut < nPix) return None
+    val rgb = new Array[Int](nPix)
+    var p = 0
+    while (p < nPix) {
+      rgb(p) = palette(indices(p) & (palette.length - 1))
+      p += 1
+    }
+    Some((iw, ih, rgb, pos))
+  }
+
+  /** ALL frames of a (possibly animated) GIF as (iw, ih, rgb pixels):
+    * the full block walk — extensions skipped between descriptors,
+    * stop at trailer 0x3B. None for non-GIF payloads. */
+  private[graft] def gifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
+    if (bytes.length < 14) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+          (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')) return None
+    try {
+      def u8(i: Int) = bytes(i) & 0xFF
+      val screenFlags = u8(10)
+      var pos = 13
+      var gct: Array[Int] = null
+      if ((screenFlags & 0x80) != 0) {
+        val n = 2 << (screenFlags & 7)
+        gct = Array.tabulate(n)(k =>
+          (u8(pos + 3 * k) << 16) | (u8(pos + 3 * k + 1) << 8) | u8(pos + 3 * k + 2))
+        pos += 3 * n
       }
-      Some((iw, ih, 3, sum.toDouble / (iw.toLong * ih * 3)))
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+      var go = true
+      while (go && pos < bytes.length) {
+        u8(pos) match {
+          case 0x21 => // extension: introducer + label + sub-blocks
+            pos += 2
+            while (u8(pos) != 0) pos += 1 + u8(pos)
+            pos += 1
+          case 0x2C =>
+            gifImageBlock(bytes, pos, gct) match {
+              case Some((iw, ih, rgb, next)) => frames += ((iw, ih, rgb)); pos = next
+              case None => return None
+            }
+          case 0x3B => go = false // trailer
+          case _ => return None
+        }
+      }
+      if (frames.isEmpty) None else Some(frames.toSeq)
     } catch { case _: Exception => None }
   }
 
@@ -1610,14 +1676,33 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
-    * stands in for a video frame (stub chunker, real explode shape). */
+  /** Frame sampling: animated GIFs decode for REAL — every `stride`-th
+    * frame of the block walk ([[gifFrames]]), re-encoded as binary P6
+    * so each sampled frame feeds straight back into [[decodeImages]] /
+    * [[resizeImages]] / [[imageDHash]]. frame_idx is the ORIGINAL
+    * frame number. Payloads that are not multi-frame-decodable keep
+    * the stub chunker (every stride-th fixed-size chunk, real explode
+    * shape) — swap in an ffmpeg/JNI demuxer there in production. */
   def sampleFrames(ds: Dataset[MediaRow], stride: Int = 4,
       frameBytes: Int = 256): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      r.content.grouped(frameBytes).zipWithIndex
-        .collect { case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk) }
+      gifFrames(r.content) match {
+        case Some(frames) =>
+          frames.iterator.zipWithIndex.collect {
+            case ((w, h, rgb), i) if i % stride == 0 =>
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+              rgb.foreach { e =>
+                out.write((e >> 16) & 0xFF); out.write((e >> 8) & 0xFF)
+                out.write(e & 0xFF)
+              }
+              Frame(r.doc_id, i, out.toByteArray)
+          }
+        case None =>
+          r.content.grouped(frameBytes).zipWithIndex
+            .collect { case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk) }
+      }
     }
   }
 

@@ -523,6 +523,43 @@ class MultimodalSpec extends SparkSpec {
     assert(vm.width == 32 && vm.height == 16 && vm.total_frames == 1L, vm)
   }
 
+  test("sampleFrames: real animated-GIF frames, stride sampling, stub fallback") {
+    import spark.implicits._
+    // 3-frame animated GIF, frame f = solid color (10+40f, 20+40f, 30+40f)
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until 3) {
+      val c = ((10 + 40 * f) << 16) | ((20 + 40 * f) << 8) | (30 + 40 * f)
+      val icm = new java.awt.image.IndexColorModel(8, 2, Array(c, c | 1), 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      val img = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 2; x <- 0 until 4) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val rows = Seq(MediaRow(1L, bos.toByteArray, "image", "gif"),
+      MediaRow(2L, Array.tabulate(600)(_.toByte), "video", "bin"))
+    val frames = Multimodal.sampleFrames(rows.toDS(), stride = 2)
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    // gif: frames 0 and 2 sampled, decoded to P6 with the true colors
+    val gifFrames = frames.filter(_.doc_id == 1L)
+    assert(gifFrames.map(_.frame_idx).toSeq == Seq(0, 2))
+    val decoded = Multimodal.decodeImages(gifFrames.map(f =>
+      MediaRow(f.frame_idx.toLong, f.frame, "image", "ppm")).toSeq.toDS())
+      .collect().sortBy(_.doc_id)
+    assert(decoded.map(_.width).toSeq == Seq(4, 4))
+    assert(decoded.map(_.mean_intensity).toSeq == Seq(20.0, 100.0)) // (10+20+30)/3, +80
+    // non-decodable payloads keep the stub chunker
+    val stub = frames.filter(_.doc_id == 2L)
+    assert(stub.map(_.frame_idx).toSeq == Seq(0, 2) &&
+      stub.map(_.frame.length).toSeq == Seq(256, 88)) // 600 = 256+256+88
+  }
+
   test("resizeImages: real box-filter downscale, P6 re-encode, stub fallback") {
     import spark.implicits._
     // 4x2 P6: pixel (y,x,c) = (y*4+x)*3 + c; factor 2 -> 2x1
