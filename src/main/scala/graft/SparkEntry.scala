@@ -1805,6 +1805,22 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL color-descriptor features from decoded pixels: per-channel
+    // 4-bin histograms + means, every value an exact integer ratio
+    // DuckDB replays from the planted gradient
+    "media_image_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = (8, 4)
+        val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+        val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
+        Multimodal.MediaRow(id, header ++ px, "image", "ppm")
+      }
+      Multimodal.imageFeatures(media, bins = 4).toDF()
+        .select(col("doc_id"), col("feature_idx"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // REAL resize under the oracle: planted P6 gradients are
     // box-filter downscaled by 2 (floor mean per 2x2 block, exact
     // integer math) and RE-ENCODED as P6; the decode of the resized
@@ -3726,6 +3742,17 @@ object SparkEntry {
       "CAST(h AS INT) AS height, " +
       "round(CAST(h * (w * (r0 + g0 + b0 + 41*f) + 3 * (w*(w-1)//2)) AS DOUBLE) " +
       "/ (w*h*3), 6) AS mean_intensity FROM fr"),
+    // channel-major histogram buckets (idx c*4+b) then means (12+c),
+    // all exact integer ratios over the 32 pixels
+    "media_image_features" -> ("WITH px AS (SELECT doc_id, p.range AS p, " +
+      "c.range AS c, (doc_id*7 + 3*p.range + c.range) % 256 AS v " +
+      "FROM documents, range(0,32) p, range(0,3) c), " +
+      "hb AS (SELECT doc_id, CAST(c*4 + b.range AS INT) AS feature_idx, " +
+      "round(sum(CASE WHEN v // 64 = b.range THEN 1 ELSE 0 END) / 32.0, 6) " +
+      "AS value FROM px, range(0,4) b GROUP BY doc_id, c, b.range), " +
+      "mn AS (SELECT doc_id, CAST(12 + c AS INT) AS feature_idx, " +
+      "round(sum(v) / 32.0 / 255.0, 6) AS value FROM px GROUP BY doc_id, c) " +
+      "SELECT * FROM hb UNION ALL SELECT * FROM mn"),
     // every 2x2 block mean replayed in exact integer math from the
     // planted gradient
     "media_resize" -> ("WITH d AS (SELECT doc_id, " +

@@ -1706,6 +1706,46 @@ object Multimodal {
     }
   }
 
+  /** REAL image features from decoded pixels (classic color
+    * descriptors — the deterministic complement to the embedding-model
+    * stub in [[extractFeatures]]): per channel, a `bins`-bucket
+    * normalized intensity histogram plus the channel mean/255 —
+    * feature dim = 3*bins + 3, every value an exact ratio of integer
+    * pixel counts, so the DuckDB oracle replays the whole vector.
+    * Long-form (doc_id, feature_idx, value) rows: histogram buckets
+    * first (channel-major), the 3 means last. Undecodable payloads
+    * are DROPPED (None-parse — callers union with the stub path for
+    * the mixed-corpus case). */
+  def imageFeatures(ds: Dataset[MediaRow], bins: Int = 4): Dataset[MediaFeatureRow] = {
+    require(bins >= 1 && 256 % bins == 0, s"bins must divide 256, got $bins")
+    import ds.sparkSession.implicits._
+    val width = 256 / bins
+    ds.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        rgbPixels(r.content) match {
+          case Some((w, h, px)) =>
+            val n = w * h
+            val hist = Array.ofDim[Long](3, bins)
+            val sums = new Array[Long](3)
+            var p = 0
+            while (p < px.length) {
+              val c = p % 3
+              hist(c)(px(p) / width) += 1
+              sums(c) += px(p)
+              p += 1
+            }
+            val buckets = for (c <- 0 until 3; b <- 0 until bins) yield
+              MediaFeatureRow(r.doc_id, c * bins + b, hist(c)(b).toDouble / n)
+            val means = for (c <- 0 until 3) yield
+              MediaFeatureRow(r.doc_id, 3 * bins + c, sums(c).toDouble / n / 255.0)
+            buckets ++ means
+          case None => Nil
+        }
+      }
+    }
+  }
+
   /** Fixed-dim feature extraction (stub: byte histogram folded to
     * `dim`); batch shape matches an embedding-model UDF. */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
