@@ -227,10 +227,16 @@ object Multimodal {
     Some((iw, ih, rgb, pos))
   }
 
-  /** ALL frames of a (possibly animated) GIF as (iw, ih, rgb pixels):
-    * the full block walk — extensions skipped between descriptors,
-    * stop at trailer 0x3B. None for non-GIF payloads. */
-  private[graft] def gifFrames(bytes: Array[Byte]): Option[Seq[(Int, Int, Array[Int])]] = {
+  /** Frames of a (possibly animated) GIF as (frameIdx, iw, ih, rgb
+    * pixels): the full block walk — extensions skipped between
+    * descriptors, stop at trailer 0x3B. GIF frames are INDEPENDENTLY
+    * LZW-coded, so frames failing `keep` are SKIPPED structurally
+    * (sub-block walk, no decode, no pixel allocation) — stride-N
+    * sampling of an M-frame payload decodes M/N frames, which is what
+    * keeps frame sampling linear in the SAMPLE at 100 TB, not in the
+    * footage. None for non-GIF payloads. */
+  private[graft] def gifFrames(bytes: Array[Byte],
+      keep: Int => Boolean = _ => true): Option[Seq[(Int, Int, Int, Array[Int])]] = {
     if (bytes.length < 14) return None
     if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
           (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')) return None
@@ -245,7 +251,9 @@ object Multimodal {
           (u8(pos + 3 * k) << 16) | (u8(pos + 3 * k + 1) << 8) | u8(pos + 3 * k + 2))
         pos += 3 * n
       }
-      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
+      var idx = 0
+      var sawFrame = false
       var go = true
       while (go && pos < bytes.length) {
         u8(pos) match {
@@ -254,15 +262,27 @@ object Multimodal {
             while (u8(pos) != 0) pos += 1 + u8(pos)
             pos += 1
           case 0x2C =>
-            gifImageBlock(bytes, pos, gct) match {
-              case Some((iw, ih, rgb, next)) => frames += ((iw, ih, rgb)); pos = next
+            sawFrame = true
+            if (keep(idx)) gifImageBlock(bytes, pos, gct) match {
+              case Some((iw, ih, rgb, next)) =>
+                frames += ((idx, iw, ih, rgb)); pos = next
               case None => return None
+            } else {
+              // structural skip: descriptor + optional local table +
+              // min code size + sub-blocks, zero decode work
+              val iflags = u8(pos + 9)
+              pos += 10
+              if ((iflags & 0x80) != 0) pos += 3 * (2 << (iflags & 7))
+              pos += 1 // min code size
+              while (u8(pos) != 0) pos += 1 + u8(pos)
+              pos += 1
             }
+            idx += 1
           case 0x3B => go = false // trailer
           case _ => return None
         }
       }
-      if (frames.isEmpty) None else Some(frames.toSeq)
+      if (!sawFrame) None else Some(frames.toSeq)
     } catch { case _: Exception => None }
   }
 
@@ -1687,21 +1707,21 @@ object Multimodal {
       frameBytes: Int = 256): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      gifFrames(r.content) match {
+      gifFrames(r.content, keep = _ % stride == 0) match {
         case Some(frames) =>
-          frames.iterator.zipWithIndex.collect {
-            case ((w, h, rgb), i) if i % stride == 0 =>
-              val out = new java.io.ByteArrayOutputStream()
-              out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
-              rgb.foreach { e =>
-                out.write((e >> 16) & 0xFF); out.write((e >> 8) & 0xFF)
-                out.write(e & 0xFF)
-              }
-              Frame(r.doc_id, i, out.toByteArray)
+          frames.map { case (i, w, h, rgb) =>
+            val out = new java.io.ByteArrayOutputStream()
+            out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+            rgb.foreach { e =>
+              out.write((e >> 16) & 0xFF); out.write((e >> 8) & 0xFF)
+              out.write(e & 0xFF)
+            }
+            Frame(r.doc_id, i, out.toByteArray)
           }
         case None =>
           r.content.grouped(frameBytes).zipWithIndex
             .collect { case (chunk, i) if i % stride == 0 => Frame(r.doc_id, i, chunk) }
+            .toSeq
       }
     }
   }
