@@ -1445,6 +1445,19 @@ object SparkEntry {
         lit(inconsistent == 0).as("sizes_consistent"),
         lit(overBudget == 0).as("budget_respected"))
     }),
+    // Gopher rule set as auditable per-doc booleans; DuckDB replays
+    // every rule's exact integer/ratio arithmetic
+    "gopher_rules" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.keep").as("keep"),
+          col("g.ok_word_count").as("ok_word_count"),
+          col("g.ok_mean_word_len").as("ok_mean_word_len"),
+          col("g.ok_symbol_ratio").as("ok_symbol_ratio"),
+          col("g.ok_bullet_lines").as("ok_bullet_lines"),
+          col("g.ok_ellipsis_lines").as("ok_ellipsis_lines"),
+          col("g.ok_alpha_words").as("ok_alpha_words"),
+          col("g.ok_stopwords").as("ok_stopwords"))),
     "text_quality" -> ((s, d) => {
       val txt = col("text")
       val len = length(txt).cast(DoubleType)
@@ -3462,6 +3475,35 @@ object SparkEntry {
     "packing_gate" -> (bpeDocCountsCte +
       " SELECT count(*) AS n_docs, CAST(sum(n_bpe) AS BIGINT) AS total_tokens, " +
       "true AS well_formed, true AS efficient FROM docbpe WHERE n_bpe > 0"),
+    // every rule scalar recomputed with the shared tokenizer; the
+    // ellipsis count divides by 3.0 (double division, like Spark's /)
+    "gopher_rules" -> ("WITH tk AS (SELECT doc_id, text, " +
+      "string_split_regex(trim(text), '\\s+') AS t, " +
+      "string_split(text, chr(10)) AS ln, " +
+      "string_split_regex(trim(lower(text)), '\\s+') AS tl FROM documents), " +
+      "m AS (SELECT doc_id, len(t) AS ntok, " +
+      "CAST(length(array_to_string(t, '')) AS DOUBLE) " +
+      "/ greatest(CAST(len(t) AS DOUBLE), 1.0) AS meanlen, " +
+      "(CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) " +
+      "+ (length(text) - length(replace(text, '...', ''))) / 3.0) " +
+      "/ greatest(CAST(len(t) AS DOUBLE), 1.0) AS symr, " +
+      "CAST(len(list_filter(ln, l -> starts_with(trim(l), '- ') " +
+      "OR starts_with(trim(l), '* ') OR starts_with(trim(l), chr(8226)))) " +
+      "AS DOUBLE) / greatest(CAST(len(ln) AS DOUBLE), 1.0) AS bf, " +
+      "CAST(len(list_filter(ln, l -> ends_with(trim(l), '...'))) AS DOUBLE) " +
+      "/ greatest(CAST(len(ln) AS DOUBLE), 1.0) AS ef, " +
+      "CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) " +
+      "/ greatest(CAST(len(t) AS DOUBLE), 1.0) AS af, " +
+      "len(list_intersect(list_distinct(tl), " +
+      "['the','be','to','of','and','that','have','with'])) AS ns FROM tk) " +
+      "SELECT doc_id, (ntok >= 50 AND ntok <= 100000 AND meanlen >= 3.0 " +
+      "AND meanlen <= 10.0 AND symr < 0.1 AND bf < 0.9 AND ef < 0.3 " +
+      "AND af > 0.8 AND ns >= 2) AS keep, " +
+      "ntok >= 50 AND ntok <= 100000 AS ok_word_count, " +
+      "meanlen >= 3.0 AND meanlen <= 10.0 AS ok_mean_word_len, " +
+      "symr < 0.1 AS ok_symbol_ratio, bf < 0.9 AS ok_bullet_lines, " +
+      "ef < 0.3 AS ok_ellipsis_lines, af > 0.8 AS ok_alpha_words, " +
+      "ns >= 2 AS ok_stopwords FROM m"),
     "text_quality" -> ("SELECT doc_id, CAST(length(text) AS BIGINT) AS len, " +
       "round(CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) " +
       "/ greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_ratio, " +

@@ -203,6 +203,65 @@ object TextAnalysis {
       (len / greatest(nTok, lit(1.0))).as("mean_token_len"))
   }
 
+  /** Gopher-style quality RULES (Rae et al. 2021, the published
+    * crawl-filter rule set) as explicit per-document booleans — the
+    * auditable complement to [[qualityScore]]'s scalar: a pipeline
+    * can report WHICH rule dropped a document, not just that one did.
+    * Every term is an exact integer/ratio computation over the shared
+    * tokenizer, so the DuckDB oracle replays each boolean:
+    *  - ok_word_count: 50 <= tokens <= 100000
+    *  - ok_mean_word_len: mean token length in [3, 10]
+    *  - ok_symbol_ratio: (# + ellipsis occurrences) / tokens < 0.1
+    *  - ok_bullet_lines: < 90% of lines start with a bullet
+    *  - ok_ellipsis_lines: < 30% of lines end with "..."
+    *  - ok_alpha_words: > 80% of tokens contain a letter
+    *  - ok_stopwords: >= 2 distinct common-English stopwords present
+    * `keep` is their conjunction. Narrow per-row expressions, zero
+    * shuffle, fully pushdown-friendly. */
+  def gopherRules(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val meanLen = length(array_join(toks, "")).cast("double") / greatest(nTok, lit(1.0))
+    val hashes = (length(text) - length(regexp_replace(text, "#", ""))).cast("double")
+    val ellipses =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = (hashes + ellipses) / greatest(nTok, lit(1.0))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("* ") ||
+        trim(l).startsWith("•"))).cast("double") / greatest(nLines, lit(1.0))
+    val ellipsisFrac = size(filter(lines, l =>
+      trim(l).endsWith("..."))).cast("double") / greatest(nLines, lit(1.0))
+    val alphaFrac = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      greatest(nTok, lit(1.0))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStops = size(array_intersect(
+      array_distinct(tokens(lower(text))),
+      array(gopherStops.map(lit): _*)))
+    struct(
+      (size(toks) >= 50 && size(toks) <= 100000).as("ok_word_count"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_mean_word_len"),
+      (symbolRatio < 0.1).as("ok_symbol_ratio"),
+      (bulletFrac < 0.9).as("ok_bullet_lines"),
+      (ellipsisFrac < 0.3).as("ok_ellipsis_lines"),
+      (alphaFrac > 0.8).as("ok_alpha_words"),
+      (nStops >= 2).as("ok_stopwords")
+    ) match { case s =>
+      struct((s.getField("ok_word_count") && s.getField("ok_mean_word_len") &&
+        s.getField("ok_symbol_ratio") && s.getField("ok_bullet_lines") &&
+        s.getField("ok_ellipsis_lines") && s.getField("ok_alpha_words") &&
+        s.getField("ok_stopwords")).as("keep"),
+        s.getField("ok_word_count").as("ok_word_count"),
+        s.getField("ok_mean_word_len").as("ok_mean_word_len"),
+        s.getField("ok_symbol_ratio").as("ok_symbol_ratio"),
+        s.getField("ok_bullet_lines").as("ok_bullet_lines"),
+        s.getField("ok_ellipsis_lines").as("ok_ellipsis_lines"),
+        s.getField("ok_alpha_words").as("ok_alpha_words"),
+        s.getField("ok_stopwords").as("ok_stopwords"))
+    }
+  }
+
   /** scalar quality score in [0,1]: high alpha, some stopwords, sane
     * token length, low punctuation. */
   def qualityScore(text: Column): Column = {

@@ -65,6 +65,41 @@ class CurationSpec extends SparkSpec {
     assert(hits2 == Map(1L -> 3L, 5L -> 3L))
   }
 
+  test("gopherRules: each rule trips on its own violation, clean prose keeps") {
+    import graft.ops.TextAnalysis
+    // 60 words of plain prose with stopwords: passes everything
+    val good = (("the quick brown fox jumps over the lazy dog and " * 6).trim)
+    val cases = Seq(
+      ("good", good),
+      ("short", "the and one two three"),                       // word_count
+      ("longwords", Array.fill(60)("pneumonoultramicroscopic").mkString(" ")
+        + " the and"),                                          // mean_word_len
+      ("symbols", good + " " + Array.fill(20)("#").mkString(" ")), // symbol_ratio
+      ("bullets", (Seq.fill(10)("- " + good).mkString("\n"))),   // bullet_lines
+      ("ellipses", (Seq.fill(10)(good + "...").mkString("\n"))), // ellipsis_lines
+      ("numbers", good + " " + (1 to 60).map(_.toString).mkString(" ")), // alpha_words
+      ("salad", Array.tabulate(60)(i => s"zq$i").mkString(" "))  // stopwords
+    ).toDF("name", "text")
+    val out = cases.select($"name", TextAnalysis.gopherRules($"text").as("g"))
+      .select($"name", $"g.keep", $"g.ok_word_count", $"g.ok_mean_word_len",
+        $"g.ok_symbol_ratio", $"g.ok_bullet_lines", $"g.ok_ellipsis_lines",
+        $"g.ok_alpha_words", $"g.ok_stopwords")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("good").getBoolean(1), out("good"))
+    def failsOnly(name: String, idx: Int): Unit = {
+      val r = out(name)
+      assert(!r.getBoolean(1), s"$name must not keep")
+      assert(!r.getBoolean(idx), s"$name must fail field $idx")
+    }
+    failsOnly("short", 2)
+    failsOnly("longwords", 3)
+    failsOnly("symbols", 4)
+    failsOnly("bullets", 5)
+    failsOnly("ellipses", 6)
+    failsOnly("numbers", 7)
+    failsOnly("salad", 8)
+  }
+
   test("fixMojibake repairs double-encoded text, leaves honest text alone") {
     def mojibake(clean: String): String = {
       // UTF-8 bytes viewed through cp1252 (the classic corruption)
