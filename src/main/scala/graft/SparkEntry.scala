@@ -2731,8 +2731,12 @@ object SparkEntry {
       val merged = graft.ops.Profile.mergedCms(s, uri, "l_suppkey")
       val oneShot = graft.ops.Profile.cmsCells(
         t(s, d, "lineitem"), "l_suppkey", depth = 4, width = 4096)
-      val mergeExact = merged.exceptAll(oneShot).isEmpty &&
-        oneShot.exceptAll(merged).isEmpty
+      // one full-outer compare job (missing cell on either side or a
+      // differing count = mismatch) instead of two exceptAll passes
+      val mergeExact = merged.withColumnRenamed("cnt", "a")
+        .join(oneShot.withColumnRenamed("cnt", "b"), Seq("d", "bucket"), "full")
+        .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+        .isEmpty
       val massPerRow = merged.groupBy("d").agg(sum("cnt").as("m"))
         .select(countDistinct(col("m")).as("k"), min(col("m")).as("m")).head()
       val exact = t(s, d, "lineitem").groupBy(col("l_suppkey"))
