@@ -148,6 +148,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     registerCol("fix_mojibake",
       "fix_mojibake(text) - repair UTF-8-as-Latin1/cp1252 double encoding (strict, conservative)", 1)(
       cs => graft.ops.Curation.fixMojibake(cs.head))
+    registerCol("gopher_keep",
+      "gopher_keep(text) - Gopher quality-rule conjunction (true = passes every rule)", 1)(
+      cs => graft.ops.TextAnalysis.gopherRules(cs.head).getField("keep"))
     registerCol("strip_markup",
       "strip_markup(html) - HTML to text: drop script/style/comments/tags, decode entities", 1)(
       cs => graft.ops.Curation.stripMarkup(cs.head))

@@ -323,9 +323,13 @@ object Curation {
       benchmark: DataFrame, benchmarkText: String, n: Int = 8,
       fpp: Double = 1e-6, expectedGrams: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
+    // materialized once: the distinct gram set feeds the count, the
+    // bloom build AND the verification join (three consumers — without
+    // this the benchmark explode+distinct runs three times)
     val benchGrams = benchmark
       .select(explode(gramHashes(col(benchmarkText), n)).as("g"))
       .distinct()
+      .localCheckpoint(true)
     val expected = if (expectedGrams > 0) expectedGrams else benchGrams.count()
     val bloom = benchGrams.stat.bloomFilter("g", math.max(expected, 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
@@ -525,6 +529,8 @@ object Curation {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
       salt: String = "graft"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("__wkey"),
+      "input already has a __wkey column (scratch name collision)")
     val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))
       .cast("binary")), 1, 6), 16, 10).cast("long")
     // u in (0,1): +0.5 keeps 0 out so pow(u, 1/w) never collapses

@@ -134,6 +134,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT fix_mojibake('cafÃ©') AS a, " +
         "fix_mojibake('plain') AS b").as[(String, String)].head()
     assert(moji == (("café", "plain")), moji.toString)
+    // gopher_keep: prose with stopwords keeps, word salad does not
+    val keepTxt = ("the quick brown fox jumps over the lazy dog and " * 6).trim
+    val gk = spark.sql(
+      s"SELECT gopher_keep('$keepTxt') AS a, gopher_keep('zq zr zs') AS b")
+      .as[(Boolean, Boolean)].head()
+    assert(gk == ((true, false)), gk.toString)
   }
 
   test("SQL numeric-array coercion: decimal/int literals feed the float kernels") {

@@ -86,6 +86,34 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming ingest keeps profiling sidecars current incrementally") {
+    import graft.storage.ArrayTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val uri = TestSession.tmpDir("arrcms")
+    ArrayTable.create(spark, uri,
+      graft.core.ArraySchema.infer(
+        Seq((0L, 0L)).toDF("x", "v").schema, Seq("x")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = EventStreams.writeArrayStream(
+      in.toDF().toDF("x", "v"), uri, TestSession.tmpDir("arrcms-ckpt"))
+    try {
+      in.addData((1L, 7L), (2L, 7L))
+      q.processAllAvailable()
+      // sketch after batch 0: only that fragment is sketched
+      assert(graft.ops.Profile.writeFragmentCms(spark, uri, "v",
+        depth = 4, width = 256) == 1)
+      in.addData((3L, 7L), (4L, 9L))
+      q.processAllAvailable()
+      // the incremental call sketches exactly the NEW fragment
+      assert(graft.ops.Profile.writeFragmentCms(spark, uri, "v",
+        depth = 4, width = 256) == 1)
+      val est = graft.ops.Profile.cmsEstimates(spark, uri, "v",
+        Seq(7L, 9L).toDF("v"), "v").as[(Long, Long)].collect().toMap
+      assert(est(7L) >= 3L && est(9L) >= 1L, est)
+    } finally { q.stop() }
+  }
+
   test("array-table fragments feed a continuous stream") {
     import graft.storage.ArrayTable
     val uri = TestSession.tmpDir("arrstream")
