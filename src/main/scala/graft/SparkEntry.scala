@@ -2717,6 +2717,26 @@ object SparkEntry {
         lit(math.abs(est - exact) <= width).as("p50_in_bound"))
     }),
 
+    // distribution drift between MVCC windows from sketch files alone:
+    // total-variation distance of the pre-cut window's quantity
+    // histogram vs the full table's, both merged from per-fragment
+    // sidecars (no data reads); DuckDB recomputes both histograms and
+    // the TV sum from the raw rows
+    "hist_drift" -> ((s, d) => {
+      val uri = ttLineitem(s, d)
+      val (lo, hi, nb) = (0.0, 51.0, 51)
+      graft.ops.Profile.writeFragmentHistograms(s, uri, "l_quantity", lo, hi, nb)
+      def hist(at: Option[(Long, Long)]) =
+        graft.ops.Profile.mergedHistogram(s, uri, "l_quantity", at)
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val h1 = hist(Some((0L, 1500L)))
+      val h2 = hist(None)
+      s.range(1).select(
+        lit(h1.map(_._2).sum).as("n_old"),
+        lit(h2.map(_._2).sum).as("n_all"),
+        round(lit(graft.ops.Profile.histogramDrift(h1, h2)), 6).as("drift"))
+    }),
+
     // mergeable count-min sketch: fragment sketches must merge into
     // EXACTLY the one-shot sketch of the whole table (cell for cell —
     // counts add element-wise, the hash family is shared), each depth
@@ -4248,6 +4268,16 @@ object SparkEntry {
       "true AS incremental_ok, true AS ndv_ok FROM lineitem"),
     "hist_quantile_gate" -> ("SELECT count(l_quantity) AS n_rows, " +
       "true AS incremental_ok, true AS p50_in_bound FROM lineitem"),
+    "hist_drift" -> (s"WITH q AS (SELECT least(greatest(" +
+      "CAST(floor(CAST(l_quantity AS DOUBLE)) AS INT), 0), 50) AS b, " +
+      s"CASE WHEN l_shipdate < TIMESTAMP '$shipCut' THEN 1 ELSE 0 END AS old " +
+      "FROM lineitem), " +
+      "h AS (SELECT b, sum(old) AS c1, count(*) AS c2 FROM q GROUP BY b), " +
+      "n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1, " +
+      "CAST(sum(c2) AS DOUBLE) AS n2 FROM h) " +
+      "SELECT CAST(n.n1 AS BIGINT) AS n_old, CAST(n.n2 AS BIGINT) AS n_all, " +
+      "round(0.5 * (SELECT sum(abs(c1/n.n1 - c2/n.n2)) FROM h), 6) AS drift " +
+      "FROM n"),
     "cms_gate" -> ("SELECT count(l_suppkey) AS n_rows, " +
       "true AS mass_uniform, true AS incremental_ok, " +
       "true AS merge_exact, true AS all_ge FROM lineitem"),

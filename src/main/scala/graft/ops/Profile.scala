@@ -185,14 +185,39 @@ object Profile {
   }
 
   /** Merged (bucket, cnt) counts over the LIVE fragments — sketch
-    * files only, no data reads. */
+    * files only, no data reads. `at` restricts the merge to an MVCC
+    * timestamp window (sketches are per fragment, so a windowed merge
+    * is just a different file subset — the snapshot-comparison
+    * primitive behind [[histogramDrift]]). */
   def mergedHistogram(spark: org.apache.spark.sql.SparkSession,
-      uri: String, colName: String): DataFrame = {
+      uri: String, colName: String,
+      at: Option[(Long, Long)] = None): DataFrame = {
     import graft.storage.ArrayTable
-    val live = ArrayTable.fragments(spark, uri).map(_.name)
+    val frags0 = ArrayTable.fragments(spark, uri)
+    val frags = at match {
+      case Some((t0, t1)) => frags0.filter(f => f.ts >= t0 && f.ts <= t1)
+      case None => frags0
+    }
     spark.read.parquet(
-        live.map(n => s"$uri/__profile_hist/$colName/$n.parquet"): _*)
+        frags.map(f => s"$uri/__profile_hist/$colName/${f.name}.parquet"): _*)
       .groupBy("bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Total-variation distance between two histograms over the same
+    * pinned bounds: 0.5 * sum_b |p1(b) - p2(b)| in [0, 1] — the
+    * "did the distribution shift between snapshot t and t'" number,
+    * computed from sketch files alone (combine with the `at` window
+    * of [[mergedHistogram]]; zero data reads, zero corpus passes).
+    * Bucket-width resolution: shifts inside one bucket are invisible,
+    * the usual equi-width-sketch contract. */
+  def histogramDrift(h1: Seq[(Int, Long)], h2: Seq[(Int, Long)]): Double = {
+    val n1 = h1.map(_._2).sum.toDouble
+    val n2 = h2.map(_._2).sum.toDouble
+    if (n1 == 0 || n2 == 0) return if (n1 == n2) 0.0 else 1.0
+    val m1 = h1.toMap; val m2 = h2.toMap
+    0.5 * (m1.keySet ++ m2.keySet).toSeq.sorted.map { b =>
+      math.abs(m1.getOrElse(b, 0L) / n1 - m2.getOrElse(b, 0L) / n2)
+    }.sum
   }
 
   /** Quantile estimate from a merged histogram: find the bucket

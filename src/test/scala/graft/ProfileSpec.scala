@@ -128,6 +128,33 @@ class ProfileSpec extends SparkSpec {
     assert(hist2(nb - 1) == 26L && hist2.values.sum == 1001L)
   }
 
+  test("histogram drift: windowed sidecar merges, TV distance, planted shift") {
+    val uri = TestSession.tmpDir("profile-drift")
+    // window 1: uniform 0..99; window 2 adds a mass spike at 90..99
+    val w1 = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble))
+    val w2 = (0 until 500).map(i => (5000L + i, 90.0 + (i % 10)))
+    ArrayTable.ingest(spark, w1.toDF("id", "v"), uri, Seq("id"),
+      tsOpt = Some(1000L), overwrite = true)
+    ArrayTable.ingest(spark, w2.toDF("id", "v"), uri, Seq("id"),
+      tsOpt = Some(2000L))
+    val (lo, hi, nb) = (0.0, 100.0, 10)
+    assert(Profile.writeFragmentHistograms(spark, uri, "v", lo, hi, nb) == 2)
+    def hist(at: Option[(Long, Long)]) =
+      Profile.mergedHistogram(spark, uri, "v", at)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val h1 = hist(Some((0L, 1500L)))
+    val hAll = hist(None)
+    assert(h1.map(_._2).sum == 1000L && hAll.map(_._2).sum == 1500L)
+    // closed form: window 1 uniform (p=0.1/bucket); full corpus has
+    // bucket 9 at (100+500)/1500 = 0.4, others at 100/1500
+    val drift = Profile.histogramDrift(h1, hAll)
+    val want = 0.5 * (9 * math.abs(0.1 - 100.0 / 1500) + math.abs(0.1 - 600.0 / 1500))
+    assert(math.abs(drift - want) < 1e-12, (drift, want))
+    // identical windows drift 0; empty-vs-nonempty drifts 1
+    assert(Profile.histogramDrift(h1, h1) == 0.0)
+    assert(Profile.histogramDrift(Nil, h1) == 1.0)
+  }
+
   test("count-min sketch: exact merges, domination, pinned params, point probes") {
     val uri = TestSession.tmpDir("profile-cms")
     // skewed counts: value i appears i+1 times, split across fragments
