@@ -1152,6 +1152,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     }),
+    // deterministic sparse random projection (Achlioptas JL): the
+    // md5-derived +-1/0 matrix is a pure function of (salt, dims), so
+    // DuckDB rebuilds it bit-identically and replays every projected
+    // coordinate
+    "random_projection" -> ((s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), "vec_id", "embedding",
+        outDim = 16, inDim = 64)),
     // metadata-filtered vector search: exact top-k among label=1 rows
     // only (DuckDB replays the WHERE); k eligible rows, never fewer
     "knn_filtered" -> ((s, d) => {
@@ -4186,6 +4193,17 @@ object SparkEntry {
       s"FROM g x JOIN g y ON y.doc_id = x.doc_id + $DupOff AND x.doc_id < $DupOff"),
     // exact brute-force top-k is SQL-expressible: same cosine formula
     // (dot / (sqrt(dot)*sqrt(dot))) over DOUBLE[] on both engines
+    // the projection matrix rebuilt from the same md5 keys, every
+    // coordinate an order-insensitive round-6 dot product
+    "random_projection" -> ("WITH s AS (SELECT i.range AS i, j.range AS j, " +
+      "CASE (CAST(concat('0x', substring(md5(concat('graft:', i.range, '_', " +
+      "j.range)), 1, 6)) AS BIGINT) % 6) " +
+      "WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS sgn " +
+      "FROM range(0,16) i, range(0,64) j), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+      "SELECT e.vec_id, CAST(s.i AS INT) AS proj_idx, " +
+      "round(sum(v[s.j + 1] * s.sgn), 6) AS value " +
+      "FROM e, s GROUP BY e.vec_id, s.i"),
     "knn_filtered" -> ("WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v " +
       "FROM embeddings WHERE label = 1), " +
       "q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +

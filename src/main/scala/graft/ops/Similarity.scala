@@ -612,6 +612,50 @@ object Similarity {
       .select((col("__hits").cast("double") / col("__n")).as("recall"))
   }
 
+  // ------------------------------------- deterministic random projection
+
+  /** Deterministic SPARSE RANDOM PROJECTION (the Achlioptas
+    * Johnson-Lindenstrauss construction): out_i = sum_j v_j * s(i,j)
+    * with s in {+1, 0, -1} drawn (1/6, 2/3, 1/6) from the md5-24-bit
+    * hash of (salt, i, j) — the cheap dimensionality reduction in
+    * front of brute-force/IVF search when 64+ dims cost too much per
+    * distance. Two properties the md5 derivation buys:
+    *  - REPRODUCIBLE everywhere: the matrix is a pure function of
+    *    (salt, dims) — no trained state, no stored artifact, any
+    *    engine with md5 rebuilds it bit-identically (the DuckDB
+    *    oracle replays the whole projection), and a re-run months
+    *    later projects into the SAME space, so stored projections
+    *    stay comparable.
+    *  - EXACT entries: +-1/0 (the sqrt(3/k) normalization is
+    *    deliberately omitted — a global scalar changes no cosine and
+    *    no rank), so the per-row work is `outDim` fused [[DotF]]
+    *    dot products against literal rows: narrow, codegen'd, zero
+    *    shuffle, zero corpus pass to "train".
+    * Returns long-form (idCol, proj_idx, value) rows. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, inDim: Int, salt: String = "graft"): DataFrame = {
+    require(outDim >= 1 && inDim >= 1 && outDim <= 4096,
+      s"bad projection dims $inDim -> $outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h24(key: String): Long = {
+      val d = md.digest(key.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 16) | ((d(1) & 0xFFL) << 8) | (d(2) & 0xFFL)
+    }
+    val m: Array[Array[Float]] = Array.tabulate(outDim)(i =>
+      Array.tabulate(inDim) { j =>
+        (h24(s"$salt:${i}_$j") % 6) match {
+          case 0 => 1f
+          case 1 => -1f
+          case _ => 0f
+        }
+      })
+    val projected = array((0 until outDim).map(i =>
+      graft.functions.DotF(col(vecCol), lit(m(i)))): _*)
+    df.select(col(idCol), posexplode(projected))
+      .select(col(idCol), col("pos").as("proj_idx"),
+        round(col("col"), 6).as("value"))
+  }
+
   // ------------------------------------------------- int8 quantization
 
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127,

@@ -402,6 +402,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("randomProject: deterministic, sparse, rank-preserving enough for ANN") {
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(64)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val p = Similarity.randomProject(vecs, "vec_id", "embedding", 16, 64)
+    val rows = p.as[(Long, Int, Double)].collect()
+    assert(rows.length == 200 * 16)
+    // reproducible across invocations and partitionings
+    val p2 = Similarity.randomProject(vecs.repartition(7), "vec_id", "embedding", 16, 64)
+    assert(p2.as[(Long, Int, Double)].collect().toSet == rows.toSet)
+    // a different salt projects into a different space
+    val p3 = Similarity.randomProject(vecs, "vec_id", "embedding", 16, 64,
+      salt = "other").as[(Long, Int, Double)].collect().toSet
+    assert(p3 != rows.toSet)
+    // JL sanity: top-1 brute neighbor in projected space agrees with
+    // the full-space top-1 for most queries (16 of 64 dims kept)
+    val proj = rows.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.sortBy(_._2).map(_._3.toFloat)
+    }
+    val projDf = proj.toSeq.toDF("vec_id", "embedding")
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.bruteForceTopK(df, "vec_id", "embedding",
+        df.filter($"vec_id" < 20), "vec_id", "embedding", k = 2)
+        .filter($"rank" === 2) // rank 1 is the query itself
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val full = top1(vecs)
+    val reduced = top1(projDf)
+    val agree = (0L until 20L).count(q => full.get(q) == reduced.get(q))
+    assert(agree >= 12, s"projected top-1 agreement too low: $agree/20")
+  }
+
   test("filtered vector search: payload predicate in the cell scan, no leaks") {
     val vecs = (0 until 400).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat),
