@@ -218,11 +218,25 @@ object Multimodal {
       }
     }
     if (nOut < nPix) return None
-    val rgb = new Array[Int](nPix)
+    var rgb = new Array[Int](nPix)
     var p = 0
     while (p < nPix) {
       rgb(p) = palette(indices(p) & (palette.length - 1))
       p += 1
+    }
+    if ((iflags & 0x40) != 0) {
+      // deinterlace: storage order is the 4 GIF passes concatenated;
+      // place each stored row at its display position (mean-only
+      // consumers never cared, but frame re-encodes are
+      // placement-sensitive — dHash/resize read real row positions)
+      val order = (0 until ih by 8) ++ (4 until ih by 8) ++
+        (2 until ih by 4) ++ (1 until ih by 2)
+      val out = new Array[Int](nPix)
+      var s = 0
+      order.foreach { d =>
+        System.arraycopy(rgb, s * iw, out, d * iw, iw); s += 1
+      }
+      rgb = out
     }
     Some((iw, ih, rgb, pos))
   }
@@ -234,7 +248,14 @@ object Multimodal {
     * (sub-block walk, no decode, no pixel allocation) — stride-N
     * sampling of an M-frame payload decodes M/N frames, which is what
     * keeps frame sampling linear in the SAMPLE at 100 TB, not in the
-    * footage. None for non-GIF payloads. */
+    * footage. None for non-GIF payloads.
+    *
+    * Documented subset: FULL-FRAME animations only. Inter-frame
+    * OPTIMIZED GIFs — delta frames at a nonzero offset, sub-rect
+    * frames, or transparency (whose pixels mean "previous frame's
+    * value") — would need canvas compositing to render correctly, so
+    * multi-frame payloads using any of those decline (None → callers
+    * fall back) rather than emit sub-rects as fake full frames. */
   private[graft] def gifFrames(bytes: Array[Byte],
       keep: Int => Boolean = _ => true): Option[Seq[(Int, Int, Int, Array[Int])]] = {
     if (bytes.length < 14) return None
@@ -242,6 +263,8 @@ object Multimodal {
           (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')) return None
     try {
       def u8(i: Int) = bytes(i) & 0xFF
+      def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
+      val screenW = u16(6); val screenH = u16(8)
       val screenFlags = u8(10)
       var pos = 13
       var gct: Array[Int] = null
@@ -254,15 +277,21 @@ object Multimodal {
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
       var idx = 0
       var sawFrame = false
+      var composited = false // delta/sub-rect/transparent frames seen
       var go = true
       while (go && pos < bytes.length) {
         u8(pos) match {
           case 0x21 => // extension: introducer + label + sub-blocks
+            if (u8(pos + 1) == 0xF9 && (u8(pos + 3) & 1) == 1)
+              composited = true // GCE transparency: pixels mean "previous frame"
             pos += 2
             while (u8(pos) != 0) pos += 1 + u8(pos)
             pos += 1
           case 0x2C =>
             sawFrame = true
+            if (u16(pos + 1) != 0 || u16(pos + 3) != 0 ||
+                u16(pos + 5) != screenW || u16(pos + 7) != screenH)
+              composited = true // offset / sub-rect delta frame
             if (keep(idx)) gifImageBlock(bytes, pos, gct) match {
               case Some((iw, ih, rgb, next)) =>
                 frames += ((idx, iw, ih, rgb)); pos = next
@@ -282,7 +311,9 @@ object Multimodal {
           case _ => return None
         }
       }
-      if (!sawFrame) None else Some(frames.toSeq)
+      // multi-frame + compositing semantics = out of subset (single
+      // frames render standalone either way)
+      if (!sawFrame || (idx > 1 && composited)) None else Some(frames.toSeq)
     } catch { case _: Exception => None }
   }
 
@@ -1392,7 +1423,12 @@ object Multimodal {
     * and CABAC return None and fall through to the documented stub —
     * the same partial-by-documentation contract as the WebP-class
     * codec filters in the reference (tiledb/filter.py:690). */
-  private[graft] def decodeH264IPcm(bytes: Array[Byte]): Option[H264Raw] = {
+  /** `samples = false` is the METADATA walk: I_PCM payloads are
+    * skipped with a byte-aligned position jump instead of per-bit
+    * reads (raw 4:2:0 streams are huge; dims/frame counts must not
+    * cost a full sample decode) — mean_luma reports 0. */
+  private[graft] def decodeH264IPcm(bytes: Array[Byte],
+      samples: Boolean = true): Option[H264Raw] = {
     if (bytes.length < 5) return None
     // ---- Annex-B NAL segmentation ----
     val nals = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -1506,10 +1542,16 @@ object Multimodal {
               while (br.pos < end && mb < total) { // more_rbsp_data
                 if (br.ue() != 25) return None // I_PCM only
                 br.align()
-                var k = 0
-                while (k < 256) { lumaSum += br.u(8); k += 1 }
-                k = 0
-                while (k < 128) { br.u(8); k += 1 } // Cb + Cr, 4:2:0
+                if (samples) {
+                  var k = 0
+                  while (k < 256) { lumaSum += br.u(8); k += 1 }
+                  k = 0
+                  while (k < 128) { br.u(8); k += 1 } // Cb + Cr, 4:2:0
+                } else {
+                  br.pos += 384 * 8 // 256 luma + 128 chroma, byte-aligned
+                  if (br.pos > br.b.length * 8)
+                    throw new IllegalArgumentException("truncated pcm")
+                }
                 mbs += 1; mb += 1
               }
             case 1 => return None // non-IDR coded slice: out of subset
@@ -1519,7 +1561,7 @@ object Multimodal {
       }
       if (frames == 0 || mbs == 0) None
       else Some(H264Raw(wMbs * 16 - cropX, hMbs * 16 - cropY, frames, mbs,
-        lumaSum.toDouble / (256.0 * mbs), profile, level))
+        if (samples) lumaSum.toDouble / (256.0 * mbs) else 0.0, profile, level))
     } catch { case _: Exception => None }
   }
 
@@ -1546,7 +1588,7 @@ object Multimodal {
           case Some((w, h, frames, fps)) => VideoMeta(r.doc_id, w, h, frames, fps)
           case None => mp4Meta(r.content) match {
             case Some(m) => VideoMeta(r.doc_id, m.width, m.height, 0L, 0.0)
-            case None => decodeH264IPcm(r.content) match {
+            case None => decodeH264IPcm(r.content, samples = false) match {
               case Some(h) => // raw Annex-B elementary stream: no container fps
                 VideoMeta(r.doc_id, h.width, h.height, h.nFrames, 0.0)
               case None =>

@@ -198,7 +198,12 @@ object Profile {
       case Some((t0, t1)) => frags0.filter(f => f.ts >= t0 && f.ts <= t1)
       case None => frags0
     }
-    spark.read.parquet(
+    if (frags.isEmpty) {
+      // a window before the first fragment is a legal question with an
+      // empty answer, not a parquet-inference crash
+      import spark.implicits._
+      spark.emptyDataset[(Int, Long)].toDF("bucket", "cnt")
+    } else spark.read.parquet(
         frags.map(f => s"$uri/__profile_hist/$colName/${f.name}.parquet"): _*)
       .groupBy("bucket").agg(sum("cnt").as("cnt"))
   }
@@ -214,7 +219,12 @@ object Profile {
     val n1 = h1.map(_._2).sum.toDouble
     val n2 = h2.map(_._2).sum.toDouble
     if (n1 == 0 || n2 == 0) return if (n1 == n2) 0.0 else 1.0
-    val m1 = h1.toMap; val m2 = h2.toMap
+    // group-sum duplicate bucket keys so ungrouped per-fragment rows
+    // are a legal input (toMap alone would keep one row per bucket
+    // while n counts them all — inconsistent probabilities)
+    def fold(h: Seq[(Int, Long)]) =
+      h.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).sum }
+    val m1 = fold(h1); val m2 = fold(h2)
     0.5 * (m1.keySet ++ m2.keySet).toSeq.sorted.map { b =>
       math.abs(m1.getOrElse(b, 0L) / n1 - m2.getOrElse(b, 0L) / n2)
     }.sum

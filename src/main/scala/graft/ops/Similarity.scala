@@ -448,9 +448,14 @@ object Similarity {
       .write.partitionBy("centroid_id").mode("overwrite")
       .parquet(s"$uri/cells")
     import graft.core.Json._
-    val json = JObj(Seq("centroids" -> JArr(cents.map { case (cid, v) =>
-      JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
-    }))).render
+    // payload column list is PINNED here so appends validate against a
+    // tiny sidecar read instead of re-inferring the parquet schema of
+    // the whole (growing) cells tree per batch
+    val json = JObj(Seq(
+      "centroids" -> JArr(cents.map { case (cid, v) =>
+        JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
+      }),
+      "payload" -> JArr(payload.map(JStr)))).render
     graft.storage.VFS(corpus.sparkSession).writeString(s"$uri/centroids.json", json)
   }
 
@@ -468,11 +473,14 @@ object Similarity {
       uri: String): Unit = {
     val spark = batch.sparkSession
     val cents = indexCentroids(spark, uri)
-    // payload columns are INFERRED from the live index schema so an
-    // append can never silently drop the filterable metadata (the
-    // batch must carry every payload column the index stores)
-    val payload = spark.read.parquet(cellsPath(spark, uri))
-      .schema.fieldNames.filterNot(IvfCellCols).toSeq
+    // payload columns come from the build-time sidecar (one tiny json
+    // read per append — NOT a parquet schema inference over the whole
+    // cells tree, which a per-micro-batch streaming append would pay
+    // repeatedly); indexes built before the sidecar key fall back to
+    // the schema walk once
+    val payload = indexPayload(spark, uri).getOrElse(
+      spark.read.parquet(cellsPath(spark, uri))
+        .schema.fieldNames.filterNot(IvfCellCols).toSeq)
     val missing = payload.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"append batch lacks index payload columns: $missing")
     batch.select(col(batchId).as("neighbor_id") +: col(batchVec).as("vec")
@@ -519,6 +527,16 @@ object Similarity {
       .repartition(math.max(1, nCells), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite").parquet(next)
     graft.storage.VersionedDir.commit(fs, uri, "cells", next)
+  }
+
+  /** Payload column list pinned at build; None for pre-payload-key
+    * indexes (callers fall back to schema inference once). */
+  private def indexPayload(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Option[Seq[String]] = {
+    import graft.core.Json._
+    graft.core.Json.parse(
+        graft.storage.VFS(spark).readString(s"$uri/centroids.json"))
+      .obj("payload").map(_.arr.map(_.str))
   }
 
   /** Centroids of a persisted IVF index. */

@@ -560,6 +560,32 @@ class MultimodalSpec extends SparkSpec {
       stub.map(_.frame.length).toSeq == Seq(256, 88)) // 600 = 256+256+88
   }
 
+  test("sampleFrames deinterlaces: rows land at display positions, not storage order") {
+    import spark.implicits._
+    // 4x8 indexed image, ROW-coded colors; the JDK writer emits it
+    // INTERLACED (storage order 0,4,2,6,1,3,5,7), so any frame
+    // re-encode that skips deinterlacing misplaces 6 of 8 rows
+    val (w, h) = (4, 8)
+    val palette = Array.tabulate(h)(y => (10 * y + 5) * 0x010101)
+    val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
+      false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, palette(y))
+    val bytes = encode(img, "gif")
+    val descIdx = bytes.indexOf(0x2C.toByte)
+    assert(descIdx > 0 && (bytes(descIdx + 9) & 0x40) != 0, "fixture not interlaced")
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRow(1L, bytes, "image", "gif")).toDS(), stride = 1).collect()
+    assert(frames.length == 1)
+    val p6 = frames.head.frame
+    val headerLen = s"P6\n$w $h\n255\n".length
+    for (y <- 0 until h) {
+      val v = p6(headerLen + y * w * 3) & 0xFF // red of first pixel in row y
+      assert(v == 10 * y + 5, s"row $y has value $v (misplaced rows?)")
+    }
+  }
+
   test("resizeImages: real box-filter downscale, P6 re-encode, stub fallback") {
     import spark.implicits._
     // 4x2 P6: pixel (y,x,c) = (y*4+x)*3 + c; factor 2 -> 2x1
