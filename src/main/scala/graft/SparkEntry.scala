@@ -1791,29 +1791,9 @@ object SparkEntry {
         val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
         val b0 = ((7 * id) % 160).toInt
         val nf = 2 + (id % 3).toInt
-        javax.imageio.ImageIO.setUseCache(false)
-        val bos = new java.io.ByteArrayOutputStream()
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        for (f <- 0 until nf) {
-          val palette = Array.tabulate(w)(x =>
-            ((r0 + f * 11 + x) << 16) | ((g0 + f * 13 + x) << 8) | (b0 + f * 17 + x))
-          val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
-            false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, palette(x)); x += 1 }
-            y += 1
-          }
-          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-        }
-        writer.endWriteSequence(); writer.dispose(); ios.close()
-        Multimodal.MediaRow(id, bos.toByteArray, "image", "gif")
+        val bytes = graft.tools.MediaFixtures.animatedGif(w, h, nf)((f, x, _) =>
+          ((r0 + f * 11 + x) << 16) | ((g0 + f * 13 + x) << 8) | (b0 + f * 17 + x))
+        Multimodal.MediaRow(id, bytes, "image", "gif")
       }
       val frames = Multimodal.sampleFrames(media, stride = 2)
       val asMedia = frames.map(f =>
@@ -2427,78 +2407,26 @@ object SparkEntry {
 
     // REAL H.264 I_PCM decode under the oracle: per doc a spec-valid
     // Annex-B stream (SPS + PPS + one IDR slice per frame, every
-    // macroblock I_PCM with formula-planted luma) written through a
-    // real Exp-Golomb bit writer WITH emulation-prevention insertion;
-    // DuckDB recomputes dims from the SPS fields and the luma mean
-    // from the planting formula
+    // macroblock I_PCM with formula-planted luma) written through the
+    // SHARED Exp-Golomb writer (tools.MediaFixtures — the same bytes
+    // the spec's fixtures produce) with emulation-prevention
+    // insertion; DuckDB recomputes dims from the SPS fields and the
+    // luma mean from the planting formula
     "media_h264_decode" -> ((s, d) => {
       import s.implicits._
+      import graft.tools.MediaFixtures._
       val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val wMbs = 1 + (id % 3).toInt
         val hMbs = 1 + (id % 2).toInt
         val frames = 1 + (id % 2).toInt
         val out = new java.io.ByteArrayOutputStream()
-        final class BitW {
-          val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
-          def u(v: Int, n: Int): Unit = {
-            var r = n - 1
-            while (r >= 0) { bits += ((v >> r) & 1); r -= 1 }
-          }
-          def ue(v: Int): Unit = {
-            val z = 31 - Integer.numberOfLeadingZeros(v + 1)
-            u(0, z); u(v + 1, z + 1) // z leading zeros then (v+1) in z+1 bits
-          }
-          def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
-          def align(): Unit = while (bits.length % 8 != 0) bits += 0
-        }
-        def nal(refIdc: Int, typ: Int)(body: BitW => Unit): Unit = {
-          out.write(0); out.write(0); out.write(0); out.write(1)
-          out.write((refIdc << 5) | typ)
-          val bw = new BitW
-          body(bw)
-          bw.u(1, 1) // rbsp_stop_one_bit
-          bw.align()
-          var zeros = 0
-          var i = 0
-          while (i < bw.bits.length) {
-            var b = 0; var k = 0
-            while (k < 8) { b = (b << 1) | bw.bits(i + k); k += 1 }
-            if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 } // emu prevention
-            out.write(b); zeros = if (b == 0) zeros + 1 else 0
-            i += 8
-          }
-        }
-        // SPS: baseline 66, level 30, poc_type 2, no crop/VUI
-        nal(3, 7) { w =>
-          w.u(66, 8); w.u(0, 8); w.u(30, 8); w.ue(0)
-          w.ue(0) // log2_max_frame_num_minus4 -> 4 bits
-          w.ue(2) // pic_order_cnt_type
-          w.ue(0); w.u(0, 1) // max_num_ref_frames, gaps
-          w.ue(wMbs - 1); w.ue(hMbs - 1)
-          w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1) // frame_mbs_only, direct8x8, crop, vui
-        }
-        // PPS: CAVLC, one slice group, no deblock-control/redundant
-        nal(3, 8) { w =>
-          w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0)
-          w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
-          w.u(0, 1); w.u(0, 1); w.u(0, 1)
-        }
+        h264Nal(out, 3, 7)(h264Sps(_, wMbs, hMbs))
+        h264Nal(out, 3, 8)(h264Pps(_))
         for (f <- 0 until frames) {
-          nal(3, 5) { w =>
-            w.ue(0)      // first_mb_in_slice
-            w.ue(7)      // slice_type: I (all slices in pic)
-            w.ue(0)      // pps_id
-            w.u(0, 4)    // frame_num (IDR -> 0)
-            w.ue(f)      // idr_pic_id
-            w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
-            w.se(0)      // slice_qp_delta
-            for (m <- 0 until wMbs * hMbs) {
-              w.ue(25)   // mb_type I_PCM
-              w.align()  // pcm_alignment_zero_bit
-              for (k <- 0 until 256)
-                w.u(16 + ((id * 7 + f * 11 + m * 13 + k * 17) % 220).toInt, 8)
-              for (_ <- 0 until 128) w.u(128, 8) // Cb + Cr planes
-            }
+          h264Nal(out, 3, 5) { w =>
+            h264IdrSliceHeader(w, 0, idrPicId = f)
+            for (m <- 0 until wMbs * hMbs)
+              h264IpcmMb(w, k => 16 + ((id * 7 + f * 11 + m * 13 + k * 17) % 220).toInt)
           }
         }
         graft.ops.Multimodal.MediaRow(id, out.toByteArray, "video", "h264")

@@ -1,0 +1,119 @@
+package graft.tools
+
+/** Shared media fixture builders used by BOTH the oracle planting in
+  * `SparkEntry` and the specs — one byte layout, never two copies
+  * that can silently diverge (an emulation-prevention edge fixed in
+  * one writer must reach the other by construction).
+  *
+  * These are ENCODERS for spec-valid test payloads, not part of the
+  * decode surface; they live in main so executor-side oracle planting
+  * closures can reach them. */
+object MediaFixtures {
+
+  // ---------------------------------------------- H.264 Annex-B writer
+
+  /** MSB-first bit buffer with Exp-Golomb encoders (ITU-T H.264
+    * §9.1) and byte alignment for I_PCM payloads. */
+  final class H264Bits {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def u(v: Int, n: Int): Unit = {
+      var r = n - 1
+      while (r >= 0) { bits += ((v >> r) & 1); r -= 1 }
+    }
+    def ue(v: Int): Unit = {
+      val z = 31 - Integer.numberOfLeadingZeros(v + 1)
+      u(0, z); u(v + 1, z + 1) // z leading zeros then (v+1) in z+1 bits
+    }
+    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    def align(): Unit = while (bits.length % 8 != 0) bits += 0
+  }
+
+  /** One NAL: 4-byte start code, header byte, rbsp from `body` with
+    * the stop bit, byte alignment and emulation-prevention insertion
+    * (0x0000 followed by a byte <= 3 gets the 0x03 escape). */
+  def h264Nal(out: java.io.ByteArrayOutputStream, refIdc: Int, typ: Int)(
+      body: H264Bits => Unit): Unit = {
+    out.write(0); out.write(0); out.write(0); out.write(1)
+    out.write((refIdc << 5) | typ)
+    val w = new H264Bits
+    body(w)
+    w.u(1, 1) // rbsp_stop_one_bit
+    w.align()
+    var zeros = 0
+    var i = 0
+    while (i < w.bits.length) {
+      var b = 0; var k = 0
+      while (k < 8) { b = (b << 1) | w.bits(i + k); k += 1 }
+      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 } // emu prevention
+      out.write(b); zeros = if (b == 0) zeros + 1 else 0
+      i += 8
+    }
+  }
+
+  /** Baseline-66 SPS: poc_type 2, frame_mbs_only, no crop/VUI. */
+  def h264Sps(w: H264Bits, wMbs: Int, hMbs: Int): Unit = {
+    w.u(66, 8); w.u(0, 8); w.u(30, 8); w.ue(0)
+    w.ue(0) // log2_max_frame_num_minus4 -> 4 bits
+    w.ue(2) // pic_order_cnt_type
+    w.ue(0); w.u(0, 1) // max_num_ref_frames, gaps
+    w.ue(wMbs - 1); w.ue(hMbs - 1)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1) // frame_mbs_only, direct8x8, crop, vui
+  }
+
+  /** CAVLC PPS, one slice group, no deblock-control/redundant-count. */
+  def h264Pps(w: H264Bits, cabac: Boolean = false): Unit = {
+    w.ue(0); w.ue(0); w.u(if (cabac) 1 else 0, 1); w.u(0, 1); w.ue(0)
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+  }
+
+  /** IDR slice header (I slice, frame_num 0, poc_type-2 layout). */
+  def h264IdrSliceHeader(w: H264Bits, firstMb: Int, idrPicId: Int = 0): Unit = {
+    w.ue(firstMb); w.ue(7); w.ue(0); w.u(0, 4); w.ue(idrPicId)
+    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
+    w.se(0) // slice_qp_delta
+  }
+
+  /** One I_PCM macroblock: mb_type 25, alignment, 256 luma samples
+    * from `luma(k)`, constant-128 chroma planes. */
+  def h264IpcmMb(w: H264Bits, luma: Int => Int): Unit = {
+    w.ue(25); w.align()
+    var k = 0
+    while (k < 256) { w.u(luma(k), 8); k += 1 }
+    k = 0
+    while (k < 128) { w.u(128, 8); k += 1 } // Cb + Cr planes
+  }
+
+  // ------------------------------------------- animated GIF via ImageIO
+
+  /** Multi-frame GIF through the JDK sequence writer: frame f is a
+    * `w` x `h` indexed image whose pixel (x, y) takes `color(f, x, y)`
+    * (packed 0xRRGGBB; each frame's DISTINCT color set must fit one
+    * 256-entry palette). */
+  def animatedGif(w: Int, h: Int, nFrames: Int)(
+      color: (Int, Int, Int) => Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val palette = (for (y <- 0 until h; x <- 0 until w)
+        yield color(f, x, y)).distinct.toArray
+      val icm = new java.awt.image.IndexColorModel(8, palette.length, palette, 0,
+        false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, color(f, x, y)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+}

@@ -428,55 +428,14 @@ class MultimodalSpec extends SparkSpec {
       Array(0xFF, 0xFD, (14 << 4) | (1 << 2), 0xC0).map(_.toByte)).isEmpty)
   }
 
-  // ---- H.264 I_PCM Annex-B builder (mirrors the spec's bit syntax) ----
-  private final class H264Bits {
-    val bits = scala.collection.mutable.ArrayBuffer.empty[Int]
-    def u(v: Int, n: Int): Unit = {
-      var r = n - 1
-      while (r >= 0) { bits += ((v >> r) & 1); r -= 1 }
-    }
-    def ue(v: Int): Unit = {
-      val z = 31 - Integer.numberOfLeadingZeros(v + 1)
-      u(0, z); u(v + 1, z + 1)
-    }
-    def se(v: Int): Unit = ue(if (v > 0) 2 * v - 1 else -2 * v)
-    def align(): Unit = while (bits.length % 8 != 0) bits += 0
-  }
-  private def h264Nal(out: java.io.ByteArrayOutputStream, refIdc: Int, typ: Int)(
-      body: H264Bits => Unit): Unit = {
-    out.write(0); out.write(0); out.write(0); out.write(1)
-    out.write((refIdc << 5) | typ)
-    val w = new H264Bits
-    body(w)
-    w.u(1, 1); w.align()
-    var zeros = 0; var i = 0
-    while (i < w.bits.length) {
-      var b = 0; var k = 0
-      while (k < 8) { b = (b << 1) | w.bits(i + k); k += 1 }
-      if (zeros >= 2 && b <= 3) { out.write(3); zeros = 0 }
-      out.write(b); zeros = if (b == 0) zeros + 1 else 0
-      i += 8
-    }
-  }
-  private def h264Sps(w: H264Bits, wMbs: Int, hMbs: Int): Unit = {
-    w.u(66, 8); w.u(0, 8); w.u(30, 8); w.ue(0)
-    w.ue(0); w.ue(2); w.ue(0); w.u(0, 1)
-    w.ue(wMbs - 1); w.ue(hMbs - 1)
-    w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
-  }
-  private def h264Pps(w: H264Bits, cabac: Boolean = false): Unit = {
-    w.ue(0); w.ue(0); w.u(if (cabac) 1 else 0, 1); w.u(0, 1); w.ue(0)
-    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
-    w.u(0, 1); w.u(0, 1); w.u(0, 1)
-  }
-  private def h264IdrSlice(w: H264Bits, firstMb: Int, mbLuma: Seq[Array[Int]]): Unit = {
-    w.ue(firstMb); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
-    w.u(0, 1); w.u(0, 1); w.se(0)
-    for (luma <- mbLuma) {
-      w.ue(25); w.align()
-      luma.foreach(v => w.u(v, 8))
-      (0 until 128).foreach(_ => w.u(128, 8))
-    }
+  // ---- H.264 I_PCM Annex-B builder: the SHARED fixture writer (the
+  // same bytes the oracle planting emits — see tools.MediaFixtures) ----
+  import graft.tools.MediaFixtures.{h264Nal, h264Sps, h264Pps,
+    h264IdrSliceHeader, h264IpcmMb}
+  private def h264IdrSlice(w: graft.tools.MediaFixtures.H264Bits,
+      firstMb: Int, mbLuma: Seq[Array[Int]]): Unit = {
+    h264IdrSliceHeader(w, firstMb)
+    mbLuma.foreach(luma => h264IpcmMb(w, luma(_)))
   }
 
   test("H.264 I_PCM elementary streams decode for real: SPS dims + exact luma") {
