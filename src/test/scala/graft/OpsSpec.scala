@@ -477,6 +477,12 @@ class OpsSpec extends SparkSpec {
     assert(rr.join(vecs.filter($"label" =!= 1)
       .select($"vec_id".as("neighbor_id")), Seq("neighbor_id"), "left_semi")
       .count() == 0)
+    // compaction rewrites whole rows: payload columns survive the
+    // generation flip and filtered search keeps working
+    Similarity.compactIvfIndex(spark, uri)
+    val afterCompact = Similarity.ivfIndexTopK(spark, uri, q, "vec_id",
+      "embedding", k = 8, nprobe = 8, filter = Some(col("label") === 1))
+    assert(afterCompact.count() == 40)
   }
 
   test("persisted IVF index: same results as inline IVF, scan pruned to probed cells") {
