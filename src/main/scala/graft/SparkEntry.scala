@@ -2405,6 +2405,111 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL Layer III MIXED-BLOCK decode under the oracle: every
+    // granule is window-switched block_type 2 with mixed_block_flag
+    // set — lines 0..35 decode through the LONG path (long
+    // scalefactor bands 0-7), lines 36+ through the SHORT path
+    // (per-window scalefactors + subblock gains) — and the planted
+    // big_values/count1 regions land exactly on that 36-line split
+    "media_mp3_decode_l3m" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val frames = 2 + (id % 2).toInt
+        val frameLen = 144 * 320 * 1000 / 48000 // 960, pad=0
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val buf = new Array[Byte](frameLen)
+          buf(0) = 0xFF.toByte
+          buf(1) = 0xFB.toByte // MPEG1, Layer III, no CRC
+          buf(2) = ((14 << 4) | (1 << 2)).toByte // 320 kbps, 48000 Hz
+          buf(3) = 0xC0.toByte // mono
+          var bit = 32
+          def w(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) {
+              if (((v >> r) & 1) == 1) buf(bit >> 3) =
+                (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+              bit += 1; r -= 1
+            }
+          }
+          def gg(gr: Int) = 140 + ((id * 7 + f * 3 + gr * 13) % 64).toInt
+          def sfScale(gr: Int) = ((id + gr) % 2).toInt
+          def sbg(gr: Int, win: Int) = ((id + gr * 2 + win * 5) % 3).toInt
+          def nQuads(gr: Int) = ((id + f + gr) % 3).toInt
+          def rawPair(gr: Int, p: Int) = id * 31 + f * 29 + gr * 17 + p * 13
+          def rawQuad(gr: Int, q: Int) = id * 37 + f * 41 + gr * 43 + q * 53
+          def huffBits(gr: Int): Int = {
+            var n = 0
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              n += (if (x == 0 && y == 0) 1
+                    else if (x == 1 && y == 0) 3
+                    else if (x == 0 && y == 1) 4 else 5)
+            }
+            for (q <- 0 until nQuads(gr)) {
+              val raw = rawQuad(gr, q)
+              n += 4 + Integer.bitCount((raw % 16).toInt)
+            }
+            n
+          }
+          // side info (mono): main_data_begin=0, private 5, scfsi 4
+          w(0, 9); w(0, 5)
+          for (_ <- 0 until 4) w(0, 1)
+          for (gr <- 0 until 2) {
+            // mixed sf bits: long sfb 0-7 x slen1(2) + short sfb 3-11
+            // x 3 windows x 2 = 16 + 54 = 70
+            w(70 + huffBits(gr), 12) // part2_3_length
+            w(18, 9)                 // big_values -> lines 0..35, all long
+            w(gg(gr), 8)
+            w(9, 4)                  // scalefac_compress -> slen (2,2)
+            w(1, 1)                  // window_switching_flag
+            w(2, 2)                  // block_type: short
+            w(1, 1)                  // mixed_block_flag
+            w(1, 5); w(1, 5)         // table_select x2: Huffman table 1
+            for (win <- 0 until 3) w(sbg(gr, win), 3)
+            w(0, 1)                  // preflag (pretab is 0 below sfb 11 anyway)
+            w(sfScale(gr), 1)
+            w(1, 1)                  // count1 table B
+          }
+          // main data per granule: long sf 0-7, short sf (sfb-major,
+          // window-minor, sfb 3-11), then codes
+          for (gr <- 0 until 2) {
+            for (s <- 0 until 8)
+              w(((id * 3 + gr * 5 + s * 7) % 4).toInt, 2)
+            for (s <- 3 until 12; win <- 0 until 3)
+              w(((id * 3 + gr * 5 + win * 11 + s * 13) % 4).toInt, 2)
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              if (x == 0 && y == 0) w(1, 1)
+              else if (x == 1 && y == 0) { w(1, 2); w(((raw >> 2) % 2).toInt, 1) }
+              else if (x == 0 && y == 1) { w(1, 3); w(((raw >> 3) % 2).toInt, 1) }
+              else { w(0, 3); w(((raw >> 2) % 2).toInt, 1); w(((raw >> 3) % 2).toInt, 1) }
+            }
+            for (q <- 0 until nQuads(gr)) {
+              val raw = rawQuad(gr, q)
+              val quad = (raw % 16).toInt
+              w(quad ^ 0xF, 4)
+              var k = 3
+              while (k >= 0) {
+                if (((quad >> k) & 1) == 1) w(((raw >> (4 + k)) % 2).toInt, 1)
+                k -= 1
+              }
+            }
+          }
+          out.write(buf)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL H.264 I_PCM decode under the oracle: per doc a spec-valid
     // Annex-B stream (SPS + PPS + one IDR slice per frame, every
     // macroblock I_PCM with formula-planted luma) written through the
@@ -4064,6 +4169,44 @@ object SparkEntry {
       "round(sum((abs(v0 + v1) + abs(v0 - v1)) / sqrt(2.0)) " +
       "/ (1152*2*frames) / 2.0, 6) AS mean_level " +
       "FROM lvl GROUP BY doc_id, frames"),
+    // Layer III mixed-block replay: lines 0..35 requantize through
+    // the LONG band map (48 kHz boundaries: <24 -> line//4, <30 -> 6,
+    // else 7), quad lines 36+4q+j through the SHORT path (window = q,
+    // sfb 3, subblock gain applies); magnitudes summed (mono)
+    "media_mp3_decode_l3m" -> ("WITH d AS (SELECT doc_id, " +
+      "2 + doc_id % 2 AS frames FROM documents), " +
+      "bv AS (SELECT d.doc_id, d.frames, f.range AS f, g.range AS g, " +
+      "p.range AS p, k.range AS k " +
+      "FROM d, range(0,3) f, range(0,2) g, range(0,18) p, range(0,2) k " +
+      "WHERE f.range < d.frames), " +
+      "bvv AS (SELECT doc_id, frames, f, g, 2*p + k AS line, " +
+      "CASE WHEN k = 0 THEN (doc_id*31 + f*29 + g*17 + p*13) % 2 " +
+      "ELSE ((doc_id*31 + f*29 + g*17 + p*13) // 2) % 2 END AS m FROM bv), " +
+      "bvl AS (SELECT doc_id, frames, m * pow(2.0, " +
+      "(140 + ((doc_id*7 + f*3 + g*13) % 64) - 210) / 4.0 " +
+      "- (((doc_id + g) % 2) + 1) * 0.5 * ((doc_id*3 + g*5 + " +
+      "(CASE WHEN line < 24 THEN line // 4 WHEN line < 30 THEN 6 ELSE 7 END) " +
+      "* 7) % 4)) AS v FROM bvv), " +
+      "cq AS (SELECT d.doc_id, d.frames, f.range AS f, g.range AS g, " +
+      "qq.range AS q, j.range AS j " +
+      "FROM d, range(0,3) f, range(0,2) g, range(0,2) qq, range(0,4) j " +
+      "WHERE f.range < d.frames AND qq.range < (d.doc_id + f.range + g.range) % 3), " +
+      "cqv AS (SELECT doc_id, frames, g, q, " +
+      "((doc_id*37 + f*41 + g*43 + q*53) // " +
+      "(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 AS m, " +
+      "f FROM cq), " +
+      "cql AS (SELECT doc_id, frames, m * pow(2.0, " +
+      "(140 + ((doc_id*7 + f*3 + g*13) % 64) - 210) / 4.0 " +
+      "- 2.0 * ((doc_id + g*2 + q*5) % 3) " +
+      "- (((doc_id + g) % 2) + 1) * 0.5 * " +
+      "((doc_id*3 + g*5 + q*11 + 39) % 4)) AS v FROM cqv), " +
+      "allv AS (SELECT doc_id, frames, v FROM bvl " +
+      "UNION ALL SELECT doc_id, frames, v FROM cql) " +
+      "SELECT doc_id, CAST(1 AS INT) AS channels, 48000 AS sample_rate, " +
+      "CAST(1152*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 24.0, 6) AS duration_ms, " +
+      "round(sum(v) / (1152*frames) / 2.0, 6) AS mean_level " +
+      "FROM allv GROUP BY doc_id, frames"),
     // H.264 SPS dims and the I_PCM luma mean recomputed from the
     // planting formulas (256 raw luma samples per macroblock)
     "media_h264_decode" -> ("WITH d AS (SELECT doc_id, " +

@@ -981,19 +981,19 @@ object Multimodal {
     * Annex-B constant block this codebase deliberately doesn't
     * retype. mean_level = mean |xr| / 2.
     *
-    * Window switching decodes for real: short blocks (block_type 2,
-    * non-mixed — per-window scalefactors, subblock gains, the
-    * window-interleaved band order of Table B.8) and the long
-    * start/stop types (1, 3 — spectrally identical to normal long
-    * blocks), with the implicit region bounds of §2.4.2.7. MS joint
-    * stereo decodes for real too (mode_extension bit 1: l/r
-    * reconstructed as (m±s)/sqrt2 from both channels' signed
-    * spectra).
+    * Window switching decodes for real: short blocks (block_type 2 —
+    * per-window scalefactors, subblock gains, the window-interleaved
+    * band order of Table B.8), MIXED blocks (lines 0..35 through the
+    * long band map, the rest short), and the long start/stop types
+    * (1, 3 — spectrally identical to normal long blocks), with the
+    * implicit region bounds of §2.4.2.7. MS joint stereo decodes for
+    * real too (mode_extension bit 1: l/r reconstructed as (m±s)/sqrt2
+    * from both channels' signed spectra).
     *
     * Spec-table subset, documented: Huffman pair tables 0 (all-zero)
     * and 1, and count1 table B (4-bit one's-complement codes) are
     * implemented; frames selecting the larger tabulated pair tables
-    * (2-31), count1 table A, mixed blocks, intensity stereo
+    * (2-31), count1 table A, intensity stereo
     * (mode_extension bit 0), or MPEG-2/2.5 LSF return None and fall
     * through to the container metadata path — same
     * partial-by-documentation contract as the WebP-class codec
@@ -1059,7 +1059,7 @@ object Multimodal {
           case class Gr(part23: Int, bigValues: Int, globalGain: Int,
               sfCompress: Int, tables: Array[Int], region0: Int, region1: Int,
               preflag: Int, sfScale: Int, count1Table: Int,
-              blockType: Int, sbg: Array[Int])
+              blockType: Int, mixed: Int, sbg: Array[Int])
           val grs = Array.ofDim[Gr](2, channels)
           for (g <- 0 until 2; c <- 0 until channels) {
             val part23 = sbits(12)
@@ -1071,21 +1071,22 @@ object Multimodal {
               // window switching (§2.4.1.7): block_type + mixed flag,
               // TWO table selects, 3 subblock gains; region counts are
               // implicit (region0 = 8 short / 7 start-stop, region2
-              // empty). Short NON-mixed blocks and the long start/stop
-              // types (1, 3 — same spectral decode as normal long,
-              // only the IMDCT window differs) are in the subset;
-              // mixed blocks stay out.
+              // empty). Short blocks (plain AND mixed — mixed keeps
+              // the first 36 lines long, the rest short) and the long
+              // start/stop types (1, 3 — same spectral decode as
+              // normal long, only the IMDCT window differs) are all in
+              // the subset; mixed is only legal with block_type 2.
               val blockType = sbits(2)
               val mixed = sbits(1)
               val tables = Array(sbits(5), sbits(5), 0)
               val sbg = Array(sbits(3), sbits(3), sbits(3))
-              if (blockType == 0 || mixed == 1) return None
+              if (blockType == 0 || (mixed == 1 && blockType != 2)) return None
               val preflag = sbits(1)
               val sfScale = sbits(1)
               val count1Table = sbits(1)
               grs(g)(c) = Gr(part23, bigValues, globalGain, sfCompress,
                 tables, if (blockType == 2) 8 else 7, 20,
-                preflag, sfScale, count1Table, blockType, sbg)
+                preflag, sfScale, count1Table, blockType, mixed, sbg)
             } else {
               val tables = Array(sbits(5), sbits(5), sbits(5))
               val region0 = sbits(4)
@@ -1094,7 +1095,7 @@ object Multimodal {
               val sfScale = sbits(1)
               val count1Table = sbits(1)
               grs(g)(c) = Gr(part23, bigValues, globalGain, sfCompress,
-                tables, region0, region1, preflag, sfScale, count1Table, 0, null)
+                tables, region0, region1, preflag, sfScale, count1Table, 0, 0, null)
             }
           }
           // ---- main data via the reservoir ----
@@ -1130,7 +1131,8 @@ object Multimodal {
               val gr = grs(g)(c)
               val xr = xrs(c)
               val grEnd = mPos + gr.part23
-              val isShort = gr.blockType == 2
+              val isShort = gr.blockType == 2 && gr.mixed == 0
+              val isMixed = gr.blockType == 2 && gr.mixed == 1
               val (slen1, slen2) = L3Slen(gr.sfCompress)
               val sf = new Array[Int](21)
               val sfS = Array.ofDim[Int](3, 12)
@@ -1138,6 +1140,17 @@ object Multimodal {
                 // short: sfb 0-5 slen1 / 6-11 slen2, each x 3 windows;
                 // scalefactors always transmitted (no scfsi for short)
                 for (s <- 0 until 12; w <- 0 until 3) {
+                  val slen = if (s < 6) slen1 else slen2
+                  sfS(w)(s) = if (slen == 0) 0 else mbits(slen)
+                }
+              } else if (isMixed) {
+                // mixed (§2.4.2.7): long sfb 0-7 (slen1), then short
+                // sfb 3-11 per window (3-5 slen1, 6-11 slen2) — the
+                // long low bands cover lines 0..35, short bands take
+                // over exactly at line 36 = 3 * sfbShort(3)
+                for (s <- 0 until 8)
+                  sf(s) = if (slen1 == 0) 0 else mbits(slen1)
+                for (s <- 3 until 12; w <- 0 until 3) {
                   val slen = if (s < 6) slen1 else slen2
                   sfS(w)(s) = if (slen == 0) 0 else mbits(slen)
                 }
@@ -1163,7 +1176,7 @@ object Multimodal {
               val gain = (gr.globalGain - 210) / 4.0
               def level(m: Int, line: Int): Double =
                 if (m == 0) 0.0
-                else if (isShort) {
+                else if (isShort || (isMixed && line >= 36)) {
                   // bitstream order: per sfb the 3 windows' widths lie
                   // consecutively, so window = offset / width
                   var s = 0
@@ -1182,8 +1195,9 @@ object Multimodal {
               // Huffman big_values: region split only selects the
               // table; pair tables 0 (zero table, zero bits) and 1
               // implemented. Window-switched granules use the implicit
-              // region bounds (short: first 36 lines; start/stop:
-              // sfb 0-7; region2 empty in both)
+              // region bounds (short: first 36 lines; start/stop AND
+              // mixed: sfb 0-7, whose boundary is 36 lines at every
+              // MPEG-1 rate; region2 empty in all)
               val r0End =
                 if (isShort) 36
                 else if (gr.blockType != 0) sfb(8)
