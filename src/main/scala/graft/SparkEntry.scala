@@ -1821,6 +1821,55 @@ object SparkEntry {
           round(col("value"), 6).as("value"))
     }),
 
+    // REAL MJPEG-in-AVI frame sampling gate: every 2nd JPEG chunk of
+    // the movi walk must decode to the SAME dims/means as decoding
+    // the planted JPEG bytes directly (JPEG is lossy, so the check is
+    // decode-vs-decode of identical bytes — exact); the sampled-frame
+    // COUNT has a closed form DuckDB recomputes
+    "media_avi_frames_gate" -> ((s, d) => {
+      import s.implicits._
+      def plantJpegs(id: Long): Seq[Array[Byte]] = {
+        val nf = 2 + (id % 3).toInt
+        val w = 8 + (id % 4).toInt * 2
+        (0 until nf).map { f =>
+          graft.tools.MediaFixtures.solidJpeg(w, 6,
+            ((40 + 20 * f + (id % 8).toInt) << 16) | ((60 + 10 * f) << 8) | 80)
+        }
+      }
+      val docs = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = docs.map { id =>
+        Multimodal.MediaRow(id,
+          graft.tools.MediaFixtures.mjpegAvi(plantJpegs(id)), "video", "avi")
+      }
+      val got = Multimodal.decodeImages(
+        Multimodal.sampleFrames(media, stride = 2).map(f =>
+          Multimodal.MediaRow(f.doc_id * 100 + f.frame_idx, f.frame, "image", "ppm")))
+        .toDF()
+        .select(expr("doc_id div 100").as("doc_id"),
+          pmod(col("doc_id"), lit(100)).cast("int").as("frame_idx"),
+          col("width"), col("height"), col("mean_intensity"))
+      val want = docs.flatMap { id =>
+        plantJpegs(id).zipWithIndex.collect { case (j, f) if f % 2 == 0 =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+          var sum = 0L
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+          }
+          (id, f, img.getWidth, img.getHeight,
+            sum.toDouble / (img.getWidth.toLong * img.getHeight * 3))
+        }
+      }.toDF("doc_id", "frame_idx", "w_want", "h_want", "mean_want")
+      val mismatches = got.join(want, Seq("doc_id", "frame_idx"), "full")
+        .filter(col("width").isNull || col("w_want").isNull ||
+          col("width") =!= col("w_want") || col("height") =!= col("h_want") ||
+          abs(col("mean_intensity") - col("mean_want")) > 1e-9)
+        .count()
+      s.range(1).select(
+        lit(got.count()).as("n_frames_sampled"),
+        lit(mismatches).as("mismatches"))
+    }),
+
     // REAL resize under the oracle: planted P6 gradients are
     // box-filter downscaled by 2 (floor mean per 2x2 block, exact
     // integer math) and RE-ENCODED as P6; the decode of the resized
@@ -3837,6 +3886,10 @@ object SparkEntry {
       "FROM bits GROUP BY doc_id"),
     "media_dhash_gate" -> ("SELECT CAST(2 * count(*) AS BIGINT) AS n_imgs, " +
       "CAST(0 AS BIGINT) AS planted_missed, true AS all_decoded FROM documents"),
+    // sampled-count closed form: ceil(nf/2) even-index frames per doc
+    "media_avi_frames_gate" -> ("SELECT CAST(sum((2 + doc_id % 3 + 1) // 2) " +
+      "AS BIGINT) AS n_frames_sampled, CAST(0 AS BIGINT) AS mismatches " +
+      "FROM documents"),
     // per-frame gradient means in closed form; stride 2 samples the
     // even frame indices
     "media_frames" -> ("WITH p AS (SELECT doc_id, 6 + doc_id % 4 AS w, " +

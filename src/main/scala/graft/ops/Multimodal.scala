@@ -1752,9 +1752,80 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: animated GIFs decode for REAL — every `stride`-th
-    * frame of the block walk ([[gifFrames]]), re-encoded as binary P6
-    * so each sampled frame feeds straight back into [[decodeImages]] /
+  /** Frames of an MJPEG-in-AVI payload as (frameIdx, iw, ih, rgb):
+    * RIFF chunk walk to the `movi` LIST, every `..dc`/`..db` video
+    * chunk is an independent JPEG decoded through ImageIO. Frames
+    * failing `keep` are SKIPPED structurally (chunk-size jump, no
+    * decode) — the same sample-not-footage cost contract as
+    * [[gifFrames]]. None for payloads that are not RIFF/AVI or whose
+    * kept video chunks do not decode as images. */
+  private[graft] def aviMjpegFrames(bytes: Array[Byte],
+      keep: Int => Boolean = _ => true): Option[Seq[(Int, Int, Int, Array[Int])]] = {
+    if (bytes.length < 16) return None
+    def fourcc(i: Int) = new String(bytes, i, 4, "ISO-8859-1")
+    def u32(i: Int): Long = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+      ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      // find the movi LIST among top-level chunks
+      var pos = 12
+      var movi = -1; var moviEnd = -1
+      while (movi < 0 && pos + 12 <= bytes.length) {
+        val id = fourcc(pos); val sz = u32(pos + 4).toInt
+        if (id == "LIST" && fourcc(pos + 8) == "movi") {
+          movi = pos + 12; moviEnd = pos + 8 + sz
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      if (movi < 0) return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
+      var idx = 0
+      pos = movi
+      while (pos + 8 <= moviEnd && pos + 8 <= bytes.length) {
+        val id = fourcc(pos); val sz = u32(pos + 4).toInt
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None
+        if (id.endsWith("dc") || id.endsWith("db")) {
+          if (keep(idx)) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, pos + 8, sz))
+            if (img == null) return None
+            val (w, h) = (img.getWidth, img.getHeight)
+            // packed 0xRRGGBB per pixel — the same shape gifFrames
+            // yields, shared by the P6 re-encode
+            val rgb = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                rgb(y * w + x) = img.getRGB(x, y) & 0xFFFFFF
+                x += 1
+              }
+              y += 1
+            }
+            frames += ((idx, w, h, rgb))
+          }
+          idx += 1
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+      if (idx == 0) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  private def rgbToP6(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+    rgb.foreach { e =>
+      out.write((e >> 16) & 0xFF); out.write((e >> 8) & 0xFF); out.write(e & 0xFF)
+    }
+    out.toByteArray
+  }
+
+  /** Frame sampling: animated GIFs and MJPEG-in-AVI videos decode for
+    * REAL — every `stride`-th frame of the container walk
+    * ([[gifFrames]] / [[aviMjpegFrames]]), re-encoded as binary P6 so
+    * each sampled frame feeds straight back into [[decodeImages]] /
     * [[resizeImages]] / [[imageDHash]]. frame_idx is the ORIGINAL
     * frame number. Payloads that are not multi-frame-decodable keep
     * the stub chunker (every stride-th fixed-size chunk, real explode
@@ -1763,16 +1834,11 @@ object Multimodal {
       frameBytes: Int = 256): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      gifFrames(r.content, keep = _ % stride == 0) match {
+      gifFrames(r.content, keep = _ % stride == 0)
+        .orElse(aviMjpegFrames(r.content, keep = _ % stride == 0)) match {
         case Some(frames) =>
           frames.map { case (i, w, h, rgb) =>
-            val out = new java.io.ByteArrayOutputStream()
-            out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
-            rgb.foreach { e =>
-              out.write((e >> 16) & 0xFF); out.write((e >> 8) & 0xFF)
-              out.write(e & 0xFF)
-            }
-            Frame(r.doc_id, i, out.toByteArray)
+            Frame(r.doc_id, i, rgbToP6(w, h, rgb))
           }
         case None =>
           r.content.grouped(frameBytes).zipWithIndex

@@ -84,6 +84,45 @@ object MediaFixtures {
     while (k < 128) { w.u(128, 8); k += 1 } // Cb + Cr planes
   }
 
+  // ------------------------------------------------- MJPEG-in-AVI shell
+
+  /** Minimal RIFF/AVI container around independent JPEG frames: one
+    * `movi` LIST of `00dc` chunks (word-aligned), which is all the
+    * frame walk consumes. */
+  def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    val moviSz = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    out.write("RIFF".getBytes("ISO-8859-1")); le32(4 + 8 + moviSz)
+    out.write("AVI ".getBytes("ISO-8859-1"))
+    out.write("LIST".getBytes("ISO-8859-1")); le32(moviSz)
+    out.write("movi".getBytes("ISO-8859-1"))
+    frames.foreach { f =>
+      out.write("00dc".getBytes("ISO-8859-1")); le32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)
+    }
+    out.toByteArray
+  }
+
+  /** Solid-color JPEG via ImageIO (the MJPEG frame payload). */
+  def solidJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
   // ------------------------------------------- animated GIF via ImageIO
 
   /** Multi-frame GIF through the JDK sequence writer: frame f is a

@@ -519,6 +519,28 @@ class MultimodalSpec extends SparkSpec {
       stub.map(_.frame.length).toSeq == Seq(256, 88)) // 600 = 256+256+88
   }
 
+  test("sampleFrames: MJPEG-in-AVI chunks decode as real frames") {
+    import spark.implicits._
+    import graft.tools.MediaFixtures
+    val jpegs = (0 until 3).map(f => MediaFixtures.solidJpeg(12, 8, 0x406080 + f * 0x101010))
+    val avi = MediaFixtures.mjpegAvi(jpegs)
+    val frames = Multimodal.sampleFrames(
+      Seq(MediaRow(4L, avi, "video", "avi")).toDS(), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    val dec = Multimodal.decodeImages(frames.map(f =>
+      MediaRow(f.frame_idx.toLong, f.frame, "image", "ppm")).toSeq.toDS())
+      .collect().sortBy(_.doc_id)
+    assert(dec.forall(d => d.width == 12 && d.height == 8 && d.channels == 3), dec.toSeq)
+    // frame 2 is brighter than frame 0 (decode-vs-decode of real JPEGs)
+    assert(dec(1).mean_intensity > dec(0).mean_intensity, dec.toSeq)
+    // a video chunk that is not an image refuses (falls to the chunker)
+    val bad = MediaFixtures.mjpegAvi(Seq(jpegs.head, "junk".getBytes))
+    val fb = Multimodal.sampleFrames(
+      Seq(MediaRow(5L, bad, "video", "avi")).toDS(), stride = 1).collect()
+    assert(fb.forall(f => !(new String(f.frame.take(2)) == "P6")), "must not mix real and stub")
+  }
+
   test("sampleFrames deinterlaces: rows land at display positions, not storage order") {
     import spark.implicits._
     // 4x8 indexed image, ROW-coded colors; the JDK writer emits it
