@@ -2051,6 +2051,35 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL audio decimation under the oracle: the planted 8-bit PCM
+    // is block-averaged by 2 (floor mean per channel, exact integer
+    // math), re-encoded at rate/2, and DECODED back; DuckDB replays
+    // every output sample from the planting formula
+    "media_wav_resample" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val frames = 32 + (id % 32).toInt
+        val rate = 8000 + (id % 4).toInt * 4000
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+          out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+        def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(rate)
+        w32(rate * channels); w16(channels); w16(8)
+        out.write("data".getBytes); w32(n)
+        var j = 0
+        while (j < n) { out.write(((id * 13 + j * 7) % 256).toInt); j += 1 }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "wav")
+      }
+      Multimodal.decodeAudio(Multimodal.resampleAudio(media, factor = 2)).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL AVI-header path under the oracle: deterministic avih fields
     // per doc, parsed back by the pure-Scala RIFF scan; DuckDB
     // recomputes every field from the same formulas.
@@ -4042,6 +4071,23 @@ object SparkEntry {
       "ON a.doc_id = b.doc_id AND b.i = a.i + 1 WHERE a.i < 64) " +
       "SELECT doc_id, string_agg(bit, '' ORDER BY i) AS afp_bits " +
       "FROM bits GROUP BY doc_id"),
+    // every output sample = floor mean of 2 input frames per channel,
+    // replayed in exact integer math from the planted PCM formula
+    "media_wav_resample" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, 32 + doc_id % 32 AS frames, " +
+      "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +
+      "s AS (SELECT d.doc_id, d.ch, d.frames, d.rate, k.range AS k, " +
+      "c.range AS c FROM d, range(0,32) k, range(0,2) c " +
+      "WHERE k.range < d.frames // 2 AND c.range < d.ch), " +
+      "v AS (SELECT doc_id, ch, frames, rate, " +
+      "((doc_id*13 + ((2*k)*ch + c)*7) % 256 " +
+      "+ (doc_id*13 + ((2*k + 1)*ch + c)*7) % 256) // 2 AS val FROM s) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, " +
+      "CAST(rate // 2 AS INT) AS sample_rate, " +
+      "CAST((frames // 2) * ch AS BIGINT) AS n_samples, " +
+      "round((frames // 2) * 1000.0 / (rate // 2), 6) AS duration_ms, " +
+      "round(avg(val / 255.0), 6) AS mean_level " +
+      "FROM v GROUP BY doc_id, ch, frames, rate"),
     "media_decode_wav" -> ("WITH p AS (SELECT doc_id, " +
       "1 + doc_id % 2 AS channels, (32 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
       "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +

@@ -1925,6 +1925,54 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decimation for 8-bit PCM WAV — the audio sibling of
+    * [[resizeImages]]: each output frame is the floor mean of
+    * `factor` consecutive input frames per channel (exact integer
+    * math, engine-replayable), re-encoded as a WAV at rate/factor.
+    * 8-bit PCM is unsigned raw bytes, so the transform needs no
+    * sign/width conversions; wider widths and compressed payloads
+    * pass through UNCHANGED (documented partial — a polyphase
+    * resampler plugs in there in production). */
+  def resampleAudio(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      wavPcmLayout(r.content) match {
+        case Some((channels, rate, bits, dataOff, dataLen))
+            if bits == 8 && rate >= factor && dataLen / channels >= factor =>
+          val nFrames = (dataLen / channels).toInt
+          val outFrames = nFrames / factor
+          val n = outFrames * channels
+          val out = new java.io.ByteArrayOutputStream()
+          def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+            out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+          def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+          val outRate = rate / factor
+          out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
+          out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(outRate)
+          w32(outRate * channels); w16(channels); w16(8)
+          out.write("data".getBytes); w32(n)
+          var k = 0
+          while (k < outFrames) {
+            var c = 0
+            while (c < channels) {
+              var sum = 0
+              var f = 0
+              while (f < factor) {
+                sum += r.content(dataOff + (k * factor + f) * channels + c) & 0xFF
+                f += 1
+              }
+              out.write(sum / factor)
+              c += 1
+            }
+            k += 1
+          }
+          MediaRow(r.doc_id, out.toByteArray, r.media_type, "wav")
+        case _ => r // wider PCM / compressed: pass through unchanged
+      }
+    }
+  }
+
   /** Column-level resize stub: keeps the binary contract (truncate/pad),
     * documenting where a real resampler plugs in. */
   def resizeStub(content: org.apache.spark.sql.Column, targetBytes: Int): org.apache.spark.sql.Column =

@@ -601,6 +601,38 @@ class MultimodalSpec extends SparkSpec {
       out(1).content.length == "not an image".length / 4)
   }
 
+  test("resampleAudio: 8-bit PCM decimates exactly, wider widths pass through") {
+    import spark.implicits._
+    // mono 8-bit, 8 frames of 0,10,20,...,70 -> factor 2 means 5,25,45,65
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("RIFF".getBytes); w32(36 + 8); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16); w16(1); w16(1); w32(8000)
+    w32(8000); w16(1); w16(8)
+    out.write("data".getBytes); w32(8)
+    (0 until 8).foreach(i => out.write(i * 10))
+    val rows = Seq(Multimodal.MediaRow(1L, out.toByteArray, "audio", "wav")).toDS()
+    val resampled = Multimodal.resampleAudio(rows, factor = 2).collect().head
+    val dec = Multimodal.decodeAudio(Seq(resampled).toDS()).collect().head
+    assert(dec.channels == 1 && dec.sample_rate == 4000 && dec.n_samples == 4, dec)
+    assert(dec.mean_level == (5 + 25 + 45 + 65) / 4.0 / 255.0, dec)
+    // a 16-bit payload passes through byte-identical (documented partial)
+    val o16 = new java.io.ByteArrayOutputStream()
+    def p16(v: Int): Unit = { o16.write(v & 0xFF); o16.write((v >> 8) & 0xFF) }
+    o16.write("RIFF".getBytes)
+    p16(36 + 8); p16(0); o16.write("WAVE".getBytes)
+    o16.write("fmt ".getBytes); p16(16); p16(0); p16(1); p16(1)
+    p16(8000); p16(0); p16(16000); p16(0); p16(2); p16(16)
+    o16.write("data".getBytes); p16(8); p16(0)
+    (0 until 4).foreach(_ => p16(0))
+    val same = Multimodal.resampleAudio(
+      Seq(Multimodal.MediaRow(2L, o16.toByteArray, "audio", "wav")).toDS(), 2)
+      .collect().head
+    assert(same.content.sameElements(o16.toByteArray))
+  }
+
   test("WAV bitrate reflects the real sample width") {
     // 16-bit stereo 8000 Hz -> 8000*2*16/1000 = 256 kbps (was 2-4x
     // under-reported when 8 bits was assumed for every width)
