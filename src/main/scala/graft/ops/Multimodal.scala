@@ -1925,24 +1925,27 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decimation for 8-bit PCM WAV — the audio sibling of
-    * [[resizeImages]]: each output frame is the floor mean of
-    * `factor` consecutive input frames per channel (exact integer
-    * math, engine-replayable), re-encoded as a WAV at rate/factor.
-    * 8-bit PCM is unsigned raw bytes, so the transform needs no
-    * sign/width conversions; wider widths and compressed payloads
-    * pass through UNCHANGED (documented partial — a polyphase
-    * resampler plugs in there in production). */
+  /** REAL audio decimation for 8- and 16-bit PCM WAV — the audio
+    * sibling of [[resizeImages]]: each output frame is the FLOOR mean
+    * of `factor` consecutive input frames per channel, averaged in
+    * the offset-binary (unsigned) domain [[wavSampleU]] defines —
+    * exact integer math with floor semantics on both engines
+    * (floorDiv here, `//` in the DuckDB oracle), re-encoded as a WAV
+    * at rate/factor (16-bit back to signed little-endian). 24/32-bit
+    * and compressed payloads pass through UNCHANGED (documented
+    * partial — a polyphase resampler plugs in there in production). */
   def resampleAudio(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     import ds.sparkSession.implicits._
     ds.map { r =>
       wavPcmLayout(r.content) match {
         case Some((channels, rate, bits, dataOff, dataLen))
-            if bits == 8 && rate >= factor && dataLen / channels >= factor =>
-          val nFrames = (dataLen / channels).toInt
+            if (bits == 8 || bits == 16) && rate >= factor &&
+              dataLen / (channels * (bits / 8)) >= factor =>
+          val bytesPer = bits / 8
+          val nFrames = (dataLen / (channels * bytesPer)).toInt
           val outFrames = nFrames / factor
-          val n = outFrames * channels
+          val n = outFrames * channels * bytesPer
           val out = new java.io.ByteArrayOutputStream()
           def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
             out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
@@ -1950,19 +1953,22 @@ object Multimodal {
           val outRate = rate / factor
           out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
           out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(outRate)
-          w32(outRate * channels); w16(channels); w16(8)
+          w32(outRate * channels * bytesPer); w16(channels * bytesPer); w16(bits)
           out.write("data".getBytes); w32(n)
           var k = 0
           while (k < outFrames) {
             var c = 0
             while (c < channels) {
-              var sum = 0
+              var sum = 0L
               var f = 0
               while (f < factor) {
-                sum += r.content(dataOff + (k * factor + f) * channels + c) & 0xFF
+                sum += wavSampleU(r.content, dataOff, bits,
+                  (k * factor + f).toLong * channels + c)
                 f += 1
               }
-              out.write(sum / factor)
+              val m = Math.floorDiv(sum, factor)
+              if (bits == 8) out.write(m.toInt)
+              else w16((m - 32768L).toInt & 0xFFFF)
               c += 1
             }
             k += 1

@@ -618,7 +618,7 @@ class MultimodalSpec extends SparkSpec {
     val dec = Multimodal.decodeAudio(Seq(resampled).toDS()).collect().head
     assert(dec.channels == 1 && dec.sample_rate == 4000 && dec.n_samples == 4, dec)
     assert(dec.mean_level == (5 + 25 + 45 + 65) / 4.0 / 255.0, dec)
-    // a 16-bit payload passes through byte-identical (documented partial)
+    // 16-bit signed PCM: floor mean in the offset-binary domain
     val o16 = new java.io.ByteArrayOutputStream()
     def p16(v: Int): Unit = { o16.write(v & 0xFF); o16.write((v >> 8) & 0xFF) }
     o16.write("RIFF".getBytes)
@@ -626,11 +626,27 @@ class MultimodalSpec extends SparkSpec {
     o16.write("fmt ".getBytes); p16(16); p16(0); p16(1); p16(1)
     p16(8000); p16(0); p16(16000); p16(0); p16(2); p16(16)
     o16.write("data".getBytes); p16(8); p16(0)
-    (0 until 4).foreach(_ => p16(0))
-    val same = Multimodal.resampleAudio(
+    Seq(-100, 300, -50, 70).foreach(s => p16(s & 0xFFFF))
+    val dec16 = Multimodal.decodeAudio(Multimodal.resampleAudio(
       Seq(Multimodal.MediaRow(2L, o16.toByteArray, "audio", "wav")).toDS(), 2)
+      .map(identity)).collect().head
+    // means of (-100,300) and (-50,70) -> signed 100 and 10
+    assert(dec16.n_samples == 2 && dec16.sample_rate == 4000, dec16)
+    assert(dec16.mean_level ==
+      ((100 + 32768).toDouble + (10 + 32768)) / 2.0 / 65535.0, dec16)
+    // a 32-bit payload passes through byte-identical (documented partial)
+    val o32 = new java.io.ByteArrayOutputStream()
+    def q16(v: Int): Unit = { o32.write(v & 0xFF); o32.write((v >> 8) & 0xFF) }
+    o32.write("RIFF".getBytes)
+    q16(36 + 16); q16(0); o32.write("WAVE".getBytes)
+    o32.write("fmt ".getBytes); q16(16); q16(0); q16(1); q16(1)
+    q16(8000); q16(0); q16(32000); q16(0); q16(4); q16(32)
+    o32.write("data".getBytes); q16(16); q16(0)
+    (0 until 8).foreach(_ => q16(0))
+    val same = Multimodal.resampleAudio(
+      Seq(Multimodal.MediaRow(3L, o32.toByteArray, "audio", "wav")).toDS(), 2)
       .collect().head
-    assert(same.content.sameElements(o16.toByteArray))
+    assert(same.content.sameElements(o32.toByteArray))
   }
 
   test("WAV bitrate reflects the real sample width") {
