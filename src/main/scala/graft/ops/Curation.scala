@@ -350,7 +350,14 @@ object Curation {
           flagged.add(1L); Some(Row(r.get(0), gs))
         } else None
       }
-    }
+      // localCheckpoint pins the probe pass to exactly one execution:
+      // without it the downstream join stage re-runs this scan on task
+      // retry / speculation and the probed/flagged counters over-count
+      // past the corpus size (counters in a recomputed lineage are
+      // at-least-once). The materialized set is only the FLAGGED docs
+      // plus their gram arrays — contamination-rate sized, not corpus
+      // sized — so the pin is cheap at any scale.
+    }.localCheckpoint(true)
     cands.select(col(corpusId), explode(col("__gs")).as("g"))
       .join(benchGrams, "g") // AQE picks the build side at runtime
       .groupBy(col(corpusId))

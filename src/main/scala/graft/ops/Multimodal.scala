@@ -1772,7 +1772,13 @@ object Multimodal {
       var pos = 12
       var movi = -1; var moviEnd = -1
       while (movi < 0 && pos + 12 <= bytes.length) {
-        val id = fourcc(pos); val sz = u32(pos + 4).toInt
+        val szL = u32(pos + 4)
+        // same corrupt-size guard as the movi walk below: a size whose
+        // high bit is set (negative after toInt) or that runs past the
+        // payload would advance pos by zero or backward and spin this
+        // loop forever on a malformed chunk header
+        if (szL < 0L || pos + 8L + szL > bytes.length) return None
+        val id = fourcc(pos); val sz = szL.toInt
         if (id == "LIST" && fourcc(pos + 8) == "movi") {
           movi = pos + 12; moviEnd = pos + 8 + sz
         }

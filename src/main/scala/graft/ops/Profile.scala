@@ -203,9 +203,13 @@ object Profile {
       // empty answer, not a parquet-inference crash
       import spark.implicits._
       spark.emptyDataset[(Int, Long)].toDF("bucket", "cnt")
-    } else spark.read.parquet(
-        frags.map(f => s"$uri/__profile_hist/$colName/${f.name}.parquet"): _*)
-      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    } else {
+      val dir = s"$uri/__profile_hist/$colName"
+      requireSketches(graft.storage.VFS(spark), dir, frags.map(_.name),
+        "histogram", s"writeFragmentHistograms / CALL system.histogram('$uri', '$colName')")
+      spark.read.parquet(frags.map(f => s"$dir/${f.name}.parquet"): _*)
+        .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    }
   }
 
   /** Total-variation distance between two histograms over the same
@@ -315,14 +319,32 @@ object Profile {
       .groupBy(col("pos").as("d"), col("col").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Fails loudly (and descriptively) when a LIVE fragment has no
+    * sketch sidecar under `dir` — a fragment written after the last
+    * sketch pass would otherwise surface as a raw path-not-found
+    * AnalysisException deep inside the parquet reader. Names the
+    * stale fragments and the remedy. */
+  private def requireSketches(fs: graft.storage.VFS, dir: String,
+      live: Seq[String], kind: String, remedy: String): Unit = {
+    val have = fs.ls(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
+    val stale = live.filterNot(have)
+    require(stale.isEmpty,
+      s"$kind sketches at $dir are stale: fragment(s) ${stale.mkString(", ")} " +
+        s"have no sidecar (written after the last sketch pass); run $remedy first")
+  }
+
   /** Merged (d, bucket, cnt) cells over the LIVE fragments — sketch
-    * files only, no data reads. */
+    * files only, no data reads. Raises a descriptive error when any
+    * live fragment is unsketched (see [[requireSketches]]). */
   def mergedCms(spark: org.apache.spark.sql.SparkSession,
       uri: String, colName: String): DataFrame = {
     import graft.storage.ArrayTable
     val live = ArrayTable.fragments(spark, uri).map(_.name)
-    spark.read.parquet(
-        live.map(n => s"$uri/__profile_cms/$colName/$n.parquet"): _*)
+    val dir = s"$uri/__profile_cms/$colName"
+    requireSketches(graft.storage.VFS(spark), dir, live, "cms",
+      s"writeFragmentCms / CALL system.cms('$uri', '$colName')")
+    spark.read.parquet(live.map(n => s"$dir/$n.parquet"): _*)
       .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
   }
 

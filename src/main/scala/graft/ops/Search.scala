@@ -241,9 +241,20 @@ object Search {
     val tagged = rankings
       .map(_.select(col("query_id"), col("doc_id"), col("rank")))
       .reduce(_ unionByName _)
+    // the per-pair contributions are summed through a SORTED left
+    // fold, not sum(): with 3+ input rankings a double sum's
+    // accumulation order is partition-nondeterministic and round(_, 6)
+    // could flip at a boundary between runs. The sorted fold is
+    // bit-deterministic for any ranking count, and for the 2-ranking
+    // case it is bit-identical to the plain two-term sum (IEEE
+    // addition of two doubles is order-insensitive and 0.0 + a == a),
+    // so the DuckDB oracle needs no change. Lists are one element per
+    // input ranking — candidate-set sized, never corpus-sized.
     val fused = tagged
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("score"))
+      .agg(sort_array(collect_list(lit(1.0) / (lit(rrfK) + col("rank")))).as("__c"))
+      .select(col("query_id"), col("doc_id"),
+        round(aggregate(col("__c"), lit(0.0), (a, x) => a + x), 6).as("score"))
     graft.ops.Similarity.topKPerKey(fused, "query_id", "doc_id", "score", k)
   }
 
