@@ -142,6 +142,20 @@ object SparkEntry {
       ArrayTable.write(s, li.filter(col("l_shipdate") >= cut), tmp, Some(2000L))
     }
 
+  /** Encrypted supplier array for the `encrypted_read` oracle: a fixed
+    * 32-byte oracle-fixture key (NOT a secret — the gate proves the
+    * mechanism, the spec proves key hygiene) registered on every call
+    * so a fresh Verify session can both build and read. */
+  private def encSupplier(s: SparkSession, dir: String): String = {
+    graft.storage.Encryption.enable(s, "graft-oracle",
+      "graft-oracle-test-key-0123456789")
+    ensureArray(s, dir, "enc_supplier") { tmp =>
+      ArrayTable.ingest(s, t(s, dir, "supplier"), tmp, Seq("s_suppkey"),
+        tsOpt = Some(1000L), overwrite = true,
+        encryptionKey = Some("graft-oracle"))
+    }
+  }
+
   /** 1-d dense-style orders array (fill 0.0) for dense-read completion */
   private def denseOrders(s: SparkSession, dir: String): String =
     ensureArray(s, dir, "dense_orders") { tmp =>
@@ -548,6 +562,12 @@ object SparkEntry {
     "array_roundtrip" -> ((s, d) =>
       // full write -> read fidelity through the fragment format
       ArrayTable.read(s, ttLineitem(s, d))),
+    // at-rest encryption end to end: every file of the array (parquet
+    // data + footer, manifests, schema) is AES-256-GCM ciphertext on
+    // disk, and the keyed read must still hash-match the plaintext
+    // oracle exactly. The fixed key here is oracle-fixture material,
+    // not a secret.
+    "encrypted_read" -> ((s, d) => ArrayTable.read(s, encSupplier(s, d))),
     "consolidated_read" -> ((s, d) => ArrayTable.read(s, consolOrders(s, d))),
     // custom data source: read + time travel + pushdown through format("graft")
     "source_read" -> ((s, d) => s.read.format("graft")
@@ -3552,6 +3572,8 @@ object SparkEntry {
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
       "o_orderdate, o_orderpriority FROM orders"),
     "array_roundtrip" -> "SELECT * FROM lineitem",
+    // the decrypted read must equal the plaintext source byte-for-byte
+    "encrypted_read" -> "SELECT * FROM supplier",
     "consolidated_read" -> ("SELECT o_orderkey, o_custkey, o_orderstatus, " +
       "CASE WHEN o_orderkey % 10 = 0 THEN 0.0 ELSE o_totalprice END AS o_totalprice, " +
       "o_orderdate, o_orderpriority FROM orders WHERE NOT (o_orderstatus = 'F')"),

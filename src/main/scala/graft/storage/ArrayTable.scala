@@ -59,20 +59,72 @@ object ArrayTable {
 
   private def vfs(spark: SparkSession) = VFS(spark)
 
+  // ----------------------------------------------------- at-rest crypto
+
+  // marker lookups are cached per-process: the marker is written once
+  // at create and never mutated (create/deleteArray invalidate). The
+  // value is the key NAME only — key material lives in session config
+  // (graft.storage.Encryption), never in any array file.
+  private val encCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** The key id the array at `uri` is encrypted with, None = plaintext
+    * (reference: tiledb/array.py:304-305 `Array.create(key=)`). */
+  def encryptionKeyId(spark: SparkSession, uri: String): Option[String] =
+    encCache.computeIfAbsent(uri, u => {
+      val p = s"$u/${Encryption.MarkerFile}"
+      val fs = vfs(spark)
+      if (fs.exists(p)) Json.parse(fs.readString(p)).obj("key_id").map(_.str)
+      else None
+    })
+
+  private def encKey(spark: SparkSession, uri: String): Option[Array[Byte]] =
+    encryptionKeyId(spark, uri).map(id =>
+      Encryption.requireKey(spark.sparkContext.hadoopConfiguration, id, uri))
+
+  /** Sidecar IO for files that carry user data (schema, manifests with
+    * MBR coordinate values, delete conditions, metadata KV): AES-GCM
+    * envelopes when the array is encrypted, plain JSON otherwise. The
+    * file's role is bound as GCM AAD. */
+  private def sidecarWrite(spark: SparkSession, uri: String, path: String,
+      role: String, content: String): Unit = encKey(spark, uri) match {
+    case Some(k) => vfs(spark).writeBytes(path, Encryption.encryptString(k, content, role))
+    case None => vfs(spark).writeString(path, content)
+  }
+
+  private def sidecarRead(spark: SparkSession, uri: String, path: String,
+      role: String): String = encKey(spark, uri) match {
+    case Some(k) => Encryption.decryptString(k, vfs(spark).readBytes(path), role)
+    case None => vfs(spark).readString(path)
+  }
+
   // ---------------------------------------------------------------- DDL
 
   /** Create an empty array-table from a schema (reference:
-    * tiledb/array.py:397-451 `Array.create`). */
+    * tiledb/array.py:397-451 `Array.create`; `encryptionKey` maps the
+    * reference's `key=` AES-256-GCM encryption — see
+    * [[graft.storage.Encryption]] for the two-layer design). The key
+    * must already be registered via `Encryption.enable`; only its NAME
+    * is recorded in the array. */
   def create(spark: SparkSession, uri: String, schema: ArraySchema,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false, encryptionKey: Option[String] = None): Unit = {
     val fs = vfs(spark)
     if (fs.exists(uri)) {
       if (overwrite) fs.delete(uri)
       else if (fs.exists(s"$uri/__schema")) sys.error(s"array already exists at $uri")
     }
+    encCache.remove(uri)
     fs.mkdirs(s"$uri/__schema")
     fs.mkdirs(s"$uri/__fragments")
-    fs.writeString(schemaPath(uri, 1), schema.copy(version = 1).toJson)
+    encryptionKey.foreach { id =>
+      // fail NOW if the session has no such key — a created-but-
+      // unwritable encrypted array helps nobody
+      Encryption.requireKey(spark.sparkContext.hadoopConfiguration, id, uri)
+      fs.writeString(s"$uri/${Encryption.MarkerFile}",
+        JObj(Seq("cipher" -> JStr("AES_256_GCM"), "key_id" -> JStr(id))).render)
+    }
+    sidecarWrite(spark, uri, schemaPath(uri, 1), "schema",
+      schema.copy(version = 1).toJson)
   }
 
   def exists(spark: SparkSession, uri: String): Boolean =
@@ -89,7 +141,7 @@ object ArrayTable {
   def schemaOf(spark: SparkSession, uri: String, version: Option[Int] = None): ArraySchema = {
     val v = version.getOrElse(schemaVersions(spark, uri).lastOption
       .getOrElse(sys.error(s"no array at $uri")))
-    ArraySchema.fromJson(vfs(spark).readString(schemaPath(uri, v)))
+    ArraySchema.fromJson(sidecarRead(spark, uri, schemaPath(uri, v), "schema"))
   }
 
   /** Schema evolution: write version n+1 (reference:
@@ -98,7 +150,7 @@ object ArrayTable {
   def evolve(spark: SparkSession, uri: String)(f: ArraySchema => ArraySchema): ArraySchema = {
     val cur = schemaOf(spark, uri)
     val next = f(cur).copy(version = cur.version + 1)
-    vfs(spark).writeString(schemaPath(uri, next.version), next.toJson)
+    sidecarWrite(spark, uri, schemaPath(uri, next.version), "schema", next.toJson)
     next
   }
 
@@ -110,7 +162,10 @@ object ArrayTable {
     evolve(spark, uri)(s => s.copy(enums = s.enums.map(e =>
       if (e.name == enumName) e.extend(more) else e)))
 
-  def deleteArray(spark: SparkSession, uri: String): Unit = vfs(spark).delete(uri)
+  def deleteArray(spark: SparkSession, uri: String): Unit = {
+    encCache.remove(uri)
+    vfs(spark).delete(uri)
+  }
 
   // ------------------------------------------------------------- writes
 
@@ -170,8 +225,12 @@ object ArrayTable {
     val name = f"f_$ts%013d_$seq%05d_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val fragDir = s"$uri/__fragments/$name"
+    // encrypted arrays: uniform parquet modular encryption — footer,
+    // stats and every column page are ciphertext under the array key
+    val encOpts = encryptionKeyId(spark, uri)
+      .map(Encryption.writeOptions).getOrElse(Map.empty)
     laidOut.write.mode("overwrite")
-      .options(Filters.writeOptions(schema.attrs.map(a => a.name -> a.filters)))
+      .options(Filters.writeOptions(schema.attrs.map(a => a.name -> a.filters)) ++ encOpts)
       .parquet(s"$fragDir/data")
     // manifest stats from parquet FOOTERS (pure metadata — writing a
     // fragment never re-scans its own data); scan fallback for dim
@@ -204,7 +263,7 @@ object ArrayTable {
         }
       }
     }
-    fs.writeString(s"$fragDir/__manifest.json", manifestJson(info))
+    sidecarWrite(spark, uri, s"$fragDir/__manifest.json", "manifest", manifestJson(info))
     info
   }
 
@@ -287,12 +346,13 @@ object ArrayTable {
   def ingest(spark: SparkSession, df: DataFrame, uri: String, dimCols: Seq[String],
       sparse: Boolean = true, tsOpt: Option[Long] = None,
       overwrite: Boolean = false, allowsDuplicates: Boolean = false,
-      inferEnums: Boolean = false, maxEnumValues: Int = 256): FragmentInfo = {
+      inferEnums: Boolean = false, maxEnumValues: Int = 256,
+      encryptionKey: Option[String] = None): FragmentInfo = {
     if (overwrite || !exists(spark, uri)) {
       val base = ArraySchema.infer(df.schema, dimCols, sparse)
         .copy(allowsDuplicates = allowsDuplicates && sparse)
       val schema = if (inferEnums) withInferredEnums(df, base, maxEnumValues) else base
-      create(spark, uri, schema, overwrite = true)
+      create(spark, uri, schema, overwrite = true, encryptionKey = encryptionKey)
     }
     write(spark, df, uri, tsOpt)
   }
@@ -390,7 +450,7 @@ object ArrayTable {
   def fragments(spark: SparkSession, uri: String): Seq[FragmentInfo] = {
     val fs = vfs(spark)
     fs.ls(s"$uri/__fragments").filter(p => fs.exists(s"$p/__manifest.json")).map { p =>
-      val o = Json.parse(fs.readString(s"$p/__manifest.json")).obj
+      val o = Json.parse(sidecarRead(spark, uri, s"$p/__manifest.json", "manifest")).obj
       FragmentInfo(p, o("name").get.str, o("ts").get.long, o("seq").get.long,
         o("cell_count").get.long, o("schema_version").get.long.toInt,
         o("mbr").get.obj.fields.map { case (d, JArr(Seq(lo, hi))) => d -> (lo, hi)
@@ -401,7 +461,7 @@ object ArrayTable {
   def deletes(spark: SparkSession, uri: String): Seq[DeleteEntry] = {
     val fs = vfs(spark)
     fs.ls(s"$uri/__deletes").map { p =>
-      val o = Json.parse(fs.readString(p)).obj
+      val o = Json.parse(sidecarRead(spark, uri, p, "delete")).obj
       DeleteEntry(p, o("ts").get.long, o("cond").map(_.str).getOrElse(""),
         seq = o("seq").map(_.long).getOrElse(0L),
         truncate = o("truncate").exists(_.bool))
@@ -436,7 +496,7 @@ object ArrayTable {
     fs.mkdirs(s"$uri/__deletes")
     val ts = tsOpt.getOrElse(System.currentTimeMillis())
     val seq = nextSeq(spark, uri)
-    fs.writeString(f"$uri/__deletes/d_$ts%013d_$seq%05d.json",
+    sidecarWrite(spark, uri, f"$uri/__deletes/d_$ts%013d_$seq%05d.json", "delete",
       JObj(Seq("ts" -> JLong(ts), "seq" -> JLong(seq), "cond" -> JStr(cond))).render)
   }
 
@@ -453,7 +513,7 @@ object ArrayTable {
     fs.mkdirs(s"$uri/__deletes")
     val ts = tsOpt.getOrElse(System.currentTimeMillis())
     val seq = nextSeq(spark, uri)
-    fs.writeString(f"$uri/__deletes/d_$ts%013d_$seq%05d.json",
+    sidecarWrite(spark, uri, f"$uri/__deletes/d_$ts%013d_$seq%05d.json", "delete",
       JObj(Seq("ts" -> JLong(ts), "seq" -> JLong(seq),
         "truncate" -> JBool(true))).render)
   }
@@ -840,7 +900,7 @@ object ArrayTable {
     val fs = vfs(spark)
     val cur = metaAll(spark, uri)
     val next = JObj((cur.fields.filterNot(_._1 == key) :+ (key -> value)).sortBy(_._1))
-    fs.writeString(s"$uri/__meta.json", next.render)
+    sidecarWrite(spark, uri, s"$uri/__meta.json", "meta", next.render)
   }
 
   def getMeta(spark: SparkSession, uri: String, key: String): Option[JVal] =
@@ -848,14 +908,14 @@ object ArrayTable {
 
   def deleteMeta(spark: SparkSession, uri: String, key: String): Unit = {
     val cur = metaAll(spark, uri)
-    vfs(spark).writeString(s"$uri/__meta.json",
+    sidecarWrite(spark, uri, s"$uri/__meta.json", "meta",
       JObj(cur.fields.filterNot(_._1 == key)).render)
   }
 
   def metaAll(spark: SparkSession, uri: String): JObj = {
     val fs = vfs(spark)
     val p = s"$uri/__meta.json"
-    if (fs.exists(p)) Json.parse(fs.readString(p)).obj else JObj(Nil)
+    if (fs.exists(p)) Json.parse(sidecarRead(spark, uri, p, "meta")).obj else JObj(Nil)
   }
 
   private val NpFlat = "__np_flat_"; private val NpShape = "__np_shape_"

@@ -36,7 +36,11 @@ object FooterStats {
     val mins = scala.collection.mutable.Map.empty[String, JVal]
     val maxs = scala.collection.mutable.Map.empty[String, JVal]
     files.foreach { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf),
+        // builder(conf, path) loads the modular-decryption properties
+        // from the conf's crypto factory, so encrypted-array footers
+        // (graft.storage.Encryption) read here too
+        org.apache.parquet.HadoopReadOptions.builder(conf, f).build())
       try {
         val footer = reader.getFooter
         val schema = footer.getFileMetaData.getSchema
@@ -81,7 +85,11 @@ object FooterStats {
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
       .sortBy(_.getName)
     files.toSeq.flatMap { f =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf),
+        // builder(conf, path) loads the modular-decryption properties
+        // from the conf's crypto factory, so encrypted-array footers
+        // (graft.storage.Encryption) read here too
+        org.apache.parquet.HadoopReadOptions.builder(conf, f).build())
       try {
         val footer = reader.getFooter
         val schema = footer.getFileMetaData.getSchema

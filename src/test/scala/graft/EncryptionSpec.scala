@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.storage.Encryption
+
+/** At-rest encryption (reference: tiledb/array.py:304-305,398-431
+  * `Array.create(key=)` — AES-256-GCM). Layer checks first (parquet
+  * modular encryption round-trip, wrong key loud), then the
+  * ArrayTable-level contract. */
+class EncryptionSpec extends SparkSpec {
+
+  private val keyA = "A" * 32
+  private val keyB = "B" * 32
+
+  test("parquet modular encryption: encrypted write round-trips, file is ciphertext") {
+    Encryption.enable(spark, "k1", keyA)
+    val dir = TestSession.tmpDir("enc-parquet")
+    val df = spark.range(1000).select(col("id"),
+      concat(lit("row-"), col("id")).as("s"))
+    df.write.options(Encryption.writeOptions("k1")).parquet(dir)
+
+    // footer must NOT be readable as plaintext parquet: the last 4
+    // bytes of an encrypted-footer file are PARE, not PAR1
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val magic = new String(bytes.takeRight(4), "ISO-8859-1")
+    assert(magic == "PARE", s"expected encrypted-footer magic PARE, got $magic")
+    // and the column data must not contain the plaintext strings
+    assert(!new String(bytes, "ISO-8859-1").contains("row-1"))
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    assert(back.filter(col("s") === "row-17").count() == 1)
+  }
+
+  test("parquet modular encryption: wrong key and missing key fail loudly") {
+    Encryption.enable(spark, "k1", keyA)
+    val dir = TestSession.tmpDir("enc-wrongkey")
+    spark.range(100).write.options(Encryption.writeOptions("k1")).parquet(dir)
+
+    // wrong key bytes under the same key id → GCM tag mismatch
+    Encryption.enable(spark, "k1", keyB)
+    val e1 = intercept[Exception] { spark.read.parquet(dir).count() }
+    assert(e1.getMessage != null)
+
+    // unknown key id → KeyAccessDenied with the remedy in the message
+    Encryption.enable(spark, "other", keyB)
+    val e2 = intercept[Exception] { spark.read.parquet(dir).count() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e2).exists(c => String.valueOf(c.getMessage).contains("k1")),
+      s"expected an error naming the missing key id, got: $e2")
+
+    Encryption.enable(spark, "k1", keyA)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("sidecar envelope: round-trip, AAD binding, wrong key loud") {
+    val k = keyA.getBytes("UTF-8")
+    val ct = Encryption.encryptString(k, """{"mbr":{"x":[1,9]}}""", "manifest")
+    assert(Encryption.decryptString(k, ct, "manifest") == """{"mbr":{"x":[1,9]}}""")
+    // role (AAD) is authenticated: a manifest ciphertext presented as
+    // metadata must fail, not decode
+    val eAad = intercept[RuntimeException] {
+      Encryption.decryptString(k, ct, "meta") }
+    assert(eAad.getMessage.contains("decryption failed"))
+    val eKey = intercept[RuntimeException] {
+      Encryption.decryptString(keyB.getBytes("UTF-8"), ct, "manifest") }
+    assert(eKey.getMessage.contains("decryption failed"))
+    // two encryptions of the same plaintext differ (random IV)
+    val ct2 = Encryption.encryptString(k, """{"mbr":{"x":[1,9]}}""", "manifest")
+    assert(!java.util.Arrays.equals(ct, ct2))
+  }
+
+  test("encrypted array: create/write/read round-trip, nothing plaintext on disk") {
+    import graft.storage.{ArrayTable, Ingest}
+    Encryption.enable(spark, "arrkey", keyA)
+    val uri = TestSession.tmpDir("enc-array")
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = graft.core.ArraySchema.infer(df.schema, Seq("n_nationkey"))
+    ArrayTable.create(spark, uri, schema, encryptionKey = Some("arrkey"))
+    ArrayTable.write(spark, df, uri)
+
+    // round-trip: decrypted read equals the plaintext source
+    val back = ArrayTable.read(spark, uri)
+    assert(back.count() == df.count())
+    assert(back.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ==
+      df.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+
+    // the manifest carried real footer stats (MBR), proving the footer
+    // reader decrypts rather than falling back to a data scan
+    val frag = ArrayTable.fragments(spark, uri).head
+    assert(frag.cellCount == df.count())
+
+    // nothing under the array root leaks plaintext: every parquet file
+    // has the PARE encrypted-footer magic, every sidecar the GFT1
+    // envelope magic, and no file contains a nation name
+    ArrayTable.putMeta(spark, uri, "owner", graft.core.Json.JStr("alice-secret"))
+    val names = df.collect().map(_.getString(1)).toSeq :+ "alice-secret"
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(uri)).foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val text = new String(bytes, "ISO-8859-1")
+      if (f.getName.endsWith(".parquet"))
+        assert(text.endsWith("PARE"), s"${f.getName}: plaintext parquet footer")
+      else if (f.getName != "_encryption.json" && !f.getName.startsWith("_SUCCESS") &&
+          !f.getName.endsWith(".crc"))
+        assert(text.startsWith("GFT1"), s"${f.getName}: sidecar not enveloped")
+      names.foreach(nm => assert(!text.contains(nm), s"${f.getName} leaks '$nm'"))
+      // and never the key material itself
+      assert(!text.contains(keyA), s"${f.getName} leaks the key")
+    }
+    assert(ArrayTable.getMeta(spark, uri, "owner").get.str == "alice-secret")
+  }
+
+  test("encrypted array: delete condition + time travel + consolidate stay encrypted") {
+    import graft.storage.ArrayTable
+    Encryption.enable(spark, "arrkey", keyA)
+    val uri = TestSession.tmpDir("enc-array-mvcc")
+    val df = spark.read.parquet(s"$sf/nation.parquet")
+    val schema = graft.core.ArraySchema.infer(df.schema, Seq("n_nationkey"))
+    ArrayTable.create(spark, uri, schema, encryptionKey = Some("arrkey"))
+    ArrayTable.write(spark, df, uri, tsOpt = Some(1000L))
+    ArrayTable.delete(spark, uri, "n_regionkey == 0", tsOpt = Some(2000L))
+    assert(ArrayTable.read(spark, uri).filter(col("n_regionkey") === 0).count() == 0)
+    // time travel below the tombstone sees full history
+    assert(ArrayTable.read(spark, uri, at = Some((0L, 1500L))).count() == df.count())
+    // the delete-condition sidecar is enveloped (condition text = user data)
+    val delFile = new java.io.File(s"$uri/__deletes").listFiles().head
+    val delText = new String(java.nio.file.Files.readAllBytes(delFile.toPath), "ISO-8859-1")
+    assert(delText.startsWith("GFT1") && !delText.contains("n_regionkey"))
+    // consolidation rewrites through the same encrypted writer
+    ArrayTable.consolidate(spark, uri)
+    ArrayTable.vacuum(spark, uri)
+    val dataFiles = ArrayTable.fragments(spark, uri).flatMap(f =>
+      new java.io.File(s"${f.path.stripPrefix("file:")}/data").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(new String(b.takeRight(4), "ISO-8859-1") == "PARE",
+        s"consolidated ${f.getName} lost encryption")
+    }
+    assert(ArrayTable.read(spark, uri).filter(col("n_regionkey") === 0).count() == 0)
+  }
+
+  test("encrypted array: keyless or wrong-keyed session fails loudly, not garbage") {
+    import graft.storage.ArrayTable
+    Encryption.enable(spark, "arrkey", keyA)
+    val uri = TestSession.tmpDir("enc-array-nokey")
+    val df = spark.read.parquet(s"$sf/region.parquet")
+    val schema = graft.core.ArraySchema.infer(df.schema, Seq("r_regionkey"))
+    ArrayTable.create(spark, uri, schema, encryptionKey = Some("arrkey"))
+    ArrayTable.write(spark, df, uri)
+
+    // no such key registered → one-line remedy error before any read
+    Encryption.enable(spark, "unrelated", keyB)
+    val e1 = intercept[RuntimeException] { ArrayTable.read(spark, uri).count() }
+    assert(e1.getMessage.contains("arrkey") && e1.getMessage.contains("enable"),
+      s"unexpected: ${e1.getMessage}")
+
+    // same key id, wrong bytes → authentication failure, not rows
+    Encryption.enable(spark, "arrkey", keyB)
+    val e2 = intercept[Exception] { ArrayTable.read(spark, uri).count() }
+    assert(String.valueOf(e2.getMessage).contains("decryption failed"))
+
+    // creating against an unregistered key also fails eagerly
+    val e3 = intercept[RuntimeException] {
+      ArrayTable.create(spark, TestSession.tmpDir("enc-nokey-create"),
+        schema, encryptionKey = Some("ghost")) }
+    assert(e3.getMessage.contains("ghost"))
+
+    Encryption.enable(spark, "arrkey", keyA)
+    assert(ArrayTable.read(spark, uri).count() == df.count())
+  }
+
+  test("enable validates key shape") {
+    intercept[IllegalArgumentException] {
+      Encryption.enable(spark, "short", "too-short") }
+    intercept[IllegalArgumentException] {
+      Encryption.enable(spark, Map("a:b" -> Array.fill(32)(1.toByte))) }
+  }
+}
