@@ -510,17 +510,37 @@ object Search {
     val terms = qterms.select("term").distinct()
       .limit(maxProbeTerms + 1).as[String](org.apache.spark.sql.Encoders.STRING)
       .collect()
-    require(terms.length <= maxProbeTerms,
-      s"query batch exceeds $maxProbeTerms distinct terms — " +
-        "split the batch (the term list is pushed into the scan)")
+    // Above maxProbeTerms the term list stops being pushable (32k+
+    // string literals through isin bloat the plan), but the batch is
+    // still servable: degrade to the broadcast left-semi probe shape
+    // DedupIndex uses for oversized key sets. Bucket-dir pruning
+    // survives (the distinct tb set is bounded by the bucket count and
+    // computed executor-side); only the row-group term pruning is
+    // given up, and the elision is counted, never silent.
+    val overCap = terms.length > maxProbeTerms
     // Math.floorMod == Spark's pmod for signed longs (remainderUnsigned
     // would diverge for non-power-of-two bucket counts)
-    val tbs = terms.map(t =>
-      java.lang.Math.floorMod(xxhash64Of(t), buckets.toLong).toInt).distinct
-    def pruned(path: String) = readPostingsOrEmpty(spark, path)
-      .filter(col("tb").isin(tbs.map(Integer.valueOf).toSeq: _*))
-      .filter(col("term").isin(terms.toSeq: _*))
-      .select("term", "doc_id", "tf", "dl")
+    val tbs =
+      if (!overCap) terms.map(t =>
+        java.lang.Math.floorMod(xxhash64Of(t), buckets.toLong).toInt).distinct
+      else {
+        graft.core.Stats.counter(spark, "bm25.index_probe_semi_join").add(1L)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bm25IndexTopK: query batch exceeds $maxProbeTerms distinct terms; " +
+            "probing via broadcast semi-join (bucket pruning only)")
+        qterms.select(pmod(xxhash64(col("term")), lit(buckets.toLong))
+            .cast("int").as("tb"))
+          .distinct().as[Int](org.apache.spark.sql.Encoders.scalaInt).collect()
+      }
+    def pruned(path: String) = {
+      val byBucket = readPostingsOrEmpty(spark, path)
+        .filter(col("tb").isin(tbs.map(Integer.valueOf).toSeq: _*))
+      val byTerm =
+        if (!overCap) byBucket.filter(col("term").isin(terms.toSeq: _*))
+        else byBucket.join(broadcast(qterms.select("term").distinct()),
+          Seq("term"), "left_semi")
+      byTerm.select("term", "doc_id", "tf", "dl")
+    }
     val post = (pruned(base) +: incs.map(d => pruned(s"$d/postings")))
       .reduce(_ unionByName _)
     val scored = scoreFromPostings(post, qterms, nDocs, sumDl, k1, b,

@@ -847,10 +847,38 @@ object Similarity {
     * shuffles; per-candidate work is m table lookups instead of a
     * dim-wide dot. Returns (query_id, neighbor_id, cosine, rank) where
     * cosine is exact when rerank > 0, else the ADC approximation. */
+  /** Hard ceiling on `rerank`. The top-k heaps grow geometrically (a
+    * huge rerank with few real candidates costs nothing there), but
+    * the re-rank phase BROADCASTS the candidate id set — queries x
+    * rerank rows — back onto the corpus, and above ~1M ids per query
+    * that "tiny" broadcast is a driver/executor memory foot-gun, not a
+    * ranking improvement (rerank beyond the candidate count changes
+    * nothing). "Re-rank everything" callers pass the corpus count,
+    * which stays far below this at any corpus an un-sharded broadcast
+    * could serve anyway. */
+  val MaxRerank: Int = 1 << 20
+
+  private def boundRerank(spark: org.apache.spark.sql.SparkSession,
+      rerank: Int, who: String): Int = {
+    require(rerank <= MaxRerank,
+      s"$who: rerank=$rerank exceeds the $MaxRerank ceiling — the re-rank " +
+        "candidate broadcast is sized by rerank, so pass the corpus row " +
+        "count for \"re-rank everything\", not a huge constant")
+    if (rerank > (1 << 16)) {
+      graft.core.Stats.counter(spark, s"$who.rerank_oversized").add(1L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$who: rerank=$rerank broadcasts up to rerank ids per query " +
+          "back onto the corpus; values beyond the real candidate count " +
+          "only grow that broadcast")
+    }
+    rerank
+  }
+
   def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, m: Int = 8, ksub: Int = 16, rerank: Int = 0,
       codebookOpt: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    if (rerank > 0) boundRerank(corpus.sparkSession, rerank, "pq")
     val codebook = codebookOpt.getOrElse(
       trainPq(corpus, corpusId, corpusVec, m, ksub))
     val coded = corpus
@@ -1016,6 +1044,7 @@ object Similarity {
       k: Int = 10, nprobe: Int = 4,
       rerankFrom: Option[(DataFrame, String, String)] = None,
       rerank: Int = 100): DataFrame = {
+    if (rerankFrom.isDefined) boundRerank(spark, rerank, "ivfpq")
     val cents = indexCentroids(spark, uri)
     val codebook = pqCodebook(spark, uri)
     val probes = queries

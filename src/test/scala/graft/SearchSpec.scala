@@ -221,6 +221,28 @@ class SearchSpec extends SparkSpec {
     } finally graft.storage.VFS(spark).delete(uri)
   }
 
+  test("bm25 index probe above maxProbeTerms: semi-join fallback, same answer") {
+    val uri = s"target/test-bm25-fallback-${System.nanoTime()}"
+    val q = Seq((0L, "cat dog sat"), (1L, "spark sentence")).toDF("qid", "qtext")
+    val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+    try {
+      Search.buildIndex(docs, "doc_id", "text", uri, buckets = 8)
+      val pushed = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+      graft.core.Stats.reset()
+      // force the over-cap path: 2 allowed probe terms, batch has more
+      val fb = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5,
+        maxProbeTerms = 2)
+      assert(fb.select(cols: _*).exceptAll(pushed.select(cols: _*)).count() == 0L &&
+        pushed.select(cols: _*).exceptAll(fb.select(cols: _*)).count() == 0L,
+        "fallback probe must answer exactly like the pushed probe")
+      // the degradation is counted, and the plan carries the semi-join
+      assert(graft.core.Stats.counterValue("bm25.index_probe_semi_join") >= 1L)
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("leftsemi"),
+        s"over-cap probe must go through the broadcast semi-join:\n$plan")
+    } finally graft.storage.VFS(spark).delete(uri)
+  }
+
   test("bm25 plan: postings build map-side-combines; queries broadcast") {
     val q = Seq((0L, "cat dog")).toDF("qid", "qtext")
     val plan = Search.bm25Scores(docs, "doc_id", "text", q, "qid", "qtext")
