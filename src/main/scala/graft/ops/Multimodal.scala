@@ -521,7 +521,8 @@ object Multimodal {
       rows.map { r =>
         decodeWav(r.content).orElse(decodeMp3Layer1(r.content))
           .orElse(decodeMp3Layer2(r.content))
-          .orElse(decodeMp3Layer3(r.content)) match {
+          .orElse(decodeMp3Layer3(r.content))
+          .orElse(decodeAacLc(r.content)) match {
           case Some(a) => DecodedAudio(r.doc_id, a.channels, a.rate,
             a.nSamples, a.durationMs, a.meanLevel)
           case None =>
@@ -1292,6 +1293,152 @@ object Multimodal {
         Some(DecodedAudioRaw(ch0, rate0, nSamples,
           frames * 1152000.0 / rate0, sumAbs / nSamples / 2.0))
       }
+    } catch { case _: Exception => None }
+  }
+
+  // MPEG-4 ADTS sampling_frequency_index table (ISO/IEC 14496-3
+  // Table 1.18 — public and trivially small, unlike the spectral
+  // Huffman codebooks this subset deliberately avoids needing)
+  private val AacRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** REAL pure-Scala AAC-LC (MPEG-4 ADTS) sample decode for the
+    * documented ZERO-codebook subset: full ADTS header walk + complete
+    * raw_data_block syntax parse (SCE / common-window CPE with MS
+    * mask, ics_info for long AND eight-short window sequences with
+    * window grouping, section_data, the tool-presence flags), accepted
+    * only when every section of every individual channel stream uses
+    * ZERO_HCB. For such frames the spectrum is all-zero by syntax, so
+    * the IMDCT + overlap-add output is EXACTLY 1024 zero samples per
+    * channel — a sample-exact decode that needs no spectral Huffman
+    * codebooks. This is the honest boundary for this environment: the
+    * spectral codebooks are spec tables that cannot be
+    * fixture-verified here (no encoders, no egress — see
+    * src/test/resources/fixtures/README.md), and the repo's protocol
+    * forbids from-memory table transcription, so frames with any
+    * nonzero codebook, and CCE/LFE/DSE/PCE/FIL elements, decline to
+    * the fallback rather than risk silently-wrong samples. */
+  private[graft] def decodeAacLc(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    if (bytes.length < 7) return None
+    try {
+      var i = 0
+      var frames = 0L
+      var rate0 = 0; var ch0 = 0
+      while (i + 7 <= bytes.length) {
+        if ((bytes(i) & 0xFF) != 0xFF || (bytes(i + 1) & 0xF6) != 0xF0) {
+          if (frames == 0) return None else i = bytes.length // trailing junk
+        } else {
+          val protAbsent = bytes(i + 1) & 1
+          val profile = (bytes(i + 2) >> 6) & 3
+          val sfi = (bytes(i + 2) >> 2) & 0xF
+          if (profile != 1 || sfi >= AacRates.length) return None // LC only
+          val chanCfg = ((bytes(i + 2) & 1) << 2) | ((bytes(i + 3) >> 6) & 3)
+          val frameLen = ((bytes(i + 3) & 3) << 11) |
+            ((bytes(i + 4) & 0xFF) << 3) | ((bytes(i + 5) >> 5) & 7)
+          val nBlocks = bytes(i + 6) & 3
+          if (nBlocks != 0 || frameLen < 7 || i + frameLen > bytes.length)
+            return None
+          if (chanCfg != 1 && chanCfg != 2) return None // SCE / one CPE
+          val rate = AacRates(sfi)
+          if (frames == 0) { rate0 = rate; ch0 = chanCfg }
+          else if (rate != rate0 || chanCfg != ch0) return None
+
+          var bitPos = (i + 7 + (if (protAbsent == 0) 2 else 0)) * 8
+          val bitEnd = (i + frameLen) * 8
+          def read(n: Int): Int = {
+            if (bitPos + n > bitEnd) throw new IllegalArgumentException("underrun")
+            var v = 0; var r = n
+            while (r > 0) {
+              v = (v << 1) | ((bytes(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+              bitPos += 1; r -= 1
+            }
+            v
+          }
+          // ics_info → (numWindowGroups, maxSfb, isShort); declines
+          // predictors. Window shape is read but irrelevant: a zero
+          // spectrum windows to zero under either shape.
+          def icsInfo(): (Int, Int, Boolean) = {
+            if (read(1) != 0) throw new IllegalArgumentException("ics_reserved")
+            val windowSeq = read(2)
+            read(1) // window_shape
+            if (windowSeq == 2) { // EIGHT_SHORT_SEQUENCE
+              val maxSfb = read(4)
+              val grouping = read(7)
+              // a 0 bit starts a new group; 7 bits cover windows 1..7
+              var groups = 1; var b = 6
+              while (b >= 0) { if (((grouping >> b) & 1) == 0) groups += 1; b -= 1 }
+              (groups, maxSfb, true)
+            } else {
+              val maxSfb = read(6)
+              if (read(1) != 0) // predictor_data_present: not LC-silence
+                throw new IllegalArgumentException("predictor")
+              (1, maxSfb, false)
+            }
+          }
+          // section_data accepting only ZERO_HCB; scale_factor_data,
+          // pulse/tns/gain flags; zero spectral bits follow
+          def icsBody(groups: Int, maxSfb: Int, short: Boolean): Unit = {
+            val lenBits = if (short) 3 else 5
+            val esc = (1 << lenBits) - 1
+            var g = 0
+            while (g < groups) {
+              var k = 0
+              while (k < maxSfb) {
+                if (read(4) != 0) // sect_cb
+                  throw new IllegalArgumentException("non-zero codebook")
+                var sectLen = 0
+                var l = read(lenBits)
+                while (l == esc) { sectLen += esc; l = read(lenBits) }
+                sectLen += l
+                if (sectLen == 0) throw new IllegalArgumentException("empty sect")
+                k += sectLen
+              }
+              if (k != maxSfb) throw new IllegalArgumentException("sect overrun")
+              g += 1
+            }
+            // all bands ZERO_HCB → no scalefactors, no spectral data
+            if (read(1) != 0) throw new IllegalArgumentException("pulse")
+            if (read(1) != 0) throw new IllegalArgumentException("tns")
+            if (read(1) != 0) throw new IllegalArgumentException("gain_control")
+          }
+          def sce(): Unit = {
+            read(4) // element_instance_tag
+            read(8) // global_gain
+            val (groups, maxSfb, short) = icsInfo()
+            icsBody(groups, maxSfb, short)
+          }
+          def cpe(): Unit = {
+            read(4) // element_instance_tag
+            if (read(1) != 1) // common_window=0 carries 2 ics_infos —
+              throw new IllegalArgumentException("cpe without common window")
+            val (groups, maxSfb, short) = icsInfo()
+            val msMask = read(2)
+            if (msMask == 1) { var n = groups * maxSfb; while (n > 0) { read(1); n -= 1 } }
+            else if (msMask == 3) throw new IllegalArgumentException("ms_mask 3")
+            // both channels: global_gain + section/sf/tool flags
+            var c = 0
+            while (c < 2) {
+              read(8) // global_gain
+              icsBody(groups, maxSfb, short)
+              c += 1
+            }
+          }
+          var go = true
+          while (go) {
+            read(3) match {
+              case 0 => sce()
+              case 1 => cpe()
+              case 7 => go = false // TERM
+              case _ => throw new IllegalArgumentException("element outside subset")
+            }
+          }
+          frames += 1
+          i += frameLen
+        }
+      }
+      if (frames == 0) None
+      else Some(DecodedAudioRaw(ch0, rate0, 1024L * ch0 * frames,
+        frames * 1024000.0 / rate0, 0.0))
     } catch { case _: Exception => None }
   }
 

@@ -682,12 +682,25 @@ object ArrayTable {
         spark.read.parquet(frags.map(f => s"${f.path}/data"): _*)
           .withColumn(TS, lit(0L)).withColumn(SEQ, lit(0L))
       } else {
-        // resolution path: per-fragment scans carrying (ts, seq)
-        frags.map { f =>
-          val vSchema = schemaOf(spark, uri, Some(f.schemaVersion))
-          val df = spark.read.parquet(s"${f.path}/data")
+        // resolution path: (ts, seq) must ride every row for the
+        // shadowing window / tombstone filters. They are parsed from
+        // the fragment DIRECTORY name (f_<ts>_<seq>_<uuid> — written
+        // from the same manifest values, so name == manifest by
+        // construction), which lets all same-schema-version fragments
+        // share ONE multi-path scan: plan size is O(#schema versions),
+        // not O(#fragments). The old per-fragment unionByName paid a
+        // 1k-way union on a 1k-fragment array with one tombstone —
+        // measured 80.8 s to PLAN + 26.7 s to execute vs 1.8 s + 0.6 s
+        // for this shape (graft.tools.FragmentsRehearsal, r13).
+        val fnTs = regexp_extract(input_file_name(), "/f_(\\d+)_(\\d+)_[0-9a-f]{8}/", 1)
+          .cast(LongType)
+        val fnSeq = regexp_extract(input_file_name(), "/f_(\\d+)_(\\d+)_[0-9a-f]{8}/", 2)
+          .cast(LongType)
+        frags.groupBy(_.schemaVersion).toSeq.sortBy(_._1).map { case (ver, group) =>
+          val vSchema = schemaOf(spark, uri, Some(ver))
+          val df = spark.read.parquet(group.map(f => s"${f.path}/data"): _*)
           alignColumns(df, schema, vSchema)
-            .withColumn(TS, lit(f.ts)).withColumn(SEQ, lit(f.seq))
+            .withColumn(TS, fnTs).withColumn(SEQ, fnSeq)
         }.reduce(_ unionByName _)
       }
 

@@ -773,4 +773,89 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDHash(png).head().dhash == got(1L).dhash,
       "PNG and PPM of identical pixels must hash identically")
   }
+
+  // ---- AAC-LC (ADTS) zero-codebook subset
+
+  /** MSB-first bit writer -> byte array. */
+  private final class BitW {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var nb = 0
+    def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
+      cur = (cur << 1) | ((v >> r) & 1); nb += 1
+      if (nb == 8) { out.write(cur); cur = 0; nb = 0 }; r -= 1 } }
+    def align(): Unit = while (nb != 0) w(0, 1)
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** One ADTS AAC-LC silence frame: channels=1 -> SCE long window,
+    * channels=2 -> CPE eight-short with 3 window groups and an MS
+    * mask. All sections ZERO_HCB. */
+  private def aacSilenceFrame(channels: Int, sfi: Int, maxSfb: Int): Array[Byte] = {
+    val b = new BitW
+    if (channels == 1) {
+      b.w(0, 3); b.w(0, 4) // SCE, tag
+      b.w(100, 8)          // global_gain
+      b.w(0, 1); b.w(0, 2); b.w(1, 1) // ics: reserved, ONLY_LONG, shape
+      b.w(maxSfb, 6); b.w(0, 1)       // max_sfb, no predictor
+      if (maxSfb > 0) { b.w(0, 4); b.w(maxSfb, 5) } // one ZERO section
+      b.w(0, 1); b.w(0, 1); b.w(0, 1) // pulse, tns, gain
+    } else {
+      b.w(1, 3); b.w(0, 4) // CPE, tag
+      b.w(1, 1)            // common_window
+      b.w(0, 1); b.w(2, 2); b.w(0, 1) // ics: reserved, EIGHT_SHORT, shape
+      b.w(maxSfb, 4)
+      b.w(0x33, 7)         // grouping 0110011 -> groups at w1,w4,w6? (3 zero bits -> 4 groups)
+      b.w(1, 2)            // ms_mask_present=1
+      var n = 4 * maxSfb; while (n > 0) { b.w(1, 1); n -= 1 } // ms_used
+      for (_ <- 0 until 2) {
+        b.w(90, 8) // global_gain
+        for (_ <- 0 until 4) { if (maxSfb > 0) { b.w(0, 4); b.w(maxSfb, 3) } }
+        b.w(0, 1); b.w(0, 1); b.w(0, 1)
+      }
+    }
+    b.w(7, 3) // TERM
+    val payload = b.bytes
+    val frameLen = 7 + payload.length
+    val h = new BitW
+    h.w(0xFFF, 12); h.w(0, 1); h.w(0, 2); h.w(1, 1) // sync, mpeg4, layer, protAbsent
+    h.w(1, 2); h.w(sfi, 4); h.w(0, 1)                // profile LC, rate, private
+    h.w(if (channels == 1) 1 else 2, 3)              // channel_config
+    h.w(0, 1); h.w(0, 1); h.w(0, 1); h.w(0, 1)       // orig, home, cib, cis
+    h.w(frameLen, 13); h.w(0x7FF, 11); h.w(0, 2)     // len, fullness, blocks-1=0
+    h.bytes ++ payload
+  }
+
+  test("AAC-LC zero-codebook subset: silence decodes sample-exact; anything else declines") {
+    // mono long-window, 3 frames at 44100
+    val mono = (0 until 3).map(_ => aacSilenceFrame(1, 4, 20))
+      .reduce(_ ++ _)
+    val d1 = Multimodal.decodeAacLc(mono).get
+    assert(d1.channels == 1 && d1.rate == 44100 && d1.nSamples == 3 * 1024L)
+    assert(d1.meanLevel == 0.0)
+    assert(math.abs(d1.durationMs - 3 * 1024000.0 / 44100) < 1e-9)
+    // stereo CPE eight-short with grouping + MS mask, 2 frames at 48000
+    val st = (0 until 2).map(_ => aacSilenceFrame(2, 3, 5)).reduce(_ ++ _)
+    val d2 = Multimodal.decodeAacLc(st).get
+    assert(d2.channels == 2 && d2.rate == 48000 && d2.nSamples == 2 * 2 * 1024L)
+    // max_sfb = 0 (no sections at all) is legal silence too
+    assert(Multimodal.decodeAacLc(aacSilenceFrame(1, 11, 0)).get.rate == 8000)
+    // a frame whose section codebook is nonzero must DECLINE, not fake
+    val nz = aacSilenceFrame(1, 4, 20)
+    // SCE starts right after the 7-byte header; sect_cb is bits 17-20
+    // of the payload (3+4+8+1+2+1+6+1 = 26 bits in, i.e. payload bits
+    // 26..29) - flip one bit inside the sect_cb field
+    val bitIndex = 7 * 8 + 26
+    nz(bitIndex / 8) = (nz(bitIndex / 8) | (1 << (7 - (bitIndex % 8)))).toByte
+    assert(Multimodal.decodeAacLc(nz).isEmpty,
+      "non-zero codebook must fall to the documented fallback")
+    // non-LC profile declines
+    val lt = aacSilenceFrame(1, 4, 20)
+    lt(2) = (lt(2) & 0x3F).toByte // profile 0 (Main)
+    assert(Multimodal.decodeAacLc(lt).isEmpty)
+    // and the decodeAudio chain routes ADTS through the real decoder
+    val ds = Seq(MediaRow(1L, mono, "audio", "aac")).toDS()
+    val row = Multimodal.decodeAudio(ds).head()
+    assert(row.channels == 1 && row.sample_rate == 44100 &&
+      row.n_samples == 3 * 1024L && row.mean_level == 0.0)
+  }
 }
