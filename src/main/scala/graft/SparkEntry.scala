@@ -2214,6 +2214,76 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL AAC-LC (ADTS) decode in the documented ZERO-codebook
+    // subset: full header + raw_data_block syntax parse (SCE long /
+    // common-window CPE eight-short with window grouping and an MS
+    // mask), accepted only when every section is ZERO_HCB — silence,
+    // whose 1024 zero samples per channel are sample-exact WITHOUT the
+    // spectral Huffman codebooks (which cannot be fixture-verified in
+    // this environment; see fixtures README). The oracle pins the
+    // layout math; the syntax walk is pinned bit-level by
+    // MultimodalSpec (incl. decline on any nonzero codebook).
+    "media_aac_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val mono = id % 2 == 0
+        val frames = 2 + (id % 4).toInt
+        val sfi = 3 + (id % 3).toInt // 48000 / 44100 / 32000
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
+          var cur = 0; var nb = 0
+          def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
+            cur = (cur << 1) | ((v >> r) & 1); nb += 1
+            if (nb == 8) { bits += cur.toByte; cur = 0; nb = 0 }; r -= 1 } }
+          def align(): Unit = while (nb != 0) w(0, 1)
+          if (mono) {
+            val maxSfb = 1 + ((id + f) % 30).toInt
+            w(0, 3); w(0, 4); w(100, 8)      // SCE, tag, global_gain
+            w(0, 1); w(0, 2); w(1, 1)        // ONLY_LONG ics_info
+            w(maxSfb, 6); w(0, 1)
+            w(0, 4); w(maxSfb, 5)            // one ZERO_HCB section
+            w(0, 1); w(0, 1); w(0, 1)        // pulse, tns, gain
+          } else {
+            val maxSfb = 1 + ((id + f) % 6).toInt
+            w(1, 3); w(0, 4); w(1, 1)        // CPE, tag, common_window
+            w(0, 1); w(2, 2); w(0, 1)        // EIGHT_SHORT ics_info
+            w(maxSfb, 4); w(0x33, 7)         // grouping -> 4 groups
+            w(1, 2)                          // ms_mask_present = 1
+            var n = 4 * maxSfb; while (n > 0) { w(1, 1); n -= 1 }
+            var c = 0
+            while (c < 2) {
+              w(90, 8)
+              var g = 0
+              while (g < 4) { w(0, 4); w(maxSfb, 3); g += 1 }
+              w(0, 1); w(0, 1); w(0, 1)
+              c += 1
+            }
+          }
+          w(7, 3); align()                   // TERM + byte align
+          val frameLen = 7 + bits.length
+          val h = new scala.collection.mutable.ArrayBuffer[Byte]()
+          var hc = 0; var hn = 0
+          def hw(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
+            hc = (hc << 1) | ((v >> r) & 1); hn += 1
+            if (hn == 8) { h += hc.toByte; hc = 0; hn = 0 }; r -= 1 } }
+          hw(0xFFF, 12); hw(0, 1); hw(0, 2); hw(1, 1)
+          hw(1, 2); hw(sfi, 4); hw(0, 1)
+          hw(if (mono) 1 else 2, 3)
+          hw(0, 4)
+          hw(frameLen, 13); hw(0x7FF, 11); hw(0, 2)
+          out.write(h.toArray); out.write(bits.toArray)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "aac")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL MPEG-1 Layer II decode under the oracle: CBR Layer II
     // frames (Table B.2a selected by 384 kbps / 48 kHz) with
     // allocation indices, scfsi modes, scalefactor indices and sample
@@ -4132,6 +4202,18 @@ object SparkEntry {
       "CAST(rate AS INT) AS sample_rate, CAST(kbps AS INT) AS bitrate_kbps, " +
       "CAST(frames AS BIGINT) AS n_frames, " +
       "round(frames * 1152 * 1000.0 / rate, 6) AS duration_ms FROM p"),
+    // AAC-LC zero-codebook silence: layout math replayed (the samples
+    // are exactly zero by syntax, so mean_level is 0 and the layout is
+    // the whole observable output)
+    "media_aac_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch, " +
+      "2 + doc_id % 4 AS frames, " +
+      "CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END AS rate " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(1024*ch*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 1024000.0 / rate, 6) AS duration_ms, " +
+      "0.0 AS mean_level FROM d"),
     // Layer I requantization replayed value-for-value from the
     // planting formulas: s' = (2c+1-2^nb)/2^nb * 2^nb/(2^nb-1) * sf,
     // sf = 2*2^(-idx/3); mean_level = sum|s'| / (384*ch*frames) / 2
