@@ -22,6 +22,42 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   */
 object Profile {
 
+  // ---- at-rest encryption plumbing: sketches AGGREGATE the array's
+  // user data (value histograms, frequency cells), so an encrypted
+  // array's sketch sidecars must be ciphertext too — parquet cells via
+  // the same modular-encryption options as fragment data, JSON params
+  // via the AES-GCM envelope with role "sketch". Plaintext arrays are
+  // untouched (all helpers no-op to plain IO).
+  private def encKeyId(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Option[String] =
+    graft.storage.ArrayTable.encryptionKeyId(spark, uri)
+
+  private def encOpts(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Map[String, String] =
+    encKeyId(spark, uri).map(graft.storage.Encryption.writeOptions)
+      .getOrElse(Map.empty)
+
+  private def sketchKey(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Option[Array[Byte]] =
+    encKeyId(spark, uri).map(id => graft.storage.Encryption.requireKey(
+      spark.sparkContext.hadoopConfiguration, id, uri))
+
+  private def sketchWriteJson(spark: org.apache.spark.sql.SparkSession,
+      uri: String, path: String, content: String): Unit =
+    sketchKey(spark, uri) match {
+      case Some(k) => graft.storage.VFS(spark).writeBytes(path,
+        graft.storage.Encryption.encryptString(k, content, "sketch"))
+      case None => graft.storage.VFS(spark).writeString(path, content)
+    }
+
+  private def sketchReadJson(spark: org.apache.spark.sql.SparkSession,
+      uri: String, path: String): String =
+    sketchKey(spark, uri) match {
+      case Some(k) => graft.storage.Encryption.decryptString(k,
+        graft.storage.VFS(spark).readBytes(path), "sketch")
+      case None => graft.storage.VFS(spark).readString(path)
+    }
+
   /** Profile `cols` (default: every column) of `df` in one aggregate
     * pass. Returns (column, stat, value: double) rows; string columns
     * report length stats, numeric columns report value stats. */
@@ -115,7 +151,7 @@ object Profile {
       }
       wide.select(explode(array(long: _*)).as("s"))
         .select(lit(f.name).as("fragment"), col("s.*"))
-        .coalesce(1).write.mode("overwrite")
+        .coalesce(1).write.mode("overwrite").options(encOpts(spark, uri))
         .parquet(s"$uri/__profile/${f.name}.parquet")
     }
     todo.size
@@ -162,12 +198,12 @@ object Profile {
     val dir = s"$uri/__profile_hist/$colName"
     val boundsPath = s"$dir/_bounds.json"
     if (fs.exists(boundsPath)) {
-      val o = parse(fs.readString(boundsPath)).obj
+      val o = parse(sketchReadJson(spark, uri, boundsPath)).obj
       def d(k: String) = o(k).getOrElse(sys.error(s"bounds missing $k")).dbl
       require(d("lo") == lo && d("hi") == hi && d("buckets").toInt == buckets,
         s"histogram bounds mismatch at $dir: stored " +
           s"[${d("lo")}, ${d("hi")}] x ${d("buckets").toInt}, asked [$lo, $hi] x $buckets")
-    } else fs.writeString(boundsPath, render(JObj(Seq(
+    } else sketchWriteJson(spark, uri, boundsPath, render(JObj(Seq(
       "lo" -> JNum(lo), "hi" -> JNum(hi), "buckets" -> JLong(buckets)))))
     val done = fs.ls(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
@@ -179,7 +215,8 @@ object Profile {
         .select(least(greatest(floor((col("__v") - lit(lo)) / lit(width)), lit(0.0)),
           lit((buckets - 1).toDouble)).cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/${f.name}.parquet")
+        .coalesce(1).write.mode("overwrite").options(encOpts(spark, uri))
+        .parquet(s"$dir/${f.name}.parquet")
     }
     todo.size
   }
@@ -290,12 +327,12 @@ object Profile {
     val dir = s"$uri/__profile_cms/$colName"
     val paramsPath = s"$dir/_cms.json"
     if (fs.exists(paramsPath)) {
-      val o = parse(fs.readString(paramsPath)).obj
+      val o = parse(sketchReadJson(spark, uri, paramsPath)).obj
       def i(k: String) = o(k).getOrElse(sys.error(s"cms params missing $k")).dbl.toInt
       require(i("depth") == depth && i("width") == width,
         s"cms params mismatch at $dir: stored ${i("depth")}x${i("width")}, " +
           s"asked ${depth}x$width")
-    } else fs.writeString(paramsPath, render(JObj(Seq(
+    } else sketchWriteJson(spark, uri, paramsPath, render(JObj(Seq(
       "depth" -> JLong(depth), "width" -> JLong(width)))))
     val done = fs.ls(dir).map(p => p.substring(p.lastIndexOf('/') + 1))
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSet
@@ -303,7 +340,8 @@ object Profile {
     todo.foreach { f =>
       val df = spark.read.parquet(s"${f.path}/data")
       cmsCells(df, colName, depth, width)
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/${f.name}.parquet")
+        .coalesce(1).write.mode("overwrite").options(encOpts(spark, uri))
+        .parquet(s"$dir/${f.name}.parquet")
     }
     todo.size
   }
@@ -358,7 +396,8 @@ object Profile {
       colName: String, probes: DataFrame, probeCol: String): DataFrame = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
-    val o = parse(fs.readString(s"$uri/__profile_cms/$colName/_cms.json")).obj
+    val o = parse(sketchReadJson(spark, uri,
+      s"$uri/__profile_cms/$colName/_cms.json")).obj
     def i(k: String) = o(k).getOrElse(sys.error(s"cms params missing $k")).dbl.toInt
     val (depth, width) = (i("depth"), i("width"))
     val pb = probes.select(col(probeCol).as("value"))

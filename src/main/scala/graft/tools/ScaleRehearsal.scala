@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, TextAnalysis}
+import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** 10x scale rehearsal (BASELINE.md): synthesizes a corpus `mult` times
   * the sf0.1 tables under target/ and times the heaviest operators,
@@ -439,6 +439,81 @@ object ScaleRehearsal {
         results += "bm25_index_rare_200" -> tRare
         println(s"[rehearsal] bm25_index_rare_200: $rhits result rows")
       }
+    }
+
+    // ---- round-12 retrieval additions (r12 verdict item 3: every new
+    //      op gets a curve) ------------------------------------------
+    if (runOp("retrieval")) {
+      val queries = docs0.limit(200).select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(graft.ops.Search.termsOf(col("text")), 5, 5)).as("qtext"))
+
+      // metadata-filtered BM25: the filter narrows the CANDIDATE set
+      // (left-semi after scoring), so cost tracks plain bm25_topk
+      val (fhits, tFilt) = time(
+        graft.ops.Search.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10,
+          docFilter = Some(col("lang") === "en")).count())
+      results += "bm25_topk_filtered_200" -> tFilt
+      println(s"[rehearsal] bm25_topk_filtered_200: $fhits rows")
+
+      // per-doc TF-IDF keywords: postings + vocab-keyed df join over
+      // the WHOLE corpus (the one-shot corpus-triage pass)
+      val (_, tTfidf) = time(
+        graft.ops.Search.tfidfKeywords(docs, "doc_id", "text", k = 5)
+          .agg(count(lit(1))).head())
+      results += "tfidf_keywords" -> tTfidf
+
+      // PMI collocations: bigram LM train + bounded top-n
+      val (_, tPmi) = time(
+        graft.ops.NgramLm.pmiCollocations(docs, "text", n = 50).count())
+      results += "pmi_collocations" -> tPmi
+
+      // filtered ANN over a payload-carrying IVF index: predicate
+      // applies inside the statically-pruned cell scan
+      val n = embX.count()
+      val knnUri = s"$outDir/knn_filtered_index"
+      // a fixed copy-0 batch so the query load is IDENTICAL at every
+      // mult (the 997-modulus version shrank the batch at small mult)
+      val qv = embX.filter(shiftright(col("vec_id"), 24) === 0).limit(200)
+      val (_, tKnnBuild) = time(
+        Similarity.buildIvfIndex(
+          embX.withColumn("flag", pmod(col("vec_id"), lit(2))),
+          "vec_id", "embedding", knnUri, nCentroids = 64,
+          payload = Seq("flag")))
+      results += "knn_filtered_build" -> tKnnBuild
+      val (khits, tKnn) = time(
+        Similarity.ivfIndexTopK(spark, knnUri, qv, "vec_id", "embedding",
+          k = 10, nprobe = 8, filter = Some(col("flag") === 0)).count())
+      results += "knn_filtered_200" -> tKnn
+      println(s"[rehearsal] knn_filtered_200: $khits rows over $n vecs")
+
+      // hybrid RRF: both bounded rankings (BM25 + IVF cosine over the
+      // id-aligned embeddings) fused on the candidate set only
+      val lex = graft.ops.Search.bm25TopK(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 20)
+        .select("query_id", "doc_id", "rank").localCheckpoint(true)
+      val sem0 = Similarity.ivfIndexTopK(spark, knnUri,
+        queries.join(embX, col("query_id") === col("vec_id"))
+          .select(col("query_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 20, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        .localCheckpoint(true)
+      val (hhits, tRrf) = time(
+        graft.ops.Search.rrfFuse(Seq(lex, sem0), k = 10).count())
+      results += "hybrid_rrf_fuse_200" -> tRrf
+      val (_, tRrfE2e) = time {
+        val l2 = graft.ops.Search.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 20)
+          .select("query_id", "doc_id", "rank")
+        val s2 = Similarity.ivfIndexTopK(spark, knnUri,
+          queries.join(embX, col("query_id") === col("vec_id"))
+            .select(col("query_id").as("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 20, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        graft.ops.Search.rrfFuse(Seq(l2, s2), k = 10).count()
+      }
+      results += "hybrid_rrf_e2e_200" -> tRrfE2e
+      println(s"[rehearsal] hybrid_rrf: fuse-only $hhits rows")
     }
 
     if (runOp("bm25_zipf")) {

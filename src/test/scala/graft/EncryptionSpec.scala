@@ -177,6 +177,45 @@ class EncryptionSpec extends SparkSpec {
     assert(ArrayTable.read(spark, uri).count() == df.count())
   }
 
+  test("encrypted array: profile sketches are ciphertext and still merge exactly") {
+    import graft.storage.ArrayTable
+    import graft.ops.Profile
+    Encryption.enable(spark, "arrkey", keyA)
+    val uri = TestSession.tmpDir("enc-sketches")
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ArrayTable.create(spark, uri, graft.core.ArraySchema.infer(df.schema,
+      Seq("o_orderkey")), encryptionKey = Some("arrkey"))
+    ArrayTable.write(spark, df, uri, tsOpt = Some(1000L))
+    ArrayTable.write(spark, df.limit(50), uri, tsOpt = Some(2000L))
+    Profile.writeFragmentHistograms(spark, uri, "o_totalprice", 0.0, 600000.0)
+    Profile.writeFragmentCms(spark, uri, "o_orderkey")
+
+    // sketches carry aggregate user data — they must be ciphertext too
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val sketchFiles = walk(new java.io.File(uri))
+      .filter(f => f.getPath.contains("__profile"))
+      .filterNot(f => f.getName.startsWith("_SUCCESS") || f.getName.endsWith(".crc"))
+    assert(sketchFiles.exists(_.getName.endsWith(".parquet")) &&
+      sketchFiles.exists(_.getName.endsWith(".json")))
+    sketchFiles.foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "ISO-8859-1")
+      if (f.getName.endsWith(".parquet"))
+        assert(text.endsWith("PARE"), s"${f.getName}: plaintext sketch parquet")
+      else if (f.getName.endsWith(".json"))
+        assert(text.startsWith("GFT1"), s"${f.getName}: sketch params not enveloped")
+    }
+
+    // the merge still answers exactly (decrypting reads end to end)
+    val merged = Profile.mergedHistogram(spark, uri, "o_totalprice")
+      .agg(sum("cnt")).head().getLong(0)
+    assert(merged == df.count() + 50)
+    // incremental call with matching params is a clean no-op
+    assert(Profile.writeFragmentHistograms(spark, uri, "o_totalprice",
+      0.0, 600000.0) == 0)
+  }
+
   test("enable validates key shape") {
     intercept[IllegalArgumentException] {
       Encryption.enable(spark, "short", "too-short") }
