@@ -1825,6 +1825,36 @@ object SparkEntry {
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
 
+    // REAL canvas compositing of inter-frame-OPTIMIZED GIFs: the
+    // JDK's own GIF encoder (independent LZW) writes a full-screen
+    // base frame then 2x2 sub-rect frames whose anti-diagonal is
+    // TRANSPARENT — renderable only by real compositing
+    // (gifFramesComposited; the fast full-frame path declines). Each
+    // later frame replaces exactly 2 base pixels, so every sampled
+    // frame's mean is a closed form DuckDB replays.
+    "media_frames_composited" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 6 + (id % 4).toInt; val h = 4
+        val nf = 2 + (id % 3).toInt
+        val base = (((id % 200).toInt) << 16) |
+          ((((3 * id) % 200).toInt) << 8) | ((7 * id) % 200).toInt
+        val bytes = graft.tools.MediaFixtures.compositedGif(w, h, nf, base)(f =>
+          ((((id * 11 + f * 31) % 200).toInt) << 16) |
+            ((((id * 13 + f * 37) % 200).toInt) << 8) |
+            (((id * 17 + f * 41) % 200).toInt))
+        Multimodal.MediaRow(id, bytes, "image", "gif")
+      }
+      val frames = Multimodal.sampleFrames(media, stride = 2)
+      val asMedia = frames.map(f =>
+        Multimodal.MediaRow(f.doc_id * 100 + f.frame_idx, f.frame, "image", "ppm"))
+      Multimodal.decodeImages(asMedia).toDF()
+        .select(expr("doc_id div 100").cast("long").as("doc_id"),
+          pmod(col("doc_id"), lit(100)).cast("int").as("frame_idx"),
+          col("width"), col("height"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
+
     // REAL color-descriptor features from decoded pixels: per-channel
     // 4-bin histograms + means, every value an exact integer ratio
     // DuckDB replays from the planted gradient
@@ -4022,6 +4052,27 @@ object SparkEntry {
       "CAST(h AS INT) AS height, " +
       "round(CAST(h * (w * (r0 + g0 + b0 + 41*f) + 3 * (w*(w-1)//2)) AS DOUBLE) " +
       "/ (w*h*3), 6) AS mean_intensity FROM fr"),
+    // composited frames: frame f's canvas = base everywhere except
+    // the 2 diagonal pixels of each 2x2 patch 1..f (transparent
+    // anti-diagonal leaves base showing) — mean replayed exactly
+    "media_frames_composited" -> ("WITH d AS (SELECT doc_id, " +
+      "6 + doc_id % 4 AS w, 4 AS h, 2 + doc_id % 3 AS nf, " +
+      "(doc_id % 200) + ((3*doc_id) % 200) + ((7*doc_id) % 200) AS sb " +
+      "FROM documents), " +
+      "fr AS (SELECT d.*, f.range AS f FROM d, range(0,5) f " +
+      "WHERE f.range < nf AND f.range % 2 = 0), " +
+      "pj AS (SELECT fr.doc_id, fr.f, " +
+      "((fr.doc_id*11 + j.range*31) % 200) + ((fr.doc_id*13 + j.range*37) % 200) + " +
+      "((fr.doc_id*17 + j.range*41) % 200) AS sp " +
+      "FROM fr, range(1,5) j WHERE j.range <= fr.f), " +
+      "m AS (SELECT fr.doc_id, fr.f, fr.w, fr.h, fr.sb, " +
+      "coalesce(sum(pj.sp), 0) AS sumsp, count(pj.sp) AS np " +
+      "FROM fr LEFT JOIN pj ON fr.doc_id = pj.doc_id AND fr.f = pj.f " +
+      "GROUP BY fr.doc_id, fr.f, fr.w, fr.h, fr.sb) " +
+      "SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width, " +
+      "CAST(h AS INT) AS height, " +
+      "round(CAST((w*h - 2*np)*sb + 2*sumsp AS DOUBLE) / (w*h*3), 6) " +
+      "AS mean_intensity FROM m"),
     // channel-major histogram buckets (idx c*4+b) then means (12+c),
     // all exact integer ratios over the 32 pixels
     "media_image_features" -> ("WITH px AS (SELECT doc_id, p.range AS p, " +

@@ -146,10 +146,26 @@ object Multimodal {
     * Interlacing permutes row PLACEMENT only — the pixel multiset is
     * identical, so means/frame stats need no deinterlace. */
   private def gifImageBlock(bytes: Array[Byte], pos0: Int,
-      gct: Array[Int]): Option[(Int, Int, Array[Int], Int)] = {
+      gct: Array[Int]): Option[(Int, Int, Array[Int], Int)] =
+    gifIndexBlock(bytes, pos0, gct).map { case (iw, ih, _, _, indices, pal, next) =>
+      val rgb = new Array[Int](indices.length)
+      var p = 0
+      while (p < indices.length) {
+        rgb(p) = pal(indices(p) & (pal.length - 1)); p += 1
+      }
+      (iw, ih, rgb, next)
+    }
+
+  /** The index-level half of [[gifImageBlock]]: (iw, ih, left, top,
+    * deinterlaced palette INDICES, palette, nextPos) — what canvas
+    * compositing needs (transparency is an index test, not a color
+    * test). */
+  private def gifIndexBlock(bytes: Array[Byte], pos0: Int, gct: Array[Int])
+      : Option[(Int, Int, Int, Int, Array[Int], Array[Int], Int)] = {
     def u8(i: Int) = bytes(i) & 0xFF
     def u16(i: Int) = u8(i) | (u8(i + 1) << 8)
     var pos = pos0
+    val left = u16(pos + 1); val top = u16(pos + 3)
     val iw = u16(pos + 5); val ih = u16(pos + 7); val iflags = u8(pos + 9)
     pos += 10
     val palette =
@@ -218,12 +234,7 @@ object Multimodal {
       }
     }
     if (nOut < nPix) return None
-    var rgb = new Array[Int](nPix)
-    var p = 0
-    while (p < nPix) {
-      rgb(p) = palette(indices(p) & (palette.length - 1))
-      p += 1
-    }
+    var idx = indices
     if ((iflags & 0x40) != 0) {
       // deinterlace: storage order is the 4 GIF passes concatenated;
       // place each stored row at its display position (mean-only
@@ -234,11 +245,11 @@ object Multimodal {
       val out = new Array[Int](nPix)
       var s = 0
       order.foreach { d =>
-        System.arraycopy(rgb, s * iw, out, d * iw, iw); s += 1
+        System.arraycopy(idx, s * iw, out, d * iw, iw); s += 1
       }
-      rgb = out
+      idx = out
     }
-    Some((iw, ih, rgb, pos))
+    Some((iw, ih, left, top, idx, palette, pos))
   }
 
   /** Frames of a (possibly animated) GIF as (frameIdx, iw, ih, rgb
@@ -250,12 +261,14 @@ object Multimodal {
     * keeps frame sampling linear in the SAMPLE at 100 TB, not in the
     * footage. None for non-GIF payloads.
     *
-    * Documented subset: FULL-FRAME animations only. Inter-frame
+    * This is the FAST path for full-frame animations. Inter-frame
     * OPTIMIZED GIFs — delta frames at a nonzero offset, sub-rect
     * frames, or transparency (whose pixels mean "previous frame's
-    * value") — would need canvas compositing to render correctly, so
-    * multi-frame payloads using any of those decline (None → callers
-    * fall back) rather than emit sub-rects as fake full frames. */
+    * value") — need canvas compositing to render correctly, so
+    * multi-frame payloads using any of those return None here and
+    * render through [[gifFramesComposited]] (which must decode every
+    * frame — the structural skip is exactly what compositing
+    * forfeits). */
   private[graft] def gifFrames(bytes: Array[Byte],
       keep: Int => Boolean = _ => true): Option[Seq[(Int, Int, Int, Array[Int])]] = {
     if (bytes.length < 14) return None
@@ -311,9 +324,115 @@ object Multimodal {
           case _ => return None
         }
       }
-      // multi-frame + compositing semantics = out of subset (single
-      // frames render standalone either way)
+      // multi-frame + compositing semantics route to the canvas
+      // compositor ([[gifFramesComposited]]); single frames render
+      // standalone either way
       if (!sawFrame || (idx > 1 && composited)) None else Some(frames.toSeq)
+    } catch { case _: Exception => None }
+  }
+
+  /** Inter-frame-optimized (composited) GIF animations rendered for
+    * REAL: full GIF89a canvas semantics — delta frames at arbitrary
+    * (left, top) sub-rects, per-frame transparency (a transparent
+    * index leaves the underlying canvas pixel), and the three disposal
+    * methods (none/keep, 2 = restore rect to background, 3 = restore
+    * to previous canvas). Every frame must be DECODED (frame N's
+    * pixels depend on frames < N — that is the point of the format),
+    * so unlike [[gifFrames]] the `keep` predicate bounds only the
+    * EMITTED snapshots, not the decode work; sampling stays linear in
+    * the footage here, which is the honest cost of composited input.
+    * Canvas starts at the logical-screen background color (GCT bg
+    * index; black without a GCT), the common renderer convention.
+    * Returns full-canvas snapshots (screenW x screenH), one per kept
+    * frame. None for non-GIF payloads or broken LZW. */
+  private[graft] def gifFramesComposited(bytes: Array[Byte],
+      keep: Int => Boolean = _ => true): Option[Seq[(Int, Int, Int, Array[Int])]] = {
+    if (bytes.length < 14) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+          (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')) return None
+    try {
+      def u8(i: Int) = bytes(i) & 0xFF
+      val screenW = u8(6) | (u8(7) << 8); val screenH = u8(8) | (u8(9) << 8)
+      val screenFlags = u8(10); val bgIndex = u8(11)
+      if (screenW <= 0 || screenH <= 0 ||
+          screenW.toLong * screenH > Int.MaxValue / 8) return None
+      var pos = 13
+      var gct: Array[Int] = null
+      if ((screenFlags & 0x80) != 0) {
+        val n = 2 << (screenFlags & 7)
+        gct = Array.tabulate(n)(k =>
+          (u8(pos + 3 * k) << 16) | (u8(pos + 3 * k + 1) << 8) | u8(pos + 3 * k + 2))
+        pos += 3 * n
+      }
+      val bg = if (gct != null && bgIndex < gct.length) gct(bgIndex) else 0
+      val canvas = Array.fill(screenW * screenH)(bg)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Int])]
+      var idx = 0
+      var transparent = -1 // GCE state for the NEXT image
+      var disposal = 0
+      var sawFrame = false
+      var go = true
+      while (go && pos < bytes.length) {
+        u8(pos) match {
+          case 0x21 =>
+            if (u8(pos + 1) == 0xF9) { // graphic control extension
+              val f = u8(pos + 3)
+              disposal = (f >> 2) & 7
+              transparent = if ((f & 1) == 1) u8(pos + 6) else -1
+            }
+            pos += 2
+            while (u8(pos) != 0) pos += 1 + u8(pos)
+            pos += 1
+          case 0x2C =>
+            sawFrame = true
+            gifIndexBlock(bytes, pos, gct) match {
+              case Some((iw, ih, left, top, indices, pal, next)) =>
+                val saved = if (disposal == 3) canvas.clone() else null
+                var y = 0
+                while (y < ih) {
+                  val cy = top + y
+                  if (cy < screenH) {
+                    var x = 0
+                    while (x < iw) {
+                      val cx = left + x
+                      val v = indices(y * iw + x)
+                      if (cx < screenW && v != transparent)
+                        canvas(cy * screenW + cx) = pal(v & (pal.length - 1))
+                      x += 1
+                    }
+                  }
+                  y += 1
+                }
+                if (keep(idx)) frames += ((idx, screenW, screenH, canvas.clone()))
+                // disposal applies AFTER the frame is displayed
+                disposal match {
+                  case 2 => // restore the frame RECT to background
+                    var dy = 0
+                    while (dy < ih) {
+                      val cy = top + dy
+                      if (cy < screenH) {
+                        var dx = 0
+                        while (dx < iw) {
+                          val cx = left + dx
+                          if (cx < screenW) canvas(cy * screenW + cx) = bg
+                          dx += 1
+                        }
+                      }
+                      dy += 1
+                    }
+                  case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+                  case _ =>
+                }
+                transparent = -1; disposal = 0 // GCE scope is one image
+                idx += 1
+                pos = next
+              case None => return None
+            }
+          case 0x3B => go = false
+          case _ => return None
+        }
+      }
+      if (!sawFrame) None else Some(frames.toSeq)
     } catch { case _: Exception => None }
   }
 
@@ -1988,6 +2107,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
       gifFrames(r.content, keep = _ % stride == 0)
+        .orElse(gifFramesComposited(r.content, keep = _ % stride == 0))
         .orElse(aviMjpegFrames(r.content, keep = _ % stride == 0)) match {
         case Some(frames) =>
           frames.map { case (i, w, h, rgb) =>

@@ -155,4 +155,70 @@ object MediaFixtures {
     writer.endWriteSequence(); writer.dispose(); ios.close()
     bos.toByteArray
   }
+
+  /** Inter-frame-OPTIMIZED animated GIF via the JDK writer (an
+    * independent encoder): frame 0 is a full-screen solid `base`;
+    * each later frame f is a 2x2 sub-rect at (2*(f-1), 0) drawing the
+    * two diagonal pixels in `patch(f)` and leaving the anti-diagonal
+    * TRANSPARENT — so rendering is only correct under real canvas
+    * compositing (offsets + transparency), which is what
+    * `gifFramesComposited` exists for. Deterministic composite:
+    * frame f's canvas = base everywhere except the 2 diagonal pixels
+    * of each rect 1..f. */
+  def compositedGif(w: Int, h: Int, nFrames: Int, base: Int)(
+      patch: Int => Int): Array[Byte] = {
+    require(2 * (nFrames - 1) <= w && h >= 2 && nFrames >= 1)
+    javax.imageio.ImageIO.setUseCache(false)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val (fw, fh, left) = if (f == 0) (w, h, 0) else (2, 2, 2 * (f - 1))
+      val color = if (f == 0) base else patch(f)
+      val transIdx = if (f == 0) -1 else 1
+      val cmap = Array(0xFF000000 | color, 0xFF000000 | base)
+      val icm = new java.awt.image.IndexColorModel(1, 2,
+        cmap.map(c => ((c >> 16) & 0xFF).toByte),
+        cmap.map(c => ((c >> 8) & 0xFF).toByte),
+        cmap.map(c => (c & 0xFF).toByte), transIdx)
+      val img = new java.awt.image.BufferedImage(fw, fh,
+        java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+      for (y <- 0 until fh; x <- 0 until fw)
+        img.getRaster.setSample(x, y, 0,
+          if (f == 0) 0 else if (x == y) 0 else 1) // diagonal opaque
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      def child(name: String) = {
+        val kids = root.getElementsByTagName(name)
+        if (kids.getLength > 0)
+          kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode(name)
+          root.appendChild(n); n
+        }
+      }
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "doNotDispose")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", if (f == 0) "FALSE" else "TRUE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", if (f == 0) "0" else "1")
+      val desc = child("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", "0")
+      desc.setAttribute("imageWidth", fw.toString)
+      desc.setAttribute("imageHeight", fh.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    bos.toByteArray
+  }
 }

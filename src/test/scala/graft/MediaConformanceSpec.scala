@@ -75,6 +75,134 @@ class MediaConformanceSpec extends SparkSpec {
     gifConformance("tai-ku.gif")
   }
 
+  // ---- Animated GIF compositing: the JDK GIF *writer* is an
+  // independent third-party ENCODER — it builds its own LZW streams,
+  // sub-block layout and GCE metadata. We feed it known rasters with
+  // sub-rect offsets, transparency and disposal methods, then check
+  // gifFramesComposited reproduces the reference composite of those
+  // known rasters pixel-for-pixel.
+
+  /** Write an animated GIF via ImageIO: frames of (left, top, raster
+    * w x h of palette indices) with per-frame disposal. Palette:
+    * index 0 black, 1 red, 2 green, 3 blue; index 3 is declared
+    * TRANSPARENT on frames beyond the first. */
+  private def jdkAnimatedGif(screenW: Int, screenH: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Byte], String)]): Array[Byte] = {
+    import javax.imageio.{ImageIO, IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val cmap = Array(0xFF000000, 0xFFFF0000, 0xFF00FF00, 0xFF0000FF)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.zipWithIndex.foreach { case ((left, top, w, h, data, disposal), i) =>
+      val transIdx = if (i == 0) -1 else 3
+      val icm = new java.awt.image.IndexColorModel(2, 4,
+        cmap.map(c => ((c >> 16) & 0xFF).toByte),
+        cmap.map(c => ((c >> 8) & 0xFF).toByte),
+        cmap.map(c => (c & 0xFF).toByte),
+        transIdx)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var p = 0
+      while (p < data.length) { img.getRaster.setSample(p % w, p / w, 0, data(p)); p += 1 }
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def child(name: String): IIOMetadataNode = {
+        val kids = root.getElementsByTagName(name)
+        if (kids.getLength > 0) kids.item(0).asInstanceOf[IIOMetadataNode]
+        else { val n = new IIOMetadataNode(name); root.appendChild(n); n }
+      }
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", if (transIdx >= 0) "TRUE" else "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", if (transIdx >= 0) "3" else "0")
+      val desc = child("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", top.toString)
+      desc.setAttribute("imageWidth", w.toString)
+      desc.setAttribute("imageHeight", h.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      if (i == 0) { // pin the logical screen on the stream metadata
+        val smeta = writer.getDefaultStreamMetadata(writer.getDefaultWriteParam)
+        val sroot = smeta.getAsTree(smeta.getNativeMetadataFormatName)
+          .asInstanceOf[IIOMetadataNode]
+        val lsd = sroot.getElementsByTagName("LogicalScreenDescriptor").item(0)
+          .asInstanceOf[IIOMetadataNode]
+        lsd.setAttribute("logicalScreenWidth", screenW.toString)
+        lsd.setAttribute("logicalScreenHeight", screenH.toString)
+        smeta.setFromTree(smeta.getNativeMetadataFormatName, sroot)
+        writer.prepareWriteSequence(smeta)
+      }
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  test("animated GIF compositing: JDK-encoded sub-rect/transparent/disposal frames") {
+    val W = 8; val H = 6
+    val cmap = Array(0x000000, 0xFF0000, 0x00FF00, 0x0000FF)
+    // frame 0: full screen, all red
+    val f0 = Array.fill[Byte](W * H)(1)
+    // frame 1: 3x2 green patch at (2,1), rest transparent (index 3);
+    //          disposal none -> patch persists
+    val f1 = Array.tabulate[Byte](4 * 3)(p => if (p % 4 < 3 && p / 4 < 2) 2 else 3)
+    // frame 2: 2x2 blue-ish patch at (5,3) declared restoreToBackground
+    val f2 = Array.fill[Byte](2 * 2)(2)
+    // frame 3: single green pixel at (0,0) — checks frame 2's rect was
+    //          cleared to background before this frame
+    val f3 = Array.fill[Byte](1)(2)
+    val gif = jdkAnimatedGif(W, H, Seq(
+      (0, 0, W, H, f0, "none"),
+      (2, 1, 4, 3, f1, "doNotDispose"),
+      (5, 3, 2, 2, f2, "restoreToBackgroundColor"),
+      (0, 0, 1, 1, f3, "doNotDispose")))
+
+    // the fast path must decline (composited), the compositor decode
+    assert(Multimodal.gifFrames(gif).isEmpty)
+    val got = Multimodal.gifFramesComposited(gif).get
+    assert(got.length == 4 && got.forall(f => f._2 == W && f._3 == H))
+
+    // reference composite from the KNOWN input rasters
+    val bgOfStream = {
+      // JDK writer picks the background index itself; read it back
+      // from the emitted logical screen descriptor
+      val bgIdx = gif(11) & 0xFF
+      cmap(bgIdx & 3)
+    }
+    val canvas = Array.fill(W * H)(bgOfStream)
+    def draw(left: Int, top: Int, w: Int, h: Int, data: Array[Byte],
+        trans: Int): Unit = {
+      var p = 0
+      while (p < data.length) {
+        val x = left + p % w; val y = top + p / w
+        if (x < W && y < H && data(p) != trans) canvas(y * W + x) = cmap(data(p))
+        p += 1
+      }
+    }
+    draw(0, 0, W, H, f0, -1)
+    assert(got(0)._4.toSeq == canvas.toSeq, "frame 0 composite")
+    draw(2, 1, 4, 3, f1, 3)
+    assert(got(1)._4.toSeq == canvas.toSeq, "frame 1 composite (transparency)")
+    val before2 = canvas.clone()
+    draw(5, 3, 2, 2, f2, 3)
+    assert(got(2)._4.toSeq == canvas.toSeq, "frame 2 composite")
+    // disposal 2: frame 2's rect restored to background before frame 3
+    System.arraycopy(before2, 0, canvas, 0, canvas.length)
+    for (y <- 3 until 5; x <- 5 until 7) canvas(y * W + x) = bgOfStream
+    draw(0, 0, 1, 1, f3, 3)
+    assert(got(3)._4.toSeq == canvas.toSeq, "frame 3 after restore-to-background")
+  }
+
   // ---- WAV: our RIFF/PCM reader vs javax.sound.sampled
 
   /** Independent decode: AudioSystem frames -> normalized [0,1] mean
