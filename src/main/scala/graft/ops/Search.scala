@@ -276,7 +276,14 @@ object Search {
       k: Int = 5): DataFrame = {
     val spark = docs.sparkSession
     val nDocs = docs.count()
-    val post = postings(docs, idCol, textCol).localCheckpoint(true)
+    // the postings materialize ONCE (two consumers: the df aggregation
+    // and the score join) — pinned DISK_ONLY, not localCheckpoint:
+    // the checkpoint's MEMORY_AND_DISK blocks compete with the join's
+    // sort buffers inside one executor heap, and at the 100x rehearsal
+    // (500k docs, ~50M posting rows) that OOMed an 8 GB heap. Posting
+    // rows are corpus-token-scale — they belong on disk.
+    val post = postings(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val df = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
     val scored = post.join(df, "term")

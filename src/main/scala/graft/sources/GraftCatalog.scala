@@ -118,8 +118,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new IllegalArgumentException(
         "graft table needs TBLPROPERTIES('dims'='d1,d2,...')"))
     val dups = Option(properties.get("allowsDuplicates")).exists(_.toBoolean)
+    // TBLPROPERTIES('encryption.key'='<keyId>') = the SQL surface of
+    // Array.create(key=): the key NAME only — material must already be
+    // registered via Encryption.enable, and create fails loudly if not
+    val encKey = Option(properties.get("encryption.key")).map(_.trim).filter(_.nonEmpty)
     ArrayTable.create(spark, p,
-      graft.core.ArraySchema.infer(schema, dims).copy(allowsDuplicates = dups))
+      graft.core.ArraySchema.infer(schema, dims).copy(allowsDuplicates = dups),
+      encryptionKey = encKey)
     GraftTable(spark, p, None, None, viaCatalog = true)
   }
 

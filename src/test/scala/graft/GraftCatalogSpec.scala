@@ -31,6 +31,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM g.ml.points").as[Double].collect().toSeq == Seq(9.0))
   }
 
+  test("CREATE TABLE with encryption.key: SQL round-trip, ciphertext on disk") {
+    root
+    graft.storage.Encryption.enable(spark, "sqlkey", "S" * 32)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.enc")
+    spark.sql("CREATE TABLE g.enc.t (x BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('dims'='x', 'encryption.key'='sqlkey')")
+    spark.sql("INSERT INTO g.enc.t VALUES (1, 1.5), (2, 2.5)")
+    assert(spark.sql("SELECT sum(v) FROM g.enc.t").as[Double].head() == 4.0)
+    // data files are modular-encryption ciphertext
+    val dataFiles = ArrayTable.fragments(spark, s"$root/enc/t").flatMap(f =>
+      new java.io.File(s"${f.path.stripPrefix("file:")}/data").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet")))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val b = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(new String(b.takeRight(4), "ISO-8859-1") == "PARE",
+        s"${f.getName}: SQL-created encrypted table wrote plaintext parquet")
+    }
+    // an unregistered key id fails at CREATE time, not at first read
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE g.enc.bad (x BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('dims'='x', 'encryption.key'='ghost')") }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("resolution-needing arrays read correctly through the catalog") {
     root
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.res")
