@@ -2496,6 +2496,101 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL Layer III INTENSITY-STEREO decode under the oracle: joint
+    // stereo with mode_extension 3 (intensity + MS). The right channel
+    // carries 6 table-1 (1,1) pairs (rzero = 12 exactly), so bands 0-2
+    // MS-decode from both spectra while bands >= 3 (the intensity
+    // region) split the LEFT spectrum by tan(is_pos*pi/12) with is_pos
+    // read from the RIGHT channel's scalefactors — value-sensitive
+    // because an is_pos of 7 falls back to MS and scales the band's
+    // contribution by sqrt(2), so wrong is_pos handling moves the
+    // mean. DuckDB replays every line.
+    "media_mp3_decode_l3i" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val frames = 2 + (id % 3).toInt
+        val frameLen = 144 * 320 * 1000 / 48000
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames) {
+          val buf = new Array[Byte](frameLen)
+          buf(0) = 0xFF.toByte
+          buf(1) = 0xFB.toByte
+          buf(2) = ((14 << 4) | (1 << 2)).toByte // 320 kbps, 48000 Hz
+          buf(3) = 0x70.toByte // joint stereo, mode_extension 3
+          var bit = 32
+          def w(v: Int, n: Int): Unit = {
+            var r = n - 1
+            while (r >= 0) {
+              if (((v >> r) & 1) == 1) buf(bit >> 3) =
+                (buf(bit >> 3) | (1 << (7 - (bit & 7)))).toByte
+              bit += 1; r -= 1
+            }
+          }
+          def gg(gr: Int, c: Int) = 140 + ((id * 7 + f * 3 + gr * 13 + c * 29) % 64).toInt
+          def sfScale(gr: Int, c: Int) = ((id + gr + c) % 2).toInt
+          def sfL(gr: Int, s2: Int) = ((id * 3 + gr * 5 + s2 * 11) % 8).toInt
+          def sfR(gr: Int, s2: Int) = ((id + gr * 7 + s2 * 3) % 8).toInt
+          def rawPair(gr: Int, c: Int, p: Int) =
+            id * 31 + f * 29 + gr * 17 + p * 13 + c * 19
+          def huffBitsL(gr: Int): Int = {
+            var n = 0
+            for (p <- 0 until 18) {
+              val raw = rawPair(gr, 0, p)
+              val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+              n += (if (x == 0 && y == 0) 1
+                    else if (x == 1 && y == 0) 3
+                    else if (x == 0 && y == 1) 4 else 5)
+            }
+            n
+          }
+          // side info: stereo layout, scfsi 0
+          w(0, 9); w(0, 3)
+          for (_ <- 0 until 8) w(0, 1)
+          for (gr <- 0 until 2; c <- 0 until 2) {
+            val huff = if (c == 0) huffBitsL(gr) else 6 * 5 // right: 6 x (1,1)
+            w(63 + huff, 12)            // part2_3_length (21 x 3-bit sf)
+            w(if (c == 0) 18 else 6, 9) // big_values
+            w(gg(gr, c), 8)
+            w(13, 4)                    // scalefac_compress -> slen (3,3)
+            w(0, 1)                     // long blocks
+            w(1, 5); w(1, 5); w(1, 5)   // table 1 everywhere
+            w(3, 4); w(3, 3)
+            w(0, 1)                     // preflag
+            w(sfScale(gr, c), 1)
+            w(1, 1)                     // count1 table B (unused: 0 quads)
+          }
+          // main data
+          for (gr <- 0 until 2; c <- 0 until 2) {
+            for (s2 <- 0 until 21)
+              w(if (c == 0) sfL(gr, s2) else sfR(gr, s2), 3)
+            if (c == 0) {
+              for (p <- 0 until 18) {
+                val raw = rawPair(gr, 0, p)
+                val x = (raw % 2).toInt; val y = ((raw >> 1) % 2).toInt
+                if (x == 0 && y == 0) w(1, 1)
+                else if (x == 1 && y == 0) { w(1, 2); w(((raw >> 2) % 2).toInt, 1) }
+                else if (x == 0 && y == 1) { w(1, 3); w(((raw >> 3) % 2).toInt, 1) }
+                else { w(0, 3); w(((raw >> 2) % 2).toInt, 1); w(((raw >> 3) % 2).toInt, 1) }
+              }
+            } else {
+              for (p <- 0 until 6) { // (1,1) pairs: code 000 + two signs
+                val raw = rawPair(gr, 1, p)
+                w(0, 3); w(((raw >> 2) % 2).toInt, 1); w(((raw >> 3) % 2).toInt, 1)
+              }
+            }
+          }
+          out.write(buf)
+          f += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "mp3")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL Layer III SHORT-BLOCK + MS-STEREO decode under the oracle:
     // every granule is window-switched (block_type 2) with per-window
     // scalefactors and subblock gains, and the frame is MS joint

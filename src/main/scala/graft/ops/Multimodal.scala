@@ -1106,15 +1106,21 @@ object Multimodal {
     * band order of Table B.8), MIXED blocks (lines 0..35 through the
     * long band map, the rest short), and the long start/stop types
     * (1, 3 — spectrally identical to normal long blocks), with the
-    * implicit region bounds of §2.4.2.7. MS joint stereo decodes for
-    * real too (mode_extension bit 1: l/r reconstructed as (m±s)/sqrt2
-    * from both channels' signed spectra).
+    * implicit region bounds of §2.4.2.7. Joint stereo decodes for
+    * real in every mode_extension state: MS (bit 1: l/r reconstructed
+    * as (m±s)/sqrt2 from both channels' signed spectra) and INTENSITY
+    * positioning (bit 0, long-block granules: bands above the right
+    * channel's zero boundary split the left spectrum by
+    * ratio = tan(is_pos*pi/12) — a spec FORMULA, not a table — with
+    * is_pos read from the right channel's scalefactors, is_pos = 7
+    * falling back to MS/plain per band, and the sfb21 tail reusing
+    * band 20's position).
     *
     * Spec-table subset, documented: Huffman pair tables 0 (all-zero)
     * and 1, and count1 table B (4-bit one's-complement codes) are
     * implemented; frames selecting the larger tabulated pair tables
-    * (2-31), count1 table A, intensity stereo
-    * (mode_extension bit 0), or MPEG-2/2.5 LSF return None and fall
+    * (2-31), count1 table A, intensity stereo on SHORT-block
+    * granules, or MPEG-2/2.5 LSF return None and fall
     * through to the container metadata path — same
     * partial-by-documentation contract as the WebP-class codec
     * filters in the reference (tiledb/filter.py:690). */
@@ -1147,12 +1153,16 @@ object Multimodal {
           val pad = (bytes(i + 2) >> 1) & 0x1
           val mode = (bytes(i + 3) >> 6) & 0x3
           val modeExt = (bytes(i + 3) >> 4) & 0x3
-          // joint stereo: MS (mode_extension bit 1 alone) decodes for
-          // real; intensity positioning stays out of the subset
-          if (ver != 3 || lay != 1 || brI == 0 || brI == 15 || srI == 3 ||
-              (mode == 1 && modeExt != 2))
+          // joint stereo decodes for real in ALL four mode_extension
+          // states: 0 = plain stereo, bit 1 = MS, bit 0 = intensity
+          // positioning (long-block granules — §2.4.3.4.9.3's
+          // tan(is_pos*pi/12) split is a FORMULA, not a spec table,
+          // so it sits inside the no-transcription boundary; intensity
+          // with short blocks stays declined below)
+          if (ver != 3 || lay != 1 || brI == 0 || brI == 15 || srI == 3)
             return None
-          val msStereo = mode == 1 && modeExt == 2
+          val msStereo = mode == 1 && (modeExt & 2) != 0
+          val intensity = mode == 1 && (modeExt & 1) != 0
           val kbps = Mp3BitratesV1(brI)
           val rate = Array(44100, 48000, 32000)(srI)
           val channels = if (mode == 3) 1 else 2
@@ -1218,6 +1228,10 @@ object Multimodal {
                 tables, region0, region1, preflag, sfScale, count1Table, 0, 0, null)
             }
           }
+          // intensity positioning is implemented for LONG-block
+          // granules (the per-window is_pos bookkeeping of short
+          // blocks stays out of the documented subset)
+          if (intensity && grs.exists(_.exists(_.blockType == 2))) return None
           // ---- main data via the reservoir ----
           val mainStart = sideStart + sideLen
           val mainLen = i + frameLen - mainStart
@@ -1247,6 +1261,10 @@ object Multimodal {
             // accumulates after the channel loop (line order — the
             // same summation order as the pre-MS accumulation)
             val xrs = Array.ofDim[Double](channels, 576)
+            // long scalefactors per channel survive the channel loop:
+            // intensity positioning reads the RIGHT channel's values
+            // as is_pos after both channels decode
+            val sfLongs = Array.ofDim[Int](channels, 21)
             for (c <- 0 until channels) {
               val gr = grs(g)(c)
               val xr = xrs(c)
@@ -1289,6 +1307,7 @@ object Multimodal {
                 }
                 System.arraycopy(sf, 0, sfPrev(c), 0, 21)
               }
+              System.arraycopy(sf, 0, sfLongs(c), 0, 21)
               // requantization constants (§2.4.3.4); short windows add
               // the subblock-gain shift 2^(-2*subblock_gain[w]) and
               // take no pretab
@@ -1380,22 +1399,50 @@ object Multimodal {
               mPos = grEnd // skip any stuffing inside part2_3_length
             }
             // accumulate the granule: MS rebuilds L/R from mid/side
-            // (§2.4.3.4.9.1: l = (m+s)/sqrt2, r = (m-s)/sqrt2)
-            if (msStereo) {
-              var l = 0
-              while (l < 576) {
+            // (§2.4.3.4.9.1: l = (m+s)/sqrt2, r = (m-s)/sqrt2); a line
+            // below the intensity bound (or in an is_pos==7 band) uses
+            // MS when the MS bit is set, else plain stereo
+            def accumPlain(l: Int): Unit =
+              if (msStereo)
                 sumAbs += (math.abs(xrs(0)(l) + xrs(1)(l)) +
                   math.abs(xrs(0)(l) - xrs(1)(l))) / math.sqrt(2.0)
-                l += 1
+              else {
+                var c2 = 0
+                while (c2 < channels) { sumAbs += math.abs(xrs(c2)(l)); c2 += 1 }
+              }
+            if (intensity) {
+              // rzero: start of the right channel's all-zero tail; the
+              // intensity region covers the long bands whose LOWER
+              // boundary sits at or above it (§2.4.3.4.9.3)
+              var rz = 576
+              while (rz > 0 && xrs(1)(rz - 1) == 0.0) rz -= 1
+              var b0 = 0
+              while (b0 < 22 && sfb(b0) < rz) b0 += 1
+              var l = 0
+              while (l < sfb(b0)) { accumPlain(l); l += 1 }
+              var b = b0
+              while (b < 22) {
+                // the sfb21 pseudo-band (lines sfb(21)..576) reuses
+                // the last real band's is_pos, as decoders must
+                val isPos = sfLongs(1)(math.min(b, 20))
+                val hi = sfb(b + 1)
+                if (isPos == 7) { // "illegal position": band stays MS/plain
+                  while (l < hi) { accumPlain(l); l += 1 }
+                } else {
+                  val ratio = math.tan(isPos * math.Pi / 12.0)
+                  val wl = ratio / (1.0 + ratio)
+                  val wr = 1.0 / (1.0 + ratio)
+                  while (l < hi) {
+                    val v = xrs(0)(l)
+                    sumAbs += math.abs(v * wl) + math.abs(v * wr)
+                    l += 1
+                  }
+                }
+                b += 1
               }
             } else {
-              var c2 = 0
-              while (c2 < channels) {
-                val xrC = xrs(c2)
-                var l = 0
-                while (l < 576) { sumAbs += math.abs(xrC(l)); l += 1 }
-                c2 += 1
-              }
+              var l = 0
+              while (l < 576) { accumPlain(l); l += 1 }
             }
           }
           // trim + roll the reservoir (keep > 511 bytes of history)
