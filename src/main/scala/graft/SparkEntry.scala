@@ -4456,6 +4456,45 @@ object SparkEntry {
       "round(frames * 24.0, 6) AS duration_ms, " +
       "round(sum(v) / (1152*ch*frames) / 2.0, 6) AS mean_level " +
       "FROM lvl GROUP BY doc_id, ch, frames"),
+    // Layer III intensity-stereo replay: lines 0-11 (bands 0-2, below
+    // the planted rzero = 12) MS-decode from both channels' signed
+    // requantized values; lines 12-35 (bands 3-7) are the intensity
+    // region — |xr_left| scaled by sqrt(2) when the right channel's
+    // scalefactor (is_pos) is 7 (per-band MS fallback) and by 1
+    // otherwise (the tan-ratio split preserves |l|+|r|); the 48 kHz
+    // long-band map gives the band of each line
+    "media_mp3_decode_l3i" -> ("WITH d AS (SELECT doc_id, " +
+      "2 + doc_id % 3 AS frames FROM documents), " +
+      "u AS (SELECT d.doc_id, d.frames, f.range AS f, g.range AS g, " +
+      "l.range AS l FROM d, range(0,4) f, range(0,2) g, range(0,36) l " +
+      "WHERE f.range < d.frames), " +
+      "b AS (SELECT *, CASE WHEN l < 12 THEN l // 4 " +
+      "WHEN l < 16 THEN 3 WHEN l < 20 THEN 4 WHEN l < 24 THEN 5 " +
+      "WHEN l < 30 THEN 6 ELSE 7 END AS band, l // 2 AS p, " +
+      "l % 2 = 0 AS ev FROM u), " +
+      "raw AS (SELECT *, doc_id*31 + f*29 + g*17 + p*13 AS rwL, " +
+      "doc_id*31 + f*29 + g*17 + p*13 + 19 AS rwR, " +
+      "(140 + ((doc_id*7 + f*3 + g*13) % 64) - 210) / 4.0 AS gainL, " +
+      "(140 + ((doc_id*7 + f*3 + g*13 + 29) % 64) - 210) / 4.0 AS gainR, " +
+      "(((doc_id + g) % 2) + 1) * 0.5 AS multL, " +
+      "(((doc_id + g + 1) % 2) + 1) * 0.5 AS multR, " +
+      "(doc_id*3 + g*5 + band*11) % 8 AS sfvL, " +
+      "(doc_id + g*7 + band*3) % 8 AS sfvR FROM b), " +
+      "v AS (SELECT *, " +
+      "(CASE WHEN ev THEN rwL % 2 ELSE (rwL // 2) % 2 END) * " +
+      "(1 - 2*(CASE WHEN ev THEN (rwL // 4) % 2 ELSE (rwL // 8) % 2 END)) * " +
+      "pow(2.0, gainL - multL * sfvL) AS xl, " +
+      "(1 - 2*(CASE WHEN ev THEN (rwR // 4) % 2 ELSE (rwR // 8) % 2 END)) * " +
+      "pow(2.0, gainR - multR * sfvR) AS xr FROM raw), " +
+      "c AS (SELECT doc_id, frames, " +
+      "CASE WHEN l < 12 THEN (abs(xl + xr) + abs(xl - xr)) / sqrt(2.0) " +
+      "ELSE abs(xl) * (CASE WHEN sfvR = 7 THEN sqrt(2.0) ELSE 1.0 END) " +
+      "END AS contrib FROM v) " +
+      "SELECT doc_id, 2 AS channels, 48000 AS sample_rate, " +
+      "CAST(1152*2*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 24.0, 6) AS duration_ms, " +
+      "round(sum(contrib) / (1152*2*frames) / 2.0, 6) AS mean_level " +
+      "FROM c GROUP BY doc_id, frames"),
     // Layer III short-block + MS-stereo replay: per spectral line the
     // SIGNED per-channel values are rebuilt from the planting
     // formulas (win = (line%12)//4, sfb = line//12 in the 48 kHz
