@@ -72,15 +72,16 @@ object DedupIndex {
 
   private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
     import graft.core.Json._
-    VFS(spark).writeString(paramsPath(uri), render(JObj(Seq(
-      "k" -> JLong(p.k), "numHashes" -> JLong(p.numHashes),
-      "bands" -> JLong(p.bands), "maxBucket" -> JLong(p.maxBucket),
-      "layout" -> JLong(2)))))
+    graft.storage.Encryption.dirJsonWrite(spark, uri, paramsPath(uri),
+      render(JObj(Seq(
+        "k" -> JLong(p.k), "numHashes" -> JLong(p.numHashes),
+        "bands" -> JLong(p.bands), "maxBucket" -> JLong(p.maxBucket),
+        "layout" -> JLong(2)))))
   }
 
   def readParams(spark: SparkSession, uri: String): Params = {
     import graft.core.Json._
-    val o = parse(VFS(spark).readString(paramsPath(uri))).obj
+    val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, paramsPath(uri))).obj
     def i(k: String) = o(k).getOrElse(sys.error(s"index params missing $k")).long.toInt
     require(o("layout").exists(_.long == 2L),
       s"dedup index at $uri predates the v2 split-signature layout — " +
@@ -120,12 +121,19 @@ object DedupIndex {
     * one band's bucket space. */
   def build(df: DataFrame, idCol: String, textCol: String, uri: String,
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = 64, filesPerBand: Int = 4): Unit = {
+      maxBucket: Int = 64, filesPerBand: Int = 4,
+      encryptionKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val p = Params(k, numHashes, bands, maxBucket)
     val fs = VFS(spark)
     fs.delete(uri)
-    sigRows(df, idCol, textCol, p).write.mode("overwrite").parquet(sigsPath(uri))
+    // signatures/buckets are derived from corpus text — an encrypted
+    // corpus needs its dedup index encrypted too; appends/compacts
+    // inherit the key from the dir marker
+    encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
+    sigRows(df, idCol, textCol, p).write.mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(sigsPath(uri))
     writeCapped(bandedFromSigs(spark.read.parquet(sigsPath(uri)), p),
       uri, p, filesPerBand, "overwrite")
     writeParams(spark, uri, p)
@@ -148,6 +156,7 @@ object DedupIndex {
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
       .write.mode(mode)
+      .options(graft.storage.Encryption.dirWriteOptions(banded.sparkSession, uri))
       .parquet(if (mode == "append") liveDataPath(banded.sparkSession, uri)
                else dataPath(uri))
   }
@@ -163,7 +172,9 @@ object DedupIndex {
     val p = readParams(spark, uri)
     // batch-scale: checkpoint the sigs once, write them, band from them
     val sigs = sigRows(df, idCol, textCol, p).localCheckpoint(true)
-    sigs.write.mode("append").parquet(sigsPath(uri))
+    sigs.write.mode("append")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(sigsPath(uri))
     // the cap is enforced within the appended batch only; groups that
     // exceed maxBucket across base+appends are re-capped on rebuild
     writeCapped(bandedFromSigs(sigs, p), uri, p, filesPerBand, "append")
@@ -273,7 +284,9 @@ object DedupIndex {
       .repartitionByRange(math.max(1, p.bands * filesPerBand),
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
-      .write.mode("overwrite").parquet(next)
+      .write.mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(next)
     // flip: concurrent probes keep reading `cur` until the marker
     // lands; a crash here leaves `cur` live (no missing-dir window)
     graft.storage.VersionedDir.commit(fs, uri, "data", next)

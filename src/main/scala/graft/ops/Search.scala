@@ -340,18 +340,18 @@ object Search {
       uri: String, nDocs: Long, sumDl: Long, buckets: Int): Unit = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
-    fs.writeString(statsPath(uri), render(JObj(Seq(
-      "nDocs" -> JLong(nDocs), "sumDl" -> JLong(sumDl)))))
-    fs.writeString(paramsPath(uri), render(JObj(Seq(
-      "buckets" -> JLong(buckets), "layout" -> JLong(1)))))
+    graft.storage.Encryption.dirJsonWrite(spark, uri, statsPath(uri),
+      render(JObj(Seq("nDocs" -> JLong(nDocs), "sumDl" -> JLong(sumDl)))))
+    graft.storage.Encryption.dirJsonWrite(spark, uri, paramsPath(uri),
+      render(JObj(Seq("buckets" -> JLong(buckets), "layout" -> JLong(1)))))
   }
 
   def readIndexStats(spark: org.apache.spark.sql.SparkSession,
       uri: String): (Long, Long, Int) = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
-    val s = parse(fs.readString(statsPath(uri))).obj
-    val p = parse(fs.readString(paramsPath(uri))).obj
+    val s = parse(graft.storage.Encryption.dirJsonRead(spark, uri, statsPath(uri))).obj
+    val p = parse(graft.storage.Encryption.dirJsonRead(spark, uri, paramsPath(uri))).obj
     def l(o: JObj, k: String): Long =
       o(k).getOrElse(sys.error(s"bm25 index missing $k")).long
     (l(s, "nDocs"), l(s, "sumDl"), l(p, "buckets").toInt)
@@ -360,14 +360,20 @@ object Search {
   /** Build (or rebuild) the BM25 index at `uri`. One corpus text pass
     * (the postings aggregation), one range write. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
-      uri: String, buckets: Int = 64): Unit = {
+      uri: String, buckets: Int = 64,
+      encryptionKey: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     graft.storage.VFS(spark).delete(uri)
+    // postings carry the corpus TERMS — an encrypted corpus needs an
+    // encrypted index. The dir marker makes appends/compactions
+    // inherit the key with no further plumbing.
+    encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
     postings(docs, idCol, textCol)
       .withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.partitionBy("tb").parquet(postingsPath(uri))
+      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .partitionBy("tb").parquet(postingsPath(uri))
     // stats from the JUST-WRITTEN postings (sum(dl) = sum(tf)) + a
     // metadata-only row count — no second corpus text pass
     val sumDl = Option(readPostingsOrEmpty(spark, postingsPath(uri))
@@ -395,7 +401,8 @@ object Search {
     batch.withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").partitionBy("tb").parquet(postingsPath(uri))
+      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .mode("append").partitionBy("tb").parquet(postingsPath(uri))
     val s1 = Option(batch.agg(sum(col("tf"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     writeStats(spark, uri, n0 + docs.count(), s0 + s1, buckets)
@@ -420,7 +427,7 @@ object Search {
     val genStatsPath = s"$base/_genstats.json"
     val (n0, s0, folded) =
       if (fs.exists(genStatsPath)) {
-        val o = parse(fs.readString(genStatsPath)).obj
+        val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath)).obj
         (o("nDocs").get.long, o("sumDl").get.long,
           o("tags").map(_.arr.map(_.str).toSet).getOrElse(Set.empty[String]))
       } else { // legacy layout: stats beside the index root
@@ -433,7 +440,7 @@ object Search {
         .filter(d => !folded(d.substring(d.lastIndexOf('/') + 1)))
         .filter(d => fs.exists(s"$d/_stats.json")).sorted
     val (n1, s1) = incs.foldLeft((n0, s0)) { case ((n, s), d) =>
-      val o = parse(fs.readString(s"$d/_stats.json")).obj
+      val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, s"$d/_stats.json")).obj
       (n + o("nDocs").get.long, s + o("sumDl").get.long)
     }
     val buckets = readIndexStats(spark, uri)._3
@@ -462,11 +469,12 @@ object Search {
     batch.withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.partitionBy("tb").parquet(s"$dir/postings")
+      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .partitionBy("tb").parquet(s"$dir/postings")
     val s1 = Option(batch.agg(sum(col("tf"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    fs.writeString(s"$dir/_stats.json", render(JObj(Seq(
-      "nDocs" -> JLong(docs.count()), "sumDl" -> JLong(s1)))))
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$dir/_stats.json",
+      render(JObj(Seq("nDocs" -> JLong(docs.count()), "sumDl" -> JLong(s1)))))
   }
 
   /** Fold pending batch dirs into a NEW base postings generation
@@ -488,11 +496,12 @@ object Search {
       .reduce(_ unionByName _)
     all.repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.partitionBy("tb").parquet(target)
+      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .partitionBy("tb").parquet(target)
     val tags = incs.map(d => d.substring(d.lastIndexOf('/') + 1))
-    fs.writeString(s"$target/_genstats.json", render(JObj(Seq(
-      "nDocs" -> JLong(n), "sumDl" -> JLong(sumDl),
-      "tags" -> JArr(tags.map(JStr))))))
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$target/_genstats.json",
+      render(JObj(Seq("nDocs" -> JLong(n), "sumDl" -> JLong(sumDl),
+        "tags" -> JArr(tags.map(JStr))))))
     graft.storage.VersionedDir.commit(fs, uri, "postings", target)
     incs.foreach(d => fs.delete(d))
   }

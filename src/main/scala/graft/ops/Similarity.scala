@@ -431,13 +431,19 @@ object Similarity {
     * the predicate pushes into the pruned cell scan itself. */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
       uri: String, nCentroids: Int = 16, lloydSteps: Int = 2,
-      trainPerCentroid: Int = 256, payload: Seq[String] = Nil): Unit = {
+      trainPerCentroid: Int = 256, payload: Seq[String] = Nil,
+      encryptionKey: Option[String] = None): Unit = {
     require(!payload.exists(IvfCellCols), s"payload clashes with cell columns: $payload")
     val cents = trainCentroids(corpus, corpusId, corpusVec,
       nCentroids, lloydSteps, trainPerCentroid)
     // a rebuild starts the generation ladder over — clear any prior
     // versioned cells dirs so the fresh gen-0 write is the live one
     graft.storage.VFS(corpus.sparkSession).delete(uri)
+    // vectors ARE user data: an encrypted corpus needs its ANN index
+    // (cells + centroid/codebook sidecars) encrypted; appends/compacts
+    // inherit the key from the dir marker
+    encryptionKey.foreach(id =>
+      graft.storage.Encryption.markDir(corpus.sparkSession, uri, id))
     corpus.select(col(corpusId).as("neighbor_id") +: col(corpusVec).as("vec")
         +: payload.map(col): _*)
       .withColumn("centroid_id", assignNarrow(col("vec"), cents))
@@ -446,6 +452,7 @@ object Similarity {
         +: col("__q.scale").as("scale") +: col("centroid_id")
         +: payload.map(col): _*)
       .write.partitionBy("centroid_id").mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(corpus.sparkSession, uri))
       .parquet(s"$uri/cells")
     import graft.core.Json._
     // payload column list is PINNED here so appends validate against a
@@ -456,7 +463,8 @@ object Similarity {
         JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
       }),
       "payload" -> JArr(payload.map(JStr)))).render
-    graft.storage.VFS(corpus.sparkSession).writeString(s"$uri/centroids.json", json)
+    graft.storage.Encryption.dirJsonWrite(corpus.sparkSession, uri,
+      s"$uri/centroids.json", json)
   }
 
   /** Incrementally add vectors to a persisted IVF index: assign each
@@ -491,6 +499,7 @@ object Similarity {
         +: col("__q.scale").as("scale") +: col("centroid_id")
         +: payload.map(col): _*)
       .write.partitionBy("centroid_id").mode("append")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(cellsPath(spark, uri))
   }
 
@@ -525,7 +534,9 @@ object Similarity {
     val next = graft.storage.VersionedDir.next(fs, uri, "cells")
     spark.read.parquet(cur)
       .repartition(math.max(1, nCells), col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(next)
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(next)
     graft.storage.VersionedDir.commit(fs, uri, "cells", next)
   }
 
@@ -535,7 +546,7 @@ object Similarity {
       uri: String): Option[Seq[String]] = {
     import graft.core.Json._
     graft.core.Json.parse(
-        graft.storage.VFS(spark).readString(s"$uri/centroids.json"))
+        graft.storage.Encryption.dirJsonRead(spark, uri, s"$uri/centroids.json"))
       .obj("payload").map(_.arr.map(_.str))
   }
 
@@ -543,7 +554,8 @@ object Similarity {
   def indexCentroids(spark: org.apache.spark.sql.SparkSession,
       uri: String): Seq[(Long, Seq[Double])] = {
     import graft.core.Json._
-    graft.core.Json.parse(graft.storage.VFS(spark).readString(s"$uri/centroids.json"))
+    graft.core.Json.parse(
+        graft.storage.Encryption.dirJsonRead(spark, uri, s"$uri/centroids.json"))
       .obj("centroids").get.arr.map { c =>
         val o = c.obj
         o("id").get.long -> o("v").get.arr.map(_.dbl)
@@ -918,18 +930,22 @@ object Similarity {
     * live — plus the codebook as a JSON sidecar. One narrow encode
     * pass, no shuffle. */
   def buildPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
-      uri: String, m: Int = 8, ksub: Int = 16): Unit = {
+      uri: String, m: Int = 8, ksub: Int = 16,
+      encryptionKey: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val codebook = trainPq(corpus, corpusId, corpusVec, m, ksub)
     graft.storage.VFS(spark).delete(uri)
+    encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
     corpus.select(col(corpusId).as("neighbor_id"),
         pqEncode(unitNorm(col(corpusVec)), codebook).as("codes"))
-      .write.mode("overwrite").parquet(s"$uri/codes")
+      .write.mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(s"$uri/codes")
     import graft.core.Json._
     val json = JObj(Seq("m" -> JLong(m.toLong), "ksub" -> JLong(ksub.toLong),
       "codebook" -> JArr(codebook.map(sub =>
         JArr(sub.map(c => JArr(c.map(JNum(_))))))))).render
-    graft.storage.VFS(spark).writeString(s"$uri/codebook.json", json)
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$uri/codebook.json", json)
   }
 
   /** Live codes directory of a persisted PQ index. Maintenance flips
@@ -950,7 +966,9 @@ object Similarity {
     val cb = pqCodebook(batch.sparkSession, uri)
     batch.select(col(batchId).as("neighbor_id"),
         pqEncode(unitNorm(col(batchVec)), cb).as("codes"))
-      .write.mode("append").parquet(pqCodesPath(batch.sparkSession, uri))
+      .write.mode("append")
+      .options(graft.storage.Encryption.dirWriteOptions(batch.sparkSession, uri))
+      .parquet(pqCodesPath(batch.sparkSession, uri))
   }
 
   /** Merge a PQ index's accumulated append files into a fresh
@@ -964,7 +982,9 @@ object Similarity {
     val codes = spark.read.parquet(cur)
     // ~4M (id, 8-byte codes) rows per output file ≈ 100 MB
     val nFiles = math.max(1, (codes.count() / 4000000L).toInt)
-    codes.repartition(nFiles).write.parquet(next)
+    codes.repartition(nFiles).write
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(next)
     graft.storage.VersionedDir.commit(fs, uri, "codes", next)
   }
 
@@ -972,7 +992,7 @@ object Similarity {
   def pqCodebook(spark: org.apache.spark.sql.SparkSession,
       uri: String): Seq[Seq[Seq[Double]]] = {
     import graft.core.Json._
-    val root = parse(graft.storage.VFS(spark).readString(s"$uri/codebook.json"))
+    val root = parse(graft.storage.Encryption.dirJsonRead(spark, uri, s"$uri/codebook.json"))
     root.obj("codebook").get.arr.map(sub =>
       sub.arr.map(c => c.arr.map(_.dbl)))
   }
@@ -1008,23 +1028,27 @@ object Similarity {
     * cost of a per-(query, cell) LUT; with exact re-ranking downstream
     * ([[ivfPqTopK]]'s `rerankFrom`) the simpler single-LUT scheme wins. */
   def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
-      uri: String, nCentroids: Int = 16, m: Int = 8, ksub: Int = 256): Unit = {
+      uri: String, nCentroids: Int = 16, m: Int = 8, ksub: Int = 256,
+      encryptionKey: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val cents = trainCentroids(corpus, corpusId, corpusVec, nCentroids)
     val codebook = trainPq(corpus, corpusId, corpusVec, m, ksub)
     graft.storage.VFS(spark).delete(uri)
+    encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
     corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__v"))
       .withColumn("centroid_id", assignNarrow(col("__v"), cents))
       .select(col("neighbor_id"),
         pqEncode(unitNorm(col("__v")), codebook).as("codes"),
         col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite").parquet(s"$uri/cells")
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(s"$uri/cells")
     import graft.core.Json._
-    graft.storage.VFS(spark).writeString(s"$uri/centroids.json",
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$uri/centroids.json",
       JObj(Seq("centroids" -> JArr(cents.map { case (cid, v) =>
         JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
       }))).render)
-    graft.storage.VFS(spark).writeString(s"$uri/codebook.json",
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$uri/codebook.json",
       JObj(Seq("m" -> JLong(m.toLong), "ksub" -> JLong(ksub.toLong),
         "codebook" -> JArr(codebook.map(sub =>
           JArr(sub.map(c => JArr(c.map(JNum(_))))))))).render)

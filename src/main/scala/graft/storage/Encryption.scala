@@ -126,6 +126,54 @@ object Encryption {
     KmsClientProp -> "graft.storage.GraftKmsClient",
     UniformKeyProp -> keyId)
 
+  // ------------------------- derived-artifact (index) dir encryption
+
+  /** Persisted derived artifacts — BM25 postings (raw terms), dedup
+    * signature indexes, ANN cells/centroids (embeddings) — live
+    * OUTSIDE an array root but still hold user data, so they carry
+    * their own `_encryption.json` marker. Builders mark the dir once;
+    * every later write (append, compact, generation flip) resolves
+    * the key from the marker, so incremental maintenance inherits
+    * encryption without re-passing the key. No process cache: these
+    * dirs are deleted and rebuilt wholesale. */
+  def markDir(spark: SparkSession, uri: String, keyId: String): Unit = {
+    requireKey(spark.sparkContext.hadoopConfiguration, keyId, uri)
+    val fs = VFS(spark)
+    fs.mkdirs(uri)
+    fs.writeString(s"$uri/$MarkerFile",
+      s"""{"cipher":"AES_256_GCM","key_id":"$keyId"}""")
+  }
+
+  def dirKeyId(spark: SparkSession, uri: String): Option[String] = {
+    val p = s"$uri/$MarkerFile"
+    val fs = VFS(spark)
+    if (!fs.exists(p)) None
+    else graft.core.Json.parse(fs.readString(p)).obj("key_id").map(_.str)
+  }
+
+  def dirKey(spark: SparkSession, uri: String): Option[Array[Byte]] =
+    dirKeyId(spark, uri).map(id =>
+      requireKey(spark.sparkContext.hadoopConfiguration, id, uri))
+
+  /** Parquet write options for a (possibly) marked dir — empty map for
+    * plaintext dirs, so callers chain it unconditionally. */
+  def dirWriteOptions(spark: SparkSession, uri: String): Map[String, String] =
+    dirKeyId(spark, uri).map(writeOptions).getOrElse(Map.empty)
+
+  /** JSON sidecars of a marked dir (stats, params, centroids,
+    * codebooks) ride the same AES-GCM envelope with role "index". */
+  def dirJsonWrite(spark: SparkSession, uri: String, path: String,
+      content: String): Unit = dirKey(spark, uri) match {
+    case Some(k) => VFS(spark).writeBytes(path, encryptString(k, content, "index"))
+    case None => VFS(spark).writeString(path, content)
+  }
+
+  def dirJsonRead(spark: SparkSession, uri: String, path: String): String =
+    dirKey(spark, uri) match {
+      case Some(k) => decryptString(k, VFS(spark).readBytes(path), "index")
+      case None => VFS(spark).readString(path)
+    }
+
   // ------------------------------------------------- sidecar envelope
 
   private val Magic = "GFT1".getBytes(StandardCharsets.US_ASCII)

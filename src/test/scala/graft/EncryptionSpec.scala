@@ -216,6 +216,83 @@ class EncryptionSpec extends SparkSpec {
       0.0, 600000.0) == 0)
   }
 
+  test("encrypted derived indexes: BM25 / dedup / IVF are ciphertext, answers unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Encryption.enable(spark, "idxkey", keyA)
+    def walkFiles(uri: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(uri))
+        .filterNot(f => f.getName.startsWith("_SUCCESS") ||
+          f.getName.endsWith(".crc") || f.getName == "_encryption.json" ||
+          f.getName == "_COMMITTED") // VersionedDir markers: empty
+    }
+    def assertCiphertext(uri: String, names: Seq[String]): Unit =
+      walkFiles(uri).foreach { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "ISO-8859-1")
+        if (f.getName.endsWith(".parquet"))
+          assert(text.endsWith("PARE"), s"${f.getName}: plaintext index parquet")
+        else if (f.getName.endsWith(".json"))
+          assert(text.startsWith("GFT1"), s"${f.getName}: index sidecar not enveloped")
+        names.foreach(nm => assert(!text.contains(nm), s"${f.getName} leaks '$nm'"))
+      }
+
+    val docs = Seq((0L, "secret alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "gamma delta epsilon zeta"), (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val terms = Seq("secret", "alpha", "gamma", "epsilon")
+    val q = Seq((0L, "alpha gamma")).toDF("qid", "qtext")
+
+    // BM25: encrypted build + an (inherited-key) append, equal answers
+    val bmEnc = TestSession.tmpDir("enc-bm25")
+    val bmPlain = TestSession.tmpDir("plain-bm25")
+    graft.ops.Search.buildIndex(docs, "doc_id", "text", bmEnc,
+      buckets = 4, encryptionKey = Some("idxkey"))
+    graft.ops.Search.buildIndex(docs, "doc_id", "text", bmPlain, buckets = 4)
+    val extra = Seq((9L, "alpha omega secret")).toDF("doc_id", "text")
+    graft.ops.Search.appendToIndex(extra, "doc_id", "text", bmEnc)
+    graft.ops.Search.appendToIndex(extra, "doc_id", "text", bmPlain)
+    val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+    val encTop = graft.ops.Search.bm25IndexTopK(spark, bmEnc, q, "qid", "qtext", k = 5)
+    val plainTop = graft.ops.Search.bm25IndexTopK(spark, bmPlain, q, "qid", "qtext", k = 5)
+    assert(encTop.select(cols: _*).exceptAll(plainTop.select(cols: _*)).count() == 0 &&
+      plainTop.select(cols: _*).exceptAll(encTop.select(cols: _*)).count() == 0)
+    assertCiphertext(bmEnc, terms)
+
+    // dedup index: encrypted build, probe finds the planted near-dup
+    val ddUri = TestSession.tmpDir("enc-dedup")
+    val corpus = (0L until 40L).map(i =>
+      (i, s"unique document body number $i with plenty of words to shingle"))
+      .toDF("doc_id", "text")
+    graft.ops.DedupIndex.build(corpus, "doc_id", "text", ddUri,
+      encryptionKey = Some("idxkey"))
+    val probeBatch = Seq((1000L,
+      "unique document body number 7 with plenty of words to shingle")).toDF("doc_id", "text")
+    val hits = graft.ops.DedupIndex.probe(probeBatch, "doc_id", "text", ddUri,
+      threshold = 0.8)
+    assert(hits.count() >= 1, "encrypted dedup index must still find the near-dup")
+    assertCiphertext(ddUri, Seq("unique document body"))
+
+    // IVF: encrypted build + probe equals plaintext-index probe
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 1.7 + j).toFloat))).toDF("vec_id", "embedding")
+    val ivfEnc = TestSession.tmpDir("enc-ivf")
+    val ivfPlain = TestSession.tmpDir("plain-ivf")
+    graft.ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding", ivfEnc,
+      nCentroids = 4, encryptionKey = Some("idxkey"))
+    graft.ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding", ivfPlain,
+      nCentroids = 4)
+    val qv = vecs.limit(3).select(col("vec_id"), col("embedding"))
+    val kc = Seq($"query_id", $"neighbor_id", $"cosine", $"rank")
+    val a = graft.ops.Similarity.ivfIndexTopK(spark, ivfEnc, qv, "vec_id", "embedding",
+      k = 4, nprobe = 4)
+    val b = graft.ops.Similarity.ivfIndexTopK(spark, ivfPlain, qv, "vec_id", "embedding",
+      k = 4, nprobe = 4)
+    assert(a.select(kc: _*).exceptAll(b.select(kc: _*)).count() == 0 &&
+      b.select(kc: _*).exceptAll(a.select(kc: _*)).count() == 0)
+    assertCiphertext(ivfEnc, Nil)
+  }
+
   test("enable validates key shape") {
     intercept[IllegalArgumentException] {
       Encryption.enable(spark, "short", "too-short") }
