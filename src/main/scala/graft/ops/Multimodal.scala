@@ -354,8 +354,14 @@ object Multimodal {
       def u8(i: Int) = bytes(i) & 0xFF
       val screenW = u8(6) | (u8(7) << 8); val screenH = u8(8) | (u8(9) << 8)
       val screenFlags = u8(10); val bgIndex = u8(11)
+      // canvas memory is sized by the DECLARED logical screen, not by
+      // anything the LZW stream must actually produce — a ~100-byte
+      // payload declaring 16000x16000 would allocate a 1 GiB canvas
+      // plus a clone per kept frame. 16M pixels (64 MB int canvas,
+      // e.g. 4096x4096) bounds the amplification from an untrusted
+      // payload; larger declared screens decline to the fallback.
       if (screenW <= 0 || screenH <= 0 ||
-          screenW.toLong * screenH > Int.MaxValue / 8) return None
+          screenW.toLong * screenH > (1L << 24)) return None
       var pos = 13
       var gct: Array[Int] = null
       if ((screenFlags & 0x80) != 0) {

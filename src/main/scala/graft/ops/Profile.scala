@@ -44,19 +44,13 @@ object Profile {
 
   private def sketchWriteJson(spark: org.apache.spark.sql.SparkSession,
       uri: String, path: String, content: String): Unit =
-    sketchKey(spark, uri) match {
-      case Some(k) => graft.storage.VFS(spark).writeBytes(path,
-        graft.storage.Encryption.encryptString(k, content, "sketch"))
-      case None => graft.storage.VFS(spark).writeString(path, content)
-    }
+    graft.storage.Encryption.envelopeWrite(spark, sketchKey(spark, uri),
+      path, "sketch", content)
 
   private def sketchReadJson(spark: org.apache.spark.sql.SparkSession,
       uri: String, path: String): String =
-    sketchKey(spark, uri) match {
-      case Some(k) => graft.storage.Encryption.decryptString(k,
-        graft.storage.VFS(spark).readBytes(path), "sketch")
-      case None => graft.storage.VFS(spark).readString(path)
-    }
+    graft.storage.Encryption.envelopeRead(spark, sketchKey(spark, uri),
+      path, "sketch")
 
   /** Profile `cols` (default: every column) of `df` in one aggregate
     * pass. Returns (column, stat, value: double) rows; string columns
@@ -416,6 +410,8 @@ object Profile {
       uri: String): DataFrame = {
     import graft.storage.ArrayTable
     val live = ArrayTable.fragments(spark, uri).map(_.name)
+    requireSketches(graft.storage.VFS(spark), s"$uri/__profile", live,
+      "profile", s"writeFragmentSketches / CALL system.profile('$uri', ...)")
     val sketches = spark.read.parquet(
       live.map(n => s"$uri/__profile/$n.parquet"): _*)
     sketches.groupBy("column").agg(

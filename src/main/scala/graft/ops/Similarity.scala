@@ -588,6 +588,7 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nprobe: Int = 4, rerank: Int = 0,
       filter: Option[Column] = None): DataFrame = {
+    if (rerank > 0) boundRerank(spark, rerank, "ivf") // same broadcast shape
     val cents = indexCentroids(spark, uri)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))

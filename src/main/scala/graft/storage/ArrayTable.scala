@@ -71,15 +71,34 @@ object ArrayTable {
   /** The key id the array at `uri` is encrypted with, None = plaintext
     * (reference: tiledb/array.py:304-305 `Array.create(key=)`). */
   def encryptionKeyId(spark: SparkSession, uri: String): Option[String] =
-    encCache.computeIfAbsent(uri, u => {
-      val p = s"$u/${Encryption.MarkerFile}"
-      val fs = vfs(spark)
-      if (fs.exists(p)) Json.parse(fs.readString(p)).obj("key_id").map(_.str)
-      else None
-    })
+    encCache.computeIfAbsent(uri, u => readEncMarker(spark, u))
+
+  private def readEncMarker(spark: SparkSession, uri: String): Option[String] = {
+    val p = s"$uri/${Encryption.MarkerFile}"
+    val fs = vfs(spark)
+    if (fs.exists(p)) Json.parse(fs.readString(p)).obj("key_id").map(_.str)
+    else None
+  }
+
+  /** Uncached marker read, refreshing the cache. Every WRITE path uses
+    * this: a cached stale None must never decide a write — if another
+    * driver deleted and re-created the uri as an encrypted array, a
+    * cached-plaintext append would silently write cleartext into it (a
+    * data leak, where the read-side failure mode is merely a loud
+    * decrypt error). One marker stat per write is noise next to the
+    * write itself. */
+  private def encryptionKeyIdFresh(spark: SparkSession, uri: String): Option[String] = {
+    val id = readEncMarker(spark, uri)
+    encCache.put(uri, id)
+    id
+  }
 
   private def encKey(spark: SparkSession, uri: String): Option[Array[Byte]] =
     encryptionKeyId(spark, uri).map(id =>
+      Encryption.requireKey(spark.sparkContext.hadoopConfiguration, id, uri))
+
+  private def encKeyFresh(spark: SparkSession, uri: String): Option[Array[Byte]] =
+    encryptionKeyIdFresh(spark, uri).map(id =>
       Encryption.requireKey(spark.sparkContext.hadoopConfiguration, id, uri))
 
   /** Sidecar IO for files that carry user data (schema, manifests with
@@ -87,16 +106,12 @@ object ArrayTable {
     * envelopes when the array is encrypted, plain JSON otherwise. The
     * file's role is bound as GCM AAD. */
   private def sidecarWrite(spark: SparkSession, uri: String, path: String,
-      role: String, content: String): Unit = encKey(spark, uri) match {
-    case Some(k) => vfs(spark).writeBytes(path, Encryption.encryptString(k, content, role))
-    case None => vfs(spark).writeString(path, content)
-  }
+      role: String, content: String): Unit =
+    Encryption.envelopeWrite(spark, encKeyFresh(spark, uri), path, role, content)
 
   private def sidecarRead(spark: SparkSession, uri: String, path: String,
-      role: String): String = encKey(spark, uri) match {
-    case Some(k) => Encryption.decryptString(k, vfs(spark).readBytes(path), role)
-    case None => vfs(spark).readString(path)
-  }
+      role: String): String =
+    Encryption.envelopeRead(spark, encKey(spark, uri), path, role)
 
   // ---------------------------------------------------------------- DDL
 
@@ -226,8 +241,10 @@ object ArrayTable {
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val fragDir = s"$uri/__fragments/$name"
     // encrypted arrays: uniform parquet modular encryption — footer,
-    // stats and every column page are ciphertext under the array key
-    val encOpts = encryptionKeyId(spark, uri)
+    // stats and every column page are ciphertext under the array key.
+    // FRESH marker lookup: a stale cached None must never decide a
+    // write (see encryptionKeyIdFresh)
+    val encOpts = encryptionKeyIdFresh(spark, uri)
       .map(Encryption.writeOptions).getOrElse(Map.empty)
     laidOut.write.mode("overwrite")
       .options(Filters.writeOptions(schema.attrs.map(a => a.name -> a.filters)) ++ encOpts)
@@ -684,24 +701,52 @@ object ArrayTable {
       } else {
         // resolution path: (ts, seq) must ride every row for the
         // shadowing window / tombstone filters. They are parsed from
-        // the fragment DIRECTORY name (f_<ts>_<seq>_<uuid> — written
-        // from the same manifest values, so name == manifest by
-        // construction), which lets all same-schema-version fragments
-        // share ONE multi-path scan: plan size is O(#schema versions),
-        // not O(#fragments). The old per-fragment unionByName paid a
-        // 1k-way union on a 1k-fragment array with one tombstone —
-        // measured 80.8 s to PLAN + 26.7 s to execute vs 1.8 s + 0.6 s
-        // for this shape (graft.tools.FragmentsRehearsal, r13).
-        val fnTs = regexp_extract(input_file_name(), "/f_(\\d+)_(\\d+)_[0-9a-f]{8}/", 1)
-          .cast(LongType)
-        val fnSeq = regexp_extract(input_file_name(), "/f_(\\d+)_(\\d+)_[0-9a-f]{8}/", 2)
-          .cast(LongType)
-        frags.groupBy(_.schemaVersion).toSeq.sortBy(_._1).map { case (ver, group) =>
-          val vSchema = schemaOf(spark, uri, Some(ver))
-          val df = spark.read.parquet(group.map(f => s"${f.path}/data"): _*)
-          alignColumns(df, schema, vSchema)
-            .withColumn(TS, fnTs).withColumn(SEQ, fnSeq)
-        }.reduce(_ unionByName _)
+        // the fragment DIRECTORY name (f_<ts>_<seq>_<uuid>, under the
+        // __fragments/ parent so a lookalike segment elsewhere in the
+        // array's own URI can't match), which lets all
+        // same-schema-version fragments share ONE multi-path scan:
+        // plan size is O(#schema versions), not O(#fragments). The old
+        // per-fragment unionByName paid a 1k-way union on a
+        // 1k-fragment array with one tombstone — measured 80.8 s to
+        // PLAN + 26.7 s to execute vs 1.8 s + 0.6 s for this shape
+        // (graft.tools.FragmentsRehearsal, r13).
+        //
+        // The name parse is VALIDATED driver-side against the
+        // authoritative manifest values before use: any fragment whose
+        // directory name does not round-trip its manifest (ts, seq) —
+        // a legacy pre-uuid name, a hand-renamed dir — routes the read
+        // through the manifest-literal per-fragment union instead of
+        // risking a NULL ts that would silently widen the tombstone
+        // filter.
+        val pat = java.util.regex.Pattern.compile(
+          ".*/__fragments/f_(\\d+)_(\\d+)_[0-9a-f]{8}$")
+        val namesAuthoritative = frags.forall { f =>
+          val m = pat.matcher(f.path)
+          m.matches() && m.group(1).toLong == f.ts && m.group(2).toLong == f.seq &&
+            // regexp_extract takes the FIRST match per path: an array
+            // nested inside another array's fragment dir would match
+            // the OUTER segment, so any extra __fragments/ component
+            // routes to the literal path too
+            f.path.indexOf("/__fragments/") == f.path.lastIndexOf("/__fragments/")
+        }
+        if (namesAuthoritative) {
+          val re = "/__fragments/f_(\\d+)_(\\d+)_[0-9a-f]{8}/"
+          val fnTs = regexp_extract(input_file_name(), re, 1).cast(LongType)
+          val fnSeq = regexp_extract(input_file_name(), re, 2).cast(LongType)
+          frags.groupBy(_.schemaVersion).toSeq.sortBy(_._1).map { case (ver, group) =>
+            val vSchema = schemaOf(spark, uri, Some(ver))
+            val df = spark.read.parquet(group.map(f => s"${f.path}/data"): _*)
+            alignColumns(df, schema, vSchema)
+              .withColumn(TS, fnTs).withColumn(SEQ, fnSeq)
+          }.reduce(_ unionByName _)
+        } else {
+          frags.map { f =>
+            val vSchema = schemaOf(spark, uri, Some(f.schemaVersion))
+            val df = spark.read.parquet(s"${f.path}/data")
+            alignColumns(df, schema, vSchema)
+              .withColumn(TS, lit(f.ts)).withColumn(SEQ, lit(f.seq))
+          }.reduce(_ unionByName _)
+        }
       }
 
     val ranged = applyRanges(base, ranges)

@@ -70,7 +70,17 @@ object Encryption {
     * modular-encryption machinery on the session Hadoop conf. 32-byte
     * keys only (AES-256, matching the reference's key-length check —
     * tiledb libtiledb rejects non-256-bit keys the same way). Safe to
-    * call repeatedly; later calls replace the registry. */
+    * call repeatedly; later calls replace the registry.
+    *
+    * Re-keying semantics: the cache flush below reaches THIS JVM only.
+    * On a multi-executor cluster, executors hold their own static
+    * parquet key caches for up to
+    * `parquet.encryption.cache.lifetime.seconds` (default 600), so
+    * REPLACING the material under an existing key id takes up to that
+    * long to propagate. Rotate by introducing a NEW key id instead
+    * (the caches are id-keyed, so a new id can never hit stale
+    * material) — which is also what re-encrypting existing data
+    * requires anyway. */
   def enable(spark: SparkSession, keys: Map[String, Array[Byte]]): Unit = {
     require(keys.nonEmpty, "Encryption.enable needs at least one key")
     keys.foreach { case (id, k) =>
@@ -83,7 +93,8 @@ object Encryption {
     // without this a re-enable with different key material keeps
     // decrypting through the previously cached keys (stale client
     // snapshots of the session conf) for up to the 10-minute cache
-    // lifetime — re-keying must take effect at the next query
+    // lifetime. Driver-JVM only (covers local[*] fully); see the
+    // scaladoc for cluster re-key semantics — rotate via NEW key ids
     org.apache.parquet.crypto.keytools.KeyToolkit.removeCacheEntriesForAllTokens()
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set(CryptoFactoryProp,
@@ -160,19 +171,30 @@ object Encryption {
   def dirWriteOptions(spark: SparkSession, uri: String): Map[String, String] =
     dirKeyId(spark, uri).map(writeOptions).getOrElse(Map.empty)
 
-  /** JSON sidecars of a marked dir (stats, params, centroids,
-    * codebooks) ride the same AES-GCM envelope with role "index". */
-  def dirJsonWrite(spark: SparkSession, uri: String, path: String,
-      content: String): Unit = dirKey(spark, uri) match {
-    case Some(k) => VFS(spark).writeBytes(path, encryptString(k, content, "index"))
+  /** The single encrypt-or-plain text-file writer every sidecar layer
+    * (array sidecars, profile sketch params, index stats/codebooks)
+    * funnels through — key resolution differs per layer, the envelope
+    * does not. */
+  def envelopeWrite(spark: SparkSession, key: Option[Array[Byte]],
+      path: String, role: String, content: String): Unit = key match {
+    case Some(k) => VFS(spark).writeBytes(path, encryptString(k, content, role))
     case None => VFS(spark).writeString(path, content)
   }
 
+  def envelopeRead(spark: SparkSession, key: Option[Array[Byte]],
+      path: String, role: String): String = key match {
+    case Some(k) => decryptString(k, VFS(spark).readBytes(path), role)
+    case None => VFS(spark).readString(path)
+  }
+
+  /** JSON sidecars of a marked dir (stats, params, centroids,
+    * codebooks) ride the same AES-GCM envelope with role "index". */
+  def dirJsonWrite(spark: SparkSession, uri: String, path: String,
+      content: String): Unit =
+    envelopeWrite(spark, dirKey(spark, uri), path, "index", content)
+
   def dirJsonRead(spark: SparkSession, uri: String, path: String): String =
-    dirKey(spark, uri) match {
-      case Some(k) => decryptString(k, VFS(spark).readBytes(path), "index")
-      case None => VFS(spark).readString(path)
-    }
+    envelopeRead(spark, dirKey(spark, uri), path, "index")
 
   // ------------------------------------------------- sidecar envelope
 
