@@ -284,6 +284,83 @@ object ArrayTable {
     info
   }
 
+  /** Re-encrypt an array under a different key id, encrypt a plaintext
+    * array in place, or decrypt one (`newKeyId = None`) — the key
+    * ROTATION op (AES-GCM has no in-place re-key; rotation is a
+    * rewrite by construction, here shaped like a consolidation pass
+    * that preserves MVCC exactly). Every fragment is decrypt-read and
+    * re-encrypt-written under its ORIGINAL (name, ts, seq, schema
+    * version) with its schema version's codec filters, and schema
+    * history, delete log and metadata KV are re-enveloped byte
+    * content, so reads before and after rotation resolve identically
+    * (pinned by the rotation spec). Derived profile sketches are
+    * DROPPED (counted via `Stats`), not carried: they would otherwise
+    * remain under the retired key, and they rebuild incrementally by
+    * design (`CALL system.histogram/cms/profile`).
+    *
+    * Offline maintenance like consolidate: not safe against writers
+    * running DURING the rotation. Crash safety: the new tree builds in
+    * a sibling `.__rekey` dir; the live array is swapped via rename
+    * (old tree parked at `.__rekey_old` until the final delete), so a
+    * crash leaves either the old or the new tree intact, never
+    * neither. */
+  def reencryptArray(spark: SparkSession, uri: String,
+      newKeyId: Option[String]): Unit = {
+    val fs = vfs(spark)
+    newKeyId.foreach(id =>
+      Encryption.requireKey(spark.sparkContext.hadoopConfiguration, id, uri))
+    val tmp = s"$uri.__rekey"
+    val old = s"$uri.__rekey_old"
+    fs.delete(tmp); fs.delete(old)
+    fs.mkdirs(s"$tmp/__schema"); fs.mkdirs(s"$tmp/__fragments")
+    encCache.remove(tmp)
+    newKeyId.foreach { id =>
+      fs.writeString(s"$tmp/${Encryption.MarkerFile}",
+        JObj(Seq("cipher" -> JStr("AES_256_GCM"), "key_id" -> JStr(id))).render)
+    }
+    // schema history (all versions), deletes, metadata: decrypt from
+    // the source marker, re-envelope under the target marker
+    schemaVersions(spark, uri).foreach { v =>
+      sidecarWrite(spark, tmp, schemaPath(tmp, v), "schema",
+        sidecarRead(spark, uri, schemaPath(uri, v), "schema"))
+    }
+    if (fs.exists(s"$uri/__deletes")) {
+      fs.mkdirs(s"$tmp/__deletes")
+      fs.ls(s"$uri/__deletes").foreach { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        sidecarWrite(spark, tmp, s"$tmp/__deletes/$name", "delete",
+          sidecarRead(spark, uri, p, "delete"))
+      }
+    }
+    if (fs.exists(s"$uri/__meta.json"))
+      sidecarWrite(spark, tmp, s"$tmp/__meta.json", "meta",
+        sidecarRead(spark, uri, s"$uri/__meta.json", "meta"))
+    // fragments: decrypt-read, re-encrypt-write under the ORIGINAL
+    // identity — (name, ts, seq, schema_version, mbr) all preserved,
+    // so shadowing and time travel are bit-identical after the swap
+    val targetOpts = newKeyId.map(Encryption.writeOptions).getOrElse(Map.empty)
+    fragments(spark, uri).foreach { f =>
+      val dest = s"$tmp/__fragments/${f.name}"
+      val fragSchema = schemaOf(spark, uri, Some(f.schemaVersion))
+      spark.read.parquet(s"${f.path}/data").write.mode("overwrite")
+        .options(Filters.writeOptions(fragSchema.attrs.map(a => a.name -> a.filters))
+          ++ targetOpts)
+        .parquet(s"$dest/data")
+      sidecarWrite(spark, tmp, s"$dest/__manifest.json", "manifest",
+        manifestJson(f))
+    }
+    val dropped = fs.ls(uri).map(p => p.substring(p.lastIndexOf('/') + 1))
+      .count(_.startsWith("__profile"))
+    if (dropped > 0)
+      graft.core.Stats.counter(spark, "rekey.sketch_dirs_dropped").add(dropped.toLong)
+    // swap: old parked, new in place, then reclaim
+    require(fs.rename(uri, old), s"rekey swap: could not park $uri")
+    require(fs.rename(tmp, uri), s"rekey swap: could not move new tree to $uri " +
+      s"— old tree preserved at $old")
+    fs.delete(old)
+    encCache.remove(uri)
+  }
+
   /** Expand (never shrink below written data) the current domain —
     * schema evolution op (reference: tiledb/schema_evolution.py:57-74). */
   def expandCurrentDomain(spark: SparkSession, uri: String,

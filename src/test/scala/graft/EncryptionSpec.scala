@@ -293,6 +293,61 @@ class EncryptionSpec extends SparkSpec {
     assertCiphertext(ivfEnc, Nil)
   }
 
+  test("key rotation: MVCC-identical reads under the new key; old key forgotten") {
+    import graft.storage.ArrayTable
+    import spark.implicits._
+    Encryption.enable(spark, Map(
+      "oldkey" -> keyA.getBytes("UTF-8"), "newkey" -> keyB.getBytes("UTF-8")))
+    val uri = TestSession.tmpDir("enc-rotate")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "name", "v")
+    ArrayTable.create(spark, uri,
+      graft.core.ArraySchema.infer(df.schema, Seq("k")),
+      encryptionKey = Some("oldkey"))
+    ArrayTable.write(spark, df, uri, tsOpt = Some(1000L))
+    // shadowing upsert + tombstone + metadata + evolved schema: the
+    // full MVCC surface must survive rotation bit-for-bit
+    ArrayTable.write(spark, Seq((2L, "B2", 2.5)).toDF("k", "name", "v"),
+      uri, tsOpt = Some(2000L))
+    ArrayTable.delete(spark, uri, "k == 3", tsOpt = Some(3000L))
+    ArrayTable.putMeta(spark, uri, "stage", graft.core.Json.JStr("rotated-test"))
+    ArrayTable.addAttr(spark, uri, graft.core.Attr("extra", "float64",
+      nullable = true))
+    def snapshot() = (
+      ArrayTable.read(spark, uri).orderBy("k").collect().toSeq,
+      ArrayTable.read(spark, uri, at = Some((0L, 1500L))).orderBy("k").collect().toSeq,
+      ArrayTable.fragments(spark, uri).map(f => (f.name, f.ts, f.seq)),
+      ArrayTable.getMeta(spark, uri, "stage").map(_.str))
+    val before = snapshot()
+
+    ArrayTable.reencryptArray(spark, uri, Some("newkey"))
+    // the OLD key leaves the session entirely — decryption must run
+    // on the new key alone
+    Encryption.enable(spark, Map("newkey" -> keyB.getBytes("UTF-8")))
+    assert(snapshot() == before, "rotation changed an observable read")
+    // everything on disk is ciphertext under some key, and the marker
+    // names the new one
+    assert(ArrayTable.encryptionKeyId(spark, uri).contains("newkey"))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(uri)).foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "ISO-8859-1")
+      if (f.getName.endsWith(".parquet"))
+        assert(text.endsWith("PARE"), s"${f.getName}: rotation left plaintext parquet")
+      assert(!text.contains("rotated-test") && !text.contains("B2"),
+        s"${f.getName}: rotation leaked plaintext")
+    }
+
+    // decrypt-to-plaintext rotation
+    ArrayTable.reencryptArray(spark, uri, None)
+    assert(ArrayTable.encryptionKeyId(spark, uri).isEmpty)
+    assert(snapshot() == before)
+    // and encrypt-in-place of a plaintext array
+    ArrayTable.reencryptArray(spark, uri, Some("newkey"))
+    assert(ArrayTable.encryptionKeyId(spark, uri).contains("newkey"))
+    assert(snapshot() == before)
+  }
+
   test("enable validates key shape") {
     intercept[IllegalArgumentException] {
       Encryption.enable(spark, "short", "too-short") }
