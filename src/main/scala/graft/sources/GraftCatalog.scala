@@ -278,7 +278,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("consolidate", "vacuum", "upgrade_version", "delete_fragments",
-      "profile", "histogram").map(n => Identifier.of(Array("system"), n))
+      "rekey", "profile", "histogram").map(n => Identifier.of(Array("system"), n))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = ident.name match {
     case "consolidate" => proc("consolidate",
@@ -295,6 +295,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "rewrite fragments at the latest schema version (bakes in evolution)",
       Seq(tableParam)) { in =>
         val uri = tableUri(in.getString(0)); ArrayTable.upgradeVersion(spark, uri); uri
+      }
+    case "rekey" => proc("rekey",
+      "re-encrypt the table under another registered key id ('' decrypts " +
+        "to plaintext); offline maintenance — MVCC history is preserved",
+      Seq(tableParam,
+        ProcedureParameter.in("key_id", StringType).build())) { in =>
+        val uri = tableUri(in.getString(0))
+        ArrayTable.reencryptArray(spark, uri,
+          Option(in.getString(1)).map(_.trim).filter(_.nonEmpty))
+        uri
       }
     case "delete_fragments" => proc("delete_fragments",
       "trash whole fragments committed in [t0, t1]",

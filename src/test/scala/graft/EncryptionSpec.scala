@@ -293,6 +293,32 @@ class EncryptionSpec extends SparkSpec {
     assertCiphertext(ivfEnc, Nil)
   }
 
+  test("streaming ingest into an encrypted array commits ciphertext fragments") {
+    import graft.storage.ArrayTable
+    import spark.implicits._
+    Encryption.enable(spark, "arrkey", keyA)
+    val uri = TestSession.tmpDir("enc-stream")
+    val b0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    ArrayTable.create(spark, uri,
+      graft.core.ArraySchema.infer(b0.schema, Seq("k")),
+      encryptionKey = Some("arrkey"))
+    // micro-batch commits (the foreachBatch body), incl. a replay
+    assert(graft.streaming.EventStreams.commitStreamBatch(b0, uri, 1000L))
+    assert(graft.streaming.EventStreams.commitStreamBatch(
+      Seq((3L, 30.0)).toDF("k", "v"), uri, 2000L))
+    assert(!graft.streaming.EventStreams.commitStreamBatch(b0, uri, 1000L),
+      "replayed batch must be absorbed, not duplicated")
+    assert(ArrayTable.read(spark, uri).count() == 3)
+    ArrayTable.fragments(spark, uri).foreach { f =>
+      new java.io.File(s"${f.path.stripPrefix("file:")}/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { pf =>
+          val b = java.nio.file.Files.readAllBytes(pf.toPath)
+          assert(new String(b.takeRight(4), "ISO-8859-1") == "PARE",
+            s"streamed fragment ${pf.getName} is plaintext")
+        }
+    }
+  }
+
   test("key rotation: MVCC-identical reads under the new key; old key forgotten") {
     import graft.storage.ArrayTable
     import spark.implicits._

@@ -54,6 +54,15 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE g.enc.bad (x BIGINT, v DOUBLE) " +
         "TBLPROPERTIES ('dims'='x', 'encryption.key'='ghost')") }
     assert(e.getMessage.contains("ghost"))
+    // SQL key rotation: CALL system.rekey, then the old key can go
+    graft.storage.Encryption.enable(spark, Map(
+      "sqlkey" -> ("S" * 32).getBytes("UTF-8"),
+      "sqlkey2" -> ("T" * 32).getBytes("UTF-8")))
+    spark.sql("CALL g.system.rekey('enc.t', 'sqlkey2')")
+    graft.storage.Encryption.enable(spark, "sqlkey2", "T" * 32)
+    assert(spark.sql("SELECT sum(v) FROM g.enc.t").as[Double].head() == 4.0)
+    assert(graft.storage.ArrayTable.encryptionKeyId(spark, s"$root/enc/t")
+      .contains("sqlkey2"))
   }
 
   test("resolution-needing arrays read correctly through the catalog") {
