@@ -2835,6 +2835,39 @@ object SparkEntry {
           col("profile_idc"), col("level_idc"))
     }),
 
+    // REAL H.264-IN-MP4 decode: the same planted I_PCM slices as
+    // media_h264_decode, but carried as length-prefixed AVC samples
+    // inside a real ISO-BMFF tree (avcC parameter sets, per-sample
+    // stsz, a TWO-RUN stsc, absolute stco offsets) — the decoder must
+    // walk moov/stbl structure, rebuild Annex-B and decode. Same
+    // closed-form output as the elementary-stream oracle.
+    "media_mp4_h264_decode" -> ((s, d) => {
+      import s.implicits._
+      import graft.tools.MediaFixtures._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val wMbs = 1 + (id % 3).toInt
+        val hMbs = 1 + (id % 2).toInt
+        val frames = 1 + (id % 2).toInt
+        val sps = h264RawNal(3, 7)(h264Sps(_, wMbs, hMbs))
+        val pps = h264RawNal(3, 8)(h264Pps(_))
+        val slices = (0 until frames).map { f =>
+          h264RawNal(3, 5) { w =>
+            h264IdrSliceHeader(w, 0, idrPicId = f)
+            for (m <- 0 until wMbs * hMbs)
+              h264IpcmMb(w, k => 16 + ((id * 7 + f * 11 + m * 13 + k * 17) % 220).toInt)
+          }
+        }
+        // vary the NAL length-size field too (2 and 4 both legal)
+        val bytes = mp4Avc(sps, pps, slices,
+          lengthSize = if (id % 2 == 0) 4 else 2)
+        Multimodal.MediaRow(id, bytes, "video", "mp4")
+      }
+      Multimodal.h264Decode(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("n_mbs"), round(col("mean_luma"), 6).as("mean_luma"),
+          col("profile_idc"), col("level_idc"))
+    }),
+
     // REAL ISO-BMFF box walk under the oracle: minimal ftyp+moov
     // (mvhd + video tkhd + optional dimension-less audio trak) per doc;
     // duration/timescale/dims recomputed by DuckDB from the formulas
@@ -4598,6 +4631,21 @@ object SparkEntry {
     // H.264 SPS dims and the I_PCM luma mean recomputed from the
     // planting formulas (256 raw luma samples per macroblock)
     "media_h264_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 3 AS wmbs, 1 + doc_id % 2 AS hmbs, " +
+      "1 + doc_id % 2 AS frames FROM documents), " +
+      "s AS (SELECT d.doc_id, d.wmbs, d.hmbs, d.frames, " +
+      "f.range AS f, m.range AS m, k.range AS k " +
+      "FROM d, range(0,2) f, range(0,6) m, range(0,256) k " +
+      "WHERE f.range < d.frames AND m.range < d.wmbs * d.hmbs) " +
+      "SELECT doc_id, CAST(wmbs*16 AS INT) AS width, " +
+      "CAST(hmbs*16 AS INT) AS height, CAST(frames AS BIGINT) AS n_frames, " +
+      "CAST(frames*wmbs*hmbs AS BIGINT) AS n_mbs, " +
+      "round(avg(16 + (doc_id*7 + f*11 + m*13 + k*17) % 220), 6) AS mean_luma, " +
+      "CAST(66 AS INT) AS profile_idc, CAST(30 AS INT) AS level_idc " +
+      "FROM s GROUP BY doc_id, wmbs, hmbs, frames"),
+    // identical closed form to the elementary-stream oracle: the MP4
+    // framing must be TRANSPARENT to the decoded samples
+    "media_mp4_h264_decode" -> ("WITH d AS (SELECT doc_id, " +
       "1 + doc_id % 3 AS wmbs, 1 + doc_id % 2 AS hmbs, " +
       "1 + doc_id % 2 AS frames FROM documents), " +
       "s AS (SELECT d.doc_id, d.wmbs, d.hmbs, d.frames, " +

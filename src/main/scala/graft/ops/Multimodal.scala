@@ -1898,12 +1898,163 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Batched H.264 I_PCM sample decode rows; None-parses are dropped
-    * (callers union with [[videoMeta]] for the mixed-codec path). */
+  /** REAL H.264-in-MP4 sample extraction — pure ISO-BMFF STRUCTURE
+    * (no codec tables): walk moov → trak → mdia → minf → stbl, parse
+    * the avc1/avc3 sample entry's `avcC` (NAL length size + SPS/PPS
+    * parameter sets), resolve per-sample byte ranges from
+    * stsz + stsc + stco/co64, and rewrite the length-prefixed sample
+    * NALs as one Annex-B stream (parameter sets first) that
+    * [[decodeH264IPcm]] consumes unchanged — RBSP emulation
+    * prevention is part of the NAL payload in BOTH framings, so the
+    * bytes pass through untouched. None for non-MP4 payloads or
+    * tracks without an AVC sample entry. */
+  private[graft] def h264FromMp4(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 16) return None
+    def u32(i: Int): Long =
+      if (i + 4 > bytes.length) -1L
+      else ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def u16(i: Int): Int = (((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF))
+    def tag(i: Int): String = new String(bytes, i + 4, 4, "ISO-8859-1")
+    // first child box named `name` in [start, end) -> (payloadStart, boxEnd)
+    def child(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var p = start
+      while (p + 8 <= end) {
+        val sz0 = u32(p)
+        val (sz, hdr) = if (sz0 == 1L) (u64(p + 8), 16) else (sz0, 8)
+        if (sz < hdr || p + sz > end) return None
+        if (tag(p) == name) return Some((p + hdr, p + sz.toInt))
+        p += sz.toInt
+      }
+      None
+    }
+    def children(start: Int, end: Int, name: String): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var p = start
+      while (p + 8 <= end) {
+        val sz0 = u32(p)
+        val (sz, hdr) = if (sz0 == 1L) (u64(p + 8), 16) else (sz0, 8)
+        if (sz < hdr || p + sz > end) return out.toSeq
+        if (tag(p) == name) out += ((p + hdr, p + sz.toInt))
+        p += sz.toInt
+      }
+      out.toSeq
+    }
+    try {
+      if (child(0, bytes.length, "ftyp").isEmpty &&
+          child(0, bytes.length, "moov").isEmpty) return None
+      val (moovS, moovE) = child(0, bytes.length, "moov").getOrElse(return None)
+      children(moovS, moovE, "trak").iterator.flatMap { case (trakS, trakE) =>
+        for {
+          (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
+          (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
+          (stblS, stblE) <- child(minfS, minfE, "stbl")
+          (stsdS, stsdE) <- child(stblS, stblE, "stsd")
+          avc <- {
+            // stsd: version/flags + entry_count, then sample entries
+            var p = stsdS + 8
+            var found: Option[(Int, Int)] = None
+            while (found.isEmpty && p + 8 <= stsdE) {
+              val sz = u32(p)
+              if (sz < 8 || p + sz > stsdE) p = stsdE
+              else {
+                if (tag(p) == "avc1" || tag(p) == "avc3")
+                  // VisualSampleEntry: 8 box hdr + 78 fixed bytes,
+                  // then child boxes (avcC among them)
+                  found = child(p + 86, p + sz.toInt, "avcC")
+                p += sz.toInt
+              }
+            }
+            found
+          }
+          out <- {
+            val (aS, aE) = avc
+            // avcC: ver, profile, compat, level, 6 bits + lengthSizeMinusOne
+            val lengthSize = (bytes(aS + 4) & 0x3) + 1
+            val nSps = bytes(aS + 5) & 0x1F
+            val baos = new java.io.ByteArrayOutputStream()
+            def start(): Unit = { baos.write(0); baos.write(0); baos.write(0); baos.write(1) }
+            var p = aS + 6
+            var k = 0
+            while (k < nSps) {
+              val len = u16(p); start(); baos.write(bytes, p + 2, len)
+              p += 2 + len; k += 1
+            }
+            val nPps = bytes(p) & 0xFF; p += 1
+            k = 0
+            while (k < nPps) {
+              val len = u16(p); start(); baos.write(bytes, p + 2, len)
+              p += 2 + len; k += 1
+            }
+            // sample sizes
+            val (szS, _) = child(stblS, stblE, "stsz").getOrElse(return None)
+            val uniform = u32(szS + 4)
+            val nSamples = u32(szS + 8).toInt
+            val sizes = Array.tabulate(nSamples)(j =>
+              if (uniform != 0) uniform.toInt else u32(szS + 12 + 4 * j).toInt)
+            // chunk offsets (stco 32-bit or co64)
+            val offsets: Array[Long] = child(stblS, stblE, "stco") match {
+              case Some((cS, _)) =>
+                Array.tabulate(u32(cS + 4).toInt)(j => u32(cS + 8 + 4 * j))
+              case None =>
+                val (cS, _) = child(stblS, stblE, "co64").getOrElse(return None)
+                Array.tabulate(u32(cS + 4).toInt)(j => u64(cS + 8 + 8 * j))
+            }
+            // sample-to-chunk runs
+            val (scS, _) = child(stblS, stblE, "stsc").getOrElse(return None)
+            val nRuns = u32(scS + 4).toInt
+            val runs = Array.tabulate(nRuns)(j =>
+              (u32(scS + 8 + 12 * j).toInt, u32(scS + 12 + 12 * j).toInt))
+            var sample = 0
+            var run = 0
+            var chunk = 1
+            while (sample < nSamples && chunk <= offsets.length) {
+              while (run + 1 < nRuns && runs(run + 1)._1 <= chunk) run += 1
+              val perChunk = runs(run)._2
+              var off = offsets(chunk - 1)
+              var j = 0
+              while (j < perChunk && sample < nSamples) {
+                // sample = concatenated length-prefixed NALs
+                var q = off
+                val sEnd = off + sizes(sample)
+                if (sEnd > bytes.length) return None
+                while (q + lengthSize <= sEnd) {
+                  var len = 0L
+                  var b = 0
+                  while (b < lengthSize) { len = (len << 8) | (bytes((q + b).toInt) & 0xFFL); b += 1 }
+                  q += lengthSize
+                  if (len < 1 || q + len > sEnd) return None
+                  start(); baos.write(bytes, q.toInt, len.toInt)
+                  q += len
+                }
+                off = sEnd
+                sample += 1
+                j += 1
+              }
+              chunk += 1
+            }
+            if (sample < nSamples) None else Some(baos.toByteArray)
+          }
+        } yield out
+      }.nextOption()
+    } catch { case _: Exception => None }
+  }
+
+  /** [[decodeH264IPcm]] over either framing: Annex-B elementary
+    * streams directly, MP4 payloads through [[h264FromMp4]]. */
+  private[graft] def h264Auto(bytes: Array[Byte],
+      samples: Boolean = true): Option[H264Raw] =
+    decodeH264IPcm(bytes, samples).orElse(
+      h264FromMp4(bytes).flatMap(decodeH264IPcm(_, samples)))
+
+  /** Batched H.264 I_PCM sample decode rows (Annex-B or MP4-framed);
+    * None-parses are dropped (callers union with [[videoMeta]] for
+    * the mixed-codec path). */
   def h264Decode(ds: Dataset[MediaRow]): Dataset[H264Info] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap { r =>
-      decodeH264IPcm(r.content).map(h =>
+      h264Auto(r.content).map(h =>
         H264Info(r.doc_id, h.width, h.height, h.nFrames, h.nMbs, h.meanLuma,
           h.profileIdc, h.levelIdc))
     })

@@ -156,6 +156,62 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** Minimal ISO-BMFF (MP4) wrapper around raw AVC NALs: `mdat` first
+    * (so stco carries real absolute offsets), then
+    * moov/trak/mdia/minf/stbl with stsd(avc1(avcC carrying SPS+PPS)),
+    * stsz (per-sample sizes), a TWO-RUN stsc (chunk 1 holds two
+    * samples, later chunks one each — exercising the run walk), and
+    * stco. Each element of `samples` is one raw slice NAL;
+    * length-prefixing uses `lengthSize` bytes. */
+  def mp4Avc(sps: Array[Byte], pps: Array[Byte],
+      samples: Seq[Array[Byte]], lengthSize: Int = 4): Array[Byte] = {
+    def be32(v: Int) = Array[Byte](
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def beN(n: Int, v: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
+    val framed = samples.map(n => beN(lengthSize, n.length) ++ n)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
+    val mdat = box("mdat", framed.flatten.toArray)
+    // chunk layout: chunk 1 = samples 0..min(2,n); chunks 2.. = 1 each
+    val firstChunkN = math.min(2, framed.length)
+    val chunkSizes: Seq[Int] =
+      (if (firstChunkN > 0) Seq(framed.take(firstChunkN).map(_.length).sum) else Nil) ++
+        framed.drop(firstChunkN).map(_.length)
+    val dataStart = ftyp.length + 8
+    val chunkOffsets = chunkSizes.scanLeft(dataStart)(_ + _).dropRight(1)
+    val avcC = box("avcC", Array[Byte](1, 66, 0, 30,
+        (0xFC | (lengthSize - 1)).toByte, 0xE1.toByte) ++
+      be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
+    val avc1 = box("avc1", new Array[Byte](78) ++ avcC)
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ avc1)
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(framed.length) ++
+      framed.flatMap(f => be32(f.length)).toArray)
+    val stscRuns =
+      if (framed.length > firstChunkN)
+        Seq((1, firstChunkN), (2, 1))
+      else Seq((1, math.max(firstChunkN, 1)))
+    val stsc = box("stsc", be32(0) ++ be32(stscRuns.length) ++
+      stscRuns.flatMap { case (fc, n) => be32(fc) ++ be32(n) ++ be32(1) }.toArray)
+    val stco = box("stco", be32(0) ++ be32(chunkOffsets.length) ++
+      chunkOffsets.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val moov = box("moov",
+      box("trak", box("mdia", box("minf", stbl))))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** One Annex-B NAL built by [[h264Nal]], returned WITHOUT its start
+    * code — the raw NAL an MP4 sample carries. */
+  def h264RawNal(refIdc: Int, typ: Int)(body: H264Bits => Unit): Array[Byte] = {
+    val tmp = new java.io.ByteArrayOutputStream()
+    h264Nal(tmp, refIdc, typ)(body)
+    tmp.toByteArray.drop(4)
+  }
+
   /** Inter-frame-OPTIMIZED animated GIF via the JDK writer (an
     * independent encoder): frame 0 is a full-screen solid `base`;
     * each later frame f is a 2x2 sub-rect at (2*(f-1), 0) drawing the
