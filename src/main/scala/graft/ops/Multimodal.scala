@@ -2417,7 +2417,8 @@ object Multimodal {
     ds.map { r =>
       wavPcmLayout(r.content) match {
         case Some((channels, rate, bits, dataOff, dataLen))
-            if (bits == 8 || bits == 16) && rate >= factor &&
+            if (bits == 8 || bits == 16 || bits == 24 || bits == 32) &&
+              rate >= factor &&
               dataLen / (channels * (bits / 8)) >= factor =>
           val bytesPer = bits / 8
           val nFrames = (dataLen / (channels * bytesPer)).toInt
@@ -2443,9 +2444,19 @@ object Multimodal {
                   (k * factor + f).toLong * channels + c)
                 f += 1
               }
+              // block mean in the offset-binary domain, re-encoded at
+              // the width's signedness: 8-bit stays unsigned, wider
+              // widths shift back to signed two's complement LE
               val m = Math.floorDiv(sum, factor)
-              if (bits == 8) out.write(m.toInt)
-              else w16((m - 32768L).toInt & 0xFFFF)
+              bits match {
+                case 8 => out.write(m.toInt)
+                case 16 => w16((m - 32768L).toInt & 0xFFFF)
+                case 24 =>
+                  val v = (m - (1L << 23)).toInt
+                  out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+                  out.write((v >> 16) & 0xFF)
+                case 32 => w32((m - (1L << 31)).toInt)
+              }
               c += 1
             }
             k += 1

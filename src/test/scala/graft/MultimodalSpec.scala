@@ -601,7 +601,7 @@ class MultimodalSpec extends SparkSpec {
       out(1).content.length == "not an image".length / 4)
   }
 
-  test("resampleAudio: 8-bit PCM decimates exactly, wider widths pass through") {
+  test("resampleAudio: 8/16/24/32-bit PCM all decimate exactly") {
     import spark.implicits._
     // mono 8-bit, 8 frames of 0,10,20,...,70 -> factor 2 means 5,25,45,65
     val out = new java.io.ByteArrayOutputStream()
@@ -634,19 +634,42 @@ class MultimodalSpec extends SparkSpec {
     assert(dec16.n_samples == 2 && dec16.sample_rate == 4000, dec16)
     assert(dec16.mean_level ==
       ((100 + 32768).toDouble + (10 + 32768)) / 2.0 / 65535.0, dec16)
-    // a 32-bit payload passes through byte-identical (documented partial)
+    // 32-bit signed PCM decimates too (r13: all four PCM widths real)
     val o32 = new java.io.ByteArrayOutputStream()
     def q16(v: Int): Unit = { o32.write(v & 0xFF); o32.write((v >> 8) & 0xFF) }
+    def q32(v: Int): Unit = { q16(v & 0xFFFF); q16((v >> 16) & 0xFFFF) }
     o32.write("RIFF".getBytes)
     q16(36 + 16); q16(0); o32.write("WAVE".getBytes)
     o32.write("fmt ".getBytes); q16(16); q16(0); q16(1); q16(1)
     q16(8000); q16(0); q16(32000); q16(0); q16(4); q16(32)
     o32.write("data".getBytes); q16(16); q16(0)
-    (0 until 8).foreach(_ => q16(0))
-    val same = Multimodal.resampleAudio(
+    Seq(100, 300, -50, 70).foreach(q32)
+    val dec32 = Multimodal.decodeAudio(Multimodal.resampleAudio(
       Seq(Multimodal.MediaRow(3L, o32.toByteArray, "audio", "wav")).toDS(), 2)
-      .collect().head
-    assert(same.content.sameElements(o32.toByteArray))
+      .map(identity)).collect().head
+    assert(dec32.n_samples == 2 && dec32.sample_rate == 4000, dec32)
+    assert(dec32.mean_level ==
+      ((200.0 + (1L << 31)) + (10.0 + (1L << 31))) / 2.0 /
+        ((1L << 32) - 1).toDouble, dec32)
+    // and 24-bit: same offset-binary block means, 3-byte LE re-encode
+    val o24 = new java.io.ByteArrayOutputStream()
+    def r16(v: Int): Unit = { o24.write(v & 0xFF); o24.write((v >> 8) & 0xFF) }
+    def r24(v: Int): Unit = { o24.write(v & 0xFF); o24.write((v >> 8) & 0xFF)
+      o24.write((v >> 16) & 0xFF) }
+    o24.write("RIFF".getBytes)
+    r16(36 + 12); r16(0); o24.write("WAVE".getBytes)
+    o24.write("fmt ".getBytes); r16(16); r16(0); r16(1); r16(1)
+    r16(8000); r16(0); r16(24000); r16(0); r16(3); r16(24)
+    o24.write("data".getBytes); r16(12); r16(0)
+    Seq(-1000, 3000, 500, -700).foreach(r24)
+    val dec24 = Multimodal.decodeAudio(Multimodal.resampleAudio(
+      Seq(Multimodal.MediaRow(4L, o24.toByteArray, "audio", "wav")).toDS(), 2)
+      .map(identity)).collect().head
+    assert(dec24.n_samples == 2 && dec24.sample_rate == 4000, dec24)
+    // block means: (-1000+3000)/2 = 1000, (500-700)/2 = -100
+    assert(dec24.mean_level ==
+      ((1000.0 + (1 << 23)) + (-100.0 + (1 << 23))) / 2.0 /
+        ((1 << 24) - 1).toDouble, dec24)
   }
 
   test("WAV bitrate reflects the real sample width") {
