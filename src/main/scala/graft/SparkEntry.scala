@@ -2314,6 +2314,61 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL AAC-IN-MP4 decode: the same zero-codebook silence frames as
+    // media_aac_decode, but carried as RAW access units (no ADTS in
+    // the file) inside an ISO-BMFF tree with an mp4a sample entry and
+    // an esds descriptor chain — the decoder must parse the
+    // AudioSpecificConfig out of esds, resolve samples via
+    // stsz/stsc/stco and synthesize the ADTS transport itself.
+    "media_mp4_aac_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val mono = id % 2 == 0
+        val frames = 2 + (id % 4).toInt
+        val sfi = 3 + (id % 3).toInt
+        def rawFrame(f: Int): Array[Byte] = {
+          val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
+          var cur = 0; var nb = 0
+          def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
+            cur = (cur << 1) | ((v >> r) & 1); nb += 1
+            if (nb == 8) { bits += cur.toByte; cur = 0; nb = 0 }; r -= 1 } }
+          if (mono) {
+            val maxSfb = 1 + ((id + f) % 30).toInt
+            w(0, 3); w(0, 4); w(100, 8)
+            w(0, 1); w(0, 2); w(1, 1)
+            w(maxSfb, 6); w(0, 1)
+            w(0, 4); w(maxSfb, 5)
+            w(0, 1); w(0, 1); w(0, 1)
+          } else {
+            val maxSfb = 1 + ((id + f) % 6).toInt
+            w(1, 3); w(0, 4); w(1, 1)
+            w(0, 1); w(2, 2); w(0, 1)
+            w(maxSfb, 4); w(0x33, 7)
+            w(1, 2)
+            var n = 4 * maxSfb; while (n > 0) { w(1, 1); n -= 1 }
+            var c = 0
+            while (c < 2) {
+              w(90, 8)
+              var g = 0
+              while (g < 4) { w(0, 4); w(maxSfb, 3); g += 1 }
+              w(0, 1); w(0, 1); w(0, 1)
+              c += 1
+            }
+          }
+          w(7, 3)
+          while (nb != 0) w(0, 1)
+          bits.toArray
+        }
+        val bytes = graft.tools.MediaFixtures.mp4Aac(sfi,
+          if (mono) 1 else 2, (0 until frames).map(rawFrame))
+        Multimodal.MediaRow(id, bytes, "audio", "mp4")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL MPEG-1 Layer II decode under the oracle: CBR Layer II
     // frames (Table B.2a selected by 384 kbps / 48 kHz) with
     // allocation indices, scfsi modes, scalefactor indices and sample
@@ -4385,6 +4440,17 @@ object SparkEntry {
     // are exactly zero by syntax, so mean_level is 0 and the layout is
     // the whole observable output)
     "media_aac_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch, " +
+      "2 + doc_id % 4 AS frames, " +
+      "CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END AS rate " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(1024*ch*frames AS BIGINT) AS n_samples, " +
+      "round(frames * 1024000.0 / rate, 6) AS duration_ms, " +
+      "0.0 AS mean_level FROM d"),
+    // same closed form as the ADTS oracle: MP4 framing must be
+    // transparent to the decoded layout
+    "media_mp4_aac_decode" -> ("WITH d AS (SELECT doc_id, " +
       "CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS ch, " +
       "2 + doc_id % 4 AS frames, " +
       "CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100 ELSE 32000 END AS rate " +

@@ -647,7 +647,8 @@ object Multimodal {
         decodeWav(r.content).orElse(decodeMp3Layer1(r.content))
           .orElse(decodeMp3Layer2(r.content))
           .orElse(decodeMp3Layer3(r.content))
-          .orElse(decodeAacLc(r.content)) match {
+          .orElse(decodeAacLc(r.content))
+          .orElse(aacFromMp4(r.content).flatMap(decodeAacLc(_))) match {
           case Some(a) => DecodedAudio(r.doc_id, a.channels, a.rate,
             a.nSamples, a.durationMs, a.meanLevel)
           case None =>
@@ -1910,135 +1911,281 @@ object Multimodal {
     * tracks without an AVC sample entry. */
   private[graft] def h264FromMp4(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (bytes.length < 16) return None
-    def u32(i: Int): Long =
-      if (i + 4 > bytes.length) -1L
-      else ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
-        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
-    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
-    def u16(i: Int): Int = (((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF))
-    def tag(i: Int): String = new String(bytes, i + 4, 4, "ISO-8859-1")
-    // first child box named `name` in [start, end) -> (payloadStart, boxEnd)
-    def child(start: Int, end: Int, name: String): Option[(Int, Int)] = {
-      var p = start
-      while (p + 8 <= end) {
-        val sz0 = u32(p)
-        val (sz, hdr) = if (sz0 == 1L) (u64(p + 8), 16) else (sz0, 8)
-        if (sz < hdr || p + sz > end) return None
-        if (tag(p) == name) return Some((p + hdr, p + sz.toInt))
-        p += sz.toInt
-      }
-      None
-    }
-    def children(start: Int, end: Int, name: String): Seq[(Int, Int)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      var p = start
-      while (p + 8 <= end) {
-        val sz0 = u32(p)
-        val (sz, hdr) = if (sz0 == 1L) (u64(p + 8), 16) else (sz0, 8)
-        if (sz < hdr || p + sz > end) return out.toSeq
-        if (tag(p) == name) out += ((p + hdr, p + sz.toInt))
-        p += sz.toInt
-      }
-      out.toSeq
-    }
     try {
-      if (child(0, bytes.length, "ftyp").isEmpty &&
-          child(0, bytes.length, "moov").isEmpty) return None
-      val (moovS, moovE) = child(0, bytes.length, "moov").getOrElse(return None)
-      children(moovS, moovE, "trak").iterator.flatMap { case (trakS, trakE) =>
-        for {
-          (mdiaS, mdiaE) <- child(trakS, trakE, "mdia")
-          (minfS, minfE) <- child(mdiaS, mdiaE, "minf")
-          (stblS, stblE) <- child(minfS, minfE, "stbl")
-          (stsdS, stsdE) <- child(stblS, stblE, "stsd")
-          avc <- {
-            // stsd: version/flags + entry_count, then sample entries
-            var p = stsdS + 8
-            var found: Option[(Int, Int)] = None
-            while (found.isEmpty && p + 8 <= stsdE) {
-              val sz = u32(p)
-              if (sz < 8 || p + sz > stsdE) p = stsdE
-              else {
-                if (tag(p) == "avc1" || tag(p) == "avc3")
-                  // VisualSampleEntry: 8 box hdr + 78 fixed bytes,
-                  // then child boxes (avcC among them)
-                  found = child(p + 86, p + sz.toInt, "avcC")
-                p += sz.toInt
+      if (mp4Child(bytes, 0, bytes.length, "ftyp").isEmpty &&
+          mp4Child(bytes, 0, bytes.length, "moov").isEmpty) return None
+      val (moovS, moovE) = mp4Child(bytes, 0, bytes.length, "moov")
+        .getOrElse(return None)
+      mp4Children(bytes, moovS, moovE, "trak").iterator.flatMap {
+        case (trakS, trakE) =>
+          for {
+            (stblS, stblE) <- mp4Stbl(bytes, trakS, trakE)
+            (entS, entE) <- mp4SampleEntry(bytes, stblS, stblE,
+              Set("avc1", "avc3"))
+            // VisualSampleEntry: 8 box hdr + 78 fixed bytes, then
+            // child boxes (avcC among them)
+            (aS, _) <- mp4Child(bytes, entS + 78, entE, "avcC")
+            ranges <- mp4SampleRanges(bytes, stblS, stblE)
+            out <- {
+              // avcC: ver, profile, compat, level, 6 bits +
+              // lengthSizeMinusOne, then SPS/PPS parameter sets
+              val lengthSize = (bytes(aS + 4) & 0x3) + 1
+              val nSps = bytes(aS + 5) & 0x1F
+              val baos = new java.io.ByteArrayOutputStream()
+              def start(): Unit = {
+                baos.write(0); baos.write(0); baos.write(0); baos.write(1)
               }
-            }
-            found
-          }
-          out <- {
-            val (aS, aE) = avc
-            // avcC: ver, profile, compat, level, 6 bits + lengthSizeMinusOne
-            val lengthSize = (bytes(aS + 4) & 0x3) + 1
-            val nSps = bytes(aS + 5) & 0x1F
-            val baos = new java.io.ByteArrayOutputStream()
-            def start(): Unit = { baos.write(0); baos.write(0); baos.write(0); baos.write(1) }
-            var p = aS + 6
-            var k = 0
-            while (k < nSps) {
-              val len = u16(p); start(); baos.write(bytes, p + 2, len)
-              p += 2 + len; k += 1
-            }
-            val nPps = bytes(p) & 0xFF; p += 1
-            k = 0
-            while (k < nPps) {
-              val len = u16(p); start(); baos.write(bytes, p + 2, len)
-              p += 2 + len; k += 1
-            }
-            // sample sizes
-            val (szS, _) = child(stblS, stblE, "stsz").getOrElse(return None)
-            val uniform = u32(szS + 4)
-            val nSamples = u32(szS + 8).toInt
-            val sizes = Array.tabulate(nSamples)(j =>
-              if (uniform != 0) uniform.toInt else u32(szS + 12 + 4 * j).toInt)
-            // chunk offsets (stco 32-bit or co64)
-            val offsets: Array[Long] = child(stblS, stblE, "stco") match {
-              case Some((cS, _)) =>
-                Array.tabulate(u32(cS + 4).toInt)(j => u32(cS + 8 + 4 * j))
-              case None =>
-                val (cS, _) = child(stblS, stblE, "co64").getOrElse(return None)
-                Array.tabulate(u32(cS + 4).toInt)(j => u64(cS + 8 + 8 * j))
-            }
-            // sample-to-chunk runs
-            val (scS, _) = child(stblS, stblE, "stsc").getOrElse(return None)
-            val nRuns = u32(scS + 4).toInt
-            val runs = Array.tabulate(nRuns)(j =>
-              (u32(scS + 8 + 12 * j).toInt, u32(scS + 12 + 12 * j).toInt))
-            var sample = 0
-            var run = 0
-            var chunk = 1
-            while (sample < nSamples && chunk <= offsets.length) {
-              while (run + 1 < nRuns && runs(run + 1)._1 <= chunk) run += 1
-              val perChunk = runs(run)._2
-              var off = offsets(chunk - 1)
-              var j = 0
-              while (j < perChunk && sample < nSamples) {
-                // sample = concatenated length-prefixed NALs
+              def u16(i: Int) = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+              var p = aS + 6
+              var k = 0
+              while (k < nSps) {
+                val len = u16(p); start(); baos.write(bytes, p + 2, len)
+                p += 2 + len; k += 1
+              }
+              val nPps = bytes(p) & 0xFF; p += 1
+              k = 0
+              while (k < nPps) {
+                val len = u16(p); start(); baos.write(bytes, p + 2, len)
+                p += 2 + len; k += 1
+              }
+              // each sample = concatenated length-prefixed NALs
+              val ok = ranges.forall { case (off, size) =>
                 var q = off
-                val sEnd = off + sizes(sample)
-                if (sEnd > bytes.length) return None
-                while (q + lengthSize <= sEnd) {
+                val sEnd = off + size
+                var good = sEnd <= bytes.length
+                while (good && q + lengthSize <= sEnd) {
                   var len = 0L
                   var b = 0
-                  while (b < lengthSize) { len = (len << 8) | (bytes((q + b).toInt) & 0xFFL); b += 1 }
+                  while (b < lengthSize) {
+                    len = (len << 8) | (bytes((q + b).toInt) & 0xFFL); b += 1
+                  }
                   q += lengthSize
-                  if (len < 1 || q + len > sEnd) return None
-                  start(); baos.write(bytes, q.toInt, len.toInt)
-                  q += len
+                  if (len < 1 || q + len > sEnd) good = false
+                  else { start(); baos.write(bytes, q.toInt, len.toInt); q += len }
                 }
-                off = sEnd
-                sample += 1
-                j += 1
+                good
               }
-              chunk += 1
+              if (ok) Some(baos.toByteArray) else None
             }
-            if (sample < nSamples) None else Some(baos.toByteArray)
-          }
-        } yield out
+          } yield out
       }.nextOption()
     } catch { case _: Exception => None }
+  }
+
+  /** REAL AAC-in-MP4 extraction — the audio sibling of
+    * [[h264FromMp4]]: trak → stbl with an `mp4a` sample entry, the
+    * `esds` descriptor chain parsed down to the AudioSpecificConfig
+    * (object type must be 2 = AAC-LC; sampling-frequency index and
+    * channel configuration come from it), samples resolved via
+    * stsz/stsc/stco, and each raw AAC access unit re-framed behind a
+    * synthesized ADTS header — which is exactly the transport
+    * [[decodeAacLc]] speaks, so MP4-carried AAC inherits the same
+    * documented zero-codebook decode boundary. */
+  private[graft] def aacFromMp4(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 16) return None
+    try {
+      if (mp4Child(bytes, 0, bytes.length, "ftyp").isEmpty &&
+          mp4Child(bytes, 0, bytes.length, "moov").isEmpty) return None
+      val (moovS, moovE) = mp4Child(bytes, 0, bytes.length, "moov")
+        .getOrElse(return None)
+      mp4Children(bytes, moovS, moovE, "trak").iterator.flatMap {
+        case (trakS, trakE) =>
+          for {
+            (stblS, stblE) <- mp4Stbl(bytes, trakS, trakE)
+            (entS, entE) <- mp4SampleEntry(bytes, stblS, stblE, Set("mp4a"))
+            // AudioSampleEntry: 8 box hdr + 28 fixed bytes, then
+            // child boxes (esds among them)
+            (eS, eE) <- mp4Child(bytes, entS + 28, entE, "esds")
+            asc <- esdsAudioSpecificConfig(bytes, eS + 4, eE)
+            ranges <- mp4SampleRanges(bytes, stblS, stblE)
+            out <- {
+              val (objType, sfi, chanCfg) = asc
+              if (objType != 2 || sfi >= AacRates.length ||
+                  chanCfg < 1 || chanCfg > 2) None
+              else {
+                val baos = new java.io.ByteArrayOutputStream()
+                val ok = ranges.forall { case (off, size) =>
+                  val sEnd = off + size
+                  if (sEnd > bytes.length) false
+                  else {
+                    // 7-byte ADTS header (protection absent): the
+                    // transport decodeAacLc parses natively
+                    val frameLen = 7 + size
+                    val h = new Array[Byte](7)
+                    h(0) = 0xFF.toByte
+                    h(1) = 0xF1.toByte // MPEG-4, layer 0, no CRC
+                    h(2) = (((objType - 1) << 6) | (sfi << 2)).toByte
+                    h(3) = (((chanCfg & 7) << 6) | ((frameLen >> 11) & 3)).toByte
+                    h(4) = ((frameLen >> 3) & 0xFF).toByte
+                    h(5) = (((frameLen & 7) << 5) | 0x1F).toByte
+                    h(6) = 0xFC.toByte // fullness tail + 1 block
+                    baos.write(h)
+                    baos.write(bytes, off.toInt, size)
+                    true
+                  }
+                }
+                if (ok) Some(baos.toByteArray) else None
+              }
+            }
+          } yield out
+      }.nextOption()
+    } catch { case _: Exception => None }
+  }
+
+  /** The ES_Descriptor chain of an `esds` box down to the
+    * AudioSpecificConfig: (audioObjectType, samplingFrequencyIndex,
+    * channelConfiguration). Descriptor sizes use the 7-bit
+    * continuation encoding. */
+  private def esdsAudioSpecificConfig(bytes: Array[Byte], start: Int,
+      end: Int): Option[(Int, Int, Int)] = {
+    var p = start
+    def size(): Int = {
+      var v = 0
+      var more = true
+      while (more) {
+        val b = bytes(p) & 0xFF; p += 1
+        v = (v << 7) | (b & 0x7F); more = (b & 0x80) != 0
+      }
+      v
+    }
+    if (p >= end || (bytes(p) & 0xFF) != 0x03) return None // ES_Descriptor
+    p += 1; size()
+    p += 2 // ES_ID
+    val flags = bytes(p) & 0xFF; p += 1
+    if ((flags & 0x80) != 0) p += 2 // dependsOn_ES_ID
+    if ((flags & 0x40) != 0) p += 1 + (bytes(p) & 0xFF) // URL
+    if ((flags & 0x20) != 0) p += 2 // OCR_ES_ID
+    if (p >= end || (bytes(p) & 0xFF) != 0x04) return None // DecoderConfig
+    p += 1; size()
+    p += 13 // objectTypeIndication + streamType/buffer + maxBitrate + avgBitrate
+    if (p >= end || (bytes(p) & 0xFF) != 0x05) return None // DecSpecificInfo
+    p += 1
+    val dsLen = size()
+    if (p + dsLen > end || dsLen < 2) return None
+    val b0 = bytes(p) & 0xFF; val b1 = bytes(p + 1) & 0xFF
+    val objType = (b0 >> 3) & 0x1F
+    val sfi = ((b0 & 7) << 1) | (b1 >> 7)
+    val chanCfg = (b1 >> 3) & 0xF
+    Some((objType, sfi, chanCfg))
+  }
+
+  // ---- shared ISO-BMFF structure helpers ----
+
+  private def mp4BoxSize(bytes: Array[Byte], p: Int, end: Int): Option[(Long, Int)] = {
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    if (p + 8 > end) None
+    else {
+      val sz0 = u32(p)
+      val (sz, hdr) = if (sz0 == 1L && p + 16 <= end)
+        ((u32(p + 8) << 32) | u32(p + 12), 16) else (sz0, 8)
+      if (sz < hdr || p + sz > end) None else Some((sz, hdr))
+    }
+  }
+
+  /** First child box named `name` in [start, end) → (payloadStart, boxEnd). */
+  private def mp4Child(bytes: Array[Byte], start: Int, end: Int,
+      name: String): Option[(Int, Int)] = {
+    var p = start
+    while (p + 8 <= end) {
+      mp4BoxSize(bytes, p, end) match {
+        case Some((sz, hdr)) =>
+          if (new String(bytes, p + 4, 4, "ISO-8859-1") == name)
+            return Some((p + hdr, p + sz.toInt))
+          p += sz.toInt
+        case None => return None
+      }
+    }
+    None
+  }
+
+  private def mp4Children(bytes: Array[Byte], start: Int, end: Int,
+      name: String): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = start
+    while (p + 8 <= end) {
+      mp4BoxSize(bytes, p, end) match {
+        case Some((sz, hdr)) =>
+          if (new String(bytes, p + 4, 4, "ISO-8859-1") == name)
+            out += ((p + hdr, p + sz.toInt))
+          p += sz.toInt
+        case None => return out.toSeq
+      }
+    }
+    out.toSeq
+  }
+
+  private def mp4Stbl(bytes: Array[Byte], trakS: Int,
+      trakE: Int): Option[(Int, Int)] =
+    for {
+      (mdiaS, mdiaE) <- mp4Child(bytes, trakS, trakE, "mdia")
+      (minfS, minfE) <- mp4Child(bytes, mdiaS, mdiaE, "minf")
+      stbl <- mp4Child(bytes, minfS, minfE, "stbl")
+    } yield stbl
+
+  /** The stsd sample entry whose fourcc is in `names` →
+    * (payloadStart, entryEnd). */
+  private def mp4SampleEntry(bytes: Array[Byte], stblS: Int, stblE: Int,
+      names: Set[String]): Option[(Int, Int)] = {
+    val (stsdS, stsdE) = mp4Child(bytes, stblS, stblE, "stsd")
+      .getOrElse(return None)
+    var p = stsdS + 8 // version/flags + entry_count
+    while (p + 8 <= stsdE) {
+      mp4BoxSize(bytes, p, stsdE) match {
+        case Some((sz, hdr)) =>
+          if (names(new String(bytes, p + 4, 4, "ISO-8859-1")))
+            return Some((p + hdr, p + sz.toInt))
+          p += sz.toInt
+        case None => return None
+      }
+    }
+    None
+  }
+
+  /** Per-sample (absolute offset, size) from stsz + stsc + stco/co64. */
+  private def mp4SampleRanges(bytes: Array[Byte], stblS: Int,
+      stblE: Int): Option[Array[(Long, Int)]] = {
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    val (szS, _) = mp4Child(bytes, stblS, stblE, "stsz").getOrElse(return None)
+    val uniform = u32(szS + 4)
+    val nSamples = u32(szS + 8).toInt
+    if (nSamples < 0 || nSamples > (1 << 22)) return None
+    val sizes = Array.tabulate(nSamples)(j =>
+      if (uniform != 0) uniform.toInt else u32(szS + 12 + 4 * j).toInt)
+    val offsets: Array[Long] = mp4Child(bytes, stblS, stblE, "stco") match {
+      case Some((cS, _)) =>
+        Array.tabulate(u32(cS + 4).toInt)(j => u32(cS + 8 + 4 * j))
+      case None =>
+        val (cS, _) = mp4Child(bytes, stblS, stblE, "co64").getOrElse(return None)
+        Array.tabulate(u32(cS + 4).toInt)(j => u64(cS + 8 + 8 * j))
+    }
+    val (scS, _) = mp4Child(bytes, stblS, stblE, "stsc").getOrElse(return None)
+    val nRuns = u32(scS + 4).toInt
+    if (nRuns <= 0) return None
+    val runs = Array.tabulate(nRuns)(j =>
+      (u32(scS + 8 + 12 * j).toInt, u32(scS + 12 + 12 * j).toInt))
+    val out = new Array[(Long, Int)](nSamples)
+    var sample = 0
+    var run = 0
+    var chunk = 1
+    while (sample < nSamples && chunk <= offsets.length) {
+      while (run + 1 < nRuns && runs(run + 1)._1 <= chunk) run += 1
+      val perChunk = runs(run)._2
+      var off = offsets(chunk - 1)
+      var j = 0
+      while (j < perChunk && sample < nSamples) {
+        out(sample) = (off, sizes(sample))
+        off += sizes(sample)
+        sample += 1
+        j += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) None else Some(out)
   }
 
   /** [[decodeH264IPcm]] over either framing: Annex-B elementary

@@ -163,45 +163,69 @@ object MediaFixtures {
     * samples, later chunks one each — exercising the run walk), and
     * stco. Each element of `samples` is one raw slice NAL;
     * length-prefixing uses `lengthSize` bytes. */
-  def mp4Avc(sps: Array[Byte], pps: Array[Byte],
-      samples: Seq[Array[Byte]], lengthSize: Int = 4): Array[Byte] = {
-    def be32(v: Int) = Array[Byte](
-      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
-      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
-    def be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
-    def beN(n: Int, v: Int): Array[Byte] =
-      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
-    def box(name: String, payload: Array[Byte]): Array[Byte] =
-      be32(8 + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
-    val framed = samples.map(n => beN(lengthSize, n.length) ++ n)
-    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
-    val mdat = box("mdat", framed.flatten.toArray)
-    // chunk layout: chunk 1 = samples 0..min(2,n); chunks 2.. = 1 each
+  private def mp4be32(v: Int) = Array[Byte](
+    ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+    ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def mp4be16(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def mp4box(name: String, payload: Array[Byte]): Array[Byte] =
+    mp4be32(8 + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
+
+  /** Shared container shell: ftyp + mdat(framed samples) + moov with
+    * the given stsd sample entry, per-sample stsz, a TWO-RUN stsc
+    * (chunk 1 holds two samples, later chunks one each) and absolute
+    * stco offsets. */
+  private def mp4Container(sampleEntry: Array[Byte],
+      framed: Seq[Array[Byte]]): Array[Byte] = {
+    val ftyp = mp4box("ftyp", "isom".getBytes("ISO-8859-1") ++ mp4be32(0))
+    val mdat = mp4box("mdat", framed.flatten.toArray)
     val firstChunkN = math.min(2, framed.length)
     val chunkSizes: Seq[Int] =
       (if (firstChunkN > 0) Seq(framed.take(firstChunkN).map(_.length).sum) else Nil) ++
         framed.drop(firstChunkN).map(_.length)
     val dataStart = ftyp.length + 8
     val chunkOffsets = chunkSizes.scanLeft(dataStart)(_ + _).dropRight(1)
-    val avcC = box("avcC", Array[Byte](1, 66, 0, 30,
-        (0xFC | (lengthSize - 1)).toByte, 0xE1.toByte) ++
-      be16(sps.length) ++ sps ++ Array[Byte](1) ++ be16(pps.length) ++ pps)
-    val avc1 = box("avc1", new Array[Byte](78) ++ avcC)
-    val stsd = box("stsd", be32(0) ++ be32(1) ++ avc1)
-    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(framed.length) ++
-      framed.flatMap(f => be32(f.length)).toArray)
+    val stsd = mp4box("stsd", mp4be32(0) ++ mp4be32(1) ++ sampleEntry)
+    val stsz = mp4box("stsz", mp4be32(0) ++ mp4be32(0) ++ mp4be32(framed.length) ++
+      framed.flatMap(f => mp4be32(f.length)).toArray)
     val stscRuns =
-      if (framed.length > firstChunkN)
-        Seq((1, firstChunkN), (2, 1))
+      if (framed.length > firstChunkN) Seq((1, firstChunkN), (2, 1))
       else Seq((1, math.max(firstChunkN, 1)))
-    val stsc = box("stsc", be32(0) ++ be32(stscRuns.length) ++
-      stscRuns.flatMap { case (fc, n) => be32(fc) ++ be32(n) ++ be32(1) }.toArray)
-    val stco = box("stco", be32(0) ++ be32(chunkOffsets.length) ++
-      chunkOffsets.flatMap(be32).toArray)
-    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
-    val moov = box("moov",
-      box("trak", box("mdia", box("minf", stbl))))
-    ftyp ++ mdat ++ moov
+    val stsc = mp4box("stsc", mp4be32(0) ++ mp4be32(stscRuns.length) ++
+      stscRuns.flatMap { case (fc, n) => mp4be32(fc) ++ mp4be32(n) ++ mp4be32(1) }.toArray)
+    val stco = mp4box("stco", mp4be32(0) ++ mp4be32(chunkOffsets.length) ++
+      chunkOffsets.flatMap(mp4be32).toArray)
+    val stbl = mp4box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    ftyp ++ mdat ++ mp4box("moov",
+      mp4box("trak", mp4box("mdia", mp4box("minf", stbl))))
+  }
+
+  def mp4Avc(sps: Array[Byte], pps: Array[Byte],
+      samples: Seq[Array[Byte]], lengthSize: Int = 4): Array[Byte] = {
+    def beN(n: Int, v: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+    val framed = samples.map(n => beN(lengthSize, n.length) ++ n)
+    val avcC = mp4box("avcC", Array[Byte](1, 66, 0, 30,
+        (0xFC | (lengthSize - 1)).toByte, 0xE1.toByte) ++
+      mp4be16(sps.length) ++ sps ++ Array[Byte](1) ++ mp4be16(pps.length) ++ pps)
+    mp4Container(mp4box("avc1", new Array[Byte](78) ++ avcC), framed)
+  }
+
+  /** AAC-in-MP4: mp4a sample entry with an esds descriptor chain
+    * (ES→DecoderConfig(0x40)→DecSpecificInfo carrying the
+    * AudioSpecificConfig) around raw AAC access units — NO ADTS
+    * framing in the file; the decoder synthesizes it. */
+  def mp4Aac(sfi: Int, chanCfg: Int, samples: Seq[Array[Byte]]): Array[Byte] = {
+    val asc = Array[Byte](
+      (((2 << 3) | (sfi >> 1)) & 0xFF).toByte,
+      ((((sfi & 1) << 7) | (chanCfg << 3)) & 0xFF).toByte)
+    val dsi = Array[Byte](0x05, asc.length.toByte) ++ asc
+    // DecoderConfig payload = objTypeIndication(1) + streamType(1) +
+    // bufferSizeDB(3) + maxBitrate(4) + avgBitrate(4) = 13 bytes
+    val dcd = Array[Byte](0x04, (13 + dsi.length).toByte,
+      0x40.toByte, 0x15) ++ new Array[Byte](11) ++ dsi
+    val esd = Array[Byte](0x03, (3 + dcd.length).toByte, 0, 0, 0) ++ dcd
+    val esds = mp4box("esds", mp4be32(0) ++ esd)
+    mp4Container(mp4box("mp4a", new Array[Byte](28) ++ esds), samples)
   }
 
   /** One Annex-B NAL built by [[h264Nal]], returned WITHOUT its start
