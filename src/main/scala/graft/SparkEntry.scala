@@ -2111,17 +2111,30 @@ object SparkEntry {
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
+        // bits cycles through ALL FOUR PCM widths: the oracle replays
+        // the offset-binary block means at every width, not just 8-bit
+        val bits = Seq(8, 16, 24, 32)((id % 4).toInt)
+        val bytesPer = bits / 8
         val n = frames * channels
         val out = new java.io.ByteArrayOutputStream()
         def w32(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
           out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF) }
         def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-        out.write("RIFF".getBytes); w32(36 + n); out.write("WAVE".getBytes)
+        out.write("RIFF".getBytes); w32(36 + n * bytesPer); out.write("WAVE".getBytes)
         out.write("fmt ".getBytes); w32(16); w16(1); w16(channels); w32(rate)
-        w32(rate * channels); w16(channels); w16(8)
-        out.write("data".getBytes); w32(n)
+        w32(rate * channels * bytesPer); w16(channels * bytesPer); w16(bits)
+        out.write("data".getBytes); w32(n * bytesPer)
+        val full = 1L << bits
         var j = 0
-        while (j < n) { out.write(((id * 13 + j * 7) % 256).toInt); j += 1 }
+        while (j < n) {
+          // offset-binary sample value, written at the width's
+          // signedness (unsigned 8-bit, signed two's complement wider)
+          val v = Math.floorMod(id * 13 + j * 7, full)
+          val enc = if (bits == 8) v else v - (full >> 1)
+          var b = 0
+          while (b < bytesPer) { out.write(((enc >> (8 * b)) & 0xFF).toInt); b += 1 }
+          j += 1
+        }
         Multimodal.MediaRow(id, out.toByteArray, "audio", "wav")
       }
       Multimodal.decodeAudio(Multimodal.resampleAudio(media, factor = 2)).toDF()
@@ -2262,48 +2275,10 @@ object SparkEntry {
         val out = new java.io.ByteArrayOutputStream()
         var f = 0
         while (f < frames) {
-          val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
-          var cur = 0; var nb = 0
-          def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
-            cur = (cur << 1) | ((v >> r) & 1); nb += 1
-            if (nb == 8) { bits += cur.toByte; cur = 0; nb = 0 }; r -= 1 } }
-          def align(): Unit = while (nb != 0) w(0, 1)
-          if (mono) {
-            val maxSfb = 1 + ((id + f) % 30).toInt
-            w(0, 3); w(0, 4); w(100, 8)      // SCE, tag, global_gain
-            w(0, 1); w(0, 2); w(1, 1)        // ONLY_LONG ics_info
-            w(maxSfb, 6); w(0, 1)
-            w(0, 4); w(maxSfb, 5)            // one ZERO_HCB section
-            w(0, 1); w(0, 1); w(0, 1)        // pulse, tns, gain
-          } else {
-            val maxSfb = 1 + ((id + f) % 6).toInt
-            w(1, 3); w(0, 4); w(1, 1)        // CPE, tag, common_window
-            w(0, 1); w(2, 2); w(0, 1)        // EIGHT_SHORT ics_info
-            w(maxSfb, 4); w(0x33, 7)         // grouping -> 4 groups
-            w(1, 2)                          // ms_mask_present = 1
-            var n = 4 * maxSfb; while (n > 0) { w(1, 1); n -= 1 }
-            var c = 0
-            while (c < 2) {
-              w(90, 8)
-              var g = 0
-              while (g < 4) { w(0, 4); w(maxSfb, 3); g += 1 }
-              w(0, 1); w(0, 1); w(0, 1)
-              c += 1
-            }
-          }
-          w(7, 3); align()                   // TERM + byte align
-          val frameLen = 7 + bits.length
-          val h = new scala.collection.mutable.ArrayBuffer[Byte]()
-          var hc = 0; var hn = 0
-          def hw(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
-            hc = (hc << 1) | ((v >> r) & 1); hn += 1
-            if (hn == 8) { h += hc.toByte; hc = 0; hn = 0 }; r -= 1 } }
-          hw(0xFFF, 12); hw(0, 1); hw(0, 2); hw(1, 1)
-          hw(1, 2); hw(sfi, 4); hw(0, 1)
-          hw(if (mono) 1 else 2, 3)
-          hw(0, 4)
-          hw(frameLen, 13); hw(0x7FF, 11); hw(0, 2)
-          out.write(h.toArray); out.write(bits.toArray)
+          val maxSfb =
+            if (mono) 1 + ((id + f) % 30).toInt else 1 + ((id + f) % 6).toInt
+          out.write(graft.tools.MediaFixtures.adtsFrame(sfi, if (mono) 1 else 2,
+            graft.tools.MediaFixtures.aacSilenceRawFrame(mono, maxSfb)))
           f += 1
         }
         Multimodal.MediaRow(id, out.toByteArray, "audio", "aac")
@@ -2326,41 +2301,13 @@ object SparkEntry {
         val mono = id % 2 == 0
         val frames = 2 + (id % 4).toInt
         val sfi = 3 + (id % 3).toInt
-        def rawFrame(f: Int): Array[Byte] = {
-          val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
-          var cur = 0; var nb = 0
-          def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
-            cur = (cur << 1) | ((v >> r) & 1); nb += 1
-            if (nb == 8) { bits += cur.toByte; cur = 0; nb = 0 }; r -= 1 } }
-          if (mono) {
-            val maxSfb = 1 + ((id + f) % 30).toInt
-            w(0, 3); w(0, 4); w(100, 8)
-            w(0, 1); w(0, 2); w(1, 1)
-            w(maxSfb, 6); w(0, 1)
-            w(0, 4); w(maxSfb, 5)
-            w(0, 1); w(0, 1); w(0, 1)
-          } else {
-            val maxSfb = 1 + ((id + f) % 6).toInt
-            w(1, 3); w(0, 4); w(1, 1)
-            w(0, 1); w(2, 2); w(0, 1)
-            w(maxSfb, 4); w(0x33, 7)
-            w(1, 2)
-            var n = 4 * maxSfb; while (n > 0) { w(1, 1); n -= 1 }
-            var c = 0
-            while (c < 2) {
-              w(90, 8)
-              var g = 0
-              while (g < 4) { w(0, 4); w(maxSfb, 3); g += 1 }
-              w(0, 1); w(0, 1); w(0, 1)
-              c += 1
-            }
-          }
-          w(7, 3)
-          while (nb != 0) w(0, 1)
-          bits.toArray
-        }
         val bytes = graft.tools.MediaFixtures.mp4Aac(sfi,
-          if (mono) 1 else 2, (0 until frames).map(rawFrame))
+          if (mono) 1 else 2,
+          (0 until frames).map { f =>
+            val maxSfb =
+              if (mono) 1 + ((id + f) % 30).toInt else 1 + ((id + f) % 6).toInt
+            graft.tools.MediaFixtures.aacSilenceRawFrame(mono, maxSfb)
+          })
         Multimodal.MediaRow(id, bytes, "audio", "mp4")
       }
       Multimodal.decodeAudio(media).toDF()
@@ -4401,19 +4348,21 @@ object SparkEntry {
     // replayed in exact integer math from the planted PCM formula
     "media_wav_resample" -> ("WITH d AS (SELECT doc_id, " +
       "1 + doc_id % 2 AS ch, 32 + doc_id % 32 AS frames, " +
-      "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +
-      "s AS (SELECT d.doc_id, d.ch, d.frames, d.rate, k.range AS k, " +
+      "8000 + (doc_id % 4) * 4000 AS rate, " +
+      "CAST(pow(2, CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 " +
+      "WHEN 2 THEN 24 ELSE 32 END) AS BIGINT) AS fullv FROM documents), " +
+      "s AS (SELECT d.doc_id, d.ch, d.frames, d.rate, d.fullv, k.range AS k, " +
       "c.range AS c FROM d, range(0,32) k, range(0,2) c " +
       "WHERE k.range < d.frames // 2 AND c.range < d.ch), " +
-      "v AS (SELECT doc_id, ch, frames, rate, " +
-      "((doc_id*13 + ((2*k)*ch + c)*7) % 256 " +
-      "+ (doc_id*13 + ((2*k + 1)*ch + c)*7) % 256) // 2 AS val FROM s) " +
+      "v AS (SELECT doc_id, ch, frames, rate, fullv, " +
+      "((doc_id*13 + ((2*k)*ch + c)*7) % fullv " +
+      "+ (doc_id*13 + ((2*k + 1)*ch + c)*7) % fullv) // 2 AS val FROM s) " +
       "SELECT doc_id, CAST(ch AS INT) AS channels, " +
       "CAST(rate // 2 AS INT) AS sample_rate, " +
       "CAST((frames // 2) * ch AS BIGINT) AS n_samples, " +
       "round((frames // 2) * 1000.0 / (rate // 2), 6) AS duration_ms, " +
-      "round(avg(val / 255.0), 6) AS mean_level " +
-      "FROM v GROUP BY doc_id, ch, frames, rate"),
+      "round(avg(val / (fullv - 1.0)), 6) AS mean_level " +
+      "FROM v GROUP BY doc_id, ch, frames, rate, fullv"),
     "media_decode_wav" -> ("WITH p AS (SELECT doc_id, " +
       "1 + doc_id % 2 AS channels, (32 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
       "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +

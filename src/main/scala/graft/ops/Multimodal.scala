@@ -2006,7 +2006,10 @@ object Multimodal {
                 val baos = new java.io.ByteArrayOutputStream()
                 val ok = ranges.forall { case (off, size) =>
                   val sEnd = off + size
-                  if (sEnd > bytes.length) false
+                  // the synthesized ADTS frame length is a 13-bit
+                  // field; a sample over 8184 bytes would WRAP it and
+                  // corrupt the stream — decline deterministically
+                  if (sEnd > bytes.length || size > 8191 - 7) false
                   else {
                     // 7-byte ADTS header (protection absent): the
                     // transport decodeAacLc parses natively
@@ -2150,22 +2153,31 @@ object Multimodal {
       ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
         ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
     def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
-    val (szS, _) = mp4Child(bytes, stblS, stblE, "stsz").getOrElse(return None)
+    // every count is validated against its BOX END before any
+    // allocation: declared counts in a corrupt payload must decline,
+    // not Array.tabulate gigabytes (an OutOfMemoryError is an Error —
+    // it would sail past the Exception guards and kill the executor)
+    val (szS, szE) = mp4Child(bytes, stblS, stblE, "stsz").getOrElse(return None)
     val uniform = u32(szS + 4)
     val nSamples = u32(szS + 8).toInt
-    if (nSamples < 0 || nSamples > (1 << 22)) return None
+    if (nSamples < 0 || nSamples > (1 << 22) ||
+        (uniform == 0L && szS + 12 + 4L * nSamples > szE)) return None
     val sizes = Array.tabulate(nSamples)(j =>
       if (uniform != 0) uniform.toInt else u32(szS + 12 + 4 * j).toInt)
     val offsets: Array[Long] = mp4Child(bytes, stblS, stblE, "stco") match {
-      case Some((cS, _)) =>
-        Array.tabulate(u32(cS + 4).toInt)(j => u32(cS + 8 + 4 * j))
+      case Some((cS, cE)) =>
+        val n = u32(cS + 4).toInt
+        if (n < 0 || cS + 8 + 4L * n > cE) return None
+        Array.tabulate(n)(j => u32(cS + 8 + 4 * j))
       case None =>
-        val (cS, _) = mp4Child(bytes, stblS, stblE, "co64").getOrElse(return None)
-        Array.tabulate(u32(cS + 4).toInt)(j => u64(cS + 8 + 8 * j))
+        val (cS, cE) = mp4Child(bytes, stblS, stblE, "co64").getOrElse(return None)
+        val n = u32(cS + 4).toInt
+        if (n < 0 || cS + 8 + 8L * n > cE) return None
+        Array.tabulate(n)(j => u64(cS + 8 + 8 * j))
     }
-    val (scS, _) = mp4Child(bytes, stblS, stblE, "stsc").getOrElse(return None)
+    val (scS, scE) = mp4Child(bytes, stblS, stblE, "stsc").getOrElse(return None)
     val nRuns = u32(scS + 4).toInt
-    if (nRuns <= 0) return None
+    if (nRuns <= 0 || scS + 8 + 12L * nRuns > scE) return None
     val runs = Array.tabulate(nRuns)(j =>
       (u32(scS + 8 + 12 * j).toInt, u32(scS + 12 + 12 * j).toInt))
     val out = new Array[(Long, Int)](nSamples)
@@ -2549,15 +2561,16 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decimation for 8- and 16-bit PCM WAV — the audio
-    * sibling of [[resizeImages]]: each output frame is the FLOOR mean
-    * of `factor` consecutive input frames per channel, averaged in
-    * the offset-binary (unsigned) domain [[wavSampleU]] defines —
-    * exact integer math with floor semantics on both engines
-    * (floorDiv here, `//` in the DuckDB oracle), re-encoded as a WAV
-    * at rate/factor (16-bit back to signed little-endian). 24/32-bit
-    * and compressed payloads pass through UNCHANGED (documented
-    * partial — a polyphase resampler plugs in there in production). */
+  /** REAL audio decimation for PCM WAV at every width (8/16/24/32) —
+    * the audio sibling of [[resizeImages]]: each output frame is the
+    * FLOOR mean of `factor` consecutive input frames per channel,
+    * averaged in the offset-binary (unsigned) domain [[wavSampleU]]
+    * defines — exact integer math with floor semantics on both
+    * engines (floorDiv here, `//` in the DuckDB oracle), re-encoded
+    * as a WAV at rate/factor (widths above 8 bits back to signed
+    * little-endian). Compressed / non-PCM payloads pass through
+    * UNCHANGED (a polyphase resampler plugs in there in
+    * production). */
   def resampleAudio(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     import ds.sparkSession.implicits._
@@ -2609,7 +2622,7 @@ object Multimodal {
             k += 1
           }
           MediaRow(r.doc_id, out.toByteArray, r.media_type, "wav")
-        case _ => r // wider PCM / compressed: pass through unchanged
+        case _ => r // compressed / non-PCM: pass through unchanged
       }
     }
   }

@@ -311,44 +311,28 @@ object ArrayTable {
       Encryption.requireKey(spark.sparkContext.hadoopConfiguration, id, uri))
     val tmp = s"$uri.__rekey"
     val old = s"$uri.__rekey_old"
-    fs.delete(tmp); fs.delete(old)
-    fs.mkdirs(s"$tmp/__schema"); fs.mkdirs(s"$tmp/__fragments")
-    encCache.remove(tmp)
-    newKeyId.foreach { id =>
-      fs.writeString(s"$tmp/${Encryption.MarkerFile}",
-        JObj(Seq("cipher" -> JStr("AES_256_GCM"), "key_id" -> JStr(id))).render)
+    // crash recovery BEFORE any delete: a previous rotation that died
+    // between the two swap renames leaves uri ABSENT with the original
+    // parked at `old` — restore it first, or a blind delete of the
+    // parked tree would destroy the only surviving copies (the retry
+    // path must honor the "old or new tree intact, never neither"
+    // contract, including across its own re-runs)
+    if (!fs.exists(s"$uri/__schema") && fs.exists(s"$old/__schema")) {
+      require(fs.rename(old, uri),
+        s"rekey recovery: could not restore parked tree $old to $uri")
+      encCache.remove(uri)
     }
-    // schema history (all versions), deletes, metadata: decrypt from
-    // the source marker, re-envelope under the target marker
-    schemaVersions(spark, uri).foreach { v =>
-      sidecarWrite(spark, tmp, schemaPath(tmp, v), "schema",
-        sidecarRead(spark, uri, schemaPath(uri, v), "schema"))
-    }
-    if (fs.exists(s"$uri/__deletes")) {
-      fs.mkdirs(s"$tmp/__deletes")
-      fs.ls(s"$uri/__deletes").foreach { p =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        sidecarWrite(spark, tmp, s"$tmp/__deletes/$name", "delete",
-          sidecarRead(spark, uri, p, "delete"))
-      }
-    }
-    if (fs.exists(s"$uri/__meta.json"))
-      sidecarWrite(spark, tmp, s"$tmp/__meta.json", "meta",
-        sidecarRead(spark, uri, s"$uri/__meta.json", "meta"))
-    // fragments: decrypt-read, re-encrypt-write under the ORIGINAL
-    // identity — (name, ts, seq, schema_version, mbr) all preserved,
-    // so shadowing and time travel are bit-identical after the swap
-    val targetOpts = newKeyId.map(Encryption.writeOptions).getOrElse(Map.empty)
-    fragments(spark, uri).foreach { f =>
-      val dest = s"$tmp/__fragments/${f.name}"
-      val fragSchema = schemaOf(spark, uri, Some(f.schemaVersion))
-      spark.read.parquet(s"${f.path}/data").write.mode("overwrite")
-        .options(Filters.writeOptions(fragSchema.attrs.map(a => a.name -> a.filters))
-          ++ targetOpts)
-        .parquet(s"$dest/data")
-      sidecarWrite(spark, tmp, s"$dest/__manifest.json", "manifest",
-        manifestJson(f))
-    }
+    require(fs.exists(s"$uri/__schema"), s"no array at $uri")
+    fs.delete(tmp)
+    // `old` may also linger from a rotation that completed its swap but
+    // crashed before reclaim — safe to clear only now that uri is live
+    fs.delete(old)
+    // superseded fragments in __trash would be silently dropped by the
+    // rewrite (an implicit vacuum under the retired key) — refuse
+    // instead of deciding for the operator
+    require(!fs.exists(s"$uri/__trash") || fs.ls(s"$uri/__trash").isEmpty,
+      s"$uri has trashed fragments pending vacuum; run vacuum before rekey")
+    copyArrayTree(spark, uri, tmp, newKeyId)
     val dropped = fs.ls(uri).map(p => p.substring(p.lastIndexOf('/') + 1))
       .count(_.startsWith("__profile"))
     if (dropped > 0)
@@ -359,6 +343,62 @@ object ArrayTable {
       s"— old tree preserved at $old")
     fs.delete(old)
     encCache.remove(uri)
+  }
+
+  /** The rewrite body of [[reencryptArray]]: copy the array tree at
+    * `srcUri` into `dstUri` re-enveloped under `newKeyId` — schema
+    * history, delete log, metadata KV, every fragment under its
+    * ORIGINAL (name, ts, seq, schema version) with its version's codec
+    * filters, and dimension-label sub-arrays recursively (labels hold
+    * user data and are arrays of their own — a non-recursive rotation
+    * would leave them under the retired key). */
+  private def copyArrayTree(spark: SparkSession, srcUri: String,
+      dstUri: String, newKeyId: Option[String]): Unit = {
+    val fs = vfs(spark)
+    fs.mkdirs(s"$dstUri/__schema")
+    fs.mkdirs(s"$dstUri/__fragments")
+    encCache.remove(dstUri)
+    newKeyId.foreach { id =>
+      fs.writeString(s"$dstUri/${Encryption.MarkerFile}",
+        JObj(Seq("cipher" -> JStr("AES_256_GCM"), "key_id" -> JStr(id))).render)
+    }
+    schemaVersions(spark, srcUri).foreach { v =>
+      sidecarWrite(spark, dstUri, schemaPath(dstUri, v), "schema",
+        sidecarRead(spark, srcUri, schemaPath(srcUri, v), "schema"))
+    }
+    if (fs.exists(s"$srcUri/__deletes")) {
+      fs.mkdirs(s"$dstUri/__deletes")
+      fs.ls(s"$srcUri/__deletes").foreach { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        sidecarWrite(spark, dstUri, s"$dstUri/__deletes/$name", "delete",
+          sidecarRead(spark, srcUri, p, "delete"))
+      }
+    }
+    if (fs.exists(s"$srcUri/__meta.json"))
+      sidecarWrite(spark, dstUri, s"$dstUri/__meta.json", "meta",
+        sidecarRead(spark, srcUri, s"$srcUri/__meta.json", "meta"))
+    val targetOpts = newKeyId.map(Encryption.writeOptions).getOrElse(Map.empty)
+    // per-VERSION write options, resolved once (not once per fragment:
+    // each resolution is a sidecar decrypt + parse, and 1k-fragment
+    // arrays are the normal case)
+    val optsByVersion = scala.collection.mutable.Map.empty[Int, Map[String, String]]
+    fragments(spark, srcUri).foreach { f =>
+      val dest = s"$dstUri/__fragments/${f.name}"
+      val opts = optsByVersion.getOrElseUpdate(f.schemaVersion, {
+        val fragSchema = schemaOf(spark, srcUri, Some(f.schemaVersion))
+        Filters.writeOptions(fragSchema.attrs.map(a => a.name -> a.filters)) ++
+          targetOpts
+      })
+      spark.read.parquet(s"${f.path}/data").write.mode("overwrite")
+        .options(opts).parquet(s"$dest/data")
+      sidecarWrite(spark, dstUri, s"$dest/__manifest.json", "manifest",
+        manifestJson(f))
+    }
+    if (fs.exists(s"$srcUri/__labels"))
+      fs.ls(s"$srcUri/__labels").foreach { lu =>
+        val name = lu.substring(lu.lastIndexOf('/') + 1)
+        copyArrayTree(spark, lu, s"$dstUri/__labels/$name", newKeyId)
+      }
   }
 
   /** Expand (never shrink below written data) the current domain —

@@ -43,7 +43,11 @@ object DimLabels {
       val schemaL = ArraySchema(
         dims = Seq(Dim(dim, schema.dim(dim).dtype)),
         attrs = Seq(Attr(labelCol, Dtypes.fromSpark(labels.schema(labelCol).dataType))))
-      ArrayTable.create(spark, lu, schemaL)
+      // label values are user data: a label sub-array under an
+      // ENCRYPTED parent inherits the parent's key (a plaintext label
+      // table beside ciphertext fragments would be a leak hole)
+      ArrayTable.create(spark, lu, schemaL,
+        encryptionKey = ArrayTable.encryptionKeyId(spark, uri))
     }
     ArrayTable.write(spark, labels.select(col(dim), col(labelCol)), lu)
     ArrayTable.putMeta(spark, lu, "increasing", graft.core.Json.JBool(increasing))

@@ -210,6 +210,64 @@ object MediaFixtures {
     mp4Container(mp4box("avc1", new Array[Byte](78) ++ avcC), framed)
   }
 
+  // ------------------------------------------------ AAC-LC silence frames
+
+  /** One zero-codebook AAC-LC raw_data_block (the decoder's documented
+    * subset): mono = SCE with a long window and a single ZERO_HCB
+    * section of `maxSfb` bands (maxSfb <= 30 so the 5-bit sect_len
+    * never needs the escape); stereo = common-window CPE in
+    * EIGHT_SHORT with grouping 0110011 (4 window groups), an all-ones
+    * MS mask and per-group ZERO sections (maxSfb <= 6 for the 3-bit
+    * sect_len). ONE writer for the ADTS and MP4 oracles AND the specs
+    * — a syntax fix here reaches every consumer by construction. */
+  def aacSilenceRawFrame(mono: Boolean, maxSfb: Int): Array[Byte] = {
+    require(if (mono) maxSfb <= 30 else maxSfb <= 6, s"maxSfb $maxSfb")
+    val bits = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var cur = 0; var nb = 0
+    def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
+      cur = (cur << 1) | ((v >> r) & 1); nb += 1
+      if (nb == 8) { bits += cur.toByte; cur = 0; nb = 0 }; r -= 1 } }
+    if (mono) {
+      w(0, 3); w(0, 4); w(100, 8)          // SCE, tag, global_gain
+      w(0, 1); w(0, 2); w(1, 1)            // ics: reserved, ONLY_LONG, shape
+      w(maxSfb, 6); w(0, 1)                // max_sfb, no predictor
+      if (maxSfb > 0) { w(0, 4); w(maxSfb, 5) } // one ZERO_HCB section
+      w(0, 1); w(0, 1); w(0, 1)            // pulse, tns, gain
+    } else {
+      w(1, 3); w(0, 4); w(1, 1)            // CPE, tag, common_window
+      w(0, 1); w(2, 2); w(0, 1)            // ics: reserved, EIGHT_SHORT, shape
+      w(maxSfb, 4); w(0x33, 7)             // grouping -> 4 groups
+      w(1, 2)                              // ms_mask_present = 1
+      var n = 4 * maxSfb; while (n > 0) { w(1, 1); n -= 1 }
+      var c = 0
+      while (c < 2) {
+        w(90, 8)
+        var g = 0
+        while (g < 4) { if (maxSfb > 0) { w(0, 4); w(maxSfb, 3) }; g += 1 }
+        w(0, 1); w(0, 1); w(0, 1)
+        c += 1
+      }
+    }
+    w(7, 3)                                // TERM
+    while (nb != 0) w(0, 1)                // byte align
+    bits.toArray
+  }
+
+  /** `payload` framed behind a 7-byte ADTS header (MPEG-4, AAC-LC,
+    * protection absent, one raw data block). */
+  def adtsFrame(sfi: Int, chanCfg: Int, payload: Array[Byte]): Array[Byte] = {
+    val frameLen = 7 + payload.length
+    val h = new Array[Byte](7)
+    h(0) = 0xFF.toByte
+    h(1) = 0xF1.toByte
+    h(2) = ((1 << 6) | (sfi << 2) | ((chanCfg >> 2) & 1)).toByte
+    h(3) = (((chanCfg & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+    h(4) = ((frameLen >> 3) & 0xFF).toByte
+    h(5) = (((frameLen & 7) << 5) | 0x1F).toByte
+    h(6) = 0xFC.toByte
+    h ++ payload
+  }
+
   /** AAC-in-MP4: mp4a sample entry with an esds descriptor chain
     * (ES→DecoderConfig(0x40)→DecSpecificInfo carrying the
     * AudioSpecificConfig) around raw AAC access units — NO ADTS

@@ -797,56 +797,12 @@ class MultimodalSpec extends SparkSpec {
       "PNG and PPM of identical pixels must hash identically")
   }
 
-  // ---- AAC-LC (ADTS) zero-codebook subset
+  // ---- AAC-LC (ADTS) zero-codebook subset: frames come from the
+  // SHARED MediaFixtures writers (one byte layout for oracles + specs)
 
-  /** MSB-first bit writer -> byte array. */
-  private final class BitW {
-    private val out = new java.io.ByteArrayOutputStream()
-    private var cur = 0; private var nb = 0
-    def w(v: Int, n: Int): Unit = { var r = n - 1; while (r >= 0) {
-      cur = (cur << 1) | ((v >> r) & 1); nb += 1
-      if (nb == 8) { out.write(cur); cur = 0; nb = 0 }; r -= 1 } }
-    def align(): Unit = while (nb != 0) w(0, 1)
-    def bytes: Array[Byte] = { align(); out.toByteArray }
-  }
-
-  /** One ADTS AAC-LC silence frame: channels=1 -> SCE long window,
-    * channels=2 -> CPE eight-short with 3 window groups and an MS
-    * mask. All sections ZERO_HCB. */
-  private def aacSilenceFrame(channels: Int, sfi: Int, maxSfb: Int): Array[Byte] = {
-    val b = new BitW
-    if (channels == 1) {
-      b.w(0, 3); b.w(0, 4) // SCE, tag
-      b.w(100, 8)          // global_gain
-      b.w(0, 1); b.w(0, 2); b.w(1, 1) // ics: reserved, ONLY_LONG, shape
-      b.w(maxSfb, 6); b.w(0, 1)       // max_sfb, no predictor
-      if (maxSfb > 0) { b.w(0, 4); b.w(maxSfb, 5) } // one ZERO section
-      b.w(0, 1); b.w(0, 1); b.w(0, 1) // pulse, tns, gain
-    } else {
-      b.w(1, 3); b.w(0, 4) // CPE, tag
-      b.w(1, 1)            // common_window
-      b.w(0, 1); b.w(2, 2); b.w(0, 1) // ics: reserved, EIGHT_SHORT, shape
-      b.w(maxSfb, 4)
-      b.w(0x33, 7)         // grouping 0110011 -> groups at w1,w4,w6? (3 zero bits -> 4 groups)
-      b.w(1, 2)            // ms_mask_present=1
-      var n = 4 * maxSfb; while (n > 0) { b.w(1, 1); n -= 1 } // ms_used
-      for (_ <- 0 until 2) {
-        b.w(90, 8) // global_gain
-        for (_ <- 0 until 4) { if (maxSfb > 0) { b.w(0, 4); b.w(maxSfb, 3) } }
-        b.w(0, 1); b.w(0, 1); b.w(0, 1)
-      }
-    }
-    b.w(7, 3) // TERM
-    val payload = b.bytes
-    val frameLen = 7 + payload.length
-    val h = new BitW
-    h.w(0xFFF, 12); h.w(0, 1); h.w(0, 2); h.w(1, 1) // sync, mpeg4, layer, protAbsent
-    h.w(1, 2); h.w(sfi, 4); h.w(0, 1)                // profile LC, rate, private
-    h.w(if (channels == 1) 1 else 2, 3)              // channel_config
-    h.w(0, 1); h.w(0, 1); h.w(0, 1); h.w(0, 1)       // orig, home, cib, cis
-    h.w(frameLen, 13); h.w(0x7FF, 11); h.w(0, 2)     // len, fullness, blocks-1=0
-    h.bytes ++ payload
-  }
+  private def aacSilenceFrame(channels: Int, sfi: Int, maxSfb: Int): Array[Byte] =
+    graft.tools.MediaFixtures.adtsFrame(sfi, channels,
+      graft.tools.MediaFixtures.aacSilenceRawFrame(channels == 1, maxSfb))
 
   test("AAC-LC zero-codebook subset: silence decodes sample-exact; anything else declines") {
     // mono long-window, 3 frames at 44100
