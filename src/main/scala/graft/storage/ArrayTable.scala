@@ -342,7 +342,9 @@ object ArrayTable {
     require(fs.rename(tmp, uri), s"rekey swap: could not move new tree to $uri " +
       s"— old tree preserved at $old")
     fs.delete(old)
-    encCache.remove(uri)
+    // prefix-wide invalidation: label sub-arrays under uri rotated too,
+    // and their cached key ids are equally stale
+    encCache.keySet.removeIf(_.startsWith(uri))
   }
 
   /** The rewrite body of [[reencryptArray]]: copy the array tree at

@@ -374,6 +374,48 @@ class EncryptionSpec extends SparkSpec {
     assert(snapshot() == before)
   }
 
+  test("key rotation: crash recovery, trash guard, label sub-array recursion") {
+    import graft.storage.{ArrayTable, DimLabels}
+    import spark.implicits._
+    Encryption.enable(spark, Map(
+      "oldkey" -> keyA.getBytes("UTF-8"), "newkey" -> keyB.getBytes("UTF-8")))
+    val uri = TestSession.tmpDir("enc-rotate2")
+    val df = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0)).toDF("k", "v")
+    ArrayTable.create(spark, uri,
+      graft.core.ArraySchema.infer(df.schema, Seq("k")),
+      encryptionKey = Some("oldkey"))
+    ArrayTable.write(spark, df, uri, tsOpt = Some(1000L))
+    DimLabels.addLabel(spark, uri, "name", "k",
+      Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "label"))
+    // labels under an encrypted parent inherit the key at creation
+    assert(ArrayTable.encryptionKeyId(spark, s"$uri/__labels/name")
+      .contains("oldkey"))
+
+    // trashed fragments refuse rotation (implicit vacuum would be silent)
+    ArrayTable.write(spark, df.limit(1), uri, tsOpt = Some(2000L))
+    ArrayTable.consolidate(spark, uri)
+    val eTrash = intercept[IllegalArgumentException] {
+      ArrayTable.reencryptArray(spark, uri, Some("newkey")) }
+    assert(eTrash.getMessage.contains("vacuum"))
+    ArrayTable.vacuum(spark, uri)
+
+    // simulate the crash window BETWEEN the two swap renames: uri
+    // parked at .__rekey_old, new tree half-present at .__rekey —
+    // the retry must restore, not destroy
+    val fs = graft.storage.VFS(spark)
+    fs.mkdirs(s"$uri.__rekey")
+    fs.writeString(s"$uri.__rekey/garbage.txt", "half-built")
+    require(fs.rename(uri, s"$uri.__rekey_old"))
+    ArrayTable.reencryptArray(spark, uri, Some("newkey"))
+    Encryption.enable(spark, "newkey", keyB)
+    assert(ArrayTable.read(spark, uri).count() == df.count()) // k=10 upsert shadows
+    assert(ArrayTable.encryptionKeyId(spark, uri).contains("newkey"))
+    // the label sub-array rotated recursively with its parent
+    assert(ArrayTable.encryptionKeyId(spark, s"$uri/__labels/name")
+      .contains("newkey"))
+    assert(ArrayTable.read(spark, s"$uri/__labels/name").count() == 3)
+  }
+
   test("enable validates key shape") {
     intercept[IllegalArgumentException] {
       Encryption.enable(spark, "short", "too-short") }
