@@ -240,6 +240,11 @@ case class GraftTable(spark: SparkSession, uri: String,
       m.put("allowsDuplicates", sch.allowsDuplicates.toString)
       m.put("fragments", ArrayTable.fragments(spark, uri).size.toString)
       m.put("uri", uri)
+      // the key NAME only — SHOW TBLPROPERTIES must reveal THAT a
+      // table is encrypted (and under which registered id), never
+      // key material
+      ArrayTable.encryptionKeyId(spark, uri)
+        .foreach(id => m.put("encryption.key", id))
     }
     m
   }
