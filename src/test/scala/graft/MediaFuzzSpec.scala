@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.Multimodal
+
+/** Adversarial-input robustness: every pure-Scala media decoder must
+  * DECLINE malformed payloads (None / stub fallback) — never hang,
+  * throw through, or balloon memory. A 100 TB corpus of scraped
+  * binary columns WILL contain truncated, bit-flipped and
+  * header-lying payloads; the decode tier's contract is that they
+  * cost a bounded parse attempt, not an executor.
+  *
+  * Deterministic xorshift fuzz (seeded — failures reproduce), three
+  * shapes per decoder family: pure noise, valid-magic + noise tails,
+  * and truncations of VALID payloads at every byte boundary. */
+class MediaFuzzSpec extends SparkSpec {
+
+  private def rng(seed0: Long): Iterator[Long] =
+    Iterator.iterate(seed0) { s0 =>
+      var s = s0; s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s
+    }.drop(1)
+
+  private def noise(seed: Long, n: Int): Array[Byte] = {
+    val it = rng(seed)
+    Array.fill(n)((it.next() & 0xFF).toByte)
+  }
+
+  private def withMagic(magic: Array[Byte], seed: Long, n: Int): Array[Byte] =
+    magic ++ noise(seed, n)
+
+  /** Every decoder entry point, None-or-stub by contract. A decoder
+    * that throws fails the test via the exception itself. */
+  private def decodeAll(payload: Array[Byte]): Unit = {
+    Multimodal.decodeGif(payload)
+    Multimodal.gifFrames(payload)
+    Multimodal.gifFramesComposited(payload)
+    Multimodal.decodeWav(payload)
+    Multimodal.decodeMp3Layer1(payload)
+    Multimodal.decodeMp3Layer2(payload)
+    Multimodal.decodeMp3Layer3(payload)
+    Multimodal.decodeAacLc(payload)
+    Multimodal.aacFromMp4(payload)
+    Multimodal.h264FromMp4(payload)
+    Multimodal.decodeH264IPcm(payload)
+    Multimodal.mp3Meta(payload)
+    Multimodal.mp4Meta(payload)
+    Multimodal.aviMeta(payload)
+    Multimodal.aviMjpegFrames(payload)
+  }
+
+  test("pure noise at assorted sizes: every decoder declines, none throws") {
+    for (size <- Seq(0, 1, 7, 64, 1024, 65536); trial <- 0 until 8)
+      decodeAll(noise(size * 1000003L + trial + 1, size))
+  }
+
+  test("valid magics with noise bodies: parsers walk garbage structure safely") {
+    val magics = Seq(
+      "GIF89a".getBytes("ISO-8859-1"),
+      "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 1, 0, 0) ++
+        "WAVE".getBytes("ISO-8859-1"),
+      "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 1, 0, 0) ++
+        "AVI ".getBytes("ISO-8859-1"),
+      Array[Byte](0xFF.toByte, 0xFB.toByte), // MP3 sync
+      Array[Byte](0xFF.toByte, 0xF1.toByte), // ADTS sync
+      Array[Byte](0, 0, 0, 32) ++ "ftyp".getBytes("ISO-8859-1"),
+      Array[Byte](0, 0, 0, 1, 0x67)) // Annex-B SPS start
+    for (m <- magics; trial <- 0 until 12)
+      decodeAll(withMagic(m, m.length * 7919L + trial + 1, 512))
+  }
+
+  test("byte-level truncations of VALID payloads: every prefix declines or decodes") {
+    import graft.tools.MediaFixtures
+    val valids = Seq(
+      MediaFixtures.adtsFrame(4, 1, MediaFixtures.aacSilenceRawFrame(true, 10)),
+      MediaFixtures.mp4Aac(4, 1,
+        Seq(MediaFixtures.aacSilenceRawFrame(true, 5))),
+      {
+        val out = new java.io.ByteArrayOutputStream()
+        MediaFixtures.h264Nal(out, 3, 7)(MediaFixtures.h264Sps(_, 1, 1))
+        MediaFixtures.h264Nal(out, 3, 8)(MediaFixtures.h264Pps(_))
+        MediaFixtures.h264Nal(out, 3, 5) { w =>
+          MediaFixtures.h264IdrSliceHeader(w, 0)
+          MediaFixtures.h264IpcmMb(w, _ => 128)
+        }
+        out.toByteArray
+      },
+      MediaFixtures.mjpegAvi(Seq(MediaFixtures.solidJpeg(8, 8, 0x336699))),
+      MediaFixtures.compositedGif(8, 4, 3, 0x112233)(f => 0x445566 + f))
+    for (v <- valids; cut <- 0 to v.length by math.max(1, v.length / 97))
+      decodeAll(v.take(cut))
+  }
+
+  test("header-declared sizes cannot balloon memory: lying GIF/MP4 headers decline") {
+    // GIF declaring a 16000x16000 logical screen with a tiny body
+    val gif = new java.io.ByteArrayOutputStream()
+    gif.write("GIF89a".getBytes("ISO-8859-1"))
+    gif.write(Array[Byte](0x80.toByte, 0x3E, 0x80.toByte, 0x3E, 0, 0, 0)) // 16000x16000
+    gif.write(0x2C); gif.write(new Array[Byte](9)); gif.write(2)
+    gif.write(0) // empty LZW
+    gif.write(0x3B)
+    assert(Multimodal.gifFramesComposited(gif.toByteArray).isEmpty,
+      "oversized declared canvas must decline, not allocate")
+    // MP4 stco declaring 2^31 chunks in a 100-byte box
+    val huge = graft.tools.MediaFixtures.mp4Aac(4, 1,
+      Seq(graft.tools.MediaFixtures.aacSilenceRawFrame(true, 3)))
+    val idx = {
+      // find the stco box and corrupt its entry count
+      var i = -1
+      var p = 0
+      while (i < 0 && p + 4 < huge.length) {
+        if (huge(p) == 's' && huge(p + 1) == 't' && huge(p + 2) == 'c' &&
+            huge(p + 3) == 'o') i = p
+        p += 1
+      }
+      i
+    }
+    assert(idx > 0)
+    huge(idx + 8) = 0x7F.toByte // entry_count -> 0x7FXXXXXX
+    assert(Multimodal.aacFromMp4(huge).isEmpty,
+      "lying stco count must decline before allocating")
+  }
+}
