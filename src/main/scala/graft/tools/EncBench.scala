@@ -46,6 +46,17 @@ object EncBench {
       println(f"[encbench] $label%9s ingest=$tIngest%6.2fs scan=$tScan%6.3fs " +
         f"slice=$tSlice%6.3fs agg=$tAgg%6.3fs")
     }
+    // key rotation: one decrypt-read + encrypt-write job per fragment
+    // (consolidate first on many-fragment arrays — documented)
+    Encryption.enable(spark, Map(
+      "bench" -> "graft-enc-bench-key-0123456789ab".getBytes("UTF-8"),
+      "bench2" -> "graft-enc-bench-key2-123456789ab".getBytes("UTF-8")))
+    val encUri = "/root/repo/target/enc-bench/encrypted"
+    val tRekey = time(ArrayTable.reencryptArray(spark, encUri, Some("bench2")))
+    val tDecrypt = time(ArrayTable.reencryptArray(spark, encUri, None))
+    val tEncrypt = time(ArrayTable.reencryptArray(spark, encUri, Some("bench")))
+    println(f"[encbench] rekey=$tRekey%6.2fs decrypt=$tDecrypt%6.2fs " +
+      f"encrypt=$tEncrypt%6.2fs (sf0.1 lineitem, 1 fragment)")
     spark.stop()
   }
 }
