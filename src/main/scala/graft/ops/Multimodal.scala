@@ -62,7 +62,7 @@ object Multimodal {
     * arbitrary whitespace), one whitespace byte, then w*h*3 raw pixel
     * bytes. Mean intensity is computed over the actual pixels. Returns
     * None for anything that is not a well-formed P6 payload. */
-  private[ops] def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+  private[graft] def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
     if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte) return None
     var i = 2
     def skipWs(): Unit = {
@@ -78,7 +78,9 @@ object Multimodal {
       skipWs()
       val st = i
       while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
-      if (i == st) -1 else new String(bytes, st, i - st, "US-ASCII").toInt
+      // a digit run past 9 chars overflows Int — decline, never throw
+      if (i == st || i - st > 9) -1
+      else new String(bytes, st, i - st, "US-ASCII").toInt
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 65536) return None
@@ -729,10 +731,25 @@ object Multimodal {
       })(srI)
       Array(ver, kbps, rate, pad, ch)
     }
+    // resync requires the NEXT frame header to land where the first
+    // one's length predicts (or the first frame to run to EOF) — the
+    // standard MP3 sniffing rule. A single plausible 4-byte pattern
+    // in arbitrary binary is common (~1 hit/KB of noise, caught by
+    // MediaFuzzSpec); two chained headers essentially never are.
+    def chainOk(j: Int, hh: Array[Int]): Boolean = {
+      val spf = if (hh(0) == 3) 1152 else 576
+      val len = (spf / 8) * hh(1) * 1000 / hh(2) + hh(3)
+      // a single-frame file (frame runs to EOF) only counts when the
+      // frame starts AT the stream start — a mid-payload "header"
+      // whose length conveniently clears EOF is how noise sneaks in
+      len > 4 && (hdrAt(j + len) != null || (j == off && j + len >= bytes.length))
+    }
     var i = off
     var h = hdrAt(i)
-    while (h == null && i + 4 <= bytes.length) { i += 1; h = hdrAt(i) }
-    if (h == null) return None
+    while ((h == null || !chainOk(i, h)) && i + 4 <= bytes.length) {
+      i += 1; h = hdrAt(i)
+    }
+    if (h == null || !chainOk(i, h)) return None
     val first = h
     var frames = 0L
     var durMs = 0.0
@@ -2301,7 +2318,10 @@ object Multimodal {
         skipWs()
         val st = i
         while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
-        if (i == st) -1 else new String(bytes, st, i - st, "US-ASCII").toInt
+        // a digit run past 9 chars overflows Int — decline (None via
+        // the dims check), never NumberFormatException out of the task
+        if (i == st || i - st > 9) -1
+        else new String(bytes, st, i - st, "US-ASCII").toInt
       }
       val w = readInt(); val h = readInt(); val maxv = readInt()
       if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256) return None
@@ -2653,7 +2673,10 @@ object Multimodal {
         skipWs()
         val st = i
         while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
-        if (i == st) -1 else new String(bytes, st, i - st, "US-ASCII").toInt
+        // a digit run past 9 chars overflows Int — decline (None via
+        // the dims check), never NumberFormatException out of the task
+        if (i == st || i - st > 9) -1
+        else new String(bytes, st, i - st, "US-ASCII").toInt
       }
       val w = readInt(); val h = readInt(); val maxv = readInt()
       if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256) return None

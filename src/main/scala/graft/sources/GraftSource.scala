@@ -240,12 +240,13 @@ case class GraftTable(spark: SparkSession, uri: String,
       m.put("allowsDuplicates", sch.allowsDuplicates.toString)
       m.put("fragments", ArrayTable.fragments(spark, uri).size.toString)
       m.put("uri", uri)
-      // the key NAME only — SHOW TBLPROPERTIES must reveal THAT a
-      // table is encrypted (and under which registered id), never
-      // key material
-      ArrayTable.encryptionKeyId(spark, uri)
-        .foreach(id => m.put("encryption.key", id))
     }
+    // OUTSIDE the schema block: the marker read needs no key material,
+    // and the one session that most needs to DISCOVER the key id from
+    // SHOW TBLPROPERTIES is precisely a keyless one (where resolving
+    // the schema above would fail). The key NAME only, never material.
+    ArrayTable.encryptionKeyId(spark, uri)
+      .foreach(id => m.put("encryption.key", id))
     m
   }
 

@@ -14,9 +14,12 @@ import graft.storage.{ArrayTable, Encryption}
 object EncBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = "/root/repo/target/enc-bench"
+    val key1 = "graft-enc-bench-key-0123456789ab"
+    val key2 = "graft-enc-bench-key2-123456789ab"
     val spark = graft.core.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Encryption.enable(spark, "bench", "graft-enc-bench-key-0123456789ab")
+    Encryption.enable(spark, "bench", key1)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
     def time[T](f: => T): Double = {
@@ -26,13 +29,13 @@ object EncBench {
 
     // warm-up pass (JIT + codegen + committer init) so the first
     // measured ingest isn't paying one-time costs
-    ArrayTable.ingest(spark, li, "/root/repo/target/enc-bench/warmup",
+    ArrayTable.ingest(spark, li, s"$base/warmup",
       Seq("l_orderkey", "l_linenumber"), overwrite = true)
-    graft.storage.VFS(spark).delete("/root/repo/target/enc-bench/warmup")
+    graft.storage.VFS(spark).delete(s"$base/warmup")
 
     Seq(Some("bench"), None, Some("bench"), None).foreach { key =>
       val label = if (key.isDefined) "encrypted" else "plaintext"
-      val uri = s"/root/repo/target/enc-bench/$label"
+      val uri = s"$base/$label"
       graft.storage.VFS(spark).delete(uri)
       val tIngest = time(ArrayTable.ingest(spark, li, uri,
         Seq("l_orderkey", "l_linenumber"), overwrite = true,
@@ -49,9 +52,8 @@ object EncBench {
     // key rotation: one decrypt-read + encrypt-write job per fragment
     // (consolidate first on many-fragment arrays — documented)
     Encryption.enable(spark, Map(
-      "bench" -> "graft-enc-bench-key-0123456789ab".getBytes("UTF-8"),
-      "bench2" -> "graft-enc-bench-key2-123456789ab".getBytes("UTF-8")))
-    val encUri = "/root/repo/target/enc-bench/encrypted"
+      "bench" -> key1.getBytes("UTF-8"), "bench2" -> key2.getBytes("UTF-8")))
+    val encUri = s"$base/encrypted"
     val tRekey = time(ArrayTable.reencryptArray(spark, encUri, Some("bench2")))
     val tDecrypt = time(ArrayTable.reencryptArray(spark, encUri, None))
     val tEncrypt = time(ArrayTable.reencryptArray(spark, encUri, Some("bench")))
