@@ -62,7 +62,14 @@ object Multimodal {
     * arbitrary whitespace), one whitespace byte, then w*h*3 raw pixel
     * bytes. Mean intensity is computed over the actual pixels. Returns
     * None for anything that is not a well-formed P6 payload. */
-  private[graft] def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+  /** P6 header parse shared by every PPM consumer: (width, height,
+    * maxval, data offset), with the whole RGB payload verified
+    * present. Digit runs past 9 chars decline (Int overflow would
+    * otherwise throw NumberFormatException out of the task — the
+    * MediaFuzzSpec contract). ONE copy — decodeP6, grayPlane and
+    * rgbPixels all walk this header. */
+  private def p6Header(bytes: Array[Byte], maxMaxval: Int)
+      : Option[(Int, Int, Int, Int)] = {
     if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte) return None
     var i = 2
     def skipWs(): Unit = {
@@ -78,20 +85,25 @@ object Multimodal {
       skipWs()
       val st = i
       while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
-      // a digit run past 9 chars overflows Int — decline, never throw
       if (i == st || i - st > 9) -1
       else new String(bytes, st, i - st, "US-ASCII").toInt
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
-    if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 65536) return None
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= maxMaxval) return None
     i += 1 // the single whitespace byte after maxval
     val n = w.toLong * h * 3
     if (n > Int.MaxValue || bytes.length - i < n) return None
-    var s = 0L
-    var j = i
-    while (j < i + n.toInt) { s += (bytes(j) & 0xFF); j += 1 }
-    Some((w, h, 3, s.toDouble / n))
+    Some((w, h, maxv, i))
   }
+
+  private[graft] def decodeP6(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    p6Header(bytes, maxMaxval = 65536).map { case (w, h, _, i) =>
+      val n = w * h * 3
+      var s = 0L
+      var j = i
+      while (j < i + n) { s += (bytes(j) & 0xFF); j += 1 }
+      (w, h, 3, s.toDouble / n)
+    }
 
   /** REAL pure-Scala GIF decoder (GIF87a/GIF89a, first frame): header +
     * color table parse, variable-width LSB-first LZW, interlace
@@ -2300,43 +2312,17 @@ object Multimodal {
     * (pixel bytes in hand), anything else ImageIO decodes via
     * BufferedImage. Returns (w, h, gray row-major). */
   private def grayPlane(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    def p6: Option[(Int, Int, Array[Int])] = {
-      if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte)
-        return None
-      // re-walk the header exactly as decodeP6 does
-      var i = 2
-      def skipWs(): Unit = {
-        var go = true
-        while (go && i < bytes.length) {
-          val c = bytes(i)
-          if (c == '#'.toByte) { while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1 }
-          else if (c == ' '.toByte || c == '\n'.toByte || c == '\r'.toByte || c == '\t'.toByte) i += 1
-          else go = false
+    def p6: Option[(Int, Int, Array[Int])] =
+      p6Header(bytes, maxMaxval = 256).map { case (w, h, _, i) =>
+        val gray = new Array[Int](w * h)
+        var p = 0
+        while (p < w * h) {
+          val o = i + p * 3
+          gray(p) = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
+          p += 1
         }
+        (w, h, gray)
       }
-      def readInt(): Int = {
-        skipWs()
-        val st = i
-        while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
-        // a digit run past 9 chars overflows Int — decline (None via
-        // the dims check), never NumberFormatException out of the task
-        if (i == st || i - st > 9) -1
-        else new String(bytes, st, i - st, "US-ASCII").toInt
-      }
-      val w = readInt(); val h = readInt(); val maxv = readInt()
-      if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256) return None
-      i += 1
-      val n = w.toLong * h * 3
-      if (n > Int.MaxValue || bytes.length - i < n) return None
-      val gray = new Array[Int](w * h)
-      var p = 0
-      while (p < w * h) {
-        val o = i + p * 3
-        gray(p) = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
-        p += 1
-      }
-      Some((w, h, gray))
-    }
     def viaImageIO: Option[(Int, Int, Array[Int])] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -2656,35 +2642,10 @@ object Multimodal {
     * resize path: P6 via the pure parser, anything else through
     * ImageIO. Returns (w, h, rgb[w*h*3]). */
   private def rgbPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    def p6: Option[(Int, Int, Array[Int])] = {
-      if (bytes.length < 2 || bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte)
-        return None
-      var i = 2
-      def skipWs(): Unit = {
-        var go = true
-        while (go && i < bytes.length) {
-          val c = bytes(i)
-          if (c == '#'.toByte) { while (i < bytes.length && bytes(i) != '\n'.toByte) i += 1 }
-          else if (c == ' '.toByte || c == '\n'.toByte || c == '\r'.toByte || c == '\t'.toByte) i += 1
-          else go = false
-        }
+    def p6: Option[(Int, Int, Array[Int])] =
+      p6Header(bytes, maxMaxval = 256).map { case (w, h, _, i) =>
+        (w, h, Array.tabulate(w * h * 3)(p => bytes(i + p) & 0xFF))
       }
-      def readInt(): Int = {
-        skipWs()
-        val st = i
-        while (i < bytes.length && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) i += 1
-        // a digit run past 9 chars overflows Int — decline (None via
-        // the dims check), never NumberFormatException out of the task
-        if (i == st || i - st > 9) -1
-        else new String(bytes, st, i - st, "US-ASCII").toInt
-      }
-      val w = readInt(); val h = readInt(); val maxv = readInt()
-      if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256) return None
-      i += 1
-      val n = w.toLong * h * 3
-      if (n > Int.MaxValue || bytes.length - i < n) return None
-      Some((w, h, Array.tabulate(w * h * 3)(p => bytes(i + p) & 0xFF)))
-    }
     def viaImageIO: Option[(Int, Int, Array[Int])] =
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
