@@ -2474,9 +2474,19 @@ object Multimodal {
   def sampleFrames(ds: Dataset[MediaRow], stride: Int = 4,
       frameBytes: Int = 256): Dataset[Frame] = {
     import ds.sparkSession.implicits._
+    // composited animations forfeit the structural frame skip (frame N
+    // depends on frames < N), so their decode cost is linear in the
+    // FOOTAGE, not the sample — counted, never silent, per the repo's
+    // cap-visibility convention
+    val composited = graft.core.Stats.counter(ds.sparkSession,
+      "media.gif_composited_full_decodes")
     ds.flatMap { r =>
       gifFrames(r.content, keep = _ % stride == 0)
-        .orElse(gifFramesComposited(r.content, keep = _ % stride == 0))
+        .orElse {
+          val c = gifFramesComposited(r.content, keep = _ % stride == 0)
+          if (c.isDefined) composited.add(1L)
+          c
+        }
         .orElse(aviMjpegFrames(r.content, keep = _ % stride == 0)) match {
         case Some(frames) =>
           frames.map { case (i, w, h, rgb) =>
