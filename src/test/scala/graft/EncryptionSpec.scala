@@ -416,6 +416,30 @@ class EncryptionSpec extends SparkSpec {
     assert(ArrayTable.read(spark, s"$uri/__labels/name").count() == 3)
   }
 
+  test("encrypted scans keep predicate pushdown and column pruning") {
+    import graft.storage.ArrayTable
+    import spark.implicits._
+    Encryption.enable(spark, "arrkey", keyA)
+    val uri = TestSession.tmpDir("enc-pushdown")
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+    ArrayTable.create(spark, uri, graft.core.ArraySchema.infer(df.schema,
+      Seq("o_orderkey")), encryptionKey = Some("arrkey"))
+    ArrayTable.write(spark, df, uri)
+    val q = ArrayTable.read(spark, uri,
+        ranges = Map("o_orderkey" -> (Some(100L), Some(5000L))))
+      .select("o_orderkey", "o_totalprice")
+    assert(q.count() > 0)
+    val plan = q.queryExecution.executedPlan.toString
+    // modular encryption decrypts page-by-page INSIDE the reader, so
+    // row-group stats pruning and min/max filters still apply — an
+    // encrypted scan that lost pushdown would quietly read everything
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(o_orderkey"),
+      s"range predicate must reach the encrypted parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("o_comment"),
+      s"projection must prune encrypted columns too:\n$plan")
+  }
+
   test("enable validates key shape") {
     intercept[IllegalArgumentException] {
       Encryption.enable(spark, "short", "too-short") }
