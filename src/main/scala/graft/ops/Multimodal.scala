@@ -547,7 +547,14 @@ object Multimodal {
           val audioFormat = u16(pos + 8)
           channels = u16(pos + 10); rate = u32(pos + 12).toInt
           bits = u16(pos + 22)
-          fmtOk = audioFormat == 1 && channels > 0 && rate > 0 &&
+          // WAVE_FORMAT_EXTENSIBLE (0xFFFE): PCM when the 16-byte
+          // SubFormat GUID starts with 0x0001 (KSDATAFORMAT_SUBTYPE_
+          // PCM); samples are container-width LPCM exactly like plain
+          // format 1 (the pluck-pcm24-ext conformance fixture pins
+          // this against javax.sound)
+          val pcm = audioFormat == 1 ||
+            (audioFormat == 0xFFFE && len >= 40 && u16(pos + 32) == 1)
+          fmtOk = pcm && channels > 0 && rate > 0 &&
             (bits == 8 || bits == 16 || bits == 24 || bits == 32)
         } else if (tag(pos, "data")) {
           dataOff = pos + 8; dataLen = math.min(len, (bytes.length - pos - 8).toLong)

@@ -260,5 +260,8 @@ class MediaConformanceSpec extends SparkSpec {
     wavConformance("pluck-pcm16.wav")
     wavConformance("pluck-pcm24.wav")
     wavConformance("pluck-pcm32.wav")
+    // WAVE_FORMAT_EXTENSIBLE with a PCM SubFormat GUID — same LPCM
+    // payload behind the 0xFFFE fmt header
+    wavConformance("pluck-pcm24-ext.wav")
   }
 }
