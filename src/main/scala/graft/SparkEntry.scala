@@ -2257,6 +2257,87 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL AIFF decode: FORM/COMM/SSND walk with the 80-bit extended
+    // sample rate decoded by formula, big-endian SIGNED PCM at all
+    // four widths (cycled per doc); DuckDB replays the offset-binary
+    // mean from the planting formulas
+    "media_aiff_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = Seq(8000, 11025, 22050, 44100)((id % 4).toInt)
+        val bits = Seq(8, 16, 24, 32)((id % 4).toInt)
+        val frames = 16 + (id % 16).toInt
+        val n = frames * channels
+        val bytesPer = bits / 8
+        val out = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { out.write(((v >> 24) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write((v & 0xFF).toInt) }
+        def b16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+        out.write("FORM".getBytes); b32(4 + 26 + 16 + n * bytesPer)
+        out.write("AIFF".getBytes)
+        out.write("COMM".getBytes); b32(18)
+        b16(channels); b32(frames.toLong); b16(bits)
+        // 80-bit extended: normalize rate into [2^31, 2^32)
+        var z = 0
+        while (((rate.toLong << z) & 0x80000000L) == 0) z += 1
+        b16(16383 + (31 - z)); b32(rate.toLong << z); b32(0)
+        out.write("SSND".getBytes); b32(8 + n * bytesPer); b32(0); b32(0)
+        val full = 1L << bits
+        var j = 0
+        while (j < n) {
+          val signed = Math.floorMod(id * 13 + j * 7, full) - (full >> 1)
+          var b = bytesPer - 1
+          while (b >= 0) { out.write(((signed >> (8 * b)) & 0xFF).toInt); b -= 1 }
+          j += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "aiff")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
+    // REAL Sun/NeXT AU decode: big-endian header + signed PCM at all
+    // widths AND G.711 u-law expanded by the published segment
+    // formula — DuckDB replays the exact expansion arithmetic
+    "media_au_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val enc = Seq(2, 3, 4, 5, 1)((id % 5).toInt) // s8..s32, then u-law
+        val bytesPer = Seq(1, 2, 3, 4, 1)((id % 5).toInt)
+        val frames = 16 + (id % 16).toInt
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { out.write(((v >> 24) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write((v & 0xFF).toInt) }
+        out.write(".snd".getBytes); b32(24); b32(n.toLong * bytesPer)
+        b32(enc.toLong); b32(rate.toLong); b32(channels.toLong)
+        var j = 0
+        while (j < n) {
+          if (enc == 1) out.write(((id * 17 + j * 11) % 256).toInt)
+          else {
+            val bits = bytesPer * 8
+            val full = 1L << bits
+            val signed = Math.floorMod(id * 13 + j * 7, full) - (full >> 1)
+            var b = bytesPer - 1
+            while (b >= 0) { out.write(((signed >> (8 * b)) & 0xFF).toInt); b -= 1 }
+          }
+          j += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "au")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL AAC-LC (ADTS) decode in the documented ZERO-codebook
     // subset: full header + raw_data_block syntax parse (SCE long /
     // common-window CPE eight-short with window grouping and an MS
@@ -4385,6 +4466,45 @@ object SparkEntry {
       "CAST(rate AS INT) AS sample_rate, CAST(kbps AS INT) AS bitrate_kbps, " +
       "CAST(frames AS BIGINT) AS n_frames, " +
       "round(frames * 1152 * 1000.0 / rate, 6) AS duration_ms FROM p"),
+    // AIFF: offset-binary mean replayed (signed + half == the planted
+    // modulus directly)
+    "media_aiff_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, " +
+      "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025 " +
+      "WHEN 2 THEN 22050 ELSE 44100 END AS rate, " +
+      "CAST(pow(2, CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 " +
+      "WHEN 2 THEN 24 ELSE 32 END) AS BIGINT) AS fullv, " +
+      "16 + doc_id % 16 AS frames FROM documents), " +
+      "s AS (SELECT d.*, j.range AS j FROM d, range(0,64) j " +
+      "WHERE j.range < frames * ch) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(frames * ch AS BIGINT) AS n_samples, " +
+      "round(frames * 1000.0 / rate, 6) AS duration_ms, " +
+      "round(avg(((doc_id*13 + j*7) % fullv) / (fullv - 1.0)), 6) AS mean_level " +
+      "FROM s GROUP BY doc_id, ch, rate, fullv, frames"),
+    // AU: PCM widths replay like AIFF; the u-law rows replay the
+    // G.711 segment expansion ARITHMETIC (u = 255 - b; magnitude =
+    // ((u%16)*8 + 132) * 2^((u//16)%8) - 132; sign from bit 7)
+    "media_au_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, 8000 + (doc_id % 3) * 4000 AS rate, " +
+      "doc_id % 5 AS enc, " +
+      "CAST(pow(2, CASE doc_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 16 " +
+      "WHEN 2 THEN 24 WHEN 3 THEN 32 ELSE 16 END) AS BIGINT) AS fullv, " +
+      "16 + doc_id % 16 AS frames FROM documents), " +
+      "s AS (SELECT d.*, j.range AS j, " +
+      "255 - ((d.doc_id*17 + j.range*11) % 256) AS u FROM d, range(0,64) j " +
+      "WHERE j.range < frames * ch), " +
+      "m AS (SELECT s.*, ((u % 16) * 8 + 132) * " +
+      "CAST(pow(2, (u // 16) % 8) AS BIGINT) - 132 AS mag FROM s), " +
+      "v AS (SELECT doc_id, ch, rate, fullv, frames, " +
+      "CASE WHEN enc < 4 THEN ((doc_id*13 + j*7) % fullv) " +
+      "ELSE (CASE WHEN u >= 128 THEN -mag ELSE mag END) + 32768 " +
+      "END AS uval FROM m) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(frames * ch AS BIGINT) AS n_samples, " +
+      "round(frames * 1000.0 / rate, 6) AS duration_ms, " +
+      "round(avg(uval / (fullv - 1.0)), 6) AS mean_level " +
+      "FROM v GROUP BY doc_id, ch, rate, fullv, frames"),
     // AAC-LC zero-codebook silence: layout math replayed (the samples
     // are exactly zero by syntax, so mean_level is 0 and the layout is
     // the whole observable output)

@@ -602,6 +602,147 @@ object Multimodal {
         nFrames.toDouble * 1000.0 / rate,
         if (nSamples == 0) 0.0 else sum / nSamples, bits)
     }
+  /** REAL pure-Scala AIFF / AIFF-C decoder (public spec: EA IFF 85 +
+    * Apple AIFF-1.3): FORM/AIFF chunk walk, COMM (channels, frame
+    * count, sample width, and the 80-bit IEEE-754-extended sample
+    * rate decoded by formula), SSND big-endian SIGNED PCM at
+    * 8/16/24/32 bits. AIFF-C accepted for compression "NONE"/"sowt"?
+    * no — "NONE" only (byte-swapped and G.711 AIFC variants decline;
+    * AU carries the G.711 path below). Mean level reports in the same
+    * offset-binary domain as [[decodeWav]] (signed + 2^(bits-1),
+    * normalized by 2^bits - 1), pinned against javax.sound by the
+    * pluck AIFF fixtures. */
+  private[graft] def decodeAiff(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    if (bytes.length < 12) return None
+    def tag(i: Int, s: String) = bytes.length >= i + 4 &&
+      bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
+      bytes(i + 2) == s(2).toByte && bytes(i + 3) == s(3).toByte
+    if (!tag(0, "FORM") || !(tag(8, "AIFF") || tag(8, "AIFC"))) return None
+    val aifc = tag(8, "AIFC")
+    try {
+      def u16(i: Int) = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+      def u32(i: Int): Long = ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+      var pos = 12
+      var channels = 0; var frames = 0L; var bits = 0; var rate = 0
+      var commOk = false
+      var dataOff = -1; var dataLen = 0L
+      while (pos + 8 <= bytes.length && (dataOff < 0 || !commOk)) {
+        val len = u32(pos + 4)
+        if (len < 0 || pos + 8 + len > bytes.length) return None
+        if (tag(pos, "COMM") && len >= 18) {
+          channels = u16(pos + 8)
+          frames = u32(pos + 10)
+          bits = u16(pos + 14)
+          // 80-bit extended: 15-bit exponent (bias 16383), 64-bit
+          // mantissa with explicit integer bit; audio rates fit the
+          // high 32 mantissa bits exactly
+          val e = (((bytes(pos + 16) & 0x7F) << 8) | (bytes(pos + 17) & 0xFF)) - 16383
+          val manHi = u32(pos + 18)
+          rate = math.round(manHi.toDouble * math.pow(2.0, e - 31)).toInt
+          // AIFC: compressionType fourcc follows the rate
+          commOk = (!aifc || (len >= 22 && tag(pos + 26, "NONE"))) &&
+            channels > 0 && rate > 0 &&
+            (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+        } else if (tag(pos, "SSND") && len >= 8) {
+          val off = u32(pos + 8)
+          dataOff = (pos + 16 + off).toInt
+          dataLen = len - 8 - off
+        }
+        pos += 8 + len.toInt + (len.toInt & 1)
+      }
+      if (!commOk || dataOff < 0) return None
+      val bytesPer = bits / 8
+      val nSamples = math.min(frames * channels,
+        math.min(dataLen, bytes.length.toLong - dataOff) / bytesPer)
+      if (nSamples <= 0) return None
+      val half = 1L << (bits - 1)
+      val full = (1L << bits) - 1
+      var sum = 0.0
+      var idx = 0L
+      while (idx < nSamples) {
+        val o = dataOff + (idx * bytesPer).toInt
+        var v = 0L
+        var b = 0
+        while (b < bytesPer) { v = (v << 8) | (bytes(o + b) & 0xFFL); b += 1 }
+        val shift = 64 - bits
+        val signed = (v << shift) >> shift // big-endian two's complement
+        sum += (signed + half).toDouble / full
+        idx += 1
+      }
+      Some(DecodedAudioRaw(channels, rate, nSamples,
+        (nSamples / channels).toDouble * 1000.0 / rate, sum / nSamples, bits))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL pure-Scala Sun/NeXT AU (.snd) decoder: big-endian header
+    * (data offset/size, encoding, rate, channels), linear signed PCM
+    * at 8/16/24/32 bits, plus G.711 µ-LAW and A-LAW — both decoded by
+    * the published segment/mantissa FORMULAS (no tables: µ-law
+    * magnitude = (((m << 3) + 0x84) << e) - 0x84 on the inverted
+    * byte; a-law from the 0x55-xored byte), expanding to 16-bit
+    * linear exactly as the JDK's converters do (pinned by the pluck
+    * AU fixtures vs javax.sound). */
+  private[graft] def decodeAu(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    if (bytes.length < 24) return None
+    if (!(bytes(0) == '.'.toByte && bytes(1) == 's'.toByte &&
+          bytes(2) == 'n'.toByte && bytes(3) == 'd'.toByte)) return None
+    try {
+      def u32(i: Int): Long = ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+      val dataOff = u32(4).toInt
+      val dataSize0 = u32(8)
+      val encoding = u32(12).toInt
+      val rate = u32(16).toInt
+      val channels = u32(20).toInt
+      if (dataOff < 24 || dataOff > bytes.length || rate <= 0 ||
+          channels <= 0 || channels > 64) return None
+      val avail = bytes.length.toLong - dataOff
+      val dataLen = if (dataSize0 < 0 || dataSize0 > avail) avail else dataSize0
+      val bytesPer = encoding match {
+        case 1 | 27 => 1 // G.711 u-law / a-law
+        case 2 => 1; case 3 => 2; case 4 => 3; case 5 => 4
+        case _ => return None
+      }
+      val nSamples = dataLen / bytesPer
+      if (nSamples <= 0) return None
+      def ulaw(b0: Int): Int = {
+        val u = ~b0 & 0xFF
+        val mag = (((u & 0xF) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+        if ((u & 0x80) != 0) -mag else mag
+      }
+      def alaw(b0: Int): Int = {
+        val a = b0 ^ 0x55
+        val e = (a >> 4) & 7
+        val m = a & 0xF
+        val mag = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
+        if ((a & 0x80) != 0) mag else -mag // sign bit SET means positive
+      }
+      val bits = if (bytesPer == 1 && encoding != 2) 16 else bytesPer * 8
+      val half = 1L << (bits - 1)
+      val full = (1L << bits) - 1
+      var sum = 0.0
+      var idx = 0L
+      while (idx < nSamples) {
+        val o = dataOff + (idx * bytesPer).toInt
+        val signed: Long = encoding match {
+          case 1 => ulaw(bytes(o) & 0xFF)
+          case 27 => alaw(bytes(o) & 0xFF)
+          case _ =>
+            var v = 0L
+            var b = 0
+            while (b < bytesPer) { v = (v << 8) | (bytes(o + b) & 0xFFL); b += 1 }
+            val shift = 64 - bytesPer * 8
+            (v << shift) >> shift
+        }
+        sum += (signed + half).toDouble / full
+        idx += 1
+      }
+      Some(DecodedAudioRaw(channels, rate, nSamples,
+        (nSamples / channels).toDouble * 1000.0 / rate, sum / nSamples, bits))
+    } catch { case _: Exception => None }
+  }
+
   /** `bits` = PCM sample width (8/16/24/32) for WAV; 0 for compressed
     * sources where a PCM width is not meaningful. */
   private[graft] case class DecodedAudioRaw(channels: Int, rate: Int,
@@ -665,7 +806,9 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        decodeWav(r.content).orElse(decodeMp3Layer1(r.content))
+        decodeWav(r.content).orElse(decodeAiff(r.content))
+          .orElse(decodeAu(r.content))
+          .orElse(decodeMp3Layer1(r.content))
           .orElse(decodeMp3Layer2(r.content))
           .orElse(decodeMp3Layer3(r.content))
           .orElse(decodeAacLc(r.content))

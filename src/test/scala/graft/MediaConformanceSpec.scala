@@ -241,6 +241,89 @@ class MediaConformanceSpec extends SparkSpec {
     (channels, fmt.getSampleRate.toInt, bits, nSamples, sum / nSamples)
   }
 
+  /** AIFF/AU conformance vs javax.sound: decode via our pure-Scala
+    * parser and via AudioSystem (converting G.711 to 16-bit linear
+    * through the JDK's own codec), compare layout exactly and the
+    * offset-binary mean to 1e-9. */
+  private def auAiffConformance(name: String): Unit = {
+    val bytes = fixture(name)
+    val ours = (if (name.endsWith(".au")) Multimodal.decodeAu(bytes)
+      else Multimodal.decodeAiff(bytes))
+    assert(ours.isDefined, s"$name: decoder declined a real payload")
+    val d = ours.get
+    val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f0 = in0.getFormat
+    // G.711 sources convert through the JDK codec to 16-bit linear —
+    // the same expansion our formula-based decoder performs
+    val (in, fmt) =
+      if (f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+        (in0, f0)
+      else {
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels, 2 * f0.getChannels,
+          f0.getSampleRate, true)
+        (javax.sound.sampled.AudioSystem.getAudioInputStream(target, in0), target)
+      }
+    val data = in.readAllBytes()
+    in.close()
+    val bits = fmt.getSampleSizeInBits
+    val bytesPer = bits / 8
+    val nSamples = data.length.toLong / bytesPer
+    val big = fmt.isBigEndian
+    val full = (1L << bits) - 1
+    var sum = 0.0
+    var i = 0
+    while (i + bytesPer <= data.length) {
+      var v = 0L
+      var b = 0
+      while (b < bytesPer) {
+        val by = data(i + (if (big) b else bytesPer - 1 - b)) & 0xFFL
+        v = (v << 8) | by; b += 1
+      }
+      val shift = 64 - bits
+      val signed = (v << shift) >> shift
+      sum += (signed + (1L << (bits - 1))).toDouble / full
+      i += bytesPer
+    }
+    assert(d.channels == fmt.getChannels, s"$name ch ${d.channels}")
+    assert(d.rate == fmt.getSampleRate.toInt, s"$name rate ${d.rate}")
+    assert(d.nSamples == nSamples, s"$name samples ${d.nSamples} vs $nSamples")
+    assert(math.abs(d.meanLevel - sum / nSamples) < 1e-9,
+      s"$name mean ${d.meanLevel} vs javax.sound ${sum / nSamples}")
+  }
+
+  test("AIFF conformance: pluck fixtures at 8/16/24-bit match CPython aifc") {
+    // the JDK AiffFileReader rejects these files (it chokes on the
+    // NAME/AUTH annotation chunks), so the independent reference here
+    // is CPython's aifc module — these constants are its exact output
+    // (channels, rate, sample count, offset-binary mean) computed from
+    // the same fixture bytes; see fixtures README
+    val expect = Map(
+      "pluck-pcm8.aiff" -> (2, 11025, 6614L, 0.49892207260890364),
+      "pluck-pcm16.aiff" -> (2, 11025, 6614L, 0.4989381714076337),
+      "pluck-pcm24.aiff" -> (2, 11025, 6614L, 0.4989306066175265))
+    expect.foreach { case (name, (ch, rate, n, mean)) =>
+      val d = Multimodal.decodeAiff(fixture(name)).getOrElse(
+        fail(s"$name: decoder declined a real AIFF"))
+      assert(d.channels == ch && d.rate == rate && d.nSamples == n,
+        s"$name layout: $d")
+      assert(math.abs(d.meanLevel - mean) < 1e-12,
+        s"$name mean ${d.meanLevel} vs aifc $mean")
+    }
+    // G.711 AIFC declines (the AU path carries formula-based G.711)
+    assert(Multimodal.decodeAiff(fixture("pluck-alaw.aifc")).isEmpty)
+  }
+
+  test("AU conformance: PCM widths + G.711 u-law match javax.sound") {
+    auAiffConformance("pluck-pcm8.au")
+    auAiffConformance("pluck-pcm16.au")
+    auAiffConformance("pluck-pcm32.au")
+    auAiffConformance("pluck-ulaw.au")
+  }
+
   private def wavConformance(name: String): Unit = {
     val bytes = fixture(name)
     val ours = Multimodal.decodeWav(bytes)

@@ -44,6 +44,8 @@ class MediaFuzzSpec extends SparkSpec {
     "gifFrames" -> Multimodal.gifFrames(payload).isEmpty,
     "gifComposited" -> Multimodal.gifFramesComposited(payload).isEmpty,
     "wav" -> Multimodal.decodeWav(payload).isEmpty,
+    "aiff" -> Multimodal.decodeAiff(payload).isEmpty,
+    "au" -> Multimodal.decodeAu(payload).isEmpty,
     "mp3L1" -> Multimodal.decodeMp3Layer1(payload).isEmpty,
     "mp3L2" -> Multimodal.decodeMp3Layer2(payload).isEmpty,
     "mp3L3" -> Multimodal.decodeMp3Layer3(payload).isEmpty,
@@ -74,6 +76,9 @@ class MediaFuzzSpec extends SparkSpec {
         "WAVE".getBytes("ISO-8859-1"),
       "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 1, 0, 0) ++
         "AVI ".getBytes("ISO-8859-1"),
+      "FORM".getBytes("ISO-8859-1") ++ Array[Byte](0, 1, 0, 0) ++
+        "AIFF".getBytes("ISO-8859-1"),
+      ".snd".getBytes("ISO-8859-1"),
       Array[Byte](0xFF.toByte, 0xFB.toByte), // MP3 sync
       Array[Byte](0xFF.toByte, 0xF1.toByte), // ADTS sync
       Array[Byte](0, 0, 0, 32) ++ "ftyp".getBytes("ISO-8859-1"),
@@ -104,7 +109,27 @@ class MediaFuzzSpec extends SparkSpec {
         out.toByteArray
       },
       MediaFixtures.mjpegAvi(Seq(MediaFixtures.solidJpeg(8, 8, 0x336699))),
-      MediaFixtures.compositedGif(8, 4, 3, 0x112233)(f => 0x445566 + f))
+      MediaFixtures.compositedGif(8, 4, 3, 0x112233)(f => 0x445566 + f),
+      { // minimal valid AIFF: mono 16-bit, 4 frames @ 8000 Hz
+        val o = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { o.write((v >> 24).toInt & 0xFF); o.write((v >> 16).toInt & 0xFF)
+          o.write((v >> 8).toInt & 0xFF); o.write(v.toInt & 0xFF) }
+        def b16(v: Int): Unit = { o.write((v >> 8) & 0xFF); o.write(v & 0xFF) }
+        o.write("FORM".getBytes); b32(4 + 26 + 16 + 8); o.write("AIFF".getBytes)
+        o.write("COMM".getBytes); b32(18); b16(1); b32(4); b16(16)
+        b16(16383 + 12); b32(8000L << 19); b32(0) // 8000 = 0.97656*2^13
+        o.write("SSND".getBytes); b32(8 + 8); b32(0); b32(0)
+        Seq(100, -200, 300, -400).foreach(b16)
+        o.toByteArray
+      },
+      { // minimal valid AU: mono u-law, 6 samples @ 8000 Hz
+        val o = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { o.write((v >> 24).toInt & 0xFF); o.write((v >> 16).toInt & 0xFF)
+          o.write((v >> 8).toInt & 0xFF); o.write(v.toInt & 0xFF) }
+        o.write(".snd".getBytes); b32(24); b32(6); b32(1); b32(8000); b32(1)
+        Seq(0x00, 0x7F, 0x80, 0xFF, 0x35, 0xCA).foreach(o.write)
+        o.toByteArray
+      })
     limited {
       for (v <- valids; cut <- 0 to v.length)
         decodeAll(v.take(cut))
