@@ -2338,6 +2338,124 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // REAL G.711 WAV decode (WAVE fmt codes 7 µ-law / 6 A-law,
+    // alternating per doc): the decoder expands each byte to 16-bit
+    // linear by the published segment/mantissa formulas; DuckDB
+    // replays BOTH expansions arithmetically
+    "media_wav_g711" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val fmt = if (id % 2 == 0) 7 else 6 // u-law / a-law
+        val frames = 16 + (id % 16).toInt
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def le32(v: Long): Unit = { out.write((v & 0xFF).toInt)
+          out.write(((v >> 8) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 24) & 0xFF).toInt) }
+        def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        out.write("RIFF".getBytes); le32(36L + n); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); le32(16)
+        le16(fmt); le16(channels); le32(rate.toLong)
+        le32(rate.toLong * channels); le16(channels); le16(8)
+        out.write("data".getBytes); le32(n.toLong)
+        var j = 0
+        while (j < n) { out.write(((id * 17 + j * 11) % 256).toInt); j += 1 }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "wav")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
+    // REAL IEEE-float WAV decode (fmt code 3 at 32/64-bit, cycled per
+    // doc): samples are the DYADIC values k/256 - 0.5 (exact in f32,
+    // f64, and DuckDB's doubles), so the replay is value-exact
+    "media_wav_float" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val bits = if (id % 2 == 0) 32 else 64
+        val bytesPer = bits / 8
+        val frames = 16 + (id % 16).toInt
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def le32(v: Long): Unit = { out.write((v & 0xFF).toInt)
+          out.write(((v >> 8) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 24) & 0xFF).toInt) }
+        def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        out.write("RIFF".getBytes); le32(36L + n * bytesPer); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); le32(16)
+        le16(3); le16(channels); le32(rate.toLong)
+        le32(rate.toLong * channels * bytesPer); le16(channels * bytesPer); le16(bits)
+        out.write("data".getBytes); le32(n.toLong * bytesPer)
+        var j = 0
+        while (j < n) {
+          val v = ((id * 13 + j * 7) % 256) / 256.0 - 0.5
+          if (bits == 32) le32(java.lang.Float.floatToIntBits(v.toFloat) & 0xFFFFFFFFL)
+          else { val b = java.lang.Double.doubleToLongBits(v)
+            le32(b & 0xFFFFFFFFL); le32(b >>> 32) }
+          j += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "wav")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
+    // REAL AIFF-C compressed-variant decode, codec cycled per doc:
+    // sowt (byte-swapped LE16 PCM), G.711 ulaw/alaw, fl32 (big-endian
+    // IEEE float) — every variant formula-decodable, every sample
+    // replayed by DuckDB
+    "media_aifc_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = Seq(8000, 11025, 22050, 44100)((id % 4).toInt)
+        val codec = Seq("sowt", "ulaw", "alaw", "fl32")((id % 4).toInt)
+        val bytesPer = Seq(2, 1, 1, 4)((id % 4).toInt)
+        val frames = 16 + (id % 16).toInt
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { out.write(((v >> 24) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write((v & 0xFF).toInt) }
+        def b16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+        out.write("FORM".getBytes); b32(4 + 32 + 16 + n * bytesPer)
+        out.write("AIFC".getBytes)
+        out.write("COMM".getBytes); b32(24)
+        b16(channels); b32(frames.toLong); b16(bytesPer * 8)
+        var z = 0
+        while (((rate.toLong << z) & 0x80000000L) == 0) z += 1
+        b16(16383 + (31 - z)); b32(rate.toLong << z); b32(0)
+        out.write(codec.getBytes); b16(0) // empty pstring pad
+        out.write("SSND".getBytes); b32(8 + n * bytesPer); b32(0); b32(0)
+        var j = 0
+        while (j < n) {
+          codec match {
+            case "sowt" =>
+              val signed = Math.floorMod(id * 13 + j * 7, 65536L) - 32768
+              out.write((signed & 0xFF).toInt); out.write(((signed >> 8) & 0xFF).toInt)
+            case "ulaw" | "alaw" => out.write(((id * 17 + j * 11) % 256).toInt)
+            case _ =>
+              val v = ((id * 13 + j * 7) % 256) / 256.0 - 0.5
+              b32(java.lang.Float.floatToIntBits(v.toFloat) & 0xFFFFFFFFL)
+          }
+          j += 1
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio", "aifc")
+      }
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL AAC-LC (ADTS) decode in the documented ZERO-codebook
     // subset: full header + raw_data_block syntax parse (SCE long /
     // common-window CPE eight-short with window grouping and an MS
@@ -4505,6 +4623,68 @@ object SparkEntry {
       "round(frames * 1000.0 / rate, 6) AS duration_ms, " +
       "round(avg(uval / (fullv - 1.0)), 6) AS mean_level " +
       "FROM v GROUP BY doc_id, ch, rate, fullv, frames"),
+    // G.711 WAV: DuckDB replays BOTH published expansions — u-law on
+    // the inverted byte, a-law on the 0x55-xored byte (sign bit SET
+    // means positive)
+    "media_wav_g711" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, 8000 + (doc_id % 3) * 4000 AS rate, " +
+      "16 + doc_id % 16 AS frames FROM documents), " +
+      "s AS (SELECT d.*, j.range AS j, " +
+      "(d.doc_id*17 + j.range*11) % 256 AS b FROM d, range(0,64) j " +
+      "WHERE j.range < frames * ch), " +
+      "m AS (SELECT s.*, 255 - b AS u, xor(b, 85) AS a FROM s), " +
+      "e AS (SELECT m.*, ((u % 16) * 8 + 132) * " +
+      "CAST(pow(2, (u // 16) % 8) AS BIGINT) - 132 AS umag, " +
+      "CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8 " +
+      "ELSE ((a % 16) * 16 + 264) * CAST(pow(2, (a // 16) % 8 - 1) AS BIGINT) " +
+      "END AS amag FROM m), " +
+      "v AS (SELECT doc_id, ch, rate, frames, 32768 + " +
+      "CASE WHEN doc_id % 2 = 0 " +
+      "THEN (CASE WHEN u >= 128 THEN -umag ELSE umag END) " +
+      "ELSE (CASE WHEN a >= 128 THEN amag ELSE -amag END) END AS uval FROM e) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(frames * ch AS BIGINT) AS n_samples, " +
+      "round(frames * 1000.0 / rate, 6) AS duration_ms, " +
+      "round(avg(uval / 65535.0), 6) AS mean_level " +
+      "FROM v GROUP BY doc_id, ch, rate, frames"),
+    // IEEE-float WAV: dyadic k/256 - 0.5 samples are exact in f32,
+    // f64, and DuckDB doubles, so the mean replays value-exact
+    "media_wav_float" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, 8000 + (doc_id % 3) * 4000 AS rate, " +
+      "16 + doc_id % 16 AS frames FROM documents), " +
+      "s AS (SELECT d.*, j.range AS j FROM d, range(0,64) j " +
+      "WHERE j.range < frames * ch) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(frames * ch AS BIGINT) AS n_samples, " +
+      "round(frames * 1000.0 / rate, 6) AS duration_ms, " +
+      "round(avg((((doc_id*13 + j*7) % 256) / 256.0 + 0.5) / 2), 6) AS mean_level " +
+      "FROM s GROUP BY doc_id, ch, rate, frames"),
+    // AIFF-C variants: sowt replays offset-binary LE16, ulaw/alaw the
+    // G.711 expansions, fl32 the dyadic float values
+    "media_aifc_decode" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, " +
+      "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025 " +
+      "WHEN 2 THEN 22050 ELSE 44100 END AS rate, " +
+      "doc_id % 4 AS codec, 16 + doc_id % 16 AS frames FROM documents), " +
+      "s AS (SELECT d.*, j.range AS j, " +
+      "(d.doc_id*17 + j.range*11) % 256 AS b FROM d, range(0,64) j " +
+      "WHERE j.range < frames * ch), " +
+      "m AS (SELECT s.*, 255 - b AS u, xor(b, 85) AS a FROM s), " +
+      "e AS (SELECT m.*, ((u % 16) * 8 + 132) * " +
+      "CAST(pow(2, (u // 16) % 8) AS BIGINT) - 132 AS umag, " +
+      "CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8 " +
+      "ELSE ((a % 16) * 16 + 264) * CAST(pow(2, (a // 16) % 8 - 1) AS BIGINT) " +
+      "END AS amag FROM m), " +
+      "v AS (SELECT doc_id, ch, rate, codec, frames, CASE codec " +
+      "WHEN 0 THEN ((doc_id*13 + j*7) % 65536) / 65535.0 " +
+      "WHEN 1 THEN (32768 + (CASE WHEN u >= 128 THEN -umag ELSE umag END)) / 65535.0 " +
+      "WHEN 2 THEN (32768 + (CASE WHEN a >= 128 THEN amag ELSE -amag END)) / 65535.0 " +
+      "ELSE (((doc_id*13 + j*7) % 256) / 256.0 + 0.5) / 2 END AS lvl FROM e) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, CAST(rate AS INT) AS sample_rate, " +
+      "CAST(frames * ch AS BIGINT) AS n_samples, " +
+      "round(frames * 1000.0 / rate, 6) AS duration_ms, " +
+      "round(avg(lvl), 6) AS mean_level " +
+      "FROM v GROUP BY doc_id, ch, rate, codec, frames"),
     // AAC-LC zero-codebook silence: layout math replayed (the samples
     // are exactly zero by syntax, so mean_level is 0 and the layout is
     // the whole observable output)

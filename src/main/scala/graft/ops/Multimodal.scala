@@ -519,15 +519,22 @@ object Multimodal {
   case class VideoMeta(doc_id: Long, width: Int, height: Int,
       total_frames: Long, fps: Double)
 
-  /** REAL pure-Scala WAV (RIFF/PCM) decoder: `fmt ` chunk for
+  /** REAL pure-Scala WAV (RIFF) decoder: `fmt ` chunk for
     * channels/rate/width, `data` chunk for the samples. `mean_level` is
     * the average sample normalized to [0, 1] (8-bit PCM is unsigned,
     * 16/24/32-bit are signed little-endian and shift to unsigned for
-    * the same scale). Returns None for anything that is not PCM WAV
+    * the same scale; IEEE-float formats report (v+1)/2; G.711 µ-law /
+    * A-law expand to 16-bit linear by the published formulas first).
+    * Covers WAVE format codes 1 (PCM), 3 (float), 6 (A-law),
+    * 7 (µ-law) and their EXTENSIBLE GUID forms — the codes with a
+    * formula-only decode path. Returns None for anything else
     * (compressed codecs stay behind the documented stub). */
-  /** PCM WAV layout: (channels, rate, bits, dataOff, dataLen). Shared
-    * by the mean-level decode and the fingerprint walker. */
-  private def wavPcmLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+  /** WAV layout with format class: (codec, channels, rate, bits,
+    * dataOff, dataLen), codec = 1 LPCM (incl. the EXTENSIBLE PCM
+    * GUID), 3 IEEE float (incl. the EXTENSIBLE float GUID), 6 G.711
+    * A-law, 7 G.711 µ-law — the four WAVE format codes with a
+    * formula-only decode path. Anything else returns None. */
+  private def wavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long)] = {
     if (bytes.length < 44) return None
     def tag(i: Int, s: String) = bytes.length >= i + 4 &&
       bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
@@ -538,7 +545,7 @@ object Multimodal {
       def u32(i: Int) = (bytes(i) & 0xFF).toLong | ((bytes(i + 1) & 0xFF).toLong << 8) |
         ((bytes(i + 2) & 0xFF).toLong << 16) | ((bytes(i + 3) & 0xFF).toLong << 24)
       var pos = 12
-      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+      var codec = 0; var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
       var dataOff = -1; var dataLen = 0L
       while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
         val len = u32(pos + 4)
@@ -547,24 +554,37 @@ object Multimodal {
           val audioFormat = u16(pos + 8)
           channels = u16(pos + 10); rate = u32(pos + 12).toInt
           bits = u16(pos + 22)
-          // WAVE_FORMAT_EXTENSIBLE (0xFFFE): PCM when the 16-byte
-          // SubFormat GUID starts with 0x0001 (KSDATAFORMAT_SUBTYPE_
-          // PCM); samples are container-width LPCM exactly like plain
-          // format 1 (the pluck-pcm24-ext conformance fixture pins
-          // this against javax.sound)
-          val pcm = audioFormat == 1 ||
-            (audioFormat == 0xFFFE && len >= 40 && u16(pos + 32) == 1)
-          fmtOk = pcm && channels > 0 && rate > 0 &&
-            (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+          // WAVE_FORMAT_EXTENSIBLE (0xFFFE): the 16-byte SubFormat
+          // GUID starts with the actual format code (0x0001 PCM /
+          // 0x0003 float); samples are container-width exactly like
+          // the plain codes (the pluck-pcm24-ext conformance fixture
+          // pins the PCM case against javax.sound)
+          codec =
+            if (audioFormat == 0xFFFE && len >= 40) u16(pos + 32)
+            else audioFormat
+          fmtOk = channels > 0 && rate > 0 && (codec match {
+            case 1 => bits == 8 || bits == 16 || bits == 24 || bits == 32
+            case 3 => bits == 32 || bits == 64
+            case 6 | 7 => bits == 8 // G.711 is always 8-bit compressed
+            case _ => false
+          })
         } else if (tag(pos, "data")) {
           dataOff = pos + 8; dataLen = math.min(len, (bytes.length - pos - 8).toLong)
         }
         pos += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
       }
       if (!fmtOk || dataOff < 0) None
-      else Some((channels, rate, bits, dataOff, dataLen))
+      else Some((codec, channels, rate, bits, dataOff, dataLen))
     } catch { case _: Exception => None }
   }
+
+  /** PCM WAV layout: (channels, rate, bits, dataOff, dataLen). Shared
+    * by the mean-level decode and the fingerprint walker — PCM-only
+    * on purpose (decimation/fingerprints stay integer-domain ops). */
+  private def wavPcmLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] =
+    wavLayout(bytes).collect { case (1, channels, rate, bits, dataOff, dataLen) =>
+      (channels, rate, bits, dataOff, dataLen)
+    }
 
   /** The `idx`-th sample as the UNSIGNED long the mean-level decode
     * uses (8-bit native-unsigned; 16/24/32 signed -> shifted). */
@@ -585,34 +605,80 @@ object Multimodal {
     }
   }
 
-  private[graft] def decodeWav(bytes: Array[Byte]): Option[DecodedAudioRaw] =
-    wavPcmLayout(bytes).map { case (channels, rate, bits, dataOff, dataLen) =>
+  /** `computeMean = false` (the [[audioMeta]] path) stops after the
+    * header walk — layout fields only, `mean_level` 0. */
+  private[graft] def decodeWav(bytes: Array[Byte],
+      computeMean: Boolean = true): Option[DecodedAudioRaw] =
+    wavLayout(bytes).map { case (codec, channels, rate, bits, dataOff, dataLen) =>
       val bytesPerSample = bits / 8
       val frameBytes = bytesPerSample * channels
       val nFrames = dataLen / frameBytes
       val nSamples = nFrames * channels
+      def u32(i: Int) = (bytes(i) & 0xFF).toLong | ((bytes(i + 1) & 0xFF).toLong << 8) |
+        ((bytes(i + 2) & 0xFF).toLong << 16) | ((bytes(i + 3) & 0xFF).toLong << 24)
       var sum = 0.0
       val full = (1L << bits) - 1
       var idx = 0L
-      while (idx < nSamples) {
-        sum += wavSampleU(bytes, dataOff, bits, idx).toDouble / full
+      while (computeMean && idx < nSamples) {
+        sum += (codec match {
+          case 3 if bits == 32 => // IEEE float LE: (v+1)/2 on the same [0,1] scale
+            (java.lang.Float.intBitsToFloat(
+              u32(dataOff + (idx * 4).toInt).toInt) + 1.0) / 2.0
+          case 3 =>
+            val o = dataOff + (idx * 8).toInt
+            (java.lang.Double.longBitsToDouble(u32(o) | (u32(o + 4) << 32)) + 1.0) / 2.0
+          case 6 => (g711Alaw(bytes(dataOff + idx.toInt) & 0xFF) + 32768).toDouble / 65535
+          case 7 => (g711Ulaw(bytes(dataOff + idx.toInt) & 0xFF) + 32768).toDouble / 65535
+          case _ => wavSampleU(bytes, dataOff, bits, idx).toDouble / full
+        })
         idx += 1
       }
       DecodedAudioRaw(channels, rate, nSamples,
         nFrames.toDouble * 1000.0 / rate,
-        if (nSamples == 0) 0.0 else sum / nSamples, bits)
+        if (nSamples == 0) 0.0 else sum / nSamples,
+        // G.711 expands to 16-bit linear; the container byte width (8)
+        // is not the decoded PCM width
+        if (codec == 6 || codec == 7) 16 else bits)
     }
+  /** G.711 µ-law expansion by the published segment/mantissa FORMULA
+    * (no tables): on the bit-inverted byte, magnitude =
+    * (((m << 3) + 0x84) << e) - 0x84. Byte-for-byte equal to the JDK
+    * codec (pinned by the pluck-ulaw.au fixture) and to CPython
+    * audioop's table. */
+  private[graft] def g711Ulaw(b0: Int): Int = {
+    val u = ~b0 & 0xFF
+    val mag = (((u & 0xF) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law expansion from the 0x55-xored byte (sign bit SET
+    * means positive). Byte-for-byte equal to CPython audioop's table
+    * (pinned by the pluck-alaw.aifc fixture). */
+  private[graft] def g711Alaw(b0: Int): Int = {
+    val a = b0 ^ 0x55
+    val e = (a >> 4) & 7
+    val m = a & 0xF
+    val mag = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
   /** REAL pure-Scala AIFF / AIFF-C decoder (public spec: EA IFF 85 +
     * Apple AIFF-1.3): FORM/AIFF chunk walk, COMM (channels, frame
     * count, sample width, and the 80-bit IEEE-754-extended sample
-    * rate decoded by formula), SSND big-endian SIGNED PCM at
-    * 8/16/24/32 bits. AIFF-C accepted for compression "NONE"/"sowt"?
-    * no — "NONE" only (byte-swapped and G.711 AIFC variants decline;
-    * AU carries the G.711 path below). Mean level reports in the same
-    * offset-binary domain as [[decodeWav]] (signed + 2^(bits-1),
-    * normalized by 2^bits - 1), pinned against javax.sound by the
-    * pluck AIFF fixtures. */
-  private[graft] def decodeAiff(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+    * rate decoded by formula), SSND samples. AIFF carries big-endian
+    * SIGNED PCM at 8/16/24/32 bits; AIFF-C compression types decode
+    * for "NONE" (same PCM), "sowt" (byte-swapped 16-bit LE PCM),
+    * "ulaw"/"alaw" (G.711 by the formulas above, expanded to 16-bit
+    * linear), and "fl32"/"fl64" (big-endian IEEE floats) — every
+    * variant is FORMULA-decodable (byte order + IEEE-754 + G.711
+    * arithmetic), so no spec table transcription is involved. Other
+    * compression fourccs decline by documentation. Integer mean level
+    * reports in the same offset-binary domain as [[decodeWav]]
+    * (signed + 2^(bits-1), normalized by 2^bits - 1); float samples
+    * report (v+1)/2 in the same [0,1] scale. Pinned against CPython's
+    * aifc module (PCM + alaw) by the pluck fixtures. */
+  private[graft] def decodeAiff(bytes: Array[Byte],
+      computeMean: Boolean = true): Option[DecodedAudioRaw] = {
     if (bytes.length < 12) return None
     def tag(i: Int, s: String) = bytes.length >= i + 4 &&
       bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
@@ -626,6 +692,9 @@ object Multimodal {
       var pos = 12
       var channels = 0; var frames = 0L; var bits = 0; var rate = 0
       var commOk = false
+      // codec: 0 = BE PCM, 1 = LE16 (sowt), 2 = ulaw, 3 = alaw,
+      // 4 = f32 BE, 5 = f64 BE
+      var codec = 0
       var dataOff = -1; var dataLen = 0L
       while (pos + 8 <= bytes.length && (dataOff < 0 || !commOk)) {
         val len = u32(pos + 4)
@@ -641,9 +710,22 @@ object Multimodal {
           val manHi = u32(pos + 18)
           rate = math.round(manHi.toDouble * math.pow(2.0, e - 31)).toInt
           // AIFC: compressionType fourcc follows the rate
-          commOk = (!aifc || (len >= 22 && tag(pos + 26, "NONE"))) &&
-            channels > 0 && rate > 0 &&
-            (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+          val codecOk =
+            if (!aifc || (len >= 22 && tag(pos + 26, "NONE"))) {
+              codec = 0
+              bits == 8 || bits == 16 || bits == 24 || bits == 32
+            } else if (len >= 22 && tag(pos + 26, "sowt")) {
+              codec = 1; bits = 16; true
+            } else if (len >= 22 && (tag(pos + 26, "ulaw") || tag(pos + 26, "ULAW"))) {
+              codec = 2; bits = 16; true // expands to 16-bit linear
+            } else if (len >= 22 && (tag(pos + 26, "alaw") || tag(pos + 26, "ALAW"))) {
+              codec = 3; bits = 16; true
+            } else if (len >= 22 && (tag(pos + 26, "fl32") || tag(pos + 26, "FL32"))) {
+              codec = 4; bits = 32; true
+            } else if (len >= 22 && (tag(pos + 26, "fl64") || tag(pos + 26, "FL64"))) {
+              codec = 5; bits = 64; true
+            } else false
+          commOk = codecOk && channels > 0 && rate > 0
         } else if (tag(pos, "SSND") && len >= 8) {
           val off = u32(pos + 8)
           dataOff = (pos + 16 + off).toInt
@@ -652,7 +734,13 @@ object Multimodal {
         pos += 8 + len.toInt + (len.toInt & 1)
       }
       if (!commOk || dataOff < 0) return None
-      val bytesPer = bits / 8
+      val bytesPer = codec match {
+        case 0 => bits / 8
+        case 1 => 2
+        case 2 | 3 => 1
+        case 4 => 4
+        case _ => 8
+      }
       val nSamples = math.min(frames * channels,
         math.min(dataLen, bytes.length.toLong - dataOff) / bytesPer)
       if (nSamples <= 0) return None
@@ -660,14 +748,28 @@ object Multimodal {
       val full = (1L << bits) - 1
       var sum = 0.0
       var idx = 0L
-      while (idx < nSamples) {
+      while (computeMean && idx < nSamples) {
         val o = dataOff + (idx * bytesPer).toInt
-        var v = 0L
-        var b = 0
-        while (b < bytesPer) { v = (v << 8) | (bytes(o + b) & 0xFFL); b += 1 }
-        val shift = 64 - bits
-        val signed = (v << shift) >> shift // big-endian two's complement
-        sum += (signed + half).toDouble / full
+        sum += (codec match {
+          case 1 => // 16-bit little-endian two's complement
+            val signed = (((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)).toShort.toLong
+            (signed + half).toDouble / full
+          case 2 => (g711Ulaw(bytes(o) & 0xFF) + 32768).toDouble / 65535
+          case 3 => (g711Alaw(bytes(o) & 0xFF) + 32768).toDouble / 65535
+          case 4 =>
+            val v = java.lang.Float.intBitsToFloat(u32(o).toInt)
+            (v + 1.0) / 2.0
+          case 5 =>
+            val v = java.lang.Double.longBitsToDouble((u32(o) << 32) | u32(o + 4))
+            (v + 1.0) / 2.0
+          case _ =>
+            var v = 0L
+            var b = 0
+            while (b < bytesPer) { v = (v << 8) | (bytes(o + b) & 0xFFL); b += 1 }
+            val shift = 64 - bits
+            val signed = (v << shift) >> shift // big-endian two's complement
+            (signed + half).toDouble / full
+        })
         idx += 1
       }
       Some(DecodedAudioRaw(channels, rate, nSamples,
@@ -683,7 +785,8 @@ object Multimodal {
     * byte; a-law from the 0x55-xored byte), expanding to 16-bit
     * linear exactly as the JDK's converters do (pinned by the pluck
     * AU fixtures vs javax.sound). */
-  private[graft] def decodeAu(bytes: Array[Byte]): Option[DecodedAudioRaw] = {
+  private[graft] def decodeAu(bytes: Array[Byte],
+      computeMean: Boolean = true): Option[DecodedAudioRaw] = {
     if (bytes.length < 24) return None
     if (!(bytes(0) == '.'.toByte && bytes(1) == 's'.toByte &&
           bytes(2) == 'n'.toByte && bytes(3) == 'd'.toByte)) return None
@@ -706,28 +809,16 @@ object Multimodal {
       }
       val nSamples = dataLen / bytesPer
       if (nSamples <= 0) return None
-      def ulaw(b0: Int): Int = {
-        val u = ~b0 & 0xFF
-        val mag = (((u & 0xF) << 3) + 0x84 << ((u >> 4) & 7)) - 0x84
-        if ((u & 0x80) != 0) -mag else mag
-      }
-      def alaw(b0: Int): Int = {
-        val a = b0 ^ 0x55
-        val e = (a >> 4) & 7
-        val m = a & 0xF
-        val mag = if (e == 0) (m << 4) + 8 else ((m << 4) + 0x108) << (e - 1)
-        if ((a & 0x80) != 0) mag else -mag // sign bit SET means positive
-      }
       val bits = if (bytesPer == 1 && encoding != 2) 16 else bytesPer * 8
       val half = 1L << (bits - 1)
       val full = (1L << bits) - 1
       var sum = 0.0
       var idx = 0L
-      while (idx < nSamples) {
+      while (computeMean && idx < nSamples) {
         val o = dataOff + (idx * bytesPer).toInt
         val signed: Long = encoding match {
-          case 1 => ulaw(bytes(o) & 0xFF)
-          case 27 => alaw(bytes(o) & 0xFF)
+          case 1 => g711Ulaw(bytes(o) & 0xFF)
+          case 27 => g711Alaw(bytes(o) & 0xFF)
           case _ =>
             var v = 0L
             var b = 0
@@ -1856,27 +1947,32 @@ object Multimodal {
   case class AudioMeta(doc_id: Long, codec: String, channels: Int,
       sample_rate: Int, bitrate_kbps: Int, n_frames: Long, duration_ms: Double)
 
-  /** Batched audio CONTAINER metadata: WAV (RIFF) and MP3 (frame walk)
-    * parse for real; anything else reports codec "unknown" with the
-    * deterministic stub's numbers. No sample decoding on this path —
-    * it's the "what is in this bucket of audio files" query. */
+  /** Batched audio CONTAINER metadata: WAV (RIFF), AIFF/AIFF-C, Sun
+    * AU, and MP3 (frame walk) parse for real; anything else reports
+    * codec "unknown" with the deterministic stub's numbers. The
+    * bitrate reports the DECODED PCM width (G.711 sources expand to
+    * 16-bit linear). No sample decoding on this path (`computeMean =
+    * false` stops each decoder after its header walk) — it's the
+    * "what is in this bucket of audio files" query. */
   def audioMeta(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        decodeWav(r.content) match {
-          case Some(a) => AudioMeta(r.doc_id, "pcm", a.channels, a.rate,
+        def pcmish(codec: String, a: DecodedAudioRaw) =
+          AudioMeta(r.doc_id, codec, a.channels, a.rate,
             a.rate * a.channels * a.bits / 1000,
             a.nSamples / math.max(1, a.channels), a.durationMs)
-          case None => mp3Meta(r.content) match {
+        decodeWav(r.content, computeMean = false).map(pcmish("pcm", _))
+          .orElse(decodeAiff(r.content, computeMean = false).map(pcmish("aiff", _)))
+          .orElse(decodeAu(r.content, computeMean = false).map(pcmish("au", _)))
+          .getOrElse(mp3Meta(r.content) match {
             case Some(m) => AudioMeta(r.doc_id, "mp3", m.channels, m.sample_rate,
               m.bitrate_kbps, m.n_frames, m.duration_ms)
             case None =>
               val (_, _, _, mean) = fakeDecode(r.content)
               AudioMeta(r.doc_id, "unknown", 1, 8000, 0,
                 r.content.length.toLong, mean) // stub numbers, flagged by codec
-          }
-        }
+          })
       }
     }
   }

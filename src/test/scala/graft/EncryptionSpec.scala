@@ -333,7 +333,9 @@ class EncryptionSpec extends SparkSpec {
     ArrayTable.write(spark, df, uri, tsOpt = Some(1000L))
     // shadowing upsert + tombstone + metadata + evolved schema: the
     // full MVCC surface must survive rotation bit-for-bit
-    ArrayTable.write(spark, Seq((2L, "B2", 2.5)).toDF("k", "name", "v"),
+    // canary long enough that random ciphertext can't contain it by
+    // chance (a 2-byte marker false-positived ~1/10 runs)
+    ArrayTable.write(spark, Seq((2L, "B2-rotation-canary", 2.5)).toDF("k", "name", "v"),
       uri, tsOpt = Some(2000L))
     ArrayTable.delete(spark, uri, "k == 3", tsOpt = Some(3000L))
     ArrayTable.putMeta(spark, uri, "stage", graft.core.Json.JStr("rotated-test"))
@@ -360,7 +362,7 @@ class EncryptionSpec extends SparkSpec {
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "ISO-8859-1")
       if (f.getName.endsWith(".parquet"))
         assert(text.endsWith("PARE"), s"${f.getName}: rotation left plaintext parquet")
-      assert(!text.contains("rotated-test") && !text.contains("B2"),
+      assert(!text.contains("rotated-test") && !text.contains("B2-rotation-canary"),
         s"${f.getName}: rotation leaked plaintext")
     }
 

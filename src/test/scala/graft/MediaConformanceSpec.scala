@@ -313,8 +313,86 @@ class MediaConformanceSpec extends SparkSpec {
       assert(math.abs(d.meanLevel - mean) < 1e-12,
         s"$name mean ${d.meanLevel} vs aifc $mean")
     }
-    // G.711 AIFC declines (the AU path carries formula-based G.711)
-    assert(Multimodal.decodeAiff(fixture("pluck-alaw.aifc")).isEmpty)
+    // G.711 A-law AIFC decodes for REAL: constants are CPython
+    // aifc+audioop's exact output on the same fixture bytes (the JDK
+    // reader rejects the file outright; audioop's A-law table equals
+    // our formula byte-for-byte — verified over all 256 codes)
+    val alaw = Multimodal.decodeAiff(fixture("pluck-alaw.aifc")).getOrElse(
+      fail("pluck-alaw.aifc: decoder declined a real A-law AIFC"))
+    assert(alaw.channels == 2 && alaw.rate == 11025 && alaw.nSamples == 6614,
+      s"alaw layout: $alaw")
+    assert(math.abs(alaw.meanLevel - 0.49892715971857604) < 1e-12,
+      s"alaw mean ${alaw.meanLevel} vs audioop 0.49892715971857604")
+  }
+
+  test("WAV G.711 + IEEE-float conformance: JDK-encoded pluck round-trips") {
+    import javax.sound.sampled._
+    val src = fixture("pluck-pcm16.wav")
+    def stream() = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(src))
+    val f = stream().getFormat
+
+    // G.711: the JDK writes the µ-law/A-law WAV (fmt 7/6) and also
+    // serves as the reference decoder back to 16-bit linear — full
+    // independence from our parser AND our expansion formulas
+    for (enc <- Seq(AudioFormat.Encoding.ULAW, AudioFormat.Encoding.ALAW)) {
+      val tgt = new AudioFormat(enc, f.getSampleRate, 8, f.getChannels,
+        f.getChannels, f.getSampleRate, false)
+      val bo = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(AudioSystem.getAudioInputStream(tgt, stream()),
+        AudioFileFormat.Type.WAVE, bo)
+      val wav = bo.toByteArray
+      val ours = Multimodal.decodeWav(wav).getOrElse(
+        fail(s"$enc WAV: decoder declined a JDK-encoded file"))
+      // JDK reference: decode the G.711 wav back to PCM16 via its codec
+      val lin = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels, f.getSampleRate, false)
+      val ref = AudioSystem.getAudioInputStream(lin,
+        AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(wav)))
+      val data = ref.readAllBytes(); ref.close()
+      var sum = 0.0
+      var i = 0
+      while (i + 2 <= data.length) {
+        val s = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort
+        sum += (s + 32768).toDouble / 65535
+        i += 2
+      }
+      val n = data.length / 2
+      assert(ours.channels == f.getChannels && ours.rate == f.getSampleRate.toInt &&
+        ours.nSamples == n, s"$enc layout: $ours vs n=$n")
+      assert(ours.bits == 16, s"$enc reported bits ${ours.bits}")
+      assert(math.abs(ours.meanLevel - sum / n) < 1e-9,
+        s"$enc mean ${ours.meanLevel} vs JDK ${sum / n}")
+    }
+
+    // IEEE float 32/64: the JDK converts and writes (fmt 3); the
+    // reference mean comes from the JDK's CONVERTED sample bytes read
+    // via ByteBuffer — pins our header walk, data offset, and LE
+    // sample extraction against the JDK writer
+    for (bits <- Seq(32, 64)) {
+      val tgt = new AudioFormat(AudioFormat.Encoding.PCM_FLOAT, f.getSampleRate,
+        bits, f.getChannels, bits / 8 * f.getChannels, f.getSampleRate, false)
+      val conv = AudioSystem.getAudioInputStream(tgt, stream())
+      val raw = conv.readAllBytes(); conv.close()
+      val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0.0
+      val n = raw.length / (bits / 8)
+      var i = 0
+      while (i < n) {
+        sum += ((if (bits == 32) bb.getFloat(i * 4).toDouble
+                 else bb.getDouble(i * 8)) + 1.0) / 2.0
+        i += 1
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(AudioSystem.getAudioInputStream(tgt, stream()),
+        AudioFileFormat.Type.WAVE, bo)
+      val ours = Multimodal.decodeWav(bo.toByteArray).getOrElse(
+        fail(s"float$bits WAV: decoder declined a JDK-encoded file"))
+      assert(ours.channels == f.getChannels && ours.rate == f.getSampleRate.toInt &&
+        ours.nSamples == n && ours.bits == bits, s"float$bits layout: $ours vs n=$n")
+      assert(math.abs(ours.meanLevel - sum / n) < 1e-9,
+        s"float$bits mean ${ours.meanLevel} vs JDK ${sum / n}")
+    }
   }
 
   test("AU conformance: PCM widths + G.711 u-law match javax.sound") {

@@ -129,6 +129,43 @@ class MediaFuzzSpec extends SparkSpec {
         o.write(".snd".getBytes); b32(24); b32(6); b32(1); b32(8000); b32(1)
         Seq(0x00, 0x7F, 0x80, 0xFF, 0x35, 0xCA).foreach(o.write)
         o.toByteArray
+      },
+      { // minimal valid A-law WAV (fmt 6), mono, 4 samples @ 8000 Hz
+        val o = new java.io.ByteArrayOutputStream()
+        def le32(v: Long): Unit = { o.write(v.toInt & 0xFF); o.write((v >> 8).toInt & 0xFF)
+          o.write((v >> 16).toInt & 0xFF); o.write((v >> 24).toInt & 0xFF) }
+        def le16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+        o.write("RIFF".getBytes); le32(40); o.write("WAVE".getBytes)
+        o.write("fmt ".getBytes); le32(16); le16(6); le16(1); le32(8000)
+        le32(8000); le16(1); le16(8)
+        o.write("data".getBytes); le32(4)
+        Seq(0x55, 0xD5, 0x2A, 0xAA).foreach(o.write)
+        o.toByteArray
+      },
+      { // minimal valid float32 WAV (fmt 3), mono, 3 samples @ 8000 Hz
+        val o = new java.io.ByteArrayOutputStream()
+        def le32(v: Long): Unit = { o.write(v.toInt & 0xFF); o.write((v >> 8).toInt & 0xFF)
+          o.write((v >> 16).toInt & 0xFF); o.write((v >> 24).toInt & 0xFF) }
+        def le16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+        o.write("RIFF".getBytes); le32(48); o.write("WAVE".getBytes)
+        o.write("fmt ".getBytes); le32(16); le16(3); le16(1); le32(8000)
+        le32(32000); le16(4); le16(32)
+        o.write("data".getBytes); le32(12)
+        Seq(0.25f, -0.5f, 0.0f).foreach(v => le32(java.lang.Float.floatToIntBits(v) & 0xFFFFFFFFL))
+        o.toByteArray
+      },
+      { // minimal valid A-law AIFC, mono, 4 samples @ 8000 Hz
+        val o = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { o.write((v >> 24).toInt & 0xFF); o.write((v >> 16).toInt & 0xFF)
+          o.write((v >> 8).toInt & 0xFF); o.write(v.toInt & 0xFF) }
+        def b16(v: Int): Unit = { o.write((v >> 8) & 0xFF); o.write(v & 0xFF) }
+        o.write("FORM".getBytes); b32(4 + 32 + 16 + 4); o.write("AIFC".getBytes)
+        o.write("COMM".getBytes); b32(24); b16(1); b32(4); b16(8)
+        b16(16383 + 12); b32(8000L << 19); b32(0)
+        o.write("alaw".getBytes); b16(0)
+        o.write("SSND".getBytes); b32(8 + 4); b32(0); b32(0)
+        Seq(0x55, 0xD5, 0x2A, 0xAA).foreach(o.write)
+        o.toByteArray
       })
     limited {
       for (v <- valids; cut <- 0 to v.length)

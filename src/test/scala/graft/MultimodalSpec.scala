@@ -690,6 +690,36 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.codec == "pcm" && meta.bitrate_kbps == 256, meta)
   }
 
+  test("audioMeta labels AIFF and AU containers with their own codecs") {
+    import spark.implicits._
+    // minimal mono 16-bit AIFF, 2 frames @ 8000 Hz
+    val oa = new java.io.ByteArrayOutputStream()
+    def b32(v: Long): Unit = { oa.write((v >> 24).toInt & 0xFF); oa.write((v >> 16).toInt & 0xFF)
+      oa.write((v >> 8).toInt & 0xFF); oa.write(v.toInt & 0xFF) }
+    def b16(v: Int): Unit = { oa.write((v >> 8) & 0xFF); oa.write(v & 0xFF) }
+    oa.write("FORM".getBytes); b32(4 + 26 + 16 + 4); oa.write("AIFF".getBytes)
+    oa.write("COMM".getBytes); b32(18); b16(1); b32(2); b16(16)
+    b16(16383 + 12); b32(8000L << 19); b32(0)
+    oa.write("SSND".getBytes); b32(8 + 4); b32(0); b32(0)
+    Seq(1000, -1000).foreach(b16)
+    // minimal mono u-law AU, 4 samples @ 8000 Hz
+    val ou = new java.io.ByteArrayOutputStream()
+    def a32(v: Long): Unit = { ou.write((v >> 24).toInt & 0xFF); ou.write((v >> 16).toInt & 0xFF)
+      ou.write((v >> 8).toInt & 0xFF); ou.write(v.toInt & 0xFF) }
+    ou.write(".snd".getBytes); a32(24); a32(4); a32(1); a32(8000); a32(1)
+    Seq(0x00, 0x7F, 0x80, 0xFF).foreach(ou.write)
+    val metas = Multimodal.audioMeta(Seq(
+      Multimodal.MediaRow(1L, oa.toByteArray, "audio", "aiff"),
+      Multimodal.MediaRow(2L, ou.toByteArray, "audio", "au")).toDS())
+      .collect().sortBy(_.doc_id)
+    assert(metas(0).codec == "aiff" && metas(0).sample_rate == 8000 &&
+      metas(0).n_frames == 2 && metas(0).bitrate_kbps == 8000 * 16 / 1000, metas(0))
+    // u-law expands to 16-bit linear, so the bitrate reports the
+    // DECODED width (8000*1*16/1000 = 128 kbps)
+    assert(metas(1).codec == "au" && metas(1).n_frames == 4 &&
+      metas(1).bitrate_kbps == 128, metas(1))
+  }
+
   test("MP4 moov/mvhd/tkhd metadata parses for real") {
     val out = new java.io.ByteArrayOutputStream()
     def be32(v: Int): Unit = { out.write((v >> 24) & 0xFF); out.write((v >> 16) & 0xFF)
