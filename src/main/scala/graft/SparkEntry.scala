@@ -1709,6 +1709,13 @@ object SparkEntry {
     // recomputes with string grams; Spark ships 8-byte hashes)
     "dup_spans" -> ((s, d) => Curation.dupSpans(
       t(s, d, "documents"), "doc_id", "text", n = 8)),
+    // corpus-wide duplicate-SPAN removal, keep-first (Lee et al.):
+    // every repeated 8-gram window keeps only its globally-first
+    // occurrence; DuckDB replays with string grams + window functions
+    // (the corpus has ~1k duplicated 8-grams / ~2.1k occurrences at
+    // sf0.01, so removal genuinely rewrites text)
+    "dedup_substring" -> ((s, d) => Curation.removeDupSpans(
+      t(s, d, "documents"), "doc_id", "text", n = 8)),
 
     // BM25 retrieval: queries are the distinct terms 5..9 of every
     // 40th doc; score every doc sharing a term. k1=1.25 / b=0.75 are
@@ -4278,6 +4285,30 @@ object SparkEntry {
       "round(CAST(sum(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) " +
       "/ count(*), 6) AS dup_fraction " +
       "FROM gr JOIN c USING (g) GROUP BY doc_id"),
+    // duplicate-span REMOVAL, keep-first: DuckDB finds each repeated
+    // 8-gram's first occurrence with window functions over STRING
+    // grams (Spark ships xxhash64 — equal modulo ~2^-64 collisions),
+    // re-expands removed windows to covered token indexes, and
+    // rebuilds the surviving text in token order
+    "dedup_substring" -> ("WITH tk AS (SELECT doc_id, " +
+      "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      "wins AS (SELECT doc_id, j.range AS pos, " +
+      "array_to_string(t[j.range+1:j.range+8], ' ') AS g " +
+      "FROM tk, range(0,128) j WHERE len(t) >= 8 AND j.range <= len(t)-8), " +
+      "mk AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt, " +
+      "row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM wins), " +
+      "cov AS (SELECT DISTINCT doc_id, pos + j.range AS ti FROM mk, range(0,8) j " +
+      "WHERE cnt >= 2 AND rn > 1), " +
+      "tok AS (SELECT doc_id, j.range AS ti, t[CAST(j.range+1 AS INT)] AS tok " +
+      "FROM tk, range(0,128) j WHERE j.range < len(t)), " +
+      "kept AS (SELECT tok.doc_id, tok.ti, tok.tok FROM tok " +
+      "LEFT JOIN cov USING (doc_id, ti) WHERE cov.ti IS NULL), " +
+      "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +
+      "count(*) AS kept_n FROM kept GROUP BY doc_id) " +
+      "SELECT tk.doc_id, coalesce(agg.clean_text, '') AS clean_text, " +
+      "CAST(len(tk.t) AS BIGINT) AS n_tokens, " +
+      "CAST(len(tk.t) - coalesce(agg.kept_n, 0) AS BIGINT) AS n_removed " +
+      "FROM tk LEFT JOIN agg USING (doc_id)"),
     // BM25: same tokenizer as text_perplexity; every constant an
     // exact double (k1=1.25, b=0.75); avgdl = one exact-int division;
     // identical association order to the Spark formula

@@ -400,6 +400,78 @@ object Curation {
         round(col("shared_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** Corpus-wide duplicate-SPAN removal with keep-first semantics —
+    * the "deduplicate the substrings, not just the documents" pass
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every word `n`-gram window that occurs more than
+    * once in the corpus (across documents OR repeated inside one)
+    * survives only at its globally first occurrence — smallest
+    * (doc id, token position) — and every other occurrence has its
+    * `n` tokens removed. Overlapping duplicated windows union their
+    * removed ranges, so a long shared passage disappears as a block
+    * while its single keeper copy stays readable. Returns (idCol,
+    * clean_text, n_tokens, n_removed) for EVERY input doc;
+    * `clean_text` is the surviving tokens joined by single spaces
+    * (whitespace-normalized, like the tokenizer that defined the
+    * windows). Docs shorter than `n` tokens pass through untouched
+    * (strict-gram semantics, as in [[contamination]]).
+    *
+    * Scale shape: unlike [[dupSpans]] (distinct grams only), removal
+    * needs every OCCURRENCE, so the corpus tokenizes into one
+    * window-per-token stream — 8-byte xxhash64 keys plus (id, pos),
+    * never the gram string — and shuffles ONCE on the gram to find
+    * each gram's occurrence count and first occurrence (a single
+    * partial-aggregated groupBy: min(struct(id, pos)) + count). Only
+    * grams with count >= 2 — the duplicated set, small by nature but
+    * legitimately unbounded at web scale — survive into the mark
+    * join, which broadcasts only under the HONEST corpus-size gate
+    * ([[Dedup.corpusJoinSide]]) and otherwise pins a shuffle-on-key
+    * merge join. Removed windows re-expand to covered token indices
+    * (a bounded `n`-way explode, linear), and the per-doc
+    * reconstruction on idCol is the same one-exchange
+    * collect-and-sort [[removeBoilerplate]] uses. Matching on the
+    * 64-bit hash rather than the gram string is the repo's standard
+    * trade: one mislabeled window in ~2^64 versus shipping full gram
+    * text through the corpus-wide shuffle. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"window $n must be >= 2")
+    val corpusSide = Dedup.corpusJoinSide(df)
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    val wins = toks.filter(size(col("__t")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__t")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
+        .as(Seq("pos", "g")))
+    // one shuffle on the gram: first occurrence + occurrence count
+    val keepers = wins.groupBy("g")
+      .agg(min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("__k"),
+        count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+      .select(col("g"), col("__k.kid").as("__kid"), col("__k.kpos").as("__kpos"))
+    // duplicated occurrences that are NOT the keeper mark their window
+    val removed = wins.join(corpusSide(keepers), Seq("g"))
+      .filter(!(col(idCol) === col("__kid") && col("pos") === col("__kpos")))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1)))
+        .as("__ti"))
+      .distinct()
+    val tokRows = toks.select(col(idCol), posexplode(col("__t")).as(Seq("__ti", "__tok")))
+    val rebuilt = tokRows.join(removed, Seq(idCol, "__ti"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ti"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    // left from the full doc set: a doc whose every token was removed
+    // still comes back, with clean_text = ""
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"))
+  }
+
   /** C4-style boilerplate-line removal: a line whose TRIMMED form
     * appears in at least `minDocs` distinct documents is boilerplate
     * (nav bars, cookie banners, footers) and is stripped from every

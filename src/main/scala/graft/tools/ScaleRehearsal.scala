@@ -223,6 +223,16 @@ object ScaleRehearsal {
       results += "dup_spans" -> tSpans
     }
 
+    if (runOp("dedup_substring")) {
+      // removal ships every window OCCURRENCE (not just distinct grams)
+      // through the one gram shuffle — the heaviest curation shape
+      val (removedTotal, tStrip) = time(
+        Curation.removeDupSpans(docs, "doc_id", "text", n = 8)
+          .agg(sum("n_removed")).head().getLong(0))
+      results += "dedup_substring" -> tStrip
+      println(s"[rehearsal] dedup_substring removed $removedTotal tokens")
+    }
+
     // ---- round-10: catalog DML / MVCC read paths at scale ----------
     // many-fragment array + conditional-delete tombstones + truncation:
     // the costs here are (a) manifest-driven fragment planning, (b) the

@@ -353,6 +353,56 @@ class CurationSpec extends SparkSpec {
       (6L, "solo doc", 1L, 0L)))
   }
 
+  test("removeDupSpans: keep-first, overlap union, self-repeats, short docs") {
+    // n=3 windows. Doc 1 carries the original phrase; doc 2 repeats it
+    // verbatim (removed); doc 3 repeats it INSIDE other text (only the
+    // covered tokens go); doc 4 repeats a 3-gram within itself (second
+    // occurrence removed); doc 5 is shorter than n (untouchable).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "x alpha beta gamma delta y"),
+      (4L, "p q r z p q r"),
+      (5L, "so short"),
+      (6L, "")).toDF("id", "text")
+    val out = Curation.removeDupSpans(docs, "id", "text", n = 3)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    // doc 1: windows (alpha beta gamma), (beta gamma delta) both
+    //   duplicated but FIRST occurrences -> everything kept
+    // doc 2: both windows duplicated, non-first -> tokens 0..3 all
+    //   covered -> empty
+    // doc 3: its (alpha beta gamma) + (beta gamma delta) windows are
+    //   non-first -> tokens 1..4 go; x and y survive
+    // doc 4: (p q r) occurs at 0 (keeper) and 4 (removed);
+    //   overlapping non-dup windows don't resurrect tokens
+    // doc 5/6: no windows
+    assert(out == Seq(
+      (1L, "alpha beta gamma delta", 4L, 0L),
+      (2L, "", 4L, 4L),
+      (3L, "x y", 6L, 4L),
+      (4L, "p q r z", 7L, 3L),
+      (5L, "so short", 2L, 0L),
+      (6L, "", 1L, 0L)))
+  }
+
+  test("removeDupSpans above the broadcast gate: same rows, merge join") {
+    val docs = Seq(
+      (1L, "one two three four"), (2L, "one two three four"),
+      (3L, "only unique words here")).toDF("id", "text")
+    val want = Curation.removeDupSpans(docs, "id", "text", n = 3)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(want.map(_._4).sum == 4L, s"planted dup must be removed: $want")
+    spark.conf.set("graft.dedup.corpusBroadcastMaxBytes", "1")
+    try {
+      val gated = Curation.removeDupSpans(docs, "id", "text", n = 3)
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected pinned merge join above the gate, got:\n$plan")
+      assert(gated.orderBy("id")
+        .as[(Long, String, Long, Long)].collect().toSeq == want)
+    } finally spark.conf.unset("graft.dedup.corpusBroadcastMaxBytes")
+  }
+
   test("removeBoilerplate above the broadcast gate: same rows, merge join") {
     val docs = ((1L to 6L).map(i => (i, s"NAV\nbody $i"))).toDF("id", "text")
     val want = Curation.removeBoilerplate(docs, "id", "text", minDocs = 5)
