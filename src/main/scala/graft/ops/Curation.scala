@@ -263,9 +263,11 @@ object Curation {
     * key instead of a ~50-byte gram. STRICT grams: a text with fewer
     * than `n` tokens has no n-grams, so it can neither contaminate nor
     * be contaminated — the whole-text fallback would match unrelated
-    * short texts against each other. */
+    * short texts against each other. Native one-pass kernel
+    * ([[graft.functions.WordGramHashes]]) — no per-window string
+    * materialization. */
   private def gramHashes(text: Column, n: Int): Column =
-    transform(TextAnalysis.wordNgramsStrict(text, n), g => xxhash64(g))
+    graft.functions.WordGramHashes(text, n, distinct = true)
 
   /** Benchmark-contamination check: for every corpus document, how many
     * of its distinct word `n`-grams appear anywhere in `benchmark`.
@@ -438,11 +440,11 @@ object Curation {
     require(n >= 2, s"window $n must be >= 2")
     val corpusSide = Dedup.corpusJoinSide(df)
     val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
-    val wins = toks.filter(size(col("__t")) >= n)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("__t")) - n),
-        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n))))))
-        .as(Seq("pos", "g")))
+    // native one-pass window hashes in token-position order (the HOF
+    // slice+concat_ws chain re-materializes every window string)
+    val wins = df.select(col(idCol), posexplode(
+        graft.functions.WordGramHashes(col(textCol), n, distinct = false))
+      .as(Seq("pos", "g")))
     // one shuffle on the gram: first occurrence + occurrence count
     val keepers = wins.groupBy("g")
       .agg(min(struct(col(idCol).as("kid"), col("pos").as("kpos"))).as("__k"),

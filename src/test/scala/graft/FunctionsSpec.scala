@@ -41,6 +41,60 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("word_gram_hashes: window equality matches string windows exactly") {
+    import graft.functions.WordGramHashes
+    // parity cases: multi-space runs, tabs/newlines, leading/trailing
+    // ws, repeats (self-dup windows), short docs, empty
+    val texts = Seq(
+      "alpha beta gamma delta beta gamma delta end",
+      "  alpha\tbeta  gamma\ndelta ", // normalizes to the same tokens
+      "p q r z p q r",
+      "one two", "one", "", "   ")
+    val ordered = texts.toDF("t")
+      .select(WordGramHashes($"t", 3, distinct = false).as("h"))
+      .as[Seq[Long]].collect()
+    def toks(s: String) = s.trim.split("[ \t\n\f\r]+").toSeq
+    def windows(s: String, n: Int): Seq[Seq[String]] = {
+      val t = toks(s)
+      if (s.trim.isEmpty || t.length < n) Nil
+      else (0 to t.length - n).map(i => t.slice(i, i + n))
+    }
+    // build the global hash->window map; equal windows MUST share a
+    // hash, distinct windows must not collide (2^-64; a hit here
+    // would be a real bug at these sizes)
+    val seen = scala.collection.mutable.Map[Long, Seq[String]]()
+    texts.zip(ordered).foreach { case (t, hs) =>
+      val ws = windows(t, 3)
+      assert(hs.length == ws.length, s"window count for '$t'")
+      ws.zip(hs).foreach { case (w, h) =>
+        seen.get(h) match {
+          case Some(prev) => assert(prev == w, s"hash collision: $prev vs $w")
+          case None => seen(h) = w
+        }
+      }
+    }
+    // the two whitespace variants of the same token stream hash equal
+    assert(ordered(0).take(2) == ordered(1).take(2),
+      "whitespace normalization broke window parity")
+    // distinct variant == sorted distinct of the ordered one
+    val dist = texts.toDF("t")
+      .select(WordGramHashes($"t", 3, distinct = true).as("h"))
+      .as[Seq[Long]].collect()
+    texts.indices.foreach { i =>
+      assert(dist(i) == ordered(i).distinct.sorted,
+        s"distinct variant mismatch for '${texts(i)}'")
+    }
+  }
+
+  test("word_gram_hashes survives codegen and null input") {
+    import graft.functions.WordGramHashes
+    val df = Seq(Some("a b c d"), None).toDF("t")
+      .select(WordGramHashes($"t", 2, distinct = false).as("h"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0).length == 3)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("minhash_sig: deterministic, monotone under set inclusion") {
     val a = Seq(1L, 2L, 3L, 4L, 5L)
     val b = a ++ Seq(6L, 7L)
