@@ -2150,6 +2150,64 @@ object SparkEntry {
           round(col("mean_level"), 6).as("mean_level"))
     }),
 
+    // cross-container decimation through the unified pcmView: AIFF
+    // 16-bit BE PCM / AU u-law / WAV a-law inputs (cycled per doc) all
+    // decimate in the same offset-binary integer domain and re-encode
+    // as PCM WAV; DuckDB replays the G.711 expansions AND the floor
+    // block means
+    "media_xresample" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val channels = 1 + (id % 2).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val src = (id % 3).toInt // 0 = aiff pcm16, 1 = au ulaw, 2 = wav alaw
+        val frames = 16 + (id % 16).toInt
+        val n = frames * channels
+        val out = new java.io.ByteArrayOutputStream()
+        def b32(v: Long): Unit = { out.write(((v >> 24) & 0xFF).toInt)
+          out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+          out.write((v & 0xFF).toInt) }
+        def b16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+        def le32(v: Long): Unit = { out.write((v & 0xFF).toInt)
+          out.write(((v >> 8) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+          out.write(((v >> 24) & 0xFF).toInt) }
+        def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+        src match {
+          case 0 => // AIFF big-endian PCM16, offset-binary planted
+            out.write("FORM".getBytes); b32(4 + 26 + 16 + n * 2)
+            out.write("AIFF".getBytes)
+            out.write("COMM".getBytes); b32(18); b16(channels); b32(frames.toLong); b16(16)
+            var z = 0
+            while (((rate.toLong << z) & 0x80000000L) == 0) z += 1
+            b16(16383 + (31 - z)); b32(rate.toLong << z); b32(0)
+            out.write("SSND".getBytes); b32(8 + n * 2); b32(0); b32(0)
+            var j = 0
+            while (j < n) {
+              b16((Math.floorMod(id * 13 + j * 7, 65536L) - 32768).toInt & 0xFFFF)
+              j += 1
+            }
+          case 1 => // AU u-law
+            out.write(".snd".getBytes); b32(24); b32(n.toLong); b32(1)
+            b32(rate.toLong); b32(channels.toLong)
+            var j = 0
+            while (j < n) { out.write(((id * 17 + j * 11) % 256).toInt); j += 1 }
+          case _ => // WAV a-law (fmt 6)
+            out.write("RIFF".getBytes); le32(36L + n); out.write("WAVE".getBytes)
+            out.write("fmt ".getBytes); le32(16); le16(6); le16(channels)
+            le32(rate.toLong); le32(rate.toLong * channels); le16(channels); le16(8)
+            out.write("data".getBytes); le32(n.toLong)
+            var j = 0
+            while (j < n) { out.write(((id * 17 + j * 11) % 256).toInt); j += 1 }
+        }
+        Multimodal.MediaRow(id, out.toByteArray, "audio",
+          Seq("aiff", "au", "wav")(src))
+      }
+      Multimodal.decodeAudio(Multimodal.resampleAudio(media, factor = 2)).toDF()
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("n_samples"), round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("mean_level"), 6).as("mean_level"))
+    }),
+
     // REAL AVI-header path under the oracle: deterministic avih fields
     // per doc, parsed back by the pure-Scala RIFF scan; DuckDB
     // recomputes every field from the same formulas.
@@ -4593,6 +4651,42 @@ object SparkEntry {
       "round((frames // 2) * 1000.0 / (rate // 2), 6) AS duration_ms, " +
       "round(avg(val / (fullv - 1.0)), 6) AS mean_level " +
       "FROM v GROUP BY doc_id, ch, frames, rate, fullv"),
+    // cross-container decimation: AIFF PCM16 rows replay the planted
+    // offset modulus; AU/WAV G.711 rows replay the u-law/a-law
+    // expansions at BOTH input indexes of each output block, then the
+    // same floor mean
+    "media_xresample" -> ("WITH d AS (SELECT doc_id, " +
+      "1 + doc_id % 2 AS ch, 8000 + (doc_id % 3) * 4000 AS rate, " +
+      "doc_id % 3 AS src, 16 + doc_id % 16 AS frames FROM documents), " +
+      "s AS (SELECT d.*, k.range AS k, c.range AS c, " +
+      "(2*k.range)*ch + c.range AS i1, (2*k.range + 1)*ch + c.range AS i2 " +
+      "FROM d, range(0,16) k, range(0,2) c " +
+      "WHERE k.range < frames // 2 AND c.range < ch), " +
+      "e1 AS (SELECT s.*, " +
+      "255 - ((doc_id*17 + i1*11) % 256) AS ua, " +
+      "255 - ((doc_id*17 + i2*11) % 256) AS ub, " +
+      "xor((doc_id*17 + i1*11) % 256, 85) AS aa, " +
+      "xor((doc_id*17 + i2*11) % 256, 85) AS ab FROM s), " +
+      "e2 AS (SELECT e1.*, " +
+      "((ua % 16) * 8 + 132) * CAST(pow(2, (ua // 16) % 8) AS BIGINT) - 132 AS um1, " +
+      "((ub % 16) * 8 + 132) * CAST(pow(2, (ub // 16) % 8) AS BIGINT) - 132 AS um2, " +
+      "CASE WHEN (aa // 16) % 8 = 0 THEN (aa % 16) * 16 + 8 " +
+      "ELSE ((aa % 16) * 16 + 264) * CAST(pow(2, (aa // 16) % 8 - 1) AS BIGINT) END AS am1, " +
+      "CASE WHEN (ab // 16) % 8 = 0 THEN (ab % 16) * 16 + 8 " +
+      "ELSE ((ab % 16) * 16 + 264) * CAST(pow(2, (ab // 16) % 8 - 1) AS BIGINT) END AS am2 " +
+      "FROM e1), " +
+      "v AS (SELECT doc_id, ch, rate, frames, CASE src " +
+      "WHEN 0 THEN (((doc_id*13 + i1*7) % 65536) + ((doc_id*13 + i2*7) % 65536)) // 2 " +
+      "WHEN 1 THEN ((32768 + (CASE WHEN ua >= 128 THEN -um1 ELSE um1 END)) " +
+      "+ (32768 + (CASE WHEN ub >= 128 THEN -um2 ELSE um2 END))) // 2 " +
+      "ELSE ((32768 + (CASE WHEN aa >= 128 THEN am1 ELSE -am1 END)) " +
+      "+ (32768 + (CASE WHEN ab >= 128 THEN am2 ELSE -am2 END))) // 2 END AS val FROM e2) " +
+      "SELECT doc_id, CAST(ch AS INT) AS channels, " +
+      "CAST(rate // 2 AS INT) AS sample_rate, " +
+      "CAST((frames // 2) * ch AS BIGINT) AS n_samples, " +
+      "round((frames // 2) * 1000.0 / (rate // 2), 6) AS duration_ms, " +
+      "round(avg(val / 65535.0), 6) AS mean_level " +
+      "FROM v GROUP BY doc_id, ch, rate, frames"),
     "media_decode_wav" -> ("WITH p AS (SELECT doc_id, " +
       "1 + doc_id % 2 AS channels, (32 + doc_id % 32) * (1 + doc_id % 2) AS n, " +
       "8000 + (doc_id % 4) * 4000 AS rate FROM documents), " +

@@ -677,8 +677,12 @@ object Multimodal {
     * (signed + 2^(bits-1), normalized by 2^bits - 1); float samples
     * report (v+1)/2 in the same [0,1] scale. Pinned against CPython's
     * aifc module (PCM + alaw) by the pluck fixtures. */
-  private[graft] def decodeAiff(bytes: Array[Byte],
-      computeMean: Boolean = true): Option[DecodedAudioRaw] = {
+  /** AIFF/AIFF-C layout: (codec, channels, rate, bits, bytesPer,
+    * dataOff, nSamples) with codec 0 = BE PCM, 1 = LE16 (sowt),
+    * 2 = ulaw, 3 = alaw, 4 = f32 BE, 5 = f64 BE; `bits` is the
+    * DECODED width (16 for G.711). Shared by [[decodeAiff]] and the
+    * [[pcmView]] accessor. */
+  private def aiffLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (bytes.length < 12) return None
     def tag(i: Int, s: String) = bytes.length >= i + 4 &&
       bytes(i) == s(0).toByte && bytes(i + 1) == s(1).toByte &&
@@ -744,6 +748,15 @@ object Multimodal {
       val nSamples = math.min(frames * channels,
         math.min(dataLen, bytes.length.toLong - dataOff) / bytesPer)
       if (nSamples <= 0) return None
+      Some((codec, channels, rate, bits, bytesPer, dataOff, nSamples))
+    } catch { case _: Exception => None }
+  }
+
+  private[graft] def decodeAiff(bytes: Array[Byte],
+      computeMean: Boolean = true): Option[DecodedAudioRaw] =
+    aiffLayout(bytes).map { case (codec, channels, rate, bits, bytesPer, dataOff, nSamples) =>
+      def u32(i: Int): Long = ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+        ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
       val half = 1L << (bits - 1)
       val full = (1L << bits) - 1
       var sum = 0.0
@@ -772,10 +785,10 @@ object Multimodal {
         })
         idx += 1
       }
-      Some(DecodedAudioRaw(channels, rate, nSamples,
-        (nSamples / channels).toDouble * 1000.0 / rate, sum / nSamples, bits))
-    } catch { case _: Exception => None }
-  }
+      DecodedAudioRaw(channels, rate, nSamples,
+        (nSamples / channels).toDouble * 1000.0 / rate,
+        if (computeMean) sum / nSamples else 0.0, bits)
+    }
 
   /** REAL pure-Scala Sun/NeXT AU (.snd) decoder: big-endian header
     * (data offset/size, encoding, rate, channels), linear signed PCM
@@ -784,9 +797,12 @@ object Multimodal {
     * magnitude = (((m << 3) + 0x84) << e) - 0x84 on the inverted
     * byte; a-law from the 0x55-xored byte), expanding to 16-bit
     * linear exactly as the JDK's converters do (pinned by the pluck
-    * AU fixtures vs javax.sound). */
-  private[graft] def decodeAu(bytes: Array[Byte],
-      computeMean: Boolean = true): Option[DecodedAudioRaw] = {
+    * AU fixtures vs javax.sound).
+    *
+    * Layout tuple: (encoding, channels, rate, bits, bytesPer,
+    * dataOff, nSamples); `bits` is the DECODED width (16 for G.711).
+    * Shared by [[decodeAu]] and [[pcmView]]. */
+  private def auLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (bytes.length < 24) return None
     if (!(bytes(0) == '.'.toByte && bytes(1) == 's'.toByte &&
           bytes(2) == 'n'.toByte && bytes(3) == 'd'.toByte)) return None
@@ -810,6 +826,13 @@ object Multimodal {
       val nSamples = dataLen / bytesPer
       if (nSamples <= 0) return None
       val bits = if (bytesPer == 1 && encoding != 2) 16 else bytesPer * 8
+      Some((encoding, channels, rate, bits, bytesPer, dataOff, nSamples))
+    } catch { case _: Exception => None }
+  }
+
+  private[graft] def decodeAu(bytes: Array[Byte],
+      computeMean: Boolean = true): Option[DecodedAudioRaw] =
+    auLayout(bytes).map { case (encoding, channels, rate, bits, bytesPer, dataOff, nSamples) =>
       val half = 1L << (bits - 1)
       val full = (1L << bits) - 1
       var sum = 0.0
@@ -829,37 +852,97 @@ object Multimodal {
         sum += (signed + half).toDouble / full
         idx += 1
       }
-      Some(DecodedAudioRaw(channels, rate, nSamples,
-        (nSamples / channels).toDouble * 1000.0 / rate, sum / nSamples, bits))
-    } catch { case _: Exception => None }
-  }
+      DecodedAudioRaw(channels, rate, nSamples,
+        (nSamples / channels).toDouble * 1000.0 / rate,
+        if (computeMean) sum / nSamples else 0.0, bits)
+    }
 
   /** `bits` = PCM sample width (8/16/24/32) for WAV; 0 for compressed
     * sources where a PCM width is not meaningful. */
   private[graft] case class DecodedAudioRaw(channels: Int, rate: Int,
       nSamples: Long, durationMs: Double, meanLevel: Double, bits: Int = 0)
 
+  /** Uniform random-access PCM view over WAV / AIFF / AIFF-C / AU:
+    * (channels, rate, bits, nFrames, sampleU) where `sampleU(idx)` is
+    * sample `idx` as the UNSIGNED offset-binary value in [0, 2^bits) —
+    * the domain [[wavSampleU]] defines. G.711 sources expand to
+    * 16-bit linear through the shared formulas; byte order is
+    * per-container. IEEE-float sources return None (no exact integer
+    * domain — the integer transforms that consume this view
+    * deliberately skip them). Exactly the decoders' sample
+    * arithmetic, factored for [[resampleAudio]] and
+    * [[audioFingerprint]]. */
+  private def pcmView(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long => Long)] = {
+    def be(off: Int, bytesPer: Int, bits: Int)(idx: Long): Long = {
+      val o = off + (idx * bytesPer).toInt
+      var v = 0L
+      var b = 0
+      while (b < bytesPer) { v = (v << 8) | (bytes(o + b) & 0xFFL); b += 1 }
+      val shift = 64 - bits
+      ((v << shift) >> shift) + (1L << (bits - 1))
+    }
+    wavLayout(bytes) match {
+      case Some((codec, ch, rate, bits, off, len)) => codec match {
+        case 1 =>
+          Some((ch, rate, bits, len / (bits / 8) / ch,
+            idx => wavSampleU(bytes, off, bits, idx)))
+        case 6 => Some((ch, rate, 16, len / ch,
+          idx => g711Alaw(bytes(off + idx.toInt) & 0xFF) + 32768L))
+        case 7 => Some((ch, rate, 16, len / ch,
+          idx => g711Ulaw(bytes(off + idx.toInt) & 0xFF) + 32768L))
+        case _ => None // IEEE float
+      }
+      case None => aiffLayout(bytes) match {
+        case Some((codec, ch, rate, bits, bytesPer, off, nSamples)) => codec match {
+          case 0 => Some((ch, rate, bits, nSamples / ch, be(off, bytesPer, bits)))
+          case 1 => Some((ch, rate, 16, nSamples / ch, idx => {
+            val o = off + (idx * 2).toInt
+            (((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF)).toShort.toLong + 32768L
+          }))
+          case 2 => Some((ch, rate, 16, nSamples / ch,
+            idx => g711Ulaw(bytes(off + idx.toInt) & 0xFF) + 32768L))
+          case 3 => Some((ch, rate, 16, nSamples / ch,
+            idx => g711Alaw(bytes(off + idx.toInt) & 0xFF) + 32768L))
+          case _ => None // fl32 / fl64
+        }
+        case None => auLayout(bytes) match {
+          case Some((encoding, ch, rate, bits, bytesPer, off, nSamples)) => encoding match {
+            case 1 => Some((ch, rate, 16, nSamples / ch,
+              idx => g711Ulaw(bytes(off + idx.toInt) & 0xFF) + 32768L))
+            case 27 => Some((ch, rate, 16, nSamples / ch,
+              idx => g711Alaw(bytes(off + idx.toInt) & 0xFF) + 32768L))
+            case _ => Some((ch, rate, bits, nSamples / ch, be(off, bytesPer, bits)))
+          }
+          case None => None
+        }
+      }
+    }
+  }
+
   case class AudioFp(doc_id: Long, afp: Long, afp_bits: String)
 
-  /** 64-bit audio difference-fingerprint over PCM WAV — the audio
-    * sibling of [[imageDHash]]: 65 equal-split sample windows
-    * (window i = samples [i*n/65, (i+1)*n/65), integer boundaries),
-    * bit k = "window k+1 louder than window k", decided by EXACT
-    * integer cross-multiplication `sum(k+1)*len(k) > sum(k)*len(k+1)`
-    * over the unsigned sample values — no float anywhere, so the
-    * oracle replays every bit from planted sample formulas. Windows
-    * empty at short n compare 0 > 0 = false, deterministically.
-    * Non-PCM payloads emit bits = "" (never a fake fingerprint).
-    * Near-dup pairs via [[Dedup.hash64NearDups]]. */
+  /** 64-bit audio difference-fingerprint over every integer-PCM
+    * source [[pcmView]] covers (WAV, AIFF/AIFF-C, AU, G.711 in any of
+    * them) — the audio sibling of [[imageDHash]]: 65 equal-split
+    * sample windows (window i = samples [i*n/65, (i+1)*n/65), integer
+    * boundaries), bit k = "window k+1 louder than window k", decided
+    * by EXACT integer cross-multiplication `sum(k+1)*len(k) >
+    * sum(k)*len(k+1)` over the unsigned sample values — no float
+    * anywhere, so the oracle replays every bit from planted sample
+    * formulas. The same recording u-law-compressed fingerprints ~the
+    * same (G.711 is monotone, and the comparisons are ordinal).
+    * Windows empty at short n compare 0 > 0 = false,
+    * deterministically. Unrecognized / float payloads emit bits = ""
+    * (never a fake fingerprint). Near-dup pairs via
+    * [[Dedup.hash64NearDups]]. */
   def audioFingerprint(ds: Dataset[MediaRow]): Dataset[AudioFp] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        wavPcmLayout(r.content) match {
+        pcmView(r.content) match {
           case None => AudioFp(r.doc_id, 0L, "")
-          case Some((channels, _, bits, dataOff, dataLen)) =>
-            val frameBytes = (bits / 8) * channels
-            val nSamples = dataLen / frameBytes * channels
+          case Some((channels, _, _, nFrames, sampleU)) =>
+            val nSamples = nFrames * channels
             val sums = new Array[Long](65)
             val lens = new Array[Long](65)
             var i = 0
@@ -869,7 +952,7 @@ object Multimodal {
               lens(i) = b1 - b0
               var idx = b0
               while (idx < b1) {
-                sums(i) += wavSampleU(r.content, dataOff, bits, idx)
+                sums(i) += sampleU(idx)
                 idx += 1
               }
               i += 1
@@ -2823,27 +2906,29 @@ object Multimodal {
     }
   }
 
-  /** REAL audio decimation for PCM WAV at every width (8/16/24/32) —
-    * the audio sibling of [[resizeImages]]: each output frame is the
-    * FLOOR mean of `factor` consecutive input frames per channel,
-    * averaged in the offset-binary (unsigned) domain [[wavSampleU]]
-    * defines — exact integer math with floor semantics on both
-    * engines (floorDiv here, `//` in the DuckDB oracle), re-encoded
-    * as a WAV at rate/factor (widths above 8 bits back to signed
-    * little-endian). Compressed / non-PCM payloads pass through
-    * UNCHANGED (a polyphase resampler plugs in there in
-    * production). */
+  /** REAL audio decimation for every integer-PCM source [[pcmView]]
+    * covers — WAV at all four widths, AIFF/AIFF-C (NONE and sowt),
+    * AU, and G.711 in any of the three containers (expanded to 16-bit
+    * linear first) — the audio sibling of [[resizeImages]]: each
+    * output frame is the FLOOR mean of `factor` consecutive input
+    * frames per channel, averaged in the offset-binary (unsigned)
+    * domain [[wavSampleU]] defines — exact integer math with floor
+    * semantics on both engines (floorDiv here, `//` in the DuckDB
+    * oracle) — re-encoded as a PCM WAV at rate/factor (widths above
+    * 8 bits as signed little-endian), whatever the input container.
+    * Compressed and IEEE-float payloads pass through UNCHANGED (a
+    * polyphase resampler plugs in there in production; float has no
+    * exact integer block-mean). */
   def resampleAudio(ds: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     import ds.sparkSession.implicits._
     ds.map { r =>
-      wavPcmLayout(r.content) match {
-        case Some((channels, rate, bits, dataOff, dataLen))
+      pcmView(r.content) match {
+        case Some((channels, rate, bits, nFramesL, sampleU))
             if (bits == 8 || bits == 16 || bits == 24 || bits == 32) &&
-              rate >= factor &&
-              dataLen / (channels * (bits / 8)) >= factor =>
+              rate >= factor && nFramesL >= factor =>
           val bytesPer = bits / 8
-          val nFrames = (dataLen / (channels * bytesPer)).toInt
+          val nFrames = nFramesL.toInt
           val outFrames = nFrames / factor
           val n = outFrames * channels * bytesPer
           val out = new java.io.ByteArrayOutputStream()
@@ -2862,8 +2947,7 @@ object Multimodal {
               var sum = 0L
               var f = 0
               while (f < factor) {
-                sum += wavSampleU(r.content, dataOff, bits,
-                  (k * factor + f).toLong * channels + c)
+                sum += sampleU((k * factor + f).toLong * channels + c)
                 f += 1
               }
               // block mean in the offset-binary domain, re-encoded at
