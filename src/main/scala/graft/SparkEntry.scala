@@ -4350,15 +4350,18 @@ object SparkEntry {
     // rebuilds the surviving text in token order
     "dedup_substring" -> ("WITH tk AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
+      // 2048 bounds the lateral-range idiom well above the corpus max
+      // (~100 tokens/doc); a doc beyond it would silently truncate, so
+      // keep the margin wide
       "wins AS (SELECT doc_id, j.range AS pos, " +
       "array_to_string(t[j.range+1:j.range+8], ' ') AS g " +
-      "FROM tk, range(0,128) j WHERE len(t) >= 8 AND j.range <= len(t)-8), " +
+      "FROM tk, range(0,2048) j WHERE len(t) >= 8 AND j.range <= len(t)-8), " +
       "mk AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt, " +
       "row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM wins), " +
       "cov AS (SELECT DISTINCT doc_id, pos + j.range AS ti FROM mk, range(0,8) j " +
       "WHERE cnt >= 2 AND rn > 1), " +
       "tok AS (SELECT doc_id, j.range AS ti, t[CAST(j.range+1 AS INT)] AS tok " +
-      "FROM tk, range(0,128) j WHERE j.range < len(t)), " +
+      "FROM tk, range(0,2048) j WHERE j.range < len(t)), " +
       "kept AS (SELECT tok.doc_id, tok.ti, tok.tok FROM tok " +
       "LEFT JOIN cov USING (doc_id, ti) WHERE cov.ti IS NULL), " +
       "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +

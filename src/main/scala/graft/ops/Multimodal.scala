@@ -578,13 +578,6 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** PCM WAV layout: (channels, rate, bits, dataOff, dataLen). Shared
-    * by the mean-level decode and the fingerprint walker — PCM-only
-    * on purpose (decimation/fingerprints stay integer-domain ops). */
-  private def wavPcmLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] =
-    wavLayout(bytes).collect { case (1, channels, rate, bits, dataOff, dataLen) =>
-      (channels, rate, bits, dataOff, dataLen)
-    }
 
   /** The `idx`-th sample as the UNSIGNED long the mean-level decode
     * uses (8-bit native-unsigned; 16/24/32 signed -> shifted). */

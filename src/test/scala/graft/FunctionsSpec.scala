@@ -44,28 +44,39 @@ class FunctionsSpec extends SparkSpec {
   test("word_gram_hashes: window equality matches string windows exactly") {
     import graft.functions.WordGramHashes
     // parity cases: multi-space runs, tabs/newlines, leading/trailing
-    // ws, repeats (self-dup windows), short docs, empty
+    // ws (incl. the \t\n edge where Spark's space-only trim leaves
+    // EMPTY edge tokens), NUL bytes inside tokens, repeats (self-dup
+    // windows), short docs, empty
     val texts = Seq(
       "alpha beta gamma delta beta gamma delta end",
       "  alpha\tbeta  gamma\ndelta ", // normalizes to the same tokens
+      "\talpha beta gamma",           // leading tab -> leading "" token
+      "alpha beta gamma\n",           // trailing newline -> trailing ""
       "p q r z p q r",
+      "a b \u0000c", "a b c",         // NUL token must NOT alias "c"
       "one two", "one", "", "   ")
     val ordered = texts.toDF("t")
       .select(WordGramHashes($"t", 3, distinct = false).as("h"))
       .as[Seq[Long]].collect()
-    def toks(s: String) = s.trim.split("[ \t\n\f\r]+").toSeq
-    def windows(s: String, n: Int): Seq[Seq[String]] = {
-      val t = toks(s)
-      if (s.trim.isEmpty || t.length < n) Nil
-      else (0 to t.length - n).map(i => t.slice(i, i + n))
+    // REFERENCE tokenization is Spark's own tokens() — the contract
+    // the kernel must be byte-exact with (space-only trim, split
+    // limit -1 keeping edge empties)
+    val sparkToks = texts.toDF("t")
+      .select(graft.ops.TextAnalysis.tokens($"t").as("tk"))
+      .as[Seq[String]].collect()
+    def windows(i: Int, n: Int): Seq[Seq[String]] = {
+      val t = sparkToks(i)
+      if (t.length < n) Nil
+      else (0 to t.length - n).map(j => t.slice(j, j + n))
     }
     // build the global hash->window map; equal windows MUST share a
     // hash, distinct windows must not collide (2^-64; a hit here
     // would be a real bug at these sizes)
     val seen = scala.collection.mutable.Map[Long, Seq[String]]()
-    texts.zip(ordered).foreach { case (t, hs) =>
-      val ws = windows(t, 3)
-      assert(hs.length == ws.length, s"window count for '$t'")
+    texts.indices.foreach { ti =>
+      val hs = ordered(ti)
+      val ws = windows(ti, 3)
+      assert(hs.length == ws.length, s"window count for '${texts(ti)}'")
       ws.zip(hs).foreach { case (w, h) =>
         seen.get(h) match {
           case Some(prev) => assert(prev == w, s"hash collision: $prev vs $w")
