@@ -4313,9 +4313,15 @@ object SparkEntry {
     // whole-text fallback gram would match unrelated short texts.
     "contamination" -> ("WITH toks AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
-      "bgrams AS (SELECT DISTINCT unnest([array_to_string(bt[i:i+7], ' ') " +
-      "for i in generate_series(1, greatest(len(bt)-7, 0))]) AS g " +
-      "FROM (SELECT t[11:30] AS bt FROM toks WHERE doc_id % 20 = 0)), " +
+      // the bench snippet is a STRING round-trip in Spark (token
+      // slice -> concat_ws " " -> retokenized by the gram kernel), so
+      // the oracle re-splits the joined slice too — a trailing/leading
+      // EMPTY edge token in the slice collapses identically on both
+      // engines
+      "bgrams AS (SELECT DISTINCT unnest([array_to_string(bs[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(bs)-7, 0))]) AS g " +
+      "FROM (SELECT string_split_regex(trim(array_to_string(t[11:30], ' ')), '\\s+') AS bs " +
+      "FROM toks WHERE doc_id % 20 = 0)), " +
       "cgrams AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') " +
       "for i in generate_series(1, greatest(len(t)-7, 0))]) AS g " +
       "FROM toks) " +
@@ -4325,9 +4331,15 @@ object SparkEntry {
     // verification join), so the oracle is the SAME exact-join SQL
     "bloom_contamination" -> ("WITH toks AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
-      "bgrams AS (SELECT DISTINCT unnest([array_to_string(bt[i:i+7], ' ') " +
-      "for i in generate_series(1, greatest(len(bt)-7, 0))]) AS g " +
-      "FROM (SELECT t[11:30] AS bt FROM toks WHERE doc_id % 20 = 0)), " +
+      // the bench snippet is a STRING round-trip in Spark (token
+      // slice -> concat_ws " " -> retokenized by the gram kernel), so
+      // the oracle re-splits the joined slice too — a trailing/leading
+      // EMPTY edge token in the slice collapses identically on both
+      // engines
+      "bgrams AS (SELECT DISTINCT unnest([array_to_string(bs[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(bs)-7, 0))]) AS g " +
+      "FROM (SELECT string_split_regex(trim(array_to_string(t[11:30], ' ')), '\\s+') AS bs " +
+      "FROM toks WHERE doc_id % 20 = 0)), " +
       "cgrams AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+7], ' ') " +
       "for i in generate_series(1, greatest(len(t)-7, 0))]) AS g " +
       "FROM toks) " +
@@ -4350,18 +4362,20 @@ object SparkEntry {
     // rebuilds the surviving text in token order
     "dedup_substring" -> ("WITH tk AS (SELECT doc_id, " +
       "string_split_regex(trim(text), '\\s+') AS t FROM documents), " +
-      // 2048 bounds the lateral-range idiom well above the corpus max
-      // (~100 tokens/doc); a doc beyond it would silently truncate, so
-      // keep the margin wide
-      "wins AS (SELECT doc_id, j.range AS pos, " +
-      "array_to_string(t[j.range+1:j.range+8], ' ') AS g " +
-      "FROM tk, range(0,2048) j WHERE len(t) >= 8 AND j.range <= len(t)-8), " +
+      // exact position enumeration (same comprehension idiom as the
+      // contamination/dup_spans oracles — no cap, no range fan-out);
+      // parallel unnests zip the aligned lists
+      "wins AS (SELECT doc_id, " +
+      "unnest([i-1 for i in generate_series(1, greatest(len(t)-7, 0))]) AS pos, " +
+      "unnest([array_to_string(t[i:i+7], ' ') " +
+      "for i in generate_series(1, greatest(len(t)-7, 0))]) AS g FROM tk), " +
       "mk AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt, " +
       "row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM wins), " +
       "cov AS (SELECT DISTINCT doc_id, pos + j.range AS ti FROM mk, range(0,8) j " +
       "WHERE cnt >= 2 AND rn > 1), " +
-      "tok AS (SELECT doc_id, j.range AS ti, t[CAST(j.range+1 AS INT)] AS tok " +
-      "FROM tk, range(0,2048) j WHERE j.range < len(t)), " +
+      "tok AS (SELECT doc_id, " +
+      "unnest([i-1 for i in generate_series(1, len(t))]) AS ti, " +
+      "unnest(t) AS tok FROM tk), " +
       "kept AS (SELECT tok.doc_id, tok.ti, tok.tok FROM tok " +
       "LEFT JOIN cov USING (doc_id, ti) WHERE cov.ti IS NULL), " +
       "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text, " +

@@ -65,6 +65,29 @@ class CurationSpec extends SparkSpec {
     assert(hits2 == Map(1L -> 3L, 5L -> 3L))
   }
 
+  test("contamination: edge \\t\\n whitespace shifts tokens consistently") {
+    // Spark's trim strips spaces only, so a trailing \n yields a
+    // trailing EMPTY token and a leading \t a leading one — gram
+    // windows must stay consistent between a corpus doc and a
+    // benchmark snippet carrying the same edge whitespace (the kernel
+    // and tokens() agree on the empty edge tokens)
+    val words = (1 to 10).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, words.mkString(" ") + "\n"),  // trailing empty token
+      (2L, "\t" + words.mkString(" ")),  // leading empty token
+      (3L, words.reverse.mkString(" "))).toDF("doc_id", "text")
+    // snippet = the same 10 words + trailing \n: its windows include
+    // the ["w4".."w10", ""] gram, which only doc 1 shares
+    val bench = Seq(words.mkString(" ") + "\n").toDF("snippet")
+    val hits = Curation.contamination(corpus, "doc_id", "text", bench, "snippet")
+      .as[(Long, Long)].collect().toMap
+    // doc1 tokens = [w1..w10, ""] -> 4 8-grams, all shared with the
+    // identical snippet; doc2 tokens = ["", w1..w10] -> its windows
+    // shift by the leading empty, sharing only the pure-word grams
+    // [w1..w8], [w2..w9], [w3..w10] (3 of the snippet's 4)
+    assert(hits == Map(1L -> 4L, 2L -> 3L), hits.toString)
+  }
+
   test("gopherRules: each rule trips on its own violation, clean prose keeps") {
     import graft.ops.TextAnalysis
     // 60 words of plain prose with stopwords: passes everything
