@@ -147,8 +147,14 @@ object SparkEntry {
     * mechanism, the spec proves key hygiene) registered on every call
     * so a fresh Verify session can both build and read. */
   private def encSupplier(s: SparkSession, dir: String): String = {
-    graft.storage.Encryption.enable(s, "graft-oracle",
-      "graft-oracle-test-key-0123456789")
+    // enable() REPLACES the registry, so merge the oracle key into any
+    // keys the hosting session already registered — running this
+    // oracle must never drop a user's own encryption keys
+    graft.storage.Encryption.enable(s,
+      graft.storage.Encryption.sessionKeys(s.sparkContext.hadoopConfiguration) +
+        ("graft-oracle" ->
+          "graft-oracle-test-key-0123456789".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
     ensureArray(s, dir, "enc_supplier") { tmp =>
       ArrayTable.ingest(s, t(s, dir, "supplier"), tmp, Seq("s_suppkey"),
         tsOpt = Some(1000L), overwrite = true,

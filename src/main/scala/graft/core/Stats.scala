@@ -46,9 +46,15 @@ object Stats {
   // mass, BM25 hot terms elided, ... Backed by named LongAccumulators,
   // so executor-side kernels (mapPartitions pair generators) increment
   // them and the driver reads a merged value here — works identically
-  // on a real cluster. Observability ONLY: task retries can
-  // double-count accumulator updates, and no operator's output ever
-  // depends on these values.
+  // on a real cluster. Observability ONLY — AT-LEAST-ONCE semantics:
+  // task retries AND lineage recomputation (a counted DataFrame
+  // evaluated twice) both double-count accumulator updates, and no
+  // operator's output ever depends on these values. Where a counter's
+  // value is itself part of a reported result (not just a dashboard
+  // line), pin the counted lineage to exactly-once by materializing it
+  // with `localCheckpoint(eager = true)` BEFORE any downstream action,
+  // as `Curation.bloomContamination` does; every other counter site in
+  // this repo accepts over-counting by design.
 
   private val counters = mutable.LinkedHashMap.empty[String, org.apache.spark.util.LongAccumulator]
   private var countersApp: String = ""

@@ -2510,11 +2510,19 @@ object Multimodal {
     // it would sail past the Exception guards and kill the executor)
     val (szS, szE) = mp4Child(bytes, stblS, stblE, "stsz").getOrElse(return None)
     val uniform = u32(szS + 4)
+    // declared sizes are u32 but consumed as Int: a corrupt size
+    // >= 2^31 would wrap negative and make the caller's NAL loop
+    // vacuously skip the sample (silently-wrong n_frames instead of
+    // the decline-on-corrupt contract MediaFuzzSpec pins) — so any
+    // non-positive or wrapping size declines the whole table
+    if (uniform > Int.MaxValue.toLong) return None
     val nSamples = u32(szS + 8).toInt
     if (nSamples < 0 || nSamples > (1 << 22) ||
         (uniform == 0L && szS + 12 + 4L * nSamples > szE)) return None
-    val sizes = Array.tabulate(nSamples)(j =>
+    val sizes: Array[Int] = Array.tabulate(nSamples)(j =>
       if (uniform != 0) uniform.toInt else u32(szS + 12 + 4 * j).toInt)
+    var sj = 0
+    while (sj < nSamples) { if (sizes(sj) <= 0) return None; sj += 1 }
     val offsets: Array[Long] = mp4Child(bytes, stblS, stblE, "stco") match {
       case Some((cS, cE)) =>
         val n = u32(cS + 4).toInt

@@ -362,6 +362,14 @@ object Search {
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       uri: String, buckets: Int = 64,
       encryptionKey: Option[String] = None): Unit = {
+    // probe-side plan size depends on this: bm25IndexTopK prunes with
+    // `tb isin(<= buckets literals)`, so the bucket count is a PLAN
+    // invariant, not just a layout knob. 4096 keeps the worst-case
+    // isin list trivial; a corpus needing more buckets wants a
+    // partitioned index per shard, not a wider literal list.
+    require(buckets > 0 && buckets <= 4096,
+      s"buckets must be in [1, 4096], got $buckets (the probe path " +
+        "pushes one isin literal per bucket into every postings scan)")
     val spark = docs.sparkSession
     graft.storage.VFS(spark).delete(uri)
     // postings carry the corpus TERMS — an encrypted corpus needs an
@@ -540,6 +548,18 @@ object Search {
       if (!overCap) terms.map(t =>
         java.lang.Math.floorMod(xxhash64Of(t), buckets.toLong).toInt).distinct
       else {
+        // the degraded path still BROADCASTS the distinct query terms
+        // for the left-semi probe, so it needs its own hard ceiling:
+        // without one, a multi-million-term batch trades the old loud
+        // require for a driver OOM. Beyond 16x the pushable cap
+        // (~512k terms, tens of MB broadcast) the batch must be split
+        // by the caller — fail with that message, never OOM.
+        val hardCap = maxProbeTerms.toLong * 16
+        val nDistinct = qterms.select("term").distinct().count()
+        require(nDistinct <= hardCap,
+          s"bm25IndexTopK: query batch has $nDistinct distinct terms " +
+            s"(> hard cap $hardCap); split the query batch into smaller " +
+            "chunks and union the results")
         graft.core.Stats.counter(spark, "bm25.index_probe_semi_join").add(1L)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"bm25IndexTopK: query batch exceeds $maxProbeTerms distinct terms; " +
@@ -549,6 +569,8 @@ object Search {
           .distinct().as[Int](org.apache.spark.sql.Encoders.scalaInt).collect()
       }
     def pruned(path: String) = {
+      // |tbs| <= buckets <= 4096 (required at buildIndex), so this
+      // isin can never bloat the plan even on the over-cap path
       val byBucket = readPostingsOrEmpty(spark, path)
         .filter(col("tb").isin(tbs.map(Integer.valueOf).toSeq: _*))
       val byTerm =

@@ -203,5 +203,25 @@ class MediaFuzzSpec extends SparkSpec {
     huge(idx + 8) = 0x7F.toByte // entry_count -> 0x7FXXXXXX
     assert(Multimodal.aacFromMp4(huge).isEmpty,
       "lying stco count must decline before allocating")
+    // MP4 stsz declaring a sample size >= 2^31: u32-to-Int wrap would
+    // go negative and silently SKIP the sample (wrong n_frames), so
+    // the whole table must decline instead
+    val wrap = graft.tools.MediaFixtures.mp4Aac(4, 1,
+      Seq(graft.tools.MediaFixtures.aacSilenceRawFrame(true, 3)))
+    val szIdx = {
+      var i = -1
+      var p = 0
+      while (i < 0 && p + 4 < wrap.length) {
+        if (wrap(p) == 's' && wrap(p + 1) == 't' && wrap(p + 2) == 's' &&
+            wrap(p + 3) == 'z') i = p
+        p += 1
+      }
+      i
+    }
+    assert(szIdx > 0)
+    // payload: version/flags(4) uniform(4) count(4) entry0(4)
+    wrap(szIdx + 16) = 0x80.toByte // entry0 -> 0x80XXXXXX (>= 2^31)
+    assert(Multimodal.aacFromMp4(wrap).isEmpty,
+      "wrapping stsz sample size must decline, not drop the sample")
   }
 }

@@ -240,6 +240,17 @@ class SearchSpec extends SparkSpec {
       val plan = fb.queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("leftsemi"),
         s"over-cap probe must go through the broadcast semi-join:\n$plan")
+      // beyond 16x the pushable cap even the fallback refuses — loudly,
+      // with the split-the-batch remedy, instead of an unbounded
+      // driver-side broadcast of the term set
+      val wide = Seq((0L, (1 to 40).map(i => s"uniqterm$i").mkString(" ")))
+        .toDF("qid", "qtext")
+      val e = intercept[IllegalArgumentException] {
+        Search.bm25IndexTopK(spark, uri, wide, "qid", "qtext", k = 5,
+          maxProbeTerms = 1).count()
+      }
+      assert(e.getMessage.contains("split the query batch"),
+        s"hard-cap failure must name the remedy: ${e.getMessage}")
     } finally graft.storage.VFS(spark).delete(uri)
   }
 
