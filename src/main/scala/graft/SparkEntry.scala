@@ -110,7 +110,7 @@ object SparkEntry {
 
   /** Build-once persisted MinHash-LSH dedup index over the documents
     * table (marker: _params.json). */
-  private def minhashIndex(s: SparkSession, dir: String): String = synchronized {
+  private[graft] def minhashIndex(s: SparkSession, dir: String): String = synchronized {
     val uri = s"$arrayBase/${sfKey(dir)}/minhash_index"
     val fs = graft.storage.VFS(s)
     // rebuild when absent OR when a stale fixture predates the current
@@ -890,14 +890,21 @@ object SparkEntry {
       val nPlanted = planted.count()
       val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
       val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
+      // checkpoint: the one-shot LSH pass over corpus ∪ batch is the
+      // gate's single most expensive job, and its lineage feeds BOTH
+      // the union-distinct parity count and the size count below —
+      // uncheckpointed it would run twice (measured ~1.4 s each at
+      // sf0.1, the bulk of the r13 bench regression on this key)
       val oneShot = Dedup.minhashNearDups(docs.unionByName(batch), "doc_id", "text",
           threshold = 0.6)
         .filter((col("a") >= DupOff) =!= (col("b") >= DupOff))
         .select(greatest(col("a"), col("b")).as("id"),
           least(col("a"), col("b")).as("match_id"))
+        .localCheckpoint(true)
+      val nProbed = probed.count()
       val agree = probed.select("id", "match_id")
-        .unionByName(oneShot).distinct().count() == probed.count() &&
-        probed.count() == oneShot.count()
+        .unionByName(oneShot).distinct().count() == nProbed &&
+        nProbed == oneShot.count()
       s.range(1).select(
         lit(selfHits == nPlanted && nPlanted > 0).as("planted_found"),
         lit(freshHits == 0L).as("fresh_clean"),

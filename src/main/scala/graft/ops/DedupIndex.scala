@@ -252,8 +252,17 @@ object DedupIndex {
         val qh = batch.select(col(idCol).as("__qid"),
           normHashes(col(textCol), p.k).as("__qh"))
         val corpusSide = Dedup.corpusJoinSide(corpus)
-        val mh = corpusSide(corpus.select(col(idCol).as("__mid"),
-          normHashes(col(textCol), p.k).as("__mh")))
+        // prune the corpus BEFORE shingle-hashing it: only candidate
+        // mids can survive the join below, so the same broadcast
+        // semi-join the sig fetch rides keeps the expensive
+        // normHashes pass candidate-scale instead of corpus-scale
+        // (profiled: the un-pruned pass was the bulk of probe cost —
+        // a full corpus text scan + hashing for a pair-scale join)
+        val mh = corpusSide(corpus
+          .join(broadcast(mids.withColumnRenamed("id", idCol)),
+            Seq(idCol), "left_semi")
+          .select(col(idCol).as("__mid"),
+            normHashes(col(textCol), p.k).as("__mh")))
         survivors.join(qh, "__qid").join(mh, "__mid")
           .withColumn("jaccard", Dedup.hashedJaccard(col("__qh"), col("__mh")))
           .filter(col("jaccard") >= threshold)

@@ -70,6 +70,42 @@ object FragmentsRehearsal {
       println(f"frags=$f%5d rows=$nNew%6d | one-scan plan=$planNew%6.2fs " +
         f"exec=$execNew%6.2fs | per-frag-union plan=$planOld%6.2fs " +
         f"exec=$execOld%6.2fs (first-touch overhead ${warm}%.2fs)")
+
+      // ENCRYPTED arm: the same F-fragment lifecycle under parquet
+      // modular encryption — composes the round-13 one-scan MVCC
+      // resolution with round-13 at-rest encryption, which were only
+      // ever measured separately. The bar: plan time must stay flat
+      // (resolution planning never opens footers — it parses fragment
+      // dir names and validates against manifests), and exec pays only
+      // the known ~5% decrypt overhead per footer/page, not a
+      // per-fragment key-unwrap cliff.
+      graft.storage.Encryption.enable(spark, "frag-rehearsal",
+        "frag-rehearsal-key-0123456789abc")
+      val uriE = s"/root/repo/target/frag-rehearsal/f$f-enc"
+      if (!ArrayTable.exists(spark, uriE)) {
+        val seed = Seq.tabulate(16)(i => (i.toLong, i * 2.5)).toDF("k", "v")
+        ArrayTable.ingest(spark, seed.filter(lit(false)), uriE, Seq("k"),
+          overwrite = true, encryptionKey = Some("frag-rehearsal"))
+        var i = 0
+        while (i < f) {
+          ArrayTable.write(spark,
+            seed.withColumn("k", col("k") + lit(i * 16L)), uriE,
+            tsOpt = Some(1000L + i))
+          i += 1
+        }
+        ArrayTable.delete(spark, uriE, "v < 1.0", tsOpt = Some(5000L + f))
+      }
+      val (_, warmE) = time { ArrayTable.read(spark, uriE).queryExecution }
+      val (dfEnc, planEnc) = time {
+        val d = ArrayTable.read(spark, uriE)
+        d.queryExecution.executedPlan
+        d
+      }
+      val (nEnc, execEnc) = time(dfEnc.count())
+      require(nEnc == nNew, s"encrypted row mismatch $nEnc vs $nNew")
+      println(f"frags=$f%5d rows=$nEnc%6d | ENCRYPTED one-scan " +
+        f"plan=$planEnc%6.2fs exec=$execEnc%6.2fs " +
+        f"(first-touch overhead ${warmE}%.2fs)")
     }
     spark.stop()
   }
