@@ -2032,6 +2032,25 @@ object SparkEntry {
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           round(col("mean_intensity"), 6).as("mean_intensity"))
     }),
+    // same gradient and closed-form mean as media_decode_png, but the
+    // bytes are a baseline TIFF from the pure-Scala tiffRgb writer and
+    // the decoder is the JDK's independent ImageIO TIFF reader — the
+    // planter and decoder share NO code (unlike the planted-formula
+    // oracles), so this doubles as an in-oracle conformance check
+    "media_decode_tiff" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+        val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
+        val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
+        val b0 = ((7 * id) % 160).toInt
+        val bytes = graft.tools.MediaFixtures.tiffRgb(w, h,
+          (x, _) => ((r0 + x) << 16) | ((g0 + x) << 8) | (b0 + x))
+        Multimodal.MediaRow(id, bytes, "image", "tiff")
+      }
+      Multimodal.decodeImages(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(col("mean_intensity"), 6).as("mean_intensity"))
+    }),
 
     // REAL pure-Scala GIF path under the oracle: the same per-doc
     // gradient as media_decode_png, but written as an INDEXED GIF
@@ -4555,6 +4574,15 @@ object SparkEntry {
     // sum = h*(w*(r0+g0+b0) + 3*w*(w-1)/2); one integer->double
     // division on both engines keeps the mean bit-exact
     "media_decode_png" -> ("WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, " +
+      "4 + doc_id % 8 AS h, doc_id % 160 AS r0, (3 * doc_id) % 160 AS g0, " +
+      "(7 * doc_id) % 160 AS b0 FROM documents) " +
+      "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+      "CAST(3 AS INT) AS channels, " +
+      "round(CAST(h * (w * (r0 + g0 + b0) + 3 * (w * (w - 1) // 2)) AS DOUBLE) " +
+      "/ (w * h * 3), 6) AS mean_intensity FROM p"),
+    // byte-identical gradient to media_decode_png, TIFF container:
+    // tiffRgb plants, the JDK's independent TIFF reader decodes
+    "media_decode_tiff" -> ("WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, " +
       "4 + doc_id % 8 AS h, doc_id % 160 AS r0, (3 * doc_id) % 160 AS g0, " +
       "(7 * doc_id) % 160 AS b0 FROM documents) " +
       "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   *  - images: binary PPM (P6) and GIF via the pure-Scala parsers below
   *    (GIF gets its own LZW decoder because the JDK reader mis-decodes
   *    interlaced bit-packed palettes — see [[decodeGif]]), and
-  *    PNG/JPEG/BMP/WBMP via `javax.imageio`;
+  *    PNG/JPEG/BMP/WBMP/TIFF via `javax.imageio`;
   *  - audio: WAV/PCM (8/16/24/32-bit) via the pure-Scala RIFF parser
   *    ([[decodeWav]] — fmt fields + exact sample mean), and COMPRESSED
   *    MPEG-1 Layers I, II and III via the pure-Scala bitstream
@@ -457,7 +457,7 @@ object Multimodal {
   }
 
   /** REAL decoder for every format the JVM's `javax.imageio` registry
-    * handles (PNG/JPEG/BMP/WBMP out of the box; GIF is handled by the
+    * handles (PNG/JPEG/BMP/WBMP/TIFF out of the box; GIF is handled by the
     * pure-Scala [[decodeGif]] first because the JDK reader mis-decodes
     * interlaced bit-packed GIFs). Returns (width, height, bands, mean).
     * Output contract: palette images and images with an alpha band are
@@ -466,7 +466,7 @@ object Multimodal {
     * rescaled so the mean is always on the 0..255 scale. `bands` is the
     * post-normalization band count (3 for palette/alpha inputs, 1 for
     * grayscale). None when no installed reader recognizes the payload. */
-  private[ops] def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+  private[graft] def decodeImageIO(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
     if (bytes.length < 4) return None
     // in-memory streams only: the default ImageIO path spills to a
     // disk-backed cache file per call, which executors must not do

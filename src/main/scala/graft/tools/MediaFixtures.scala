@@ -359,4 +359,66 @@ object MediaFixtures {
     writer.endWriteSequence(); writer.dispose(); ios.close()
     bos.toByteArray
   }
+
+  // ---------------------------------------------- TIFF 6.0 writer
+
+  /** Minimal baseline-TIFF 6.0 encoder: little-endian, uncompressed
+    * chunky RGB, one strip, IFD after the pixel data (structural
+    * container format — TIFF 6.0 spec §2, no entropy coding, so the
+    * whole file is closed-form). `pix(x, y)` returns 0xRRGGBB. The
+    * INDEPENDENT decoder for conformance is the JDK's ImageIO TIFF
+    * reader (shipped since Java 9), which shares no code with this
+    * writer — the same planter/decoder separation the GIF and WAV
+    * fixtures get from third-party files. */
+  def tiffRgb(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"tiffRgb ${w}x$h")
+    val o = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val stripBytes = w * h * 3
+    val stripOff = 8
+    // pad the strip to even so the IFD starts word-aligned (spec: IFD
+    // must begin on a word boundary)
+    val pad = stripBytes % 2
+    val ifdOff = stripOff + stripBytes + pad
+    val nEntries = 10
+    // BitsPerSample needs 3 SHORTs (6 bytes) — stored right after the
+    // IFD's next-offset field
+    val bpsOff = ifdOff + 2 + nEntries * 12 + 4
+    // header
+    o.write('I'); o.write('I'); le16(42); le32(ifdOff)
+    // strip (chunky RGBRGB..., row-major)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pix(x, y)
+        o.write((p >> 16) & 0xFF); o.write((p >> 8) & 0xFF); o.write(p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    if (pad == 1) o.write(0)
+    // IFD — entries MUST be ascending by tag (spec §2). In a
+    // little-endian file an inline SHORT value occupies the LOW bytes
+    // of the 4-byte value field, which le32(v) already produces.
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      le16(tag); le16(typ); le32(count); le32(value)
+    }
+    val SHORT = 3; val LONG = 4
+    le16(nEntries)
+    entry(256, LONG, 1, w)            // ImageWidth
+    entry(257, LONG, 1, h)            // ImageLength
+    entry(258, SHORT, 3, bpsOff)      // BitsPerSample -> [8,8,8]
+    entry(259, SHORT, 1, 1)           // Compression = none
+    entry(262, SHORT, 1, 2)           // Photometric = RGB
+    entry(273, LONG, 1, stripOff)     // StripOffsets
+    entry(277, SHORT, 1, 3)           // SamplesPerPixel
+    entry(278, LONG, 1, h)            // RowsPerStrip (single strip)
+    entry(279, LONG, 1, stripBytes)   // StripByteCounts
+    entry(284, SHORT, 1, 1)           // PlanarConfiguration = chunky
+    le32(0)                           // no next IFD
+    le16(8); le16(8); le16(8)         // BitsPerSample payload
+    o.toByteArray
+  }
 }

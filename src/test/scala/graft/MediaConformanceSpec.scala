@@ -425,4 +425,38 @@ class MediaConformanceSpec extends SparkSpec {
     // payload behind the 0xFFFE fmt header
     wavConformance("pluck-pcm24-ext.wav")
   }
+
+  // ---- TIFF: our closed-form writer vs the JDK ImageIO TIFF reader
+  // (shipped since Java 9; shares no code with the writer). The
+  // conformance direction is writer→independent reader: a wrong IFD
+  // layout, strip offset, or sample order in tiffRgb cannot survive
+  // the JDK parsing it back pixel-exact.
+
+  test("TIFF conformance: closed-form tiffRgb decodes pixel-exact under ImageIO") {
+    for ((w, h) <- Seq((1, 1), (3, 2), (16, 9), (33, 7))) {
+      def pixel(x: Int, y: Int): Int =
+        (((x * 37 + y * 11) % 256) << 16) | (((x * 5 + y * 71) % 256) << 8) |
+          ((x * 13 + y * 29) % 256)
+      val bytes = graft.tools.MediaFixtures.tiffRgb(w, h, pixel)
+      val (px, dw, dh) = imageIoPixels(bytes)
+      assert((dw, dh) == (w, h), s"${w}x$h: ImageIO decoded ${dw}x$dh")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val got = px(y * w + x) & 0xFFFFFF
+          assert(got == pixel(x, y),
+            f"${w}x$h ($x,$y): 0x$got%06x vs 0x${pixel(x, y)}%06x")
+          x += 1
+        }
+        y += 1
+      }
+      // the media pipeline dispatch REAL-decodes TIFF (falls through
+      // to decodeImageIO, never the stub): meta must be exact
+      val d = Multimodal.decodeImageIO(bytes)
+      assert(d.isDefined, s"${w}x$h: pipeline declined a valid TIFF")
+      val (mw, mh, mc, _) = d.get
+      assert((mw, mh, mc) == (w, h, 3), s"${w}x$h meta: ($mw,$mh,$mc)")
+    }
+  }
 }

@@ -56,13 +56,18 @@ class MediaFuzzSpec extends SparkSpec {
     "mp3Meta" -> Multimodal.mp3Meta(payload).isEmpty,
     "mp4Meta" -> Multimodal.mp4Meta(payload).isEmpty,
     "aviMeta" -> Multimodal.aviMeta(payload).isEmpty,
-    "aviFrames" -> Multimodal.aviMjpegFrames(payload).isEmpty)
+    "aviFrames" -> Multimodal.aviMjpegFrames(payload).isEmpty,
+    // the JDK dispatch path (PNG/JPEG/BMP/WBMP/TIFF): crash-safety
+    // only in the noise test — WBMP has NO magic bytes, so its reader
+    // can legitimately accept rare noise (type 0, fixheader 0,
+    // plausible dims) and the all-decline assertion exempts it
+    "imageIO" -> Multimodal.decodeImageIO(payload).isEmpty)
 
   test("pure noise at assorted sizes: every decoder DECLINES, none throws") {
     limited {
       for (size <- Seq(0, 1, 7, 64, 1024, 65536); trial <- 0 until 8) {
         val accepted = decodeAll(noise(size * 1000003L + trial + 1, size))
-          .filterNot(_._2).map(_._1)
+          .filterNot(_._2).map(_._1).filterNot(_ == "imageIO")
         assert(accepted.isEmpty,
           s"noise(size=$size, trial=$trial) accepted by: $accepted")
       }
@@ -82,7 +87,9 @@ class MediaFuzzSpec extends SparkSpec {
       Array[Byte](0xFF.toByte, 0xFB.toByte), // MP3 sync
       Array[Byte](0xFF.toByte, 0xF1.toByte), // ADTS sync
       Array[Byte](0, 0, 0, 32) ++ "ftyp".getBytes("ISO-8859-1"),
-      Array[Byte](0, 0, 0, 1, 0x67)) // Annex-B SPS start
+      Array[Byte](0, 0, 0, 1, 0x67), // Annex-B SPS start
+      Array[Byte]('I', 'I', 42, 0),  // TIFF little-endian
+      Array[Byte]('M', 'M', 0, 42))  // TIFF big-endian
     // crash/hang safety only: a lucky noise body after a real magic
     // CAN legitimately parse (e.g. an MP3 header completed by noise),
     // so acceptance is not asserted here — the noise test covers that
@@ -109,6 +116,7 @@ class MediaFuzzSpec extends SparkSpec {
         out.toByteArray
       },
       MediaFixtures.mjpegAvi(Seq(MediaFixtures.solidJpeg(8, 8, 0x336699))),
+      MediaFixtures.tiffRgb(5, 3, (x, y) => (x * 40 << 16) | (y * 80 << 8) | 7),
       MediaFixtures.compositedGif(8, 4, 3, 0x112233)(f => 0x445566 + f),
       { // minimal valid AIFF: mono 16-bit, 4 frames @ 8000 Hz
         val o = new java.io.ByteArrayOutputStream()
