@@ -190,6 +190,21 @@ object ScaleRehearsal {
       results += "index_probe_500" -> tProbe
       println(s"[rehearsal] index probe of 500 docs: $probeHits matches")
     }
+    if (runOp("index_probe_verify")) {
+      // the EXACT-VERIFY probe (verifyWith) must also stay batch-
+      // proportional: pre-r14 this path shingle-hashed the WHOLE
+      // corpus to feed a pair-scale join — a bend that only shows at
+      // scale, which is why it gets its own rehearsal row now that the
+      // corpus side is semi-join-pruned to candidate mids
+      val batch = docs0.limit(500)
+        .withColumn("doc_id", col("doc_id") + (1L << 50))
+        .withColumn("text", concat(col("text"), lit(" xyzzy")))
+      val (vHits, tVProbe) = time(
+        graft.ops.DedupIndex.probe(batch, "doc_id", "text", idxUri,
+          threshold = 0.6, verifyWith = Some(docs.select("doc_id", "text"))).count())
+      results += "index_probe_verify" -> tVProbe
+      println(s"[rehearsal] verified index probe of 500 docs: $vHits matches")
+    }
 
     if (runOp("packing")) {
       val (_, tPack) = time(
