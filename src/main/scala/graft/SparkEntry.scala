@@ -855,6 +855,17 @@ object SparkEntry {
       Dedup.exactByHash(doubled, "text", "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars")
     }),
+    // --- edit-distance (PassJoin pigeonhole, EXACT — full oracle) ---
+    "edit_neardups" -> ((s, d) => {
+      Dedup.editNearDups(t(s, d, "part"), "p_partkey", "p_name", maxDist = 2)
+    }),
+    "edit_join" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val left = part.select(col("p_partkey").as("lid"), col("p_name"))
+      val right = part.select((col("p_partkey") + 100000L).as("rid"),
+        concat(col("p_name"), lit("s")).as("r_name"))
+      Dedup.editJoin(left, "lid", "p_name", right, "rid", "r_name", maxDist = 1)
+    }),
     "minhash_neardups" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // plant near-dups: copies with a tiny suffix edit
@@ -4148,6 +4159,17 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dedup_exact_hash" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // edit-distance near-dups are EXACT (PassJoin pigeonhole candidates,
+    // threshold-bounded verify), so brute force is a value-exact oracle
+    "edit_neardups" -> ("SELECT a.p_partkey AS a, b.p_partkey AS b, " +
+      "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist " +
+      "FROM part a JOIN part b ON a.p_partkey < b.p_partkey " +
+      "WHERE levenshtein(a.p_name, b.p_name) <= 2"),
+    "edit_join" -> ("SELECT l.p_partkey AS lid, r.rid, " +
+      "CAST(levenshtein(l.p_name, r.r_name) AS INTEGER) AS dist FROM part l " +
+      "JOIN (SELECT p_partkey + 100000 AS rid, p_name || 's' AS r_name " +
+      "FROM part) r ON levenshtein(l.p_name, r.r_name) <= 1"),
 
     "text_tokens" -> ("SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +

@@ -819,4 +819,162 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  // --------------------------------------------------------------------
+  // Edit-distance near-dup / fuzzy join (record linkage).
+  //
+  // EXACT (no recall loss), unlike the LSH families above: candidate
+  // generation uses the PassJoin pigeonhole (Li/Deng/Feng, VLDB 2012 —
+  // public algorithm): split each indexed string into k+1 contiguous
+  // segments; any string within edit distance k must contain at least
+  // one segment verbatim, start position shifted by at most k (each of
+  // the <= k edits breaks at most one segment, and net indels before the
+  // intact segment shift it by at most k). So candidates come from ONE
+  // equi-join on (segment, segmentIdx, indexedLength) — never a cross
+  // join — and are verified with the threshold-bounded `levenshtein`
+  // (O(k * min(len)) per pair, not O(len^2)).
+  //
+  // Scale shape: both arms run on DISTINCT strings first (vocab-scale,
+  // often orders of magnitude below corpus-scale for short linkage keys
+  // like names/titles/URLs), then expand back to id pairs with joins
+  // whose output is exactly the result — so corpus size only enters
+  // through the distinct() and the output cardinality. Keys per distinct
+  // string are O(k^2) constants; skewed segment buckets are real pairs
+  // by construction (verified, never capped) and AQE skew-join splits
+  // them.
+
+  /** PassJoin segment bounds for segment `i` of a length-`l` string
+    * split into `p` parts: first p-rem parts have length floor(l/p), the
+    * last rem have floor(l/p)+1. Returns (0-based start, length). */
+  private def segBounds(p: Int, lCol: Column, iCol: Column): (Column, Column) = {
+    val b = floor(lCol.cast("double") / p).cast("int")
+    val rem = (lCol % p).cast("int")
+    val cut = lit(p) - rem
+    val start = when(iCol < cut, iCol * b).otherwise(iCol * b + (iCol - cut))
+    (start, when(iCol < cut, b).otherwise(b + 1))
+  }
+
+  /** Candidate text pairs (probe text, indexed text) within edit
+    * distance `k`, over frames of DISTINCT non-null strings in column
+    * `__t`. Exact: a qualifying pair is missed only if the indexed side
+    * is shorter than k+1 chars — the caller covers that residue (for
+    * such pairs every string within distance k has length <= 2k, so the
+    * residue arm is a broadcast join against a trivially small side). */
+  private def editCandidates(probeTexts: DataFrame, idxTexts: DataFrame,
+      k: Int): DataFrame = {
+    val p = k + 1
+    val idx = idxTexts.select(col("__t"), length(col("__t")).as("__l"))
+      .filter(col("__l") >= p)
+      .select(col("__t").as("__ti"), col("__l").as("__lx"),
+        explode(transform(sequence(lit(0), lit(k)), { i =>
+          val (st, ln) = segBounds(p, col("__l"), i)
+          struct(i.as("__i"), col("__t").substr(st + 1, ln).as("__seg"))
+        })).as("__s"))
+      .select(col("__ti"), col("__lx"), col("__s.__i").as("__i"),
+        col("__s.__seg").as("__seg"))
+    // For every plausible indexed length lx in [l-k, l+k] (>= p), probe
+    // the substrings a length-lx string's segments could align to:
+    // segment i's bounds computed FROM lx, start shifted by at most k,
+    // clamped inside this string.
+    val probe = probeTexts.select(col("__t"), length(col("__t")).as("__l"))
+      .select(col("__t").as("__tp"),
+        explode(array_distinct(flatten(flatten(
+          transform(filter(sequence(col("__l") - k, col("__l") + k),
+              l => l >= p), { lx =>
+            transform(sequence(lit(0), lit(k)), { i =>
+              val (st, ln) = segBounds(p, lx, i)
+              transform(filter(sequence(st - k, st + k),
+                  s => s >= 0 && s <= col("__l") - ln), { s =>
+                struct(lx.cast("int").as("__lx"), i.as("__i"),
+                  col("__t").substr(s + 1, ln).as("__seg"))
+              })
+            })
+          }))))).as("__s"))
+      .select(col("__tp"), col("__s.__lx").as("__lx"), col("__s.__i").as("__i"),
+        col("__s.__seg").as("__seg"))
+    probe.join(idx, Seq("__lx", "__i", "__seg"))
+      .select(col("__tp"), col("__ti")).distinct()
+  }
+
+  /** Verified distinct-string pairs within edit distance `k`:
+    * (__tp, __ti, dist). Includes the short-indexed residue arm. */
+  private def editTextPairs(probeTexts: DataFrame, idxTexts: DataFrame,
+      k: Int): DataFrame = {
+    // Residue: indexed strings shorter than k+1 are never segmented; any
+    // probe within distance k of one has length <= 2k. Broadcast the
+    // short indexed side (strings of < k+1 chars are vanishingly rare in
+    // real linkage keys) against the short probe slice.
+    val shortIdx = idxTexts.filter(length(col("__t")) < k + 1)
+      .select(col("__t").as("__ti"))
+    val shortProbe = probeTexts.filter(length(col("__t")) <= 2 * k)
+      .select(col("__t").as("__tp"))
+    val residue = shortProbe.join(broadcast(shortIdx),
+      abs(length(col("__tp")) - length(col("__ti"))) <= k, "inner")
+      .select(col("__tp"), col("__ti"))
+    editCandidates(probeTexts, idxTexts, k).unionByName(residue)
+      .distinct()
+      .withColumn("dist", levenshtein(col("__tp"), col("__ti"), k))
+      .filter(col("dist") >= 0)
+  }
+
+  /** All id pairs (a < b) whose `textCol` values are within edit
+    * distance `maxDist`, with the exact distance: fuzzy self-dedup for
+    * record linkage keys (names, titles, URLs). Null texts are ignored.
+    * Distinct-string candidate core + output-bound expansion joins; the
+    * equal-text arm (dist 0) never touches the candidate machinery. */
+  def editNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist (k+1 segments per string" +
+        " and O(k^2) probe keys — beyond ~8 use ngram/minhash families)")
+    val rows = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val texts = rows.select(col("__t")).distinct()
+    // dist >= 1 pairs between distinct texts; keep one orientation (each
+    // unordered text pair is found in at least one probe/index direction
+    // because the longer side is always indexable).
+    val crossTexts = editTextPairs(texts, texts, maxDist)
+      .filter(col("__tp") < col("__ti"))
+    val crossPairs = crossTexts
+      .join(rows.select(col("__t").as("__tp"), col("__id").as("__ida")), "__tp")
+      .join(rows.select(col("__t").as("__ti"), col("__id").as("__idb")), "__ti")
+      .select(least(col("__ida"), col("__idb")).as("a"),
+        greatest(col("__ida"), col("__idb")).as("b"), col("dist"))
+    // dist 0 pairs: equal texts, straight equi-join, output-bound.
+    val samePairs = rows.select(col("__t"), col("__id").as("__ida"))
+      .join(rows.select(col("__t"), col("__id").as("__idb")), "__t")
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__ida").as("a"), col("__idb").as("b"), lit(0).as("dist"))
+    crossPairs.unionByName(samePairs)
+  }
+
+  /** Fuzzy equi-join for record linkage across two tables: all
+    * (leftId, rightId, dist) with edit distance <= maxDist between the
+    * key columns (dist 0 = exact match included). Same distinct-string
+    * core; left/right of any relative size — candidate work scales with
+    * DISTINCT keys, expansion with output. */
+  def editJoin(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist")
+    require(leftId != rightId && leftId != "dist" && rightId != "dist",
+      s"output id columns must be distinct and not 'dist': $leftId, $rightId")
+    val lRows = left.filter(col(leftText).isNotNull)
+      .select(col(leftId).as("__lid"), col(leftText).as("__t"))
+    val rRows = right.filter(col(rightText).isNotNull)
+      .select(col(rightId).as("__rid"), col(rightText).as("__t"))
+    val lTexts = lRows.select(col("__t")).distinct()
+    val rTexts = rRows.select(col("__t")).distinct()
+    // Equal-text pairs skip the candidate machinery entirely.
+    val same = lRows.join(rRows, Seq("__t"))
+      .select(col("__lid"), col("__rid"), lit(0).as("dist"))
+    val cross = editTextPairs(lTexts, rTexts, maxDist)
+      .filter(col("__tp") =!= col("__ti"))
+      .join(lRows.select(col("__t").as("__tp"), col("__lid")), "__tp")
+      .join(rRows.select(col("__t").as("__ti"), col("__rid")), "__ti")
+      .select(col("__lid"), col("__rid"), col("dist"))
+    same.unionByName(cross)
+      .withColumnRenamed("__lid", leftId).withColumnRenamed("__rid", rightId)
+  }
 }

@@ -117,6 +117,28 @@ object ScaleRehearsal {
       println(s"[rehearsal] dropNearDups kept $survivors of ${docs.count()}")
     }
 
+    if (runOp("edit_neardups")) {
+      // Scale the VOCAB, not the dup-group sizes: each copy c appends a
+      // 3x-repeated-digit code to p_name (any two distinct codes differ
+      // in >= 3 char positions, keeping cross-copy distance > maxDist),
+      // so distinct strings grow mult-x while per-copy pair structure —
+      // and therefore output — scales LINEARLY. Naive replication would
+      // instead grow same-text groups mult-x and the dist-0 output
+      // quadratically, a shape with no real-corpus analogue (mirrors
+      // the docsX scramble rationale above).
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      val partX = (0 until mult).map { c =>
+        val code = f"$c%03d".flatMap(ch => s"$ch$ch$ch")
+        part0.withColumn("p_partkey", col("p_partkey") + lit(c.toLong << 32))
+          .withColumn("p_name", concat(col("p_name"), lit(" " + code)))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val (nPairs, tEdit) = time(
+        Dedup.editNearDups(partX, "p_partkey", "p_name", maxDist = 2).count())
+      println(s"[rehearsal] edit_neardups pairs=$nPairs over ${partX.count()} rows")
+      results += "edit_neardups" -> tEdit
+      partX.unpersist()
+    }
+
     if (runOp("dedup_star_cc")) {
       val (_, tStar) = time {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)

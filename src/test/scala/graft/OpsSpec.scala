@@ -903,4 +903,79 @@ class OpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment must stay narrow:\n$plan")
   }
+
+  // --- edit-distance near-dup / fuzzy join (PassJoin pigeonhole) ---
+
+  /** Brute-force truth: all id pairs a < b with levenshtein <= k. */
+  private def editBrute(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val l = df.filter($"t".isNotNull).select($"id".as("ia"), $"t".as("ta"))
+    val r = df.filter($"t".isNotNull).select($"id".as("ib"), $"t".as("tb"))
+    l.crossJoin(r).filter($"ia" < $"ib")
+      .select($"ia".as("a"), $"ib".as("b"),
+        levenshtein($"ta", $"tb", k).as("dist"))
+      .filter($"dist" >= 0)
+      .as[(Long, Long, Int)].collect().toSet
+  }
+
+  test("editNearDups: handpicked dups, near-misses, shorts, empty, nulls") {
+    val df = Seq(
+      (1L, "red widget"), (2L, "red widget"),   // exact dup -> dist 0
+      (3L, "red widgets"),                      // dist 1 of 1/2
+      (4L, "red wadgets"),                      // dist 1 of 3, dist 2 of 1/2
+      (5L, "blue bolt"), (6L, "blue boat"),     // one substitution (l -> a)
+      (7L, "xz"), (8L, "x"), (9L, ""),          // shorts at/below k -> residue arm
+      (10L, "completely unrelated phrase"),
+      (11L, null.asInstanceOf[String])          // ignored
+    ).toDF("id", "t")
+    val got = Dedup.editNearDups(df, "id", "t", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = editBrute(df, 2)
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.contains((1L, 2L, 0)) && want.contains((1L, 3L, 1)) &&
+      want.contains((3L, 4L, 1)) && want.contains((5L, 6L, 1)) &&
+      want.contains((7L, 8L, 1)) && want.contains((8L, 9L, 1)))
+    assert(!want.exists(p => p._1 == 10L || p._2 == 10L || p._2 == 11L))
+  }
+
+  test("editNearDups: randomized exactness vs brute force across length boundaries") {
+    // small alphabet + lengths straddling k+1 stresses every pigeonhole
+    // edge: empty segments, residue arm, shift clamping, length windows
+    val rnd = new scala.util.Random(42)
+    for (k <- Seq(1, 2, 3)) {
+      val strs = (0 until 80).map { i =>
+        val len = rnd.nextInt(9) // 0..8 spans [0, k], [k+1, 2k], beyond
+        (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+      }
+      val df = strs.toDF("id", "t")
+      val got = Dedup.editNearDups(df, "id", "t", maxDist = k)
+        .as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, s"k=$k: duplicate pairs emitted")
+      assert(got.toSet == editBrute(df, k), s"k=$k mismatch")
+    }
+  }
+
+  test("editJoin: cross-table linkage matches brute force, keeps exact matches") {
+    val left = Seq((1L, "alice johnson"), (2L, "bob smith"), (3L, "carol white"),
+      (4L, "dave")).toDF("lid", "name")
+    val right = Seq((10L, "alice jonson"), (11L, "bob smith"), (12L, "karol whyte"),
+      (13L, "unrelated entirely"), (14L, "daves")).toDF("rid", "name")
+    val got = Dedup.editJoin(left, "lid", "name", right, "rid", "name", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = left.select($"lid", $"name".as("ln"))
+      .crossJoin(right.select($"rid", $"name".as("rn")))
+      .select($"lid", $"rid", levenshtein($"ln", $"rn", 2).as("dist"))
+      .filter($"dist" >= 0).as[(Long, Long, Int)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.contains((1L, 10L, 1)) && want.contains((2L, 11L, 0)) &&
+      want.contains((3L, 12L, 2)) && want.contains((4L, 14L, 1)))
+  }
+
+  test("editNearDups: one candidate equi-join, no cross join at scale") {
+    val df = (0L until 200L).map(i => (i, s"name-$i-suffix")).toDF("id", "t")
+    val plan = Dedup.editNearDups(df, "id", "t", 2).queryExecution.executedPlan.toString
+    // the only permissible non-equi path is the broadcast residue arm
+    // over strings shorter than k+1 chars (none here, but the operator
+    // plans it); a CartesianProduct would mean the pigeonhole regressed
+    assert(!plan.contains("CartesianProduct"), s"cross join leaked:\n$plan")
+  }
 }
