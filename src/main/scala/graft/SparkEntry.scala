@@ -866,6 +866,31 @@ object SparkEntry {
         concat(col("p_name"), lit("s")).as("r_name"))
       Dedup.editJoin(left, "lid", "p_name", right, "rid", "r_name", maxDist = 1)
     }),
+    // best-match linkage: each left key's single closest right match
+    "edit_join_best" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val left = part.select(col("p_partkey").as("lid"), col("p_name"))
+      val right = part.select((col("p_partkey") + 100000L).as("rid"),
+        concat(col("p_name"), lit("s")).as("r_name"))
+      Dedup.editJoinBest(left, "lid", "p_name", right, "rid", "r_name", maxDist = 2)
+    }),
+    // fuzzy-drop gate: planted dist-1 typo copies carry HIGHER ids than
+    // their originals, so cluster-min-id keeps the original and every
+    // planted copy must die; survivors of distinct components are
+    // pairwise > maxDist by construction — both pinned to exact zeros
+    "edit_drop_gate" -> ((s, d) => {
+      val part = t(s, d, "part").select(col("p_partkey"), col("p_name"))
+      val planted = part.select((col("p_partkey") + 1000000L).as("p_partkey"),
+        concat(col("p_name"), lit("x")).as("p_name"))
+      val kept = Dedup.dropEditDups(part.unionByName(planted),
+        "p_partkey", "p_name", maxDist = 2)
+      val plantedSurvivors = kept.agg(
+        sum(when(col("p_partkey") >= 1000000L, 1L).otherwise(0L))
+          .as("planted_survivors"))
+      val residual = Dedup.editNearDups(kept, "p_partkey", "p_name", maxDist = 2)
+        .agg(count(lit(1)).as("survivor_pairs_within_k"))
+      plantedSurvivors.crossJoin(residual) // 1x1 aggregate rows
+    }),
     "minhash_neardups" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // plant near-dups: copies with a tiny suffix edit
@@ -4170,6 +4195,18 @@ object SparkEntry {
       "CAST(levenshtein(l.p_name, r.r_name) AS INTEGER) AS dist FROM part l " +
       "JOIN (SELECT p_partkey + 100000 AS rid, p_name || 's' AS r_name " +
       "FROM part) r ON levenshtein(l.p_name, r.r_name) <= 1"),
+    "edit_join_best" -> ("SELECT lid, rid, dist FROM (" +
+      "SELECT l.p_partkey AS lid, r.rid, " +
+      "CAST(levenshtein(l.p_name, r.r_name) AS INTEGER) AS dist, " +
+      "row_number() OVER (PARTITION BY l.p_partkey " +
+      "ORDER BY levenshtein(l.p_name, r.r_name), r.rid) AS rn " +
+      "FROM part l JOIN (SELECT p_partkey + 100000 AS rid, " +
+      "p_name || 's' AS r_name FROM part) r " +
+      "ON levenshtein(l.p_name, r.r_name) <= 2) WHERE rn = 1"),
+    // both gate quantities are structural invariants of an EXACT
+    // cluster-min-id fuzzy drop — pinned to zero (gate convention)
+    "edit_drop_gate" -> ("SELECT CAST(0 AS BIGINT) AS planted_survivors, " +
+      "CAST(0 AS BIGINT) AS survivor_pairs_within_k"),
 
     "text_tokens" -> ("SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
       "ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens " +

@@ -977,4 +977,49 @@ object Dedup {
     same.unionByName(cross)
       .withColumnRenamed("__lid", leftId).withColumnRenamed("__rid", rightId)
   }
+
+  /** Best-match linkage: for each left row with any match within
+    * `maxDist`, the single closest right row (ties by lowest rightId —
+    * deterministic). One extra shuffle on leftId over editJoin. */
+  def editJoinBest(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      maxDist: Int = 2): DataFrame = {
+    editJoin(left, leftId, leftText, right, rightId, rightText, maxDist)
+      .groupBy(col(leftId))
+      // struct min = (dist asc, rightId asc): exact argmin, stable ties
+      .agg(min(struct(col("dist"), col(rightId))).as("__best"))
+      .select(col(leftId), col(s"__best.$rightId").as(rightId),
+        col("__best.dist").as("dist"))
+  }
+
+  /** Drop fuzzy duplicates: keep the lowest-id row of each connected
+    * component of the within-`maxDist` pair graph (same cluster
+    * semantics as dropNearDups/dropSemanticDups, but EXACT edges).
+    * Survivors of distinct components are pairwise > maxDist apart by
+    * construction — no edge ever crosses components.
+    *
+    * Clustering runs on the DISTINCT-TEXT rep graph, never on id pairs:
+    * same-text rows are a clique whose C(n,2) edges add nothing to
+    * connectivity, so each text group is contracted to its min-id rep
+    * first (component min id = min over group mins — identical keep
+    * set, vocab-sized CC input instead of output-sized). Null-text rows
+    * are kept untouched, matching editNearDups ignoring them. */
+  def dropEditDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val rows = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val reps = rows.groupBy(col("__t")).agg(min(col("__id")).as("__rep"))
+    val edges = editTextPairs(reps.select(col("__t")),
+        reps.select(col("__t")), maxDist)
+      .filter(col("__tp") < col("__ti"))
+      .join(reps.select(col("__t").as("__tp"), col("__rep").as("a")), "__tp")
+      .join(reps.select(col("__t").as("__ti"), col("__rep").as("b")), "__ti")
+      .select(col("a"), col("b"))
+    val losers = dupClusters(edges).filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__rep"))
+    val keep = reps.join(losers, Seq("__rep"), "left_anti")
+      .select(col("__rep").as(idCol), col("__t").as(textCol))
+    df.join(keep, Seq(idCol, textCol), "left_semi")
+      .unionByName(df.filter(col(textCol).isNull))
+  }
 }

@@ -970,6 +970,29 @@ class OpsSpec extends SparkSpec {
       want.contains((3L, 12L, 2)) && want.contains((4L, 14L, 1)))
   }
 
+  test("editJoinBest: per-left argmin with deterministic rid ties") {
+    val left = Seq((1L, "red widget"), (2L, "blue bolt"), (3L, "nothing alike")).toDF("lid", "n")
+    val right = Seq((10L, "red widgets"), (11L, "red widget"), (12L, "red widget"),
+      (13L, "blue boat")).toDF("rid", "n")
+    val got = Dedup.editJoinBest(left, "lid", "n", right, "rid", "n", maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // lid 1: exact matches at rid 11 and 12 -> lowest rid wins
+    // lid 2: only "blue boat" (dist 1); lid 3: no match -> absent
+    assert(got == Set((1L, 11L, 0), (2L, 13L, 1)))
+  }
+
+  test("dropEditDups: typo copies die, survivors pairwise beyond maxDist") {
+    val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha betas"),
+      (4L, "gamma delta"), (5L, "gamma celta"), (6L, "unrelated thing")).toDF("id", "t")
+    val kept = Dedup.dropEditDups(df, "id", "t", maxDist = 2)
+      .select($"id").as[Long].collect().toSet
+    // components: {1,2,3} -> 1, {4,5} -> 4, {6} -> 6
+    assert(kept == Set(1L, 4L, 6L))
+    // survivors of distinct components are pairwise > maxDist
+    val sv = df.filter($"id".isin(kept.toSeq: _*))
+    assert(Dedup.editNearDups(sv, "id", "t", maxDist = 2).count() == 0)
+  }
+
   test("editNearDups: one candidate equi-join, no cross join at scale") {
     val df = (0L until 200L).map(i => (i, s"name-$i-suffix")).toDF("id", "t")
     val plan = Dedup.editNearDups(df, "id", "t", 2).queryExecution.executedPlan.toString
