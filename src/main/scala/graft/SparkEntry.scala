@@ -883,13 +883,12 @@ object SparkEntry {
       val planted = part.select((col("p_partkey") + 1000000L).as("p_partkey"),
         concat(col("p_name"), lit("x")).as("p_name"))
       val kept = Dedup.dropEditDups(part.unionByName(planted),
-        "p_partkey", "p_name", maxDist = 2)
-      val plantedSurvivors = kept.agg(
-        sum(when(col("p_partkey") >= 1000000L, 1L).otherwise(0L))
-          .as("planted_survivors"))
-      val residual = Dedup.editNearDups(kept, "p_partkey", "p_name", maxDist = 2)
-        .agg(count(lit(1)).as("survivor_pairs_within_k"))
-      plantedSurvivors.crossJoin(residual) // 1x1 aggregate rows
+        "p_partkey", "p_name", maxDist = 2).localCheckpoint(true)
+      val plantedSurvivors = kept.filter(col("p_partkey") >= 1000000L).count()
+      val residual = Dedup.editNearDups(kept, "p_partkey", "p_name",
+        maxDist = 2).count()
+      s.range(1).select(lit(plantedSurvivors).as("planted_survivors"),
+        lit(residual).as("survivor_pairs_within_k"))
     }),
     "minhash_neardups" -> ((s, d) => {
       val docs = t(s, d, "documents")
