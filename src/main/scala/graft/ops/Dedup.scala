@@ -1006,6 +1006,8 @@ object Dedup {
     * are kept untouched, matching editNearDups ignoring them. */
   def dropEditDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist")
     val rows = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
     val reps = rows.groupBy(col("__t")).agg(min(col("__id")).as("__rep"))

@@ -555,11 +555,14 @@ object Search {
         // (~512k terms, tens of MB broadcast) the batch must be split
         // by the caller — fail with that message, never OOM.
         val hardCap = maxProbeTerms.toLong * 16
-        val nDistinct = qterms.select("term").distinct().count()
-        require(nDistinct <= hardCap,
-          s"bm25IndexTopK: query batch has $nDistinct distinct terms " +
-            s"(> hard cap $hardCap); split the query batch into smaller " +
-            "chunks and union the results")
+        // bounded over-cap probe (limit n+1, same idiom as the pushable
+        // check above): never pay a full global distinct just to fail
+        val nBounded = qterms.select("term").distinct()
+          .limit(hardCap.toInt + 1).count()
+        require(nBounded <= hardCap,
+          s"bm25IndexTopK: query batch has > hard cap $hardCap distinct " +
+            "terms; split the query batch into smaller chunks and union " +
+            "the results")
         graft.core.Stats.counter(spark, "bm25.index_probe_semi_join").add(1L)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"bm25IndexTopK: query batch exceeds $maxProbeTerms distinct terms; " +

@@ -127,14 +127,20 @@ object ScaleRehearsal {
       // quadratically, a shape with no real-corpus analogue (mirrors
       // the docsX scramble rationale above).
       val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      // persist (CacheManager-managed) rather than localCheckpoint: the
+      // latter pins its checkpoint RDD outside the cache, so unpersist()
+      // on the Dataset would be a no-op and the multiplied table would
+      // stay resident through every later rehearsal op
       val partX = (0 until mult).map { c =>
         val code = f"$c%03d".flatMap(ch => s"$ch$ch$ch")
         part0.withColumn("p_partkey", col("p_partkey") + lit(c.toLong << 32))
           .withColumn("p_name", concat(col("p_name"), lit(" " + code)))
-      }.reduce(_ unionByName _).localCheckpoint(true)
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nRows = partX.count() // eager materialization, outside the clock
       val (nPairs, tEdit) = time(
         Dedup.editNearDups(partX, "p_partkey", "p_name", maxDist = 2).count())
-      println(s"[rehearsal] edit_neardups pairs=$nPairs over ${partX.count()} rows")
+      println(s"[rehearsal] edit_neardups pairs=$nPairs over $nRows rows")
       results += "edit_neardups" -> tEdit
       partX.unpersist()
     }

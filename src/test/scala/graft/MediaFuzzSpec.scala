@@ -63,11 +63,28 @@ class MediaFuzzSpec extends SparkSpec {
     // plausible dims) and the all-decline assertion exempts it
     "imageIO" -> Multimodal.decodeImageIO(payload).isEmpty)
 
+  /** Which ImageIO reader claims this payload (lowercase format name),
+    * if any — lets the noise test exempt ONLY the WBMP reader (no magic
+    * bytes) instead of the whole PNG/JPEG/BMP/TIFF dispatch. */
+  private def imageIOClaimant(bytes: Array[Byte]): Option[String] = {
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val rs = javax.imageio.ImageIO.getImageReaders(stream)
+      if (rs.hasNext) Some(rs.next().getFormatName.toLowerCase) else None
+    } finally stream.close()
+  }
+
   test("pure noise at assorted sizes: every decoder DECLINES, none throws") {
     limited {
       for (size <- Seq(0, 1, 7, 64, 1024, 65536); trial <- 0 until 8) {
-        val accepted = decodeAll(noise(size * 1000003L + trial + 1, size))
-          .filterNot(_._2).map(_._1).filterNot(_ == "imageIO")
+        val payload = noise(size * 1000003L + trial + 1, size)
+        val accepted = decodeAll(payload).filterNot(_._2).map(_._1)
+          // WBMP alone may legitimately accept rare noise (no magic
+          // bytes: type 0, fixheader 0, plausible dims); every other
+          // ImageIO format has a signature and must keep declining
+          .filterNot(n => n == "imageIO" &&
+            imageIOClaimant(payload).contains("wbmp"))
         assert(accepted.isEmpty,
           s"noise(size=$size, trial=$trial) accepted by: $accepted")
       }
