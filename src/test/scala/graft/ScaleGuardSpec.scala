@@ -63,6 +63,25 @@ class ScaleGuardSpec extends SparkSpec {
       s"unsanctioned crossJoin site(s): $hits")
   }
 
+  test("CodegenFallback allowlist: every hot-path kernel implements doGenCode") {
+    // a CodegenFallback expression breaks the whole-stage-codegen span
+    // it sits in AND boxes its inputs per row — fine for a once-per-
+    // write sort key, fatal in a per-row scan kernel. Exactly one site
+    // is sanctioned: HilbertIndex (write-order key, evaluated once per
+    // ingested row on the write path, never in a read/query plan).
+    // A new kernel must implement doGenCode or justify itself here.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val hits = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (src.contains("with CodegenFallback")) Some(p.toString) else None
+      }.toSet
+    assert(hits == Set("src/main/scala/graft/functions/HilbertIndex.scala"),
+      s"unsanctioned CodegenFallback site(s): $hits")
+  }
+
   test("minhashNearDups: merge joins pinned once the corpus can't fit a broadcast") {
     // The corpus-side sig/shingle frames are array projections that
     // Catalyst ALWAYS estimates as broadcast-small (ArrayType's
