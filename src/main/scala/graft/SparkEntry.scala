@@ -125,6 +125,59 @@ object SparkEntry {
     uri
   }
 
+  // --- the minhash_index_gate pipeline, staged ------------------------
+  // Shared by the gate query below and graft.tools.GateProfile (which
+  // wall-clocks each stage): ONE definition pins the profiler to the
+  // benched gate — a hand-mirrored copy drifts silently on the next
+  // gate change (it already had: the profiler's planted-id offset
+  // diverged from the gate's DupOff).
+
+  /** (corpus docs, planted near-dup batch slice, full probe batch). */
+  private[graft] def minhashGateInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + DupOff)
+      .withColumn("text", concat(col("text"), lit(" xyzzy")))
+    val fresh = s.range(5).select((col("id") + 2L * DupOff).as("doc_id"),
+      concat(lit("totally fresh unseen content block qwertyuiop "),
+        col("id")).as("text"))
+    (docs, planted, planted.unionByName(fresh))
+  }
+
+  /** Index probe with exact verify (batch-scale; eager). */
+  private[graft] def minhashGateProbe(batch: DataFrame, docs: DataFrame,
+      uri: String): DataFrame =
+    graft.ops.DedupIndex.probe(batch, "doc_id", "text", uri,
+      threshold = 0.6, verifyWith = Some(docs)).localCheckpoint(true)
+
+  /** One-shot LSH over corpus ∪ batch, cross-side pairs only (eager).
+    * checkpoint: this is the gate's single most expensive job, and its
+    * lineage feeds BOTH the union-distinct parity count and the size
+    * count — uncheckpointed it would run twice (measured ~1.4 s each
+    * at sf0.1, the bulk of the r13 bench regression on this key). */
+  private[graft] def minhashGateOneShot(docs: DataFrame,
+      batch: DataFrame): DataFrame =
+    Dedup.minhashNearDups(docs.unionByName(batch), "doc_id", "text",
+        threshold = 0.6)
+      .filter((col("a") >= DupOff) =!= (col("b") >= DupOff))
+      .select(greatest(col("a"), col("b")).as("id"),
+        least(col("a"), col("b")).as("match_id"))
+      .localCheckpoint(true)
+
+  /** Gate verdicts: (planted_found, fresh_clean, paths_agree). */
+  private[graft] def minhashGateParity(probed: DataFrame, oneShot: DataFrame,
+      planted: DataFrame): (Boolean, Boolean, Boolean) = {
+    val nPlanted = planted.count()
+    val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
+    val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
+    val nProbed = probed.count()
+    val agree = probed.select("id", "match_id")
+      .unionByName(oneShot).distinct().count() == nProbed &&
+      nProbed == oneShot.count()
+    (selfHits == nPlanted && nPlanted > 0, freshHits == 0L, agree)
+  }
+
   private val shipCut = "1998-01-01 00:00:00"
 
   /** two-fragment lineitem array: ts=1000 (shipdate < 1995), ts=2000 (rest) */
@@ -880,11 +933,15 @@ object SparkEntry {
     // pairwise > maxDist by construction — both pinned to exact zeros
     "edit_drop_gate" -> ((s, d) => {
       val part = t(s, d, "part").select(col("p_partkey"), col("p_name"))
-      val planted = part.select((col("p_partkey") + 1000000L).as("p_partkey"),
+      // derive the planted-id offset from the data: a fixed constant
+      // would collide with real p_partkey values at large enough sf and
+      // count surviving ORIGINALS as planted
+      val off = part.agg(max(col("p_partkey"))).head.getLong(0) + 1L
+      val planted = part.select((col("p_partkey") + off).as("p_partkey"),
         concat(col("p_name"), lit("x")).as("p_name"))
       val kept = Dedup.dropEditDups(part.unionByName(planted),
         "p_partkey", "p_name", maxDist = 2).localCheckpoint(true)
-      val plantedSurvivors = kept.filter(col("p_partkey") >= 1000000L).count()
+      val plantedSurvivors = kept.filter(col("p_partkey") >= off).count()
       val residual = Dedup.editNearDups(kept, "p_partkey", "p_name",
         maxDist = 2).count()
       s.range(1).select(lit(plantedSurvivors).as("planted_survivors"),
@@ -912,38 +969,15 @@ object SparkEntry {
     // corpus ∪ batch) finds — index and batch paths agree exactly.
     "minhash_index_gate" -> ((s, d) => {
       val uri = minhashIndex(s, d)
-      val docs = t(s, d, "documents").select("doc_id", "text")
-      val planted = docs.filter(col("doc_id") % 7 === 0)
-        .withColumn("doc_id", col("doc_id") + DupOff)
-        .withColumn("text", concat(col("text"), lit(" xyzzy")))
-      val fresh = s.range(5).select((col("id") + 2L * DupOff).as("doc_id"),
-        concat(lit("totally fresh unseen content block qwertyuiop "),
-          col("id")).as("text"))
-      val batch = planted.unionByName(fresh)
-      val probed = graft.ops.DedupIndex.probe(batch, "doc_id", "text", uri,
-        threshold = 0.6, verifyWith = Some(docs)).localCheckpoint(true)
-      val nPlanted = planted.count()
-      val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
-      val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
-      // checkpoint: the one-shot LSH pass over corpus ∪ batch is the
-      // gate's single most expensive job, and its lineage feeds BOTH
-      // the union-distinct parity count and the size count below —
-      // uncheckpointed it would run twice (measured ~1.4 s each at
-      // sf0.1, the bulk of the r13 bench regression on this key)
-      val oneShot = Dedup.minhashNearDups(docs.unionByName(batch), "doc_id", "text",
-          threshold = 0.6)
-        .filter((col("a") >= DupOff) =!= (col("b") >= DupOff))
-        .select(greatest(col("a"), col("b")).as("id"),
-          least(col("a"), col("b")).as("match_id"))
-        .localCheckpoint(true)
-      val nProbed = probed.count()
-      val agree = probed.select("id", "match_id")
-        .unionByName(oneShot).distinct().count() == nProbed &&
-        nProbed == oneShot.count()
+      val (docs, planted, batch) = minhashGateInputs(s, d)
+      val probed = minhashGateProbe(batch, docs, uri)
+      val oneShot = minhashGateOneShot(docs, batch)
+      val (plantedFound, freshClean, pathsAgree) =
+        minhashGateParity(probed, oneShot, planted)
       s.range(1).select(
-        lit(selfHits == nPlanted && nPlanted > 0).as("planted_found"),
-        lit(freshHits == 0L).as("fresh_clean"),
-        lit(agree).as("paths_agree"))
+        lit(plantedFound).as("planted_found"),
+        lit(freshClean).as("fresh_clean"),
+        lit(pathsAgree).as("paths_agree"))
     }),
     // end-to-end drop pipeline gate (near-dup pairs -> connected
     // components -> min-id survivor per component): every planted copy

@@ -892,8 +892,12 @@ object Dedup {
           }))))).as("__s"))
       .select(col("__tp"), col("__s.__lx").as("__lx"), col("__s.__i").as("__i"),
         col("__s.__seg").as("__seg"))
+    // no distinct here: the sole caller (editTextPairs) distincts after
+    // unioning the residue arm — one exchange over the candidate set,
+    // with map-side partial aggregation absorbing the O(k^2)
+    // per-pair duplicates this join emits
     probe.join(idx, Seq("__lx", "__i", "__seg"))
-      .select(col("__tp"), col("__ti")).distinct()
+      .select(col("__tp"), col("__ti"))
   }
 
   /** Verified distinct-string pairs within edit distance `k`:

@@ -528,6 +528,13 @@ object Search {
       maxProbeTerms: Int = 1 << 15, maxDfFraction: Double = 1.0,
       requireAllTerms: Boolean = false): DataFrame = {
     val (base, incs, nDocs, sumDl, buckets) = liveState(spark, uri)
+    // the probe pushes up to one isin literal PER BUCKET into every
+    // postings scan; buildIndex enforces <= 4096 at write time, but the
+    // cost is paid HERE from persisted params — re-validate so a
+    // foreign or legacy index fails loudly instead of bloating plans
+    require(buckets > 0 && buckets <= 4096,
+      s"bm25IndexTopK: index at $uri declares $buckets term buckets " +
+        "(outside [1, 4096]); rebuild it with buckets <= 4096")
     val qterms = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(termsOf(col(qtextCol)))).as("term"))
       .localCheckpoint(true)

@@ -49,15 +49,8 @@ class ScaleGuardSpec extends SparkSpec {
     //     ndarray presentation API (Dense.readDirect), never on a
     //     corpus-data path.
     // anything else must justify itself here.
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get("src/main/scala")
-    val hits = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        if (src.contains(".crossJoin(") || src.contains("crossJoin _"))
-          Some(p.toString) else None
-      }.toSet
+    val hits = mainSourcesContaining(src =>
+      src.contains(".crossJoin(") || src.contains("crossJoin _"))
     assert(hits == Set("src/main/scala/graft/ops/Similarity.scala",
       "src/main/scala/graft/storage/Dense.scala"),
       s"unsanctioned crossJoin site(s): $hits")
@@ -70,16 +63,24 @@ class ScaleGuardSpec extends SparkSpec {
     // is sanctioned: HilbertIndex (write-order key, evaluated once per
     // ingested row on the write path, never in a read/query plan).
     // A new kernel must implement doGenCode or justify itself here.
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get("src/main/scala")
-    val hits = java.nio.file.Files.walk(root).iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        if (src.contains("with CodegenFallback")) Some(p.toString) else None
-      }.toSet
+    val hits = mainSourcesContaining(_.contains("with CodegenFallback"))
     assert(hits == Set("src/main/scala/graft/functions/HilbertIndex.scala"),
       s"unsanctioned CodegenFallback site(s): $hits")
+  }
+
+  /** Main-source files whose text matches `pred` — the shared scanner
+    * for the source-level allowlist guards (walk stream closed). */
+  private def mainSourcesContaining(pred: String => Boolean): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+    try {
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          if (pred(src)) Some(p.toString) else None
+        }.toSet
+    } finally walk.close()
   }
 
   test("minhashNearDups: merge joins pinned once the corpus can't fit a broadcast") {
