@@ -970,6 +970,28 @@ class OpsSpec extends SparkSpec {
       want.contains((3L, 12L, 2)) && want.contains((4L, 14L, 1)))
   }
 
+  test("editJoin: randomized two-table exactness vs brute force") {
+    // independent left/right corpora over a small alphabet, lengths
+    // straddling k+1 on BOTH sides — exercises the asymmetric probe/
+    // index direction and the short-indexed residue arm cross-table
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int) = (0 until n).map { i =>
+      val len = rnd.nextInt(8)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+    }
+    for (k <- Seq(1, 2)) {
+      val left = mk(50).toDF("lid", "lt")
+      val right = mk(60).toDF("rid", "rt")
+      val got = Dedup.editJoin(left, "lid", "lt", right, "rid", "rt", k)
+        .as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, s"k=$k: duplicate pairs")
+      val want = left.crossJoin(right)
+        .select($"lid", $"rid", levenshtein($"lt", $"rt", k).as("dist"))
+        .filter($"dist" >= 0).as[(Long, Long, Int)].collect().toSet
+      assert(got.toSet == want, s"k=$k mismatch")
+    }
+  }
+
   test("editJoinBest: per-left argmin with deterministic rid ties") {
     val left = Seq((1L, "red widget"), (2L, "blue bolt"), (3L, "nothing alike")).toDF("lid", "n")
     val right = Seq((10L, "red widgets"), (11L, "red widget"), (12L, "red widget"),
