@@ -29,6 +29,14 @@ object SparkEntry {
     * collided as soon as doc_id reached seven digits. */
   private val DupOff = 1L << 40
 
+  /** phrase_scan probe list: multi-word phrases from the synthetic
+    * corpus vocabulary (hit at assorted rates), nested/overlapping
+    * entries ("table" inside "fast table"), and a guaranteed miss —
+    * shared verbatim between the query and its oracle SQL. */
+  private val PhraseList = Seq("fast table", "table", "scan slow",
+    "value part", "window spark", "agg join", "the line sort",
+    "no such phrase xyzzy")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1590,6 +1598,12 @@ object SparkEntry {
     // tables (langIdOracleSql is GENERATED from TextAnalysis tables,
     // so the two
     // engines can never drift apart silently)
+    // multi-phrase exact scan (Aho-Corasick): one text pass regardless
+    // of phrase-list size — the eval-canary / blocklist primitive.
+    // Exact, so the oracle replays per-phrase contains() brute-force.
+    "phrase_scan" -> ((s, d) =>
+      graft.ops.TextAnalysis.phraseMatches(t(s, d, "documents"),
+        "doc_id", "text", PhraseList)),
     "text_langid" -> ((s, d) => {
       val planted = element_at(array(langPhrases.map(lit): _*),
         (col("doc_id") % langPhrases.length).cast("int") + 1)
@@ -4568,6 +4582,11 @@ object SparkEntry {
       "ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scn " +
       "JOIN need ON scn.query_id = need.query_id AND scn.nm = need.nd) " +
       "WHERE rank <= 10"),
+    // exact multi-phrase containment: brute-force per-phrase contains
+    "phrase_scan" -> ("SELECT d.doc_id, p.phrase FROM documents d JOIN " +
+      "(SELECT unnest([" +
+      PhraseList.map(p => s"'$p'").mkString(", ") +
+      "]) AS phrase) p ON contains(d.text, p.phrase)"),
     // language ID: token-count per stopword table, winner = max (score,
     // lang) — mirrors the array_max(struct(score, lang)) tie-break
     // (lexicographically larger lang wins ties)

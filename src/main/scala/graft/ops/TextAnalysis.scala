@@ -633,4 +633,120 @@ object TextAnalysis {
         concat_ws(" ", slice(col("__t"),
           (col("chunk_id") * stride + 1).cast("int"), lit(maxTokens))).as("chunk"))
   }
+
+  // --------------------------------------------------------------------
+  // Multi-phrase exact scan (Aho-Corasick, 1975 — public algorithm).
+  //
+  // "Which documents contain which of these phrases?" is the eval-canary
+  // / blocklist / decontamination primitive: the phrase list is fixed
+  // and rescanned against every new batch. The naive shape — one
+  // `contains` per phrase — reads every document |phrases| times; the
+  // automaton reads each document ONCE regardless of list size (per-char
+  // work is a goto-transition plus already-matched output emission), so
+  // scan cost is corpus-bound, not corpus x phrases. Built per
+  // partition from a broadcast phrase array: no shuffle, no driver
+  // round-trips, embarrassingly parallel.
+
+  /** Aho-Corasick automaton over exact char sequences. `containedIn`
+    * returns the distinct indices of phrases occurring in the text. */
+  private[graft] final class AhoCorasick(phrases: Array[String]) {
+    private val size0 = phrases.map(_.length).sum + 1
+    private val next = new Array[java.util.HashMap[Char, Integer]](size0)
+    private val fail = new Array[Int](size0)
+    // per-node output list, merged with the fail chain's at build time
+    private val out = new Array[List[Int]](size0)
+    private var n = 1
+    next(0) = new java.util.HashMap[Char, Integer](); out(0) = Nil
+    // trie
+    phrases.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      var i = 0
+      while (i < p.length) {
+        val c = p.charAt(i)
+        val t = next(s).get(c)
+        if (t == null) {
+          next(n) = new java.util.HashMap[Char, Integer](); out(n) = Nil
+          next(s).put(c, n); s = n; n += 1
+        } else s = t
+        i += 1
+      }
+      out(s) ::= pi
+    }
+    // fail links by BFS; merge fail target's outputs so matching never
+    // walks the fail chain per character
+    locally {
+      val q = new java.util.ArrayDeque[Integer]()
+      val rootIt = next(0).entrySet().iterator()
+      while (rootIt.hasNext) {
+        val s = rootIt.next().getValue.intValue()
+        fail(s) = 0; q.add(s)
+      }
+      while (!q.isEmpty) {
+        val s = q.poll().intValue()
+        out(s) = out(s) ::: out(fail(s))
+        val it = next(s).entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getKey
+          val t = e.getValue.intValue()
+          var f = fail(s)
+          while (f != 0 && !next(f).containsKey(c)) f = fail(f)
+          val fc = next(f).get(c)
+          fail(t) = if (fc != null) fc.intValue() else 0
+          q.add(t)
+        }
+      }
+    }
+
+    /** Distinct phrase indices contained in `text`, ascending. */
+    def containedIn(text: String): Array[Int] = {
+      val seen = new java.util.BitSet(phrases.length)
+      var found = 0
+      var s = 0
+      var i = 0
+      while (i < text.length && found < phrases.length) {
+        val c = text.charAt(i)
+        var t = next(s).get(c)
+        while (t == null && s != 0) { s = fail(s); t = next(s).get(c) }
+        s = if (t == null) 0 else t.intValue()
+        var os = out(s)
+        while (os.nonEmpty) {
+          if (!seen.get(os.head)) { seen.set(os.head); found += 1 }
+          os = os.tail
+        }
+        i += 1
+      }
+      val res = new Array[Int](found)
+      var b = seen.nextSetBit(0); var j = 0
+      while (b >= 0) { res(j) = b; j += 1; b = seen.nextSetBit(b + 1) }
+      res
+    }
+  }
+
+  /** All (id, phrase) pairs where the document's `textCol` contains the
+    * phrase as an exact char-level substring. One automaton scan per
+    * document regardless of phrase count; output is match-bound. The id
+    * column must be castable to long (the repo's doc_id convention).
+    * Null texts are ignored; each contained phrase reports once. */
+  def phraseMatches(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(p => p != null && p.nonEmpty),
+      "phrases must be a non-empty list of non-empty strings")
+    val uniq = phrases.distinct.toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(uniq)
+    val hits = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = new AhoCorasick(bc.value) // built once per partition
+        it.flatMap { case (id, t) =>
+          if (t == null) Iterator.empty
+          else ac.containedIn(t).iterator.map(pi => (id, pi))
+        }
+      }.toDF(idCol, "__pi")
+    val pdf = spark.createDataFrame(
+      uniq.zipWithIndex.toSeq.map { case (p, i) => (i, p) }).toDF("__pi", "phrase")
+    hits.join(broadcast(pdf), "__pi").select(col(idCol), col("phrase"))
+  }
 }

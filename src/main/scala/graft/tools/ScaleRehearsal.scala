@@ -145,6 +145,35 @@ object ScaleRehearsal {
       partX.unpersist()
     }
 
+    if (runOp("phrase_scan")) {
+      // the claim under test: automaton scan cost is corpus-bound, not
+      // corpus x phrases — P=16 vs P=2048 should be ~flat, while the
+      // naive per-(doc, phrase) contains pays the full product (and
+      // must agree row-for-row with the automaton: parity asserted)
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "spark", "line", "sort",
+        "window", "order", "data", "column", "join", "small", "customer",
+        "query", "big", "stream", "group", "vector", "filter", "the")
+      val pairs = for (x <- vocab; y <- vocab) yield s"$x $y"
+      val triples = for (x <- vocab.take(8); y <- vocab; z <- vocab.take(6))
+        yield s"$x $y $z"
+      val p2048 = (pairs ++ triples).distinct.take(2048)
+      val p16 = p2048.take(16)
+      val (n16, t16) = time(graft.ops.TextAnalysis
+        .phraseMatches(docs, "doc_id", "text", p16).count())
+      val (n2k, t2k) = time(graft.ops.TextAnalysis
+        .phraseMatches(docs, "doc_id", "text", p2048).count())
+      val (nNaive, tNaive) = time(docs
+        .withColumn("phrase", explode(split(lit(p2048.mkString("")), "")))
+        .filter(expr("contains(text, phrase)")).count())
+      require(n2k == nNaive, s"automaton/naive disagree: $n2k vs $nNaive")
+      println(s"[rehearsal] phrase_scan p16=$n16 rows, p2048=$n2k rows " +
+        s"(naive parity ok)")
+      results += "phrase_scan_p16" -> t16
+      results += "phrase_scan_p2048" -> t2k
+      results += "phrase_scan_naive_p2048" -> tNaive
+    }
+
     if (runOp("dedup_star_cc")) {
       val (_, tStar) = time {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)

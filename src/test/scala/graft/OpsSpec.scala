@@ -1023,4 +1023,38 @@ class OpsSpec extends SparkSpec {
     // plans it); a CartesianProduct would mean the pigeonhole regressed
     assert(!plan.contains("CartesianProduct"), s"cross join leaked:\n$plan")
   }
+
+  // --- multi-phrase exact scan (Aho-Corasick) ---
+
+  test("phraseMatches: overlaps, nested phrases, repeats, null and empty text") {
+    val docs = Seq(
+      (1L, "ababa"),                    // overlapping "aba" occurrences
+      (2L, "the abc and ab end"),       // "ab" is a prefix of "abc"
+      (3L, "xyz xyz xyz"),              // repeated phrase reports once
+      (4L, ""),                         // empty text matches nothing
+      (5L, null.asInstanceOf[String]),  // ignored
+      (6L, "ends with aba")             // match flush at text end
+    ).toDF("doc_id", "text")
+    val phrases = Seq("aba", "ab", "abc", "xyz", "missing")
+    val got = graft.ops.TextAnalysis
+      .phraseMatches(docs, "doc_id", "text", phrases)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "aba"), (1L, "ab"), (2L, "ab"), (2L, "abc"),
+      (3L, "xyz"), (6L, "ab"), (6L, "aba")))
+  }
+
+  test("phraseMatches: randomized parity with per-phrase contains") {
+    val rnd = new scala.util.Random(11)
+    def s(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val docs = (0 until 60).map(i => (i.toLong, s(rnd.nextInt(30)))).toDF("doc_id", "text")
+    val phrases = (0 until 25).map(_ => s(1 + rnd.nextInt(5))).distinct
+    val got = graft.ops.TextAnalysis
+      .phraseMatches(docs, "doc_id", "text", phrases)
+      .as[(Long, String)].collect()
+    assert(got.length == got.toSet.size, "duplicate (doc, phrase) rows")
+    val want = docs.crossJoin(phrases.toDF("phrase"))
+      .filter(expr("contains(text, phrase)"))
+      .select($"doc_id", $"phrase").as[(Long, String)].collect().toSet
+    assert(got.toSet == want, s"missing=${want -- got.toSet} extra=${got.toSet -- want}")
+  }
 }
