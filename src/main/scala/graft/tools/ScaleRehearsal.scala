@@ -164,7 +164,9 @@ object ScaleRehearsal {
       val (n2k, t2k) = time(graft.ops.TextAnalysis
         .phraseMatches(docs, "doc_id", "text", p2048).count())
       val (nNaive, tNaive) = time(docs
-        .withColumn("phrase", explode(split(lit(p2048.mkString("")), "")))
+        .withColumn("phrase", // separator as an explicit escape, never a
+          // raw control char (invisible in diffs/review)
+          explode(split(lit(p2048.mkString("\u0001")), "\u0001")))
         .filter(expr("contains(text, phrase)")).count())
       require(n2k == nNaive, s"automaton/naive disagree: $n2k vs $nNaive")
       println(s"[rehearsal] phrase_scan p16=$n16 rows, p2048=$n2k rows " +
