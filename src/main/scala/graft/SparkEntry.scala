@@ -3545,6 +3545,20 @@ object SparkEntry {
       graft.ops.AsOf.join(clicks, purchases, Seq("user_id"), "ts", "ts",
         rightPrefix = "p_", direction = "forward")
     }),
+    // interval containment at scale: events joined to the 2-hour
+    // windows (derived from every 5th event) that contain them — bin-
+    // bucketed equi-join, never a per-key nested loop
+    "range_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("ts").cast(TimestampNTZType).as("ts"))
+      val wins = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("event_id").as("win_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.ops.AsOf.rangeJoin(ev, wins, Seq("user_id"),
+          "ts", "w_start", "w_end", rightPrefix = "w_")
+        .select(col("event_id"), col("w_win_id").as("win_id"))
+    }),
     // nearest direction: closer of the two, backward on ties
     "asof_nearest" -> ((s, d) => {
       val (clicks, purchases) = asofSides(s, d)
@@ -5429,6 +5443,13 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS nonempty",
     "simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed",
     "text_fp_gate" -> "SELECT CAST(0 AS BIGINT) AS violations",
+    // interval containment: DuckDB replays the naive range join exactly
+    "range_join" -> ("WITH e AS (SELECT event_id, user_id, " +
+      "CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "w AS (SELECT user_id, event_id AS win_id, ts AS ws, " +
+      "ts + INTERVAL 2 HOUR AS we FROM e WHERE event_id % 5 = 0) " +
+      "SELECT l.event_id, w.win_id FROM e l JOIN w " +
+      "ON l.user_id = w.user_id AND l.ts >= w.ws AND l.ts < w.we"),
     "asof_join" -> ("SELECT c.event_id, c.user_id, c.ts, p.ts AS p_ts, p.value AS p_value " +
       "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
       "WHERE event_type = 'click') c " +

@@ -85,4 +85,63 @@ object AsOf {
       when(col("__ok"), col(s"__m.$p")).otherwise(lit(null)).as(rightPrefix + p))
     filtered.select(outCols: _*)
   }
+
+  /** Integer floor-division of a long column by a positive constant —
+    * exact at any magnitude (the numerator is made an exact multiple
+    * before the divide, so the double division is exact). */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Epoch micros for TIMESTAMP or TIMESTAMP_NTZ inputs (unix_micros
+    * alone rejects NTZ). The NTZ→TZ cast reads the wall time in the
+    * session timezone — applied identically to both join sides, so
+    * every comparison below is invariant to the choice. */
+  private def microsOf(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
+  /** Interval (range) join: every (left row, right row) pair with equal
+    * `keys` where the right interval `[startCol, endCol)` CONTAINS the
+    * left timestamp (inclusive start, exclusive end — empty or inverted
+    * intervals match nothing). Inner join; right payload columns come
+    * back under `rightPrefix`.
+    *
+    * The naive plan for this predicate is a per-key nested loop
+    * (quadratic per key, or a broadcast nested loop across keys) — the
+    * classic scale-killer. This implementation bin-buckets instead:
+    * each right interval explodes to the fixed-width time bins it
+    * overlaps, each left row maps to its SINGLE bin, and the join runs
+    * as one equi-join on (keys, bin) with the containment predicate as
+    * a post-filter. A qualifying pair meets in exactly one bin (the
+    * left timestamp's), so no dedup pass is needed and the output is
+    * produced in one shuffle.
+    *
+    * `binWidthUs` trades right-side fan-out (ceil(len/width)+1 rows per
+    * interval) against bucket selectivity — set it near the typical
+    * interval length. Skewed buckets (many intervals over one hot bin)
+    * are real candidate mass, left to AQE skew-join splitting. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightStart: String, rightEnd: String,
+      rightPrefix: String = "right_",
+      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val clash = rPayload.map(rightPrefix + _).toSet
+      .intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"prefixed right columns collide with left columns: $clash")
+    val r = right.select((keys.map(col) :+
+        microsOf(col(rightStart)).as("__s") :+
+        microsOf(col(rightEnd)).as("__e") :+
+        struct(rPayload.map(col): _*).as("__r")): _*)
+      .filter(col("__e") > col("__s"))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(col("__s"), binWidthUs),
+        floorDiv(col("__e") - 1, binWidthUs))))
+    val l = left.withColumn("__t", microsOf(col(leftTs)))
+      .withColumn("__bin", floorDiv(col("__t"), binWidthUs))
+    l.join(r, keys :+ "__bin")
+      .filter(col("__t") >= col("__s") && col("__t") < col("__e"))
+      .select(left.columns.map(col).toSeq ++
+        rPayload.map(p => col(s"__r.$p").as(rightPrefix + p)): _*)
+  }
 }

@@ -176,6 +176,25 @@ object ScaleRehearsal {
       results += "phrase_scan_naive_p2048" -> tNaive
     }
 
+    if (runOp("range_join")) {
+      // interval containment at mult-x: per-copy user_id offsets keep
+      // copies independent, so matches scale linearly with the corpus
+      val ev0 = graft.streaming.EventStreams.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val evX = (0 until mult).map(c => ev0
+        .withColumn("user_id", col("user_id") + lit(c.toLong << 32))
+        .withColumn("event_id", col("event_id") + lit(c.toLong << 40)))
+        .reduce(_ unionByName _)
+      val wins = evX.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("event_id").as("win_id"),
+          col("ts").as("ws"), (col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
+      val (nMatch, tRange) = time(graft.ops.AsOf.rangeJoin(
+        evX, wins, Seq("user_id"), "ts", "ws", "we", "w_").count())
+      println(s"[rehearsal] range_join matches=$nMatch over ${mult}x events")
+      results += "range_join" -> tRange
+    }
+
     if (runOp("dedup_star_cc")) {
       val (_, tStar) = time {
         val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.6)

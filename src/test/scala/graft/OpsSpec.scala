@@ -1024,6 +1024,34 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cross join leaked:\n$plan")
   }
 
+  // --- interval (range) join ---
+
+  test("rangeJoin: boundary semantics and randomized parity with the naive join") {
+    // microsecond timestamps straddling bin boundaries (width 100),
+    // including pre-epoch negatives (floorDiv must be a true floor),
+    // empty intervals, and ts-at-start / ts-at-end boundary hits
+    val rnd = new scala.util.Random(19)
+    val left = (0 until 200).map { i =>
+      (i.toLong, (i % 7).toLong, rnd.between(-300L, 1300L))
+    }.toDF("eid", "k", "tus")
+      .select($"eid", $"k", timestamp_micros($"tus").as("t"))
+    val right = (0 until 80).map { j =>
+      val s = rnd.between(-350L, 1200L)
+      (j.toLong + 1000, (j % 7).toLong, s, s + rnd.between(0L, 400L))
+    }.toDF("wid", "k", "sus", "eus")
+      .select($"wid", $"k", timestamp_micros($"sus").as("s"),
+        timestamp_micros($"eus").as("e"))
+    val got = graft.ops.AsOf.rangeJoin(left, right, Seq("k"), "t", "s", "e",
+        "w_", binWidthUs = 100L)
+      .select($"eid", $"w_wid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    val want = left.join(right, Seq("k"))
+      .filter($"t" >= $"s" && $"t" < $"e")
+      .select($"eid", $"wid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want,
+      s"missing=${want -- got.toSet} extra=${got.toSet -- want}")
+  }
+
   // --- multi-phrase exact scan (Aho-Corasick) ---
 
   test("phraseMatches: overlaps, nested phrases, repeats, null and empty text") {
