@@ -87,17 +87,33 @@ object AsOf {
   }
 
   /** Integer floor-division of a long column by a positive constant —
-    * exact at any magnitude (the numerator is made an exact multiple
-    * before the divide, so the double division is exact). */
+    * exact at any magnitude: pmod makes the numerator an exact multiple,
+    * then INTEGRAL division (SQL `div`) avoids the double-divide that
+    * goes off by one above 2^53 (year-300k micros are valid longs). */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
-  /** Epoch micros for TIMESTAMP or TIMESTAMP_NTZ inputs (unix_micros
-    * alone rejects NTZ). The NTZ→TZ cast reads the wall time in the
-    * session timezone — applied identically to both join sides, so
-    * every comparison below is invariant to the choice. */
-  private def microsOf(c: Column): Column =
-    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+  /** Monotonic epoch-anchored micros for a TIMESTAMP or TIMESTAMP_NTZ
+    * column. TIMESTAMP is an instant — unix_micros directly. NTZ is a
+    * WALL CLOCK: ANY route through the session timezone (a cast, even
+    * `timestampdiff` — verified: its NTZ coercion collapses DST-gap
+    * wall times to one instant) is non-monotonic across spring-forward
+    * and silently empties intervals. So NTZ converts by pure FIELD
+    * arithmetic — days-since-epoch and clock fields are direct wall
+    * reads on NTZ, timezone never enters. */
+  private def microsOf(df: DataFrame, colName: String): Column =
+    df.schema(colName).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val c = col(colName)
+        val days = datediff(c.cast(org.apache.spark.sql.types.DateType),
+          lit(java.time.LocalDate.of(1970, 1, 1))).cast("long")
+        days * lit(86400000000L) +
+          hour(c).cast("long") * lit(3600000000L) +
+          minute(c).cast("long") * lit(60000000L) +
+          (expr(s"date_part('SECOND', `$colName`)") * lit(1000000L))
+            .cast("long")
+      case _ => unix_micros(col(colName))
+    }
 
   /** Interval (range) join: every (left row, right row) pair with equal
     * `keys` where the right interval `[startCol, endCol)` CONTAINS the
@@ -129,15 +145,19 @@ object AsOf {
       .intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"prefixed right columns collide with left columns: $clash")
+    val internal = Set("__t", "__bin", "__s", "__e", "__r")
+    val reserved = (left.columns.toSet ++ keys).intersect(internal)
+    require(reserved.isEmpty,
+      s"input columns collide with rangeJoin internals: $reserved")
     val r = right.select((keys.map(col) :+
-        microsOf(col(rightStart)).as("__s") :+
-        microsOf(col(rightEnd)).as("__e") :+
+        microsOf(right, rightStart).as("__s") :+
+        microsOf(right, rightEnd).as("__e") :+
         struct(rPayload.map(col): _*).as("__r")): _*)
       .filter(col("__e") > col("__s"))
       .withColumn("__bin", explode(sequence(
         floorDiv(col("__s"), binWidthUs),
         floorDiv(col("__e") - 1, binWidthUs))))
-    val l = left.withColumn("__t", microsOf(col(leftTs)))
+    val l = left.withColumn("__t", microsOf(left, leftTs))
       .withColumn("__bin", floorDiv(col("__t"), binWidthUs))
     l.join(r, keys :+ "__bin")
       .filter(col("__t") >= col("__s") && col("__t") < col("__e"))

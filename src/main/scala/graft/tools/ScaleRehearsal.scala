@@ -182,9 +182,12 @@ object ScaleRehearsal {
       val ev0 = graft.streaming.EventStreams.normalizeEventTs(
         spark.read.parquet(s"$sfDir/events.parquet"))
         .select(col("event_id"), col("user_id"), col("ts"))
+      // event_id offset must be a MULTIPLE OF 5 so every copy derives
+      // its windows from the same event_id % 5 residue class — true
+      // replicas, exactly-linear expected matches
       val evX = (0 until mult).map(c => ev0
         .withColumn("user_id", col("user_id") + lit(c.toLong << 32))
-        .withColumn("event_id", col("event_id") + lit(c.toLong << 40)))
+        .withColumn("event_id", col("event_id") + lit(c.toLong * (5L << 40))))
         .reduce(_ unionByName _)
       val wins = evX.filter(col("event_id") % 5 === 0)
         .select(col("user_id"), col("event_id").as("win_id"),

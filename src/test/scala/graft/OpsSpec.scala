@@ -1052,6 +1052,35 @@ class OpsSpec extends SparkSpec {
       s"missing=${want -- got.toSet} extra=${got.toSet -- want}")
   }
 
+  test("rangeJoin: TIMESTAMP_NTZ stays wall-clock-exact across a DST gap") {
+    // NTZ is a wall clock; routing it through the session timezone is
+    // non-monotonic across spring-forward (two wall times collapse to
+    // one instant, silently emptying intervals). Pin the wall-clock
+    // path under a DST zone: 2026-03-08 02:00-03:00 does not exist in
+    // America/New_York, and intervals spanning it must still match.
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val left = Seq((1L, 9L, "2026-03-08 03:10:00"), (2L, 9L, "2026-03-08 02:30:00"))
+        .toDF("eid", "k", "ts")
+        .select($"eid", $"k", to_timestamp_ntz($"ts").as("t"))
+      val right = Seq((10L, 9L, "2026-03-08 02:20:00", "2026-03-08 03:20:00"))
+        .toDF("wid", "k", "ss", "es")
+        .select($"wid", $"k", to_timestamp_ntz($"ss").as("s"),
+          to_timestamp_ntz($"es").as("e"))
+      val got = graft.ops.AsOf.rangeJoin(left, right, Seq("k"), "t", "s", "e",
+          "w_", binWidthUs = 600L * 1000000L)
+        .select($"eid", $"w_wid").as[(Long, Long)].collect().toSet
+      // wall-clock truth: NTZ comparisons are timezone-free
+      val want = left.join(right, Seq("k"))
+        .filter($"t" >= $"s" && $"t" < $"e")
+        .select($"eid", $"wid").as[(Long, Long)].collect().toSet
+      assert(want == Set((1L, 10L), (2L, 10L)), s"naive truth surprised: $want")
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    } finally spark.conf.set(tzKey, saved)
+  }
+
   // --- multi-phrase exact scan (Aho-Corasick) ---
 
   test("phraseMatches: overlaps, nested phrases, repeats, null and empty text") {
