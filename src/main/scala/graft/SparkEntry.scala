@@ -3559,6 +3559,23 @@ object SparkEntry {
           "ts", "w_start", "w_end", rightPrefix = "w_")
         .select(col("event_id"), col("w_win_id").as("win_id"))
     }),
+    // interval-overlap join (interval x interval): 1-hour windows vs
+    // 2-hour windows per user — pair kept in the overlap-start bin only
+    "overlap_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("ts").cast(TimestampNTZType).as("ts"))
+      val lw = ev.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id").as("lwin_id"),
+          col("ts").as("l_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("l_end"))
+      val rw = ev.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("event_id").as("rwin_id"),
+          col("ts").as("r_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("r_end"))
+      graft.ops.AsOf.overlapJoin(lw, rw, Seq("user_id"),
+          "l_start", "l_end", "r_start", "r_end", rightPrefix = "w_")
+        .select(col("lwin_id"), col("w_rwin_id").as("rwin_id"))
+    }),
     // nearest direction: closer of the two, backward on ties
     "asof_nearest" -> ((s, d) => {
       val (clicks, purchases) = asofSides(s, d)
@@ -5443,6 +5460,15 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS mismatches, true AS nonempty",
     "simhash_recall" -> "SELECT CAST(0 AS BIGINT) AS missed",
     "text_fp_gate" -> "SELECT CAST(0 AS BIGINT) AS violations",
+    // interval overlap: DuckDB replays the naive predicate exactly
+    "overlap_join" -> ("WITH e AS (SELECT event_id, user_id, " +
+      "CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "l AS (SELECT user_id, event_id AS lwin_id, ts AS ls, " +
+      "ts + INTERVAL 1 HOUR AS le FROM e WHERE event_id % 7 = 0), " +
+      "r AS (SELECT user_id, event_id AS rwin_id, ts AS rs, " +
+      "ts + INTERVAL 2 HOUR AS re FROM e WHERE event_id % 5 = 0) " +
+      "SELECT l.lwin_id, r.rwin_id FROM l JOIN r " +
+      "ON l.user_id = r.user_id AND l.ls < r.re AND r.rs < l.le"),
     // interval containment: DuckDB replays the naive range join exactly
     "range_join" -> ("WITH e AS (SELECT event_id, user_id, " +
       "CAST(ts AS TIMESTAMP) AS ts FROM events), " +

@@ -135,6 +135,51 @@ object AsOf {
     * interval) against bucket selectivity — set it near the typical
     * interval length. Skewed buckets (many intervals over one hot bin)
     * are real candidate mass, left to AQE skew-join splitting. */
+  /** Interval-overlap join: every (left, right) pair with equal `keys`
+    * whose half-open intervals intersect — `ls < re && rs < le` (so
+    * touching intervals do NOT match). The generalization of
+    * [[rangeJoin]] to interval×interval (session overlap, span
+    * intersection); same bin-bucketed shape, with BOTH sides exploded
+    * to their covered bins. A pair can share many bins, so the
+    * candidate is kept only in the bin of `max(ls, rs)` — the overlap
+    * start, which both sides are guaranteed to cover — making each
+    * qualifying pair meet in EXACTLY one bin again: one equi-join
+    * shuffle, no dedup pass. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      rightPrefix: String = "right_",
+      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val clash = rPayload.map(rightPrefix + _).toSet
+      .intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"prefixed right columns collide with left columns: $clash")
+    val internal = Set("__ls", "__le", "__rs", "__re", "__bin", "__r")
+    val reserved = (left.columns.toSet ++ keys).intersect(internal)
+    require(reserved.isEmpty,
+      s"input columns collide with overlapJoin internals: $reserved")
+    def binsOf(s: Column, e: Column): Column =
+      explode(sequence(floorDiv(s, binWidthUs), floorDiv(e - 1, binWidthUs)))
+    val r = right.select((keys.map(col) :+
+        microsOf(right, rightStart).as("__rs") :+
+        microsOf(right, rightEnd).as("__re") :+
+        struct(rPayload.map(col): _*).as("__r")): _*)
+      .filter(col("__re") > col("__rs"))
+      .withColumn("__bin", binsOf(col("__rs"), col("__re")))
+    val l = left
+      .withColumn("__ls", microsOf(left, leftStart))
+      .withColumn("__le", microsOf(left, leftEnd))
+      .filter(col("__le") > col("__ls"))
+      .withColumn("__bin", binsOf(col("__ls"), col("__le")))
+    l.join(r, keys :+ "__bin")
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le") &&
+        col("__bin") === floorDiv(greatest(col("__ls"), col("__rs")), binWidthUs))
+      .select(left.columns.map(col).toSeq ++
+        rPayload.map(p => col(s"__r.$p").as(rightPrefix + p)): _*)
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightStart: String, rightEnd: String,
       rightPrefix: String = "right_",

@@ -182,12 +182,12 @@ object ScaleRehearsal {
       val ev0 = graft.streaming.EventStreams.normalizeEventTs(
         spark.read.parquet(s"$sfDir/events.parquet"))
         .select(col("event_id"), col("user_id"), col("ts"))
-      // event_id offset must be a MULTIPLE OF 5 so every copy derives
-      // its windows from the same event_id % 5 residue class — true
-      // replicas, exactly-linear expected matches
+      // event_id offset must be a MULTIPLE OF 35 so every copy derives
+      // both window sets (event_id % 5 and % 7) from the same residue
+      // classes — true replicas, exactly-linear expected matches
       val evX = (0 until mult).map(c => ev0
         .withColumn("user_id", col("user_id") + lit(c.toLong << 32))
-        .withColumn("event_id", col("event_id") + lit(c.toLong * (5L << 40))))
+        .withColumn("event_id", col("event_id") + lit(c.toLong * (35L << 40))))
         .reduce(_ unionByName _)
       val wins = evX.filter(col("event_id") % 5 === 0)
         .select(col("user_id"), col("event_id").as("win_id"),
@@ -196,6 +196,14 @@ object ScaleRehearsal {
         evX, wins, Seq("user_id"), "ts", "ws", "we", "w_").count())
       println(s"[rehearsal] range_join matches=$nMatch over ${mult}x events")
       results += "range_join" -> tRange
+      // interval x interval: 1-hour windows overlapping the 2-hour ones
+      val lwins = evX.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_id").as("lwin_id"),
+          col("ts").as("ls"), (col("ts") + expr("INTERVAL 1 HOUR")).as("le"))
+      val (nOv, tOv) = time(graft.ops.AsOf.overlapJoin(
+        lwins, wins, Seq("user_id"), "ls", "le", "ws", "we", "w_").count())
+      println(s"[rehearsal] overlap_join matches=$nOv over ${mult}x events")
+      results += "overlap_join" -> tOv
     }
 
     if (runOp("dedup_star_cc")) {

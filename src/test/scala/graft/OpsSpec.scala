@@ -1052,6 +1052,38 @@ class OpsSpec extends SparkSpec {
       s"missing=${want -- got.toSet} extra=${got.toSet -- want}")
   }
 
+  test("overlapJoin: randomized parity, touching intervals excluded") {
+    val rnd = new scala.util.Random(23)
+    def iv(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.between(-300L, 1200L)
+      (idBase + i, (i % 5).toLong, s, s + rnd.between(0L, 350L)) // incl. empty
+    }
+    val left = iv(120, 0L).toDF("lid", "k", "sus", "eus")
+      .select($"lid", $"k", timestamp_micros($"sus").as("ls"),
+        timestamp_micros($"eus").as("le"))
+    val right = iv(90, 1000L).toDF("rid", "k", "sus", "eus")
+      .select($"rid", $"k", timestamp_micros($"sus").as("rs"),
+        timestamp_micros($"eus").as("re"))
+    val got = graft.ops.AsOf.overlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", "w_", binWidthUs = 100L)
+      .select($"lid", $"w_rid").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    val want = left.join(right, Seq("k"))
+      .filter($"ls" < $"re" && $"rs" < $"le" && $"le" > $"ls" && $"re" > $"rs")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet == want,
+      s"missing=${want -- got.toSet} extra=${got.toSet -- want}")
+    // touching intervals do not overlap (half-open semantics)
+    val a = Seq((1L, 1L, 0L, 100L)).toDF("lid", "k", "sus", "eus")
+      .select($"lid", $"k", timestamp_micros($"sus").as("ls"),
+        timestamp_micros($"eus").as("le"))
+    val b = Seq((2L, 1L, 100L, 200L)).toDF("rid", "k", "sus", "eus")
+      .select($"rid", $"k", timestamp_micros($"sus").as("rs"),
+        timestamp_micros($"eus").as("re"))
+    assert(graft.ops.AsOf.overlapJoin(a, b, Seq("k"),
+      "ls", "le", "rs", "re", "w_", binWidthUs = 64L).count() == 0)
+  }
+
   test("rangeJoin: TIMESTAMP_NTZ stays wall-clock-exact across a DST gap") {
     // NTZ is a wall clock; routing it through the session timezone is
     // non-monotonic across spring-forward (two wall times collapse to
