@@ -115,6 +115,38 @@ object AsOf {
       case _ => unix_micros(col(colName))
     }
 
+  /** Shared preamble of the two bin-bucketed interval joins: validate
+    * the inputs (prefixed right columns must not clash with left; no
+    * input column may shadow an internal name) and build the exploded
+    * right side — (keys, __s, __e epoch micros, __r payload struct,
+    * one __bin row per overlapped fixed-width bin; empty or inverted
+    * intervals are dropped here, so they match nothing). ONE definition
+    * so a fix to the validation or the bin bounds can never land in
+    * one join and silently miss the other. */
+  private def explodedRightIntervals(left: DataFrame, right: DataFrame,
+      keys: Seq[String], rightStart: String, rightEnd: String,
+      rightPrefix: String, binWidthUs: Long,
+      internal: Set[String]): (DataFrame, Seq[String]) = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    val rPayload = right.columns.filterNot(keys.contains).toSeq
+    val clash = rPayload.map(rightPrefix + _).toSet
+      .intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"prefixed right columns collide with left columns: $clash")
+    val reserved = (left.columns.toSet ++ keys).intersect(internal)
+    require(reserved.isEmpty,
+      s"input columns collide with interval-join internals: $reserved")
+    val r = right.select((keys.map(col) :+
+        microsOf(right, rightStart).as("__s") :+
+        microsOf(right, rightEnd).as("__e") :+
+        struct(rPayload.map(col): _*).as("__r")): _*)
+      .filter(col("__e") > col("__s"))
+      .withColumn("__bin", explode(sequence(
+        floorDiv(col("__s"), binWidthUs),
+        floorDiv(col("__e") - 1, binWidthUs))))
+    (r, rPayload)
+  }
+
   /** Interval (range) join: every (left row, right row) pair with equal
     * `keys` where the right interval `[startCol, endCol)` CONTAINS the
     * left timestamp (inclusive start, exclusive end — empty or inverted
@@ -135,9 +167,26 @@ object AsOf {
     * interval) against bucket selectivity — set it near the typical
     * interval length. Skewed buckets (many intervals over one hot bin)
     * are real candidate mass, left to AQE skew-join splitting. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightStart: String, rightEnd: String,
+      rightPrefix: String = "right_",
+      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+    val (r, rPayload) = explodedRightIntervals(left, right, keys,
+      rightStart, rightEnd, rightPrefix, binWidthUs,
+      Set("__t", "__bin", "__s", "__e", "__r"))
+    val l = left.withColumn("__t", microsOf(left, leftTs))
+      .withColumn("__bin", floorDiv(col("__t"), binWidthUs))
+    l.join(r, keys :+ "__bin")
+      .filter(col("__t") >= col("__s") && col("__t") < col("__e"))
+      .select(left.columns.map(col).toSeq ++
+        rPayload.map(p => col(s"__r.$p").as(rightPrefix + p)): _*)
+  }
+
   /** Interval-overlap join: every (left, right) pair with equal `keys`
-    * whose half-open intervals intersect — `ls < re && rs < le` (so
-    * touching intervals do NOT match). The generalization of
+    * whose half-open NONEMPTY intervals intersect — `ls < re && rs <
+    * le` with `ls < le` and `rs < re`: touching intervals do NOT match,
+    * and empty or inverted intervals on EITHER side match nothing
+    * (same rule as [[rangeJoin]]'s right side). The generalization of
     * [[rangeJoin]] to interval×interval (session overlap, span
     * intersection); same bin-bucketed shape, with BOTH sides exploded
     * to their covered bins. A pair can share many bins, so the
@@ -150,62 +199,19 @@ object AsOf {
       rightStart: String, rightEnd: String,
       rightPrefix: String = "right_",
       binWidthUs: Long = 3600L * 1000000L): DataFrame = {
-    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
-    val rPayload = right.columns.filterNot(keys.contains).toSeq
-    val clash = rPayload.map(rightPrefix + _).toSet
-      .intersect(left.columns.toSet)
-    require(clash.isEmpty,
-      s"prefixed right columns collide with left columns: $clash")
-    val internal = Set("__ls", "__le", "__rs", "__re", "__bin", "__r")
-    val reserved = (left.columns.toSet ++ keys).intersect(internal)
-    require(reserved.isEmpty,
-      s"input columns collide with overlapJoin internals: $reserved")
-    def binsOf(s: Column, e: Column): Column =
-      explode(sequence(floorDiv(s, binWidthUs), floorDiv(e - 1, binWidthUs)))
-    val r = right.select((keys.map(col) :+
-        microsOf(right, rightStart).as("__rs") :+
-        microsOf(right, rightEnd).as("__re") :+
-        struct(rPayload.map(col): _*).as("__r")): _*)
-      .filter(col("__re") > col("__rs"))
-      .withColumn("__bin", binsOf(col("__rs"), col("__re")))
+    val (r, rPayload) = explodedRightIntervals(left, right, keys,
+      rightStart, rightEnd, rightPrefix, binWidthUs,
+      Set("__ls", "__le", "__bin", "__s", "__e", "__r"))
     val l = left
       .withColumn("__ls", microsOf(left, leftStart))
       .withColumn("__le", microsOf(left, leftEnd))
       .filter(col("__le") > col("__ls"))
-      .withColumn("__bin", binsOf(col("__ls"), col("__le")))
-    l.join(r, keys :+ "__bin")
-      .filter(col("__ls") < col("__re") && col("__rs") < col("__le") &&
-        col("__bin") === floorDiv(greatest(col("__ls"), col("__rs")), binWidthUs))
-      .select(left.columns.map(col).toSeq ++
-        rPayload.map(p => col(s"__r.$p").as(rightPrefix + p)): _*)
-  }
-
-  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightStart: String, rightEnd: String,
-      rightPrefix: String = "right_",
-      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
-    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
-    val rPayload = right.columns.filterNot(keys.contains).toSeq
-    val clash = rPayload.map(rightPrefix + _).toSet
-      .intersect(left.columns.toSet)
-    require(clash.isEmpty,
-      s"prefixed right columns collide with left columns: $clash")
-    val internal = Set("__t", "__bin", "__s", "__e", "__r")
-    val reserved = (left.columns.toSet ++ keys).intersect(internal)
-    require(reserved.isEmpty,
-      s"input columns collide with rangeJoin internals: $reserved")
-    val r = right.select((keys.map(col) :+
-        microsOf(right, rightStart).as("__s") :+
-        microsOf(right, rightEnd).as("__e") :+
-        struct(rPayload.map(col): _*).as("__r")): _*)
-      .filter(col("__e") > col("__s"))
       .withColumn("__bin", explode(sequence(
-        floorDiv(col("__s"), binWidthUs),
-        floorDiv(col("__e") - 1, binWidthUs))))
-    val l = left.withColumn("__t", microsOf(left, leftTs))
-      .withColumn("__bin", floorDiv(col("__t"), binWidthUs))
+        floorDiv(col("__ls"), binWidthUs),
+        floorDiv(col("__le") - 1, binWidthUs))))
     l.join(r, keys :+ "__bin")
-      .filter(col("__t") >= col("__s") && col("__t") < col("__e"))
+      .filter(col("__ls") < col("__e") && col("__s") < col("__le") &&
+        col("__bin") === floorDiv(greatest(col("__ls"), col("__s")), binWidthUs))
       .select(left.columns.map(col).toSeq ++
         rPayload.map(p => col(s"__r.$p").as(rightPrefix + p)): _*)
   }

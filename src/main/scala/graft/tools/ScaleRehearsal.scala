@@ -176,7 +176,7 @@ object ScaleRehearsal {
       results += "phrase_scan_naive_p2048" -> tNaive
     }
 
-    if (runOp("range_join")) {
+    if (runOp("range_join") || runOp("overlap_join")) {
       // interval containment at mult-x: per-copy user_id offsets keep
       // copies independent, so matches scale linearly with the corpus
       val ev0 = graft.streaming.EventStreams.normalizeEventTs(
