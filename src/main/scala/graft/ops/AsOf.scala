@@ -126,7 +126,11 @@ object AsOf {
   private def explodedRightIntervals(left: DataFrame, right: DataFrame,
       keys: Seq[String], rightStart: String, rightEnd: String,
       rightPrefix: String, binWidthUs: Long,
-      internal: Set[String]): (DataFrame, Seq[String]) = {
+      callerInternal: Set[String]): (DataFrame, Seq[String]) = {
+    // helper-owned internals live HERE so a new one can never be
+    // silently missing from a caller's reserved set; callers pass only
+    // their own extra working names
+    val internal = callerInternal ++ Set("__bin", "__s", "__e", "__r")
     require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     val clash = rPayload.map(rightPrefix + _).toSet
@@ -172,8 +176,7 @@ object AsOf {
       rightPrefix: String = "right_",
       binWidthUs: Long = 3600L * 1000000L): DataFrame = {
     val (r, rPayload) = explodedRightIntervals(left, right, keys,
-      rightStart, rightEnd, rightPrefix, binWidthUs,
-      Set("__t", "__bin", "__s", "__e", "__r"))
+      rightStart, rightEnd, rightPrefix, binWidthUs, Set("__t"))
     val l = left.withColumn("__t", microsOf(left, leftTs))
       .withColumn("__bin", floorDiv(col("__t"), binWidthUs))
     l.join(r, keys :+ "__bin")
@@ -200,8 +203,7 @@ object AsOf {
       rightPrefix: String = "right_",
       binWidthUs: Long = 3600L * 1000000L): DataFrame = {
     val (r, rPayload) = explodedRightIntervals(left, right, keys,
-      rightStart, rightEnd, rightPrefix, binWidthUs,
-      Set("__ls", "__le", "__bin", "__s", "__e", "__r"))
+      rightStart, rightEnd, rightPrefix, binWidthUs, Set("__ls", "__le"))
     val l = left
       .withColumn("__ls", microsOf(left, leftStart))
       .withColumn("__le", microsOf(left, leftEnd))

@@ -192,18 +192,22 @@ object ScaleRehearsal {
       val wins = evX.filter(col("event_id") % 5 === 0)
         .select(col("user_id"), col("event_id").as("win_id"),
           col("ts").as("ws"), (col("ts") + expr("INTERVAL 2 HOURS")).as("we"))
-      val (nMatch, tRange) = time(graft.ops.AsOf.rangeJoin(
-        evX, wins, Seq("user_id"), "ts", "ws", "we", "w_").count())
-      println(s"[rehearsal] range_join matches=$nMatch over ${mult}x events")
-      results += "range_join" -> tRange
-      // interval x interval: 1-hour windows overlapping the 2-hour ones
-      val lwins = evX.filter(col("event_id") % 7 === 0)
-        .select(col("user_id"), col("event_id").as("lwin_id"),
-          col("ts").as("ls"), (col("ts") + expr("INTERVAL 1 HOUR")).as("le"))
-      val (nOv, tOv) = time(graft.ops.AsOf.overlapJoin(
-        lwins, wins, Seq("user_id"), "ls", "le", "ws", "we", "w_").count())
-      println(s"[rehearsal] overlap_join matches=$nOv over ${mult}x events")
-      results += "overlap_join" -> tOv
+      if (runOp("range_join")) {
+        val (nMatch, tRange) = time(graft.ops.AsOf.rangeJoin(
+          evX, wins, Seq("user_id"), "ts", "ws", "we", "w_").count())
+        println(s"[rehearsal] range_join matches=$nMatch over ${mult}x events")
+        results += "range_join" -> tRange
+      }
+      if (runOp("overlap_join")) {
+        // interval x interval: 1-hour windows overlapping the 2-hour ones
+        val lwins = evX.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("event_id").as("lwin_id"),
+            col("ts").as("ls"), (col("ts") + expr("INTERVAL 1 HOUR")).as("le"))
+        val (nOv, tOv) = time(graft.ops.AsOf.overlapJoin(
+          lwins, wins, Seq("user_id"), "ls", "le", "ws", "we", "w_").count())
+        println(s"[rehearsal] overlap_join matches=$nOv over ${mult}x events")
+        results += "overlap_join" -> tOv
+      }
     }
 
     if (runOp("dedup_star_cc")) {
