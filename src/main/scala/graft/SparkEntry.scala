@@ -179,10 +179,12 @@ object SparkEntry {
     val nPlanted = planted.count()
     val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
     val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
-    val nProbed = probed.count()
-    val agree = probed.select("id", "match_id")
-      .unionByName(oneShot).distinct().count() == nProbed &&
-      nProbed == oneShot.count()
+    // set equality via exceptAll BOTH ways — self-contained even if a
+    // future caller passes inputs with duplicate rows (a union-distinct
+    // count comparison could mask a missing pair against a duplicated
+    // one; safe-only-by-construction is not a contract)
+    val p = probed.select("id", "match_id").localCheckpoint(true)
+    val agree = p.exceptAll(oneShot).isEmpty && oneShot.exceptAll(p).isEmpty
     (selfHits == nPlanted && nPlanted > 0, freshHits == 0L, agree)
   }
 

@@ -93,6 +93,25 @@ object AsOf {
   private def floorDiv(c: Column, w: Long): Column =
     call_function("div", c - pmod(c, lit(w)), lit(w))
 
+  /** Exploded bin ids covered by the half-open interval [s, e) — or a
+    * LOUD runtime failure when a single interval would fan out past
+    * `maxBins` bins. The open-interval sentinel trap: a 9999-12-31 end
+    * timestamp (the common "no end yet" convention) with the default
+    * 1-hour bin is ~70M exploded rows PER ROW — an executor OOM with no
+    * explanation. Same loud-over-silent convention as the BM25 probe
+    * caps: fail with the fix in the message instead. */
+  private def binsOrFail(s: Column, e: Column, binWidthUs: Long,
+      maxBins: Long): Column = {
+    val lo = floorDiv(s, binWidthUs)
+    val hi = floorDiv(e - 1, binWidthUs)
+    explode(when(hi - lo >= maxBins, raise_error(format_string(
+      s"graft interval join: one interval spans %d bins (> " +
+        s"maxBinsPerInterval=$maxBins with binWidthUs=$binWidthUs); " +
+        "raise binWidthUs, raise maxBinsPerInterval, or clamp " +
+        "open-ended sentinel end timestamps to the queried time range",
+      hi - lo + 1))).otherwise(sequence(lo, hi)))
+  }
+
   /** Monotonic epoch-anchored micros for a TIMESTAMP or TIMESTAMP_NTZ
     * column. TIMESTAMP is an instant — unix_micros directly. NTZ is a
     * WALL CLOCK: ANY route through the session timezone (a cast, even
@@ -125,8 +144,10 @@ object AsOf {
     * one join and silently miss the other. */
   private def explodedRightIntervals(left: DataFrame, right: DataFrame,
       keys: Seq[String], rightStart: String, rightEnd: String,
-      rightPrefix: String, binWidthUs: Long,
+      rightPrefix: String, binWidthUs: Long, maxBinsPerInterval: Long,
       callerInternal: Set[String]): (DataFrame, Seq[String]) = {
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     // helper-owned internals live HERE so a new one can never be
     // silently missing from a caller's reserved set; callers pass only
     // their own extra working names
@@ -145,9 +166,8 @@ object AsOf {
         microsOf(right, rightEnd).as("__e") :+
         struct(rPayload.map(col): _*).as("__r")): _*)
       .filter(col("__e") > col("__s"))
-      .withColumn("__bin", explode(sequence(
-        floorDiv(col("__s"), binWidthUs),
-        floorDiv(col("__e") - 1, binWidthUs))))
+      .withColumn("__bin",
+        binsOrFail(col("__s"), col("__e"), binWidthUs, maxBinsPerInterval))
     (r, rPayload)
   }
 
@@ -170,13 +190,20 @@ object AsOf {
     * `binWidthUs` trades right-side fan-out (ceil(len/width)+1 rows per
     * interval) against bucket selectivity — set it near the typical
     * interval length. Skewed buckets (many intervals over one hot bin)
-    * are real candidate mass, left to AQE skew-join splitting. */
+    * are real candidate mass, left to AQE skew-join splitting.
+    *
+    * `maxBinsPerInterval` bounds per-interval fan-out: any single
+    * interval wider than `maxBinsPerInterval * binWidthUs` fails the
+    * job LOUDLY (an unclamped open-interval sentinel like 9999-12-31
+    * would otherwise explode to tens of millions of rows per row). */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightStart: String, rightEnd: String,
       rightPrefix: String = "right_",
-      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+      binWidthUs: Long = 3600L * 1000000L,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
     val (r, rPayload) = explodedRightIntervals(left, right, keys,
-      rightStart, rightEnd, rightPrefix, binWidthUs, Set("__t"))
+      rightStart, rightEnd, rightPrefix, binWidthUs, maxBinsPerInterval,
+      Set("__t"))
     val l = left.withColumn("__t", microsOf(left, leftTs))
       .withColumn("__bin", floorDiv(col("__t"), binWidthUs))
     l.join(r, keys :+ "__bin")
@@ -201,16 +228,17 @@ object AsOf {
       leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String,
       rightPrefix: String = "right_",
-      binWidthUs: Long = 3600L * 1000000L): DataFrame = {
+      binWidthUs: Long = 3600L * 1000000L,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
     val (r, rPayload) = explodedRightIntervals(left, right, keys,
-      rightStart, rightEnd, rightPrefix, binWidthUs, Set("__ls", "__le"))
+      rightStart, rightEnd, rightPrefix, binWidthUs, maxBinsPerInterval,
+      Set("__ls", "__le"))
     val l = left
       .withColumn("__ls", microsOf(left, leftStart))
       .withColumn("__le", microsOf(left, leftEnd))
       .filter(col("__le") > col("__ls"))
-      .withColumn("__bin", explode(sequence(
-        floorDiv(col("__ls"), binWidthUs),
-        floorDiv(col("__le") - 1, binWidthUs))))
+      .withColumn("__bin",
+        binsOrFail(col("__ls"), col("__le"), binWidthUs, maxBinsPerInterval))
     l.join(r, keys :+ "__bin")
       .filter(col("__ls") < col("__e") && col("__s") < col("__le") &&
         col("__bin") === floorDiv(greatest(col("__ls"), col("__s")), binWidthUs))

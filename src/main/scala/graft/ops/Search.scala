@@ -561,7 +561,11 @@ object Search {
         // require for a driver OOM. Beyond 16x the pushable cap
         // (~512k terms, tens of MB broadcast) the batch must be split
         // by the caller — fail with that message, never OOM.
-        val hardCap = maxProbeTerms.toLong * 16
+        // clamp before limit(): an absurd maxProbeTerms (> MaxInt/16)
+        // would overflow hardCap.toInt + 1 to a negative limit and die
+        // with a confusing AnalysisException instead of this message
+        val hardCap = math.min(maxProbeTerms.toLong * 16,
+          Int.MaxValue.toLong - 1)
         // bounded over-cap probe (limit n+1, same idiom as the pushable
         // check above): never pay a full global distinct just to fail
         val nBounded = qterms.select("term").distinct()

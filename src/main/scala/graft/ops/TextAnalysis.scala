@@ -727,7 +727,8 @@ object TextAnalysis {
     * phrase as an exact char-level substring. One automaton scan per
     * document regardless of phrase count; output is match-bound. The id
     * column must be castable to long (the repo's doc_id convention).
-    * Null texts are ignored; each contained phrase reports once. */
+    * Null texts — and rows whose id is null or does not cast to long —
+    * are skipped consistently; each contained phrase reports once. */
   def phraseMatches(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(p => p != null && p.nonEmpty),
@@ -736,7 +737,12 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(uniq)
-    val hits = df.select(col(idCol).cast("long"), col(textCol))
+    // drop null / non-castable ids BEFORE the non-nullable tuple
+    // encoder: uncaught, they fail mid-job (ANSI cast error or an
+    // obscure encoder NPE) while null texts are skipped — try_cast +
+    // filter gives one consistent skip rule for both
+    val hits = df.select(col(idCol).try_cast("long").as("__id"), col(textCol))
+      .filter(col("__id").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         val ac = new AhoCorasick(bc.value) // built once per partition

@@ -1084,6 +1084,36 @@ class OpsSpec extends SparkSpec {
       "ls", "le", "rs", "re", "w_", binWidthUs = 64L).count() == 0)
   }
 
+  test("interval joins: a sentinel-wide interval fails LOUDLY at the bin cap") {
+    // the open-interval trap: an unclamped 9999-12-31 end would explode
+    // to ~70M bins per row — the cap must fail with the fix in the
+    // message, not OOM an executor
+    val left = Seq((1L, 1L, 500L)).toDF("eid", "k", "tus")
+      .select($"eid", $"k", timestamp_micros($"tus").as("t"))
+    val wide = Seq((9L, 1L, 0L, 5000L)).toDF("wid", "k", "sus", "eus")
+      .select($"wid", $"k", timestamp_micros($"sus").as("s"),
+        timestamp_micros($"eus").as("e"))
+    val ex = intercept[Exception] {
+      graft.ops.AsOf.rangeJoin(left, wide, Seq("k"), "t", "s", "e", "w_",
+        binWidthUs = 100L, maxBinsPerInterval = 10L).count()
+    }
+    assert(ex.getMessage.contains("maxBinsPerInterval"),
+      s"expected the bin-cap message, got: ${ex.getMessage}")
+    // same guard on overlapJoin's LEFT side (its intervals explode too)
+    val ex2 = intercept[Exception] {
+      graft.ops.AsOf.overlapJoin(wide.select($"wid", $"k",
+          $"s".as("ls"), $"e".as("le")),
+        left.select($"eid", $"k", $"t".as("rs"),
+          timestamp_micros(lit(600L)).as("re")),
+        Seq("k"), "ls", "le", "rs", "re", "w_",
+        binWidthUs = 100L, maxBinsPerInterval = 10L).count()
+    }
+    assert(ex2.getMessage.contains("maxBinsPerInterval"))
+    // at-cap (exactly maxBins bins) still runs: 50 bins with cap 50
+    assert(graft.ops.AsOf.rangeJoin(left, wide, Seq("k"), "t", "s", "e",
+      "w_", binWidthUs = 100L, maxBinsPerInterval = 50L).count() == 1L)
+  }
+
   test("rangeJoin: TIMESTAMP_NTZ stays wall-clock-exact across a DST gap") {
     // NTZ is a wall clock; routing it through the session timezone is
     // non-monotonic across spring-forward (two wall times collapse to
@@ -1130,6 +1160,17 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got == Set((1L, "aba"), (1L, "ab"), (2L, "ab"), (2L, "abc"),
       (3L, "xyz"), (6L, "ab"), (6L, "aba")))
+  }
+
+  test("phraseMatches: null and non-castable ids are skipped like null texts") {
+    // string ids: castable ones keep matching, garbage ones skip
+    // quietly instead of NPE-ing the tuple encoder mid-job
+    val docs = Seq(("7", "has xyz inside"), (null.asInstanceOf[String], "xyz"),
+      ("not-a-number", "xyz")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .phraseMatches(docs, "doc_id", "text", Seq("xyz"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "xyz")))
   }
 
   test("phraseMatches: randomized parity with per-phrase contains") {
