@@ -132,15 +132,23 @@ object Packing {
     * in-pack ordering uses `sort_array` over (pack_pos, text) structs
     * inside the aggregation, not a window. */
   def packedSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Long, partitions: Int = 0, sep: String = "\n\n"): DataFrame = {
-    val packed = packDocs(df, idCol, textCol, budget, partitions)
+      budget: Long, partitions: Int = 0, sep: String = "\n\n"): DataFrame =
+    sequencesOf(packDocs(df, idCol, textCol, budget, partitions),
+      df, idCol, textCol, sep)
+
+  /** Materialize sequences from an EXISTING pack assignment ([[packDocs]]
+    * output) — for pipelines that already ran (and conservation-checked)
+    * the decision pass, so the assignment is never recomputed: BFD is
+    * partition-local, so a second run over a reshuffled input could
+    * legally assign differently and break cross-stage accounting. */
+  def sequencesOf(packed: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, sep: String = "\n\n"): DataFrame =
     packed.join(df.select(col(idCol), col(textCol)), idCol)
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"),
         array_join(transform(
           sort_array(collect_list(struct(col("pack_pos"), col(textCol).as("t")))),
           s => s.getField("t")), sep).as("text"))
-  }
 
   /** The end of the tokenize-and-pack pipeline: one row per pack with
     * the FLATTENED token-id sequence (members concatenated in

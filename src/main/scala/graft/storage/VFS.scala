@@ -50,6 +50,11 @@ class VFS(conf: Configuration) {
   }
 
   def fileSize(uri: String): Long = { val p = new Path(uri); fs(p).getFileStatus(p).getLen }
+
+  /** Recursive byte size of a directory tree (`du`). */
+  def du(uri: String): Long = {
+    val p = new Path(uri); fs(p).getContentSummary(p).getLength
+  }
 }
 
 object VFS {

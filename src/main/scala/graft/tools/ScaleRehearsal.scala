@@ -762,6 +762,171 @@ object ScaleRehearsal {
       results += "word_entropy" -> tEnt
     }
 
+    // ---- round-15: streaming steady state over ~100 micro-batches ----
+    // The streaming gates' state lives in the persisted indexes, so the
+    // claims under test are (a) per-batch wall tracks the BATCH, not
+    // the growing index — the curve across batch decades must stay
+    // flat while the index grows from empty to the full mult-x corpus —
+    // and (b) state growth is linear in survivors (index rows/bytes),
+    // never in batches x corpus.
+    if (runOp("streaming")) {
+      import graft.storage.ArrayTable
+      val nBatches = 100
+      val idxUri = s"$outDir/stream_nd_index"
+      val sinkUri = s"$outDir/stream_nd_sink"
+      val srcDir = s"$outDir/stream_nd_src"
+      val ckpt = s"$outDir/stream_nd_ckpt"
+      val fs = graft.storage.VFS(spark)
+      Seq(idxUri, sinkUri, srcDir, ckpt).foreach(u => fs.delete(u))
+      val src = docs.select(col("doc_id"), col("text"))
+      graft.ops.DedupIndex.build(src.limit(0), "doc_id", "text", idxUri)
+      ArrayTable.create(spark, sinkUri,
+        graft.core.ArraySchema.infer(src.schema, Seq("doc_id"))
+          .copy(allowsDuplicates = true))
+      // one file per micro-batch, hash-spread so every batch mixes
+      // copies (a copy-contiguous order would make late batches pure
+      // dups of early ones — no steady-state survivor flow)
+      src.repartition(nBatches, col("doc_id")).write.parquet(srcDir)
+      val lats = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.numInputRows > 0) lats.synchronized {
+            lats += ((p.batchId,
+              p.durationMs.get("triggerExecution").toDouble / 1e3,
+              p.numInputRows))
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.EventStreams.nearDedupStream(
+        spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        "doc_id", "text", idxUri, sinkUri, ckpt, threshold = 0.6)
+      try q.processAllAvailable() finally {
+        q.stop(); spark.streams.removeListener(listener)
+      }
+      val total = (System.nanoTime() - t0) / 1e9
+      val byBatch = lats.sortBy(_._1).toVector
+      def med(xs: Seq[Double]) = if (xs.isEmpty) 0.0
+        else xs.sorted.apply(xs.size / 2)
+      // per-decade medians: the whole flatness story in 10 numbers
+      val decades = byBatch.grouped(math.max(1, byBatch.size / 10)).toVector
+      decades.zipWithIndex.foreach { case (d, i) =>
+        println(f"[rehearsal] streaming decade $i: median ${med(d.map(_._2))}%.2f s " +
+          f"over ${d.size} batches (${d.map(_._3).sum} docs)")
+      }
+      val early = med(byBatch.slice(5, 15).map(_._2))
+      val late = med(byBatch.slice(byBatch.size - 10, byBatch.size).map(_._2))
+      val survivors = ArrayTable.read(spark, sinkUri).count()
+      val idxSigs = spark.read.parquet(s"$idxUri/sigs").count()
+      val idxBytes = fs.du(idxUri)
+      println(f"[rehearsal] streaming: ${byBatch.size} batches, " +
+        f"early median $early%.2f s, late median $late%.2f s " +
+        f"(late/early ${late / math.max(early, 1e-9)}%.2f), survivors=$survivors, " +
+        f"index sig rows=$idxSigs, index bytes=$idxBytes, total $total%.1f s")
+      results += "stream_nd_early_med" -> early
+      results += "stream_nd_late_med" -> late
+      results += "stream_nd_total" -> total
+    }
+
+    // ---- round-15: COMPOSED end-to-end pipeline on ONE heap ----------
+    // Every heavy operator above has an isolated curve, but the r11
+    // (semantic-dedup heap fights) and r13 (tfidf DISK_ONLY OOM) scale
+    // bugs only surfaced under COMPOSED memory pressure. This runs the
+    // full training-data chain — ingest -> clean -> exact dedup -> near
+    // dedup -> decontam -> quality filter -> pack -> materialize ->
+    // shard — as one job chain over the mult-x corpus, measuring
+    // per-stage walls and ASSERTING the chain's conservation laws
+    // between stages (a silent row leak at a stage boundary is exactly
+    // the class of bug isolated curves cannot see).
+    if (runOp("pipeline")) {
+      import org.apache.spark.storage.StorageLevel
+      val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
+      // persist (CacheManager-managed, spillable) + eager count: walls
+      // attribute to their own stage, parents are releasable the moment
+      // the child materializes (localCheckpoint frames would pin their
+      // RDDs outside the CacheManager for the whole chain)
+      def stage(name: String)(f: => DataFrame): (DataFrame, Long) = {
+        val t0 = System.nanoTime()
+        val df = f.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = df.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        stages += name -> t
+        println(f"[rehearsal] pipeline/$name: $n rows in $t%.2f s")
+        (df, n)
+      }
+      val (ingested, nIn) = stage("ingest")(
+        docs.select(col("doc_id"), col("text")))
+      val (clean, nClean) = stage("clean")(ingested.withColumn("text",
+        Curation.redactPii(Curation.stripMarkup(col("text")))))
+      require(nClean == nIn, s"clean is 1:1 but $nIn -> $nClean")
+      val (exact, nExact) = stage("exact_dedup")(
+        Dedup.exactByHash(clean, "text", "doc_id"))
+      require(nExact <= nClean, s"exact dedup grew rows: $nClean -> $nExact")
+      ingested.unpersist()
+      val (near, nNear) = stage("near_dedup")(
+        Dedup.dropNearDups(exact, "doc_id", "text", threshold = 0.6))
+      require(nNear <= nExact, s"near dedup grew rows: $nExact -> $nNear")
+      clean.unpersist()
+      // eval-set decontamination: 500 refs that ARE near-dups of copy-0
+      // docs (uppercase + pad — normalization folds both), so the stage
+      // must actually remove rows, not just run
+      val ref = docs0.limit(500)
+        .select((col("doc_id") + (1L << 45)).as("ref_id"),
+          concat(lit(" "), upper(col("text"))).as("text"))
+      val (flagged, nFlagged) = stage("decontam_flag")(
+        Dedup.crossNearDups(near, "doc_id", "text", ref, "ref_id", "text",
+          threshold = 0.6).select(col("corpus_id").as("doc_id")).distinct())
+      val (decon, nDecon) = stage("decontam_drop")(
+        near.join(flagged, Seq("doc_id"), "left_anti"))
+      require(nDecon == nNear - nFlagged,
+        s"decontam accounting broke: $nNear - $nFlagged != $nDecon")
+      require(nFlagged > 0, "decontam flagged nothing — planted refs lost")
+      exact.unpersist()
+      val (qual, nQual) = stage("quality_filter")(
+        decon.filter(TextAnalysis.qualityScore(col("text")) > 0.2))
+      require(nQual <= nDecon, s"quality filter grew rows: $nDecon -> $nQual")
+      near.unpersist(); flagged.unpersist()
+      val (packed, nPacked) = stage("pack")(
+        graft.ops.Packing.packDocs(qual, "doc_id", "text", 512L))
+      decon.unpersist()
+      // conservation: every nonzero-token doc packs exactly once, and
+      // tokens are conserved through packing (zero-token docs drop)
+      val nNonzero = qual
+        .filter(TextAnalysis.tokenCount(col("text")) > 0).count()
+      require(nPacked == nNonzero,
+        s"pack lost docs: $nNonzero nonzero-token in, $nPacked packed")
+      val tokIn = qual.agg(sum(TextAnalysis.tokenCount(col("text"))))
+        .head().getLong(0)
+      val tokOut = packed.agg(sum(col("tokens"))).head().getLong(0)
+      require(tokIn == tokOut, s"token leak through packing: $tokIn != $tokOut")
+      val overBudget = graft.ops.Packing.packStats(packed, 512L)
+        .filter(col("tokens") > 512L && !col("oversize")).count()
+      require(overBudget == 0L, s"$overBudget packs over budget unflagged")
+      val (seqs, nSeqs) = stage("materialize")(
+        graft.ops.Packing.sequencesOf(packed, qual, "doc_id", "text"))
+      qual.unpersist(); packed.unpersist()
+      val nSh = math.max(16, (nSeqs / 25000L).toInt)
+      val t0Sh = System.nanoTime()
+      val mani = graft.ops.Shards.writeShards(seqs,
+        s"$outDir/pipeline_shards", "pack_id", nSh, tokenCol = Some("tokens"))
+      stages += "shard" -> (System.nanoTime() - t0Sh) / 1e9
+      require(mani.map(_._2).sum == nSeqs,
+        s"shard manifest rows ${mani.map(_._2).sum} != $nSeqs sequences")
+      seqs.unpersist()
+      stages.foreach { case (k, v) => results += s"pipeline_$k" -> v }
+      results += "pipeline_total" -> stages.values.sum
+      println(f"[rehearsal] pipeline: $nIn%d -> exact $nExact%d -> near " +
+        f"$nNear%d -> decontam $nDecon%d -> quality $nQual%d -> " +
+        f"$nSeqs%d sequences in ${mani.size}%d shards, " +
+        f"total ${stages.values.sum}%.1f s, all conservation checks passed")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val capJson = stats.map(s =>
       s""","buckets_over_cap":${s.getLong(1)},"max_bucket":${s.getLong(4)}""").getOrElse("")
