@@ -64,6 +64,14 @@ object DedupIndex {
   private def paramsPath(uri: String) = s"$uri/_params.json"
   private def dataPath(uri: String) = s"$uri/data"
   private def sigsPath(uri: String) = s"$uri/sigs"
+  /** live sigs dir — same [[graft.storage.VersionedDir]] flip as the
+    * bucket table: [[compact]] coalesces the per-append sig files
+    * (every probe opens EVERY sigs file for its map-side semi-join
+    * pass, so file count — 1 per append — is probe-cost growth the
+    * streaming rehearsal measured; legacy unversioned dirs resolve as
+    * generation 0). */
+  private[graft] def liveSigsPath(spark: SparkSession, uri: String): String =
+    graft.storage.VersionedDir.resolve(VFS(spark), uri, "sigs")
   /** live bucket-table dir — [[compact]] flips generations via
     * [[graft.storage.VersionedDir]], so probes concurrent with (or
     * crashed) compacts always resolve a complete directory. */
@@ -174,7 +182,7 @@ object DedupIndex {
     val sigs = sigRows(df, idCol, textCol, p).localCheckpoint(true)
     sigs.write.mode("append")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-      .parquet(sigsPath(uri))
+      .parquet(liveSigsPath(spark, uri))
     // the cap is enforced within the appended batch only; groups that
     // exceed maxBucket across base+appends are re-capped on rebuild
     writeCapped(bandedFromSigs(sigs, p), uri, p, filesPerBand, "append")
@@ -211,7 +219,7 @@ object DedupIndex {
     // candidate-scale, so forcing it broadcast is safe and keeps the
     // estimate join shuffle-free.
     val mids = candidates.select(col("__mid").as("id")).distinct()
-    val corpusSigs = spark.read.parquet(sigsPath(uri))
+    val corpusSigs = spark.read.parquet(liveSigsPath(spark, uri))
       .join(broadcast(mids), Seq("id"), "left_semi")
       .select(col("id").as("__mid"), col("sig").as("__msig"))
     // recomputed narrow (one row per doc by construction) rather than
@@ -276,9 +284,16 @@ object DedupIndex {
     * any corpus text: the narrow (band, bucket, id) rows are re-range-
     * partitioned and re-sorted into `filesPerBand` files per band, and
     * the corpus∪appends bucket cap is re-enforced (append only caps
-    * within its own batch). Sigs are untouched. This is the cheap
-    * maintenance verb between appends and a full [[build]] — cost is
-    * one pass of the ~24 B/row key table, independent of text size. */
+    * within its own batch). The SIGS table coalesces in the same pass
+    * (~250k rows ≈ 130 MB per file, id-range-clustered): append leaves
+    * one sig file per batch, and every probe's map-side semi-join
+    * opens every sigs file — the per-batch latency growth the 10x
+    * streaming rehearsal measured was mostly this file-count tax.
+    * This is the cheap maintenance verb between appends and a full
+    * [[build]] — one pass of the ~24 B/row key table plus one pass of
+    * the sig rows, independent of text size. Maintenance is
+    * single-writer by contract: quiesce APPENDS during compact
+    * (concurrent PROBES are safe — generation flip). */
   def compact(spark: SparkSession, uri: String, filesPerBand: Int = 4): Unit = {
     val p = readParams(spark, uri)
     val fs = VFS(spark)
@@ -299,6 +314,17 @@ object DedupIndex {
     // flip: concurrent probes keep reading `cur` until the marker
     // lands; a crash here leaves `cur` live (no missing-dir window)
     graft.storage.VersionedDir.commit(fs, uri, "data", next)
+    val curSigs = liveSigsPath(spark, uri)
+    val sigs = spark.read.parquet(curSigs)
+    val nSigs = sigs.count() // parquet metadata-only: no data pass
+    val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
+    sigs.repartitionByRange(
+        math.max(1, math.ceil(nSigs / 250000.0).toInt), col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(nextSigs)
+    graft.storage.VersionedDir.commit(fs, uri, "sigs", nextSigs)
   }
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the

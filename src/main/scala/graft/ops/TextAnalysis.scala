@@ -659,7 +659,61 @@ object TextAnalysis {
 
   /** Aho-Corasick automaton over exact char sequences. `containedIn`
     * returns the distinct indices of phrases occurring in the text. */
+  /** Per-JVM (= per-executor) automaton cache. At blocklist scale
+    * (P=100k is ~1.5M trie nodes, hundreds of MB) a per-PARTITION
+    * build is both a heap bomb (32 concurrent copies on one executor)
+    * and repeated work; one copy per executor, built once under
+    * computeIfAbsent, serves every task. Keyed by a CONTENT hash of
+    * the phrase set (not the broadcast id): repeated scans with the
+    * same blocklist re-broadcast but must still hit. Bounded: keeping
+    * at most 4 automatons absorbs interleaved blocklists without ever
+    * growing into a leak. */
+  private val acCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.SoftReference[AhoCorasick]]()
+
+  /** Driver-side content key for [[acCache]]: md5 over length-framed
+    * phrases (framing, not a separator — no phrase list may collide
+    * with another's concatenation). */
+  private[graft] def phraseSetKey(phrases: Array[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val lenBuf = java.nio.ByteBuffer.allocate(4)
+    phrases.foreach { p =>
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      lenBuf.clear(); lenBuf.putInt(b.length)
+      md.update(lenBuf.array()); md.update(b)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
+  }
+
+  /** One automaton per executor for this phrase set; the builder runs
+    * once under `compute`'s bin lock (other tasks block on it briefly —
+    * that IS the win vs 32 concurrent quarter-GB builds). Entries hold
+    * SoftReferences, so a big automaton the JVM needs back is GC-
+    * reclaimed rather than pinned (and rebuilt on next use); the bound
+    * sweep runs OUTSIDE the compute lambda (a recursive map update
+    * would throw). */
+  private[graft] def cachedAutomaton(key: String,
+      phrases: => Array[String]): AhoCorasick = {
+    var ac: AhoCorasick = null
+    while (ac == null) {
+      val ref = acCache.compute(key, (_, old) =>
+        if (old != null && old.get() != null) old
+        else new java.lang.ref.SoftReference(new AhoCorasick(phrases)))
+      ac = ref.get() // null only if GC cleared it in this instant: retry
+    }
+    if (acCache.size > 4) {
+      val it = acCache.entrySet().iterator()
+      while (acCache.size > 4 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key || e.getValue.get() == null) it.remove()
+      }
+    }
+    ac
+  }
+
   private[graft] final class AhoCorasick(phrases: Array[String]) {
+    /** trie node count — the memory-footprint driver (rehearsal row). */
+    def nodes: Int = n
     private val size0 = phrases.map(_.length).sum + 1
     private val next = new Array[java.util.HashMap[Char, Integer]](size0)
     private val fail = new Array[Int](size0)
@@ -747,6 +801,7 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(uniq)
+    val acKey = phraseSetKey(uniq)
     // drop null / non-castable ids BEFORE the non-nullable tuple
     // encoder: uncaught, they fail mid-job (ANSI cast error or an
     // obscure encoder NPE) while null texts are skipped — try_cast +
@@ -755,7 +810,10 @@ object TextAnalysis {
       .filter(col("__id").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
-        val ac = new AhoCorasick(bc.value) // built once per partition
+        // one automaton per EXECUTOR (content-keyed cache), not per
+        // partition: at blocklist scale (P=100k ~ 1.5M nodes) 32
+        // concurrent per-partition builds are a heap bomb
+        val ac = cachedAutomaton(acKey, bc.value)
         it.flatMap { case (id, t) =>
           if (t == null) Iterator.empty
           else ac.containedIn(t).iterator.map(pi => (id, pi))

@@ -239,8 +239,15 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // checkpoint ONCE at entry (as semanticDedupStream does): the
+        // batch frame feeds the index probe, the internal LSH, the
+        // cluster anti-join, the commit and the append — uncheckpointed,
+        // every one of those actions re-read the source file and the
+        // anti-join lineage re-ran the probe (measured ~7x the batch's
+        // input rows per trigger at the 10x streaming rehearsal)
+        val b = batch.localCheckpoint(true)
         val vsIndex = graft.ops.DedupIndex.dropAgainstIndex(
-          batch, idCol, textCol, indexUri, threshold)
+          b, idCol, textCol, indexUri, threshold).localCheckpoint(true)
         // batch-internal near-dups: keep each cluster's smallest id
         val survivors = graft.ops.Dedup.dropNearDups(
           vsIndex, idCol, textCol, threshold = threshold)

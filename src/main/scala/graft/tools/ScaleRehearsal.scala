@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Curation, Dedup, Similarity, TextAnalysis}
 
@@ -143,6 +143,119 @@ object ScaleRehearsal {
       println(s"[rehearsal] edit_neardups pairs=$nPairs over $nRows rows")
       results += "edit_neardups" -> tEdit
       partX.unpersist()
+    }
+
+    // k=4 over ~85-char linkage keys (the titles/addresses shape): the
+    // measured envelope behind editNearDups' maxDist<=8 require. Probe
+    // fan-out here is ~(2k+1)^2*(k+1)/2 keys per distinct string of
+    // ~17-char segments — the worst practical shape before the require
+    // message's "use ngram/minhash families" advice applies. Planted:
+    // every 50th key gets a 4-substitution copy ('z' is outside conv's
+    // base-26 digit set, so the distance is exactly 4).
+    if (runOp("edit_k4")) {
+      val n = docs.count()
+      def addr(idc: Column) = concat_ws(" ", (0 until 10).map(j =>
+        conv(pmod(xxhash64(idc, lit(j)), lit(208827064576L)).cast("string"),
+          10, 26)): _*)
+      val base = spark.range(n)
+        .select(col("id").as("key_id"), addr(col("id")).as("key"))
+      val edited = base.filter(col("key_id") % 50 === 0)
+        .select((col("key_id") + (1L << 40)).as("key_id"),
+          concat(substring(col("key"), 1, 20), lit("zzzz"),
+            substring(col("key"), 25, 1 << 20)).as("key"))
+      val all = base.unionByName(edited)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nAll = all.count(); val nPlanted = edited.count()
+      val (nPairs, tEd) = time(
+        Dedup.editNearDups(all, "key_id", "key", maxDist = 4).count())
+      require(nPairs >= nPlanted,
+        s"lost planted k=4 pairs: $nPairs found, $nPlanted planted")
+      println(s"[rehearsal] edit_k4_neardups: $nPairs pairs over $nAll keys " +
+        s"($nPlanted planted)")
+      results += "edit_k4_neardups" -> tEd
+      // linkage shape: small dirty batch best-matched against the corpus
+      val (nBest, tBest) = time(Dedup.editJoinBest(
+        edited.select(col("key_id").as("lid"), col("key")), "lid", "key",
+        base.select(col("key_id").as("rid"), col("key")), "rid", "key",
+        maxDist = 4).count())
+      require(nBest == nPlanted,
+        s"editJoinBest matched $nBest of $nPlanted dirty keys")
+      results += "edit_k4_join_best" -> tBest
+      all.unpersist()
+    }
+
+    // Interval-join SKEW row: the rangeJoin doc delegates hot bins
+    // ("many intervals over one hot bin — real candidate mass") to AQE
+    // skew splitting; this measures that delegation once. Both arms
+    // have the SAME totals (1M hot-shape events + 1M background, ~25M
+    // output pairs, ~75M candidate pairs): the skew arm piles the hot
+    // million on ONE user in ONE 2-hour span (2-3 hot (user,bin) keys),
+    // the uniform arm spreads the identical structure over 1000 users.
+    // AQE detects skew by INPUT partition bytes, so knobs are scaled to
+    // rehearsal size (at 100 TB the defaults trigger naturally):
+    // skewedPartitionThresholdInBytes=16m, advisoryPartitionSizeInBytes
+    // =4m, skewedPartitionFactor=2; a 64-char payload keeps hot
+    // partitions above the scaled threshold.
+    if (runOp("interval_skew")) {
+      val hourUs = 3600L * 1000000L
+      val pay = lit("x" * 64).as("payload")
+      val hotEv = spark.range(1000000).select(col("id").as("event_id"),
+        lit(0L).as("user_id"),
+        timestamp_micros(pmod(xxhash64(col("id")), lit(2 * hourUs))).as("ts"),
+        pay)
+      val bgEv = spark.range(1000000).select(
+        (col("id") + (1L << 40)).as("event_id"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(10000L)) + 100000L).as("user_id"),
+        timestamp_micros(pmod(xxhash64(col("id"), lit(2)),
+          lit(720 * hourUs))).as("ts"), pay)
+      val hotWin = spark.range(50).select(col("id").as("win_id"),
+        lit(0L).as("user_id"),
+        timestamp_micros(col("id") * (2 * hourUs / 50)).as("ws"),
+        timestamp_micros(col("id") * (2 * hourUs / 50) + 2 * hourUs).as("we"))
+      val bgWin = spark.range(5000).select((col("id") + 1000000L).as("win_id"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000L)) + 100000L).as("user_id"),
+        timestamp_micros(pmod(xxhash64(col("id"), lit(4)),
+          lit(720 * hourUs))).as("ws"),
+        timestamp_micros(pmod(xxhash64(col("id"), lit(4)),
+          lit(720 * hourUs)) + 2 * hourUs).as("we"))
+      // uniform arm: the hot structure replicated per-user — 1000 users
+      // each with 1000 events and 50 windows in their own 2 h span
+      val uniEv = spark.range(1000000).select(col("id").as("event_id"),
+        pmod(col("id"), lit(1000L)).as("user_id"),
+        timestamp_micros(pmod(xxhash64(col("id")), lit(2 * hourUs))).as("ts"),
+        pay)
+      val uniWin = spark.range(50000).select(col("id").as("win_id"),
+        (col("id") / 50).cast("long").as("user_id"),
+        timestamp_micros((col("id") % 50) * (2 * hourUs / 50)).as("ws"),
+        timestamp_micros((col("id") % 50) * (2 * hourUs / 50) + 2 * hourUs)
+          .as("we"))
+      val knobs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+      val saved = knobs.map { case (k, _) =>
+        k -> spark.conf.getOption(k) }
+      knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (nSkew, tSkew) = time(graft.ops.AsOf.rangeJoin(
+          hotEv.unionByName(bgEv), hotWin.unionByName(bgWin),
+          Seq("user_id"), "ts", "ws", "we", "w_").count())
+        val (nUni, tUni) = time(graft.ops.AsOf.rangeJoin(
+          uniEv.unionByName(bgEv), uniWin.unionByName(bgWin),
+          Seq("user_id"), "ts", "ws", "we", "w_").count())
+        println(f"[rehearsal] interval_skew: skew $nSkew matches in " +
+          f"$tSkew%.2f s, uniform $nUni matches in $tUni%.2f s " +
+          f"(ratio ${tSkew / math.max(tUni, 1e-9)}%.2f); knobs: " +
+          knobs.map { case (k, v) => s"$k=$v" }.mkString(", "))
+        require(tSkew < 10 * tUni,
+          f"hot-user skew blew up the wall: $tSkew%.1f s vs uniform $tUni%.1f s")
+        results += "interval_skew_hot" -> tSkew
+        results += "interval_skew_uniform" -> tUni
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
 
     if (runOp("phrase_scan")) {
@@ -762,6 +875,66 @@ object ScaleRehearsal {
       results += "word_entropy" -> tEnt
     }
 
+    // ---- round-15: phrase scan at production P (blocklist scale) -----
+    // The P<=2048 curve above proves flat-in-P SCAN cost; real
+    // blocklist/canary sets run 10^5-10^6 phrases, where the automaton
+    // BUILD (~1.5M trie nodes at P=100k) and its per-partition copies
+    // become the cost. Phrases are hash-derived pseudo-words (near-zero
+    // prefix sharing — the honest worst case; a vocab cross-product
+    // would share prefixes and understate node count), planted into
+    // 0.1% of docs so the output stays match-bound but nonzero.
+    if (runOp("phrase_scan_100k")) {
+      val P = 100000
+      def pw(i: Long, j: Int) = java.lang.Long.toString(
+        (i * 2654435761L + j * 40503L) & 0xffffffL, 26)
+      val phrases = (0L until P.toLong).map(i =>
+        s"${pw(i, 0)} ${pw(i, 1)} ${pw(i, 2)}").toArray
+      val t0 = System.nanoTime()
+      val ac = new TextAnalysis.AhoCorasick(phrases)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] phrase automaton P=$P: ${ac.nodes} nodes, " +
+        f"built in $tBuild%.2f s")
+      results += "phrase_automaton_build_100k" -> tBuild
+      val docsP = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(1000)) === 0,
+          concat(col("text"), lit(" " + phrases(42)))).otherwise(col("text")))
+      val (nHit, tScan) = time(TextAnalysis
+        .phraseMatches(docsP, "doc_id", "text", phrases.toSeq).count())
+      println(s"[rehearsal] phrase_scan_p100k: $nHit matches")
+      results += "phrase_scan_p100k" -> tScan
+      // steady state: a SECOND scan with the same broadcast phrase set
+      // must pay scan cost only (the per-executor automaton cache)
+      val (nHit2, tScan2) = time(TextAnalysis
+        .phraseMatches(docsP, "doc_id", "text", phrases.toSeq).count())
+      require(nHit == nHit2, s"rescan disagrees: $nHit vs $nHit2")
+      results += "phrase_scan_p100k_rescan" -> tScan2
+    }
+
+    // The counterfactual arm — the pre-r15 per-PARTITION automaton
+    // build at P=100k (32 concurrent ~1.5M-node builds on one heap).
+    // Separate op so its expected heap explosion can't take down the
+    // main sweep; run it once for the found-and-fixed record.
+    if (runOp("phrase_scan_100k_nocache")) {
+      import spark.implicits._
+      val P = 100000
+      def pw(i: Long, j: Int) = java.lang.Long.toString(
+        (i * 2654435761L + j * 40503L) & 0xffffffL, 26)
+      val phrases = (0L until P.toLong).map(i =>
+        s"${pw(i, 0)} ${pw(i, 1)} ${pw(i, 2)}").toArray
+      val bc = spark.sparkContext.broadcast(phrases)
+      val (n, t) = time(docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ac = new TextAnalysis.AhoCorasick(bc.value)
+          it.flatMap { case (id, txt) =>
+            if (txt == null) Iterator.empty
+            else ac.containedIn(txt).iterator.map(pi => (id, pi))
+          }
+        }.count())
+      println(s"[rehearsal] phrase_scan_p100k_nocache: $n matches")
+      results += "phrase_scan_p100k_nocache" -> t
+    }
+
     // ---- round-15: streaming steady state over ~100 micro-batches ----
     // The streaming gates' state lives in the persisted indexes, so the
     // claims under test are (a) per-batch wall tracks the BATCH, not
@@ -769,15 +942,21 @@ object ScaleRehearsal {
     // flat while the index grows from empty to the full mult-x corpus —
     // and (b) state growth is linear in survivors (index rows/bytes),
     // never in batches x corpus.
-    if (runOp("streaming")) {
+    // `waves` > 1 adds the production MAINTENANCE pattern: files land in
+    // waves; between waves the query stops, the index compacts (the
+    // reader-safe generation flip; appends must be quiesced — compact
+    // is not writer-concurrent), and the query RESUMES from its
+    // checkpoint — which also exercises restart recovery `waves` times.
+    def streamingRehearsal(tag: String, waves: Int): Unit = {
       import graft.storage.ArrayTable
       val nBatches = 100
-      val idxUri = s"$outDir/stream_nd_index"
-      val sinkUri = s"$outDir/stream_nd_sink"
-      val srcDir = s"$outDir/stream_nd_src"
-      val ckpt = s"$outDir/stream_nd_ckpt"
+      val idxUri = s"$outDir/${tag}_index"
+      val sinkUri = s"$outDir/${tag}_sink"
+      val srcDir = s"$outDir/${tag}_src"
+      val stageDir = s"$outDir/${tag}_stage"
+      val ckpt = s"$outDir/${tag}_ckpt"
       val fs = graft.storage.VFS(spark)
-      Seq(idxUri, sinkUri, srcDir, ckpt).foreach(u => fs.delete(u))
+      Seq(idxUri, sinkUri, srcDir, stageDir, ckpt).foreach(u => fs.delete(u))
       val src = docs.select(col("doc_id"), col("text"))
       graft.ops.DedupIndex.build(src.limit(0), "doc_id", "text", idxUri)
       ArrayTable.create(spark, sinkUri,
@@ -786,7 +965,9 @@ object ScaleRehearsal {
       // one file per micro-batch, hash-spread so every batch mixes
       // copies (a copy-contiguous order would make late batches pure
       // dups of early ones — no steady-state survivor flow)
-      src.repartition(nBatches, col("doc_id")).write.parquet(srcDir)
+      src.repartition(nBatches, col("doc_id")).write.parquet(stageDir)
+      val staged = fs.ls(stageDir).filter(_.endsWith(".parquet")).sorted
+      fs.mkdirs(srcDir)
       val lats = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -803,13 +984,24 @@ object ScaleRehearsal {
       }
       spark.streams.addListener(listener)
       val t0 = System.nanoTime()
-      val q = graft.streaming.EventStreams.nearDedupStream(
-        spark.readStream.schema(src.schema)
-          .option("maxFilesPerTrigger", "1").parquet(srcDir),
-        "doc_id", "text", idxUri, sinkUri, ckpt, threshold = 0.6)
-      try q.processAllAvailable() finally {
-        q.stop(); spark.streams.removeListener(listener)
-      }
+      var tCompact = 0.0
+      val perWave = (staged.size + waves - 1) / waves
+      try {
+        staged.grouped(perWave).zipWithIndex.foreach { case (wave, w) =>
+          wave.foreach(f =>
+            fs.rename(f, s"$srcDir/${f.substring(f.lastIndexOf('/') + 1)}"))
+          val q = graft.streaming.EventStreams.nearDedupStream(
+            spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir),
+            "doc_id", "text", idxUri, sinkUri, ckpt, threshold = 0.6)
+          try q.processAllAvailable() finally q.stop()
+          if (waves > 1 && w < waves - 1) {
+            val c0 = System.nanoTime()
+            graft.ops.DedupIndex.compact(spark, idxUri)
+            tCompact += (System.nanoTime() - c0) / 1e9
+          }
+        }
+      } finally spark.streams.removeListener(listener)
       val total = (System.nanoTime() - t0) / 1e9
       val byBatch = lats.sortBy(_._1).toVector
       def med(xs: Seq[Double]) = if (xs.isEmpty) 0.0
@@ -817,7 +1009,7 @@ object ScaleRehearsal {
       // per-decade medians: the whole flatness story in 10 numbers
       val decades = byBatch.grouped(math.max(1, byBatch.size / 10)).toVector
       decades.zipWithIndex.foreach { case (d, i) =>
-        println(f"[rehearsal] streaming decade $i: median ${med(d.map(_._2))}%.2f s " +
+        println(f"[rehearsal] $tag decade $i: median ${med(d.map(_._2))}%.2f s " +
           f"over ${d.size} batches (${d.map(_._3).sum} docs)")
       }
       val early = med(byBatch.slice(5, 15).map(_._2))
@@ -825,14 +1017,18 @@ object ScaleRehearsal {
       val survivors = ArrayTable.read(spark, sinkUri).count()
       val idxSigs = spark.read.parquet(s"$idxUri/sigs").count()
       val idxBytes = fs.du(idxUri)
-      println(f"[rehearsal] streaming: ${byBatch.size} batches, " +
+      println(f"[rehearsal] $tag: ${byBatch.size} batches, " +
         f"early median $early%.2f s, late median $late%.2f s " +
         f"(late/early ${late / math.max(early, 1e-9)}%.2f), survivors=$survivors, " +
-        f"index sig rows=$idxSigs, index bytes=$idxBytes, total $total%.1f s")
-      results += "stream_nd_early_med" -> early
-      results += "stream_nd_late_med" -> late
-      results += "stream_nd_total" -> total
+        f"index sig rows=$idxSigs, index bytes=$idxBytes, " +
+        f"compact $tCompact%.1f s, total $total%.1f s")
+      results += s"${tag}_early_med" -> early
+      results += s"${tag}_late_med" -> late
+      results += s"${tag}_total" -> total
     }
+    if (runOp("streaming")) streamingRehearsal("stream_nd", waves = 1)
+    if (runOp("streaming_compact"))
+      streamingRehearsal("stream_nd_compact", waves = 4)
 
     // ---- round-15: COMPOSED end-to-end pipeline on ONE heap ----------
     // Every heavy operator above has an isolated curve, but the r11

@@ -1173,6 +1173,19 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((7L, "xyz")))
   }
 
+  test("phrase automaton: per-executor content-keyed cache, framed keys") {
+    val ps = Array("alpha", "beta")
+    val k = graft.ops.TextAnalysis.phraseSetKey(ps)
+    val a = graft.ops.TextAnalysis.cachedAutomaton(k, ps)
+    val b = graft.ops.TextAnalysis.cachedAutomaton(k,
+      sys.error("cache hit must not rebuild"))
+    assert(a eq b, "same content key must return the cached automaton")
+    // length-framed hashing: phrase lists with equal concatenations
+    // are DIFFERENT sets and must key differently
+    assert(graft.ops.TextAnalysis.phraseSetKey(Array("ab", "c")) !=
+      graft.ops.TextAnalysis.phraseSetKey(Array("a", "bc")))
+  }
+
   test("phraseMatches: randomized parity with per-phrase contains") {
     val rnd = new scala.util.Random(11)
     def s(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString

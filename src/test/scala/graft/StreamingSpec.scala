@@ -196,7 +196,40 @@ class StreamingSpec extends SparkSpec {
         Seq((99L, doc(600) + " z")).toDF("doc_id", "text"),
         "doc_id", "text", indexUri, threshold = 0.6)
       assert(reprobe.collect().exists(_.getLong(1) == 6L))
+      // bounded state: the stream's only state is the index, and it
+      // grows with SURVIVORS (one sig row each), never batches x corpus
+      assert(spark.read.parquet(s"$indexUri/sigs").count() == 4L,
+        "index state must be one sig row per survivor")
     } finally { q.stop() }
+  }
+
+  test("streaming exact-dedup state is bounded by the watermark horizon") {
+    // dropDuplicatesWithinWatermark evicts keys older than the horizon;
+    // on an infinite stream the state must track the HORIZON (~2
+    // batches here), not every key ever seen — the contract that makes
+    // the operator runnable forever
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = EventStreams.dedupStream(
+      in.toDF().toDF("event_id", "ts"), keyCols = Seq("event_id"),
+      tsCol = "ts", watermark = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_bounded").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      (0 until 20).foreach { b =>
+        in.addData((0 until 1000).map(i =>
+          ((b * 1000 + i).toLong,
+            new java.sql.Timestamp(base + b * 3600L * 1000))): _*)
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 4000,
+        s"dedup state grew with the stream, not the horizon: $stateRows " +
+          "rows held after 20k keys across 20 hours")
+      assert(spark.table("dedup_bounded").count() == 20000)
+    } finally q.stop()
   }
 
   test("streaming semantic dedup: cross-batch embedding dups dropped via the IVF index") {
