@@ -166,7 +166,15 @@ object EventStreams {
     * duplicate index rows for one doc pair to the same match).
     *
     * The target array must exist; the index must have been built
-    * (possibly over an empty frame) with the desired params. */
+    * (possibly over an empty frame) with the desired params.
+    *
+    * Maintenance: append leaves one bucket file and one sig file per
+    * batch, and per-batch probe cost grows with index FILE COUNT
+    * (measured 1.52× over 100 batches at the 10× rehearsal). Run
+    * [[graft.ops.DedupIndex.compact]] periodically — stop the query,
+    * compact, restart from the checkpoint (compact is reader-safe but
+    * NOT append-concurrent); every ~25 batches held the rehearsal
+    * curve flat (late/early 1.02×) for ~2 s of compact per wave. */
   /** Streaming SEMANTIC dedup for embedding ingest: each micro-batch
     * probes the persisted IVF index for near-duplicates of already-
     * ingested vectors (cosine >= minCosine, id-inequality guarded, so

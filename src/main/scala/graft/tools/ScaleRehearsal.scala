@@ -1015,7 +1015,8 @@ object ScaleRehearsal {
       val early = med(byBatch.slice(5, 15).map(_._2))
       val late = med(byBatch.slice(byBatch.size - 10, byBatch.size).map(_._2))
       val survivors = ArrayTable.read(spark, sinkUri).count()
-      val idxSigs = spark.read.parquet(s"$idxUri/sigs").count()
+      val idxSigs = spark.read.parquet(
+        graft.ops.DedupIndex.liveSigsPath(spark, idxUri)).count()
       val idxBytes = fs.du(idxUri)
       println(f"[rehearsal] $tag: ${byBatch.size} batches, " +
         f"early median $early%.2f s, late median $late%.2f s " +

@@ -198,7 +198,8 @@ class StreamingSpec extends SparkSpec {
       assert(reprobe.collect().exists(_.getLong(1) == 6L))
       // bounded state: the stream's only state is the index, and it
       // grows with SURVIVORS (one sig row each), never batches x corpus
-      assert(spark.read.parquet(s"$indexUri/sigs").count() == 4L,
+      assert(spark.read.parquet(
+        graft.ops.DedupIndex.liveSigsPath(spark, indexUri)).count() == 4L,
         "index state must be one sig row per survivor")
     } finally { q.stop() }
   }
