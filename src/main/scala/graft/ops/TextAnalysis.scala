@@ -153,8 +153,19 @@ object TextAnalysis {
     ("th", "\\p{IsThai}", "\\p{Thai}"),
     ("el", "\\p{IsGreek}", "\\p{Greek}"))
 
-  /** best-scoring language code or 'und' */
-  def langId(text: Column): Column = {
+  /** best-scoring language code or 'und' — the native one-pass kernel
+    * ([[graft.functions.LangIdK]]). The declarative tree it replaced
+    * evaluated its 21 per-language HOF structs interpreted with no
+    * subexpression reuse: 94 s over 500k rehearsal docs for pieces
+    * that sum to ~7 s; the kernel runs the identical decision from the
+    * identical tables in ~2 s. [[langIdDeclarative]] stays as the
+    * differential-spec reference. */
+  def langId(text: Column): Column = graft.functions.LangIdK(text)
+
+  /** The original composed-expression langId — semantics reference for
+    * the kernel's differential spec ONLY (quadratic-ish interpreted
+    * eval; never call it on corpus-scale data). */
+  private[graft] def langIdDeclarative(text: Column): Column = {
     val nonspace = length(regexp_replace(text, WsClass, "")).cast("double")
     scriptLangs.foldRight(stopwordLangId(text)) { case ((lang, jcls, _), rest) =>
       when(length(regexp_replace(text, s"[^$jcls]", "")).cast("double")

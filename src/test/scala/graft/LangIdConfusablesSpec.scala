@@ -92,4 +92,37 @@ class LangIdConfusablesSpec extends SparkSpec {
         .map(r => s"[${r._1}->${r._3}: ${r._2.take(30)}]").mkString(" "))
     assert(acc >= 0.8, f"es/pt accuracy $acc%.3f below floor")
   }
+
+  test("langId kernel == declarative tree: fixture, planted phrases, fuzz") {
+    // the kernel must reproduce the composed-expression decision
+    // byte-for-byte: confusable fixture + the 33 planted oracle phrases
+    // + adversarial fuzz (mixed scripts straddling the 0.3 ratio, odd
+    // whitespace incl. tabs/FF around trim's spaces-only rule, empty
+    // and blank strings, supplementary-plane chars counting 2 UTF-16
+    // units, stopwords colliding across languages, gram-cap overflow)
+    val rnd = new scala.util.Random(7)
+    val scripts = Seq('あ', 'ア', '漢', '한', 'ب', 'א', 'द', 'ไ', 'λ')
+    val latinWords = Seq("the", "de", "que", "og", "det", "en", "av",
+      "af", "y", "e", "a", "ção", "ción", "o", "um", "não", "zzz")
+    def fuzz(): String = (0 until rnd.nextInt(30)).map { _ =>
+      rnd.nextInt(4) match {
+        case 0 => scripts(rnd.nextInt(scripts.size)).toString
+        case 1 => latinWords(rnd.nextInt(latinWords.size))
+        case 2 => Seq(" ", "\t", "\n", "\f", "  ")(rnd.nextInt(5))
+        case 3 => if (rnd.nextBoolean()) "😀" else "x"
+      }
+    }.mkString(rnd.nextInt(3) match {
+      case 0 => "" case 1 => " " case 2 => "\t" })
+    val texts = fixture.map(_._2) ++ SparkEntry.langPhrases ++
+      Seq("", " ", "\t\t", " aba ") ++ (0 until 300).map(_ => fuzz())
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val diff = df.select($"id", $"text",
+        TextAnalysis.langId($"text").as("k"),
+        TextAnalysis.langIdDeclarative($"text").as("d"))
+      .filter(!($"k" <=> $"d")).collect()
+    assert(diff.isEmpty, "kernel/declarative divergence: " +
+      diff.take(5).map(r => s"[${r.get(1)}: ${r.get(2)} vs ${r.get(3)}]")
+        .mkString(" "))
+  }
 }
