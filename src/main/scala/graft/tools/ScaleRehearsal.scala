@@ -1062,14 +1062,20 @@ object ScaleRehearsal {
       val (clean, nClean) = stage("clean")(ingested.withColumn("text",
         Curation.redactPii(Curation.stripMarkup(col("text")))))
       require(nClean == nIn, s"clean is 1:1 but $nIn -> $nClean")
+      // language TAG (not filter — the synthetic corpus is pseudo-word
+      // text, a lang filter would empty the chain): the per-doc cost a
+      // real pipeline pays to split by language, via the LangIdK kernel
+      val (tagged, nTagged) = stage("lang_tag")(
+        clean.withColumn("lang_pred", TextAnalysis.langId(col("text"))))
+      require(nTagged == nClean, s"lang tag is 1:1 but $nClean -> $nTagged")
       val (exact, nExact) = stage("exact_dedup")(
-        Dedup.exactByHash(clean, "text", "doc_id"))
+        Dedup.exactByHash(tagged.drop("lang_pred"), "text", "doc_id"))
       require(nExact <= nClean, s"exact dedup grew rows: $nClean -> $nExact")
-      ingested.unpersist()
+      ingested.unpersist(); clean.unpersist()
       val (near, nNear) = stage("near_dedup")(
         Dedup.dropNearDups(exact, "doc_id", "text", threshold = 0.6))
       require(nNear <= nExact, s"near dedup grew rows: $nExact -> $nNear")
-      clean.unpersist()
+      tagged.unpersist()
       // eval-set decontamination: 500 refs that ARE near-dups of copy-0
       // docs (uppercase + pad — normalization folds both), so the stage
       // must actually remove rows, not just run
