@@ -317,14 +317,19 @@ object DedupIndex {
     val curSigs = liveSigsPath(spark, uri)
     val sigs = spark.read.parquet(curSigs)
     val nSigs = sigs.count() // parquet metadata-only: no data pass
-    val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
-    sigs.repartitionByRange(
-        math.max(1, math.ceil(nSigs / 250000.0).toInt), col("id"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite")
-      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-      .parquet(nextSigs)
-    graft.storage.VersionedDir.commit(fs, uri, "sigs", nextSigs)
+    // zero rows (the documented build-over-empty streaming bootstrap):
+    // leave the schema-bearing build output alone rather than flip to
+    // a generation whose emptiness depends on writer internals
+    if (nSigs > 0) {
+      val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
+      sigs.repartitionByRange(
+          math.max(1, math.ceil(nSigs / 250000.0).toInt), col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+        .parquet(nextSigs)
+      graft.storage.VersionedDir.commit(fs, uri, "sigs", nextSigs)
+    }
   }
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the

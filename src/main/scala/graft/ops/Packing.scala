@@ -140,7 +140,13 @@ object Packing {
     * output) — for pipelines that already ran (and conservation-checked)
     * the decision pass, so the assignment is never recomputed: BFD is
     * partition-local, so a second run over a reshuffled input could
-    * legally assign differently and break cross-stage accounting. */
+    * legally assign differently and break cross-stage accounting.
+    *
+    * PRECONDITION: `packed` must be MATERIALIZED (persisted or
+    * checkpointed, as [[packDocs]] callers doing conservation checks
+    * already need) — an unpersisted assignment re-executes the BFD
+    * decision inside this join, which is exactly the recomputation
+    * this entry point exists to avoid. */
   def sequencesOf(packed: DataFrame, df: DataFrame, idCol: String,
       textCol: String, sep: String = "\n\n"): DataFrame =
     packed.join(df.select(col(idCol), col(textCol)), idCol)

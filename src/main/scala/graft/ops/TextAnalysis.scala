@@ -668,8 +668,6 @@ object TextAnalysis {
   // partition from a broadcast phrase array: no shuffle, no driver
   // round-trips, embarrassingly parallel.
 
-  /** Aho-Corasick automaton over exact char sequences. `containedIn`
-    * returns the distinct indices of phrases occurring in the text. */
   /** Per-JVM (= per-executor) automaton cache. At blocklist scale
     * (P=100k is ~1.5M trie nodes, hundreds of MB) a per-PARTITION
     * build is both a heap bomb (32 concurrent copies on one executor)
@@ -707,10 +705,20 @@ object TextAnalysis {
       phrases: => Array[String]): AhoCorasick = {
     var ac: AhoCorasick = null
     while (ac == null) {
+      // a freshly BUILT automaton must leave compute() via a strong
+      // reference: soft refs are exactly what GC clears first under
+      // pressure, and losing the only reference between compute() and
+      // get() would rebuild the multi-second automaton in a loop
+      var built: AhoCorasick = null
       val ref = acCache.compute(key, (_, old) =>
         if (old != null && old.get() != null) old
-        else new java.lang.ref.SoftReference(new AhoCorasick(phrases)))
-      ac = ref.get() // null only if GC cleared it in this instant: retry
+        else {
+          built = new AhoCorasick(phrases)
+          new java.lang.ref.SoftReference(built)
+        })
+      // cache-hit path: get() can only be null if GC cleared the entry
+      // in this instant — the next iteration then takes the build path
+      ac = if (built != null) built else ref.get()
     }
     if (acCache.size > 4) {
       val it = acCache.entrySet().iterator()
@@ -722,6 +730,8 @@ object TextAnalysis {
     ac
   }
 
+  /** Aho-Corasick automaton over exact char sequences. `containedIn`
+    * returns the distinct indices of phrases occurring in the text. */
   private[graft] final class AhoCorasick(phrases: Array[String]) {
     /** trie node count — the memory-footprint driver (rehearsal row). */
     def nodes: Int = n

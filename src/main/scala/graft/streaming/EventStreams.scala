@@ -147,34 +147,6 @@ object EventStreams {
       }
   }
 
-  /** Continuous NEAR-dup dedup: each micro-batch of documents probes
-    * the persisted MinHash-LSH index ([[graft.ops.DedupIndex]]),
-    * drops docs near-duplicating anything already indexed, removes the
-    * batch's internal near-dups (one-shot LSH at batch size), commits
-    * the survivors to the array sink as one MVCC fragment, and appends
-    * them to the index — so later batches dedup against everything
-    * that survived earlier ones.
-    *
-    * This is the steady-state shape of corpus curation at 100 TB:
-    * per-batch cost is probe (pruned index scan + broadcast of the
-    * batch) + batch² -bounded internal LSH + batch-sized index append;
-    * the corpus is NEVER re-read or re-LSH'd. State lives in the index
-    * files, not executor memory — unbounded corpus, bounded state, and
-    * restart-safe because replayed batches re-commit idempotently
-    * (fragment ts = batchId) and index re-appends only make the filter
-    * stricter (a dup of an indexed doc is dropped either way;
-    * duplicate index rows for one doc pair to the same match).
-    *
-    * The target array must exist; the index must have been built
-    * (possibly over an empty frame) with the desired params.
-    *
-    * Maintenance: append leaves one bucket file and one sig file per
-    * batch, and per-batch probe cost grows with index FILE COUNT
-    * (measured 1.52× over 100 batches at the 10× rehearsal). Run
-    * [[graft.ops.DedupIndex.compact]] periodically — stop the query,
-    * compact, restart from the checkpoint (compact is reader-safe but
-    * NOT append-concurrent); every ~25 batches held the rehearsal
-    * curve flat (late/early 1.02×) for ~2 s of compact per wave. */
   /** Streaming SEMANTIC dedup for embedding ingest: each micro-batch
     * probes the persisted IVF index for near-duplicates of already-
     * ingested vectors (cosine >= minCosine, id-inequality guarded, so
@@ -239,6 +211,34 @@ object EventStreams {
       }
       .start()
 
+  /** Continuous NEAR-dup dedup: each micro-batch of documents probes
+    * the persisted MinHash-LSH index ([[graft.ops.DedupIndex]]),
+    * drops docs near-duplicating anything already indexed, removes the
+    * batch's internal near-dups (one-shot LSH at batch size), commits
+    * the survivors to the array sink as one MVCC fragment, and appends
+    * them to the index — so later batches dedup against everything
+    * that survived earlier ones.
+    *
+    * This is the steady-state shape of corpus curation at 100 TB:
+    * per-batch cost is probe (pruned index scan + broadcast of the
+    * batch) + batch² -bounded internal LSH + batch-sized index append;
+    * the corpus is NEVER re-read or re-LSH'd. State lives in the index
+    * files, not executor memory — unbounded corpus, bounded state, and
+    * restart-safe because replayed batches re-commit idempotently
+    * (fragment ts = batchId) and index re-appends only make the filter
+    * stricter (a dup of an indexed doc is dropped either way;
+    * duplicate index rows for one doc pair to the same match).
+    *
+    * The target array must exist; the index must have been built
+    * (possibly over an empty frame) with the desired params.
+    *
+    * Maintenance: append leaves one bucket file and one sig file per
+    * batch, and per-batch probe cost grows with index FILE COUNT
+    * (measured 1.52× over 100 batches at the 10× rehearsal). Run
+    * [[graft.ops.DedupIndex.compact]] periodically — stop the query,
+    * compact, restart from the checkpoint (compact is reader-safe but
+    * NOT append-concurrent); every ~25 batches held the rehearsal
+    * curve flat (late/early 1.02×) for ~2 s of compact per wave. */
   def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
       threshold: Double = 0.7,

@@ -121,6 +121,21 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs() == fresh)
   }
 
+  test("compact on an empty bootstrap index: append and probe still work") {
+    // the documented streaming bootstrap builds over an EMPTY frame; a
+    // maintenance compact firing before the first batch (idle stream)
+    // must leave the index probe-able and append-able
+    val uri = TestSession.tmpDir("minhash-index-empty")
+    DedupIndex.build(corpus.limit(0), "doc_id", "text", uri)
+    DedupIndex.compact(spark, uri)
+    assert(DedupIndex.probe(batch, "doc_id", "text", uri,
+      threshold = 0.6).count() == 0L)
+    DedupIndex.append(corpus, "doc_id", "text", uri)
+    DedupIndex.compact(spark, uri)
+    assert(DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
+      .filter(col("id") < 2000000L).count() > 0L)
+  }
+
   test("compact is reader-safe: probes concurrent with and interleaved around the flip") {
     val uri = TestSession.tmpDir("minhash-index-rs")
     DedupIndex.build(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", uri)

@@ -1177,6 +1177,9 @@ class OpsSpec extends SparkSpec {
     val ps = Array("alpha", "beta")
     val k = graft.ops.TextAnalysis.phraseSetKey(ps)
     val a = graft.ops.TextAnalysis.cachedAutomaton(k, ps)
+    // not a flake under GC pressure: `a` is strongly held here, and a
+    // SoftReference whose referent is strongly reachable is never
+    // cleared — the by-name error can only fire on a real cache bug
     val b = graft.ops.TextAnalysis.cachedAutomaton(k,
       sys.error("cache hit must not rebuild"))
     assert(a eq b, "same content key must return the cached automaton")
