@@ -1031,6 +1031,93 @@ object ScaleRehearsal {
     if (runOp("streaming_compact"))
       streamingRehearsal("stream_nd_compact", waves = 4)
 
+    // The SEMANTIC streaming gate, same steady-state protocol: embX
+    // (with its 1% planted exact dups) through semanticDedupStream in
+    // 100 micro-batches; state = the persisted IVF index; compaction
+    // between waves via compactIvfIndex (appends leave one file per
+    // batch per touched centroid cell — the same file-count tax).
+    // Bootstrap: the IVF index trains on a 1%-sample seed corpus
+    // (centroid training needs data; the documented spec shape).
+    def semStreamingRehearsal(tag: String, waves: Int): Unit = {
+      import graft.storage.ArrayTable
+      val nBatches = 100
+      val ivfUri = s"$outDir/${tag}_ivf"
+      val sinkUri = s"$outDir/${tag}_sink"
+      val srcDir = s"$outDir/${tag}_src"
+      val stageDir = s"$outDir/${tag}_stage"
+      val ckpt = s"$outDir/${tag}_ckpt"
+      val fs = graft.storage.VFS(spark)
+      Seq(ivfUri, sinkUri, srcDir, stageDir, ckpt).foreach(u => fs.delete(u))
+      val src = embX.select(col("vec_id"), col("embedding"))
+      val seed = src.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .withColumn("vec_id", col("vec_id") + (3L << 50))
+      graft.ops.Similarity.buildIvfIndex(seed, "vec_id", "embedding",
+        ivfUri, nCentroids = 64)
+      ArrayTable.create(spark, sinkUri,
+        graft.core.ArraySchema.infer(src.schema, Seq("vec_id"))
+          .copy(allowsDuplicates = true))
+      src.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
+      val staged = fs.ls(stageDir).filter(_.endsWith(".parquet")).sorted
+      fs.mkdirs(srcDir)
+      val lats = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.numInputRows > 0) lats.synchronized {
+            lats += ((p.batchId,
+              p.durationMs.get("triggerExecution").toDouble / 1e3,
+              p.numInputRows))
+          }
+        }
+      }
+      spark.streams.addListener(listener)
+      val t0 = System.nanoTime()
+      var tCompact = 0.0
+      val perWave = (staged.size + waves - 1) / waves
+      try {
+        staged.grouped(perWave).zipWithIndex.foreach { case (wave, w) =>
+          wave.foreach(f =>
+            fs.rename(f, s"$srcDir/${f.substring(f.lastIndexOf('/') + 1)}"))
+          val q = graft.streaming.EventStreams.semanticDedupStream(
+            spark.readStream.schema(src.schema)
+              .option("maxFilesPerTrigger", "1").parquet(srcDir),
+            "vec_id", "embedding", ivfUri, sinkUri, ckpt,
+            minCosine = 0.999, nprobe = 4)
+          try q.processAllAvailable() finally q.stop()
+          if (waves > 1 && w < waves - 1) {
+            val c0 = System.nanoTime()
+            graft.ops.Similarity.compactIvfIndex(spark, ivfUri)
+            tCompact += (System.nanoTime() - c0) / 1e9
+          }
+        }
+      } finally spark.streams.removeListener(listener)
+      val total = (System.nanoTime() - t0) / 1e9
+      val byBatch = lats.sortBy(_._1).toVector
+      def med(xs: Seq[Double]) = if (xs.isEmpty) 0.0
+        else xs.sorted.apply(xs.size / 2)
+      val decades = byBatch.grouped(math.max(1, byBatch.size / 10)).toVector
+      decades.zipWithIndex.foreach { case (d, i) =>
+        println(f"[rehearsal] $tag decade $i: median ${med(d.map(_._2))}%.2f s " +
+          f"over ${d.size} batches (${d.map(_._3).sum} vecs)")
+      }
+      val early = med(byBatch.slice(5, 15).map(_._2))
+      val late = med(byBatch.slice(byBatch.size - 10, byBatch.size).map(_._2))
+      val survivors = ArrayTable.read(spark, sinkUri).count()
+      val nIn = src.count()
+      println(f"[rehearsal] $tag: ${byBatch.size} batches, early median " +
+        f"$early%.2f s, late median $late%.2f s (late/early " +
+        f"${late / math.max(early, 1e-9)}%.2f), survivors=$survivors of $nIn, " +
+        f"index bytes=${fs.du(ivfUri)}, compact $tCompact%.1f s, " +
+        f"total $total%.1f s")
+      results += s"${tag}_early_med" -> early
+      results += s"${tag}_late_med" -> late
+      results += s"${tag}_total" -> total
+    }
+    if (runOp("streaming_sem")) semStreamingRehearsal("stream_sem", waves = 4)
+
     // ---- round-15: COMPOSED end-to-end pipeline on ONE heap ----------
     // Every heavy operator above has an isolated curve, but the r11
     // (semantic-dedup heap fights) and r13 (tfidf DISK_ONLY OOM) scale
