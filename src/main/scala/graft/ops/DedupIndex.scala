@@ -297,6 +297,13 @@ object DedupIndex {
   def compact(spark: SparkSession, uri: String, filesPerBand: Int = 4): Unit = {
     val p = readParams(spark, uri)
     val fs = VFS(spark)
+    // zero sig rows == zero indexed docs (build and append write both
+    // tables together): nothing to compact, and flipping EITHER table
+    // to a generation written from an empty frame would rest on writer
+    // internals for the next read's schema (the build-over-empty
+    // streaming bootstrap keeps its schema-bearing original files)
+    val nSigs = spark.read.parquet(liveSigsPath(spark, uri)).count()
+    if (nSigs == 0) return
     val cur = liveDataPath(spark, uri)
     val next = graft.storage.VersionedDir.next(fs, uri, "data")
     val rows = spark.read.parquet(cur)
@@ -314,22 +321,15 @@ object DedupIndex {
     // flip: concurrent probes keep reading `cur` until the marker
     // lands; a crash here leaves `cur` live (no missing-dir window)
     graft.storage.VersionedDir.commit(fs, uri, "data", next)
-    val curSigs = liveSigsPath(spark, uri)
-    val sigs = spark.read.parquet(curSigs)
-    val nSigs = sigs.count() // parquet metadata-only: no data pass
-    // zero rows (the documented build-over-empty streaming bootstrap):
-    // leave the schema-bearing build output alone rather than flip to
-    // a generation whose emptiness depends on writer internals
-    if (nSigs > 0) {
-      val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
-      sigs.repartitionByRange(
-          math.max(1, math.ceil(nSigs / 250000.0).toInt), col("id"))
-        .sortWithinPartitions("id")
-        .write.mode("overwrite")
-        .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-        .parquet(nextSigs)
-      graft.storage.VersionedDir.commit(fs, uri, "sigs", nextSigs)
-    }
+    val sigs = spark.read.parquet(liveSigsPath(spark, uri))
+    val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
+    sigs.repartitionByRange(
+        math.max(1, math.ceil(nSigs / 250000.0).toInt), col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(nextSigs)
+    graft.storage.VersionedDir.commit(fs, uri, "sigs", nextSigs)
   }
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the

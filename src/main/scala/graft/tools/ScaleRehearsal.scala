@@ -947,7 +947,18 @@ object ScaleRehearsal {
     // reader-safe generation flip; appends must be quiesced — compact
     // is not writer-concurrent), and the query RESUMES from its
     // checkpoint — which also exercises restart recovery `waves` times.
-    def streamingRehearsal(tag: String, waves: Int): Unit = {
+    // ONE harness for both persisted-index streaming gates (text LSH +
+    // semantic IVF): the protocol — staging, wave loop, listener,
+    // decade reporting — must not fork, or the two curves silently
+    // measure different things. Parameterized by the gate's bootstrap,
+    // stream constructor, and compaction verb.
+    def streamGateRehearsal(tag: String, waves: Int, src: DataFrame,
+        keyCol: String, unit: String,
+        bootstrap: String => Unit,
+        mkStream: (DataFrame, String, String, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery,
+        compactIndex: String => Unit,
+        reportIndex: String => String): Unit = {
       import graft.storage.ArrayTable
       val nBatches = 100
       val idxUri = s"$outDir/${tag}_index"
@@ -957,166 +968,116 @@ object ScaleRehearsal {
       val ckpt = s"$outDir/${tag}_ckpt"
       val fs = graft.storage.VFS(spark)
       Seq(idxUri, sinkUri, srcDir, stageDir, ckpt).foreach(u => fs.delete(u))
-      val src = docs.select(col("doc_id"), col("text"))
-      graft.ops.DedupIndex.build(src.limit(0), "doc_id", "text", idxUri)
+      bootstrap(idxUri)
       ArrayTable.create(spark, sinkUri,
-        graft.core.ArraySchema.infer(src.schema, Seq("doc_id"))
+        graft.core.ArraySchema.infer(src.schema, Seq(keyCol))
           .copy(allowsDuplicates = true))
       // one file per micro-batch, hash-spread so every batch mixes
       // copies (a copy-contiguous order would make late batches pure
       // dups of early ones — no steady-state survivor flow)
-      src.repartition(nBatches, col("doc_id")).write.parquet(stageDir)
+      src.repartition(nBatches, col(keyCol)).write.parquet(stageDir)
       val staged = fs.ls(stageDir).filter(_.endsWith(".parquet")).sorted
       fs.mkdirs(srcDir)
-      val lats = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
+      // keyed by batchId: a restart-replayed batch overwrites its own
+      // row (last run wins) instead of double-counting in the curve
+      val lats =
+        new java.util.concurrent.ConcurrentHashMap[Long, (Double, Long)]()
       val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = {
           val p = e.progress
-          if (p.numInputRows > 0) lats.synchronized {
-            lats += ((p.batchId,
-              p.durationMs.get("triggerExecution").toDouble / 1e3,
-              p.numInputRows))
-          }
+          if (p.numInputRows > 0)
+            lats.put(p.batchId,
+              (p.durationMs.get("triggerExecution").toDouble / 1e3,
+                p.numInputRows))
         }
       }
       spark.streams.addListener(listener)
       val t0 = System.nanoTime()
       var tCompact = 0.0
+      var moved = 0
       val perWave = (staged.size + waves - 1) / waves
       try {
         staged.grouped(perWave).zipWithIndex.foreach { case (wave, w) =>
           wave.foreach(f =>
             fs.rename(f, s"$srcDir/${f.substring(f.lastIndexOf('/') + 1)}"))
-          val q = graft.streaming.EventStreams.nearDedupStream(
-            spark.readStream.schema(src.schema)
+          moved += wave.size
+          val q = mkStream(spark.readStream.schema(src.schema)
               .option("maxFilesPerTrigger", "1").parquet(srcDir),
-            "doc_id", "text", idxUri, sinkUri, ckpt, threshold = 0.6)
+            idxUri, sinkUri, ckpt)
           try q.processAllAvailable() finally q.stop()
+          // listener events ride an async bus: drain until every moved
+          // file's batch has reported (bounded), or a wave's tail would
+          // be silently missing from the decade curve
+          val deadline = System.nanoTime() + 30L * 1000000000L
+          while (lats.size < moved && System.nanoTime() < deadline)
+            Thread.sleep(50)
+          require(lats.size >= moved,
+            s"$tag: listener drained only ${lats.size} of $moved batches")
           if (waves > 1 && w < waves - 1) {
             val c0 = System.nanoTime()
-            graft.ops.DedupIndex.compact(spark, idxUri)
+            compactIndex(idxUri)
             tCompact += (System.nanoTime() - c0) / 1e9
           }
         }
       } finally spark.streams.removeListener(listener)
       val total = (System.nanoTime() - t0) / 1e9
-      val byBatch = lats.sortBy(_._1).toVector
+      import scala.jdk.CollectionConverters._
+      val byBatch = lats.asScala.toVector.sortBy(_._1)
       def med(xs: Seq[Double]) = if (xs.isEmpty) 0.0
         else xs.sorted.apply(xs.size / 2)
+      val durs = byBatch.map(_._2._1)
       // per-decade medians: the whole flatness story in 10 numbers
       val decades = byBatch.grouped(math.max(1, byBatch.size / 10)).toVector
       decades.zipWithIndex.foreach { case (d, i) =>
-        println(f"[rehearsal] $tag decade $i: median ${med(d.map(_._2))}%.2f s " +
-          f"over ${d.size} batches (${d.map(_._3).sum} docs)")
+        println(f"[rehearsal] $tag decade $i: median ${med(d.map(_._2._1))}%.2f s " +
+          f"over ${d.size} batches (${d.map(_._2._2).sum} $unit)")
       }
-      val early = med(byBatch.slice(5, 15).map(_._2))
-      val late = med(byBatch.slice(byBatch.size - 10, byBatch.size).map(_._2))
+      val early = med(durs.slice(5, 15))
+      val late = med(durs.slice(durs.size - 10, durs.size))
       val survivors = ArrayTable.read(spark, sinkUri).count()
-      val idxSigs = spark.read.parquet(
-        graft.ops.DedupIndex.liveSigsPath(spark, idxUri)).count()
-      val idxBytes = fs.du(idxUri)
       println(f"[rehearsal] $tag: ${byBatch.size} batches, " +
         f"early median $early%.2f s, late median $late%.2f s " +
-        f"(late/early ${late / math.max(early, 1e-9)}%.2f), survivors=$survivors, " +
-        f"index sig rows=$idxSigs, index bytes=$idxBytes, " +
-        f"compact $tCompact%.1f s, total $total%.1f s")
-      results += s"${tag}_early_med" -> early
-      results += s"${tag}_late_med" -> late
-      results += s"${tag}_total" -> total
-    }
-    if (runOp("streaming")) streamingRehearsal("stream_nd", waves = 1)
-    if (runOp("streaming_compact"))
-      streamingRehearsal("stream_nd_compact", waves = 4)
-
-    // The SEMANTIC streaming gate, same steady-state protocol: embX
-    // (with its 1% planted exact dups) through semanticDedupStream in
-    // 100 micro-batches; state = the persisted IVF index; compaction
-    // between waves via compactIvfIndex (appends leave one file per
-    // batch per touched centroid cell — the same file-count tax).
-    // Bootstrap: the IVF index trains on a 1%-sample seed corpus
-    // (centroid training needs data; the documented spec shape).
-    def semStreamingRehearsal(tag: String, waves: Int): Unit = {
-      import graft.storage.ArrayTable
-      val nBatches = 100
-      val ivfUri = s"$outDir/${tag}_ivf"
-      val sinkUri = s"$outDir/${tag}_sink"
-      val srcDir = s"$outDir/${tag}_src"
-      val stageDir = s"$outDir/${tag}_stage"
-      val ckpt = s"$outDir/${tag}_ckpt"
-      val fs = graft.storage.VFS(spark)
-      Seq(ivfUri, sinkUri, srcDir, stageDir, ckpt).foreach(u => fs.delete(u))
-      val src = embX.select(col("vec_id"), col("embedding"))
-      val seed = src.filter(pmod(col("vec_id"), lit(97)) === 0)
-        .withColumn("vec_id", col("vec_id") + (3L << 50))
-      graft.ops.Similarity.buildIvfIndex(seed, "vec_id", "embedding",
-        ivfUri, nCentroids = 64)
-      ArrayTable.create(spark, sinkUri,
-        graft.core.ArraySchema.infer(src.schema, Seq("vec_id"))
-          .copy(allowsDuplicates = true))
-      src.repartition(nBatches, col("vec_id")).write.parquet(stageDir)
-      val staged = fs.ls(stageDir).filter(_.endsWith(".parquet")).sorted
-      fs.mkdirs(srcDir)
-      val lats = scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]()
-      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-        import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          val p = e.progress
-          if (p.numInputRows > 0) lats.synchronized {
-            lats += ((p.batchId,
-              p.durationMs.get("triggerExecution").toDouble / 1e3,
-              p.numInputRows))
-          }
-        }
-      }
-      spark.streams.addListener(listener)
-      val t0 = System.nanoTime()
-      var tCompact = 0.0
-      val perWave = (staged.size + waves - 1) / waves
-      try {
-        staged.grouped(perWave).zipWithIndex.foreach { case (wave, w) =>
-          wave.foreach(f =>
-            fs.rename(f, s"$srcDir/${f.substring(f.lastIndexOf('/') + 1)}"))
-          val q = graft.streaming.EventStreams.semanticDedupStream(
-            spark.readStream.schema(src.schema)
-              .option("maxFilesPerTrigger", "1").parquet(srcDir),
-            "vec_id", "embedding", ivfUri, sinkUri, ckpt,
-            minCosine = 0.999, nprobe = 4)
-          try q.processAllAvailable() finally q.stop()
-          if (waves > 1 && w < waves - 1) {
-            val c0 = System.nanoTime()
-            graft.ops.Similarity.compactIvfIndex(spark, ivfUri)
-            tCompact += (System.nanoTime() - c0) / 1e9
-          }
-        }
-      } finally spark.streams.removeListener(listener)
-      val total = (System.nanoTime() - t0) / 1e9
-      val byBatch = lats.sortBy(_._1).toVector
-      def med(xs: Seq[Double]) = if (xs.isEmpty) 0.0
-        else xs.sorted.apply(xs.size / 2)
-      val decades = byBatch.grouped(math.max(1, byBatch.size / 10)).toVector
-      decades.zipWithIndex.foreach { case (d, i) =>
-        println(f"[rehearsal] $tag decade $i: median ${med(d.map(_._2))}%.2f s " +
-          f"over ${d.size} batches (${d.map(_._3).sum} vecs)")
-      }
-      val early = med(byBatch.slice(5, 15).map(_._2))
-      val late = med(byBatch.slice(byBatch.size - 10, byBatch.size).map(_._2))
-      val survivors = ArrayTable.read(spark, sinkUri).count()
-      val nIn = src.count()
-      println(f"[rehearsal] $tag: ${byBatch.size} batches, early median " +
-        f"$early%.2f s, late median $late%.2f s (late/early " +
-        f"${late / math.max(early, 1e-9)}%.2f), survivors=$survivors of $nIn, " +
-        f"index bytes=${fs.du(ivfUri)}, compact $tCompact%.1f s, " +
+        f"(late/early ${late / math.max(early, 1e-9)}%.2f), " +
+        f"survivors=$survivors, ${reportIndex(idxUri)}, " +
+        f"index bytes=${fs.du(idxUri)}, compact $tCompact%.1f s, " +
         f"total $total%.1f s")
       results += s"${tag}_early_med" -> early
       results += s"${tag}_late_med" -> late
       results += s"${tag}_total" -> total
     }
-    if (runOp("streaming_sem")) semStreamingRehearsal("stream_sem", waves = 4)
+    if (runOp("streaming") || runOp("streaming_compact")) {
+      val src = docs.select(col("doc_id"), col("text"))
+      def run(tag: String, waves: Int): Unit = streamGateRehearsal(
+        tag, waves, src, "doc_id", "docs",
+        idx => graft.ops.DedupIndex.build(
+          src.limit(0), "doc_id", "text", idx),
+        (raw, idx, sink, ck) => graft.streaming.EventStreams
+          .nearDedupStream(raw, "doc_id", "text", idx, sink, ck,
+            threshold = 0.6),
+        idx => graft.ops.DedupIndex.compact(spark, idx),
+        idx => s"index sig rows=${spark.read.parquet(
+          graft.ops.DedupIndex.liveSigsPath(spark, idx)).count()}")
+      if (runOp("streaming")) run("stream_nd", waves = 1)
+      if (runOp("streaming_compact")) run("stream_nd_compact", waves = 4)
+    }
+    // the SEMANTIC gate under the identical protocol; IVF bootstrap
+    // trains on a 1%-sample seed corpus (centroid training needs data)
+    if (runOp("streaming_sem")) {
+      val src = embX.select(col("vec_id"), col("embedding"))
+      streamGateRehearsal("stream_sem", waves = 4, src, "vec_id", "vecs",
+        idx => graft.ops.Similarity.buildIvfIndex(
+          src.filter(pmod(col("vec_id"), lit(97)) === 0)
+            .withColumn("vec_id", col("vec_id") + (3L << 50)),
+          "vec_id", "embedding", idx, nCentroids = 64),
+        (raw, idx, sink, ck) => graft.streaming.EventStreams
+          .semanticDedupStream(raw, "vec_id", "embedding", idx, sink, ck,
+            minCosine = 0.999, nprobe = 4),
+        idx => graft.ops.Similarity.compactIvfIndex(spark, idx),
+        _ => "ivf cells")
+    }
 
     // ---- round-15: COMPOSED end-to-end pipeline on ONE heap ----------
     // Every heavy operator above has an isolated curve, but the r11
