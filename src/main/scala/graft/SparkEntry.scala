@@ -179,12 +179,18 @@ object SparkEntry {
     val nPlanted = planted.count()
     val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
     val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
-    // set equality via exceptAll BOTH ways — self-contained even if a
-    // future caller passes inputs with duplicate rows (a union-distinct
-    // count comparison could mask a missing pair against a duplicated
-    // one; safe-only-by-construction is not a contract)
-    val p = probed.select("id", "match_id").localCheckpoint(true)
-    val agree = p.exceptAll(oneShot).isEmpty && oneShot.exceptAll(p).isEmpty
+    // MULTISET equality in ONE job: per-pair counts on each side,
+    // full-outer on the pair key, any row with unequal (null ≠ n)
+    // counts is a disagreement. Equivalent to exceptAll both ways —
+    // still duplicate-row-safe if a future caller passes dup rows —
+    // but one shuffle instead of 4 driver jobs + a checkpoint (the r15
+    // parity hardening was ~1 s of this gate's bench cost).
+    val pc = probed.groupBy("id", "match_id").agg(count(lit(1)).as("__np"))
+    val oc = oneShot.groupBy("id", "match_id").agg(count(lit(1)).as("__no"))
+    val agree = pc.join(oc, Seq("id", "match_id"), "full_outer")
+      .filter(col("__np").isNull || col("__no").isNull ||
+        col("__np") =!= col("__no"))
+      .isEmpty
     (selfHits == nPlanted && nPlanted > 0, freshHits == 0L, agree)
   }
 

@@ -93,14 +93,25 @@ object LangIdK {
   // UnicodeScript values its regex char class unions
   private val scriptLangU8: Array[UTF8String] =
     TextAnalysis.scriptLangs.map(t => UTF8String.fromString(t._1)).toArray
-  private val scriptSets: Array[Array[Character.UnicodeScript]] = {
+  /** UnicodeScript sets KEYED BY LANGUAGE CODE — [[scriptSets]] below
+    * assembles the check-order array by iterating
+    * [[TextAnalysis.scriptLangs]] itself, so reordering or editing the
+    * shared table (e.g. its documented Kana-before-Han ordering) can
+    * never positionally mismap a kernel verdict: order is inherited,
+    * and a membership mismatch in EITHER direction fails class init
+    * loudly instead of mislabeling text. */
+  private val scriptSetsByLang: Map[String, Array[Character.UnicodeScript]] = {
     import Character.UnicodeScript._
-    Array(Array(HIRAGANA, KATAKANA), Array(HAN), Array(HANGUL),
-      Array(ARABIC), Array(HEBREW), Array(DEVANAGARI), Array(THAI),
-      Array(GREEK))
+    Map("ja" -> Array(HIRAGANA, KATAKANA), "zh" -> Array(HAN),
+      "ko" -> Array(HANGUL), "ar" -> Array(ARABIC), "he" -> Array(HEBREW),
+      "hi" -> Array(DEVANAGARI), "th" -> Array(THAI), "el" -> Array(GREEK))
   }
-  require(scriptLangU8.length == scriptSets.length,
-    "scriptLangs table and kernel script sets diverged")
+  require(scriptSetsByLang.keySet == TextAnalysis.scriptLangs.map(_._1).toSet,
+    "scriptLangs table and kernel script sets diverged: " +
+      s"table=${TextAnalysis.scriptLangs.map(_._1)} " +
+      s"kernel=${scriptSetsByLang.keys.toSeq.sorted}")
+  private val scriptSets: Array[Array[Character.UnicodeScript]] =
+    TextAnalysis.scriptLangs.map(t => scriptSetsByLang(t._1)).toArray
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'

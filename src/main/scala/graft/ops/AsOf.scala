@@ -195,7 +195,16 @@ object AsOf {
     * `maxBinsPerInterval` bounds per-interval fan-out: any single
     * interval wider than `maxBinsPerInterval * binWidthUs` fails the
     * job LOUDLY (an unclamped open-interval sentinel like 9999-12-31
-    * would otherwise explode to tens of millions of rows per row). */
+    * would otherwise explode to tens of millions of rows per row).
+    *
+    * NOTE the default cap is a BEHAVIOR CHANGE from pre-r15 releases,
+    * which had no cap: at the default 1-hour `binWidthUs`, 100000 bins
+    * is ~11.4 years — a legitimate interval wider than that now fails
+    * at runtime (with the remediation in the message) where it
+    * previously ran. Genuinely wide intervals should raise `binWidthUs`
+    * (the cap scales with it: cap seconds of span = maxBinsPerInterval
+    * × binWidthUs) — a wider bin is also the right bucketing for wide
+    * intervals — or raise `maxBinsPerInterval` explicitly. */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightStart: String, rightEnd: String,
       rightPrefix: String = "right_",
@@ -223,7 +232,10 @@ object AsOf {
     * candidate is kept only in the bin of `max(ls, rs)` — the overlap
     * start, which both sides are guaranteed to cover — making each
     * qualifying pair meet in EXACTLY one bin again: one equi-join
-    * shuffle, no dedup pass. */
+    * shuffle, no dedup pass. `maxBinsPerInterval` applies to BOTH
+    * sides here, with the same default-cap behavior change called out
+    * on [[rangeJoin]] (~11.4 years at the default 1-hour bin; scale
+    * `binWidthUs` up for genuinely wide intervals). */
   def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftStart: String, leftEnd: String,
       rightStart: String, rightEnd: String,

@@ -292,8 +292,12 @@ object DedupIndex {
     * This is the cheap maintenance verb between appends and a full
     * [[build]] — one pass of the ~24 B/row key table plus one pass of
     * the sig rows, independent of text size. Maintenance is
-    * single-writer by contract: quiesce APPENDS during compact
-    * (concurrent PROBES are safe — generation flip). */
+    * single-writer, and since r16 the contract is CHECKED, not just
+    * documented: each table's flip re-lists its live generation and
+    * ABORTS loudly if files appeared during the compaction pass (a
+    * concurrent append — its rows are not in the new generation and
+    * would otherwise be silently dropped at retirement). Concurrent
+    * PROBES remain safe throughout — generation flip. */
   def compact(spark: SparkSession, uri: String, filesPerBand: Int = 4): Unit = {
     val p = readParams(spark, uri)
     val fs = VFS(spark)
@@ -305,6 +309,7 @@ object DedupIndex {
     val nSigs = spark.read.parquet(liveSigsPath(spark, uri)).count()
     if (nSigs == 0) return
     val cur = liveDataPath(spark, uri)
+    val dataBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data")
     val next = graft.storage.VersionedDir.next(fs, uri, "data")
     val rows = spark.read.parquet(cur)
     val sizes = rows.groupBy("band", "bucket")
@@ -319,8 +324,10 @@ object DedupIndex {
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
     // flip: concurrent probes keep reading `cur` until the marker
-    // lands; a crash here leaves `cur` live (no missing-dir window)
-    graft.storage.VersionedDir.commit(fs, uri, "data", next)
+    // lands; a crash here leaves `cur` live (no missing-dir window).
+    // Guarded: aborts if an append landed in `cur` during the rewrite.
+    graft.storage.VersionedDir.commitGuarded(fs, uri, "data", next, dataBefore)
+    val sigsBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs")
     val sigs = spark.read.parquet(liveSigsPath(spark, uri))
     val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
     sigs.repartitionByRange(
@@ -329,7 +336,7 @@ object DedupIndex {
       .write.mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(nextSigs)
-    graft.storage.VersionedDir.commit(fs, uri, "sigs", nextSigs)
+    graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs", nextSigs, sigsBefore)
   }
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the

@@ -531,13 +531,17 @@ object Similarity {
     val fs = graft.storage.VFS(spark)
     val nCells = indexCentroids(spark, uri).size
     val cur = graft.storage.VersionedDir.resolve(fs, uri, "cells")
+    // single-writer contract CHECKED (r16): appends write directly into
+    // the live cells tree, so the flip re-lists it and aborts loudly if
+    // files landed during the rewrite (they would not be in `next`)
+    val before = graft.storage.VersionedDir.liveListing(fs, uri, "cells")
     val next = graft.storage.VersionedDir.next(fs, uri, "cells")
     spark.read.parquet(cur)
       .repartition(math.max(1, nCells), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
-    graft.storage.VersionedDir.commit(fs, uri, "cells", next)
+    graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
   }
 
   /** Payload column list pinned at build; None for pre-payload-key

@@ -159,7 +159,14 @@ object TextAnalysis {
     * subexpression reuse: 94 s over 500k rehearsal docs for pieces
     * that sum to ~7 s; the kernel runs the identical decision from the
     * identical tables in ~2 s. [[langIdDeclarative]] stays as the
-    * differential-spec reference. */
+    * differential-spec reference.
+    *
+    * NULL CONTRACT (deliberate change vs the declarative tree, r15):
+    * null text → null, where the old tree returned an arbitrary
+    * max-over-null-structs language code. Callers that aggregate,
+    * write, or PARTITION by the lang column must handle the null
+    * bucket (filter nulls first, or coalesce to 'und' explicitly if
+    * the old behavior's total bucketing is wanted). */
   def langId(text: Column): Column = graft.functions.LangIdK(text)
 
   /** The original composed-expression langId — semantics reference for
@@ -677,8 +684,17 @@ object TextAnalysis {
     * same blocklist re-broadcast but must still hit. Bounded: keeping
     * at most 4 automatons absorbs interleaved blocklists without ever
     * growing into a leak. */
-  private val acCache = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.ref.SoftReference[AhoCorasick]]()
+  private final class AcEntry(val ref: java.lang.ref.SoftReference[AhoCorasick]) {
+    /** monotonic last-use tick — the LRU eviction basis (wall time
+      * would work too, but a counter is immune to clock steps). */
+    @volatile var lastUse: Long = acTick.incrementAndGet()
+  }
+  private val acTick = new java.util.concurrent.atomic.AtomicLong()
+  private val acCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AcEntry]()
+  /** spec seam: deterministic eviction tests need a known-empty cache
+    * (suites share one JVM). */
+  private[graft] def clearAutomatonCache(): Unit = acCache.clear()
 
   /** Driver-side content key for [[acCache]]: md5 over length-framed
     * phrases (framing, not a separator — no phrase list may collide
@@ -710,21 +726,43 @@ object TextAnalysis {
       // pressure, and losing the only reference between compute() and
       // get() would rebuild the multi-second automaton in a loop
       var built: AhoCorasick = null
-      val ref = acCache.compute(key, (_, old) =>
-        if (old != null && old.get() != null) old
+      val entry = acCache.compute(key, (_, old) =>
+        if (old != null && old.ref.get() != null) old
         else {
           built = new AhoCorasick(phrases)
-          new java.lang.ref.SoftReference(built)
+          new AcEntry(new java.lang.ref.SoftReference(built))
         })
       // cache-hit path: get() can only be null if GC cleared the entry
       // in this instant — the next iteration then takes the build path
-      ac = if (built != null) built else ref.get()
+      ac = if (built != null) built else entry.ref.get()
+      if (ac != null) entry.lastUse = acTick.incrementAndGet()
     }
+    // bound sweep: drop GC-cleared entries first, then LEAST-RECENTLY-
+    // USED — arbitrary hash-iteration eviction could repeatedly evict
+    // an automaton a concurrent scan is actively reusing (>4
+    // interleaved phrase sets = rebuild churn, multi-second per rebuild
+    // at P=100k). Runs OUTSIDE compute() (recursive map update
+    // throws); racing sweeps are harmless — worst case both evict and
+    // the next use rebuilds once.
     if (acCache.size > 4) {
       val it = acCache.entrySet().iterator()
-      while (acCache.size > 4 && it.hasNext) {
+      while (it.hasNext) {
         val e = it.next()
-        if (e.getKey != key || e.getValue.get() == null) it.remove()
+        if (e.getKey != key && e.getValue.ref.get() == null) it.remove()
+      }
+      var done = false
+      while (!done && acCache.size > 4) {
+        var lruKey: String = null
+        var lruUse = Long.MaxValue
+        val it2 = acCache.entrySet().iterator()
+        while (it2.hasNext) {
+          val e = it2.next()
+          if (e.getKey != key && e.getValue.lastUse < lruUse) {
+            lruUse = e.getValue.lastUse; lruKey = e.getKey
+          }
+        }
+        if (lruKey == null) done = true // only the current key remains
+        else acCache.remove(lruKey)
       }
     }
     ac

@@ -51,6 +51,20 @@ class VFS(conf: Configuration) {
 
   def fileSize(uri: String): Long = { val p = new Path(uri); fs(p).getFileStatus(p).getLen }
 
+  /** All FILE paths under `uri`, recursively (partitioned layouts nest
+    * data under `col=value/` dirs). Missing dir = empty. */
+  def lsFilesRecursive(uri: String): Seq[String] = {
+    val p = new Path(uri)
+    val f = fs(p)
+    if (!f.exists(p)) Nil
+    else {
+      val out = Seq.newBuilder[String]
+      val it = f.listFiles(p, true)
+      while (it.hasNext) out += it.next().getPath.toString
+      out.result().sorted
+    }
+  }
+
   /** Recursive byte size of a directory tree (`du`). */
   def du(uri: String): Long = {
     val p = new Path(uri); fs(p).getContentSummary(p).getLength

@@ -67,6 +67,38 @@ object VersionedDir {
     * merely the next number down, which could be a crashed uncommitted
     * attempt), delete every other generation including crashed
     * attempts and the legacy dir. */
+  /** The live generation's recursive file listing — take it BEFORE a
+    * maintenance pass reads the live dir, pass it to [[commitGuarded]]
+    * after the new generation is written. */
+  def liveListing(fs: VFS, uri: String, base: String): Set[String] =
+    fs.lsFilesRecursive(resolve(fs, uri, base)).toSet
+
+  /** [[commit]] with the single-writer maintenance contract CHECKED,
+    * not just documented: `before` is the live listing taken before
+    * the maintenance read. If the live dir gained files in between — a
+    * concurrent append, whose rows are NOT in the new generation and
+    * would be silently dropped when the old generation retires — the
+    * attempt dir is deleted and the flip aborts loudly. The live
+    * generation is untouched on abort, so the caller can quiesce
+    * appends and re-run. (A file landing between this re-list and the
+    * marker write still slips through — the contract stays
+    * single-writer; this converts the common violation into a loud
+    * failure instead of silent data loss.) */
+  def commitGuarded(fs: VFS, uri: String, base: String, path: String,
+      before: Set[String]): Unit = {
+    val added = liveListing(fs, uri, base) -- before
+    if (added.nonEmpty) {
+      fs.delete(path)
+      sys.error(s"maintenance flip of $uri/$base ABORTED: " +
+        s"${added.size} file(s) appeared in the live generation during " +
+        s"compaction (e.g. ${added.head}) — a concurrent append's rows " +
+        "are not in the compacted generation. Maintenance is " +
+        "single-writer: quiesce appends, then re-run compact (the live " +
+        "generation is unchanged; nothing was lost)")
+    }
+    commit(fs, uri, base, path)
+  }
+
   def commit(fs: VFS, uri: String, base: String, path: String): Unit = {
     val (prevPath, _) = current(fs, uri, base)
     fs.writeString(marker(path), "")

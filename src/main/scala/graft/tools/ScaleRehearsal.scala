@@ -976,7 +976,13 @@ object ScaleRehearsal {
       // copies (a copy-contiguous order would make late batches pure
       // dups of early ones — no steady-state survivor flow)
       src.repartition(nBatches, col(keyCol)).write.parquet(stageDir)
+      // drop EMPTY staged files up front: a hash partition that came
+      // out empty still triggers a batch, but with numInputRows == 0
+      // the listener (rightly) never records it — the drain-until-
+      // `moved`-batches wait below would stall 30 s and then fail the
+      // whole rehearsal spuriously
       val staged = fs.ls(stageDir).filter(_.endsWith(".parquet")).sorted
+        .filter(f => spark.read.parquet(f).limit(1).count() > 0)
       fs.mkdirs(srcDir)
       // keyed by batchId: a restart-replayed batch overwrites its own
       // row (last run wins) instead of double-counting in the curve

@@ -1189,6 +1189,29 @@ class OpsSpec extends SparkSpec {
       graft.ops.TextAnalysis.phraseSetKey(Array("a", "bc")))
   }
 
+  test("phrase automaton: bound eviction is least-recently-used") {
+    import graft.ops.TextAnalysis.{cachedAutomaton, clearAutomatonCache, phraseSetKey}
+    clearAutomatonCache()
+    def put(s: String) = cachedAutomaton(phraseSetKey(Array(s)), Array(s))
+    def assertCached(s: String) = {
+      val held = put(s) // strong ref: a cached entry can't be soft-cleared
+      val again = cachedAutomaton(phraseSetKey(Array(s)),
+        sys.error(s"'$s' was evicted: cache hit must not rebuild"))
+      assert(held eq again)
+    }
+    Seq("k1", "k2", "k3", "k4").foreach(put)
+    put("k2")      // refresh k2 — k1 is now the LRU entry
+    put("k5")      // overflow (bound 4): must evict k1, NOT the hot k2
+    assertCached("k2")
+    assertCached("k3")
+    assertCached("k4")
+    // k1 must be gone (rebuild fires — by-name phrases are evaluated)
+    var rebuilt = false
+    cachedAutomaton(phraseSetKey(Array("k1")), { rebuilt = true; Array("k1") })
+    assert(rebuilt, "LRU entry k1 should have been evicted")
+    clearAutomatonCache()
+  }
+
   test("phraseMatches: randomized parity with per-phrase contains") {
     val rnd = new scala.util.Random(11)
     def s(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
