@@ -61,18 +61,27 @@ object Shards {
     * shard=K/` plus `uri/manifest.json` ({shard, rows[, tokens]} per
     * shard, written LAST so a complete manifest implies complete
     * data). One hash-partition shuffle; rows land sorted by pos, one
-    * file per shard directory. Returns the manifest rows. */
+    * file per shard directory. Returns the manifest rows.
+    *
+    * `encryptionKey` encrypts the shard data at rest (parquet modular
+    * encryption via the dir marker, same scheme as the persisted
+    * search/dedup/ANN indexes — training shards are the pipeline
+    * artifact MOST likely to leave the trust boundary); the manifest
+    * rides the same encrypt-or-plain sidecar funnel. */
   def writeShards(df: DataFrame, uri: String, idCol: String,
       numShards: Int, salt: String = "graft",
-      tokenCol: Option[String] = None): Seq[(Int, Long, Long)] = {
+      tokenCol: Option[String] = None,
+      encryptionKey: Option[String] = None): Seq[(Int, Long, Long)] = {
     val spark = df.sparkSession
     val assigned = assignShards(df, idCol, numShards, salt)
     val fs = graft.storage.VFS(spark)
     fs.delete(uri)
+    encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
     assigned
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.partitionBy("shard").parquet(s"$uri/data")
+      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .partitionBy("shard").parquet(s"$uri/data")
     // Manifest aggregated from a READ-BACK of the written files, not a
     // re-run of assignShards over the (possibly changed, possibly
     // non-deterministic) source: the manifest then describes exactly
@@ -89,7 +98,7 @@ object Shards {
     val json = manifest.map { case (s, n, t) =>
       s"""{"shard":$s,"rows":$n,"tokens":$t}"""
     }.mkString("[", ",", "]")
-    fs.writeString(s"$uri/manifest.json", json)
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$uri/manifest.json", json)
     manifest
   }
 

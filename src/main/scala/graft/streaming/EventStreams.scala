@@ -158,9 +158,28 @@ object EventStreams {
     * executor memory; a crash-replayed batch re-appends rows that the
     * id-inequality guard and the min-id drop rule absorb, mirroring
     * [[nearDedupStream]]'s contract on the text side. */
+  /** In-loop index maintenance shared by the persisted-index streams:
+    * every `compactEvery` batches the foreachBatch body itself runs the
+    * index's compact verb, so the measured-flat steady-state curve is a
+    * PRODUCT property — no external stop → compact → restart
+    * orchestration. Safe by construction: foreachBatch bodies
+    * serialize, so an in-batch compact can never race this stream's
+    * own appends (the single-writer contract the guarded flip checks),
+    * and concurrent external probes stay on the old generation until
+    * the marker flips. `compactEvery <= 0` disables (for rehearsal
+    * counterfactual arms and externally-orchestrated maintenance).
+    * Batch ids are monotonic across checkpoint restarts, so the
+    * cadence survives recovery; a replayed batch at the cadence point
+    * re-compacts, which is idempotent (same rows, fewer files). */
+  private def maybeCompact(batchId: Long, compactEvery: Int)(
+      compact: => Unit): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compact
+
   def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
       ivfUri: String, sinkUri: String, checkpoint: String,
       minCosine: Double = 0.99, nprobe: Int = 4,
+      compactEvery: Int = 25,
       tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -182,6 +201,8 @@ object EventStreams {
         commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
         if (!survivors.isEmpty)
           graft.ops.Similarity.appendToIvfIndex(survivors, idCol, vecCol, ivfUri)
+        maybeCompact(batchId, compactEvery)(
+          graft.ops.Similarity.compactIvfIndex(spark, ivfUri))
         ()
       }
       .start()
@@ -192,12 +213,18 @@ object EventStreams {
     * ([[graft.ops.Search.appendBatchToIndex]] keyed by batch id —
     * a replayed batch overwrites its own directory, so postings and
     * corpus stats never double-count, matching the sink's
-    * fragment-timestamp exactly-once). Run
-    * [[graft.ops.Search.compactIndex]] periodically (maintenance,
-    * reader-safe generation flip) to restore footer-stat pruning that
-    * many small batch dirs dilute. */
+    * fragment-timestamp exactly-once). Maintenance
+    * ([[graft.ops.Search.compactIndex]], reader-safe generation flip)
+    * restores the footer-stat pruning that many small batch dirs
+    * dilute; `compactEvery > 0` runs it in-loop every that many
+    * batches (serialized with this stream's own appends). Default OFF
+    * here — unlike the dedup indexes' batch-sized compact, postings
+    * compaction rewrites the whole base generation, so the right
+    * cadence depends on corpus/batch ratio and has no single
+    * measured flat point. */
   def searchIndexStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
+      compactEvery: Int = 0,
       tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -207,6 +234,8 @@ object EventStreams {
         commitStreamBatch(b, sinkUri, tsForBatch(batchId))
         graft.ops.Search.appendBatchToIndex(b, idCol, textCol, indexUri,
           s"batch-$batchId")
+        maybeCompact(batchId, compactEvery)(
+          graft.ops.Search.compactIndex(b.sparkSession, indexUri))
         ()
       }
       .start()
@@ -234,14 +263,18 @@ object EventStreams {
     *
     * Maintenance: append leaves one bucket file and one sig file per
     * batch, and per-batch probe cost grows with index FILE COUNT
-    * (measured 1.52× over 100 batches at the 10× rehearsal). Run
-    * [[graft.ops.DedupIndex.compact]] periodically — stop the query,
-    * compact, restart from the checkpoint (compact is reader-safe but
-    * NOT append-concurrent); every ~25 batches held the rehearsal
-    * curve flat (late/early 1.02×) for ~2 s of compact per wave. */
+    * (measured 2.11× over 100 batches at the 10× rehearsal with no
+    * maintenance). Since r16 maintenance is IN-LOOP by default:
+    * every `compactEvery` batches the foreachBatch body runs
+    * [[graft.ops.DedupIndex.compact]] itself — serialized with this
+    * stream's appends by construction, reader-safe via the generation
+    * flip, no stop/restart required. The default cadence (25) is the
+    * rehearsal-measured flat point (late/early ≈1.0 for ~2 s of
+    * compact per cycle); 0 disables for external orchestration. */
   def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
       threshold: Double = 0.7,
+      compactEvery: Int = 25,
       tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -267,6 +300,8 @@ object EventStreams {
         // double-append only adds duplicate rows a pair-distinct
         // already absorbs — and rebuild re-clusters them away
         graft.ops.DedupIndex.append(survivors, idCol, textCol, indexUri)
+        maybeCompact(batchId, compactEvery)(
+          graft.ops.DedupIndex.compact(b.sparkSession, indexUri))
         ()
       }
       .start()

@@ -875,6 +875,121 @@ object ScaleRehearsal {
       results += "word_entropy" -> tEnt
     }
 
+    // ---- round-16: quality-path piece profile -----------------------
+    // The r15 kernels (LangIdK, translate char counts) fixed the two
+    // measured interpreted-eval bombs; this arm profiles the REMAINING
+    // quality-stage pieces individually — the per-token rlike in
+    // gopherRules, the stopword ===-chain HOF in qualityFeatures, the
+    // per-line trim HOFs — so "kernel it" decisions follow measurement
+    // (threshold ~5 s / 500k docs), not expression-class suspicion.
+    if (runOp("quality_profile")) {
+      import graft.ops.TextAnalysis.tokens
+      def piece(name: String, c: Column): Unit = {
+        val (_, t) = time(docs.select(c.as("v")).agg(sum("v")).head())
+        println(f"[rehearsal] quality piece $name: $t%.2f s")
+        results += s"qp_$name" -> t
+      }
+      val toks = tokens(col("text"))
+      // the two named HOF remnants
+      piece("stopword_chain", size(filter(tokens(lower(col("text"))),
+        t => TextAnalysis.stopwords("en").map(w => t === lit(w))
+          .reduceLeft(_ || _))))
+      piece("alpha_tokens_rlike", size(filter(toks, t => t.rlike("[A-Za-z]"))))
+      // the per-line HOFs
+      val lines = split(col("text"), "\n")
+      piece("bullet_lines", size(filter(lines, l =>
+        trim(l).startsWith("- ") || trim(l).startsWith("* ") ||
+          trim(l).startsWith("•"))))
+      piece("ellipsis_lines", size(filter(lines, l => trim(l).endsWith("..."))))
+      // remaining scalar pieces for context
+      piece("ellipses_regex", (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+      piece("mean_word_len_join", length(array_join(toks, "")).cast("double")
+        / greatest(size(toks).cast("double"), lit(1.0)))
+      piece("gopher_stops_intersect", size(array_intersect(
+        array_distinct(tokens(lower(col("text")))),
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*))))
+      // the composed structs end-to-end
+      val (_, tQf) = time(docs.select(
+        TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .agg(sum(col("q.n_tokens"))).head())
+      println(f"[rehearsal] quality piece qualityFeatures_full: $tQf%.2f s")
+      results += "qp_qualityFeatures_full" -> tQf
+      val (_, tGr) = time(docs.select(
+        TextAnalysis.gopherRules(col("text")).as("g"))
+        .agg(sum(col("g.keep").cast("long"))).head())
+      println(f"[rehearsal] quality piece gopherRules_full: $tGr%.2f s")
+      results += "qp_gopherRules_full" -> tGr
+    }
+
+    // ---- round-16: dense-array completion at a 10^8-cell box --------
+    // The dense fill path (grid = spark.range cross products, left-join
+    // data on dims, coalesce fill) had oracle-size evidence only. The
+    // claims to measure at real grid scale: (a) the grid is generated
+    // DISTRIBUTED (codegen'd Range — never driver-side), and output-
+    // sized work is the only O(grid) cost; (b) the data side stays
+    // data-sized — at this density AQE broadcasts it, so the grid never
+    // shuffles; (c) a sub-box read is sub-box-priced: the dim-range
+    // predicates reach the fragment parquet scan (the analogue of the
+    // reference's tile pruning, tiledb/core.cc:1225-1258), so input IO
+    // tracks the box, not the domain. Conservation: fill arithmetic is
+    // asserted exactly (counts and sums are closed-form).
+    if (runOp("dense_scale")) {
+      import graft.core.{ArraySchema, Attr, Dim}
+      import graft.storage.{ArrayTable, Dense}
+      val uri = s"$outDir/dense_scale_arr"
+      graft.storage.VFS(spark).delete(uri)
+      val side = 10000L          // domain side: 10^4 x 10^4 = 10^8 cells
+      val written = 2000000L     // 2% density
+      val schema = ArraySchema(
+        dims = Seq(Dim("x", "int64", Some(("0", (side - 1).toString))),
+          Dim("y", "int64", Some(("0", (side - 1).toString)))),
+        attrs = Seq(Attr("v", "float64", fill = Some("-1"))),
+        sparse = false)
+      ArrayTable.create(spark, uri, schema)
+      // distinct coords by construction: y strides 50 per x-wrap
+      val (_, tWrite) = time(ArrayTable.write(spark,
+        spark.range(written).select(
+          (col("id") % side).as("x"),
+          (expr(s"id div $side") * 50L).as("y"),
+          col("id").cast("double").as("v")),
+        uri, Some(1000L)))
+      results += "dense_write_2m" -> tWrite
+      // full-box completion: 10^8 output rows, count+sum in one pass
+      val (r1, tFull) = time(Dense.read(spark, uri)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head())
+      val expSum = (written - 1) * written / 2 - (side * side - written).toDouble
+      require(r1.getLong(0) == side * side && r1.getDouble(1) == expSum,
+        s"dense full-box fill arithmetic broke: $r1 (want ${side * side}, $expSum)")
+      println(f"[rehearsal] dense_full_box: 1e8 cells in $tFull%.1f s")
+      results += "dense_full_box_1e8" -> tFull
+      // stepped read: ceil(1e4/7) x ceil(1e4/13) = 1429 x 770 cells
+      val (r2, tStep) = time(Dense.slice(spark, uri, Map(
+          "x" -> graft.query.MultiIndex.DenseSlice(None, None, 7L),
+          "y" -> graft.query.MultiIndex.DenseSlice(None, None, 13L)))
+        .agg(count(lit(1))).head())
+      require(r2.getLong(0) == 1429L * 770L, s"stepped count ${r2.getLong(0)}")
+      results += "dense_stepped" -> tStep
+      // qc fill over the full box: non-matching cells filled, shape kept
+      val (r3, tQc) = time(Dense.read(spark, uri, cond = Some("v >= 1000000"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).head())
+      val expQc = (written - 1) * written / 2 - (1000000L - 1) * 1000000L / 2 -
+        (side * side - (written - 1000000L)).toDouble
+      require(r3.getLong(0) == side * side && r3.getDouble(1) == expQc,
+        s"dense qc fill arithmetic broke: $r3 (want ${side * side}, $expQc)")
+      results += "dense_qc_fill" -> tQc
+      // sub-box (10^6 cells, 1% of the domain): must price as the box
+      val (r4, tBox) = time(Dense.read(spark, uri,
+          Map("x" -> (2000L, 2999L), "y" -> (2000L, 2999L)))
+        .agg(count(lit(1))).head())
+      require(r4.getLong(0) == 1000000L, s"sub-box count ${r4.getLong(0)}")
+      println(f"[rehearsal] dense sub-box 1e6/1e8: $tBox%.2f s vs " +
+        f"full $tFull%.1f s")
+      results += "dense_subbox_1e6" -> tBox
+      graft.storage.VFS(spark).delete(uri)
+    }
+
     // ---- round-15: phrase scan at production P (blocklist scale) -----
     // The P<=2048 curve above proves flat-in-P SCAN cost; real
     // blocklist/canary sets run 10^5-10^6 phrases, where the automaton
@@ -1054,35 +1169,50 @@ object ScaleRehearsal {
       results += s"${tag}_late_med" -> late
       results += s"${tag}_total" -> total
     }
-    if (runOp("streaming") || runOp("streaming_compact")) {
+    // Three maintenance arms per gate: compactEvery=0 + waves=1 is the
+    // no-maintenance counterfactual (drift curve); compactEvery=0 +
+    // waves=4 is the legacy EXTERNAL stop → compact → restart recipe;
+    // compactEvery=25 + waves=1 is the r16 IN-LOOP product default —
+    // the flat claim with NO external orchestration and no restarts.
+    if (runOp("streaming") || runOp("streaming_compact") ||
+        runOp("streaming_inloop")) {
       val src = docs.select(col("doc_id"), col("text"))
-      def run(tag: String, waves: Int): Unit = streamGateRehearsal(
-        tag, waves, src, "doc_id", "docs",
-        idx => graft.ops.DedupIndex.build(
-          src.limit(0), "doc_id", "text", idx),
-        (raw, idx, sink, ck) => graft.streaming.EventStreams
-          .nearDedupStream(raw, "doc_id", "text", idx, sink, ck,
-            threshold = 0.6),
-        idx => graft.ops.DedupIndex.compact(spark, idx),
-        idx => s"index sig rows=${spark.read.parquet(
-          graft.ops.DedupIndex.liveSigsPath(spark, idx)).count()}")
-      if (runOp("streaming")) run("stream_nd", waves = 1)
-      if (runOp("streaming_compact")) run("stream_nd_compact", waves = 4)
+      def run(tag: String, waves: Int, compactEvery: Int): Unit =
+        streamGateRehearsal(
+          tag, waves, src, "doc_id", "docs",
+          idx => graft.ops.DedupIndex.build(
+            src.limit(0), "doc_id", "text", idx),
+          (raw, idx, sink, ck) => graft.streaming.EventStreams
+            .nearDedupStream(raw, "doc_id", "text", idx, sink, ck,
+              threshold = 0.6, compactEvery = compactEvery),
+          idx => graft.ops.DedupIndex.compact(spark, idx),
+          idx => s"index sig rows=${spark.read.parquet(
+            graft.ops.DedupIndex.liveSigsPath(spark, idx)).count()}")
+      if (runOp("streaming")) run("stream_nd", waves = 1, compactEvery = 0)
+      if (runOp("streaming_compact"))
+        run("stream_nd_compact", waves = 4, compactEvery = 0)
+      if (runOp("streaming_inloop"))
+        run("stream_nd_inloop", waves = 1, compactEvery = 25)
     }
     // the SEMANTIC gate under the identical protocol; IVF bootstrap
     // trains on a 1%-sample seed corpus (centroid training needs data)
-    if (runOp("streaming_sem")) {
+    if (runOp("streaming_sem") || runOp("streaming_sem_inloop")) {
       val src = embX.select(col("vec_id"), col("embedding"))
-      streamGateRehearsal("stream_sem", waves = 4, src, "vec_id", "vecs",
-        idx => graft.ops.Similarity.buildIvfIndex(
-          src.filter(pmod(col("vec_id"), lit(97)) === 0)
-            .withColumn("vec_id", col("vec_id") + (3L << 50)),
-          "vec_id", "embedding", idx, nCentroids = 64),
-        (raw, idx, sink, ck) => graft.streaming.EventStreams
-          .semanticDedupStream(raw, "vec_id", "embedding", idx, sink, ck,
-            minCosine = 0.999, nprobe = 4),
-        idx => graft.ops.Similarity.compactIvfIndex(spark, idx),
-        _ => "ivf cells")
+      def runSem(tag: String, waves: Int, compactEvery: Int): Unit =
+        streamGateRehearsal(tag, waves, src, "vec_id", "vecs",
+          idx => graft.ops.Similarity.buildIvfIndex(
+            src.filter(pmod(col("vec_id"), lit(97)) === 0)
+              .withColumn("vec_id", col("vec_id") + (3L << 50)),
+            "vec_id", "embedding", idx, nCentroids = 64),
+          (raw, idx, sink, ck) => graft.streaming.EventStreams
+            .semanticDedupStream(raw, "vec_id", "embedding", idx, sink, ck,
+              minCosine = 0.999, nprobe = 4, compactEvery = compactEvery),
+          idx => graft.ops.Similarity.compactIvfIndex(spark, idx),
+          _ => "ivf cells")
+      if (runOp("streaming_sem"))
+        runSem("stream_sem", waves = 4, compactEvery = 0)
+      if (runOp("streaming_sem_inloop"))
+        runSem("stream_sem_inloop", waves = 1, compactEvery = 25)
     }
 
     // ---- round-15: COMPOSED end-to-end pipeline on ONE heap ----------
@@ -1095,7 +1225,14 @@ object ScaleRehearsal {
     // per-stage walls and ASSERTING the chain's conservation laws
     // between stages (a silent row leak at a stage boundary is exactly
     // the class of bug isolated curves cannot see).
-    if (runOp("pipeline")) {
+    // `encrypted = true` re-runs the identical 11-stage chain with the
+    // SOURCE an encrypted array-table (every read decrypts) and the
+    // shard SINK encrypted (every write encrypts) — the r16 composition
+    // probe: the standalone overhead measured ~10% write / ~5% read at
+    // sf0.1; the claim is that nothing worse emerges under the composed
+    // chain's memory pressure. ONE definition for both arms, so the
+    // per-stage delta table compares the same code.
+    def pipelineArm(tag: String, encrypted: Boolean): Unit = {
       import org.apache.spark.storage.StorageLevel
       val stages = scala.collection.mutable.LinkedHashMap[String, Double]()
       // persist (CacheManager-managed, spillable) + eager count: walls
@@ -1108,11 +1245,35 @@ object ScaleRehearsal {
         val n = df.count()
         val t = (System.nanoTime() - t0) / 1e9
         stages += name -> t
-        println(f"[rehearsal] pipeline/$name: $n rows in $t%.2f s")
+        println(f"[rehearsal] $tag/$name: $n rows in $t%.2f s")
         (df, n)
       }
+      val encKey: Option[String] = if (!encrypted) None else {
+        // merge-into-registry idiom: enable() replaces the key set
+        graft.storage.Encryption.enable(spark,
+          graft.storage.Encryption.sessionKeys(
+            spark.sparkContext.hadoopConfiguration) +
+            ("rehearsal-pipeline" ->
+              "rehearsal-pipeline-key-0123456789".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8).take(32)))
+        Some("rehearsal-pipeline")
+      }
+      val source: DataFrame = encKey match {
+        case None => docs
+        case Some(id) =>
+          // source at rest encrypted: one-time ingest OUTSIDE the staged
+          // chain (its cost is reported separately), then every chain
+          // read of the corpus decrypts
+          val arr = s"$outDir/${tag}_src_arr"
+          val (_, tEncIngest) = time(graft.storage.ArrayTable.ingest(
+            spark, docs.select(col("doc_id"), col("text")), arr,
+            Seq("doc_id"), overwrite = true, encryptionKey = Some(id)))
+          println(f"[rehearsal] $tag/src_ingest_encrypted: $tEncIngest%.2f s")
+          results += s"${tag}_src_ingest" -> tEncIngest
+          graft.storage.ArrayTable.read(spark, arr)
+      }
       val (ingested, nIn) = stage("ingest")(
-        docs.select(col("doc_id"), col("text")))
+        source.select(col("doc_id"), col("text")))
       val (clean, nClean) = stage("clean")(ingested.withColumn("text",
         Curation.redactPii(Curation.stripMarkup(col("text")))))
       require(nClean == nIn, s"clean is 1:1 but $nIn -> $nClean")
@@ -1170,19 +1331,35 @@ object ScaleRehearsal {
       qual.unpersist(); packed.unpersist()
       val nSh = math.max(16, (nSeqs / 25000L).toInt)
       val t0Sh = System.nanoTime()
+      val shardsUri = s"$outDir/${tag}_shards"
       val mani = graft.ops.Shards.writeShards(seqs,
-        s"$outDir/pipeline_shards", "pack_id", nSh, tokenCol = Some("tokens"))
+        shardsUri, "pack_id", nSh, tokenCol = Some("tokens"),
+        encryptionKey = encKey)
       stages += "shard" -> (System.nanoTime() - t0Sh) / 1e9
       require(mani.map(_._2).sum == nSeqs,
         s"shard manifest rows ${mani.map(_._2).sum} != $nSeqs sequences")
+      if (encKey.isDefined) {
+        // at-rest check: no shard data file may start with the plain
+        // parquet magic (modular encryption replaces it with PARE)
+        val fs = graft.storage.VFS(spark)
+        val dataFiles = fs.lsFilesRecursive(s"$shardsUri/data")
+          .filter(_.endsWith(".parquet"))
+        require(dataFiles.nonEmpty, "no shard files written")
+        val magic = new String(
+          fs.readBytes(dataFiles.head).take(4),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(magic == "PARE", s"shard file not encrypted: magic=$magic")
+      }
       seqs.unpersist()
-      stages.foreach { case (k, v) => results += s"pipeline_$k" -> v }
-      results += "pipeline_total" -> stages.values.sum
-      println(f"[rehearsal] pipeline: $nIn%d -> exact $nExact%d -> near " +
+      stages.foreach { case (k, v) => results += s"${tag}_$k" -> v }
+      results += s"${tag}_total" -> stages.values.sum
+      println(f"[rehearsal] $tag: $nIn%d -> exact $nExact%d -> near " +
         f"$nNear%d -> decontam $nDecon%d -> quality $nQual%d -> " +
         f"$nSeqs%d sequences in ${mani.size}%d shards, " +
         f"total ${stages.values.sum}%.1f s, all conservation checks passed")
     }
+    if (runOp("pipeline")) pipelineArm("pipeline", encrypted = false)
+    if (runOp("pipeline_enc")) pipelineArm("pipeline_enc", encrypted = true)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     val capJson = stats.map(s =>

@@ -233,6 +233,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: IN-LOOP compaction keeps results identical " +
+    "and actually flips a generation, no stop/restart") {
+    import graft.storage.ArrayTable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val indexUri = TestSession.tmpDir("stream-ndc-index")
+    val sinkUri = TestSession.tmpDir("stream-ndc-sink")
+    val docSchema = Seq((0L, "")).toDF("doc_id", "text").schema
+    graft.ops.DedupIndex.build(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        docSchema), "doc_id", "text", indexUri)
+    ArrayTable.create(spark, sinkUri,
+      graft.core.ArraySchema.infer(docSchema, Seq("doc_id"))
+        .copy(allowsDuplicates = true))
+    def doc(i: Long) = (0 until 24).map { j =>
+      java.lang.Long.toString((i * 2654435761L + j * 40503L) & 0xffffffL, 26)
+    }.mkString(" ")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // cadence 2: compaction fires INSIDE foreachBatch at batches 2 and 4
+    // while the query keeps running — the external recipe's stop/compact/
+    // restart never happens
+    val q = EventStreams.nearDedupStream(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", indexUri, sinkUri, TestSession.tmpDir("stream-ndc-ckpt"),
+      threshold = 0.6, compactEvery = 2)
+    try {
+      in.addData((1L, doc(1)), (2L, doc(2))); q.processAllAvailable()
+      in.addData((3L, doc(3)), (4L, doc(1) + " x")); q.processAllAvailable() // 4 dups 1
+      in.addData((5L, doc(5))); q.processAllAvailable()      // batch 2 -> compact
+      in.addData((6L, doc(2) + " y"), (7L, doc(7))); q.processAllAvailable() // 6 dups 2
+      in.addData((8L, doc(8))); q.processAllAvailable()      // batch 4 -> compact
+      val kept = ArrayTable.read(spark, sinkUri).select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 3L, 5L, 7L, 8L), s"got $kept")
+      // the in-loop compact really flipped generations on BOTH tables
+      // (legacy unversioned dirs would resolve with no _v suffix)
+      val dataLive = graft.ops.DedupIndex.liveDataPath(spark, indexUri)
+      val sigsLive = graft.ops.DedupIndex.liveSigsPath(spark, indexUri)
+      assert(dataLive.contains("_v") && sigsLive.contains("_v"),
+        s"expected compacted generations, got $dataLive / $sigsLive")
+      // post-compact state: exactly one sig row per survivor, and the
+      // index still matches everything it indexed
+      assert(spark.read.parquet(sigsLive).count() == kept.size.toLong)
+      val reprobe = graft.ops.DedupIndex.probe(
+        Seq((99L, doc(7) + " z")).toDF("doc_id", "text"),
+        "doc_id", "text", indexUri, threshold = 0.6)
+      assert(reprobe.collect().exists(_.getLong(1) == 7L))
+    } finally { q.stop() }
+  }
+
   test("streaming semantic dedup: cross-batch embedding dups dropped via the IVF index") {
     import graft.storage.ArrayTable
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
