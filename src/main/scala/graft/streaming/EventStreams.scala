@@ -218,10 +218,14 @@ object EventStreams {
     * restores the footer-stat pruning that many small batch dirs
     * dilute; `compactEvery > 0` runs it in-loop every that many
     * batches (serialized with this stream's own appends). Default OFF
-    * here — unlike the dedup indexes' batch-sized compact, postings
-    * compaction rewrites the whole base generation, so the right
-    * cadence depends on corpus/batch ratio and has no single
-    * measured flat point. */
+    * here, on a measured basis (the `search_inc_tax` rehearsal, 10×):
+    * appends stay O(batch) regardless of pending count — the tax is
+    * PROBE-side only (0.92 s compacted vs 7.56 s at 100 pending dirs,
+    * post the one-scan probe fix), and postings compaction rewrites
+    * the whole base generation (O(corpus) — 12.4 s at 10×, growing
+    * with the corpus), which in-loop would stall one trigger per
+    * cycle. A query-heavy index wants `compactEvery ≈ 25`; an
+    * ingest-heavy one compacts externally during query lulls. */
   def searchIndexStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
       compactEvery: Int = 0,

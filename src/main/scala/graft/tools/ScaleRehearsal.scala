@@ -910,15 +910,16 @@ object ScaleRehearsal {
         array_distinct(tokens(lower(col("text")))),
         array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
           .map(lit): _*))))
-      // the composed structs end-to-end
+      // the composed structs end-to-end — agg over hash(struct) so
+      // Catalyst cannot prune any field out of the measurement
       val (_, tQf) = time(docs.select(
         TextAnalysis.qualityFeatures(col("text")).as("q"))
-        .agg(sum(col("q.n_tokens"))).head())
+        .agg(sum(hash(col("q")))).head())
       println(f"[rehearsal] quality piece qualityFeatures_full: $tQf%.2f s")
       results += "qp_qualityFeatures_full" -> tQf
       val (_, tGr) = time(docs.select(
         TextAnalysis.gopherRules(col("text")).as("g"))
-        .agg(sum(col("g.keep").cast("long"))).head())
+        .agg(sum(hash(col("g")))).head())
       println(f"[rehearsal] quality piece gopherRules_full: $tGr%.2f s")
       results += "qp_gopherRules_full" -> tGr
     }
@@ -1048,6 +1049,59 @@ object ScaleRehearsal {
         }.count())
       println(s"[rehearsal] phrase_scan_p100k_nocache: $n matches")
       results += "phrase_scan_p100k_nocache" -> t
+    }
+
+    // ---- round-16: search-index pending-batch probe tax --------------
+    // searchIndexStream leaves one postings_inc/<tag>/ dir per batch;
+    // probes union the base generation with every pending dir
+    // (Search.liveState). Unlike the dedup indexes — where per-BATCH
+    // cost grows with file count, so in-loop compaction defaults ON —
+    // the search append stays O(batch); the tax is PROBE-side only.
+    // This arm measures that probe curve in pending count {0, 25, 50,
+    // 100} plus post-compact, the measured basis for choosing
+    // searchIndexStream's compactEvery (default off).
+    if (runOp("search_inc_tax")) {
+      val idx = s"$outDir/search_inc_idx"
+      val (_, tB) = time(
+        graft.ops.Search.buildIndex(docs, "doc_id", "text", idx))
+      results += "sit_build" -> tB
+      // selective queries (rare scrambled-suffix terms): the shape the
+      // index's pruning exists for, hence the most tax-sensitive
+      val queries = docs
+        .filter(shiftright(col("doc_id"), 24) === lit((mult - 1).min(5)))
+        .limit(100).select((col("doc_id") + (7L << 40)).as("query_id"),
+          concat_ws(" ",
+            slice(graft.ops.Search.termsOf(col("text")), -5, 5)).as("qtext"))
+        .localCheckpoint(true)
+      def probe(tag: String): Unit = {
+        val ts = (1 to 3).map(_ => time(graft.ops.Search.bm25IndexTopK(
+          spark, idx, queries, "query_id", "qtext", k = 10).count())._2).sorted
+        println(f"[rehearsal] search_inc_tax probe $tag: median ${ts(1)}%.2f s")
+        results += s"sit_$tag" -> ts(1)
+      }
+      probe("pending0")
+      var appended = 0
+      def appendUpTo(n: Int): Unit = while (appended < n) {
+        // micro-batch-sized (~2k docs), each in its own id space so
+        // postings genuinely grow (no dedup absorbs them)
+        val b = docs
+          .filter(pmod(col("doc_id"), lit(251)) === lit(appended % 251))
+          .limit(2000)
+          .select((col("doc_id") + ((appended + 9L) << 41)).as("doc_id"),
+            col("text"))
+        graft.ops.Search.appendBatchToIndex(b, "doc_id", "text", idx,
+          f"batch-$appended%03d")
+        appended += 1
+      }
+      val (_, tApp) = time(appendUpTo(25))
+      results += "sit_append_25" -> tApp
+      probe("pending25")
+      appendUpTo(50); probe("pending50")
+      appendUpTo(100); probe("pending100")
+      val (_, tC) = time(graft.ops.Search.compactIndex(spark, idx))
+      println(f"[rehearsal] search_inc_tax compact(100 pending): $tC%.2f s")
+      results += "sit_compact" -> tC
+      probe("compacted")
     }
 
     // ---- round-15: streaming steady state over ~100 micro-batches ----
@@ -1358,6 +1412,12 @@ object ScaleRehearsal {
         f"$nSeqs%d sequences in ${mani.size}%d shards, " +
         f"total ${stages.values.sum}%.1f s, all conservation checks passed")
     }
+    // pipeline_warm: a discarded first pass — the chain's first run in a
+    // JVM pays JIT/codegen/shuffle-service warmup that dwarfs the
+    // enc-vs-plain delta (measured 105 s cold vs 42 s warm for the SAME
+    // chain); request it before pipeline,pipeline_enc so both measured
+    // arms run warm and the per-stage delta isolates encryption.
+    if (runOp("pipeline_warm")) pipelineArm("pipeline_warm", encrypted = false)
     if (runOp("pipeline")) pipelineArm("pipeline", encrypted = false)
     if (runOp("pipeline_enc")) pipelineArm("pipeline_enc", encrypted = true)
 
