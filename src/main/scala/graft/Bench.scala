@@ -61,26 +61,24 @@ object Bench {
     // driver-suite drift from real regressions).
     val calKeys = Seq("scan_full", "qc_compare", "minhash_neardups")
       .filter(SparkEntry.queries.contains)
-    def calibrate(): Seq[(String, Double)] = calKeys.map { n =>
-      resetStorage()
-      try time(SparkEntry.queries(n)(spark, sfDir).count()) catch { case _: Throwable => () }
-      n -> median((1 to BaseSweeps).map { _ =>
-        try time(SparkEntry.queries(n)(spark, sfDir).count())
-        catch { case _: Throwable => -1.0 }
-      })
-    }
-    val calStart = calibrate()
-    val results = names.map { n =>
+    // ONE measurement protocol for suite keys and calibration keys:
+    // warm run picks the sweep count (multi-second queries are
+    // GC-dominated, hence SlowSweeps), then the median — a calibration
+    // triplet measured under a LOOSER protocol would itself carry the
+    // noise it exists to divide out
+    def measure(n: String): Double = {
       resetStorage()
       val warm = try time(SparkEntry.queries(n)(spark, sfDir).count())
                  catch { case _: Throwable => -1.0 }
       val sweeps = if (warm > 1.0) SlowSweeps else BaseSweeps
-      val med = median((1 to sweeps).map { _ =>
+      median((1 to sweeps).map { _ =>
         try time(SparkEntry.queries(n)(spark, sfDir).count())
         catch { case _: Throwable => -1.0 }
       })
-      n -> med
     }
+    def calibrate(): Seq[(String, Double)] = calKeys.map(n => n -> measure(n))
+    val calStart = calibrate()
+    val results = names.map(n => n -> measure(n))
     // fragment-ingest benchmark: write sf lineitem as a fresh array-table
     resetStorage()
     val ingestSec = median((1 to BaseSweeps).map { _ =>

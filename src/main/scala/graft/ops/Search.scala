@@ -354,13 +354,22 @@ object Search {
       case Some(a) => a.toSet
       case None => _ => true
     }
-    val dirs = roots.filter(fs.exists).flatMap(fs.ls).filter { d =>
+    val entries = roots.filter(fs.exists).flatMap(fs.ls)
+    // loud, not silent: parquet files NOT under a tb= bucket dir mean a
+    // foreign/legacy layout this reader would otherwise drop from every
+    // probe and compaction (readIndexStats never validates the layout)
+    entries.find(_.endsWith(".parquet")).foreach(f => sys.error(
+      s"postings layout unrecognized: parquet file outside tb= bucket " +
+        s"dirs at $f — rebuild the index with Search.buildIndex"))
+    val dirs = entries.filter { d =>
       val name = d.substring(d.lastIndexOf('/') + 1)
       name.startsWith("tb=") &&
         scala.util.Try(name.substring(3).toInt).toOption.exists(want)
     }
     // an index built over zero docs (streaming bootstrap) writes only
-    // _SUCCESS — no tb= dirs — and lands here on the empty frame
+    // _SUCCESS — no tb= dirs — and lands here on the empty frame; a
+    // bucket selection matching no dirs (terms hashing to buckets this
+    // index never wrote) is likewise a legitimate empty
     if (dirs.isEmpty) emptyPostings(spark)
     else spark.read.schema(PostingsSchema).parquet(dirs: _*)
   }

@@ -170,11 +170,26 @@ object EventStreams {
     * counterfactual arms and externally-orchestrated maintenance).
     * Batch ids are monotonic across checkpoint restarts, so the
     * cadence survives recovery; a replayed batch at the cadence point
-    * re-compacts, which is idempotent (same rows, fewer files). */
-  private def maybeCompact(batchId: Long, compactEvery: Int)(
-      compact: => Unit): Unit =
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    * re-compacts, which is idempotent (same rows, fewer files).
+    *
+    * COST: each cycle rewrites the whole index (compaction is
+    * O(index), not O(pending)), so the cadence batch's trigger stalls
+    * for time that GROWS with the survivor count — fine at the
+    * rehearsed scale (~2 s per cycle at 45k survivors), but a stream
+    * that has indexed 10^8+ rows pays minutes per cycle. Long-lived
+    * large-index streams should raise `compactEvery` (amortizing the
+    * rewrite over more batches) or set 0 and compact externally during
+    * lulls; the per-cycle wall is surfaced on the
+    * `stream.compact_secs_x100` counter so the choice can be made
+    * from observed numbers, never from a silent stall. */
+  private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, compactEvery: Int)(compact: => Unit): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      val t0 = System.nanoTime()
       compact
+      graft.core.Stats.counter(spark, "stream.compact_secs_x100")
+        .add((System.nanoTime() - t0) / 10000000L) // centiseconds
+    }
 
   def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
       ivfUri: String, sinkUri: String, checkpoint: String,
@@ -201,7 +216,7 @@ object EventStreams {
         commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
         if (!survivors.isEmpty)
           graft.ops.Similarity.appendToIvfIndex(survivors, idCol, vecCol, ivfUri)
-        maybeCompact(batchId, compactEvery)(
+        maybeCompact(spark, batchId, compactEvery)(
           graft.ops.Similarity.compactIvfIndex(spark, ivfUri))
         ()
       }
@@ -238,7 +253,7 @@ object EventStreams {
         commitStreamBatch(b, sinkUri, tsForBatch(batchId))
         graft.ops.Search.appendBatchToIndex(b, idCol, textCol, indexUri,
           s"batch-$batchId")
-        maybeCompact(batchId, compactEvery)(
+        maybeCompact(b.sparkSession, batchId, compactEvery)(
           graft.ops.Search.compactIndex(b.sparkSession, indexUri))
         ()
       }
@@ -304,7 +319,7 @@ object EventStreams {
         // double-append only adds duplicate rows a pair-distinct
         // already absorbs — and rebuild re-clusters them away
         graft.ops.DedupIndex.append(survivors, idCol, textCol, indexUri)
-        maybeCompact(batchId, compactEvery)(
+        maybeCompact(b.sparkSession, batchId, compactEvery)(
           graft.ops.DedupIndex.compact(b.sparkSession, indexUri))
         ()
       }

@@ -1150,8 +1150,16 @@ object ScaleRehearsal {
       // the listener (rightly) never records it — the drain-until-
       // `moved`-batches wait below would stall 30 s and then fail the
       // whole rehearsal spuriously
+      // classified in ONE job over all staged files (a read-per-file
+      // loop is ~nBatches sequential driver round-trips); compare by
+      // basename — input_file_name() is URI-styled, fs.ls is not
+      def basename(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      val nonEmpty = spark.read.parquet(stageDir)
+        .select(input_file_name().as("__f")).distinct()
+        .as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().map(basename).toSet
       val staged = fs.ls(stageDir).filter(_.endsWith(".parquet")).sorted
-        .filter(f => spark.read.parquet(f).limit(1).count() > 0)
+        .filter(f => nonEmpty(basename(f)))
       fs.mkdirs(srcDir)
       // keyed by batchId: a restart-replayed batch overwrites its own
       // row (last run wins) instead of double-counting in the curve

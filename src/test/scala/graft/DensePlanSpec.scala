@@ -17,15 +17,29 @@ import org.apache.spark.sql.functions._
 class DensePlanSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Final physical plan: execute first so AQE replans to completion,
-    * then unwrap the adaptive root (same idiom as GraftCatalogSpec). */
+  /** Final physical plan: collect() THIS frame (count() builds a
+    * separate QueryExecution and would leave df's own adaptive plan
+    * un-finalized), then unwrap the adaptive root — so the assertions
+    * run against the plan AQE actually executed, runtime
+    * re-optimizations included. Returns (rowCount, plan). */
   private def finalPlan(df: org.apache.spark.sql.DataFrame) = {
-    df.count()
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
+    val n = df.collect().length.toLong
+    (n, df.queryExecution.executedPlan)
+  }
+
+  /** Leaves of the EXECUTED plan, descending through the adaptive root
+    * and the QueryStageExec boundaries AQE materializes (a plain
+    * collectLeaves stops at ResultQueryStage and sees nothing). */
+  private def leavesOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      leavesOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      leavesOf(q.plan)
+    case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+      leavesOf(r.child)
+    case l if l.children.isEmpty => Seq(l)
+    case n => n.children.flatMap(leavesOf)
   }
 
   private def mkArray(): String = {
@@ -46,9 +60,10 @@ class DensePlanSpec extends SparkSpec {
   test("dense grid is Range leaves — never a driver-side local table") {
     val uri = mkArray()
     val df = Dense.read(spark, uri)
-    // the read is right: full box, fill-completed (also finalizes AQE)
-    assert(df.count() == 10000L)
-    val leaves = finalPlan(df).collectLeaves()
+    val (n, plan) = finalPlan(df)
+    // the read is right: full box, fill-completed
+    assert(n == 10000L)
+    val leaves = leavesOf(plan)
     val ranges = leaves.count(_.nodeName.contains("Range"))
     assert(ranges >= 2, s"expected >=2 distributed Range grid legs, " +
       s"got leaves: ${leaves.map(_.nodeName)}")
@@ -60,8 +75,9 @@ class DensePlanSpec extends SparkSpec {
     val uri = mkArray()
     val boxed = Dense.read(spark, uri,
       Map("x" -> (10L, 19L), "y" -> (20L, 59L)))
-    assert(boxed.count() == 400L)
-    val scans = finalPlan(boxed).collect {
+    val (n, plan) = finalPlan(boxed)
+    assert(n == 400L)
+    val scans = leavesOf(plan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
     assert(scans.nonEmpty, "expected a parquet fragment scan under the join")

@@ -1193,18 +1193,21 @@ class OpsSpec extends SparkSpec {
     import graft.ops.TextAnalysis.{cachedAutomaton, clearAutomatonCache, phraseSetKey}
     clearAutomatonCache()
     def put(s: String) = cachedAutomaton(phraseSetKey(Array(s)), Array(s))
-    def assertCached(s: String) = {
-      val held = put(s) // strong ref: a cached entry can't be soft-cleared
+    // hold strong refs to the ORIGINAL builds for the whole test (a
+    // strongly-held referent is never soft-cleared), and probe with the
+    // by-name sys.error argument WITHOUT a preceding put — a put would
+    // silently rebuild an evicted entry and mask a wrong eviction choice
+    def assertCached(s: String, expect: graft.ops.TextAnalysis.AhoCorasick) = {
       val again = cachedAutomaton(phraseSetKey(Array(s)),
         sys.error(s"'$s' was evicted: cache hit must not rebuild"))
-      assert(held eq again)
+      assert(expect eq again)
     }
-    Seq("k1", "k2", "k3", "k4").foreach(put)
-    put("k2")      // refresh k2 — k1 is now the LRU entry
+    val builds = Seq("k1", "k2", "k3", "k4").map(s => s -> put(s)).toMap
+    assert(put("k2") eq builds("k2")) // refresh k2 — k1 is now the LRU entry
     put("k5")      // overflow (bound 4): must evict k1, NOT the hot k2
-    assertCached("k2")
-    assertCached("k3")
-    assertCached("k4")
+    assertCached("k2", builds("k2"))
+    assertCached("k3", builds("k3"))
+    assertCached("k4", builds("k4"))
     // k1 must be gone (rebuild fires — by-name phrases are evaluated)
     var rebuilt = false
     cachedAutomaton(phraseSetKey(Array("k1")), { rebuilt = true; Array("k1") })

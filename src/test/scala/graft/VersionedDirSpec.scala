@@ -135,24 +135,39 @@ class VersionedDirSpec extends SparkSpec {
     assert(live.endsWith(v2.substring(v2.lastIndexOf('/'))) && !live.endsWith("/data"))
   }
 
-  test("IVF cells append during compact aborts the guarded flip") {
-    // end-to-end through the REAL compactIvfIndex guard: bootstrap a
-    // tiny index, then plant a file in the live cells tree between the
-    // listing... not injectable without hooks — so exercise the same
-    // guard at the DedupIndex surface instead: an append AFTER compact
-    // starts is indistinguishable from one pre-listing only through
-    // the listing delta, which the unit test above pins. Here: verify
-    // compact-after-append (the quiesced order) keeps every row.
+  test("IVF cells: a REAL append between the maintenance listing and " +
+    "the guarded flip aborts; quiesced compactIvfIndex keeps every row") {
+    // compactIvfIndex's internal listing→rewrite→commit window is not
+    // injectable without hooks, so this drives the same guard with the
+    // direct-VersionedDir choreography OVER THE REAL IVF LAYOUT: the
+    // load-bearing assumptions checked here are that appendToIvfIndex's
+    // files (nested under centroid_id= partition dirs) show up in the
+    // RECURSIVE live listing delta, that the guard keys on base name
+    // "cells", and that the quiesced real compact then folds everything.
     val uri = TestSession.tmpDir("vdir-ivfguard")
-    def txt(i: Long) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
-    val docs = (0L until 30L).map(i => (i, txt(i))).toDF("doc_id", "text")
-    graft.ops.DedupIndex.build(docs, "doc_id", "text", uri)
-    graft.ops.DedupIndex.append(
-      (50L until 60L).map(i => (i, txt(i))).toDF("doc_id", "text"),
-      "doc_id", "text", uri)
-    graft.ops.DedupIndex.compact(spark, uri)
-    val sigRows = spark.read.parquet(
-      graft.ops.DedupIndex.liveSigsPath(spark, uri)).count()
-    assert(sigRows == 40L, s"compacted sigs lost rows: $sigRows")
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(8)(j => ((i * 7 + j) % 13).toFloat / 13.0f)
+    val base = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding", uri,
+      nCentroids = 4)
+    val before = VersionedDir.liveListing(fs, uri, "cells")
+    graft.ops.Similarity.appendToIvfIndex(
+      (100L until 110L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", uri)
+    assert(VersionedDir.liveListing(fs, uri, "cells") != before,
+      "appended cell files must be visible to the recursive listing")
+    val next = VersionedDir.next(fs, uri, "cells")
+    fs.writeString(s"$next/part-0.parquet", "rewrite without the append")
+    val err = intercept[RuntimeException] {
+      VersionedDir.commitGuarded(fs, uri, "cells", next, before)
+    }
+    assert(err.getMessage.contains("quiesce"), s"loud remediation: $err")
+    // abort left the appended rows live; the QUIESCED real compact
+    // succeeds and the new generation holds base + append
+    graft.ops.Similarity.compactIvfIndex(spark, uri)
+    val live = graft.ops.Similarity.cellsPath(spark, uri)
+    assert(live.contains("_v"), s"expected a flipped generation: $live")
+    val rows = spark.read.parquet(live).count()
+    assert(rows == 50L, s"compacted cells lost rows: $rows")
   }
 }
