@@ -1256,6 +1256,27 @@ object ScaleRehearsal {
       if (runOp("streaming_inloop"))
         run("stream_nd_inloop", waves = 1, compactEvery = 25)
     }
+    // the SEARCH-INDEX stream under the identical protocol — the last
+    // persisted-index stream without a measured per-batch curve. The
+    // claim differs from the dedup gates: appendBatchToIndex never
+    // probes, so per-batch cost must be FLAT in pending count by
+    // construction (O(batch) postings build + one dir write); the
+    // probe-side tax those pending dirs accrue is the search_inc_tax
+    // arm above. compactEvery=0 is the measured default under test.
+    if (runOp("streaming_search")) {
+      val src = docs.select(col("doc_id"), col("text"))
+      streamGateRehearsal("stream_search", waves = 1, src, "doc_id", "docs",
+        idx => graft.ops.Search.buildIndex(src.limit(0), "doc_id", "text", idx),
+        (raw, idx, sink, ck) => graft.streaming.EventStreams
+          .searchIndexStream(raw, "doc_id", "text", idx, sink, ck),
+        idx => graft.ops.Search.compactIndex(spark, idx),
+        idx => {
+          val inc = s"$idx/postings_inc"
+          val fsv = graft.storage.VFS(spark)
+          s"pending inc dirs=${if (fsv.exists(inc)) fsv.ls(inc).size else 0}"
+        })
+    }
+
     // the SEMANTIC gate under the identical protocol; IVF bootstrap
     // trains on a 1%-sample seed corpus (centroid training needs data)
     if (runOp("streaming_sem") || runOp("streaming_sem_inloop")) {
