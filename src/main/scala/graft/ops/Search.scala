@@ -355,12 +355,17 @@ object Search {
       case None => _ => true
     }
     val entries = roots.filter(fs.exists).flatMap(fs.ls)
-    // loud, not silent: parquet files NOT under a tb= bucket dir mean a
-    // foreign/legacy layout this reader would otherwise drop from every
-    // probe and compaction (readIndexStats never validates the layout)
-    entries.find(_.endsWith(".parquet")).foreach(f => sys.error(
-      s"postings layout unrecognized: parquet file outside tb= bucket " +
-        s"dirs at $f — rebuild the index with Search.buildIndex"))
+    // loud, not silent: a postings root may contain ONLY tb= bucket
+    // dirs and _/. sidecars (_SUCCESS, _genstats.json, .crc). Anything
+    // else — flat data files, a different partition column, a foreign
+    // layout — would otherwise be dropped from every probe and
+    // compaction (readIndexStats never validates the layout)
+    entries.find { e =>
+      val name = e.substring(e.lastIndexOf('/') + 1)
+      !name.startsWith("tb=") && !name.startsWith("_") && !name.startsWith(".")
+    }.foreach(f => sys.error(
+      s"postings layout unrecognized: entry outside tb= bucket dirs " +
+        s"at $f — rebuild the index with Search.buildIndex"))
     val dirs = entries.filter { d =>
       val name = d.substring(d.lastIndexOf('/') + 1)
       name.startsWith("tb=") &&

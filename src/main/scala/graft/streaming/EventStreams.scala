@@ -180,14 +180,18 @@ object EventStreams {
     * large-index streams should raise `compactEvery` (amortizing the
     * rewrite over more batches) or set 0 and compact externally during
     * lulls; the per-cycle wall is surfaced on the
-    * `stream.compact_secs_x100` counter so the choice can be made
+    * `stream.compact_secs_x100.<indexUri>` counter so the choice can be made
     * from observed numbers, never from a silent stall. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
-      batchId: Long, compactEvery: Int)(compact: => Unit): Unit =
+      indexUri: String, batchId: Long, compactEvery: Int)(
+      compact: => Unit): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       val t0 = System.nanoTime()
       compact
-      graft.core.Stats.counter(spark, "stream.compact_secs_x100")
+      // per-INDEX counter: concurrent streams maintaining different
+      // indexes must be attributable separately, or the documented
+      // raise-compactEvery tuning decision can't be made from it
+      graft.core.Stats.counter(spark, s"stream.compact_secs_x100.$indexUri")
         .add((System.nanoTime() - t0) / 10000000L) // centiseconds
     }
 
@@ -216,7 +220,7 @@ object EventStreams {
         commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
         if (!survivors.isEmpty)
           graft.ops.Similarity.appendToIvfIndex(survivors, idCol, vecCol, ivfUri)
-        maybeCompact(spark, batchId, compactEvery)(
+        maybeCompact(spark, ivfUri, batchId, compactEvery)(
           graft.ops.Similarity.compactIvfIndex(spark, ivfUri))
         ()
       }
@@ -253,7 +257,7 @@ object EventStreams {
         commitStreamBatch(b, sinkUri, tsForBatch(batchId))
         graft.ops.Search.appendBatchToIndex(b, idCol, textCol, indexUri,
           s"batch-$batchId")
-        maybeCompact(b.sparkSession, batchId, compactEvery)(
+        maybeCompact(b.sparkSession, indexUri, batchId, compactEvery)(
           graft.ops.Search.compactIndex(b.sparkSession, indexUri))
         ()
       }
@@ -319,7 +323,7 @@ object EventStreams {
         // double-append only adds duplicate rows a pair-distinct
         // already absorbs — and rebuild re-clusters them away
         graft.ops.DedupIndex.append(survivors, idCol, textCol, indexUri)
-        maybeCompact(b.sparkSession, batchId, compactEvery)(
+        maybeCompact(b.sparkSession, indexUri, batchId, compactEvery)(
           graft.ops.DedupIndex.compact(b.sparkSession, indexUri))
         ()
       }

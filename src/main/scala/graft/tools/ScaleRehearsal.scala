@@ -1185,7 +1185,7 @@ object ScaleRehearsal {
       try {
         staged.grouped(perWave).zipWithIndex.foreach { case (wave, w) =>
           wave.foreach(f =>
-            fs.rename(f, s"$srcDir/${f.substring(f.lastIndexOf('/') + 1)}"))
+            fs.rename(f, s"$srcDir/${basename(f)}"))
           moved += wave.size
           val q = mkStream(spark.readStream.schema(src.schema)
               .option("maxFilesPerTrigger", "1").parquet(srcDir),
