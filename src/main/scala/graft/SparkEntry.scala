@@ -1445,7 +1445,9 @@ object SparkEntry {
         Similarity.appendToIvfIndex(e.filter(col("vec_id") % 2 === 1),
           "vec_id", "embedding", uri)
       } }
-      val total = s.read.parquet(Similarity.cellsPath(s, uri)).count()
+      // base ∪ inc: appends land in the inc tier (r16 bounded-
+      // maintenance layout), so the indexed count reads both
+      val total = Similarity.readCellsAll(s, uri).count()
       val q = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
       val res = Similarity.ivfIndexTopK(s, uri, q, "vec_id", "embedding",
         k = 3, nprobe = 4)

@@ -78,6 +78,39 @@ object DedupIndex {
   private[graft] def liveDataPath(spark: SparkSession, uri: String): String =
     graft.storage.VersionedDir.resolve(VFS(spark), uri, "data")
 
+  /** INC tier (r16): [[append]] writes into `data_inc`/`sigs_inc`
+    * (their own [[graft.storage.VersionedDir]] bases) instead of the
+    * base generation dirs. The split is what makes streaming
+    * maintenance BOUNDED: [[minorCompact]] folds only the inc tier —
+    * O(appends since the last major compact), never a rewrite of the
+    * base corpus — while [[compact]] (major) folds base ∪ inc into a
+    * new base generation and resets the inc tier. Readers take base ∪
+    * inc in ONE multi-path flat scan (both tiers are plain sorted
+    * parquet files — same pushdowns, one listing each, no per-tier
+    * union legs). Pre-r16 indexes have no inc dirs and read
+    * identically (existence-filtered). */
+  private[graft] def liveDataIncPath(spark: SparkSession, uri: String): String =
+    graft.storage.VersionedDir.resolve(VFS(spark), uri, "data_inc")
+  private[graft] def liveSigsIncPath(spark: SparkSession, uri: String): String =
+    graft.storage.VersionedDir.resolve(VFS(spark), uri, "sigs_inc")
+
+  private def readFlatMulti(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val fs = VFS(spark)
+    // base always exists and carries schema-bearing files (build writes
+    // both tables even over an empty corpus), so no empty fallback here
+    spark.read.parquet(paths.filter(fs.exists): _*)
+  }
+
+  /** base ∪ inc bucket rows — every reader's view of the index. */
+  private[graft] def readDataAll(spark: SparkSession, uri: String): DataFrame =
+    readFlatMulti(spark,
+      Seq(liveDataPath(spark, uri), liveDataIncPath(spark, uri)))
+
+  /** base ∪ inc signature rows. */
+  private[graft] def readSigsAll(spark: SparkSession, uri: String): DataFrame =
+    readFlatMulti(spark,
+      Seq(liveSigsPath(spark, uri), liveSigsIncPath(spark, uri)))
+
   private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
     import graft.core.Json._
     graft.storage.Encryption.dirJsonWrite(spark, uri, paramsPath(uri),
@@ -143,7 +176,7 @@ object DedupIndex {
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(sigsPath(uri))
     writeCapped(bandedFromSigs(spark.read.parquet(sigsPath(uri)), p),
-      uri, p, filesPerBand, "overwrite")
+      uri, p, filesPerBand, "overwrite", dataPath(uri))
     writeParams(spark, uri, p)
   }
 
@@ -153,7 +186,7 @@ object DedupIndex {
     * combine), so the extra shuffle ships no more than the bucket rows
     * themselves. */
   private def writeCapped(banded: DataFrame, uri: String, p: Params,
-      filesPerBand: Int, mode: String): Unit = {
+      filesPerBand: Int, mode: String, target: String): Unit = {
     val sizes = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > p.maxBucket)
@@ -165,15 +198,16 @@ object DedupIndex {
       .sortWithinPartitions("band", "bucket")
       .write.mode(mode)
       .options(graft.storage.Encryption.dirWriteOptions(banded.sparkSession, uri))
-      .parquet(if (mode == "append") liveDataPath(banded.sparkSession, uri)
-               else dataPath(uri))
+      .parquet(target)
   }
 
   /** Incrementally add `df`'s docs to the index: batch-sized work, no
-    * corpus re-read. New sig and bucket files are batch-sized; probes
-    * keep pruning per-file, so steady-state probe cost grows with
-    * index FILE COUNT over the probed ranges, not corpus size.
-    * Rebuild (`build`) to re-cluster after many appends. */
+    * corpus re-read. New sig and bucket files land in the INC tier
+    * (`sigs_inc`/`data_inc`) — one batch-sized file each; probes keep
+    * pruning per-file, so steady-state probe cost grows with the inc
+    * FILE COUNT over the probed ranges, not corpus size. Run
+    * [[minorCompact]] to fold the inc files (bounded — never touches
+    * the base), [[compact]] to fold everything. */
   def append(df: DataFrame, idCol: String, textCol: String, uri: String,
       filesPerBand: Int = 1): Unit = {
     val spark = df.sparkSession
@@ -182,10 +216,12 @@ object DedupIndex {
     val sigs = sigRows(df, idCol, textCol, p).localCheckpoint(true)
     sigs.write.mode("append")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-      .parquet(liveSigsPath(spark, uri))
+      .parquet(liveSigsIncPath(spark, uri))
     // the cap is enforced within the appended batch only; groups that
-    // exceed maxBucket across base+appends are re-capped on rebuild
-    writeCapped(bandedFromSigs(sigs, p), uri, p, filesPerBand, "append")
+    // exceed maxBucket across base+appends are re-capped at probe time
+    // exactly (candidatePairs) and at rest on the next major compact
+    writeCapped(bandedFromSigs(sigs, p), uri, p, filesPerBand, "append",
+      liveDataIncPath(spark, uri))
   }
 
   /** Probe: near-duplicate matches of `batch` docs against the indexed
@@ -219,7 +255,7 @@ object DedupIndex {
     // candidate-scale, so forcing it broadcast is safe and keeps the
     // estimate join shuffle-free.
     val mids = candidates.select(col("__mid").as("id")).distinct()
-    val corpusSigs = spark.read.parquet(liveSigsPath(spark, uri))
+    val corpusSigs = readSigsAll(spark, uri)
       .join(broadcast(mids), Seq("id"), "left_semi")
       .select(col("id").as("__mid"), col("sig").as("__msig"))
     // recomputed narrow (one row per doc by construction) rather than
@@ -306,37 +342,118 @@ object DedupIndex {
     // to a generation written from an empty frame would rest on writer
     // internals for the next read's schema (the build-over-empty
     // streaming bootstrap keeps its schema-bearing original files)
-    val nSigs = spark.read.parquet(liveSigsPath(spark, uri)).count()
+    val nSigs = readSigsAll(spark, uri).count()
     if (nSigs == 0) return
-    val cur = liveDataPath(spark, uri)
+    // inc listings FIRST (the guard basis for the resets below): an
+    // append lands in the inc tier, so the single-writer check moved
+    // there with the appends; the base dirs only change via compacts
+    val dataIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data_inc")
+    val sigsIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs_inc")
     val dataBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data")
     val next = graft.storage.VersionedDir.next(fs, uri, "data")
-    val rows = spark.read.parquet(cur)
+    val rows = readDataAll(spark, uri)
     val sizes = rows.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > p.maxBucket)
       .select("band", "bucket")
+    // distinct(): heals exact row duplicates from replayed appends and
+    // from a crash between a base flip and its inc reset (rows then
+    // live in both tiers until this fold); changed-text re-appends are
+    // NOT collapsed — different sigs stay distinct rows and keep
+    // surfacing through probe's est values, per the unique-id contract
     rows.join(sizes, Seq("band", "bucket"), "left_anti")
+      .distinct()
       .repartitionByRange(math.max(1, p.bands * filesPerBand),
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
       .write.mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
-    // flip: concurrent probes keep reading `cur` until the marker
-    // lands; a crash here leaves `cur` live (no missing-dir window).
-    // Guarded: aborts if an append landed in `cur` during the rewrite.
+    // flip: concurrent probes keep reading the old generation until
+    // the marker lands; a crash here leaves it live (no missing-dir
+    // window). Guarded against base writes (single-writer belt).
     graft.storage.VersionedDir.commitGuarded(fs, uri, "data", next, dataBefore)
+    // reset the inc tier to an EMPTY generation — guarded against the
+    // listing taken BEFORE the fold read: an append that landed mid-
+    // compact aborts here, loudly (its rows are in the live inc but
+    // not in the new base; dropping the tier would lose them). On
+    // abort the rows exist in BOTH tiers until the next compact's
+    // distinct() — probes stay correct throughout (pair distinct).
+    if (dataIncBefore.nonEmpty) {
+      val nextInc = graft.storage.VersionedDir.next(fs, uri, "data_inc")
+      fs.mkdirs(nextInc)
+      graft.storage.VersionedDir.commitGuarded(fs, uri, "data_inc", nextInc,
+        dataIncBefore)
+    }
     val sigsBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs")
-    val sigs = spark.read.parquet(liveSigsPath(spark, uri))
+    val sigs = readSigsAll(spark, uri)
     val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
-    sigs.repartitionByRange(
+    sigs.distinct()
+      .repartitionByRange(
         math.max(1, math.ceil(nSigs / 250000.0).toInt), col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(nextSigs)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs", nextSigs, sigsBefore)
+    if (sigsIncBefore.nonEmpty) {
+      val nextSigsInc = graft.storage.VersionedDir.next(fs, uri, "sigs_inc")
+      fs.mkdirs(nextSigsInc)
+      graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs_inc", nextSigsInc,
+        sigsIncBefore)
+    }
+  }
+
+  /** BOUNDED maintenance (r16): fold ONLY the inc tier — coalesce the
+    * one-file-per-append sig/bucket files into few sorted files via the
+    * inc tier's own generation flip. Cost is O(appends since the last
+    * MAJOR compact); the base corpus is never read or rewritten, which
+    * is what makes this safe to run inside a streaming foreachBatch at
+    * any index size (the in-loop `compactEvery` default). File-count
+    * growth — the measured probe tax — resets each fold; bucket-range
+    * sorting within the folded files restores row-group pruning over
+    * the inc tier. Run [[compact]] (major) during lulls to fold the
+    * accumulated inc tier into the base and re-enforce the at-rest
+    * bucket cap globally. Reader-safe (flip); single-writer vs appends
+    * (guarded — a mid-fold append aborts the flip loudly). */
+  def minorCompact(spark: SparkSession, uri: String,
+      filesPerBand: Int = 1): Unit = {
+    val p = readParams(spark, uri)
+    val fs = VFS(spark)
+    val dataIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data_inc")
+    if (dataIncBefore.nonEmpty) {
+      val cur = liveDataIncPath(spark, uri)
+      val next = graft.storage.VersionedDir.next(fs, uri, "data_inc")
+      // pure value-preserving coalesce: no cap re-enforcement (probe
+      // applies the exact corpus ∪ batch cap itself), no dedup (major
+      // heals) — one narrow pass of the inc rows only
+      spark.read.parquet(cur)
+        .repartitionByRange(math.max(1, p.bands * filesPerBand),
+          col("band"), col("bucket"))
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+        .parquet(next)
+      graft.storage.VersionedDir.commitGuarded(fs, uri, "data_inc", next,
+        dataIncBefore)
+    }
+    val sigsIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs_inc")
+    if (sigsIncBefore.nonEmpty) {
+      val cur = liveSigsIncPath(spark, uri)
+      val nIncSigs = spark.read.parquet(cur).count()
+      if (nIncSigs > 0) {
+        val next = graft.storage.VersionedDir.next(fs, uri, "sigs_inc")
+        spark.read.parquet(cur)
+          .repartitionByRange(
+            math.max(1, math.ceil(nIncSigs / 250000.0).toInt), col("id"))
+          .sortWithinPartitions("id")
+          .write.mode("overwrite")
+          .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+          .parquet(next)
+        graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs_inc", next,
+          sigsIncBefore)
+      }
+    }
   }
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the
@@ -348,7 +465,7 @@ object DedupIndex {
     val spark = banded.sparkSession
     val probeKeys = banded.select("bucket").distinct()
       .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
-    val index = spark.read.parquet(liveDataPath(spark, uri))
+    val index = readDataAll(spark, uri)
     val pruned =
       if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
       else index.join(broadcast(banded.select("bucket").distinct()),

@@ -500,7 +500,32 @@ object Similarity {
         +: payload.map(col): _*)
       .write.partitionBy("centroid_id").mode("append")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-      .parquet(cellsPath(spark, uri))
+      .parquet(cellsIncPath(spark, uri))
+  }
+
+  /** Live INC-tier cells dir (r16): [[appendToIvfIndex]] writes here —
+    * its own [[graft.storage.VersionedDir]] base — so that
+    * [[minorCompactIvfIndex]] can fold appends WITHOUT rewriting the
+    * base cells (bounded in-loop streaming maintenance, same tiering
+    * as [[graft.ops.DedupIndex]]). Pre-r16 indexes have no inc dir and
+    * read identically. */
+  def cellsIncPath(spark: org.apache.spark.sql.SparkSession, uri: String): String =
+    graft.storage.VersionedDir.resolve(graft.storage.VFS(spark), uri, "cells_inc")
+
+  /** Every reader's view of the cells: base ∪ inc. TWO partitioned
+    * legs (never one multi-root read — key=value partition discovery
+    * across roots is a hard Spark error), which is fine at leg count
+    * 2; the probed `centroid_id isin` prunes partition dirs in both. */
+  private[graft] def readCellsAll(spark: org.apache.spark.sql.SparkSession,
+      uri: String): DataFrame = {
+    val fs = graft.storage.VFS(spark)
+    val base = spark.read.parquet(cellsPath(spark, uri))
+    val inc = cellsIncPath(spark, uri)
+    // a just-reset inc generation is an EMPTY dir (no schema to infer):
+    // only read the tier when it actually holds files
+    if (fs.lsFilesRecursive(inc).exists(_.endsWith(".parquet")))
+      base.unionByName(spark.read.parquet(inc))
+    else base
   }
 
   /** reserved cell-file columns (everything else is search payload) */
@@ -530,18 +555,52 @@ object Similarity {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
     val fs = graft.storage.VFS(spark)
     val nCells = indexCentroids(spark, uri).size
-    val cur = graft.storage.VersionedDir.resolve(fs, uri, "cells")
-    // single-writer contract CHECKED (r16): appends write directly into
-    // the live cells tree, so the flip re-lists it and aborts loudly if
-    // files landed during the rewrite (they would not be in `next`)
+    // MAJOR maintenance: fold base ∪ inc into a new base generation
+    // (one file per cell), then reset the inc tier. Inc listing taken
+    // FIRST (the single-writer guard basis — appends land there now);
+    // its reset aborts loudly if an append landed mid-compact (rows
+    // live in inc but not the new base). Until the retry, rows
+    // duplicated across tiers only duplicate candidates — top-k
+    // scoring tolerates that, and this fold's exact-row distinct heals it.
+    val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
     val before = graft.storage.VersionedDir.liveListing(fs, uri, "cells")
     val next = graft.storage.VersionedDir.next(fs, uri, "cells")
-    spark.read.parquet(cur)
+    readCellsAll(spark, uri)
+      .distinct() // exact-row heal only; changed-vec re-appends stay visible
       .repartition(math.max(1, nCells), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
+    if (incBefore.nonEmpty) {
+      val nextInc = graft.storage.VersionedDir.next(fs, uri, "cells_inc")
+      fs.mkdirs(nextInc)
+      graft.storage.VersionedDir.commitGuarded(fs, uri, "cells_inc", nextInc,
+        incBefore)
+    }
+  }
+
+  /** BOUNDED maintenance (r16): fold ONLY the inc-tier cells — one
+    * file per cell in a new inc generation — O(appends since the last
+    * major compact), never a base rewrite. This is what
+    * [[graft.streaming.EventStreams.semanticDedupStream]]'s in-loop
+    * `compactEvery` runs, so the cadence batch's stall tracks the
+    * streamed-in volume, not the index size. Reader-safe (generation
+    * flip); single-writer vs appends (guarded). */
+  def minorCompactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Unit = {
+    val fs = graft.storage.VFS(spark)
+    val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
+    if (incBefore.isEmpty) return
+    val nCells = indexCentroids(spark, uri).size
+    val next = graft.storage.VersionedDir.next(fs, uri, "cells_inc")
+    spark.read.parquet(cellsIncPath(spark, uri))
+      .repartition(math.max(1, nCells), col("centroid_id"))
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .parquet(next)
+    graft.storage.VersionedDir.commitGuarded(fs, uri, "cells_inc", next,
+      incBefore)
   }
 
   /** Payload column list pinned at build; None for pre-payload-key
@@ -600,12 +659,19 @@ object Similarity {
         explode(probeNarrow(col("__qv"), cents, nprobe)))
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells0 = spark.read.parquet(cellsPath(spark, uri))
+    val cells0 = readCellsAll(spark, uri)
       .filter(col("centroid_id").isin(cellIds: _*))
     val cells = filter.map(cells0.filter).getOrElse(cells0)
+    // (query, neighbor) dedup before every ranking: a neighbor row can
+    // transiently exist in BOTH tiers (the major compact's window
+    // between its base flip and inc reset, or a crash there) — without
+    // the dedup a duplicate occupies two top-k slots and displaces a
+    // legitimate neighbor. Candidate-scale, same robustness the dedup
+    // index's pair-distinct provides on the text side.
     if (rerank <= 0) {
       val scored = cells.join(broadcast(probes), Seq("centroid_id"))
         .withColumn("cosine", cosine(col("__qv"), col("vec")))
+        .dropDuplicates("query_id", "neighbor_id")
       topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -616,12 +682,15 @@ object Similarity {
         .join(broadcast(probes), Seq("centroid_id"))
         .withColumn("__as", cosine(col("__qv"),
           dequantizeInt8(struct(col("codes").as("codes"), col("scale").as("scale")))))
+        .dropDuplicates("query_id", "neighbor_id")
       val cands = topKPerKey(approx, "query_id", "neighbor_id", "__as", rerank)
         .select(col("query_id"), col("neighbor_id"))
-      // phase 2: exact re-rank of the candidate ids only
+      // phase 2: exact re-rank of the candidate ids only (vec rows
+      // deduped for the same tier-window reason)
       val candVecs = cells.select(col("neighbor_id"), col("vec"))
         .join(broadcast(cands.select("neighbor_id").distinct()),
           Seq("neighbor_id"), "left_semi")
+        .dropDuplicates("neighbor_id")
       val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       val scored = candVecs
         .join(broadcast(cands), Seq("neighbor_id"))

@@ -172,16 +172,16 @@ object EventStreams {
     * cadence survives recovery; a replayed batch at the cadence point
     * re-compacts, which is idempotent (same rows, fewer files).
     *
-    * COST: each cycle rewrites the whole index (compaction is
-    * O(index), not O(pending)), so the cadence batch's trigger stalls
-    * for time that GROWS with the survivor count — fine at the
-    * rehearsed scale (~2 s per cycle at 45k survivors), but a stream
-    * that has indexed 10^8+ rows pays minutes per cycle. Long-lived
-    * large-index streams should raise `compactEvery` (amortizing the
-    * rewrite over more batches) or set 0 and compact externally during
-    * lulls; the per-cycle wall is surfaced on the
-    * `stream.compact_secs_x100.<indexUri>` counter so the choice can be made
-    * from observed numbers, never from a silent stall. */
+    * COST: both dedup streams run BOUNDED minor folds
+    * ([[graft.ops.DedupIndex.minorCompact]] /
+    * [[graft.ops.Similarity.minorCompactIvfIndex]]) — O(appends since
+    * the last MAJOR compact), never a base rewrite, safe in-loop at
+    * any index size; run the major verb externally during lulls to
+    * fold the accumulated inc tier. The search postings compact is
+    * still O(corpus) per cycle (default 0 — see
+    * [[searchIndexStream]]). The per-cycle wall is surfaced on the
+    * `stream.compact_secs_x100.<indexUri>` counter so cadence choices
+    * are made from observed numbers, never a silent stall. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
       indexUri: String, batchId: Long, compactEvery: Int)(
       compact: => Unit): Unit =
@@ -221,7 +221,7 @@ object EventStreams {
         if (!survivors.isEmpty)
           graft.ops.Similarity.appendToIvfIndex(survivors, idCol, vecCol, ivfUri)
         maybeCompact(spark, ivfUri, batchId, compactEvery)(
-          graft.ops.Similarity.compactIvfIndex(spark, ivfUri))
+          graft.ops.Similarity.minorCompactIvfIndex(spark, ivfUri))
         ()
       }
       .start()
@@ -289,11 +289,15 @@ object EventStreams {
     * (measured 2.11× over 100 batches at the 10× rehearsal with no
     * maintenance). Since r16 maintenance is IN-LOOP by default:
     * every `compactEvery` batches the foreachBatch body runs
-    * [[graft.ops.DedupIndex.compact]] itself — serialized with this
-    * stream's appends by construction, reader-safe via the generation
-    * flip, no stop/restart required. The default cadence (25) is the
-    * rehearsal-measured flat point (late/early ≈1.0 for ~2 s of
-    * compact per cycle); 0 disables for external orchestration. */
+    * [[graft.ops.DedupIndex.minorCompact]] itself — serialized with
+    * this stream's appends by construction, reader-safe via the
+    * generation flip, no stop/restart required, and BOUNDED: the
+    * minor fold touches only the inc tier (appends since the last
+    * major compact), never the base corpus, so the cadence batch's
+    * stall does not grow with index size. The default cadence (25) is
+    * the rehearsal-measured flat point; 0 disables for external
+    * orchestration. Run [[graft.ops.DedupIndex.compact]] (major)
+    * during lulls to fold the accumulated inc tier into the base. */
   def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
       threshold: Double = 0.7,
@@ -324,7 +328,7 @@ object EventStreams {
         // already absorbs — and rebuild re-clusters them away
         graft.ops.DedupIndex.append(survivors, idCol, textCol, indexUri)
         maybeCompact(b.sparkSession, indexUri, batchId, compactEvery)(
-          graft.ops.DedupIndex.compact(b.sparkSession, indexUri))
+          graft.ops.DedupIndex.minorCompact(b.sparkSession, indexUri))
         ()
       }
       .start()

@@ -1248,8 +1248,8 @@ object ScaleRehearsal {
             .nearDedupStream(raw, "doc_id", "text", idx, sink, ck,
               threshold = 0.6, compactEvery = compactEvery),
           idx => graft.ops.DedupIndex.compact(spark, idx),
-          idx => s"index sig rows=${spark.read.parquet(
-            graft.ops.DedupIndex.liveSigsPath(spark, idx)).count()}")
+          idx => s"index sig rows=${
+            graft.ops.DedupIndex.readSigsAll(spark, idx).count()}")
       if (runOp("streaming")) run("stream_nd", waves = 1, compactEvery = 0)
       if (runOp("streaming_compact"))
         run("stream_nd_compact", waves = 4, compactEvery = 0)

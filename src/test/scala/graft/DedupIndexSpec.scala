@@ -102,16 +102,24 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.append(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", uri)
     def pairs() = DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
       .select("id", "match_id").as[(Long, Long)].collect().toSet
-    // compact flips the data GENERATION — resolve via liveDataPath
-    def dataFiles() = new java.io.File(
-        DedupIndex.liveDataPath(spark, uri).stripPrefix("file:")).listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    // compact flips the data GENERATION — resolve via liveDataPath;
+    // appends live in the INC tier, so count BOTH tiers (the probe's
+    // view) and pin that the major compact folds the inc tier away
+    def filesIn(path: String) = Option(new java.io.File(
+        path.stripPrefix("file:")).listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    def dataFiles() = filesIn(DedupIndex.liveDataPath(spark, uri)) +
+      filesIn(DedupIndex.liveDataIncPath(spark, uri))
     val before = pairs()
     val filesBefore = dataFiles()
+    assert(filesIn(DedupIndex.liveDataIncPath(spark, uri)) > 0,
+      "append must land in the inc tier")
     DedupIndex.compact(spark, uri, filesPerBand = 2)
     val filesAfter = dataFiles()
     assert(filesAfter < filesBefore,
       s"compact must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(filesIn(DedupIndex.liveDataIncPath(spark, uri)) == 0,
+      "major compact must fold the inc tier into the base")
     assert(pairs() == before, "compact must not change probe results")
     // compacted layout matches a from-scratch rebuild pair-for-pair
     val rebuilt = TestSession.tmpDir("minhash-index-rb")
@@ -119,6 +127,45 @@ class DedupIndexSpec extends SparkSpec {
     val fresh = DedupIndex.probe(batch, "doc_id", "text", rebuilt, threshold = 0.6)
       .select("id", "match_id").as[(Long, Long)].collect().toSet
     assert(pairs() == fresh)
+  }
+
+  test("minorCompact: folds ONLY the inc tier — base untouched, file " +
+    "count bounded, probe results identical") {
+    val uri = TestSession.tmpDir("minhash-index-minor")
+    DedupIndex.build(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", uri)
+    // several small appends = several inc files per table
+    (0 until 4).foreach(i => DedupIndex.append(
+      corpus.filter(col("doc_id") % 8 === 2 * i + 1), "doc_id", "text", uri))
+    def pairs() = DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
+      .select("id", "match_id").as[(Long, Long)].collect().toSet
+    def filesIn(path: String) = Option(new java.io.File(
+        path.stripPrefix("file:")).listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val expected = pairs()
+    assert(expected.nonEmpty)
+    val basePathBefore = DedupIndex.liveDataPath(spark, uri)
+    val incFilesBefore = filesIn(DedupIndex.liveDataIncPath(spark, uri)) +
+      filesIn(DedupIndex.liveSigsIncPath(spark, uri))
+    DedupIndex.minorCompact(spark, uri)
+    // bounded maintenance: the base generation did not move, the inc
+    // tiers flipped to folded generations with fewer files
+    assert(DedupIndex.liveDataPath(spark, uri) == basePathBefore,
+      "minor fold must not touch the base generation")
+    assert(DedupIndex.liveDataIncPath(spark, uri).contains("_v"))
+    assert(DedupIndex.liveSigsIncPath(spark, uri).contains("_v"))
+    val incFilesAfter = filesIn(DedupIndex.liveDataIncPath(spark, uri)) +
+      filesIn(DedupIndex.liveSigsIncPath(spark, uri))
+    assert(incFilesAfter < incFilesBefore,
+      s"minor fold must shrink inc files ($incFilesBefore -> $incFilesAfter)")
+    assert(pairs() == expected, "minor fold must not change probe results")
+    // sig rows conserved across the tiers (value-preserving coalesce)
+    assert(DedupIndex.readSigsAll(spark, uri).count() == corpus.count())
+    // a minor fold then still composes with a major compact
+    DedupIndex.compact(spark, uri)
+    assert(pairs() == expected)
+    // and appends after the fold land in the (reset) inc tier again
+    DedupIndex.append(corpus.limit(0), "doc_id", "text", uri)
+    assert(pairs() == expected)
   }
 
   test("compact on an empty bootstrap index: append and probe still work") {

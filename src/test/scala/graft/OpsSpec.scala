@@ -562,19 +562,39 @@ class OpsSpec extends SparkSpec {
     val res = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
       k = 3, nprobe = 2).collect().sortBy(_.getAs[Long]("rank"))
     assert(res.head.getAs[Long]("neighbor_id") == 350L, res.toSeq)
-    // the full index now holds all 400 vectors
-    assert(spark.read.parquet(s"$uri/cells").count() == 400)
-    // compact: per-cell files merge to one; vectors and results intact
-    // (compact flips the cells GENERATION — always resolve via cellsPath)
-    def cellFiles() = new java.io.File(
-        Similarity.cellsPath(spark, uri).stripPrefix("file:")).listFiles()
+    // the full index now holds all 400 vectors; appends live in the
+    // INC tier (base cells untouched — bounded-maintenance layout)
+    assert(Similarity.readCellsAll(spark, uri).count() == 400)
+    assert(spark.read.parquet(Similarity.cellsPath(spark, uri)).count() == 300)
+    def filesUnder(path: String) = Option(new java.io.File(
+        path.stripPrefix("file:")).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("centroid_id="))
       .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    def cellFiles() = filesUnder(Similarity.cellsPath(spark, uri)) +
+      filesUnder(Similarity.cellsIncPath(spark, uri))
+    // minor fold first: inc-tier-only maintenance — base generation
+    // does not move, inc coalesces, everything still found
+    Similarity.appendToIvfIndex(
+      (400 until 500).map(i =>
+        (i.toLong, Array.tabulate(16)(j => math.cos(i * 11 + j * 5).toFloat)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", uri)
+    val basePathBefore = Similarity.cellsPath(spark, uri)
+    val filesBeforeMinor = cellFiles()
+    Similarity.minorCompactIvfIndex(spark, uri)
+    assert(Similarity.cellsPath(spark, uri) == basePathBefore,
+      "minor fold must not touch the base cells generation")
+    assert(cellFiles() < filesBeforeMinor,
+      s"minor fold must shrink inc files ($filesBeforeMinor -> ${cellFiles()})")
+    assert(Similarity.readCellsAll(spark, uri).count() == 500)
+    // major compact: folds base ∪ inc into one generation, resets inc;
+    // vectors and results intact
     val filesBefore = cellFiles()
     Similarity.compactIvfIndex(spark, uri)
     assert(cellFiles() < filesBefore,
       s"compact must shrink per-cell file count ($filesBefore -> ${cellFiles()})")
-    assert(spark.read.parquet(Similarity.cellsPath(spark, uri)).count() == 400)
+    assert(spark.read.parquet(Similarity.cellsPath(spark, uri)).count() == 500)
+    assert(filesUnder(Similarity.cellsIncPath(spark, uri)) == 0,
+      "major compact must fold the inc tier away")
     val res2 = Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
       k = 3, nprobe = 2).collect().sortBy(_.getAs[Long]("rank"))
     assert(res2.head.getAs[Long]("neighbor_id") == 350L)

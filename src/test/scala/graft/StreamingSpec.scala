@@ -197,9 +197,9 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text", indexUri, threshold = 0.6)
       assert(reprobe.collect().exists(_.getLong(1) == 6L))
       // bounded state: the stream's only state is the index, and it
-      // grows with SURVIVORS (one sig row each), never batches x corpus
-      assert(spark.read.parquet(
-        graft.ops.DedupIndex.liveSigsPath(spark, indexUri)).count() == 4L,
+      // grows with SURVIVORS (one sig row each, across the base + inc
+      // tiers), never batches x corpus
+      assert(graft.ops.DedupIndex.readSigsAll(spark, indexUri).count() == 4L,
         "index state must be one sig row per survivor")
     } finally { q.stop() }
   }
@@ -266,15 +266,19 @@ class StreamingSpec extends SparkSpec {
       val kept = ArrayTable.read(spark, sinkUri).select("doc_id")
         .as[Long].collect().toSet
       assert(kept == Set(1L, 2L, 3L, 5L, 7L, 8L), s"got $kept")
-      // the in-loop compact really flipped generations on BOTH tables
-      // (legacy unversioned dirs would resolve with no _v suffix)
-      val dataLive = graft.ops.DedupIndex.liveDataPath(spark, indexUri)
-      val sigsLive = graft.ops.DedupIndex.liveSigsPath(spark, indexUri)
-      assert(dataLive.contains("_v") && sigsLive.contains("_v"),
-        s"expected compacted generations, got $dataLive / $sigsLive")
-      // post-compact state: exactly one sig row per survivor, and the
-      // index still matches everything it indexed
-      assert(spark.read.parquet(sigsLive).count() == kept.size.toLong)
+      // the in-loop MINOR fold flipped generations on the INC tier —
+      // the tier appends land in — while the base tables stayed put
+      // (bounded maintenance never rewrites the base corpus)
+      val dataIncLive = graft.ops.DedupIndex.liveDataIncPath(spark, indexUri)
+      val sigsIncLive = graft.ops.DedupIndex.liveSigsIncPath(spark, indexUri)
+      assert(dataIncLive.contains("_v") && sigsIncLive.contains("_v"),
+        s"expected folded inc generations, got $dataIncLive / $sigsIncLive")
+      assert(!graft.ops.DedupIndex.liveDataPath(spark, indexUri).contains("_v"),
+        "minor folds must not rewrite the base generation")
+      // post-fold state: exactly one sig row per survivor across the
+      // tiers, and the index still matches everything it indexed
+      assert(graft.ops.DedupIndex.readSigsAll(spark, indexUri).count()
+        == kept.size.toLong)
       val reprobe = graft.ops.DedupIndex.probe(
         Seq((99L, doc(7) + " z")).toDF("doc_id", "text"),
         "doc_id", "text", indexUri, threshold = 0.6)

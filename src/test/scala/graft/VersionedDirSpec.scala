@@ -150,23 +150,30 @@ class VersionedDirSpec extends SparkSpec {
     val base = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
     graft.ops.Similarity.buildIvfIndex(base, "vec_id", "embedding", uri,
       nCentroids = 4)
-    val before = VersionedDir.liveListing(fs, uri, "cells")
+    // appends land in the INC tier (r16 layout), so the single-writer
+    // guard's basis is the inc listing: snapshot it, let a REAL append
+    // land (nested centroid_id= files — the recursive listing must see
+    // them), then attempt a fold committed against the stale snapshot
+    val before = VersionedDir.liveListing(fs, uri, "cells_inc")
     graft.ops.Similarity.appendToIvfIndex(
       (100L until 110L).map(i => (i, vec(i))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", uri)
-    assert(VersionedDir.liveListing(fs, uri, "cells") != before,
+    assert(VersionedDir.liveListing(fs, uri, "cells_inc") != before,
       "appended cell files must be visible to the recursive listing")
-    val next = VersionedDir.next(fs, uri, "cells")
-    fs.writeString(s"$next/part-0.parquet", "rewrite without the append")
+    val next = VersionedDir.next(fs, uri, "cells_inc")
+    fs.writeString(s"$next/part-0.parquet", "fold without the append")
     val err = intercept[RuntimeException] {
-      VersionedDir.commitGuarded(fs, uri, "cells", next, before)
+      VersionedDir.commitGuarded(fs, uri, "cells_inc", next, before)
     }
     assert(err.getMessage.contains("quiesce"), s"loud remediation: $err")
-    // abort left the appended rows live; the QUIESCED real compact
-    // succeeds and the new generation holds base + append
+    // abort left the appended rows live; the QUIESCED real verbs then
+    // work: minor fold flips the inc tier only, major folds everything
+    graft.ops.Similarity.minorCompactIvfIndex(spark, uri)
+    assert(graft.ops.Similarity.cellsIncPath(spark, uri).contains("_v"))
+    assert(graft.ops.Similarity.readCellsAll(spark, uri).count() == 50L)
     graft.ops.Similarity.compactIvfIndex(spark, uri)
     val live = graft.ops.Similarity.cellsPath(spark, uri)
-    assert(live.contains("_v"), s"expected a flipped generation: $live")
+    assert(live.contains("_v"), s"expected a flipped base generation: $live")
     val rows = spark.read.parquet(live).count()
     assert(rows == 50L, s"compacted cells lost rows: $rows")
   }
