@@ -351,18 +351,20 @@ object DedupIndex {
     val sigsIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs_inc")
     val dataBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data")
     val next = graft.storage.VersionedDir.next(fs, uri, "data")
-    val rows = readDataAll(spark, uri)
+    // distinct() FIRST: heals exact row duplicates from replayed
+    // appends and from a crash between a base flip and its inc reset
+    // (rows then live in both tiers until this fold). It must run
+    // BEFORE the over-cap sizes below — duplicate rows would inflate
+    // bucket counts and permanently drop genuinely under-cap buckets.
+    // Changed-text re-appends are NOT collapsed — different sigs stay
+    // distinct rows and keep surfacing through probe's est values,
+    // per the unique-id contract.
+    val rows = readDataAll(spark, uri).distinct()
     val sizes = rows.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > p.maxBucket)
       .select("band", "bucket")
-    // distinct(): heals exact row duplicates from replayed appends and
-    // from a crash between a base flip and its inc reset (rows then
-    // live in both tiers until this fold); changed-text re-appends are
-    // NOT collapsed — different sigs stay distinct rows and keep
-    // surfacing through probe's est values, per the unique-id contract
     rows.join(sizes, Seq("band", "bucket"), "left_anti")
-      .distinct()
       .repartitionByRange(math.max(1, p.bands * filesPerBand),
         col("band"), col("bucket"))
       .sortWithinPartitions("band", "bucket")
@@ -379,12 +381,9 @@ object DedupIndex {
     // not in the new base; dropping the tier would lose them). On
     // abort the rows exist in BOTH tiers until the next compact's
     // distinct() — probes stay correct throughout (pair distinct).
-    if (dataIncBefore.nonEmpty) {
-      val nextInc = graft.storage.VersionedDir.next(fs, uri, "data_inc")
-      fs.mkdirs(nextInc)
-      graft.storage.VersionedDir.commitGuarded(fs, uri, "data_inc", nextInc,
+    if (graft.storage.VersionedDir.hasDataFiles(dataIncBefore))
+      graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "data_inc",
         dataIncBefore)
-    }
     val sigsBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs")
     val sigs = readSigsAll(spark, uri)
     val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
@@ -396,12 +395,9 @@ object DedupIndex {
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(nextSigs)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs", nextSigs, sigsBefore)
-    if (sigsIncBefore.nonEmpty) {
-      val nextSigsInc = graft.storage.VersionedDir.next(fs, uri, "sigs_inc")
-      fs.mkdirs(nextSigsInc)
-      graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs_inc", nextSigsInc,
+    if (graft.storage.VersionedDir.hasDataFiles(sigsIncBefore))
+      graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "sigs_inc",
         sigsIncBefore)
-    }
   }
 
   /** BOUNDED maintenance (r16): fold ONLY the inc tier — coalesce the
@@ -421,7 +417,7 @@ object DedupIndex {
     val p = readParams(spark, uri)
     val fs = VFS(spark)
     val dataIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data_inc")
-    if (dataIncBefore.nonEmpty) {
+    if (graft.storage.VersionedDir.hasDataFiles(dataIncBefore)) {
       val cur = liveDataIncPath(spark, uri)
       val next = graft.storage.VersionedDir.next(fs, uri, "data_inc")
       // pure value-preserving coalesce: no cap re-enforcement (probe
@@ -438,7 +434,7 @@ object DedupIndex {
         dataIncBefore)
     }
     val sigsIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs_inc")
-    if (sigsIncBefore.nonEmpty) {
+    if (graft.storage.VersionedDir.hasDataFiles(sigsIncBefore)) {
       val cur = liveSigsIncPath(spark, uri)
       val nIncSigs = spark.read.parquet(cur).count()
       if (nIncSigs > 0) {
@@ -476,7 +472,17 @@ object DedupIndex {
     // drops it whole), even though build's corpus-only cap kept it.
     // Both count frames are probe-scale (pruned buckets only), so the
     // per-group sizes land in one tiny broadcast join.
-    val idxCounts = pruned.groupBy("band", "bucket").agg(count(lit(1)).as("__ni"))
+    // DISTINCT ids per group, not raw rows: duplicate index rows —
+    // replayed streaming appends awaiting the next major compact, or a
+    // probe racing a major's base-flip→inc-reset window — would
+    // inflate raw counts past maxBucket and silently suppress every
+    // pair in a genuinely under-cap bucket. countDistinct keeps the
+    // count branch map-side-combined (the shuffle carries per-group
+    // distinct partials, never the bucket rows); the PAIR branch below
+    // stays on the raw rows (duplicate pairs are absorbed by the final
+    // pair-level distinct) so the index is still never shuffled there.
+    val idxCounts = pruned.groupBy("band", "bucket")
+      .agg(countDistinct(col("id")).as("__ni"))
     val batchCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
     val overCap = broadcast(idxCounts.join(batchCounts, Seq("band", "bucket"))
       .filter(col("__ni") + col("__nb") > p.maxBucket)

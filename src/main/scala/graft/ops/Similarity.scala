@@ -534,11 +534,15 @@ object Similarity {
     // a just-reset inc generation is an EMPTY dir (no schema to infer):
     // only read the tier when it actually holds files
     if (fs.lsFilesRecursive(inc).exists(_.endsWith(".parquet"))) {
-      // flat inc files carry centroid_id as a data column (long);
-      // align its type with the base leg's partition-inferred column
-      val incDf = spark.read.parquet(inc)
-      base.unionByName(incDf.withColumn("centroid_id",
-        col("centroid_id").cast(base.schema("centroid_id").dataType)))
+      // flat inc files carry centroid_id as a DATA column (long); the
+      // base leg's is partition-inferred (int). Align by casting the
+      // BASE side UP — partition pruning still evaluates predicates
+      // over a cast partition column, while a narrowing cast on the
+      // inc side's data attribute would block parquet predicate
+      // pushdown and defeat the row-group pruning the flat sorted
+      // layout exists for
+      base.withColumn("centroid_id", col("centroid_id").cast("long"))
+        .unionByName(spark.read.parquet(inc))
     } else base
   }
 
@@ -591,12 +595,9 @@ object Similarity {
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
-    if (incBefore.nonEmpty) {
-      val nextInc = graft.storage.VersionedDir.next(fs, uri, "cells_inc")
-      fs.mkdirs(nextInc)
-      graft.storage.VersionedDir.commitGuarded(fs, uri, "cells_inc", nextInc,
+    if (graft.storage.VersionedDir.hasDataFiles(incBefore))
+      graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "cells_inc",
         incBefore)
-    }
   }
 
   /** BOUNDED maintenance (r16): fold ONLY the inc-tier cells — one
@@ -610,7 +611,9 @@ object Similarity {
       uri: String): Unit = {
     val fs = graft.storage.VFS(spark)
     val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
-    if (incBefore.isEmpty) return
+    // gate on DATA files: a freshly-reset inc generation lists only
+    // its _COMMITTED marker, and reading it would fail schema inference
+    if (!graft.storage.VersionedDir.hasDataFiles(incBefore)) return
     // fold to FEW flat centroid-sorted files (~250k rows each), same
     // shape appends write — row-group pruning on the sorted column,
     // file count reset to ~1

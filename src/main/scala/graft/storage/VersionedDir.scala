@@ -99,6 +99,27 @@ object VersionedDir {
     commit(fs, uri, base, path)
   }
 
+  /** Does a live listing hold DATA files? The `_COMMITTED` marker (and
+    * any `_`/`.` sidecar) rides inside generation dirs and shows up in
+    * [[liveListing]], so listing-nonEmpty is NOT "tier has rows" — a
+    * freshly-reset empty generation lists exactly its marker. Every
+    * fold/reset decision must gate on THIS, or it reads a
+    * parquet-file-less dir (schema-inference error). */
+  def hasDataFiles(listing: Set[String]): Boolean =
+    listing.exists(_.endsWith(".parquet"))
+
+  /** Reset `base` to a fresh EMPTY generation — the inc-tier reset at
+    * the end of a major compact. Guarded like [[commitGuarded]]: if
+    * files landed in the live generation after `before` was taken
+    * (a mid-compact append, whose rows are in the live tier but not
+    * the folded base), the flip aborts loudly and nothing is lost. */
+  def resetEmptyGuarded(fs: VFS, uri: String, base: String,
+      before: Set[String]): Unit = {
+    val nextGen = next(fs, uri, base)
+    fs.mkdirs(nextGen)
+    commitGuarded(fs, uri, base, nextGen, before)
+  }
+
   def commit(fs: VFS, uri: String, base: String, path: String): Unit = {
     val (prevPath, _) = current(fs, uri, base)
     fs.writeString(marker(path), "")

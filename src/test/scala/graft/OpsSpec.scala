@@ -634,6 +634,10 @@ class OpsSpec extends SparkSpec {
         val got = topk().map { case (qid, nid, _) => (qid, nid) }
         assert(got.subsetOf(expectedPairs),
           s"concurrent topK fabricated pairs: ${got -- expectedPairs}")
+        // duplicates only ADD rows, so every query must still answer —
+        // a subset check alone would also pass an empty (failed) read
+        assert(got.map(_._1) == expectedPairs.map(_._1),
+          s"concurrent topK lost queries: got ${got.map(_._1)}")
         n += 1
       }
       n
