@@ -420,10 +420,14 @@ object DedupIndex {
     if (graft.storage.VersionedDir.hasDataFiles(dataIncBefore)) {
       val cur = liveDataIncPath(spark, uri)
       val next = graft.storage.VersionedDir.next(fs, uri, "data_inc")
-      // pure value-preserving coalesce: no cap re-enforcement (probe
-      // applies the exact corpus ∪ batch cap itself), no dedup (major
-      // heals) — one narrow pass of the inc rows only
+      // exact-row distinct rides the fold's own shuffle for free: a
+      // crash-replayed append's duplicate rows heal HERE (bounding the
+      // probe's raw-count cap inflation to one cadence), while
+      // changed-text re-appends keep both rows (different sigs) per
+      // the unique-id contract. No cap re-enforcement (probe applies
+      // the exact corpus ∪ batch cap itself).
       spark.read.parquet(cur)
+        .distinct()
         .repartitionByRange(math.max(1, p.bands * filesPerBand),
           col("band"), col("bucket"))
         .sortWithinPartitions("band", "bucket")
@@ -440,6 +444,7 @@ object DedupIndex {
       if (nIncSigs > 0) {
         val next = graft.storage.VersionedDir.next(fs, uri, "sigs_inc")
         spark.read.parquet(cur)
+          .distinct()
           .repartitionByRange(
             math.max(1, math.ceil(nIncSigs / 250000.0).toInt), col("id"))
           .sortWithinPartitions("id")
@@ -472,17 +477,18 @@ object DedupIndex {
     // drops it whole), even though build's corpus-only cap kept it.
     // Both count frames are probe-scale (pruned buckets only), so the
     // per-group sizes land in one tiny broadcast join.
-    // DISTINCT ids per group, not raw rows: duplicate index rows —
-    // replayed streaming appends awaiting the next major compact, or a
-    // probe racing a major's base-flip→inc-reset window — would
-    // inflate raw counts past maxBucket and silently suppress every
-    // pair in a genuinely under-cap bucket. countDistinct keeps the
-    // count branch map-side-combined (the shuffle carries per-group
-    // distinct partials, never the bucket rows); the PAIR branch below
-    // stays on the raw rows (duplicate pairs are absorbed by the final
-    // pair-level distinct) so the index is still never shuffled there.
+    // RAW row counts, deliberately: a countDistinct here would ship
+    // the pruned rows' (band, bucket, id) combos through the shuffle
+    // where raw counts ship only per-group partials — a measurable tax
+    // on every saturated probe to guard against duplicate index rows.
+    // Duplicates instead heal at the tiers: replayed streaming appends
+    // dedup at the next minor fold (≤ compactEvery batches of
+    // exposure), and a crashed major's cross-tier residue heals on the
+    // compact re-run its abort message demands. In those windows an
+    // inflated count can transiently suppress an at-cap bucket's pairs
+    // — the conservative direction (missed dups, never false pairs).
     val idxCounts = pruned.groupBy("band", "bucket")
-      .agg(countDistinct(col("id")).as("__ni"))
+      .agg(count(lit(1)).as("__ni"))
     val batchCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
     val overCap = broadcast(idxCounts.join(batchCounts, Seq("band", "bucket"))
       .filter(col("__ni") + col("__nb") > p.maxBucket)
