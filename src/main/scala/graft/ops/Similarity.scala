@@ -617,7 +617,11 @@ object Similarity {
     // fold to FEW flat centroid-sorted files (~250k rows each), same
     // shape appends write — row-group pruning on the sorted column,
     // file count reset to ~1
-    val inc = spark.read.parquet(cellsIncPath(spark, uri))
+    // exact-row distinct: heals a crash-replayed append's duplicate
+    // rows at the fold (its own extra hash exchange, bounded by the
+    // inc tier); changed-vec re-appends keep both rows per the
+    // unique-id contract
+    val inc = spark.read.parquet(cellsIncPath(spark, uri)).distinct()
     val n = inc.count()
     if (n == 0) return
     val next = graft.storage.VersionedDir.next(fs, uri, "cells_inc")

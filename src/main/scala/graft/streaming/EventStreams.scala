@@ -217,10 +217,15 @@ object EventStreams {
         val survivors = (if (fresh.isEmpty) fresh
           else graft.ops.Dedup.dropSemanticDups(fresh, idCol, vecCol,
             nClusters = 4, minCosine = minCosine)).localCheckpoint(true)
-        commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
+        val wrote = commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
         if (!survivors.isEmpty)
           graft.ops.Similarity.appendToIvfIndex(survivors, idCol, vecCol, ivfUri)
-        maybeCompact(spark, ivfUri, batchId, compactEvery)(
+        if (!wrote && !survivors.isEmpty)
+          // replayed batch re-appended (the deliberate never-lose-index
+          // -rows choice): heal the duplicate rows with one bounded
+          // fold now — the major's distinct is the only other healer
+          graft.ops.Similarity.minorCompactIvfIndex(spark, ivfUri)
+        else maybeCompact(spark, ivfUri, batchId, compactEvery)(
           graft.ops.Similarity.minorCompactIvfIndex(spark, ivfUri))
         ()
       }
@@ -320,14 +325,22 @@ object EventStreams {
         val survivors = graft.ops.Dedup.dropNearDups(
           vsIndex, idCol, textCol, threshold = threshold)
           .localCheckpoint(true)
-        commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
+        val wrote = commitStreamBatch(survivors, sinkUri, tsForBatch(batchId))
         // append even when the commit was a replay skip: a crash
         // between commit and append would otherwise lose these index
         // rows forever (silently weakening future dedup), while a
-        // double-append only adds duplicate rows a pair-distinct
-        // already absorbs — and rebuild re-clusters them away
+        // double-append only adds duplicate rows the folds' exact-row
+        // distinct removes
         graft.ops.DedupIndex.append(survivors, idCol, textCol, indexUri)
-        maybeCompact(b.sparkSession, indexUri, batchId, compactEvery)(
+        if (!wrote)
+          // REPLAYED batch (the only duplicate producer): heal
+          // immediately with one bounded minor fold, regardless of
+          // cadence — duplicate rows would otherwise inflate the
+          // probe's raw per-bucket cap counts (suppressing at-cap
+          // buckets' pairs) for up to compactEvery batches, or
+          // indefinitely at compactEvery = 0
+          graft.ops.DedupIndex.minorCompact(b.sparkSession, indexUri)
+        else maybeCompact(b.sparkSession, indexUri, batchId, compactEvery)(
           graft.ops.DedupIndex.minorCompact(b.sparkSession, indexUri))
         ()
       }
