@@ -214,6 +214,13 @@ object DedupIndex {
     val p = readParams(spark, uri)
     // batch-scale: checkpoint the sigs once, write them, band from them
     val sigs = sigRows(df, idCol, textCol, p).localCheckpoint(true)
+    // empty batch = nothing to index: skip BOTH writes. An idle stream
+    // (all-duplicate batches) would otherwise drip zero-row parquet
+    // files into the inc tiers, and every cadence fold would rewrite
+    // and flip an empty generation for nothing — needless generation
+    // churn the minor fold's zero-row guard below also defends against
+    // (for files written before this skip existed)
+    if (sigs.isEmpty) return
     sigs.write.mode("append")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(liveSigsIncPath(spark, uri))
@@ -383,7 +390,7 @@ object DedupIndex {
     // distinct() — probes stay correct throughout (pair distinct).
     if (graft.storage.VersionedDir.hasDataFiles(dataIncBefore))
       graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "data_inc",
-        dataIncBefore)
+        dataIncBefore, grace = 2)
     val sigsBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs")
     val sigs = readSigsAll(spark, uri)
     val nextSigs = graft.storage.VersionedDir.next(fs, uri, "sigs")
@@ -397,7 +404,7 @@ object DedupIndex {
     graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs", nextSigs, sigsBefore)
     if (graft.storage.VersionedDir.hasDataFiles(sigsIncBefore))
       graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "sigs_inc",
-        sigsIncBefore)
+        sigsIncBefore, grace = 2)
   }
 
   /** BOUNDED maintenance (r16): fold ONLY the inc tier — coalesce the
@@ -419,23 +426,31 @@ object DedupIndex {
     val dataIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "data_inc")
     if (graft.storage.VersionedDir.hasDataFiles(dataIncBefore)) {
       val cur = liveDataIncPath(spark, uri)
-      val next = graft.storage.VersionedDir.next(fs, uri, "data_inc")
-      // exact-row distinct rides the fold's own shuffle for free: a
-      // crash-replayed append's duplicate rows heal HERE (bounding the
-      // probe's raw-count cap inflation to one cadence), while
-      // changed-text re-appends keep both rows (different sigs) per
-      // the unique-id contract. No cap re-enforcement (probe applies
-      // the exact corpus ∪ batch cap itself).
-      spark.read.parquet(cur)
-        .distinct()
-        .repartitionByRange(math.max(1, p.bands * filesPerBand),
-          col("band"), col("bucket"))
-        .sortWithinPartitions("band", "bucket")
-        .write.mode("overwrite")
-        .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-        .parquet(next)
-      graft.storage.VersionedDir.commitGuarded(fs, uri, "data_inc", next,
-        dataIncBefore)
+      // zero-row guard (mirrors the sigs tier): legacy empty-append
+      // files hold no rows — folding them would rewrite and flip an
+      // empty generation every cadence for nothing. append() now skips
+      // empty batches entirely, so this triggers only on pre-existing
+      // zero-row files, which the next MAJOR compact retires.
+      val nIncData = spark.read.parquet(cur).count()
+      if (nIncData > 0) {
+        val next = graft.storage.VersionedDir.next(fs, uri, "data_inc")
+        // exact-row distinct rides the fold's own shuffle for free: a
+        // crash-replayed append's duplicate rows heal HERE (bounding the
+        // probe's raw-count cap inflation to one cadence), while
+        // changed-text re-appends keep both rows (different sigs) per
+        // the unique-id contract. No cap re-enforcement (probe applies
+        // the exact corpus ∪ batch cap itself).
+        spark.read.parquet(cur)
+          .distinct()
+          .repartitionByRange(math.max(1, p.bands * filesPerBand),
+            col("band"), col("bucket"))
+          .sortWithinPartitions("band", "bucket")
+          .write.mode("overwrite")
+          .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+          .parquet(next)
+        graft.storage.VersionedDir.commitGuarded(fs, uri, "data_inc", next,
+          dataIncBefore, grace = 2)
+      }
     }
     val sigsIncBefore = graft.storage.VersionedDir.liveListing(fs, uri, "sigs_inc")
     if (graft.storage.VersionedDir.hasDataFiles(sigsIncBefore)) {
@@ -452,10 +467,19 @@ object DedupIndex {
           .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
           .parquet(next)
         graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs_inc", next,
-          sigsIncBefore)
+          sigsIncBefore, grace = 2)
       }
     }
   }
+
+  /** Tier stats + major-compact advisory: base = live data + sigs
+    * generations, inc = their live inc-tier generations. Listings
+    * only, no data read — cheap enough for an operator poll loop. */
+  def maintenanceAdvice(spark: SparkSession,
+      uri: String): graft.storage.MaintenanceAdvice =
+    graft.storage.MaintenanceAdvice.of(VFS(spark),
+      Seq(liveDataPath(spark, uri), liveSigsPath(spark, uri)),
+      Seq(liveDataIncPath(spark, uri), liveSigsIncPath(spark, uri)))
 
   /** The candidate-pair stage of [[probe]], un-checkpointed — the
     * bucket-table scan with its pushdown is visible in THIS plan
@@ -490,9 +514,28 @@ object DedupIndex {
     val idxCounts = pruned.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__ni"))
     val batchCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
-    val overCap = broadcast(idxCounts.join(batchCounts, Seq("band", "bucket"))
+    // checkpoint the over-cap group set (tiny — over-cap groups among
+    // the PROBED buckets only) so the suppression is COUNTED where a
+    // job is already paid: the eager checkpoint runs the same agg
+    // subtree the broadcast build would have run lazily inside the
+    // pair job, and the count afterwards reads cached partitions — no
+    // second index pass, no per-group probe job. The one-shot path
+    // counts its cap drops (dedup.lsh_buckets_dropped); this is the
+    // probe-side analogue, so a saturated probe is never silent.
+    val overCap0 = idxCounts.join(batchCounts, Seq("band", "bucket"))
       .filter(col("__ni") + col("__nb") > p.maxBucket)
-      .select("band", "bucket"))
+      .select("band", "bucket")
+      .localCheckpoint(true)
+    val nSuppressed = overCap0.count()
+    if (nSuppressed > 0) {
+      graft.core.Stats.counter(spark, "dedup_index.probe_groups_suppressed")
+        .add(nSuppressed)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedup index probe: $nSuppressed (band, bucket) group(s) over " +
+          s"the ${p.maxBucket}-id cap emitted no pairs (corpus ∪ batch " +
+          "density cap — exact parity with the one-shot path)")
+    }
+    val overCap = broadcast(overCap0)
     // Candidate PAIRS on the narrow bucket rows — batch side broadcast,
     // no exchange below the join, the bucket table consumed map-side.
     // Pair-level dedup happens HERE (a pair surfaces once per shared

@@ -597,7 +597,7 @@ object Similarity {
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
     if (graft.storage.VersionedDir.hasDataFiles(incBefore))
       graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "cells_inc",
-        incBefore)
+        incBefore, grace = 2)
   }
 
   /** BOUNDED maintenance (r16): fold ONLY the inc-tier cells — one
@@ -632,8 +632,16 @@ object Similarity {
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells_inc", next,
-      incBefore)
+      incBefore, grace = 2)
   }
+
+  /** Tier stats + major-compact advisory: base = the live cells
+    * generation, inc = the live cells_inc generation. Listings only,
+    * no data read — cheap enough for an operator poll loop. */
+  def maintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
+      uri: String): graft.storage.MaintenanceAdvice =
+    graft.storage.MaintenanceAdvice.of(graft.storage.VFS(spark),
+      Seq(cellsPath(spark, uri)), Seq(cellsIncPath(spark, uri)))
 
   /** Payload column list pinned at build; None for pre-payload-key
     * indexes (callers fall back to schema inference once). */

@@ -85,7 +85,7 @@ object VersionedDir {
     * single-writer; this converts the common violation into a loud
     * failure instead of silent data loss.) */
   def commitGuarded(fs: VFS, uri: String, base: String, path: String,
-      before: Set[String]): Unit = {
+      before: Set[String], grace: Int = 1): Unit = {
     val added = liveListing(fs, uri, base) -- before
     if (added.nonEmpty) {
       fs.delete(path)
@@ -96,7 +96,7 @@ object VersionedDir {
         "single-writer: quiesce appends, then re-run compact (the live " +
         "generation is unchanged; nothing was lost)")
     }
-    commit(fs, uri, base, path)
+    commit(fs, uri, base, path, grace)
   }
 
   /** Does a live listing hold DATA files? The `_COMMITTED` marker (and
@@ -114,18 +114,40 @@ object VersionedDir {
     * (a mid-compact append, whose rows are in the live tier but not
     * the folded base), the flip aborts loudly and nothing is lost. */
   def resetEmptyGuarded(fs: VFS, uri: String, base: String,
-      before: Set[String]): Unit = {
+      before: Set[String], grace: Int = 1): Unit = {
     val nextGen = next(fs, uri, base)
     fs.mkdirs(nextGen)
-    commitGuarded(fs, uri, base, nextGen, before)
+    commitGuarded(fs, uri, base, nextGen, before, grace)
   }
 
-  def commit(fs: VFS, uri: String, base: String, path: String): Unit = {
-    val (prevPath, _) = current(fs, uri, base)
+  /** `grace` = how many previously-committed generations survive the
+    * flip (default 1 — the classic one-grace design). FREQUENTLY
+    * flipped bases — the inc tiers, which fold every `compactEvery`
+    * streaming batches plus an extra fold per replayed batch — pass 2:
+    * an external probe whose scan outlives TWO consecutive flips would
+    * otherwise hit FileNotFoundException on its resolved-then-retired
+    * generation. The probe-duration contract is therefore: a reader
+    * must finish within `grace` maintenance cycles of resolving; size
+    * grace to the fold cadence, not the other way around. Grace copies
+    * are small for inc tiers (bounded by appends since the last major),
+    * so the extra disk is noise; base tiers keep grace = 1 (a second
+    * corpus-sized copy is NOT noise, and majors are lull-time rare). */
+  def commit(fs: VFS, uri: String, base: String, path: String,
+      grace: Int = 1): Unit = {
     fs.writeString(marker(path), "")
     val n = path match { case VerName(v) => v.toInt }
-    generations(fs, uri, base).foreach { case (p, k) =>
-      if (k != n && p != prevPath) fs.delete(p)
-    }
+    // keep the `grace` HIGHEST-numbered previously-committed
+    // generations (never a crashed uncommitted attempt — readers can't
+    // have resolved one); delete everything else, including crashed
+    // attempts and, beyond the grace window, the legacy dir
+    // exclusion is by generation NUMBER, never by path string: listed
+    // paths are scheme-qualified (file:/...) while the caller's `path`
+    // need not be, so a path-equality keep-set would delete the very
+    // generation just committed
+    val gens = generations(fs, uri, base)
+    val keep = gens
+      .filter { case (p, k) => k != n && isCommitted(fs, p, k) }
+      .sortBy(-_._2).take(math.max(0, grace)).map(_._2).toSet
+    gens.foreach { case (p, k) => if (k != n && !keep(k)) fs.delete(p) }
   }
 }

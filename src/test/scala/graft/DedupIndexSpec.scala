@@ -339,6 +339,59 @@ class DedupIndexSpec extends SparkSpec {
     assert(oneShot.count() == 0)
   }
 
+  test("saturated probe counts its suppressed groups — never silent") {
+    val uri = TestSession.tmpDir("minhash-index-suppress")
+    // exactly at-cap corpus bucket; one probe doc pushes corpus∪batch
+    // over, so the probe suppresses the group — and must COUNT it, the
+    // probe-side analogue of dedup.lsh_buckets_dropped
+    val boiler = "borderline bucket density document body repeated exactly " +
+      "sixty four times across this synthetic corpus for the cap parity test"
+    val corpus64 = (0 until 64).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    DedupIndex.build(corpus64, "doc_id", "text", uri, maxBucket = 64)
+    graft.core.Stats.reset()
+    val hot = Seq((999L, boiler)).toDF("doc_id", "text")
+    assert(DedupIndex.probe(hot, "doc_id", "text", uri, threshold = 0.5)
+      .count() == 0L)
+    val suppressed = graft.core.Stats.counterValue(
+      "dedup_index.probe_groups_suppressed")
+    assert(suppressed > 0L, "saturated probe must count suppressed groups")
+    // an unsaturated probe touches no counter
+    graft.core.Stats.reset()
+    val cool = Seq((998L,
+      "completely different content touching no dense bucket at all zz"))
+      .toDF("doc_id", "text")
+    DedupIndex.probe(cool, "doc_id", "text", uri, threshold = 0.5).count()
+    assert(graft.core.Stats.counterValue(
+      "dedup_index.probe_groups_suppressed") == 0L)
+  }
+
+  test("empty append writes nothing; minor fold skips a zero-row inc tier") {
+    val uri = TestSession.tmpDir("minhash-index-idle")
+    DedupIndex.build(corpus.limit(10), "doc_id", "text", uri)
+    def incListing() =
+      graft.storage.VersionedDir.liveListing(graft.storage.VFS(spark),
+        uri, "data_inc") ++
+      graft.storage.VersionedDir.liveListing(graft.storage.VFS(spark),
+        uri, "sigs_inc")
+    // an idle stream's all-duplicate batch appends an EMPTY frame: no
+    // files may land in either inc tier
+    DedupIndex.append(corpus.limit(0), "doc_id", "text", uri)
+    assert(incListing().isEmpty, s"empty append left files: ${incListing()}")
+    // legacy zero-row inc files (written before the skip existed): the
+    // minor fold must NOT rewrite/flip an empty generation over them
+    corpus.limit(0).select(lit(0).as("band"), lit(0L).as("bucket"),
+        lit(0L).as("id"))
+      .coalesce(1).write.mode("append")
+      .parquet(DedupIndex.liveDataIncPath(spark, uri))
+    val dataIncBefore = DedupIndex.liveDataIncPath(spark, uri)
+    DedupIndex.minorCompact(spark, uri)
+    assert(DedupIndex.liveDataIncPath(spark, uri) == dataIncBefore,
+      "minor fold must not flip a generation for zero rows")
+    // probes remain correct throughout
+    assert(DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.6)
+      .count() >= 0L)
+  }
+
   test("params mismatch is loud") {
     assertThrows[Exception] {
       DedupIndex.readParams(spark, TestSession.tmpDir("no-such-index"))

@@ -67,6 +67,37 @@ class VersionedDirSpec extends SparkSpec {
     assert(b2.endsWith("/data_v2"), "same target until something commits")
   }
 
+  test("grace = 2 keeps TWO committed generations across a flip — the " +
+    "frequently-flipped inc-tier contract") {
+    val uri = TestSession.tmpDir("vdir-grace2")
+    val fsv = fs
+    fsv.writeString(s"$uri/data/f.txt", "gen0")
+    def flip(content: String, grace: Int): String = {
+      val v = VersionedDir.next(fsv, uri, "data")
+      fsv.writeString(s"$v/f.txt", content)
+      VersionedDir.commit(fsv, uri, "data", v, grace)
+      v
+    }
+    val v1 = flip("gen1", 2)
+    val v2 = flip("gen2", 2)
+    // after the second flip BOTH prior committed generations survive: a
+    // probe that resolved gen0 just before flip 1 can still be scanning
+    // through flip 2 (the exposure ADVICE r16 flagged for in-loop folds)
+    assert(fsv.exists(s"$uri/data") && fsv.exists(v1) && fsv.exists(v2))
+    val v3 = flip("gen3", 2)
+    // the window slides: gen0 retires (three flips old), v1+v2 survive
+    assert(!fsv.exists(s"$uri/data"), "gen0 must retire after grace window")
+    assert(fsv.exists(v1) && fsv.exists(v2) && fsv.exists(v3))
+    assert(VersionedDir.resolve(fsv, uri, "data").endsWith("/data_v3"))
+    // crashed uncommitted attempts never count toward the grace window
+    val crashed = VersionedDir.next(fsv, uri, "data")
+    fsv.writeString(s"$crashed/f.txt", "crashed")
+    val v5 = flip("gen5", 2)
+    assert(!fsv.exists(crashed), "crashed attempt must be retired")
+    assert(fsv.exists(v2) && fsv.exists(v3) && fsv.exists(v5))
+    assert(!fsv.exists(v1))
+  }
+
   test("dedup index probe interleaved with compact: no errors, no lost rows") {
     val uri = TestSession.tmpDir("vdir-probe")
     // texts pairwise-DISSIMILAR (distinct token sets) so no LSH bucket
