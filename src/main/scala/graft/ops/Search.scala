@@ -470,39 +470,80 @@ object Search {
 
   private def incPath(uri: String) = s"$uri/postings_inc"
 
+  /** One committed inc dir: per-batch append (`tags` empty) or a MINOR
+    * FOLD dir (`tags` = the batch/fold tags whose postings it
+    * subsumes — transitively, so exclusion never depends on a chain of
+    * still-present intermediate folds). */
+  private case class IncDir(dir: String, tag: String, nDocs: Long,
+      sumDl: Long, tags: Seq[String])
+
+  /** All COMMITTED inc dirs (stats sidecar present — it doubles as the
+    * commit marker) plus the base generation's already-folded tag set.
+    * With `retireCrashed` (MAINTENANCE verbs only — never a read path),
+    * also deletes stats-less `fold-` dirs: fold tags are
+    * maintenance-owned (reserved in [[appendBatchToIndex]]) and
+    * maintenance is single-writer, so a marker-less fold dir seen by a
+    * maintenance verb can only be a CRASHED earlier fold — but the
+    * same dir seen by a concurrent PROBE is the current fold's
+    * in-flight write, which a read path must ignore, not delete. */
+  private def incCommitted(spark: org.apache.spark.sql.SparkSession,
+      uri: String, retireCrashed: Boolean = false): (Set[String], Seq[IncDir]) = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val base = graft.storage.VersionedDir.resolve(fs, uri, "postings")
+    val genStatsPath = s"$base/_genstats.json"
+    val folded =
+      if (!fs.exists(genStatsPath)) Set.empty[String]
+      else parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath))
+        .obj("tags").map(_.arr.map(_.str).toSet).getOrElse(Set.empty[String])
+    val dirs =
+      if (!fs.exists(incPath(uri))) Seq.empty
+      else fs.ls(incPath(uri)).sorted
+    val committed = dirs.flatMap { d =>
+      val tag = d.substring(d.lastIndexOf('/') + 1)
+      if (!fs.exists(s"$d/_stats.json")) {
+        if (retireCrashed && tag.startsWith(FoldTagPrefix)) fs.delete(d)
+        None
+      } else {
+        val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri,
+          s"$d/_stats.json")).obj
+        Some(IncDir(d, tag, o("nDocs").get.long, o("sumDl").get.long,
+          o("tags").map(_.arr.map(_.str)).getOrElse(Nil)))
+      }
+    }
+    (folded, committed)
+  }
+
   /** The live index state: base postings generation (VersionedDir —
-    * compaction flips reader-safely), the pending per-batch inc dirs
-    * NOT yet folded into that generation, and the summed exact stats.
-    * A batch dir only counts once its `_stats.json` exists (written
-    * AFTER its postings — the sidecar doubles as the commit marker),
-    * and a generation records which batch tags it already folded, so
-    * a crash between commit and inc-cleanup never double-counts. */
+    * compaction flips reader-safely), the PENDING inc dirs — committed
+    * batch/fold dirs not yet subsumed by the base generation's folded
+    * tag set or by another committed fold's tag list — and the summed
+    * exact stats. A batch dir only counts once its `_stats.json`
+    * exists (written AFTER its postings — the sidecar doubles as the
+    * commit marker); retired-but-not-yet-deleted grace dirs (one
+    * maintenance cycle, for in-flight probes) are excluded from both
+    * the scan roots and the stats, so a crash between any commit and
+    * its source cleanup never double-counts. */
   private def liveState(spark: org.apache.spark.sql.SparkSession,
       uri: String): (String, Seq[String], Long, Long, Int) = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
     val base = graft.storage.VersionedDir.resolve(fs, uri, "postings")
     val genStatsPath = s"$base/_genstats.json"
-    val (n0, s0, folded) =
+    val (n0, s0) =
       if (fs.exists(genStatsPath)) {
         val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath)).obj
-        (o("nDocs").get.long, o("sumDl").get.long,
-          o("tags").map(_.arr.map(_.str).toSet).getOrElse(Set.empty[String]))
+        (o("nDocs").get.long, o("sumDl").get.long)
       } else { // legacy layout: stats beside the index root
         val (n, s, _) = readIndexStats(spark, uri)
-        (n, s, Set.empty[String])
+        (n, s)
       }
-    val incs =
-      if (!fs.exists(incPath(uri))) Seq.empty
-      else fs.ls(incPath(uri))
-        .filter(d => !folded(d.substring(d.lastIndexOf('/') + 1)))
-        .filter(d => fs.exists(s"$d/_stats.json")).sorted
-    val (n1, s1) = incs.foldLeft((n0, s0)) { case ((n, s), d) =>
-      val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, s"$d/_stats.json")).obj
-      (n + o("nDocs").get.long, s + o("sumDl").get.long)
-    }
+    val (folded, committed) = incCommitted(spark, uri)
+    val excluded = folded ++ committed.flatMap(_.tags)
+    val pending = committed.filterNot(d => excluded(d.tag))
     val buckets = readIndexStats(spark, uri)._3
-    (base, incs, n1, s1, buckets)
+    (base, pending.map(_.dir),
+      n0 + pending.map(_.nDocs).sum, s0 + pending.map(_.sumDl).sum, buckets)
   }
 
   /** IDEMPOTENT per-batch append — the streaming-safe form of
@@ -517,9 +558,16 @@ object Search {
   def appendBatchToIndex(docs: DataFrame, idCol: String, textCol: String,
       uri: String, tag: String): Unit = {
     require(tag.nonEmpty && !tag.contains('/'), s"bad batch tag '$tag'")
+    require(!tag.startsWith(FoldTagPrefix),
+      s"batch tag '$tag' uses the reserved '$FoldTagPrefix' prefix " +
+        "(minor-fold dirs are maintenance-owned)")
     import graft.core.Json._
     val spark = docs.sparkSession
     val fs = graft.storage.VFS(spark)
+    // empty batch = nothing to index: an idle stream would otherwise
+    // drip zero-row tag dirs that every probe lists and every fold
+    // rewrites (replaying an empty batch re-skips — still idempotent)
+    if (docs.isEmpty) return
     val buckets = readIndexStats(spark, uri)._3
     val dir = s"${incPath(uri)}/$tag"
     fs.delete(dir)
@@ -535,18 +583,92 @@ object Search {
       render(JObj(Seq("nDocs" -> JLong(docs.count()), "sumDl" -> JLong(s1)))))
   }
 
-  /** Fold pending batch dirs into a NEW base postings generation
-    * (re-bucketed, re-sorted — restores footer-stat pruning that
-    * per-batch files dilute), flipping generations through
+  /** Reserved prefix of minor-fold inc dirs — maintenance-owned. */
+  private val FoldTagPrefix = "fold-"
+
+  private def foldNum(tag: String): Option[Int] =
+    if (tag.startsWith(FoldTagPrefix))
+      scala.util.Try(tag.substring(FoldTagPrefix.length).toInt).toOption
+    else None
+
+  /** BOUNDED maintenance (r17) — the search-index analogue of
+    * [[graft.ops.DedupIndex.minorCompact]]: fold the PENDING inc batch
+    * dirs into ONE `fold-NNNNNN` inc dir (re-bucketed `tb=` layout,
+    * term-sorted — the same per-file pruning as the base), leaving the
+    * base generation untouched. Cost is O(appends since the last MAJOR
+    * compact), never O(corpus) — which is what makes this safe inside
+    * a streaming foreachBatch at any index size (the probe tax of N
+    * pending dirs is ~0.4 s/dir of listing/plan work; the fold resets
+    * the pending count to 1). [[compactIndex]] (major, O(corpus))
+    * remains the lull-time verb that folds everything into the base.
+    *
+    * Crash-safe without a VersionedDir flip of its own: the fold dir's
+    * `_stats.json` (written LAST, carrying the merged nDocs/sumDl and
+    * the subsumed source tags) is the commit marker — a crash before
+    * it leaves a stats-less dir the next maintenance pass retires; a
+    * crash after it leaves the sources on disk but EXCLUDED from every
+    * read and stats sum (their tags are listed). Committed sources are
+    * kept one maintenance cycle as grace for in-flight probes that
+    * listed them pre-fold, then deleted by the NEXT maintenance verb —
+    * so the probe-duration contract is: finish within one fold cadence
+    * of resolving the pending list. Single-writer vs appends, like all
+    * maintenance (the in-loop caller serializes by construction). */
+  def minorCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Unit = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val (folded, committed) = incCommitted(spark, uri, retireCrashed = true)
+    val excluded = folded ++ committed.flatMap(_.tags)
+    val (retired, pending) = committed.partition(d => excluded(d.tag))
+    // retired dirs have had their one-cycle grace: clean them up even
+    // when there is nothing new to fold
+    if (pending.size <= 1) { retired.foreach(d => fs.delete(d.dir)); return }
+    val buckets = readIndexStats(spark, uri)._3
+    // fold numbers never reuse a LIVE number: max over every tag this
+    // index still remembers (dirs present, their subsumed tags, and the
+    // base's folded set), so a probe holding a retired fold path can
+    // never see that path re-materialize with different content within
+    // its grace window
+    val nFold = (committed.map(_.tag) ++ committed.flatMap(_.tags) ++ folded)
+      .flatMap(foldNum).maxOption.getOrElse(0) + 1
+    val dir = f"${incPath(uri)}/$FoldTagPrefix$nFold%06d"
+    fs.delete(dir)
+    readPostingsMulti(spark, pending.map(d => s"${d.dir}/postings"), None)
+      .withColumn("tb", termBucket(col("term"), buckets))
+      .repartition(col("tb"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .partitionBy("tb").parquet(s"$dir/postings")
+    val tags = (pending.map(_.tag) ++ pending.flatMap(_.tags)).distinct
+    graft.storage.Encryption.dirJsonWrite(spark, uri, s"$dir/_stats.json",
+      render(JObj(Seq("nDocs" -> JLong(pending.map(_.nDocs).sum),
+        "sumDl" -> JLong(pending.map(_.sumDl).sum),
+        "tags" -> JArr(tags.map(JStr))))))
+    retired.foreach(d => fs.delete(d.dir))
+  }
+
+  /** Fold the base generation AND every pending inc dir into a NEW
+    * base postings generation (re-bucketed, re-sorted — restores
+    * footer-stat pruning globally), flipping generations through
     * [[graft.storage.VersionedDir]]: a concurrent probe always
     * resolves a complete generation, and a crash at any point leaves
-    * a consistent index (the generation's folded-tags list excludes
-    * not-yet-deleted inc dirs from double-counting). */
+    * a consistent index (the generation's folded-tags list — which
+    * carries the pending dirs' tags AND their transitively subsumed
+    * tags — excludes not-yet-deleted inc dirs from double-counting).
+    * The folded inc dirs are kept ONE maintenance cycle as grace for
+    * in-flight probes that listed them pre-flip (the r16 ADVICE race:
+    * immediate deletion could yank a pending dir mid-scan), then
+    * deleted by the next maintenance verb; dirs already retired by an
+    * earlier fold are deleted here. O(corpus) — the lull-time verb;
+    * [[minorCompactIndex]] is the bounded in-loop one. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
+    val (folded, committed) = incCommitted(spark, uri, retireCrashed = true)
+    val excluded = folded ++ committed.flatMap(_.tags)
+    val (retired, pendingDirs) = committed.partition(d => excluded(d.tag))
+    if (pendingDirs.isEmpty) { retired.foreach(d => fs.delete(d.dir)); return }
     val (base, incs, n, sumDl, buckets) = liveState(spark, uri)
-    if (incs.isEmpty) return
     val target = graft.storage.VersionedDir.next(fs, uri, "postings")
     val all = readPostingsMulti(spark, base +: incs.map(d => s"$d/postings"),
         None)
@@ -555,12 +677,24 @@ object Search {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .partitionBy("tb").parquet(target)
-    val tags = incs.map(d => d.substring(d.lastIndexOf('/') + 1))
+    val tags = (pendingDirs.map(_.tag) ++ pendingDirs.flatMap(_.tags)).distinct
     graft.storage.Encryption.dirJsonWrite(spark, uri, s"$target/_genstats.json",
       render(JObj(Seq("nDocs" -> JLong(n), "sumDl" -> JLong(sumDl),
         "tags" -> JArr(tags.map(JStr))))))
     graft.storage.VersionedDir.commit(fs, uri, "postings", target)
-    incs.foreach(d => fs.delete(d))
+    retired.foreach(d => fs.delete(d.dir))
+  }
+
+  /** Tier stats + major-compact advisory for a persisted BM25 index:
+    * base = the live postings generation, inc = the PENDING batch/fold
+    * dirs (grace dirs excluded — their bytes are already counted in
+    * the fold that subsumed them). Listings only, no data read. */
+  def maintenanceAdvice(spark: org.apache.spark.sql.SparkSession,
+      uri: String): graft.storage.MaintenanceAdvice = {
+    val fs = graft.storage.VFS(spark)
+    val (base, incs, _, _, _) = liveState(spark, uri)
+    graft.storage.MaintenanceAdvice.of(fs, Seq(base),
+      incs.map(d => s"$d/postings"))
   }
 
   /** Top-k BM25 against a persisted index. The query batch's distinct

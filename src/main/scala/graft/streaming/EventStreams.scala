@@ -172,14 +172,14 @@ object EventStreams {
     * cadence survives recovery; a replayed batch at the cadence point
     * re-compacts, which is idempotent (same rows, fewer files).
     *
-    * COST: both dedup streams run BOUNDED minor folds
+    * COST: all three persisted-index streams run BOUNDED minor folds
     * ([[graft.ops.DedupIndex.minorCompact]] /
-    * [[graft.ops.Similarity.minorCompactIvfIndex]]) — O(appends since
-    * the last MAJOR compact), never a base rewrite, safe in-loop at
-    * any index size; run the major verb externally during lulls to
-    * fold the accumulated inc tier. The search postings compact is
-    * still O(corpus) per cycle (default 0 — see
-    * [[searchIndexStream]]). The per-cycle wall is surfaced on the
+    * [[graft.ops.Similarity.minorCompactIvfIndex]] /
+    * [[graft.ops.Search.minorCompactIndex]]) — O(appends since the
+    * last MAJOR compact), never a base rewrite, safe in-loop at any
+    * index size; run the major verb externally during lulls to fold
+    * the accumulated inc tier (each index's `maintenanceAdvice` says
+    * when that's due). The per-cycle wall is surfaced on the
     * `stream.compact_secs_x100.<indexUri>` counter so cadence choices
     * are made from observed numbers, never a silent stall. */
   private def maybeCompact(spark: org.apache.spark.sql.SparkSession,
@@ -237,22 +237,25 @@ object EventStreams {
     * ([[graft.ops.Search.appendBatchToIndex]] keyed by batch id —
     * a replayed batch overwrites its own directory, so postings and
     * corpus stats never double-count, matching the sink's
-    * fragment-timestamp exactly-once). Maintenance
-    * ([[graft.ops.Search.compactIndex]], reader-safe generation flip)
-    * restores the footer-stat pruning that many small batch dirs
-    * dilute; `compactEvery > 0` runs it in-loop every that many
-    * batches (serialized with this stream's own appends). Default OFF
-    * here, on a measured basis (the `search_inc_tax` rehearsal, 10×):
-    * appends stay O(batch) regardless of pending count — the tax is
-    * PROBE-side only (0.92 s compacted vs 7.56 s at 100 pending dirs,
-    * post the one-scan probe fix), and postings compaction rewrites
-    * the whole base generation (O(corpus) — 12.4 s at 10×, growing
-    * with the corpus), which in-loop would stall one trigger per
-    * cycle. A query-heavy index wants `compactEvery ≈ 25`; an
-    * ingest-heavy one compacts externally during query lulls. */
+    * fragment-timestamp exactly-once).
+    *
+    * In-loop maintenance (r17, completing the tiered-maintenance
+    * symmetry with the dedup streams): every `compactEvery` batches
+    * the loop runs [[graft.ops.Search.minorCompactIndex]] — a BOUNDED
+    * fold of only the pending inc dirs into one re-bucketed
+    * term-sorted fold dir, O(appends since the last major), never a
+    * base rewrite — so the probe-side pending-dir tax (measured ~0.4
+    * s/dir: 0.92 s compacted vs 7.56 s at 100 pending dirs, the
+    * `search_inc_tax` rehearsal) resets each cadence without stalling
+    * a trigger on an O(corpus) job. Default ON at 25 (the same
+    * rehearsal-anchored cadence as the dedup streams); 0 disables for
+    * externally-orchestrated maintenance. Run
+    * [[graft.ops.Search.compactIndex]] (major, O(corpus)) during
+    * lulls to fold the accumulated inc tier into the base —
+    * [[graft.ops.Search.maintenanceAdvice]] says when it's due. */
   def searchIndexStream(docs: DataFrame, idCol: String, textCol: String,
       indexUri: String, sinkUri: String, checkpoint: String,
-      compactEvery: Int = 0,
+      compactEvery: Int = 25,
       tsForBatch: Long => Long = identity): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -263,7 +266,7 @@ object EventStreams {
         graft.ops.Search.appendBatchToIndex(b, idCol, textCol, indexUri,
           s"batch-$batchId")
         maybeCompact(b.sparkSession, indexUri, batchId, compactEvery)(
-          graft.ops.Search.compactIndex(b.sparkSession, indexUri))
+          graft.ops.Search.minorCompactIndex(b.sparkSession, indexUri))
         ()
       }
       .start()

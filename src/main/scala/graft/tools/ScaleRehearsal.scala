@@ -1102,6 +1102,32 @@ object ScaleRehearsal {
       println(f"[rehearsal] search_inc_tax compact(100 pending): $tC%.2f s")
       results += "sit_compact" -> tC
       probe("compacted")
+      // ---- round-17: the BOUNDED maintenance arm ---------------------
+      // appends continue for another 100 batches, but a MINOR fold
+      // every 25 (Search.minorCompactIndex — O(appends), the in-loop
+      // default of searchIndexStream) collapses the pending dirs into
+      // one term-sorted fold dir. The claim under test: the probe tax
+      // stays near the post-compact floor WITHOUT ever rewriting the
+      // base generation (asserted on the generation path), and the
+      // fold wall is batch-scale, not corpus-scale.
+      val fsS = graft.storage.VFS(spark)
+      val baseGen = graft.storage.VersionedDir.resolve(fsS, idx, "postings")
+      var tMinor = 0.0
+      val (_, tApp2) = time((1 to 4).foreach { _ =>
+        appendUpTo(appended + 25)
+        val (_, tm) = time(graft.ops.Search.minorCompactIndex(spark, idx))
+        tMinor += tm
+      })
+      require(graft.storage.VersionedDir.resolve(fsS, idx, "postings") == baseGen,
+        "minor folds must never rewrite the base generation")
+      println(f"[rehearsal] search_inc_tax minor folds (4x over 100 appends): $tMinor%.2f s total")
+      results += "sit_append_minor_100" -> (tApp2 - tMinor)
+      results += "sit_minor_folds" -> tMinor
+      probe("minorfold")
+      // the advisory that decides when the accumulated inc tier is
+      // worth a major: print it as data, not a feeling
+      println(s"[rehearsal] search_inc_tax advice after minors: ${
+        graft.ops.Search.maintenanceAdvice(spark, idx)}")
     }
 
     // ---- round-15: streaming steady state over ~100 micro-batches ----
@@ -1127,7 +1153,8 @@ object ScaleRehearsal {
         mkStream: (DataFrame, String, String, String) =>
           org.apache.spark.sql.streaming.StreamingQuery,
         compactIndex: String => Unit,
-        reportIndex: String => String): Unit = {
+        reportIndex: String => String,
+        advice: String => graft.storage.MaintenanceAdvice): Unit = {
       import graft.storage.ArrayTable
       val nBatches = 100
       val idxUri = s"$outDir/${tag}_index"
@@ -1200,9 +1227,21 @@ object ScaleRehearsal {
           require(lats.size >= moved,
             s"$tag: listener drained only ${lats.size} of $moved batches")
           if (waves > 1 && w < waves - 1) {
-            val c0 = System.nanoTime()
-            compactIndex(idxUri)
-            tCompact += (System.nanoTime() - c0) / 1e9
+            // the simulated LULL: the query above is stopped, appends
+            // quiesced. The MAJOR is data-driven, not scheduled —
+            // MaintenanceAdvice compares the tiers from listings only
+            // (rehearsal floor 1 MB: mult-x corpora are small next to
+            // the production 32 MB default)
+            val a = advice(idxUri)
+            println(s"[rehearsal] $tag wave $w lull: $a")
+            if (a.needsMajor(maxIncFraction = 0.25, minIncBytes = 1L << 20)) {
+              val c0 = System.nanoTime()
+              compactIndex(idxUri)
+              val tc = (System.nanoTime() - c0) / 1e9
+              tCompact += tc
+              println(f"[rehearsal] $tag wave $w MAJOR compact $tc%.1f s; " +
+                s"after: ${advice(idxUri)}")
+            } else println(s"[rehearsal] $tag wave $w: advisory vetoed the major")
           }
         }
       } finally spark.streams.removeListener(listener)
@@ -1249,12 +1288,19 @@ object ScaleRehearsal {
               threshold = 0.6, compactEvery = compactEvery),
           idx => graft.ops.DedupIndex.compact(spark, idx),
           idx => s"index sig rows=${
-            graft.ops.DedupIndex.readSigsAll(spark, idx).count()}")
+            graft.ops.DedupIndex.readSigsAll(spark, idx).count()}",
+          idx => graft.ops.DedupIndex.maintenanceAdvice(spark, idx))
       if (runOp("streaming")) run("stream_nd", waves = 1, compactEvery = 0)
       if (runOp("streaming_compact"))
         run("stream_nd_compact", waves = 4, compactEvery = 0)
       if (runOp("streaming_inloop"))
         run("stream_nd_inloop", waves = 1, compactEvery = 25)
+      // r17: the full LIFECYCLE at scale — bounded minor folds in-loop
+      // every 25 batches, plus ONE advisory-triggered MAJOR fold at the
+      // mid-run lull (stream stopped between the two waves). Run at
+      // mult=100 (500k docs) to buy the tiering claim its decade.
+      if (runOp("streaming_inloop_major"))
+        run("stream_nd_im", waves = 2, compactEvery = 25)
     }
     // the SEARCH-INDEX stream under the identical protocol — the last
     // persisted-index stream without a measured per-batch curve. The
@@ -1263,18 +1309,29 @@ object ScaleRehearsal {
     // construction (O(batch) postings build + one dir write); the
     // probe-side tax those pending dirs accrue is the search_inc_tax
     // arm above. compactEvery=0 is the measured default under test.
-    if (runOp("streaming_search")) {
+    if (runOp("streaming_search") || runOp("streaming_search_inloop")) {
       val src = docs.select(col("doc_id"), col("text"))
-      streamGateRehearsal("stream_search", waves = 1, src, "doc_id", "docs",
-        idx => graft.ops.Search.buildIndex(src.limit(0), "doc_id", "text", idx),
-        (raw, idx, sink, ck) => graft.streaming.EventStreams
-          .searchIndexStream(raw, "doc_id", "text", idx, sink, ck),
-        idx => graft.ops.Search.compactIndex(spark, idx),
-        idx => {
-          val inc = s"$idx/postings_inc"
-          val fsv = graft.storage.VFS(spark)
-          s"pending inc dirs=${if (fsv.exists(inc)) fsv.ls(inc).size else 0}"
-        })
+      def runSearch(tag: String, waves: Int, compactEvery: Int): Unit =
+        streamGateRehearsal(tag, waves, src, "doc_id", "docs",
+          idx => graft.ops.Search.buildIndex(src.limit(0), "doc_id", "text", idx),
+          (raw, idx, sink, ck) => graft.streaming.EventStreams
+            .searchIndexStream(raw, "doc_id", "text", idx, sink, ck,
+              compactEvery = compactEvery),
+          idx => graft.ops.Search.compactIndex(spark, idx),
+          idx => {
+            val inc = s"$idx/postings_inc"
+            val fsv = graft.storage.VFS(spark)
+            s"pending inc dirs=${if (fsv.exists(inc)) fsv.ls(inc).size else 0}"
+          },
+          idx => graft.ops.Search.maintenanceAdvice(spark, idx))
+      // compactEvery=0: the maintenance-free counterfactual (appends
+      // must be FLAT in pending count by construction)
+      if (runOp("streaming_search"))
+        runSearch("stream_search", waves = 1, compactEvery = 0)
+      // r17: the product default (bounded minor folds in-loop every 25)
+      // plus one advisory-triggered MAJOR at the mid-run lull
+      if (runOp("streaming_search_inloop"))
+        runSearch("stream_search_il", waves = 2, compactEvery = 25)
     }
 
     // the SEMANTIC gate under the identical protocol; IVF bootstrap
@@ -1291,11 +1348,154 @@ object ScaleRehearsal {
             .semanticDedupStream(raw, "vec_id", "embedding", idx, sink, ck,
               minCosine = 0.999, nprobe = 4, compactEvery = compactEvery),
           idx => graft.ops.Similarity.compactIvfIndex(spark, idx),
-          _ => "ivf cells")
+          _ => "ivf cells",
+          idx => graft.ops.Similarity.maintenanceAdvice(spark, idx))
       if (runOp("streaming_sem"))
         runSem("stream_sem", waves = 4, compactEvery = 0)
       if (runOp("streaming_sem_inloop"))
         runSem("stream_sem_inloop", waves = 1, compactEvery = 25)
+      // r17: full lifecycle at scale (see stream_nd_im)
+      if (runOp("streaming_sem_inloop_major"))
+        runSem("stream_sem_im", waves = 2, compactEvery = 25)
+    }
+
+    // ---- round-17: CONCURRENCY rehearsal ------------------------------
+    // The guarded-flip machinery is spec-tested single-threaded; this
+    // arm runs it under REAL timing: two streams maintaining DIFFERENT
+    // persisted indexes (text LSH near-dedup + BM25 postings) drain
+    // their sources concurrently with in-loop minor folds every 10
+    // batches, while an external probe loop hammers BOTH live indexes
+    // throughout — every probe must succeed (grace generations cover
+    // in-flight readers across fold flips) and be correct. Then one
+    // DELIBERATE append-during-major drives the single-writer abort
+    // (VersionedDir.commitGuarded) under real thread timing: the abort
+    // must fire loudly, the index must lose nothing, and a quiesced
+    // re-run must succeed.
+    if (runOp("concurrency")) {
+      import graft.storage.ArrayTable
+      val fs = graft.storage.VFS(spark)
+      val ndIdx = s"$outDir/conc_nd_index"; val ndSink = s"$outDir/conc_nd_sink"
+      val seIdx = s"$outDir/conc_se_index"; val seSink = s"$outDir/conc_se_sink"
+      val ndSrc = s"$outDir/conc_nd_src";   val seSrc = s"$outDir/conc_se_src"
+      val ndCk = s"$outDir/conc_nd_ckpt";   val seCk = s"$outDir/conc_se_ckpt"
+      Seq(ndIdx, ndSink, seIdx, seSink, ndSrc, seSrc, ndCk, seCk)
+        .foreach(u => fs.delete(u))
+      val src = docs.select(col("doc_id"), col("text"))
+      graft.ops.DedupIndex.build(src.limit(0), "doc_id", "text", ndIdx)
+      graft.ops.Search.buildIndex(src.limit(0), "doc_id", "text", seIdx)
+      val sinkSchema = graft.core.ArraySchema.infer(src.schema, Seq("doc_id"))
+        .copy(allowsDuplicates = true)
+      ArrayTable.create(spark, ndSink, sinkSchema)
+      ArrayTable.create(spark, seSink, sinkSchema)
+      src.repartition(40, col("doc_id")).write.parquet(ndSrc)
+      src.repartition(40, col("doc_id")).write.parquet(seSrc)
+      // probe inputs: dedup batch in a foreign id space (results keyed
+      // by matches, not identity), selective BM25 queries
+      val probeBatch = docs.limit(64)
+        .select((col("doc_id") + lit(9L << 44)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val queries = docs.limit(32)
+        .select(col("doc_id").as("query_id"), concat_ws(" ",
+          slice(graft.ops.Search.termsOf(col("text")), 1, 5)).as("qtext"))
+        .localCheckpoint(true)
+      @volatile var streamsDone = false
+      val probeOk = new java.util.concurrent.atomic.AtomicInteger
+      val probeFail = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val prober = new Thread(() => {
+        while (!streamsDone && probeFail.get == null) {
+          try {
+            graft.ops.DedupIndex.probe(
+              probeBatch, "doc_id", "text", ndIdx, threshold = 0.6).count()
+            graft.ops.Search.bm25IndexTopK(
+              spark, seIdx, queries, "query_id", "qtext", k = 5).count()
+            probeOk.incrementAndGet()
+          } catch { case t: Throwable => probeFail.set(t) }
+        }
+      }, "conc-prober")
+      val t0c = System.nanoTime()
+      val qNd = graft.streaming.EventStreams.nearDedupStream(
+        spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(ndSrc),
+        "doc_id", "text", ndIdx, ndSink, ndCk,
+        threshold = 0.6, compactEvery = 10)
+      val qSe = graft.streaming.EventStreams.searchIndexStream(
+        spark.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(seSrc),
+        "doc_id", "text", seIdx, seSink, seCk, compactEvery = 10)
+      prober.start()
+      try { qNd.processAllAvailable(); qSe.processAllAvailable() }
+      finally { qNd.stop(); qSe.stop(); streamsDone = true; prober.join() }
+      val tStreams = (System.nanoTime() - t0c) / 1e9
+      require(probeFail.get == null,
+        s"concurrent probe FAILED during in-loop folds: ${probeFail.get}")
+      require(probeOk.get > 0, "prober never completed a probe cycle")
+      // zero lost rows, cross-checked three ways: the search sink saw
+      // every staged doc; the dedup sink's survivors match the index's
+      // distinct sig ids; a post-run probe is still exact
+      val nDocs = src.count()
+      val seSinkN = ArrayTable.read(spark, seSink).count()
+      require(seSinkN == nDocs, s"search sink lost rows: $seSinkN != $nDocs")
+      val ndSurvivors = ArrayTable.read(spark, ndSink).count()
+      val ndSigIds = graft.ops.DedupIndex.readSigsAll(spark, ndIdx)
+        .select("id").distinct().count()
+      require(ndSigIds == ndSurvivors,
+        s"dedup index ids $ndSigIds != sink survivors $ndSurvivors")
+      val cNd = graft.core.Stats.counterValue(s"stream.compact_secs_x100.$ndIdx")
+      val cSe = graft.core.Stats.counterValue(s"stream.compact_secs_x100.$seIdx")
+      println(f"[rehearsal] concurrency: streams $tStreams%.1f s, " +
+        f"probes ok=${probeOk.get}, survivors=$ndSurvivors/$nDocs docs, " +
+        f"in-loop fold wall nd=${cNd / 100.0}%.1f s se=${cSe / 100.0}%.1f s")
+      results += "conc_streams_total" -> tStreams
+      results += "conc_probes_ok" -> probeOk.get.toDouble
+      // ---- deliberate append-during-major ----------------------------
+      // a hammering append thread runs while the MAJOR compact reads
+      // the tiers; the guarded flip must abort LOUDLY (never silently
+      // drop the mid-compact appends). On abort the appended rows live
+      // in both tiers' reads — probes stay correct — and a quiesced
+      // re-run must flip cleanly.
+      @volatile var stopAppends = false
+      val nAppended = new java.util.concurrent.atomic.AtomicInteger
+      val hammer = new Thread(() => {
+        var i = 2
+        while (!stopAppends) {
+          graft.ops.DedupIndex.append(
+            docs.limit(50).select(
+              (col("doc_id") + lit(i.toLong << 45)).as("doc_id"), col("text")),
+            "doc_id", "text", ndIdx)
+          nAppended.incrementAndGet(); i += 1
+        }
+      }, "conc-hammer")
+      val idsBefore = ndSigIds
+      hammer.start()
+      var abortSeen = false
+      var tries = 0
+      try {
+        while (!abortSeen && tries < 12 && !stopAppends) {
+          tries += 1
+          try graft.ops.DedupIndex.compact(spark, ndIdx)
+          catch {
+            case e: RuntimeException
+                if e.getMessage != null && e.getMessage.contains("ABORTED") =>
+              abortSeen = true
+              println(s"[rehearsal] concurrency: guarded abort observed " +
+                s"on major-compact try $tries (${nAppended.get} appends in flight)")
+          }
+        }
+      } finally { stopAppends = true; hammer.join() }
+      require(abortSeen,
+        s"append-during-major never tripped the guarded abort in $tries tries")
+      graft.ops.DedupIndex.compact(spark, ndIdx) // quiesced: must succeed
+      val idsAfter = graft.ops.DedupIndex.readSigsAll(spark, ndIdx)
+        .select("id").distinct().count()
+      require(idsAfter == idsBefore + 50L * nAppended.get,
+        s"rows lost across abort+recompact: $idsAfter != " +
+          s"$idsBefore + ${50L * nAppended.get}")
+      val (mNd, tProbeFinal) = time(graft.ops.DedupIndex.probe(
+        probeBatch, "doc_id", "text", ndIdx, threshold = 0.6).count())
+      println(f"[rehearsal] concurrency: post-abort recompact clean, " +
+        f"$idsAfter ids (${nAppended.get} hammer appends x50 all present), " +
+        f"final probe $mNd matches in $tProbeFinal%.2f s")
+      results += "conc_abort_tries" -> tries.toDouble
     }
 
     // ---- round-15: COMPOSED end-to-end pipeline on ONE heap ----------

@@ -202,6 +202,94 @@ class SearchSpec extends SparkSpec {
     } finally graft.storage.VFS(spark).delete(uri)
   }
 
+  test("minorCompactIndex: bounded fold — base untouched, pending dirs " +
+    "collapse to one fold dir, probes stay exact through every transition") {
+    val uri = s"target/test-bm25-minor-${System.nanoTime()}"
+    val q = Seq((0L, "cat dog sat"), (1L, "appended spark")).toDF("qid", "qtext")
+    val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+    def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.select(cols: _*).exceptAll(y.select(cols: _*)).count() == 0L &&
+        y.select(cols: _*).exceptAll(x.select(cols: _*)).count() == 0L
+    val fs = graft.storage.VFS(spark)
+    def incTags() = fs.ls(s"$uri/postings_inc")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    def probed() = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+    try {
+      Search.buildIndex(docs, "doc_id", "text", uri, buckets = 8)
+      val basePath = graft.storage.VersionedDir.resolve(fs, uri, "postings")
+      val batches = (1 to 4).map(i => Seq((50L + i,
+        s"appended cat doc number $i mentioning spark too")).toDF("doc_id", "text"))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        Search.appendBatchToIndex(b, "doc_id", "text", uri, s"batch-${i + 1}") }
+      val full = batches.foldLeft(docs)(_ unionByName _)
+      val inline = Search.bm25TopK(full, "doc_id", "text", q, "qid", "qtext", k = 5)
+      assert(same(probed(), inline))
+      Search.minorCompactIndex(spark, uri)
+      // bounded: the base generation did not move; the pending set
+      // collapsed to one fold dir (sources linger one grace cycle)
+      assert(graft.storage.VersionedDir.resolve(fs, uri, "postings") == basePath,
+        "minor fold must not touch the base generation")
+      assert(incTags().exists(_.startsWith("fold-")), incTags().toString)
+      assert(same(probed(), inline), "probe after minor fold diverged")
+      // a crash-replayed FOLDED tag re-materializes its dir: excluded
+      // via the fold's subsumed-tags list, never double-counted
+      Search.appendBatchToIndex(batches.head, "doc_id", "text", uri, "batch-1")
+      assert(same(probed(), inline), "re-materialized folded tag double-counted")
+      // the next maintenance pass retires the grace sources
+      Search.minorCompactIndex(spark, uri)
+      assert(!incTags().exists(_.startsWith("batch-")),
+        s"grace dirs must retire on the next pass: ${incTags()}")
+      assert(same(probed(), inline))
+      // new appends land NEXT TO the fold; a second fold subsumes both
+      // (fold-of-fold — exclusion is transitive, not chain-dependent)
+      val b5 = Seq((60L, "a fifth appended doc about spark cats")).toDF("doc_id", "text")
+      Search.appendBatchToIndex(b5, "doc_id", "text", uri, "batch-5")
+      val inline2 = Search.bm25TopK(full.unionByName(b5), "doc_id", "text",
+        q, "qid", "qtext", k = 5)
+      assert(same(probed(), inline2))
+      Search.minorCompactIndex(spark, uri)
+      assert(same(probed(), inline2))
+      // a MAJOR after minors folds everything into a new base; pending
+      // fold dirs grace one cycle, then a follow-up pass empties the tier
+      Search.compactIndex(spark, uri)
+      assert(same(probed(), inline2), "probe after major diverged")
+      Search.compactIndex(spark, uri)
+      assert(incTags().isEmpty, s"inc tier must drain after grace: ${incTags()}")
+      assert(same(probed(), inline2))
+      // fold tags are maintenance-owned
+      val e = intercept[IllegalArgumentException] {
+        Search.appendBatchToIndex(b5, "doc_id", "text", uri, "fold-000009")
+      }
+      assert(e.getMessage.contains("reserved"))
+      // empty batches append nothing (no tag-dir churn from idle streams)
+      Search.appendBatchToIndex(docs.limit(0), "doc_id", "text", uri, "batch-9")
+      assert(incTags().isEmpty)
+    } finally fs.delete(uri)
+  }
+
+  test("maintenanceAdvice: needsMajor flips as the inc tier outgrows " +
+    "the base, resets after a major") {
+    val uri = s"target/test-bm25-advice-${System.nanoTime()}"
+    try {
+      Search.buildIndex(docs.limit(2), "doc_id", "text", uri, buckets = 8)
+      val a0 = Search.maintenanceAdvice(spark, uri)
+      assert(a0.incFiles == 0 && a0.incBytes == 0L)
+      assert(!a0.needsMajor(0.25, 1L), "no inc tier, no major")
+      // appends make the inc tier a large fraction of the tiny base
+      (1 to 3).foreach(i => Search.appendBatchToIndex(
+        docs, "doc_id", "text", uri, s"batch-$i"))
+      val a1 = Search.maintenanceAdvice(spark, uri)
+      assert(a1.incFiles > 0 && a1.incBytes > 0L)
+      assert(a1.needsMajor(0.25, 1L), a1.toString)
+      // the absolute floor vetoes ratio-only triggers
+      assert(!a1.needsMajor(0.0, Long.MaxValue))
+      Search.compactIndex(spark, uri)
+      val a2 = Search.maintenanceAdvice(spark, uri)
+      assert(!a2.needsMajor(0.25, 1L), a2.toString)
+      assert(a2.baseBytes >= a1.baseBytes, "major must grow the base tier")
+    } finally graft.storage.VFS(spark).delete(uri)
+  }
+
   test("bm25 index probe plan: bucket partitions prune, terms push down") {
     val uri = s"target/test-bm25-plan-${System.nanoTime()}"
     try {
