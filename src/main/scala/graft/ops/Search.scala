@@ -487,7 +487,8 @@ object Search {
     * same dir seen by a concurrent PROBE is the current fold's
     * in-flight write, which a read path must ignore, not delete. */
   private def incCommitted(spark: org.apache.spark.sql.SparkSession,
-      uri: String, retireCrashed: Boolean = false): (Set[String], Seq[IncDir]) = {
+      uri: String, retireCrashed: Boolean = false)
+      : (String, Set[String], Seq[IncDir]) = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
     val base = graft.storage.VersionedDir.resolve(fs, uri, "postings")
@@ -511,7 +512,25 @@ object Search {
           o("tags").map(_.arr.map(_.str)).getOrElse(Nil)))
       }
     }
-    (folded, committed)
+    (base, folded, committed)
+  }
+
+  /** Exact base-generation stats (nDocs, sumDl): the generation's
+    * `_genstats.json`, or the legacy root sidecar for pre-tiered
+    * indexes (whole-index stats ARE base stats there — no inc tier
+    * existed). */
+  private def baseStats(spark: org.apache.spark.sql.SparkSession,
+      uri: String, base: String): (Long, Long) = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val genStatsPath = s"$base/_genstats.json"
+    if (fs.exists(genStatsPath)) {
+      val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath)).obj
+      (o("nDocs").get.long, o("sumDl").get.long)
+    } else {
+      val (n, s, _) = readIndexStats(spark, uri)
+      (n, s)
+    }
   }
 
   /** The live index state: base postings generation (VersionedDir —
@@ -526,21 +545,10 @@ object Search {
     * its source cleanup never double-counts. */
   private def liveState(spark: org.apache.spark.sql.SparkSession,
       uri: String): (String, Seq[String], Long, Long, Int) = {
-    import graft.core.Json._
-    val fs = graft.storage.VFS(spark)
-    val base = graft.storage.VersionedDir.resolve(fs, uri, "postings")
-    val genStatsPath = s"$base/_genstats.json"
-    val (n0, s0) =
-      if (fs.exists(genStatsPath)) {
-        val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath)).obj
-        (o("nDocs").get.long, o("sumDl").get.long)
-      } else { // legacy layout: stats beside the index root
-        val (n, s, _) = readIndexStats(spark, uri)
-        (n, s)
-      }
-    val (folded, committed) = incCommitted(spark, uri)
+    val (base, folded, committed) = incCommitted(spark, uri)
     val excluded = folded ++ committed.flatMap(_.tags)
     val pending = committed.filterNot(d => excluded(d.tag))
+    val (n0, s0) = baseStats(spark, uri, base)
     val buckets = readIndexStats(spark, uri)._3
     (base, pending.map(_.dir),
       n0 + pending.map(_.nDocs).sum, s0 + pending.map(_.sumDl).sum, buckets)
@@ -617,7 +625,7 @@ object Search {
       uri: String): Unit = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
-    val (folded, committed) = incCommitted(spark, uri, retireCrashed = true)
+    val (_, folded, committed) = incCommitted(spark, uri, retireCrashed = true)
     val excluded = folded ++ committed.flatMap(_.tags)
     val (retired, pending) = committed.partition(d => excluded(d.tag))
     // retired dirs have had their one-cycle grace: clean them up even
@@ -664,14 +672,23 @@ object Search {
   def compactIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
-    val (folded, committed) = incCommitted(spark, uri, retireCrashed = true)
+    // ONE listing drives the whole fold: the rows read, the stats
+    // summed, and the tags recorded all come from the same snapshot
+    // of the inc tier. (A second listing could see a batch the first
+    // one missed — its rows and stats would land in the new
+    // generation while its tag stayed off the folded list, and the
+    // next read would double-count it.)
+    val (base, folded, committed) = incCommitted(spark, uri, retireCrashed = true)
     val excluded = folded ++ committed.flatMap(_.tags)
     val (retired, pendingDirs) = committed.partition(d => excluded(d.tag))
     if (pendingDirs.isEmpty) { retired.foreach(d => fs.delete(d.dir)); return }
-    val (base, incs, n, sumDl, buckets) = liveState(spark, uri)
+    val (n0, s0) = baseStats(spark, uri, base)
+    val n = n0 + pendingDirs.map(_.nDocs).sum
+    val sumDl = s0 + pendingDirs.map(_.sumDl).sum
+    val buckets = readIndexStats(spark, uri)._3
     val target = graft.storage.VersionedDir.next(fs, uri, "postings")
-    val all = readPostingsMulti(spark, base +: incs.map(d => s"$d/postings"),
-        None)
+    val all = readPostingsMulti(spark,
+        base +: pendingDirs.map(d => s"${d.dir}/postings"), None)
       .withColumn("tb", termBucket(col("term"), buckets))
     all.repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
