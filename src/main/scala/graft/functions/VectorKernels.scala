@@ -300,3 +300,98 @@ object SimHash64 {
 
   def apply(c: Column): Column = Shim.toColumn(SimHash64(Shim.toExpression(c)))
 }
+
+/** Nearest-centroid assignment as ONE codegen'd kernel: argmin over
+  * the literal centroid table of the negated dot against the UNIT
+  * centroid (the query vector deliberately NOT normalized — argmin is
+  * norm-invariant), ties to the smallest centroid id. Bit-identical to
+  * [[graft.ops.Similarity.assignNarrow]]'s
+  * `array_min(centroidSims(...))` formulation on well-formed vectors:
+  * same unit normalization (zero-norm centroids kept as-is), same
+  * [[DotF]] left-to-right accumulation and operand order, same
+  * (score asc, id asc) lexicographic tie rule — pinned differentially
+  * by `VectorKernelsSpec`. The expression form evaluates an
+  * interpreted per-element lambda per centroid (measured 0.36 µs per
+  * row×centroid in the 100× rehearsal — minutes per corpus pass at
+  * k in the hundreds, CPU-days at 10⁹×4096); this kernel is a tight
+  * double loop over a closure-captured matrix, the same treatment
+  * [[graft.ops.Similarity.lloydStep]]'s training pass already got.
+  * A null vector, a null element, or a length differing from the
+  * centroid dim nulls the row (the HOF form's behavior there rests on
+  * null-struct ordering internals; the kernel makes it defined). */
+case class AssignCellK(child: Expression, cents: Seq[(Long, Seq[Double])])
+    extends UnaryExpression {
+  import VectorKernels._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"assign_cell expects array<float|double>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  @transient private lazy val unit: Array[Array[Double]] = cents.map { case (_, v) =>
+    val n = math.sqrt(v.map(x => x * x).sum)
+    (if (n == 0) v else v.map(_ / n)).toArray
+  }.toArray
+  @transient private lazy val ids: Array[Long] = cents.map(_._1).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    AssignCellK.compute(input.asInstanceOf[ArrayData],
+      isFloat(child.dataType), unit, ids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = ctx.addReferenceObj("assignUnit", unit, "double[][]")
+    val cid = ctx.addReferenceObj("assignIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("asgR")
+      s"""java.lang.Long $r = graft.functions.AssignCellK.compute($v,
+         |  ${isFloat(child.dataType)}, $u, $cid);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AssignCellK =
+    copy(child = newChild)
+  override def prettyName: String = "assign_cell"
+}
+
+object AssignCellK {
+  def compute(v: ArrayData, vFloat: Boolean,
+      unit: Array[Array[Double]], ids: Array[Long]): java.lang.Long = {
+    val k = unit.length
+    if (k == 0) return null
+    val n = v.numElements()
+    var bestScore = Double.NaN
+    var bestId = 0L
+    var first = true
+    var c = 0
+    while (c < k) {
+      val u = unit(c)
+      if (u.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * u(i)
+        i += 1
+      }
+      val ns = -acc
+      val id = ids(c)
+      // Double.compare, not primitive <: Spark's struct-min ordering
+      // puts NaN greatest and -0.0 below 0.0 — primitive comparisons
+      // diverge on both (a NaN first entry would be unbeatable)
+      val cmp = if (first) -1 else java.lang.Double.compare(ns, bestScore)
+      if (cmp < 0 || (cmp == 0 && id < bestId)) {
+        bestScore = ns; bestId = id; first = false
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  def apply(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    Shim.toColumn(AssignCellK(Shim.toExpression(vec), cents))
+}

@@ -267,8 +267,21 @@ object Similarity {
   /** Nearest-centroid id, computed NARROWLY: centroids are driver-side
     * literals, so assignment is a per-row expression — zero shuffle,
     * zero row blow-up (the broadcast-join + groupBy(id) formulation
-    * re-shuffled the whole corpus keyed by id). */
+    * re-shuffled the whole corpus keyed by id). Since the re-split
+    * capability made corpus-sized REASSIGNMENT a maintenance verb,
+    * this is the [[graft.functions.AssignCellK]] codegen kernel — the
+    * HOF form ([[assignHof]], kept as the differential oracle)
+    * evaluates an interpreted lambda per centroid per row (~0.36 µs
+    * per row×centroid measured at the 100× rehearsal: minutes per
+    * corpus pass at k in the hundreds, the same k-scaling wall
+    * [[lloydStep]] already hit and fixed for training). Bit-identical
+    * scores and tie rule, pinned by `VectorKernelsSpec`. */
   def assignNarrow(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    graft.functions.AssignCellK(vec, cents)
+
+  /** The HOF formulation [[assignNarrow]] replaced — the kernel's
+    * differential oracle. */
+  private[graft] def assignHof(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
     array_min(centroidSims(vec, cents)).getField("id")
 
   /** The `nprobe` nearest centroid ids, narrowly (sort the literal-
@@ -454,17 +467,11 @@ object Similarity {
       .write.partitionBy("centroid_id").mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(corpus.sparkSession, uri))
       .parquet(s"$uri/cells")
-    import graft.core.Json._
     // payload column list is PINNED here so appends validate against a
     // tiny sidecar read instead of re-inferring the parquet schema of
     // the whole (growing) cells tree per batch
-    val json = JObj(Seq(
-      "centroids" -> JArr(cents.map { case (cid, v) =>
-        JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
-      }),
-      "payload" -> JArr(payload.map(JStr)))).render
     graft.storage.Encryption.dirJsonWrite(corpus.sparkSession, uri,
-      s"$uri/centroids.json", json)
+      s"$uri/centroids.json", centroidsJsonStr(cents, payload))
   }
 
   /** Incrementally add vectors to a persisted IVF index: assign each
@@ -480,14 +487,22 @@ object Similarity {
   def appendToIvfIndex(batch: DataFrame, batchId: String, batchVec: String,
       uri: String): Unit = {
     val spark = batch.sparkSession
-    val cents = indexCentroids(spark, uri)
+    // ONE generation resolution for centroids + payload (see
+    // metaPathFor). An append racing a RE-SPLITTING major could still
+    // assign by the retired geometry and land rows whose cell ids the
+    // new geometry never probes (recall loss until the next major
+    // reassigns them) — the quiesce-appends-around-majors contract
+    // covers this, and the major's guarded inc reset aborts the common
+    // interleaving loudly.
+    val genPath = cellsPath(spark, uri)
+    val cents = indexCentroidsAt(spark, uri, genPath)
     // payload columns come from the build-time sidecar (one tiny json
     // read per append — NOT a parquet schema inference over the whole
     // cells tree, which a per-micro-batch streaming append would pay
     // repeatedly); indexes built before the sidecar key fall back to
     // the schema walk once
-    val payload = indexPayload(spark, uri).getOrElse(
-      spark.read.parquet(cellsPath(spark, uri))
+    val payload = indexPayloadAt(spark, uri, genPath).getOrElse(
+      spark.read.parquet(genPath)
         .schema.fieldNames.filterNot(IvfCellCols).toSeq)
     val missing = payload.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"append batch lacks index payload columns: $missing")
@@ -527,9 +542,18 @@ object Similarity {
     * across roots is a hard Spark error), which is fine at leg count
     * 2; the probed `centroid_id isin` prunes partition dirs in both. */
   private[graft] def readCellsAll(spark: org.apache.spark.sql.SparkSession,
-      uri: String): DataFrame = {
+      uri: String): DataFrame =
+    readCellsAllFrom(spark, uri, cellsPath(spark, uri))
+
+  /** [[readCellsAll]] against a PRE-RESOLVED base generation: callers
+    * that also read the centroid sidecar must take both from ONE
+    * resolution ([[cellsPath]] once) — a re-splitting major flips
+    * cells AND centroids together, and geometry from generation G
+    * with cells from G+1 would prune by the wrong cells. */
+  private def readCellsAllFrom(spark: org.apache.spark.sql.SparkSession,
+      uri: String, basePath: String): DataFrame = {
     val fs = graft.storage.VFS(spark)
-    val base = spark.read.parquet(cellsPath(spark, uri))
+    val base = spark.read.parquet(basePath)
     val inc = cellsIncPath(spark, uri)
     // a just-reset inc generation is an EMPTY dir (no schema to infer):
     // only read the tier when it actually holds files
@@ -570,9 +594,29 @@ object Similarity {
     * [[graft.storage.VersionedDir]] — concurrent probes keep reading
     * the old generation until the marker flips, and a crash leaves
     * the old generation live (no delete-then-rename window). */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String): Unit = {
+  /** Hard cap on re-split cell count — the same partition-dir sanity
+    * bound as the search index's bucket cap (a probe touches only
+    * nprobe cells regardless, but a cells tree with 10⁶ dirs is a
+    * listing/metastore problem, not a data problem). */
+  val MaxIvfCells: Int = 4096
+
+  /** `resplitTargetRows` > 0 makes the major ADAPTIVE: when mean cell
+    * occupancy has outgrown the target — the corpus grew ≥2× past the
+    * geometry (hysteresis, so majors don't churn the quantizer) — the
+    * fold RE-TRAINS the centroids at `totalRows / target` cells
+    * (capped at [[MaxIvfCells]], never shrinking) and reassigns every
+    * vector while it is already rewriting them. This is what keeps
+    * probe cost FLAT across corpus decades: per-query candidates are
+    * O(nprobe × targetRows) at any index size, where a fixed geometry
+    * degrades linearly (measured: the 100× streaming rehearsal's
+    * late/early hit 3.2× on bootstrap-64 cells at 200k vectors). The
+    * new centroids ride INSIDE the new generation (`_centroids.json`)
+    * so geometry and cells flip atomically — a concurrent probe reads
+    * either (old cells, old centroids) or (new, new), never a mix.
+    * 0 (default) = fixed geometry, the pre-r17 behavior. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String,
+      resplitTargetRows: Long = 0): Unit = {
     val fs = graft.storage.VFS(spark)
-    val nCells = indexCentroids(spark, uri).size
     // MAJOR maintenance: fold base ∪ inc into a new base generation
     // (one file per cell), then reset the inc tier. Inc listing taken
     // FIRST (the single-writer guard basis — appends land there now);
@@ -587,14 +631,43 @@ object Similarity {
     // exact-row distinct heals any crash residue on the next run.
     val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
     val before = graft.storage.VersionedDir.liveListing(fs, uri, "cells")
+    val genPath = graft.storage.VersionedDir.resolve(fs, uri, "cells")
+    val cents0 = indexCentroidsAt(spark, uri, genPath)
+    val nCells = cents0.size
+    val raw = readCellsAllFrom(spark, uri, genPath)
+    val payload = indexPayloadAt(spark, uri, genPath)
+      .getOrElse(raw.schema.fieldNames.filterNot(IvfCellCols).toSeq)
+    // sizing from the RAW count (columnar, no shuffle; crash-replay
+    // duplicates inflate it only until this very fold heals them)
+    val wantCells =
+      if (resplitTargetRows <= 0) nCells
+      else math.min(MaxIvfCells.toLong, math.max(nCells.toLong,
+        math.ceil(raw.count().toDouble / resplitTargetRows).toLong)).toInt
+    val resplit = resplitTargetRows > 0 && wantCells >= 2 * nCells
+    val all = raw.distinct() // exact-row heal only; changed-vec re-appends stay visible
     val next = graft.storage.VersionedDir.next(fs, uri, "cells")
-    readCellsAll(spark, uri)
-      .distinct() // exact-row heal only; changed-vec re-appends stay visible
-      .repartition(math.max(1, nCells), col("centroid_id"))
+    val cents =
+      if (!resplit) cents0
+      // re-train on the raw read (sampling tolerates replay dupes;
+      // the distinct()'d frame would re-run its shuffle per action)
+      else trainCentroids(raw, "neighbor_id", "vec", wantCells)
+    val folded =
+      if (!resplit) all
+      else all.drop("centroid_id")
+        .withColumn("centroid_id", assignNarrow(col("vec"), cents))
+    folded
+      .repartition(math.max(1, cents.size), col("centroid_id"))
       .write.partitionBy("centroid_id").mode("overwrite")
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(next)
+    // geometry rides in the generation, written BEFORE the flip marker
+    graft.storage.Encryption.dirJsonWrite(spark, uri,
+      s"$next/_centroids.json", centroidsJsonStr(cents, payload))
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
+    if (resplit)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"ivf re-split $uri: $nCells -> ${cents.size} cells " +
+          s"(target $resplitTargetRows rows/cell)")
     if (graft.storage.VersionedDir.hasDataFiles(incBefore))
       graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "cells_inc",
         incBefore, grace = 2)
@@ -643,22 +716,50 @@ object Similarity {
     graft.storage.MaintenanceAdvice.of(graft.storage.VFS(spark),
       Seq(cellsPath(spark, uri)), Seq(cellsIncPath(spark, uri)))
 
+  /** Sidecar path for a given cells generation: the IN-GENERATION
+    * `_centroids.json` when present (written by every compact since
+    * the re-split capability landed — a re-splitting major REPLACES
+    * the centroids, so the sidecar must flip atomically with the
+    * cells it describes), else the index-root legacy sidecar (whose
+    * geometry is fixed at build and never flips). */
+  private def metaPathFor(spark: org.apache.spark.sql.SparkSession,
+      uri: String, genPath: String): String = {
+    val inGen = s"$genPath/_centroids.json"
+    if (graft.storage.VFS(spark).exists(inGen)) inGen else s"$uri/centroids.json"
+  }
+
+  private def centroidsJsonStr(cents: Seq[(Long, Seq[Double])],
+      payload: Seq[String]): String = {
+    import graft.core.Json._
+    JObj(Seq(
+      "centroids" -> JArr(cents.map { case (cid, v) =>
+        JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
+      }),
+      "payload" -> JArr(payload.map(JStr)))).render
+  }
+
   /** Payload column list pinned at build; None for pre-payload-key
     * indexes (callers fall back to schema inference once). */
-  private def indexPayload(spark: org.apache.spark.sql.SparkSession,
-      uri: String): Option[Seq[String]] = {
+  private def indexPayloadAt(spark: org.apache.spark.sql.SparkSession,
+      uri: String, genPath: String): Option[Seq[String]] = {
     import graft.core.Json._
-    graft.core.Json.parse(
-        graft.storage.Encryption.dirJsonRead(spark, uri, s"$uri/centroids.json"))
+    graft.core.Json.parse(graft.storage.Encryption.dirJsonRead(spark, uri,
+        metaPathFor(spark, uri, genPath)))
       .obj("payload").map(_.arr.map(_.str))
   }
 
-  /** Centroids of a persisted IVF index. */
+  /** Centroids of a persisted IVF index (the LIVE generation's — see
+    * [[metaPathFor]]; callers that also scan the cells should resolve
+    * the generation once and use [[indexCentroidsAt]]). */
   def indexCentroids(spark: org.apache.spark.sql.SparkSession,
-      uri: String): Seq[(Long, Seq[Double])] = {
+      uri: String): Seq[(Long, Seq[Double])] =
+    indexCentroidsAt(spark, uri, cellsPath(spark, uri))
+
+  private def indexCentroidsAt(spark: org.apache.spark.sql.SparkSession,
+      uri: String, genPath: String): Seq[(Long, Seq[Double])] = {
     import graft.core.Json._
-    graft.core.Json.parse(
-        graft.storage.Encryption.dirJsonRead(spark, uri, s"$uri/centroids.json"))
+    graft.core.Json.parse(graft.storage.Encryption.dirJsonRead(spark, uri,
+        metaPathFor(spark, uri, genPath)))
       .obj("centroids").get.arr.map { c =>
         val o = c.obj
         o("id").get.long -> o("v").get.arr.map(_.dbl)
@@ -692,14 +793,18 @@ object Similarity {
       k: Int = 10, nprobe: Int = 4, rerank: Int = 0,
       filter: Option[Column] = None): DataFrame = {
     if (rerank > 0) boundRerank(spark, rerank, "ivf") // same broadcast shape
-    val cents = indexCentroids(spark, uri)
+    // ONE generation resolution for geometry + cells: a re-splitting
+    // major flips both together, and centroids from generation G over
+    // the cells of G+1 would probe the wrong partitions
+    val genPath = cellsPath(spark, uri)
+    val cents = indexCentroidsAt(spark, uri, genPath)
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .withColumn("centroid_id",
         explode(probeNarrow(col("__qv"), cents, nprobe)))
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells0 = readCellsAll(spark, uri)
+    val cells0 = readCellsAllFrom(spark, uri, genPath)
       .filter(col("centroid_id").isin(cellIds: _*))
     val cells = filter.map(cells0.filter).getOrElse(cells0)
     // NO per-probe (query, neighbor) dedup, deliberately: a neighbor

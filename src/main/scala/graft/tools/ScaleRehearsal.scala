@@ -1276,7 +1276,7 @@ object ScaleRehearsal {
     // compactEvery=25 + waves=1 is the r16 IN-LOOP product default —
     // the flat claim with NO external orchestration and no restarts.
     if (runOp("streaming") || runOp("streaming_compact") ||
-        runOp("streaming_inloop")) {
+        runOp("streaming_inloop") || runOp("streaming_inloop_major")) {
       val src = docs.select(col("doc_id"), col("text"))
       def run(tag: String, waves: Int, compactEvery: Int): Unit =
         streamGateRehearsal(
@@ -1336,7 +1336,8 @@ object ScaleRehearsal {
 
     // the SEMANTIC gate under the identical protocol; IVF bootstrap
     // trains on a 1%-sample seed corpus (centroid training needs data)
-    if (runOp("streaming_sem") || runOp("streaming_sem_inloop")) {
+    if (runOp("streaming_sem") || runOp("streaming_sem_inloop") ||
+        runOp("streaming_sem_inloop_major")) {
       val src = embX.select(col("vec_id"), col("embedding"))
       def runSem(tag: String, waves: Int, compactEvery: Int): Unit =
         streamGateRehearsal(tag, waves, src, "vec_id", "vecs",
@@ -1347,7 +1348,13 @@ object ScaleRehearsal {
           (raw, idx, sink, ck) => graft.streaming.EventStreams
             .semanticDedupStream(raw, "vec_id", "embedding", idx, sink, ck,
               minCosine = 0.999, nprobe = 4, compactEvery = compactEvery),
-          idx => graft.ops.Similarity.compactIvfIndex(spark, idx),
+          // ADAPTIVE major: when the corpus outgrows the bootstrap
+          // geometry >=2x, re-train to ~512 rows/cell — per-probe
+          // candidates stay O(nprobe x 512) at any corpus size. The
+          // fixed-64-cell bootstrap measured late/early 3.18x at 100x
+          // (per-probe candidates grew linearly with the index).
+          idx => graft.ops.Similarity.compactIvfIndex(spark, idx,
+            resplitTargetRows = 512),
           _ => "ivf cells",
           idx => graft.ops.Similarity.maintenanceAdvice(spark, idx))
       if (runOp("streaming_sem"))

@@ -654,6 +654,60 @@ class OpsSpec extends SparkSpec {
     assert(topk() == expected)
   }
 
+  test("compactIvfIndex re-split: outgrown geometry re-trains atomically; " +
+    "all-cells results exact, hysteresis holds, appends follow the new geometry") {
+    val uri = TestSession.tmpDir("ivfidx-resplit")
+    def mkVecs(r: Range) = r.map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    // bootstrap-small geometry: 4 cells over 100 vecs (the streaming
+    // shape — the index is born before the corpus)
+    Similarity.buildIvfIndex(mkVecs(0 until 100), "vec_id", "embedding", uri,
+      nCentroids = 4, lloydSteps = 2)
+    // the corpus grows 20x past the geometry via appends
+    (1 to 4).foreach(w => Similarity.appendToIvfIndex(
+      mkVecs(w * 1000 until w * 1000 + 475), "vec_id", "embedding", uri))
+    val q = mkVecs(0 until 3)
+    def full() = { // nprobe = every cell -> exact, geometry-independent
+      val n = Similarity.indexCentroids(spark, uri).size
+      Similarity.ivfIndexTopK(spark, uri, q, "vec_id", "embedding",
+          k = 5, nprobe = n)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    }
+    val before = full()
+    assert(Similarity.indexCentroids(spark, uri).size == 4)
+    // 100 + 4*475 = 2000 rows at target 100 -> 20 cells (>= 2*4 fires)
+    Similarity.compactIvfIndex(spark, uri, resplitTargetRows = 100)
+    assert(Similarity.indexCentroids(spark, uri).size == 20,
+      s"re-split to ${Similarity.indexCentroids(spark, uri).size} cells")
+    assert(full() == before, "re-split changed exact (all-cells) results")
+    // the geometry rode the generation flip: sidecar lives IN the live dir
+    assert(graft.storage.VFS(spark).exists(
+      s"${Similarity.cellsPath(spark, uri)}/_centroids.json"),
+      "re-split centroids must flip atomically with the cells")
+    // appends after the re-split assign by the NEW geometry
+    Similarity.appendToIvfIndex(mkVecs(9000 until 9010),
+      "vec_id", "embedding", uri)
+    assert(Similarity.readCellsAll(spark, uri).count() == 2010)
+    val cents = Similarity.indexCentroids(spark, uri)
+    val expected = mkVecs(9000 until 9010).select(col("vec_id").as("neighbor_id"),
+      Similarity.assignNarrow(col("embedding"), cents).as("e"))
+    val mis = spark.read.parquet(Similarity.cellsIncPath(spark, uri))
+      .select(col("neighbor_id"), col("centroid_id"))
+      .join(expected, "neighbor_id")
+      .filter(col("centroid_id") =!= col("e"))
+    assert(mis.count() == 0, "append assigned by a retired geometry: " +
+      mis.collect().mkString(", "))
+    // hysteresis: same target again (2010/100 -> 21 < 2*20) doesn't churn
+    Similarity.compactIvfIndex(spark, uri, resplitTargetRows = 100)
+    assert(Similarity.indexCentroids(spark, uri).size == 20)
+    // fixed-geometry default never re-splits
+    Similarity.compactIvfIndex(spark, uri)
+    assert(Similarity.indexCentroids(spark, uri).size == 20)
+    assert(full().map(p => (p._1, p._2)) == before.map(p => (p._1, p._2)))
+  }
+
   test("IVF top-k recall≥0.6 of brute force at nprobe=4/16") {
     val vecs = (0 until 200).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))

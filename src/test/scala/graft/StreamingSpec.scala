@@ -338,8 +338,12 @@ class StreamingSpec extends SparkSpec {
         .copy(allowsDuplicates = true))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
+    // cadence 2: the BOUNDED minor fold (Search.minorCompactIndex)
+    // fires INSIDE foreachBatch at batch 2 while the query keeps
+    // running — mirroring the dedup streams' in-loop maintenance test
     val q = EventStreams.searchIndexStream(in.toDF().toDF("doc_id", "text"),
-      "doc_id", "text", indexUri, sinkUri, TestSession.tmpDir("stream-bm25-ckpt"))
+      "doc_id", "text", indexUri, sinkUri, TestSession.tmpDir("stream-bm25-ckpt"),
+      compactEvery = 2)
     val queries = Seq((0L, "cats sleep warm")).toDF("qid", "qtext")
     val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
     def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
@@ -350,6 +354,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((3L, "warm cats sleep all day"), (4L, "spark jobs shuffle data"))
       q.processAllAvailable()
+      in.addData((5L, "a warm cat naps"), (6L, "mail arrives late"))
+      q.processAllAvailable() // batch 2 -> in-loop minor fold
+      // the fold ran in-loop: a fold- dir subsumed the pending batches
+      val incTags = graft.storage.VFS(spark).ls(s"$indexUri/postings_inc")
+        .map(p => p.substring(p.lastIndexOf('/') + 1))
+      assert(incTags.exists(_.startsWith("fold-")),
+        s"cadence-2 stream never minor-folded: $incTags")
       val corpus = ArrayTable.read(spark, sinkUri).select("doc_id", "text")
       val inline = graft.ops.Search.bm25TopK(corpus, "doc_id", "text",
         queries, "qid", "qtext", k = 4)

@@ -194,4 +194,51 @@ class VectorKernelsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
       s"kernel ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
   }
+
+  test("AssignCellK == HOF array_min assignment, incl. exact ties and floats") {
+    import graft.ops.Similarity
+    // centroid ids deliberately NOT 0..k-1 ordered (tie rule is by id,
+    // not table position); one duplicated centroid direction forces a
+    // genuine score tie between ids 7 and 3 -> must pick 3
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      7L -> Seq(1.0, 0.0, 0.0, 0.0),
+      3L -> Seq(2.0, 0.0, 0.0, 0.0), // same direction as 7 after unit norm
+      1L -> Seq(0.0, 1.0, 0.0, 0.0),
+      9L -> Seq(0.0, 0.0, -1.0, 2.0),
+      5L -> Seq(0.0, 0.0, 0.0, 0.0)) // zero-norm: kept as-is
+    val vecsF = (0 until 500).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 17 + j * 31).toFloat)))
+      .toDF("id", "v")
+    val vecsD = (0 until 500).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.cos(i * 13 + j * 37))))
+      .toDF("id", "v")
+    for (df <- Seq(vecsF, vecsD)) {
+      val diff = df.select(
+          Similarity.assignNarrow(col("v"), cents).as("k"),
+          Similarity.assignHof(col("v"), cents).as("h"))
+        .filter(col("k") =!= col("h") || col("k").isNull =!= col("h").isNull)
+      assert(diff.count() == 0, diff.collect().mkString(", "))
+    }
+    // the planted tie: a vector exactly along the duplicated direction
+    val tie = Seq((0L, Array(5.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+      .select(Similarity.assignNarrow(col("v"), cents)).head().getLong(0)
+    assert(tie == 3L, s"tie must go to the smaller id, got $tie")
+    // non-finite inputs: an Inf component makes SOME scores NaN (the
+    // zero-norm centroid's 0*Inf) and others ±Inf — the kernel must
+    // follow Double.compare ordering (NaN greatest) exactly like the
+    // HOF struct-min, never let a NaN first entry win
+    val weird = Seq(
+      (0L, Array(Float.PositiveInfinity, 1.0f, 0.0f, 0.0f)),
+      (1L, Array(Float.NaN, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(Float.NegativeInfinity, 0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val wd = weird.select(
+        Similarity.assignNarrow(col("v"), cents).as("k"),
+        Similarity.assignHof(col("v"), cents).as("h"))
+      .filter(col("k") =!= col("h") || col("k").isNull =!= col("h").isNull)
+    assert(wd.count() == 0, wd.collect().mkString(", "))
+    // nulls: null vector nulls the row
+    val nv = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+      .select(Similarity.assignNarrow(col("v"), cents)).head()
+    assert(nv.isNullAt(0))
+  }
 }
