@@ -157,7 +157,18 @@ object EventStreams {
     * index. State lives in index files — unbounded corpus, bounded
     * executor memory; a crash-replayed batch re-appends rows that the
     * id-inequality guard and the min-id drop rule absorb, mirroring
-    * [[nearDedupStream]]'s contract on the text side. */
+    * [[nearDedupStream]]'s contract on the text side.
+    *
+    * SIZING at steady state: per-probe candidates are
+    * nprobe/nCells × corpus, so a stream that outgrows its bootstrap
+    * geometry degrades linearly (measured 3.2× late/early at the 100×
+    * rehearsal on 64 bootstrap cells). Run the lull-time major as
+    * [[graft.ops.Similarity.compactIvfIndex]] with `resplitTargetRows`
+    * (e.g. 512) whenever
+    * [[graft.ops.Similarity.maintenanceAdvice]] fires: the re-split
+    * keeps cells near the target, bounding per-probe work to
+    * O(nprobe × target) at any corpus size (within the 2× re-split
+    * hysteresis band between majors). */
   /** In-loop index maintenance shared by the persisted-index streams:
     * every `compactEvery` batches the foreachBatch body itself runs the
     * index's compact verb, so the measured-flat steady-state curve is a

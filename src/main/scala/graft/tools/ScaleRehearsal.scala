@@ -1337,7 +1337,8 @@ object ScaleRehearsal {
     // the SEMANTIC gate under the identical protocol; IVF bootstrap
     // trains on a 1%-sample seed corpus (centroid training needs data)
     if (runOp("streaming_sem") || runOp("streaming_sem_inloop") ||
-        runOp("streaming_sem_inloop_major")) {
+        runOp("streaming_sem_inloop_major") ||
+        runOp("streaming_sem_inloop_major4")) {
       val src = embX.select(col("vec_id"), col("embedding"))
       def runSem(tag: String, waves: Int, compactEvery: Int): Unit =
         streamGateRehearsal(tag, waves, src, "vec_id", "vecs",
@@ -1364,6 +1365,52 @@ object ScaleRehearsal {
       // r17: full lifecycle at scale (see stream_nd_im)
       if (runOp("streaming_sem_inloop_major"))
         runSem("stream_sem_im", waves = 2, compactEvery = 25)
+      // r17: the STEADY-STATE shape — majors at advisory cadence (3
+      // lulls), so the geometry tracks the corpus within the 2x
+      // hysteresis band for the whole run instead of doubling past one
+      // mid-run re-split
+      if (runOp("streaming_sem_inloop_major4"))
+        runSem("stream_sem_im4", waves = 4, compactEvery = 25)
+    }
+
+    // ---- round-17: nd probe-cost attribution across a corpus decade --
+    // stream_nd_im measured late/early 1.26 at 100x where 10x was 1.03.
+    // Hypotheses: (a) a 5k-doc batch probes 5k x 16 bands = up to 80k
+    // distinct buckets > maxProbeKeys (32k), flipping candidatePairs
+    // from isin FILE-PRUNING to the broadcast-semi-join full-tier scan
+    // (documented trade: the isin literal is a plan bomb at 10^6 keys);
+    // (b) the sig fetch's broadcast semi join scans the whole sigs tier
+    // per probe regardless. Two pre-built index sizes x two batch sizes
+    // x both key paths = the attribution matrix. Measurement first —
+    // a fix only if the isolated win justifies it.
+    if (runOp("nd_probe_scale")) {
+      val small = docs.filter(shiftright(col("doc_id"), 24) === 0)
+      def buildIdx(d: DataFrame, tag: String): String = {
+        val u = s"$outDir/ndprobe_$tag"
+        graft.storage.VFS(spark).delete(u)
+        graft.ops.DedupIndex.build(d, "doc_id", "text", u)
+        u
+      }
+      val idxS = buildIdx(small, "small")
+      val idxL = buildIdx(docs, "large")
+      def batch(n: Int) = docs.limit(n)
+        .select((col("doc_id") + lit(11L << 44)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val b2k = batch(2000) // 2k x 16 = 32k keys: the isin side of the cap
+      val b5k = batch(5000) // 5k x 16 = 80k keys: the semi-join side
+      def probeMed(idx: String, b: DataFrame, mpk: Int, tag: String): Unit = {
+        val ts = (1 to 3).map(_ => time(graft.ops.DedupIndex.probe(
+          b, "doc_id", "text", idx, threshold = 0.6,
+          maxProbeKeys = mpk).count())._2).sorted
+        println(f"[rehearsal] nd_probe_scale $tag: median ${ts(1)}%.2f s")
+        results += s"nps_$tag" -> ts(1)
+      }
+      probeMed(idxS, b2k, 1 << 15, "small_b2k_isin")
+      probeMed(idxL, b2k, 1 << 15, "large_b2k_isin")
+      probeMed(idxL, b2k, 1, "large_b2k_semi") // forced semi, same batch
+      probeMed(idxS, b5k, 1 << 15, "small_b5k_semi")
+      probeMed(idxL, b5k, 1 << 15, "large_b5k_semi")
+      probeMed(idxL, b5k, 1 << 17, "large_b5k_isin") // forced isin, 80k keys
     }
 
     // ---- round-17: CONCURRENCY rehearsal ------------------------------
