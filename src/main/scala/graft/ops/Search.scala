@@ -505,11 +505,18 @@ object Search {
       if (!fs.exists(s"$d/_stats.json")) {
         if (retireCrashed && tag.startsWith(FoldTagPrefix)) fs.delete(d)
         None
-      } else {
+      } else try {
         val o = parse(graft.storage.Encryption.dirJsonRead(spark, uri,
           s"$d/_stats.json")).obj
         Some(IncDir(d, tag, o("nDocs").get.long, o("sumDl").get.long,
           o("tags").map(_.arr.map(_.str)).getOrElse(Nil)))
+      } catch {
+        // the dir vanished between the listing and this read: a
+        // RETIRED grace dir deleted by a concurrent maintenance verb.
+        // It was excluded from scans and stats anyway — skipping is
+        // the same decision, without surfacing the race as a probe
+        // failure. (Only FileNotFound: malformed stats still throw.)
+        case _: java.io.FileNotFoundException => None
       }
     }
     (base, folded, committed)
