@@ -395,3 +395,109 @@ object AssignCellK {
   def apply(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
     Shim.toColumn(AssignCellK(Shim.toExpression(vec), cents))
 }
+
+/** The `nprobe` nearest centroid ids, as one codegen'd kernel — the
+  * selection form of [[AssignCellK]] and the kernel form of
+  * [[graft.ops.Similarity.probeNarrow]]'s
+  * `array_sort(centroidSims(...))` HOF (which evaluates an interpreted
+  * lambda per centroid per row AND materializes + sorts the full
+  * k-struct array just to keep nprobe — the k-scaling wall assignment
+  * already hit, recurring on the probe side after re-splits grew k
+  * into the hundreds). Identical ordering: score = negated dot against
+  * the UNIT centroid (query not normalized), (score asc, id asc)
+  * lexicographic with Double.compare semantics (NaN greatest,
+  * -0.0 < 0.0) — the HOF's struct sort order. O(k × nprobe) insertion
+  * selection per row, no allocation beyond the result. Null vector /
+  * null element / dim mismatch nulls the row (defined where the HOF's
+  * null-struct ordering was an internals accident). Differential-
+  * pinned by `VectorKernelsSpec`. */
+case class ProbeCellsK(child: Expression, cents: Seq[(Long, Seq[Double])],
+    nprobe: Int) extends UnaryExpression {
+  import VectorKernels._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"probe_cells expects array<float|double>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val unit: Array[Array[Double]] = cents.map { case (_, v) =>
+    val n = math.sqrt(v.map(x => x * x).sum)
+    (if (n == 0) v else v.map(_ / n)).toArray
+  }.toArray
+  @transient private lazy val ids: Array[Long] = cents.map(_._1).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ProbeCellsK.compute(input.asInstanceOf[ArrayData],
+      isFloat(child.dataType), unit, ids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = ctx.addReferenceObj("probeUnit", unit, "double[][]")
+    val cid = ctx.addReferenceObj("probeIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("prbR")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.ProbeCellsK.compute($v,
+         |    ${isFloat(child.dataType)}, $u, $cid, $nprobe);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCellsK =
+    copy(child = newChild)
+  override def prettyName: String = "probe_cells"
+}
+
+object ProbeCellsK {
+  def compute(v: ArrayData, vFloat: Boolean, unit: Array[Array[Double]],
+      ids: Array[Long], nprobe: Int): ArrayData = {
+    val k = unit.length
+    val m = math.min(math.max(nprobe, 0), k)
+    if (m == 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+    val n = v.numElements()
+    val bestS = new Array[Double](m)
+    val bestId = new Array[Long](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val u = unit(c)
+      if (u.length != n) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * u(i)
+        i += 1
+      }
+      val ns = -acc
+      val id = ids(c)
+      // insertion selection under (Double.compare(ns) asc, id asc):
+      // find the slot this entry belongs in among the current best
+      if (filled < m || {
+        val cmp = java.lang.Double.compare(ns, bestS(filled - 1))
+        cmp < 0 || (cmp == 0 && id < bestId(filled - 1))
+      }) {
+        var pos = if (filled < m) filled else m - 1
+        while (pos > 0 && {
+          val cmp = java.lang.Double.compare(ns, bestS(pos - 1))
+          cmp < 0 || (cmp == 0 && id < bestId(pos - 1))
+        }) {
+          bestS(pos) = bestS(pos - 1); bestId(pos) = bestId(pos - 1)
+          pos -= 1
+        }
+        bestS(pos) = ns; bestId(pos) = id
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bestId.take(filled))
+  }
+
+  def apply(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    Shim.toColumn(ProbeCellsK(Shim.toExpression(vec), cents, nprobe))
+}

@@ -284,9 +284,21 @@ object Similarity {
   private[graft] def assignHof(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
     array_min(centroidSims(vec, cents)).getField("id")
 
-  /** The `nprobe` nearest centroid ids, narrowly (sort the literal-
-    * backed sims array per row — no window). */
+  /** The `nprobe` nearest centroid ids, narrowly — no window, no
+    * shuffle. Kernelized ([[graft.functions.ProbeCellsK]]) for the
+    * same reason as [[assignNarrow]]: the HOF form ([[probeHof]], the
+    * differential oracle) materializes and sorts the FULL k-struct
+    * sims array per row through interpreted lambdas, and after
+    * adaptive re-splits grew k into the hundreds that cost runs per
+    * BATCH VECTOR in the semantic stream, not just per query. Same
+    * (score asc, id asc) order, Double.compare semantics. */
   def probeNarrow(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
+    graft.functions.ProbeCellsK(vec, cents, nprobe)
+
+  /** The HOF formulation [[probeNarrow]] replaced — the kernel's
+    * differential oracle. */
+  private[graft] def probeHof(vec: Column, cents: Seq[(Long, Seq[Double])],
+      nprobe: Int): Column =
     transform(slice(array_sort(centroidSims(vec, cents)), 1, nprobe),
       s => s.getField("id"))
 

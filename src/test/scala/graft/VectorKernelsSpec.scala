@@ -241,4 +241,34 @@ class VectorKernelsSpec extends SparkSpec {
       .select(Similarity.assignNarrow(col("v"), cents)).head()
     assert(nv.isNullAt(0))
   }
+
+  test("ProbeCellsK == HOF array_sort probe at every nprobe, ties and floats") {
+    import graft.ops.Similarity
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      7L -> Seq(1.0, 0.0, 0.0, 0.0),
+      3L -> Seq(2.0, 0.0, 0.0, 0.0), // tie with 7 after unit norm
+      1L -> Seq(0.0, 1.0, 0.0, 0.0),
+      9L -> Seq(0.0, 0.0, -1.0, 2.0),
+      5L -> Seq(0.0, 0.0, 0.0, 0.0)) // zero-norm
+    val vecsF = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 17 + j * 31).toFloat)))
+      .toDF("id", "v")
+    val vecsD = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.cos(i * 13 + j * 37))))
+      .toDF("id", "v")
+    for (df <- Seq(vecsF, vecsD); np <- Seq(1, 2, 4, 5, 9)) {
+      // nprobe > k: HOF slice returns all k, kernel must too
+      val diff = df.select(
+          Similarity.probeNarrow(col("v"), cents, np).as("k"),
+          Similarity.probeHof(col("v"), cents, np).as("h"))
+        .filter(col("k") =!= col("h") || col("k").isNull =!= col("h").isNull)
+      assert(diff.count() == 0, s"nprobe=$np: ${diff.collect().mkString(", ")}")
+    }
+    // the probe's driver-side twin must agree with the kernel too
+    // (partition pruning is decided driver-side from the same order)
+    val v0 = Seq(0.3, -0.7, 0.2, 0.9)
+    val fromKernel = Seq(Tuple1(v0.toArray)).toDF("v")
+      .select(Similarity.probeNarrow(col("v"), cents, 3)).head().getSeq[Long](0)
+    assert(Similarity.probeDriver(v0, cents, 3) == fromKernel)
+  }
 }
