@@ -501,3 +501,112 @@ object ProbeCellsK {
   def apply(vec: Column, cents: Seq[(Long, Seq[Double])], nprobe: Int): Column =
     Shim.toColumn(ProbeCellsK(Shim.toExpression(vec), cents, nprobe))
 }
+
+/** Hierarchical (two-level) nearest-centroid assignment as one
+  * codegen'd kernel — the fused form of
+  * [[graft.ops.Similarity.assignHierarchical]]: probe the `nprobe`
+  * closest COARSE groups (same (score asc, id asc) Double.compare
+  * order as [[ProbeCellsK]]), then exact argmin over only their
+  * member FINE centroids (same tie rule as [[AssignCellK]]). The HOF
+  * form evaluates an interpreted dot lambda per fine candidate per
+  * row (~nprobe x k/m candidates — hundreds at SemDeDup scales), plus
+  * a full m-struct sort; this is two tight loops. Coarse ids are
+  * dense 0..m-1 (the [[graft.ops.Similarity.trainCoarse]] contract),
+  * indexing `members` directly; member entries are 0-based fine
+  * POSITIONS (== fine ids, dense from training). Null vector / null
+  * element / dim mismatch nulls the row. Differential-pinned by
+  * `VectorKernelsSpec`; flat-vs-hier agreement stays pinned by the
+  * `hier_assign_gate` oracle end-to-end. */
+case class HierAssignK(child: Expression, fine: Seq[(Long, Seq[Double])],
+    coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]], nprobe: Int)
+    extends UnaryExpression {
+  import VectorKernels._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hier_assign expects array<float|double>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def unitOf(cs: Seq[(Long, Seq[Double])]): Array[Array[Double]] =
+    cs.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (if (n == 0) v else v.map(_ / n)).toArray
+    }.toArray
+  @transient private lazy val fineUnit: Array[Array[Double]] = unitOf(fine)
+  @transient private lazy val fineIds: Array[Long] = fine.map(_._1).toArray
+  @transient private lazy val coarseUnit: Array[Array[Double]] = unitOf(coarse)
+  @transient private lazy val coarseIds: Array[Long] = coarse.map(_._1).toArray
+  @transient private lazy val memberTab: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HierAssignK.compute(input.asInstanceOf[ArrayData], isFloat(child.dataType),
+      fineUnit, fineIds, coarseUnit, coarseIds, memberTab, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fu = ctx.addReferenceObj("hierFineUnit", fineUnit, "double[][]")
+    val fi = ctx.addReferenceObj("hierFineIds", fineIds, "long[]")
+    val cu = ctx.addReferenceObj("hierCoarseUnit", coarseUnit, "double[][]")
+    val ci = ctx.addReferenceObj("hierCoarseIds", coarseIds, "long[]")
+    val mt = ctx.addReferenceObj("hierMembers", memberTab, "int[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("hierR")
+      s"""java.lang.Long $r = graft.functions.HierAssignK.compute($v,
+         |  ${isFloat(child.dataType)}, $fu, $fi, $cu, $ci, $mt, $nprobe);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierAssignK =
+    copy(child = newChild)
+  override def prettyName: String = "hier_assign"
+}
+
+object HierAssignK {
+  def compute(v: ArrayData, vFloat: Boolean,
+      fineUnit: Array[Array[Double]], fineIds: Array[Long],
+      coarseUnit: Array[Array[Double]], coarseIds: Array[Long],
+      members: Array[Array[Int]], nprobe: Int): java.lang.Long = {
+    val probed = ProbeCellsK.compute(v, vFloat, coarseUnit, coarseIds, nprobe)
+    if (probed == null) return null
+    val n = v.numElements()
+    var bestScore = Double.NaN
+    var bestId = 0L
+    var first = true
+    var g = 0
+    val np = probed.numElements()
+    while (g < np) {
+      val ms = members(probed.getLong(g).toInt)
+      var j = 0
+      while (j < ms.length) {
+        val u = fineUnit(ms(j))
+        if (u.length != n) return null
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (v.isNullAt(i)) return null
+          val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          acc += x * u(i)
+          i += 1
+        }
+        val ns = -acc
+        val id = fineIds(ms(j))
+        val cmp = if (first) -1 else java.lang.Double.compare(ns, bestScore)
+        if (cmp < 0 || (cmp == 0 && id < bestId)) {
+          bestScore = ns; bestId = id; first = false
+        }
+        j += 1
+      }
+      g += 1
+    }
+    if (first) null else bestId
+  }
+
+  def apply(vec: Column, fine: Seq[(Long, Seq[Double])],
+      coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]],
+      nprobe: Int): Column =
+    Shim.toColumn(HierAssignK(Shim.toExpression(vec), fine, coarse, members, nprobe))
+}

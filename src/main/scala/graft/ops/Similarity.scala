@@ -370,6 +370,17 @@ object Similarity {
       nprobe: Int): Column = {
     require(coarse.size == members.size && members.forall(_.nonEmpty),
       "coarse groups must be non-empty (trainCoarse drops empty ones)")
+    // kernelized ([[graft.functions.HierAssignK]]) like assignNarrow /
+    // probeNarrow: the HOF form ([[assignHierHof]], the differential
+    // oracle) paid an interpreted dot per fine candidate per row
+    graft.functions.HierAssignK(vec, cents, coarse, members, nprobe)
+  }
+
+  /** The HOF formulation [[assignHierarchical]] replaced — the
+    * kernel's differential oracle. */
+  private[graft] def assignHierHof(vec: Column, cents: Seq[(Long, Seq[Double])],
+      coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]],
+      nprobe: Int): Column = {
     val unit = cents.map { case (cid, v) =>
       val n = math.sqrt(v.map(x => x * x).sum)
       cid -> (if (n == 0) v else v.map(_ / n))

@@ -271,4 +271,29 @@ class VectorKernelsSpec extends SparkSpec {
       .select(Similarity.probeNarrow(col("v"), cents, 3)).head().getSeq[Long](0)
     assert(Similarity.probeDriver(v0, cents, 3) == fromKernel)
   }
+
+  test("HierAssignK == HOF two-level assignment; degenerates to flat at nprobe=m") {
+    import graft.ops.Similarity
+    // 24 fine centroids trained from deterministic vectors, coarse m=4
+    val fine: Seq[(Long, Seq[Double])] = (0 until 24).map(c =>
+      c.toLong -> Seq.tabulate(8)(j => math.sin(c * 5 + j * 3)))
+    val (coarse, members) = Similarity.trainCoarse(fine, 4, spark)
+    val vecsF = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 11 + j * 7).toFloat)))
+      .toDF("id", "v")
+    for (np <- Seq(1, 2, 4)) {
+      val diff = vecsF.select(
+          Similarity.assignHierarchical(col("v"), fine, coarse, members, np).as("k"),
+          Similarity.assignHierHof(col("v"), fine, coarse, members, np).as("h"))
+        .filter(col("k") =!= col("h") || col("k").isNull =!= col("h").isNull)
+      assert(diff.count() == 0, s"nprobe=$np: ${diff.collect().mkString(", ")}")
+    }
+    // nprobe = m probes every group: must equal the FLAT assignment
+    val degen = vecsF.select(
+        Similarity.assignHierarchical(col("v"), fine, coarse, members,
+          coarse.size).as("h"),
+        Similarity.assignNarrow(col("v"), fine).as("f"))
+      .filter(col("h") =!= col("f"))
+    assert(degen.count() == 0, degen.collect().mkString(", "))
+  }
 }
