@@ -31,7 +31,12 @@ case class MaintenanceAdvice(baseFiles: Int, baseBytes: Long,
 
   override def toString: String =
     s"MaintenanceAdvice(base: $baseFiles files/$baseBytes B, " +
-      s"inc: $incFiles files/$incBytes B, needsMajor=${needsMajor()})"
+      s"inc: $incFiles files/$incBytes B, " +
+      // labeled "at defaults": callers often decide with their own
+      // thresholds (the 100x rehearsal uses a 1 MB floor), and an
+      // operator reading a log line must not mistake this rendering
+      // of the DEFAULT-threshold answer for the decision taken
+      s"needsMajorAtDefaults=${needsMajor()})"
 }
 
 object MaintenanceAdvice {
