@@ -52,16 +52,44 @@ class VFS(conf: Configuration) {
   def fileSize(uri: String): Long = { val p = new Path(uri); fs(p).getFileStatus(p).getLen }
 
   /** All FILE paths under `uri`, recursively (partitioned layouts nest
-    * data under `col=value/` dirs). Missing dir = empty. */
+    * data under `col=value/` dirs). Missing dir = empty.
+    *
+    * Retries the WHOLE walk (bounded) when an entry vanishes between
+    * the readdir and its stat — a writer's `_temporary` dir being
+    * renamed away mid-walk surfaces from Hadoop's local FS as a
+    * RuntimeException around an `ls` ExitCodeException, and the
+    * single-writer GUARD re-list ([[VersionedDir.commitGuarded]]) hits
+    * exactly this when a contract-violating concurrent append is
+    * committing: the retry walks the post-rename state, sees the
+    * appended files, and lets the guard abort LOUDLY instead of
+    * crashing with a permissions error (observed in the concurrency
+    * rehearsal's deliberate append-during-major). Persistent failures
+    * still throw. */
   def lsFilesRecursive(uri: String): Seq[String] = {
     val p = new Path(uri)
     val f = fs(p)
-    if (!f.exists(p)) Nil
-    else {
+    def walk(): Seq[String] = {
       val out = Seq.newBuilder[String]
       val it = f.listFiles(p, true)
       while (it.hasNext) out += it.next().getPath.toString
       out.result().sorted
+    }
+    if (!f.exists(p)) Nil
+    else {
+      var tries = 0
+      while (true) {
+        tries += 1
+        try return walk()
+        catch {
+          case e: RuntimeException if tries < 4 &&
+              (e.isInstanceOf[java.io.FileNotFoundException] ||
+                Option(e.getMessage).exists(_.contains("file permissions")) ||
+                Option(e.getCause).exists(
+                  _.isInstanceOf[java.io.FileNotFoundException])) =>
+            if (!f.exists(p)) return Nil // the whole tree vanished
+        }
+      }
+      Nil // unreachable
     }
   }
 
