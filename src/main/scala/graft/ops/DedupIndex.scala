@@ -101,15 +101,27 @@ object DedupIndex {
     spark.read.parquet(paths.filter(fs.exists): _*)
   }
 
-  /** base ∪ inc bucket rows — every reader's view of the index. */
-  private[graft] def readDataAll(spark: SparkSession, uri: String): DataFrame =
-    readFlatMulti(spark,
-      Seq(liveDataPath(spark, uri), liveDataIncPath(spark, uri)))
+  /** base ∪ inc bucket rows — every reader's view of the index.
+    *
+    * INC resolved FIRST, deliberately: a read racing a major compact's
+    * base-flip → inc-reset window then pairs the OLD inc (grace copy,
+    * still on disk) with the NEW base — appended rows appear TWICE
+    * (transient, healed by the probe's pair distinct). Base-first
+    * resolution would pair the OLD base with the NEW reset-empty inc —
+    * appended rows transiently VANISH, which for a dedup probe means a
+    * real duplicate can slip through as a survivor. Duplicates are the
+    * benign direction; order the resolutions for it. */
+  private[graft] def readDataAll(spark: SparkSession, uri: String): DataFrame = {
+    val inc = liveDataIncPath(spark, uri)
+    readFlatMulti(spark, Seq(inc, liveDataPath(spark, uri)))
+  }
 
-  /** base ∪ inc signature rows. */
-  private[graft] def readSigsAll(spark: SparkSession, uri: String): DataFrame =
-    readFlatMulti(spark,
-      Seq(liveSigsPath(spark, uri), liveSigsIncPath(spark, uri)))
+  /** base ∪ inc signature rows (inc resolved first — see
+    * [[readDataAll]]). */
+  private[graft] def readSigsAll(spark: SparkSession, uri: String): DataFrame = {
+    val inc = liveSigsIncPath(spark, uri)
+    readFlatMulti(spark, Seq(inc, liveSigsPath(spark, uri)))
+  }
 
   private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
     import graft.core.Json._

@@ -565,19 +565,27 @@ object Similarity {
     * across roots is a hard Spark error), which is fine at leg count
     * 2; the probed `centroid_id isin` prunes partition dirs in both. */
   private[graft] def readCellsAll(spark: org.apache.spark.sql.SparkSession,
-      uri: String): DataFrame =
-    readCellsAllFrom(spark, uri, cellsPath(spark, uri))
+      uri: String): DataFrame = {
+    // INC resolved first — see readCellsAllFrom's ordering contract
+    val inc = cellsIncPath(spark, uri)
+    readCellsAllFrom(spark, uri, cellsPath(spark, uri), inc)
+  }
 
-  /** [[readCellsAll]] against a PRE-RESOLVED base generation: callers
-    * that also read the centroid sidecar must take both from ONE
+  /** [[readCellsAll]] against PRE-RESOLVED tier paths: callers that
+    * also read the centroid sidecar must take base + geometry from ONE
     * resolution ([[cellsPath]] once) — a re-splitting major flips
     * cells AND centroids together, and geometry from generation G
-    * with cells from G+1 would prune by the wrong cells. */
+    * with cells from G+1 would prune by the wrong cells. The INC path
+    * must be resolved BEFORE the base: a read racing a major's
+    * base-flip → inc-reset window then sees appended rows TWICE (old
+    * inc grace copy + new base — the documented transient, healed by
+    * the fold's distinct and tolerated by top-k) instead of NOT AT ALL
+    * (old base + new reset-empty inc — rows transiently vanish, and a
+    * dedup probe would let a real duplicate through). */
   private def readCellsAllFrom(spark: org.apache.spark.sql.SparkSession,
-      uri: String, basePath: String): DataFrame = {
+      uri: String, basePath: String, inc: String): DataFrame = {
     val fs = graft.storage.VFS(spark)
     val base = spark.read.parquet(basePath)
-    val inc = cellsIncPath(spark, uri)
     // a just-reset inc generation is an EMPTY dir (no schema to infer):
     // only read the tier when it actually holds files
     if (fs.lsFilesRecursive(inc).exists(_.endsWith(".parquet"))) {
@@ -654,10 +662,11 @@ object Similarity {
     // exact-row distinct heals any crash residue on the next run.
     val incBefore = graft.storage.VersionedDir.liveListing(fs, uri, "cells_inc")
     val before = graft.storage.VersionedDir.liveListing(fs, uri, "cells")
+    val incPath0 = cellsIncPath(spark, uri) // inc first (single-writer: inert here)
     val genPath = graft.storage.VersionedDir.resolve(fs, uri, "cells")
     val cents0 = indexCentroidsAt(spark, uri, genPath)
     val nCells = cents0.size
-    val raw = readCellsAllFrom(spark, uri, genPath)
+    val raw = readCellsAllFrom(spark, uri, genPath, incPath0)
     val payload = indexPayloadAt(spark, uri, genPath)
       .getOrElse(raw.schema.fieldNames.filterNot(IvfCellCols).toSeq)
     // sizing from the RAW count (columnar, no shuffle; crash-replay
@@ -819,6 +828,7 @@ object Similarity {
     // ONE generation resolution for geometry + cells: a re-splitting
     // major flips both together, and centroids from generation G over
     // the cells of G+1 would probe the wrong partitions
+    val incPath0 = cellsIncPath(spark, uri) // INC BEFORE base (see readCellsAllFrom)
     val genPath = cellsPath(spark, uri)
     val cents = indexCentroidsAt(spark, uri, genPath)
     val probes = queries
@@ -827,7 +837,7 @@ object Similarity {
         explode(probeNarrow(col("__qv"), cents, nprobe)))
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells0 = readCellsAllFrom(spark, uri, genPath)
+    val cells0 = readCellsAllFrom(spark, uri, genPath, incPath0)
       .filter(col("centroid_id").isin(cellIds: _*))
     val cells = filter.map(cells0.filter).getOrElse(cells0)
     // NO per-probe (query, neighbor) dedup, deliberately: a neighbor
