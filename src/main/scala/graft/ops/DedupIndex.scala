@@ -526,39 +526,44 @@ object DedupIndex {
     val idxCounts = pruned.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__ni"))
     val batchCounts = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__nb"))
-    // checkpoint the over-cap group set (tiny — over-cap groups among
-    // the PROBED buckets only) so the suppression is COUNTED where a
-    // job is already paid: the eager checkpoint runs the same agg
-    // subtree the broadcast build would have run lazily inside the
-    // pair job, and the count afterwards reads cached partitions — no
-    // second index pass, no per-group probe job. The one-shot path
-    // counts its cap drops (dedup.lsh_buckets_dropped); this is the
-    // probe-side analogue, so a saturated probe is never silent.
-    val overCap0 = idxCounts.join(batchCounts, Seq("band", "bucket"))
+    // COLLECT the over-cap group set (bounded: over-cap groups among
+    // the PROBED buckets only — strictly fewer rows than the banded
+    // batch frame this probe already broadcasts) so the suppression is
+    // counted off the same single agg job that builds the set, and
+    // nothing stays pinned in executor storage afterwards: the r17
+    // localCheckpoint variant accumulated one never-unpersisted cached
+    // RDD per probe across a streaming/prober loop's app lifetime. The
+    // one-shot path counts its cap drops (dedup.lsh_buckets_dropped);
+    // this is the probe-side analogue, so a saturated probe is never
+    // silent.
+    val overCapPlan = idxCounts.join(batchCounts, Seq("band", "bucket"))
       .filter(col("__ni") + col("__nb") > p.maxBucket)
       .select("band", "bucket")
-      .localCheckpoint(true)
-    val nSuppressed = overCap0.count()
-    if (nSuppressed > 0) {
+    val overCapRows = overCapPlan.collect()
+    if (overCapRows.nonEmpty) {
       graft.core.Stats.counter(spark, "dedup_index.probe_groups_suppressed")
-        .add(nSuppressed)
+        .add(overCapRows.length.toLong)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dedup index probe: $nSuppressed (band, bucket) group(s) over " +
-          s"the ${p.maxBucket}-id cap emitted no pairs (corpus ∪ batch " +
+        s"dedup index probe: ${overCapRows.length} (band, bucket) group(s) " +
+          s"over the ${p.maxBucket}-id cap emitted no pairs (corpus ∪ batch " +
           "density cap — exact parity with the one-shot path)")
     }
-    val overCap = broadcast(overCap0)
     // Candidate PAIRS on the narrow bucket rows — batch side broadcast,
     // no exchange below the join, the bucket table consumed map-side.
     // Pair-level dedup happens HERE (a pair surfaces once per shared
     // band), bounded by the bucket cap, so the sig fetch is
     // candidate-scale.
-    pruned.join(
+    val joined = pruned.join(
         broadcast(banded.select(col("id").as("__qid"),
           col("band").as("band"), col("bucket").as("bucket"))),
         Seq("band", "bucket"))
-      .join(overCap, Seq("band", "bucket"), "left_anti")
-      .filter(col("id") =!= col("__qid"))
+    val capped =
+      if (overCapRows.isEmpty) joined // common case: no anti-join leg at all
+      else joined.join(
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(overCapRows: _*), overCapPlan.schema)),
+        Seq("band", "bucket"), "left_anti")
+    capped.filter(col("id") =!= col("__qid"))
       .select(col("__qid"), col("id").as("__mid"))
       .distinct()
   }

@@ -540,6 +540,22 @@ object Search {
     }
   }
 
+  /** Persisted fold-number high-water mark from the base generation's
+    * `_genstats.json` (0 when absent — pre-r18 generations and fresh
+    * indexes). Keeps minor-fold numbering monotonic across MAJOR
+    * compacts, whose genstats rewrite resets the folded-tags set to
+    * the compaction snapshot and would otherwise forget every earlier
+    * fold number. */
+  private def baseFoldHw(spark: org.apache.spark.sql.SparkSession,
+      uri: String, base: String): Int = {
+    import graft.core.Json._
+    val fs = graft.storage.VFS(spark)
+    val genStatsPath = s"$base/_genstats.json"
+    if (!fs.exists(genStatsPath)) 0
+    else parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath))
+      .obj("foldHw").map(_.long.toInt).getOrElse(0)
+  }
+
   /** The live index state: base postings generation (VersionedDir —
     * compaction flips reader-safely), the PENDING inc dirs — committed
     * batch/fold dirs not yet subsumed by the base generation's folded
@@ -632,7 +648,7 @@ object Search {
       uri: String): Unit = {
     import graft.core.Json._
     val fs = graft.storage.VFS(spark)
-    val (_, folded, committed) = incCommitted(spark, uri, retireCrashed = true)
+    val (base, folded, committed) = incCommitted(spark, uri, retireCrashed = true)
     val excluded = folded ++ committed.flatMap(_.tags)
     val (retired, pending) = committed.partition(d => excluded(d.tag))
     // retired dirs have had their one-cycle grace: clean them up even
@@ -640,12 +656,16 @@ object Search {
     if (pending.size <= 1) { retired.foreach(d => fs.delete(d.dir)); return }
     val buckets = readIndexStats(spark, uri)._3
     // fold numbers never reuse a LIVE number: max over every tag this
-    // index still remembers (dirs present, their subsumed tags, and the
-    // base's folded set), so a probe holding a retired fold path can
-    // never see that path re-materialize with different content within
-    // its grace window
-    val nFold = (committed.map(_.tag) ++ committed.flatMap(_.tags) ++ folded)
-      .flatMap(foldNum).maxOption.getOrElse(0) + 1
+    // index still remembers (dirs present, their subsumed tags, the
+    // base's folded set, AND the persisted high-water mark — a major
+    // compact rewrites the folded set from its own snapshot, so
+    // without the high-water carry a post-major fold counter would
+    // restart at 1 and could collide with a stale grace dir), so a
+    // probe holding a retired fold path can never see that path
+    // re-materialize with different content within its grace window
+    val nFold = ((committed.map(_.tag) ++ committed.flatMap(_.tags) ++ folded)
+      .flatMap(foldNum).maxOption.getOrElse(0)
+      .max(baseFoldHw(spark, uri, base))) + 1
     val dir = f"${incPath(uri)}/$FoldTagPrefix$nFold%06d"
     fs.delete(dir)
     readPostingsMulti(spark, pending.map(d => s"${d.dir}/postings"), None)
@@ -701,10 +721,25 @@ object Search {
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .partitionBy("tb").parquet(target)
-    val tags = (pendingDirs.map(_.tag) ++ pendingDirs.flatMap(_.tags)).distinct
+    // the new folded set covers EVERY dir in the listing snapshot —
+    // pending (now baked into the generation) AND retired grace dirs
+    // (already excluded, but excluded via the OLD genstats: dropping
+    // their entries would re-expose them as pending if a crash — or a
+    // concurrent probe — lands between the commit below and the
+    // trailing deletes, double-counting their stats and re-scanning
+    // their postings)
+    val tags = ((pendingDirs ++ retired).map(_.tag) ++
+      (pendingDirs ++ retired).flatMap(_.tags)).distinct
+    // fold-number high-water mark survives the genstats rewrite: the
+    // folded set resets to this snapshot's tags, so numbers seen only
+    // in the OLD set would otherwise be forgotten and reused by the
+    // next minor fold
+    val hw = ((committed.map(_.tag) ++ committed.flatMap(_.tags) ++ folded)
+      .flatMap(foldNum).maxOption.getOrElse(0))
+      .max(baseFoldHw(spark, uri, base))
     graft.storage.Encryption.dirJsonWrite(spark, uri, s"$target/_genstats.json",
       render(JObj(Seq("nDocs" -> JLong(n), "sumDl" -> JLong(sumDl),
-        "tags" -> JArr(tags.map(JStr))))))
+        "tags" -> JArr(tags.map(JStr)), "foldHw" -> JLong(hw)))))
     graft.storage.VersionedDir.commit(fs, uri, "postings", target)
     retired.foreach(d => fs.delete(d.dir))
   }

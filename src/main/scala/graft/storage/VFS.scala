@@ -81,7 +81,13 @@ class VFS(conf: Configuration) {
         tries += 1
         try return walk()
         catch {
-          case e: RuntimeException if tries < 4 &&
+          // FileNotFoundException extends IOException, NOT
+          // RuntimeException: a bare FNFE thrown by the Hadoop
+          // listFiles iterator (HDFS/S3A entry vanished mid-walk) must
+          // match on its own type — a RuntimeException-only clause
+          // would retry only the local-FS message/cause-wrapped forms
+          case e @ (_: java.io.FileNotFoundException | _: RuntimeException)
+              if tries < 4 &&
               (e.isInstanceOf[java.io.FileNotFoundException] ||
                 Option(e.getMessage).exists(_.contains("file permissions")) ||
                 Option(e.getCause).exists(

@@ -267,6 +267,73 @@ class SearchSpec extends SparkSpec {
     } finally fs.delete(uri)
   }
 
+  test("major compact: retired grace dirs stay excluded by the NEW " +
+    "genstats, and fold numbers are monotonic across majors") {
+    val uri = s"target/test-bm25-retired-${System.nanoTime()}"
+    val q = Seq((0L, "cat dog sat"), (1L, "appended spark")).toDF("qid", "qtext")
+    val cols = Seq($"query_id", $"doc_id", $"score", $"rank")
+    def same(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      x.select(cols: _*).exceptAll(y.select(cols: _*)).count() == 0L &&
+        y.select(cols: _*).exceptAll(x.select(cols: _*)).count() == 0L
+    val fs = graft.storage.VFS(spark)
+    def incTags() = fs.ls(s"$uri/postings_inc")
+      .map(p => p.substring(p.lastIndexOf('/') + 1))
+    def probed() = Search.bm25IndexTopK(spark, uri, q, "qid", "qtext", k = 5)
+    def genstats() = fs.readString(
+      s"${graft.storage.VersionedDir.resolve(fs, uri, "postings")}/_genstats.json")
+    try {
+      Search.buildIndex(docs, "doc_id", "text", uri, buckets = 8)
+      val b1 = Seq((50L, "an appended cat doc")).toDF("doc_id", "text")
+      val b2 = Seq((51L, "another appended spark doc")).toDF("doc_id", "text")
+      Search.appendBatchToIndex(b1, "doc_id", "text", uri, "batch-1")
+      Search.compactIndex(spark, uri) // major #1: batch-1 folded, lingers as grace
+      Search.appendBatchToIndex(b2, "doc_id", "text", uri, "batch-2")
+      // major #2: batch-1 is RETIRED here (excluded only via the OLD
+      // genstats) — the rewritten genstats must still carry its tag,
+      // or a crash/probe between the flip and the delete re-exposes it
+      Search.compactIndex(spark, uri)
+      assert(genstats().contains("batch-1"),
+        s"retired grace tag dropped from the new genstats: ${genstats()}")
+      val inline = Search.bm25TopK(docs.unionByName(b1).unionByName(b2),
+        "doc_id", "text", q, "qid", "qtext", k = 5)
+      assert(same(probed(), inline))
+      // simulate the crash window: the retired dir re-materializes
+      // (same tag, same rows) AFTER the major that retired it — it
+      // must stay excluded from stats and scans
+      Search.appendBatchToIndex(b1, "doc_id", "text", uri, "batch-1")
+      assert(same(probed(), inline),
+        "re-materialized retired grace dir double-counted after major")
+      Search.compactIndex(spark, uri) // cleanup pass retires the ghost
+      assert(incTags().isEmpty, incTags().toString)
+
+      // fold-number monotonicity: fold-000001, then majors that strip
+      // every fold tag from the live snapshot — the persisted
+      // high-water mark must keep the next fold from reusing 000001
+      val mk = (i: Long) => Seq((60L + i, s"fold numbering doc $i spark cat"))
+        .toDF("doc_id", "text")
+      Search.appendBatchToIndex(mk(1), "doc_id", "text", uri, "nb-1")
+      Search.appendBatchToIndex(mk(2), "doc_id", "text", uri, "nb-2")
+      Search.minorCompactIndex(spark, uri)
+      assert(incTags().contains("fold-000001"), incTags().toString)
+      Search.compactIndex(spark, uri) // folds fold-000001 into the base
+      Search.compactIndex(spark, uri) // drain: deletes the grace fold dir
+      // a major whose snapshot holds NO fold tags rewrites genstats;
+      // only the high-water mark remembers 000001 now
+      Search.appendBatchToIndex(mk(3), "doc_id", "text", uri, "nb-3")
+      Search.compactIndex(spark, uri)
+      Search.appendBatchToIndex(mk(4), "doc_id", "text", uri, "nb-4")
+      Search.appendBatchToIndex(mk(5), "doc_id", "text", uri, "nb-5")
+      Search.minorCompactIndex(spark, uri)
+      val folds = incTags().filter(_.startsWith("fold-"))
+      assert(folds.nonEmpty && !folds.contains("fold-000001"),
+        s"fold counter restarted after majors: $folds")
+      val inline2 = Search.bm25TopK(
+        (1L to 5L).map(mk).foldLeft(docs.unionByName(b1).unionByName(b2))(_ unionByName _),
+        "doc_id", "text", q, "qid", "qtext", k = 5)
+      assert(same(probed(), inline2), "probe diverged after numbering sequence")
+    } finally fs.delete(uri)
+  }
+
   test("maintenanceAdvice: needsMajor flips as the inc tier outgrows " +
     "the base, resets after a major") {
     val uri = s"target/test-bm25-advice-${System.nanoTime()}"
