@@ -101,6 +101,33 @@ object DedupIndex {
     spark.read.parquet(paths.filter(fs.exists): _*)
   }
 
+  /** base ∪ inc rows with the BASE leg riding
+    * [[graft.storage.TierCache]]: the base generation is immutable
+    * until a major flip, so steady-state probes scan it from executor
+    * memory instead of re-reading the whole narrow tier from disk per
+    * batch — the one probe cost that tracked corpus size (no pushdown
+    * vehicle can prune uniformly-hashed probe keys; see TierCache).
+    * The INC leg stays a fresh parquet scan: it changes per append and
+    * is bounded by the minor-fold cadence. Probe filters still prune
+    * the cached leg (InMemoryTableScan batch stats over the key-sorted
+    * tier) and push into the inc leg's parquet scan as before. With
+    * `graft.index.cacheBase=false` this is exactly the r17 one-scan
+    * multi-path read. */
+  private def readTiered(spark: SparkSession, uri: String, slot: String,
+      inc: String, basePath: String): DataFrame = {
+    val fs = VFS(spark)
+    if (!graft.storage.TierCache.enabled(spark))
+      return readFlatMulti(spark, Seq(inc, basePath))
+    val base = graft.storage.TierCache.scan(spark, s"$uri#$slot", basePath)(
+      spark.read.parquet(basePath))
+    // data-file check, not bare exists: a freshly-reset empty inc
+    // generation lists only its commit marker, and a parquet scan of a
+    // data-file-less dir dies on schema inference
+    val incLive = fs.exists(inc) &&
+      graft.storage.VersionedDir.hasDataFiles(fs.lsFilesRecursive(inc).toSet)
+    if (incLive) spark.read.parquet(inc).unionByName(base) else base
+  }
+
   /** base ∪ inc bucket rows — every reader's view of the index.
     *
     * INC resolved FIRST, deliberately: a read racing a major compact's
@@ -113,14 +140,14 @@ object DedupIndex {
     * benign direction; order the resolutions for it. */
   private[graft] def readDataAll(spark: SparkSession, uri: String): DataFrame = {
     val inc = liveDataIncPath(spark, uri)
-    readFlatMulti(spark, Seq(inc, liveDataPath(spark, uri)))
+    readTiered(spark, uri, "data", inc, liveDataPath(spark, uri))
   }
 
   /** base ∪ inc signature rows (inc resolved first — see
     * [[readDataAll]]). */
   private[graft] def readSigsAll(spark: SparkSession, uri: String): DataFrame = {
     val inc = liveSigsIncPath(spark, uri)
-    readFlatMulti(spark, Seq(inc, liveSigsPath(spark, uri)))
+    readTiered(spark, uri, "sigs", inc, liveSigsPath(spark, uri))
   }
 
   private def writeParams(spark: SparkSession, uri: String, p: Params): Unit = {
@@ -180,6 +207,10 @@ object DedupIndex {
     val p = Params(k, numHashes, bands, maxBucket)
     val fs = VFS(spark)
     fs.delete(uri)
+    // an in-place rebuild lands at the SAME legacy generation paths
+    // ($uri/data, $uri/sigs) — drop any cached generation keyed to
+    // them or probes would keep serving the pre-rebuild rows
+    graft.storage.TierCache.invalidate(s"$uri#")
     // signatures/buckets are derived from corpus text — an encrypted
     // corpus needs its dedup index encrypted too; appends/compacts
     // inherit the key from the dir marker
@@ -573,6 +604,15 @@ object DedupIndex {
       textCol: String, uri: String, maxProbeKeys: Int = 1 << 15): DataFrame = {
     val p = readParams(batch.sparkSession, uri)
     candidatePairs(bandedRows(batch, idCol, textCol, p), uri, p, maxProbeKeys)
+  }
+
+  /** diagnostic seam (ScaleRehearsal): the distinct bucket keys a
+    * batch would probe — the input to any pushdown-vehicle coverage
+    * analysis. */
+  private[graft] def probeBuckets(batch: DataFrame, idCol: String,
+      textCol: String, uri: String): DataFrame = {
+    val p = readParams(batch.sparkSession, uri)
+    bandedRows(batch, idCol, textCol, p).select("bucket").distinct()
   }
 
   /** The batch minus docs near-duplicating the indexed corpus — the

@@ -1405,12 +1405,51 @@ object ScaleRehearsal {
         println(f"[rehearsal] nd_probe_scale $tag: median ${ts(1)}%.2f s")
         results += s"nps_$tag" -> ts(1)
       }
+      // r18 default: the base tiers ride TierCache — run 1 populates,
+      // runs 2-3 are the steady state (what a streaming probe loop
+      // sees); the median reflects warm memory scans
       probeMed(idxS, b2k, 1 << 15, "small_b2k_isin")
       probeMed(idxL, b2k, 1 << 15, "large_b2k_isin")
       probeMed(idxL, b2k, 1, "large_b2k_semi") // forced semi, same batch
       probeMed(idxS, b5k, 1 << 15, "small_b5k_semi")
       probeMed(idxL, b5k, 1 << 15, "large_b5k_semi")
       probeMed(idxL, b5k, 1 << 17, "large_b5k_isin") // forced isin, 80k keys
+      // r17 comparison arm: cache disabled AND cleared per cell — the
+      // exact disk-scan paths the r17 matrix measured
+      spark.conf.set("graft.index.cacheBase", "false")
+      graft.storage.TierCache.clear()
+      probeMed(idxL, b2k, 1 << 15, "large_b2k_isin_nocache")
+      probeMed(idxL, b2k, 1, "large_b2k_semi_nocache")
+      probeMed(idxL, b5k, 1 << 15, "large_b5k_semi_nocache")
+      spark.conf.unset("graft.index.cacheBase")
+      // range-pushdown coverage diagnostic: coalesce the probe's
+      // bucket keys into <=512 BETWEEN ranges (cutting the 511 largest
+      // gaps — the span-minimal interval cover) and report what
+      // fraction of the tier the ranges still cover. Uniform hash keys
+      // should cover ~everything => no interval-family pushdown can
+      // prune the scan, whatever its plan cost. This bounds the best
+      // case of the r17-documented "range batching" vehicle without
+      // building it.
+      def rangeCoverage(idx: String, b: DataFrame, tag: String): Unit = {
+        val ks = graft.ops.DedupIndex.probeBuckets(b, "doc_id", "text", idx)
+          .as[Long].collect().sorted
+        val nRanges = 512
+        val cuts = (1 until ks.length)
+          .sortBy(i => -(ks(i).toDouble - ks(i - 1).toDouble))
+          .take(nRanges - 1).sorted
+        val starts = 0 +: cuts
+        val ends = cuts.map(_ - 1) :+ (ks.length - 1)
+        val cond = starts.zip(ends)
+          .map { case (s, e) => col("bucket").between(ks(s), ks(e)) }
+          .reduce(_ or _)
+        val tier = spark.read.parquet(s"$idx/data")
+        val frac = tier.filter(cond).count().toDouble / tier.count()
+        println(f"[rehearsal] nd_probe_scale $tag: ${ks.length} keys -> " +
+          f"$nRanges ranges cover ${frac * 100}%.2f%% of tier rows")
+        results += s"nps_${tag}_covpct" -> frac * 100
+      }
+      rangeCoverage(idxL, b2k, "large_b2k_rangecov")
+      rangeCoverage(idxL, b5k, "large_b5k_rangecov")
     }
 
     // ---- round-17: CONCURRENCY rehearsal ------------------------------

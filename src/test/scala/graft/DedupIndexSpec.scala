@@ -222,29 +222,27 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs() == expected)
   }
 
-  test("probe plan: bucket isin pushed to the index scan, index never shuffles") {
+  test("probe plan: bucket isin prunes the index scan (cached: in-memory " +
+    "batch stats; uncached: parquet pushdown), index never shuffles") {
     // the candidate stage holds the bucket-table scan (probe
     // checkpoints it eagerly, truncating lineage in the final frame)
     val df = DedupIndex.candidatePairsFor(batch, "doc_id", "text", indexUri)
     val plan = Shim.plannedPhysical(df)
-    // the BUCKET-table parquet scan carries an In/InSet pushdown on
-    // bucket (the sigs/ scan is id-filtered via semi-join, not bucket)
-    val scans = plan.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.metadata.get("Location").exists(l =>
-            l.contains("minhash-index") && l.contains("/data")) => s
+    // default (TierCache on): the bucket-table BASE leg is an
+    // InMemoryTableScan carrying the In/InSet predicate — cached-batch
+    // stats over the (band, bucket)-sorted tier give the same pruning
+    // the parquet footer stats gave, at memory speed
+    val memScans = plan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
     }
-    assert(scans.nonEmpty, s"no index bucket-table scan found:\n$plan")
-    scans.foreach { s =>
-      val pushed = s.metadata.getOrElse("PushedFilters", "")
-      assert(pushed.contains("In(bucket") || pushed.contains("In(`bucket`"),
-        s"bucket probe not pushed: $pushed")
-    }
+    assert(memScans.nonEmpty, s"no cached bucket-table scan found:\n$plan")
+    assert(memScans.exists(_.toString.contains("bucket")),
+      s"bucket probe not applied to the cached scan:\n${memScans.head}")
     // the CANDIDATE join broadcasts the batch side and streams the
     // index scan with NO exchange in between (the index rows are
     // consumed map-side, never shuffled or sorted). The probe-scale
     // bucket-cap counts legitimately aggregate the pruned scan — so
-    // the assertion is existential: some broadcast join reaches a file
+    // the assertion is existential: some broadcast join reaches a
     // scan exchange-free.
     val joins = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
@@ -255,7 +253,8 @@ class DedupIndexSpec extends SparkSpec {
       val exch = streamed.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange => e }
       val scan = streamed.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
       exch.isEmpty && scan.nonEmpty
     }
     assert(mapSide, s"no exchange-free index-scan join in probe plan:\n$plan")
@@ -268,6 +267,27 @@ class DedupIndexSpec extends SparkSpec {
         org.apache.spark.sql.types.ArrayType])
       assert(wide.isEmpty, s"signature array rides the pair shuffle: ${e.output}")
     }
+    // opt-out arm: with the cache disabled AND cleared the r17 plan
+    // stands — a parquet scan of the tier with the In literal PUSHED
+    // to footers (clearing matters: Spark's CacheManager substitutes a
+    // registered InMemoryRelation into any matching scan, conf or not)
+    spark.conf.set("graft.index.cacheBase", "false")
+    graft.storage.TierCache.clear()
+    try {
+      val raw = Shim.plannedPhysical(
+        DedupIndex.candidatePairsFor(batch, "doc_id", "text", indexUri))
+      val scans = raw.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.metadata.get("Location").exists(l =>
+              l.contains("minhash-index") && l.contains("/data")) => s
+      }
+      assert(scans.nonEmpty, s"no index bucket-table scan found:\n$raw")
+      scans.foreach { s =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "")
+        assert(pushed.contains("In(bucket") || pushed.contains("In(`bucket`"),
+          s"bucket probe not pushed: $pushed")
+      }
+    } finally spark.conf.unset("graft.index.cacheBase")
   }
 
   test("above maxProbeKeys: semi-join path, no giant In literal, same matches") {
@@ -282,6 +302,8 @@ class DedupIndexSpec extends SparkSpec {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.metadata.get("Location").exists(_.contains("minhash-index")) =>
         s.metadata.getOrElse("PushedFilters", "")
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.toString // cached base leg: predicates render inline
     }
     assert(inLiterals.nonEmpty, s"no index scan:\n$plan")
     inLiterals.foreach(p => assert(!p.contains("In(bucket") && !p.contains("In(`bucket`"),
