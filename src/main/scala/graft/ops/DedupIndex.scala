@@ -140,6 +140,10 @@ object DedupIndex {
     * benign direction; order the resolutions for it. */
   private[graft] def readDataAll(spark: SparkSession, uri: String): DataFrame = {
     val inc = liveDataIncPath(spark, uri)
+    // race injection: a full maintenance flip can be forced HERE —
+    // after the inc resolution, before the base's (FlipRaceSpec pins
+    // the duplicates-not-vanishing contract deterministically)
+    graft.storage.FlipHooks.at("dedup.read.betweenResolves")
     readTiered(spark, uri, "data", inc, liveDataPath(spark, uri))
   }
 
@@ -425,6 +429,9 @@ object DedupIndex {
     // the marker lands; a crash here leaves it live (no missing-dir
     // window). Guarded against base writes (single-writer belt).
     graft.storage.VersionedDir.commitGuarded(fs, uri, "data", next, dataBefore)
+    // race injection: the base-flip → inc-reset window (appended rows
+    // live in BOTH tiers; probes must see duplicates, never a gap)
+    graft.storage.FlipHooks.at("dedup.compact.afterDataFlip")
     // reset the inc tier to an EMPTY generation — guarded against the
     // listing taken BEFORE the fold read: an append that landed mid-
     // compact aborts here, loudly (its rows are in the live inc but
@@ -445,6 +452,8 @@ object DedupIndex {
       .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
       .parquet(nextSigs)
     graft.storage.VersionedDir.commitGuarded(fs, uri, "sigs", nextSigs, sigsBefore)
+    // race injection: the sigs-flip → sigs-inc-reset window
+    graft.storage.FlipHooks.at("dedup.compact.afterSigsFlip")
     if (graft.storage.VersionedDir.hasDataFiles(sigsIncBefore))
       graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "sigs_inc",
         sigsIncBefore, grace = 2)

@@ -497,6 +497,10 @@ object Search {
       if (!fs.exists(genStatsPath)) Set.empty[String]
       else parse(graft.storage.Encryption.dirJsonRead(spark, uri, genStatsPath))
         .obj("tags").map(_.arr.map(_.str).toSet).getOrElse(Set.empty[String])
+    // race injection: a major can be forced AFTER the base+genstats
+    // resolution, BEFORE the inc listing — the old generation and its
+    // grace dirs must still read as a consistent pre-flip view
+    graft.storage.FlipHooks.at("search.read.afterBaseResolve")
     val dirs =
       if (!fs.exists(incPath(uri))) Seq.empty
       else fs.ls(incPath(uri)).sorted
@@ -741,6 +745,10 @@ object Search {
       render(JObj(Seq("nDocs" -> JLong(n), "sumDl" -> JLong(sumDl),
         "tags" -> JArr(tags.map(JStr)), "foldHw" -> JLong(hw)))))
     graft.storage.VersionedDir.commit(fs, uri, "postings", target)
+    // race injection: the commit → cleanup window (retired grace dirs
+    // still on disk; the rewritten genstats must keep them excluded —
+    // the r18 exclusion-carry fix, pinned deterministically)
+    graft.storage.FlipHooks.at("search.compact.afterFlip")
     retired.foreach(d => fs.delete(d.dir))
   }
 

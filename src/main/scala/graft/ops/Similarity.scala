@@ -696,6 +696,9 @@ object Similarity {
     graft.storage.Encryption.dirJsonWrite(spark, uri,
       s"$next/_centroids.json", centroidsJsonStr(cents, payload))
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
+    // race injection: the cells-flip → inc-reset window (the
+    // documented both-tiers transient)
+    graft.storage.FlipHooks.at("ivf.compact.afterCellsFlip")
     if (resplit)
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"ivf re-split $uri: $nCells -> ${cents.size} cells " +
@@ -829,6 +832,9 @@ object Similarity {
     // major flips both together, and centroids from generation G over
     // the cells of G+1 would probe the wrong partitions
     val incPath0 = cellsIncPath(spark, uri) // INC BEFORE base (see readCellsAllFrom)
+    // race injection: a major can be forced between the tier
+    // resolutions (FlipRaceSpec — duplicates tolerated, rows never lost)
+    graft.storage.FlipHooks.at("ivf.read.betweenResolves")
     val genPath = cellsPath(spark, uri)
     val cents = indexCentroidsAt(spark, uri, genPath)
     val probes = queries
