@@ -610,3 +610,135 @@ object HierAssignK {
       nprobe: Int): Column =
     Shim.toColumn(HierAssignK(Shim.toExpression(vec), fine, coarse, members, nprobe))
 }
+
+/** Hierarchical (two-level) cell PROBE as one codegen'd kernel — the
+  * top-`nfine` selection form of [[HierAssignK]], and the two-level
+  * analogue of [[ProbeCellsK]]: probe the `nprobeCoarse` closest
+  * COARSE groups (same (score asc, id asc) Double.compare order),
+  * then insertion-select the `nfine` nearest FINE centroids among
+  * only their members. This is what makes a persisted IVF index
+  * probe-able past the flat cell cap: per-row cost is
+  * O(m × nprobeCoarse + (k/m) × nprobeCoarse × nfine) dots instead of
+  * O(k) — at k = 100k cells, m = √k, that is hundreds of dots, not
+  * 10⁵. With nprobeCoarse = m it degenerates to exactly
+  * [[ProbeCellsK]] over the fine table (pinned differentially).
+  * Coarse ids are dense 0..m-1 ([[graft.ops.Similarity.trainCoarse]]
+  * contract); member entries are 0-based fine POSITIONS. Null vector /
+  * null element / dim mismatch nulls the row. */
+case class HierProbeK(child: Expression, fine: Seq[(Long, Seq[Double])],
+    coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]],
+    nprobeCoarse: Int, nfine: Int) extends UnaryExpression {
+  import VectorKernels._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hier_probe expects array<float|double>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def unitOf(cs: Seq[(Long, Seq[Double])]): Array[Array[Double]] =
+    cs.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (if (n == 0) v else v.map(_ / n)).toArray
+    }.toArray
+  @transient private lazy val fineUnit: Array[Array[Double]] = unitOf(fine)
+  @transient private lazy val fineIds: Array[Long] = fine.map(_._1).toArray
+  @transient private lazy val coarseUnit: Array[Array[Double]] = unitOf(coarse)
+  @transient private lazy val coarseIds: Array[Long] = coarse.map(_._1).toArray
+  @transient private lazy val memberTab: Array[Array[Int]] =
+    members.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HierProbeK.compute(input.asInstanceOf[ArrayData], isFloat(child.dataType),
+      fineUnit, fineIds, coarseUnit, coarseIds, memberTab, nprobeCoarse, nfine)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fu = ctx.addReferenceObj("hprFineUnit", fineUnit, "double[][]")
+    val fi = ctx.addReferenceObj("hprFineIds", fineIds, "long[]")
+    val cu = ctx.addReferenceObj("hprCoarseUnit", coarseUnit, "double[][]")
+    val ci = ctx.addReferenceObj("hprCoarseIds", coarseIds, "long[]")
+    val mt = ctx.addReferenceObj("hprMembers", memberTab, "int[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("hprR")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.HierProbeK.compute($v,
+         |    ${isFloat(child.dataType)}, $fu, $fi, $cu, $ci, $mt,
+         |    $nprobeCoarse, $nfine);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HierProbeK =
+    copy(child = newChild)
+  override def prettyName: String = "hier_probe"
+}
+
+object HierProbeK {
+  def compute(v: ArrayData, vFloat: Boolean,
+      fineUnit: Array[Array[Double]], fineIds: Array[Long],
+      coarseUnit: Array[Array[Double]], coarseIds: Array[Long],
+      members: Array[Array[Int]], nprobeCoarse: Int, nfine: Int): ArrayData = {
+    val probed = ProbeCellsK.compute(v, vFloat, coarseUnit, coarseIds, nprobeCoarse)
+    if (probed == null) return null
+    val n = v.numElements()
+    // candidate count = sum of probed groups' member sizes
+    var cand = 0
+    var g = 0
+    val np = probed.numElements()
+    while (g < np) { cand += members(probed.getLong(g).toInt).length; g += 1 }
+    val m = math.min(math.max(nfine, 0), cand)
+    if (m == 0) return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+    val bestS = new Array[Double](m)
+    val bestId = new Array[Long](m)
+    var filled = 0
+    g = 0
+    while (g < np) {
+      val ms = members(probed.getLong(g).toInt)
+      var j = 0
+      while (j < ms.length) {
+        val u = fineUnit(ms(j))
+        if (u.length != n) return null
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (v.isNullAt(i)) return null
+          val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          acc += x * u(i)
+          i += 1
+        }
+        val ns = -acc
+        val id = fineIds(ms(j))
+        // insertion selection under (Double.compare(ns) asc, id asc) —
+        // identical to ProbeCellsK so degenerate cases agree exactly
+        if (filled < m || {
+          val cmp = java.lang.Double.compare(ns, bestS(filled - 1))
+          cmp < 0 || (cmp == 0 && id < bestId(filled - 1))
+        }) {
+          var pos = if (filled < m) filled else m - 1
+          while (pos > 0 && {
+            val cmp = java.lang.Double.compare(ns, bestS(pos - 1))
+            cmp < 0 || (cmp == 0 && id < bestId(pos - 1))
+          }) {
+            bestS(pos) = bestS(pos - 1); bestId(pos) = bestId(pos - 1)
+            pos -= 1
+          }
+          bestS(pos) = ns; bestId(pos) = id
+          if (filled < m) filled += 1
+        }
+        j += 1
+      }
+      g += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bestId.take(filled))
+  }
+
+  def apply(vec: Column, fine: Seq[(Long, Seq[Double])],
+      coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]],
+      nprobeCoarse: Int, nfine: Int): Column =
+    Shim.toColumn(HierProbeK(Shim.toExpression(vec), fine, coarse, members,
+      nprobeCoarse, nfine))
+}

@@ -399,6 +399,30 @@ object Similarity {
         element_at(ids, i).as("id")))).getField("id")
   }
 
+  /** HOF formulation of [[graft.functions.HierProbeK]] — the kernel's
+    * differential oracle (same struct-sort ordering as [[probeHof]]
+    * restricted to the probed groups' members). */
+  private[graft] def hierProbeHof(vec: Column, cents: Seq[(Long, Seq[Double])],
+      coarse: Seq[(Long, Seq[Double])], members: Seq[Seq[Int]],
+      nprobeCoarse: Int, nfine: Int): Column = {
+    val unit = cents.map { case (cid, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cid -> (if (n == 0) v else v.map(_ / n))
+    }
+    val table = typedLit(unit.map(_._2))
+    val ids = typedLit(unit.map(_._1))
+    val memberTab = typedLit(members.map(_.map(_ + 1)))
+    val probed = transform(
+      slice(array_sort(centroidSims(vec, coarse)), 1, nprobeCoarse),
+      s => s.getField("id"))
+    val cand = flatten(transform(probed,
+      g => element_at(memberTab, g.cast("int") + 1)))
+    transform(slice(array_sort(transform(cand, i =>
+        struct(negate(dot(vec, element_at(table, i))).as("ns"),
+          element_at(ids, i).as("id")))), 1, nfine),
+      s => s.getField("id"))
+  }
+
   /** Train the IVF coarse quantizer on a deterministic hash-ordered
     * SAMPLE (trainPerCentroid vectors per centroid), not the full
     * corpus — TakeOrderedAndProject keeps the sampling pass scale-safe
@@ -418,6 +442,128 @@ object Similarity {
       lloydStep(train, "__tv", c))
     train.unpersist()
     cents
+  }
+
+  /** One HIERARCHICAL Lloyd step — [[lloydStep]] with the per-row
+    * argmax restricted to the `nprobe` nearest coarse groups' member
+    * fine centroids: O(m + nprobe × k/m) dots per row instead of O(k),
+    * which is what makes refinement affordable at fine-cell counts
+    * past the flat ceiling (the flat step at k = 10⁵ is the k-scaling
+    * wall again, in the trainer this time). Same max-dot/min-id tie
+    * rule and partial-merge arithmetic as [[lloydStep]]; with
+    * nprobe = m it computes exactly the flat step. */
+  private def lloydStepHier(corpus: DataFrame, vecCol: String,
+      fine: Seq[(Long, Seq[Double])], coarse: Seq[(Long, Seq[Double])],
+      members: Seq[Seq[Int]], nprobe: Int): Seq[(Long, Seq[Double])] = {
+    val dim = fine.head._2.size
+    def unitOf(cs: Seq[(Long, Seq[Double])]): Array[Array[Double]] =
+      cs.map { case (_, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (if (n == 0) v else v.map(_ / n)).toArray
+      }.toArray
+    val fineIds: Array[Long] = fine.map(_._1).toArray
+    val fineUnit = unitOf(fine)
+    val coarseUnit = unitOf(coarse)
+    val memberTab: Array[Array[Int]] = members.map(_.toArray).toArray
+    val np = math.min(math.max(1, nprobe), coarse.size)
+    val session = corpus.sparkSession
+    import session.implicits._
+    val vecs = corpus
+      .select(transform(col(vecCol), v => v.cast("double")).as("_1"))
+      .as[Array[Double]]
+    val partials = vecs.mapPartitions { rows =>
+      val acc = scala.collection.mutable.HashMap.empty[Long, (Long, Array[Double])]
+      val topG = new Array[Int](np)
+      val topS = new Array[Double](np)
+      rows.foreach { v =>
+        // top-np coarse groups by dot (insertion selection, max first)
+        var filled = 0
+        var g = 0
+        while (g < coarseUnit.length) {
+          val u = coarseUnit(g)
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += v(j) * u(j); j += 1 }
+          if (filled < np || s > topS(filled - 1)) {
+            var pos = if (filled < np) filled else np - 1
+            while (pos > 0 && s > topS(pos - 1)) {
+              topS(pos) = topS(pos - 1); topG(pos) = topG(pos - 1); pos -= 1
+            }
+            topS(pos) = s; topG(pos) = g
+            if (filled < np) filled += 1
+          }
+          g += 1
+        }
+        // exact argmax over the probed groups' member fine centroids
+        var bestId = Long.MaxValue
+        var bestS = Double.NegativeInfinity
+        var gi = 0
+        while (gi < filled) {
+          val ms = memberTab(topG(gi))
+          var mi = 0
+          while (mi < ms.length) {
+            val u = fineUnit(ms(mi))
+            var s = 0.0
+            var j = 0
+            while (j < dim) { s += v(j) * u(j); j += 1 }
+            val id = fineIds(ms(mi))
+            if (s > bestS || (s == bestS && id < bestId)) {
+              bestS = s; bestId = id
+            }
+            mi += 1
+          }
+          gi += 1
+        }
+        val (n, sum) = acc.getOrElseUpdate(bestId, (0L, new Array[Double](dim)))
+        var i = 0
+        while (i < dim) { sum(i) += v(i); i += 1 }
+        acc(bestId) = (n + 1, sum)
+      }
+      acc.iterator.map { case (cid, (n, s)) => (cid, n, s.toSeq) }
+    }.collect()
+    val merged = partials.groupBy(_._1).map { case (cid, ps) =>
+      val n = ps.map(_._2).sum
+      val s = ps.map(_._3).reduce((a, b) => a.lazyZip(b).map(_ + _))
+      cid -> s.map(_ / n)
+    }
+    fine.map { case (cid, seed) => cid -> merged.getOrElse(cid, seed) }
+  }
+
+  /** Scale-safe trainer for fine-cell counts past the flat ceiling:
+    * global hash-ordered seeds (k-means random init over the sample),
+    * a coarse/member table over the seeds ([[trainCoarse]] — the fine
+    * table is itself a k-row corpus), `lloydSteps` HIERARCHICAL
+    * refinements, and the final coarse/member tables rebuilt over the
+    * refined fine centroids. Total cost O(sample × (m + nprobe × k/m))
+    * dots per step — never O(sample × k), which at k = 10⁵ is what
+    * makes flat training (and flat assignment) unaffordable.
+    *
+    * Geometry is driver-held and expression-embedded (same contract as
+    * the flat table): k × dim is required to stay small enough to
+    * serialize with tasks. */
+  private[graft] def trainCentroidsTwoLevel(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lloydSteps: Int = 1, trainPerCell: Int = 64)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])], Seq[Seq[Int]]) = {
+    val spark = corpus.sparkSession
+    val train = corpus.select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
+      .orderBy(xxhash64(col("__tid")))
+      .limit(math.min(k.toLong * trainPerCell, Int.MaxValue.toLong - 1).toInt)
+      .cache()
+    val fine0 = sampleCentroids(train, "__tid", "__tv", k)
+    val dim = fine0.head._2.size
+    require(fine0.size.toLong * dim <= (1L << 24),
+      s"two-level geometry too large to embed: $k cells x $dim dims " +
+        "(driver-held, task-serialized) — lower the cell count or raise " +
+        "resplitTargetRows")
+    val m = math.max(1, math.min(MaxIvfCells,
+      math.ceil(math.sqrt(fine0.size.toDouble)).toInt))
+    val refined = (0 until math.max(0, lloydSteps)).foldLeft(fine0) { (f, _) =>
+      val (c, mem) = trainCoarse(f, m, spark)
+      lloydStepHier(train.select("__tv"), "__tv", f, c, mem, nprobe = 2)
+    }
+    train.unpersist()
+    val (coarse, members) = trainCoarse(refined, m, spark)
+    (refined, coarse, members)
   }
 
   /** IVF top-k: probe the `nprobe` closest centroids per query; exact
@@ -518,7 +664,7 @@ object Similarity {
     // covers this, and the major's guarded inc reset aborts the common
     // interleaving loudly.
     val genPath = cellsPath(spark, uri)
-    val cents = indexCentroidsAt(spark, uri, genPath)
+    val (cents, twoLevel) = indexGeometryAt(spark, uri, genPath)
     // payload columns come from the build-time sidecar (one tiny json
     // read per append — NOT a parquet schema inference over the whole
     // cells tree, which a per-micro-batch streaming append would pay
@@ -529,9 +675,15 @@ object Similarity {
         .schema.fieldNames.filterNot(IvfCellCols).toSeq)
     val missing = payload.filterNot(batch.columns.contains)
     require(missing.isEmpty, s"append batch lacks index payload columns: $missing")
+    // two-level geometry assigns hierarchically — same O(√k) bound as
+    // the probe; flat geometry keeps the exact O(k) kernel
+    val assign = twoLevel match {
+      case None => assignNarrow(col("vec"), cents)
+      case Some((c, mem)) => assignHierarchical(col("vec"), cents, c, mem, 4)
+    }
     batch.select(col(batchId).as("neighbor_id") +: col(batchVec).as("vec")
         +: payload.map(col): _*)
-      .withColumn("centroid_id", assignNarrow(col("vec"), cents))
+      .withColumn("centroid_id", assign)
       .withColumn("__q", quantizeInt8(col("vec")))
       .select(col("neighbor_id") +: col("vec") +: col("__q.codes").as("codes")
         +: col("__q.scale").as("scale") +: col("centroid_id")
@@ -583,27 +735,40 @@ object Similarity {
     * (old base + new reset-empty inc — rows transiently vanish, and a
     * dedup probe would let a real duplicate through). */
   private def readCellsAllFrom(spark: org.apache.spark.sql.SparkSession,
-      uri: String, basePath: String, inc: String): DataFrame = {
+      uri: String, basePath: String, inc: String,
+      baseFilter: Option[Column] = None): DataFrame = {
     val fs = graft.storage.VFS(spark)
-    val base = spark.read.parquet(basePath)
+    val base0 = spark.read.parquet(basePath)
+    // baseFilter applies to the BASE leg only, BEFORE layout columns
+    // drop: a two-level probe prunes the base's group_id partition
+    // dirs here (the inc tier is flat and carries no group column)
+    val base1 = baseFilter.map(base0.filter).getOrElse(base0)
+    // two-level layout metadata: group_id is the partition dir key,
+    // derivable from the geometry sidecar — never part of the rows
+    val base = if (base1.columns.contains("group_id")) base1.drop("group_id")
+      else base1
     // a just-reset inc generation is an EMPTY dir (no schema to infer):
     // only read the tier when it actually holds files
     if (fs.lsFilesRecursive(inc).exists(_.endsWith(".parquet"))) {
-      // flat inc files carry centroid_id as a DATA column (long); the
-      // base leg's is partition-inferred (int). Align by casting the
-      // BASE side UP — partition pruning still evaluates predicates
+      // flat inc files carry centroid_id as a DATA column (long); a
+      // FLAT base leg's is partition-inferred (int). Align by casting
+      // the BASE side UP — partition pruning still evaluates predicates
       // over a cast partition column, while a narrowing cast on the
       // inc side's data attribute would block parquet predicate
       // pushdown and defeat the row-group pruning the flat sorted
-      // layout exists for
-      base.withColumn("centroid_id", col("centroid_id").cast("long"))
-        .unionByName(spark.read.parquet(inc))
+      // layout exists for. A TWO-LEVEL base already stores centroid_id
+      // as a long data column — no cast, keep its row-group pruning.
+      val aligned =
+        if (base.schema("centroid_id").dataType ==
+            org.apache.spark.sql.types.LongType) base
+        else base.withColumn("centroid_id", col("centroid_id").cast("long"))
+      aligned.unionByName(spark.read.parquet(inc))
     } else base
   }
 
   /** reserved cell-file columns (everything else is search payload) */
   private val IvfCellCols: Set[String] =
-    Set("neighbor_id", "vec", "codes", "scale", "centroid_id")
+    Set("neighbor_id", "vec", "codes", "scale", "centroid_id", "group_id")
 
   /** Live cells directory of a persisted IVF index. Maintenance flips
     * generations ([[graft.storage.VersionedDir]]): readers always
@@ -631,6 +796,16 @@ object Similarity {
     * listing/metastore problem, not a data problem). */
   val MaxIvfCells: Int = 4096
 
+  /** Hard ceiling for TWO-LEVEL re-splits. The layout stops binding
+    * the cell count at [[MaxIvfCells]] (fine cells ride as a sorted
+    * data column inside ≤ √k coarse partition dirs), so the bound
+    * moves to the geometry itself: k × dim doubles are driver-held and
+    * task-serialized (the same contract as the flat table), checked by
+    * the trainer. At 10⁹ rows × 512 target this allows the full ~2M/
+    * 512 ≈ wanted cells up to 131072 before per-cell occupancy starts
+    * growing linearly again. */
+  val MaxIvfCellsTwoLevel: Int = 1 << 17
+
   /** `resplitTargetRows` > 0 makes the major ADAPTIVE: when mean cell
     * occupancy has outgrown the target — the corpus grew ≥2× past the
     * geometry (hysteresis, so majors don't churn the quantizer) — the
@@ -645,8 +820,15 @@ object Similarity {
     * so geometry and cells flip atomically — a concurrent probe reads
     * either (old cells, old centroids) or (new, new), never a mix.
     * 0 (default) = fixed geometry, the pre-r17 behavior. */
+  /** `maxFlatCells` (default [[MaxIvfCells]]) bounds the FLAT layout:
+    * a re-split wanting more cells flips to the TWO-LEVEL layout —
+    * fine cells as a sorted data column inside ≤ √k coarse partition
+    * dirs, coarse/member tables riding the generation sidecar — so the
+    * dir-count cap stops binding the cell count (and with it, per-cell
+    * occupancy at 10⁹-row corpora). Tests shrink it to force the
+    * two-level path at spec scale. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String,
-      resplitTargetRows: Long = 0): Unit = {
+      resplitTargetRows: Long = 0, maxFlatCells: Int = MaxIvfCells): Unit = {
     val fs = graft.storage.VFS(spark)
     // MAJOR maintenance: fold base ∪ inc into a new base generation
     // (one file per cell), then reset the inc tier. Inc listing taken
@@ -664,7 +846,7 @@ object Similarity {
     val before = graft.storage.VersionedDir.liveListing(fs, uri, "cells")
     val incPath0 = cellsIncPath(spark, uri) // inc first (single-writer: inert here)
     val genPath = graft.storage.VersionedDir.resolve(fs, uri, "cells")
-    val cents0 = indexCentroidsAt(spark, uri, genPath)
+    val (cents0, twoLevel0) = indexGeometryAt(spark, uri, genPath)
     val nCells = cents0.size
     val raw = readCellsAllFrom(spark, uri, genPath, incPath0)
     val payload = indexPayloadAt(spark, uri, genPath)
@@ -673,28 +855,64 @@ object Similarity {
     // duplicates inflate it only until this very fold heals them)
     val wantCells =
       if (resplitTargetRows <= 0) nCells
-      else math.min(MaxIvfCells.toLong, math.max(nCells.toLong,
+      else math.min(MaxIvfCellsTwoLevel.toLong, math.max(nCells.toLong,
         math.ceil(raw.count().toDouble / resplitTargetRows).toLong)).toInt
     val resplit = resplitTargetRows > 0 && wantCells >= 2 * nCells
     val all = raw.distinct() // exact-row heal only; changed-vec re-appends stay visible
     val next = graft.storage.VersionedDir.next(fs, uri, "cells")
-    val cents =
-      if (!resplit) cents0
-      // re-train on the raw read (sampling tolerates replay dupes;
-      // the distinct()'d frame would re-run its shuffle per action)
-      else trainCentroids(raw, "neighbor_id", "vec", wantCells)
+    // re-train on the raw read (sampling tolerates replay dupes; the
+    // distinct()'d frame would re-run its shuffle per action). Wanting
+    // more cells than the flat ceiling flips the geometry AND layout
+    // to two-level — the hierarchical trainer keeps training O(√k)
+    // dots per sample row where the flat one is O(k).
+    val (cents, twoLevel) =
+      if (!resplit) (cents0, twoLevel0)
+      else if (wantCells <= maxFlatCells)
+        (trainCentroids(raw, "neighbor_id", "vec", wantCells), None)
+      else {
+        val (f, c, mem) = trainCentroidsTwoLevel(raw, "neighbor_id", "vec",
+          wantCells)
+        (f, Some((c, mem)))
+      }
     val folded =
       if (!resplit) all
-      else all.drop("centroid_id")
-        .withColumn("centroid_id", assignNarrow(col("vec"), cents))
-    folded
-      .repartition(math.max(1, cents.size), col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite")
-      .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
-      .parquet(next)
+      else all.drop("centroid_id").withColumn("centroid_id", twoLevel match {
+        case None => assignNarrow(col("vec"), cents)
+        // hierarchical assignment — the flat argmin at k past the
+        // ceiling is the k-scaling wall the kernel work retired
+        case Some((c, mem)) =>
+          assignHierarchical(col("vec"), cents, c, mem, nprobe = 4)
+      })
+    twoLevel match {
+      case None =>
+        folded
+          .repartition(math.max(1, cents.size), col("centroid_id"))
+          .write.partitionBy("centroid_id").mode("overwrite")
+          .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+          .parquet(next)
+      case Some((coarse, members)) =>
+        // TWO-LEVEL layout: ≤ √k coarse partition dirs (group_id), fine
+        // centroid_id a range-clustered SORTED data column within — dir
+        // pruning on the probed groups, row-group pruning on the probed
+        // fine cells, and the dir count stays bounded at any k
+        require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+          "two-level layout requires dense fine ids 0..k-1")
+        val groupOf = new Array[Long](cents.size)
+        members.zipWithIndex.foreach { case (ms, g) =>
+          ms.foreach(p => groupOf(p) = g.toLong) }
+        folded
+          .withColumn("group_id", element_at(
+            typedlit(groupOf.toSeq), col("centroid_id").cast("int") + 1))
+          .repartitionByRange(math.max(1, coarse.size),
+            col("group_id"), col("centroid_id"))
+          .sortWithinPartitions("group_id", "centroid_id")
+          .write.partitionBy("group_id").mode("overwrite")
+          .options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+          .parquet(next)
+    }
     // geometry rides in the generation, written BEFORE the flip marker
     graft.storage.Encryption.dirJsonWrite(spark, uri,
-      s"$next/_centroids.json", centroidsJsonStr(cents, payload))
+      s"$next/_centroids.json", geometryJsonStr(cents, payload, twoLevel))
     graft.storage.VersionedDir.commitGuarded(fs, uri, "cells", next, before)
     // race injection: the cells-flip → inc-reset window (the
     // documented both-tiers transient)
@@ -764,13 +982,51 @@ object Similarity {
   }
 
   private def centroidsJsonStr(cents: Seq[(Long, Seq[Double])],
-      payload: Seq[String]): String = {
+      payload: Seq[String]): String =
+    geometryJsonStr(cents, payload, None)
+
+  /** [[centroidsJsonStr]] plus the optional TWO-LEVEL tables: coarse
+    * group centroids (dense ids 0..m-1) and per-group member fine
+    * POSITIONS. Readers without the keys see a flat geometry —
+    * pre-two-level indexes parse unchanged. */
+  private def geometryJsonStr(cents: Seq[(Long, Seq[Double])],
+      payload: Seq[String],
+      twoLevel: Option[(Seq[(Long, Seq[Double])], Seq[Seq[Int]])]): String = {
     import graft.core.Json._
-    JObj(Seq(
+    val base = Seq(
       "centroids" -> JArr(cents.map { case (cid, v) =>
         JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
       }),
-      "payload" -> JArr(payload.map(JStr)))).render
+      "payload" -> JArr(payload.map(JStr)))
+    val extra = twoLevel.toSeq.flatMap { case (coarse, members) => Seq(
+      "coarse" -> JArr(coarse.map { case (cid, v) =>
+        JObj(Seq("id" -> JLong(cid), "v" -> JArr(v.map(JNum(_)))))
+      }),
+      "members" -> JArr(members.map(ms =>
+        JArr(ms.map(p => JLong(p.toLong))))))
+    }
+    JObj(base ++ extra).render
+  }
+
+  /** Full persisted geometry at a resolved generation: fine centroids
+    * plus the two-level tables when present. */
+  private[graft] def indexGeometryAt(spark: org.apache.spark.sql.SparkSession,
+      uri: String, genPath: String)
+      : (Seq[(Long, Seq[Double])],
+         Option[(Seq[(Long, Seq[Double])], Seq[Seq[Int]])]) = {
+    import graft.core.Json._
+    val o = graft.core.Json.parse(graft.storage.Encryption.dirJsonRead(spark,
+      uri, metaPathFor(spark, uri, genPath))).obj
+    def table(key: String) = o(key).map(_.arr.map { c =>
+      val co = c.obj
+      co("id").get.long -> co("v").get.arr.map(_.dbl)
+    })
+    val fine = table("centroids").get
+    val twoLevel = for {
+      coarse <- table("coarse")
+      members <- o("members").map(_.arr.map(_.arr.map(_.long.toInt)))
+    } yield (coarse, members)
+    (fine, twoLevel)
   }
 
   /** Payload column list pinned at build; None for pre-payload-key
@@ -823,10 +1079,14 @@ object Similarity {
     * the statically-pruned cell scan — pushed to parquet alongside
     * the partition pruning, no join back to the corpus — and before
     * any heap fills, so filtered search returns k ELIGIBLE rows. */
+  /** `nprobeCoarse` only applies to TWO-LEVEL indexes (re-split past
+    * the flat cell ceiling): how many coarse groups the fine-cell
+    * probe searches. Clamped to [2, m]; with `nprobeCoarse = m` the
+    * probe degenerates to the exact flat selection. */
   def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, uri: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nprobe: Int = 4, rerank: Int = 0,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None, nprobeCoarse: Int = 4): DataFrame = {
     if (rerank > 0) boundRerank(spark, rerank, "ivf") // same broadcast shape
     // ONE generation resolution for geometry + cells: a re-splitting
     // major flips both together, and centroids from generation G over
@@ -836,14 +1096,32 @@ object Similarity {
     // resolutions (FlipRaceSpec — duplicates tolerated, rows never lost)
     graft.storage.FlipHooks.at("ivf.read.betweenResolves")
     val genPath = cellsPath(spark, uri)
-    val cents = indexCentroidsAt(spark, uri, genPath)
+    val (cents, twoLevel) = indexGeometryAt(spark, uri, genPath)
+    // flat geometry: O(k) probe kernel. Two-level geometry (a re-split
+    // past the flat ceiling): probe the nearest coarse groups, select
+    // the nprobe nearest fine cells among their members — O(√k) dots
+    // per query at any cell count
+    val probeCells = twoLevel match {
+      case None => probeNarrow(col("__qv"), cents, nprobe)
+      case Some((coarse, members)) =>
+        graft.functions.HierProbeK(col("__qv"), cents, coarse, members,
+          math.min(coarse.size, math.max(2, nprobeCoarse)), nprobe)
+    }
     val probes = queries
       .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .withColumn("centroid_id",
-        explode(probeNarrow(col("__qv"), cents, nprobe)))
+      .withColumn("centroid_id", explode(probeCells))
     val cellIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells0 = readCellsAllFrom(spark, uri, genPath, incPath0)
+    // two-level base leg: prune the coarse partition dirs of the
+    // probed fine cells (groups derive from the members table)
+    val baseFilter = twoLevel.map { case (_, members) =>
+      val groupOf = new Array[Long](cents.size)
+      members.zipWithIndex.foreach { case (ms, g) =>
+        ms.foreach(p => groupOf(p) = g.toLong) }
+      val groups = cellIds.map(cid => groupOf(cid.toInt)).distinct
+      col("group_id").isin(groups: _*)
+    }
+    val cells0 = readCellsAllFrom(spark, uri, genPath, incPath0, baseFilter)
       .filter(col("centroid_id").isin(cellIds: _*))
     val cells = filter.map(cells0.filter).getOrElse(cells0)
     // NO per-probe (query, neighbor) dedup, deliberately: a neighbor

@@ -272,6 +272,43 @@ class VectorKernelsSpec extends SparkSpec {
     assert(Similarity.probeDriver(v0, cents, 3) == fromKernel)
   }
 
+  test("HierProbeK == HOF two-level probe at every (nprobeCoarse, nfine); " +
+    "degenerates to flat ProbeCellsK at nprobeCoarse=m") {
+    import graft.ops.Similarity
+    val fine: Seq[(Long, Seq[Double])] = (0 until 24).map(c =>
+      c.toLong -> Seq.tabulate(8)(j => math.sin(c * 5 + j * 3)))
+    val (coarse, members) = Similarity.trainCoarse(fine, 4, spark)
+    val vecsF = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 11 + j * 7).toFloat)))
+      .toDF("id", "v")
+    val vecsD = (0 until 400).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 13 + j * 17))))
+      .toDF("id", "v")
+    for (df <- Seq(vecsF, vecsD); npc <- Seq(1, 2, 4); nf <- Seq(1, 3, 8, 40)) {
+      // nfine > candidate count: HOF slice returns all, kernel must too
+      val diff = df.select(
+          graft.functions.HierProbeK(col("v"), fine, coarse, members, npc, nf).as("k"),
+          Similarity.hierProbeHof(col("v"), fine, coarse, members, npc, nf).as("h"))
+        .filter(col("k") =!= col("h") || col("k").isNull =!= col("h").isNull)
+      assert(diff.count() == 0,
+        s"npc=$npc nf=$nf: ${diff.collect().mkString(", ")}")
+    }
+    // probing every group must equal the FLAT top-nfine selection
+    for (nf <- Seq(1, 4, 24)) {
+      val degen = vecsF.select(
+          graft.functions.HierProbeK(col("v"), fine, coarse, members,
+            coarse.size, nf).as("h"),
+          Similarity.probeNarrow(col("v"), fine, nf).as("f"))
+        .filter(col("h") =!= col("f"))
+      assert(degen.count() == 0, s"nf=$nf: ${degen.collect().mkString(", ")}")
+    }
+    // null vector nulls the row
+    val nv = Seq((0L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+      .select(graft.functions.HierProbeK(col("v"), fine, coarse, members, 2, 4))
+      .head()
+    assert(nv.isNullAt(0))
+  }
+
   test("HierAssignK == HOF two-level assignment; degenerates to flat at nprobe=m") {
     import graft.ops.Similarity
     // 24 fine centroids trained from deterministic vectors, coarse m=4
