@@ -1457,6 +1457,37 @@ object SparkEntry {
       s.range(1).select(lit(total).as("n_indexed"),
         lit(selfTop == nQ && nQ > 0).as("appended_found"))
     }),
+    // TWO-LEVEL layout gate (r18): force a re-split past a tiny flat
+    // ceiling (coarse group dirs + sorted fine data column), then
+    // assert the probe-ALL result — every group, every fine cell —
+    // equals exact brute force row-for-row, AND that the layout
+    // actually flipped (coarse tables in the geometry sidecar). The
+    // identity holds at any geometry, so it pins the whole two-level
+    // read path: group-dir pruning, fine-cell row-group pruning,
+    // HierProbeK selection, and the sidecar round-trip.
+    "knn_ivf2l_gate" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      val uri = s"$arrayBase/${sfKey(d)}/ivf2l_gate"
+      graft.storage.VFS(s).delete(uri)
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", uri, nCentroids = 8)
+      Similarity.compactIvfIndex(s, uri, resplitTargetRows = 8,
+        maxFlatCells = 16)
+      val cents = Similarity.indexCentroids(s, uri)
+      val twoLevel = graft.storage.VFS(s)
+        .readString(s"${Similarity.cellsPath(s, uri)}/_centroids.json")
+        .contains("\"coarse\"") && cents.size > 16
+      val idx = Similarity.ivfIndexTopK(s, uri, q, "vec_id", "embedding",
+        k = 10, nprobe = cents.size, nprobeCoarse = cents.size)
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10)
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
+      val mism = idx.select(cols: _*).exceptAll(brute.select(cols: _*))
+        .unionAll(brute.select(cols: _*).exceptAll(idx.select(cols: _*)))
+        .count()
+      s.range(1).select(lit(mism).as("mismatches"),
+        lit(twoLevel).as("twolevel"))
+    }),
     "knn_ivf_recall" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") < 8)
@@ -5397,6 +5428,8 @@ object SparkEntry {
       "SELECT a, b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.999"),
 
     "knn_ivf_recall" -> "SELECT true AS recall_ok",
+    "knn_ivf2l_gate" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, true AS twolevel",
     "pq_roundtrip_gate" -> ("SELECT count(*) AS n_vecs, " +
       "true AS reconstruction_ok FROM embeddings"),
     "pq_recall" -> "SELECT true AS recall_ok",

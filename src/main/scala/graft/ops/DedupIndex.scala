@@ -301,8 +301,10 @@ object DedupIndex {
     val banded = bandedRows(batch, idCol, textCol, p).localCheckpoint(true)
     // candidate pairs materialize EAGERLY (pair-scale): they feed both
     // the sig fetch and the estimate join, and without the checkpoint
-    // the broadcast subtree would re-run the bucket-table scan
-    val candidates = candidatePairs(banded, uri, p, maxProbeKeys)
+    // the broadcast subtree would re-run the bucket-table scan;
+    // materializePruned makes the whole candidate stage ONE tier pass
+    val candidates = candidatePairs(banded, uri, p, maxProbeKeys,
+        materializePruned = true)
       .localCheckpoint(true)
     // ONE narrow map-side pass of sigs/ fetches only the candidates'
     // corpus signatures (broadcast semi-join on id); the result is
@@ -538,15 +540,27 @@ object DedupIndex {
     * (probe checkpoints it eagerly, which truncates lineage). Also the
     * plan-assertion seam for specs. */
   private[graft] def candidatePairs(banded: DataFrame, uri: String, p: Params,
-      maxProbeKeys: Int): DataFrame = {
+      maxProbeKeys: Int, materializePruned: Boolean = false): DataFrame = {
     val spark = banded.sparkSession
     val probeKeys = banded.select("bucket").distinct()
       .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
     val index = readDataAll(spark, uri)
-    val pruned =
+    val pruned0 =
       if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
       else index.join(broadcast(banded.select("bucket").distinct()),
         Seq("bucket"), "left_semi")
+    // ONE tier pass per probe (r18): the probed-bucket rows feed BOTH
+    // the over-cap group counts and the pair join — un-materialized,
+    // each consumer re-scans the whole tier (the semi path's full
+    // in-memory pass ran TWICE per streaming probe, the larger half of
+    // the measured per-decade drift). The probed rows are candidate-
+    // scale (each kept group is bucket-cap bounded, over-cap residue
+    // bounded by appends since the last major), so this sits in the
+    // same deliberate batch-scale class as the banded/sig checkpoints;
+    // like those, the ContextCleaner retires it with the plan. The
+    // plan-assertion seam keeps the raw scan (materializePruned=false)
+    // so specs can see the pushdown.
+    val pruned = if (materializePruned) pruned0.localCheckpoint(true) else pruned0
     // The probe-time cap replicates the one-shot path's bucket cap
     // over corpus ∪ batch EXACTLY: a (band, bucket) group whose index
     // rows + batch rows exceed maxBucket emits no pairs (bucketedPairs

@@ -399,6 +399,35 @@ object Similarity {
         element_at(ids, i).as("id")))).getField("id")
   }
 
+  /** diagnostic seam (ScaleRehearsal): average candidate rows a probe
+    * touches per query — the boundedness number the adaptive geometry
+    * (and past the flat ceiling, the two-level layout) exists to
+    * control. Uses the same geometry-dispatched probe the real top-k
+    * runs. */
+  private[graft] def probeCandidateAvg(spark: org.apache.spark.sql.SparkSession,
+      uri: String, queries: DataFrame, queryId: String, queryVec: String,
+      nprobe: Int, nprobeCoarse: Int = 4): Double = {
+    val incPath0 = cellsIncPath(spark, uri)
+    val genPath = cellsPath(spark, uri)
+    val (cents, twoLevel) = indexGeometryAt(spark, uri, genPath)
+    val probeCells = twoLevel match {
+      case None => probeNarrow(col("__qv"), cents, nprobe)
+      case Some((coarse, members)) =>
+        graft.functions.HierProbeK(col("__qv"), cents, coarse, members,
+          math.min(coarse.size, math.max(2, nprobeCoarse)), nprobe)
+    }
+    val probes = queries
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("centroid_id", explode(probeCells))
+      .select("query_id", "centroid_id")
+    val sizes = readCellsAllFrom(spark, uri, genPath, incPath0)
+      .groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+    probes.join(sizes, Seq("centroid_id"), "left")
+      .na.fill(0, Seq("__n"))
+      .groupBy("query_id").agg(sum("__n").as("__c"))
+      .agg(avg("__c")).head().getDouble(0)
+  }
+
   /** HOF formulation of [[graft.functions.HierProbeK]] — the kernel's
     * differential oracle (same struct-sort ordering as [[probeHof]]
     * restricted to the probed groups' members). */
@@ -542,7 +571,7 @@ object Similarity {
     * the flat table): k × dim is required to stay small enough to
     * serialize with tasks. */
   private[graft] def trainCentroidsTwoLevel(corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, lloydSteps: Int = 1, trainPerCell: Int = 64)
+      vecCol: String, k: Int, lloydSteps: Int = 2, trainPerCell: Int = 64)
       : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])], Seq[Seq[Int]]) = {
     val spark = corpus.sparkSession
     val train = corpus.select(col(idCol).as("__tid"), col(vecCol).as("__tv"))
@@ -1008,16 +1037,39 @@ object Similarity {
     JObj(base ++ extra).render
   }
 
-  /** Full persisted geometry at a resolved generation: fine centroids
-    * plus the two-level tables when present. */
-  private[graft] def indexGeometryAt(spark: org.apache.spark.sql.SparkSession,
-      uri: String, genPath: String)
-      : (Seq[(Long, Seq[Double])],
-         Option[(Seq[(Long, Seq[Double])], Seq[Seq[Int]])]) = {
+  private type Geometry =
+    (Seq[(Long, Seq[Double])], Option[(Seq[(Long, Seq[Double])], Seq[Seq[Int]])])
+  private type GeometryFull = (Geometry, Option[Seq[String]])
+
+  /** Parsed-geometry memo. Geometry sidecars are immutable per
+    * GENERATION, but re-parsing one per probe is a real driver cost
+    * once re-splits grow k (a 12k-cell × 128-dim table is ~13 MB of
+    * JSON floats — measured as the dominant per-query wall at the
+    * two-level rehearsal). Keyed by path + (len, mtime) because the
+    * LEGACY sidecar path is rewritten in place by rebuilds. LRU 16 —
+    * geometries are MBs of driver heap, and an app probing more than
+    * 16 distinct generations at once is re-parse traffic, not a leak. */
+  private val geomCache =
+    new java.util.LinkedHashMap[String, GeometryFull](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, GeometryFull]): Boolean = size() > 16
+    }
+
+  private def geometryFullAt(spark: org.apache.spark.sql.SparkSession,
+      uri: String, genPath: String): GeometryFull = {
+    val metaPath = metaPathFor(spark, uri, genPath)
+    val key = {
+      val (len, mtime) = graft.storage.VFS(spark).fileStamp(metaPath)
+      s"$metaPath@$len:$mtime"
+    }
+    geomCache.synchronized {
+      val hit = geomCache.get(key)
+      if (hit != null) return hit
+    }
     import graft.core.Json._
-    val o = graft.core.Json.parse(graft.storage.Encryption.dirJsonRead(spark,
-      uri, metaPathFor(spark, uri, genPath))).obj
-    def table(key: String) = o(key).map(_.arr.map { c =>
+    val o = graft.core.Json.parse(
+      graft.storage.Encryption.dirJsonRead(spark, uri, metaPath)).obj
+    def table(tk: String) = o(tk).map(_.arr.map { c =>
       val co = c.obj
       co("id").get.long -> co("v").get.arr.map(_.dbl)
     })
@@ -1026,18 +1078,25 @@ object Similarity {
       coarse <- table("coarse")
       members <- o("members").map(_.arr.map(_.arr.map(_.long.toInt)))
     } yield (coarse, members)
-    (fine, twoLevel)
+    val geo = ((fine, twoLevel), o("payload").map(_.arr.map(_.str)))
+    geomCache.synchronized { geomCache.put(key, geo) }
+    geo
   }
 
+  /** Full persisted geometry at a resolved generation: fine centroids
+    * plus the two-level tables when present. Memoized per sidecar
+    * fingerprint (see [[geomCache]]). */
+  private[graft] def indexGeometryAt(spark: org.apache.spark.sql.SparkSession,
+      uri: String, genPath: String): Geometry =
+    geometryFullAt(spark, uri, genPath)._1
+
   /** Payload column list pinned at build; None for pre-payload-key
-    * indexes (callers fall back to schema inference once). */
+    * indexes (callers fall back to schema inference once). Rides the
+    * geometry memo — an append must not re-parse a multi-MB sidecar
+    * for a column list. */
   private def indexPayloadAt(spark: org.apache.spark.sql.SparkSession,
-      uri: String, genPath: String): Option[Seq[String]] = {
-    import graft.core.Json._
-    graft.core.Json.parse(graft.storage.Encryption.dirJsonRead(spark, uri,
-        metaPathFor(spark, uri, genPath)))
-      .obj("payload").map(_.arr.map(_.str))
-  }
+      uri: String, genPath: String): Option[Seq[String]] =
+    geometryFullAt(spark, uri, genPath)._2
 
   /** Centroids of a persisted IVF index (the LIVE generation's — see
     * [[metaPathFor]]; callers that also scan the cells should resolve
@@ -1047,15 +1106,8 @@ object Similarity {
     indexCentroidsAt(spark, uri, cellsPath(spark, uri))
 
   private def indexCentroidsAt(spark: org.apache.spark.sql.SparkSession,
-      uri: String, genPath: String): Seq[(Long, Seq[Double])] = {
-    import graft.core.Json._
-    graft.core.Json.parse(graft.storage.Encryption.dirJsonRead(spark, uri,
-        metaPathFor(spark, uri, genPath)))
-      .obj("centroids").get.arr.map { c =>
-        val o = c.obj
-        o("id").get.long -> o("v").get.arr.map(_.dbl)
-      }
-  }
+      uri: String, genPath: String): Seq[(Long, Seq[Double])] =
+    indexGeometryAt(spark, uri, genPath)._1
 
   /** Top-k against a persisted IVF index. The probed cell ids (at most
     * |queries| * nprobe, and queries are small by contract) collapse to

@@ -51,6 +51,14 @@ class VFS(conf: Configuration) {
 
   def fileSize(uri: String): Long = { val p = new Path(uri); fs(p).getFileStatus(p).getLen }
 
+  /** (length, mtime) — a cheap change fingerprint for memoizing parsed
+    * sidecars keyed by path (legacy unversioned paths get rewritten in
+    * place on rebuilds, so path alone is not a cache key). */
+  def fileStamp(uri: String): (Long, Long) = {
+    val p = new Path(uri); val st = fs(p).getFileStatus(p)
+    (st.getLen, st.getModificationTime)
+  }
+
   /** All FILE paths under `uri`, recursively (partitioned layouts nest
     * data under `col=value/` dirs). Missing dir = empty.
     *

@@ -1452,6 +1452,61 @@ object ScaleRehearsal {
       rangeCoverage(idxL, b5k, "large_b5k_rangecov")
     }
 
+    // ---- round-18: two-level IVF geometry past the flat cell cap ----
+    // At corpus/4096 > resplitTargetRows the 4096-dir flat ceiling
+    // binds and per-cell occupancy (hence per-probe candidates) grows
+    // linearly with the corpus again. The two-level layout keeps the
+    // cell count at corpus/target with <= sqrt(k) partition dirs. This
+    // arm measures the boundedness claim head-to-head at the same
+    // corpus: flat AT the cap vs two-level PAST it, same nprobe.
+    if (runOp("ivf_twolevel_scale")) {
+      val vecs = embX.select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val nVecs = vecs.count()
+      val q = vecs.orderBy(xxhash64(col("vec_id"))).limit(256)
+        .localCheckpoint(true)
+      val brute = graft.ops.Similarity.bruteForceTopK(vecs, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      def arm(tag: String, target: Long, maxFlat: Int,
+          nprobes: Seq[Int]): Unit = {
+        val uri = s"$outDir/ivf2l_$tag"
+        graft.storage.VFS(spark).delete(uri)
+        graft.ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+          uri, nCentroids = 64)
+        val tC = time(graft.ops.Similarity.compactIvfIndex(spark, uri,
+          resplitTargetRows = target, maxFlatCells = maxFlat))._2
+        val nCells = graft.ops.Similarity.indexCentroids(spark, uri).size
+        nprobes.foreach { np =>
+          val cand = graft.ops.Similarity.probeCandidateAvg(spark, uri,
+            q, "vec_id", "embedding", nprobe = np)
+          val ts = (1 to 3).map(_ => time(graft.ops.Similarity.ivfIndexTopK(
+            spark, uri, q, "vec_id", "embedding", k = 10, nprobe = np)
+            .count())._2).sorted
+          val got = graft.ops.Similarity.ivfIndexTopK(spark, uri, q,
+            "vec_id", "embedding", k = 10, nprobe = np)
+            .select("query_id", "neighbor_id")
+            .as[(Long, Long)].collect().toSet
+          val recall = (brute & got).size.toDouble / brute.size
+          println(f"[rehearsal] ivf_twolevel_scale $tag np=$np: " +
+            f"cells=$nCells candidates/query=${cand}%.0f probe median " +
+            f"${ts(1)}%.2f s recall@10=$recall%.3f resplit ${tC}%.1f s " +
+            f"(corpus $nVecs)")
+          results += s"ivf2l_${tag}_np${np}_cand" -> cand
+          results += s"ivf2l_${tag}_np${np}_probe" -> ts(1)
+          results += s"ivf2l_${tag}_np${np}_recall" -> recall
+        }
+      }
+      // flat AT the cap: target sized so wantCells lands exactly at
+      // 4096 (what the pre-r18 code did for ANY smaller target)
+      arm("flat_atcap", math.max(1L, nVecs / 4096), 4096, Seq(4))
+      // two-level PAST the cap: target 16 wants ~corpus/16 cells.
+      // np=4 shows boundedness (candidates = nprobe x target); np=12
+      // matches the flat arm's CANDIDATE budget for a fair recall row
+      arm("twolevel", 16, 4096, Seq(4, 12))
+    }
+
     // ---- round-17: CONCURRENCY rehearsal ------------------------------
     // The guarded-flip machinery is spec-tested single-threaded; this
     // arm runs it under REAL timing: two streams maintaining DIFFERENT
