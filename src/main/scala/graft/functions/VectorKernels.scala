@@ -35,6 +35,17 @@ object VectorKernels {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  /** Unit-normalized centroid matrix (zero-norm rows pass through) —
+    * THE shared convention of every centroid kernel here. The HOF
+    * differential oracles in [[graft.ops.Similarity]] deliberately
+    * re-derive it so a drift in this helper cannot hide from the
+    * differential specs. */
+  private[functions] def unitRows(
+      cs: Seq[(Long, Seq[Double])]): Array[Array[Double]] =
+    cs.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (if (n == 0) v else v.map(_ / n)).toArray
+    }.toArray
 }
 
 /** dot(a, b) as one fused loop. Mirrors
@@ -529,14 +540,11 @@ case class HierAssignK(child: Expression, fine: Seq[(Long, Seq[Double])],
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  private def unitOf(cs: Seq[(Long, Seq[Double])]): Array[Array[Double]] =
-    cs.map { case (_, v) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      (if (n == 0) v else v.map(_ / n)).toArray
-    }.toArray
-  @transient private lazy val fineUnit: Array[Array[Double]] = unitOf(fine)
+  @transient private lazy val fineUnit: Array[Array[Double]] =
+    VectorKernels.unitRows(fine)
   @transient private lazy val fineIds: Array[Long] = fine.map(_._1).toArray
-  @transient private lazy val coarseUnit: Array[Array[Double]] = unitOf(coarse)
+  @transient private lazy val coarseUnit: Array[Array[Double]] =
+    VectorKernels.unitRows(coarse)
   @transient private lazy val coarseIds: Array[Long] = coarse.map(_._1).toArray
   @transient private lazy val memberTab: Array[Array[Int]] =
     members.map(_.toArray).toArray
@@ -637,14 +645,11 @@ case class HierProbeK(child: Expression, fine: Seq[(Long, Seq[Double])],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  private def unitOf(cs: Seq[(Long, Seq[Double])]): Array[Array[Double]] =
-    cs.map { case (_, v) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      (if (n == 0) v else v.map(_ / n)).toArray
-    }.toArray
-  @transient private lazy val fineUnit: Array[Array[Double]] = unitOf(fine)
+  @transient private lazy val fineUnit: Array[Array[Double]] =
+    VectorKernels.unitRows(fine)
   @transient private lazy val fineIds: Array[Long] = fine.map(_._1).toArray
-  @transient private lazy val coarseUnit: Array[Array[Double]] = unitOf(coarse)
+  @transient private lazy val coarseUnit: Array[Array[Double]] =
+    VectorKernels.unitRows(coarse)
   @transient private lazy val coarseIds: Array[Long] = coarse.map(_._1).toArray
   @transient private lazy val memberTab: Array[Array[Int]] =
     members.map(_.toArray).toArray

@@ -302,10 +302,13 @@ object DedupIndex {
     // candidate pairs materialize EAGERLY (pair-scale): they feed both
     // the sig fetch and the estimate join, and without the checkpoint
     // the broadcast subtree would re-run the bucket-table scan;
-    // materializePruned makes the whole candidate stage ONE tier pass
-    val candidates = candidatePairs(banded, uri, p, maxProbeKeys,
-        materializePruned = true)
-      .localCheckpoint(true)
+    // materialize=true makes the whole candidate stage ONE tier pass,
+    // and the probed-rows cache is dropped the moment the pair set
+    // lands in the checkpoint
+    val (cand0, prunedHandle) =
+      candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = true)
+    val candidates = cand0.localCheckpoint(true)
+    prunedHandle.foreach(_.unpersist(blocking = false))
     // ONE narrow map-side pass of sigs/ fetches only the candidates'
     // corpus signatures (broadcast semi-join on id); the result is
     // candidate-scale, so forcing it broadcast is safe and keeps the
@@ -540,7 +543,13 @@ object DedupIndex {
     * (probe checkpoints it eagerly, which truncates lineage). Also the
     * plan-assertion seam for specs. */
   private[graft] def candidatePairs(banded: DataFrame, uri: String, p: Params,
-      maxProbeKeys: Int, materializePruned: Boolean = false): DataFrame = {
+      maxProbeKeys: Int): DataFrame =
+    candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = false)._1
+
+  /** [[candidatePairs]] plus the materialized probed-rows handle the
+    * caller must unpersist once the pairs are consumed. */
+  private def candidatePairsImpl(banded: DataFrame, uri: String, p: Params,
+      maxProbeKeys: Int, materialize: Boolean): (DataFrame, Option[DataFrame]) = {
     val spark = banded.sparkSession
     val probeKeys = banded.select("bucket").distinct()
       .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
@@ -552,15 +561,17 @@ object DedupIndex {
     // ONE tier pass per probe (r18): the probed-bucket rows feed BOTH
     // the over-cap group counts and the pair join — un-materialized,
     // each consumer re-scans the whole tier (the semi path's full
-    // in-memory pass ran TWICE per streaming probe, the larger half of
-    // the measured per-decade drift). The probed rows are candidate-
-    // scale (each kept group is bucket-cap bounded, over-cap residue
-    // bounded by appends since the last major), so this sits in the
-    // same deliberate batch-scale class as the banded/sig checkpoints;
-    // like those, the ContextCleaner retires it with the plan. The
-    // plan-assertion seam keeps the raw scan (materializePruned=false)
-    // so specs can see the pushdown.
-    val pruned = if (materializePruned) pruned0.localCheckpoint(true) else pruned0
+    // in-memory pass ran TWICE per streaming probe). The probed rows
+    // are candidate-scale (each kept group is bucket-cap bounded,
+    // over-cap residue bounded by appends since the last major).
+    // persist(), not localCheckpoint: the CacheManager handle lets the
+    // probe UNPERSIST it once the pair set materializes — a per-probe
+    // checkpoint with no handle is exactly the accumulating-cached-RDD
+    // shape the over-cap fix above removed. The plan-assertion seam
+    // keeps the raw scan (materialize=false) so specs see the pushdown.
+    val pruned = if (materialize)
+      pruned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else pruned0
     // The probe-time cap replicates the one-shot path's bucket cap
     // over corpus ∪ batch EXACTLY: a (band, bucket) group whose index
     // rows + batch rows exceed maxBucket emits no pairs (bucketedPairs
@@ -617,9 +628,10 @@ object DedupIndex {
         broadcast(spark.createDataFrame(
           java.util.Arrays.asList(overCapRows: _*), overCapPlan.schema)),
         Seq("band", "bucket"), "left_anti")
-    capped.filter(col("id") =!= col("__qid"))
+    (capped.filter(col("id") =!= col("__qid"))
       .select(col("__qid"), col("id").as("__mid"))
-      .distinct()
+      .distinct(),
+      if (materialize) Some(pruned) else None)
   }
 
   /** spec seam: the candidate-pair plan for a batch, un-checkpointed */

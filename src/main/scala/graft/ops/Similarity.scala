@@ -428,6 +428,21 @@ object Similarity {
       .agg(avg("__c")).head().getDouble(0)
   }
 
+  /** fine position → coarse group id, inverted from the members table.
+    * Requires dense fine ids 0..k-1 (the [[trainCoarse]] contract) —
+    * checked HERE so the two-level layout write and the probe's
+    * group-dir pruning share one invariant: a drift between the two
+    * would scan the wrong group dirs. */
+  private def groupOfFine(cents: Seq[(Long, Seq[Double])],
+      members: Seq[Seq[Int]]): Array[Long] = {
+    require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "two-level geometry requires dense fine ids 0..k-1")
+    val a = new Array[Long](cents.size)
+    members.zipWithIndex.foreach { case (ms, g) =>
+      ms.foreach(p => a(p) = g.toLong) }
+    a
+  }
+
   /** HOF formulation of [[graft.functions.HierProbeK]] — the kernel's
     * differential oracle (same struct-sort ordering as [[probeHof]]
     * restricted to the probed groups' members). */
@@ -578,21 +593,25 @@ object Similarity {
       .orderBy(xxhash64(col("__tid")))
       .limit(math.min(k.toLong * trainPerCell, Int.MaxValue.toLong - 1).toInt)
       .cache()
-    val fine0 = sampleCentroids(train, "__tid", "__tv", k)
-    val dim = fine0.head._2.size
-    require(fine0.size.toLong * dim <= (1L << 24),
-      s"two-level geometry too large to embed: $k cells x $dim dims " +
-        "(driver-held, task-serialized) — lower the cell count or raise " +
-        "resplitTargetRows")
-    val m = math.max(1, math.min(MaxIvfCells,
-      math.ceil(math.sqrt(fine0.size.toDouble)).toInt))
-    val refined = (0 until math.max(0, lloydSteps)).foldLeft(fine0) { (f, _) =>
-      val (c, mem) = trainCoarse(f, m, spark)
-      lloydStepHier(train.select("__tv"), "__tv", f, c, mem, nprobe = 2)
-    }
-    train.unpersist()
-    val (coarse, members) = trainCoarse(refined, m, spark)
-    (refined, coarse, members)
+    // finally, not success-path: the geometry-size require below (and
+    // any trainer failure) must not leave the sample pinned — a
+    // maintenance loop retrying the compact would accumulate the leak
+    try {
+      val fine0 = sampleCentroids(train, "__tid", "__tv", k)
+      val dim = fine0.head._2.size
+      require(fine0.size.toLong * dim <= (1L << 24),
+        s"two-level geometry too large to embed: $k cells x $dim dims " +
+          "(driver-held, task-serialized) — lower the cell count or raise " +
+          "resplitTargetRows")
+      val m = math.max(1, math.min(MaxIvfCells,
+        math.ceil(math.sqrt(fine0.size.toDouble)).toInt))
+      val refined = (0 until math.max(0, lloydSteps)).foldLeft(fine0) { (f, _) =>
+        val (c, mem) = trainCoarse(f, m, spark)
+        lloydStepHier(train.select("__tv"), "__tv", f, c, mem, nprobe = 2)
+      }
+      val (coarse, members) = trainCoarse(refined, m, spark)
+      (refined, coarse, members)
+    } finally train.unpersist()
   }
 
   /** IVF top-k: probe the `nprobe` closest centroids per query; exact
@@ -650,6 +669,7 @@ object Similarity {
     // a rebuild starts the generation ladder over — clear any prior
     // versioned cells dirs so the fresh gen-0 write is the live one
     graft.storage.VFS(corpus.sparkSession).delete(uri)
+    invalidateGeometry(uri) // the legacy sidecar path is reused in place
     // vectors ARE user data: an encrypted corpus needs its ANN index
     // (cells + centroid/codebook sidecars) encrypted; appends/compacts
     // inherit the key from the dir marker
@@ -924,11 +944,7 @@ object Similarity {
         // centroid_id a range-clustered SORTED data column within — dir
         // pruning on the probed groups, row-group pruning on the probed
         // fine cells, and the dir count stays bounded at any k
-        require(cents.zipWithIndex.forall { case ((id, _), i) => id == i },
-          "two-level layout requires dense fine ids 0..k-1")
-        val groupOf = new Array[Long](cents.size)
-        members.zipWithIndex.foreach { case (ms, g) =>
-          ms.foreach(p => groupOf(p) = g.toLong) }
+        val groupOf = groupOfFine(cents, members)
         folded
           .withColumn("group_id", element_at(
             typedlit(groupOf.toSeq), col("centroid_id").cast("int") + 1))
@@ -1055,6 +1071,18 @@ object Similarity {
           e: java.util.Map.Entry[String, GeometryFull]): Boolean = size() > 16
     }
 
+  /** Drop memoized geometry under `uri` — REQUIRED on in-place
+    * rebuilds: the legacy sidecar path is rewritten in place, and the
+    * (len, mtime) fingerprint cannot distinguish a rebuild that lands
+    * within the filesystem's mtime granularity (1 s on S3A) with a
+    * same-length JSON. Generation-riding sidecars never need this
+    * (their paths are never rewritten). */
+  private def invalidateGeometry(uri: String): Unit =
+    geomCache.synchronized {
+      val it = geomCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(uri)) it.remove()
+    }
+
   private def geometryFullAt(spark: org.apache.spark.sql.SparkSession,
       uri: String, genPath: String): GeometryFull = {
     val metaPath = metaPathFor(spark, uri, genPath)
@@ -1167,9 +1195,7 @@ object Similarity {
     // two-level base leg: prune the coarse partition dirs of the
     // probed fine cells (groups derive from the members table)
     val baseFilter = twoLevel.map { case (_, members) =>
-      val groupOf = new Array[Long](cents.size)
-      members.zipWithIndex.foreach { case (ms, g) =>
-        ms.foreach(p => groupOf(p) = g.toLong) }
+      val groupOf = groupOfFine(cents, members)
       val groups = cellIds.map(cid => groupOf(cid.toInt)).distinct
       col("group_id").isin(groups: _*)
     }
@@ -1523,6 +1549,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val codebook = trainPq(corpus, corpusId, corpusVec, m, ksub)
     graft.storage.VFS(spark).delete(uri)
+    invalidateGeometry(uri) // the legacy sidecar path is reused in place
     encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
     corpus.select(col(corpusId).as("neighbor_id"),
         pqEncode(unitNorm(col(corpusVec)), codebook).as("codes"))
@@ -1622,6 +1649,7 @@ object Similarity {
     val cents = trainCentroids(corpus, corpusId, corpusVec, nCentroids)
     val codebook = trainPq(corpus, corpusId, corpusVec, m, ksub)
     graft.storage.VFS(spark).delete(uri)
+    invalidateGeometry(uri) // the legacy sidecar path is reused in place
     encryptionKey.foreach(id => graft.storage.Encryption.markDir(spark, uri, id))
     corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__v"))
       .withColumn("centroid_id", assignNarrow(col("__v"), cents))

@@ -44,7 +44,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object TierCache {
 
-  private case class Entry(path: String, df: DataFrame)
+  private case class Entry(path: String, df: DataFrame, session: SparkSession)
 
   private val MaxEntries = 64
 
@@ -87,13 +87,55 @@ object TierCache {
     if (!enabled(spark)) return read
     val key = (System.identityHashCode(spark), slot)
     entries.synchronized {
+      sweepStopped()
       val old = entries.get(key)
-      if (old != null && old.path == path) old.df
-      else {
-        if (old != null) old.df.unpersist(blocking = false)
-        val e = Entry(path, read.persist(StorageLevel.MEMORY_AND_DISK))
-        entries.put(key, e)
-        e.df
+      if (old != null && old.path == path) {
+        graft.core.Stats.counter(spark, "tiercache.hits").add(1L)
+        return old.df
+      }
+      // counted, never silent: `refreshes` separates flip-driven
+      // re-registration from cold misses when reading a probe loop's
+      // stats dump
+      graft.core.Stats.counter(spark,
+        if (old == null) "tiercache.misses" else "tiercache.refreshes")
+        .add(1L)
+    }
+    // the relation build (file listing, schema resolution — real I/O
+    // against an object store) and the persist registration run
+    // OUTSIDE the lock: a cold miss on one index must not serialize
+    // every other session's cached probes JVM-wide
+    val fresh = read.persist(StorageLevel.MEMORY_AND_DISK)
+    entries.synchronized {
+      val again = entries.get(key)
+      if (again != null && again.path == path) {
+        // another thread registered the same generation while we
+        // listed: keep theirs, drop ours
+        fresh.unpersist(blocking = false)
+        again.df
+      } else {
+        if (again != null) again.df.unpersist(blocking = false)
+        entries.put(key, Entry(path, fresh, spark))
+        fresh
+      }
+    }
+  }
+
+  /** Drop entries whose session's context is stopped (stop/recreate
+    * patterns would otherwise pin dead generations until LRU churn —
+    * and with < MaxEntries slots touched, forever). Called under the
+    * entries lock; ≤ MaxEntries iterations. Sessions replaced WITHOUT
+    * stopping share a live context and need an explicit [[clear]]. */
+  private def sweepStopped(): Unit = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val stopped =
+        try e.getValue.session.sparkContext.isStopped
+        catch { case _: Throwable => true }
+      if (stopped) {
+        try e.getValue.df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        it.remove()
       }
     }
   }

@@ -222,6 +222,36 @@ class FlipRaceSpec extends SparkSpec {
     assert(slowPlan().count() >= 1)
   }
 
+  test("grace boundary (slow prober): an ivf inc-tier plan survives " +
+    "exactly grace=2 minor folds, like the dedup tiers") {
+    val uri = TestSession.tmpDir("fliprace-grace-ivf")
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 7 + j * 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding", uri, nCentroids = 8)
+    def appendOne(i: Long): Unit = Similarity.appendToIvfIndex(
+      Seq((900L + i, Array.tabulate(16)(j => math.sin(i * 11 + j * 5).toFloat)))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding", uri)
+    appendOne(0)
+    val q = vecs.filter($"vec_id" === 3L)
+    // the plan pins its resolved cells_inc generation at construction
+    def slowPlan() = Similarity.ivfIndexTopK(spark, uri, q, "vec_id",
+      "embedding", k = 4, nprobe = 8)
+    val p1 = slowPlan()
+    appendOne(1); Similarity.minorCompactIvfIndex(spark, uri)
+    appendOne(2); Similarity.minorCompactIvfIndex(spark, uri)
+    assert(p1.count() >= 1, "ivf probe within the grace window failed")
+    val p2 = slowPlan()
+    (3L to 5L).foreach { i =>
+      appendOne(i); Similarity.minorCompactIvfIndex(spark, uri) }
+    val e = intercept[Throwable] { p2.count() }
+    assert(causeChain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(_.contains("does not exist"))),
+      s"expected a loud missing-file failure beyond grace, got: $e")
+    assert(slowPlan().count() >= 1)
+  }
+
   test("grace boundary (slow prober): a search probe plan survives one " +
     "fold cadence, fails loudly at the second") {
     val uri = TestSession.tmpDir("fliprace-grace-search")
