@@ -54,6 +54,28 @@ class TierCacheSpec extends SparkSpec {
     assert(matches(uri, probeOmega).exists(_._2 == 3L))
   }
 
+  test("cache traffic is counted: misses on first touch, hits after, " +
+    "refreshes on a flip") {
+    val uri = TestSession.tmpDir("tiercache-counters")
+    DedupIndex.build(mkCorpus(30, "alpha"), "doc_id", "text", uri)
+    val probe = Seq((904L, docText("alpha", 5))).toDF("doc_id", "text")
+    graft.core.Stats.reset()
+    matches(uri, probe)
+    val misses0 = graft.core.Stats.counterValue("tiercache.misses")
+    assert(misses0 >= 2L, s"expected data+sigs slot misses, got $misses0")
+    matches(uri, probe)
+    assert(graft.core.Stats.counterValue("tiercache.hits") >= 2L)
+    assert(graft.core.Stats.counterValue("tiercache.misses") == misses0,
+      "steady-state probe re-registered a slot")
+    // a major flips the base generations: both slots refresh, not miss
+    DedupIndex.append(Seq((500L, docText("alpha", 7)))
+      .toDF("doc_id", "text"), "doc_id", "text", uri)
+    DedupIndex.compact(spark, uri)
+    matches(uri, probe)
+    assert(graft.core.Stats.counterValue("tiercache.refreshes") >= 2L,
+      graft.core.Stats.countersSnapshot.toString)
+  }
+
   test("opt-out: cacheBase=false never registers a cached generation") {
     val uri = TestSession.tmpDir("tiercache-off")
     graft.storage.TierCache.clear()
