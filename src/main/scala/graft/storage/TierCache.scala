@@ -40,7 +40,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Only BASE generations belong here. Inc tiers change on every
   * append and are bounded by the minor-fold cadence — they stay fresh
-  * parquet scans.
+  * parquet scans. And only NARROW tiers qualify: the dedup index's
+  * bucket/sig tables are ~0.5% of corpus bytes, so aggregate executor
+  * memory holds them at any corpus size. BM25 postings (≈ the token
+  * stream) and IVF cells (the vectors themselves) are corpus-sized —
+  * pinning them would evict everything else for a scan that path
+  * selection (postings tb= dirs) or partition pruning (probed cells)
+  * already bounds; they deliberately do NOT ride this cache.
   */
 object TierCache {
 
