@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
       shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-      : SparkSession.Builder =
-    SparkSession.builder()
+      : SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -27,6 +27,17 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       // native kernels as SQL functions (see GraftExtensions)
       .config("spark.sql.extensions", "graft.core.GraftExtensions")
+    // A/B seam for the bench tools: SPARK_GRAFT_CONF="k=v,k=v" lands
+    // extra confs on every tool's session (e.g.
+    // graft.index.cacheBase=false to bench without the tier cache)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(b) { (bb, kv) =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry needs k=v form: $kv")
+        bb.config(kv.take(i), kv.drop(i + 1))
+      }
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -118,6 +118,11 @@ object DedupIndex {
     val fs = VFS(spark)
     if (!graft.storage.TierCache.enabled(spark))
       return readFlatMulti(spark, Seq(inc, basePath))
+    // existence-guard the base leg exactly as readFlatMulti does: a
+    // crash state with no committed generation and no legacy dir
+    // (VersionedDir falls back to the nonexistent legacy path) must
+    // degrade to the inc tier, not throw AnalysisException
+    if (!fs.exists(basePath)) return readFlatMulti(spark, Seq(inc))
     val base = graft.storage.TierCache.scan(spark, s"$uri#$slot", basePath)(
       spark.read.parquet(basePath))
     // data-file check, not bare exists: a freshly-reset empty inc

@@ -1080,7 +1080,13 @@ object Similarity {
   private def invalidateGeometry(uri: String): Unit =
     geomCache.synchronized {
       val it = geomCache.keySet().iterator()
-      while (it.hasNext) if (it.next().startsWith(uri)) it.remove()
+      // path-boundary prefix: invalidating "/x/idx" must not evict
+      // "/x/idx2"'s entries (keys are "<metaPath>@len:mtime", so a
+      // sibling uri sharing the raw prefix would otherwise match)
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith(uri + "/") || k.startsWith(uri + "@")) it.remove()
+      }
     }
 
   private def geometryFullAt(spark: org.apache.spark.sql.SparkSession,

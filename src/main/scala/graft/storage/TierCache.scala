@@ -15,8 +15,9 @@ import org.apache.spark.storage.StorageLevel
   * ~zero selectivity once the probe carries more keys than the tier
   * has row groups: the ranges cover the whole domain (measured: the
   * r17 sig-fetch isin experiment regressed 66–86%, and the r18 range
-  * matrix below BASELINE.md's probe section shows ranges covering
-  * >99% of the domain at 2k probe docs). The scan itself is the cost,
+  * matrix below BASELINE.md's probe section shows 512 span-minimal
+  * ranges still covering 90.42%/95.01% of tier rows at 24k/51k probe
+  * keys). The scan itself is the cost,
   * and no predicate shape removes it.
   *
   * What DOES remove it: the tiers are immutable between maintenance
@@ -54,17 +55,19 @@ object TierCache {
 
   private val MaxEntries = 64
 
-  /** (session identity, slot) → cached generation, LRU-bounded: an
+  /** (session, slot) → cached generation, LRU-bounded: an
     * app (or test run) that touches many indexes must not pin every
     * tier it ever probed — the eldest slot is unpersisted and dropped
-    * past [[MaxEntries]]. Session identity keys keep a harness with
-    * multiple sessions from handing session A's plan to session B.
+    * past [[MaxEntries]]. The key holds the SparkSession ITSELF
+    * (reference equality — SparkSession doesn't override equals), not
+    * an identity hash: two live sessions can collide on a hash, and a
+    * collision would hand session A's cached plan to session B.
     * Access is synchronized on the map: this is plan-level traffic
     * (once per probe), never per-row. */
   private val entries =
-    new java.util.LinkedHashMap[(Int, String), Entry](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String), Entry](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), Entry]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String), Entry]): Boolean =
         size() > MaxEntries && {
           try e.getValue.df.unpersist(blocking = false)
           catch { case _: Throwable => () }
@@ -78,7 +81,11 @@ object TierCache {
     * substitutes a registered InMemoryRelation into any matching scan)
     * — call [[clear]] to drop them too. */
   def enabled(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.index.cacheBase").forall(_.toBoolean)
+    // defensive parse: only an explicit "false" opts out — a malformed
+    // value ("off", "") must not turn every subsequent probe into an
+    // IllegalArgumentException
+    !spark.conf.getOption("graft.index.cacheBase")
+      .exists(_.trim.equalsIgnoreCase("false"))
 
   /** The memoized persisted scan of `path` for `slot` (e.g.
     * `"<indexUri>#data"`). `read` builds the plain scan; it runs once
@@ -91,7 +98,7 @@ object TierCache {
   def scan(spark: SparkSession, slot: String, path: String)
       (read: => DataFrame): DataFrame = {
     if (!enabled(spark)) return read
-    val key = (System.identityHashCode(spark), slot)
+    val key = (spark, slot)
     entries.synchronized {
       sweepStopped()
       val old = entries.get(key)

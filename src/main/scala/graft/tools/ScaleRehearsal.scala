@@ -1442,7 +1442,12 @@ object ScaleRehearsal {
         val cond = starts.zip(ends)
           .map { case (s, e) => col("bucket").between(ks(s), ks(e)) }
           .reduce(_ or _)
-        val tier = spark.read.parquet(s"$idx/data")
+        // live generation, not the legacy $idx/data literal: a compact
+        // (or arm reordering after a compacting arm) deletes the legacy
+        // dir, and this diagnostic must measure the generation probes
+        // actually read
+        val tier = spark.read.parquet(
+          graft.ops.DedupIndex.liveDataPath(spark, idx))
         val frac = tier.filter(cond).count().toDouble / tier.count()
         println(f"[rehearsal] nd_probe_scale $tag: ${ks.length} keys -> " +
           f"$nRanges ranges cover ${frac * 100}%.2f%% of tier rows")
