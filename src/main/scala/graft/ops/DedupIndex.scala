@@ -220,6 +220,7 @@ object DedupIndex {
     // ($uri/data, $uri/sigs) — drop any cached generation keyed to
     // them or probes would keep serving the pre-rebuild rows
     graft.storage.TierCache.invalidate(s"$uri#")
+    graft.storage.PointIndex.invalidate(s"$uri#")
     // signatures/buckets are derived from corpus text — an encrypted
     // corpus needs its dedup index encrypted too; appends/compacts
     // inherit the key from the dir marker
@@ -314,13 +315,17 @@ object DedupIndex {
       candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = true)
     val candidates = cand0.localCheckpoint(true)
     prunedHandle.foreach(_.unpersist(blocking = false))
-    // ONE narrow map-side pass of sigs/ fetches only the candidates'
-    // corpus signatures (broadcast semi-join on id); the result is
+    // candidates' corpus signatures: point lookups on the base sigs
+    // generation (the broadcast semi-join carries NO file pruning, so
+    // the scan fallback reads the whole sigs tier per probe — the
+    // second corpus-tracking term the point path removes); inc sigs
+    // stay a fresh semi-joined scan. Either way the result is
     // candidate-scale, so forcing it broadcast is safe and keeps the
     // estimate join shuffle-free.
     val mids = candidates.select(col("__mid").as("id")).distinct()
-    val corpusSigs = readSigsAll(spark, uri)
-      .join(broadcast(mids), Seq("id"), "left_semi")
+    val corpusSigs = pointSigFetch(spark, uri, mids)
+      .getOrElse(readSigsAll(spark, uri)
+        .join(broadcast(mids), Seq("id"), "left_semi"))
       .select(col("id").as("__mid"), col("sig").as("__msig"))
     // recomputed narrow (one row per doc by construction) rather than
     // deduped out of `banded` — a dropDuplicates would ship the sig
@@ -543,6 +548,71 @@ object DedupIndex {
       Seq(liveDataPath(spark, uri), liveSigsPath(spark, uri)),
       Seq(liveDataIncPath(spark, uri), liveSigsIncPath(spark, uri)))
 
+  /** The probe's base-tier rows served by POINT LOOKUP
+    * ([[graft.storage.PointIndex]]) instead of a tier scan — the
+    * steady-state serving shape: the base generation is hashed into
+    * executor-resident maps ONCE per maintenance flip, and each probe
+    * is O(batch keys) hash lookups, independent of tier size (the scan
+    * model's cost tracked the tier — no pushdown vehicle prunes
+    * uniformly-hashed probe keys; measured, BASELINE.md r18). The inc
+    * leg stays a fresh probe-filtered scan: it changes per append and
+    * is bounded by the minor-fold cadence.
+    *
+    * Returns the exact (band, bucket) matches — a strict subset of the
+    * scan path's bucket-only filtered frame that every downstream
+    * consumer (over-cap counts joined on (band, bucket), pair join on
+    * (band, bucket)) treats identically. None → caller falls back to
+    * the scan path (`graft.index.pointProbe=false`, non-(int,long,long)
+    * tier schema, or no committed base generation).
+    *
+    * Same resolution order + race window as [[readDataAll]]: inc
+    * FIRST, so a read racing a major's base-flip → inc-reset window
+    * sees appended rows TWICE (healed by the pair distinct), never a
+    * gap. */
+  private def pointProbeRows(spark: SparkSession, uri: String,
+      banded: DataFrame): Option[DataFrame] = {
+    if (!graft.storage.PointIndex.enabled(spark)) return None
+    val fs = VFS(spark)
+    val inc = liveDataIncPath(spark, uri)
+    graft.storage.FlipHooks.at("dedup.read.betweenResolves")
+    val basePath = liveDataPath(spark, uri)
+    if (!fs.exists(basePath)) return None
+    graft.storage.PointIndex.bucketRows(spark, s"$uri#data", basePath, banded)
+      .map { baseRows =>
+        val incLive = fs.exists(inc) &&
+          graft.storage.VersionedDir.hasDataFiles(fs.lsFilesRecursive(inc).toSet)
+        if (!incLive) baseRows
+        else spark.read.parquet(inc)
+          .join(broadcast(banded.select("bucket").distinct()),
+            Seq("bucket"), "left_semi")
+          .unionByName(baseRows)
+      }
+  }
+
+  /** The probe's signature fetch as point lookups on the base sigs
+    * generation ([[graft.storage.PointIndex.sigRows]]): id-keyed hash
+    * lookups instead of the whole-tier semi-join scan. Inc sigs (one
+    * file per append, bounded by the fold cadence) keep the semi-join.
+    * Same inc-first resolution order as [[readSigsAll]]. None → scan
+    * fallback. */
+  private def pointSigFetch(spark: SparkSession, uri: String,
+      mids: DataFrame): Option[DataFrame] = {
+    if (!graft.storage.PointIndex.enabled(spark)) return None
+    val fs = VFS(spark)
+    val inc = liveSigsIncPath(spark, uri)
+    val basePath = liveSigsPath(spark, uri)
+    if (!fs.exists(basePath)) return None
+    graft.storage.PointIndex.sigRows(spark, s"$uri#sigs", basePath, mids)
+      .map { baseSigs =>
+        val incLive = fs.exists(inc) &&
+          graft.storage.VersionedDir.hasDataFiles(fs.lsFilesRecursive(inc).toSet)
+        if (!incLive) baseSigs
+        else spark.read.parquet(inc)
+          .join(broadcast(mids), Seq("id"), "left_semi")
+          .unionByName(baseSigs)
+      }
+  }
+
   /** The candidate-pair stage of [[probe]], un-checkpointed — the
     * bucket-table scan with its pushdown is visible in THIS plan
     * (probe checkpoints it eagerly, which truncates lineage). Also the
@@ -556,13 +626,16 @@ object DedupIndex {
   private def candidatePairsImpl(banded: DataFrame, uri: String, p: Params,
       maxProbeKeys: Int, materialize: Boolean): (DataFrame, Option[DataFrame]) = {
     val spark = banded.sparkSession
-    val probeKeys = banded.select("bucket").distinct()
-      .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
-    val index = readDataAll(spark, uri)
-    val pruned0 =
+    val pruned0 = pointProbeRows(spark, uri, banded).getOrElse {
+      // scan fallback (`graft.index.pointProbe=false`, non-long ids, or
+      // no committed base): probe keys pushed into the tier scan
+      val probeKeys = banded.select("bucket").distinct()
+        .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+      val index = readDataAll(spark, uri)
       if (probeKeys.length <= maxProbeKeys) index.filter(col("bucket").isin(probeKeys: _*))
       else index.join(broadcast(banded.select("bucket").distinct()),
         Seq("bucket"), "left_semi")
+    }
     // ONE tier pass per probe (r18): the probed-bucket rows feed BOTH
     // the over-cap group counts and the pair join — un-materialized,
     // each consumer re-scans the whole tier (the semi path's full

@@ -1209,10 +1209,25 @@ object ScaleRehearsal {
       var tCompact = 0.0
       var moved = 0
       val perWave = (staged.size + waves - 1) / waves
+      // deterministic arrival order (r19): FileStreamSource discovers
+      // files in MTIME order, and sub-ms rename timing used to decide
+      // which near-dup of a cross-batch pair arrived (hence survived)
+      // first — a ±0.1% survivor drift across runs that a regression
+      // diff couldn't distinguish from a real change. Stamping each
+      // staged file with a FIXED, strictly increasing mtime makes the
+      // batch sequence — and therefore the survivor set — identical
+      // across runs: two back-to-back rehearsals must now agree
+      // byte-for-byte.
+      val mtimeBase = 1600000000000L // fixed epoch; age window irrelevant
+      var stamped = 0
       try {
         staged.grouped(perWave).zipWithIndex.foreach { case (wave, w) =>
-          wave.foreach(f =>
-            fs.rename(f, s"$srcDir/${basename(f)}"))
+          wave.foreach { f =>
+            val dst = s"$srcDir/${basename(f)}"
+            fs.rename(f, dst)
+            fs.setTimes(dst, mtimeBase + stamped * 1000L)
+            stamped += 1
+          }
           moved += wave.size
           val q = mkStream(spark.readStream.schema(src.schema)
               .option("maxFilesPerTrigger", "1").parquet(srcDir),
@@ -1260,10 +1275,16 @@ object ScaleRehearsal {
       val early = med(durs.slice(5, 15))
       val late = med(durs.slice(durs.size - 10, durs.size))
       val survivors = ArrayTable.read(spark, sinkUri).count()
+      // order-independent survivor fingerprint: with the deterministic
+      // mtime stamping above, two back-to-back runs must print the
+      // SAME hash — a survivor-set regression can no longer hide in
+      // arrival-order noise
+      val survHash = ArrayTable.read(spark, sinkUri)
+        .agg(sum(xxhash64(col(keyCol)))).head().getLong(0)
       println(f"[rehearsal] $tag: ${byBatch.size} batches, " +
         f"early median $early%.2f s, late median $late%.2f s " +
         f"(late/early ${late / math.max(early, 1e-9)}%.2f), " +
-        f"survivors=$survivors, ${reportIndex(idxUri)}, " +
+        f"survivors=$survivors hash=$survHash%016x, ${reportIndex(idxUri)}, " +
         f"index bytes=${fs.du(idxUri)}, compact $tCompact%.1f s, " +
         f"total $total%.1f s")
       results += s"${tag}_early_med" -> early
@@ -1276,7 +1297,8 @@ object ScaleRehearsal {
     // compactEvery=25 + waves=1 is the r16 IN-LOOP product default —
     // the flat claim with NO external orchestration and no restarts.
     if (runOp("streaming") || runOp("streaming_compact") ||
-        runOp("streaming_inloop") || runOp("streaming_inloop_major")) {
+        runOp("streaming_inloop") || runOp("streaming_inloop_major") ||
+        runOp("streaming_inloop_major4")) {
       val src = docs.select(col("doc_id"), col("text"))
       def run(tag: String, waves: Int, compactEvery: Int): Unit =
         streamGateRehearsal(
@@ -1301,6 +1323,14 @@ object ScaleRehearsal {
       // mult=100 (500k docs) to buy the tiering claim its decade.
       if (runOp("streaming_inloop_major"))
         run("stream_nd_im", waves = 2, compactEvery = 25)
+      // r19: the STEADY-STATE shape (majors at 3 lulls — the cadence
+      // stream_sem_im4 measures): with the base tiers point-served,
+      // the only corpus-tracking term left is the inc scan, and
+      // advisory-cadence majors are exactly what bound it. This is the
+      // arm the late/early ≤1.1 claim is judged on; stream_nd_im
+      // (1 mid-run major) stays for round-over-round comparability.
+      if (runOp("streaming_inloop_major4"))
+        run("stream_nd_im4", waves = 4, compactEvery = 25)
     }
     // the SEARCH-INDEX stream under the identical protocol — the last
     // persisted-index stream without a measured per-batch curve. The
@@ -1405,9 +1435,19 @@ object ScaleRehearsal {
         println(f"[rehearsal] nd_probe_scale $tag: median ${ts(1)}%.2f s")
         results += s"nps_$tag" -> ts(1)
       }
-      // r18 default: the base tiers ride TierCache — run 1 populates,
-      // runs 2-3 are the steady state (what a streaming probe loop
-      // sees); the median reflects warm memory scans
+      // r19 default: POINT-LOOKUP serving — run 1 builds the
+      // generation's executor-resident maps, runs 2-3 are the steady
+      // state a streaming probe loop sees: O(batch) hash lookups that
+      // never scan the tier (page cache is out of the loop entirely —
+      // the flatness claim no longer depends on where the tier bytes
+      // live). FLAT small vs large is the acceptance row.
+      probeMed(idxS, b2k, 1 << 15, "small_b2k_point")
+      probeMed(idxL, b2k, 1 << 15, "large_b2k_point")
+      probeMed(idxS, b5k, 1 << 15, "small_b5k_point")
+      probeMed(idxL, b5k, 1 << 15, "large_b5k_point")
+      // r18 comparison arm: scan model with the base tier riding
+      // TierCache (warm memory scans — the cost that tracked the tier)
+      spark.conf.set("graft.index.pointProbe", "false")
       probeMed(idxS, b2k, 1 << 15, "small_b2k_isin")
       probeMed(idxL, b2k, 1 << 15, "large_b2k_isin")
       probeMed(idxL, b2k, 1, "large_b2k_semi") // forced semi, same batch
@@ -1422,6 +1462,7 @@ object ScaleRehearsal {
       probeMed(idxL, b2k, 1, "large_b2k_semi_nocache")
       probeMed(idxL, b5k, 1 << 15, "large_b5k_semi_nocache")
       spark.conf.unset("graft.index.cacheBase")
+      spark.conf.unset("graft.index.pointProbe")
       // range-pushdown coverage diagnostic: coalesce the probe's
       // bucket keys into <=512 BETWEEN ranges (cutting the 511 largest
       // gaps — the span-minimal interval cover) and report what
@@ -1510,6 +1551,48 @@ object ScaleRehearsal {
       // np=4 shows boundedness (candidates = nprobe x target); np=12
       // matches the flat arm's CANDIDATE budget for a fair recall row
       arm("twolevel", 16, 4096, Seq(4, 12))
+    }
+
+    // ---- round-19: two-level recall-vs-(nprobeCoarse, nprobe) curve --
+    // The r18 arm pinned boundedness (candidates/query = nprobe ×
+    // target past the cap) and ONE matched-budget recall sample, which
+    // trailed flat IVF by ~0.08 on the worst-case uniform-sphere
+    // embeddings. nprobeCoarse is the documented recovery dial — this
+    // arm measures the full grid so past-the-cap deployments size BOTH
+    // dials from a curve (the flat geometry got its IvfCurve table in
+    // r10; this is the two-level analogue).
+    if (runOp("ivf2l_curve")) {
+      val vecs = embX.select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      val nVecs = vecs.count()
+      val q = vecs.orderBy(xxhash64(col("vec_id"))).limit(256)
+        .localCheckpoint(true)
+      val brute = graft.ops.Similarity.bruteForceTopK(vecs, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val uri = s"$outDir/ivf2l_curve"
+      graft.storage.VFS(spark).delete(uri)
+      graft.ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+        uri, nCentroids = 64)
+      graft.ops.Similarity.compactIvfIndex(spark, uri,
+        resplitTargetRows = 16, maxFlatCells = 4096)
+      val nCells = graft.ops.Similarity.indexCentroids(spark, uri).size
+      println(s"[rehearsal] ivf2l_curve: corpus=$nVecs cells=$nCells " +
+        "(two-level), queries=256, k=10")
+      for (npc <- Seq(2, 4, 6, 8, 12); np <- Seq(4, 8, 12, 16, 24)) {
+        val got = graft.ops.Similarity.ivfIndexTopK(spark, uri, q,
+          "vec_id", "embedding", k = 10, nprobe = np, nprobeCoarse = npc)
+          .select("query_id", "neighbor_id")
+          .as[(Long, Long)].collect().toSet
+        val recall = (brute & got).size.toDouble / brute.size
+        val cand = graft.ops.Similarity.probeCandidateAvg(spark, uri,
+          q, "vec_id", "embedding", nprobe = np, nprobeCoarse = npc)
+        println(f"[rehearsal] ivf2l_curve npc=$npc%2d np=$np%2d: " +
+          f"recall@10=$recall%.4f candidates/query=$cand%.0f")
+        results += s"ivf2lc_npc${npc}_np${np}_recall" -> recall
+        results += s"ivf2lc_npc${npc}_np${np}_cand" -> cand
+      }
     }
 
     // ---- round-17: CONCURRENCY rehearsal ------------------------------

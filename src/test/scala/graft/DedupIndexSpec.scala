@@ -224,6 +224,10 @@ class DedupIndexSpec extends SparkSpec {
 
   test("probe plan: bucket isin prunes the index scan (cached: in-memory " +
     "batch stats; uncached: parquet pushdown), index never shuffles") {
+    // this test pins the SCAN fallback's plan shapes — the default
+    // point-lookup path has its own spec below
+    spark.conf.set("graft.index.pointProbe", "false")
+    try {
     // the candidate stage holds the bucket-table scan (probe
     // checkpoints it eagerly, truncating lineage in the final frame)
     val df = DedupIndex.candidatePairsFor(batch, "doc_id", "text", indexUri)
@@ -288,9 +292,12 @@ class DedupIndexSpec extends SparkSpec {
           s"bucket probe not pushed: $pushed")
       }
     } finally spark.conf.unset("graft.index.cacheBase")
+    } finally spark.conf.unset("graft.index.pointProbe")
   }
 
   test("above maxProbeKeys: semi-join path, no giant In literal, same matches") {
+    spark.conf.set("graft.index.pointProbe", "false")
+    try {
     // force the fallback with a tiny key budget — the plan must carry a
     // broadcast LEFT SEMI join on bucket instead of a literal In, and
     // the matches must be identical to the pushdown path's
@@ -317,6 +324,7 @@ class DedupIndexSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "match_id").as[(Long, Long)].collect().toSet
     assert(pairs(viaSemi) == pairs(viaIsin))
+    } finally spark.conf.unset("graft.index.pointProbe")
   }
 
   test("degenerate buckets are dropped at build, probes stay bounded") {

@@ -56,6 +56,11 @@ class TierCacheSpec extends SparkSpec {
 
   test("cache traffic is counted: misses on first touch, hits after, " +
     "refreshes on a flip") {
+    // pin the SCAN path: with the default point probe the data tier is
+    // served by PointIndex (its traffic has its own counters/spec) and
+    // only the sigs slot would ride TierCache here
+    spark.conf.set("graft.index.pointProbe", "false")
+    try {
     val uri = TestSession.tmpDir("tiercache-counters")
     DedupIndex.build(mkCorpus(30, "alpha"), "doc_id", "text", uri)
     val probe = Seq((904L, docText("alpha", 5))).toDF("doc_id", "text")
@@ -74,6 +79,7 @@ class TierCacheSpec extends SparkSpec {
     matches(uri, probe)
     assert(graft.core.Stats.counterValue("tiercache.refreshes") >= 2L,
       graft.core.Stats.countersSnapshot.toString)
+    } finally spark.conf.unset("graft.index.pointProbe")
   }
 
   test("opt-out: cacheBase=false never registers a cached generation") {
