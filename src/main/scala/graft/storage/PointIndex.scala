@@ -72,6 +72,11 @@ object PointIndex {
 
   private val MaxEntries = 32
   private val targetShardBytes = 64L << 20
+  /** Probes with ≤ this many collected key rows ride the broadcast
+    * lookup (one map-side stage, no shuffle); above it — a giant
+    * backfill batch — keys shuffle with the shard partitioner instead
+    * (no driver collect at any batch size). ~32 MB packed at the cap. */
+  private val BroadcastKeyCap = 1 << 21
 
   /** (session, slot) → served generation, LRU-bounded (mirrors
     * [[TierCache]]: session itself in the key — reference equality —
@@ -106,6 +111,17 @@ object PointIndex {
     * — a drop-in replacement for the scan path's filtered tier frame,
     * computed by hash lookup instead of a tier pass.
     *
+    * Two lookup modes, picked by probe size:
+    *  - ≤ [[BroadcastKeyCap]] distinct keys (every steady-state batch):
+    *    the keys are collected (bounded — the scan path collected up
+    *    to maxProbeKeys the same way), packed primitive, broadcast,
+    *    and looked up in ONE map-side stage over the cached shards —
+    *    no shuffle, no extra stage, locality from the persisted
+    *    partitions;
+    *  - above the cap (giant backfill batches): the keys shuffle with
+    *    the shard partitioner (batch-scale) and zip partition-wise —
+    *    no driver collect at any batch size.
+    *
     * `keys` must carry (bucket long, band int) columns. None — caller
     * falls back to the scan — when disabled or the tier's schema is
     * not the served (int, long, long) shape. */
@@ -137,42 +153,71 @@ object PointIndex {
       tmp.forEach((k, v) => m.put(k, v.toArray))
       m
     }.map { e =>
-      val part = new HashPartitioner(e.parts)
-      // ONE batch-scale shuffle: raw (bucket, band) rows co-partitioned
-      // with the maps; duplicates dedup inside the lookup task (cheaper
-      // than a distinct shuffle in front)
-      val keyRdd = keys.select(col("bucket"), col("band")).na.drop()
-        .rdd.map(r => (r.getLong(0), r.getInt(1)))
-        .partitionBy(part)
       val maps = e.rdd.asInstanceOf[RDD[BucketMap]]
-      val out: RDD[Row] = maps.zipPartitions(keyRdd) { (ms, ks) =>
-        if (!ms.hasNext) Iterator.empty
-        else {
-          val m = ms.next()
-          // exact pair-dedup (no packed-long tricks: a 64-bit bucket
-          // XOR-mixed with a band CAN collide across distinct pairs,
-          // and a collision here would silently drop a probe key)
-          val seen = scala.collection.mutable.HashSet.empty[(Long, Int)]
-          ks.flatMap { case (bucket, band) =>
-            if (!seen.add((bucket, band))) Iterator.empty
+      val kr = keys.select(col("bucket"), col("band")).na.drop()
+      val raw = kr.limit(BroadcastKeyCap + 1).collect()
+      val out: RDD[Row] =
+        if (raw.length > BroadcastKeyCap) {
+          // shuffle mode: co-partition the keys with the shards;
+          // duplicates dedup inside the lookup task
+          val keyRdd = kr.rdd.map(r => (r.getLong(0), r.getInt(1)))
+            .partitionBy(new HashPartitioner(e.parts))
+          maps.zipPartitions(keyRdd) { (ms, ks) =>
+            if (!ms.hasNext) Iterator.empty
             else {
-              val packed = m.get(bucket)
-              if (packed == null) Iterator.empty
-              else {
-                val b = new scala.collection.mutable.ArrayBuffer[Row](4)
-                var i = 0
-                while (i < packed.length) {
-                  if (packed(i) == band.toLong)
-                    b += Row(band, bucket, packed(i + 1))
-                  i += 2
-                }
-                b.iterator
+              val m = ms.next()
+              // exact pair-dedup (no packed-long tricks: a 64-bit
+              // bucket XOR-mixed with a band CAN collide across
+              // distinct pairs and silently drop a probe key)
+              val seen = scala.collection.mutable.HashSet.empty[(Long, Int)]
+              ks.flatMap { case (bucket, band) =>
+                if (!seen.add((bucket, band))) Iterator.empty
+                else bucketHits(m, bucket, band)
+              }
+            }
+          }
+        } else {
+          // broadcast mode: pack the deduped keys primitive and probe
+          // every shard in one map-side stage
+          val seen = scala.collection.mutable.HashSet.empty[(Long, Int)]
+          val buf = new scala.collection.mutable.ArrayBuffer[Long](raw.length * 2)
+          raw.foreach { r =>
+            val bucket = r.getLong(0); val band = r.getInt(1)
+            if (seen.add((bucket, band))) { buf += bucket; buf += band.toLong }
+          }
+          val packed = spark.sparkContext.broadcast(buf.toArray)
+          val parts = e.parts
+          maps.mapPartitionsWithIndex { (idx, ms) =>
+            if (!ms.hasNext) Iterator.empty
+            else {
+              val m = ms.next()
+              val arr = packed.value
+              Iterator.range(0, arr.length, 2).flatMap { i =>
+                val bucket = arr(i)
+                // must match HashPartitioner on a boxed Long exactly
+                val mod = { val h = bucket.hashCode % parts
+                  if (h < 0) h + parts else h }
+                if (mod != idx) Iterator.empty
+                else bucketHits(m, bucket, arr(i + 1).toInt)
               }
             }
           }
         }
-      }
       spark.createDataFrame(out, bucketSchema)
+    }
+  }
+
+  private def bucketHits(m: BucketMap, bucket: Long, band: Int): Iterator[Row] = {
+    val packed = m.get(bucket)
+    if (packed == null) Iterator.empty
+    else {
+      val b = new scala.collection.mutable.ArrayBuffer[Row](4)
+      var i = 0
+      while (i < packed.length) {
+        if (packed(i) == band.toLong) b += Row(band, bucket, packed(i + 1))
+        i += 2
+      }
+      b.iterator
     }
   }
 
@@ -184,7 +229,9 @@ object PointIndex {
       nullable = true)))
 
   /** The (id, sig) rows of `ids` against the base sigs tier at `path`
-    * — the candidate stage's signature fetch as hash lookups. `ids`
+    * — the candidate stage's signature fetch as hash lookups, same two
+    * lookup modes as [[bucketRows]] (candidate sets are pair-scale, so
+    * the broadcast mode is the one that ever runs in practice). `ids`
     * must carry an (id long) column. None → caller falls back to the
     * scan-with-semi-join path. */
   def sigRows(spark: SparkSession, slot: String, path: String,
@@ -217,28 +264,47 @@ object PointIndex {
       tmp.forEach((k, v) => m.put(k, v.toArray))
       m
     }.map { e =>
-      val part = new HashPartitioner(e.parts)
-      val keyRdd = ids.select(col("id")).na.drop()
-        .rdd.map(r => (r.getLong(0), ()))
-        .partitionBy(part)
       val maps = e.rdd.asInstanceOf[RDD[SigMap]]
-      val out: RDD[Row] = maps.zipPartitions(keyRdd) { (ms, ks) =>
-        if (!ms.hasNext) Iterator.empty
-        else {
-          val m = ms.next()
-          val seen = scala.collection.mutable.HashSet.empty[Long]
-          ks.flatMap { case (id, _) =>
-            if (!seen.add(id)) Iterator.empty
+      val kr = ids.select(col("id")).na.drop()
+      val raw = kr.limit(BroadcastKeyCap + 1).collect()
+      val out: RDD[Row] =
+        if (raw.length > BroadcastKeyCap) {
+          val keyRdd = kr.rdd.map(r => (r.getLong(0), ()))
+            .partitionBy(new HashPartitioner(e.parts))
+          maps.zipPartitions(keyRdd) { (ms, ks) =>
+            if (!ms.hasNext) Iterator.empty
             else {
-              val sigs = m.get(id)
-              if (sigs == null) Iterator.empty
-              else sigs.iterator.map(s => Row(id, s))
+              val m = ms.next()
+              val seen = scala.collection.mutable.HashSet.empty[Long]
+              ks.flatMap { case (id, _) =>
+                if (!seen.add(id)) Iterator.empty else sigHits(m, id)
+              }
+            }
+          }
+        } else {
+          val idArr = raw.map(_.getLong(0)).distinct
+          val packed = spark.sparkContext.broadcast(idArr)
+          val parts = e.parts
+          maps.mapPartitionsWithIndex { (idx, ms) =>
+            if (!ms.hasNext) Iterator.empty
+            else {
+              val m = ms.next()
+              packed.value.iterator.flatMap { id =>
+                val mod = { val h = id.hashCode % parts
+                  if (h < 0) h + parts else h }
+                if (mod != idx) Iterator.empty else sigHits(m, id)
+              }
             }
           }
         }
-      }
       spark.createDataFrame(out, sigSchema)
     }
+  }
+
+  private def sigHits(m: SigMap, id: Long): Iterator[Row] = {
+    val sigs = m.get(id)
+    if (sigs == null) Iterator.empty
+    else sigs.iterator.map(s => Row(id, s))
   }
 
   // ---- shared registry ----------------------------------------------
