@@ -28,8 +28,10 @@ def load(path):
     m = re.search(r'"queries":\{', txt)
     frag = txt[m.end():] if m else txt
     qs = {}
-    for k, v in re.findall(r'"([a-z0-9_]+)":([0-9.]+)', frag):
-        if k not in ("value", "sf"):
+    # full float pattern: [0-9.]+ alone would truncate 9.1e-05 to 9.1
+    for k, v in re.findall(
+            r'"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[eE][+-]?[0-9]+)?)', frag):
+        if k not in ("value", "sf", "n", "rc", "cpus", "mult"):
             qs[k] = float(v)
     return qs, cal
 

@@ -289,16 +289,22 @@ object DedupIndex {
     * (batch doc, matched corpus doc) with estimate ≥ `threshold`
     * (exact-verified ≥ threshold when `verifyWith` is given).
     *
-    * The batch's distinct bucket values are collected to the driver
-    * (≤ bands × batch rows longs) and pushed into the index scan as an
-    * `isin` predicate — file/row-group pruning by footer stats. Above
-    * `maxProbeKeys` buckets a literal In-predicate becomes a plan bomb
-    * (serialization + codegen cost dwarfs the saved IO long before
-    * 10⁶ literals), so the probe switches to a broadcast SEMI-JOIN on
-    * bucket: no driver collect, no giant literal, and the index rows
-    * outside probed buckets are still dropped map-side before the
-    * bucket-size aggregation — only footer-stat file pruning is lost.
-    * Either way: one corpus-index pass, never a corpus-text pass. */
+    * DEFAULT path (r19): the base tiers are served by POINT LOOKUP
+    * ([[graft.storage.PointIndex]]) — the batch's distinct (band,
+    * bucket) keys probe executor-resident per-generation hash maps,
+    * O(batch keys) with ZERO base-tier bytes scanned; the candidates'
+    * signatures fetch the same way by id. Only the fold-cadence-
+    * bounded INC tiers are scanned, with the probe buckets pushed as
+    * an isin literal below `maxProbeKeys` (footer-stat pruning) and a
+    * broadcast semi-join above it. Opt out with
+    * `graft.index.pointProbe=false` (also automatic for non-long id
+    * tiers), which restores the r18 SCAN model end-to-end: the probe
+    * buckets push into one base ∪ inc tier scan — isin below
+    * `maxProbeKeys` (a bigger In-literal is a plan bomb long before
+    * 10⁶ literals), broadcast semi-join above it (no driver collect,
+    * map-side drop, only footer pruning lost) — and the sig fetch is
+    * a whole-tier broadcast semi-join. Either way: never a
+    * corpus-text pass. */
   def probe(batch: DataFrame, idCol: String, textCol: String, uri: String,
       threshold: Double = 0.7, maxProbeKeys: Int = 1 << 15,
       verifyWith: Option[DataFrame] = None): DataFrame = {
@@ -570,7 +576,7 @@ object DedupIndex {
     * sees appended rows TWICE (healed by the pair distinct), never a
     * gap. */
   private def pointProbeRows(spark: SparkSession, uri: String,
-      banded: DataFrame): Option[DataFrame] = {
+      banded: DataFrame, maxProbeKeys: Int): Option[DataFrame] = {
     if (!graft.storage.PointIndex.enabled(spark)) return None
     val fs = VFS(spark)
     val inc = liveDataIncPath(spark, uri)
@@ -582,10 +588,21 @@ object DedupIndex {
         val incLive = fs.exists(inc) &&
           graft.storage.VersionedDir.hasDataFiles(fs.lsFilesRecursive(inc).toSet)
         if (!incLive) baseRows
-        else spark.read.parquet(inc)
-          .join(broadcast(banded.select("bucket").distinct()),
-            Seq("bucket"), "left_semi")
-          .unionByName(baseRows)
+        else {
+          // the inc leg keeps the scan path's pruning contract: below
+          // maxProbeKeys the probe buckets push as an isin literal
+          // (footer-stat file/row-group pruning over the fold-sorted
+          // inc files); above it, the broadcast semi-join
+          val probeKeys = banded.select("bucket").distinct()
+            .limit(maxProbeKeys + 1).collect().map(_.getLong(0))
+          val incScan = spark.read.parquet(inc)
+          val pruned =
+            if (probeKeys.length <= maxProbeKeys)
+              incScan.filter(col("bucket").isin(probeKeys: _*))
+            else incScan.join(broadcast(banded.select("bucket").distinct()),
+              Seq("bucket"), "left_semi")
+          pruned.unionByName(baseRows)
+        }
       }
   }
 
@@ -626,7 +643,7 @@ object DedupIndex {
   private def candidatePairsImpl(banded: DataFrame, uri: String, p: Params,
       maxProbeKeys: Int, materialize: Boolean): (DataFrame, Option[DataFrame]) = {
     val spark = banded.sparkSession
-    val pruned0 = pointProbeRows(spark, uri, banded).getOrElse {
+    val pruned0 = pointProbeRows(spark, uri, banded, maxProbeKeys).getOrElse {
       // scan fallback (`graft.index.pointProbe=false`, non-long ids, or
       // no committed base): probe keys pushed into the tier scan
       val probeKeys = banded.select("bucket").distinct()

@@ -875,7 +875,18 @@ object Similarity {
     * dirs, coarse/member tables riding the generation sidecar — so the
     * dir-count cap stops binding the cell count (and with it, per-cell
     * occupancy at 10⁹-row corpora). Tests shrink it to force the
-    * two-level path at spec scale. */
+    * two-level path at spec scale.
+    *
+    * OPERATING POINT past the cap (measured r19, BASELINE.md
+    * "two-level recall curve": 202k worst-case uniform-sphere vecs,
+    * 12,625 cells, recall@10 across the (nprobeCoarse, nprobe) grid):
+    * candidates/query = nprobe × target at EVERY nprobeCoarse — the
+    * coarse dial buys recall with √k-scale centroid dots, never
+    * candidate volume. `nprobeCoarse = 8` captures ~80% of the
+    * available coarse-dial recall gain (e.g. .282 → .313 at the
+    * nprobe=12 budget) and is the recommended default; the residual
+    * gap vs flat IVF at matched budget (~0.055 at npc=12 on the
+    * adversarial uniform distribution) closes at ~2× nprobe. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, uri: String,
       resplitTargetRows: Long = 0, maxFlatCells: Int = MaxIvfCells): Unit = {
     val fs = graft.storage.VFS(spark)

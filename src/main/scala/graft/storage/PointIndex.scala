@@ -72,11 +72,21 @@ object PointIndex {
 
   private val MaxEntries = 32
   private val targetShardBytes = 64L << 20
-  /** Probes with ≤ this many collected key rows ride the broadcast
-    * lookup (one map-side stage, no shuffle); above it — a giant
-    * backfill batch — keys shuffle with the shard partitioner instead
-    * (no driver collect at any batch size). ~32 MB packed at the cap. */
-  private val BroadcastKeyCap = 1 << 21
+  /** Probes with ≤ this many DISTINCT keys ride the broadcast lookup
+    * (one map-side stage, no shuffle); above it — a giant backfill
+    * batch — keys shuffle with the shard partitioner instead. Mode
+    * selection collects distinct keys with `limit(cap+1)` (the same
+    * distinct+limit+collect discipline the scan path's isin switch
+    * used), so the driver transient is bounded at ~cap rows
+    * (~16 MB packed) at ANY batch size. */
+  private val BroadcastKeyCap = 1 << 20
+
+  /** Bumped by [[invalidate]]/[[clear]]; [[serve]] re-checks it at
+    * registration so a build() that invalidates DURING an in-flight
+    * probe's tier read can never be overwritten by that probe's
+    * now-stale map (in-place rebuilds land at the IDENTICAL legacy
+    * path, so path comparison alone cannot catch this). */
+  private var invalidationEpoch = 0L
 
   /** (session, slot) → served generation, LRU-bounded (mirrors
     * [[TierCache]]: session itself in the key — reference equality —
@@ -155,7 +165,10 @@ object PointIndex {
     }.map { e =>
       val maps = e.rdd.asInstanceOf[RDD[BucketMap]]
       val kr = keys.select(col("bucket"), col("band")).na.drop()
-      val raw = kr.limit(BroadcastKeyCap + 1).collect()
+      // distinct BEFORE the limit+collect: bounds the driver transient
+      // at ~cap DISTINCT rows for any batch size (raw rows are
+      // docs × bands — unbounded)
+      val raw = kr.distinct().limit(BroadcastKeyCap + 1).collect()
       val out: RDD[Row] =
         if (raw.length > BroadcastKeyCap) {
           // shuffle mode: co-partition the keys with the shards;
@@ -177,15 +190,14 @@ object PointIndex {
             }
           }
         } else {
-          // broadcast mode: pack the deduped keys primitive and probe
-          // every shard in one map-side stage
-          val seen = scala.collection.mutable.HashSet.empty[(Long, Int)]
-          val buf = new scala.collection.mutable.ArrayBuffer[Long](raw.length * 2)
+          // broadcast mode: pack the (already distinct) keys primitive
+          // and probe every shard in one map-side stage
+          val buf = new Array[Long](raw.length * 2)
+          var w = 0
           raw.foreach { r =>
-            val bucket = r.getLong(0); val band = r.getInt(1)
-            if (seen.add((bucket, band))) { buf += bucket; buf += band.toLong }
+            buf(w) = r.getLong(0); buf(w + 1) = r.getInt(1).toLong; w += 2
           }
-          val packed = spark.sparkContext.broadcast(buf.toArray)
+          val packed = spark.sparkContext.broadcast(buf)
           val parts = e.parts
           maps.mapPartitionsWithIndex { (idx, ms) =>
             if (!ms.hasNext) Iterator.empty
@@ -266,7 +278,7 @@ object PointIndex {
     }.map { e =>
       val maps = e.rdd.asInstanceOf[RDD[SigMap]]
       val kr = ids.select(col("id")).na.drop()
-      val raw = kr.limit(BroadcastKeyCap + 1).collect()
+      val raw = kr.distinct().limit(BroadcastKeyCap + 1).collect()
       val out: RDD[Row] =
         if (raw.length > BroadcastKeyCap) {
           val keyRdd = kr.rdd.map(r => (r.getLong(0), ()))
@@ -282,8 +294,7 @@ object PointIndex {
             }
           }
         } else {
-          val idArr = raw.map(_.getLong(0)).distinct
-          val packed = spark.sparkContext.broadcast(idArr)
+          val packed = spark.sparkContext.broadcast(raw.map(_.getLong(0)))
           val parts = e.parts
           maps.mapPartitionsWithIndex { (idx, ms) =>
             if (!ms.hasNext) Iterator.empty
@@ -320,49 +331,68 @@ object PointIndex {
       (toKeyed: DataFrame => Option[RDD[(Long, P)]])
       (fold: Iterator[(Long, P)] => AnyRef): Option[Entry] = {
     val key = (spark, slot)
-    entries.synchronized {
-      sweepStopped()
-      val old = entries.get(key)
-      if (old != null && old.path == path) {
-        graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
-        return Some(old)
+    // retried when an invalidation lands mid-build: an in-place
+    // rebuild rewrites the IDENTICAL legacy path, so an in-flight
+    // build over the pre-rebuild files must never register (path
+    // comparison alone cannot catch it — hence the epoch)
+    while (true) {
+      val epoch0 = entries.synchronized {
+        sweepStopped()
+        val old = entries.get(key)
+        if (old != null && old.path == path) {
+          graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
+          return Some(old)
+        }
+        invalidationEpoch
+      }
+      // plan construction + listing OUTSIDE the lock (real I/O against
+      // an object store): a cold miss on one index must not serialize
+      // every other session's probes JVM-wide
+      val tier = spark.read.parquet(path)
+      val keyed = toKeyed(tier) match {
+        case None => return None
+        case Some(k) => k
+      }
+      val bytes = try VFS(spark).du(path) catch { case _: Throwable => 0L }
+      val parts = math.max(spark.sparkContext.defaultParallelism,
+        math.min(1 << 14, (bytes / targetShardBytes).toInt + 1))
+      val rdd = keyed
+        .partitionBy(new HashPartitioner(parts))
+        .mapPartitions(it => Iterator.single(fold(it)),
+          preservesPartitioning = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      rdd.setName(s"graft.pointindex:$slot")
+      val registered = entries.synchronized {
+        if (invalidationEpoch != epoch0) {
+          // an invalidate raced our tier read — our files may predate
+          // the rebuild; drop and re-resolve from scratch
+          rdd.unpersist(blocking = false)
+          None
+        } else {
+          val again = entries.get(key)
+          if (again != null && again.path == path) {
+            // another thread registered the same generation while we
+            // listed: keep theirs, drop ours
+            rdd.unpersist(blocking = false)
+            graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
+            Some(again)
+          } else {
+            graft.core.Stats.counter(spark,
+              if (again == null) "pointindex.misses" else "pointindex.refreshes")
+              .add(1L)
+            if (again != null) again.rdd.unpersist(blocking = false)
+            val e = Entry(path, rdd, parts, spark)
+            entries.put(key, e)
+            Some(e)
+          }
+        }
+      }
+      registered match {
+        case Some(e) => return Some(e)
+        case None => () // epoch moved: retry with fresh listing
       }
     }
-    // plan construction + listing OUTSIDE the lock (real I/O against
-    // an object store): a cold miss on one index must not serialize
-    // every other session's probes JVM-wide
-    val tier = spark.read.parquet(path)
-    val keyed = toKeyed(tier) match {
-      case None => return None
-      case Some(k) => k
-    }
-    val bytes = try VFS(spark).du(path) catch { case _: Throwable => 0L }
-    val parts = math.max(spark.sparkContext.defaultParallelism,
-      math.min(1 << 14, (bytes / targetShardBytes).toInt + 1))
-    val rdd = keyed
-      .partitionBy(new HashPartitioner(parts))
-      .mapPartitions(it => Iterator.single(fold(it)),
-        preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.setName(s"graft.pointindex:$slot")
-    entries.synchronized {
-      val again = entries.get(key)
-      if (again != null && again.path == path) {
-        // another thread registered the same generation while we
-        // listed: keep theirs, drop ours
-        rdd.unpersist(blocking = false)
-        graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
-        Some(again)
-      } else {
-        graft.core.Stats.counter(spark,
-          if (again == null) "pointindex.misses" else "pointindex.refreshes")
-          .add(1L)
-        if (again != null) again.rdd.unpersist(blocking = false)
-        val e = Entry(path, rdd, parts, spark)
-        entries.put(key, e)
-        Some(e)
-      }
-    }
+    sys.error("unreachable")
   }
 
   private def sweepStopped(): Unit = {
@@ -382,6 +412,7 @@ object PointIndex {
 
   /** Unpersist and forget everything (tests; session teardown). */
   def clear(): Unit = entries.synchronized {
+    invalidationEpoch += 1
     val it = entries.values().iterator()
     while (it.hasNext) {
       try it.next().rdd.unpersist(blocking = false)
@@ -393,6 +424,7 @@ object PointIndex {
   /** Unpersist and forget one index's slots (path-boundary prefix,
     * matching [[TierCache.invalidate]]'s discipline). */
   def invalidate(prefix: String): Unit = entries.synchronized {
+    invalidationEpoch += 1
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

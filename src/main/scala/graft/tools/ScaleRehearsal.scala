@@ -1278,9 +1278,11 @@ object ScaleRehearsal {
       // order-independent survivor fingerprint: with the deterministic
       // mtime stamping above, two back-to-back runs must print the
       // SAME hash — a survivor-set regression can no longer hide in
-      // arrival-order noise
-      val survHash = ArrayTable.read(spark, sinkUri)
-        .agg(sum(xxhash64(col(keyCol)))).head().getLong(0)
+      // arrival-order noise. bit_xor, not sum: a sum of 100k xxhash64
+      // values overflows Long and ANSI mode (Spark 4 default) throws.
+      val survHash = Option(ArrayTable.read(spark, sinkUri)
+          .agg(expr(s"bit_xor(xxhash64($keyCol))")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       println(f"[rehearsal] $tag: ${byBatch.size} batches, " +
         f"early median $early%.2f s, late median $late%.2f s " +
         f"(late/early ${late / math.max(early, 1e-9)}%.2f), " +
@@ -1455,9 +1457,13 @@ object ScaleRehearsal {
       probeMed(idxL, b5k, 1 << 15, "large_b5k_semi")
       probeMed(idxL, b5k, 1 << 17, "large_b5k_isin") // forced isin, 80k keys
       // r17 comparison arm: cache disabled AND cleared per cell — the
-      // exact disk-scan paths the r17 matrix measured
+      // exact disk-scan paths the r17 matrix measured. PointIndex is
+      // cleared too: its persisted map RDDs would otherwise pin
+      // storage memory under the disk-scan cells being compared
+      // against r17/r18 numbers measured without them
       spark.conf.set("graft.index.cacheBase", "false")
       graft.storage.TierCache.clear()
+      graft.storage.PointIndex.clear()
       probeMed(idxL, b2k, 1 << 15, "large_b2k_isin_nocache")
       probeMed(idxL, b2k, 1, "large_b2k_semi_nocache")
       probeMed(idxL, b5k, 1 << 15, "large_b5k_semi_nocache")

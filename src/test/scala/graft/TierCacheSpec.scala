@@ -24,7 +24,18 @@ class TierCacheSpec extends SparkSpec {
     DedupIndex.probe(batch, "doc_id", "text", uri, threshold = 0.5)
       .select("id", "match_id").as[(Long, Long)].collect().toSet
 
+  // the lifecycle tests pin the SCAN path explicitly: with the r19
+  // point-probe default, DedupIndex.probe never consults TierCache —
+  // unpinned, these tests would exercise PointIndex (which has its own
+  // spec) and a TierCache flip/invalidate regression would pass CI
+  // while the still-reachable fallback served stale rows
+  private def withScanPath[T](f: => T): T = {
+    spark.conf.set("graft.index.pointProbe", "false")
+    try f finally spark.conf.unset("graft.index.pointProbe")
+  }
+
   test("major compact flips the cached generation: probes track the new base") {
+    withScanPath {
     val uri = TestSession.tmpDir("tiercache-flip")
     DedupIndex.build(mkCorpus(40, "alpha"), "doc_id", "text", uri)
     val nearDup = Seq((900L, docText("alpha", 7) + " zz")).toDF("doc_id", "text")
@@ -37,9 +48,11 @@ class TierCacheSpec extends SparkSpec {
     val after = matches(uri, nearDup)
     assert(after.contains((900L, 7L)) && after.contains((900L, 500L)),
       s"stale cached generation after major flip: $after")
+    }
   }
 
   test("in-place rebuild invalidates the cached legacy generation") {
+    withScanPath {
     val uri = TestSession.tmpDir("tiercache-rebuild")
     DedupIndex.build(mkCorpus(40, "alpha"), "doc_id", "text", uri)
     val probeAlpha = Seq((901L, docText("alpha", 3))).toDF("doc_id", "text")
@@ -52,6 +65,7 @@ class TierCacheSpec extends SparkSpec {
       "probe served pre-rebuild rows from a stale cached generation")
     val probeOmega = Seq((902L, docText("omega", 3))).toDF("doc_id", "text")
     assert(matches(uri, probeOmega).exists(_._2 == 3L))
+    }
   }
 
   test("cache traffic is counted: misses on first touch, hits after, " +
