@@ -123,8 +123,23 @@ object DedupIndex {
     // (VersionedDir falls back to the nonexistent legacy path) must
     // degrade to the inc tier, not throw AnalysisException
     if (!fs.exists(basePath)) return readFlatMulti(spark, Seq(inc))
-    val base = graft.storage.TierCache.scan(spark, s"$uri#$slot", basePath)(
-      spark.read.parquet(basePath))
+    // double-residency guard (r20): when this generation's POINT maps
+    // are live ([[graft.storage.PointIndex]] serves the probe traffic),
+    // a fold/maintenance read takes the plain parquet scan instead of
+    // pinning a SECOND in-memory tier copy here — maps ~2–3× raw plus
+    // an InMemoryRelation ~1× raw is ~4× aggregate memory where ~3×
+    // serves. Maintenance reads run once per cadence, so the cold scan
+    // is the right trade. Conditioned on point serving being ENABLED:
+    // with `pointProbe=false` the scan path IS the probe path (the
+    // cache is its serving structure), even if stale maps linger from
+    // before the opt-out — and with the maps evicted, hasLive is false
+    // and the cache path is unchanged.
+    val base =
+      if (graft.storage.PointIndex.enabled(spark) &&
+          graft.storage.PointIndex.hasLive(spark, s"$uri#$slot", basePath))
+        spark.read.parquet(basePath)
+      else graft.storage.TierCache.scan(spark, s"$uri#$slot", basePath)(
+        spark.read.parquet(basePath))
     // data-file check, not bare exists: a freshly-reset empty inc
     // generation lists only its commit marker, and a parquet scan of a
     // data-file-less dir dies on schema inference
@@ -317,22 +332,38 @@ object DedupIndex {
     // materialize=true makes the whole candidate stage ONE tier pass,
     // and the probed-rows cache is dropped the moment the pair set
     // lands in the checkpoint
+    // per-probe broadcast lifecycle (r20): the point path's packed-key
+    // broadcasts are leased and DESTROYED the moment the stage that
+    // consumed them materializes — a streaming loop probing every
+    // micro-batch must not accumulate up-to-16 MB broadcast blocks
+    // between ContextCleaner GC cycles (same explicit discipline as
+    // prunedHandle below).
+    val leaseA = graft.storage.PointIndex.lease(spark)
     val (cand0, prunedHandle) =
-      candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = true)
+      candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = true,
+        lease = Some(leaseA))
     val candidates = cand0.localCheckpoint(true)
     prunedHandle.foreach(_.unpersist(blocking = false))
+    leaseA.release()
     // candidates' corpus signatures: point lookups on the base sigs
     // generation (the broadcast semi-join carries NO file pruning, so
     // the scan fallback reads the whole sigs tier per probe — the
     // second corpus-tracking term the point path removes); inc sigs
     // stay a fresh semi-joined scan. Either way the result is
     // candidate-scale, so forcing it broadcast is safe and keeps the
-    // estimate join shuffle-free.
+    // estimate join shuffle-free. Checkpointed EAGERLY (pair-scale):
+    // it bounds the sig broadcast's lifetime to this probe call (the
+    // lease destroys it here, not when the caller eventually consumes
+    // the lazy result) and keeps a caller that runs two actions on the
+    // returned frame from paying the sig fetch twice.
     val mids = candidates.select(col("__mid").as("id")).distinct()
-    val corpusSigs = pointSigFetch(spark, uri, mids)
+    val leaseB = graft.storage.PointIndex.lease(spark)
+    val corpusSigs = pointSigFetch(spark, uri, mids, Some(leaseB))
       .getOrElse(readSigsAll(spark, uri)
         .join(broadcast(mids), Seq("id"), "left_semi"))
       .select(col("id").as("__mid"), col("sig").as("__msig"))
+      .localCheckpoint(true)
+    leaseB.release()
     // recomputed narrow (one row per doc by construction) rather than
     // deduped out of `banded` — a dropDuplicates would ship the sig
     // arrays through a shuffle for nothing
@@ -478,6 +509,16 @@ object DedupIndex {
     if (graft.storage.VersionedDir.hasDataFiles(sigsIncBefore))
       graft.storage.VersionedDir.resetEmptyGuarded(fs, uri, "sigs_inc",
         sigsIncBefore, grace = 2)
+    // warm-at-flip (r20): build the NEW generations' point maps on the
+    // background warmer so the first post-flip probe finds them hot
+    // instead of paying the full tier-pass first-touch (measured 8.6 s
+    // vs ~2.7 steady at the 100× matrix). Reached only on the COMMIT
+    // path — every abort above throws before this line — and the paths
+    // re-resolve AFTER the commits, so a crashed flip never warms a
+    // stale generation.
+    graft.storage.PointIndex.warmAsync(spark,
+      (s"$uri#data", liveDataPath(spark, uri)),
+      (s"$uri#sigs", liveSigsPath(spark, uri)))
   }
 
   /** BOUNDED maintenance (r16): fold ONLY the inc tier — coalesce the
@@ -576,14 +617,16 @@ object DedupIndex {
     * sees appended rows TWICE (healed by the pair distinct), never a
     * gap. */
   private def pointProbeRows(spark: SparkSession, uri: String,
-      banded: DataFrame, maxProbeKeys: Int): Option[DataFrame] = {
+      banded: DataFrame, maxProbeKeys: Int,
+      lease: Option[graft.storage.PointIndex.Lease]): Option[DataFrame] = {
     if (!graft.storage.PointIndex.enabled(spark)) return None
     val fs = VFS(spark)
     val inc = liveDataIncPath(spark, uri)
     graft.storage.FlipHooks.at("dedup.read.betweenResolves")
     val basePath = liveDataPath(spark, uri)
     if (!fs.exists(basePath)) return None
-    graft.storage.PointIndex.bucketRows(spark, s"$uri#data", basePath, banded)
+    graft.storage.PointIndex.bucketRows(spark, s"$uri#data", basePath, banded,
+        lease)
       .map { baseRows =>
         val incLive = fs.exists(inc) &&
           graft.storage.VersionedDir.hasDataFiles(fs.lsFilesRecursive(inc).toSet)
@@ -613,13 +656,15 @@ object DedupIndex {
     * Same inc-first resolution order as [[readSigsAll]]. None → scan
     * fallback. */
   private def pointSigFetch(spark: SparkSession, uri: String,
-      mids: DataFrame): Option[DataFrame] = {
+      mids: DataFrame,
+      lease: Option[graft.storage.PointIndex.Lease]): Option[DataFrame] = {
     if (!graft.storage.PointIndex.enabled(spark)) return None
     val fs = VFS(spark)
     val inc = liveSigsIncPath(spark, uri)
     val basePath = liveSigsPath(spark, uri)
     if (!fs.exists(basePath)) return None
-    graft.storage.PointIndex.sigRows(spark, s"$uri#sigs", basePath, mids)
+    graft.storage.PointIndex.sigRows(spark, s"$uri#sigs", basePath, mids,
+        lease)
       .map { baseSigs =>
         val incLive = fs.exists(inc) &&
           graft.storage.VersionedDir.hasDataFiles(fs.lsFilesRecursive(inc).toSet)
@@ -636,14 +681,19 @@ object DedupIndex {
     * plan-assertion seam for specs. */
   private[graft] def candidatePairs(banded: DataFrame, uri: String, p: Params,
       maxProbeKeys: Int): DataFrame =
-    candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = false)._1
+    // no lease: the seam's plan stays lazy, so its point broadcasts
+    // must outlive this call — the ContextCleaner reclaims them
+    candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = false,
+      lease = None)._1
 
   /** [[candidatePairs]] plus the materialized probed-rows handle the
     * caller must unpersist once the pairs are consumed. */
   private def candidatePairsImpl(banded: DataFrame, uri: String, p: Params,
-      maxProbeKeys: Int, materialize: Boolean): (DataFrame, Option[DataFrame]) = {
+      maxProbeKeys: Int, materialize: Boolean,
+      lease: Option[graft.storage.PointIndex.Lease]): (DataFrame, Option[DataFrame]) = {
     val spark = banded.sparkSession
-    val pruned0 = pointProbeRows(spark, uri, banded, maxProbeKeys).getOrElse {
+    val pruned0 = pointProbeRows(spark, uri, banded, maxProbeKeys, lease)
+      .getOrElse {
       // scan fallback (`graft.index.pointProbe=false`, non-long ids, or
       // no committed base): probe keys pushed into the tier scan
       val probeKeys = banded.select("bucket").distinct()

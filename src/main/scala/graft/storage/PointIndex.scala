@@ -1,8 +1,9 @@
 package graft.storage
 
 import org.apache.spark.HashPartitioner
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -67,8 +68,17 @@ object PointIndex {
     * which keep surfacing per the unique-id contract). */
   private type SigMap = java.util.HashMap[java.lang.Long, Array[Array[Long]]]
 
+  /** Null-id rows of a malformed tier are kept through the lookup (the
+    * scan path keeps them too — they count toward the over-cap groups
+    * and die later at the pair stage's null-safe filter), encoded with
+    * this sentinel inside the packed arrays. The one conflation: a REAL
+    * id of Long.MinValue would surface as null — outside the layout's
+    * id domain (doc ids are non-negative or xxhash64 values; a build
+    * never writes MinValue) and strictly a malformed-input corner. */
+  private val NullIdSentinel = Long.MinValue
+
   private case class Entry(path: String, rdd: RDD[_ <: AnyRef], parts: Int,
-      session: SparkSession)
+      session: SparkSession, seq: Long)
 
   private val MaxEntries = 32
   private val targetShardBytes = 64L << 20
@@ -77,8 +87,9 @@ object PointIndex {
     * batch — keys shuffle with the shard partitioner instead. Mode
     * selection collects distinct keys with `limit(cap+1)` (the same
     * distinct+limit+collect discipline the scan path's isin switch
-    * used), so the driver transient is bounded at ~cap rows
-    * (~16 MB packed) at ANY batch size. */
+    * used) as PRIMITIVE arrays (typed encoders, never boxed Rows), so
+    * the driver transient is bounded at ~16 MB packed at ANY batch
+    * size. */
   private val BroadcastKeyCap = 1 << 20
 
   /** Bumped by [[invalidate]]/[[clear]]; [[serve]] re-checks it at
@@ -87,6 +98,48 @@ object PointIndex {
     * now-stale map (in-place rebuilds land at the IDENTICAL legacy
     * path, so path comparison alone cannot catch this). */
   private var invalidationEpoch = 0L
+
+  /** Monotonic resolution stamp handed to each build when it reads the
+    * epoch: at registration a build only REPLACES an entry whose stamp
+    * is older — a probe that resolved the pre-flip generation path and
+    * finished building after a newer registration must not reinstall
+    * the older generation (it would thrash full tier-pass builds around
+    * every major flip). The late build still serves ITS probe — the
+    * generation that probe resolved — via an unregistered entry. */
+  private var registrationSeq = 0L
+
+  /** Tracks the per-probe broadcasts a probe creates so the caller can
+    * DESTROY them the moment the probe's result is materialized —
+    * a long-lived streaming loop must not accumulate up-to-16 MB
+    * broadcast blocks between ContextCleaner GC cycles. Callers that
+    * keep the probe plan lazy (spec seams) pass no lease and lean on
+    * the ContextCleaner, which remains correct, just slower to
+    * reclaim. Creation/destruction are counted
+    * (`pointindex.bcast_created` / `pointindex.bcast_destroyed`) so a
+    * probe-loop rehearsal can assert flatness. */
+  final class Lease private[PointIndex] (spark: SparkSession) {
+    private val bs =
+      new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+    private[PointIndex] def track(b: Broadcast[_]): Unit = {
+      bs.add(b)
+      graft.core.Stats.counter(spark, "pointindex.bcast_created").add(1L)
+    }
+    /** Destroy every tracked broadcast. Call ONLY after every plan
+      * that references them has materialized (checkpoint/collect):
+      * a destroyed broadcast fails any later job that still needs it. */
+    def release(): Unit = {
+      var b = bs.poll()
+      while (b != null) {
+        try {
+          b.destroy()
+          graft.core.Stats.counter(spark, "pointindex.bcast_destroyed").add(1L)
+        } catch { case _: Throwable => () } // already destroyed / ctx down
+        b = bs.poll()
+      }
+    }
+  }
+
+  def lease(spark: SparkSession): Lease = new Lease(spark)
 
   /** (session, slot) → served generation, LRU-bounded (mirrors
     * [[TierCache]]: session itself in the key — reference equality —
@@ -109,12 +162,61 @@ object PointIndex {
     !spark.conf.getOption("graft.index.pointProbe")
       .exists(_.trim.equalsIgnoreCase("false"))
 
+  /** Whether `path`'s generation is currently served for (session,
+    * slot) — the readers' seam for avoiding DOUBLE residency: a fold/
+    * maintenance scan of a tier whose point maps are live should read
+    * plain parquet, not pin a second in-memory copy through
+    * [[TierCache]] (maps ~2–3× raw + InMemoryRelation ~1× raw is ~4×
+    * aggregate memory where ~3× serves). */
+  private[graft] def hasLive(spark: SparkSession, slot: String,
+      path: String): Boolean = entries.synchronized {
+    val e = entries.get((spark, slot))
+    e != null && e.path == path
+  }
+
   // ---- bucket tier ---------------------------------------------------
 
   private val bucketSchema = StructType(Seq(
     StructField("band", IntegerType, nullable = true),
     StructField("bucket", LongType, nullable = true),
     StructField("id", LongType, nullable = true)))
+
+  /** (bucket → (band, id)) rows of a servable bucket tier, or None.
+    * Null handling mirrors the scan path's EFFECTIVE filter exactly:
+    * null-bucket rows drop (an isin/semi-join on bucket never matches
+    * null); null-band rows drop (provably invisible downstream on both
+    * paths — a (null, bucket) group never joins the batch counts and
+    * never joins the pair stage); null-ID rows are KEPT (they count
+    * toward the probe's over-cap groups on the scan path) via
+    * [[NullIdSentinel]]. */
+  private def bucketKeyed(tier: DataFrame): Option[RDD[(Long, (Int, Long))]] = {
+    val f = tier.schema.fields
+    val servable = f.length == 3 &&
+      f(0).name == "band" && f(0).dataType == IntegerType &&
+      f(1).name == "bucket" && f(1).dataType == LongType &&
+      f(2).name == "id" && f(2).dataType == LongType
+    if (!servable) None
+    else Some(tier.select("bucket", "band", "id").na.drop(Seq("bucket", "band"))
+      .rdd.map(r => (r.getLong(0),
+        (r.getInt(1), if (r.isNullAt(2)) NullIdSentinel else r.getLong(2)))))
+  }
+
+  private def bucketFold(it: Iterator[(Long, (Int, Long))]): AnyRef = {
+    val tmp = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Long]]()
+    it.foreach { case (bucket, (band, id)) =>
+      var b = tmp.get(bucket)
+      if (b == null) {
+        b = new scala.collection.mutable.ArrayBuffer[Long](4)
+        tmp.put(bucket, b)
+      }
+      b += band.toLong
+      b += id
+    }
+    val m: BucketMap = new java.util.HashMap(math.max(16, tmp.size() * 2))
+    tmp.forEach((k, v) => m.put(k, v.toArray))
+    m
+  }
 
   /** Exact (band, bucket) matches of `keys` against the base bucket
     * tier at `path`, as rows with the tier's (band, bucket, id) schema
@@ -134,41 +236,23 @@ object PointIndex {
     *
     * `keys` must carry (bucket long, band int) columns. None — caller
     * falls back to the scan — when disabled or the tier's schema is
-    * not the served (int, long, long) shape. */
+    * not the served (int, long, long) shape. Pass a [[Lease]] to
+    * reclaim the probe's broadcast eagerly once the result is
+    * materialized (no lease → ContextCleaner GC reclaims it). */
   def bucketRows(spark: SparkSession, slot: String, path: String,
-      keys: DataFrame): Option[DataFrame] = {
+      keys: DataFrame, lease: Option[Lease] = None): Option[DataFrame] = {
     if (!enabled(spark)) return None
-    serve(spark, slot, path) { tier =>
-      val f = tier.schema.fields
-      val servable = f.length == 3 &&
-        f(0).name == "band" && f(0).dataType == IntegerType &&
-        f(1).name == "bucket" && f(1).dataType == LongType &&
-        f(2).name == "id" && f(2).dataType == LongType
-      if (!servable) None
-      else Some(tier.select("bucket", "band", "id").na.drop()
-        .rdd.map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))))
-    } { it =>
-      val tmp = new java.util.HashMap[java.lang.Long,
-        scala.collection.mutable.ArrayBuffer[Long]]()
-      it.foreach { case (bucket, (band, id)) =>
-        var b = tmp.get(bucket)
-        if (b == null) {
-          b = new scala.collection.mutable.ArrayBuffer[Long](4)
-          tmp.put(bucket, b)
-        }
-        b += band.toLong
-        b += id
-      }
-      val m: BucketMap = new java.util.HashMap(math.max(16, tmp.size() * 2))
-      tmp.forEach((k, v) => m.put(k, v.toArray))
-      m
-    }.map { e =>
+    serve(spark, slot, path)(bucketKeyed)(bucketFold).map { e =>
       val maps = e.rdd.asInstanceOf[RDD[BucketMap]]
       val kr = keys.select(col("bucket"), col("band")).na.drop()
       // distinct BEFORE the limit+collect: bounds the driver transient
       // at ~cap DISTINCT rows for any batch size (raw rows are
-      // docs × bands — unbounded)
-      val raw = kr.distinct().limit(BroadcastKeyCap + 1).collect()
+      // docs × bands — unbounded). Typed primitive collect: a Row
+      // collect at the cap would transiently hold ~10× the packed
+      // bytes in boxed fields + Row overhead.
+      val raw = kr.distinct().limit(BroadcastKeyCap + 1)
+        .as[(Long, Int)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
+        .collect()
       val out: RDD[Row] =
         if (raw.length > BroadcastKeyCap) {
           // shuffle mode: co-partition the keys with the shards;
@@ -194,10 +278,11 @@ object PointIndex {
           // and probe every shard in one map-side stage
           val buf = new Array[Long](raw.length * 2)
           var w = 0
-          raw.foreach { r =>
-            buf(w) = r.getLong(0); buf(w + 1) = r.getInt(1).toLong; w += 2
+          raw.foreach { case (bucket, band) =>
+            buf(w) = bucket; buf(w + 1) = band.toLong; w += 2
           }
           val packed = spark.sparkContext.broadcast(buf)
+          lease.foreach(_.track(packed))
           val parts = e.parts
           maps.mapPartitionsWithIndex { (idx, ms) =>
             if (!ms.hasNext) Iterator.empty
@@ -226,7 +311,10 @@ object PointIndex {
       val b = new scala.collection.mutable.ArrayBuffer[Row](4)
       var i = 0
       while (i < packed.length) {
-        if (packed(i) == band.toLong) b += Row(band, bucket, packed(i + 1))
+        if (packed(i) == band.toLong) {
+          val id = packed(i + 1)
+          b += Row(band, bucket, if (id == NullIdSentinel) null else id)
+        }
         i += 2
       }
       b.iterator
@@ -240,6 +328,39 @@ object PointIndex {
     StructField("sig", ArrayType(LongType, containsNull = false),
       nullable = true)))
 
+  /** (id → sig) rows of a servable sigs tier, or None. Null-id rows
+    * drop (the scan path's semi-join on id never matches null); null
+    * sigs are kept as null payloads (parity with the scanned frame). */
+  private def sigKeyed(tier: DataFrame): Option[RDD[(Long, Array[Long])]] = {
+    val f = tier.schema.fields
+    val servable = f.length == 2 &&
+      f(0).name == "id" && f(0).dataType == LongType &&
+      f(1).name == "sig" &&
+      f(1).dataType.isInstanceOf[ArrayType] &&
+      f(1).dataType.asInstanceOf[ArrayType].elementType == LongType
+    if (!servable) None
+    else Some(tier.na.drop(Seq("id"))
+      .rdd.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else r.getSeq[Long](1).toArray)))
+  }
+
+  private def sigFold(it: Iterator[(Long, Array[Long])]): AnyRef = {
+    val tmp = new java.util.HashMap[java.lang.Long,
+      scala.collection.mutable.ArrayBuffer[Array[Long]]]()
+    it.foreach { case (id, sig) =>
+      var b = tmp.get(id)
+      if (b == null) {
+        b = new scala.collection.mutable.ArrayBuffer[Array[Long]](1)
+        tmp.put(id, b)
+      }
+      b += sig
+    }
+    val m: SigMap = new java.util.HashMap(math.max(16, tmp.size() * 2))
+    tmp.forEach((k, v) => m.put(k, v.toArray))
+    m
+  }
+
   /** The (id, sig) rows of `ids` against the base sigs tier at `path`
     * — the candidate stage's signature fetch as hash lookups, same two
     * lookup modes as [[bucketRows]] (candidate sets are pair-scale, so
@@ -247,38 +368,13 @@ object PointIndex {
     * must carry an (id long) column. None → caller falls back to the
     * scan-with-semi-join path. */
   def sigRows(spark: SparkSession, slot: String, path: String,
-      ids: DataFrame): Option[DataFrame] = {
+      ids: DataFrame, lease: Option[Lease] = None): Option[DataFrame] = {
     if (!enabled(spark)) return None
-    serve(spark, slot, path) { tier =>
-      val f = tier.schema.fields
-      val servable = f.length == 2 &&
-        f(0).name == "id" && f(0).dataType == LongType &&
-        f(1).name == "sig" &&
-        f(1).dataType.isInstanceOf[ArrayType] &&
-        f(1).dataType.asInstanceOf[ArrayType].elementType == LongType
-      if (!servable) None
-      else Some(tier.na.drop(Seq("id"))
-        .rdd.map(r => (r.getLong(0),
-          if (r.isNullAt(1)) null
-          else r.getSeq[Long](1).toArray)))
-    } { it =>
-      val tmp = new java.util.HashMap[java.lang.Long,
-        scala.collection.mutable.ArrayBuffer[Array[Long]]]()
-      it.foreach { case (id, sig) =>
-        var b = tmp.get(id)
-        if (b == null) {
-          b = new scala.collection.mutable.ArrayBuffer[Array[Long]](1)
-          tmp.put(id, b)
-        }
-        b += sig
-      }
-      val m: SigMap = new java.util.HashMap(math.max(16, tmp.size() * 2))
-      tmp.forEach((k, v) => m.put(k, v.toArray))
-      m
-    }.map { e =>
+    serve(spark, slot, path)(sigKeyed)(sigFold).map { e =>
       val maps = e.rdd.asInstanceOf[RDD[SigMap]]
       val kr = ids.select(col("id")).na.drop()
-      val raw = kr.distinct().limit(BroadcastKeyCap + 1).collect()
+      val raw = kr.distinct().limit(BroadcastKeyCap + 1)
+        .as[Long](Encoders.scalaLong).collect()
       val out: RDD[Row] =
         if (raw.length > BroadcastKeyCap) {
           val keyRdd = kr.rdd.map(r => (r.getLong(0), ()))
@@ -294,7 +390,8 @@ object PointIndex {
             }
           }
         } else {
-          val packed = spark.sparkContext.broadcast(raw.map(_.getLong(0)))
+          val packed = spark.sparkContext.broadcast(raw)
+          lease.foreach(_.track(packed))
           val parts = e.parts
           maps.mapPartitionsWithIndex { (idx, ms) =>
             if (!ms.hasNext) Iterator.empty
@@ -318,6 +415,43 @@ object PointIndex {
     else sigs.iterator.map(s => Row(id, s))
   }
 
+  // ---- warm-at-flip ---------------------------------------------------
+
+  private lazy val warmer = java.util.concurrent.Executors
+    .newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-pointindex-warmer")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Testing/rehearsal seam: the most recent [[warmAsync]] submission
+    * (await it for deterministic post-flip assertions). */
+  @volatile private[graft] var lastWarm: java.util.concurrent.Future[_] = null
+
+  /** Build + MATERIALIZE the generation maps for a bucket and a sigs
+    * slot on a background daemon thread — called by maintenance right
+    * after a major flip COMMITS (never on the abort path: the caller
+    * resolves the paths after `commitGuarded` returns), so the first
+    * post-flip probe finds warm maps instead of paying the full
+    * tier-pass build (measured: 8.6 s first-touch vs ~2.7 steady at
+    * the 100× matrix). One warmer thread, so stacked flips queue
+    * rather than competing; failures are swallowed — warming is an
+    * optimization, the probe path builds on demand regardless. */
+  private[graft] def warmAsync(spark: SparkSession,
+      bucket: (String, String), sigs: (String, String)): Unit = {
+    if (!enabled(spark)) return
+    lastWarm = warmer.submit(new Runnable {
+      def run(): Unit = {
+        try {
+          serve(spark, bucket._1, bucket._2)(bucketKeyed)(bucketFold)
+            .foreach(_.rdd.count())
+          serve(spark, sigs._1, sigs._2)(sigKeyed)(sigFold)
+            .foreach(_.rdd.count())
+        } catch { case _: Throwable => () }
+      }
+    })
+  }
+
   // ---- shared registry ----------------------------------------------
 
   /** The generation's map RDD, built once per (session, slot, path):
@@ -336,14 +470,15 @@ object PointIndex {
     // build over the pre-rebuild files must never register (path
     // comparison alone cannot catch it — hence the epoch)
     while (true) {
-      val epoch0 = entries.synchronized {
+      val (epoch0, seq0) = entries.synchronized {
         sweepStopped()
         val old = entries.get(key)
         if (old != null && old.path == path) {
           graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
           return Some(old)
         }
-        invalidationEpoch
+        registrationSeq += 1
+        (invalidationEpoch, registrationSeq)
       }
       // plan construction + listing OUTSIDE the lock (real I/O against
       // an object store): a cold miss on one index must not serialize
@@ -376,19 +511,37 @@ object PointIndex {
             rdd.unpersist(blocking = false)
             graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
             Some(again)
+          } else if (again != null && again.seq > seq0) {
+            // flip-adjacent ordering race: a probe that resolved the
+            // NEW generation registered while we were still building
+            // the one WE resolved pre-flip. Keep the newer map; serve
+            // our in-flight probe from the local build, unregistered
+            // and unpersisted (its job recomputes lineage-wise — one
+            // uncached pass, correct for the generation it resolved).
+            rdd.unpersist(blocking = false)
+            graft.core.Stats.counter(spark, "pointindex.stale_skips").add(1L)
+            Some(Entry(path, rdd, parts, spark, seq0))
           } else {
             graft.core.Stats.counter(spark,
               if (again == null) "pointindex.misses" else "pointindex.refreshes")
               .add(1L)
             if (again != null) again.rdd.unpersist(blocking = false)
-            val e = Entry(path, rdd, parts, spark)
+            val e = Entry(path, rdd, parts, spark, seq0)
             entries.put(key, e)
             Some(e)
           }
         }
       }
       registered match {
-        case Some(e) => return Some(e)
+        case Some(e) =>
+          // the generation's bytes now live in the point maps — drop
+          // any TierCache copy of the same slot so fold/maintenance
+          // readers don't pin a SECOND in-memory tier (they re-check
+          // hasLive and read plain parquet; see DedupIndex.readTiered).
+          // Outside the entries lock: fixed PointIndex→TierCache lock
+          // order, never nested.
+          TierCache.release(spark, slot)
+          return Some(e)
         case None => () // epoch moved: retry with fresh listing
       }
     }

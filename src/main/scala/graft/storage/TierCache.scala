@@ -153,6 +153,21 @@ object TierCache {
     }
   }
 
+  /** Unpersist and forget ONE session's slot — called when the slot's
+    * generation registers executor-resident point maps
+    * ([[PointIndex]]): the maps supersede the cached scan for probe
+    * traffic, and keeping both pins ~4× the tier bytes where ~3×
+    * serves. Scoped to the session (another session without point maps
+    * keeps its cache) and idempotent. */
+  private[storage] def release(spark: SparkSession, slot: String): Unit =
+    entries.synchronized {
+      val e = entries.remove((spark, slot))
+      if (e != null) {
+        try e.df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
+
   /** Unpersist and forget every cached generation (tests; session
     * teardown). */
   def clear(): Unit = entries.synchronized {

@@ -1601,6 +1601,102 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- round-20: two-level recall on a CLUSTERED distribution ------
+    // The r19 grid ran on the uniform sphere — the adversarial case for
+    // ANY coarse quantizer (every cell boundary is equally plausible, so
+    // a wrong coarse pick always costs real neighbors). Real embedding
+    // corpora are clustered; this arm synthesizes a hash-deterministic
+    // mixture (128 centers, per-coordinate noise ~0.35 of center scale
+    // → within-cluster cosine ~0.9, cross-cluster ~0) at the SAME
+    // corpus size and re-measures the matched-budget rows beside flat
+    // IVF, pinning the "gap is smaller on real data" claim with a
+    // number (BASELINE.md r19 grid's closing sentence).
+    if (runOp("ivf2l_clustered")) {
+      val dim = 64
+      val nCenters = 128
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count() * mult
+      // hash → [-1, 1), deterministic per (cols): centers keyed by
+      // (cluster, coord), noise by (vec, coord)
+      def h11(cols: org.apache.spark.sql.Column*) =
+        (pmod(xxhash64(cols: _*), lit(2000000L)) - lit(1000000L)) / 1000000.0
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            (h11(pmod(col("id"), lit(nCenters)), j) +
+              lit(0.35) * h11(col("id"), j, lit(7))).cast("float"))
+            .as("embedding"))
+        .localCheckpoint(true)
+      val q = vecs.orderBy(xxhash64(col("vec_id"))).limit(256)
+        .localCheckpoint(true)
+      val brute = graft.ops.Similarity.bruteForceTopK(vecs, "vec_id",
+        "embedding", q, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      def clusteredArm(tag: String, target: Long, maxFlat: Int,
+          cells2: Seq[(Int, Int)]): Unit = { // (npc, np)
+        val uri = s"$outDir/ivf2l_clus_$tag"
+        graft.storage.VFS(spark).delete(uri)
+        graft.ops.Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+          uri, nCentroids = 64)
+        graft.ops.Similarity.compactIvfIndex(spark, uri,
+          resplitTargetRows = target, maxFlatCells = maxFlat)
+        val nCells = graft.ops.Similarity.indexCentroids(spark, uri).size
+        cells2.foreach { case (npc, np) =>
+          val got = graft.ops.Similarity.ivfIndexTopK(spark, uri, q,
+            "vec_id", "embedding", k = 10, nprobe = np, nprobeCoarse = npc)
+            .select("query_id", "neighbor_id")
+            .as[(Long, Long)].collect().toSet
+          val recall = (brute & got).size.toDouble / brute.size
+          val cand = graft.ops.Similarity.probeCandidateAvg(spark, uri,
+            q, "vec_id", "embedding", nprobe = np, nprobeCoarse = npc)
+          println(f"[rehearsal] ivf2l_clustered $tag npc=$npc np=$np: " +
+            f"cells=$nCells recall@10=$recall%.4f candidates/query=$cand%.0f " +
+            f"(corpus $n)")
+          results += s"ivf2lclus_${tag}_npc${npc}_np${np}_recall" -> recall
+          results += s"ivf2lclus_${tag}_npc${npc}_np${np}_cand" -> cand
+        }
+      }
+      // flat AT the cap (npc unused by flat geometry) vs two-level past
+      // it at the SAME candidate budgets as the r18/r19 uniform rows:
+      // flat np=4 ≈ two-level np=12 ≈ ~195 candidates/query
+      clusteredArm("flat", math.max(1L, n / 4096), 4096, Seq((4, 4)))
+      clusteredArm("twolevel", 16, 4096,
+        Seq((8, 4), (8, 12), (8, 24), (12, 12)))
+    }
+
+    // ---- round-20: probe-loop broadcast lifecycle ---------------------
+    // The point path creates up to two packed-key broadcasts per probe
+    // (bucket keys + candidate ids). r20 leases them and DESTROYS each
+    // (blocking — blocks removed synchronously, driver value included)
+    // the moment its consuming stage materializes. This arm runs a
+    // 100-batch probe loop — the streaming steady-state shape — and
+    // checks created == destroyed THROUGHOUT: with blocking destroy,
+    // that equality IS a flat broadcast-block count (nothing awaits the
+    // ContextCleaner).
+    if (runOp("probe_loop")) {
+      val uri = s"$outDir/probeloop_idx"
+      graft.storage.VFS(spark).delete(uri)
+      graft.ops.DedupIndex.build(docs, "doc_id", "text", uri)
+      val b = docs.limit(500)
+        .select((col("doc_id") + lit(9L << 44)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      graft.ops.DedupIndex.probe(b, "doc_id", "text", uri, 0.6).count() // warm maps
+      graft.core.Stats.reset()
+      val t0 = System.nanoTime()
+      (1 to 100).foreach { i =>
+        graft.ops.DedupIndex.probe(b, "doc_id", "text", uri, 0.6).count()
+        if (i % 20 == 0) {
+          val s = graft.core.Stats.countersSnapshot
+          val c = s.getOrElse("pointindex.bcast_created", 0L)
+          val d = s.getOrElse("pointindex.bcast_destroyed", 0L)
+          println(s"[rehearsal] probe_loop batch $i: bcast created=$c destroyed=$d")
+          require(c == d, s"broadcast accumulation at batch $i: $c created, $d destroyed")
+        }
+      }
+      val tLoop = (System.nanoTime() - t0) / 1e9
+      results += "probe_loop_100" -> tLoop
+      println(f"[rehearsal] probe_loop: 100 probes in $tLoop%.1f s, broadcasts flat")
+    }
+
     // ---- round-17: CONCURRENCY rehearsal ------------------------------
     // The guarded-flip machinery is spec-tested single-threaded; this
     // arm runs it under REAL timing: two streams maintaining DIFFERENT

@@ -124,6 +124,84 @@ class PointIndexSpec extends SparkSpec {
     assert(m.contains(("probe-1", "doc-4")), m.toString)
   }
 
+  test("a major flip WARMS the new generation's maps: the first " +
+    "post-flip probe is a hit, never a rebuild") {
+    val uri = TestSession.tmpDir("pointindex-warm")
+    DedupIndex.build(mkCorpus(40, "theta"), "doc_id", "text", uri)
+    val probe = Seq((900L, docText("theta", 7) + " zz")).toDF("doc_id", "text")
+    assert(matches(uri, probe).contains((900L, 7L))) // maps populated
+    DedupIndex.append(Seq((500L, docText("theta", 7)))
+      .toDF("doc_id", "text"), "doc_id", "text", uri)
+    DedupIndex.compact(spark, uri)
+    // the flip schedules an async warm; await it, then the first probe
+    // against the new generation must find warm maps (hits only)
+    val f = graft.storage.PointIndex.lastWarm
+    assert(f != null, "compact scheduled no warm")
+    f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    graft.core.Stats.reset()
+    assert(matches(uri, probe).contains((900L, 500L)))
+    val snap = graft.core.Stats.countersSnapshot
+    assert(snap.getOrElse("pointindex.hits", 0L) >= 2L, snap.toString)
+    assert(snap.getOrElse("pointindex.misses", 0L) == 0L &&
+      snap.getOrElse("pointindex.refreshes", 0L) == 0L,
+      s"first post-flip probe rebuilt instead of riding the warm: $snap")
+  }
+
+  test("per-probe broadcasts are leased and destroyed: created == " +
+    "destroyed across a probe loop (no accumulation)") {
+    val uri = TestSession.tmpDir("pointindex-lease")
+    DedupIndex.build(mkCorpus(40, "iota"), "doc_id", "text", uri)
+    val probe = Seq((900L, docText("iota", 3) + " zz")).toDF("doc_id", "text")
+    matches(uri, probe) // maps + fixtures warm
+    graft.core.Stats.reset()
+    (0 until 5).foreach(_ => matches(uri, probe))
+    val snap = graft.core.Stats.countersSnapshot
+    val created = snap.getOrElse("pointindex.bcast_created", 0L)
+    // both probe terms (bucket + sig lookups) ride leased broadcasts
+    assert(created >= 10L, snap.toString)
+    assert(created == snap.getOrElse("pointindex.bcast_destroyed", 0L),
+      s"leaked probe broadcasts: $snap")
+  }
+
+  test("live point maps release the slot's TierCache entry and keep " +
+    "fold reads off it (no double tier residency)") {
+    val uri = TestSession.tmpDir("pointindex-residency")
+    DedupIndex.build(mkCorpus(40, "kappa"), "doc_id", "text", uri)
+    val probe = Seq((900L, docText("kappa", 3) + " zz")).toDF("doc_id", "text")
+    matches(uri, probe) // point maps register (and release TierCache)
+    graft.core.Stats.reset()
+    // maintenance-style reads of both tiers: with the point maps live
+    // they must take the plain parquet scan — no TierCache traffic
+    DedupIndex.readDataAll(spark, uri).count()
+    DedupIndex.readSigsAll(spark, uri).count()
+    val snap = graft.core.Stats.countersSnapshot
+    assert(snap.getOrElse("tiercache.misses", 0L) == 0L &&
+      snap.getOrElse("tiercache.hits", 0L) == 0L &&
+      snap.getOrElse("tiercache.refreshes", 0L) == 0L,
+      s"fold read registered TierCache beside live point maps: $snap")
+  }
+
+  test("malformed-tier null handling matches the scan path's effective " +
+    "filter: null buckets/bands drop, null ids survive as null rows") {
+    val path = TestSession.tmpDir("pointindex-nulls")
+    val rows = Seq(
+      (java.lang.Integer.valueOf(1), java.lang.Long.valueOf(10L), java.lang.Long.valueOf(100L)),
+      (java.lang.Integer.valueOf(1), java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Integer], java.lang.Long.valueOf(10L), java.lang.Long.valueOf(101L)),
+      (java.lang.Integer.valueOf(2), null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(102L)))
+      .toDF("band", "bucket", "id")
+    rows.write.parquet(path)
+    val keys = Seq((10L, 1)).toDF("bucket", "band")
+    val served = graft.storage.PointIndex
+      .bucketRows(spark, s"$path#t", path, keys).get.collect()
+    // probed (band=1, bucket=10): the real id AND the null-id row (the
+    // scan path keeps it — it counts toward over-cap groups); the
+    // null-band and null-bucket rows are invisible on both paths
+    assert(served.length == 2, served.mkString(";"))
+    assert(served.exists(r => !r.isNullAt(2) && r.getLong(2) == 100L))
+    assert(served.exists(r => r.isNullAt(2)), served.mkString(";"))
+  }
+
   test("duplicate rows across tiers (crash window) emit no duplicate " +
     "pairs through the point path") {
     val uri = TestSession.tmpDir("pointindex-dup")
