@@ -41,8 +41,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * At cluster scale this is the idiomatic Spark serving shape: the map
   * partitions live in aggregate executor memory (the dedup bucket tier
-  * is ~0.5% of corpus bytes, the sig tier ~512 B/doc; in-memory maps
-  * ~2–3× raw), `zipPartitions` tasks inherit locality preferences from
+  * is ~0.5% of corpus bytes, the sig tier ~512 B/doc; the
+  * [[LongArenaMap]] shards are ~3× raw tier bytes in flat primitive
+  * arrays — measured 44 B/row at 512M rows — with O(1) heap objects
+  * per shard), `zipPartitions` tasks inherit locality preferences from
   * the persisted partitions, and `MEMORY_AND_DISK` makes eviction a
   * spill, never an OOM and never a wrong answer. Shard count scales
   * with tier bytes (~[[targetShardBytes]] per shard), so one shard is
@@ -62,11 +64,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object PointIndex {
 
-  /** bucket → interleaved (band, id) pairs. One map per partition. */
-  private type BucketMap = java.util.HashMap[java.lang.Long, Array[Long]]
-  /** id → its signature rows (>1 only for changed-text re-appends,
-    * which keep surfacing per the unique-id contract). */
-  private type SigMap = java.util.HashMap[java.lang.Long, Array[Array[Long]]]
+  /** bucket → (band, id) pair records; id → length-prefixed signature
+    * rows (>1 row only for changed-text re-appends, which keep
+    * surfacing per the unique-id contract). Both are [[LongArenaMap]]s
+    * — flat primitive arrays, ~3× raw tier bytes, O(1) heap objects
+    * per shard (the r19 `java.util.HashMap` shape was ~5× with one
+    * node+box+array per tier row — GC-hostile at tier scale and the
+    * fold transient OOM'd real heaps). */
+  private type BucketMap = LongArenaMap
+  private type SigMap = LongArenaMap
 
   /** Null-id rows of a malformed tier are kept through the lookup (the
     * scan path keeps them too — they count toward the over-cap groups
@@ -202,20 +208,9 @@ object PointIndex {
   }
 
   private def bucketFold(it: Iterator[(Long, (Int, Long))]): AnyRef = {
-    val tmp = new java.util.HashMap[java.lang.Long,
-      scala.collection.mutable.ArrayBuffer[Long]]()
-    it.foreach { case (bucket, (band, id)) =>
-      var b = tmp.get(bucket)
-      if (b == null) {
-        b = new scala.collection.mutable.ArrayBuffer[Long](4)
-        tmp.put(bucket, b)
-      }
-      b += band.toLong
-      b += id
-    }
-    val m: BucketMap = new java.util.HashMap(math.max(16, tmp.size() * 2))
-    tmp.forEach((k, v) => m.put(k, v.toArray))
-    m
+    val b = new LongArenaMap.Builder
+    it.foreach { case (bucket, (band, id)) => b.add2(bucket, band.toLong, id) }
+    b.result()
   }
 
   /** Exact (band, bucket) matches of `keys` against the base bucket
@@ -305,14 +300,16 @@ object PointIndex {
   }
 
   private def bucketHits(m: BucketMap, bucket: Long, band: Int): Iterator[Row] = {
-    val packed = m.get(bucket)
-    if (packed == null) Iterator.empty
+    val start = m.payloadStart(bucket)
+    if (start < 0) Iterator.empty
     else {
+      val len = m.payloadLen(start)
       val b = new scala.collection.mutable.ArrayBuffer[Row](4)
-      var i = 0
-      while (i < packed.length) {
-        if (packed(i) == band.toLong) {
-          val id = packed(i + 1)
+      var i = start + 1
+      val end = start + 1 + len
+      while (i < end) { // (band, id) pair records
+        if (m.payload(i) == band.toLong) {
+          val id = m.payload(i + 1)
           b += Row(band, bucket, if (id == NullIdSentinel) null else id)
         }
         i += 2
@@ -346,19 +343,9 @@ object PointIndex {
   }
 
   private def sigFold(it: Iterator[(Long, Array[Long])]): AnyRef = {
-    val tmp = new java.util.HashMap[java.lang.Long,
-      scala.collection.mutable.ArrayBuffer[Array[Long]]]()
-    it.foreach { case (id, sig) =>
-      var b = tmp.get(id)
-      if (b == null) {
-        b = new scala.collection.mutable.ArrayBuffer[Array[Long]](1)
-        tmp.put(id, b)
-      }
-      b += sig
-    }
-    val m: SigMap = new java.util.HashMap(math.max(16, tmp.size() * 2))
-    tmp.forEach((k, v) => m.put(k, v.toArray))
-    m
+    val b = new LongArenaMap.Builder
+    it.foreach { case (id, sig) => b.addRow(id, sig) }
+    b.result()
   }
 
   /** The (id, sig) rows of `ids` against the base sigs tier at `path`
@@ -410,9 +397,34 @@ object PointIndex {
   }
 
   private def sigHits(m: SigMap, id: Long): Iterator[Row] = {
-    val sigs = m.get(id)
-    if (sigs == null) Iterator.empty
-    else sigs.iterator.map(s => Row(id, s))
+    val start = m.payloadStart(id)
+    if (start < 0) Iterator.empty
+    else new Iterator[Row] {
+      private val end = start + 1 + m.payloadLen(start)
+      private var i = start + 1
+      def hasNext: Boolean = i < end
+      def next(): Row = { // length-prefixed rows; -1 = null signature
+        val l = m.payload(i).toInt
+        if (l < 0) { i += 1; Row(id, null) }
+        else {
+          val arr = new Array[Long](l)
+          var j = 0
+          while (j < l) { arr(j) = m.payload(i + 1 + j); j += 1 }
+          i += 1 + l
+          Row(id, arr)
+        }
+      }
+    }
+  }
+
+  /** Measured heap bytes of a served slot's map shards (diagnostics/
+    * bench evidence for the ~3×-raw-tier-bytes claim; runs one cheap
+    * job over the cached shards). */
+  private[graft] def mapFootprint(spark: SparkSession,
+      slot: String): Option[Long] = {
+    val e = entries.synchronized(Option(entries.get((spark, slot))))
+    e.map(_.rdd.asInstanceOf[RDD[LongArenaMap]]
+      .map(_.footprintBytes).sum().toLong)
   }
 
   // ---- warm-at-flip ---------------------------------------------------

@@ -103,7 +103,10 @@ object ProbeCrossover {
         val slot = s"xover#$rows"
         val (n0, tBuild) = time(graft.storage.PointIndex
           .bucketRows(spark, slot, tierPath, kdf).get.count())
-        println(f"[xover] point rows=$rows build+probe $tBuild%.3f s (matched=$n0)")
+        val mapBytes = graft.storage.PointIndex.mapFootprint(spark, slot)
+          .getOrElse(0L)
+        println(f"[xover] point rows=$rows build+probe $tBuild%.3f s " +
+          f"(matched=$n0, map_bytes=$mapBytes)")
         val ts = (0 until runs).map { i =>
           val lease = graft.storage.PointIndex.lease(spark)
           val (n, t) = time(graft.storage.PointIndex
