@@ -339,12 +339,17 @@ object DedupIndex {
     // between ContextCleaner GC cycles (same explicit discipline as
     // prunedHandle below).
     val leaseA = graft.storage.PointIndex.lease(spark)
-    val (cand0, prunedHandle) =
-      candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = true,
-        lease = Some(leaseA))
-    val candidates = cand0.localCheckpoint(true)
-    prunedHandle.foreach(_.unpersist(blocking = false))
-    leaseA.release()
+    // finally-released: a failed checkpoint job must not leak the
+    // tracked broadcasts until ContextCleaner GC (release is
+    // idempotent and swallows already-destroyed)
+    val candidates = try {
+      val (cand0, prunedHandle) =
+        candidatePairsImpl(banded, uri, p, maxProbeKeys, materialize = true,
+          lease = Some(leaseA))
+      val c = cand0.localCheckpoint(true)
+      prunedHandle.foreach(_.unpersist(blocking = false))
+      c
+    } finally leaseA.release()
     // candidates' corpus signatures: point lookups on the base sigs
     // generation (the broadcast semi-join carries NO file pruning, so
     // the scan fallback reads the whole sigs tier per probe — the
@@ -358,12 +363,13 @@ object DedupIndex {
     // returned frame from paying the sig fetch twice.
     val mids = candidates.select(col("__mid").as("id")).distinct()
     val leaseB = graft.storage.PointIndex.lease(spark)
-    val corpusSigs = pointSigFetch(spark, uri, mids, Some(leaseB))
-      .getOrElse(readSigsAll(spark, uri)
-        .join(broadcast(mids), Seq("id"), "left_semi"))
-      .select(col("id").as("__mid"), col("sig").as("__msig"))
-      .localCheckpoint(true)
-    leaseB.release()
+    val corpusSigs = try {
+      pointSigFetch(spark, uri, mids, Some(leaseB))
+        .getOrElse(readSigsAll(spark, uri)
+          .join(broadcast(mids), Seq("id"), "left_semi"))
+        .select(col("id").as("__mid"), col("sig").as("__msig"))
+        .localCheckpoint(true)
+    } finally leaseB.release()
     // recomputed narrow (one row per doc by construction) rather than
     // deduped out of `banded` — a dropDuplicates would ship the sig
     // arrays through a shuffle for nothing

@@ -337,9 +337,20 @@ object PointIndex {
       f(1).dataType.asInstanceOf[ArrayType].elementType == LongType
     if (!servable) None
     else Some(tier.na.drop(Seq("id"))
-      .rdd.map(r => (r.getLong(0),
-        if (r.isNullAt(1)) null
-        else r.getSeq[Long](1).toArray)))
+      .rdd.map { r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) null
+          else {
+            // element-wise null guard: a malformed containsNull=true
+            // tier must not NPE the build task (the columnar scan path
+            // reads a null element's slot as 0 — mirror that)
+            val s = r.getAs[scala.collection.Seq[java.lang.Long]](1)
+            val out = new Array[Long](s.length)
+            var i = 0
+            s.foreach { v => out(i) = if (v == null) 0L else v.longValue; i += 1 }
+            out
+          })
+      })
   }
 
   private def sigFold(it: Iterator[(Long, Array[Long])]): AnyRef = {
@@ -482,15 +493,26 @@ object PointIndex {
     // build over the pre-rebuild files must never register (path
     // comparison alone cannot catch it — hence the epoch)
     while (true) {
-      val (epoch0, seq0) = entries.synchronized {
+      val (hit, epoch0, seq0) = entries.synchronized {
         sweepStopped()
         val old = entries.get(key)
         if (old != null && old.path == path) {
           graft.core.Stats.counter(spark, "pointindex.hits").add(1L)
-          return Some(old)
+          (old, 0L, 0L)
+        } else {
+          registrationSeq += 1
+          (null, invalidationEpoch, registrationSeq)
         }
-        registrationSeq += 1
-        (invalidationEpoch, registrationSeq)
+      }
+      if (hit != null) {
+        // released on HITS too, not just at registration: a fold read
+        // that raced an in-flight build can pass its hasLive=false
+        // check, then register a TierCache copy AFTER our registration
+        // released the slot — without this, maps + InMemoryRelation
+        // stay co-resident until the next flip. Per-probe plan-level
+        // traffic; the release is an idempotent map remove.
+        TierCache.release(spark, slot)
+        return Some(hit)
       }
       // plan construction + listing OUTSIDE the lock (real I/O against
       // an object store): a cold miss on one index must not serialize

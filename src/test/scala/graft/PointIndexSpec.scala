@@ -202,6 +202,19 @@ class PointIndexSpec extends SparkSpec {
     assert(served.exists(r => r.isNullAt(2)), served.mkString(";"))
   }
 
+  test("sig tier with null ELEMENTS inside an array builds and serves " +
+    "(no NPE; null slots read as 0, matching the columnar scan)") {
+    val path = TestSession.tmpDir("pointindex-signulls")
+    Seq((1L, Seq[java.lang.Long](7L, null, 3L)),
+        (2L, Seq[java.lang.Long](9L)))
+      .toDF("id", "sig").write.parquet(path)
+    val served = graft.storage.PointIndex
+      .sigRows(spark, s"$path#s", path, Seq(1L, 2L).toDF("id")).get
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(served(1L) == List(7L, 0L, 3L), served.toString)
+    assert(served(2L) == List(9L))
+  }
+
   test("duplicate rows across tiers (crash window) emit no duplicate " +
     "pairs through the point path") {
     val uri = TestSession.tmpDir("pointindex-dup")
