@@ -435,8 +435,20 @@ object Dedup {
     * is a safety net (log2 of any real edge count), not a cliff. */
   def dupClusters(pairs: DataFrame, driverLimit: Long = 1L << 20,
       driverByteLimit: Long = 256L << 20): DataFrame = {
+    // localCheckpoint, not cache(): cached plans keep the static
+    // shuffle-partition count (spark.sql.optimizer.
+    // canChangeCachedPlanOutputPartitioning defaults false, so AQE
+    // cannot coalesce them), which made every round-1 star leg run its
+    // map side over numShufflePartitions near-empty partitions — the
+    // profiled cost of dedup_star_gate was five ~64-task stages of pure
+    // per-task overhead on a KB-scale edge list. The checkpoint
+    // materializes the AQE-coalesced partitioning (size-adaptive: tiny
+    // edge lists collapse to a task or two, 100 TB edge lists keep
+    // their width) and its blocks are ContextCleaner-reclaimed like
+    // every other checkpoint in this pipeline. Same MEMORY_AND_DISK
+    // storage as cache(), minus the CacheManager pinning.
     val edges0 = pairs.select(col("a"), col("b"))
-      .filter(col("a") =!= col("b")).distinct().cache()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
     // One stats job decides the path. Row count alone under-estimates
     // driver pressure for wide string ids (URLs, content hashes): 1M
     // edges of 200-char URLs is ~1 GB of Row objects, so the byte
@@ -456,12 +468,13 @@ object Dedup {
         // two boxed longs in a Row + two HashMap nodes: ~128B/edge
         (c, c * 128)
       }
-    val out =
-      if (n <= driverLimit && bytes <= driverByteLimit)
-        driverUnionFind(pairs.sparkSession, edges0)
-      else starClusters(edges0)
-    edges0.unpersist()
-    out
+    // edges0's checkpoint blocks are reclaimed by the ContextCleaner
+    // once the frame is unreferenced (the returned frame never reads
+    // them: union-find collected already; the star path reads the last
+    // round's own checkpoint)
+    if (n <= driverLimit && bytes <= driverByteLimit)
+      driverUnionFind(pairs.sparkSession, edges0)
+    else starClusters(edges0)
   }
 
   /** Driver-side union-find over a collected edge list: path-compressed

@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * north-star sense.
   *
   * Scale design (the 100 TB story):
-  *  - the postings build is ONE map-side-combined shuffle
-  *    (`groupBy(doc_id, term)`) — tf and dl come out of the same
-  *    aggregation, so document length never needs a second
-  *    corpus-sized join;
+  *  - the postings build is SHUFFLE-FREE: term frequency and document
+  *    length are row-local facts, counted inside the row by the
+  *    [[graft.functions.TermCounts]] kernel — no corpus-sized exchange
+  *    at all (previously one `groupBy(doc_id, term)` shuffle);
   *  - document-frequency (df) stays corpus-side; the query-term
   *    table (tiny by definition) is BROADCAST into it, so the
   *    vocabulary table never shuffles;
@@ -40,16 +40,23 @@ object Search {
     filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   /** Inverted index: one row per (doc, term) with the term frequency
-    * and the document length riding along (same aggregation, no
-    * second join). Columns: doc_id, term, tf (long), dl (long). */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"), termsOf(col(textCol)).as("__t"))
-    toks
-      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
-        explode(col("__t")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-  }
+    * and the document length riding along. Columns: doc_id, term,
+    * tf (long), dl (long).
+    *
+    * Term frequency is a row-local fact, so it is counted INSIDE the
+    * row by the [[graft.functions.TermCounts]] kernel — the old
+    * `explode + groupBy(doc_id, term)` shape paid a full exchange of
+    * one row per distinct (doc, term) per map partition plus the
+    * Java-regex token split; this plan is a pure narrow
+    * Project -> Generate with zero shuffles (guide §2.3/2.4).
+    * Output rows are identical (kernel-vs-expression tokenization
+    * equality pinned by TermCountsSpec). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TermCounts(lower(col(textCol)))).as("__e"))
+      .select(col("doc_id"), col("__e.term").as("term"),
+        col("__e.tf").as("tf"), col("__e.dl").as("dl"))
 
   /** Exact integer corpus stats: (nDocs, sum of doc lengths). One
     * tiny job; division into avgdl happens ONCE on the driver so both
@@ -79,7 +86,7 @@ object Search {
       requireAllTerms: Boolean = false): DataFrame = {
     // The postings frame feeds THREE consumers (df aggregation, the
     // scoring join, sumDl) — without materialization each one re-runs
-    // the tokenize + groupBy subtree (measured 23 s -> 8 s at the 10x
+    // the tokenize + count subtree (measured 23 s -> 8 s at the 10x
     // rehearsal, 50k docs). localCheckpoint, not cache, for the same
     // CacheManager-pinning reason as minhashNearDups; pass false on
     // long-lived clusters where executor loss must not fail the job
