@@ -1952,7 +1952,8 @@ object SparkEntry {
     // parser; DuckDB recomputes the exact dims and pixel mean.
     "media_decode_ppm" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val (w, h) = (8, 4)
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
         val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
@@ -1969,7 +1970,8 @@ object SparkEntry {
     // DuckDB's closed-form per-frame means
     "media_frames" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val w = 6 + (id % 4).toInt; val h = 3 + (id % 2).toInt
         val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
         val b0 = ((7 * id) % 160).toInt
@@ -1997,7 +1999,8 @@ object SparkEntry {
     // frame's mean is a closed form DuckDB replays.
     "media_frames_composited" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val w = 6 + (id % 4).toInt; val h = 4
         val nf = 2 + (id % 3).toInt
         val base = (((id % 200).toInt) << 16) |
@@ -2023,7 +2026,8 @@ object SparkEntry {
     // DuckDB replays from the planted gradient
     "media_image_features" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val (w, h) = (8, 4)
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
         val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
@@ -2049,7 +2053,8 @@ object SparkEntry {
             ((40 + 20 * f + (id % 8).toInt) << 16) | ((60 + 10 * f) << 8) | 80)
         }
       }
-      val docs = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val docs = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long]
       val media = docs.map { id =>
         Multimodal.MediaRow(id,
           graft.tools.MediaFixtures.mjpegAvi(plantJpegs(id)), "video", "avi")
@@ -2090,7 +2095,8 @@ object SparkEntry {
     // decode, filter and re-encode in one pass
     "media_resize" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val w = 8 + 2 * (id % 4).toInt
         val h = 4 + 2 * (id % 2).toInt
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -2107,7 +2113,8 @@ object SparkEntry {
     // DuckDB recomputes every bit from the planted pixel formula
     "media_dhash" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val (w, h) = (8, 4)
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
         val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
@@ -2120,7 +2127,8 @@ object SparkEntry {
     // source at hamming 0 through the banded 64-bit pipeline
     "media_dhash_gate" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long]
         .flatMap { id =>
           val (w, h) = (8, 4)
           val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -2150,7 +2158,8 @@ object SparkEntry {
     // mean matches the formula bit-exactly.
     "media_decode_png" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
         // channel bases ≤159 and x ≤22 keep every sample <256 (no wrap)
         val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
@@ -2182,7 +2191,8 @@ object SparkEntry {
     // oracles), so this doubles as an in-oracle conformance check
     "media_decode_tiff" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
         val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
         val b0 = ((7 * id) % 160).toInt
@@ -2204,7 +2214,8 @@ object SparkEntry {
     // palette images, so the mean matches bit-exactly.
     "media_decode_gif" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val w = 8 + (id % 16).toInt; val h = 4 + (id % 8).toInt
         val r0 = (id % 160).toInt; val g0 = ((3 * id) % 160).toInt
         val b0 = ((7 * id) % 160).toInt
@@ -2238,7 +2249,8 @@ object SparkEntry {
     // DuckDB recomputes all 64 bits from the planted sample formula
     "media_audio_fp" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
@@ -2260,7 +2272,8 @@ object SparkEntry {
     }),
     "media_decode_wav" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
@@ -2289,7 +2302,8 @@ object SparkEntry {
     // every output sample from the planting formula
     "media_wav_resample" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
@@ -2332,7 +2346,8 @@ object SparkEntry {
     // block means
     "media_xresample" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val src = (id % 3).toInt // 0 = aiff pcm16, 1 = au ulaw, 2 = wav alaw
@@ -2388,7 +2403,8 @@ object SparkEntry {
     // recomputes every field from the same formulas.
     "media_video_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val usPerFrame = 20000 + (id % 10).toInt * 1000
         val frames = 100 + (id % 100).toInt
         val w = 320 + (id % 8).toInt * 16
@@ -2415,7 +2431,8 @@ object SparkEntry {
     // channel/duration from the same planting formulas
     "media_audio_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val brIdx = 1 + (id % 14).toInt
         val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx - 1)
         val srIdx = (id % 3).toInt
@@ -2455,7 +2472,8 @@ object SparkEntry {
     // mean_level is value-exact, not a smoke check.
     "media_mp3_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val mono = id % 2 == 0
         val channels = if (mono) 1 else 2
         val frames = 2 + (id % 4).toInt
@@ -2503,7 +2521,8 @@ object SparkEntry {
     // mean from the planting formulas
     "media_aiff_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = Seq(8000, 11025, 22050, 44100)((id % 4).toInt)
         val bits = Seq(8, 16, 24, 32)((id % 4).toInt)
@@ -2545,7 +2564,8 @@ object SparkEntry {
     // formula — DuckDB replays the exact expansion arithmetic
     "media_au_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val enc = Seq(2, 3, 4, 5, 1)((id % 5).toInt) // s8..s32, then u-law
@@ -2584,7 +2604,8 @@ object SparkEntry {
     // replays BOTH expansions arithmetically
     "media_wav_g711" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val fmt = if (id % 2 == 0) 7 else 6 // u-law / a-law
@@ -2615,7 +2636,8 @@ object SparkEntry {
     // f64, and DuckDB's doubles), so the replay is value-exact
     "media_wav_float" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val bits = if (id % 2 == 0) 32 else 64
@@ -2654,7 +2676,8 @@ object SparkEntry {
     // replayed by DuckDB
     "media_aifc_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = Seq(8000, 11025, 22050, 44100)((id % 4).toInt)
         val codec = Seq("sowt", "ulaw", "alaw", "fl32")((id % 4).toInt)
@@ -2707,7 +2730,8 @@ object SparkEntry {
     // MultimodalSpec (incl. decline on any nonzero codebook).
     "media_aac_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val mono = id % 2 == 0
         val frames = 2 + (id % 4).toInt
         val sfi = 3 + (id % 3).toInt // 48000 / 44100 / 32000
@@ -2736,7 +2760,8 @@ object SparkEntry {
     // stsz/stsc/stco and synthesize the ADTS transport itself.
     "media_mp4_aac_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val mono = id % 2 == 0
         val frames = 2 + (id % 4).toInt
         val sfi = 3 + (id % 3).toInt
@@ -2766,7 +2791,8 @@ object SparkEntry {
     // planting formulas — mean_level is value-exact.
     "media_mp3_decode_l2" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val mono = id % 2 == 0
         val channels = if (mono) 1 else 2
         val frames = 2 + (id % 3).toInt
@@ -2840,7 +2866,8 @@ object SparkEntry {
     // count1 termination are exercised for real.
     "media_mp3_decode_l3" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val mono = id % 2 == 0
         val channels = if (mono) 1 else 2
         val frames = 2 + (id % 3).toInt
@@ -2948,7 +2975,8 @@ object SparkEntry {
     // mean. DuckDB replays every line.
     "media_mp3_decode_l3i" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val frames = 2 + (id % 3).toInt
         val frameLen = 144 * 320 * 1000 / 48000
         val out = new java.io.ByteArrayOutputStream()
@@ -3041,7 +3069,8 @@ object SparkEntry {
     // the 48 kHz short-band layout)
     "media_mp3_decode_l3s" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val channels = 2
         val frames = 2 + (id % 2).toInt
         val frameLen = 144 * 320 * 1000 / 48000 // 960, pad=0
@@ -3147,7 +3176,8 @@ object SparkEntry {
     // big_values/count1 regions land exactly on that 36-line split
     "media_mp3_decode_l3m" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val frames = 2 + (id % 2).toInt
         val frameLen = 144 * 320 * 1000 / 48000 // 960, pad=0
         val out = new java.io.ByteArrayOutputStream()
@@ -3254,7 +3284,8 @@ object SparkEntry {
     "media_h264_decode" -> ((s, d) => {
       import s.implicits._
       import graft.tools.MediaFixtures._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val wMbs = 1 + (id % 3).toInt
         val hMbs = 1 + (id % 2).toInt
         val frames = 1 + (id % 2).toInt
@@ -3285,7 +3316,8 @@ object SparkEntry {
     "media_mp4_h264_decode" -> ((s, d) => {
       import s.implicits._
       import graft.tools.MediaFixtures._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val wMbs = 1 + (id % 3).toInt
         val hMbs = 1 + (id % 2).toInt
         val frames = 1 + (id % 2).toInt
@@ -3314,7 +3346,8 @@ object SparkEntry {
     // duration/timescale/dims recomputed by DuckDB from the formulas
     "media_mp4_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+      val media = graft.ops.Widen.forHeavyRows(
+        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
         val timescale = 1000 + (id % 10).toInt * 100
         val duration = 5000 + (id % 50).toInt * 10
         val w = 640 + (id % 8).toInt * 16

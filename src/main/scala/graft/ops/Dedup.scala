@@ -194,7 +194,12 @@ object Dedup {
     // on a long-lived cluster; the lazy plan recomputes anywhere. Keep
     // true for single-node/bench runs, false for 1000-executor jobs
     // where losing one executor mid-dedup must not kill the pipeline.
-    val sigsPlan = df.select(col(idCol),
+    // NOT widened (Widen.bySize measured a wash here in interleaved
+    // A/B at sf0.1 — the extra exchange of the text costs what the
+    // parallelism wins; the signature kernel is cheap per byte, unlike
+    // media decode)
+    val dfw = df.select(col(idCol), col(textCol))
+    val sigsPlan = dfw.select(col(idCol),
         minhashSignatureFromHashes(normHashes(col(textCol)), numHashes).as("__sig"))
     val sigs = if (materializeSigs) sigsPlan.localCheckpoint(true) else sigsPlan
     val cands = lshCandidates(sigs, idCol, "__sig", bands)
@@ -233,7 +238,7 @@ object Dedup {
       .withColumn("__est", estMatch)
       .filter(col("__est") >= threshold - 0.15)
       .select("a", "b")
-    val hs = df.select(col(idCol), normHashes(col(textCol)).as("__hs"))
+    val hs = dfw.select(col(idCol), normHashes(col(textCol)).as("__hs"))
     estPairs
       .join(corpusSide(hs.select(col(idCol).as("a"), col("__hs").as("__hsA"))), "a")
       .join(corpusSide(hs.select(col(idCol).as("b"), col("__hs").as("__hsB"))), "b")
