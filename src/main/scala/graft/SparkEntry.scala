@@ -176,21 +176,26 @@ object SparkEntry {
   /** Gate verdicts: (planted_found, fresh_clean, paths_agree). */
   private[graft] def minhashGateParity(probed: DataFrame, oneShot: DataFrame,
       planted: DataFrame): (Boolean, Boolean, Boolean) = {
-    val nPlanted = planted.count()
-    val selfHits = probed.filter(col("match_id") === col("id") - DupOff).count()
-    val freshHits = probed.filter(col("id") >= 2L * DupOff).count()
     // MULTISET equality in ONE job: per-pair counts on each side,
     // full-outer on the pair key, any row with unequal (null ≠ n)
     // counts is a disagreement. Equivalent to exceptAll both ways —
     // still duplicate-row-safe if a future caller passes dup rows —
     // but one shuffle instead of 4 driver jobs + a checkpoint (the r15
-    // parity hardening was ~1 s of this gate's bench cost).
+    // parity hardening was ~1 s of this gate's bench cost). The four
+    // verdict actions read only checkpointed frames — overlapped
+    // (§2.6).
+    val spark = probed.sparkSession
     val pc = probed.groupBy("id", "match_id").agg(count(lit(1)).as("__np"))
     val oc = oneShot.groupBy("id", "match_id").agg(count(lit(1)).as("__no"))
-    val agree = pc.join(oc, Seq("id", "match_id"), "full_outer")
-      .filter(col("__np").isNull || col("__no").isNull ||
-        col("__np") =!= col("__no"))
-      .isEmpty
+    val vs = graft.core.Par.jobs(spark)(
+      () => planted.count(),
+      () => probed.filter(col("match_id") === col("id") - DupOff).count(),
+      () => probed.filter(col("id") >= 2L * DupOff).count(),
+      () => if (pc.join(oc, Seq("id", "match_id"), "full_outer")
+        .filter(col("__np").isNull || col("__no").isNull ||
+          col("__np") =!= col("__no"))
+        .isEmpty) 1L else 0L)
+    val (nPlanted, selfHits, freshHits, agree) = (vs(0), vs(1), vs(2), vs(3) == 1L)
     (selfHits == nPlanted && nPlanted > 0, freshHits == 0L, agree)
   }
 
@@ -957,9 +962,13 @@ object SparkEntry {
         concat(col("p_name"), lit("x")).as("p_name"))
       val kept = Dedup.dropEditDups(part.unionByName(planted),
         "p_partkey", "p_name", maxDist = 2).localCheckpoint(true)
-      val plantedSurvivors = kept.filter(col("p_partkey") >= off).count()
-      val residual = Dedup.editNearDups(kept, "p_partkey", "p_name",
-        maxDist = 2).count()
+      // both verdicts read only the checkpointed survivors — overlap
+      // the cheap planted count with the heavy residual pass (§2.6)
+      val vs = graft.core.Par.jobs(s)(
+        () => kept.filter(col("p_partkey") >= off).count(),
+        () => Dedup.editNearDups(kept, "p_partkey", "p_name",
+          maxDist = 2).count())
+      val (plantedSurvivors, residual) = (vs(0), vs(1))
       s.range(1).select(lit(plantedSurvivors).as("planted_survivors"),
         lit(residual).as("survivor_pairs_within_k"))
     }),
@@ -986,8 +995,13 @@ object SparkEntry {
     "minhash_index_gate" -> ((s, d) => {
       val uri = minhashIndex(s, d)
       val (docs, planted, batch) = minhashGateInputs(s, d)
-      val probed = minhashGateProbe(batch, docs, uri)
-      val oneShot = minhashGateOneShot(docs, batch)
+      // the probe and the one-shot arm are independent given (batch,
+      // docs, uri) — overlap their eager checkpoint jobs (§2.6).
+      // GateProfile keeps timing the shared stage functions serially.
+      val arms = graft.core.Par.jobs(s)(
+        () => minhashGateProbe(batch, docs, uri),
+        () => minhashGateOneShot(docs, batch))
+      val (probed, oneShot) = (arms(0), arms(1))
       val (plantedFound, freshClean, pathsAgree) =
         minhashGateParity(probed, oneShot, planted)
       s.range(1).select(
@@ -1024,9 +1038,14 @@ object SparkEntry {
       // share one LSH pass across both clustering paths
       val pairs = Dedup.minhashNearDups(docs.unionByName(edited),
         "doc_id", "text", threshold = 0.6).localCheckpoint(true)
-      val star = Dedup.dupClusters(pairs, driverLimit = 0L)
-        .withColumnRenamed("cluster", "c_star")
-      val uf = Dedup.dupClusters(pairs).withColumnRenamed("cluster", "c_uf")
+      // the two clustering paths read only the checkpointed pairs and
+      // run their own eager jobs (stats + star rounds vs stats +
+      // collect) — overlap them (§2.6)
+      val arms = graft.core.Par.jobs(s)(
+        () => Dedup.dupClusters(pairs, driverLimit = 0L)
+          .withColumnRenamed("cluster", "c_star"),
+        () => Dedup.dupClusters(pairs).withColumnRenamed("cluster", "c_uf"))
+      val (star, uf) = (arms(0), arms(1))
       star.join(uf, "id")
         .agg(coalesce(sum(when(col("c_star") =!= col("c_uf"), 1L).otherwise(0L)),
           lit(-1L)).as("mismatches"), (count(lit(1)) > 0).as("nonempty"))
@@ -3437,16 +3456,22 @@ object SparkEntry {
       val train = split.filter(col("split") === "train")
       val packed = graft.ops.Packing.packDocs(train, "doc_id", "text", 512L)
       val stats = graft.ops.Packing.packStats(packed, 512L)
-      val nDedup = deduped.count(); val nQuality = quality.count()
-      val nSplit = split.count(); val nTrain = train.count()
-      val nPacked = packed.count()
-      val overBudget = stats.filter(col("tokens") > 512L && !col("oversize")).count()
+      // the seven check counts are independent reads of checkpointed
+      // frames — overlap them (guide §2.6) instead of paying each
+      // job's planning latency and task tail serially
+      val cs = graft.core.Par.jobs(s)(
+        () => deduped.count(), () => quality.count(),
+        () => split.count(), () => train.count(),
+        () => packed.count(),
+        () => stats.filter(col("tokens") > 512L && !col("oversize")).count(),
+        () => train.filter(TextAnalysis.tokenCount(col("text")) > 0).count())
+      val (nDedup, nQuality, nSplit, nTrain) = (cs(0), cs(1), cs(2), cs(3))
+      val (nPacked, overBudget, nPackable) = (cs(4), cs(5), cs(6))
       s.range(1).select(
         lit(nIn).as("n_docs"),
         lit(nDedup <= nIn && nQuality <= nDedup && nSplit == nQuality)
           .as("counts_monotone"),
-        lit(nPacked == nTrain || nPacked == train
-          .filter(TextAnalysis.tokenCount(col("text")) > 0).count())
+        lit(nPacked == nTrain || nPacked == nPackable)
           .as("train_all_packed"),
         lit(overBudget == 0L).as("packs_well_formed"))
     }),
@@ -3470,14 +3495,19 @@ object SparkEntry {
       val all = docs.unionByName(edited)
       val out = Curation.leakageFreeSplit(all, "doc_id", "text",
         Seq("train" -> 0.7, "test" -> 0.3), threshold = 0.6).localCheckpoint(true)
-      val n = all.count()
-      val assigned = out.filter(col("split").isin("train", "test")).count()
-      // every planted (orig, edit) pair lands in ONE split
-      val leaks = out.select(col("doc_id"), col("split"))
-        .join(out.select((col("doc_id") - DupOff).as("doc_id"),
-          col("split").as("split2")), "doc_id")
-        .filter(col("split") =!= col("split2")).count()
-      val frac = out.filter(col("split") === "train").count().toDouble / n
+      // four independent checks over the checkpointed split — overlap
+      // the jobs (guide §2.6)
+      val cs = graft.core.Par.jobs(s)(
+        () => all.count(),
+        () => out.filter(col("split").isin("train", "test")).count(),
+        // every planted (orig, edit) pair lands in ONE split
+        () => out.select(col("doc_id"), col("split"))
+          .join(out.select((col("doc_id") - DupOff).as("doc_id"),
+            col("split").as("split2")), "doc_id")
+          .filter(col("split") =!= col("split2")).count(),
+        () => out.filter(col("split") === "train").count())
+      val (n, assigned, leaks) = (cs(0), cs(1), cs(2))
+      val frac = cs(3).toDouble / n
       s.range(1).select(
         lit(assigned == n).as("all_assigned"),
         lit(leaks == 0L).as("no_leaks"),
@@ -3592,19 +3622,24 @@ object SparkEntry {
       val oneShot = graft.ops.Profile.cmsCells(
         t(s, d, "lineitem"), "l_suppkey", depth = 4, width = 4096)
       // one full-outer compare job (missing cell on either side or a
-      // differing count = mismatch) instead of two exceptAll passes
-      val mergeExact = merged.withColumnRenamed("cnt", "a")
-        .join(oneShot.withColumnRenamed("cnt", "b"), Seq("d", "bucket"), "full")
-        .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
-        .isEmpty
-      val massPerRow = merged.groupBy("d").agg(sum("cnt").as("m"))
-        .select(countDistinct(col("m")).as("k"), min(col("m")).as("m")).head()
+      // differing count = mismatch) instead of two exceptAll passes;
+      // the three verdict actions are independent — overlapped (§2.6)
       val exact = t(s, d, "lineitem").groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("true_cnt"))
       val est = graft.ops.Profile.cmsEstimates(s, uri, "l_suppkey",
         exact.select(col("l_suppkey")), "l_suppkey")
-      val allGe = est.join(exact, est("value") === exact("l_suppkey"))
-        .filter(col("estimate") < col("true_cnt")).isEmpty
+      val vs = graft.core.Par.jobs(s)(
+        () => merged.withColumnRenamed("cnt", "a")
+          .join(oneShot.withColumnRenamed("cnt", "b"), Seq("d", "bucket"), "full")
+          .filter(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+          .isEmpty: Any,
+        () => merged.groupBy("d").agg(sum("cnt").as("m"))
+          .select(countDistinct(col("m")).as("k"), min(col("m")).as("m")).head(): Any,
+        () => est.join(exact, est("value") === exact("l_suppkey"))
+          .filter(col("estimate") < col("true_cnt")).isEmpty: Any)
+      val mergeExact = vs(0).asInstanceOf[Boolean]
+      val massPerRow = vs(1).asInstanceOf[org.apache.spark.sql.Row]
+      val allGe = vs(2).asInstanceOf[Boolean]
       s.range(1).select(
         lit(massPerRow.getLong(1)).as("n_rows"),
         lit(massPerRow.getLong(0) == 1L).as("mass_uniform"),
