@@ -133,6 +133,28 @@ object SparkEntry {
     uri
   }
 
+  /** Multiset-mismatch count between two frames on `cols`, as a 1-row
+    * frame (`mismatches` bigint): per-row-value counts on each side,
+    * full-outer join on the value, summed absolute count differences.
+    * VALUE-IDENTICAL to
+    * `a.exceptAll(b).unionAll(b.exceptAll(a)).count()` on every input
+    * (exceptAll keeps max(na-nb, 0) instances per value; both
+    * directions sum to Σ|na−nb|) — but each arm's subtree appears ONCE
+    * in the plan instead of twice, which matters for the ANN parity
+    * gates whose cost is driver planning of two large TopK subtrees,
+    * not data (profiled: ~75% of their wall is between-stage driver
+    * time). Same one-job shape the r15 minhashGateParity hardening
+    * established. */
+  private def multisetMismatches(a: DataFrame, b: DataFrame,
+      colNames: Seq[String]): DataFrame = {
+    val ca = colNames.map(col)
+    val ka = a.select(ca: _*).groupBy(ca: _*).agg(count(lit(1)).as("__na"))
+    val kb = b.select(ca: _*).groupBy(ca: _*).agg(count(lit(1)).as("__nb"))
+    ka.join(kb, colNames, "full_outer")
+      .agg(coalesce(sum(abs(coalesce(col("__na"), lit(0L)) -
+        coalesce(col("__nb"), lit(0L)))), lit(0L)).as("mismatches"))
+  }
+
   // --- the minhash_index_gate pipeline, staged ------------------------
   // Shared by the gate query below and graft.tools.GateProfile (which
   // wall-clocks each stage): ONE definition pins the profiler to the
@@ -1315,9 +1337,9 @@ object SparkEntry {
         k = 10, nprobe = 16, filter = Some(pred))
       val brute = Similarity.bruteForceTopK(e.filter(pred),
         "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
-      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      val mism = full.select(cols: _*).exceptAll(brute.select(cols: _*))
-        .unionAll(brute.select(cols: _*).exceptAll(full.select(cols: _*))).count()
+      val cols = Seq("query_id", "neighbor_id", "cosine", "rank")
+      val mism = multisetMismatches(full, brute, cols)
+        .head().getLong(0)
       val narrow = Similarity.ivfIndexTopK(s, idx, q, "vec_id", "embedding",
         k = 10, nprobe = 4, filter = Some(pred))
       val leaked = narrow.join(
@@ -1345,10 +1367,8 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, nprobe = 8)
       val inline = Similarity.ivfTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, nCentroids = 16, nprobe = 8)
-      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      indexed.select(cols: _*).exceptAll(inline.select(cols: _*))
-        .unionAll(inline.select(cols: _*).exceptAll(indexed.select(cols: _*)))
-        .agg(count(lit(1)).as("mismatches"))
+      multisetMismatches(indexed, inline,
+        Seq("query_id", "neighbor_id", "cosine", "rank"))
     }),
     // Quantized-scan + exact re-rank gate: the two-phase plan (int8
     // candidate scoring over the narrow codes column, true-vector
@@ -1401,10 +1421,8 @@ object SparkEntry {
       val inline = Similarity.pqTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10, codebookOpt = Some(cb))
       val idx = Similarity.pqIndexTopK(s, uri, q, "vec_id", "embedding", k = 10)
-      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      idx.select(cols: _*).exceptAll(inline.select(cols: _*))
-        .unionAll(inline.select(cols: _*).exceptAll(idx.select(cols: _*)))
-        .agg(count(lit(1)).as("mismatches"))
+      multisetMismatches(idx, inline,
+        Seq("query_id", "neighbor_id", "cosine", "rank"))
     }),
     // IVF+PQ (the production ANN shape: cell-pruned probes over 8-byte
     // codes): with every cell probed and every candidate re-ranked the
@@ -1428,10 +1446,8 @@ object SparkEntry {
         rerank = e.count().toInt)
       val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10)
-      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      all.select(cols: _*).exceptAll(brute.select(cols: _*))
-        .unionAll(brute.select(cols: _*).exceptAll(all.select(cols: _*)))
-        .agg(count(lit(1)).as("mismatches"))
+      multisetMismatches(all, brute,
+        Seq("query_id", "neighbor_id", "cosine", "rank"))
     }),
     "knn_ivf_rerank" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1441,10 +1457,8 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, nprobe = 8, rerank = 40)
       val exact = Similarity.ivfIndexTopK(s, uri, q,
         "vec_id", "embedding", k = 10, nprobe = 8)
-      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      reranked.select(cols: _*).exceptAll(exact.select(cols: _*))
-        .unionAll(exact.select(cols: _*).exceptAll(reranked.select(cols: _*)))
-        .agg(count(lit(1)).as("mismatches"))
+      multisetMismatches(reranked, exact,
+        Seq("query_id", "neighbor_id", "cosine", "rank"))
     }),
     // Incremental IVF maintenance: an index built over HALF the
     // vectors, with the other half appended (assigned to existing
@@ -1519,10 +1533,9 @@ object SparkEntry {
         k = 10, nprobe = cents.size, nprobeCoarse = cents.size)
       val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         q, "vec_id", "embedding", k = 10)
-      val cols = Seq("query_id", "neighbor_id", "cosine", "rank").map(col)
-      val mism = idx.select(cols: _*).exceptAll(brute.select(cols: _*))
-        .unionAll(brute.select(cols: _*).exceptAll(idx.select(cols: _*)))
-        .count()
+      val mism = multisetMismatches(idx, brute,
+        Seq("query_id", "neighbor_id", "cosine", "rank"))
+        .head().getLong(0)
       s.range(1).select(lit(mism).as("mismatches"),
         lit(twoLevel).as("twolevel"))
     }),
