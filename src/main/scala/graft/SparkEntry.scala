@@ -1184,21 +1184,28 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val planted = e.withColumn("vec_id", col("vec_id") + DupOff)
       val corpus = e.unionByName(planted)
-      val flat = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
-        nClusters = 64, minCosine = 0.999).localCheckpoint(true)
-      val hier = Dedup.semanticNearDups(corpus, "vec_id", "embedding",
-        nClusters = 64, minCosine = 0.999,
-        coarseProbe = Some((8, 3))).localCheckpoint(true)
+      // the flat and coarse-probed arms are independent eager
+      // pipelines — overlap them, then the five verdict reads (§2.6)
+      val arms = graft.core.Par.jobs(s)(
+        () => Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+          nClusters = 64, minCosine = 0.999).localCheckpoint(true),
+        () => Dedup.semanticNearDups(corpus, "vec_id", "embedding",
+          nClusters = 64, minCosine = 0.999,
+          coarseProbe = Some((8, 3))).localCheckpoint(true))
+      val (flat, hier) = (arms(0), arms(1))
       val plantedPairs = e.select(col("vec_id").as("a"),
         (col("vec_id") + DupOff).as("b"))
-      val missed = plantedPairs
-        .join(hier.select("a", "b"), Seq("a", "b"), "left_anti").count()
-      val below = hier.filter(col("cosine") < 0.999).count()
-      val nFlat = flat.count()
-      val common = hier.select("a", "b")
-        .join(flat.select("a", "b"), Seq("a", "b"), "left_semi").count()
+      val vs = graft.core.Par.jobs(s)(
+        () => plantedPairs
+          .join(hier.select("a", "b"), Seq("a", "b"), "left_anti").count(),
+        () => hier.filter(col("cosine") < 0.999).count(),
+        () => flat.count(),
+        () => hier.select("a", "b")
+          .join(flat.select("a", "b"), Seq("a", "b"), "left_semi").count(),
+        () => e.count())
+      val (missed, below, nFlat, common) = (vs(0), vs(1), vs(2), vs(3))
       s.range(1).select(
-        lit(e.count()).as("n_vecs"),
+        lit(vs(4)).as("n_vecs"),
         lit(missed).as("planted_missed"),
         lit(below).as("below_threshold"),
         lit(nFlat > 0L && common.toDouble / nFlat >= 0.9).as("agree_ok"))
@@ -1262,14 +1269,17 @@ object SparkEntry {
       val planted = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("corpus_id"),
           (col("doc_id") + 1000000L).as("ref_id"))
-      val nRef = planted.count()
-      val missed = planted
-        .join(pairs.select("corpus_id", "ref_id"),
-          Seq("corpus_id", "ref_id"), "left_anti").count()
-      val exact = planted
-        .join(pairs.filter(col("jaccard") === 1.0),
-          Seq("corpus_id", "ref_id"), "left_semi").count()
-      val flagged = pairs.select("corpus_id").distinct().count()
+      // four independent verdict reads of the checkpointed pairs (§2.6)
+      val vs = graft.core.Par.jobs(s)(
+        () => planted.count(),
+        () => planted
+          .join(pairs.select("corpus_id", "ref_id"),
+            Seq("corpus_id", "ref_id"), "left_anti").count(),
+        () => planted
+          .join(pairs.filter(col("jaccard") === 1.0),
+            Seq("corpus_id", "ref_id"), "left_semi").count(),
+        () => pairs.select("corpus_id").distinct().count())
+      val (nRef, missed, exact, flagged) = (vs(0), vs(1), vs(2), vs(3))
       s.range(1).select(lit(nRef).as("n_ref"),
         lit(missed).as("planted_missed"),
         lit(exact == nRef).as("planted_exact"),
@@ -1292,13 +1302,18 @@ object SparkEntry {
       val held = labeled.filter(col("vec_id") % 5 === 0)
       val w = graft.ops.Classify.trainSoftmax(train, "vec_id", "embedding",
         "cls", numClasses = 8, epochs = 1000, lr = 2.0)
-      def acc(df: DataFrame): (Long, Long) = {
-        val sc = df.withColumn("pred",
-          graft.ops.Classify.predictSoftmax(col("embedding"), w))
-        (sc.filter(col("pred") === col("cls")).count(), sc.count())
+      // one agg per split (hits + n in a single job, not two), and the
+      // two splits' jobs overlapped (§2.6)
+      def acc(df: DataFrame): () => (Long, Long) = () => {
+        val r = df.withColumn("pred",
+            graft.ops.Classify.predictSoftmax(col("embedding"), w))
+          .agg(sum(when(col("pred") === col("cls"), 1L).otherwise(0L)),
+            count(lit(1))).head()
+        (r.getLong(0), r.getLong(1))
       }
-      val (trHit, trN) = acc(train)
-      val (teHit, teN) = acc(held)
+      val accs = graft.core.Par.jobs(s)(acc(train), acc(held))
+      val (trHit, trN) = accs(0)
+      val (teHit, teN) = accs(1)
       s.range(1).select(
         lit(trN).as("n_train"), lit(teN).as("n_test"),
         lit(trHit.toDouble / trN >= 0.9).as("train_acc_ok"),
