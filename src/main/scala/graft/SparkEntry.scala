@@ -1999,8 +1999,7 @@ object SparkEntry {
     // parser; DuckDB recomputes the exact dims and pixel mean.
     "media_decode_ppm" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val (w, h) = (8, 4)
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
         val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
@@ -2142,8 +2141,7 @@ object SparkEntry {
     // decode, filter and re-encode in one pass
     "media_resize" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val w = 8 + 2 * (id % 4).toInt
         val h = 4 + 2 * (id % 2).toInt
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -2160,8 +2158,7 @@ object SparkEntry {
     // DuckDB recomputes every bit from the planted pixel formula
     "media_dhash" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val (w, h) = (8, 4)
         val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
         val px = Array.tabulate[Byte](w * h * 3)(j => ((id * 7 + j) % 256).toByte)
@@ -2174,8 +2171,7 @@ object SparkEntry {
     // source at hamming 0 through the banded 64-bit pipeline
     "media_dhash_gate" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long]
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
         .flatMap { id =>
           val (w, h) = (8, 4)
           val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
@@ -2296,8 +2292,7 @@ object SparkEntry {
     // DuckDB recomputes all 64 bits from the planted sample formula
     "media_audio_fp" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
@@ -2319,8 +2314,7 @@ object SparkEntry {
     }),
     "media_decode_wav" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
@@ -2349,8 +2343,7 @@ object SparkEntry {
     // every output sample from the planting formula
     "media_wav_resample" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val frames = 32 + (id % 32).toInt
         val rate = 8000 + (id % 4).toInt * 4000
@@ -2393,8 +2386,7 @@ object SparkEntry {
     // block means
     "media_xresample" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val src = (id % 3).toInt // 0 = aiff pcm16, 1 = au ulaw, 2 = wav alaw
@@ -2450,8 +2442,7 @@ object SparkEntry {
     // recomputes every field from the same formulas.
     "media_video_meta" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val usPerFrame = 20000 + (id % 10).toInt * 1000
         val frames = 100 + (id % 100).toInt
         val w = 320 + (id % 8).toInt * 16
@@ -2568,8 +2559,7 @@ object SparkEntry {
     // mean from the planting formulas
     "media_aiff_decode" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = Seq(8000, 11025, 22050, 44100)((id % 4).toInt)
         val bits = Seq(8, 16, 24, 32)((id % 4).toInt)
@@ -2611,8 +2601,7 @@ object SparkEntry {
     // formula — DuckDB replays the exact expansion arithmetic
     "media_au_decode" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val enc = Seq(2, 3, 4, 5, 1)((id % 5).toInt) // s8..s32, then u-law
@@ -2651,8 +2640,7 @@ object SparkEntry {
     // replays BOTH expansions arithmetically
     "media_wav_g711" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val fmt = if (id % 2 == 0) 7 else 6 // u-law / a-law
@@ -2683,8 +2671,7 @@ object SparkEntry {
     // f64, and DuckDB's doubles), so the replay is value-exact
     "media_wav_float" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = 8000 + (id % 3).toInt * 4000
         val bits = if (id % 2 == 0) 32 else 64
@@ -2723,8 +2710,7 @@ object SparkEntry {
     // replayed by DuckDB
     "media_aifc_decode" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val channels = 1 + (id % 2).toInt
         val rate = Seq(8000, 11025, 22050, 44100)((id % 4).toInt)
         val codec = Seq("sowt", "ulaw", "alaw", "fl32")((id % 4).toInt)
@@ -2777,8 +2763,7 @@ object SparkEntry {
     // MultimodalSpec (incl. decline on any nonzero codebook).
     "media_aac_decode" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val mono = id % 2 == 0
         val frames = 2 + (id % 4).toInt
         val sfi = 3 + (id % 3).toInt // 48000 / 44100 / 32000
@@ -3393,8 +3378,7 @@ object SparkEntry {
     // duration/timescale/dims recomputed by DuckDB from the formulas
     "media_mp4_meta" -> ((s, d) => {
       import s.implicits._
-      val media = graft.ops.Widen.forHeavyRows(
-        t(s, d, "documents").select(col("doc_id"))).as[Long].map { id =>
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
         val timescale = 1000 + (id % 10).toInt * 100
         val duration = 5000 + (id % 50).toInt * 10
         val w = 640 + (id % 8).toInt * 16
