@@ -92,15 +92,59 @@ object Bench {
       sec
     })
 
+    // x10 scaling keys: a handful of scale-sensitive operators timed
+    // over a 10x synthetic corpus (ScaleRehearsal's scramble synthesis
+    // — NOT naive replication, which would plant 10-way dup cliques).
+    // Why: at sf0.1 nearly every suite key sits on the ~0.1 s/job
+    // planning floor, so the driver's low-core comparison (c8 vs c32)
+    // reads ~1.0 everywhere and cannot distinguish "serial" from "too
+    // small to parallelize" (r20 verdict, scaling block). These keys
+    // give the core-count ratio something that can move. The 10x
+    // corpus is synthesized FRESH under a per-run temp dir from the
+    // sf parquet inputs (no cross-run intermediate) and deleted after.
+    val x10Keys = Seq("minhash_neardups", "dedup_drop_gate", "text_perplexity",
+      "tfidf_keywords", "bm25_topk", "media_h264_decode")
+      .filter(SparkEntry.queries.contains)
+    val x10Dir = s"/root/repo/target/graft-bench-x10-${System.nanoTime()}"
+    val x10 = try {
+      graft.tools.ScaleRehearsal.synthesizeDocs(spark, sfDir, x10Dir, 10)
+      x10Keys.map { n =>
+        resetStorage()
+        // warm run, then ALWAYS BaseSweeps (these keys are multi-second
+        // by design; SlowSweeps would add minutes for little precision)
+        try time(SparkEntry.queries(n)(spark, x10Dir).count())
+        catch { case _: Throwable => () }
+        s"x10_$n" -> median((1 to BaseSweeps).map { _ =>
+          try time(SparkEntry.queries(n)(spark, x10Dir).count())
+          catch { case _: Throwable => -1.0 }
+        })
+      }
+    } finally graft.storage.VFS(spark).delete(x10Dir)
+
     val calEnd = calibrate()
 
-    val all = results :+ ("ingest_lineitem" -> ingestSec)
+    val all = (results :+ ("ingest_lineitem" -> ingestSec)) ++ x10
     def jmap(kvs: Seq[(String, Double)]) =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(all)
     val cal = s"""{"start":${jmap(calStart)},"end":${jmap(calEnd)}}"""
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calibration":$cal,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"calibration":$cal,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact keeps only a 2000-char stdout TAIL, and the
+    // full line above (~200 keys, ~5 KB) truncates mid-line — parsed:
+    // null in all 20 rounds' BENCH_r*.json (r20 verdict, top item). So
+    // ALSO write the full line to a per-core-count file and print, as
+    // the LAST stdout line, a compact JSON that always fits the tail:
+    // same metric/value/unit/sf contract, calibration inline, and a
+    // pointer to the full per-query file.
+    val pqFile = s"/root/repo/BENCH_full_c$cpus.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pqFile),
+      (line + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec",""" +
+      s""""n_queries":${all.size},"calibration":$cal,"sf":"$sfDir",""" +
+      s""""per_query_file":"$pqFile"}""")
     spark.stop()
   }
 }

@@ -150,7 +150,14 @@ object SparkEntry {
     val ca = colNames.map(col)
     val ka = a.select(ca: _*).groupBy(ca: _*).agg(count(lit(1)).as("__na"))
     val kb = b.select(ca: _*).groupBy(ca: _*).agg(count(lit(1)).as("__nb"))
-    ka.join(kb, colNames, "full_outer")
+    // null-safe equality (<=>) makes the exceptAll equivalence exact on
+    // EVERY input, null key values included (r20 ADVICE: a plain
+    // using-columns join never matches null keys, so a row with a null
+    // appearing n times on BOTH sides would count 2n mismatches instead
+    // of 0 — exceptAll treats nulls as equal). Today's gate inputs are
+    // null-free, so results are unchanged; the claim is now exact.
+    val cond = colNames.map(c => ka(c) <=> kb(c)).reduce(_ && _)
+    ka.join(kb, cond, "full_outer")
       .agg(coalesce(sum(abs(coalesce(col("__na"), lit(0L)) -
         coalesce(col("__nb"), lit(0L)))), lit(0L)).as("mismatches"))
   }
@@ -1305,10 +1312,13 @@ object SparkEntry {
       // one agg per split (hits + n in a single job, not two), and the
       // two splits' jobs overlapped (§2.6)
       def acc(df: DataFrame): () => (Long, Long) = () => {
+        // coalesce: sum over ZERO rows is null — an empty split must
+        // report (0, 0) like the old filter().count() did, not NPE
+        // (r20 ADVICE)
         val r = df.withColumn("pred",
             graft.ops.Classify.predictSoftmax(col("embedding"), w))
-          .agg(sum(when(col("pred") === col("cls"), 1L).otherwise(0L)),
-            count(lit(1))).head()
+          .agg(coalesce(sum(when(col("pred") === col("cls"), 1L)
+            .otherwise(0L)), lit(0L)), count(lit(1))).head()
         (r.getLong(0), r.getLong(1))
       }
       val accs = graft.core.Par.jobs(s)(acc(train), acc(held))
@@ -2105,6 +2115,12 @@ object SparkEntry {
         Multimodal.MediaRow(id,
           graft.tools.MediaFixtures.mjpegAvi(plantJpegs(id)), "video", "avi")
       }
+      // checkpoint: `got` feeds TWO actions (the full-join mismatch
+      // count and the sampled-frame count) — uncheckpointed, the whole
+      // AVI-synthesize + movi-walk + JPEG-decode pipeline ran TWICE
+      // (measured r21: the gate's two heaviest stages, back to back);
+      // the verdict jobs then read only checkpointed frames — overlap
+      // them (§2.6)
       val got = Multimodal.decodeImages(
         Multimodal.sampleFrames(media, stride = 2).map(f =>
           Multimodal.MediaRow(f.doc_id * 100 + f.frame_idx, f.frame, "image", "ppm")))
@@ -2112,6 +2128,7 @@ object SparkEntry {
         .select(expr("doc_id div 100").as("doc_id"),
           pmod(col("doc_id"), lit(100)).cast("int").as("frame_idx"),
           col("width"), col("height"), col("mean_intensity"))
+        .localCheckpoint(true)
       val want = docs.flatMap { id =>
         plantJpegs(id).zipWithIndex.collect { case (j, f) if f % 2 == 0 =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
@@ -2124,14 +2141,16 @@ object SparkEntry {
             sum.toDouble / (img.getWidth.toLong * img.getHeight * 3))
         }
       }.toDF("doc_id", "frame_idx", "w_want", "h_want", "mean_want")
-      val mismatches = got.join(want, Seq("doc_id", "frame_idx"), "full")
-        .filter(col("width").isNull || col("w_want").isNull ||
-          col("width") =!= col("w_want") || col("height") =!= col("h_want") ||
-          abs(col("mean_intensity") - col("mean_want")) > 1e-9)
-        .count()
+      val vs = graft.core.Par.jobs(s)(
+        () => got.join(want, Seq("doc_id", "frame_idx"), "full")
+          .filter(col("width").isNull || col("w_want").isNull ||
+            col("width") =!= col("w_want") || col("height") =!= col("h_want") ||
+            abs(col("mean_intensity") - col("mean_want")) > 1e-9)
+          .count(),
+        () => got.count())
       s.range(1).select(
-        lit(got.count()).as("n_frames_sampled"),
-        lit(mismatches).as("mismatches"))
+        lit(vs(1)).as("n_frames_sampled"),
+        lit(vs(0)).as("mismatches"))
     }),
 
     // REAL resize under the oracle: planted P6 gradients are

@@ -20,6 +20,15 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // multi-term probes (bm25IndexTopK pushes `term isin(...)`) stay
+      // a parquet-level in() predicate up to 64 values instead of
+      // degrading to a [min,max] range (the default threshold is 10):
+      // in() is evaluated against dictionary pages AND the postings
+      // bloom filters, which prunes row groups whose term range merely
+      // SPANS a probed term — a range filter cannot. Scale-justified,
+      // not a local[32] constant: the cost is a 64-literal predicate,
+      // the win is row-group skipping on any sorted-but-wide bucket.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "64")
       .config("spark.sql.session.timeZone", "UTC")
       // nanosecond parquet timestamps (events.ts) read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

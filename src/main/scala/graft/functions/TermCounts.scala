@@ -60,8 +60,9 @@ object TermCounts {
 
   /** True iff the codepoint matches Java regex `[\p{L}\p{N}]` —
     * Unicode general categories L* (all letters: Character.isLetter)
-    * and N* (Nd decimal digit, Nl letter number, No other number). */
-  private def isTokenCp(cp: Int): Boolean = {
+    * and N* (Nd decimal digit, Nl letter number, No other number).
+    * Shared with [[Tokens]] so both kernels pin ONE tokenizer. */
+  private[functions] def isTokenCp(cp: Int): Boolean = {
     if (Character.isLetter(cp)) true
     else {
       val t = Character.getType(cp)

@@ -50,27 +50,45 @@ object Classify {
           f"trainSoftmax: sampleSize=$sampleSize cut dropped ${total - sampleSize} " +
             f"of $total labeled rows (${(total - sampleSize).toDouble / total * 100}%.2f%%)")
     }
-    val xs = taken.map(r => r.getSeq[Double](1).toArray)
-    val ys = taken.map(_.getInt(0))
-    val n = xs.length
+    // Flattened layouts (r20 verdict item 8): ONE contiguous
+    // (dim+1)-strided weight/gradient array and one row-major sample
+    // matrix instead of arrays-of-arrays — same FLOPs in the SAME
+    // order (every += below is applied to the same values in the same
+    // sequence as the old nested-array loops, so the trained weights
+    // are bit-identical; pinned by ClassifySpec), but without the
+    // per-row pointer chase and with JIT-friendly unit-stride inner
+    // loops. Measured ~2x on the 1000-epoch gate trainer.
+    val n = taken.length
     require(n > 0, "trainSoftmax: empty training sample")
-    val dim = xs(0).length
-    val w = Array.fill(numClasses, dim + 1)(0.0)
+    val dim = taken(0).getSeq[Double](1).length
+    val stride = dim + 1
+    val xsFlat = new Array[Double](n * dim)
+    val ys = new Array[Int](n)
+    var r = 0
+    while (r < n) {
+      val row = taken(r)
+      ys(r) = row.getInt(0)
+      val v = row.getSeq[Double](1)
+      var j = 0
+      while (j < dim) { xsFlat(r * dim + j) = v(j); j += 1 }
+      r += 1
+    }
+    val w = new Array[Double](numClasses * stride)
     val scores = new Array[Double](numClasses)
-    val grad = Array.fill(numClasses, dim + 1)(0.0)
+    val grad = new Array[Double](numClasses * stride)
     var epoch = 0
     while (epoch < epochs) {
-      var c = 0
-      while (c < numClasses) { java.util.Arrays.fill(grad(c), 0.0); c += 1 }
+      java.util.Arrays.fill(grad, 0.0)
       var i = 0
       while (i < n) {
-        val x = xs(i)
+        val xo = i * dim
         var mx = Double.NegativeInfinity
-        c = 0
+        var c = 0
         while (c < numClasses) {
-          var s = w(c)(dim)
+          val wo = c * stride
+          var s = w(wo + dim)
           var j = 0
-          while (j < dim) { s += w(c)(j) * x(j); j += 1 }
+          while (j < dim) { s += w(wo + j) * xsFlat(xo + j); j += 1 }
           scores(c) = s; if (s > mx) mx = s
           c += 1
         }
@@ -80,27 +98,28 @@ object Classify {
         c = 0
         while (c < numClasses) {
           val err = scores(c) / z - (if (ys(i) == c) 1.0 else 0.0)
-          val g = grad(c)
+          val go = c * stride
           var j = 0
-          while (j < dim) { g(j) += err * x(j); j += 1 }
-          g(dim) += err
+          while (j < dim) { grad(go + j) += err * xsFlat(xo + j); j += 1 }
+          grad(go + dim) += err
           c += 1
         }
         i += 1
       }
-      c = 0
+      var c = 0
       while (c < numClasses) {
+        val wo = c * stride
         var j = 0
         while (j <= dim) {
-          val reg = if (j < dim) l2 * w(c)(j) else 0.0 // bias unregularized
-          w(c)(j) -= lr * (grad(c)(j) / n + reg)
+          val reg = if (j < dim) l2 * w(wo + j) else 0.0 // bias unregularized
+          w(wo + j) -= lr * (grad(wo + j) / n + reg)
           j += 1
         }
         c += 1
       }
       epoch += 1
     }
-    w.map(_.toSeq).toSeq
+    (0 until numClasses).map(c => w.slice(c * stride, (c + 1) * stride).toSeq)
   }
 
   /** Per-class raw scores `dot(vec, w_c) + b_c` as a literal-backed

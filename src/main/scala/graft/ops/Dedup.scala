@@ -951,7 +951,15 @@ object Dedup {
         " and O(k^2) probe keys — beyond ~8 use ngram/minhash families)")
     val rows = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
-    val texts = rows.select(col("__t")).distinct()
+    // checkpoint: the distinct-text frame feeds FOUR plan branches
+    // (segment index, probe expansion, and both residue legs inside
+    // editTextPairs) — uncheckpointed, each branch re-ran the scan +
+    // distinct exchange (r21 QueryProfile: edit_drop_gate was ~35
+    // small stages, most of them repeats of this subtree). Vocab-
+    // scale by the operator's contract (distinct linkage keys), so
+    // materializing it is safe at any corpus size; AQE-coalesced
+    // partitioning rides along, as in dupClusters (r20).
+    val texts = rows.select(col("__t")).distinct().localCheckpoint(true)
     // dist >= 1 pairs between distinct texts; keep one orientation (each
     // unordered text pair is found in at least one probe/index direction
     // because the longer side is always indexable).
@@ -986,8 +994,11 @@ object Dedup {
       .select(col(leftId).as("__lid"), col(leftText).as("__t"))
     val rRows = right.filter(col(rightText).isNotNull)
       .select(col(rightId).as("__rid"), col(rightText).as("__t"))
-    val lTexts = lRows.select(col("__t")).distinct()
-    val rTexts = rRows.select(col("__t")).distinct()
+    // checkpointed for the same repeated-subtree reason as
+    // editNearDups' texts (each side feeds its pigeonhole leg AND a
+    // residue leg); vocab-scale by contract
+    val lTexts = lRows.select(col("__t")).distinct().localCheckpoint(true)
+    val rTexts = rRows.select(col("__t")).distinct().localCheckpoint(true)
     // Equal-text pairs skip the candidate machinery entirely.
     val same = lRows.join(rRows, Seq("__t"))
       .select(col("__lid"), col("__rid"), lit(0).as("dist"))
@@ -1032,7 +1043,12 @@ object Dedup {
       s"maxDist must be in [1, 8], got $maxDist")
     val rows = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__t"))
+    // checkpoint: reps feeds FIVE branches (both editTextPairs sides
+    // with their residue legs, both edge-expansion joins, and the keep
+    // anti-join) — same repeated-subtree cost as editNearDups' texts,
+    // and the same vocab-scale safety argument
     val reps = rows.groupBy(col("__t")).agg(min(col("__id")).as("__rep"))
+      .localCheckpoint(true)
     val edges = editTextPairs(reps.select(col("__t")),
         reps.select(col("__t")), maxDist)
       .filter(col("__tp") < col("__ti"))

@@ -39,9 +39,18 @@ object NgramLm {
 
   /** Unicode word tokens of lowercased text; identical to DuckDB's
     * `list_filter(string_split_regex(lower(t), '[^\p{L}\p{N}]+'), ...)`
-    * (Java and RE2 agree on the \p{L}/\p{N} classes). */
+    * (Java and RE2 agree on the \p{L}/\p{N} classes).
+    *
+    * Built on the native [[graft.functions.Tokens]] kernel (direct
+    * character-class checks) instead of the `java.util.regex` NFA the
+    * `split` expression walks per document — the LM passes tokenize
+    * the corpus 3-4 times per train+score, and the regex walk was the
+    * dominant per-task cost (guide §4; r20 verdict item 3). Rows are
+    * identical (TokensSpec pins kernel == expression);
+    * `graft.tokens.kernel=false` restores the expression form. */
   def lmTokens(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
+    if (graft.functions.Tokens.enabled) graft.functions.Tokens(lower(text))
+    else filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= "")
 
   /** Adjacent-pair structs (pw, w) of the token array — derived with
     * narrow array ops (slice + zip_with), no per-doc window shuffle.

@@ -35,9 +35,16 @@ object Search {
   /** Unicode-word terms, lowercased: split on any non-letter/digit
     * run, drop empties. Mirrors the tokenizer the perplexity oracle
     * already replays in DuckDB (`string_split_regex(lower(text),
-    * '[^\p{L}\p{N}]+')`), so every Search oracle is value-exact. */
+    * '[^\p{L}\p{N}]+')`), so every Search oracle is value-exact.
+    *
+    * Kernel-backed ([[graft.functions.Tokens]]) like
+    * [[NgramLm.lmTokens]]: corpusStats and the query-term splits paid
+    * the regex NFA per document/query; the kernel is the same direct
+    * character-class walk TermCounts uses (TokensSpec pins equality;
+    * `graft.tokens.kernel=false` restores the expression form). */
   def termsOf(text: Column): Column =
-    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    if (graft.functions.Tokens.enabled) graft.functions.Tokens(lower(text))
+    else filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
 
   /** Inverted index: one row per (doc, term) with the term frequency
     * and the document length riding along. Columns: doc_id, term,
@@ -131,12 +138,23 @@ object Search {
     val avgdl = if (nDocs == 0L) 1.0 else sumDl.toDouble / nDocs
     val dfAll = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
-    // Per-(query, term) df — QUERY-BATCH-sized, so materializing it is
-    // ~free and buys two things: the df aggregation runs exactly once
-    // (not lazily re-run per downstream branch), and elision / hot-term
-    // decisions become driver-readable facts instead of silent plan
-    // internals.
-    val qdf = dfAll.join(broadcast(qterms), "term").localCheckpoint(true)
+    // Per-(query, term) df — QUERY-BATCH-sized, and ALREADY driver-
+    // bounded by contract (the scoring path broadcasts qidf, and a
+    // broadcast relation is built on the driver), so COLLECT it
+    // outright instead of the old localCheckpoint: the df aggregation
+    // still runs exactly once, but the hot-term / elision decisions
+    // become free driver-side set ops instead of one-or-three extra
+    // Spark jobs each (r21: QueryProfile showed ~60% of
+    // bm25_index_topk's wall was between-job driver time — job count
+    // is the cost at the floor, and the removed jobs are pure
+    // bookkeeping at any scale). The rebuilt frame is a LocalRelation:
+    // downstream broadcasts need no extra job either.
+    val qdfJoined = dfAll.join(broadcast(qterms), "term")
+    val qdfRows = qdfJoined.collect()
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(qdfRows: _*), qdfJoined.schema)
+    val dfIdx = qdfJoined.schema.fieldIndex("__df")
+    val termIdx = qdfJoined.schema.fieldIndex("term")
     // optional stopword elision — the production knob for the
     // worst-case term: a term in >maxDfFraction of all docs has
     // near-zero idf but corpus-fraction-sized postings, so scoring
@@ -149,8 +167,8 @@ object Search {
     val kept = qdf.filter(col("__df") <= lit(maxDfFraction) * lit(n))
     if (n > 0) {
       val log5 = org.slf4j.LoggerFactory.getLogger(getClass)
-      val hot = qdf.filter(col("__df") > lit(HotTermDfFraction) * lit(n))
-        .select("term").distinct().count()
+      val hot = qdfRows.filter(_.getDouble(dfIdx) > HotTermDfFraction * n)
+        .map(_.getString(termIdx)).distinct.length.toLong
       if (hot > 0) {
         graft.core.Stats.counter(spark, "bm25.hot_terms_probed").add(hot)
         log5.warn(s"bm25: $hot probed term(s) appear in >" +
@@ -159,8 +177,9 @@ object Search {
           "idf; consider maxDfFraction elision")
       }
       if (maxDfFraction < 1.0) {
-        val elided = qdf.select("term").distinct().count() -
-          kept.select("term").distinct().count()
+        val elided = qdfRows.map(_.getString(termIdx)).distinct.length.toLong -
+          qdfRows.filter(_.getDouble(dfIdx) <= maxDfFraction * n)
+            .map(_.getString(termIdx)).distinct.length.toLong
         if (elided > 0) {
           graft.core.Stats.counter(spark, "bm25.query_terms_elided").add(elided)
           log5.info(s"bm25: elided $elided query term(s) with df > " +
@@ -326,6 +345,22 @@ object Search {
   private def paramsPath(uri: String) = s"$uri/_params.json"
   private def postingsPath(uri: String) = s"$uri/postings"
 
+  /** Write options for every postings parquet write. NOTE (r21): a
+    * parquet BLOOM FILTER on `term` was tried here (r20 verdict item
+    * 4) and REVERTED after measurement: (a) the probe already reads
+    * only matching row groups locally (QueryProfile: 0.2 MB input),
+    * (b) parquet silently DROPS the bloom whenever a chunk is fully
+    * dictionary-encoded — the dictionary is already exact membership,
+    * and the in()-pushdown threshold raised in GraftSession lets the
+    * reader prune on it — and (c) where it did materialize it added an
+    * erratic ~66 KB/file footer that broke the tier-size monotonicity
+    * [[maintenanceAdvice]] compares (a 2-doc base read LARGER than its
+    * 4x-corpus major compaction). Term-sorted files + footer stats +
+    * dictionary in() pruning are the honest layout. */
+  private def postingsWriteOptions(spark: org.apache.spark.sql.SparkSession,
+      uri: String): Map[String, String] =
+    graft.storage.Encryption.dirWriteOptions(spark, uri)
+
   private def termBucket(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
 
@@ -437,7 +472,7 @@ object Search {
       .withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .write.options(postingsWriteOptions(spark, uri))
       .partitionBy("tb").parquet(postingsPath(uri))
     // stats from the JUST-WRITTEN postings (sum(dl) = sum(tf)) + a
     // metadata-only row count — no second corpus text pass
@@ -466,7 +501,7 @@ object Search {
     batch.withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .write.options(postingsWriteOptions(spark, uri))
       .mode("append").partitionBy("tb").parquet(postingsPath(uri))
     val s1 = Option(batch.agg(sum(col("tf"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -617,7 +652,7 @@ object Search {
     batch.withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .write.options(postingsWriteOptions(spark, uri))
       .partitionBy("tb").parquet(s"$dir/postings")
     val s1 = Option(batch.agg(sum(col("tf"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -683,7 +718,7 @@ object Search {
       .withColumn("tb", termBucket(col("term"), buckets))
       .repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .write.options(postingsWriteOptions(spark, uri))
       .partitionBy("tb").parquet(s"$dir/postings")
     val tags = (pending.map(_.tag) ++ pending.flatMap(_.tags)).distinct
     graft.storage.Encryption.dirJsonWrite(spark, uri, s"$dir/_stats.json",
@@ -730,7 +765,7 @@ object Search {
       .withColumn("tb", termBucket(col("term"), buckets))
     all.repartition(col("tb"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.options(graft.storage.Encryption.dirWriteOptions(spark, uri))
+      .write.options(postingsWriteOptions(spark, uri))
       .partitionBy("tb").parquet(target)
     // the new folded set covers EVERY dir in the listing snapshot —
     // pending (now baked into the generation) AND retired grace dirs

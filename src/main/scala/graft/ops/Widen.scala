@@ -33,10 +33,29 @@ import org.apache.spark.sql.DataFrame
 object Widen {
   private val BytesPerTask = 512L << 10
 
+  /** Tolerant conf parse: a malformed `graft.widen.maxInputBytes` must
+    * not crash a query path — unparseable falls back to the default
+    * (widen enabled at the documented budget), loudly. */
+  private def maxInputBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.widen.maxInputBytes").map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft.widen.maxInputBytes='$v' is not a long; using default")
+          256L << 20
+      }
+    }.getOrElse(256L << 20)
+
+  /** AVAILABLE-BUT-UNUSED primitive: no production caller today (the
+    * MinHash-LSH adoption was measured a wash and reverted —
+    * OPTIMIZATION_r20.md negative result 1). Kept because the shape —
+    * size-gated round-robin to ~[[BytesPerTask]] partitions — is the
+    * correct general form of the floor; adopt it by measurement, not
+    * by default. */
   def bySize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val maxBytes = spark.conf.getOption("graft.widen.maxInputBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    val maxBytes = maxInputBytes(spark)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (maxBytes <= 0 || est > maxBytes) df
     else {
@@ -52,12 +71,18 @@ object Widen {
     * is ~free to shuffle at any scale, while leaving it at the scan's
     * partitioning single-threads minutes of decode CPU behind a
     * single-row-group file. Round-robin to defaultParallelism; same
-    * conf kill-switch as [[bySize]] (`graft.widen.maxInputBytes=0`). */
+    * conf kill-switch as [[bySize]] (`graft.widen.maxInputBytes=0`).
+    *
+    * The size budget applies HERE too (r20 ADVICE: this path used to
+    * repartition unconditionally — fine for today's 8 B/row id frames,
+    * but a future caller passing a wide frame would pay a silent full
+    * exchange): inputs whose honest plan estimate exceeds the budget
+    * are left alone, same as [[bySize]]. */
   def forHeavyRows(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val maxBytes = spark.conf.getOption("graft.widen.maxInputBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    val maxBytes = maxInputBytes(spark)
     if (maxBytes <= 0) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes) df
     else df.repartition(spark.sparkContext.defaultParallelism)
   }
 }

@@ -43,6 +43,24 @@ object ScaleRehearsal {
     translate(translate(c, Target1, perm(Target1, copy % 26)),
       Target2, perm(Target2, copy / 26))
 
+  /** Synthesize the mult-x documents table (the corpus-synthesis rules
+    * documented above: per-copy scrambled suffixes keep cross-copy
+    * jaccard below the dedup threshold, so the dup rate matches a
+    * genuinely larger corpus) and write it to `outDir/documents.parquet`.
+    * Shared with [[graft.Bench]]'s x10 scaling keys so the bench and
+    * the rehearsal measure the SAME synthetic corpus shape. */
+  def synthesizeDocs(spark: SparkSession, sfDir: String, outDir: String,
+      mult: Int): Unit = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until mult).map { c =>
+      val shifted = docs0.withColumn("doc_id", col("doc_id") + lit(c.toLong << 24))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        concat(col("text"), lit(" "), scramble(col("text"), c)))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)

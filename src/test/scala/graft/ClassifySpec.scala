@@ -58,6 +58,74 @@ class ClassifySpec extends SparkSpec {
     assert(testAcc >= 0.65, s"held-out accuracy $testAcc")
   }
 
+  test("flattened trainer equals the nested-array reference bit-exactly") {
+    // the r21 flattened-weights layout claims the SAME floating-point
+    // operations in the SAME order as the old arrays-of-arrays loops;
+    // this replays the old implementation verbatim on the identically
+    // sampled rows and requires bit equality (== on doubles)
+    val (numClasses, epochs, lr, l2, sampleSize) = (10, 40, 0.5, 1e-4, 100000)
+    val e = embeddings
+    val w = Classify.trainSoftmax(e, "vec_id", "embedding", "label",
+      numClasses = numClasses, epochs = epochs)
+    val taken = e
+      .select(col("label").cast("int").as("__y"),
+        transform(col("embedding"), v => v.cast("double")).as("__x"),
+        col("vec_id").as("__id"))
+      .orderBy(xxhash64(col("__id"))).limit(sampleSize)
+      .select(col("__y"), col("__x")).collect()
+    val xs = taken.map(r => r.getSeq[Double](1).toArray)
+    val ys = taken.map(_.getInt(0))
+    val n = xs.length
+    val dim = xs(0).length
+    val wRef = Array.fill(numClasses, dim + 1)(0.0)
+    val scores = new Array[Double](numClasses)
+    val grad = Array.fill(numClasses, dim + 1)(0.0)
+    var epoch = 0
+    while (epoch < epochs) {
+      var c = 0
+      while (c < numClasses) { java.util.Arrays.fill(grad(c), 0.0); c += 1 }
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        var mx = Double.NegativeInfinity
+        c = 0
+        while (c < numClasses) {
+          var s = wRef(c)(dim)
+          var j = 0
+          while (j < dim) { s += wRef(c)(j) * x(j); j += 1 }
+          scores(c) = s; if (s > mx) mx = s
+          c += 1
+        }
+        var z = 0.0
+        c = 0
+        while (c < numClasses) { scores(c) = math.exp(scores(c) - mx); z += scores(c); c += 1 }
+        c = 0
+        while (c < numClasses) {
+          val err = scores(c) / z - (if (ys(i) == c) 1.0 else 0.0)
+          val g = grad(c)
+          var j = 0
+          while (j < dim) { g(j) += err * x(j); j += 1 }
+          g(dim) += err
+          c += 1
+        }
+        i += 1
+      }
+      c = 0
+      while (c < numClasses) {
+        var j = 0
+        while (j <= dim) {
+          val reg = if (j < dim) l2 * wRef(c)(j) else 0.0
+          wRef(c)(j) -= lr * (grad(c)(j) / n + reg)
+          j += 1
+        }
+        c += 1
+      }
+      epoch += 1
+    }
+    assert(w == wRef.map(_.toSeq).toSeq,
+      "flattened trainer drifted from the nested-array reference")
+  }
+
   test("model save/load round-trips weights exactly") {
     val e = embeddings
     val w = Classify.trainSoftmax(e, "vec_id", "embedding", "label",
